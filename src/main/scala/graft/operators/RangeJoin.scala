@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded (bucketed) interval joins.
+  *
+  * The reference's GRanges-style containment filter
+  * (`/root/reference/src/SeqArray.cpp:780-868`) is a point-in-interval join.
+  * Spark plans a non-equi join as BroadcastNestedLoopJoin, which is O(n*m)
+  * and falls over at cluster scale. Banding turns it into an equi-join:
+  * every interval is exploded to each fixed-width band it overlaps, every
+  * point maps to exactly one band, and the equi-join on the band key is
+  * shuffle-partitionable (or broadcastable when the interval side is small).
+  * A residual predicate re-checks exact containment, so results equal the
+  * naive join. Cost: intervals duplicate ceil(span/bandWidth)+1 times —
+  * pick `bandWidth` on the order of the typical interval span.
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` where `point` ∈ [`lo`, `hi`).
+    * `point`, `lo`, `hi` must be numeric columns of the respective frames.
+    * Returns points ⨝ intervals with exact containment; band key is dropped.
+    */
+  def pointInInterval(
+      points: DataFrame, point: Column,
+      intervals: DataFrame, lo: Column, hi: Column,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val iv = intervals.withColumn("__band",
+      explode(sequence(
+        floor(lo / bandWidth).cast("long"),
+        floor(hi / bandWidth).cast("long"))))
+    val pt = points.withColumn("__band", floor(point / bandWidth).cast("long"))
+    pt.join(iv, "__band")
+      .filter(point >= lo && point < hi)
+      .drop("__band")
+  }
+}

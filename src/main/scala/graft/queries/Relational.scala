@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.RangeJoin
+
+/** Relational analogs of the reference's query surface, expressed over the
+  * driver testdata. Each query mirrors one operator family from SURVEY.md §2:
+  * filters (§2.3), point-lookup / range / merge joins (§2.4), aggregations
+  * (§2.5), derived-key projections (§2.2), set ops (§2.8), scalar functions
+  * (§2.9).
+  *
+  * Oracle-parity rules used throughout (DuckDB hash-compare):
+  *  - money sums go through DECIMAL casts (inputs sit on an exact 2-decimal
+  *    grid) so Spark and DuckDB agree bit-for-bit;
+  *  - double aggregates that would be summation-order-dependent are instead
+  *    computed as integer/decimal aggregates or single divisions of exact
+  *    integers;
+  *  - every LIMIT / row_number has a total (tie-free) ordering.
+  */
+object Relational extends QueryModule {
+
+  private val d18_2 = DecimalType(18, 2)
+
+  // --- q01: grouped multi-aggregate fusion (SURVEY §2.5 seqGetAF_AC_Missing:
+  // several aggregates over one scan, map-side partial agg). ---------------
+  private val q01 = Q("q01_agg_pricing",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d18_2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(d18_2)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(d18_2) *
+            (lit(1).cast(d18_2) - col("l_discount").cast(d18_2)))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS sum_disc_price,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  // --- q02: id-set membership filter (SURVEY §2.3 seqSetFilter(variant.id=)).
+  // At scale: broadcast left-semi join against the id list, no shuffle of the
+  // fact side. -------------------------------------------------------------
+  private val q02 = Q("q02_filter_ids",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ids = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"))
+      li.join(broadcast(ids), li("l_orderkey") === ids("o_orderkey"),
+          "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 0)"""))
+
+  // --- q03: chrom+range filter with a union of disjoint intervals (SURVEY
+  // §2.3 seqSetFilterChrom / CRangeSet). Partition-prunable when the table is
+  // partitioned by the category column. ------------------------------------
+  private val q03 = Q("q03_filter_range",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.filter(col("l_returnflag").isin("A", "R") &&
+          (col("l_shipdate").between("1994-01-01", "1994-06-30 23:59:59") ||
+           col("l_shipdate").between("1996-01-01", "1996-06-30 23:59:59")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      WHERE l_returnflag IN ('A','R') AND (
+        (l_shipdate BETWEEN TIMESTAMP '1994-01-01'
+                        AND TIMESTAMP '1994-06-30 23:59:59') OR
+        (l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1996-06-30 23:59:59'))
+      GROUP BY l_returnflag"""))
+
+  // --- q04: point-lookup join on a composite key (SURVEY §2.3/§2.4
+  // seqSetFilterPos: probe list ⨝ variants on (chrom,pos[,ref,alt])).
+  // Probe side is small → broadcast hash join. ------------------------------
+  private val q04 = Q("q04_point_lookup",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val probes = li.filter(col("l_orderkey") % 211 === 0)
+        .select(col("l_orderkey").as("p_ok"), col("l_linenumber").as("p_ln"))
+        .distinct()
+      li.join(broadcast(probes),
+          col("l_orderkey") === col("p_ok") &&
+          col("l_linenumber") === col("p_ln"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+      FROM lineitem l
+      JOIN (SELECT DISTINCT l_orderkey AS p_ok, l_linenumber AS p_ln
+            FROM lineitem WHERE l_orderkey % 211 = 0) p
+        ON l.l_orderkey = p.p_ok AND l.l_linenumber = p.p_ln"""))
+
+  // --- q05: filter by computed aggregate (SURVEY §2.3 seqSetFilterCond:
+  // two-phase — aggregate, then threshold). Decimal compare keeps the
+  // threshold exact (mean qty >= 30 without a double division). -------------
+  private val q05 = Q("q05_filter_cond",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
+        .filter(col("sum_qty") >= col("n") * 30)
+    },
+    Some("""SELECT l_partkey, COUNT(*) AS n,
+      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= COUNT(*) * 30"""))
+
+  // --- q06: derived join keys + duplicate suffix (SURVEY §2.2 $chrom_pos /
+  // $chrom_pos2: concat key plus row_number over the key). ------------------
+  private val q06 = Q("q06_derived_keys",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val w = Window
+        .partitionBy(col("l_returnflag"), to_date(col("l_shipdate")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("dup_seq", row_number().over(w))
+        .select(
+          concat_ws(":", col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd")).as("key"),
+          col("l_orderkey"), col("l_linenumber"), col("dup_seq"))
+    },
+    Some("""SELECT l_returnflag || ':' || strftime(l_shipdate, '%Y-%m-%d')
+        AS key,
+      l_orderkey, l_linenumber,
+      ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag, CAST(l_shipdate AS DATE)
+        ORDER BY l_orderkey, l_linenumber) AS dup_seq
+      FROM lineitem"""))
+
+  // --- q07: two-dataset merge via full outer join on a shared key (SURVEY
+  // §2.4 seqMerge variant-union mode: align on key, NA-fill the missing
+  // side). ------------------------------------------------------------------
+  private val q07 = Q("q07_merge_outer",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_orderdate") < "1995-07-01")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_early"))
+      val b = o.filter(col("o_orderdate") >= "1995-07-01")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_late"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_early"), lit(0L)).as("n_early"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"))
+    },
+    Some("""SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      COALESCE(a.n_early, 0) AS n_early, COALESCE(b.n_late, 0) AS n_late
+      FROM
+        (SELECT o_custkey, COUNT(*) AS n_early FROM orders
+         WHERE o_orderdate < TIMESTAMP '1995-07-01' GROUP BY o_custkey) a
+      FULL OUTER JOIN
+        (SELECT o_custkey, COUNT(*) AS n_late FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-07-01' GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey"""))
+
+  // --- q08: banded interval join (SURVEY §2.4 GRanges containment). The
+  // RangeJoin operator turns the non-equi predicate into an equi-join on a
+  // band key — see operators/RangeJoin.scala. -------------------------------
+  private val q08 = Q("q08_range_join",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val iv = Tables(s, dir, "part")
+        .filter(col("p_partkey") % 40 === 0)
+        .select(col("p_partkey").as("iv_id"),
+          (col("p_size") * 100L).cast("long").as("lo"),
+          (col("p_size") * 100L + 800L).cast("long").as("hi"))
+      RangeJoin.pointInInterval(
+          li.select(col("l_extendedprice")), col("l_extendedprice"),
+          iv, col("lo"), col("hi"), bandWidth = 800L)
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some("""SELECT p.p_partkey AS iv_id, COUNT(*) AS n_hits
+      FROM (SELECT p_partkey, p_size * 100 AS lo, p_size * 100 + 800 AS hi
+            FROM part WHERE p_partkey % 40 = 0) p
+      JOIN lineitem l
+        ON l.l_extendedprice >= p.lo AND l.l_extendedprice < p.hi
+      GROUP BY p.p_partkey"""))
+
+  // --- q09: event-time range window (SURVEY §2.6 sliding windows:
+  // per-partition ordered range frame). Sums are over exact integers
+  // (floor(value*1000)) so frame-internal order cannot change the result. ---
+  private val q09 = Q("q09_window_range",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600, Window.currentRow)
+      // ts arrives as long nanos (see Tables); integer div keeps it exact —
+      // double division would lose precision at 1e18 magnitudes.
+      ev.select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("epoch_s"),
+          floor(col("value") * 1000).cast("long").as("value_mil"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("value_mil")).over(w))
+        .drop("value_mil")
+    },
+    Some("""SELECT user_id, event_id, epoch_s,
+      COUNT(*) OVER w AS n_1h, SUM(value_mil) OVER w AS sum_1h
+      FROM (SELECT user_id, event_id,
+              epoch_ns(ts) // 1000000000 AS epoch_s,
+              CAST(floor(value * 1000) AS BIGINT) AS value_mil
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""))
+
+  // --- q10: top-k with total ordering (SURVEY §2.7 — the reference has no
+  // ORDER BY/LIMIT; Spark's TakeOrderedAndProject does this without a full
+  // sort). ------------------------------------------------------------------
+  private val q10 = Q("q10_topk",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""))
+
+  // --- q11: set operations on key sets (SURVEY §2.8 — filter intersect /
+  // unit merge & setdiff). --------------------------------------------------
+  private val q11 = Q("q11_setops",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_orderdate") < "1995-07-01")
+        .select(col("o_custkey")).distinct()
+      val b = o.filter(col("o_orderdate") >= "1995-07-01")
+        .select(col("o_custkey")).distinct()
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_early")))
+    },
+    Some("""SELECT o_custkey, 'both' AS tag FROM
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate < TIMESTAMP '1995-07-01'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-07-01')
+      UNION ALL
+      SELECT o_custkey, 'only_early' AS tag FROM
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate < TIMESTAMP '1995-07-01'
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-07-01')"""))
+
+  // --- q12: scalar string functions (SURVEY §2.9 — split / regexp_replace /
+  // concat keys / substring, all codegen'd builtins). -----------------------
+  private val q12 = Q("q12_scalar_fns",
+    (s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.select(col("p_partkey"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("consonants"),
+        concat_ws(":", col("p_brand"), col("p_size")).as("brand_key"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        upper(col("p_brand")).as("brand_uc"))
+    },
+    Some("""SELECT p_partkey,
+      len(string_split(p_name, ' ')) AS n_words,
+      string_split(p_name, ' ')[1] AS first_word,
+      regexp_replace(p_type, '[aeiou]', '', 'g') AS consonants,
+      concat_ws(':', p_brand, p_size) AS brand_key,
+      substring(p_name, 1, 5) AS prefix5,
+      upper(p_brand) AS brand_uc
+      FROM part"""))
+
+  // --- q13: grouped tabulation over a categorical + exact-integer stats
+  // (SURVEY §2.5 chromosome/allele tabulation) plus a JSON-ish scalar
+  // extract (props is a JSON string; regexp keeps both engines in builtins).
+  private val q13 = Q("q13_tabulate_events",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("value_mil"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long")
+            .as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_mil")).as("sum_value_mil"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_mil,
+      MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+      FROM (SELECT event_type, value,
+              CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type"""))
+
+  // --- q14: multi-table star join with broadcast dims (SURVEY §2.4 —
+  // the samples-table join pattern: small dims broadcast, fact never
+  // re-shuffled for the dim join). ------------------------------------------
+  private val q14 = Q("q14_star_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      val o = Tables(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(d18_2)).as("sum_price"))
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
+      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
+    q08, q09, q10, q11, q12, q13, q14)
+}
