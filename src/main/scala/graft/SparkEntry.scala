@@ -12,7 +12,8 @@ import graft.queries.{Q, QueryModule}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.Genomics)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

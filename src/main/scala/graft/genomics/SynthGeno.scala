@@ -1,0 +1,61 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic synthetic variants table derived from `lineitem`, used to
+  * validate the genetics kernels against the DuckDB oracle: both engines
+  * build the identical genotype cube from pure integer arithmetic, so every
+  * downstream aggregate is exactly comparable.
+  *
+  * Shape mirrors SURVEY.md §1.5: one row per variant with
+  * `geno ARRAY<ARRAY<LONG>>` (8 samples × ploidy 2; null allele = missing)
+  * and a per-sample `phased ARRAY<BOOLEAN>`.
+  */
+object SynthGeno {
+
+  val nSamples = 8
+  val ploidy = 2
+
+  private def h1(s: Column): Column =
+    (col("l_partkey") * 31 + col("l_suppkey") * 7 + s * 13) % 29
+  private def h2(s: Column): Column =
+    (col("l_partkey") * 17 + col("l_suppkey") * 11 + s * 19) % 29
+  private def allele(h: Column): Column =
+    when(h < 2, lit(null)).otherwise(h % col("nall"))
+
+  /** variants(vid, chrom, pos, nall, geno, phased) from `dir`/lineitem. */
+  def variants(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .withColumn("nall", lit(2) + col("l_partkey") % 3)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("vid"),
+        concat(lit("c"), (col("l_partkey") % 5).cast("string")).as("chrom"),
+        (col("l_orderkey") % 100000).as("pos"),
+        col("nall"),
+        transform(sequence(lit(0), lit(nSamples - 1)),
+          s => array(allele(h1(s)), allele(h2(s)))).as("geno"),
+        transform(sequence(lit(0), lit(nSamples - 1)),
+          s => (h1(s) + h2(s)) % 2 === 0).as("phased"))
+
+  /** DuckDB CTE producing the identical table from `lineitem` — prepend to
+    * oracle SQL as `WITH variants AS (<sqlCte>) SELECT ...`. */
+  val sqlCte: String =
+    """SELECT l_orderkey * 10 + l_linenumber AS vid,
+      'c' || CAST(l_partkey % 5 AS VARCHAR) AS chrom,
+      l_orderkey % 100000 AS pos,
+      2 + l_partkey % 3 AS nall,
+      list_transform(range(0, 8), s -> [
+        CASE WHEN (l_partkey*31 + l_suppkey*7 + s*13) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*31 + l_suppkey*7 + s*13) % 29)
+                  % (2 + l_partkey % 3) END,
+        CASE WHEN (l_partkey*17 + l_suppkey*11 + s*19) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*17 + l_suppkey*11 + s*19) % 29)
+                  % (2 + l_partkey % 3) END]) AS geno,
+      list_transform(range(0, 8), s ->
+        ((l_partkey*31 + l_suppkey*7 + s*13) % 29
+         + (l_partkey*17 + l_suppkey*11 + s*19) % 29) % 2 = 0) AS phased
+    FROM lineitem"""
+}

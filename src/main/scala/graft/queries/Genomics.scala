@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics._
+import graft.genomics.SynthGeno
+
+/** Genetics-kernel queries (SURVEY.md §2.5, §2.2): allele frequency/count,
+  * missing rate, alt dosage, GT-string formatting, per-sample margins — each
+  * computed by the library functions in [[graft.functions.genetics]] over the
+  * deterministic [[SynthGeno]] variants table, with a DuckDB oracle that
+  * rebuilds the identical genotype cube.
+  *
+  * All aggregates are exact integer counts or single int/int divisions, so
+  * the hash compare cannot drift. Everything is per-row (no shuffle) except
+  * the per-sample margin, which is the explode+groupBy pattern the engine
+  * uses in place of the reference's `~data` sample-major transpose.
+  */
+object Genomics extends QueryModule {
+
+  private def withCte(body: String): String =
+    s"WITH variants AS (${SynthGeno.sqlCte})\n$body"
+
+  // seqAlleleFreq / seqAlleleCount / seqMissing fused in one pass
+  // (reference seqGetAF_AC_Missing, src/Methods.cpp:897-979).
+  private val q20 = Q("q20_allele_freq",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      v.select(col("vid"),
+        nCalledAlleles(col("geno")).as("n_called"),
+        alleleCount(col("geno"), lit(0)).as("ac_ref"),
+        alleleFreq(col("geno"), lit(0)).as("af_ref"),
+        missingRate(col("geno")).as("miss_rate"))
+    },
+    Some(withCte("""SELECT vid,
+      len(list_filter(flatten(geno), a -> a IS NOT NULL)) AS n_called,
+      len(list_filter(flatten(geno), a -> a = 0)) AS ac_ref,
+      CASE WHEN len(list_filter(flatten(geno), a -> a IS NOT NULL)) > 0
+           THEN CAST(len(list_filter(flatten(geno), a -> a = 0)) AS DOUBLE)
+                / len(list_filter(flatten(geno), a -> a IS NOT NULL))
+      END AS af_ref,
+      CAST(len(flatten(geno))
+           - len(list_filter(flatten(geno), a -> a IS NOT NULL)) AS DOUBLE)
+        / len(flatten(geno)) AS miss_rate
+      FROM variants""")))
+
+  // $dosage_alt + per-variant mean dosage (src/GetData.cpp:311-410).
+  private val q21 = Q("q21_dosage",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val dos = dosageAlt(col("geno"))
+      val obs = filter(dos, d => d.isNotNull)
+      v.select(col("vid"),
+        size(obs).as("n_obs"),
+        coalesce(aggregate(obs, lit(0L), (acc, x) => acc + x), lit(0L))
+          .as("sum_dos"))
+        .withColumn("mean_dos",
+          when(col("n_obs") > 0,
+            col("sum_dos").cast("double") / col("n_obs")))
+    },
+    Some(withCte("""SELECT vid, n_obs,
+      CAST(COALESCE(list_sum(obs), 0) AS BIGINT) AS sum_dos,
+      CASE WHEN n_obs > 0
+           THEN CAST(COALESCE(list_sum(obs), 0) AS DOUBLE) / n_obs
+      END AS mean_dos
+      FROM (SELECT vid,
+        len(list_filter(dos, d -> d IS NOT NULL)) AS n_obs,
+        list_filter(dos, d -> d IS NOT NULL) AS obs
+        FROM (SELECT vid,
+          list_transform(geno, sa ->
+            CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+                 ELSE len(list_filter(sa, a -> a <> 0)) END) AS dos
+          FROM variants))""")))
+
+  // GT-string export (seqGDS2VCF formatters, src/ConvGDS2VCF.cpp:571-989):
+  // per-sample "a/b" or "a|b" with "." for missing, joined per variant.
+  private val q22 = Q("q22_gt_strings",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      v.select(col("vid"),
+        array_join(
+          zip_with(col("geno"), col("phased"), (sa, ph) => gtString(sa, ph)),
+          ";").as("gts"))
+    },
+    Some(withCte("""SELECT vid,
+      array_to_string(list_transform(range(0, 8), s ->
+        COALESCE(CAST(geno[s+1][1] AS VARCHAR), '.')
+        || (CASE WHEN phased[s+1] THEN '|' ELSE '/' END)
+        || COALESCE(CAST(geno[s+1][2] AS VARCHAR), '.')), ';') AS gts
+      FROM variants""")))
+
+  // Per-sample margin (seqMissing(per.variant=FALSE), FC_Missing_PerSamp,
+  // src/Methods.cpp:122-293): explode the sample axis, aggregate by sample
+  // ordinal — the shuffle replaces the reference's sample-major ~data copy.
+  private val q23 = Q("q23_sample_missing",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      v.select(col("vid"), posexplode(col("geno")).as(Seq("s", "sa")))
+        .groupBy(col("s"))
+        .agg(
+          count(lit(1)).as("n_variants"),
+          sum(when(sampleMissing(col("sa")), 1L).otherwise(0L))
+            .as("n_miss_calls"),
+          sum(size(filter(col("sa"), a => a.isNull)).cast("long"))
+            .as("n_miss_alleles"))
+        .withColumn("miss_rate",
+          col("n_miss_alleles").cast("double") /
+            (col("n_variants") * SynthGeno.ploidy))
+    },
+    Some(withCte(s"""SELECT s, COUNT(*) AS n_variants,
+      SUM(CASE WHEN len(list_filter(geno[s+1], a -> a IS NULL)) > 0
+               THEN 1 ELSE 0 END) AS n_miss_calls,
+      SUM(len(list_filter(geno[s+1], a -> a IS NULL))) AS n_miss_alleles,
+      CAST(SUM(len(list_filter(geno[s+1], a -> a IS NULL))) AS DOUBLE)
+        / (COUNT(*) * ${SynthGeno.ploidy}) AS miss_rate
+      FROM variants, (SELECT unnest(range(0, 8)) AS s)
+      GROUP BY s""")))
+
+  // Allele-string parsing ($num_allele/$ref/$alt, src/GetData.cpp:619-680):
+  // round-trip a "REF,ALT1,…" string built from nall.
+  private val q24 = Q("q24_allele_parse",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val alleleStr = array_join(
+        transform(sequence(lit(1), col("nall").cast("int")),
+          i => element_at(letters, i)), ",")
+      v.select(col("vid"), alleleStr.as("allele_str"))
+        .select(col("vid"), col("allele_str"),
+          numAllele(col("allele_str")).as("n_allele"),
+          refAllele(col("allele_str")).as("ref"),
+          array_join(altAlleles(col("allele_str")), ",").as("alts"))
+    },
+    Some(withCte("""SELECT vid, allele_str,
+      len(string_split(allele_str, ',')) AS n_allele,
+      string_split(allele_str, ',')[1] AS ref,
+      array_to_string(string_split(allele_str, ',')[2:], ',') AS alts
+      FROM (SELECT vid,
+        array_to_string(list_transform(range(1, nall + 1), i ->
+          (['A','C','G','T'])[i]), ',') AS allele_str
+        FROM variants)""")))
+
+  override def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.genetics._
+
+/** Hand-computed golden values for the genetics kernels, mirroring the
+  * reference's golden-aggregate tests (inst/unitTests/test_func.R:45-90).
+  * Also asserts 1-partition == N-partition results (serial/parallel
+  * equivalence, test_func.R:57).
+  */
+class GeneticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 3 samples, diploid: (0/1), (./1), (0/0)
+  private def genoDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(Seq[java.lang.Long](0L, 1L), Seq[java.lang.Long](null, 1L),
+        Seq[java.lang.Long](0L, 0L)), Seq(false, false, true)),
+      (2L, Seq(Seq[java.lang.Long](null, null), Seq[java.lang.Long](2L, 1L),
+        Seq[java.lang.Long](1L, 1L)), Seq(true, false, false))
+    ).toDF("vid", "geno", "phased")
+  }
+
+  test("allele freq / count / missing golden values") {
+    val r = genoDf.select(col("vid"),
+        nCalledAlleles(col("geno")).as("called"),
+        alleleCount(col("geno"), lit(0)).as("ac0"),
+        alleleFreq(col("geno"), lit(0)).as("af0"),
+        missingRate(col("geno")).as("miss"))
+      .orderBy("vid").collect()
+    assert(r(0).getInt(1) == 5)
+    assert(r(0).getInt(2) == 3)
+    assert(math.abs(r(0).getDouble(3) - 3.0 / 5) < 1e-12)
+    assert(math.abs(r(0).getDouble(4) - 1.0 / 6) < 1e-12)
+    assert(r(1).getInt(1) == 4)
+    assert(r(1).getInt(2) == 0)
+    assert(r(1).getDouble(3) == 0.0)
+    assert(math.abs(r(1).getDouble(4) - 2.0 / 6) < 1e-12)
+  }
+
+  test("dosage alt with missing → null") {
+    val r = genoDf.select(col("vid"), dosageAlt(col("geno")).as("dos"))
+      .orderBy("vid").collect()
+    assert(r(0).getSeq[Any](1) == Seq(1, null, 0))
+    assert(r(1).getSeq[Any](1) == Seq(null, 2, 2))
+  }
+
+  test("GT strings honor phase and missing") {
+    val r = genoDf.select(col("vid"),
+        zip_with(col("geno"), col("phased"), (sa, p) => gtString(sa, p))
+          .as("gts"))
+      .orderBy("vid").collect()
+    assert(r(0).getSeq[String](1) == Seq("0/1", "./1", "0|0"))
+    assert(r(1).getSeq[String](1) == Seq(".|.", "2/1", "1/1"))
+  }
+
+  test("allele string parsing") {
+    import spark.implicits._
+    val df = Seq(("A,C", 1L), ("TTA,G,C", 2L)).toDF("allele", "vid")
+    val r = df.select(numAllele(col("allele")), refAllele(col("allele")),
+      altAlleles(col("allele"))).collect()
+    assert(r(0).getInt(0) == 2 && r(0).getString(1) == "A" &&
+      r(0).getSeq[String](2) == Seq("C"))
+    assert(r(1).getInt(0) == 3 && r(1).getString(1) == "TTA" &&
+      r(1).getSeq[String](2) == Seq("G", "C"))
+  }
+
+  test("serial == parallel partitioning for aggregates") {
+    val dir = "/root/testdata/sf0.001"
+    val v = graft.genomics.SynthGeno.variants(spark, dir)
+    val agg1 = v.coalesce(1).select(sum(nCalledAlleles(col("geno"))),
+      sum(alleleCount(col("geno"), lit(0)))).collect()(0)
+    val aggN = v.repartition(7).select(sum(nCalledAlleles(col("geno"))),
+      sum(alleleCount(col("geno"), lit(0)))).collect()(0)
+    assert(agg1 == aggN)
+  }
+}
