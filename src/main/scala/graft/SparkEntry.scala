@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
-    graft.queries.Genomics)
+    graft.queries.Genomics,
+    graft.queries.TextDedup)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

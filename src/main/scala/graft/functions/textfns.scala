@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface:
+  * tokenization, shingling, quality ratios, language-ID scoring, document
+  * fingerprinting, MinHash signatures and SimHash sketches.
+  *
+  * Everything is a per-row higher-order-function composition (no UDFs, no
+  * shuffle); hashes are md5-hex so any SQL engine can replay them exactly —
+  * that is what makes the DuckDB oracles byte-comparable.
+  */
+object textfns {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles ("a b" bigrams for n=2). Empty array when
+    * the document has fewer than n tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o =>
+          element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of `toks` contained in `marker` words; null for empty docs. */
+  def markerRatio(toks: Column, markers: Column): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(markers, t))).cast("double") /
+        size(toks))
+
+  /** Mean token length = chars-sans-whitespace / token count. */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set (the "rolling hash" document key of the dedup pipeline). */
+  def fingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** MinHash signature: k md5-derived min-hashes over the shingle set.
+    * Hash family i is `md5(i + ":" + shingle)` — deterministic and
+    * replayable in SQL. Null components when the shingle set is empty. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(shingles,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys for a MinHash signature: bands of `rowsPerBand`
+    * consecutive components, each hashed to one bucket id. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Fraction of equal components between two equal-length signatures —
+    * the MinHash estimate of Jaccard similarity. */
+  def signatureSimilarity(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+
+  /** 16-bit SimHash over the token multiset. Bit j of a token is 1 when hex
+    * digit j+1 of md5(token) is >= 8 (i.e. in '89abcdef'); sketch bit j is
+    * the majority vote (ties → 1). Identical arithmetic is replayable in
+    * DuckDB, which is what makes the oracle byte-comparable. */
+  def simhash16(toks: Column): Column = {
+    val n = size(toks)
+    aggregate(
+      transform(sequence(lit(0), lit(15)), j => {
+        val ones = size(filter(toks, t =>
+          md5(t).substr(j + lit(1), lit(1))
+            .isin("8", "9", "a", "b", "c", "d", "e", "f")))
+        when(ones * 2 >= n, pow2(j)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** 2^j for a column j in [0, 30] via array lookup (shiftleft needs a
+    * literal shift amount). */
+  private def pow2(j: Column): Column =
+    element_at(array((0 to 30).map(i => lit(1L << i)): _*), j + 1)
+
+  /** Hamming distance between two small non-negative long sketches (e.g.
+    * [[simhash16]] values) via bit_count(xor). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact Jaccard similarity of two distinct-element arrays, via
+    * |A|+|B|-|A∪B| so only one distinct-union is computed. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    val inter = size(a) + size(b) - union
+    when(union > 0, inter.cast("double") / union)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.textfns._
+
+/** Text-analysis + deduplication queries over the `documents` table — the
+  * training-data-pipeline surface (builder brief): token counting, quality
+  * ratios, language-ID scoring, exact dedup via content fingerprints,
+  * MinHash+LSH near-dup candidate generation with exact-Jaccard
+  * verification, and SimHash sketches. Each has a DuckDB oracle that replays
+  * the identical md5-based arithmetic.
+  *
+  * Scale notes (100 TB): every per-document computation here is a narrow
+  * projection (no shuffle). The LSH pipeline shuffles once on the band
+  * bucket key — the standard near-dup join — and verifies only the small
+  * candidate set; no O(n²) pair enumeration anywhere.
+  */
+object TextDedup extends QueryModule {
+
+  /** DuckDB tokenisation identical to [[tokens]]. */
+  private val tokCte =
+    """SELECT doc_id, lang, source, n_chars, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+       FROM documents"""
+
+  // --- token counting + length stats (brief: "token counting, quality
+  // scoring"). All outputs are exact ints or single int/int divisions. ------
+  private val q30 = Q("q30_text_stats",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = tokens(col("text"))
+      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        avgTokenLen(col("text")).as("avg_tok_len"))
+    },
+    Some(s"""WITH t AS ($tokCte)
+      SELECT doc_id, lang, source, n_chars,
+        len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_types,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(toks) END AS avg_tok_len
+      FROM t"""))
+
+  // --- quality scoring + language-ID (brief: "language-ID (n-gram
+  // heuristic), quality scoring"). Stopword ratio over a fixed marker list;
+  // language = argmax of per-language marker-hit counts, ties broken by the
+  // (score, lang) struct ordering — identical lexicographic max in both
+  // engines. ----------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  private val q31 = Q("q31_quality_lang",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val sw = array(stopwords.map(lit): _*)
+      val scored = array(langMarkers.map { case (lang, ms) =>
+        struct(
+          size(filter(toks, t => t.isin(ms: _*))).as("score"),
+          lit(lang).as("lang"))
+      }: _*)
+      d.select(col("doc_id"),
+        markerRatio(toks, sw).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast("double") / col("n_chars")).as("punct_ratio"),
+        array_max(scored).getField("lang").as("pred_lang"))
+    },
+    Some {
+      val markersSql = langMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"{'score': len(list_filter(toks, t -> t IN ($lst))), 'lang': '$lang'}"
+      }.mkString(",\n          ")
+      val swLst = stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH t AS ($tokCte)
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, t -> t IN ($swLst))) AS DOUBLE)
+            / len(toks) END AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+          AS DOUBLE) / n_chars AS punct_ratio,
+        list_max([
+          $markersSql]).lang AS pred_lang
+      FROM t"""
+    })
+
+  // --- exact dedup by order-insensitive content fingerprint (brief:
+  // "deduplication: exact (hash-groupBy)"). One shuffle on the 128-bit key;
+  // keeper = min doc_id, group members as a sorted csv so the hash compare
+  // is order-stable. --------------------------------------------------------
+  private val q32 = Q("q32_exact_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("members"))
+    },
+    Some(s"""WITH t AS ($tokCte)
+      SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+        COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+        string_agg(doc_id, ',' ORDER BY doc_id) AS members
+      FROM t GROUP BY 1"""))
+
+  private val SHINGLE_N = 3
+  private val MINHASH_K = 12
+  private val BANDS = 4
+  private val ROWS_PER_BAND = 3
+
+  /** DuckDB chain shared by q33: tokens → shingles → signatures → bands. */
+  private val lshCte =
+    s"""t AS ($tokCte),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= $SHINGLE_N THEN
+          list_distinct(list_transform(range(1, len(toks) - ${SHINGLE_N - 2}),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS sh FROM t),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(1, ${MINHASH_K + 1}), i ->
+          list_min(list_transform(sh, s ->
+            md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh WHERE len(sh) > 0),
+      bands AS (SELECT doc_id, b,
+        md5(array_to_string(
+          sig[b*$ROWS_PER_BAND+1 : b*$ROWS_PER_BAND+$ROWS_PER_BAND], '|'))
+          AS bkey
+        FROM sig, (SELECT unnest(range(0, $BANDS)) AS b))"""
+
+  // --- MinHash + LSH near-dup pairs (brief: "MinHash+LSH
+  // (shingle→minhash→band→bucket-join)"). The only shuffle that scales with
+  // n is the band-key self-join; exact Jaccard runs only on candidates. -----
+  private val q33 = Q("q33_minhash_lsh",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val docs = d.select(col("doc_id"),
+          wordShingles(tokens(col("text")), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val bands = docs.select(col("doc_id"),
+        posexplode(lshBands(minhashSignature(col("sh"), MINHASH_K),
+          BANDS, ROWS_PER_BAND)).as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(docs.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.5)
+    },
+    Some(s"""WITH $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(len(sa.sh) + len(sb.sh)
+             - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b
+      WHERE CAST(len(sa.sh) + len(sb.sh)
+             - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5"""))
+
+  // --- SimHash sketch per document (brief: "SimHash"). Pure projection. ----
+  private val q34 = Q("q34_simhash",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), simhash16(tokens(col("text"))).as("sketch"))
+    },
+    Some(s"""WITH t AS ($tokCte)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 16), j ->
+          CASE WHEN 2 * len(list_filter(toks, tk ->
+                 substr(md5(tk), CAST(j+1 AS INT), 1)
+                   IN ('8','9','a','b','c','d','e','f'))) >= len(toks)
+               THEN 1 << j ELSE 0 END)) AS BIGINT) AS sketch
+      FROM t"""))
+
+  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+}
