@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
     graft.queries.Genomics,
-    graft.queries.TextDedup)
+    graft.queries.TextDedup,
+    graft.queries.Similarity)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

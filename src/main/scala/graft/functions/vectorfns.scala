@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.expressions.DotProductLong
+
+/** Embedding-vector column functions for similarity search (builder brief:
+  * "brute-force cosine top-k as the baseline; an IVF or LSH-bucketed variant
+  * as the scale path").
+  *
+  * Oracle-parity design: raw float embeddings are quantized to exact longs
+  * (`floor(double(x) * scale)`), so dot products and squared norms are exact
+  * integers in any engine, and the final cosine is a single deterministic
+  * IEEE double expression — DuckDB replays it bit-for-bit.
+  */
+object vectorfns {
+
+  /** `ARRAY<FLOAT>` → exact `ARRAY<BIGINT>` via floor(double(x)*scale). */
+  def quantize(v: Column, scale: Int): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product — fused codegen loop (custom Catalyst expression,
+    * [[graft.functions.expressions.DotProductLong]]). */
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Reference implementation of [[dotLong]] as built-in higher-order
+    * functions — kept for differential testing of the custom expression. */
+  def dotLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from exact integer dot/norms; null when either norm
+    * is 0 (the quantized zero vector has no direction). */
+  def cosineQ(dot: Column, norm2a: Column, norm2b: Column): Column =
+    when(norm2a > 0 && norm2b > 0,
+      dot.cast("double") / (sqrt(norm2a.cast("double")) *
+        sqrt(norm2b.cast("double"))))
+
+  /** Signed-random-projection LSH bucket id in [0, 2^bits): bit j is the
+    * sign of the projection of `qv` onto pseudo-hyperplane j, whose ±1
+    * components come from a pure-integer mixer (replayable in any SQL
+    * engine — no RNG state). 1-based component index i matches DuckDB's
+    * 1-based list indexing. */
+  def srpBucket(qv: Column, bits: Int): Column = {
+    require(bits > 0 && bits < 31, "bits must be in [1,30]")
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(1), size(qv)), i =>
+          element_at(qv, i) *
+            when((lit((j + 1) * 2654435761L) + i * lit(40503L)) % 97 % 2 === 0,
+              lit(1L)).otherwise(lit(-1L))),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB SQL fragment computing the identical [[srpBucket]] over a list
+    * column named `expr` — kept next to the Scala so the two stay in sync. */
+  def srpBucketSql(expr: String, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
+      s"""CASE WHEN CAST(list_sum(list_transform(range(1, len($expr) + 1),
+         |  i -> $expr[i] * (CASE WHEN (${(j + 1) * 2654435761L} + i * 40503) % 97 % 2 = 0
+         |                   THEN 1 ELSE -1 END))) AS BIGINT) >= 0
+         |THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}

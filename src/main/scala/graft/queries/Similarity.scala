@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.functions.vectorfns._
+
+/** Similarity search over the `embeddings` table (builder brief): exact
+  * brute-force cosine top-k as the baseline, and a signed-random-projection
+  * LSH bucketed variant as the scale path.
+  *
+  * Scale design (100 TB): the probe set is always the small side and is
+  * broadcast, so the corpus is scanned once with no shuffle of the big side;
+  * top-k per probe is a bounded window over probe-partitions. The ANN
+  * variant replaces the full scan with an equi-join on the LSH bucket key —
+  * the corpus side can be pre-bucketed (partitioned) by that key, making the
+  * probe lookup a pruned scan instead of O(n) per probe.
+  *
+  * Oracle parity: all scoring is on quantized integer vectors (see
+  * [[graft.functions.vectorfns]]), so DuckDB reproduces every cosine bit.
+  */
+object Similarity extends QueryModule {
+
+  private val SCALE = 10000
+  private val PROBE_MOD = 40
+  private val SRP_BITS = 8
+
+  /** Quantized corpus CTE shared by both oracles. */
+  private val qCte =
+    s"""SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * $SCALE) AS BIGINT)) AS qv
+       FROM embeddings"""
+
+  private val dotSql =
+    "CAST(list_sum(list_transform(range(1, len(%s) + 1), i -> %s[i] * %s[i])) AS BIGINT)"
+
+  private def dot2(a: String, b: String) = dotSql.format(a, a, b)
+
+  // --- brute-force exact top-k (the correctness baseline). -----------------
+  private val q36 = Q("q36_knn_brute",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
+            WHERE vec_id % $PROBE_MOD = 0),
+      scored AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM n JOIN p ON vec_id <> probe_id)
+      SELECT probe_id, vec_id, cos, rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      WHERE rank <= 5"""))
+
+  // --- LSH-bucketed ANN: equi-join on the SRP bucket key instead of a full
+  // scan per probe. ---------------------------------------------------------
+  private val q37 = Q("q37_ann_lsh",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+        .withColumn("bucket", srpBucket(col("qv"), SRP_BITS))
+      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+      val cand = e.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm,
+              ${srpBucketSql("qv", SRP_BITS)} AS bucket FROM q),
+      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
+              bucket AS pbucket FROM n WHERE vec_id % $PROBE_MOD = 0),
+      cand AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM n JOIN p ON bucket = pbucket AND vec_id <> probe_id)
+      SELECT probe_id, vec_id, cos, rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM cand)
+      WHERE rank <= 3"""))
+
+  // --- centroid (IVF-style) assignment: nearest of the per-label mean
+  // vectors — the coarse quantizer of an IVF index, and a grouped-aggregate
+  // use of the vector kernels. Means are exact (sum of longs / count) only
+  // if kept as (sum, n) pairs; we score against sum vectors scaled by n to
+  // stay in integer arithmetic: argmax over c of cos(v, sum_c). -------------
+  private val q38 = Q("q38_ivf_assign",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding"), SCALE).as("qv"))
+      // per-label component-wise sums: explode → groupBy (label, i) is the
+      // shuffle-light pattern; 64 dims × 10 labels stays tiny.
+      val sums = e.select(col("label"),
+          posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
+        .select(col("label").as("c_label"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val scored = e.crossJoin(broadcast(sums))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          cosineQ(dotLong(col("qv"), col("cv")),
+            dotLong(col("qv"), col("qv")), col("cnrm")).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_label"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+          col("cos"))
+    },
+    Some(s"""WITH q AS ($qCte),
+      sums AS (SELECT label AS c_label, i,
+          CAST(SUM(qv[i]) AS BIGINT) AS sx
+        FROM q, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i),
+      cent AS (SELECT c_label, list(sx ORDER BY i) AS cv FROM sums
+        GROUP BY c_label),
+      centn AS (SELECT c_label, cv, ${dot2("cv", "cv")} AS cnrm FROM cent),
+      scored AS (SELECT vec_id, label, c_label,
+        CASE WHEN ${dot2("qv", "qv")} > 0 AND cnrm > 0 THEN
+          CAST(${dotSql.format("qv", "qv", "cv")} AS DOUBLE) /
+            (sqrt(CAST(${dot2("qv", "qv")} AS DOUBLE)) *
+             sqrt(CAST(cnrm AS DOUBLE))) END AS cos
+        FROM q, centn)
+      SELECT vec_id, label, c_label AS assigned, cos FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, c_label) AS rn FROM scored)
+      WHERE rn = 1"""))
+
+  override def queries: Seq[Q] = Seq(q36, q37, q38)
+}
