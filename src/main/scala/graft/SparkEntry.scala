@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Genomics,
     graft.queries.TextDedup,
-    graft.queries.Similarity)
+    graft.queries.Similarity,
+    graft.queries.Units,
+    graft.queries.Merge)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics._
+import graft.genomics.SynthGeno
+import graft.operators.MergeVariants._
+
+/** `seqMerge` variant-union mode (SURVEY.md §2.4, risk-register §7.5 item 3):
+  * full outer join of two datasets carrying overlapping variants whose ALT
+  * lists are ordered differently, allele-set union, and genotype index
+  * remap into the merged allele list — then GT-string export to prove the
+  * remap end-to-end.
+  *
+  * Two "files" are carved deterministically from SynthGeno: file A keeps
+  * vid%2==0 with alleles in canonical order; file B keeps vid%3==0 with its
+  * ALT alleles reversed, so on the vid%6 overlap B's genotype indices MUST
+  * be re-coded (a 1↔2 swap for tri-allelic variants) for the merged GT
+  * strings to be right. The DuckDB oracle rebuilds the identical merge.
+  *
+  * Scale: the merge is one sort-merge/shuffle join on the variant key; the
+  * remap is a per-row expression — exactly how an N-file merge composes
+  * (iterated or unionByName+groupBy), with no driver-side state.
+  */
+object Merge extends QueryModule {
+
+  private val q29 = Q("q29_merge_remap",
+    (s, dir) => {
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val full = transform(sequence(lit(1), col("nall").cast("int")),
+        i => element_at(letters, i))
+      val v = SynthGeno.variants(s, dir).select(
+        col("vid"), col("geno"), col("phased"),
+        array_join(full, ",").as("stra"),
+        array_join(
+          concat(slice(full, 1, 1), reverse(slice(full, 2, 3))), ",")
+          .as("strb"))
+      val a = v.filter(col("vid") % 2 === 0).select(
+        col("vid").as("vid_a"), col("stra").as("sa"),
+        col("geno").as("ga"), col("phased").as("pa"))
+      val b = v.filter(col("vid") % 3 === 0).select(
+        col("vid").as("vid_b"), col("strb").as("sb"),
+        col("geno").as("gb"), col("phased").as("pb"))
+      val m = a.join(b, col("vid_a") === col("vid_b"), "full_outer")
+        .withColumn("alleles",
+          when(col("sa").isNotNull && col("sb").isNotNull,
+            alleleUnion(col("sa"), col("sb")))
+            .otherwise(coalesce(col("sa"), col("sb"))))
+      m.select(
+        coalesce(col("vid_a"), col("vid_b")).as("vid"),
+        col("alleles"),
+        array_join(zip_with(
+          remapGeno(col("ga"), col("sa"), col("alleles")), col("pa"),
+          (sa, p) => gtString(sa, p)), ";").as("gts_a"),
+        array_join(zip_with(
+          remapGeno(col("gb"), col("sb"), col("alleles")), col("pb"),
+          (sa, p) => gtString(sa, p)), ";").as("gts_b"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte}),
+      ext AS (SELECT vid, geno, phased,
+        array_to_string(list_transform(range(1, nall + 1),
+          i -> (['A','C','G','T'])[i]), ',') AS stra,
+        array_to_string(list_concat(
+          [(['A','C','G','T'])[1]],
+          list_reverse(list_transform(range(2, nall + 1),
+            i -> (['A','C','G','T'])[i]))), ',') AS strb
+        FROM variants),
+      fa AS (SELECT vid AS vid_a, stra AS sa, geno AS ga, phased AS pa
+        FROM ext WHERE vid % 2 = 0),
+      fb AS (SELECT vid AS vid_b, strb AS sb, geno AS gb, phased AS pb
+        FROM ext WHERE vid % 3 = 0),
+      m AS (SELECT *,
+        CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN
+          array_to_string(list_concat(string_split(sa, ','),
+            list_filter(string_split(sb, ','),
+              x -> NOT list_contains(string_split(sa, ','), x))), ',')
+        ELSE COALESCE(sa, sb) END AS alleles
+        FROM fa FULL OUTER JOIN fb ON vid_a = vid_b),
+      rm AS (SELECT COALESCE(vid_a, vid_b) AS vid, alleles,
+        list_transform(ga, s -> list_transform(s, x ->
+          list_position(string_split(alleles, ','),
+            string_split(sa, ',')[x + 1]) - 1)) AS rga, pa,
+        list_transform(gb, s -> list_transform(s, x ->
+          list_position(string_split(alleles, ','),
+            string_split(sb, ',')[x + 1]) - 1)) AS rgb, pb
+        FROM m)
+      SELECT vid, alleles,
+        array_to_string(list_transform(range(1, len(rga) + 1), s ->
+          COALESCE(CAST(rga[s][1] AS VARCHAR), '.')
+          || (CASE WHEN pa[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(rga[s][2] AS VARCHAR), '.')), ';') AS gts_a,
+        array_to_string(list_transform(range(1, len(rgb) + 1), s ->
+          COALESCE(CAST(rgb[s][1] AS VARCHAR), '.')
+          || (CASE WHEN pb[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(rgb[s][2] AS VARCHAR), '.')), ';') AS gts_b
+      FROM rm"""))
+
+  override def queries: Seq[Q] = Seq(q29)
+}
