@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TextDedup,
     graft.queries.Similarity,
     graft.queries.Units,
-    graft.queries.Merge)
+    graft.queries.Merge,
+    graft.queries.VcfQ)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics._
+import graft.genomics.SynthGeno
+import graft.sources.Vcf
+
+/** VCF export → import round-trip as an oracle-checked query: SynthGeno
+  * variants are formatted into VCF body lines ([[Vcf.formatLines]]) and
+  * parsed back ([[Vcf.parseLines]]) entirely as column expressions; the
+  * DuckDB oracle computes the same output *directly* from the variants CTE,
+  * so any loss or corruption in either direction breaks the hash match.
+  * This is the reference's seqVCF2GDS → seqGDS2VCF digest round-trip
+  * (inst/unitTests) recast as a single declarative plan.
+  */
+object VcfQ extends QueryModule {
+
+  private val q40 = Q("q40_vcf_roundtrip",
+    (s, dir) => {
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val full = transform(sequence(lit(1), col("nall").cast("int")),
+        i => element_at(letters, i))
+      val shaped = SynthGeno.variants(s, dir).select(
+        col("chrom"), col("pos"),
+        concat(lit("v"), col("vid")).as("id"),
+        element_at(full, 1).as("ref"),
+        slice(full, 2, 3).as("alts"),
+        lit(null).cast("float").as("qual"),
+        lit(null).cast("string").as("filter"),
+        col("geno"), col("phased"),
+        nCalledAlleles(col("geno")).as("an"))
+      val lines = Vcf.formatLines(shaped,
+        concat(lit("AN="), col("an").cast("string")))
+      val parsed = Vcf.parseLines(lines,
+        Seq(Vcf.FieldSpec("AN", "1", "Integer")), Nil, SynthGeno.nSamples)
+      parsed.select(
+        substring(col("id"), 2, 20).cast("long").as("vid"),
+        col("chrom"), col("pos").cast("long").as("pos"),
+        col("allele"),
+        col("info_AN").cast("long").as("an"),
+        array_join(zip_with(col("geno"), col("phased"),
+          (sa, p) => gtString(sa, p)), ";").as("gts"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, chrom, pos,
+        array_to_string(list_transform(range(1, nall + 1),
+          i -> (['A','C','G','T'])[i]), ',') AS allele,
+        len(list_filter(flatten(geno), a -> a IS NOT NULL)) AS an,
+        array_to_string(list_transform(range(0, 8), s ->
+          COALESCE(CAST(geno[s+1][1] AS VARCHAR), '.')
+          || (CASE WHEN phased[s+1] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(geno[s+1][2] AS VARCHAR), '.')), ';') AS gts
+      FROM variants"""))
+
+  override def queries: Seq[Q] = Seq(q40)
+}

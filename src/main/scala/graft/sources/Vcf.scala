@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics.gtString
+
+/** VCF reader/writer (SURVEY.md §2.1: `seqVCF2GDS`
+  * /root/reference/R/ConvVCF2GDS.R:559-1465 + C tokenizer
+  * src/ConvVCF2GDS.cpp:1175-1948; `seqGDS2VCF` R/Conversion.R:30-402 +
+  * src/ConvGDS2VCF.cpp:571-989).
+  *
+  * Spark-first split of responsibilities, mirroring the reference's two
+  * passes: the `##` header is parsed on the driver into field specs (the
+  * `seqVCF_Header` analog — tiny, schema-defining), and the body is parsed
+  * by pure column expressions over a splittable `spark.read.text` scan — so
+  * a 100 TB VCF parses with ordinary file-split parallelism and no shared
+  * state, exactly where the reference forks worker processes per line range
+  * (ConvVCF2GDS.R:841-907). The reference's ragged `@len` index machinery
+  * dissolves into ArrayType columns.
+  *
+  * Output shape (FIXTURES.md): chrom, pos, id, ref, alts, allele, qual,
+  * filter, info_* (typed per header), geno ARRAY<ARRAY<LONG>>,
+  * phased ARRAY<BOOLEAN>, fmt_* per-sample arrays.
+  */
+object Vcf {
+
+  /** One INFO/FORMAT declaration: Number ∈ {"0","1","A","R","G","."},
+    * vtype ∈ {Integer, Float, Flag, Character, String}. */
+  final case class FieldSpec(id: String, number: String, vtype: String)
+
+  private val headerRe =
+    """##(INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)""".r.unanchored
+
+  /** Driver-side header scan: (infoSpecs, formatSpecs, sampleIds). */
+  def headerSpecs(lines: Seq[String]): (Seq[FieldSpec], Seq[FieldSpec], Seq[String]) = {
+    val info = Seq.newBuilder[FieldSpec]
+    val fmt = Seq.newBuilder[FieldSpec]
+    var samples = Seq.empty[String]
+    lines.foreach {
+      case l @ headerRe(kind, id, num, t) =>
+        if (kind == "INFO") info += FieldSpec(id, num, t)
+        else fmt += FieldSpec(id, num, t)
+      case l if l.startsWith("#CHROM") =>
+        samples = l.split("\t").drop(9).toSeq
+      case _ =>
+    }
+    (info.result(), fmt.result(), samples)
+  }
+
+  private def castScalar(c: Column, vtype: String): Column = vtype match {
+    case "Integer" => c.cast("int")
+    case "Float"   => c.cast("float")
+    case _         => c
+  }
+
+  /** Typed INFO column from the raw semicolon-joined string. */
+  private def infoCol(s: Column, f: FieldSpec): Column = {
+    if (f.vtype == "Flag" || f.number == "0")
+      s.rlike(s"(^|;)${f.id}(;|$$|=)")
+    else {
+      val raw = regexp_extract(s, s"(?:^|;)${f.id}=([^;]*)", 1)
+      val nn = when(raw === "" || raw === ".", lit(null)).otherwise(raw)
+      if (f.number == "1") castScalar(nn, f.vtype)
+      else transform(split(nn, ","),
+        x => castScalar(when(x === ".", lit(null)).otherwise(x), f.vtype))
+    }
+  }
+
+  /** Distributed body parse. `lines` must have a single string column
+    * `value` holding non-header VCF rows; `nSamples` comes from the header
+    * (schema is static, data is not). */
+  def parseLines(
+      lines: DataFrame,
+      infoSpecs: Seq[FieldSpec],
+      formatSpecs: Seq[FieldSpec],
+      nSamples: Int,
+      chrPrefix: String = "chr"): DataFrame = {
+    val f = split(col("value"), "\t")
+    val fmtArr = split(element_at(f, 9), ":")
+    def sampleParts(i: Int) = split(element_at(f, 10 + i), ":")
+    val gtIdx = array_position(fmtArr, "GT")
+    def gtStr(i: Int) =
+      when(gtIdx > 0, element_at(sampleParts(i), gtIdx.cast("int")))
+    val genoCol = array((0 until nSamples).map { i =>
+      transform(split(gtStr(i), "[/|]"),
+        a => when(a === "." || a === "", lit(null)).otherwise(a).cast("long"))
+    }: _*)
+    val phasedCol = array((0 until nSamples).map(i =>
+      coalesce(gtStr(i).contains("|"), lit(false))): _*)
+    val fmtCols = formatSpecs.filter(_.id != "GT").map { spec =>
+      val idx = array_position(fmtArr, spec.id)
+      array((0 until nSamples).map { i =>
+        val raw = when(idx > 0, element_at(sampleParts(i), idx.cast("int")))
+        val nn = when(raw.isNull || raw === "" || raw === ".", lit(null))
+          .otherwise(raw)
+        if (spec.number == "1") castScalar(nn, spec.vtype)
+        else transform(split(nn, ","),
+          x => castScalar(when(x === ".", lit(null)).otherwise(x), spec.vtype))
+      }: _*).as(s"fmt_${spec.id}")
+    }
+    val infoCols = infoSpecs.map(spec =>
+      infoCol(element_at(f, 8), spec).as(s"info_${spec.id}"))
+    val alts = split(element_at(f, 5), ",")
+    lines.select(Seq(
+      regexp_replace(element_at(f, 1), s"^$chrPrefix", "").as("chrom"),
+      element_at(f, 2).cast("int").as("pos"),
+      when(element_at(f, 3) === ".", lit(null))
+        .otherwise(element_at(f, 3)).as("id"),
+      element_at(f, 4).as("ref"),
+      alts.as("alts"),
+      concat_ws(",", element_at(f, 4), array_join(alts, ",")).as("allele"),
+      when(element_at(f, 6) === ".", lit(null))
+        .otherwise(element_at(f, 6)).cast("float").as("qual"),
+      when(element_at(f, 7) === ".", lit(null))
+        .otherwise(element_at(f, 7)).as("filter")) ++
+      infoCols ++ Seq(genoCol.as("geno"), phasedCol.as("phased")) ++
+      fmtCols: _*)
+  }
+
+  /** Read a VCF file: header on the driver, body distributed. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    val header = raw.filter(col("value").startsWith("#"))
+      .collect().map(_.getString(0)).toSeq
+    val (info, fmtSpecs, samples) = headerSpecs(header)
+    parseLines(raw.filter(!col("value").startsWith("#")), info, fmtSpecs,
+      samples.length)
+  }
+
+  /** Format variant rows back into VCF body lines (the seqGDS2VCF
+    * formatter collapsed into one expression; GT-only FORMAT). Expects the
+    * [[parseLines]] shape; `infoExpr` supplies the INFO column text (caller
+    * builds "K=V;..." — null → "."). */
+  def formatLines(v: DataFrame, infoExpr: Column): DataFrame = {
+    val qualStr = when(col("qual").isNull, lit("."))
+      .otherwise(col("qual").cast("string"))
+    v.select(concat_ws("\t",
+      col("chrom"), col("pos"),
+      coalesce(col("id"), lit(".")),
+      col("ref"), array_join(col("alts"), ","),
+      qualStr,
+      coalesce(col("filter"), lit(".")),
+      coalesce(infoExpr, lit(".")),
+      lit("GT"),
+      array_join(zip_with(col("geno"), col("phased"),
+        (sa, p) => gtString(sa, p)), "\t")).as("value"))
+  }
+}
