@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Units,
     graft.queries.Merge,
-    graft.queries.VcfQ)
+    graft.queries.VcfQ,
+    graft.queries.MultimodalQ)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

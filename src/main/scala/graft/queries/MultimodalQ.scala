@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Oracle-checked multimodal queries. q41 runs the typed mapPartitions
+  * decode pipeline end-to-end (binary payload → fake codec → features →
+  * grouped rollup); because the stub codec is a pure function of the
+  * payload bytes, DuckDB reproduces every value from the source text. */
+object MultimodalQ extends QueryModule {
+
+  // Per-type rollup of decoded features. brightness is an integer-exact
+  // mean (sum of bytes / n) only per-row; the rollup keeps sums exact by
+  // aggregating numerator and denominator separately.
+  private val q41 = Q("q41_media_features",
+    (s, dir) => {
+      val feats = Multimodal.decodeAll(Multimodal.mediaTable(s, dir))
+      feats.toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("width")).as("min_w"), max(col("height")).as("max_h"),
+          sum(col("n_frames")).as("total_frames"))
+    },
+    Some("""SELECT
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        COUNT(*) AS n_media,
+        SUM(octet_length(encode(text))) AS total_bytes,
+        MIN(octet_length(encode(text)) % 640 + 16) AS min_w,
+        MAX((octet_length(encode(text)) * 7) % 480 + 16) AS max_h,
+        SUM(octet_length(encode(text)) % 8 + 1) AS total_frames
+      FROM documents GROUP BY 1"""))
+
+  // Binary-column expressions without the typed path: envelope metadata +
+  // content hash + a "thumbnail" hash of the first 64 payload bytes — all
+  // computed on the BINARY column in Spark, replayed from text in DuckDB
+  // (same bytes, the text is UTF-8-clean ASCII).
+  private val q42 = Q("q42_media_meta",
+    (s, dir) => {
+      val m = Multimodal.mediaTable(s, dir).toDF()
+      m.select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        md5(substring(col("payload"), 1, 64)).as("thumb_md5"))
+    },
+    Some("""SELECT doc_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        octet_length(encode(text)) AS n_bytes,
+        md5(text) AS content_md5,
+        md5(substring(text, 1, 64)) AS thumb_md5
+      FROM documents"""))
+
+  override def queries: Seq[Q] = Seq(q41, q42)
+}

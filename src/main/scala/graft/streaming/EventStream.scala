@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.10); its closest analogs are chunked VCF import and the
+  * block-streaming seqAddValue callback. This module exposes the streaming
+  * shapes a continuously-ingesting variant/training-data store needs:
+  * watermarked tumbling-window aggregation and stateful sessionization.
+  * The same transformations run on a batch DataFrame (Spark's unified
+  * model), which is how the spec verifies them against MemoryStream.
+  */
+object EventStream {
+
+  /** Per event-type counts + value sums over tumbling windows, tolerating
+    * `lateness` of event-time disorder. Input needs `ts TIMESTAMP`,
+    * `event_type STRING`, `value DOUBLE`. Works on static or streaming
+    * frames. */
+  def windowedCounts(events: DataFrame, windowLen: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, n_events: Int, total: Double,
+      closed: Boolean)
+
+  /** Stateful per-user sessionization via mapGroupsWithState: a session
+    * closes after `gapMs` of inactivity (processing-time timeout — the
+    * KeyValueGroupedDataset state-machine shape from the brief). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Int, Double), Session](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[(Int, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, tot) = state.get
+            state.remove()
+            Session(uid, n, tot, closed = true)
+          } else {
+            val evs = batch.toSeq
+            val (n0, t0) = state.getOption.getOrElse((0, 0.0))
+            val next = (n0 + evs.size, t0 + evs.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Session(uid, next._1, next._2, closed = false)
+          }
+      }
+  }
+}

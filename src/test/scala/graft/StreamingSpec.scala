@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Streaming correctness: the watermarked windowed aggregation must produce
+  * the same result via MemoryStream micro-batches as the identical plan on
+  * a static DataFrame (Spark's unified batch/stream contract) — the
+  * streaming analog of the reference's serial==parallel equivalence tests. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: Int) = new Timestamp(s * 1000L)
+
+  private val rows = Seq(
+    (ts(5), "a", 1.0), (ts(15), "a", 2.0), (ts(25), "b", 3.0),
+    (ts(35), "a", 4.0), (ts(61), "b", 5.0), (ts(59), "a", 6.0))
+
+  test("streaming windowed agg == batch windowed agg") {
+    import spark.implicits._
+    val stream = MemoryStream[(Timestamp, String, Double)](spark)
+    val sdf = EventStream.windowedCounts(
+      stream.toDF().toDF("ts", "event_type", "value"), "30 seconds", "10 seconds")
+    val q = sdf.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+      // push watermark far ahead so every window closes and is emitted
+      stream.addData(Seq((ts(1000), "z", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .filter(col("event_type") =!= "z")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.windowedCounts(
+          rows.toDF("ts", "event_type", "value"), "30 seconds", "10 seconds")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates per user") {
+    import spark.implicits._
+    val events = Seq(
+      EventStream.Event(1L, ts(1), 2.0), EventStream.Event(1L, ts(2), 3.0),
+      EventStream.Event(2L, ts(3), 5.0))
+    val stream = MemoryStream[EventStream.Event](spark)
+    stream.addData(events)
+    val out = EventStream.sessionize(stream.toDS(), gapMs = 2000)
+    // A query with processing-time timeouts re-triggers forever, so neither
+    // processAllAvailable nor AvailableNow quiesces — poll the sink until
+    // the open sessions appear and then time out into closed ones.
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def snap(): Set[(Long, Int, Double, Boolean)] =
+        spark.table("sess_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+            r.getBoolean(3))).toSet
+      val open = Set((1L, 2, 5.0, false), (2L, 1, 5.0, false))
+      val closed = Set((1L, 2, 5.0, true), (2L, 1, 5.0, true))
+      val deadline = System.currentTimeMillis() + 90000
+      while (!closed.subsetOf(snap()) && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(open.subsetOf(snap()), s"open sessions missing: ${snap()}")
+      assert(closed.subsetOf(snap()), s"closed sessions missing: ${snap()}")
+    } finally q.stop()
+  }
+}
