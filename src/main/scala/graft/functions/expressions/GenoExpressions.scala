@@ -1,0 +1,309 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd genotype kernels.
+  *
+  * The genotype cube (`geno ARRAY<ARRAY<BIGINT>>`, outer = sample, inner =
+  * ploidy allele indices, null = missing call) is the hot column of every
+  * per-variant aggregate. Spark's higher-order functions (transform /
+  * filter / aggregate) are CodegenFallback — interpreted per row with
+  * per-lambda variable binding — which made the declarative kernels the
+  * bottleneck at bench scale. These expressions fuse each kernel into one
+  * generated loop, the same motivation as the reference's SIMD kernels
+  * (/root/reference/src/vectorization.h:304-438, src/Methods.cpp:122-801);
+  * the declarative versions remain in [[graft.functions.genetics]] as
+  * `*Hof` reference implementations for differential testing.
+  *
+  * Null conventions (reference 0xFF/NA, src/Index.h:56): a null allele is a
+  * missing call; a null inner array counts as one missing call contributing
+  * no allele slots.
+  */
+private[graft] trait GenoInput { self: Expression =>
+  protected def genoOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(ArrayType(LongType, _), _) => true
+    case _ => false
+  }
+}
+
+/** Per-variant counts in one pass: [n_total_slots, n_called, ac_k,
+  * n_miss_calls, n_miss_alleles] (fused seqAlleleFreq/seqAlleleCount/
+  * seqMissing — the reference's seqGetAF_AC_Missing,
+  * src/Methods.cpp:897-979). `k` is the counted allele index. */
+case class GenoStats(left: Expression, right: Expression)
+    extends BinaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val kOk = right.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (genoOk(left) && kOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geno_stats(ARRAY<ARRAY<BIGINT>>, integral k); got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "geno_stats"
+
+  override protected def nullSafeEval(g: Any, kAny: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Number].longValue()
+    var total = 0L; var called = 0L; var ack = 0L
+    var missCalls = 0L; var missAlleles = 0L
+    var i = 0
+    val n = geno.numElements()
+    while (i < n) {
+      if (geno.isNullAt(i)) missCalls += 1
+      else {
+        val sa = geno.getArray(i)
+        var anyNull = false
+        var j = 0
+        val m = sa.numElements()
+        while (j < m) {
+          total += 1
+          if (sa.isNullAt(j)) { anyNull = true; missAlleles += 1 }
+          else { called += 1; if (sa.getLong(j) == k) ack += 1 }
+          j += 1
+        }
+        if (anyNull) missCalls += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(total, called, ack, missCalls, missAlleles))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, k) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sa = ctx.freshName("sa"); val anyNull = ctx.freshName("anyNull")
+      val t = ctx.freshName("t"); val c = ctx.freshName("c")
+      val a = ctx.freshName("a"); val mc = ctx.freshName("mc")
+      val ma = ctx.freshName("ma")
+      s"""
+         |long $t = 0L, $c = 0L, $a = 0L, $mc = 0L, $ma = 0L;
+         |for (int $i = 0; $i < $g.numElements(); $i++) {
+         |  if ($g.isNullAt($i)) { $mc++; continue; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  boolean $anyNull = false;
+         |  for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |    $t++;
+         |    if ($sa.isNullAt($j)) { $anyNull = true; $ma++; }
+         |    else { $c++; if ($sa.getLong($j) == (long) $k) $a++; }
+         |  }
+         |  if ($anyNull) $mc++;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(new long[]{$t, $c, $a, $mc, $ma});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GenoStats =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-sample missing-allele counts: ARRAY<INT>, one entry per sample
+  * (-1 when the sample's call array is null — ploidy unknown). The
+  * per-sample margin kernel (FC_Missing_PerSamp, src/Methods.cpp:122-293)
+  * minus the shuffle: explode this and aggregate by ordinal. */
+case class MissAllelesPerSample(child: Expression)
+    extends UnaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (genoOk(child)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"miss_per_sample(ARRAY<ARRAY<BIGINT>>); got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "miss_per_sample"
+
+  override protected def nullSafeEval(g: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val out = new Array[Int](geno.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (geno.isNullAt(i)) out(i) = -1
+      else {
+        val sa = geno.getArray(i)
+        var c = 0; var j = 0
+        while (j < sa.numElements()) { if (sa.isNullAt(j)) c += 1; j += 1 }
+        out(i) = c
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sa = ctx.freshName("sa"); val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = new int[$g.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  if ($g.isNullAt($i)) { $out[$i] = -1; continue; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  int $c = 0;
+         |  for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |    if ($sa.isNullAt($j)) $c++;
+         |  }
+         |  $out[$i] = $c;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MissAllelesPerSample =
+    copy(child = c)
+}
+
+/** Per-sample alt-allele dosage: ARRAY<BIGINT> with null for samples having
+  * any missing allele ($dosage_alt, src/GetData.cpp:311-410). */
+case class DosageAltExpr(child: Expression)
+    extends UnaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (genoOk(child)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dosage_alt(ARRAY<ARRAY<BIGINT>>); got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "dosage_alt"
+
+  override protected def nullSafeEval(g: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val out = new Array[Any](geno.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (geno.isNullAt(i)) out(i) = null
+      else {
+        val sa = geno.getArray(i)
+        var d = 0L; var miss = false; var j = 0
+        while (j < sa.numElements()) {
+          if (sa.isNullAt(j)) miss = true
+          else if (sa.getLong(j) != 0L) d += 1
+          j += 1
+        }
+        out(i) = if (miss) null else java.lang.Long.valueOf(d)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sa = ctx.freshName("sa"); val d = ctx.freshName("d")
+      val miss = ctx.freshName("miss"); val out = ctx.freshName("out")
+      s"""
+         |Object[] $out = new Object[$g.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  if ($g.isNullAt($i)) { $out[$i] = null; continue; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  long $d = 0L; boolean $miss = false;
+         |  for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |    if ($sa.isNullAt($j)) $miss = true;
+         |    else if ($sa.getLong($j) != 0L) $d++;
+         |  }
+         |  $out[$i] = $miss ? null : (Object) java.lang.Long.valueOf($d);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): DosageAltExpr =
+    copy(child = c)
+}
+
+/** All samples' VCF GT strings joined with `sep` in one fused loop:
+  * "0/1;1|2;./." (the seqGDS2VCF formatters, src/ConvGDS2VCF.cpp:571-989,
+  * collapsed to a single pass). Missing allele → "."; null sample array →
+  * "."; null/absent phase → "/". */
+case class GtStringsJoined(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val phasedOk = second.dataType match {
+      case ArrayType(BooleanType, _) => true
+      case _ => false
+    }
+    if (genoOk(first) && phasedOk && third.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "gt_strings(ARRAY<ARRAY<BIGINT>>, ARRAY<BOOLEAN>, STRING sep); got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "gt_strings"
+
+  override protected def nullSafeEval(g: Any, p: Any, s: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val phased = p.asInstanceOf[ArrayData]
+    val sep = s.toString
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = geno.numElements()
+    while (i < n) {
+      if (i > 0) sb.append(sep)
+      if (geno.isNullAt(i)) sb.append('.')
+      else {
+        val sa = geno.getArray(i)
+        val ph = i < phased.numElements() && !phased.isNullAt(i) &&
+          phased.getBoolean(i)
+        var j = 0
+        val m = sa.numElements()
+        while (j < m) {
+          if (j > 0) sb.append(if (ph) '|' else '/')
+          if (sa.isNullAt(j)) sb.append('.') else sb.append(sa.getLong(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, p, s) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sa = ctx.freshName("sa"); val ph = ctx.freshName("ph")
+      val sb = ctx.freshName("sb"); val sepStr = ctx.freshName("sepStr")
+      s"""
+         |java.lang.StringBuilder $sb = new java.lang.StringBuilder();
+         |String $sepStr = $s.toString();
+         |for (int $i = 0; $i < $g.numElements(); $i++) {
+         |  if ($i > 0) $sb.append($sepStr);
+         |  if ($g.isNullAt($i)) { $sb.append('.'); continue; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  boolean $ph = $i < $p.numElements() && !$p.isNullAt($i)
+         |    && $p.getBoolean($i);
+         |  for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |    if ($j > 0) $sb.append($ph ? '|' : '/');
+         |    if ($sa.isNullAt($j)) $sb.append('.');
+         |    else $sb.append($sa.getLong($j));
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |  .fromString($sb.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): GtStringsJoined = copy(first = f, second = s, third = t)
+}

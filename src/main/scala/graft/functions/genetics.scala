@@ -2,48 +2,64 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.expressions.{DosageAltExpr, GenoStats, GtStringsJoined, MissAllelesPerSample}
 
 /** Genotype-array column functions re-expressing the reference's per-variant
-  * kernels (SeqArray `src/Methods.cpp`) as Spark higher-order-function
-  * compositions — declarative, so Catalyst fuses them into one scan with
-  * column pruning, and partial aggregation mirrors the reference's
-  * `.combine="+"` worker merge (`R/Utilities.R:1008-1124`).
+  * kernels (SeqArray `src/Methods.cpp`) over the two-table model
+  * (SURVEY.md §1.5): `geno` is `ARRAY<ARRAY<LONG>>` — outer index = sample
+  * ordinal, inner = ploidy allele indices (0 = REF, k>0 = k-th ALT), null
+  * allele = missing call (the reference's 0xFF/NA convention,
+  * `src/Index.h:56`).
   *
-  * Genotype representation (SURVEY.md §1.5): `geno` is `ARRAY<ARRAY<LONG>>` —
-  * outer index = sample ordinal (aligned to the broadcastable samples table),
-  * inner = ploidy allele indices (0 = REF, k>0 = k-th ALT). A null allele is
-  * a missing call — the reference's 0xFF raw / NA_INTEGER convention
-  * (`src/Index.h:56`, `src/Methods.cpp:122-136`).
+  * Hot kernels are custom codegen Catalyst expressions
+  * ([[graft.functions.expressions]]) — Spark's higher-order functions are
+  * CodegenFallback (interpreted), which benchmarked ~10× slower at sf0.1.
+  * The `*Hof` variants keep the declarative formulations as differential
+  * oracles for the custom expressions.
   */
 object genetics {
+
+  /** [n_total_slots, n_called, ac_k, n_miss_calls, n_miss_alleles] in one
+    * fused pass (reference seqGetAF_AC_Missing, src/Methods.cpp:897-979). */
+  def genoStats(geno: Column, k: Column): Column =
+    Bridge.column(GenoStats(Bridge.expression(geno), Bridge.expression(k)))
 
   /** All allele calls of a variant, ploidy-flattened. */
   def flatAlleles(geno: Column): Column = flatten(geno)
 
-  /** Number of non-missing allele calls (denominator of allele frequency;
-    * reference `FC_AF_Ref`, `src/Methods.cpp:409-425`). */
+  /** Number of non-missing allele calls (reference `FC_AF_Ref`,
+    * `src/Methods.cpp:409-425`). */
   def nCalledAlleles(geno: Column): Column =
-    size(filter(flatten(geno), a => a.isNotNull))
+    element_at(genoStats(geno, lit(0)), 2)
 
   /** Count of calls equal to allele index `k` (reference `seqAlleleCount`,
     * `src/Methods.cpp:613-801`). */
   def alleleCount(geno: Column, k: Column): Column =
-    size(filter(flatten(geno), a => a === k))
+    element_at(genoStats(geno, k), 3)
 
   /** Frequency of allele `k` among called alleles; null when nothing called
     * (reference `seqAlleleFreq(ref.allele=k)`, `R/Methods.R:905-1021`). */
   def alleleFreq(geno: Column, k: Column): Column = {
-    val called = nCalledAlleles(geno)
-    when(called > 0, alleleCount(geno, k).cast("double") / called)
+    val st = genoStats(geno, k)
+    val called = element_at(st, 2)
+    when(called > 0, element_at(st, 3).cast("double") / called)
   }
 
   /** Fraction of missing allele calls over ploidy×samples (reference
-    * `seqMissing(per.variant=TRUE)`, `FC_Missing_PerVariant`,
-    * `src/Methods.cpp:122-293`). */
+    * `seqMissing(per.variant=TRUE)`, `src/Methods.cpp:122-293`). */
   def missingRate(geno: Column): Column = {
-    val total = size(flatten(geno))
-    when(total > 0, (total - nCalledAlleles(geno)).cast("double") / total)
+    val st = genoStats(geno, lit(0))
+    val total = element_at(st, 1)
+    when(total > 0, (total - element_at(st, 2)).cast("double") / total)
   }
+
+  /** Per-sample missing-allele counts (ARRAY<INT>; -1 = null sample array).
+    * Explode + aggregate by ordinal = the per-sample margin without the
+    * reference's sample-major `~data` transpose. */
+  def missPerSample(geno: Column): Column =
+    Bridge.column(MissAllelesPerSample(Bridge.expression(geno)))
 
   /** True when a single sample's call has any missing allele. */
   def sampleMissing(sampleAlleles: Column): Column =
@@ -52,9 +68,7 @@ object genetics {
   /** Per-sample count of non-REF alleles; null for samples with a missing
     * allele (reference `$dosage_alt`, `src/GetData.cpp:311-410`). */
   def dosageAlt(geno: Column): Column =
-    transform(geno, sa =>
-      when(exists(sa, a => a.isNull), lit(null))
-        .otherwise(size(filter(sa, a => a =!= 0))))
+    Bridge.column(DosageAltExpr(Bridge.expression(geno)))
 
   /** Per-sample count of REF alleles; null on missing (reference `$dosage`). */
   def dosageRef(geno: Column): Column =
@@ -62,9 +76,15 @@ object genetics {
       when(exists(sa, a => a.isNull), lit(null))
         .otherwise(size(filter(sa, a => a === 0))))
 
+  /** All samples' GT strings joined by `sep` — one fused pass (reference
+    * GT formatters, `src/ConvGDS2VCF.cpp:571-989`). */
+  def gtStrings(geno: Column, phased: Column, sep: String): Column =
+    Bridge.column(GtStringsJoined(Bridge.expression(geno),
+      Bridge.expression(phased), Bridge.expression(lit(sep))))
+
   /** One sample's VCF GT string, any ploidy: "0/1", "1|2", "./." — missing
-    * allele renders ".", separator by phase (reference GT formatters,
-    * `src/ConvGDS2VCF.cpp:571-989`, `R/Methods-SeqVarGDSClass.R:190-199`). */
+    * allele renders ".", separator by phase (reference
+    * `R/Methods-SeqVarGDSClass.R:190-199`). */
   def gtString(sampleAlleles: Column, phased: Column): Column = {
     val sep = when(phased, lit("|")).otherwise(lit("/"))
     val strs = transform(sampleAlleles, a =>
@@ -72,6 +92,24 @@ object genetics {
     aggregate(strs, lit(""),
       (acc, x) => when(acc === "", x).otherwise(concat(acc, sep, x)))
   }
+
+  // ---- declarative reference implementations (differential oracles) ------
+
+  def nCalledAllelesHof(geno: Column): Column =
+    size(filter(flatten(geno), a => a.isNotNull))
+
+  def alleleCountHof(geno: Column, k: Column): Column =
+    size(filter(flatten(geno), a => a === k))
+
+  def dosageAltHof(geno: Column): Column =
+    transform(geno, sa =>
+      when(exists(sa, a => a.isNull), lit(null))
+        .otherwise(size(filter(sa, a => a =!= 0))))
+
+  def gtStringsHof(geno: Column, phased: Column, sep: String): Column =
+    array_join(zip_with(geno, phased, (sa, p) => gtString(sa, p)), sep)
+
+  // ---- allele-string parsing ($num_allele/$ref/$alt) ----------------------
 
   /** Number of alleles at a variant from the "REF,ALT1,…" string (reference
     * `$num_allele` / `GetNumOfAllele`, `src/GetData.cpp:619-634`). */

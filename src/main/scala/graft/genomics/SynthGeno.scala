@@ -19,14 +19,18 @@ object SynthGeno {
   val nSamples = 8
   val ploidy = 2
 
-  private def h1(s: Column): Column =
-    (col("l_partkey") * 31 + col("l_suppkey") * 7 + s * 13) % 29
-  private def h2(s: Column): Column =
-    (col("l_partkey") * 17 + col("l_suppkey") * 11 + s * 19) % 29
+  private def h1(s: Int): Column =
+    (col("l_partkey") * 31 + col("l_suppkey") * 7 + lit(s * 13)) % 29
+  private def h2(s: Int): Column =
+    (col("l_partkey") * 17 + col("l_suppkey") * 11 + lit(s * 19)) % 29
   private def allele(h: Column): Column =
     when(h < 2, lit(null)).otherwise(h % col("nall"))
 
-  /** variants(vid, chrom, pos, nall, geno, phased) from `dir`/lineitem. */
+  /** variants(vid, chrom, pos, nall, geno, phased) from `dir`/lineitem.
+    * The cube is built from statically-unrolled `array(...)` expressions
+    * (not `transform(sequence(...))`) so construction stays inside
+    * whole-stage codegen — HOF lambdas are interpreted and dominated every
+    * genomics bench query before the unroll. */
   def variants(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .withColumn("nall", lit(2) + col("l_partkey") % 3)
@@ -35,10 +39,10 @@ object SynthGeno {
         concat(lit("c"), (col("l_partkey") % 5).cast("string")).as("chrom"),
         (col("l_orderkey") % 100000).as("pos"),
         col("nall"),
-        transform(sequence(lit(0), lit(nSamples - 1)),
-          s => array(allele(h1(s)), allele(h2(s)))).as("geno"),
-        transform(sequence(lit(0), lit(nSamples - 1)),
-          s => (h1(s) + h2(s)) % 2 === 0).as("phased"))
+        array((0 until nSamples).map(s =>
+          array(allele(h1(s)), allele(h2(s)))): _*).as("geno"),
+        array((0 until nSamples).map(s =>
+          (h1(s) + h2(s)) % 2 === 0): _*).as("phased"))
 
   /** DuckDB CTE producing the identical table from `lineitem` — prepend to
     * oracle SQL as `WITH variants AS (<sqlCte>) SELECT ...`. */

@@ -16,20 +16,33 @@ import org.apache.spark.sql.functions._
   * so Catalyst plans/shuffles it like any relational join.
   */
 object MergeVariants {
+  import org.apache.spark.sql.graft.Bridge
+  import graft.functions.expressions.{AlleleUnionExpr, RemapGenoExpr}
 
   /** Union of two "REF,ALT1,…" strings: left order preserved, right-only
     * alleles appended in right order. Assumes equal REF (the reference
-    * requires it — merge keys include the allele string otherwise). */
-  def alleleUnion(a: Column, b: Column): Column = {
+    * requires it — merge keys include the allele string otherwise).
+    * Codegen expression; see [[alleleUnionHof]] for the declarative form. */
+  def alleleUnion(a: Column, b: Column): Column =
+    Bridge.column(AlleleUnionExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Re-code a genotype cube (ARRAY<ARRAY<allele idx>>) from `oldAlleles`
+    * ("REF,ALT…" of its source file) into `newAlleles` (merged). Null
+    * allele (missing call) stays null; 0-based indices. Codegen expression;
+    * see [[remapGenoHof]]. */
+  def remapGeno(geno: Column, oldAlleles: Column, newAlleles: Column): Column =
+    Bridge.column(RemapGenoExpr(Bridge.expression(geno),
+      Bridge.expression(oldAlleles), Bridge.expression(newAlleles)))
+
+  // ---- declarative reference implementations (differential oracles) ------
+
+  def alleleUnionHof(a: Column, b: Column): Column = {
     val as = split(a, ",")
     val bs = split(b, ",")
     array_join(concat(as, filter(bs, x => !array_contains(as, x))), ",")
   }
 
-  /** Re-code a genotype cube (ARRAY<ARRAY<allele idx>>) from `oldAlleles`
-    * ("REF,ALT…" of its source file) into `newAlleles` (merged). Null
-    * allele (missing call) stays null; 0-based indices. */
-  def remapGeno(geno: Column, oldAlleles: Column, newAlleles: Column): Column = {
+  def remapGenoHof(geno: Column, oldAlleles: Column, newAlleles: Column): Column = {
     val os = split(oldAlleles, ",")
     val ns = split(newAlleles, ",")
     transform(geno, sa =>

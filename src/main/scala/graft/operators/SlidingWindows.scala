@@ -23,21 +23,30 @@ object SlidingWindows {
 
   /** One row per (chrom, win_start) with sorted member ids. `pos` must be
     * non-negative. Output: chrom, win_start, n_variants, members
-    * (ARRAY of id), deduped consecutively when dupRm. */
+    * (ARRAY of id), deduped consecutively when dupRm.
+    *
+    * `memberFlag`: when given, only flagged variants are counted/collected
+    * — but windows are still generated from every variant. Evaluating the
+    * flag inside the pre-explode projection (one codegen pass, CSE'd)
+    * instead of a separate Filter matters: predicate pushdown would inline
+    * a heavy flag expression into the filter condition multiple times. */
   def windows(
       variants: DataFrame, chrom: Column, pos: Column, id: Column,
-      winSize: Long, winShift: Long, dupRm: Boolean = false): DataFrame = {
+      winSize: Long, winShift: Long, dupRm: Boolean = false,
+      memberFlag: Option[Column] = None): DataFrame = {
     require(winSize > 0 && winShift > 0, "winSize/winShift must be positive")
     val kMin = greatest(lit(0L),
       floor((pos - winSize).cast("double") / winShift).cast("long") + 1L)
     val kMax = floor(pos.cast("double") / winShift).cast("long")
     val exploded = variants.select(chrom.as("chrom"), id.as("__id"),
+        memberFlag.getOrElse(lit(true)).as("__f"),
         explode(sequence(kMin, kMax)).as("__k"))
       .select(col("chrom"), (col("__k") * winShift).as("win_start"),
-        col("__id"))
+        col("__id"), col("__f"))
     val grouped = exploded.groupBy(col("chrom"), col("win_start"))
-      .agg(count(lit(1)).as("n_variants"),
-        sort_array(collect_list(col("__id"))).as("members"))
+      .agg(sum(when(col("__f"), 1L).otherwise(0L)).as("n_variants"),
+        sort_array(collect_list(when(col("__f"), col("__id"))))
+          .as("members"))
     if (!dupRm) grouped
     else {
       val w = Window.partitionBy(col("chrom")).orderBy(col("win_start"))

@@ -78,9 +78,7 @@ object Genomics extends QueryModule {
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
       v.select(col("vid"),
-        array_join(
-          zip_with(col("geno"), col("phased"), (sa, ph) => gtString(sa, ph)),
-          ";").as("gts"))
+        gtStrings(col("geno"), col("phased"), ";").as("gts"))
     },
     Some(withCte("""SELECT vid,
       array_to_string(list_transform(range(0, 8), s ->
@@ -90,19 +88,19 @@ object Genomics extends QueryModule {
       FROM variants""")))
 
   // Per-sample margin (seqMissing(per.variant=FALSE), FC_Missing_PerSamp,
-  // src/Methods.cpp:122-293): explode the sample axis, aggregate by sample
-  // ordinal — the shuffle replaces the reference's sample-major ~data copy.
+  // src/Methods.cpp:122-293): the codegen'd per-sample kernel runs before
+  // the explode, so the shuffle carries one INT per (variant, sample)
+  // instead of the allele arrays — the explode+groupBy replaces the
+  // reference's sample-major ~data copy.
   private val q23 = Q("q23_sample_missing",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      v.select(col("vid"), posexplode(col("geno")).as(Seq("s", "sa")))
+      v.select(posexplode(missPerSample(col("geno"))).as(Seq("s", "mc")))
         .groupBy(col("s"))
         .agg(
           count(lit(1)).as("n_variants"),
-          sum(when(sampleMissing(col("sa")), 1L).otherwise(0L))
-            .as("n_miss_calls"),
-          sum(size(filter(col("sa"), a => a.isNull)).cast("long"))
-            .as("n_miss_alleles"))
+          sum(when(col("mc") > 0, 1L).otherwise(0L)).as("n_miss_calls"),
+          sum(col("mc").cast("long")).as("n_miss_alleles"))
         .withColumn("miss_rate",
           col("n_miss_alleles").cast("double") /
             (col("n_variants") * SynthGeno.ploidy))

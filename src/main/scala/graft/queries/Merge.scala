@@ -49,12 +49,10 @@ object Merge extends QueryModule {
       m.select(
         coalesce(col("vid_a"), col("vid_b")).as("vid"),
         col("alleles"),
-        array_join(zip_with(
-          remapGeno(col("ga"), col("sa"), col("alleles")), col("pa"),
-          (sa, p) => gtString(sa, p)), ";").as("gts_a"),
-        array_join(zip_with(
-          remapGeno(col("gb"), col("sb"), col("alleles")), col("pb"),
-          (sa, p) => gtString(sa, p)), ";").as("gts_b"))
+        gtStrings(remapGeno(col("ga"), col("sa"), col("alleles")),
+          col("pa"), ";").as("gts_a"),
+        gtStrings(remapGeno(col("gb"), col("sb"), col("alleles")),
+          col("pb"), ";").as("gts_b"))
     },
     Some(s"""WITH variants AS (${SynthGeno.sqlCte}),
       ext AS (SELECT vid, geno, phased,

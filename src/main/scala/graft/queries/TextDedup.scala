@@ -145,21 +145,38 @@ object TextDedup extends QueryModule {
       val docs = d.select(col("doc_id"),
           wordShingles(tokens(col("text")), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
-      val bands = docs.select(col("doc_id"),
-        posexplode(lshBands(minhashSignature(col("sh"), MINHASH_K),
-          BANDS, ROWS_PER_BAND)).as(Seq("band", "bkey")))
+      // Signature via explode + codegen md5 projections + min-aggregation:
+      // the nested-HOF formulation (minhashSignature) is interpreted
+      // (CodegenFallback) and benchmarked ~10× slower; partial aggregation
+      // collapses each partition to one row per doc before the shuffle.
+      val sigs = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id") +: (1 to MINHASH_K).map(i =>
+          md5(concat(lit(s"$i:"), col("s"))).as(s"h$i")): _*)
+        .groupBy(col("doc_id"))
+        .agg(min(col("h1")).as("m1"),
+          (2 to MINHASH_K).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+        .select(col("doc_id"),
+          array((1 to MINHASH_K).map(i => col(s"m$i")): _*).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          .as(Seq("band", "bkey")))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
+      // Verification re-derives shingles from raw text AFTER the join, so
+      // the (interpreted-HOF) shingle construction runs only on the few
+      // candidate rows, not 2× over the whole corpus.
+      val texts = d.select(col("doc_id"), col("text"))
       cand
-        .join(docs.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(docs.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          jaccard(wordShingles(tokens(col("text_a")), SHINGLE_N),
+            wordShingles(tokens(col("text_b")), SHINGLE_N)).as("jac"))
         .filter(col("jac") >= 0.5)
     },
     Some(s"""WITH $lshCte,

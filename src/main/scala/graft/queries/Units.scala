@@ -58,10 +58,17 @@ object Units extends QueryModule {
   // units by allele-frequency, then drop units below a minimum size. --------
   private val q26 = Q("q26_unit_filter_cond",
     (s, dir) => {
-      val v = SynthGeno.variants(s, dir)
-        .filter(alleleFreq(col("geno"), lit(0)).between(0.2, 0.8))
-      SlidingWindows.windows(v, col("chrom"), col("pos"), col("vid"),
-          WIN_SIZE, WIN_SHIFT)
+      // af ∈ [0.2, 0.8] as exact-integer bounds (5*ac ⋛ called), evaluated
+      // as a member flag inside the window operator's projection — a
+      // pre-filter would get the genoStats expression inlined into the
+      // pushed-down predicate several times.
+      val st = genoStats(col("geno"), lit(0))
+      val called = element_at(st, 2)
+      val ac = element_at(st, 3)
+      val flag = called > 0 && ac * 5 >= called && ac * 5 <= called * 4
+      SlidingWindows.windows(SynthGeno.variants(s, dir),
+          col("chrom"), col("pos"), col("vid"), WIN_SIZE, WIN_SHIFT,
+          memberFlag = Some(flag))
         .filter(col("n_variants") >= 5)
         .select(col("chrom"), col("win_start"), col("n_variants"))
     },

@@ -39,8 +39,7 @@ object VcfQ extends QueryModule {
         col("chrom"), col("pos").cast("long").as("pos"),
         col("allele"),
         col("info_AN").cast("long").as("an"),
-        array_join(zip_with(col("geno"), col("phased"),
-          (sa, p) => gtString(sa, p)), ";").as("gts"))
+        gtStrings(col("geno"), col("phased"), ";").as("gts"))
     },
     Some(s"""WITH variants AS (${SynthGeno.sqlCte})
       SELECT vid, chrom, pos,

@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.genetics.gtString
+import graft.functions.expressions.ParseGtCells
+import graft.functions.genetics.gtStrings
 
 /** VCF reader/writer (SURVEY.md §2.1: `seqVCF2GDS`
   * /root/reference/R/ConvVCF2GDS.R:559-1465 + C tokenizer
@@ -80,14 +82,13 @@ object Vcf {
     val fmtArr = split(element_at(f, 9), ":")
     def sampleParts(i: Int) = split(element_at(f, 10 + i), ":")
     val gtIdx = array_position(fmtArr, "GT")
-    def gtStr(i: Int) =
-      when(gtIdx > 0, element_at(sampleParts(i), gtIdx.cast("int")))
-    val genoCol = array((0 until nSamples).map { i =>
-      transform(split(gtStr(i), "[/|]"),
-        a => when(a === "." || a === "", lit(null)).otherwise(a).cast("long"))
-    }: _*)
-    val phasedCol = array((0 until nSamples).map(i =>
-      coalesce(gtStr(i).contains("|"), lit(false))): _*)
+    // Fused codegen parser for the genotype cube (see ParseGtCells) — the
+    // per-sample split/transform chains are interpreted and dominated the
+    // import bench.
+    val gp = Bridge.column(ParseGtCells(
+      Bridge.expression(slice(f, 10, nSamples)), Bridge.expression(gtIdx)))
+    val genoCol = gp.getField("geno")
+    val phasedCol = gp.getField("phased")
     val fmtCols = formatSpecs.filter(_.id != "GT").map { spec =>
       val idx = array_position(fmtArr, spec.id)
       array((0 until nSamples).map { i =>
@@ -143,7 +144,6 @@ object Vcf {
       coalesce(col("filter"), lit(".")),
       coalesce(infoExpr, lit(".")),
       lit("GT"),
-      array_join(zip_with(col("geno"), col("phased"),
-        (sa, p) => gtString(sa, p)), "\t")).as("value"))
+      gtStrings(col("geno"), col("phased"), "\t")).as("value"))
   }
 }

@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.genetics._
 
 /** Hand-computed golden values for the genetics kernels, mirroring the
-  * reference's golden-aggregate tests (inst/unitTests/test_func.R:45-90).
-  * Also asserts 1-partition == N-partition results (serial/parallel
-  * equivalence, test_func.R:57).
-  */
+  * reference's golden-aggregate tests (inst/unitTests/test_func.R:45-90),
+  * plus differential tests of the custom codegen expressions against the
+  * declarative higher-order-function formulations (in both codegen and
+  * interpreted execution), and 1-partition == N-partition equivalence
+  * (test_func.R:57). */
 class GeneticsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -37,12 +38,12 @@ class GeneticsSpec extends AnyFunSuite {
         alleleFreq(col("geno"), lit(0)).as("af0"),
         missingRate(col("geno")).as("miss"))
       .orderBy("vid").collect()
-    assert(r(0).getInt(1) == 5)
-    assert(r(0).getInt(2) == 3)
+    assert(r(0).getLong(1) == 5)
+    assert(r(0).getLong(2) == 3)
     assert(math.abs(r(0).getDouble(3) - 3.0 / 5) < 1e-12)
     assert(math.abs(r(0).getDouble(4) - 1.0 / 6) < 1e-12)
-    assert(r(1).getInt(1) == 4)
-    assert(r(1).getInt(2) == 0)
+    assert(r(1).getLong(1) == 4)
+    assert(r(1).getLong(2) == 0)
     assert(r(1).getDouble(3) == 0.0)
     assert(math.abs(r(1).getDouble(4) - 2.0 / 6) < 1e-12)
   }
@@ -50,17 +51,59 @@ class GeneticsSpec extends AnyFunSuite {
   test("dosage alt with missing → null") {
     val r = genoDf.select(col("vid"), dosageAlt(col("geno")).as("dos"))
       .orderBy("vid").collect()
-    assert(r(0).getSeq[Any](1) == Seq(1, null, 0))
-    assert(r(1).getSeq[Any](1) == Seq(null, 2, 2))
+    assert(r(0).getSeq[Any](1) == Seq(1L, null, 0L))
+    assert(r(1).getSeq[Any](1) == Seq(null, 2L, 2L))
+  }
+
+  test("per-sample missing counts") {
+    val r = genoDf.select(col("vid"), missPerSample(col("geno")).as("mc"))
+      .orderBy("vid").collect()
+    assert(r(0).getSeq[Int](1) == Seq(0, 1, 0))
+    assert(r(1).getSeq[Int](1) == Seq(2, 0, 0))
   }
 
   test("GT strings honor phase and missing") {
     val r = genoDf.select(col("vid"),
-        zip_with(col("geno"), col("phased"), (sa, p) => gtString(sa, p))
-          .as("gts"))
+        gtStrings(col("geno"), col("phased"), ";").as("gts"))
       .orderBy("vid").collect()
-    assert(r(0).getSeq[String](1) == Seq("0/1", "./1", "0|0"))
-    assert(r(1).getSeq[String](1) == Seq(".|.", "2/1", "1/1"))
+    assert(r(0).getString(1) == "0/1;./1;0|0")
+    assert(r(1).getString(1) == ".|.;2/1;1/1")
+  }
+
+  test("codegen kernels == declarative HOF reference, both execution modes") {
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val v = graft.genomics.SynthGeno.variants(spark, "/root/testdata/sf0.001")
+        val diff = v.select(
+            nCalledAlleles(col("geno")).as("a1"),
+            nCalledAllelesHof(col("geno")).cast("long").as("b1"),
+            alleleCount(col("geno"), lit(1)).as("a2"),
+            alleleCountHof(col("geno"), lit(1)).cast("long").as("b2"),
+            dosageAlt(col("geno")).as("a3"),
+            dosageAltHof(col("geno")).cast("array<long>").as("b3"),
+            gtStrings(col("geno"), col("phased"), ";").as("a4"),
+            gtStringsHof(col("geno"), col("phased"), ";").as("b4"))
+          .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+            !(col("a3") === col("b3")) || col("a4") =!= col("b4"))
+          .count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("null sample arrays: stats count a missing call, gt renders dot") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Seq[java.lang.Long](0L, 1L), null), Seq(false, false))
+    ).toDF("vid", "geno", "phased")
+    val r = df.select(
+      genoStats(col("geno"), lit(0)).as("st"),
+      missPerSample(col("geno")).as("mc"),
+      gtStrings(col("geno"), col("phased"), ";").as("gts")).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(2L, 2L, 1L, 1L, 0L))
+    assert(r.getSeq[Int](1) == Seq(0, -1))
+    assert(r.getString(2) == "0/1;.")
   }
 
   test("allele string parsing") {
