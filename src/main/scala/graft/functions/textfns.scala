@@ -19,8 +19,18 @@ object textfns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles ("a b" bigrams for n=2). Empty array when
-    * the document has fewer than n tokens. */
+  /** Distinct word n-gram shingles ("a b" bigrams for n=2) straight from
+    * text; empty array when the document has fewer than n tokens. Fused
+    * codegen expression — see [[wordShinglesHof]] for the declarative
+    * differential oracle. */
+  def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.WordShinglesExpr(
+      Bridge.expression(text), Bridge.expression(lit(n))))
+  }
+
+  /** Declarative [[shingles]] over a pre-tokenized array (differential
+    * oracle for the codegen expression). */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -67,10 +77,19 @@ object textfns {
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / k
 
+  /** 16-bit SimHash straight from text — fused codegen expression (one md5
+    * per token); bit-identical to [[simhash16]]. */
+  def simhash16Text(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.Simhash16Expr(
+      Bridge.expression(text)))
+  }
+
   /** 16-bit SimHash over the token multiset. Bit j of a token is 1 when hex
     * digit j+1 of md5(token) is >= 8 (i.e. in '89abcdef'); sketch bit j is
     * the majority vote (ties → 1). Identical arithmetic is replayable in
-    * DuckDB, which is what makes the oracle byte-comparable. */
+    * DuckDB, which is what makes the oracle byte-comparable. Declarative
+    * differential oracle for [[simhash16Text]]. */
   def simhash16(toks: Column): Column = {
     val n = size(toks)
     aggregate(

@@ -143,7 +143,7 @@ object TextDedup extends QueryModule {
     (s, dir) => {
       val d = Tables(s, dir, "documents")
       val docs = d.select(col("doc_id"),
-          wordShingles(tokens(col("text")), SHINGLE_N).as("sh"))
+          shingles(col("text"), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
       // Signature via explode + codegen md5 projections + min-aggregation:
       // the nested-HOF formulation (minhashSignature) is interpreted
@@ -175,8 +175,8 @@ object TextDedup extends QueryModule {
         .join(texts.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("text", "text_b"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          jaccard(wordShingles(tokens(col("text_a")), SHINGLE_N),
-            wordShingles(tokens(col("text_b")), SHINGLE_N)).as("jac"))
+          jaccard(shingles(col("text_a"), SHINGLE_N),
+            shingles(col("text_b"), SHINGLE_N)).as("jac"))
         .filter(col("jac") >= 0.5)
     },
     Some(s"""WITH $lshCte,
@@ -198,7 +198,7 @@ object TextDedup extends QueryModule {
   private val q34 = Q("q34_simhash",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      d.select(col("doc_id"), simhash16(tokens(col("text"))).as("sketch"))
+      d.select(col("doc_id"), simhash16Text(col("text")).as("sketch"))
     },
     Some(s"""WITH t AS ($tokCte)
       SELECT doc_id,

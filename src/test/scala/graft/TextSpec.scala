@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.textfns._
+
+/** Differential + golden tests for the text kernels: the codegen shingle
+  * and simhash expressions must agree with their declarative HOF oracles
+  * on the real documents table, in both execution modes. */
+class TextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("codegen shingles == declarative oracle, both modes") {
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val diff = docs.select(
+            shingles(col("text"), 3).as("a"),
+            wordShingles(tokens(col("text")), 3).as("b"))
+          .filter(!(col("a") === col("b"))).count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("codegen simhash == declarative oracle, both modes") {
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val diff = docs.select(
+            simhash16Text(col("text")).as("a"),
+            simhash16(tokens(col("text"))).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("shingle golden values and edge cases") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "  a   b c  ", "a b a b c")
+      .toDF("text")
+    val r = df.select(shingles(col("text"), 3)).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) == Seq())          // fewer than n tokens
+    assert(r(2).getSeq[String](0) == Seq("a b c"))   // whitespace runs
+    assert(r(3).getSeq[String](0) == Seq("a b a", "b a b", "a b c"))
+  }
+}
