@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.expressions.{DosageAltExpr, GenoStats, GtStringsJoined, MissAllelesPerSample}
+import graft.functions.expressions.{DosageAltExpr, GenoStats, GtStringsJoined, MissAllelesPerSample, Pack2bRefDosage, Unpack2bDosage}
 
 /** Genotype-array column functions re-expressing the reference's per-variant
   * kernels (SeqArray `src/Methods.cpp`) over the two-table model
@@ -92,6 +92,16 @@ object genetics {
     aggregate(strs, lit(""),
       (acc, x) => when(acc === "", x).otherwise(concat(acc, sep, x)))
   }
+
+  /** 2-bit packed REF dosage (4 samples/byte, 3 = missing) — the
+    * seqGet2bGeno / PLINK BED export codec. */
+  def pack2b(geno: Column): Column =
+    Bridge.column(Pack2bRefDosage(Bridge.expression(geno)))
+
+  /** Inverse of [[pack2b]]: ARRAY<INT> REF dosages, null = missing. */
+  def unpack2b(bin: Column, nSamples: Column): Column =
+    Bridge.column(Unpack2bDosage(Bridge.expression(bin),
+      Bridge.expression(nSamples)))
 
   // ---- declarative reference implementations (differential oracles) ------
 

@@ -138,5 +138,82 @@ object Genomics extends QueryModule {
           (['A','C','G','T'])[i]), ',') AS allele_str
         FROM variants)""")))
 
-  override def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24)
+  // 2-bit packed REF-dosage codec round-trip (seqGet2bGeno,
+  // src/Methods.cpp:1119-1213; PLINK BED layout): pack → unpack must
+  // reproduce per-sample REF dosages bit-exactly; the oracle computes them
+  // directly from the cube. Packed size is also asserted (ceil(n/4) bytes).
+  private val q43 = Q("q43_pack2b_roundtrip",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val un = unpack2b(pack2b(col("geno")), lit(SynthGeno.nSamples))
+      v.select(col("vid"),
+        octet_length(pack2b(col("geno"))).cast("long").as("n_bytes"),
+        array_join(transform(un, d => coalesce(d.cast("string"), lit("."))),
+          ",").as("ref_dosages"))
+    },
+    Some(withCte(s"""SELECT vid, ${(SynthGeno.nSamples + 3) / 4} AS n_bytes,
+      array_to_string(list_transform(geno, sa ->
+        CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN '.'
+             ELSE CAST(len(list_filter(sa, a -> a = 0)) AS VARCHAR) END), ',')
+        AS ref_dosages
+      FROM variants""")))
+
+  // Sparse alt-dosage export ($dosage_sp, src/GetData.cpp:421-616): CSC-like
+  // (ordinal, value) pairs for non-zero called dosages + a missing count.
+  private val q44 = Q("q44_dosage_sparse",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val dos = dosageAlt(col("geno"))
+      val idx = filter(
+        transform(sequence(lit(0), lit(SynthGeno.nSamples - 1)),
+          i => when(element_at(dos, (i + 1).cast("int")) > 0, i)),
+        x => x.isNotNull)
+      v.select(col("vid"),
+        size(idx).as("nnz"),
+        array_join(transform(idx, i => i.cast("string")), ",").as("sp_idx"),
+        array_join(transform(idx,
+          i => element_at(dos, (i + 1).cast("int")).cast("string")), ",")
+          .as("sp_val"),
+        size(filter(dos, d => d.isNull)).as("n_miss"))
+    },
+    Some(withCte("""SELECT vid,
+      len(idx) AS nnz,
+      array_to_string(idx, ',') AS sp_idx,
+      array_to_string(list_transform(idx, i -> dos[i + 1]), ',') AS sp_val,
+      len(list_filter(dos, d -> d IS NULL)) AS n_miss
+      FROM (SELECT vid, dos,
+        list_filter(range(0, 8), i -> dos[i + 1] > 0) AS idx
+        FROM (SELECT vid, list_transform(geno, sa ->
+          CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+               ELSE len(list_filter(sa, a -> a <> 0)) END) AS dos
+          FROM variants))""")))
+
+  // Point-lookup with multi.pos=FALSE (seqSetFilterPos, R/Methods.R:334-420):
+  // probes match variants on (chrom, pos), keeping only the FIRST match in
+  // variant order — row_number over the probe key.
+  private val q45 = Q("q45_filter_pos_first",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = SynthGeno.variants(s, dir)
+      val probes = v.filter(col("vid") % 101 === 0)
+        .select(col("chrom").as("p_chrom"), col("pos").as("p_pos"))
+        .distinct()
+      val w = Window.partitionBy(col("p_chrom"), col("p_pos"))
+        .orderBy(col("vid"))
+      v.join(broadcast(probes),
+          col("chrom") === col("p_chrom") && col("pos") === col("p_pos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_chrom"), col("p_pos"), col("vid").as("first_vid"))
+    },
+    Some(withCte("""SELECT p_chrom, p_pos, first_vid FROM
+      (SELECT p.p_chrom, p.p_pos, v.vid AS first_vid,
+        ROW_NUMBER() OVER (PARTITION BY p.p_chrom, p.p_pos ORDER BY v.vid)
+          AS rn
+       FROM (SELECT DISTINCT chrom AS p_chrom, pos AS p_pos FROM variants
+             WHERE vid % 101 = 0) p
+       JOIN variants v ON v.chrom = p.p_chrom AND v.pos = p.p_pos)
+      WHERE rn = 1""")))
+
+  override def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24, q43, q44, q45)
 }

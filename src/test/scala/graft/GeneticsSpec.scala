@@ -106,6 +106,18 @@ class GeneticsSpec extends AnyFunSuite {
     assert(r.getString(2) == "0/1;.")
   }
 
+  test("2-bit codec round-trips and packs 4 samples per byte") {
+    val r = genoDf.select(col("vid"),
+        unpack2b(pack2b(col("geno")), lit(3)).as("d"),
+        octet_length(pack2b(col("geno"))).as("nb"))
+      .orderBy("vid").collect()
+    // (0/1), (./1), (0/0) → ref dosages 1, null, 2
+    assert(r(0).getSeq[Any](1) == Seq(1, null, 2))
+    // (./.), (2/1), (1/1) → null, 0, 0
+    assert(r(1).getSeq[Any](1) == Seq(null, 0, 0))
+    assert(r.forall(_.getInt(2) == 1))
+  }
+
   test("allele string parsing") {
     import spark.implicits._
     val df = Seq(("A,C", 1L), ("TTA,G,C", 2L)).toDF("allele", "vid")
