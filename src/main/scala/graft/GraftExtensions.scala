@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** SparkSessionExtensions hook (SURVEY.md §7.4): registers every custom
+  * codegen kernel as a SQL function, so the engine's operators are usable
+  * from plain `spark.sql(...)` — including from SQL-only clients — not just
+  * the Scala Column API.
+  *
+  * Activate with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def register(ext: SparkSessionExtensions, name: String,
+      usage: String, arity: Int, build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == arity,
+          s"$name expects $arity arguments, got ${args.length}")
+        build(args)
+      }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "geno_stats",
+      "geno_stats(geno, k) - [total, called, ac_k, miss_calls, miss_alleles]",
+      2, a => GenoStats(a(0), a(1)))
+    register(ext, "miss_per_sample",
+      "miss_per_sample(geno) - per-sample missing-allele counts",
+      1, a => MissAllelesPerSample(a(0)))
+    register(ext, "dosage_alt",
+      "dosage_alt(geno) - per-sample alt dosage, null on missing",
+      1, a => DosageAltExpr(a(0)))
+    register(ext, "gt_strings",
+      "gt_strings(geno, phased, sep) - joined VCF GT strings",
+      3, a => GtStringsJoined(a(0), a(1), a(2)))
+    register(ext, "parse_gt_cells",
+      "parse_gt_cells(cells, gtIdx) - struct(geno, phased) from VCF cells",
+      2, a => ParseGtCells(a(0), a(1)))
+    register(ext, "allele_union",
+      "allele_union(a, b) - merged REF,ALT,... allele list",
+      2, a => AlleleUnionExpr(a(0), a(1)))
+    register(ext, "remap_geno",
+      "remap_geno(geno, oldAlleles, newAlleles) - re-coded genotype cube",
+      3, a => RemapGenoExpr(a(0), a(1), a(2)))
+    register(ext, "pack_2b",
+      "pack_2b(geno) - 2-bit packed REF dosages (BED layout)",
+      1, a => Pack2bRefDosage(a(0)))
+    register(ext, "unpack_2b",
+      "unpack_2b(bytes, nSamples) - REF dosages from 2-bit packing",
+      2, a => Unpack2bDosage(a(0), a(1)))
+    register(ext, "dot_i64",
+      "dot_i64(a, b) - integer dot product of two BIGINT arrays",
+      2, a => DotProductLong(a(0), a(1)))
+    register(ext, "word_shingles",
+      "word_shingles(text, n) - distinct word n-gram shingles",
+      2, a => WordShinglesExpr(a(0), a(1)))
+    register(ext, "simhash16",
+      "simhash16(text) - 16-bit SimHash sketch of whitespace tokens",
+      1, a => Simhash16Expr(a(0)))
+  }
+}

@@ -1,0 +1,208 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics._
+import graft.operators.{MergeVariants, SlidingWindows}
+import graft.sources.Vcf
+
+/** SeqArray-compatible façade (SURVEY.md §2.12): the reference's entry
+  * points expressed over the two-table model, so a SeqArray user can map
+  * their script 1:1. Canonical variant-table columns: `variant_id`,
+  * `chrom`, `pos`, `allele` ("REF,ALT1,…"), `geno`, `phased`, plus
+  * optional `id`/`qual`/`filter`/`info_*`/`fmt_*` from VCF import.
+  *
+  * Selection semantics (reference `seqSetFilter` stack,
+  * /root/reference/src/Index.h:324-363): immutable. Every `setFilter*`
+  * returns a NEW SeqVarData restricted further (the reference's
+  * `action="intersect"`); "push" is keeping the old reference, "pop" is
+  * using it again, "set" is filtering from [[SeqArray.open]]'s result.
+  * Everything stays lazy — filters compose into one Catalyst plan and push
+  * down to the Parquet scan.
+  */
+final case class SeqVarData(variants: DataFrame) {
+
+  // ---- §2.3 filters -------------------------------------------------------
+
+  /** seqSetFilterChrom: chrom ∈ include AND pos ∈ [fromBp, toBp]. */
+  def setFilterChrom(include: Seq[String], fromBp: Long = Long.MinValue,
+      toBp: Long = Long.MaxValue): SeqVarData =
+    SeqVarData(variants.filter(col("chrom").isin(include: _*) &&
+      col("pos").between(fromBp, toBp)))
+
+  /** seqSetFilter(variant.id=): id-set membership. */
+  def setFilterVariantId(ids: Seq[Long]): SeqVarData =
+    SeqVarData(variants.filter(col("variant_id").isin(ids: _*)))
+
+  /** seqSetFilter(variant.sel=): arbitrary predicate mask. */
+  def setFilter(pred: Column): SeqVarData =
+    SeqVarData(variants.filter(pred))
+
+  /** seqSetFilterPos: keep variants matching probe (chrom,pos) rows;
+    * multiPos=false keeps only the first match per probe in variant order. */
+  def setFilterPos(probes: DataFrame, multiPos: Boolean = true): SeqVarData = {
+    val joined = variants.join(broadcast(
+      probes.select(col("chrom").as("p_chrom"), col("pos").as("p_pos"))),
+      col("chrom") === col("p_chrom") && col("pos") === col("p_pos"))
+    val kept =
+      if (multiPos) joined
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("p_chrom"), col("p_pos"))
+          .orderBy(col("variant_id"))
+        joined.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    SeqVarData(kept.drop("p_chrom", "p_pos"))
+  }
+
+  /** seqSetFilterCond: by computed per-variant aggregates. */
+  def setFilterCond(minMaf: Double = 0.0, maxMissing: Double = 1.0): SeqVarData = {
+    val st = genoStats(col("geno"), lit(0))
+    val total = element_at(st, 1)
+    val called = element_at(st, 2)
+    val ac = element_at(st, 3)
+    val af = ac.cast("double") / called
+    val maf = least(af, lit(1.0) - af)
+    val miss = (total - called).cast("double") / total
+    SeqVarData(variants.filter(called > 0 && maf >= minMaf &&
+      miss <= maxMissing))
+  }
+
+  // ---- §2.2 projections (seqGetData) --------------------------------------
+
+  /** seqGetData: named variable → DataFrame of (variant_id, value). The
+    * `$`-derived variables mirror src/GetData.cpp:257-780. */
+  def getData(name: String): DataFrame = {
+    val v: Column = name match {
+      case "variant.id"  => col("variant_id")
+      case "position"    => col("pos")
+      case "chromosome"  => col("chrom")
+      case "allele"      => col("allele")
+      case "genotype"    => col("geno")
+      case "phase"       => col("phased")
+      case "$dosage"     => dosageRef(col("geno"))
+      case "$dosage_alt" => dosageAlt(col("geno"))
+      case "$num_allele" => numAllele(col("allele"))
+      case "$ref"        => refAllele(col("allele"))
+      case "$alt"        => altAlleles(col("allele"))
+      case "$chrom_pos"  => concat_ws(":", col("chrom"), col("pos"))
+      case "$chrom_pos_allele" =>
+        concat_ws("_", col("chrom"), col("pos"), col("allele"))
+      case n if n.startsWith("annotation/info/") =>
+        col("info_" + n.stripPrefix("annotation/info/"))
+      case n if n.startsWith("annotation/format/") =>
+        col("fmt_" + n.stripPrefix("annotation/format/"))
+      case n if n.startsWith("annotation/") =>
+        col(n.stripPrefix("annotation/"))
+      case other => col(other)
+    }
+    variants.select(col("variant_id"), v.as("value"))
+  }
+
+  // ---- §2.5 aggregates ----------------------------------------------------
+
+  /** seqAlleleFreq(ref.allele=k). */
+  def alleleFreq(k: Int = 0): DataFrame =
+    variants.select(col("variant_id"),
+      graft.functions.genetics.alleleFreq(col("geno"), lit(k)).as("af"))
+
+  /** seqAlleleCount(ref.allele=k). */
+  def alleleCount(k: Int = 0): DataFrame =
+    variants.select(col("variant_id"),
+      graft.functions.genetics.alleleCount(col("geno"), lit(k)).as("ac"))
+
+  /** seqMissing: per-variant rate, or per-sample (sample ordinal →
+    * missing-allele fraction) via the explode margin. */
+  def missing(perVariant: Boolean = true): DataFrame =
+    if (perVariant)
+      variants.select(col("variant_id"), missingRate(col("geno")).as("miss"))
+    else
+      variants
+        .select(size(element_at(col("geno"), 1)).as("__ploidy"),
+          posexplode(missPerSample(col("geno"))).as(Seq("sample", "mc")))
+        .groupBy(col("sample"))
+        .agg((sum(col("mc")).cast("double") / sum(col("__ploidy")))
+          .as("miss"))
+
+  // ---- §2.6 units ---------------------------------------------------------
+
+  /** seqUnitSlidingWindows. */
+  def unitSlidingWindows(winSize: Long, winShift: Long,
+      dupRm: Boolean = true): DataFrame =
+    SlidingWindows.windows(variants, col("chrom"), col("pos"),
+      col("variant_id"), winSize, winShift, dupRm)
+
+  // ---- §2.1 export --------------------------------------------------------
+
+  /** seqGDS2VCF body lines (GT-only FORMAT; caller writes the header). */
+  def toVcfLines(infoExpr: Column = lit(null)): DataFrame = {
+    val parts = split(col("allele"), ",")
+    Vcf.formatLines(
+      variants
+        .withColumn("id", concat(lit("v"), col("variant_id")))
+        .withColumn("ref", element_at(parts, 1))
+        .withColumn("alts", slice(parts, lit(2), size(parts) - 1))
+        .withColumn("qual", lit(null).cast("float"))
+        .withColumn("filter", lit(null).cast("string")),
+      infoExpr)
+  }
+}
+
+object SeqArray {
+
+  /** seqOpen: Parquet variants table (canonical columns). */
+  def open(spark: SparkSession, path: String): SeqVarData =
+    SeqVarData(spark.read.parquet(path))
+
+  /** seqVCF2GDS + seqOpen in one step: VCF → variants table. */
+  def openVcf(spark: SparkSession, path: String): SeqVarData = {
+    val parsed = Vcf.read(spark, path)
+    SeqVarData(parsed.withColumn("variant_id",
+      monotonically_increasing_id()))
+  }
+
+  /** seqMerge (variant-union): full outer join on (chrom, pos), allele-set
+    * union, genotype index remap of both sides into the merged list. */
+  def merge(a: SeqVarData, b: SeqVarData): SeqVarData = {
+    val l = a.variants.select(col("variant_id").as("vid_a"),
+      col("chrom").as("chrom_a"), col("pos").as("pos_a"),
+      col("allele").as("al_a"), col("geno").as("g_a"),
+      col("phased").as("p_a"))
+    val r = b.variants.select(col("variant_id").as("vid_b"),
+      col("chrom").as("chrom_b"), col("pos").as("pos_b"),
+      col("allele").as("al_b"), col("geno").as("g_b"),
+      col("phased").as("p_b"))
+    val m = l.join(r,
+      col("chrom_a") === col("chrom_b") && col("pos_a") === col("pos_b"),
+      "full_outer")
+    val alleles = when(col("al_a").isNotNull && col("al_b").isNotNull,
+        MergeVariants.alleleUnion(col("al_a"), col("al_b")))
+      .otherwise(coalesce(col("al_a"), col("al_b")))
+    SeqVarData(m.select(
+      coalesce(col("vid_a"), col("vid_b")).as("variant_id"),
+      coalesce(col("chrom_a"), col("chrom_b")).as("chrom"),
+      coalesce(col("pos_a"), col("pos_b")).as("pos"),
+      alleles.as("allele"),
+      MergeVariants.remapGeno(col("g_a"), col("al_a"), alleles).as("geno_a"),
+      MergeVariants.remapGeno(col("g_b"), col("al_b"), alleles).as("geno_b"),
+      col("p_a").as("phased_a"), col("p_b").as("phased_b")))
+  }
+
+  /** seqDigest: order-stable md5 over a projected column. */
+  def digest(v: SeqVarData, name: String): String = {
+    val d = v.getData(name)
+      .select(concat_ws(":", col("variant_id"), col("value").cast("string"))
+        .as("s"))
+      .agg(md5(array_join(sort_array(collect_list(col("s"))), ","))
+        .as("digest"))
+    d.collect()(0).getString(0)
+  }
+
+  /** seqSummary: per-chromosome variant counts + allele-number tabulation. */
+  def summary(v: SeqVarData): DataFrame =
+    v.variants.groupBy(col("chrom"), numAllele(col("allele")).as("n_allele"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+}

@@ -93,5 +93,47 @@ object Merge extends QueryModule {
           || COALESCE(CAST(rgb[s][2] AS VARCHAR), '.')), ';') AS gts_b
       FROM rm"""))
 
-  override def queries: Seq[Q] = Seq(q29)
+  // seqMerge sample-union mode (R/UtilsMerge.R:455-571): same variants,
+  // disjoint sample sets — file A carries samples 0-4 for every variant,
+  // file B samples 5-7 for even variants only; the merge concatenates the
+  // sample axis with all-missing fill where B lacks the variant (the
+  // reference's match()+NA-fill reorder).
+  private val q46 = Q("q46_merge_samples",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val a = v.select(col("vid"), slice(col("geno"), 1, 5).as("ga"),
+        slice(col("phased"), 1, 5).as("pa"))
+      val b = v.filter(col("vid") % 2 === 0)
+        .select(col("vid").as("vid_b"), slice(col("geno"), 6, 3).as("gb"),
+          slice(col("phased"), 6, 3).as("pb"))
+      val nullCalls = array((1 to 3).map(_ =>
+        array(lit(null).cast("long"), lit(null).cast("long"))): _*)
+      val noPhase = array((1 to 3).map(_ => lit(false)): _*)
+      val m = a.join(b, col("vid") === col("vid_b"), "left_outer")
+      val geno = concat(col("ga"), coalesce(col("gb"), nullCalls))
+      val phased = concat(col("pa"), coalesce(col("pb"), noPhase))
+      m.select(col("vid"),
+        gtStrings(geno, phased, ";").as("gts"),
+        nCalledAlleles(geno).as("n_called"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte}),
+      a AS (SELECT vid, geno[1:5] AS ga, phased[1:5] AS pa FROM variants),
+      b AS (SELECT vid AS vid_b, geno[6:8] AS gb, phased[6:8] AS pb
+            FROM variants WHERE vid % 2 = 0),
+      m AS (SELECT vid,
+        list_concat(ga, COALESCE(gb,
+          [[CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+           [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+           [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]])) AS g,
+        list_concat(pa, COALESCE(pb, [false, false, false])) AS p
+        FROM a LEFT JOIN b ON vid = vid_b)
+      SELECT vid,
+        array_to_string(list_transform(range(1, 9), s ->
+          COALESCE(CAST(g[s][1] AS VARCHAR), '.')
+          || (CASE WHEN p[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(g[s][2] AS VARCHAR), '.')), ';') AS gts,
+        len(list_filter(flatten(g), a -> a IS NOT NULL)) AS n_called
+      FROM m"""))
+
+  override def queries: Seq[Q] = Seq(q29, q46)
 }

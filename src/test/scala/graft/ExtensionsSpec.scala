@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions hook must make every custom kernel callable
+  * from plain SQL. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // getOrCreate would silently reuse another spec's extension-less
+    // session in the shared test JVM — force a fresh session (same
+    // SparkContext) so the extensions actually apply.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("custom kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  geno_stats(array(array(0L, 1L), array(CAST(null AS BIGINT), 1L)), 0) AS st,
+        |  gt_strings(array(array(0L, 1L)), array(true), ';') AS gts,
+        |  allele_union('A,C', 'A,G') AS au,
+        |  dot_i64(array(1L, 2L), array(3L, 4L)) AS dot,
+        |  word_shingles('a b c d', 3) AS sh,
+        |  simhash16('hello world') AS sim,
+        |  unpack_2b(pack_2b(array(array(0L, 0L))), 1) AS up
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(4L, 3L, 1L, 1L, 1L))
+    assert(r.getString(1) == "0|1")
+    assert(r.getString(2) == "A,C,G")
+    assert(r.getLong(3) == 11L)
+    assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
+    assert(r.getLong(5) >= 0L && r.getLong(5) < 65536L)
+    assert(r.getSeq[Any](6) == Seq(2))
+  }
+}

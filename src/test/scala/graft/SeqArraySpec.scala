@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{SeqArray, SeqVarData}
+
+/** End-to-end exercise of the SeqArray compat façade: a reference user's
+  * typical session — open, filter by chromosome/position/condition,
+  * project derived variables, aggregate, window, merge, digest — mapped
+  * 1:1 (the man-page smoke tests of the reference,
+  * inst/unitTests/test_examples.R, in spirit). */
+class SeqArraySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** SynthGeno reshaped to the façade's canonical columns. */
+  private lazy val gds: SeqVarData = {
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val full = transform(sequence(lit(1), col("nall").cast("int")),
+      i => element_at(letters, i))
+    SeqVarData(graft.genomics.SynthGeno
+      .variants(spark, "/root/testdata/sf0.001")
+      .select(col("vid").as("variant_id"), col("chrom"), col("pos"),
+        array_join(full, ",").as("allele"), col("geno"), col("phased")))
+  }
+
+  test("filter chain narrows the selection like the reference's intersect") {
+    val all = gds.variants.count()
+    val c0 = gds.setFilterChrom(Seq("c0"))
+    val c0win = c0.setFilterChrom(Seq("c0"), fromBp = 0, toBp = 50000)
+    val cond = c0win.setFilterCond(minMaf = 0.1)
+    val counts = Seq(all, c0.variants.count(), c0win.variants.count(),
+      cond.variants.count())
+    assert(counts == counts.sorted.reverse)   // monotone narrowing
+    assert(counts.last > 0)
+    // "pop": the earlier reference is untouched
+    assert(c0.variants.count() == counts(1))
+  }
+
+  test("getData projects stored and derived variables") {
+    val sel = gds.setFilterChrom(Seq("c1"))
+    assert(sel.getData("$num_allele").filter(col("value") < 2).count() == 0)
+    assert(sel.getData("$ref").filter(col("value") =!= "A").count() == 0)
+    val cp = sel.getData("$chrom_pos").collect()(0).getString(1)
+    assert(cp.startsWith("c1:"))
+    val dos = sel.getData("$dosage_alt").collect()(0)
+      .getSeq[Any](1)
+    assert(dos.length == graft.genomics.SynthGeno.nSamples)
+  }
+
+  test("aggregates match the direct kernel results") {
+    val af = gds.alleleFreq(0)
+    val direct = gds.variants.select(col("variant_id"),
+      graft.functions.genetics.alleleFreq(col("geno"), lit(0)).as("af"))
+    assert(af.exceptAll(direct).count() == 0)
+    assert(gds.missing(perVariant = false).count() ==
+      graft.genomics.SynthGeno.nSamples)
+  }
+
+  test("windows, merge, digest, summary, VCF export run end-to-end") {
+    val win = gds.unitSlidingWindows(2000, 1000)
+    assert(win.count() > 0)
+    val a = gds.setFilter(col("variant_id") % 2 === 0)
+    val b = gds.setFilter(col("variant_id") % 3 === 0)
+    val merged = SeqArray.merge(a, b)
+    assert(merged.variants.filter(col("geno_a").isNotNull &&
+      col("geno_b").isNotNull).count() > 0)
+    val d1 = SeqArray.digest(gds, "position")
+    val d2 = SeqArray.digest(gds, "position")
+    assert(d1 == d2 && d1.length == 32)
+    assert(SeqArray.summary(gds).count() > 0)
+    val lines = gds.toVcfLines().collect()
+    assert(lines.nonEmpty &&
+      lines(0).getString(0).split("\t").length >= 10)
+  }
+}
