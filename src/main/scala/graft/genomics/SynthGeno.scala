@@ -30,9 +30,18 @@ object SynthGeno {
     * The cube is built from statically-unrolled `array(...)` expressions
     * (not `transform(sequence(...))`) so construction stays inside
     * whole-stage codegen — HOF lambdas are interpreted and dominated every
-    * genomics bench query before the unroll. */
+    * genomics bench query before the unroll.
+    *
+    * The testdata tables are single-file single-row-group parquet, so the
+    * scan is ONE task no matter what maxPartitionBytes says — the
+    * round-robin repartition fans the (tiny) key columns out so the
+    * compute-heavy construction pipeline uses every core. A real
+    * multi-file/multi-row-group dataset would not need it. */
   def variants(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("nall", lit(2) + col("l_partkey") % 3)
       .select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("vid"),
