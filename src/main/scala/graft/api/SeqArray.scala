@@ -70,6 +70,21 @@ final case class SeqVarData(variants: DataFrame) {
       miss <= maxMissing))
   }
 
+  /** GRanges-style containment filter (reference seqSetFilter(GRanges),
+    * src/SeqArray.cpp:780-868): keep variants inside any interval of
+    * `ranges(chrom, start, end)`; banded equi-join, never a nested loop. */
+  def setFilterRanges(ranges: DataFrame, bandWidth: Long = 100000): SeqVarData = {
+    val hits = graft.operators.RangeJoin.pointInInterval(
+        variants, col("pos"),
+        ranges.select(col("chrom").as("r_chrom"), col("start").as("__lo"),
+          col("end").as("__hi")),
+        col("__lo"), col("__hi"), bandWidth)
+      .filter(col("chrom") === col("r_chrom"))
+      .drop("r_chrom", "__lo", "__hi")
+      .dropDuplicates("variant_id")
+    SeqVarData(hits)
+  }
+
   // ---- §2.2 projections (seqGetData) --------------------------------------
 
   /** seqGetData: named variable → DataFrame of (variant_id, value). The
@@ -125,6 +140,22 @@ final case class SeqVarData(variants: DataFrame) {
         .groupBy(col("sample"))
         .agg((sum(col("mc")).cast("double") / sum(col("__ploidy")))
           .as("miss"))
+
+  // ---- §2.11 apply engine -------------------------------------------------
+
+  /** seqApply(margin="by.variant"): typed map over variant rows
+    * (R/Methods.R:594-683 — `FUN` per selected variant; `as.is` typing is
+    * the Encoder). */
+  def applyVariants[T: org.apache.spark.sql.Encoder](
+      f: org.apache.spark.sql.Row => T): org.apache.spark.sql.Dataset[T] =
+    variants.map(f)(implicitly)
+
+  /** seqBlockApply: iterator-batched map (R/Methods.R:690-769 — vectorized
+    * blocks; the partition is the block). */
+  def blockApplyVariants[T: org.apache.spark.sql.Encoder](
+      f: Iterator[org.apache.spark.sql.Row] => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] =
+    variants.mapPartitions(f)(implicitly)
 
   // ---- §2.6 units ---------------------------------------------------------
 

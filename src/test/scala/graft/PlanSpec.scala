@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical physical-plan properties
+  * the engine is designed around (SURVEY.md §4, builder brief). A change
+  * that silently turns a broadcast join into a shuffle, or un-pushes a
+  * parquet filter, should fail here — not at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(SimpleMode)
+
+  test("q02: id-set filter is a broadcast left-semi join, no fact shuffle") {
+    val p = plan("q02_filter_ids")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: range predicates reach the parquet scan") {
+    val p = plan("q03_filter_range")
+    assert(p.contains("PushedFilters: [In(l_returnflag"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q03: scan is pruned to the referenced columns") {
+    val p = plan("q03_filter_range")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"))
+  }
+
+  test("q08: interval join is banded equi-join, not nested-loop") {
+    val p = plan("q08_range_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q14: star join broadcasts every dimension") {
+    val p = plan("q14_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q36: top-k per probe applies partial WindowGroupLimit before shuffle") {
+    val p = plan("q36_knn_brute")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q10: global top-k avoids a total sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!"(?m)^\\s*\\+- Sort ".r.findFirstIn(p).isDefined)
+  }
+
+  test("q01: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q23: per-sample margin partially aggregates before its shuffle") {
+    // the explode emits one INT per (variant, sample) and the hash
+    // aggregate collapses to n_samples rows per partition pre-exchange —
+    // the shuffle never carries genotype arrays.
+    val p = plan("q23_sample_missing")
+    val preExchange = p.linesIterator.takeWhile(!_.contains("Exchange"))
+      .mkString("\n")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(preExchange.contains("HashAggregate"))
+  }
+
+  test("kernel queries stay inside whole-stage codegen") {
+    for (q <- Seq("q20_allele_freq", "q22_gt_strings", "q34_simhash")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"), q)
+    }
+  }
+}

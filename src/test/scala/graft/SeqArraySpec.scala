@@ -63,6 +63,24 @@ class SeqArraySpec extends AnyFunSuite {
       graft.genomics.SynthGeno.nSamples)
   }
 
+  test("range filter and apply engine") {
+    import spark.implicits._
+    val ranges = Seq(("c0", 0L, 20000L), ("c1", 50000L, 99999L))
+      .toDF("chrom", "start", "end")
+    val sel = gds.setFilterRanges(ranges)
+    assert(sel.variants.count() > 0)
+    val outside = sel.variants.filter(
+      !(col("chrom") === "c0" && col("pos").between(0, 20000)) &&
+      !(col("chrom") === "c1" && col("pos").between(50000, 99999))).count()
+    assert(outside == 0)
+    // seqApply / seqBlockApply analogs
+    val perVariant = gds.applyVariants(r =>
+      r.getAs[Long]("variant_id") % 7)
+    assert(perVariant.count() == gds.variants.count())
+    val blocks = gds.blockApplyVariants(it => Iterator(it.size.toLong))
+    assert(blocks.collect().sum == gds.variants.count())
+  }
+
   test("windows, merge, digest, summary, VCF export run end-to-end") {
     val win = gds.unitSlidingWindows(2000, 1000)
     assert(win.count() > 0)
