@@ -1,0 +1,137 @@
+package graft.sources.v2
+
+import java.util.zip.GZIPInputStream
+
+import scala.io.Source
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Vcf
+
+/** DataSource V2 for VCF: `spark.read.format("vcf").load(path)` (SURVEY.md
+  * §2.1 `seqOpen`/`seqVCF2GDS` as a first-class Spark source; north-star
+  * "custom data source").
+  *
+  * Split of work mirrors the reference's import (§3.3): the `##` header is
+  * read once on the driver and fixes the schema; each data file is one
+  * input partition whose reader projects raw lines through the SAME
+  * Catalyst expressions as [[graft.sources.Vcf.parseLines]] — analyzed
+  * once on the driver, shipped to executors as an UnsafeProjection recipe.
+  * One source of truth for parse semantics; `.gz` (incl. bgzf) streams are
+  * supported per-file. Column pruning happens in Spark's Project above the
+  * scan; pushdown into the scan is future work (each file is already the
+  * parallelism unit, as in the reference's per-range worker import).
+  */
+class VcfDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "vcf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VcfDataSource.planFor(VcfDataSource.paths(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new VcfTable(VcfDataSource.paths(
+      new CaseInsensitiveStringMap(properties)))
+}
+
+object VcfDataSource {
+
+  final case class ParsePlan(schema: StructType, exprs: Seq[Expression],
+      input: Seq[Attribute]) extends Serializable
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val all = single ++ multi
+    require(all.nonEmpty, "vcf source requires a path")
+    all
+  }
+
+  def headerLines(path: String): Seq[String] = {
+    val src = Source.fromInputStream(open(path), "UTF-8")
+    try src.getLines().takeWhile(_.startsWith("#")).toList
+    finally src.close()
+  }
+
+  def open(path: String): java.io.InputStream = {
+    val clean = path.stripPrefix("file:")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(clean))
+    if (clean.endsWith(".gz")) new GZIPInputStream(in) else in
+  }
+
+  /** Analyze the parse projection once on the driver: header → specs →
+    * Vcf.parseLines over a dummy single-column relation → resolved,
+    * type-coerced expressions + input attribute, both serializable. */
+  def planFor(paths: Seq[String]): ParsePlan = {
+    val spark = SparkSession.active
+    val (info, fmt, samples) = Vcf.headerSpecs(headerLines(paths.head))
+    import spark.implicits._
+    val dummy = spark.createDataset(Seq.empty[String]).toDF("value")
+    val parsed = Vcf.parseLines(dummy, info, fmt, samples.length)
+    val analyzed = parsed.queryExecution.analyzed
+    ParsePlan(parsed.schema, analyzed.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Project].projectList,
+      analyzed.children.head.output)
+  }
+}
+
+class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"vcf(${paths.mkString(",")})"
+  override def schema(): StructType = VcfDataSource.planFor(paths).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new VcfScan(paths)
+    }
+}
+
+class VcfScan(paths: Seq[String]) extends Scan with Batch {
+  private lazy val plan = VcfDataSource.planFor(paths)
+  override def readSchema(): StructType = plan.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => VcfInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(plan)
+}
+
+final case class VcfInputPartition(path: String) extends InputPartition
+
+class VcfReaderFactory(plan: VcfDataSource.ParsePlan)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path, plan)
+}
+
+class VcfPartitionReader(path: String, plan: VcfDataSource.ParsePlan)
+    extends PartitionReader[InternalRow] {
+  private val source = Source.fromInputStream(VcfDataSource.open(path), "UTF-8")
+  private val lines = source.getLines().filterNot(_.startsWith("#"))
+  private val project = UnsafeProjection.create(plan.exprs, plan.input)
+  private val inputRow = new GenericInternalRow(1)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else {
+      inputRow.update(0, UTF8String.fromString(lines.next()))
+      current = project(inputRow)
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}

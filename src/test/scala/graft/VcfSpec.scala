@@ -78,6 +78,24 @@ class VcfSpec extends AnyFunSuite {
     assert(v2.getAs[collection.Seq[Boolean]]("phased") == Seq(true, false, false))
   }
 
+  test("DSv2 format(\"vcf\") source matches the function-level reader") {
+    val path = writeTemp()
+    val viaDsv2 = spark.read.format("vcf").load(path)
+    val viaFns = Vcf.read(spark, path)
+    assert(viaDsv2.schema == viaFns.schema)
+    val a = viaDsv2.collect().map(_.toSeq).toSet
+    val b = viaFns.collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 2)
+    // gz stream path (VCFs usually ship as .vcf.gz / bgzf)
+    val gz = java.nio.file.Files.createTempFile("graft_test", ".vcf.gz")
+    val os = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    os.write(vcfText.getBytes("UTF-8")); os.close()
+    val viaGz = spark.read.format("vcf").load(gz.toString)
+      .collect().map(_.toSeq).toSet
+    assert(viaGz == b)
+  }
+
   test("format → parse round-trip is lossless on core fields") {
     val parsed = Vcf.read(spark, writeTemp())
     val lines = Vcf.formatLines(parsed,
