@@ -157,5 +157,35 @@ object Similarity extends QueryModule {
            ORDER BY cos DESC, c_label) AS rn FROM scored)
       WHERE rn = 1"""))
 
-  override def queries: Seq[Q] = Seq(q36, q37, q38)
+  // --- embedding-cosine near-dup (brief: dedup via embedding cosine): all
+  // in-bucket pairs scored, global top-20 with a tie-free order. The SRP
+  // bucket join bounds the pair count (no O(n²) scan); a dedup run would
+  // add `WHERE cos >= τ` — this corpus has no near-dups (max cos < 0.8),
+  // so the query reports the ranked head instead of an empty set. ----------
+  private val q39 = Q("q39_embed_neardup",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+        .withColumn("bucket", srpBucket(col("qv"), SRP_BITS))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          cosineQ(dotLong(col("a.qv"), col("b.qv")),
+            col("a.nrm"), col("b.nrm")).as("cos"))
+      pairs.orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20)
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm,
+              ${srpBucketSql("qv", SRP_BITS)} AS bucket FROM q)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+          CAST(${dotSql.format("a.qv", "a.qv", "b.qv")} AS DOUBLE) /
+            (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) END
+          AS cos
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ORDER BY cos DESC, id_a, id_b LIMIT 20"""))
+
+  override def queries: Seq[Q] = Seq(q36, q37, q38, q39)
 }

@@ -25,20 +25,27 @@ object TextDedup extends QueryModule {
          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
        FROM documents"""
 
-  // --- token counting + length stats (brief: "token counting, quality
-  // scoring"). All outputs are exact ints or single int/int divisions. ------
+  // --- token counting + length stats (brief: "token counting (whitespace
+  // + a BPE-ish regex)"). The BPE-ish pattern segments letter runs, digit
+  // runs, and punctuation runs with their leading space — the GPT-2-style
+  // pretokenizer shape, in syntax both regex engines agree on. All outputs
+  // are exact ints or single int/int divisions. -----------------------------
+  private val bpeish = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
   private val q30 = Q("q30_text_stats",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
       val toks = tokens(col("text"))
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         tokenCount(col("text")).as("n_tokens"),
+        regexp_count(col("text"), lit(bpeish)).as("n_bpe_tokens"),
         size(array_distinct(toks)).as("n_types"),
         avgTokenLen(col("text")).as("avg_tok_len"))
     },
     Some(s"""WITH t AS ($tokCte)
       SELECT doc_id, lang, source, n_chars,
         len(toks) AS n_tokens,
+        len(regexp_extract_all(text, '$bpeish')) AS n_bpe_tokens,
         len(list_distinct(toks)) AS n_types,
         CASE WHEN len(toks) > 0 THEN
           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
