@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite {
     assert(preExchange.contains("HashAggregate"))
   }
 
+  test("chrom-partitioned storage prunes partitions for chrom filters") {
+    // the §1.5/§4 storage claim: partitioning the variants table by chrom
+    // turns seqSetFilterChrom into partition pruning, the Spark analog of
+    // the reference's persisted chromosome RLE index.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.genomics.SynthGeno.variants(spark, dir)
+      .write.partitionBy("chrom").mode("overwrite").parquet(tmp)
+    val sel = spark.read.parquet(tmp).filter(col("chrom") === "c2")
+    val p = sel.queryExecution.explainString(SimpleMode)
+    assert(p.contains("PartitionFilters") && p.contains("c2"))
+    val scanned = sel.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(scanned == 1)
+  }
+
   test("kernel queries stay inside whole-stage codegen") {
     for (q <- Seq("q20_allele_freq", "q22_gt_strings", "q34_simhash")) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution
