@@ -93,6 +93,21 @@ object genetics {
       (acc, x) => when(acc === "", x).otherwise(concat(acc, sep, x)))
   }
 
+  /** Minor-allele frequency fold (reference `seqAlleleFreq(minor=TRUE)`,
+    * R/Methods.R:905-1021): min(af, 1-af) of allele `k`. */
+  def minorAlleleFreq(geno: Column, k: Column): Column = {
+    val af = alleleFreq(geno, k)
+    least(af, lit(1.0) - af)
+  }
+
+  /** 0-based index of a named allele in the "REF,ALT1,…" string; null when
+    * absent (reference `GetIndexOfAllele`, src/Index.h:684-691 —
+    * `seqAlleleFreq(ref.allele="A")` resolves through this). */
+  def alleleIndexOf(alleleStr: Column, name: Column): Column = {
+    val pos = array_position(split(alleleStr, ","), name)
+    when(pos > 0, pos - 1)
+  }
+
   /** 2-bit packed REF dosage (4 samples/byte, 3 = missing) — the
     * seqGet2bGeno / PLINK BED export codec. */
   def pack2b(geno: Column): Column =

@@ -30,6 +30,7 @@ object Genomics extends QueryModule {
         nCalledAlleles(col("geno")).as("n_called"),
         alleleCount(col("geno"), lit(0)).as("ac_ref"),
         alleleFreq(col("geno"), lit(0)).as("af_ref"),
+        minorAlleleFreq(col("geno"), lit(0)).as("maf"),
         missingRate(col("geno")).as("miss_rate"))
     },
     Some(withCte("""SELECT vid,
@@ -39,6 +40,15 @@ object Genomics extends QueryModule {
            THEN CAST(len(list_filter(flatten(geno), a -> a = 0)) AS DOUBLE)
                 / len(list_filter(flatten(geno), a -> a IS NOT NULL))
       END AS af_ref,
+      least(
+        CASE WHEN len(list_filter(flatten(geno), a -> a IS NOT NULL)) > 0
+             THEN CAST(len(list_filter(flatten(geno), a -> a = 0)) AS DOUBLE)
+                  / len(list_filter(flatten(geno), a -> a IS NOT NULL)) END,
+        1.0 -
+        CASE WHEN len(list_filter(flatten(geno), a -> a IS NOT NULL)) > 0
+             THEN CAST(len(list_filter(flatten(geno), a -> a = 0)) AS DOUBLE)
+                  / len(list_filter(flatten(geno), a -> a IS NOT NULL)) END)
+        AS maf,
       CAST(len(flatten(geno))
            - len(list_filter(flatten(geno), a -> a IS NOT NULL)) AS DOUBLE)
         / len(flatten(geno)) AS miss_rate
@@ -127,12 +137,16 @@ object Genomics extends QueryModule {
         .select(col("vid"), col("allele_str"),
           numAllele(col("allele_str")).as("n_allele"),
           refAllele(col("allele_str")).as("ref"),
-          array_join(altAlleles(col("allele_str")), ",").as("alts"))
+          array_join(altAlleles(col("allele_str")), ",").as("alts"),
+          alleleIndexOf(col("allele_str"), lit("T")).as("idx_t"))
     },
     Some(withCte("""SELECT vid, allele_str,
       len(string_split(allele_str, ',')) AS n_allele,
       string_split(allele_str, ',')[1] AS ref,
-      array_to_string(string_split(allele_str, ',')[2:], ',') AS alts
+      array_to_string(string_split(allele_str, ',')[2:], ',') AS alts,
+      CASE WHEN list_position(string_split(allele_str, ','), 'T') > 0
+           THEN list_position(string_split(allele_str, ','), 'T') - 1
+      END AS idx_t
       FROM (SELECT vid,
         array_to_string(list_transform(range(1, nall + 1), i ->
           (['A','C','G','T'])[i]), ',') AS allele_str
