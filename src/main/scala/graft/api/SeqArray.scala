@@ -70,6 +70,16 @@ final case class SeqVarData(variants: DataFrame) {
       miss <= maxMissing))
   }
 
+  /** seqSetFilter(sample.sel=): restrict the sample axis to the given
+    * 0-based ordinals (per-row positional gather over every per-sample
+    * column — the reference's sample bitmap, without a transpose). */
+  def setFilterSamples(ordinals: Seq[Int]): SeqVarData = {
+    val perSample = variants.columns.filter(c =>
+      c == "geno" || c == "phased" || c.startsWith("fmt_"))
+    SeqVarData(perSample.foldLeft(variants)((df, c) =>
+      df.withColumn(c, sampleSlice(col(c), ordinals))))
+  }
+
   /** GRanges-style containment filter (reference seqSetFilter(GRanges),
     * src/SeqArray.cpp:780-868): keep variants inside any interval of
     * `ranges(chrom, start, end)`; banded equi-join, never a nested loop. */

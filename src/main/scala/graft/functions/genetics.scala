@@ -93,6 +93,14 @@ object genetics {
       (acc, x) => when(acc === "", x).otherwise(concat(acc, sep, x)))
   }
 
+  /** Sample-axis selection (reference `seqSetFilter(sample.id=)` /
+    * `sample.sel=`, src/SeqArray.cpp:127-370): restrict any per-sample
+    * array column (geno, phased, fmt_*) to the given 0-based ordinals, in
+    * the given order. The reference's sample bitmap becomes a per-row
+    * positional gather — no shuffle, codegen `element_at`s. */
+  def sampleSlice(perSample: Column, ordinals: Seq[Int]): Column =
+    array(ordinals.map(i => element_at(perSample, i + 1)): _*)
+
   /** Minor-allele frequency fold (reference `seqAlleleFreq(minor=TRUE)`,
     * R/Methods.R:905-1021): min(af, 1-af) of allele `k`. */
   def minorAlleleFreq(geno: Column, k: Column): Column = {

@@ -229,5 +229,32 @@ object Genomics extends QueryModule {
        JOIN variants v ON v.chrom = p.p_chrom AND v.pos = p.p_pos)
       WHERE rn = 1""")))
 
-  override def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24, q43, q44, q45)
+  // Sample-axis selection (seqSetFilter(sample.id=), SEQ_SetSpaceSample,
+  // src/SeqArray.cpp:127-370): keep sample ordinals {0,2,5}, then run the
+  // aggregate kernels on the restricted cube — selection is a per-row
+  // positional gather, not a shuffle.
+  private val q47 = Q("q47_sample_filter",
+    (s, dir) => {
+      val keep = Seq(0, 2, 5)
+      val v = SynthGeno.variants(s, dir)
+      val g = sampleSlice(col("geno"), keep)
+      val p = sampleSlice(col("phased"), keep)
+      v.select(col("vid"),
+        nCalledAlleles(g).as("n_called"),
+        alleleCount(g, lit(0)).as("ac_ref"),
+        gtStrings(g, p, ";").as("gts"))
+    },
+    Some(withCte("""SELECT vid,
+      len(list_filter(flatten(g), a -> a IS NOT NULL)) AS n_called,
+      len(list_filter(flatten(g), a -> a = 0)) AS ac_ref,
+      array_to_string(list_transform(range(1, 4), s ->
+        COALESCE(CAST(g[s][1] AS VARCHAR), '.')
+        || (CASE WHEN p[s] THEN '|' ELSE '/' END)
+        || COALESCE(CAST(g[s][2] AS VARCHAR), '.')), ';') AS gts
+      FROM (SELECT vid, [geno[1], geno[3], geno[6]] AS g,
+              [phased[1], phased[3], phased[6]] AS p
+            FROM variants)""")))
+
+  override def queries: Seq[Q] =
+    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47)
 }

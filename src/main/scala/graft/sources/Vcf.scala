@@ -129,6 +129,19 @@ object Vcf {
       samples.length)
   }
 
+  /** Reconstruct a VCF header from field specs + sample ids (seqGDS2VCF's
+    * header rebuild, /root/reference/R/Conversion.R:63-175). Inverse of
+    * [[headerSpecs]] up to Description text. */
+  def formatHeader(info: Seq[FieldSpec], fmt: Seq[FieldSpec],
+      samples: Seq[String]): Seq[String] = {
+    def line(kind: String)(f: FieldSpec) =
+      s"""##$kind=<ID=${f.id},Number=${f.number},Type=${f.vtype},Description="">"""
+    Seq("##fileformat=VCFv4.2") ++
+      info.map(line("INFO")) ++ fmt.map(line("FORMAT")) :+
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+        "FORMAT") ++ samples).mkString("\t")
+  }
+
   /** Format variant rows back into VCF body lines (the seqGDS2VCF
     * formatter collapsed into one expression; GT-only FORMAT). Expects the
     * [[parseLines]] shape; `infoExpr` supplies the INFO column text (caller

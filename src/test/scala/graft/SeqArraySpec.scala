@@ -63,6 +63,16 @@ class SeqArraySpec extends AnyFunSuite {
       graft.genomics.SynthGeno.nSamples)
   }
 
+  test("sample-axis selection restricts every per-sample column") {
+    val sel = gds.setFilterSamples(Seq(1, 4))
+    val r = sel.variants.select(col("geno"), col("phased")).collect()(0)
+    assert(r.getSeq[Any](0).length == 2 && r.getSeq[Boolean](1).length == 2)
+    // aggregates now run over the restricted cube
+    val full = gds.alleleCount(0).agg(sum(col("ac"))).collect()(0).getLong(0)
+    val part = sel.alleleCount(0).agg(sum(col("ac"))).collect()(0).getLong(0)
+    assert(part < full)
+  }
+
   test("range filter and apply engine") {
     import spark.implicits._
     val ranges = Seq(("c0", 0L, 20000L), ("c1", 50000L, 99999L))

@@ -96,6 +96,21 @@ class VcfSpec extends AnyFunSuite {
     assert(viaGz == b)
   }
 
+  test("header reconstruction round-trips through the header parser") {
+    val (info, fmt, samples) = Vcf.headerSpecs(vcfText.linesIterator.toSeq)
+    val rebuilt = Vcf.formatHeader(info, fmt, samples)
+    val (info2, fmt2, samples2) = Vcf.headerSpecs(rebuilt)
+    assert(info2 == info && fmt2 == fmt && samples2 == samples)
+    // full-file round trip: header + body → read → same rows
+    val full = (rebuilt ++ vcfText.linesIterator.filterNot(_.startsWith("#")))
+      .mkString("\n")
+    val p = java.nio.file.Files.createTempFile("graft_full", ".vcf")
+    java.nio.file.Files.writeString(p, full)
+    val a = Vcf.read(spark, p.toString).collect().map(_.toSeq).toSet
+    val b = Vcf.read(spark, writeTemp()).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("format → parse round-trip is lossless on core fields") {
     val parsed = Vcf.read(spark, writeTemp())
     val lines = Vcf.formatLines(parsed,
