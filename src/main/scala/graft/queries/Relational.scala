@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.RangeJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Relational analogs of the reference's query surface, expressed over the
   * driver testdata. Each query mirrors one operator family from SURVEY.md §2:
@@ -335,6 +335,68 @@ object Relational extends QueryModule {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name"""))
 
+  // --- q15: hierarchical ROLLUP aggregation (absent in the reference —
+  // SURVEY §2.5 "built-in when we need them"; part of a complete engine
+  // surface). ---------------------------------------------------------------
+  private val q15 = Q("q15_rollup",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // --- q16: anti join (SURVEY §2.4 notes semi/anti absent in the
+  // reference; the complement of the q02 membership filter). ---------------
+  private val q16 = Q("q16_anti_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01",
+          "1995-12-31 23:59:59"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1995-12-31 23:59:59')"""))
+
+  // --- q17: as-of join (brief's custom-operator example; DuckDB's native
+  // ASOF JOIN is the oracle). Each event picks up the latest prior "mark"
+  // of its user via one keyed window — see operators/AsOfJoin.scala. -------
+  private val q17 = Q("q17_asof_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("epoch_s"))
+      val marks = Tables(s, dir, "events")
+        .filter(col("event_id") % 37 === 0)
+        .select(col("user_id").as("m_user"),
+          expr("ts div 1000000000").as("m_t"),
+          floor(col("value") * 1000).cast("long").as("m_val"))
+        .groupBy(col("m_user"), col("m_t"))
+        .agg(min(col("m_val")).as("mark_val"))
+      AsOfJoin.lastPrior(
+        ev, col("user_id"), col("epoch_s"),
+        marks, col("m_user"), col("m_t"),
+        Seq("mark_val" -> col("mark_val"), "mark_t" -> col("m_t")))
+    },
+    Some("""SELECT l.user_id, l.event_id, l.epoch_s, r.mark_val, r.m_t AS mark_t
+      FROM (SELECT user_id, event_id,
+              epoch_ns(ts) // 1000000000 AS epoch_s FROM events) l
+      ASOF LEFT JOIN
+        (SELECT m_user, m_t, MIN(m_val) AS mark_val
+         FROM (SELECT user_id AS m_user, epoch_ns(ts) // 1000000000 AS m_t,
+                 CAST(floor(value * 1000) AS BIGINT) AS m_val
+               FROM events WHERE event_id % 37 = 0)
+         GROUP BY m_user, m_t) r
+      ON l.user_id = r.m_user AND l.epoch_s >= r.m_t"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q08, q09, q10, q11, q12, q13, q14)
+    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
 }
