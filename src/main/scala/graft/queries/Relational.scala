@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
 
 /** Relational analogs of the reference's query surface, expressed over the
   * driver testdata. Each query mirrors one operator family from SURVEY.md §2:
@@ -397,6 +397,46 @@ object Relational extends QueryModule {
          GROUP BY m_user, m_t) r
       ON l.user_id = r.m_user AND l.epoch_s >= r.m_t"""))
 
+  // --- q18: analytic window functions (absent in the reference, SURVEY
+  // §2.6 — "ranking/analytic window functions: absent"; part of a complete
+  // engine surface). Total ordering makes every function deterministic. ----
+  private val q18 = Q("q18_analytic_windows",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      ROW_NUMBER() OVER w AS seq,
+      LAG(o_orderkey, 1) OVER w AS prev_order,
+      LEAD(o_orderkey, 1) OVER w AS next_order,
+      NTILE(4) OVER w AS quartile,
+      FIRST_VALUE(o_orderkey) OVER w AS first_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)"""))
+
+  // --- q19: skew-safe salted aggregation (brief: "salting for skew").
+  // l_returnflag has 3 heavy keys; the salted two-stage plan splits each
+  // into 16 parallel sub-aggregations — see operators/SaltedAgg.scala. The
+  // oracle is the plain GROUP BY, proving the decomposition is exact. ------
+  private val q19 = Q("q19_salted_agg",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      SaltedAgg.sumCountByKey(li, col("l_returnflag"), col("l_orderkey"),
+        col("l_quantity").cast(d18_2), salts = 16)
+    },
+    Some("""SELECT l_returnflag AS key,
+      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_value,
+      COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
