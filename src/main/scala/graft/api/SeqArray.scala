@@ -13,6 +13,9 @@ import graft.sources.Vcf
   * `chrom`, `pos`, `allele` ("REF,ALT1,…"), `geno`, `phased`, plus
   * optional `id`/`qual`/`filter`/`info_*`/`fmt_*` from VCF import.
   *
+  * `variant_id` must be unique (the reference enforces the same for
+  * `variant.id`); id-keyed operations (unitApply, merge) assume it.
+  *
   * Selection semantics (reference `seqSetFilter` stack,
   * /root/reference/src/Index.h:324-363): immutable. Every `setFilter*`
   * returns a NEW SeqVarData restricted further (the reference's
@@ -174,6 +177,24 @@ final case class SeqVarData(variants: DataFrame) {
       dupRm: Boolean = true): DataFrame =
     SlidingWindows.windows(variants, col("chrom"), col("pos"),
       col("variant_id"), winSize, winShift, dupRm)
+
+  /** seqUnitApply (R/UnitList.R:290-443): a typed UDF per window over that
+    * window's member variant rows — groupByKey + mapGroups, the load-
+    * balanced parallel unit loop as Spark sees it. `f` receives
+    * (chrom, winStart, member variant rows). */
+  def unitApply[T: org.apache.spark.sql.Encoder](
+      winSize: Long, winShift: Long)(
+      f: (String, Long, Iterator[org.apache.spark.sql.Row]) => T)
+      : org.apache.spark.sql.Dataset[T] = {
+    import variants.sparkSession.implicits._
+    val wins = unitSlidingWindows(winSize, winShift, dupRm = false)
+      .select(col("chrom").as("__wchrom"), col("win_start"),
+        explode(col("members")).as("variant_id"))
+    wins.join(variants, "variant_id")
+      .groupByKey(r => (r.getAs[String]("__wchrom"), r.getAs[Long]("win_start")))
+      .mapGroups((key: (String, Long),
+          it: Iterator[org.apache.spark.sql.Row]) => f(key._1, key._2, it))
+  }
 
   // ---- §2.1 export --------------------------------------------------------
 

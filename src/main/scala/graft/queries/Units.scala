@@ -112,5 +112,26 @@ object Units extends QueryModule {
       COUNT(DISTINCT pos) AS n_pos
       FROM variants GROUP BY chrom, nall""")))
 
-  override def queries: Seq[Q] = Seq(q25, q26, q27, q28)
+  // $chrom_pos2 exact semantics (src/GetData.cpp:710-748): "chrom:pos" for
+  // the first occurrence, "chrom:pos_k" for the k-th duplicate — the dup
+  // counter is a row_number over the key in variant order.
+  private val q48 = Q("q48_chrom_pos2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = SynthGeno.variants(s, dir)
+      val w = Window.partitionBy(col("chrom"), col("pos")).orderBy(col("vid"))
+      v.withColumn("rn", row_number().over(w))
+        .select(col("vid"),
+          concat(col("chrom"), lit(":"), col("pos"),
+            when(col("rn") > 1, concat(lit("_"), col("rn") - 1))
+              .otherwise(lit(""))).as("chrom_pos2"))
+    },
+    Some(withCte("""SELECT vid,
+      chrom || ':' || pos ||
+        (CASE WHEN rn > 1 THEN '_' || (rn - 1) ELSE '' END) AS chrom_pos2
+      FROM (SELECT vid, chrom, pos,
+              ROW_NUMBER() OVER (PARTITION BY chrom, pos ORDER BY vid) AS rn
+            FROM variants)""")))
+
+  override def queries: Seq[Q] = Seq(q25, q26, q27, q28, q48)
 }

@@ -24,10 +24,13 @@ class SeqArraySpec extends AnyFunSuite {
     val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
     val full = transform(sequence(lit(1), col("nall").cast("int")),
       i => element_at(letters, i))
+    // the façade contract (like the reference's variant.id) is a UNIQUE id;
+    // SynthGeno vids collide, so dedupe for the fixture
     SeqVarData(graft.genomics.SynthGeno
       .variants(spark, "/root/testdata/sf0.001")
       .select(col("vid").as("variant_id"), col("chrom"), col("pos"),
-        array_join(full, ",").as("allele"), col("geno"), col("phased")))
+        array_join(full, ",").as("allele"), col("geno"), col("phased"))
+      .dropDuplicates("variant_id"))
   }
 
   test("filter chain narrows the selection like the reference's intersect") {
@@ -89,6 +92,17 @@ class SeqArraySpec extends AnyFunSuite {
     assert(perVariant.count() == gds.variants.count())
     val blocks = gds.blockApplyVariants(it => Iterator(it.size.toLong))
     assert(blocks.collect().sum == gds.variants.count())
+  }
+
+  test("unitApply == declarative window aggregation") {
+    import spark.implicits._
+    val viaUdf = gds.unitApply(2000, 1000) { (c, ws, it) =>
+      (c, ws, it.size.toLong)
+    }.collect().toSet
+    val viaSql = gds.unitSlidingWindows(2000, 1000, dupRm = false)
+      .select(col("chrom"), col("win_start"), size(col("members")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaUdf == viaSql && viaUdf.nonEmpty)
   }
 
   test("windows, merge, digest, summary, VCF export run end-to-end") {
