@@ -50,6 +50,19 @@ def main(sf_dir, out_dir):
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: cols {sorted(gcols)} vs {sorted(ecols)}")
             n_fail += 1; continue
+        # The driver's hash is type-sensitive (round-1 lesson: DuckDB
+        # SUM→HUGEINT/DECIMAL(38,2) vs Spark BIGINT/DECIMAL(28,2) fails
+        # the hash even when values match) — so compare declared types too.
+        con.execute(f"SELECT * FROM read_parquet({spark_files!r}) LIMIT 0")
+        gtypes = sorted((d[0], str(d[1])) for d in con.description)
+        con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        etypes = sorted((d[0], str(d[1])) for d in con.description)
+        if gtypes != etypes:
+            print(f"FAIL {name}: dtypes differ")
+            for (gn, gt), (en, et) in zip(gtypes, etypes):
+                if gt != et:
+                    print(f"  {gn}: spark={gt} oracle={et}")
+            n_fail += 1; continue
         cg, ce = canon(got, gcols), canon(exp, ecols)
         if cg == ce:
             print(f"PASS {name} ({len(cg)} rows)"); n_pass += 1

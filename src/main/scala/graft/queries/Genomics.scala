@@ -115,10 +115,11 @@ object Genomics extends QueryModule {
           col("n_miss_alleles").cast("double") /
             (col("n_variants") * SynthGeno.ploidy))
     },
-    Some(withCte(s"""SELECT s, COUNT(*) AS n_variants,
-      SUM(CASE WHEN len(list_filter(geno[s+1], a -> a IS NULL)) > 0
-               THEN 1 ELSE 0 END) AS n_miss_calls,
-      SUM(len(list_filter(geno[s+1], a -> a IS NULL))) AS n_miss_alleles,
+    Some(withCte(s"""SELECT CAST(s AS INT) AS s, COUNT(*) AS n_variants,
+      CAST(SUM(CASE WHEN len(list_filter(geno[s+1], a -> a IS NULL)) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_calls,
+      CAST(SUM(len(list_filter(geno[s+1], a -> a IS NULL))) AS BIGINT)
+        AS n_miss_alleles,
       CAST(SUM(len(list_filter(geno[s+1], a -> a IS NULL))) AS DOUBLE)
         / (COUNT(*) * ${SynthGeno.ploidy}) AS miss_rate
       FROM variants, (SELECT unnest(range(0, 8)) AS s)

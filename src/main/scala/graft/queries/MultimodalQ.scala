@@ -26,10 +26,12 @@ object MultimodalQ extends QueryModule {
     Some("""SELECT
         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
         COUNT(*) AS n_media,
-        SUM(octet_length(encode(text))) AS total_bytes,
-        MIN(octet_length(encode(text)) % 640 + 16) AS min_w,
-        MAX((octet_length(encode(text)) * 7) % 480 + 16) AS max_h,
-        SUM(octet_length(encode(text)) % 8 + 1) AS total_frames
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(MIN(octet_length(encode(text)) % 640 + 16) AS INT) AS min_w,
+        CAST(MAX((octet_length(encode(text)) * 7) % 480 + 16) AS INT)
+          AS max_h,
+        CAST(SUM(octet_length(encode(text)) % 8 + 1) AS BIGINT)
+          AS total_frames
       FROM documents GROUP BY 1"""))
 
   // Binary-column expressions without the typed path: envelope metadata +

@@ -25,6 +25,12 @@ import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
 object Relational extends QueryModule {
 
   private val d18_2 = DecimalType(18, 2)
+  // Canonical aggregate result types. DuckDB widens SUM(DECIMAL(18,2)) to
+  // DECIMAL(38,2) and SUM(BIGINT) to HUGEINT while Spark produces
+  // DECIMAL(28,2) / BIGINT; the driver's hash is type-sensitive, so both
+  // sides cast every SUM to an explicit shared type (lossless widening).
+  private val d38_2 = DecimalType(38, 2)
+  private val d38_4 = DecimalType(38, 4)
 
   // --- q01: grouped multi-aggregate fusion (SURVEY §2.5 seqGetAF_AC_Missing:
   // several aggregates over one scan, map-side partial agg). ---------------
@@ -33,19 +39,22 @@ object Relational extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d18_2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(d18_2)).as("sum_base_price"),
+          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"),
+          sum(col("l_extendedprice").cast(d18_2)).cast(d38_2)
+            .as("sum_base_price"),
           sum(col("l_extendedprice").cast(d18_2) *
             (lit(1).cast(d18_2) - col("l_discount").cast(d18_2)))
-            .as("sum_disc_price"),
+            .cast(d38_4).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        AS sum_disc_price,
+        AS DECIMAL(38,4)) AS sum_disc_price,
       COUNT(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
@@ -77,10 +86,11 @@ object Relational extends QueryModule {
            col("l_shipdate").between("1996-01-01", "1996-06-30 23:59:59")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
+          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_qty
       FROM lineitem
       WHERE l_returnflag IN ('A','R') AND (
         (l_shipdate BETWEEN TIMESTAMP '1994-01-01'
@@ -120,9 +130,11 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
         .filter(col("sum_qty") >= col("n") * 30)
+        .withColumn("sum_qty", col("sum_qty").cast(d38_2))
     },
     Some("""SELECT l_partkey, COUNT(*) AS n,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_qty
       FROM lineitem GROUP BY l_partkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= COUNT(*) * 30"""))
 
@@ -216,7 +228,8 @@ object Relational extends QueryModule {
         .drop("value_mil")
     },
     Some("""SELECT user_id, event_id, epoch_s,
-      COUNT(*) OVER w AS n_1h, SUM(value_mil) OVER w AS sum_1h
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(value_mil) OVER w AS BIGINT) AS sum_1h
       FROM (SELECT user_id, event_id,
               epoch_ns(ts) // 1000000000 AS epoch_s,
               CAST(floor(value * 1000) AS BIGINT) AS value_mil
@@ -304,8 +317,10 @@ object Relational extends QueryModule {
           sum(col("k")).as("sum_k"))
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-      SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_mil,
-      MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+      CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        AS sum_value_mil,
+      MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k
       FROM (SELECT event_type, value,
               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
             FROM events)
@@ -325,10 +340,11 @@ object Relational extends QueryModule {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(d18_2)).as("sum_price"))
+          sum(col("o_totalprice").cast(d18_2)).cast(d38_2).as("sum_price"))
     },
     Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
-      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_price
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -343,10 +359,11 @@ object Relational extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
+          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"))
     },
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
   // --- q16: anti join (SURVEY §2.4 notes semi/anti absent in the
@@ -430,10 +447,12 @@ object Relational extends QueryModule {
     (s, dir) => {
       val li = Tables(s, dir, "lineitem")
       SaltedAgg.sumCountByKey(li, col("l_returnflag"), col("l_orderkey"),
-        col("l_quantity").cast(d18_2), salts = 16)
+          col("l_quantity").cast(d18_2), salts = 16)
+        .withColumn("sum_value", col("sum_value").cast(d38_2))
     },
     Some("""SELECT l_returnflag AS key,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_value,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS sum_value,
       COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag"""))
 
