@@ -10,16 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Returns elapsed seconds, or the NEGATED elapsed time when the query
+    // threw — a failed query must not contribute a plausible-looking
+    // duration to the headline JSON.
     def run1(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed projections away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          true
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (failed) -dt else dt
     }
     val first = SparkEntry.queries.map { case (name, fn) =>
       name -> run1(name, fn)
@@ -31,12 +37,13 @@ object Bench {
     val results = scala.collection.mutable.Map(first.toSeq: _*)
     for ((name, t) <- first.toSeq.sortBy(-_._2) if t > 5.0 && budget > 0) {
       val t2 = run1(name, SparkEntry.queries(name))
-      budget -= t2
-      if (t2 < t) results(name) = t2
+      budget -= math.abs(t2)
+      if (t2 >= 0 && t2 < t) results(name) = t2
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failed queries (negative sentinel) are excluded from the headline.
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -85,12 +85,14 @@ final case class SeqVarData(variants: DataFrame) {
 
   /** GRanges-style containment filter (reference seqSetFilter(GRanges),
     * src/SeqArray.cpp:780-868): keep variants inside any interval of
-    * `ranges(chrom, start, end)`; banded equi-join, never a nested loop. */
+    * `ranges(chrom, start, end)`; banded equi-join, never a nested loop.
+    * GRanges intervals are closed — pointInInterval's hi is exclusive, so
+    * end+1 keeps variants at pos == end (reference inclusive-end). */
   def setFilterRanges(ranges: DataFrame, bandWidth: Long = 100000): SeqVarData = {
     val hits = graft.operators.RangeJoin.pointInInterval(
         variants, col("pos"),
         ranges.select(col("chrom").as("r_chrom"), col("start").as("__lo"),
-          col("end").as("__hi")),
+          (col("end") + 1).as("__hi")),
         col("__lo"), col("__hi"), bandWidth)
       .filter(col("chrom") === col("r_chrom"))
       .drop("r_chrom", "__lo", "__hi")
@@ -142,17 +144,26 @@ final case class SeqVarData(variants: DataFrame) {
       graft.functions.genetics.alleleCount(col("geno"), lit(k)).as("ac"))
 
   /** seqMissing: per-variant rate, or per-sample (sample ordinal →
-    * missing-allele fraction) via the explode margin. */
+    * missing-allele fraction) via the explode margin. A null sample array
+    * (absent GT cell from VCF import) surfaces as missPerSample's -1
+    * sentinel and counts as a fully-missing call (all `ploidy` alleles);
+    * ploidy comes from the first non-null call of the row, so a null
+    * first sample cannot poison it. Rows where every call is null carry
+    * no ploidy information and contribute to neither margin. */
   def missing(perVariant: Boolean = true): DataFrame =
     if (perVariant)
       variants.select(col("variant_id"), missingRate(col("geno")).as("miss"))
     else
       variants
-        .select(size(element_at(col("geno"), 1)).as("__ploidy"),
+        .select(
+          array_max(transform(col("geno"), sa =>
+            when(sa.isNotNull, size(sa)))).as("__ploidy"),
           posexplode(missPerSample(col("geno"))).as(Seq("sample", "mc")))
+        .filter(col("__ploidy").isNotNull)
         .groupBy(col("sample"))
-        .agg((sum(col("mc")).cast("double") / sum(col("__ploidy")))
-          .as("miss"))
+        .agg((sum(when(col("mc") < 0, col("__ploidy"))
+            .otherwise(col("mc"))).cast("double") /
+          sum(col("__ploidy"))).as("miss"))
 
   // ---- §2.11 apply engine -------------------------------------------------
 

@@ -50,10 +50,19 @@ object VcfDataSource {
   final case class ParsePlan(schema: StructType, exprs: Seq[Expression],
       input: Seq[Attribute]) extends Serializable
 
+  /** Spark's DataFrameReader encodes multiple `load(a, b, …)` paths as a
+    * JSON array string in the `paths` option (as the built-in
+    * FileDataSourceV2 does); parse it as JSON first, with a comma-split
+    * fallback only for hand-written non-JSON values. */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val t = raw.trim
+      if (t.startsWith("[")) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+        (0 until node.size()).map(node.get(_).asText())
+      } else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
     val all = single ++ multi
     require(all.nonEmpty, "vcf source requires a path")
     all
@@ -77,6 +86,15 @@ object VcfDataSource {
   def planFor(paths: Seq[String]): ParsePlan = {
     val spark = SparkSession.active
     val (info, fmt, samples) = Vcf.headerSpecs(headerLines(paths.head))
+    // One parse plan serves every partition, so every file must declare
+    // the same INFO/FORMAT fields and sample columns — fail fast instead
+    // of silently misparsing later files under the first file's specs.
+    paths.tail.foreach { p =>
+      val other = Vcf.headerSpecs(headerLines(p))
+      require(other == ((info, fmt, samples)),
+        s"vcf header mismatch: $p declares different INFO/FORMAT/samples " +
+          s"than ${paths.head}")
+    }
     import spark.implicits._
     val dummy = spark.createDataset(Seq.empty[String]).toDF("value")
     val parsed = Vcf.parseLines(dummy, info, fmt, samples.length)

@@ -66,6 +66,31 @@ class SeqArraySpec extends AnyFunSuite {
       graft.genomics.SynthGeno.nSamples)
   }
 
+  test("per-sample missing counts absent (null) calls as fully missing") {
+    import spark.implicits._
+    // 2 samples, ploidy 2. Row 1: sample1's call is absent entirely (null
+    // array — what VCF import yields for a missing GT cell). Row 2:
+    // sample0 has one missing allele.
+    val df = Seq(
+      (1L, Seq(Seq[java.lang.Long](0L, 1L), null)),
+      (2L, Seq(Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](0L, 0L))))
+      .toDF("variant_id", "geno")
+    val m = SeqVarData(df).missing(perVariant = false)
+      .orderBy("sample").collect()
+    assert(m(0).getDouble(1) == 0.25)  // sample0: (0 + 1) / 4
+    assert(m(1).getDouble(1) == 0.5)   // sample1: (2 + 0) / 4
+  }
+
+  test("range filter keeps variants at pos == end (closed intervals)") {
+    import spark.implicits._
+    val vs = Seq((1L, "c0", 100L), (2L, "c0", 200L), (3L, "c0", 201L))
+      .toDF("variant_id", "chrom", "pos")
+    val ranges = Seq(("c0", 50L, 200L)).toDF("chrom", "start", "end")
+    val kept = SeqVarData(vs).setFilterRanges(ranges)
+      .variants.select("variant_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
   test("sample-axis selection restricts every per-sample column") {
     val sel = gds.setFilterSamples(Seq(1, 4))
     val r = sel.variants.select(col("geno"), col("phased")).collect()(0)

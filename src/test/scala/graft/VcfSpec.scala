@@ -96,6 +96,25 @@ class VcfSpec extends AnyFunSuite {
     assert(viaGz == b)
   }
 
+  test("DSv2 multi-path load and header-mismatch validation") {
+    // Spark encodes load(a, b) as a JSON-array `paths` option.
+    val p1 = writeTemp()
+    val p2 = writeTemp()
+    val both = spark.read.format("vcf").load(p1, p2)
+    assert(both.count() == 4)
+    // A file whose header declares different samples must fail fast, not
+    // be silently misparsed under the first file's specs.
+    val bad = vcfText.replace("S1\tS2\tS3", "S1\tS2\tS3\tS4")
+      .replace("0/1:12\t1|2:.\t./.:7", "0/1:12\t1|2:.\t./.:7\t0/0:1")
+      .replace("0|0\t.\t1/1", "0|0\t.\t1/1\t0/0")
+    val pBad = Files.createTempFile("graft_bad", ".vcf")
+    Files.writeString(pBad, bad)
+    val e = intercept[Exception] {
+      spark.read.format("vcf").load(p1, pBad.toString).collect()
+    }
+    assert(e.getMessage.contains("header mismatch"))
+  }
+
   test("header reconstruction round-trips through the header parser") {
     val (info, fmt, samples) = Vcf.headerSpecs(vcfText.linesIterator.toSeq)
     val rebuilt = Vcf.formatHeader(info, fmt, samples)
