@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Prototype CoreArray GDS reader (public gdsfmt container format,
+recovered from fixture bytes) — the blueprint for the Scala DSv2 source.
+
+Layers:
+  1. Block layer: file = magic(12) + version(2) + entryId(4) + blocks.
+     Block = [size:u48][next:u48][id:u32][content]; bit47 of size marks
+     the head fragment; sizes include the 16-byte header; `next` chains
+     fragments of one stream.
+  2. Node records: CdSerial property lists matched by token; class names
+     are 7-bit-packed ASCII; folders embed child tables (name->stream).
+  3. Data streams: referenced by id; "*_ra" coders frame the payload as
+     [magic "XZ_RA"/"LZMA_RA"/"ZRA"][u8 version?][u8 blockSizeLog]
+     [u32-ish ...] then independently compressed chunks; we locate the
+     standard xz/lzma/zlib magic and stream-decode.
+"""
+import struct, sys, lzma, zlib
+
+def u16(b, o): return struct.unpack_from("<H", b, o)[0]
+def u32(b, o): return struct.unpack_from("<I", b, o)[0]
+def u64(b, o): return struct.unpack_from("<Q", b, o)[0]
+def u48(b, o):
+    lo, hi = struct.unpack_from("<IH", b, o)
+    return lo | (hi << 32)
+
+def unpack7(b, n):
+    bits = acc = i = 0
+    out = []
+    for _ in range(n):
+        while bits < 7:
+            acc |= b[i] << bits; bits += 8; i += 1
+        out.append(acc & 0x7f); acc >>= 7; bits -= 7
+    return bytes(out).decode()
+
+def streams(data):
+    assert data[:12] == b"COREARRAYx0A"
+    pos, frags = 18, []
+    while pos + 16 <= len(data):
+        size = u48(data, pos)
+        head = bool(size >> 47)
+        size &= (1 << 47) - 1
+        frags.append(dict(pos=pos, size=size, next=u48(data, pos + 6),
+                          id=u32(data, pos + 12), head=head))
+        pos += size
+    by_pos = {f["pos"]: f for f in frags}
+    out = {}
+    for f in frags:
+        if not f["head"]:
+            continue
+        buf, cur = bytearray(), f
+        while True:
+            buf += data[cur["pos"] + 16: cur["pos"] + cur["size"]]
+            if cur["next"] == 0:
+                break
+            cur = by_pos[cur["next"]]
+        out[f["id"]] = bytes(buf)
+    return out
+
+def folder_children(rec):
+    kids, i = [], 0
+    while i + 6 < len(rec):
+        if rec[i:i+6] == bytes.fromhex("03000902f500"):
+            start = i - 6
+            elen = u48(rec, start)
+            cid = u32(rec, i + 6)
+            j = i + 10
+            name, flags = None, 0
+            if rec[j:j+5] == bytes.fromhex("0944743112"):
+                flags = u32(rec, j + 5)
+                j += 9
+            if rec[j] in (0x15, 0x16, 0x17) \
+                    and rec[j+1:j+5] == bytes.fromhex("44c66010"):
+                nl = rec[j+5]
+                name = rec[j+6:j+6+nl].decode("utf-8", "replace")
+            kids.append(dict(id=cid, name=name, flags=flags))
+            i = start + max(elen, 1)
+        else:
+            i += 1
+    return kids
+
+SIGS = [  # (hexsig, handler key)
+    ("0001", "cls"), ("15c4466d10", "coder"),
+    ("02c9466d50e051250410", "sizes"), ("05ca466d507041217401", "skip10"),
+    ("0205cb466d50d0581e5542", "skip12"), ("07c4e3641f", "ndim"),
+    ("02c34361", "dims"), ("09c4c37c0c", "data_id"),
+    ("0807f37d9d937d", "nattr"), ("0108f37ddd45791f", "attrs"),
+    ("08c643754ef601", "nchild"), ("01c7437517e57d", "children"),
+]
+
+def parse_record(rec):
+    r = dict(cls=None, coder=None, ndim=None, dims=None, data_id=None,
+             raw=None, cmp=None, nattr=0, attrs=b"", nchild=0, children=[],
+             unknown=None)
+    p = 14  # [u48 len][u48 len2][u16 nprops]
+    while p < len(rec):
+        hit = None
+        for sig, key in SIGS:
+            s = bytes.fromhex(sig)
+            if rec[p:p+len(s)] == s:
+                hit = (key, len(s)); break
+        if hit is None:
+            # value-length quirks leave us a few bytes off; resync by
+            # scanning forward for the next recognizable token
+            q = p + 1
+            found = False
+            while q < len(rec) and q < p + 64:
+                for sig, _ in SIGS:
+                    s = bytes.fromhex(sig)
+                    if len(s) >= 5 and rec[q:q+len(s)] == s:
+                        found = True; break
+                if found:
+                    break
+                q += 1
+            if not found:
+                break
+            p = q
+            continue
+        key, sl = hit
+        if key == "cls":
+            n = rec[p+2]; need = (n*7+7)//8
+            r["cls"] = unpack7(rec[p+3:p+3+need], n); p += 3+need
+        elif key == "coder":
+            n = rec[p+5]; r["coder"] = rec[p+6:p+6+n].decode(); p += 6+n
+        elif key == "sizes":
+            r["raw"], r["cmp"] = u64(rec, p+10), u64(rec, p+18); p += 26
+        elif key == "skip10": p += 10
+        elif key == "skip12": p += 12
+        elif key == "ndim": r["ndim"] = u16(rec, p+5); p += 7
+        elif key == "dims":
+            nb = rec[p+4]
+            r["dims"] = [u32(rec, p+5+4*i) for i in range(nb // 4)]
+            p += 5 + nb
+        elif key == "data_id": r["data_id"] = u32(rec, p+5); p += 9
+        elif key == "nattr": r["nattr"] = u32(rec, p+7); p += 11
+        elif key == "attrs":
+            n = u48(rec, p+8); r["attrs"] = rec[p+14:p+14+n]; p += 14+n
+        elif key == "nchild": r["nchild"] = u32(rec, p+7); p += 11
+        elif key == "children":
+            n = u48(rec, p+7)
+            r["children"] = folder_children(rec[p+13:p+13+n])
+            # the blob length is a few bytes off in practice; step back
+            # before the resync scan so the next token isn't overshot
+            p += 13 + n - 8
+    return r
+
+def walk(st, sid=1, name="<root>", depth=0, out=None):
+    r = parse_record(st[sid])
+    if out is not None:
+        out.append((name, sid, r))
+    yield name, sid, r, depth
+    for k in r["children"]:
+        yield from walk(st, k["id"], f"{name}/{k['name']}", depth + 1, out)
+
+def main(path):
+    data = open(path, "rb").read()
+    st = streams(data)
+    for name, sid, r, depth in walk(st):
+        desc = {k: v for k, v in r.items()
+                if v and k not in ("children", "attrs")}
+        data_len = len(st.get(r["data_id"], b"")) if r["data_id"] else 0
+        print("  " * depth + f"{name.split('/')[-1]} [sid={sid}"
+              + (f" data={r['data_id']}({data_len}B)" if r["data_id"] else "")
+              + f"] {desc}")
+
+if __name__ == "__main__":
+    main(sys.argv[1])
