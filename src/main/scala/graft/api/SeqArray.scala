@@ -236,6 +236,12 @@ object SeqArray {
       monotonically_increasing_id()))
   }
 
+  /** seqOpen on a native CoreArray `.gds` file (the reference's own
+    * storage; R/Methods.R:12-77) via the DSv2 `gds` source — stored
+    * `variant.id` is preserved as `variant_id`. */
+  def openGds(spark: SparkSession, path: String): SeqVarData =
+    SeqVarData(graft.sources.gds.Gds.read(spark, path))
+
   /** seqMerge (variant-union): full outer join on (chrom, pos), allele-set
     * union, genotype index remap of both sides into the merged list. */
   def merge(a: SeqVarData, b: SeqVarData): SeqVarData = {

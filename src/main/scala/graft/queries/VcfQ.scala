@@ -52,5 +52,28 @@ object VcfQ extends QueryModule {
           || COALESCE(CAST(geno[s+1][2] AS VARCHAR), '.')), ';') AS gts
       FROM variants"""))
 
-  override def queries: Seq[Q] = Seq(q40)
+  // seqOpen on a native CoreArray .gds (the reference's own storage): full
+  // scan of the real CEU_Exon fixture through the DSv2 gds source into the
+  // fused AF/AC/missing kernel. No DuckDB oracle (DuckDB cannot read GDS) —
+  // rows-only here; the hash-grade check is GdsSpec's row-for-row equality
+  // against parsing CEU_Exon.vcf.gz.
+  private val q49 = Q("q49_gds_import",
+    (s, _) => {
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+      df.select(col("chrom"),
+          genoStats(col("geno"), lit(0)).as("st"))
+        .select(col("chrom"),
+          element_at(col("st"), 1).as("total"),
+          element_at(col("st"), 2).as("called"),
+          element_at(col("st"), 3).as("ac"))
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("ac")).as("sum_ref_count"),
+          sum(col("called")).as("sum_called"),
+          sum(col("total") - col("called")).as("sum_missing"))
+    },
+    None)
+
+  override def queries: Seq[Q] = Seq(q40, q49)
 }

@@ -1,0 +1,387 @@
+package graft.sources.gds
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import GdsCore._
+
+/** DataSource V2 for CoreArray GDS: `spark.read.format("gds").load(path)`
+  * (SURVEY.md §2.1 seqOpen on native .gds; the north star's "GDS
+  * read/write via custom data source").
+  *
+  * Output is the same canonical variants schema as [[graft.sources.Vcf]]
+  * (`variant_id, chrom, pos, id, ref, alts, allele, qual, filter,
+  * info_*, geno, phased, fmt_*`) so a SeqArray user's `.gds` opens
+  * directly into the engine's query surface.
+  *
+  * Scale design: one input partition per file — .gds cohorts ship as
+  * per-chromosome shards, which is the reference's own parallelism unit
+  * — and REAL column pruning: the scan decodes only the CoreArray nodes
+  * backing the required columns (a position/chrom query never inflates
+  * the genotype bit-planes; `.explain` shows the pruned ReadSchema). The
+  * `*_ra` coders' 128 KiB random-access chunks support finer
+  * variant-range splits for fixed-stride nodes; that refinement is
+  * documented in COVERAGE.md as the scale path for single-file use.
+  */
+class GdsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gds"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GdsSchema.forPath(GdsSchema.paths(options).head)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GdsTable(GdsSchema.paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object GdsSchema {
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val t = raw.trim
+      if (t.startsWith("[")) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+        (0 until node.size()).map(node.get(_).asText())
+      } else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "gds source requires a path")
+    all
+  }
+
+  private def attrStr(n: Node, key: String): Option[String] =
+    n.attrs.get(key).collect { case AttrStr(s) => s }
+
+  /** VCF-typed Spark type for an info/format node: scalar when
+    * Number=1, array otherwise; Flag -> boolean. */
+  private def fieldType(n: Node): (String, String, DataType) = {
+    val number = attrStr(n, "Number").getOrElse("1")
+    val vtype = attrStr(n, "Type").getOrElse("String")
+    val scalar: DataType = vtype match {
+      case "Integer" => IntegerType
+      case "Float" => FloatType
+      case _ => StringType
+    }
+    val t =
+      if (vtype == "Flag" || number == "0") BooleanType
+      else if (number == "1") scalar
+      else ArrayType(scalar)
+    (number, vtype, t)
+  }
+
+  val genoType: ArrayType = ArrayType(ArrayType(LongType))
+
+  def forTree(root: Node): StructType = {
+    val info = root.child("annotation").flatMap(_.child("info"))
+      .map(_.children).getOrElse(Nil)
+      .filterNot(_.name.startsWith("@"))
+    val fmt = root.child("annotation").flatMap(_.child("format"))
+      .map(_.children).getOrElse(Nil)
+    val hasGeno = root.child("genotype").exists(_.child("data").isDefined)
+    val hasPhase = root.child("phase").exists(_.child("data").isDefined)
+    StructType(
+      Seq(StructField("variant_id", LongType, nullable = false),
+        StructField("chrom", StringType),
+        StructField("pos", IntegerType),
+        StructField("id", StringType),
+        StructField("ref", StringType),
+        StructField("alts", ArrayType(StringType)),
+        StructField("allele", StringType),
+        StructField("qual", FloatType),
+        StructField("filter", StringType)) ++
+      info.map(n => StructField(s"info_${n.name}", fieldType(n)._3)) ++
+      (if (hasGeno) Seq(StructField("geno", genoType)) else Nil) ++
+      (if (hasPhase) Seq(StructField("phased", ArrayType(BooleanType)))
+       else Nil) ++
+      fmt.map { n =>
+        // Number/Type attrs sit on the field folder, not its data child
+        val inner = fieldType(n)._3 match {
+          case ArrayType(e, _) => ArrayType(ArrayType(e))
+          case t => ArrayType(t)
+        }
+        StructField(s"fmt_${n.name}", inner)
+      })
+  }
+
+  def forPath(path: String): StructType = {
+    val f = new GdsFile(path)
+    try forTree(f.root) finally f.close()
+  }
+
+  /** Column extractors: per required column, a variant-index -> catalyst
+    * value function, decoding only the nodes that column needs. */
+  def extractors(f: GdsFile, required: StructType): Array[Int => Any] = {
+    val root = f.root
+    val nVariants = root("variant.id").dims.head
+    val ann = root.child("annotation")
+    def infoNode(n: String) = ann.flatMap(_.child("info")).flatMap(_.child(n))
+    def fmtNode(n: String) = ann.flatMap(_.child("format")).flatMap(_.child(n))
+
+    lazy val alleles = strings(f, root("allele"))
+    def utf8(s: String): AnyRef =
+      if (s == null) null else UTF8String.fromString(s)
+
+    // genotype: 2-bit planes, @data[v] planes per variant, missing=all-ones
+    lazy val genoData = root.child("genotype").map { g =>
+      val data = g("data")
+      val planes = ints(f, g("@data"))
+      val starts = new Array[Int](planes.length)
+      var acc = 0
+      var i = 0
+      while (i < planes.length) { starts(i) = acc; acc += planes(i); i += 1 }
+      val nS = data.dims(1)
+      val ploidy = data.dims(2)
+      (bits(f, data), planes, starts, nS, ploidy)
+    }
+    lazy val phaseData = root.child("phase").map { ph =>
+      val data = ph("data")
+      (bits(f, data), data.dims(1))
+    }
+
+    def scalarNull(vtype: String, v: AnyRef): AnyRef = v
+
+    /** Decode an info/format values node into an indexed accessor of
+      * catalyst scalars. */
+    def valueReader(n: Node, vtype: String, count: Long): Int => AnyRef =
+      n.cls.getOrElse("") match {
+        case "dStr8" =>
+          val a = strings(f, n)
+          i => if (a(i).isEmpty) null else utf8(a(i))
+        case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
+          val a = ints(f, n)
+          i => if (a(i) == Int.MinValue) null
+               else java.lang.Integer.valueOf(a(i))
+        case "dFloat32" | "dFloat64" | "dPackedReal8U" =>
+          val a = floats(f, n)
+          i => if (a(i).isNaN) null else java.lang.Float.valueOf(a(i))
+        case "dVL_Int" =>
+          val a = varints(f, n, count)
+          i => java.lang.Integer.valueOf(a(i).toInt)
+        case "dBit1" =>
+          val a = bits(f, n)
+          i => java.lang.Boolean.valueOf(bit1(a, i) == 1)
+        case c => throw new UnsupportedOperationException(
+          s"gds value class $c at ${n.path}")
+      }
+
+    def infoExtractor(node: Node): Int => Any = {
+      val (number, vtype, _) = fieldType(node)
+      if (vtype == "Flag" || number == "0") {
+        val a = bits(f, node)
+        v => java.lang.Boolean.valueOf(bit1(a, v) == 1)
+      } else {
+        val lensOpt = ann.flatMap(_.child("info"))
+          .flatMap(_.child("@" + node.name)).map(ints(f, _))
+        lensOpt match {
+          case None =>
+            // dense: one value per variant
+            val rd = valueReader(node, vtype, nVariants.toLong)
+            if (number == "1") (v: Int) => rd(v)
+            else (v: Int) => new GenericArrayData(Array[Any](rd(v)))
+          case Some(lens) =>
+            val starts = new Array[Int](lens.length)
+            var acc = 0
+            var i = 0
+            while (i < lens.length) {
+              starts(i) = acc; acc += math.max(lens(i), 0); i += 1
+            }
+            val rd = valueReader(node, vtype, acc.toLong)
+            if (number == "1")
+              (v: Int) => if (lens(v) <= 0) null else rd(starts(v))
+            else
+              (v: Int) => if (lens(v) <= 0) null
+                else new GenericArrayData(
+                  Array.tabulate[Any](lens(v))(k => rd(starts(v) + k)))
+        }
+      }
+    }
+
+    def fmtExtractor(node: Node): Int => Any = {
+      val dataN = node("data")
+      val (_, vtype, _) = fieldType(node)
+      val nS = dataN.dims(1)
+      val lens = node.child("@data").map(ints(f, _))
+        .getOrElse(Array.fill(nVariants)(1))
+      val starts = new Array[Int](lens.length)
+      var acc = 0
+      var i = 0
+      while (i < lens.length) {
+        starts(i) = acc; acc += math.max(lens(i), 0); i += 1
+      }
+      val rd = valueReader(dataN, vtype, acc.toLong * nS)
+      val numberOne = attrStr(node, "Number").contains("1")
+      if (numberOne)
+        (v: Int) => new GenericArrayData(
+          Array.tabulate[Any](nS)(s => rd(starts(v) * nS + s)))
+      else
+        (v: Int) => new GenericArrayData(Array.tabulate[Any](nS)(s =>
+          if (lens(v) <= 0) null
+          else new GenericArrayData(Array.tabulate[Any](lens(v))(r =>
+            rd((starts(v) + r) * nS + s)))))
+    }
+
+    required.fields.map { field =>
+      field.name match {
+        case "variant_id" =>
+          val a = ints(f, root("variant.id"))
+          (v: Int) => java.lang.Long.valueOf(a(v).toLong)
+        case "chrom" =>
+          val a = strings(f, root("chromosome"))
+          (v: Int) => utf8(a(v))
+        case "pos" =>
+          val a = ints(f, root("position"))
+          (v: Int) => java.lang.Integer.valueOf(a(v))
+        case "id" =>
+          val a = ann.flatMap(_.child("id")).map(strings(f, _))
+            .getOrElse(Array.fill[String](nVariants)(null))
+          (v: Int) =>
+            if (a(v) == null || a(v).isEmpty || a(v) == ".") null
+            else utf8(a(v))
+        case "ref" =>
+          (v: Int) => {
+            val s = alleles(v)
+            val c = s.indexOf(',')
+            utf8(if (c < 0) s else s.substring(0, c))
+          }
+        case "alts" =>
+          (v: Int) => {
+            val s = alleles(v)
+            val c = s.indexOf(',')
+            val alts =
+              if (c < 0) Array.empty[Any]
+              else s.substring(c + 1).split(",").map(utf8(_): Any)
+            new GenericArrayData(alts)
+          }
+        case "allele" => (v: Int) => utf8(alleles(v))
+        case "qual" =>
+          val a = ann.flatMap(_.child("qual")).map(floats(f, _))
+            .getOrElse(Array.fill(nVariants)(Float.NaN))
+          (v: Int) => if (a(v).isNaN) null else java.lang.Float.valueOf(a(v))
+        case "filter" =>
+          val node = ann.flatMap(_.child("filter"))
+          node match {
+            case Some(nd) if nd.cls.contains("dInt32") =>
+              val codes = ints(f, nd)
+              val levels = nd.attrs.get("R.levels") match {
+                case Some(AttrList(vs)) =>
+                  vs.collect { case AttrStr(s) => s }.toArray
+                case Some(AttrStr(s)) => Array(s)
+                case _ => Array.empty[String]
+              }
+              (v: Int) =>
+                if (codes(v) < 1 || codes(v) > levels.length) null
+                else utf8(levels(codes(v) - 1))
+            case Some(nd) =>
+              val a = strings(f, nd)
+              (v: Int) => if (a(v).isEmpty) null else utf8(a(v))
+            case None => (_: Int) => null
+          }
+        case "geno" =>
+          val (data, planes, starts, nS, ploidy) = genoData.get
+          (v: Int) => {
+            val np = planes(v)
+            val missCode = (1 << (2 * np)) - 1
+            val rowBase = starts(v).toLong * nS * ploidy
+            new GenericArrayData(Array.tabulate[Any](nS) { s =>
+              new GenericArrayData(Array.tabulate[Any](ploidy) { a =>
+                var code = 0
+                var k = 0
+                while (k < np) {
+                  code |= bit2(data,
+                    rowBase + k.toLong * nS * ploidy + s * ploidy + a) << (2 * k)
+                  k += 1
+                }
+                if (code == missCode) null else java.lang.Long.valueOf(code.toLong)
+              })
+            })
+          }
+        case "phased" =>
+          val (data, nS) = phaseData.get
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](nS)(s =>
+            java.lang.Boolean.valueOf(bit1(data, v.toLong * nS + s) == 1)))
+        case n if n.startsWith("info_") =>
+          infoExtractor(infoNode(n.stripPrefix("info_")).getOrElse(
+            throw new NoSuchElementException(s"gds info node $n")))
+        case n if n.startsWith("fmt_") =>
+          fmtExtractor(fmtNode(n.stripPrefix("fmt_")).getOrElse(
+            throw new NoSuchElementException(s"gds format node $n")))
+        case other =>
+          throw new NoSuchElementException(s"gds column $other")
+      }
+    }
+  }
+}
+
+class GdsTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"gds(${paths.mkString(",")})"
+  override def schema(): StructType = GdsSchema.forPath(paths.head)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GdsScanBuilder(paths, schema())
+}
+
+class GdsScanBuilder(paths: Seq[String], full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep at least one column so row counts survive `select(count(*))`
+    required =
+      if (requiredSchema.fields.isEmpty)
+        StructType(full.fields.take(1))
+      else requiredSchema
+  override def build(): Scan = new GdsScan(paths, required)
+}
+
+class GdsScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => GdsInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdsReaderFactory(required)
+}
+
+final case class GdsInputPartition(path: String) extends InputPartition
+
+class GdsReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GdsPartitionReader(p.asInstanceOf[GdsInputPartition].path, required)
+}
+
+class GdsPartitionReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val file = new GdsFile(path)
+  private val nVariants = file.root("variant.id").dims.head
+  private val cols = GdsSchema.extractors(file, required)
+  private var v = -1
+
+  override def next(): Boolean = { v += 1; v < nVariants }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var i = 0
+    while (i < cols.length) {
+      row.update(i, cols(i)(v))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = file.close()
+}
+
+/** Convenience facade: `Gds.read(spark, path)` == DSv2 scan. */
+object Gds {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.format("gds").load(path)
+}
