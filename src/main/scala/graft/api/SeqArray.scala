@@ -269,14 +269,17 @@ object SeqArray {
       col("p_a").as("phased_a"), col("p_b").as("phased_b")))
   }
 
-  /** seqDigest: order-stable md5 over a projected column. */
+  /** seqDigest: order-insensitive md5 over a projected column, computed
+    * as a two-level hash-of-hashes (reference R/Summary.R:816) so no
+    * single cell ever materializes the whole table — see
+    * [[graft.operators.Digest]]. */
   def digest(v: SeqVarData, name: String): String = {
-    val d = v.getData(name)
-      .select(concat_ws(":", col("variant_id"), col("value").cast("string"))
-        .as("s"))
-      .agg(md5(array_join(sort_array(collect_list(col("s"))), ","))
-        .as("digest"))
-    d.collect()(0).getString(0)
+    val d = graft.operators.Digest.table(
+      v.getData(name)
+        .select(concat_ws(":", col("variant_id"),
+          col("value").cast("string")).as("s")),
+      col("s"))
+    d.collect()(0).getAs[String]("digest")
   }
 
   /** seqSummary: per-chromosome variant counts + allele-number tabulation. */

@@ -81,21 +81,34 @@ object Units extends QueryModule {
       WHERE n_variants >= 5""")))
 
   // --- seqDigest (R/Summary.R:781-820): order-insensitive content digest
-  // per chromosome — md5 over the sorted member encodings. ------------------
+  // per chromosome. Two-level split-then-hash-of-hashes (the reference's
+  // own answer at scale, R/Summary.R:816): members bucket by a portable
+  // md5-prefix hash, each bucket digests its sorted members (cells are
+  // ~1/64th of a chromosome, never one giant string), and the chromosome
+  // digest is the md5 of the bucket digests in bucket order. Shuffle
+  // parallelism is #chrom × 64 instead of #chrom. ---------------------------
   private val q27 = Q("q27_digest",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      v.select(col("chrom"),
-          concat_ws(":", col("vid"), col("pos"), col("nall")).as("s"))
-        .groupBy(col("chrom"))
-        .agg(count(lit(1)).as("n"),
-          md5(array_join(sort_array(collect_list(col("s"))), ","))
-            .as("digest"))
+      graft.operators.Digest.twoLevel(
+        v.select(col("chrom"),
+          concat_ws(":", col("vid"), col("pos"), col("nall")).as("s")),
+        Seq(col("chrom")), col("s"))
     },
-    Some(withCte("""SELECT chrom, COUNT(*) AS n,
-      md5(string_agg(vid || ':' || pos || ':' || nall, ',' ORDER BY
-        vid || ':' || pos || ':' || nall)) AS digest
-      FROM variants GROUP BY chrom""")))
+    Some(withCte(s"""SELECT chrom, CAST(SUM(bn) AS BIGINT) AS n,
+      md5(string_agg(d1, ',' ORDER BY bucket)) AS digest
+      FROM (
+        SELECT chrom, bucket, COUNT(*) AS bn,
+          md5(string_agg(s, ',' ORDER BY s)) AS d1
+        FROM (
+          SELECT chrom, vid || ':' || pos || ':' || nall AS s,
+            (ascii(substring(md5(vid || ':' || pos || ':' || nall), 1, 1))
+              * 128 +
+             ascii(substring(md5(vid || ':' || pos || ':' || nall), 2, 1)))
+              % 64 AS bucket
+          FROM variants)
+        GROUP BY chrom, bucket)
+      GROUP BY chrom""")))
 
   // --- seqSummary tabulations (R/Summary.R:233-427, 652-775): per-(chrom,
   // n-allele) variant counts and position stats. ----------------------------

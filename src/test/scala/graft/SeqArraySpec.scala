@@ -66,6 +66,23 @@ class SeqArraySpec extends AnyFunSuite {
       graft.genomics.SynthGeno.nSamples)
   }
 
+  test("two-level digest is invariant to partitioning and materializes no giant cell") {
+    import graft.operators.Digest
+    val src = gds.variants.select(col("variant_id"),
+      concat_ws(":", col("chrom"), col("pos")).as("s"))
+    val one = Digest.twoLevel(src.repartition(1), Seq(lit(1).as("g")),
+      col("s")).select("n", "digest").collect()(0)
+    val many = Digest.twoLevel(src.repartition(13), Seq(lit(1).as("g")),
+      col("s")).select("n", "digest").collect()(0)
+    assert(one == many)
+    assert(one.getLong(0) == src.count())
+    // and the facade path returns the same digest for any layout
+    val d1 = SeqArray.digest(gds, "position")
+    val d2 = SeqArray.digest(SeqVarData(gds.variants.repartition(7)),
+      "position")
+    assert(d1 == d2 && d1.length == 32)
+  }
+
   test("per-sample missing counts absent (null) calls as fully missing") {
     import spark.implicits._
     // 2 samples, ploidy 2. Row 1: sample1's call is absent entirely (null
