@@ -39,17 +39,20 @@ object vectorfns {
         sqrt(norm2b.cast("double"))))
 
   /** Signed-random-projection LSH bucket id in [0, 2^bits): bit j is the
-    * sign of the projection of `qv` onto pseudo-hyperplane j, whose ±1
-    * components come from a pure-integer mixer (replayable in any SQL
-    * engine — no RNG state). 1-based component index i matches DuckDB's
-    * 1-based list indexing. */
-  def srpBucket(qv: Column, bits: Int): Column = {
+    * sign of the projection of `qv` onto pseudo-hyperplane (table, j),
+    * whose ±1 components come from a pure-integer mixer (replayable in
+    * any SQL engine — no RNG state). `table` seeds independent hash
+    * tables for banded multi-table LSH (the recall knob: more tables =
+    * more chances for a true neighbor to collide). 1-based component
+    * index i matches DuckDB's 1-based list indexing. */
+  def srpBucket(qv: Column, bits: Int, table: Int = 0): Column = {
     require(bits > 0 && bits < 31, "bits must be in [1,30]")
     (0 until bits).map { j =>
+      val seed = (table * 131L + j + 1) * 2654435761L
       val proj = aggregate(
         transform(sequence(lit(1), size(qv)), i =>
           element_at(qv, i) *
-            when((lit((j + 1) * 2654435761L) + i * lit(40503L)) % 97 % 2 === 0,
+            when((lit(seed) + i * lit(40503L)) % 97 % 2 === 0,
               lit(1L)).otherwise(lit(-1L))),
         lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -58,10 +61,11 @@ object vectorfns {
 
   /** DuckDB SQL fragment computing the identical [[srpBucket]] over a list
     * column named `expr` — kept next to the Scala so the two stay in sync. */
-  def srpBucketSql(expr: String, bits: Int): String = {
+  def srpBucketSql(expr: String, bits: Int, table: Int = 0): String = {
     val terms = (0 until bits).map { j =>
+      val seed = (table * 131L + j + 1) * 2654435761L
       s"""CASE WHEN CAST(list_sum(list_transform(range(1, len($expr) + 1),
-         |  i -> $expr[i] * (CASE WHEN (${(j + 1) * 2654435761L} + i * 40503) % 97 % 2 = 0
+         |  i -> $expr[i] * (CASE WHEN ($seed + i * 40503) % 97 % 2 = 0
          |                   THEN 1 ELSE -1 END))) AS BIGINT) >= 0
          |THEN ${1L << j} ELSE 0 END""".stripMargin
     }

@@ -24,7 +24,30 @@ object Similarity extends QueryModule {
 
   private val SCALE = 10000
   private val PROBE_MOD = 40
-  private val SRP_BITS = 8
+  // Banded multi-table SRP: TABLES independent 16-bit signatures. Bits
+  // control precision (2^16 buckets ⇒ shuffle parallelism and bucket
+  // occupancy n/65536 at any n); tables control recall (a true neighbor
+  // colliding in ANY table becomes a candidate); CAP bounds the members
+  // considered per (table, bucket) so a degenerate bucket can never
+  // produce O(n²) pairs — candidates ≤ TABLES · n · CAP by construction.
+  private val SRP_BITS = 16
+  private val SRP_TABLES = 4
+  private val BUCKET_CAP = 64
+
+  /** (tab, bucket) signature rows, one per table, Spark side. */
+  private def sigs(e: org.apache.spark.sql.DataFrame) = e
+    .select(col("vec_id"), col("qv"), col("nrm"),
+      explode(array((0 until SRP_TABLES).map(t =>
+        struct(lit(t).as("tab"),
+          srpBucket(col("qv"), SRP_BITS, t).as("bucket"))): _*)).as("sig"))
+    .select(col("vec_id"), col("qv"), col("nrm"),
+      col("sig.tab").as("tab"), col("sig.bucket").as("bucket"))
+
+  /** The identical signature rows in DuckDB SQL (from relation `n`). */
+  private def sigSql: String = (0 until SRP_TABLES).map { t =>
+    s"""SELECT vec_id, qv, nrm, $t AS tab,
+        ${srpBucketSql("qv", SRP_BITS, t)} AS bucket FROM n"""
+  }.mkString(" UNION ALL ")
 
   /** Quantized corpus CTE shared by both oracles. */
   private val qCte =
@@ -71,38 +94,56 @@ object Similarity extends QueryModule {
            ORDER BY cos DESC, vec_id) AS rank FROM scored)
       WHERE rank <= 5"""))
 
-  // --- LSH-bucketed ANN: equi-join on the SRP bucket key instead of a full
-  // scan per probe. ---------------------------------------------------------
+  // --- LSH-bucketed ANN: banded multi-table equi-join on (table, bucket)
+  // instead of a full scan per probe. Corpus membership per bucket is
+  // capped (rank by vec_id) so the probe join touches at most CAP rows
+  // per (table, bucket); probes keep all their buckets. Candidates are
+  // deduped across tables with a max() aggregate (cosine is
+  // deterministic per pair, so max == the value). -------------------------
   private val q37 = Q("q37_ann_lsh",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
         .withColumn("nrm", dotLong(col("qv"), col("qv")))
-        .withColumn("bucket", srpBucket(col("qv"), SRP_BITS))
-      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+      val sg = sigs(e)
+      val wB = Window.partitionBy(col("tab"), col("bucket"))
+        .orderBy(col("vec_id"))
+      val corp = sg.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= BUCKET_CAP)
+      val probes = sg.filter(col("vec_id") % PROBE_MOD === 0)
         .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
-          col("nrm").as("pnrm"), col("bucket").as("pbucket"))
-      val cand = e.join(broadcast(probes),
-          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+          col("nrm").as("pnrm"), col("tab").as("ptab"),
+          col("bucket").as("pbucket"))
+      val cand = corp.join(broadcast(probes),
+          col("tab") === col("ptab") && col("bucket") === col("pbucket") &&
+            col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
             .as("cos"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(max(col("cos")).as("cos"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
     },
     Some(s"""WITH q AS ($qCte),
-      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm,
-              ${srpBucketSql("qv", SRP_BITS)} AS bucket FROM q),
-      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
-              bucket AS pbucket FROM n WHERE vec_id % $PROBE_MOD = 0),
-      cand AS (SELECT probe_id, vec_id,
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      sig AS ($sigSql),
+      corp AS (SELECT * FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
+           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
+      prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
+              tab AS ptab, bucket AS pbucket FROM sig
+              WHERE vec_id % $PROBE_MOD = 0),
+      cand AS (SELECT probe_id, vec_id, MAX(
         CASE WHEN pnrm > 0 AND nrm > 0 THEN
           CAST(${dot2("pv", "qv")} AS DOUBLE) /
-            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END)
           AS cos
-        FROM n JOIN p ON bucket = pbucket AND vec_id <> probe_id)
+        FROM corp JOIN prb ON tab = ptab AND bucket = pbucket
+          AND vec_id <> probe_id
+        GROUP BY probe_id, vec_id)
       SELECT probe_id, vec_id, cos, rank FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
            ORDER BY cos DESC, vec_id) AS rank FROM cand)
@@ -157,34 +198,48 @@ object Similarity extends QueryModule {
            ORDER BY cos DESC, c_label) AS rn FROM scored)
       WHERE rn = 1"""))
 
-  // --- embedding-cosine near-dup (brief: dedup via embedding cosine): all
-  // in-bucket pairs scored, global top-20 with a tie-free order. The SRP
-  // bucket join bounds the pair count (no O(n²) scan); a dedup run would
-  // add `WHERE cos >= τ` — this corpus has no near-dups (max cos < 0.8),
-  // so the query reports the ranked head instead of an empty set. ----------
+  // --- embedding-cosine near-dup (brief: dedup via embedding cosine):
+  // in-bucket pairs from the banded signatures, deduped across tables,
+  // global top-20 with a tie-free order. The per-(table,bucket) CAP makes
+  // the self-join's worst case TABLES·n·CAP pairs — a degenerate bucket
+  // can no longer go O(n²). A dedup run would add `WHERE cos >= τ`; this
+  // corpus has no near-dups (max cos < 0.8), so the query reports the
+  // ranked head of the candidate set instead of an empty set. --------------
   private val q39 = Q("q39_embed_neardup",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
         .withColumn("nrm", dotLong(col("qv"), col("qv")))
-        .withColumn("bucket", srpBucket(col("qv"), SRP_BITS))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") &&
+      val wB = Window.partitionBy(col("tab"), col("bucket"))
+        .orderBy(col("vec_id"))
+      val corp = sigs(e).withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= BUCKET_CAP)
+      val pairs = corp.as("a").join(corp.as("b"),
+          col("a.tab") === col("b.tab") &&
+            col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           cosineQ(dotLong(col("a.qv"), col("b.qv")),
             col("a.nrm"), col("b.nrm")).as("cos"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("cos")).as("cos"))
       pairs.orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20)
     },
     Some(s"""WITH q AS ($qCte),
-      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm,
-              ${srpBucketSql("qv", SRP_BITS)} AS bucket FROM q)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
-          CAST(${dotSql.format("a.qv", "a.qv", "b.qv")} AS DOUBLE) /
-            (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) END
-          AS cos
-      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      sig AS ($sigSql),
+      corp AS (SELECT * FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
+           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP)
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, MAX(
+          CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+            CAST(${dotSql.format("a.qv", "a.qv", "b.qv")} AS DOUBLE) /
+              (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) END)
+            AS cos
+        FROM corp a JOIN corp b ON a.tab = b.tab AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
       ORDER BY cos DESC, id_a, id_b LIMIT 20"""))
 
   override def queries: Seq[Q] = Seq(q36, q37, q38, q39)

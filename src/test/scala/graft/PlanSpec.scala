@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q37/q39: ANN candidate joins are equi-joins on (table, bucket)") {
+    val p37 = plan("q37_ann_lsh")
+    assert(p37.contains("BroadcastHashJoin [tab"))
+    assert(!p37.contains("BroadcastNestedLoopJoin")
+      && !p37.contains("CartesianProduct"))
+    val p39 = plan("q39_embed_neardup")
+    assert(p39.contains("tab") && p39.contains("bucket"))
+    assert(!p39.contains("BroadcastNestedLoopJoin")
+      && !p39.contains("CartesianProduct"))
+  }
+
   test("q10: global top-k avoids a total sort") {
     val p = plan("q10_topk")
     assert(p.contains("TakeOrderedAndProject"))
