@@ -74,10 +74,22 @@ object VcfDataSource {
     finally src.close()
   }
 
-  def open(path: String): java.io.InputStream = {
+  def open(path: String): java.io.InputStream = open(path, 0L)
+
+  def open(path: String, start: Long): java.io.InputStream = {
     val clean = path.stripPrefix("file:")
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(clean))
-    if (clean.endsWith(".gz")) new GZIPInputStream(in) else in
+    if (clean.endsWith(".gz")) {
+      require(start == 0, "gz vcf is not byte-addressable")
+      new GZIPInputStream(in)
+    } else {
+      var toSkip = start
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s <= 0) toSkip = 0 else toSkip -= s
+      }
+      in
+    }
   }
 
   /** Analyze the parse projection once on the driver: header → specs →
@@ -112,32 +124,116 @@ class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new VcfScan(paths)
+      private val splitSize =
+        Option(options.get("splitSize")).map(_.toLong)
+          .getOrElse(VcfScan.DefaultSplitBytes)
+      override def build(): Scan = new VcfScan(paths, splitSize)
     }
 }
 
-class VcfScan(paths: Seq[String]) extends Scan with Batch {
+object VcfScan {
+  /** Matches Spark's files.maxPartitionBytes default. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+}
+
+/** Splittable scan (mirrors the reference's per-line-range workers,
+  * R/ConvVCF2GDS.R:841-856): plain-text files split into byte ranges
+  * aligned to line boundaries Hadoop-style — a partition owns every line
+  * that STARTS inside [start, start+length), so one large VCF parses
+  * across many cores with no coordination. `.gz` members are not
+  * byte-addressable without a BGZF virtual-offset index, so gz files
+  * stay one partition per file. */
+class VcfScan(paths: Seq[String], splitBytes: Long) extends Scan with Batch {
   private lazy val plan = VcfDataSource.planFor(paths)
   override def readSchema(): StructType = plan.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => VcfInputPartition(p): InputPartition).toArray
+    paths.flatMap { p =>
+      val clean = p.stripPrefix("file:")
+      if (clean.endsWith(".gz"))
+        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+      else {
+        val len = java.nio.file.Files.size(java.nio.file.Paths.get(clean))
+        if (len <= splitBytes) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+        else (0L until len by splitBytes).map(off =>
+          VcfInputPartition(p, off, math.min(splitBytes, len - off)))
+      }
+    }.map(identity[InputPartition]).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(plan)
 }
 
-final case class VcfInputPartition(path: String) extends InputPartition
+final case class VcfInputPartition(path: String, start: Long, length: Long)
+    extends InputPartition
 
 class VcfReaderFactory(plan: VcfDataSource.ParsePlan)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path, plan)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vp = p.asInstanceOf[VcfInputPartition]
+    new VcfPartitionReader(vp.path, vp.start, vp.length, plan)
+  }
 }
 
-class VcfPartitionReader(path: String, plan: VcfDataSource.ParsePlan)
-    extends PartitionReader[InternalRow] {
-  private val source = Source.fromInputStream(VcfDataSource.open(path), "UTF-8")
-  private val lines = source.getLines().filterNot(_.startsWith("#"))
+/** Byte-counting line iterator: `consumed` counts every byte read
+  * including the newline, so the reader can stop at the first line that
+  * starts at or beyond the split end. */
+private[v2] final class CountingLines(in: java.io.InputStream)
+    extends Iterator[String] {
+  private val buf = new java.io.BufferedInputStream(in, 256 * 1024)
+  var consumed = 0L
+  private var nextLine: String = null
+  private var eof = false
+
+  private def advance(): Unit = {
+    if (eof) { nextLine = null; return }
+    val sb = new java.io.ByteArrayOutputStream(256)
+    var b = buf.read()
+    if (b < 0) { eof = true; nextLine = null; return }
+    while (b >= 0 && b != '\n') { sb.write(b); consumed += 1; b = buf.read() }
+    if (b == '\n') consumed += 1 else eof = true
+    val bytes = sb.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    nextLine = new String(bytes, 0, n, "UTF-8")
+  }
+
+  override def hasNext: Boolean = {
+    if (nextLine == null && !eof) advance()
+    nextLine != null
+  }
+  override def next(): String = {
+    if (!hasNext) throw new NoSuchElementException
+    val l = nextLine; nextLine = null; l
+  }
+}
+
+class VcfPartitionReader(path: String, start: Long, length: Long,
+    plan: VcfDataSource.ParsePlan) extends PartitionReader[InternalRow] {
+  private val raw = VcfDataSource.open(path, start)
+  private val counting = new CountingLines(raw)
+  private val lines: Iterator[String] = {
+    // drop the partial first line when starting mid-file; the previous
+    // split owns it (Hadoop line-split semantics)
+    val it0 = if (start > 0 && counting.hasNext) { counting.next(); counting }
+      else counting
+    val end = length // NOT `length` inside the Iterator — that's Iterator.length
+    new Iterator[String] {
+      private var lineStart = counting.consumed
+      private var cur: String = null
+      override def hasNext: Boolean = {
+        while (cur == null && lineStart < end && it0.hasNext) {
+          val l = it0.next()
+          if (!l.startsWith("#") && l.nonEmpty) cur = l
+          else lineStart = counting.consumed
+        }
+        cur != null && lineStart < end
+      }
+      override def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val l = cur; cur = null; lineStart = counting.consumed; l
+      }
+    }
+  }
   private val project = UnsafeProjection.create(plan.exprs, plan.input)
   private val inputRow = new GenericInternalRow(1)
   private var current: InternalRow = _
@@ -151,5 +247,5 @@ class VcfPartitionReader(path: String, plan: VcfDataSource.ParsePlan)
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = raw.close()
 }

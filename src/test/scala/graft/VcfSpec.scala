@@ -115,6 +115,29 @@ class VcfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("header mismatch"))
   }
 
+  test("splittable scan: byte-range partitions equal the single-partition parse") {
+    // a larger plain-text VCF: the real CEU fixture, decompressed
+    val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+    val tmp = Files.createTempFile("graft_split", ".vcf")
+    val in = new java.util.zip.GZIPInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(src)))
+    java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    in.close()
+    val one = spark.read.format("vcf").load(tmp.toString)
+    val split = spark.read.format("vcf")
+      .option("splitSize", "65536")          // ~1.4 MB file → ~22 splits
+      .load(tmp.toString)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected many splits, got ${split.rdd.getNumPartitions}")
+    assert(one.count() == 1348 && split.count() == 1348)
+    val a = one.select("chrom", "pos", "allele", "geno").collect()
+      .map(_.toSeq).toSet
+    val b = split.select("chrom", "pos", "allele", "geno").collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("header reconstruction round-trips through the header parser") {
     val (info, fmt, samples) = Vcf.headerSpecs(vcfText.linesIterator.toSeq)
     val rebuilt = Vcf.formatHeader(info, fmt, samples)
