@@ -75,5 +75,30 @@ object VcfQ extends QueryModule {
     },
     None)
 
-  override def queries: Seq[Q] = Seq(q40, q49)
+  // seqBCF2GDS analog end-to-end: the CEU fixture converted to BCF2.2
+  // (our writer) and read back through the binary record decoder into
+  // the allele-frequency kernel. Rows-only here (DuckDB reads neither
+  // BCF nor GDS); BcfSpec holds the hash-grade row-for-row equality
+  // against the direct VCF parse.
+  private val q50 = Q("q50_bcf_import",
+    (s, _) => {
+      val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+      val bcf = java.nio.file.Files.createTempDirectory("graft_bcf")
+        .resolve("ceu.bcf").toString
+      graft.sources.bcf.Bcf.writeFromVcf(src, bcf)
+      graft.sources.bcf.Bcf.read(s, bcf)
+        .select(col("chrom"),
+          genoStats(col("geno"), lit(0)).as("st"))
+        .select(col("chrom"),
+          element_at(col("st"), 1).as("total"),
+          element_at(col("st"), 2).as("called"),
+          element_at(col("st"), 3).as("ac"))
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("ac")).as("sum_ref_count"),
+          sum(col("called")).as("sum_called"))
+    },
+    None)
+
+  override def queries: Seq[Q] = Seq(q40, q49, q50)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Vcf
+import graft.sources.bcf.Bcf
+
+/** BCF2.2 round trip on the real reference fixture: CEU_Exon.vcf.gz →
+  * BCF (our writer, BGZF-framed) → Bcf.read must equal Vcf.read of the
+  * original — covering typed-vector encoding, GT phase bits, missing
+  * sentinels, Flags, ragged INFO and per-sample fields. */
+class BcfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val vcf = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+
+  test("vcf -> bcf -> read equals the direct vcf parse (CEU fixture)") {
+    val bcfPath = java.nio.file.Files
+      .createTempFile("graft_ceu", ".bcf").toString
+    Bcf.writeFromVcf(vcf, bcfPath)
+    val viaBcf = Bcf.read(spark, bcfPath)
+    val direct = Vcf.read(spark, vcf)
+    assert(viaBcf.count() == 1348)
+    assert(viaBcf.schema == direct.schema)
+    val a = viaBcf.collect().map(_.toSeq).toSet
+    val b = direct.collect().map(_.toSeq).toSet
+    assert((a diff b).isEmpty && (b diff a).isEmpty,
+      s"bcf differs: ${(a diff b).take(1)} vs ${(b diff a).take(1)}")
+  }
+
+  test("bcf prologue and bgzf framing") {
+    val bcfPath = java.nio.file.Files
+      .createTempFile("graft_hdr", ".bcf").toString
+    Bcf.writeFromVcf(vcf, bcfPath)
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bcfPath))
+    // gzip magic + BGZF BC extra subfield marker
+    assert((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+    assert(raw(12) == 'B' && raw(13) == 'C')
+    // trailing htslib EOF block
+    val eof = graft.sources.bcf.Bgzf.EofBlock
+    assert(raw.takeRight(eof.length).sameElements(eof))
+    val (header, lines) = Bcf.open(bcfPath)
+    assert(header.exists(_.startsWith("#CHROM")))
+    assert(header.exists(_.startsWith("##contig=<ID=")))
+    val first = lines.next()
+    assert(first.startsWith("1\t1105366\trs111751804\tT\tC"))
+  }
+}
