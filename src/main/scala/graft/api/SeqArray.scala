@@ -24,23 +24,24 @@ import graft.sources.Vcf
   * Everything stays lazy — filters compose into one Catalyst plan and push
   * down to the Parquet scan.
   */
-final case class SeqVarData(variants: DataFrame) {
+final case class SeqVarData(variants: DataFrame,
+    samples: Option[DataFrame] = None) {
 
   // ---- §2.3 filters -------------------------------------------------------
 
   /** seqSetFilterChrom: chrom ∈ include AND pos ∈ [fromBp, toBp]. */
   def setFilterChrom(include: Seq[String], fromBp: Long = Long.MinValue,
       toBp: Long = Long.MaxValue): SeqVarData =
-    SeqVarData(variants.filter(col("chrom").isin(include: _*) &&
+    copy(variants = variants.filter(col("chrom").isin(include: _*) &&
       col("pos").between(fromBp, toBp)))
 
   /** seqSetFilter(variant.id=): id-set membership. */
   def setFilterVariantId(ids: Seq[Long]): SeqVarData =
-    SeqVarData(variants.filter(col("variant_id").isin(ids: _*)))
+    copy(variants = variants.filter(col("variant_id").isin(ids: _*)))
 
   /** seqSetFilter(variant.sel=): arbitrary predicate mask. */
   def setFilter(pred: Column): SeqVarData =
-    SeqVarData(variants.filter(pred))
+    copy(variants = variants.filter(pred))
 
   /** seqSetFilterPos: keep variants matching probe (chrom,pos) rows;
     * multiPos=false keeps only the first match per probe in variant order. */
@@ -57,7 +58,7 @@ final case class SeqVarData(variants: DataFrame) {
         joined.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-    SeqVarData(kept.drop("p_chrom", "p_pos"))
+    copy(variants = kept.drop("p_chrom", "p_pos"))
   }
 
   /** seqSetFilterCond: by computed per-variant aggregates. */
@@ -69,18 +70,54 @@ final case class SeqVarData(variants: DataFrame) {
     val af = ac.cast("double") / called
     val maf = least(af, lit(1.0) - af)
     val miss = (total - called).cast("double") / total
-    SeqVarData(variants.filter(called > 0 && maf >= minMaf &&
+    copy(variants = variants.filter(called > 0 && maf >= minMaf &&
       miss <= maxMissing))
   }
 
   /** seqSetFilter(sample.sel=): restrict the sample axis to the given
     * 0-based ordinals (per-row positional gather over every per-sample
-    * column — the reference's sample bitmap, without a transpose). */
+    * column — the reference's sample bitmap, without a transpose). The
+    * samples side table, when present, is subset and renumbered to the
+    * new 0-based ordinals. */
   def setFilterSamples(ordinals: Seq[Int]): SeqVarData = {
     val perSample = variants.columns.filter(c =>
       c == "geno" || c == "phased" || c.startsWith("fmt_"))
+    val newSamples = samples.map { st =>
+      val spark = st.sparkSession
+      import spark.implicits._
+      val remap = ordinals.zipWithIndex
+        .toDF("sample_ordinal", "__new_ordinal")
+      st.join(broadcast(remap), "sample_ordinal")
+        .drop("sample_ordinal")
+        .withColumnRenamed("__new_ordinal", "sample_ordinal")
+        .select(col("sample_ordinal") +: col("sample_id") +: st.columns
+          .filterNot(c => c == "sample_ordinal" || c == "sample_id")
+          .map(col).toSeq: _*)
+    }
     SeqVarData(perSample.foldLeft(variants)((df, c) =>
-      df.withColumn(c, sampleSlice(col(c), ordinals))))
+      df.withColumn(c, sampleSlice(col(c), ordinals))), newSamples)
+  }
+
+  /** seqSetFilter(sample.id=): select samples by id (reference
+    * `SEQ_SetSpaceSample`, src/SeqArray.cpp:127-228). Matching keeps FILE
+    * order, duplicate requested ids collapse, and unknown ids warn
+    * rather than fail — all reference semantics. Requires the samples
+    * side table ([[SeqArray.openGds]]/[[SeqArray.openVcf]] provide it). */
+  def setFilterSampleIds(ids: Seq[String]): SeqVarData = {
+    val st = samples.getOrElse(throw new IllegalStateException(
+      "setFilterSampleIds needs a samples table (open via openGds/openVcf)"))
+    val fileOrder = st.select(col("sample_ordinal"), col("sample_id"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+      .sortBy(_._1)
+    val known = fileOrder.map(_._2).toSet
+    val missing = ids.distinct.filterNot(known)
+    if (missing.nonEmpty)
+      Console.err.println(
+        s"[graft] setFilterSampleIds: ${missing.size} unknown sample id(s)" +
+          s" ignored: ${missing.take(5).mkString(", ")}")
+    val want = ids.toSet
+    setFilterSamples(fileOrder.filter(p => want(p._2)).map(_._1).toSeq)
   }
 
   /** GRanges-style containment filter (reference seqSetFilter(GRanges),
@@ -97,7 +134,7 @@ final case class SeqVarData(variants: DataFrame) {
       .filter(col("chrom") === col("r_chrom"))
       .drop("r_chrom", "__lo", "__hi")
       .dropDuplicates("variant_id")
-    SeqVarData(hits)
+    copy(variants = hits)
   }
 
   // ---- §2.2 projections (seqGetData) --------------------------------------
@@ -229,18 +266,27 @@ object SeqArray {
   def open(spark: SparkSession, path: String): SeqVarData =
     SeqVarData(spark.read.parquet(path))
 
-  /** seqVCF2GDS + seqOpen in one step: VCF → variants table. */
+  /** seqVCF2GDS + seqOpen in one step: VCF → variants table (+ samples
+    * side table from the header's sample columns). */
   def openVcf(spark: SparkSession, path: String): SeqVarData = {
     val parsed = Vcf.read(spark, path)
+    val (_, _, sampleIds) = Vcf.headerSpecs(
+      graft.sources.v2.VcfDataSource.headerLines(path))
+    import spark.implicits._
+    val st = sampleIds.zipWithIndex
+      .map { case (id, i) => (i, id) }
+      .toDF("sample_ordinal", "sample_id")
     SeqVarData(parsed.withColumn("variant_id",
-      monotonically_increasing_id()))
+      monotonically_increasing_id()), Some(st))
   }
 
   /** seqOpen on a native CoreArray `.gds` file (the reference's own
     * storage; R/Methods.R:12-77) via the DSv2 `gds` source — stored
-    * `variant.id` is preserved as `variant_id`. */
+    * `variant.id` is preserved as `variant_id`, and `sample.id` +
+    * `sample.annotation` become the samples side table. */
   def openGds(spark: SparkSession, path: String): SeqVarData =
-    SeqVarData(graft.sources.gds.Gds.read(spark, path))
+    SeqVarData(graft.sources.gds.Gds.read(spark, path),
+      Some(graft.sources.gds.Gds.samples(spark, path)))
 
   /** seqMerge (variant-union): full outer join on (chrom, pos), allele-set
     * union, genotype index remap of both sides into the merged list. */

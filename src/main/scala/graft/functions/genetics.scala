@@ -101,6 +101,27 @@ object genetics {
   def sampleSlice(perSample: Column, ordinals: Seq[Int]): Column =
     array(ordinals.map(i => element_at(perSample, i + 1)): _*)
 
+  /** Dosage-fallback kernels (reference `FC_AF_DS_*`,
+    * src/Methods.cpp:298-608): AF/AC/missing from a per-sample
+    * alt-dosage array when the genotype cube is absent (dosage-only
+    * datasets, e.g. the Imputed_dosages fixture). Null cell = missing
+    * sample. */
+  def dsCalled(ds: Column): Column =
+    size(filter(ds, x => x.isNotNull))
+
+  /** Expected alt-allele count = Σ dosage over called samples. */
+  def dsAltCount(ds: Column): Column =
+    aggregate(filter(ds, x => x.isNotNull), lit(0.0),
+      (acc, x) => acc + x.cast("double"))
+
+  /** Expected alt-allele frequency = Σ dosage / (ploidy · called). */
+  def dsAltFreq(ds: Column, ploidy: Int = 2): Column =
+    when(dsCalled(ds) > 0, dsAltCount(ds) / (dsCalled(ds) * ploidy))
+
+  /** Fraction of samples with missing dosage. */
+  def dsMissing(ds: Column): Column =
+    (size(ds) - dsCalled(ds)).cast("double") / size(ds)
+
   /** Minor-allele frequency fold (reference `seqAlleleFreq(minor=TRUE)`,
     * R/Methods.R:905-1021): min(af, 1-af) of allele `k`. */
   def minorAlleleFreq(geno: Column, k: Column): Column = {

@@ -256,6 +256,38 @@ object Genomics extends QueryModule {
               [phased[1], phased[3], phased[6]] AS p
             FROM variants)""")))
 
+  // Dosage-only fallback (reference FC_AF_DS_*, src/Methods.cpp:298-608):
+  // the genotype cube is dropped up front and AF/AC/missing are computed
+  // from the alt-dosage matrix alone — the path a dosage-only dataset
+  // (Imputed_dosages.gds) takes. Integer dosages keep the oracle exact.
+  private val q51 = Q("q51_dosage_only_af",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val dsOnly = v.select(col("vid"), dosageAlt(col("geno")).as("ds"))
+      dsOnly.select(col("vid"),
+        size(col("ds")).as("n_samples"),
+        dsCalled(col("ds")).as("n_called"),
+        dsAltCount(col("ds")).cast("long").as("ac_alt"),
+        dsAltFreq(col("ds"), SynthGeno.ploidy).as("af_alt"),
+        dsMissing(col("ds")).as("miss_rate"))
+    },
+    Some(withCte(s"""SELECT vid,
+      CAST(len(ds) AS INT) AS n_samples,
+      CAST(len(list_filter(ds, x -> x IS NOT NULL)) AS INT) AS n_called,
+      CAST(COALESCE(list_sum(list_filter(ds, x -> x IS NOT NULL)), 0)
+        AS BIGINT) AS ac_alt,
+      CASE WHEN len(list_filter(ds, x -> x IS NOT NULL)) > 0 THEN
+        CAST(COALESCE(list_sum(list_filter(ds, x -> x IS NOT NULL)), 0)
+          AS DOUBLE)
+          / (len(list_filter(ds, x -> x IS NOT NULL)) * ${SynthGeno.ploidy})
+        END AS af_alt,
+      CAST(len(ds) - len(list_filter(ds, x -> x IS NOT NULL)) AS DOUBLE)
+        / len(ds) AS miss_rate
+      FROM (SELECT vid, list_transform(geno, sa ->
+          CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+               ELSE len(list_filter(sa, a -> a <> 0)) END) AS ds
+        FROM variants)""")))
+
   override def queries: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47)
+    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51)
 }

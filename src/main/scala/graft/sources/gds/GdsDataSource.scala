@@ -384,4 +384,48 @@ object Gds {
   def read(spark: org.apache.spark.sql.SparkSession, path: String)
       : org.apache.spark.sql.DataFrame =
     spark.read.format("gds").load(path)
+
+  /** The sample axis as a broadcastable table:
+    * `(sample_ordinal, sample_id, <sample.annotation columns>)` —
+    * the reference's `sample.id` + `sample.annotation` nodes
+    * (R/Methods.R:153-202). Sample counts are metadata-scale (≤ 1e6), so
+    * this is driver-built and meant for `broadcast()` joins. */
+  def samples(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val f = new GdsFile(path)
+    try {
+      val ids = GdsCore.strings(f, f.root("sample.id"))
+      val ann: Seq[(String, StructField, Int => Any)] =
+        f.root.child("sample.annotation").map(_.children).getOrElse(Nil)
+          .flatMap { n =>
+            n.cls.getOrElse("") match {
+              case "dStr8" =>
+                val a = GdsCore.strings(f, n)
+                Some((n.name, StructField(n.name, StringType),
+                  (i: Int) => a(i): Any))
+              case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
+                val a = GdsCore.ints(f, n)
+                Some((n.name, StructField(n.name, IntegerType),
+                  (i: Int) => a(i): Any))
+              case "dFloat32" | "dFloat64" =>
+                val a = GdsCore.floats(f, n)
+                Some((n.name, StructField(n.name, FloatType),
+                  (i: Int) => a(i): Any))
+              case _ => None
+            }
+          }
+      val schema = StructType(
+        StructField("sample_ordinal", IntegerType, nullable = false) +:
+        StructField("sample_id", StringType, nullable = false) +:
+        ann.map(_._2))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      var i = 0
+      while (i < ids.length) {
+        rows.add(org.apache.spark.sql.Row.fromSeq(
+          i +: ids(i) +: ann.map(_._3(i))))
+        i += 1
+      }
+      spark.createDataFrame(rows, schema)
+    } finally f.close()
+  }
 }

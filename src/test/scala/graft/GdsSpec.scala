@@ -94,6 +94,34 @@ class GdsSpec extends AnyFunSuite {
       .collect()(0)
     assert(vals.getLong(0) <= 3 && vals.getFloat(1) <= 2.0f
       && vals.getFloat(2) >= 0.0f)
+    // dosage-fallback kernels (FC_AF_DS_*): AF from the DS matrix alone
+    import graft.functions.genetics.{dsAltFreq, dsCalled}
+    val dsc = transform(col("fmt_DS"), x => element_at(x, 1))
+    val af = df.select(dsAltFreq(dsc).as("af"), dsCalled(dsc).as("nc"))
+      .agg(min(col("af")), max(col("af")), min(col("nc"))).collect()(0)
+    assert(af.getDouble(0) >= 0.0 && af.getDouble(1) <= 2.0 / 2)
+    assert(af.getInt(2) > 0)
+  }
+
+  test("samples table + setFilterSampleIds keeps file order, warns, renumbers") {
+    import graft.api.SeqArray
+    val gds = SeqArray.openGds(spark, s"$extdata/CEU_Exon.gds")
+    val st = gds.samples.get
+    assert(st.count() == 90)
+    assert(st.columns.toSeq == Seq("sample_ordinal", "sample_id", "family"))
+    val first = st.orderBy("sample_ordinal").collect()(0)
+    assert(first.getInt(0) == 0 && first.getString(1) == "NA06984")
+    // request out of file order + a duplicate + an unknown id
+    val sel = gds.setFilterSampleIds(
+      Seq("NA06986", "NA06984", "NA06986", "NO_SUCH_ID"))
+    val ids = sel.samples.get.orderBy("sample_ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(ids.toSeq == Seq((0, "NA06984"), (1, "NA06986")))  // file order
+    val g = sel.variants.select(col("geno")).collect()(0).getSeq[Any](0)
+    assert(g.length == 2)
+    // values equal the ordinal slice 0 and 2 of the unfiltered cube
+    val full = gds.variants.select(col("geno")).collect()(0).getSeq[Any](0)
+    assert(g(0) == full(0) && g(1) == full(2))
   }
 
   test("reference golden values: seqSummary-style tabulation on CEU") {
