@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Units,
     graft.queries.Merge,
     graft.queries.VcfQ,
-    graft.queries.MultimodalQ)
+    graft.queries.MultimodalQ,
+    graft.queries.PackedGeno)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -106,3 +106,72 @@ object Unpack2bDosage {
     new GenericArrayData(out)
   }
 }
+
+/** [[GenoStats]] directly on the 2-bit packed representation — the
+  * biobank-width fast path (reference stores genotypes 2-bit,
+  * src/ConvVCF2GDS.cpp:994-995; this kernel consumes 4 samples per table
+  * lookup instead of walking a 16-byte-per-allele nested array). Output
+  * matches `geno_stats(geno, 0)` — `[total, called, ac_ref, miss_calls,
+  * miss_alleles]` — for diploid data whose missing calls are fully
+  * missing (the packed form cannot represent half-missing calls; pack_2b
+  * already folds those to code 3). */
+case class GenoStatsPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geno_stats_packed(BINARY, INT); got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "geno_stats_packed"
+
+  override protected def nullSafeEval(b: Any, n: Any): Any =
+    GenoStatsPacked.eval(b.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) =>
+      s"""${ev.value} = graft.functions.expressions.GenoStatsPacked$$.MODULE$$
+         |  .eval($b, (int) $n);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GenoStatsPacked = copy(left = l, right = r)
+}
+
+object GenoStatsPacked {
+  // per-byte tables over the 4 packed codes: called samples, Σ ref
+  // dosage, missing (code 3) count
+  private val CalledTab: Array[Int] = Array.tabulate(256) { b =>
+    (0 until 4).count(s => ((b >> (2 * s)) & 3) != 3)
+  }
+  private val AcTab: Array[Int] = Array.tabulate(256) { b =>
+    (0 until 4).map(s => (b >> (2 * s)) & 3).filter(_ != 3).sum
+  }
+
+  def eval(packed: Array[Byte], n: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    var calledSamples = 0L
+    var ac = 0L
+    val fullBytes = n >> 2
+    var i = 0
+    while (i < fullBytes) {
+      val b = packed(i) & 0xff
+      calledSamples += CalledTab(b)
+      ac += AcTab(b)
+      i += 1
+    }
+    var s = fullBytes << 2
+    while (s < n) {
+      val code = (packed(s >> 2) >>> ((s & 3) << 1)) & 3
+      if (code != 3) { calledSamples += 1; ac += code }
+      s += 1
+    }
+    val missCalls = n - calledSamples
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(2L * n, 2L * calledSamples, ac,
+        missCalls.toLong, 2L * missCalls))
+  }
+}

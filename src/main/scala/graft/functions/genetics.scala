@@ -142,6 +142,14 @@ object genetics {
   def pack2b(geno: Column): Column =
     Bridge.column(Pack2bRefDosage(Bridge.expression(geno)))
 
+  /** [[genoStats]] on the 2-bit packed form — `[total, called, ac_ref,
+    * miss_calls, miss_alleles]` from BINARY, 4 samples per table lookup
+    * (the biobank-width fast path; see
+    * [[graft.functions.expressions.GenoStatsPacked]]). */
+  def genoStatsPacked(bin: Column, nSamples: Column): Column =
+    Bridge.column(graft.functions.expressions.GenoStatsPacked(
+      Bridge.expression(bin), Bridge.expression(nSamples)))
+
   /** Inverse of [[pack2b]]: ARRAY<INT> REF dosages, null = missing. */
   def unpack2b(bin: Column, nSamples: Column): Column =
     Bridge.column(Unpack2bDosage(Bridge.expression(bin),

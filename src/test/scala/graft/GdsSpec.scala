@@ -124,6 +124,18 @@ class GdsSpec extends AnyFunSuite {
     assert(g(0) == full(0) && g(1) == full(2))
   }
 
+  test("packed GenoStats equals the array kernel on the CEU cube") {
+    import graft.functions.genetics.{genoStats, genoStatsPacked, pack2b}
+    // CEU has only fully-missing calls (./.), where packed and unpacked
+    // semantics coincide on all five stats
+    val df = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+      .select(col("geno"))
+    val both = df.select(
+      genoStats(col("geno"), lit(0)).as("a"),
+      genoStatsPacked(pack2b(col("geno")), lit(90)).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("reference golden values: seqSummary-style tabulation on CEU") {
     // inst/unitTests replays: per-chromosome counts and the fixture's
     // documented shape (90 samples, 1348 variants, 22 chromosomes)
