@@ -139,10 +139,13 @@ object VcfScan {
 /** Splittable scan (mirrors the reference's per-line-range workers,
   * R/ConvVCF2GDS.R:841-856): plain-text files split into byte ranges
   * aligned to line boundaries Hadoop-style — a partition owns every line
-  * that STARTS inside [start, start+length), so one large VCF parses
-  * across many cores with no coordination. `.gz` members are not
-  * byte-addressable without a BGZF virtual-offset index, so gz files
-  * stay one partition per file. */
+  * that STARTS inside (start, start+length], so one large VCF parses
+  * across many cores with no coordination. BGZF-compressed files (what
+  * bgzip/htslib emit — every `.vcf.gz` the reference ships) split the
+  * same way in COMPRESSED coordinates: ranges align to the next BGZF
+  * member boundary and lines are owned by the htslib virtual offset of
+  * their first byte. Only plain single-member gzip stays one partition
+  * per file. */
 class VcfScan(paths: Seq[String], splitBytes: Long) extends Scan with Batch {
   private lazy val plan = VcfDataSource.planFor(paths)
   override def readSchema(): StructType = plan.schema
@@ -150,47 +153,49 @@ class VcfScan(paths: Seq[String], splitBytes: Long) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] =
     paths.flatMap { p =>
       val clean = p.stripPrefix("file:")
-      if (clean.endsWith(".gz"))
-        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
-      else {
-        val len = java.nio.file.Files.size(java.nio.file.Paths.get(clean))
-        if (len <= splitBytes) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
-        else (0L until len by splitBytes).map(off =>
-          VcfInputPartition(p, off, math.min(splitBytes, len - off)))
-      }
+      val gz = clean.endsWith(".gz")
+      lazy val len = java.nio.file.Files.size(java.nio.file.Paths.get(clean))
+      val splittable = !gz || graft.sources.bcf.Bgzf.isBgzfFile(clean)
+      if (!splittable || len <= splitBytes)
+        Seq(VcfInputPartition(p, 0L, Long.MaxValue, bgzf = false))
+      else
+        (0L until len by splitBytes).map(off =>
+          VcfInputPartition(p, off, math.min(splitBytes, len - off), gz))
     }.map(identity[InputPartition]).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(plan)
 }
 
-final case class VcfInputPartition(path: String, start: Long, length: Long)
-    extends InputPartition
+final case class VcfInputPartition(path: String, start: Long, length: Long,
+    bgzf: Boolean) extends InputPartition
 
 class VcfReaderFactory(plan: VcfDataSource.ParsePlan)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val vp = p.asInstanceOf[VcfInputPartition]
-    new VcfPartitionReader(vp.path, vp.start, vp.length, plan)
+    new VcfPartitionReader(vp.path, vp.start, vp.length, vp.bgzf, plan)
   }
 }
 
-/** Byte-counting line iterator: `consumed` counts every byte read
-  * including the newline, so the reader can stop at the first line that
-  * starts at or beyond the split end. */
-private[v2] final class CountingLines(in: java.io.InputStream)
-    extends Iterator[String] {
-  private val buf = new java.io.BufferedInputStream(in, 256 * 1024)
-  var consumed = 0L
+/** Line iterator that reports each line paired with the POSITION of its
+  * first byte (plain files: bytes consumed since stream start; bgzf:
+  * htslib virtual offset). Ownership of boundary lines needs the start
+  * position, not the end, so positions are sampled before the first byte
+  * of every line is read. */
+private[v2] final class PositionedLines(in: java.io.InputStream,
+    posOfNextByte: () => Long) extends Iterator[(String, Long)] {
   private var nextLine: String = null
+  private var nextPos = 0L
   private var eof = false
 
   private def advance(): Unit = {
     if (eof) { nextLine = null; return }
-    val sb = new java.io.ByteArrayOutputStream(256)
-    var b = buf.read()
+    nextPos = posOfNextByte()
+    var b = in.read()
     if (b < 0) { eof = true; nextLine = null; return }
-    while (b >= 0 && b != '\n') { sb.write(b); consumed += 1; b = buf.read() }
-    if (b == '\n') consumed += 1 else eof = true
+    val sb = new java.io.ByteArrayOutputStream(256)
+    while (b >= 0 && b != '\n') { sb.write(b); b = in.read() }
+    if (b < 0) eof = true
     val bytes = sb.toByteArray
     val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
       bytes.length - 1 else bytes.length
@@ -201,39 +206,76 @@ private[v2] final class CountingLines(in: java.io.InputStream)
     if (nextLine == null && !eof) advance()
     nextLine != null
   }
-  override def next(): String = {
+  override def next(): (String, Long) = {
     if (!hasNext) throw new NoSuchElementException
-    val l = nextLine; nextLine = null; l
+    val r = (nextLine, nextPos); nextLine = null; r
   }
 }
 
+/** Counting wrapper so `PositionedLines` can see through
+  * BufferedInputStream's read-ahead: `count` is bytes RETURNED, not bytes
+  * fetched from the underlying stream. */
+private[v2] final class CountingStream(in: java.io.InputStream)
+    extends java.io.InputStream {
+  private val buf = new java.io.BufferedInputStream(in, 256 * 1024)
+  var count = 0L
+  override def read(): Int = {
+    val b = buf.read(); if (b >= 0) count += 1; b
+  }
+  override def close(): Unit = buf.close()
+}
+
+/** Hadoop line-split ownership, generalized over a position coordinate:
+  * a split (start, end] owns every line whose first byte's position `p`
+  * satisfies `p <= end`, reading PAST end to finish its last line; every
+  * split with `start > 0` discards its first (possibly complete) line,
+  * which the previous split owns. The `<=`/discard pair is what makes a
+  * line starting exactly on a boundary land in exactly one split. */
 class VcfPartitionReader(path: String, start: Long, length: Long,
-    plan: VcfDataSource.ParsePlan) extends PartitionReader[InternalRow] {
-  private val raw = VcfDataSource.open(path, start)
-  private val counting = new CountingLines(raw)
-  private val lines: Iterator[String] = {
-    // drop the partial first line when starting mid-file; the previous
-    // split owns it (Hadoop line-split semantics)
-    val it0 = if (start > 0 && counting.hasNext) { counting.next(); counting }
-      else counting
-    val end = length // NOT `length` inside the Iterator — that's Iterator.length
-    new Iterator[String] {
-      private var lineStart = counting.consumed
-      private var cur: String = null
-      override def hasNext: Boolean = {
-        while (cur == null && lineStart < end && it0.hasNext) {
-          val l = it0.next()
-          if (!l.startsWith("#") && l.nonEmpty) cur = l
-          else lineStart = counting.consumed
+    bgzf: Boolean, plan: VcfDataSource.ParsePlan)
+    extends PartitionReader[InternalRow] {
+
+  private val clean = path.stripPrefix("file:")
+  private val (raw, posFn, endPos) =
+    if (bgzf) {
+      val aligned =
+        if (start == 0) 0L else graft.sources.bcf.Bgzf.findBlock(clean, start)
+      val bs = new graft.sources.bcf.Bgzf.BlockStream(clean, aligned)
+      // the end boundary must be the block boundary the NEXT split will
+      // align its start to — aligning both sides to the same position is
+      // what makes the drop-first/own-`<=` pair exhaustive and disjoint
+      val end = if (length == Long.MaxValue) Long.MaxValue
+        else graft.sources.bcf.Bgzf.findBlock(clean, start + length) << 16
+      (bs: java.io.InputStream, () => bs.virtualPos, end)
+    } else {
+      val cs = new CountingStream(VcfDataSource.open(path, start))
+      (cs: java.io.InputStream, () => cs.count, length)
+    }
+
+  private val positioned = new PositionedLines(raw, posFn)
+  // drop the first (possibly partial) line when starting mid-file
+  if (start > 0 && positioned.hasNext) positioned.next()
+
+  private val lines: Iterator[String] = new Iterator[String] {
+    private var cur: String = null
+    private var done = false
+    override def hasNext: Boolean = {
+      while (cur == null && !done) {
+        if (!positioned.hasNext) done = true
+        else {
+          val (l, p) = positioned.next()
+          if (p > endPos) done = true
+          else if (!l.startsWith("#") && l.nonEmpty) cur = l
         }
-        cur != null && lineStart < end
       }
-      override def next(): String = {
-        if (!hasNext) throw new NoSuchElementException
-        val l = cur; cur = null; lineStart = counting.consumed; l
-      }
+      cur != null
+    }
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException
+      val l = cur; cur = null; l
     }
   }
+
   private val project = UnsafeProjection.create(plan.exprs, plan.input)
   private val inputRow = new GenericInternalRow(1)
   private var current: InternalRow = _

@@ -138,6 +138,50 @@ class VcfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bgzf scan: compressed-range partitions equal the whole-file parse") {
+    // CEU_Exon.vcf.gz is real bgzip output (~15 members of ~17 KB)
+    val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+    assert(graft.sources.bcf.Bgzf.isBgzfFile(src))
+    val one = spark.read.format("vcf").load(src)
+      .select("chrom", "pos", "allele", "geno").collect().map(_.toSeq).toSet
+    for (splitSize <- Seq(40000L, 17000L)) {
+      val split = spark.read.format("vcf")
+        .option("splitSize", splitSize.toString).load(src)
+      assert(split.rdd.getNumPartitions > 3,
+        s"expected >3 bgzf splits at $splitSize, got ${split.rdd.getNumPartitions}")
+      val b = split.select("chrom", "pos", "allele", "geno").collect()
+        .map(_.toSeq).toSet
+      assert(b == one, s"bgzf split mismatch at splitSize=$splitSize")
+    }
+    // boundary stress: splitSize exactly equal to the first member size,
+    // so the first range ends precisely on a block boundary
+    val firstMember = graft.sources.bcf.Bgzf.findBlock(src, 1L)
+    val exact = spark.read.format("vcf")
+      .option("splitSize", firstMember.toString).load(src)
+    assert(exact.select("chrom", "pos", "allele", "geno").collect()
+      .map(_.toSeq).toSet == one)
+  }
+
+  test("plain split boundary exactly on a line start loses no rows") {
+    // craft a file where a data line starts exactly at the split boundary
+    val header = "##fileformat=VCFv4.2\n" +
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"g\">\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    val line = "1\t%07d\t.\tA\tC\t10\tPASS\t.\tGT\t0/1\n"
+    val body = (1 to 200).map(i => line.format(i)).mkString
+    val p = Files.createTempFile("graft_edge", ".vcf")
+    Files.writeString(p, header + body)
+    val lineBytes = line.format(1).getBytes("UTF-8").length
+    // boundary at header + k whole lines == a line start
+    val splitSize = header.getBytes("UTF-8").length + 7 * lineBytes
+    val df = spark.read.format("vcf")
+      .option("splitSize", splitSize.toString).load(p.toString)
+    assert(df.rdd.getNumPartitions > 10)
+    assert(df.count() == 200)
+    assert(df.select("pos").collect().map(_.getInt(0)).toSet ==
+      (1 to 200).toSet)
+  }
+
   test("header reconstruction round-trips through the header parser") {
     val (info, fmt, samples) = Vcf.headerSpecs(vcfText.linesIterator.toSeq)
     val rebuilt = Vcf.formatHeader(info, fmt, samples)
