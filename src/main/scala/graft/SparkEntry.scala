@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Merge,
     graft.queries.VcfQ,
     graft.queries.MultimodalQ,
-    graft.queries.PackedGeno)
+    graft.queries.PackedGeno,
+    graft.queries.BedQ)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)
