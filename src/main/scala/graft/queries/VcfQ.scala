@@ -100,5 +100,56 @@ object VcfQ extends QueryModule {
     },
     None)
 
-  override def queries: Seq[Q] = Seq(q40, q49, q50)
+  // GDS WRITE path with a hash-grade oracle: SynthGeno is exported once
+  // per sf-dir as a native CoreArray container (GdsWrite — incl. dBit2
+  // multi-plane genotypes for the nall=4 variants), read back through
+  // the DSv2 gds source, and aggregated; DuckDB computes the same
+  // answer directly from the variants CTE, so container encode+decode
+  // must be lossless for the hash to match.
+  private def gdsPath(dir: String): String =
+    s"/tmp/graft_gds_${new java.io.File(dir).getName}.gds"
+
+  private def ensureGds(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = gdsPath(dir)
+    if (!new java.io.File(p).exists()) {
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val full = transform(sequence(lit(1), col("nall").cast("int")),
+        i => element_at(letters, i))
+      val shaped = SynthGeno.variants(s, dir).select(
+        col("vid").as("variant_id"), col("chrom"),
+        col("pos").cast("int").as("pos"),
+        concat(lit("v"), col("vid")).as("id"),
+        array_join(full, ",").as("allele"),
+        lit(null).cast("float").as("qual"),
+        lit(null).cast("string").as("filter"),
+        col("geno"), col("phased"))
+      graft.sources.gds.GdsWrite.write(shaped,
+        (0 until SynthGeno.nSamples).map(i => s"S$i"), p)
+    }
+    p
+  }
+
+  private val q55 = Q("q55_gds_roundtrip",
+    (s, dir) => {
+      val p = ensureGds(s, dir)
+      graft.sources.gds.Gds.read(s, p)
+        .select(col("variant_id").as("vid"), col("chrom"),
+          col("pos").cast("long").as("pos"), col("allele"),
+          genoStats(col("geno"), lit(0)).as("st"))
+        .select(col("vid"), col("chrom"), col("pos"), col("allele"),
+          element_at(col("st"), 2).as("n_called"),
+          element_at(col("st"), 3).as("ac_ref"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, chrom, pos,
+        array_to_string(list_transform(range(1, nall + 1),
+          i -> (['A','C','G','T'])[i]), ',') AS allele,
+        CAST(len(list_filter(flatten(geno), a -> a IS NOT NULL))
+          AS BIGINT) AS n_called,
+        CAST(len(list_filter(flatten(geno), a -> a = 0))
+          AS BIGINT) AS ac_ref
+      FROM variants"""))
+
+  override def queries: Seq[Q] = Seq(q40, q49, q50, q55)
 }
