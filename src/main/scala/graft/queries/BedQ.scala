@@ -55,5 +55,51 @@ object BedQ extends QueryModule {
           AS miss_calls
       FROM variants"""))
 
-  override def queries: Seq[Q] = Seq(q54)
+  // SNP-GDS round-trip (`seqGDS2SNP` → `seqSNP2GDS` file level,
+  // reference R/Conversion.R:555-832): same one-code-per-call fold as
+  // BED, different container — genotype codes re-expand to normalized
+  // pairs, so geno_stats over the read-back equals the packed-fold
+  // oracle directly.
+  private def snpPath(dir: String): String =
+    s"/tmp/graft_snpgds_${new java.io.File(dir).getName}.gds"
+
+  private def ensureSnp(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = snpPath(dir)
+    if (!new java.io.File(p).exists()) {
+      val src = SynthGeno.variants(s, dir)
+        .select(col("vid").as("variant_id"), col("chrom"),
+          col("pos").cast("int").as("pos"),
+          concat(lit("rs"), col("vid")).as("id"),
+          lit("A,C").as("allele"), col("geno"))
+      graft.sources.gds.SnpGds.write(src,
+        (0 until SynthGeno.nSamples).map(i => s"S$i"), p)
+    }
+    p
+  }
+
+  private val q56 = Q("q56_snpgds_roundtrip",
+    (s, dir) => {
+      val p = ensureSnp(s, dir)
+      val st = genoStats(col("geno"), lit(0))
+      graft.sources.gds.SnpGds.read(s, p)
+        .select(col("variant_id").as("vid"), col("chrom"),
+          col("pos").cast("long").as("pos"),
+          element_at(st, 2).as("n_called"),
+          element_at(st, 3).as("ac_ref"),
+          element_at(st, 5).as("miss_alleles"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, chrom, pos,
+        CAST(2 * len(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) = 0)) AS BIGINT) AS n_called,
+        CAST(COALESCE(list_sum(list_transform(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) = 0), sa ->
+          len(list_filter(sa, a -> a = 0)))), 0) AS BIGINT) AS ac_ref,
+        CAST(2 * len(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) > 0)) AS BIGINT)
+          AS miss_alleles
+      FROM variants"""))
+
+  override def queries: Seq[Q] = Seq(q54, q56)
 }

@@ -1,0 +1,161 @@
+package graft.sources.gds
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import GdsCore._
+
+/** SNP-GDS (SNPRelate) container support — the file-level half of
+  * `seqSNP2GDS`/`seqGDS2SNP` (reference R/Conversion.R:555-832, code
+  * kernel src/ConvToGDS.cpp FC_SNP2GDS: genotype value = count of the
+  * FIRST allele in `snp.allele` "A/B", i.e. 0→hom-B (1,1), 1→het (0,1),
+  * 2→hom-A (0,0), other→missing; REF=A, ALT=B).
+  *
+  * Same CoreArray container as SeqArray GDS, different node tree:
+  * `sample.id, snp.id, snp.rs.id, snp.position, snp.chromosome,
+  * snp.allele, genotype(dBit2 [nSnp, nSample])`. The genotype matrix is
+  * fixed-stride, so the read distributes as contiguous snp ranges over
+  * `spark.range` — each task decodes only its 2-bit slice (snp-major;
+  * a `sample.order` matrix is strided and documented as the slow path).
+  */
+object SnpGds {
+
+  /** variants(variant_id, chrom, pos, id, allele, geno) from a SNP-GDS
+    * container; geno pairs per FC_SNP2GDS, missing = (null, null). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val f = new GdsFile(path)
+    val (nSnp, nSample, snpMajor, vids, chroms, poss, rsids, alleles) =
+      try {
+        val root = f.root
+        val geno = root("genotype")
+        val nSnpV = root("snp.id").dims.head
+        val nSampleV = root("sample.id").dims.head
+        // layout: explicit order attr wins; else outer dim tells
+        val major =
+          if (geno.attrs.contains("snp.order")) true
+          else if (geno.attrs.contains("sample.order")) false
+          else geno.dims.headOption.contains(nSnpV)
+        val chromN = root("snp.chromosome")
+        val chromsV = chromN.cls.getOrElse("") match {
+          case "dStr8" => strings(f, chromN)
+          case _ => ints(f, chromN).map(_.toString)
+        }
+        val rsV = root.child("snp.rs.id").map(strings(f, _))
+          .getOrElse(Array.fill[String](nSnpV)(null))
+        (nSnpV, nSampleV, major, ints(f, root("snp.id")), chromsV,
+          ints(f, root("snp.position")), rsV,
+          strings(f, root("snp.allele")))
+      } finally f.close()
+
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    spark.range(0, nSnp, 1, math.min(par, math.max(1, nSnp / 1024 + 1)))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val g = new GdsFile(path)
+          val bytes = bits(g, g.root("genotype"))
+          g.close()
+          it.map { vBoxed =>
+            val v: Int = vBoxed.toInt
+            val pairs: Seq[Seq[java.lang.Long]] =
+              (0 until nSample).map { s =>
+                val idx = if (snpMajor) v.toLong * nSample + s
+                  else s.toLong * nSnp + v
+                (bit2(bytes, idx): @annotation.switch) match {
+                  case 0 => Seq[java.lang.Long](1L, 1L)
+                  case 1 => Seq[java.lang.Long](0L, 1L)
+                  case 2 => Seq[java.lang.Long](0L, 0L)
+                  case _ => Seq[java.lang.Long](null, null)
+                }
+              }
+            (vids(v).toLong, chroms(v), poss(v),
+              Option(rsids(v)).filter(_.nonEmpty).orNull,
+              alleles(v).replaceFirst("/", ","), pairs)
+          }
+        }
+      }
+      .toDF("variant_id", "chrom", "pos", "id", "allele", "geno")
+  }
+
+  /** Writes a SNP-GDS container from a canonical variants frame
+    * (`variant_id, chrom, pos, id, allele, geno`): genotype code =
+    * REF-allele count (any-missing folds to 3 — the same fold as
+    * `pack_2b`/PLINK BED, which SNP-GDS's one-code-per-call model
+    * forces), `snp.allele` = "REF/ALT". Single container file ⇒ driver
+    * streaming, as with every exporter here. */
+  def write(df: DataFrame, sampleIds: Seq[String], path: String): Unit = {
+    val vids = ArrayBuffer.empty[Int]
+    val chroms = ArrayBuffer.empty[String]
+    val poss = ArrayBuffer.empty[Int]
+    val rsids = ArrayBuffer.empty[String]
+    val alleles = ArrayBuffer.empty[String]
+    val bitsP = new GdsWrite.BitPacker(2)
+    val nS = sampleIds.length
+
+    val it = df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("geno")).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      vids += r.getLong(0).toInt
+      chroms += r.getString(1)
+      poss += r.getInt(2)
+      rsids += (if (r.isNullAt(3)) "" else r.getString(3))
+      alleles += r.getString(4).replaceFirst(",", "/").takeWhile(_ != ',')
+      val g = r.getSeq[scala.collection.Seq[Any]](5)
+      require(g.length == nS, s"geno width ${g.length} != $nS")
+      g.foreach { sa =>
+        var refs = 0
+        var miss = false
+        sa.foreach {
+          case null => miss = true
+          case v: java.lang.Long => if (v.longValue() == 0L) refs += 1
+        }
+        bitsP.add(if (miss || refs > 2) 3 else refs)
+      }
+    }
+    val nSnp = vids.length
+
+    val c = new GdsWrite.Container
+    val rootId = c.allocId()
+    val sampleId = c.node("dStr8", Seq(nS), GdsWrite.strPayload(sampleIds))
+    val snpId = c.node("dInt32", Seq(nSnp), GdsWrite.intPayload(vids))
+    val rsId = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(rsids))
+    val snpPos = c.node("dInt32", Seq(nSnp), GdsWrite.intPayload(poss))
+    val snpChrom = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(chroms))
+    val snpAllele = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(alleles))
+    val genotype = c.node("dBit2", Seq(nSnp, nS), bitsP.bytes,
+      new GdsWrite.Attrs().nul("snp.order"))
+    c.folderAt(rootId,
+      Seq((sampleId, "sample.id", 0), (snpId, "snp.id", 0),
+        (rsId, "snp.rs.id", 0), (snpPos, "snp.position", 0),
+        (snpChrom, "snp.chromosome", 0), (snpAllele, "snp.allele", 0),
+        (genotype, "genotype", 0)),
+      new Attrs().str("FileFormat", "SNP_ARRAY"))
+    c.save(path, rootId)
+  }
+
+  private type Attrs = GdsWrite.Attrs
+
+  /** `seqSNP2GDS`: SNP-GDS → SeqArray GDS container. */
+  def toSeqArray(spark: SparkSession, snpPath: String, outPath: String)
+      : Unit = {
+    val df = read(spark, snpPath)
+    val f = new GdsFile(snpPath)
+    val samples = try strings(f, f.root("sample.id")).toSeq finally f.close()
+    GdsWrite.write(df, samples, outPath)
+  }
+
+  /** `seqGDS2SNP`: SeqArray GDS → SNP-GDS container (biallelic fold). */
+  def fromSeqArray(spark: SparkSession, gdsPath: String, outPath: String)
+      : Unit = {
+    val df = Gds.read(spark, gdsPath)
+      .select(col("variant_id"), col("chrom"), col("pos"), col("id"),
+        col("allele"), col("geno"))
+    val f = new GdsFile(gdsPath)
+    val samples = try strings(f, f.root("sample.id")).toSeq finally f.close()
+    write(df, samples, outPath)
+  }
+}
