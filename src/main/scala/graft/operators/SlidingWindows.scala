@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Genomic sliding windows — the reference's `seqUnitSlidingWindows`
   * (/root/reference/R/UnitList.R:121-175, C kernel
@@ -49,10 +48,31 @@ object SlidingWindows {
           .as("members"))
     if (!dupRm) grouped
     else {
-      val w = Window.partitionBy(col("chrom")).orderBy(col("win_start"))
-      grouped.withColumn("__prev", lag(col("members"), 1).over(w))
+      // dup.rm: drop a window when its members equal the PREVIOUS
+      // window's (reference kernel: old_i/old_i2 vs i/i2). A
+      // lag().over(partitionBy(chrom)) caps parallelism at #chromosomes
+      // (≤24 in a genome) — the one serialization in this operator — so
+      // the previous window is fetched with an equi-self-join on
+      // (chrom, win_start - winShift) instead, which shuffles on the
+      // full composite key and scales with the data.
+      //
+      // Equivalence to compare-with-previous-EXISTING-window: members
+      // are exactly the variants whose pos falls in the window interval,
+      // so two windows with equal member sets have overlapping
+      // intervals, and every window between them contains that overlap
+      // — i.e. equal non-empty member sets can only occur in a gap-free
+      // run of consecutive windows, where "previous existing" IS
+      // win_start - winShift. (With a memberFlag, a flagged-empty window
+      // that follows a generated-window gap is kept rather than compared
+      // across the gap — windows the reference never generates.)
+      val prev = grouped.select(col("chrom").as("__pc"),
+        (col("win_start") + winShift).as("__pw"),
+        col("members").as("__prev"))
+      grouped.join(prev,
+          col("chrom") === col("__pc") && col("win_start") === col("__pw"),
+          "left")
         .filter(col("__prev").isNull || !(col("__prev") === col("members")))
-        .drop("__prev")
+        .select(grouped.columns.map(col): _*)
     }
   }
 }

@@ -78,7 +78,89 @@ object GdsSchema {
 
   val genoType: ArrayType = ArrayType(ArrayType(LongType))
 
+  /** SNP-GDS trees (SNPRelate: snp.id/snp.position/…, genotype = one
+    * 2-bit code per call) surface through the same source with the
+    * canonical column names, so `format("gds")` opens both container
+    * dialects transparently. */
+  def isSnpTree(root: Node): Boolean = root.child("snp.id").isDefined
+
+  def variantCount(root: Node): Int =
+    (if (isSnpTree(root)) root("snp.id") else root("variant.id")).dims.head
+
+  private def snpSchema: StructType = StructType(Seq(
+    StructField("variant_id", LongType, nullable = false),
+    StructField("chrom", StringType),
+    StructField("pos", IntegerType),
+    StructField("id", StringType),
+    StructField("allele", StringType),
+    StructField("geno", genoType)))
+
+  /** Extractors over an SNP-GDS tree: genotype code → normalized pair
+    * per the reference's FC_SNP2GDS (src/ConvToGDS.cpp: 0→(1,1) hom-ALT,
+    * 1→(0,1) het, 2→(0,0) hom-REF, 3→missing). */
+  private def snpExtractors(f: GdsFile, required: StructType)
+      : Array[Int => Any] = {
+    val root = f.root
+    def utf8(s: String): AnyRef =
+      if (s == null) null else UTF8String.fromString(s)
+    lazy val geno = {
+      val g = root("genotype")
+      val nSnp = root("snp.id").dims.head
+      val nSample = root("sample.id").dims.head
+      val snpMajor =
+        if (g.attrs.contains("snp.order")) true
+        else if (g.attrs.contains("sample.order")) false
+        else g.dims.headOption.contains(nSnp)
+      (bits(f, g), nSnp, nSample, snpMajor)
+    }
+    // shared immutable pair cells: the four codes map to constant pairs
+    val homAlt = Array[Any](java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1L))
+    val het = Array[Any](java.lang.Long.valueOf(0L), java.lang.Long.valueOf(1L))
+    val homRef = Array[Any](java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L))
+    val missing = Array[Any](null, null)
+    required.fields.map { field =>
+      field.name match {
+        case "variant_id" =>
+          val a = ints(f, root("snp.id"))
+          (v: Int) => java.lang.Long.valueOf(a(v).toLong)
+        case "chrom" =>
+          val n = root("snp.chromosome")
+          val a = n.cls.getOrElse("") match {
+            case "dStr8" => strings(f, n)
+            case _ => ints(f, n).map(_.toString)
+          }
+          (v: Int) => utf8(a(v))
+        case "pos" =>
+          val a = ints(f, root("snp.position"))
+          (v: Int) => java.lang.Integer.valueOf(a(v))
+        case "id" =>
+          val a = root.child("snp.rs.id").map(strings(f, _))
+            .getOrElse(Array.fill[String](variantCount(root))(null))
+          (v: Int) =>
+            if (a(v) == null || a(v).isEmpty) null else utf8(a(v))
+        case "allele" =>
+          val a = strings(f, root("snp.allele"))
+          (v: Int) => utf8(a(v).replaceFirst("/", ","))
+        case "geno" =>
+          val (bytes, nSnp, nSample, snpMajor) = geno
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
+            val idx = if (snpMajor) v.toLong * nSample + s
+              else s.toLong * nSnp + v
+            new GenericArrayData((bit2(bytes, idx): @annotation.switch) match {
+              case 0 => homAlt
+              case 1 => het
+              case 2 => homRef
+              case _ => missing
+            })
+          })
+        case other =>
+          throw new NoSuchElementException(s"snp-gds column $other")
+      }
+    }
+  }
+
   def forTree(root: Node): StructType = {
+    if (isSnpTree(root)) return snpSchema
     val info = root.child("annotation").flatMap(_.child("info"))
       .map(_.children).getOrElse(Nil)
       .filterNot(_.name.startsWith("@"))
@@ -119,6 +201,7 @@ object GdsSchema {
     * value function, decoding only the nodes that column needs. */
   def extractors(f: GdsFile, required: StructType): Array[Int => Any] = {
     val root = f.root
+    if (isSnpTree(root)) return snpExtractors(f, required)
     val nVariants = root("variant.id").dims.head
     val ann = root.child("annotation")
     def infoNode(n: String) = ann.flatMap(_.child("info")).flatMap(_.child(n))
@@ -360,7 +443,7 @@ class GdsReaderFactory(required: StructType) extends PartitionReaderFactory {
 class GdsPartitionReader(path: String, required: StructType)
     extends PartitionReader[InternalRow] {
   private val file = new GdsFile(path)
-  private val nVariants = file.root("variant.id").dims.head
+  private val nVariants = GdsSchema.variantCount(file.root)
   private val cols = GdsSchema.extractors(file, required)
   private var v = -1
 

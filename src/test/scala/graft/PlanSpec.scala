@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
       && !p39.contains("CartesianProduct"))
   }
 
+  test("q25: dup.rm has no chrom-partitioned window (parallelism cap)") {
+    // the previous-window compare must be a (chrom, win_start) join, not
+    // lag() over partitionBy(chrom) — 24 chromosomes would cap the pass
+    val p = plan("q25_sliding_windows")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("lag("),
+      p.linesIterator.filter(_.contains("lag")).mkString("\n"))
+  }
+
   test("q10: global top-k avoids a total sort") {
     val p = plan("q10_topk")
     assert(p.contains("TakeOrderedAndProject"))
