@@ -151,5 +151,47 @@ object VcfQ extends QueryModule {
           AS BIGINT) AS ac_ref
       FROM variants"""))
 
-  override def queries: Seq[Q] = Seq(q40, q49, q50, q55)
+  // FORMAT-field (fmt_*) round trip with a hash-grade oracle — the one
+  // projection family q40 leaves spec-only. A deterministic per-sample
+  // DP matrix (with '.' missing cells) is formatted into GT:DP body
+  // lines and parsed back through the fmt_ column machinery
+  // (array_position + per-sample split, reference ragged FORMAT path);
+  // DuckDB recomputes the aggregate straight from the formula.
+  private val q57 = Q("q57_fmt_roundtrip",
+    (s, dir) => {
+      val n = SynthGeno.nSamples
+      val dp = array((0 until n).map(i =>
+        when((col("vid") + i) % 11 === 0, lit(null).cast("int"))
+          .otherwise(((col("vid") * 7 + i * 3) % 100).cast("int"))): _*)
+      val shaped = SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno"),
+          col("phased"), dp.as("dp"))
+      val gtArr = split(gtStrings(col("geno"), col("phased"), "\t"), "\t")
+      val cells = zip_with(gtArr, col("dp"), (g, d) =>
+        concat(g, lit(":"), coalesce(d.cast("string"), lit("."))))
+      val lines = shaped.select(concat_ws("\t",
+        col("chrom"), col("pos"), concat(lit("v"), col("vid")),
+        lit("A"), lit("C"), lit("."), lit("."), lit("."),
+        lit("GT:DP"), array_join(cells, "\t")).as("value"))
+      val parsed = Vcf.parseLines(lines, Nil,
+        Seq(Vcf.FieldSpec("GT", "1", "String"),
+          Vcf.FieldSpec("DP", "1", "Integer")), n)
+      parsed.select(
+        substring(col("id"), 2, 20).cast("long").as("vid"),
+        col("chrom"), col("pos").cast("long").as("pos"),
+        aggregate(filter(col("fmt_DP"), _.isNotNull), lit(0L),
+          (acc, x) => acc + x).as("sum_dp"),
+        size(filter(col("fmt_DP"), _.isNull)).as("n_miss"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, chrom, pos,
+        CAST(COALESCE(list_sum(list_filter(list_transform(range(0, 8),
+          s -> CASE WHEN (vid + s) % 11 = 0 THEN NULL
+               ELSE (vid*7 + s*3) % 100 END), x -> x IS NOT NULL)), 0)
+          AS BIGINT) AS sum_dp,
+        CAST(len(list_filter(range(0, 8), s -> (vid + s) % 11 = 0))
+          AS INT) AS n_miss
+      FROM variants"""))
+
+  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57)
 }

@@ -119,12 +119,13 @@ object Vcf {
       fmtCols: _*)
   }
 
-  /** Read a VCF file: header on the driver, body distributed. */
+  /** Read a VCF file: header on the driver (streamed — takeWhile stops
+    * at the first body line instead of filtering the whole file), body
+    * distributed. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.text(path)
-    val header = raw.filter(col("value").startsWith("#"))
-      .collect().map(_.getString(0)).toSeq
+    val header = graft.sources.v2.VcfDataSource.headerLines(path)
     val (info, fmtSpecs, samples) = headerSpecs(header)
+    val raw = spark.read.text(path)
     parseLines(raw.filter(!col("value").startsWith("#")), info, fmtSpecs,
       samples.length)
   }
