@@ -111,16 +111,23 @@ object GdsWrite {
     }
   }
 
-  /** Data-node record: class + sizes + dims + data-stream id + attrs —
-    * the 8-prop shape of every uncompressed node (the 9th prop in the
-    * fixtures is the LZMA_ra coder, absent here). */
-  def dataRecord(cls: String, rawSize: Long, dims: Seq[Int], dataId: Int,
-      attrs: Attrs): Array[Byte] = {
+  private val TokCoder = hx("15c4466d10")
+
+  /** Data-node record: class [+ coder] + sizes + dims + data-stream id +
+    * attrs — the 9-prop shape of the fixtures' LZMA_ra nodes (8 props
+    * when uncompressed, coder omitted). */
+  def dataRecord(cls: String, rawSize: Long, cmpSize: Long, dims: Seq[Int],
+      dataId: Int, attrs: Attrs, coder: Option[String]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(TokClass)
     o.write(cls.length)
     o.write(pack7(cls))
-    o.write(TokSizes); u64(o, rawSize); u64(o, rawSize)
+    coder.foreach { cd =>
+      o.write(TokCoder)
+      val b = cd.getBytes("ASCII")
+      o.write(b.length); o.write(b)
+    }
+    o.write(TokSizes); u64(o, rawSize); u64(o, cmpSize)
     o.write(TokSkipA)
     o.write(TokSkipB)
     o.write(TokNdim); o.write(dims.length); o.write(0)
@@ -128,7 +135,7 @@ object GdsWrite {
     dims.foreach(u32(o, _))
     o.write(TokDataId); u32(o, dataId)
     val nAttrProps = attrProps(o, attrs)
-    finishRecord(6 + nAttrProps, o.toByteArray)
+    finishRecord(6 + coder.size + nAttrProps, o.toByteArray)
   }
 
   /** Folder record: child table + attrs (root/genotype/annotation shape). */
@@ -205,12 +212,19 @@ object GdsWrite {
       streams += id -> o.toByteArray
       id
     }
-    /** Data node in one call: payload stream + record stream. */
+    /** Data node in one call: payload stream + record stream. Payloads
+      * past `CompressAt` get the fixtures' LZMA_ra coding — XZ_RA
+      * framing with independently-decompressible 128 KiB chunks (the
+      * random-access property the reference's variant-range reads rely
+      * on); small nodes stay raw. */
     def node(cls: String, dims: Seq[Int], payload: Array[Byte],
         attrs: Attrs = new Attrs): Int = {
-      val did = data(payload)
+      val compress = payload.length >= Container.CompressAt
+      val stored = if (compress) xzRaFrame(payload) else payload
+      val did = data(stored)
       val rid = allocId()
-      record(rid, dataRecord(cls, payload.length, dims, did, attrs))
+      record(rid, dataRecord(cls, payload.length, stored.length, dims, did,
+        attrs, if (compress) Some("LZMA_ra") else None))
       rid
     }
     def folder(children: Seq[(Int, String, Int)],
@@ -242,6 +256,37 @@ object GdsWrite {
         }
       } finally out.close()
     }
+  }
+
+  object Container {
+    /** Below this, xz headers cost more than they save. */
+    val CompressAt: Int = 4096
+  }
+
+  /** `*_ra` chunked-xz framing (read-side decode in GdsCore.nodeBytes):
+    * `XZ_RA 10 11 ff [u32 nChunks]` then per chunk `[u48 cmpSize][one
+    * independent xz stream of ≤128 KiB raw]`. */
+  private def xzRaFrame(payload: Array[Byte]): Array[Byte] = {
+    val ChunkRaw = 128 * 1024
+    val o = new ByteArrayOutputStream()
+    o.write("XZ_RA".getBytes("ASCII"))
+    o.write(0x10); o.write(0x11); o.write(0xff)
+    val nChunks = math.max(1, (payload.length + ChunkRaw - 1) / ChunkRaw)
+    u32(o, nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val off = c * ChunkRaw
+      val len = math.min(ChunkRaw, payload.length - off)
+      val cmp = new ByteArrayOutputStream()
+      val xz = new org.tukaani.xz.XZOutputStream(cmp,
+        new org.tukaani.xz.LZMA2Options(6))
+      xz.write(payload, off, len)
+      xz.close()
+      u48(o, cmp.size())
+      o.write(cmp.toByteArray)
+      c += 1
+    }
+    o.toByteArray
   }
 
   private val FolderFlag = 2
