@@ -468,6 +468,60 @@ object Gds {
       : org.apache.spark.sql.DataFrame =
     spark.read.format("gds").load(path)
 
+  /** `seqCheck`-style per-node integrity audit (reference R/Summary.R
+    * seqCheck: walks every node, validates dimensions and decodes data):
+    * one row per tree node with its class, coder, dims, raw size, a
+    * decode status, and the dimension check against the variant/sample
+    * axes. Driver-side — the audit is metadata-scale per file; run it
+    * over many shards by unioning per-path calls. */
+  def check(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val f = new GdsCore.GdsFile(path)
+    try {
+      val root = f.root
+      val nVar =
+        root.child("variant.id").orElse(root.child("snp.id"))
+          .map(_.dims.headOption.getOrElse(0)).getOrElse(0)
+      val nSamp = root.child("sample.id")
+        .map(_.dims.headOption.getOrElse(0)).getOrElse(0)
+      def walk(n: GdsCore.Node): Seq[GdsCore.Node] =
+        n +: n.children.flatMap(walk)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      walk(root).filter(_.path.nonEmpty).foreach { n =>
+        val isFolder = n.cls.isEmpty && n.children.nonEmpty
+        val (decoded, err): (Long, String) =
+          if (isFolder || n.dataId == 0) (0L, null)
+          else try {
+            (GdsCore.nodeBytes(f, n).length.toLong, null)
+          } catch { case e: Exception => (-1L, e.getMessage) }
+        // axis consistency: a leading dim equal to a known axis must
+        // match it exactly (the reference's dimension audit)
+        val axisOk = n.dims.headOption match {
+          case Some(d) if n.path == "sample.id" => d == nSamp
+          case Some(d) if n.path.startsWith("genotype/data") =>
+            d == nVar && n.dims.lift(1).forall(_ == nSamp)
+          case Some(d) if Seq("variant.id", "position", "chromosome",
+            "allele", "snp.id", "snp.position", "snp.chromosome",
+            "snp.allele").contains(n.path) => d == nVar
+          case _ => true
+        }
+        rows.add(org.apache.spark.sql.Row(n.path, n.cls.orNull,
+          n.coder.orNull, n.dims.mkString("x"), n.rawSize, decoded,
+          axisOk && err == null, err))
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("node", StringType, nullable = false),
+        StructField("cls", StringType),
+        StructField("coder", StringType),
+        StructField("dims", StringType),
+        StructField("raw_size", LongType),
+        StructField("decoded_bytes", LongType),
+        StructField("ok", BooleanType, nullable = false),
+        StructField("error", StringType))))
+    } finally f.close()
+  }
+
   /** The sample axis as a broadcastable table:
     * `(sample_ordinal, sample_id, <sample.annotation columns>)` —
     * the reference's `sample.id` + `sample.annotation` nodes

@@ -71,6 +71,36 @@ class GdsWriteSpec extends AnyFunSuite {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("seqCheck audit: every node of the fixtures and of our output decodes") {
+    for (p <- Seq(s"$extdata/CEU_Exon.gds",
+        s"$extdata/Imputed_dosages.gds")) {
+      val audit = Gds.check(spark, p)
+      val bad = audit.filter(!col("ok")).collect()
+      assert(bad.isEmpty, s"$p: ${bad.mkString(";")}")
+      assert(audit.filter(col("node") === "genotype/data" ||
+        col("node") === "sample.id").count() >= 1)
+    }
+    // our own writer's output passes the same audit
+    val src = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+      .select(core.map(col): _*)
+    val samples = Gds.samples(spark, s"$extdata/CEU_Exon.gds")
+      .orderBy("sample_ordinal").collect().map(_.getString(1)).toSeq
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_gdsw").toString + "/chk.gds"
+    GdsWrite.write(src, samples, out)
+    assert(Gds.check(spark, out).filter(!col("ok")).count() == 0)
+    // a corrupted genotype stream is caught, not silently decoded
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    var i = bytes.length / 2
+    while (i < bytes.length / 2 + 64) { bytes(i) = 0x5a; i += 1 }
+    val bad = out + ".corrupt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
+    val corrupt = try {
+      Gds.check(spark, bad).filter(!col("ok")).count() > 0
+    } catch { case _: Exception => true } // container layer may throw first
+    assert(corrupt)
+  }
+
   test("written container parses with the independent python decoder") {
     // the scripts/gds_read.py layer decoder recovered the format from
     // the reference fixtures; our containers must satisfy it too
