@@ -288,6 +288,80 @@ object SeqArray {
     SeqVarData(graft.sources.gds.Gds.read(spark, path),
       Some(graft.sources.gds.Gds.samples(spark, path)))
 
+  // ---- file-level converters (reference R/ConvVCF2GDS.R, Conversion.R) --
+
+  private def sampleIdList(d: SeqVarData): Seq[String] =
+    d.samples.map(_.orderBy("sample_ordinal").collect()
+      .map(_.getString(1)).toSeq).getOrElse(Seq.empty)
+
+  /** seqVCF2GDS proper: VCF/vcf.gz → native CoreArray `.gds` on disk.
+    * Variant ids are assigned 1..n in (chrom, pos, allele) order, as the
+    * reference numbers its import. */
+  def seqVCF2GDS(spark: SparkSession, vcfPath: String, gdsPath: String)
+      : Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val d = openVcf(spark, vcfPath)
+    val numbered = d.variants.withColumn("variant_id",
+      row_number().over(Window.orderBy(col("chrom"), col("pos"),
+        col("allele"), col("id"))).cast("long"))
+    graft.sources.gds.GdsWrite.write(numbered, sampleIdList(d), gdsPath)
+  }
+
+  /** seqGDS2VCF file-level: core columns of a `.gds` back to a VCF text
+    * file (header rebuilt from the sample axis; info columns export via
+    * [[Vcf.formatLines]]'s infoExpr hook when needed). */
+  def seqGDS2VCF(spark: SparkSession, gdsPath: String, vcfPath: String)
+      : Unit = {
+    val d = openGds(spark, gdsPath)
+    val header = Vcf.formatHeader(Nil, Nil, sampleIdList(d))
+    val lines = Vcf.formatLines(d.variants, lit(null).cast("string"))
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(vcfPath), 1 << 20))
+    try {
+      header.foreach(w.println)
+      val it = lines.toLocalIterator()
+      while (it.hasNext) w.println(it.next().getString(0))
+    } finally w.close()
+  }
+
+  /** seqSNP2GDS / seqGDS2SNP (SNP-GDS containers). */
+  def seqSNP2GDS(spark: SparkSession, snpPath: String, gdsPath: String): Unit =
+    graft.sources.gds.SnpGds.toSeqArray(spark, snpPath, gdsPath)
+  def seqGDS2SNP(spark: SparkSession, gdsPath: String, snpPath: String): Unit =
+    graft.sources.gds.SnpGds.fromSeqArray(spark, gdsPath, snpPath)
+
+  /** seqBED2GDS: PLINK triplet → SeqArray `.gds` (REF-dosage codes
+    * expand to normalized pairs, the same fold the reference's BED
+    * import applies). */
+  def seqBED2GDS(spark: SparkSession, bedPrefix: String, gdsPath: String)
+      : Unit = {
+    val fam = graft.sources.bed.Bed.readFam(bedPrefix + ".fam")
+    val ids = graft.sources.bed.Bed.sampleIds(fam)
+    val n = ids.length
+    val shaped = graft.sources.bed.Bed.read(spark, bedPrefix)
+      .select((col("vid") + 1).as("variant_id"), col("chrom"),
+        col("pos"), col("id"), col("allele"),
+        transform(unpack2b(col("pg"), lit(n)), d =>
+          when(d.isNull, array(lit(null).cast("long"), lit(null).cast("long")))
+            .when(d === 2, array(lit(0L), lit(0L)))
+            .when(d === 1, array(lit(0L), lit(1L)))
+            .otherwise(array(lit(1L), lit(1L)))).as("geno"))
+    graft.sources.gds.GdsWrite.write(shaped, ids, gdsPath)
+  }
+
+  /** seqGDS2BED: SeqArray `.gds` → PLINK triplet (biallelic fold via the
+    * 2-bit REF-dosage pack). */
+  def seqGDS2BED(spark: SparkSession, gdsPath: String, bedPrefix: String)
+      : Unit = {
+    val d = openGds(spark, gdsPath)
+    val ids = sampleIdList(d)
+    val shaped = d.variants.select(col("variant_id"), col("chrom"),
+      col("pos"),
+      coalesce(col("id"), concat(lit("v"), col("variant_id"))).as("id"),
+      col("allele"), pack2b(col("geno")).as("pg"))
+    graft.sources.bed.Bed.write(shaped, "variant_id", ids, bedPrefix)
+  }
+
   /** seqMerge (variant-union): full outer join on (chrom, pos), allele-set
     * union, genotype index remap of both sides into the merged list. */
   def merge(a: SeqVarData, b: SeqVarData): SeqVarData = {

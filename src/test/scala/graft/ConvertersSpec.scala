@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SeqArray
+import graft.functions.genetics._
+import graft.sources.gds.Gds
+
+/** File-level converter chain on the real CEU fixture: the reference's
+  * seqVCF2GDS / seqGDS2VCF / seqGDS2BED / seqBED2GDS / seqGDS2SNP entry
+  * points now produce actual files; each leg is checked against the
+  * in-memory parse it must preserve. */
+class ConvertersSpec extends AnyFunSuite {
+
+  private val extdata = "/root/reference/inst/extdata"
+  private val core = Seq("chrom", "pos", "id", "allele", "geno", "phased")
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dir(): String =
+    java.nio.file.Files.createTempDirectory("graft_conv").toString
+
+  test("seqVCF2GDS writes a .gds equal to the VCF parse; seqGDS2VCF inverts") {
+    val d = dir()
+    SeqArray.seqVCF2GDS(spark, s"$extdata/CEU_Exon.vcf.gz", s"$d/ceu.gds")
+    val fromGds = SeqArray.openGds(spark, s"$d/ceu.gds")
+    val fromVcf = SeqArray.openVcf(spark, s"$extdata/CEU_Exon.vcf.gz")
+    val a = fromGds.variants.select(core.map(col): _*)
+    val b = fromVcf.variants.select(core.map(col): _*)
+    assert(a.count() == 1348)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(fromGds.samples.get.count() == 90)
+
+    // back out to VCF text and re-parse: core fields survive
+    SeqArray.seqGDS2VCF(spark, s"$d/ceu.gds", s"$d/ceu_out.vcf")
+    val reparsed = SeqArray.openVcf(spark, s"$d/ceu_out.vcf").variants
+      .select(Seq("chrom", "pos", "allele", "geno", "phased").map(col): _*)
+    val orig = b.select(Seq("chrom", "pos", "allele", "geno", "phased")
+      .map(col): _*)
+    assert(reparsed.exceptAll(orig).count() == 0 &&
+      orig.exceptAll(reparsed).count() == 0)
+  }
+
+  test("seqGDS2BED → seqBED2GDS preserves the REF-dosage fold") {
+    val d = dir()
+    SeqArray.seqGDS2BED(spark, s"$extdata/CEU_Exon.gds", s"$d/ceu")
+    SeqArray.seqBED2GDS(spark, s"$d/ceu", s"$d/ceu_back.gds")
+    val back = Gds.read(spark, s"$d/ceu_back.gds")
+      .select(col("chrom"), col("pos"), col("id"),
+        unpack2b(pack2b(col("geno")), lit(90)).as("dos"))
+    val orig = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+      .select(col("chrom"), col("pos"),
+        coalesce(col("id"), concat(lit("v"), col("variant_id"))).as("id"),
+        unpack2b(pack2b(col("geno")), lit(90)).as("dos"))
+    assert(back.count() == 1348)
+    assert(back.exceptAll(orig).count() == 0 &&
+      orig.exceptAll(back).count() == 0)
+  }
+
+  test("seqGDS2SNP → seqSNP2GDS chain lands back in a SeqArray container") {
+    val d = dir()
+    SeqArray.seqGDS2SNP(spark, s"$extdata/CEU_Exon.gds", s"$d/ceu_snp.gds")
+    SeqArray.seqSNP2GDS(spark, s"$d/ceu_snp.gds", s"$d/ceu_seq.gds")
+    val back = SeqArray.openGds(spark, s"$d/ceu_seq.gds")
+    assert(back.variants.count() == 1348)
+    assert(back.samples.get.count() == 90)
+  }
+}
