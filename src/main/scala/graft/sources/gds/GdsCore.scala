@@ -351,6 +351,154 @@ object GdsCore {
     }
   }
 
+  // ---- ranged decode (variant-range splits) ---------------------------
+
+  /** Exact raw-byte slice [rawOff, rawOff+rawLen) of a node's data.
+    * XZ_RA streams decode ONLY the chunks covering the range — the
+    * random-access property the `_ra` framing exists for (chunk k holds
+    * raw bytes [k*R, (k+1)*R) for a fixed R, learned by inflating chunk
+    * 0 once). Uncompressed streams are sliced directly. */
+  def nodeBytesRange(f: GdsFile, node: Node, rawOff: Long, rawLen: Long)
+      : Array[Byte] = {
+    if (node.dataId == 0 || rawLen <= 0) return Array.empty
+    val b = f.stream(node.dataId)
+    if (b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA") {
+      val v11 = (b(12) & 0xff) >= 0x11
+      val nChunks = u32(b, 14)
+      // chunk table: (payload offset, compressed size, raw size) —
+      // the v10 framing carries every chunk's raw size in its header,
+      // v11 does not (raw sizes inferred as uniform, verified below)
+      val offs = new Array[Int](nChunks)
+      val sizes = new Array[Int](nChunks)
+      val raws = new Array[Long](nChunks)
+      var p = 18
+      var c = 0
+      while (c < nChunks) {
+        val (off, csize) =
+          if (v11) (p + 6, u48(b, p).toInt)
+          else (p + 7,
+            ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+              ((b(p + 2) & 0xff) << 16)) - 7)
+        raws(c) = if (v11) -1L else u32(b, p + 3).toLong & 0xffffffffL
+        offs(c) = off; sizes(c) = csize
+        p = off + csize
+        c += 1
+      }
+      def inflate(i: Int): Array[Byte] = {
+        val in = new XZInputStream(
+          new ByteArrayInputStream(b, offs(i), sizes(i)))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out.toByteArray
+      }
+      if (v11 && raws(0) < 0) {
+        val first = inflate(0)
+        var i = 0
+        while (i < nChunks) { raws(i) = first.length.toLong; i += 1 }
+        // keep chunk 0 reusable through the prefix table below
+        raws(0) = first.length.toLong
+        // (chunk 0 re-inflates below only if actually in range — cheap)
+      }
+      val starts = new Array[Long](nChunks + 1)
+      var i = 0
+      while (i < nChunks) { starts(i + 1) = starts(i) + raws(i); i += 1 }
+      val out = new Array[Byte](rawLen.toInt)
+      var written = 0
+      var ci = 0
+      while (ci < nChunks && starts(ci + 1) <= rawOff) ci += 1
+      var ok = true
+      while (ok && written < rawLen && ci < nChunks) {
+        val raw = inflate(ci)
+        if (v11 && raw.length.toLong != raws(ci) && ci < nChunks - 1)
+          ok = false // uniform-size inference was wrong
+        else {
+          val from = math.max(rawOff - starts(ci), 0L).toInt
+          val take = math.min(raw.length - from, rawLen - written).toInt
+          if (take > 0) {
+            System.arraycopy(raw, from, out, written, take)
+            written += take
+          }
+          ci += 1
+        }
+      }
+      if (ok && written == rawLen) out
+      else {
+        // safety net: sequential full decode + slice (correct for any
+        // chunking; only reached when v11 chunks are not uniform)
+        val whole = nodeBytes(f, node)
+        java.util.Arrays.copyOfRange(whole, rawOff.toInt,
+          (rawOff + rawLen).toInt)
+      }
+    } else if (node.coder.isEmpty) {
+      java.util.Arrays.copyOfRange(b, (6 + rawOff).toInt,
+        (6 + rawOff + rawLen).toInt)
+    } else {
+      throw new UnsupportedOperationException(
+        s"gds coder ${node.coder.get} at ${node.path} (expected *_ra xz)")
+    }
+  }
+
+  /** Fixed-stride int elements [off, off+cnt). */
+  def intsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Int] = {
+    n.cls.getOrElse("") match {
+      case "dInt32" =>
+        val b = nodeBytesRange(f, n, off * 4, cnt.toLong * 4)
+        Array.tabulate(cnt)(i => u32(b, 4 * i))
+      case "dInt16" =>
+        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
+        Array.tabulate(cnt)(i => (u16(b, 2 * i) << 16) >> 16)
+      case "dUInt8" =>
+        val b = nodeBytesRange(f, n, off, cnt.toLong)
+        Array.tabulate(cnt)(i => b(i) & 0xff)
+      case "dInt8" =>
+        val b = nodeBytesRange(f, n, off, cnt.toLong)
+        Array.tabulate(cnt)(i => b(i).toInt)
+      case c => throw new UnsupportedOperationException(
+        s"gds ranged int decode for class $c at ${n.path}")
+    }
+  }
+
+  /** Fixed-stride float elements [off, off+cnt). */
+  def floatsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Float] = {
+    n.cls.getOrElse("") match {
+      case "dFloat32" =>
+        val b = nodeBytesRange(f, n, off * 4, cnt.toLong * 4)
+        Array.tabulate(cnt)(i => java.lang.Float.intBitsToFloat(u32(b, 4 * i)))
+      case "dFloat64" =>
+        val b = nodeBytesRange(f, n, off * 8, cnt.toLong * 8)
+        Array.tabulate(cnt)(i => f64le(b, 8 * i).toFloat)
+      case "dPackedReal8U" =>
+        val scale = if (n.packedScale.isNaN) 1.0 / 127 else n.packedScale
+        val b = nodeBytesRange(f, n, off, cnt.toLong)
+        Array.tabulate(cnt) { i =>
+          val v = b(i) & 0xff
+          if (v == 0xff) Float.NaN else (v * scale).toFloat
+        }
+      case c => throw new UnsupportedOperationException(
+        s"gds ranged float decode for class $c at ${n.path}")
+    }
+  }
+
+  /** 2-bit units [u0, u1): returns (bytes, unitBase) — index with
+    * `bit2(bytes, u - unitBase)`. Byte-aligned at the floor. */
+  def bit2Range(f: GdsFile, n: Node, u0: Long, u1: Long)
+      : (Array[Byte], Long) = {
+    val byteOff = u0 >> 2
+    val byteEnd = (u1 + 3) >> 2
+    (nodeBytesRange(f, n, byteOff, byteEnd - byteOff), byteOff << 2)
+  }
+
+  /** 1-bit units [u0, u1): returns (bytes, unitBase). */
+  def bit1Range(f: GdsFile, n: Node, u0: Long, u1: Long)
+      : (Array[Byte], Long) = {
+    val byteOff = u0 >> 3
+    val byteEnd = (u1 + 7) >> 3
+    (nodeBytesRange(f, n, byteOff, byteEnd - byteOff), byteOff << 3)
+  }
+
   // ---- typed array decode --------------------------------------------------
 
   def ints(f: GdsFile, n: Node): Array[Int] = {

@@ -98,8 +98,8 @@ object GdsSchema {
   /** Extractors over an SNP-GDS tree: genotype code → normalized pair
     * per the reference's FC_SNP2GDS (src/ConvToGDS.cpp: 0→(1,1) hom-ALT,
     * 1→(0,1) het, 2→(0,0) hom-REF, 3→missing). */
-  private def snpExtractors(f: GdsFile, required: StructType)
-      : Array[Int => Any] = {
+  private def snpExtractors(f: GdsFile, required: StructType,
+      v0: Int, v1: Int): Array[Int => Any] = {
     val root = f.root
     def utf8(s: String): AnyRef =
       if (s == null) null else UTF8String.fromString(s)
@@ -111,7 +111,12 @@ object GdsSchema {
         if (g.attrs.contains("snp.order")) true
         else if (g.attrs.contains("sample.order")) false
         else g.dims.headOption.contains(nSnp)
-      (bits(f, g), nSnp, nSample, snpMajor)
+      // snp-major is fixed-stride per snp → ranged decode; sample-major
+      // strides across the whole matrix → whole decode
+      val (bytes, base) =
+        if (snpMajor) bit2Range(f, g, v0.toLong * nSample, v1.toLong * nSample)
+        else (bits(f, g), 0L)
+      (bytes, base, nSnp, nSample, snpMajor)
     }
     // shared immutable pair cells: the four codes map to constant pairs
     val homAlt = Array[Any](java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1L))
@@ -142,9 +147,9 @@ object GdsSchema {
           val a = strings(f, root("snp.allele"))
           (v: Int) => utf8(a(v).replaceFirst("/", ","))
         case "geno" =>
-          val (bytes, nSnp, nSample, snpMajor) = geno
+          val (bytes, base, nSnp, nSample, snpMajor) = geno
           (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
-            val idx = if (snpMajor) v.toLong * nSample + s
+            val idx = if (snpMajor) v.toLong * nSample + s - base
               else s.toLong * nSnp + v
             new GenericArrayData((bit2(bytes, idx): @annotation.switch) match {
               case 0 => homAlt
@@ -198,11 +203,18 @@ object GdsSchema {
   }
 
   /** Column extractors: per required column, a variant-index -> catalyst
-    * value function, decoding only the nodes that column needs. */
-  def extractors(f: GdsFile, required: StructType): Array[Int => Any] = {
+    * value function (GLOBAL index — valid for v0 <= v < v1), decoding
+    * only the nodes that column needs and — for fixed-stride nodes —
+    * only the [v0, v1) slice of each (XZ_RA chunk random access).
+    * Variable-stride nodes (dStr8 axes, @len vectors) decode whole:
+    * they are the metadata-thin axis; the genotype/format matrices that
+    * dominate a biobank-width file are the ranged ones. */
+  def extractors(f: GdsFile, required: StructType, v0: Int, v1: Int)
+      : Array[Int => Any] = {
     val root = f.root
-    if (isSnpTree(root)) return snpExtractors(f, required)
+    if (isSnpTree(root)) return snpExtractors(f, required, v0, v1)
     val nVariants = root("variant.id").dims.head
+    val nRange = v1 - v0
     val ann = root.child("annotation")
     def infoNode(n: String) = ann.flatMap(_.child("info")).flatMap(_.child(n))
     def fmtNode(n: String) = ann.flatMap(_.child("format")).flatMap(_.child(n))
@@ -211,21 +223,28 @@ object GdsSchema {
     def utf8(s: String): AnyRef =
       if (s == null) null else UTF8String.fromString(s)
 
-    // genotype: 2-bit planes, @data[v] planes per variant, missing=all-ones
+    // genotype: 2-bit planes, @data[v] planes per variant, missing=all-ones.
+    // @data decodes [0, v1) for the plane prefix-sums; the bit-plane
+    // matrix itself decodes only this range's slice.
     lazy val genoData = root.child("genotype").map { g =>
       val data = g("data")
-      val planes = ints(f, g("@data"))
+      val planes = intsRange(f, g("@data"), 0, v1)
       val starts = new Array[Int](planes.length)
       var acc = 0
       var i = 0
       while (i < planes.length) { starts(i) = acc; acc += planes(i); i += 1 }
       val nS = data.dims(1)
       val ploidy = data.dims(2)
-      (bits(f, data), planes, starts, nS, ploidy)
+      val uEnd = (starts(v1 - 1) + planes(v1 - 1)).toLong * nS * ploidy
+      val (bytes, base) = bit2Range(f, data,
+        starts(v0).toLong * nS * ploidy, uEnd)
+      (bytes, base, planes, starts, nS, ploidy)
     }
     lazy val phaseData = root.child("phase").map { ph =>
       val data = ph("data")
-      (bits(f, data), data.dims(1))
+      val nS = data.dims(1)
+      val (bytes, base) = bit1Range(f, data, v0.toLong * nS, v1.toLong * nS)
+      (bytes, base, nS)
     }
 
     def scalarNull(vtype: String, v: AnyRef): AnyRef = v
@@ -233,17 +252,28 @@ object GdsSchema {
     /** Decode an info/format values node into an indexed accessor of
       * catalyst scalars. */
     def valueReader(n: Node, vtype: String, count: Long): Int => AnyRef =
+      valueReaderRange(n, vtype, 0, -1, count)
+
+    /** Reader over value elements; fixed-stride classes decode only
+      * [e0, e1) (pass e1 < 0 for whole-node), variable-stride classes
+      * decode whole. Indexes stay GLOBAL. */
+    def valueReaderRange(n: Node, vtype: String, e0: Int, e1: Int,
+        count: Long): Int => AnyRef = {
+      val whole = e1 < 0
       n.cls.getOrElse("") match {
         case "dStr8" =>
           val a = strings(f, n)
           i => if (a(i).isEmpty) null else utf8(a(i))
         case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
-          val a = ints(f, n)
-          i => if (a(i) == Int.MinValue) null
-               else java.lang.Integer.valueOf(a(i))
+          val (a, base) = if (whole) (ints(f, n), 0)
+            else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
+          i => if (a(i - base) == Int.MinValue) null
+               else java.lang.Integer.valueOf(a(i - base))
         case "dFloat32" | "dFloat64" | "dPackedReal8U" =>
-          val a = floats(f, n)
-          i => if (a(i).isNaN) null else java.lang.Float.valueOf(a(i))
+          val (a, base) = if (whole) (floats(f, n), 0)
+            else (floatsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
+          i => if (a(i - base).isNaN) null
+               else java.lang.Float.valueOf(a(i - base))
         case "dVL_Int" =>
           val a = varints(f, n, count)
           i => java.lang.Integer.valueOf(a(i).toInt)
@@ -253,6 +283,7 @@ object GdsSchema {
         case c => throw new UnsupportedOperationException(
           s"gds value class $c at ${n.path}")
       }
+    }
 
     def infoExtractor(node: Node): Int => Any = {
       val (number, vtype, _) = fieldType(node)
@@ -261,11 +292,12 @@ object GdsSchema {
         v => java.lang.Boolean.valueOf(bit1(a, v) == 1)
       } else {
         val lensOpt = ann.flatMap(_.child("info"))
-          .flatMap(_.child("@" + node.name)).map(ints(f, _))
+          .flatMap(_.child("@" + node.name))
+          .map(intsRange(f, _, 0, v1))
         lensOpt match {
           case None =>
             // dense: one value per variant
-            val rd = valueReader(node, vtype, nVariants.toLong)
+            val rd = valueReaderRange(node, vtype, v0, v1, nVariants.toLong)
             if (number == "1") (v: Int) => rd(v)
             else (v: Int) => new GenericArrayData(Array[Any](rd(v)))
           case Some(lens) =>
@@ -275,7 +307,8 @@ object GdsSchema {
             while (i < lens.length) {
               starts(i) = acc; acc += math.max(lens(i), 0); i += 1
             }
-            val rd = valueReader(node, vtype, acc.toLong)
+            val rd = valueReaderRange(node, vtype, starts(v0), acc,
+              acc.toLong)
             if (number == "1")
               (v: Int) => if (lens(v) <= 0) null else rd(starts(v))
             else
@@ -290,15 +323,16 @@ object GdsSchema {
       val dataN = node("data")
       val (_, vtype, _) = fieldType(node)
       val nS = dataN.dims(1)
-      val lens = node.child("@data").map(ints(f, _))
-        .getOrElse(Array.fill(nVariants)(1))
+      val lens = node.child("@data").map(intsRange(f, _, 0, v1))
+        .getOrElse(Array.fill(v1)(1))
       val starts = new Array[Int](lens.length)
       var acc = 0
       var i = 0
       while (i < lens.length) {
         starts(i) = acc; acc += math.max(lens(i), 0); i += 1
       }
-      val rd = valueReader(dataN, vtype, acc.toLong * nS)
+      val rd = valueReaderRange(dataN, vtype, starts(v0) * nS, acc * nS,
+        acc.toLong * nS)
       val numberOne = attrStr(node, "Number").contains("1")
       if (numberOne)
         (v: Int) => new GenericArrayData(
@@ -313,14 +347,14 @@ object GdsSchema {
     required.fields.map { field =>
       field.name match {
         case "variant_id" =>
-          val a = ints(f, root("variant.id"))
-          (v: Int) => java.lang.Long.valueOf(a(v).toLong)
+          val a = intsRange(f, root("variant.id"), v0, nRange)
+          (v: Int) => java.lang.Long.valueOf(a(v - v0).toLong)
         case "chrom" =>
           val a = strings(f, root("chromosome"))
           (v: Int) => utf8(a(v))
         case "pos" =>
-          val a = ints(f, root("position"))
-          (v: Int) => java.lang.Integer.valueOf(a(v))
+          val a = intsRange(f, root("position"), v0, nRange)
+          (v: Int) => java.lang.Integer.valueOf(a(v - v0))
         case "id" =>
           val a = ann.flatMap(_.child("id")).map(strings(f, _))
             .getOrElse(Array.fill[String](nVariants)(null))
@@ -344,14 +378,16 @@ object GdsSchema {
           }
         case "allele" => (v: Int) => utf8(alleles(v))
         case "qual" =>
-          val a = ann.flatMap(_.child("qual")).map(floats(f, _))
-            .getOrElse(Array.fill(nVariants)(Float.NaN))
-          (v: Int) => if (a(v).isNaN) null else java.lang.Float.valueOf(a(v))
+          val a = ann.flatMap(_.child("qual"))
+            .map(floatsRange(f, _, v0, nRange))
+            .getOrElse(Array.fill(nRange)(Float.NaN))
+          (v: Int) => if (a(v - v0).isNaN) null
+            else java.lang.Float.valueOf(a(v - v0))
         case "filter" =>
           val node = ann.flatMap(_.child("filter"))
           node match {
             case Some(nd) if nd.cls.contains("dInt32") =>
-              val codes = ints(f, nd)
+              val codes = intsRange(f, nd, v0, nRange)
               val levels = nd.attrs.get("R.levels") match {
                 case Some(AttrList(vs)) =>
                   vs.collect { case AttrStr(s) => s }.toArray
@@ -359,19 +395,19 @@ object GdsSchema {
                 case _ => Array.empty[String]
               }
               (v: Int) =>
-                if (codes(v) < 1 || codes(v) > levels.length) null
-                else utf8(levels(codes(v) - 1))
+                if (codes(v - v0) < 1 || codes(v - v0) > levels.length) null
+                else utf8(levels(codes(v - v0) - 1))
             case Some(nd) =>
               val a = strings(f, nd)
               (v: Int) => if (a(v).isEmpty) null else utf8(a(v))
             case None => (_: Int) => null
           }
         case "geno" =>
-          val (data, planes, starts, nS, ploidy) = genoData.get
+          val (data, unitBase, planes, starts, nS, ploidy) = genoData.get
           (v: Int) => {
             val np = planes(v)
             val missCode = (1 << (2 * np)) - 1
-            val rowBase = starts(v).toLong * nS * ploidy
+            val rowBase = starts(v).toLong * nS * ploidy - unitBase
             new GenericArrayData(Array.tabulate[Any](nS) { s =>
               new GenericArrayData(Array.tabulate[Any](ploidy) { a =>
                 var code = 0
@@ -386,9 +422,10 @@ object GdsSchema {
             })
           }
         case "phased" =>
-          val (data, nS) = phaseData.get
+          val (data, unitBase, nS) = phaseData.get
           (v: Int) => new GenericArrayData(Array.tabulate[Any](nS)(s =>
-            java.lang.Boolean.valueOf(bit1(data, v.toLong * nS + s) == 1)))
+            java.lang.Boolean.valueOf(
+              bit1(data, v.toLong * nS + s - unitBase) == 1)))
         case n if n.startsWith("info_") =>
           infoExtractor(infoNode(n.stripPrefix("info_")).getOrElse(
             throw new NoSuchElementException(s"gds info node $n")))
@@ -408,46 +445,67 @@ class GdsTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdsScanBuilder(paths, schema())
+    new GdsScanBuilder(paths, schema(), options)
 }
 
-class GdsScanBuilder(paths: Seq[String], full: StructType)
+class GdsScanBuilder(paths: Seq[String], full: StructType,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
+  private val splitVariants =
+    Option(options.get("splitVariants")).map(_.toInt)
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep at least one column so row counts survive `select(count(*))`
     required =
       if (requiredSchema.fields.isEmpty)
         StructType(full.fields.take(1))
       else requiredSchema
-  override def build(): Scan = new GdsScan(paths, required)
+  override def build(): Scan = new GdsScan(paths, required, splitVariants)
 }
 
-class GdsScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+/** Partitioning: a .gds cohort usually ships as per-chromosome shards
+  * (the reference's own unit), and additionally each FILE splits into
+  * variant ranges — fixed-stride nodes (genotype/phase bit-planes,
+  * position, dosage matrices) decode only their slice via the XZ_RA
+  * 128 KiB random-access chunks, so a single big shard no longer pins
+  * one core. `splitVariants` overrides the auto range size. */
+class GdsScan(paths: Seq[String], required: StructType,
+    splitVariants: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => GdsInputPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val par = math.max(org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism, 1)
+    paths.flatMap { p =>
+      val f = new GdsFile(p)
+      val n = try GdsSchema.variantCount(f.root) finally f.close()
+      val step = splitVariants.getOrElse(
+        math.max(8192, (n + par - 1) / par))
+      (0 until n by step).map(v0 =>
+        GdsInputPartition(p, v0, math.min(v0 + step, n)))
+    }.map(identity[InputPartition]).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GdsReaderFactory(required)
 }
 
-final case class GdsInputPartition(path: String) extends InputPartition
+final case class GdsInputPartition(path: String, v0: Int, v1: Int)
+    extends InputPartition
 
 class GdsReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GdsPartitionReader(p.asInstanceOf[GdsInputPartition].path, required)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GdsInputPartition]
+    new GdsPartitionReader(gp.path, gp.v0, gp.v1, required)
+  }
 }
 
-class GdsPartitionReader(path: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class GdsPartitionReader(path: String, v0: Int, v1: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
   private val file = new GdsFile(path)
-  private val nVariants = GdsSchema.variantCount(file.root)
-  private val cols = GdsSchema.extractors(file, required)
-  private var v = -1
+  private val cols = GdsSchema.extractors(file, required, v0, v1)
+  private var v = v0 - 1
 
-  override def next(): Boolean = { v += 1; v < nVariants }
+  override def next(): Boolean = { v += 1; v < v1 }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(cols.length)

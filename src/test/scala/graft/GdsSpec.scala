@@ -124,6 +124,25 @@ class GdsSpec extends AnyFunSuite {
     assert(g(0) == full(0) && g(1) == full(2))
   }
 
+  test("variant-range splits equal the whole-file scan (CEU + 1KG)") {
+    // ranged XZ_RA chunk decode must reproduce the sequential decode
+    // byte-for-byte, across both _ra framing versions (CEU=v11, 1KG=v10)
+    for ((p, colsOpt) <- Seq(
+        (s"$extdata/CEU_Exon.gds", None), // ALL columns incl. info_*/fmt_*
+        (s"$extdata/1KG_phase1_release_v3_chr22.gds",
+          Some(Seq("variant_id", "pos", "allele", "geno"))))) {
+      val all = spark.read.format("gds").load(p).columns.toSeq
+      val cols = colsOpt.getOrElse(all)
+      val one = spark.read.format("gds").option("splitVariants", "1000000")
+        .load(p).select(cols.map(col): _*)
+      val split = spark.read.format("gds").option("splitVariants", "149")
+        .load(p).select(cols.map(col): _*)
+      assert(split.rdd.getNumPartitions > 5, s"$p not split")
+      assert(split.exceptAll(one).count() == 0 &&
+        one.exceptAll(split).count() == 0, s"$p split mismatch")
+    }
+  }
+
   test("packed GenoStats equals the array kernel on the CEU cube") {
     import graft.functions.genetics.{genoStats, genoStatsPacked, pack2b}
     // CEU has only fully-missing calls (./.), where packed and unpacked
