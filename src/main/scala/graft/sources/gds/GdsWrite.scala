@@ -186,6 +186,7 @@ object GdsWrite {
   final class BitPacker(bitsPer: Int) {
     private val buf = ArrayBuffer.empty[Byte]
     private var idx = 0L
+    def count: Int = idx.toInt
     def add(v: Int): Unit = {
       val bitPos = idx * bitsPer
       val byteAt = (bitPos >> 3).toInt
@@ -292,10 +293,165 @@ object GdsWrite {
   private val FolderFlag = 2
   private val HiddenFlag = 16
 
+  // ---- info/fmt column accumulators (annotation/info, annotation/format)
+  // Null encodings mirror the read-side valueReader sentinels:
+  // Int.MinValue, NaN, "" — and ragged fields carry an `@name` length
+  // vector where len<=0 means a null row.
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private sealed trait ColAcc {
+    def add(r: Row, i: Int): Unit
+    /** Emits nodes; returns the child entries to hang on the folder. */
+    def emit(c: Container, name: String): Seq[(Int, String, Int)]
+  }
+
+  private def scalarCls(dt: DataType): (String, Any => Array[Byte], String) =
+    dt match {
+      case IntegerType => ("dInt32",
+        vs => intPayload(vs.asInstanceOf[Seq[Int]]), "Integer")
+      case FloatType => ("dFloat32",
+        vs => floatPayload(vs.asInstanceOf[Seq[Float]]), "Float")
+      case StringType => ("dStr8",
+        vs => strPayload(vs.asInstanceOf[Seq[String]]), "String")
+      case t => throw new UnsupportedOperationException(
+        s"gds write: unsupported scalar $t")
+    }
+
+  private def attrsFor(number: String, vtype: String): Attrs =
+    new Attrs().str("Number", number).str("Type", vtype)
+
+  /** INFO Flag → dBit1. */
+  private final class FlagAcc extends ColAcc {
+    private val bits = new BitPacker(1)
+    def add(r: Row, i: Int): Unit =
+      bits.add(if (!r.isNullAt(i) && r.getBoolean(i)) 1 else 0)
+    def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
+      val n = c.node("dBit1", Seq(bits.count), bits.bytes,
+        attrsFor("0", "Flag"))
+      Seq((n, name, 0))
+    }
+  }
+
+  /** INFO scalar (Number=1). */
+  private final class ScalarAcc(dt: DataType) extends ColAcc {
+    private val buf = ArrayBuffer.empty[Any]
+    def add(r: Row, i: Int): Unit = buf += (dt match {
+      case IntegerType => if (r.isNullAt(i)) Int.MinValue else r.getInt(i)
+      case FloatType => if (r.isNullAt(i)) Float.NaN else r.getFloat(i)
+      case _ => if (r.isNullAt(i)) "" else r.getString(i)
+    })
+    def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
+      val (cls, pay, vt) = scalarCls(dt)
+      Seq((c.node(cls, Seq(buf.length), pay(buf.toSeq), attrsFor("1", vt)),
+        name, 0))
+    }
+  }
+
+  /** INFO array (Number=.) → ragged values + @name lens. */
+  private final class ArrAcc(elem: DataType) extends ColAcc {
+    private val values = ArrayBuffer.empty[Any]
+    private val lens = ArrayBuffer.empty[Int]
+    def add(r: Row, i: Int): Unit =
+      if (r.isNullAt(i)) lens += 0
+      else {
+        val s = r.getSeq[Any](i)
+        lens += s.length
+        s.foreach(v => values += (elem match {
+          case IntegerType => if (v == null) Int.MinValue else v
+          case FloatType => if (v == null) Float.NaN else v
+          case _ => if (v == null) "" else v
+        }))
+      }
+    def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
+      val (cls, pay, vt) = scalarCls(elem)
+      val vNode = c.node(cls, Seq(values.length), pay(values.toSeq),
+        attrsFor(".", vt))
+      val lNode = c.node("dInt32", Seq(lens.length),
+        intPayload(lens.toSeq.asInstanceOf[Seq[Int]]),
+        new Attrs().nul("R.invisible"))
+      Seq((vNode, name, 0), (lNode, "@" + name, HiddenFlag))
+    }
+  }
+
+  /** FORMAT scalar-per-sample (Number=1) → data [nVar, nS]. */
+  private final class FmtAcc(elem: DataType, nS: Int) extends ColAcc {
+    private val values = ArrayBuffer.empty[Any]
+    private var rows = 0
+    def add(r: Row, i: Int): Unit = {
+      rows += 1
+      val s = if (r.isNullAt(i)) Seq.fill[Any](nS)(null) else r.getSeq[Any](i)
+      require(s.length == nS, s"fmt width ${s.length} != $nS")
+      s.foreach(v => values += (elem match {
+        case IntegerType => if (v == null) Int.MinValue else v
+        case FloatType => if (v == null) Float.NaN else v
+        case _ => if (v == null) "" else v
+      }))
+    }
+    def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
+      val (cls, pay, vt) = scalarCls(elem)
+      val dNode = c.node(cls, Seq(rows, nS), pay(values.toSeq),
+        new Attrs())
+      Seq((c.folder(Seq((dNode, "data", 0)), attrsFor("1", vt)),
+        name, FolderFlag))
+    }
+  }
+
+  /** FORMAT ragged (Number=.) → data [rows, nS] + @data rows-per-variant
+    * (the reference's layout: one row count per VARIANT; a null sample
+    * cell pads its column with sentinels). */
+  private final class FmtNestedAcc(elem: DataType, nS: Int) extends ColAcc {
+    private val values = ArrayBuffer.empty[Any]
+    private val lens = ArrayBuffer.empty[Int]
+    def add(r: Row, i: Int): Unit = {
+      val samples: Seq[Seq[Any]] =
+        if (r.isNullAt(i)) Seq.fill(nS)(null)
+        else r.getSeq[scala.collection.Seq[Any]](i).map(s =>
+          if (s == null) null else s.toSeq)
+      require(samples.length == nS, s"fmt width ${samples.length} != $nS")
+      val l = samples.map(s => if (s == null) 0 else s.length).max
+      lens += l
+      var row = 0
+      while (row < l) {
+        samples.foreach { s =>
+          val v = if (s == null || row >= s.length) null else s(row)
+          values += (elem match {
+            case IntegerType => if (v == null) Int.MinValue else v
+            case FloatType => if (v == null) Float.NaN else v
+            case _ => if (v == null) "" else v
+          })
+        }
+        row += 1
+      }
+    }
+    def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
+      val (cls, pay, vt) = scalarCls(elem)
+      val dNode = c.node(cls, Seq(lens.sum, nS), pay(values.toSeq),
+        new Attrs())
+      val lNode = c.node("dInt32", Seq(lens.length),
+        intPayload(lens.toSeq), new Attrs().nul("R.invisible"))
+      Seq((c.folder(Seq((dNode, "data", 0), (lNode, "@data", HiddenFlag)),
+        attrsFor(".", vt)), name, FolderFlag))
+    }
+  }
+
+  private def accFor(field: StructField, nS: Int): ColAcc = {
+    val isFmt = field.name.startsWith("fmt_")
+    field.dataType match {
+      case BooleanType => new FlagAcc
+      case ArrayType(e: ArrayType, _) if isFmt =>
+        new FmtNestedAcc(e.elementType, nS)
+      case ArrayType(e, _) if isFmt => new FmtAcc(e, nS)
+      case ArrayType(e, _) => new ArrAcc(e)
+      case dt => new ScalarAcc(dt)
+    }
+  }
+
   /** Writes `df` (canonical columns `variant_id, chrom, pos, id, allele,
-    * qual, filter, geno, phased` — extra columns ignored, missing
-    * optional ones skipped) plus the sample axis to a `.gds` container
-    * in the frame's row order. */
+    * qual, filter, geno, phased`, plus `info_*` columns — scalar, array
+    * and Flag — and `fmt_*` scalar-per-sample columns; other columns
+    * ignored) plus the sample axis to a `.gds` container in the frame's
+    * row order. */
   def write(df: DataFrame, sampleIds: Seq[String], path: String): Unit = {
     import org.apache.spark.sql.functions.col
     val fields = df.schema.fieldNames.toSet
@@ -304,8 +460,13 @@ object GdsWrite {
     def opt(n: String): Seq[org.apache.spark.sql.Column] =
       if (fields.contains(n)) Seq(col(n)) else Nil
 
+    val infoFields = df.schema.fields
+      .filter(_.name.startsWith("info_")).toSeq
+    val fmtFields = df.schema.fields
+      .filter(_.name.startsWith("fmt_")).toSeq
     val optNames = Seq("id", "qual", "filter", "geno", "phased")
-      .filter(fields.contains)
+      .filter(fields.contains) ++
+      (infoFields ++ fmtFields).map(_.name)
     val cols = Seq(col("variant_id"), col("chrom"), col("pos"),
       col("allele")) ++ optNames.map(col)
     val index: Map[String, Int] =
@@ -325,10 +486,13 @@ object GdsWrite {
     val phaseBits = new BitPacker(1)
     var nS = sampleIds.length
     var ploidy = 2
+    val infoAccs = infoFields.map(f => f.name -> accFor(f, nS))
+    val fmtAccs = fmtFields.map(f => f.name -> accFor(f, nS))
 
     val it = df.select(cols: _*).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
+      (infoAccs ++ fmtAccs).foreach { case (n, acc) => acc.add(r, at(n)) }
       val vid = r.getLong(at("variant_id"))
       require(vid <= Int.MaxValue, s"variant_id $vid exceeds dInt32")
       vids += vid.toInt
@@ -410,6 +574,18 @@ object GdsWrite {
     if (filters.nonEmpty)
       annChildren += ((c.node("dStr8", Seq(nVar), strPayload(filters)),
         "filter", 0))
+    if (infoAccs.nonEmpty) {
+      val kids = infoAccs.flatMap { case (n, acc) =>
+        acc.emit(c, n.stripPrefix("info_"))
+      }
+      annChildren += ((c.folder(kids), "info", FolderFlag))
+    }
+    if (fmtAccs.nonEmpty) {
+      val kids = fmtAccs.flatMap { case (n, acc) =>
+        acc.emit(c, n.stripPrefix("fmt_"))
+      }
+      annChildren += ((c.folder(kids), "format", FolderFlag))
+    }
     val annotation = c.folder(annChildren.toSeq)
 
     c.folderAt(rootId,

@@ -31,8 +31,13 @@ class ConvertersSpec extends AnyFunSuite {
     SeqArray.seqVCF2GDS(spark, s"$extdata/CEU_Exon.vcf.gz", s"$d/ceu.gds")
     val fromGds = SeqArray.openGds(spark, s"$d/ceu.gds")
     val fromVcf = SeqArray.openVcf(spark, s"$extdata/CEU_Exon.vcf.gz")
-    val a = fromGds.variants.select(core.map(col): _*)
-    val b = fromVcf.variants.select(core.map(col): _*)
+    // every info_*/fmt_* column survives the container round trip too
+    val full = core ++ fromVcf.variants.columns
+      .filter(c => c.startsWith("info_") || c.startsWith("fmt_"))
+    assert(fromGds.variants.columns.toSet.intersect(full.toSet) == full.toSet,
+      s"missing columns: ${full.toSet -- fromGds.variants.columns.toSet}")
+    val a = fromGds.variants.select(full.map(col): _*)
+    val b = fromVcf.variants.select(full.map(col): _*)
     assert(a.count() == 1348)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(fromGds.samples.get.count() == 90)
