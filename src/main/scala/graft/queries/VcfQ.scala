@@ -193,5 +193,31 @@ object VcfQ extends QueryModule {
           AS INT) AS n_miss
       FROM variants"""))
 
-  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57)
+  // the biobank-width fast lane end-to-end: stored 2-bit planes →
+  // option(packed) pg BINARY → geno_stats_packed, no genotype arrays
+  // anywhere in the plan. Same data as q55; packed-fold oracle (a call
+  // with any missing allele folds to fully missing).
+  private val q58 = Q("q58_gds_packed_af",
+    (s, dir) => {
+      val p = ensureGds(s, dir)
+      val st = genoStatsPacked(col("pg"), lit(SynthGeno.nSamples))
+      s.read.format("gds").option("packed", "true").load(p)
+        .select(col("variant_id").as("vid"), col("chrom"),
+          element_at(st, 2).as("n_called"),
+          element_at(st, 3).as("ac_ref"),
+          element_at(st, 4).as("miss_calls"))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, chrom,
+        CAST(2 * len(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) = 0)) AS BIGINT) AS n_called,
+        CAST(COALESCE(list_sum(list_transform(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) = 0), sa ->
+          len(list_filter(sa, a -> a = 0)))), 0) AS BIGINT) AS ac_ref,
+        CAST(len(list_filter(geno, sa ->
+          len(list_filter(sa, a -> a IS NULL)) > 0)) AS BIGINT)
+          AS miss_calls
+      FROM variants"""))
+
+  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57, q58)
 }

@@ -33,11 +33,15 @@ import GdsCore._
   */
 class GdsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gds"
+  private def packed(o: CaseInsensitiveStringMap): Boolean =
+    Option(o.get("packed")).exists(_.toBoolean)
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GdsSchema.forPath(GdsSchema.paths(options).head)
+    GdsSchema.forPath(GdsSchema.paths(options).head, packed(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GdsTable(GdsSchema.paths(new CaseInsensitiveStringMap(properties)))
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GdsTable(GdsSchema.paths(opts), packed(opts))
+  }
 }
 
 object GdsSchema {
@@ -87,13 +91,21 @@ object GdsSchema {
   def variantCount(root: Node): Int =
     (if (isSnpTree(root)) root("snp.id") else root("variant.id")).dims.head
 
-  private def snpSchema: StructType = StructType(Seq(
+  /** `option("packed", true)`: genotypes surface as the engine's 2-bit
+    * REF-dosage BINARY column `pg` instead of the nested `geno` cube —
+    * the zero-materialization path from stored bit-planes straight into
+    * `geno_stats_packed`/`unpack_2b` (any-missing folds to 3, as with
+    * pack_2b/BED). */
+  private def pgField: StructField =
+    StructField("pg", BinaryType, nullable = false)
+
+  private def snpSchema(packed: Boolean): StructType = StructType(Seq(
     StructField("variant_id", LongType, nullable = false),
     StructField("chrom", StringType),
     StructField("pos", IntegerType),
     StructField("id", StringType),
     StructField("allele", StringType),
-    StructField("geno", genoType)))
+    if (packed) pgField else StructField("geno", genoType)))
 
   /** Extractors over an SNP-GDS tree: genotype code → normalized pair
     * per the reference's FC_SNP2GDS (src/ConvToGDS.cpp: 0→(1,1) hom-ALT,
@@ -146,6 +158,21 @@ object GdsSchema {
         case "allele" =>
           val a = strings(f, root("snp.allele"))
           (v: Int) => utf8(a(v).replaceFirst("/", ","))
+        case "pg" =>
+          // SNP-GDS codes ARE engine REF-dosage codes — repack verbatim
+          val (bytes, base, nSnp, nSample, snpMajor) = geno
+          (v: Int) => {
+            val out = new Array[Byte]((nSample + 3) / 4)
+            var s = 0
+            while (s < nSample) {
+              val idx = if (snpMajor) v.toLong * nSample + s - base
+                else s.toLong * nSnp + v
+              out(s >> 2) = (out(s >> 2) |
+                (bit2(bytes, idx) << ((s & 3) << 1))).toByte
+              s += 1
+            }
+            out
+          }
         case "geno" =>
           val (bytes, base, nSnp, nSample, snpMajor) = geno
           (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
@@ -164,8 +191,8 @@ object GdsSchema {
     }
   }
 
-  def forTree(root: Node): StructType = {
-    if (isSnpTree(root)) return snpSchema
+  def forTree(root: Node, packed: Boolean = false): StructType = {
+    if (isSnpTree(root)) return snpSchema(packed)
     val info = root.child("annotation").flatMap(_.child("info"))
       .map(_.children).getOrElse(Nil)
       .filterNot(_.name.startsWith("@"))
@@ -184,7 +211,8 @@ object GdsSchema {
         StructField("qual", FloatType),
         StructField("filter", StringType)) ++
       info.map(n => StructField(s"info_${n.name}", fieldType(n)._3)) ++
-      (if (hasGeno) Seq(StructField("geno", genoType)) else Nil) ++
+      (if (hasGeno && packed) Seq(pgField)
+       else if (hasGeno) Seq(StructField("geno", genoType)) else Nil) ++
       (if (hasPhase) Seq(StructField("phased", ArrayType(BooleanType)))
        else Nil) ++
       fmt.map { n =>
@@ -197,9 +225,9 @@ object GdsSchema {
       })
   }
 
-  def forPath(path: String): StructType = {
+  def forPath(path: String, packed: Boolean = false): StructType = {
     val f = new GdsFile(path)
-    try forTree(f.root) finally f.close()
+    try forTree(f.root, packed) finally f.close()
   }
 
   /** Column extractors: per required column, a variant-index -> catalyst
@@ -402,6 +430,37 @@ object GdsSchema {
               (v: Int) => if (a(v).isEmpty) null else utf8(a(v))
             case None => (_: Int) => null
           }
+        case "pg" =>
+          // bit-planes → engine 2-bit REF-dosage, no array materialization
+          val (data, unitBase, planes, starts, nS, ploidy) = genoData.get
+          (v: Int) => {
+            val np = planes(v)
+            val missCode = (1 << (2 * np)) - 1
+            val rowBase = starts(v).toLong * nS * ploidy - unitBase
+            val out = new Array[Byte]((nS + 3) / 4)
+            var s = 0
+            while (s < nS) {
+              var refs = 0
+              var miss = false
+              var a = 0
+              while (a < ploidy) {
+                var code = 0
+                var k = 0
+                while (k < np) {
+                  code |= bit2(data,
+                    rowBase + k.toLong * nS * ploidy + s * ploidy + a) << (2 * k)
+                  k += 1
+                }
+                if (code == missCode) miss = true
+                else if (code == 0) refs += 1
+                a += 1
+              }
+              val c2 = if (miss || refs > 2) 3 else refs
+              out(s >> 2) = (out(s >> 2) | (c2 << ((s & 3) << 1))).toByte
+              s += 1
+            }
+            out
+          }
         case "geno" =>
           val (data, unitBase, planes, starts, nS, ploidy) = genoData.get
           (v: Int) => {
@@ -439,9 +498,10 @@ object GdsSchema {
   }
 }
 
-class GdsTable(paths: Seq[String]) extends Table with SupportsRead {
+class GdsTable(paths: Seq[String], packed: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"gds(${paths.mkString(",")})"
-  override def schema(): StructType = GdsSchema.forPath(paths.head)
+  override def schema(): StructType = GdsSchema.forPath(paths.head, packed)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

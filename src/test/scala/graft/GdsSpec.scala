@@ -143,6 +143,21 @@ class GdsSpec extends AnyFunSuite {
     }
   }
 
+  test("option(packed): pg column equals pack_2b of the geno cube") {
+    import graft.functions.genetics.pack2b
+    // SeqArray tree (CEU): bit-planes → REF-dosage fold must match
+    // packing the materialized cube
+    val viaPg = spark.read.format("gds").option("packed", "true")
+      .load(s"$extdata/CEU_Exon.gds")
+      .select(col("variant_id"), col("pg"))
+    val viaCube = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+      .select(col("variant_id"), pack2b(col("geno")).as("pg"))
+    assert(viaPg.count() == 1348)
+    assert(viaPg.exceptAll(viaCube).count() == 0 &&
+      viaCube.exceptAll(viaPg).count() == 0)
+    assert(!viaPg.schema.fieldNames.contains("geno"))
+  }
+
   test("packed GenoStats equals the array kernel on the CEU cube") {
     import graft.functions.genetics.{genoStats, genoStatsPacked, pack2b}
     // CEU has only fully-missing calls (./.), where packed and unpacked
