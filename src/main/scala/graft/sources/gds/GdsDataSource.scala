@@ -510,17 +510,35 @@ class GdsTable(paths: Seq[String], packed: Boolean = false)
 
 class GdsScanBuilder(paths: Seq[String], full: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
   private val splitVariants =
     Option(options.get("splitVariants")).map(_.toInt)
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep at least one column so row counts survive `select(count(*))`
     required =
       if (requiredSchema.fields.isEmpty)
         StructType(full.fields.take(1))
       else requiredSchema
-  override def build(): Scan = new GdsScan(paths, required, splitVariants)
+  /** chrom/pos predicates prune variant RANGES at planning (the axis
+    * nodes are decoded once on the driver); every filter stays residual
+    * — pruning only has to be a superset, Spark re-evaluates. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("chrom", _) | In("chrom", _) => true
+      case GreaterThan("pos", _) | GreaterThanOrEqual("pos", _) |
+           LessThan("pos", _) | LessThanOrEqual("pos", _) |
+           EqualTo("pos", _) => true
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new GdsScan(paths, required, splitVariants, pushed)
 }
 
 /** Partitioning: a .gds cohort usually ships as per-chromosome shards
@@ -530,20 +548,79 @@ class GdsScanBuilder(paths: Seq[String], full: StructType,
   * 128 KiB random-access chunks, so a single big shard no longer pins
   * one core. `splitVariants` overrides the auto range size. */
 class GdsScan(paths: Seq[String], required: StructType,
-    splitVariants: Option[Int]) extends Scan with Batch {
+    splitVariants: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
+  import org.apache.spark.sql.sources._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"gds PushedFilters: [${filters.mkString(", ")}]"
+
+  /** Conservative per-variant keep test from the pushed chrom/pos
+    * predicates (None = no pruning possible). */
+  private def keepFn(f: GdsFile): Option[Int => Boolean] = {
+    if (filters.isEmpty) return None
+    val root = f.root
+    if (GdsSchema.isSnpTree(root)) return None
+    val chromSets = filters.collect {
+      case EqualTo("chrom", v) => Set(v.toString)
+      case In("chrom", vs) => vs.map(String.valueOf(_)).toSet
+    }
+    val posTests: Seq[Int => Boolean] = filters.collect {
+      case GreaterThan("pos", v: Int) => (p: Int) => p > v
+      case GreaterThanOrEqual("pos", v: Int) => (p: Int) => p >= v
+      case LessThan("pos", v: Int) => (p: Int) => p < v
+      case LessThanOrEqual("pos", v: Int) => (p: Int) => p <= v
+      case EqualTo("pos", v: Int) => (p: Int) => p == v
+    }
+    if (chromSets.isEmpty && posTests.isEmpty) return None
+    val chroms =
+      if (chromSets.isEmpty) null else GdsCore.strings(f, root("chromosome"))
+    val poss =
+      if (posTests.isEmpty) null else GdsCore.ints(f, root("position"))
+    Some { v =>
+      (chroms == null || chromSets.forall(_.contains(chroms(v)))) &&
+        (poss == null || posTests.forall(_(poss(v))))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val par = math.max(org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism, 1)
     paths.flatMap { p =>
       val f = new GdsFile(p)
-      val n = try GdsSchema.variantCount(f.root) finally f.close()
+      val (n, keep) =
+        try (GdsSchema.variantCount(f.root), keepFn(f)) finally f.close()
       val step = splitVariants.getOrElse(
         math.max(8192, (n + par - 1) / par))
-      (0 until n by step).map(v0 =>
-        GdsInputPartition(p, v0, math.min(v0 + step, n)))
-    }.map(identity[InputPartition]).toArray
+      val ranges = keep match {
+        case None => Seq((0, n))
+        case Some(k) =>
+          // contiguous matching intervals, gaps below step/4 bridged so
+          // scattered hits don't explode the partition count
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var v = 0
+          while (v < n) {
+            if (k(v)) {
+              val start = v
+              var last = v
+              var gap = 0
+              v += 1
+              while (v < n && gap <= step / 4) {
+                if (k(v)) { last = v; gap = 0 } else gap += 1
+                v += 1
+              }
+              out += ((start, last + 1))
+            } else v += 1
+          }
+          out.toSeq
+      }
+      ranges.flatMap { case (r0, r1) =>
+        (r0 until r1 by step).map(v0 =>
+          GdsInputPartition(p, v0, math.min(v0 + step, r1)): InputPartition)
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GdsReaderFactory(required)

@@ -143,6 +143,25 @@ class GdsSpec extends AnyFunSuite {
     }
   }
 
+  test("chrom/pos filters prune variant ranges at planning") {
+    val p = s"$extdata/CEU_Exon.gds"
+    def scan(filtered: Boolean) = {
+      val df = spark.read.format("gds").option("splitVariants", "64").load(p)
+      if (filtered) df.filter(col("chrom") === "1" && col("pos") < 2000000)
+      else df
+    }
+    val all = scan(filtered = false)
+    val pruned = scan(filtered = true)
+    assert(all.rdd.getNumPartitions > 15)
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions / 3,
+      s"${pruned.rdd.getNumPartitions} vs ${all.rdd.getNumPartitions}")
+    // pruning is a superset: the residual filter yields exact results
+    val expect = all.collect().filter(r =>
+      r.getString(1) == "1" && r.getInt(2) < 2000000).map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("option(packed): pg column equals pack_2b of the geno cube") {
     import graft.functions.genetics.pack2b
     // SeqArray tree (CEU): bit-planes → REF-dosage fold must match
