@@ -230,6 +230,61 @@ case class DosageAltExpr(child: Expression)
     copy(child = c)
 }
 
+/** `$dosage_alt2` — alt dosage COUNTING through partial missingness
+  * (src/GetData.cpp:379-415, kernel vec_i32_cnt_dosage_alt2_p,
+  * src/vectorization.cpp:2030-2104): a call is null only when EVERY
+  * allele is missing; a half-missing call contributes its known non-ref
+  * alleles. */
+case class DosageAlt2Expr(child: Expression)
+    extends UnaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (genoOk(child)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dosage_alt2(ARRAY<ARRAY<BIGINT>>); got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "dosage_alt2"
+
+  override protected def nullSafeEval(g: Any): Any =
+    DosageAlt2Expr.eval(g.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"""${ev.value} = graft.functions.expressions.DosageAlt2Expr$$.MODULE$$
+         |  .eval($g);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): DosageAlt2Expr =
+    copy(child = c)
+}
+
+object DosageAlt2Expr {
+  def eval(geno: ArrayData): GenericArrayData = {
+    val out = new Array[Any](geno.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (geno.isNullAt(i)) out(i) = null
+      else {
+        val sa = geno.getArray(i)
+        var d = 0L
+        var known = 0
+        var j = 0
+        while (j < sa.numElements()) {
+          if (!sa.isNullAt(j)) {
+            known += 1
+            if (sa.getLong(j) != 0L) d += 1
+          }
+          j += 1
+        }
+        out(i) = if (known == 0) null else java.lang.Long.valueOf(d)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** All samples' VCF GT strings joined with `sep` in one fused loop:
   * "0/1;1|2;./." (the seqGDS2VCF formatters, src/ConvGDS2VCF.cpp:571-989,
   * collapsed to a single pass). Missing allele → "."; null sample array →

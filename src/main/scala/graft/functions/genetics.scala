@@ -70,6 +70,13 @@ object genetics {
   def dosageAlt(geno: Column): Column =
     Bridge.column(DosageAltExpr(Bridge.expression(geno)))
 
+  /** `$dosage_alt2`: alt dosage counting THROUGH partial missingness —
+    * null only when every allele is missing; a half-missing call
+    * contributes its known non-ref alleles (src/GetData.cpp:379-415). */
+  def dosageAlt2(geno: Column): Column =
+    Bridge.column(graft.functions.expressions.DosageAlt2Expr(
+      Bridge.expression(geno)))
+
   /** Per-sample count of REF alleles; null on missing (reference `$dosage`). */
   def dosageRef(geno: Column): Column =
     transform(geno, sa =>

@@ -288,6 +288,45 @@ object Genomics extends QueryModule {
                ELSE len(list_filter(sa, a -> a <> 0)) END) AS ds
         FROM variants)""")))
 
+  // $dosage_alt2 / $dosage_sp2 (src/GetData.cpp:379-415, 520-616):
+  // dosage counting THROUGH partial missingness — a half-missing call
+  // contributes its known non-ref alleles and is null only when fully
+  // missing — plus its sparse (ordinal, value) export. SynthGeno's
+  // half-missing calls make alt2 genuinely diverge from alt.
+  private val q59 = Q("q59_dosage_alt2",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val dos = dosageAlt2(col("geno"))
+      val idx = filter(
+        transform(sequence(lit(0), lit(SynthGeno.nSamples - 1)),
+          i => when(element_at(dos, (i + 1).cast("int")) > 0, i)),
+        x => x.isNotNull)
+      v.select(col("vid"),
+        aggregate(filter(dos, d => d.isNotNull), lit(0L),
+          (acc, x) => acc + x).as("sum_alt2"),
+        size(filter(dos, d => d.isNull)).as("n_full_miss"),
+        array_join(transform(idx, i => i.cast("string")), ",").as("sp_idx"),
+        array_join(transform(idx,
+          i => element_at(dos, (i + 1).cast("int")).cast("string")), ",")
+          .as("sp_val"))
+    },
+    Some(withCte("""SELECT vid,
+      CAST(COALESCE(list_sum(list_filter(dos, d -> d IS NOT NULL)), 0)
+        AS BIGINT) AS sum_alt2,
+      CAST(len(list_filter(dos, d -> d IS NULL)) AS INT) AS n_full_miss,
+      array_to_string(idx, ',') AS sp_idx,
+      array_to_string(list_transform(idx, i -> dos[i + 1]), ',') AS sp_val
+      FROM (
+        SELECT vid, dos,
+          list_filter(list_transform(range(0, 8), i ->
+            CASE WHEN dos[i + 1] > 0 THEN i END), x -> x IS NOT NULL) AS idx
+        FROM (
+          SELECT vid, list_transform(geno, sa ->
+            CASE WHEN len(list_filter(sa, a -> a IS NOT NULL)) = 0 THEN NULL
+            ELSE len(list_filter(sa, a -> a IS NOT NULL AND a <> 0)) END)
+            AS dos
+          FROM variants))""")))
+
   override def queries: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51)
+    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59)
 }

@@ -55,6 +55,19 @@ class GeneticsSpec extends AnyFunSuite {
     assert(r(1).getSeq[Any](1) == Seq(null, 2L, 2L))
   }
 
+  test("dosage_alt2 counts through partial missingness") {
+    // (./1) contributes its known alt; only (./.) is null
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val r = genoDf.select(col("vid"), dosageAlt2(col("geno")).as("dos"))
+          .orderBy("vid").collect()
+        assert(r(0).getSeq[Any](1) == Seq(1L, 1L, 0L), mode)
+        assert(r(1).getSeq[Any](1) == Seq(null, 2L, 2L), mode)
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("per-sample missing counts") {
     val r = genoDf.select(col("vid"), missPerSample(col("geno")).as("mc"))
       .orderBy("vid").collect()
