@@ -166,9 +166,14 @@ object VcfQ extends QueryModule {
       val shaped = SynthGeno.variants(s, dir)
         .select(col("vid"), col("chrom"), col("pos"), col("geno"),
           col("phased"), dp.as("dp"))
+      // statically-unrolled cell/aggregate expressions — HOF lambdas
+      // (zip_with/aggregate/filter) are CodegenFallback and dominate at
+      // 600k rows; element_at chains stay inside whole-stage codegen
       val gtArr = split(gtStrings(col("geno"), col("phased"), "\t"), "\t")
-      val cells = zip_with(gtArr, col("dp"), (g, d) =>
-        concat(g, lit(":"), coalesce(d.cast("string"), lit("."))))
+      val cells = array((0 until n).map(i =>
+        concat(element_at(gtArr, i + 1), lit(":"),
+          coalesce(element_at(col("dp"), i + 1).cast("string"),
+            lit(".")))): _*)
       val lines = shaped.select(concat_ws("\t",
         col("chrom"), col("pos"), concat(lit("v"), col("vid")),
         lit("A"), lit("C"), lit("."), lit("."), lit("."),
@@ -179,9 +184,12 @@ object VcfQ extends QueryModule {
       parsed.select(
         substring(col("id"), 2, 20).cast("long").as("vid"),
         col("chrom"), col("pos").cast("long").as("pos"),
-        aggregate(filter(col("fmt_DP"), _.isNotNull), lit(0L),
-          (acc, x) => acc + x).as("sum_dp"),
-        size(filter(col("fmt_DP"), _.isNull)).as("n_miss"))
+        (0 until n).map(i =>
+          coalesce(element_at(col("fmt_DP"), i + 1).cast("long"), lit(0L)))
+          .reduce(_ + _).as("sum_dp"),
+        (0 until n).map(i =>
+          when(element_at(col("fmt_DP"), i + 1).isNull, 1).otherwise(0))
+          .reduce(_ + _).as("n_miss"))
     },
     Some(s"""WITH variants AS (${SynthGeno.sqlCte})
       SELECT vid, chrom, pos,
