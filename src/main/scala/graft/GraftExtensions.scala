@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "dosage_alt",
       "dosage_alt(geno) - per-sample alt dosage, null on missing",
       1, a => DosageAltExpr(a(0)))
+    register(ext, "dosage_alt2",
+      "dosage_alt2(geno) - alt dosage counting through partial missingness",
+      1, a => DosageAlt2Expr(a(0)))
+    register(ext, "geno_stats_packed",
+      "geno_stats_packed(bytes, nSamples) - geno_stats over 2-bit packing",
+      2, a => GenoStatsPacked(a(0), a(1)))
     register(ext, "gt_strings",
       "gt_strings(geno, phased, sep) - joined VCF GT strings",
       3, a => GtStringsJoined(a(0), a(1), a(2)))

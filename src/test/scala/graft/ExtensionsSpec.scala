@@ -31,7 +31,9 @@ class ExtensionsSpec extends AnyFunSuite {
         |  dot_i64(array(1L, 2L), array(3L, 4L)) AS dot,
         |  word_shingles('a b c d', 3) AS sh,
         |  simhash16('hello world') AS sim,
-        |  unpack_2b(pack_2b(array(array(0L, 0L))), 1) AS up
+        |  unpack_2b(pack_2b(array(array(0L, 0L))), 1) AS up,
+        |  dosage_alt2(array(array(CAST(null AS BIGINT), 1L))) AS da2,
+        |  geno_stats_packed(pack_2b(array(array(0L, 1L))), 1) AS gsp
         |""".stripMargin).collect()(0)
     assert(r.getSeq[Long](0) == Seq(4L, 3L, 1L, 1L, 1L))
     assert(r.getString(1) == "0|1")
@@ -40,5 +42,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
     assert(r.getLong(5) >= 0L && r.getLong(5) < 65536L)
     assert(r.getSeq[Any](6) == Seq(2))
+    assert(r.getSeq[Any](7) == Seq(1L))
+    assert(r.getSeq[Long](8) == Seq(2L, 2L, 1L, 0L, 0L))
   }
 }
