@@ -309,19 +309,25 @@ object SeqArray {
 
   /** seqGDS2VCF file-level: core columns of a `.gds` back to a VCF text
     * file (header rebuilt from the sample axis; info columns export via
-    * [[Vcf.formatLines]]'s infoExpr hook when needed). */
+    * [[Vcf.formatLines]]'s infoExpr hook when needed). A `.gz` suffix
+    * writes BGZF members (the reference's default container — tabix/
+    * bcftools-compatible blocked gzip, reading back splittably through
+    * this engine's own bgzf scan). */
   def seqGDS2VCF(spark: SparkSession, gdsPath: String, vcfPath: String)
       : Unit = {
     val d = openGds(spark, gdsPath)
     val header = Vcf.formatHeader(Nil, Nil, sampleIdList(d))
     val lines = Vcf.formatLines(d.variants, lit(null).cast("string"))
-    val w = new java.io.PrintWriter(new java.io.BufferedWriter(
-      new java.io.FileWriter(vcfPath), 1 << 20))
+    val raw = new java.io.FileOutputStream(vcfPath)
+    val out: java.io.OutputStream =
+      if (vcfPath.endsWith(".gz")) new graft.sources.bcf.Bgzf.Writer(raw)
+      else new java.io.BufferedOutputStream(raw, 1 << 20)
     try {
-      header.foreach(w.println)
+      def ln(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write('\n') }
+      header.foreach(ln)
       val it = lines.toLocalIterator()
-      while (it.hasNext) w.println(it.next().getString(0))
-    } finally w.close()
+      while (it.hasNext) ln(it.next().getString(0))
+    } finally out.close()
   }
 
   /** seqSNP2GDS / seqGDS2SNP (SNP-GDS containers). */

@@ -42,14 +42,19 @@ class ConvertersSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(fromGds.samples.get.count() == 90)
 
-    // back out to VCF text and re-parse: core fields survive
-    SeqArray.seqGDS2VCF(spark, s"$d/ceu.gds", s"$d/ceu_out.vcf")
-    val reparsed = SeqArray.openVcf(spark, s"$d/ceu_out.vcf").variants
-      .select(Seq("chrom", "pos", "allele", "geno", "phased").map(col): _*)
-    val orig = b.select(Seq("chrom", "pos", "allele", "geno", "phased")
-      .map(col): _*)
-    assert(reparsed.exceptAll(orig).count() == 0 &&
-      orig.exceptAll(reparsed).count() == 0)
+    // back out to VCF text and re-parse: core fields survive; the .gz
+    // flavor writes real BGZF members that our splittable scan reads
+    for (out <- Seq(s"$d/ceu_out.vcf", s"$d/ceu_out.vcf.gz")) {
+      SeqArray.seqGDS2VCF(spark, s"$d/ceu.gds", out)
+      if (out.endsWith(".gz"))
+        assert(graft.sources.bcf.Bgzf.isBgzfFile(out))
+      val reparsed = SeqArray.openVcf(spark, out).variants
+        .select(Seq("chrom", "pos", "allele", "geno", "phased").map(col): _*)
+      val orig = b.select(Seq("chrom", "pos", "allele", "geno", "phased")
+        .map(col): _*)
+      assert(reparsed.exceptAll(orig).count() == 0 &&
+        orig.exceptAll(reparsed).count() == 0, out)
+    }
   }
 
   test("seqGDS2BED → seqBED2GDS preserves the REF-dosage fold") {
