@@ -123,11 +123,19 @@ class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private val splitSize =
         Option(options.get("splitSize")).map(_.toLong)
           .getOrElse(VcfScan.DefaultSplitBytes)
-      override def build(): Scan = new VcfScan(paths, splitSize)
+      private var required: Option[StructType] = None
+      // REAL column pruning: the parse projection is one independent
+      // expression per output column, so a pruned schema drops the
+      // un-needed expressions entirely — a chrom/pos query never runs
+      // the genotype tokenizer or INFO regexes
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = new VcfScan(paths, splitSize, required)
     }
 }
 
@@ -146,8 +154,23 @@ object VcfScan {
   * member boundary and lines are owned by the htslib virtual offset of
   * their first byte. Only plain single-member gzip stays one partition
   * per file. */
-class VcfScan(paths: Seq[String], splitBytes: Long) extends Scan with Batch {
-  private lazy val plan = VcfDataSource.planFor(paths)
+class VcfScan(paths: Seq[String], splitBytes: Long,
+    required: Option[StructType] = None) extends Scan with Batch {
+  private lazy val plan = {
+    val full = VcfDataSource.planFor(paths)
+    required match {
+      case Some(req) if req.fieldNames.nonEmpty &&
+          req.fieldNames.length < full.schema.fieldNames.length =>
+        val byName = full.schema.fieldNames.zip(full.exprs).toMap
+        VcfDataSource.ParsePlan(req,
+          req.fieldNames.toSeq.map(byName), full.input)
+      case Some(req) if req.fieldNames.isEmpty =>
+        // count(*)-style: keep one cheap column so rows still flow
+        VcfDataSource.ParsePlan(StructType(full.schema.fields.take(1)),
+          full.exprs.take(1), full.input)
+      case _ => full
+    }
+  }
   override def readSchema(): StructType = plan.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =

@@ -182,6 +182,23 @@ class VcfSpec extends AnyFunSuite {
       (1 to 200).toSet)
   }
 
+  test("DSv2 column pruning reaches the vcf scan (no GT parse for chrom/pos)") {
+    val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+    val df = spark.read.format("vcf").load(src).select("chrom", "pos")
+    // the scan itself must emit only the pruned columns — the genotype
+    // tokenizer and INFO regexes are gone from the physical plan
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas.nonEmpty && scanSchemas.head == Seq("chrom", "pos"),
+      scanSchemas.toString)
+    assert(df.count() == 1348)
+    assert(df.distinct().count() > 1000)
+    // count(*) keeps one column flowing
+    assert(spark.read.format("vcf").load(src).count() == 1348)
+  }
+
   test("header reconstruction round-trips through the header parser") {
     val (info, fmt, samples) = Vcf.headerSpecs(vcfText.linesIterator.toSeq)
     val rebuilt = Vcf.formatHeader(info, fmt, samples)
