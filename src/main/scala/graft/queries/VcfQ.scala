@@ -227,5 +227,23 @@ object VcfQ extends QueryModule {
           AS miss_calls
       FROM variants"""))
 
-  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57, q58)
+  // real data at near-biobank width: 1KG chr22 (1092 samples × ~80k
+  // variants) through the native gds source's packed lane — ranged dBit2
+  // decode straight into the per-byte GenoStats kernel. Rows-only
+  // (DuckDB cannot read GDS); GdsSpec holds the AF sanity checks.
+  private val q60 = Q("q60_1kg_packed_af",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      df.select(col("variant_id"),
+          element_at(st, 2).as("called"),
+          element_at(st, 3).as("ac_ref"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("ac_ref")).as("sum_ref"),
+          sum(col("called")).as("sum_called"))
+    },
+    None)
+
+  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57, q58, q60)
 }

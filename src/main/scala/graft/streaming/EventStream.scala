@@ -28,6 +28,18 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Continuous VCF ingestion (the streaming analog of the reference's
+    * chunked import, R/ConvVCF2GDS.R:612-620): body lines arriving on any
+    * streaming source parse through the SAME column expressions as the
+    * batch reader — `Vcf.parseLines` is pure projection, so it lifts to
+    * a streaming frame unchanged. `header` fixes the schema up front
+    * (streams can't sniff), as the reference's header pass does. */
+  def vcfIngest(lines: DataFrame, header: Seq[String]): DataFrame = {
+    val (info, fmt, samples) = graft.sources.Vcf.headerSpecs(header)
+    graft.sources.Vcf.parseLines(
+      lines.filter(!col("value").startsWith("#")), info, fmt, samples.length)
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Int, total: Double,
       closed: Boolean)

@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming VCF ingestion == batch parse on the CEU fixture") {
+    import spark.implicits._
+    val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+    val all = {
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(src)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val header = all.takeWhile(_.startsWith("#"))
+    val body = all.drop(header.length)
+
+    val mem = MemoryStream[String](spark)
+    val q = EventStream.vcfIngest(mem.toDF().toDF("value"), header)
+      .writeStream.format("memory").queryName("vcf_ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches, split mid-file
+      mem.addData(body.take(700))
+      q.processAllAvailable()
+      mem.addData(body.drop(700))
+      q.processAllAvailable()
+      val streamed = spark.table("vcf_ingest")
+        .select(col("chrom"), col("pos"), col("allele"), col("geno"))
+      val batch = graft.sources.Vcf.read(spark, src)
+        .select(col("chrom"), col("pos"), col("allele"), col("geno"))
+      assert(streamed.count() == 1348)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
