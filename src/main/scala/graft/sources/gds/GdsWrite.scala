@@ -279,8 +279,10 @@ object GdsWrite {
       val off = c * ChunkRaw
       val len = math.min(ChunkRaw, payload.length - off)
       val cmp = new ByteArrayOutputStream()
+      // preset 3: ~2× the encode throughput of the default for a few
+      // percent larger output — the right trade for an export path
       val xz = new org.tukaani.xz.XZOutputStream(cmp,
-        new org.tukaani.xz.LZMA2Options(6))
+        new org.tukaani.xz.LZMA2Options(3))
       xz.write(payload, off, len)
       xz.close()
       u48(o, cmp.size())
