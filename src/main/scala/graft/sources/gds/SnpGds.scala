@@ -89,10 +89,36 @@ object SnpGds {
 
   private type Attrs = GdsWrite.Attrs
 
-  /** `seqSNP2GDS`: SNP-GDS → SeqArray GDS container. */
-  def toSeqArray(spark: SparkSession, snpPath: String, outPath: String)
-      : Unit = {
-    val df = read(spark, snpPath)
+  /** `seqSNP2GDS`: SNP-GDS → SeqArray GDS container. `majorRef` mirrors
+    * the reference's `major.ref=TRUE` (FC_SNP2GDS_Ref/FC_SNP2GDS,
+    * src/ConvToGDS.cpp:171-260): per snp, when allele A's mean dosage
+    * puts it in the minority (sum of codes < #valid calls), REF/ALT swap
+    * — alleles reverse to "B,A" and every genotype code flips 0↔1. */
+  def toSeqArray(spark: SparkSession, snpPath: String, outPath: String,
+      majorRef: Boolean = false): Unit = {
+    val df0 = read(spark, snpPath)
+    val df = if (!majorRef) df0 else {
+      // per snp: Σ REF counts vs #valid calls (reference: sum < nvalid)
+      val refSum = expr(
+        """aggregate(geno, 0L, (acc, sa) ->
+          |  acc + CASE WHEN sa[0] IS NULL THEN 0L
+          |             ELSE 2 - sa[0] - sa[1] END)""".stripMargin)
+      val nValid = expr("size(filter(geno, sa -> sa[0] IS NOT NULL))")
+      val rev = refSum < nValid.cast("long")
+      // swapped call: new REF count = old ALT count; pairs stay
+      // normalized ((0,0)/(0,1)/(1,1)) as FC_SNP2GDS emits them
+      val swapped = transform(col("geno"), sa => {
+        val altCount = element_at(sa, 1) + element_at(sa, 2)
+        when(element_at(sa, 1).isNull, sa)
+          .when(altCount === 2, array(lit(0L), lit(0L)))
+          .when(altCount === 1, array(lit(0L), lit(1L)))
+          .otherwise(array(lit(1L), lit(1L)))
+      })
+      df0.select(col("variant_id"), col("chrom"), col("pos"), col("id"),
+        when(rev, concat_ws(",", reverse(split(col("allele"), ","))))
+          .otherwise(col("allele")).as("allele"),
+        when(rev, swapped).otherwise(col("geno")).as("geno"))
+    }
     val f = new GdsFile(snpPath)
     val samples = try strings(f, f.root("sample.id")).toSeq finally f.close()
     GdsWrite.write(df, samples, outPath)

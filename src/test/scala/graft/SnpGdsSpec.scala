@@ -38,6 +38,31 @@ class SnpGdsSpec extends AnyFunSuite {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("major.ref=TRUE swaps minor REF alleles like FC_SNP2GDS_Ref") {
+    import spark.implicits._
+    // snp 1: A mostly absent (codes 0) → swap; snp 2: A major → keep
+    val df = Seq(
+      (1L, "1", 100, "rs1", "A,C", Seq(Seq[java.lang.Long](1L, 1L),
+        Seq[java.lang.Long](1L, 1L), Seq[java.lang.Long](0L, 1L))),
+      (2L, "1", 200, "rs2", "G,T", Seq(Seq[java.lang.Long](0L, 0L),
+        Seq[java.lang.Long](0L, 0L), Seq[java.lang.Long](0L, 1L))))
+      .toDF("variant_id", "chrom", "pos", "id", "allele", "geno")
+    val d = java.nio.file.Files.createTempDirectory("graft_snpgds").toString
+    SnpGds.write(df, Seq("S1", "S2", "S3"), s"$d/in.gds")
+    SnpGds.toSeqArray(spark, s"$d/in.gds", s"$d/out.gds", majorRef = true)
+    val back = Gds.read(spark, s"$d/out.gds")
+      .select(col("variant_id"), col("allele"), col("geno"))
+      .orderBy("variant_id").collect()
+    // snp1 swapped: allele C,A; calls flip (1,1)→(0,0), (0,1) stays
+    assert(back(0).getString(1) == "C,A")
+    assert(back(0).getSeq[scala.collection.Seq[Any]](2) ==
+      Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(0L, 1L)))
+    // snp2 untouched
+    assert(back(1).getString(1) == "G,T")
+    assert(back(1).getSeq[scala.collection.Seq[Any]](2) ==
+      Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(0L, 1L)))
+  }
+
   test("seqGDS2SNP → seqSNP2GDS on CEU folds to REF-dosage codes") {
     val snp = tmp("ceu_snp.gds")
     SnpGds.fromSeqArray(spark, s"$extdata/CEU_Exon.gds", snp)
