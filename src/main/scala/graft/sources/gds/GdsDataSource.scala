@@ -91,6 +91,16 @@ object GdsSchema {
   def variantCount(root: Node): Int =
     (if (isSnpTree(root)) root("snp.id") else root("variant.id")).dims.head
 
+  /** Input byte (two diploid single-plane calls, 2 bits/allele) → two
+    * engine REF-dosage codes packed in the low nibble. Allele code 3 =
+    * missing (np=1), any-missing folds the call to 3. */
+  val Bit2PairToPg: Array[Int] = Array.tabulate(256) { b =>
+    def code(a0: Int, a1: Int): Int =
+      if (a0 == 3 || a1 == 3) 3
+      else (if (a0 == 0) 1 else 0) + (if (a1 == 0) 1 else 0)
+    code(b & 3, (b >> 2) & 3) | (code((b >> 4) & 3, (b >> 6) & 3) << 2)
+  }
+
   /** `option("packed", true)`: genotypes surface as the engine's 2-bit
     * REF-dosage BINARY column `pg` instead of the nested `geno` cube —
     * the zero-materialization path from stored bit-planes straight into
@@ -438,26 +448,44 @@ object GdsSchema {
             val missCode = (1 << (2 * np)) - 1
             val rowBase = starts(v).toLong * nS * ploidy - unitBase
             val out = new Array[Byte]((nS + 3) / 4)
-            var s = 0
-            while (s < nS) {
-              var refs = 0
-              var miss = false
-              var a = 0
-              while (a < ploidy) {
-                var code = 0
-                var k = 0
-                while (k < np) {
-                  code |= bit2(data,
-                    rowBase + k.toLong * nS * ploidy + s * ploidy + a) << (2 * k)
-                  k += 1
-                }
-                if (code == missCode) miss = true
-                else if (code == 0) refs += 1
-                a += 1
+            if (np == 1 && ploidy == 2 && (rowBase & 3) == 0 &&
+                (nS & 1) == 0) {
+              // aligned diploid single-plane row: one input byte = two
+              // calls; translate per BYTE through the 256-entry table
+              // (the biobank-width hot path — 4 samples per output byte)
+              val inBase = (rowBase >> 2).toInt
+              val nIn = nS >> 1 // input bytes for this row
+              var i = 0
+              while (i < nIn) {
+                val lo = GdsSchema.Bit2PairToPg(data(inBase + i) & 0xff)
+                i += 1
+                val hi = if (i < nIn) GdsSchema.Bit2PairToPg(
+                  data(inBase + i) & 0xff) else 0
+                i += 1
+                out((i >> 1) - 1) = (lo | (hi << 4)).toByte
               }
-              val c2 = if (miss || refs > 2) 3 else refs
-              out(s >> 2) = (out(s >> 2) | (c2 << ((s & 3) << 1))).toByte
-              s += 1
+            } else {
+              var s = 0
+              while (s < nS) {
+                var refs = 0
+                var miss = false
+                var a = 0
+                while (a < ploidy) {
+                  var code = 0
+                  var k = 0
+                  while (k < np) {
+                    code |= bit2(data,
+                      rowBase + k.toLong * nS * ploidy + s * ploidy + a) << (2 * k)
+                    k += 1
+                  }
+                  if (code == missCode) miss = true
+                  else if (code == 0) refs += 1
+                  a += 1
+                }
+                val c2 = if (miss || refs > 2) 3 else refs
+                out(s >> 2) = (out(s >> 2) | (c2 << ((s & 3) << 1))).toByte
+                s += 1
+              }
             }
             out
           }
