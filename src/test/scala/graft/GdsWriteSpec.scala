@@ -69,6 +69,16 @@ class GdsWriteSpec extends AnyFunSuite {
     val back = Gds.read(spark, out).select(core.map(col): _*)
     assert(back.count() == 3)
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+
+    // packed lane on the UNALIGNED case (3 samples, np=2 rows): the
+    // general bit-walk must agree with pack_2b of the materialized cube
+    import graft.functions.genetics.pack2b
+    val viaPg = spark.read.format("gds").option("packed", "true").load(out)
+      .select(col("variant_id"), col("pg"))
+    val viaCube = Gds.read(spark, out)
+      .select(col("variant_id"), pack2b(col("geno")).as("pg"))
+    assert(viaPg.exceptAll(viaCube).count() == 0 &&
+      viaCube.exceptAll(viaPg).count() == 0)
   }
 
   test("seqCheck audit: every node of the fixtures and of our output decodes") {
