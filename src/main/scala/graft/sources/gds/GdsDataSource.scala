@@ -109,13 +109,20 @@ object GdsSchema {
   private def pgField: StructField =
     StructField("pg", BinaryType, nullable = false)
 
-  private def snpSchema(packed: Boolean): StructType = StructType(Seq(
-    StructField("variant_id", LongType, nullable = false),
-    StructField("chrom", StringType),
-    StructField("pos", IntegerType),
-    StructField("id", StringType),
-    StructField("allele", StringType),
-    if (packed) pgField else StructField("geno", genoType)))
+  /** Dosage-typed SNP-GDS (FC_Dosage2GDS source data): genotype node is
+    * REAL-valued REF-allele dosage, surfaced as `ds ARRAY<FLOAT>`. */
+  def snpGenoIsDosage(root: Node): Boolean =
+    root("genotype").cls.exists(c =>
+      c == "dFloat32" || c == "dFloat64" || c == "dPackedReal8U")
+
+  private def snpSchema(root: Node, packed: Boolean): StructType = StructType(
+    Seq(StructField("variant_id", LongType, nullable = false),
+      StructField("chrom", StringType),
+      StructField("pos", IntegerType),
+      StructField("id", StringType),
+      StructField("allele", StringType),
+      if (snpGenoIsDosage(root)) StructField("ds", ArrayType(FloatType))
+      else if (packed) pgField else StructField("geno", genoType)))
 
   /** Extractors over an SNP-GDS tree: genotype code → normalized pair
     * per the reference's FC_SNP2GDS (src/ConvToGDS.cpp: 0→(1,1) hom-ALT,
@@ -168,6 +175,26 @@ object GdsSchema {
         case "allele" =>
           val a = strings(f, root("snp.allele"))
           (v: Int) => utf8(a(v).replaceFirst("/", ","))
+        case "ds" =>
+          // REAL dosage genotype node: ranged float slice when snp-major
+          val g = root("genotype")
+          val nSnp = root("snp.id").dims.head
+          val nSample = root("sample.id").dims.head
+          val snpMajor =
+            if (g.attrs.contains("snp.order")) true
+            else if (g.attrs.contains("sample.order")) false
+            else g.dims.headOption.contains(nSnp)
+          val (vals, base) =
+            if (snpMajor)
+              (floatsRange(f, g, v0.toLong * nSample,
+                (v1 - v0) * nSample), v0.toLong * nSample)
+            else (floats(f, g), 0L)
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
+            val idx = if (snpMajor) v.toLong * nSample + s - base
+              else s.toLong * nSnp + v
+            val x = vals(idx.toInt)
+            if (x.isNaN) null else java.lang.Float.valueOf(x)
+          })
         case "pg" =>
           // SNP-GDS codes ARE engine REF-dosage codes — repack verbatim
           val (bytes, base, nSnp, nSample, snpMajor) = geno
@@ -202,7 +229,7 @@ object GdsSchema {
   }
 
   def forTree(root: Node, packed: Boolean = false): StructType = {
-    if (isSnpTree(root)) return snpSchema(packed)
+    if (isSnpTree(root)) return snpSchema(root, packed)
     val info = root.child("annotation").flatMap(_.child("info"))
       .map(_.children).getOrElse(Nil)
       .filterNot(_.name.startsWith("@"))

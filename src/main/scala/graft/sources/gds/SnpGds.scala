@@ -89,6 +89,58 @@ object SnpGds {
 
   private type Attrs = GdsWrite.Attrs
 
+  /** Dosage SNP-GDS (the FC_Dosage2GDS source shape): genotype node is
+    * dFloat32 REF-allele dosage in [0, 2], NaN = missing. Input column
+    * `ds` = ARRAY<FLOAT> per sample. */
+  def writeDosage(df: DataFrame, sampleIds: Seq[String], path: String)
+      : Unit = {
+    val vids = ArrayBuffer.empty[Int]
+    val chroms = ArrayBuffer.empty[String]
+    val poss = ArrayBuffer.empty[Int]
+    val rsids = ArrayBuffer.empty[String]
+    val alleles = ArrayBuffer.empty[String]
+    val values = ArrayBuffer.empty[Float]
+    val nS = sampleIds.length
+
+    val it = df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("ds")).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      vids += r.getLong(0).toInt
+      chroms += r.getString(1)
+      poss += r.getInt(2)
+      rsids += (if (r.isNullAt(3)) "" else r.getString(3))
+      alleles += r.getString(4).replaceFirst(",", "/").takeWhile(_ != ',')
+      val ds = r.getSeq[Any](5)
+      require(ds.length == nS, s"ds width ${ds.length} != $nS")
+      ds.foreach {
+        case null => values += Float.NaN
+        case v: java.lang.Float => values += v.floatValue()
+        case v: java.lang.Double => values += v.floatValue()
+      }
+    }
+    val nSnp = vids.length
+
+    val c = new GdsWrite.Container
+    val rootId = c.allocId()
+    val sampleId = c.node("dStr8", Seq(nS), GdsWrite.strPayload(sampleIds))
+    val snpId = c.node("dInt32", Seq(nSnp), GdsWrite.intPayload(vids))
+    val rsId = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(rsids))
+    val snpPos = c.node("dInt32", Seq(nSnp), GdsWrite.intPayload(poss))
+    val snpChrom = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(chroms))
+    val snpAllele = c.node("dStr8", Seq(nSnp), GdsWrite.strPayload(alleles))
+    val genotype = c.node("dFloat32", Seq(nSnp, nS),
+      GdsWrite.floatPayload(values.toSeq),
+      new GdsWrite.Attrs().nul("snp.order"))
+    c.folderAt(rootId,
+      Seq((sampleId, "sample.id", 0), (snpId, "snp.id", 0),
+        (rsId, "snp.rs.id", 0), (snpPos, "snp.position", 0),
+        (snpChrom, "snp.chromosome", 0), (snpAllele, "snp.allele", 0),
+        (genotype, "genotype", 0)),
+      new Attrs().str("FileFormat", "SNP_ARRAY"))
+    c.save(path, rootId)
+  }
+
   /** `seqSNP2GDS`: SNP-GDS → SeqArray GDS container. `majorRef` mirrors
     * the reference's `major.ref=TRUE` (FC_SNP2GDS_Ref/FC_SNP2GDS,
     * src/ConvToGDS.cpp:171-260): per snp, when allele A's mean dosage
@@ -96,6 +148,25 @@ object SnpGds {
     * — alleles reverse to "B,A" and every genotype code flips 0↔1. */
   def toSeqArray(spark: SparkSession, snpPath: String, outPath: String,
       majorRef: Boolean = false): Unit = {
+    val isDosage = {
+      val f = new GdsFile(snpPath)
+      try GdsSchema.snpGenoIsDosage(f.root) finally f.close()
+    }
+    if (isDosage) {
+      // FC_Dosage2GDS's inverse mapping (ConvToGDS.cpp:255-318,
+      // Conversion.R:762-766): SeqArray fmt DS = 2 - REF dosage
+      // ("Estimated alternate allele dosage"), no genotype node
+      val df = read(spark, snpPath)
+        .select(col("variant_id"), col("chrom"), col("pos"), col("id"),
+          col("allele"),
+          transform(col("ds"), d => (lit(2.0f) - d).cast("float"))
+            .as("fmt_DS"))
+      val f = new GdsFile(snpPath)
+      val samples = try strings(f, f.root("sample.id")).toSeq
+        finally f.close()
+      GdsWrite.write(df, samples, outPath)
+      return
+    }
     val df0 = read(spark, snpPath)
     val df = if (!majorRef) df0 else {
       // per snp: Σ REF counts vs #valid calls (reference: sum < nvalid)

@@ -63,6 +63,36 @@ class SnpGdsSpec extends AnyFunSuite {
       Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(0L, 1L)))
   }
 
+  test("dosage SNP-GDS: write, read, and convert to a fmt_DS SeqArray file") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "1", 100, "rs1", "A,C",
+        Seq[java.lang.Float](0.0f, 1.25f, null)),
+      (2L, "1", 200, "rs2", "G,T",
+        Seq[java.lang.Float](2.0f, null, 0.5f)))
+      .toDF("variant_id", "chrom", "pos", "id", "allele", "ds")
+    val d = java.nio.file.Files.createTempDirectory("graft_snpgds").toString
+    SnpGds.writeDosage(df, Seq("S1", "S2", "S3"), s"$d/dos.gds")
+
+    // read back: ds surfaces instead of geno, NaN → null
+    val back = SnpGds.read(spark, s"$d/dos.gds")
+    assert(back.columns.contains("ds") && !back.columns.contains("geno"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+
+    // seqSNP2GDS: becomes a SeqArray container with fmt_DS = 2 - ds
+    SnpGds.toSeqArray(spark, s"$d/dos.gds", s"$d/seq.gds")
+    val seq = Gds.read(spark, s"$d/seq.gds")
+      .select(col("variant_id"), col("fmt_DS")).orderBy("variant_id")
+      .collect()
+    assert(seq(0).getSeq[Any](1) == Seq(2.0f, 0.75f, null))
+    assert(seq(1).getSeq[Any](1) == Seq(0.0f, null, 1.5f))
+    // and the existing dosage-only kernels run on it directly
+    import graft.functions.genetics.dsAltCount
+    val ac = Gds.read(spark, s"$d/seq.gds")
+      .select(sum(dsAltCount(col("fmt_DS")))).collect()(0).getDouble(0)
+    assert(math.abs(ac - (2.0 + 0.75 + 0.0 + 1.5)) < 1e-6)
+  }
+
   test("seqGDS2SNP → seqSNP2GDS on CEU folds to REF-dosage codes") {
     val snp = tmp("ceu_snp.gds")
     SnpGds.fromSeqArray(spark, s"$extdata/CEU_Exon.gds", snp)
