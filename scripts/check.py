@@ -18,8 +18,10 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
+                # Exact — the driver's hash is exact; rounding here (round-2
+                # mistake) masked mismatches the driver then caught.
                 if math.isnan(v): v = "NaN"
-                else: v = repr(round(v, 9))
+                else: v = repr(v)
             rr.append(str(v))
         out.append(tuple(rr))
     out.sort()
@@ -55,6 +57,13 @@ def main(sf_dir, out_dir):
         # the hash even when values match) — so compare declared types too.
         con.execute(f"SELECT * FROM read_parquet({spark_files!r}) LIMIT 0")
         gtypes = sorted((d[0], str(d[1])) for d in con.description)
+        # Round-2 lesson: DECIMAL outputs fail the driver hash even at
+        # matched declared width/scale — only BIGINT/DOUBLE/etc. are safe.
+        decs = [n for n, t in gtypes if "DECIMAL" in t.upper()]
+        if decs:
+            print(f"FAIL {name}: DECIMAL output columns {decs} "
+                  "(driver hash rejects decimals; use BIGINT/DOUBLE)")
+            n_fail += 1; continue
         con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         etypes = sorted((d[0], str(d[1])) for d in con.description)
         if gtypes != etypes:

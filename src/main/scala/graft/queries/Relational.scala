@@ -1,9 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
@@ -15,22 +14,25 @@ import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
   * (§2.9).
   *
   * Oracle-parity rules used throughout (DuckDB hash-compare):
-  *  - money sums go through DECIMAL casts (inputs sit on an exact 2-decimal
-  *    grid) so Spark and DuckDB agree bit-for-bit;
+  *  - NEVER emit DECIMAL result columns. The driver's hash distinguishes
+  *    decimals even at identical declared width/scale (round-2 lesson:
+  *    every DECIMAL(38,2)-output query failed hash with values and declared
+  *    types equal, while every BIGINT/DOUBLE output passed). Money inputs
+  *    sit on an exact 2-decimal grid, so sums run on integer cents
+  *    (round(x*100) as BIGINT) and present as DOUBLE via one exact
+  *    int->double conversion + one division — bit-identical across engines;
   *  - double aggregates that would be summation-order-dependent are instead
-  *    computed as integer/decimal aggregates or single divisions of exact
-  *    integers;
+  *    computed as integer aggregates or single divisions of exact integers;
   *  - every LIMIT / row_number has a total (tie-free) ordering.
   */
 object Relational extends QueryModule {
 
-  private val d18_2 = DecimalType(18, 2)
-  // Canonical aggregate result types. DuckDB widens SUM(DECIMAL(18,2)) to
-  // DECIMAL(38,2) and SUM(BIGINT) to HUGEINT while Spark produces
-  // DECIMAL(28,2) / BIGINT; the driver's hash is type-sensitive, so both
-  // sides cast every SUM to an explicit shared type (lossless widening).
-  private val d38_2 = DecimalType(38, 2)
-  private val d38_4 = DecimalType(38, 4)
+  /** Exact integer cents from a 2-decimal money DOUBLE. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Present an integer-cents sum as DOUBLE units (exact conversion, one
+    * correctly-rounded division — deterministic on both engines). */
+  private def asUnits(c: Column, scale: Double = 100.0): Column =
+    c.cast("double") / scale
 
   // --- q01: grouped multi-aggregate fusion (SURVEY §2.5 seqGetAF_AC_Missing:
   // several aggregates over one scan, map-side partial agg). ---------------
@@ -39,22 +41,21 @@ object Relational extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"),
-          sum(col("l_extendedprice").cast(d18_2)).cast(d38_2)
-            .as("sum_base_price"),
-          sum(col("l_extendedprice").cast(d18_2) *
-            (lit(1).cast(d18_2) - col("l_discount").cast(d18_2)))
-            .cast(d38_4).as("sum_disc_price"),
+          asUnits(sum(cents(col("l_quantity")))).as("sum_qty"),
+          asUnits(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+          asUnits(sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))), 10000.0)
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS sum_base_price,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+          (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        / 10000.0 AS sum_disc_price,
       COUNT(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
@@ -86,10 +87,10 @@ object Relational extends QueryModule {
            col("l_shipdate").between("1996-01-01", "1996-06-30 23:59:59")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"))
+          asUnits(sum(cents(col("l_quantity")))).as("sum_qty"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_qty
       FROM lineitem
       WHERE l_returnflag IN ('A','R') AND (
@@ -128,15 +129,17 @@ object Relational extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(d18_2)).as("sum_qty"))
-        .filter(col("sum_qty") >= col("n") * 30)
-        .withColumn("sum_qty", col("sum_qty").cast(d38_2))
+          sum(cents(col("l_quantity"))).as("__qc"))
+        .filter(col("__qc") >= col("n") * 3000)
+        .select(col("l_partkey"), col("n"),
+          asUnits(col("__qc")).as("sum_qty"))
     },
     Some("""SELECT l_partkey, COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_qty
       FROM lineitem GROUP BY l_partkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= COUNT(*) * 30"""))
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT))
+        >= COUNT(*) * 3000"""))
 
   // --- q06: derived join keys + duplicate suffix (SURVEY §2.2 $chrom_pos /
   // $chrom_pos2: concat key plus row_number over the key). ------------------
@@ -340,10 +343,10 @@ object Relational extends QueryModule {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(d18_2)).cast(d38_2).as("sum_price"))
+          asUnits(sum(cents(col("o_totalprice")))).as("sum_price"))
     },
     Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_price
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -359,10 +362,10 @@ object Relational extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(d18_2)).cast(d38_2).as("sum_qty"))
+          asUnits(sum(cents(col("l_quantity")))).as("sum_qty"))
     },
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
@@ -447,11 +450,11 @@ object Relational extends QueryModule {
     (s, dir) => {
       val li = Tables(s, dir, "lineitem")
       SaltedAgg.sumCountByKey(li, col("l_returnflag"), col("l_orderkey"),
-          col("l_quantity").cast(d18_2), salts = 16)
-        .withColumn("sum_value", col("sum_value").cast(d38_2))
+          cents(col("l_quantity")), salts = 16)
+        .withColumn("sum_value", asUnits(col("sum_value")))
     },
     Some("""SELECT l_returnflag AS key,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
         AS sum_value,
       COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag"""))
