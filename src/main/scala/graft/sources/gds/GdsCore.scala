@@ -596,4 +596,295 @@ object GdsCore {
     (b((i >> 3).toInt) >> (i & 7).toInt) & 1
   @inline def bit2(b: Array[Byte], i: Long): Int =
     (b((i >> 2).toInt) >> ((i & 3).toInt * 2)) & 3
+
+  // ---- variable-stride ranged decode ----------------------------------
+  //
+  // dStr8 / dVL_Int elements are length-prefixed / continuation-flagged,
+  // so a chunk's bytes cannot be interpreted without upstream context and
+  // a plain raw-range slice is useless. The scale answer: ONE sequential
+  // parse per (file, node) per JVM builds a chunk-granular index — for
+  // every XZ_RA chunk boundary, the first element starting at/after it
+  // and that element's raw byte offset — cached under a SoftReference.
+  // Every later ranged read then inflates only the chunks covering its
+  // element range. Per-partition cost drops from O(node) to
+  // O(range + one chunk); the one-time build cost equals today's whole
+  // decode and is amortized across all partitions and queries of an
+  // executor. (The index itself is ~24 bytes per chunk — trivially
+  // broadcastable if a cluster deployment wants to build it exactly
+  // once per file instead of once per executor.)
+
+  /** Chunk-granular element index of a variable-stride node.
+    * `rawStarts` has nChunks+1 entries (exact raw boundaries; last =
+    * total raw size); `elemIdx(c)` / `elemOff(c)` identify the first
+    * element starting at raw offset >= rawStarts(c). */
+  final class VarIndex(
+      val rawStarts: Array[Long],
+      val elemIdx: Array[Int],
+      val elemOff: Array[Long])
+
+  private val varIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[VarIndex]]()
+
+  /** Position after one dStr8 element (LEB128 length + payload). */
+  @inline private def skipStr(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    var l = 0
+    var s = 0
+    var more = true
+    while (more) {
+      val v = b(p) & 0xff
+      p += 1
+      l |= (v & 0x7f) << s
+      s += 7
+      more = (v & 0x80) != 0
+    }
+    p + l
+  }
+
+  /** Position after one dVL_Int element (LEB128 continuation bytes). */
+  @inline private def skipVarint(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while ((b(p) & 0x80) != 0) p += 1
+    p + 1
+  }
+
+  private def elemSkipper(n: Node): (Array[Byte], Int) => Int =
+    n.cls.getOrElse("") match {
+      case "dStr8" => skipStr
+      case "dVL_Int" => skipVarint
+      case c => throw new UnsupportedOperationException(
+        s"gds variable-stride index for class $c at ${n.path}")
+    }
+
+  /** One pass over a node's data stream: the whole raw array AND the
+    * exact raw boundary of every XZ_RA chunk (the per-chunk raw size is
+    * only learned by inflating — the v11 framing does not carry it, and
+    * the index build inflates everything once anyway). Uncompressed
+    * streams get synthetic 256 KiB boundaries (direct-sliceable). */
+  private def inflateAllWithBoundaries(f: GdsFile, n: Node)
+      : (Array[Byte], Array[Long]) = {
+    val b = f.stream(n.dataId)
+    if (b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA") {
+      val v11 = (b(12) & 0xff) >= 0x11
+      val nChunks = u32(b, 14)
+      val starts = new Array[Long](nChunks + 1)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var p = 18
+      var c = 0
+      while (c < nChunks) {
+        starts(c) = out.size().toLong
+        val (off, csize) =
+          if (v11) (p + 6, u48(b, p).toInt)
+          else (p + 7,
+            ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+              ((b(p + 2) & 0xff) << 16)) - 7)
+        val in = new XZInputStream(new ByteArrayInputStream(b, off, csize))
+        var n0 = in.read(buf)
+        while (n0 > 0) { out.write(buf, 0, n0); n0 = in.read(buf) }
+        in.close()
+        p = off + csize
+        c += 1
+      }
+      starts(nChunks) = out.size().toLong
+      (out.toByteArray, starts)
+    } else {
+      val whole = nodeBytes(f, n)
+      val step = 256 * 1024
+      val nB = math.max(((whole.length.toLong + step - 1) / step).toInt, 1)
+      (whole, Array.tabulate(nB + 1)(i =>
+        math.min(i.toLong * step, whole.length.toLong)))
+    }
+  }
+
+  /** Build (or fetch) the element index of a variable-stride node. */
+  def varIndex(f: GdsFile, n: Node, count: Int): VarIndex = {
+    val key = f.path + "#" + n.dataId
+    val ref = varIdxCache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    val (whole, rawStarts) = inflateAllWithBoundaries(f, n)
+    val skip = elemSkipper(n)
+    val nCh = rawStarts.length - 1
+    val elemIdx = new Array[Int](nCh)
+    val elemOff = new Array[Long](nCh)
+    var c = 0
+    var p = 0
+    var e = 0
+    while (c < nCh) {
+      while (p < rawStarts(c) && e < count) { p = skip(whole, p); e += 1 }
+      elemIdx(c) = e
+      elemOff(c) = p
+      c += 1
+    }
+    val idx = new VarIndex(rawStarts, elemIdx, elemOff)
+    varIdxCache.put(key, new java.lang.ref.SoftReference(idx))
+    idx
+  }
+
+  /** Raw bytes guaranteed to contain elements [e0, e1) plus the index of
+    * the first element that starts at byte 0 of the returned slice. */
+  private def varRangeBytes(f: GdsFile, n: Node, count: Int, e0: Int,
+      e1: Int): (Array[Byte], Int) = {
+    val idx = varIndex(f, n, count)
+    // greatest chunk boundary whose first element is <= e0
+    var lo = 0
+    var hi = idx.elemIdx.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (idx.elemIdx(mid) <= e0) lo = mid else hi = mid - 1
+    }
+    val startElem = idx.elemIdx(lo)
+    val startByte = idx.elemOff(lo)
+    // smallest chunk boundary whose first element is >= e1 (safe end)
+    var lo2 = 0
+    var hi2 = idx.elemIdx.length
+    while (lo2 < hi2) {
+      val mid = (lo2 + hi2) >>> 1
+      if (idx.elemIdx(mid) >= e1) hi2 = mid else lo2 = mid + 1
+    }
+    val endByte =
+      if (lo2 >= idx.elemIdx.length) idx.rawStarts(idx.rawStarts.length - 1)
+      else idx.elemOff(lo2)
+    (nodeBytesRangeExact(f, n, idx.rawStarts, startByte,
+      endByte - startByte), startElem)
+  }
+
+  /** Raw-range slice using the index's EXACT chunk boundaries (no v11
+    * uniform-size inference, no speculative chunk-0 inflate). */
+  private def nodeBytesRangeExact(f: GdsFile, n: Node,
+      rawStarts: Array[Long], rawOff: Long, rawLen: Long): Array[Byte] = {
+    if (n.dataId == 0 || rawLen <= 0) return Array.empty
+    val b = f.stream(n.dataId)
+    if (!(b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA"))
+      return nodeBytesRange(f, n, rawOff, rawLen) // uncompressed: slices
+    val v11 = (b(12) & 0xff) >= 0x11
+    val nChunks = u32(b, 14)
+    val out = new Array[Byte](rawLen.toInt)
+    var written = 0
+    var p = 18
+    var c = 0
+    while (c < nChunks && written < rawLen) {
+      val (off, csize) =
+        if (v11) (p + 6, u48(b, p).toInt)
+        else (p + 7,
+          ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+            ((b(p + 2) & 0xff) << 16)) - 7)
+      if (rawStarts(c + 1) > rawOff) {
+        val in = new XZInputStream(new ByteArrayInputStream(b, off, csize))
+        try {
+          var toSkip = math.max(rawOff - rawStarts(c), 0L)
+          val scratch = if (toSkip > 0) new Array[Byte](64 * 1024) else null
+          while (toSkip > 0) {
+            val s = in.read(scratch, 0,
+              math.min(toSkip, scratch.length.toLong).toInt)
+            require(s > 0, s"gds ranged decode skip failed at ${n.path}")
+            toSkip -= s
+          }
+          var n0 = 1
+          while (n0 > 0 && written < rawLen) {
+            n0 = in.read(out, written, (rawLen - written).toInt)
+            if (n0 > 0) written += n0
+          }
+        } finally in.close()
+      }
+      p = off + csize
+      c += 1
+    }
+    require(written == rawLen,
+      s"gds ranged decode short read at ${n.path}: $written of $rawLen")
+    out
+  }
+
+  /** dStr8 elements [e0, e1), locally indexed (result(0) = element e0);
+    * decodes only the XZ_RA chunks covering the range. */
+  def stringsRange(f: GdsFile, n: Node, e0: Int, e1: Int): Array[String] = {
+    require(n.cls.contains("dStr8"),
+      s"gds string decode for class ${n.cls} at ${n.path}")
+    if (e1 <= e0) return Array.empty
+    val count = n.dims.headOption.getOrElse(0)
+    val (b, startElem) = varRangeBytes(f, n, count, e0, e1)
+    var p = 0
+    var e = startElem
+    while (e < e0) { p = skipStr(b, p); e += 1 }
+    val out = new Array[String](e1 - e0)
+    var i = 0
+    while (i < out.length) {
+      var l = 0
+      var s = 0
+      var more = true
+      while (more) {
+        val v = b(p) & 0xff
+        p += 1
+        l |= (v & 0x7f) << s
+        s += 7
+        more = (v & 0x80) != 0
+      }
+      out(i) = new String(b, p, l, "UTF-8")
+      p += l
+      i += 1
+    }
+    out
+  }
+
+  /** dVL_Int elements [e0, e1), locally indexed; zig-zag decoded. */
+  def varintsRange(f: GdsFile, n: Node, count: Long, e0: Int, e1: Int)
+      : Array[Long] = {
+    require(n.cls.contains("dVL_Int"),
+      s"gds varint decode for class ${n.cls} at ${n.path}")
+    if (e1 <= e0) return Array.empty
+    val (b, startElem) = varRangeBytes(f, n, count.toInt, e0, e1)
+    var p = 0
+    var e = startElem
+    while (e < e0) { p = skipVarint(b, p); e += 1 }
+    val out = new Array[Long](e1 - e0)
+    var i = 0
+    while (i < out.length) {
+      var x = 0L
+      var s = 0
+      var more = true
+      while (more) {
+        val v = b(p) & 0xff
+        p += 1
+        x |= (v & 0x7fL) << s
+        s += 7
+        more = (v & 0x80) != 0
+      }
+      out(i) = (x >>> 1) ^ -(x & 1)
+      i += 1
+    }
+    out
+  }
+
+  // ---- cached prefix sums of @len / @data count vectors ---------------
+  //
+  // Ragged info/format extraction needs, for a variant range [v0, v1),
+  // the element offset at v0 — a prefix sum over the whole count vector.
+  // Decoding [0, v1) per partition makes the LAST partition pay for the
+  // whole node; instead each executor decodes the (4-byte-per-variant)
+  // vector once, caches (lens, clamped starts), and every partition
+  // indexes it globally.
+
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[(Array[Int], Array[Int])]]()
+
+  /** Whole count vector + clamped cumulative starts, cached per JVM. */
+  def lensWithStarts(f: GdsFile, n: Node): (Array[Int], Array[Int]) = {
+    val key = f.path + "#" + n.dataId
+    val ref = prefixCache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    val lens = ints(f, n)
+    val starts = new Array[Int](lens.length)
+    var acc = 0
+    var i = 0
+    while (i < lens.length) {
+      starts(i) = acc
+      acc += math.max(lens(i), 0)
+      i += 1
+    }
+    val pair = (lens, starts)
+    prefixCache.put(key, new java.lang.ref.SoftReference(pair))
+    pair
+  }
 }

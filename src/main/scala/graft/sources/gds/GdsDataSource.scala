@@ -152,29 +152,31 @@ object GdsSchema {
     val het = Array[Any](java.lang.Long.valueOf(0L), java.lang.Long.valueOf(1L))
     val homRef = Array[Any](java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L))
     val missing = Array[Any](null, null)
+    val nRange = v1 - v0
     required.fields.map { field =>
       field.name match {
         case "variant_id" =>
-          val a = ints(f, root("snp.id"))
-          (v: Int) => java.lang.Long.valueOf(a(v).toLong)
+          val a = intsRange(f, root("snp.id"), v0, nRange)
+          (v: Int) => java.lang.Long.valueOf(a(v - v0).toLong)
         case "chrom" =>
           val n = root("snp.chromosome")
           val a = n.cls.getOrElse("") match {
-            case "dStr8" => strings(f, n)
-            case _ => ints(f, n).map(_.toString)
+            case "dStr8" => stringsRange(f, n, v0, v1)
+            case _ => intsRange(f, n, v0, nRange).map(_.toString)
           }
-          (v: Int) => utf8(a(v))
+          (v: Int) => utf8(a(v - v0))
         case "pos" =>
-          val a = ints(f, root("snp.position"))
-          (v: Int) => java.lang.Integer.valueOf(a(v))
+          val a = intsRange(f, root("snp.position"), v0, nRange)
+          (v: Int) => java.lang.Integer.valueOf(a(v - v0))
         case "id" =>
-          val a = root.child("snp.rs.id").map(strings(f, _))
-            .getOrElse(Array.fill[String](variantCount(root))(null))
+          val a = root.child("snp.rs.id").map(stringsRange(f, _, v0, v1))
+            .getOrElse(Array.fill[String](nRange)(null))
           (v: Int) =>
-            if (a(v) == null || a(v).isEmpty) null else utf8(a(v))
+            if (a(v - v0) == null || a(v - v0).isEmpty) null
+            else utf8(a(v - v0))
         case "allele" =>
-          val a = strings(f, root("snp.allele"))
-          (v: Int) => utf8(a(v).replaceFirst("/", ","))
+          val a = stringsRange(f, root("snp.allele"), v0, v1)
+          (v: Int) => utf8(a(v - v0).replaceFirst("/", ","))
         case "ds" =>
           // REAL dosage genotype node: ranged float slice when snp-major
           val g = root("genotype")
@@ -269,11 +271,14 @@ object GdsSchema {
 
   /** Column extractors: per required column, a variant-index -> catalyst
     * value function (GLOBAL index — valid for v0 <= v < v1), decoding
-    * only the nodes that column needs and — for fixed-stride nodes —
-    * only the [v0, v1) slice of each (XZ_RA chunk random access).
-    * Variable-stride nodes (dStr8 axes, @len vectors) decode whole:
-    * they are the metadata-thin axis; the genotype/format matrices that
-    * dominate a biobank-width file are the ranged ones. */
+    * only the nodes that column needs and only the [v0, v1) slice of
+    * each. Fixed-stride nodes slice via XZ_RA chunk random access;
+    * variable-stride nodes (dStr8 axes, dVL_Int values) go through the
+    * chunk-granular element index ([[GdsCore.varIndex]], built once per
+    * executor and cached) so they too inflate only their covering
+    * chunks. @len/@data prefix sums come from a per-executor cache
+    * ([[GdsCore.lensWithStarts]]) instead of a per-partition [0, v1)
+    * decode. */
   def extractors(f: GdsFile, required: StructType, v0: Int, v1: Int)
       : Array[Int => Any] = {
     val root = f.root
@@ -284,7 +289,7 @@ object GdsSchema {
     def infoNode(n: String) = ann.flatMap(_.child("info")).flatMap(_.child(n))
     def fmtNode(n: String) = ann.flatMap(_.child("format")).flatMap(_.child(n))
 
-    lazy val alleles = strings(f, root("allele"))
+    lazy val alleles = stringsRange(f, root("allele"), v0, v1)
     def utf8(s: String): AnyRef =
       if (s == null) null else UTF8String.fromString(s)
 
@@ -293,11 +298,7 @@ object GdsSchema {
     // matrix itself decodes only this range's slice.
     lazy val genoData = root.child("genotype").map { g =>
       val data = g("data")
-      val planes = intsRange(f, g("@data"), 0, v1)
-      val starts = new Array[Int](planes.length)
-      var acc = 0
-      var i = 0
-      while (i < planes.length) { starts(i) = acc; acc += planes(i); i += 1 }
+      val (planes, starts) = lensWithStarts(f, g("@data"))
       val nS = data.dims(1)
       val ploidy = data.dims(2)
       val uEnd = (starts(v1 - 1) + planes(v1 - 1)).toLong * nS * ploidy
@@ -314,11 +315,6 @@ object GdsSchema {
 
     def scalarNull(vtype: String, v: AnyRef): AnyRef = v
 
-    /** Decode an info/format values node into an indexed accessor of
-      * catalyst scalars. */
-    def valueReader(n: Node, vtype: String, count: Long): Int => AnyRef =
-      valueReaderRange(n, vtype, 0, -1, count)
-
     /** Reader over value elements; fixed-stride classes decode only
       * [e0, e1) (pass e1 < 0 for whole-node), variable-stride classes
       * decode whole. Indexes stay GLOBAL. */
@@ -327,8 +323,9 @@ object GdsSchema {
       val whole = e1 < 0
       n.cls.getOrElse("") match {
         case "dStr8" =>
-          val a = strings(f, n)
-          i => if (a(i).isEmpty) null else utf8(a(i))
+          val (a, base) = if (whole) (strings(f, n), 0)
+            else (stringsRange(f, n, e0, math.max(e1, e0)), e0)
+          i => if (a(i - base).isEmpty) null else utf8(a(i - base))
         case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
           val (a, base) = if (whole) (ints(f, n), 0)
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
@@ -340,11 +337,13 @@ object GdsSchema {
           i => if (a(i - base).isNaN) null
                else java.lang.Float.valueOf(a(i - base))
         case "dVL_Int" =>
-          val a = varints(f, n, count)
-          i => java.lang.Integer.valueOf(a(i).toInt)
+          val (a, base) = if (whole) (varints(f, n, count), 0)
+            else (varintsRange(f, n, count, e0, math.max(e1, e0)), e0)
+          i => java.lang.Integer.valueOf(a(i - base).toInt)
         case "dBit1" =>
-          val a = bits(f, n)
-          i => java.lang.Boolean.valueOf(bit1(a, i) == 1)
+          val (a, base) = if (whole) (bits(f, n), 0L)
+            else bit1Range(f, n, e0.toLong, e1.toLong)
+          i => java.lang.Boolean.valueOf(bit1(a, i - base) == 1)
         case c => throw new UnsupportedOperationException(
           s"gds value class $c at ${n.path}")
       }
@@ -353,27 +352,25 @@ object GdsSchema {
     def infoExtractor(node: Node): Int => Any = {
       val (number, vtype, _) = fieldType(node)
       if (vtype == "Flag" || number == "0") {
-        val a = bits(f, node)
-        v => java.lang.Boolean.valueOf(bit1(a, v) == 1)
+        val (a, base) = bit1Range(f, node, v0.toLong, v1.toLong)
+        v => java.lang.Boolean.valueOf(bit1(a, v - base) == 1)
       } else {
         val lensOpt = ann.flatMap(_.child("info"))
           .flatMap(_.child("@" + node.name))
-          .map(intsRange(f, _, 0, v1))
+          .map(lensWithStarts(f, _))
         lensOpt match {
           case None =>
             // dense: one value per variant
             val rd = valueReaderRange(node, vtype, v0, v1, nVariants.toLong)
             if (number == "1") (v: Int) => rd(v)
             else (v: Int) => new GenericArrayData(Array[Any](rd(v)))
-          case Some(lens) =>
-            val starts = new Array[Int](lens.length)
-            var acc = 0
-            var i = 0
-            while (i < lens.length) {
-              starts(i) = acc; acc += math.max(lens(i), 0); i += 1
-            }
-            val rd = valueReaderRange(node, vtype, starts(v0), acc,
-              acc.toLong)
+          case Some((lens, starts)) =>
+            val total = if (lens.isEmpty) 0
+              else starts(lens.length - 1) + math.max(lens(lens.length - 1), 0)
+            val endElem = if (v1 <= 0) 0
+              else starts(v1 - 1) + math.max(lens(v1 - 1), 0)
+            val rd = valueReaderRange(node, vtype, starts(v0), endElem,
+              total.toLong)
             if (number == "1")
               (v: Int) => if (lens(v) <= 0) null else rd(starts(v))
             else
@@ -388,16 +385,17 @@ object GdsSchema {
       val dataN = node("data")
       val (_, vtype, _) = fieldType(node)
       val nS = dataN.dims(1)
-      val lens = node.child("@data").map(intsRange(f, _, 0, v1))
-        .getOrElse(Array.fill(v1)(1))
-      val starts = new Array[Int](lens.length)
-      var acc = 0
-      var i = 0
-      while (i < lens.length) {
-        starts(i) = acc; acc += math.max(lens(i), 0); i += 1
-      }
-      val rd = valueReaderRange(dataN, vtype, starts(v0) * nS, acc * nS,
-        acc.toLong * nS)
+      val (lens, starts) = node.child("@data").map(lensWithStarts(f, _))
+        .getOrElse {
+          val l = Array.fill(nVariants)(1)
+          (l, Array.tabulate(nVariants)(identity))
+        }
+      val total = if (lens.isEmpty) 0
+        else starts(lens.length - 1) + math.max(lens(lens.length - 1), 0)
+      val endElem = if (v1 <= 0) 0
+        else starts(v1 - 1) + math.max(lens(v1 - 1), 0)
+      val rd = valueReaderRange(dataN, vtype, starts(v0) * nS, endElem * nS,
+        total.toLong * nS)
       val numberOne = attrStr(node, "Number").contains("1")
       if (numberOne)
         (v: Int) => new GenericArrayData(
@@ -415,33 +413,34 @@ object GdsSchema {
           val a = intsRange(f, root("variant.id"), v0, nRange)
           (v: Int) => java.lang.Long.valueOf(a(v - v0).toLong)
         case "chrom" =>
-          val a = strings(f, root("chromosome"))
-          (v: Int) => utf8(a(v))
+          val a = stringsRange(f, root("chromosome"), v0, v1)
+          (v: Int) => utf8(a(v - v0))
         case "pos" =>
           val a = intsRange(f, root("position"), v0, nRange)
           (v: Int) => java.lang.Integer.valueOf(a(v - v0))
         case "id" =>
-          val a = ann.flatMap(_.child("id")).map(strings(f, _))
-            .getOrElse(Array.fill[String](nVariants)(null))
+          val a = ann.flatMap(_.child("id")).map(stringsRange(f, _, v0, v1))
+            .getOrElse(Array.fill[String](nRange)(null))
           (v: Int) =>
-            if (a(v) == null || a(v).isEmpty || a(v) == ".") null
-            else utf8(a(v))
+            if (a(v - v0) == null || a(v - v0).isEmpty || a(v - v0) == ".")
+              null
+            else utf8(a(v - v0))
         case "ref" =>
           (v: Int) => {
-            val s = alleles(v)
+            val s = alleles(v - v0)
             val c = s.indexOf(',')
             utf8(if (c < 0) s else s.substring(0, c))
           }
         case "alts" =>
           (v: Int) => {
-            val s = alleles(v)
+            val s = alleles(v - v0)
             val c = s.indexOf(',')
             val alts =
               if (c < 0) Array.empty[Any]
               else s.substring(c + 1).split(",").map(utf8(_): Any)
             new GenericArrayData(alts)
           }
-        case "allele" => (v: Int) => utf8(alleles(v))
+        case "allele" => (v: Int) => utf8(alleles(v - v0))
         case "qual" =>
           val a = ann.flatMap(_.child("qual"))
             .map(floatsRange(f, _, v0, nRange))
@@ -463,8 +462,8 @@ object GdsSchema {
                 if (codes(v - v0) < 1 || codes(v - v0) > levels.length) null
                 else utf8(levels(codes(v - v0) - 1))
             case Some(nd) =>
-              val a = strings(f, nd)
-              (v: Int) => if (a(v).isEmpty) null else utf8(a(v))
+              val a = stringsRange(f, nd, v0, v1)
+              (v: Int) => if (a(v - v0).isEmpty) null else utf8(a(v - v0))
             case None => (_: Int) => null
           }
         case "pg" =>
