@@ -283,9 +283,10 @@ object Bcf {
   // ---- reading ---------------------------------------------------------------
 
   /** (header lines, decoded body lines iterator) — streaming. */
-  def open(path: String): (Seq[String], Iterator[String]) = {
-    val in = new GZIPInputStream(java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(path.stripPrefix("file:"))), 64 * 1024)
+  /** Header lines + parsed dictionaries, consumed from the stream head
+    * (leaves `in` positioned at the first record). */
+  private def readHeaderFrom(in: InputStream, path: String)
+      : (Seq[String], Header, Map[String, String]) = {
     val magic = new Array[Byte](5)
     readFully(in, magic)
     require(new String(magic, 0, 3, "ASCII") == "BCF" && magic(3) == 2,
@@ -302,50 +303,110 @@ object Bcf {
       m <- """##(?:INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+)""".r
         .findFirstMatchIn(l)
     } yield m.group(1) -> m.group(2)).toMap
-    val it = new Iterator[String] {
-      private var nextLine: String = null
-      private var eof = false
-      private def advance(): Unit = {
-        if (eof) return
-        val sizes = new Array[Byte](8)
-        val first = in.read()
-        if (first < 0) { eof = true; return }
-        sizes(0) = first.toByte
-        var off = 1
-        while (off < 8) {
-          val n = in.read(sizes, off, 8 - off)
-          if (n < 0) { eof = true; return }
-          off += n
-        }
-        val lShared = u32(sizes, 0)
-        val lIndiv = u32(sizes, 4)
-        val shared = new Array[Byte](lShared)
-        val indiv = new Array[Byte](lIndiv)
-        readFully(in, shared)
-        readFully(in, indiv)
-        nextLine = recordToLine(shared, indiv, h, numbers)
+    (headerLines, h, numbers)
+  }
+
+  /** Decoded VCF body lines from `in`; `stop` is consulted at each
+    * record boundary (BEFORE reading its first byte). */
+  private def recordIterator(in: InputStream, h: Header,
+      numbers: Map[String, String], stop: () => Boolean)
+      : Iterator[String] = new Iterator[String] {
+    private var nextLine: String = null
+    private var eof = false
+    private def advance(): Unit = {
+      if (eof) return
+      if (stop()) { eof = true; return }
+      val sizes = new Array[Byte](8)
+      val first = in.read()
+      if (first < 0) { eof = true; return }
+      sizes(0) = first.toByte
+      var off = 1
+      while (off < 8) {
+        val n = in.read(sizes, off, 8 - off)
+        if (n < 0) { eof = true; return }
+        off += n
       }
-      override def hasNext: Boolean = {
-        if (nextLine == null && !eof) advance()
-        nextLine != null
-      }
-      override def next(): String = {
-        if (!hasNext) throw new NoSuchElementException
-        val l = nextLine; nextLine = null; l
-      }
+      val lShared = u32(sizes, 0)
+      val lIndiv = u32(sizes, 4)
+      val shared = new Array[Byte](lShared)
+      val indiv = new Array[Byte](lIndiv)
+      readFully(in, shared)
+      readFully(in, indiv)
+      nextLine = recordToLine(shared, indiv, h, numbers)
     }
-    (headerLines, it)
+    override def hasNext: Boolean = {
+      if (nextLine == null && !eof) advance()
+      nextLine != null
+    }
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException
+      val l = nextLine; nextLine = null; l
+    }
+  }
+
+  def open(path: String): (Seq[String], Iterator[String]) = {
+    val in = new GZIPInputStream(java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path.stripPrefix("file:"))), 64 * 1024)
+    val (headerLines, h, numbers) = readHeaderFrom(in, path)
+    (headerLines, recordIterator(in, h, numbers, () => false))
+  }
+
+  /** Records whose virtual offset lies in [v0, v1): seeks straight to
+    * v0's BGZF member (no upstream decompression) and stops at the first
+    * record boundary at/after v1. v0 and v1 MUST be record-aligned
+    * virtual offsets (CSI chunk begins are). */
+  def rangeLines(path: String, v0: Long, v1: Long): Iterator[String] = {
+    val p = path.stripPrefix("file:")
+    val (_, h, numbers) = {
+      val in = new GZIPInputStream(java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(p)), 64 * 1024)
+      try readHeaderFrom(in, path) finally in.close()
+    }
+    val bs = new Bgzf.BlockStream(p, v0 >> 16)
+    var skip = (v0 & 0xffff).toInt
+    while (skip > 0) {
+      val scratch = new Array[Byte](skip)
+      val n = bs.read(scratch, 0, skip)
+      require(n > 0, s"cannot seek to virtual offset $v0 in $path")
+      skip -= n
+    }
+    recordIterator(bs, h, numbers, () => bs.virtualPos >= v1)
   }
 
   /** seqBCF2GDS analog: BCF → the engine's canonical variants schema,
-    * identical to [[Vcf.read]] of the equivalent VCF. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * identical to [[Vcf.read]] of the equivalent VCF. With a `.csi`
+    * sitting next to the file (ours or htslib's), the scan splits into
+    * record-aligned compressed byte ranges — one task per ~`splitBytes`
+    * of compressed data; without one, BCF's length-prefixed records
+    * force one partition per file. */
+  def read(spark: SparkSession, path: String,
+      splitBytes: Long = 16L * 1024 * 1024): DataFrame = {
     val (headerLines, _) = open(path)
     val (info, fmt, samples) = Vcf.headerSpecs(headerLines)
     import spark.implicits._
-    val lines = spark.createDataset(Seq(path))
-      .flatMap(p => Bcf.open(p)._2)
-      .toDF("value")
+    val csiPath = path.stripPrefix("file:") + ".csi"
+    val starts =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(csiPath)))
+        Csi.recordStarts(csiPath)
+      else Array.empty[Long]
+    val lines =
+      if (starts.length > 1) {
+        val cuts = ArrayBuffer(starts.head)
+        var lastCoff = starts.head >> 16
+        starts.foreach { v =>
+          if ((v >> 16) - lastCoff >= splitBytes) {
+            cuts += v; lastCoff = v >> 16
+          }
+        }
+        val ranges = cuts.zipAll(cuts.drop(1), 0L, Long.MaxValue).toSeq
+        spark.createDataset(ranges)
+          .flatMap { case (s0, e0) => Bcf.rangeLines(path, s0, e0) }
+          .toDF("value")
+      } else {
+        spark.createDataset(Seq(path))
+          .flatMap(p => Bcf.open(p)._2)
+          .toDF("value")
+      }
     Vcf.parseLines(lines, info, fmt, samples.length)
   }
 
@@ -436,9 +497,24 @@ object Bcf {
     o.writeByte((htext.length >> 16) & 0xff)
     o.writeByte((htext.length >>> 24) & 0xff)
     o.write(htext)
-    bodyLines.foreach(l => writeRecord(o, l, h, numbers))
+    // CSI alongside the BCF: every record's virtual-offset span feeds the
+    // standard binning index, which is what makes the .bcf byte-range
+    // splittable on read (records have no resync marker otherwise).
+    val csi = new Csi.Builder()
+    bodyLines.foreach { l =>
+      val vbeg = out.virtualPos
+      writeRecord(o, l, h, numbers)
+      val t1 = l.indexOf('\t')
+      val t2 = l.indexOf('\t', t1 + 1)
+      val t3 = l.indexOf('\t', t2 + 1)
+      val t4 = l.indexOf('\t', t3 + 1)
+      val beg = l.substring(t1 + 1, t2).toLong - 1
+      csi.add(h.contigIdx(l.substring(0, t1)), beg, beg + (t4 - t3 - 1),
+        vbeg, out.virtualPos)
+    }
     o.flush()
     out.close()
+    csi.write(bcfPath + ".csi")
   }
 
   private def writeRecord(o: DataOutputStream, line: String, h: Header,

@@ -21,6 +21,12 @@ object Bgzf {
   final class Writer(out: OutputStream) extends OutputStream {
     private val buf = new Array[Byte](MaxBlock)
     private var n = 0
+    private var coff = 0L // compressed bytes of completed members
+
+    /** htslib virtual offset of the next byte to be written — a valid
+      * seek target once the current member flushes (record-aligned when
+      * sampled at record boundaries; feeds the CSI builder). */
+    def virtualPos: Long = (coff << 16) | n
 
     override def write(b: Int): Unit = {
       buf(n) = b.toByte
@@ -61,6 +67,7 @@ object Bgzf {
       writeU32(tail, 0, crc.getValue.toInt)
       writeU32(tail, 4, n)
       out.write(tail)
+      coff += bsize + 1
       n = 0
     }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Vcf
-import graft.sources.bcf.Bcf
+import graft.sources.bcf.{Bcf, Bgzf, Csi}
 
 /** BCF2.2 round trip on the real reference fixture: CEU_Exon.vcf.gz →
   * BCF (our writer, BGZF-framed) → Bcf.read must equal Vcf.read of the
@@ -32,6 +32,50 @@ class BcfSpec extends AnyFunSuite {
     val b = direct.collect().map(_.toSeq).toSet
     assert((a diff b).isEmpty && (b diff a).isEmpty,
       s"bcf differs: ${(a diff b).take(1)} vs ${(b diff a).take(1)}")
+  }
+
+  test("csi-planned byte-range splits equal the single-partition scan") {
+    val bcfPath = java.nio.file.Files
+      .createTempFile("graft_split", ".bcf").toString
+    Bcf.writeFromVcf(vcf, bcfPath) // writes bcfPath + ".csi" alongside
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(bcfPath + ".csi")))
+    // tiny split budget → many record-aligned ranges; every range
+    // decodes independently (BlockStream seek, no upstream inflate)
+    val split = Bcf.read(spark, bcfPath, splitBytes = 8 * 1024)
+    assert(split.rdd.getNumPartitions > 1,
+      "csi split planning produced a single partition")
+    val whole = Bcf.read(spark, bcfPath, splitBytes = Long.MaxValue)
+    assert(split.count() == 1348)
+    val a = split.collect().map(_.toSeq).toSet
+    val b = whole.collect().map(_.toSeq).toSet
+    assert((a diff b).isEmpty && (b diff a).isEmpty,
+      s"split scan differs: ${(a diff b).take(1)} vs ${(b diff a).take(1)}")
+  }
+
+  test("csi reader agrees with an htslib-written index (VCF fixture)") {
+    // The reference ships CEU_Exon.vcf.gz.csi written by htslib. Every
+    // chunk begin must be a record-aligned virtual offset — i.e. land
+    // exactly on a data-line start of the bgzipped VCF.
+    val starts = Csi.recordStarts(vcf + ".csi")
+    assert(starts.nonEmpty)
+    val lineStarts = scala.collection.mutable.Set.empty[Long]
+    val bs = new Bgzf.BlockStream(vcf, 0L)
+    try {
+      var atLineStart = true
+      var v = bs.virtualPos
+      var c = bs.read()
+      while (c >= 0) {
+        if (atLineStart) lineStarts += v
+        atLineStart = c == '\n'
+        v = bs.virtualPos
+        c = bs.read()
+      }
+    } finally bs.close()
+    val misses = starts.filterNot(lineStarts.contains)
+    assert(misses.isEmpty,
+      s"${misses.length} csi chunk begins are not line starts: " +
+        misses.take(3).mkString(","))
   }
 
   test("bcf prologue and bgzf framing") {
