@@ -1,6 +1,6 @@
 package graft.sources.gds
 
-import java.io.{ByteArrayInputStream, DataInputStream, EOFException, InputStream, RandomAccessFile, SequenceInputStream}
+import java.io.{ByteArrayInputStream, DataInputStream, EOFException, InputStream, OutputStream, RandomAccessFile, SequenceInputStream}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -22,9 +22,13 @@ import org.tukaani.xz.XZInputStream
   *     coder, data-stream id, attribute blob, and for folders an
   *     embedded child table (name → stream id).
   *  3. Data streams — `[u48 total][payload]`; the `*_ra` coders frame
-  *     the payload as `[magic "XZ_RA"][ver][chunkLog][0xff][u32 nChunks]`
-  *     then per chunk `[u48 cmpSize][cmpSize bytes]` of an independent
-  *     xz stream (random-access chunks of 2^chunkLog raw bytes).
+  *     the payload as `[magic][0x10 0x11][0xff][u32 nChunks]` then per
+  *     chunk `[u48 cmpSize][cmpSize bytes]` of one independent
+  *     compressed stream (fixed-size random-access raw chunks). Magics:
+  *     "XZ_RA" (LZMA_ra, the fixtures' coding), "ZIP_RA" (ZIP_ra,
+  *     zlib), "LZ4_RA" (LZ4_ra). Chunk decoding streams straight from
+  *     the file via [[GdsFile.StreamView]] — ranged reads touch only
+  *     the covering chunks' bytes.
   *
   * Reference semantics for the SeqArray tree (ReadByVariant.cpp:231-295,
   * Index.h): genotype/data is dBit2 `[planeRows, nSamples, ploidy]` with
@@ -89,20 +93,96 @@ object GdsCore {
     private val heads: Map[Int, Frag] =
       frags.values.filter(_.head).map(f => f.id -> f).toMap
 
-    /** Concatenated content bytes of stream `id` (follows `next`). */
-    def stream(id: Int): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
+    /** Random-access window over a logical stream's content bytes (the
+      * concatenation of its fragment chain) that reads straight from the
+      * file — a huge data node is never buffered as one compressed
+      * `Array[Byte]`; callers pull exactly the byte ranges they need
+      * (chunk headers, covering chunks). */
+    final class StreamView(segPos: Array[Long], segLen: Array[Long]) {
+      private val cum: Array[Long] = {
+        val a = new Array[Long](segLen.length + 1)
+        var i = 0
+        while (i < segLen.length) { a(i + 1) = a(i) + segLen(i); i += 1 }
+        a
+      }
+      val length: Long = cum(segLen.length)
+
+      def readInto(off: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit = {
+        require(off >= 0 && off + len <= length,
+          s"stream read [$off,${off + len}) out of [0,$length)")
+        GdsCore.fileBytesRead.addAndGet(len.toLong)
+        var s = java.util.Arrays.binarySearch(cum, off) match {
+          case i if i >= 0 => i
+          case i => -i - 2
+        }
+        if (s >= segLen.length) s = segLen.length - 1
+        var o = off
+        var d = dstOff
+        var rem = len
+        while (rem > 0) {
+          val within = o - cum(s)
+          val take = math.min(segLen(s) - within, rem.toLong).toInt
+          raf.seek(segPos(s) + within)
+          raf.readFully(dst, d, take)
+          o += take; d += take; rem -= take; s += 1
+        }
+      }
+      def read(off: Long, len: Int): Array[Byte] = {
+        val out = new Array[Byte](len)
+        readInto(off, out, 0, len)
+        out
+      }
+      def byteAt(off: Long): Int = read(off, 1)(0) & 0xff
+      def u32At(off: Long): Int = { val b = read(off, 4); GdsCore.u32(b, 0) }
+      def u48At(off: Long): Long = { val b = read(off, 6); GdsCore.u48(b, 0) }
+      /** Buffered sequential stream over [off, off+len). */
+      def slice(off: Long, len: Long): InputStream = new InputStream {
+        private var o = off
+        private var rem = len
+        private val buf = new Array[Byte](64 * 1024)
+        private var bo = 0
+        private var bn = 0
+        private def fill(): Boolean =
+          if (rem <= 0) false
+          else {
+            val t = math.min(buf.length.toLong, rem).toInt
+            readInto(o, buf, 0, t)
+            o += t; rem -= t; bo = 0; bn = t
+            true
+          }
+        override def read(): Int =
+          if (bo < bn || fill()) { val v = buf(bo) & 0xff; bo += 1; v }
+          else -1
+        override def read(b: Array[Byte], off0: Int, l: Int): Int =
+          if (bo < bn || fill()) {
+            val t = math.min(l, bn - bo)
+            System.arraycopy(buf, bo, b, off0, t)
+            bo += t
+            t
+          } else -1
+      }
+    }
+
+    /** Fragment chain of stream `id` as a [[StreamView]]. */
+    def view(id: Int): StreamView = {
+      val pos = ArrayBuffer.empty[Long]
+      val len = ArrayBuffer.empty[Long]
       var cur = heads.getOrElse(id,
         throw new NoSuchElementException(s"gds stream $id"))
       var done = false
       while (!done) {
-        val buf = new Array[Byte]((cur.size - 16).toInt)
-        raf.seek(cur.pos + 16)
-        raf.readFully(buf)
-        out.write(buf)
+        pos += cur.pos + 16
+        len += cur.size - 16
         if (cur.next == 0) done = true else cur = frags(cur.next)
       }
-      out.toByteArray
+      new StreamView(pos.toArray, len.toArray)
+    }
+
+    /** Concatenated content bytes of stream `id` (node records — small;
+      * data streams go through [[view]] and are never fully buffered). */
+    def stream(id: Int): Array[Byte] = {
+      val v = view(id)
+      v.read(0, v.length.toInt)
     }
 
     lazy val root: Node = parseNode(entryId, "", "")
@@ -311,134 +391,236 @@ object GdsCore {
 
   // ---- data-stream layer ---------------------------------------------------
 
+  /** Total bytes pulled from disk by all [[GdsFile.StreamView]] reads —
+    * lets specs assert that ranged decodes touch only the covering
+    * chunks' bytes, not the whole stream. */
+  val fileBytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A `*_ra` random-access chunk codec. The chunk framing is shared
+    * (recovered empirically from the fixtures' LZMA_ra streams, see the
+    * header doc): `[magic][0x10 0x11][0xff][u32 nChunks]` then per chunk
+    * `[u48 cmpSize][one independent compressed stream]`. Codecs differ
+    * only in the magic and the per-chunk stream format. */
+  sealed abstract class RaCodec(val magic: String, val coderName: String) {
+    def decode(in: InputStream): InputStream
+    def encode(out: OutputStream): OutputStream
+  }
+  /** LZMA_ra — xz chunk streams (the reference import default,
+    * `R/ConvVCF2GDS.R:560`). */
+  case object XzRa extends RaCodec("XZ_RA", "LZMA_ra") {
+    def decode(in: InputStream): InputStream = new XZInputStream(in)
+    def encode(out: OutputStream): OutputStream =
+      // preset 3: ~2× the encode throughput of the default for a few
+      // percent larger output — the right trade for an export path
+      new org.tukaani.xz.XZOutputStream(out, new org.tukaani.xz.LZMA2Options(3))
+  }
+  /** ZIP_ra — zlib chunk streams (`seqStorageOption`'s own default
+    * compression, `R/Utilities.R:250-252`); JDK Inflater/Deflater. */
+  case object ZipRa extends RaCodec("ZIP_RA", "ZIP_ra") {
+    def decode(in: InputStream): InputStream =
+      new java.util.zip.InflaterInputStream(in)
+    def encode(out: OutputStream): OutputStream =
+      new java.util.zip.DeflaterOutputStream(out)
+  }
+  /** LZ4_ra — lz4 block chunk streams via Spark's bundled lz4-java. */
+  case object Lz4Ra extends RaCodec("LZ4_RA", "LZ4_ra") {
+    def decode(in: InputStream): InputStream =
+      new net.jpountz.lz4.LZ4BlockInputStream(in)
+    def encode(out: OutputStream): OutputStream =
+      new net.jpountz.lz4.LZ4BlockOutputStream(out)
+  }
+  val raCodecs: Seq[RaCodec] = Seq(XzRa, ZipRa, Lz4Ra)
+
+  /** Codec for a node's coder string ("LZMA_ra", "ZIP_ra.max", …). */
+  def codecForCoder(coder: String): Option[RaCodec] = {
+    val base = coder.takeWhile(c => c != '.' && c != ':').toUpperCase
+    raCodecs.find(_.coderName.toUpperCase == base)
+  }
+
+  /** Parsed `*_ra` stream: codec, chunk payload offsets/sizes within the
+    * stream view, and (once learned) the exact raw-byte boundary of every
+    * chunk. `rawStarts` has nChunks+1 entries when set; `uniformRaw` is
+    * the inferred fixed raw chunk size for v11 streams (cheap path: one
+    * chunk-0 decode instead of a full pass). */
+  final class ChunkTable(
+      val codec: RaCodec,
+      val v11: Boolean,
+      val offs: Array[Long],
+      val sizes: Array[Int]) {
+    @volatile var rawStarts: Array[Long] = _
+    @volatile var uniformRaw: Long = -1L
+    def nChunks: Int = offs.length
+  }
+
+  private val chunkTableCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[ChunkTable]]()
+
+  /** Detect + parse the `*_ra` framing of a node's data stream; None for
+    * uncompressed streams. Cached per (file, stream) — the header walk
+    * touches only the ~6 bytes of each chunk header. */
+  def chunkTable(f: GdsFile, node: Node): Option[ChunkTable] = {
+    if (node.dataId == 0) return None
+    val key = f.path + "#" + node.dataId
+    val ref = chunkTableCache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return Some(hit)
+    val v = f.view(node.dataId)
+    if (v.length < 12) return None
+    val head = v.read(6, math.min(8L, v.length - 6).toInt)
+    val codec = raCodecs.find { c =>
+      val m = c.magic.getBytes("ASCII")
+      head.length >= m.length && m.indices.forall(i => head(i) == m(i))
+    }.orElse {
+      if (node.coder.isEmpty) None
+      else throw new UnsupportedOperationException(
+        s"gds coder ${node.coder.get} at ${node.path} " +
+          s"(expected one of ${raCodecs.map(_.coderName).mkString("/")})")
+    }
+    codec.map { c =>
+      val mLen = c.magic.length
+      // [magic][verHi verLo][0xff][u32 nChunks]; v11 chunk headers are
+      // 6-byte [u48 cmpSize], v10 are 7-byte [u24 cmpSizeIncl][u32 raw]
+      val v11 = v.byteAt(6L + mLen + 1) >= 0x11
+      val nChunks = v.u32At(6L + mLen + 3)
+      val offs = new Array[Long](nChunks)
+      val sizes = new Array[Int](nChunks)
+      var rawStarts: Array[Long] = if (v11) null else new Array[Long](nChunks + 1)
+      var p = 6L + mLen + 7
+      var i = 0
+      while (i < nChunks) {
+        if (v11) {
+          offs(i) = p + 6
+          sizes(i) = v.u48At(p).toInt
+        } else {
+          val h = v.read(p, 7)
+          offs(i) = p + 7
+          sizes(i) = ((h(0) & 0xff) | ((h(1) & 0xff) << 8) |
+            ((h(2) & 0xff) << 16)) - 7
+          rawStarts(i + 1) = rawStarts(i) + (u32(h, 3).toLong & 0xffffffffL)
+        }
+        p = offs(i) + sizes(i)
+        i += 1
+      }
+      val ct = new ChunkTable(c, v11, offs, sizes)
+      if (rawStarts != null) ct.rawStarts = rawStarts
+      chunkTableCache.put(key, new java.lang.ref.SoftReference(ct))
+      ct
+    }
+  }
+
+  /** Fully decode chunk `i`, reading only its compressed bytes. */
+  private def decodeChunk(v: GdsFile#StreamView, ct: ChunkTable, i: Int)
+      : Array[Byte] = {
+    val in = ct.codec.decode(v.slice(ct.offs(i), ct.sizes(i).toLong))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** One sequential pass recording every chunk's exact raw boundary
+    * (v11 streams don't carry per-chunk raw sizes); optionally feeds
+    * each decoded chunk to `sink`. Stores the result on the table. */
+  private def learnRawStarts(v: GdsFile#StreamView, ct: ChunkTable,
+      sink: Array[Byte] => Unit = null): Array[Long] = {
+    val starts = new Array[Long](ct.nChunks + 1)
+    var i = 0
+    while (i < ct.nChunks) {
+      val raw = decodeChunk(v, ct, i)
+      starts(i + 1) = starts(i) + raw.length
+      if (sink != null) sink(raw)
+      i += 1
+    }
+    ct.rawStarts = starts
+    starts
+  }
+
   /** Decompressed data bytes of a node (whole array). Supports the
-    * uncompressed layout and the `*_ra` xz framing used by SeqArray's
-    * default LZMA_RA/XZ compression; other coders raise. */
+    * uncompressed layout and the `*_ra` chunk framing (xz / zlib / lz4);
+    * compressed bytes are streamed from disk chunk by chunk. */
   def nodeBytes(f: GdsFile, node: Node): Array[Byte] = {
     if (node.dataId == 0) return Array.empty
-    val b = f.stream(node.dataId)
-    if (b.length < 6) return Array.empty
-    if (b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA") {
-      // b(12) = _ra framing version: 0x11 writes 6-byte chunk headers
-      // [u48 cmpSize] (size excludes the header); 0x10 writes 7-byte
-      // [u24 cmpSize][u32 rawSize] where cmpSize includes the header.
-      val v11 = (b(12) & 0xff) >= 0x11
-      val nChunks = u32(b, 14)
-      val out = new java.io.ByteArrayOutputStream()
-      var p = 18
-      var c = 0
-      while (c < nChunks) {
-        val (off, csize) =
-          if (v11) (p + 6, u48(b, p).toInt)
-          else (p + 7,
-            ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-              ((b(p + 2) & 0xff) << 16)) - 7)
-        val in = new XZInputStream(new ByteArrayInputStream(b, off, csize))
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        p = off + csize
-        c += 1
-      }
-      out.toByteArray
-    } else if (node.coder.isEmpty) {
-      val total = u48(b, 0).toInt
-      java.util.Arrays.copyOfRange(b, 6, 6 + total)
-    } else {
-      throw new UnsupportedOperationException(
-        s"gds coder ${node.coder.get} at ${node.path} (expected *_ra xz)")
+    chunkTable(f, node) match {
+      case Some(ct) =>
+        val v = f.view(node.dataId)
+        val out = new java.io.ByteArrayOutputStream()
+        if (ct.rawStarts == null) learnRawStarts(v, ct, out.write(_))
+        else {
+          var i = 0
+          while (i < ct.nChunks) { out.write(decodeChunk(v, ct, i)); i += 1 }
+        }
+        out.toByteArray
+      case None =>
+        val v = f.view(node.dataId)
+        if (v.length < 6) return Array.empty
+        v.read(6, v.u48At(0).toInt)
     }
   }
 
   // ---- ranged decode (variant-range splits) ---------------------------
 
   /** Exact raw-byte slice [rawOff, rawOff+rawLen) of a node's data.
-    * XZ_RA streams decode ONLY the chunks covering the range — the
-    * random-access property the `_ra` framing exists for (chunk k holds
-    * raw bytes [k*R, (k+1)*R) for a fixed R, learned by inflating chunk
-    * 0 once). Uncompressed streams are sliced directly. */
+    * `*_ra` streams decode ONLY the chunks covering the range — the
+    * random-access property the framing exists for. Chunk boundaries
+    * come from the v10 headers, an earlier full pass, or (v11 cheap
+    * path) a chunk-0 decode inferring the uniform raw chunk size; a
+    * wrong inference is detected and repaired with one full boundary
+    * pass. Uncompressed streams are sliced directly from the file. */
   def nodeBytesRange(f: GdsFile, node: Node, rawOff: Long, rawLen: Long)
       : Array[Byte] = {
     if (node.dataId == 0 || rawLen <= 0) return Array.empty
-    val b = f.stream(node.dataId)
-    if (b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA") {
-      val v11 = (b(12) & 0xff) >= 0x11
-      val nChunks = u32(b, 14)
-      // chunk table: (payload offset, compressed size, raw size) —
-      // the v10 framing carries every chunk's raw size in its header,
-      // v11 does not (raw sizes inferred as uniform, verified below)
-      val offs = new Array[Int](nChunks)
-      val sizes = new Array[Int](nChunks)
-      val raws = new Array[Long](nChunks)
-      var p = 18
-      var c = 0
-      while (c < nChunks) {
-        val (off, csize) =
-          if (v11) (p + 6, u48(b, p).toInt)
-          else (p + 7,
-            ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-              ((b(p + 2) & 0xff) << 16)) - 7)
-        raws(c) = if (v11) -1L else u32(b, p + 3).toLong & 0xffffffffL
-        offs(c) = off; sizes(c) = csize
-        p = off + csize
-        c += 1
-      }
-      def inflate(i: Int): Array[Byte] = {
-        val in = new XZInputStream(
-          new ByteArrayInputStream(b, offs(i), sizes(i)))
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        out.toByteArray
-      }
-      if (v11 && raws(0) < 0) {
-        val first = inflate(0)
-        var i = 0
-        while (i < nChunks) { raws(i) = first.length.toLong; i += 1 }
-        // keep chunk 0 reusable through the prefix table below
-        raws(0) = first.length.toLong
-        // (chunk 0 re-inflates below only if actually in range — cheap)
-      }
-      val starts = new Array[Long](nChunks + 1)
-      var i = 0
-      while (i < nChunks) { starts(i + 1) = starts(i) + raws(i); i += 1 }
-      val out = new Array[Byte](rawLen.toInt)
-      var written = 0
-      var ci = 0
-      while (ci < nChunks && starts(ci + 1) <= rawOff) ci += 1
-      var ok = true
-      while (ok && written < rawLen && ci < nChunks) {
-        val raw = inflate(ci)
-        if (v11 && raw.length.toLong != raws(ci) && ci < nChunks - 1)
-          ok = false // uniform-size inference was wrong
-        else {
-          val from = math.max(rawOff - starts(ci), 0L).toInt
-          val take = math.min(raw.length - from, rawLen - written).toInt
-          if (take > 0) {
-            System.arraycopy(raw, from, out, written, take)
-            written += take
-          }
-          ci += 1
-        }
-      }
-      if (ok && written == rawLen) out
-      else {
-        // safety net: sequential full decode + slice (correct for any
-        // chunking; only reached when v11 chunks are not uniform)
-        val whole = nodeBytes(f, node)
-        java.util.Arrays.copyOfRange(whole, rawOff.toInt,
-          (rawOff + rawLen).toInt)
-      }
-    } else if (node.coder.isEmpty) {
-      java.util.Arrays.copyOfRange(b, (6 + rawOff).toInt,
-        (6 + rawOff + rawLen).toInt)
-    } else {
-      throw new UnsupportedOperationException(
-        s"gds coder ${node.coder.get} at ${node.path} (expected *_ra xz)")
+    chunkTable(f, node) match {
+      case Some(ct) =>
+        val v = f.view(node.dataId)
+        rangeFromChunks(v, ct, rawOff, rawLen)
+      case None =>
+        f.view(node.dataId).read(6 + rawOff, rawLen.toInt)
     }
+  }
+
+  private def rangeFromChunks(v: GdsFile#StreamView, ct: ChunkTable,
+      rawOff: Long, rawLen: Long): Array[Byte] = {
+    var starts = ct.rawStarts
+    var inferred = false
+    if (starts == null) {
+      // v11 cheap path: writers emit fixed-size raw chunks; learn the
+      // size from chunk 0 and verify as covering chunks decode
+      if (ct.uniformRaw < 0) ct.uniformRaw = decodeChunk(v, ct, 0).length
+      val u = ct.uniformRaw
+      starts = Array.tabulate(ct.nChunks + 1)(i => i * u)
+      inferred = true
+    }
+    val out = new Array[Byte](rawLen.toInt)
+    var written = 0
+    var ci = 0
+    while (ci < ct.nChunks && starts(ci + 1) <= rawOff) ci += 1
+    var ok = true
+    while (ok && written < rawLen && ci < ct.nChunks) {
+      val raw = decodeChunk(v, ct, ci)
+      if (inferred && raw.length.toLong != starts(ci + 1) - starts(ci) &&
+          ci < ct.nChunks - 1)
+        ok = false // uniform-size inference was wrong
+      else {
+        val from = math.max(rawOff - starts(ci), 0L).toInt
+        val take = math.min(raw.length - from, rawLen - written).toInt
+        if (take > 0) {
+          System.arraycopy(raw, from, out, written, take)
+          written += take
+        }
+        ci += 1
+      }
+    }
+    if (ok && written == rawLen) out
+    else if (inferred) {
+      // repair: one full boundary pass (exact starts cached), then a
+      // truly ranged retry — still never materializes the whole node
+      learnRawStarts(v, ct)
+      rangeFromChunks(v, ct, rawOff, rawLen)
+    } else throw new IllegalStateException(
+      s"gds ranged decode short read: $written of $rawLen at raw $rawOff")
   }
 
   /** Fixed-stride int elements [off, off+cnt). */
@@ -648,76 +830,115 @@ object GdsCore {
     p + 1
   }
 
-  private def elemSkipper(n: Node): (Array[Byte], Int) => Int =
+  /** Position after one dStr8 element, or -1 if it extends past `end`. */
+  private def skipStrSafe(b: Array[Byte], p0: Int, end: Int): Int = {
+    var p = p0
+    var l = 0
+    var s = 0
+    var more = true
+    while (more) {
+      if (p >= end) return -1
+      val v = b(p) & 0xff
+      p += 1
+      l |= (v & 0x7f) << s
+      s += 7
+      more = (v & 0x80) != 0
+    }
+    if (p + l > end) -1 else p + l
+  }
+
+  /** Position after one dVL_Int element, or -1 if incomplete. */
+  private def skipVarintSafe(b: Array[Byte], p0: Int, end: Int): Int = {
+    var p = p0
+    while (p < end && (b(p) & 0x80) != 0) p += 1
+    if (p >= end) -1 else p + 1
+  }
+
+  private def elemSkipperSafe(n: Node): (Array[Byte], Int, Int) => Int =
     n.cls.getOrElse("") match {
-      case "dStr8" => skipStr
-      case "dVL_Int" => skipVarint
+      case "dStr8" => skipStrSafe
+      case "dVL_Int" => skipVarintSafe
       case c => throw new UnsupportedOperationException(
         s"gds variable-stride index for class $c at ${n.path}")
     }
 
-  /** One pass over a node's data stream: the whole raw array AND the
-    * exact raw boundary of every XZ_RA chunk (the per-chunk raw size is
-    * only learned by inflating — the v11 framing does not carry it, and
-    * the index build inflates everything once anyway). Uncompressed
-    * streams get synthetic 256 KiB boundaries (direct-sliceable). */
-  private def inflateAllWithBoundaries(f: GdsFile, n: Node)
-      : (Array[Byte], Array[Long]) = {
-    val b = f.stream(n.dataId)
-    if (b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA") {
-      val v11 = (b(12) & 0xff) >= 0x11
-      val nChunks = u32(b, 14)
-      val starts = new Array[Long](nChunks + 1)
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var p = 18
-      var c = 0
-      while (c < nChunks) {
-        starts(c) = out.size().toLong
-        val (off, csize) =
-          if (v11) (p + 6, u48(b, p).toInt)
-          else (p + 7,
-            ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-              ((b(p + 2) & 0xff) << 16)) - 7)
-        val in = new XZInputStream(new ByteArrayInputStream(b, off, csize))
-        var n0 = in.read(buf)
-        while (n0 > 0) { out.write(buf, 0, n0); n0 = in.read(buf) }
-        in.close()
-        p = off + csize
-        c += 1
+  /** Streaming index build: walks decoded chunks one at a time (peak
+    * memory = one chunk + one element carry, never the whole node),
+    * recording at every chunk boundary the first element starting
+    * at/after it. `chunks` yields each chunk's raw bytes in order. */
+  private def buildVarIndex(chunks: Iterator[Array[Byte]], nCh: Int,
+      safe: (Array[Byte], Int, Int) => Int, count: Int): VarIndex = {
+    val rawStarts = new Array[Long](nCh + 1)
+    val elemIdx = new Array[Int](nCh)
+    val elemOff = new Array[Long](nCh)
+    var cFill = 0
+    var buf: Array[Byte] = Array.empty
+    var bufGlobal = 0L // raw offset of buf(0)
+    var p = 0 // parse position within buf
+    var e = 0
+    var cum = 0L
+    var c = 0
+    while (c < nCh) {
+      val chunk = chunks.next()
+      rawStarts(c) = cum
+      cum += chunk.length
+      // compact the unparsed tail (a partial element) + append the chunk
+      val keep = buf.length - p
+      val nb = new Array[Byte](keep + chunk.length)
+      System.arraycopy(buf, p, nb, 0, keep)
+      System.arraycopy(chunk, 0, nb, keep, chunk.length)
+      bufGlobal += p
+      buf = nb
+      p = 0
+      var next = if (e < count) safe(buf, p, buf.length) else -1
+      while (next >= 0) {
+        val startGlobal = bufGlobal + p
+        while (cFill <= c && rawStarts(cFill) <= startGlobal) {
+          elemIdx(cFill) = e; elemOff(cFill) = startGlobal; cFill += 1
+        }
+        p = next
+        e += 1
+        next = if (e < count) safe(buf, p, buf.length) else -1
       }
-      starts(nChunks) = out.size().toLong
-      (out.toByteArray, starts)
-    } else {
-      val whole = nodeBytes(f, n)
-      val step = 256 * 1024
-      val nB = math.max(((whole.length.toLong + step - 1) / step).toInt, 1)
-      (whole, Array.tabulate(nB + 1)(i =>
-        math.min(i.toLong * step, whole.length.toLong)))
+      c += 1
     }
+    rawStarts(nCh) = cum
+    while (cFill < nCh) {
+      elemIdx(cFill) = e; elemOff(cFill) = bufGlobal + p; cFill += 1
+    }
+    new VarIndex(rawStarts, elemIdx, elemOff)
   }
 
-  /** Build (or fetch) the element index of a variable-stride node. */
+  /** Build (or fetch) the element index of a variable-stride node. As a
+    * by-product the node's exact chunk boundaries land on its cached
+    * [[ChunkTable]], making every later ranged read exact. */
   def varIndex(f: GdsFile, n: Node, count: Int): VarIndex = {
     val key = f.path + "#" + n.dataId
     val ref = varIdxCache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return hit
-    val (whole, rawStarts) = inflateAllWithBoundaries(f, n)
-    val skip = elemSkipper(n)
-    val nCh = rawStarts.length - 1
-    val elemIdx = new Array[Int](nCh)
-    val elemOff = new Array[Long](nCh)
-    var c = 0
-    var p = 0
-    var e = 0
-    while (c < nCh) {
-      while (p < rawStarts(c) && e < count) { p = skip(whole, p); e += 1 }
-      elemIdx(c) = e
-      elemOff(c) = p
-      c += 1
+    val safe = elemSkipperSafe(n)
+    val idx = chunkTable(f, n) match {
+      case Some(ct) =>
+        val v = f.view(n.dataId)
+        val built = buildVarIndex(
+          Iterator.range(0, ct.nChunks).map(decodeChunk(v, ct, _)),
+          ct.nChunks, safe, count)
+        ct.rawStarts = built.rawStarts // exact boundaries learned for free
+        built
+      case None =>
+        // uncompressed: direct-sliceable; synthetic 256 KiB boundaries
+        val v = f.view(n.dataId)
+        val total = if (v.length < 6) 0L else v.u48At(0)
+        val step = 256 * 1024
+        val nB = math.max(((total + step - 1) / step).toInt, 1)
+        buildVarIndex(
+          Iterator.range(0, nB).map { i =>
+            val off = i.toLong * step
+            v.read(6 + off, math.min(step.toLong, total - off).toInt)
+          },
+          nB, safe, count)
     }
-    val idx = new VarIndex(rawStarts, elemIdx, elemOff)
     varIdxCache.put(key, new java.lang.ref.SoftReference(idx))
     idx
   }
@@ -746,54 +967,9 @@ object GdsCore {
     val endByte =
       if (lo2 >= idx.elemIdx.length) idx.rawStarts(idx.rawStarts.length - 1)
       else idx.elemOff(lo2)
-    (nodeBytesRangeExact(f, n, idx.rawStarts, startByte,
-      endByte - startByte), startElem)
-  }
-
-  /** Raw-range slice using the index's EXACT chunk boundaries (no v11
-    * uniform-size inference, no speculative chunk-0 inflate). */
-  private def nodeBytesRangeExact(f: GdsFile, n: Node,
-      rawStarts: Array[Long], rawOff: Long, rawLen: Long): Array[Byte] = {
-    if (n.dataId == 0 || rawLen <= 0) return Array.empty
-    val b = f.stream(n.dataId)
-    if (!(b.length >= 11 && new String(b, 6, 5, "ASCII") == "XZ_RA"))
-      return nodeBytesRange(f, n, rawOff, rawLen) // uncompressed: slices
-    val v11 = (b(12) & 0xff) >= 0x11
-    val nChunks = u32(b, 14)
-    val out = new Array[Byte](rawLen.toInt)
-    var written = 0
-    var p = 18
-    var c = 0
-    while (c < nChunks && written < rawLen) {
-      val (off, csize) =
-        if (v11) (p + 6, u48(b, p).toInt)
-        else (p + 7,
-          ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-            ((b(p + 2) & 0xff) << 16)) - 7)
-      if (rawStarts(c + 1) > rawOff) {
-        val in = new XZInputStream(new ByteArrayInputStream(b, off, csize))
-        try {
-          var toSkip = math.max(rawOff - rawStarts(c), 0L)
-          val scratch = if (toSkip > 0) new Array[Byte](64 * 1024) else null
-          while (toSkip > 0) {
-            val s = in.read(scratch, 0,
-              math.min(toSkip, scratch.length.toLong).toInt)
-            require(s > 0, s"gds ranged decode skip failed at ${n.path}")
-            toSkip -= s
-          }
-          var n0 = 1
-          while (n0 > 0 && written < rawLen) {
-            n0 = in.read(out, written, (rawLen - written).toInt)
-            if (n0 > 0) written += n0
-          }
-        } finally in.close()
-      }
-      p = off + csize
-      c += 1
-    }
-    require(written == rawLen,
-      s"gds ranged decode short read at ${n.path}: $written of $rawLen")
-    out
+    // ranged slice is exact: the index build stored the node's true
+    // chunk boundaries on its ChunkTable
+    (nodeBytesRange(f, n, startByte, endByte - startByte), startElem)
   }
 
   /** dStr8 elements [e0, e1), locally indexed (result(0) = element e0);

@@ -70,4 +70,61 @@ class GdsRangedSpec extends AnyFunSuite {
   test("Imputed_dosages.gds: ranged == whole") {
     checkFile(s"$extdata/Imputed_dosages.gds")
   }
+
+  test("ranged reads pull only the covering chunks' bytes from disk") {
+    // the scale guarantee behind variant-range splits: decoding a small
+    // slice of a big node must NOT read the node's whole compressed
+    // stream from the file (one huge node would otherwise OOM or
+    // serialize every executor)
+    val f = new GdsFile(s"$extdata/1KG_phase1_release_v3_chr22.gds")
+    try {
+      val g = f.root("genotype")("data")
+      val nS = 1092
+      val streamLen = f.view(g.dataId).length
+      // warm the chunk table + boundary knowledge so the measurement
+      // sees steady-state ranged reads, not one-time index builds
+      GdsCore.bit2Range(f, g, 0L, 64L)
+      val before = GdsCore.fileBytesRead.get()
+      // ~100 variants' worth of 2-bit units from the middle of the node
+      val u0 = 9000L * nS * 2
+      GdsCore.bit2Range(f, g, u0, u0 + 100L * nS * 2)
+      val used = GdsCore.fileBytesRead.get() - before
+      // the 1KG fixture packs this node into only 3 chunks — a ranged
+      // read may touch at most one of them, never the whole stream
+      assert(used < streamLen / 2,
+        s"ranged decode read $used of $streamLen compressed bytes")
+      assert(used > 0)
+    } finally f.close()
+
+    // strong bound on our own framing (128 KiB raw chunks): a 1000-int
+    // slice of a 1M-int node must read ~one chunk, not the stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_rng").toString
+    val path = s"$dir/big.gds"
+    val c = new graft.sources.gds.GdsWrite.Container()
+    val rootId = c.allocId()
+    val payload = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < 1000000) { // varied ints so xz can't collapse the node
+      val v = i * 2654435761L
+      payload.write((v & 0xff).toInt); payload.write(((v >> 8) & 0xff).toInt)
+      payload.write(((v >> 16) & 0xff).toInt)
+      payload.write(((v >> 24) & 0xff).toInt)
+      i += 1
+    }
+    val node = c.node("dInt32", Seq(1000000), payload.toByteArray)
+    c.folderAt(rootId, Seq((node, "big", 0)))
+    c.save(path, rootId)
+    val f2 = new GdsFile(path)
+    try {
+      val n = f2.root("big")
+      val streamLen = f2.view(n.dataId).length
+      GdsCore.intsRange(f2, n, 0, 16) // warm chunk table + uniform probe
+      val before = GdsCore.fileBytesRead.get()
+      val got = GdsCore.intsRange(f2, n, 500000, 1000)
+      val used = GdsCore.fileBytesRead.get() - before
+      assert(got(0) == (500000 * 2654435761L).toInt)
+      assert(used < streamLen / 8,
+        s"ranged decode read $used of $streamLen compressed bytes")
+    } finally f2.close()
+  }
 }
