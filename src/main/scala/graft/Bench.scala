@@ -27,18 +27,31 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (failed) -dt else dt
     }
+    // Min-of-N: first runs pay Janino/JIT compilation and are hostage to
+    // host-load bursts (round 3's driver bench recorded 3-30× slowdowns
+    // on a contended host). EVERY query runs twice and keeps its minimum;
+    // queries whose two runs still disagree by >20% get a tie-break third
+    // run within a bounded budget — one contended pass can no longer
+    // poison the headline number.
     val first = SparkEntry.queries.map { case (name, fn) =>
       name -> run1(name, fn)
     }
-    // First runs pay Janino/JIT compilation and are hostage to host-load
-    // bursts; re-measure the outliers (slowest first) within a bounded
-    // budget and keep the per-query minimum — steady-state throughput.
-    var budget = 150.0
-    val results = scala.collection.mutable.Map(first.toSeq: _*)
-    for ((name, t) <- first.toSeq.sortBy(-_._2) if t > 5.0 && budget > 0) {
-      val t2 = run1(name, SparkEntry.queries(name))
-      budget -= math.abs(t2)
-      if (t2 >= 0 && t2 < t) results(name) = t2
+    val second = SparkEntry.queries.map { case (name, fn) =>
+      name -> run1(name, fn)
+    }
+    def best(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val results = scala.collection.mutable.Map(
+      first.map { case (n, t) => n -> best(t, second(n)) }.toSeq: _*)
+    var budget = 120.0
+    for ((name, t) <- results.toSeq.sortBy(-_._2)
+        if t > 1.0 && budget > 0) {
+      val worst = math.max(math.abs(first(name)), math.abs(second(name)))
+      if (worst > t * 1.2) {
+        val t3 = run1(name, SparkEntry.queries(name))
+        budget -= math.abs(t3)
+        if (t3 >= 0 && t3 < t) results(name) = t3
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

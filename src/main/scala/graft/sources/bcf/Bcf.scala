@@ -20,9 +20,10 @@ import graft.sources.Vcf
   * to its canonical VCF body LINE, and the existing
   * [[Vcf.parseLines]] expressions do the typing — one source of truth
   * for parse semantics, so `Bcf.read` and `Vcf.read` are
-  * row-for-row interchangeable. Files are the parallelism unit (BGZF
-  * chunk-level splits would need a virtual-offset index — the same
-  * future refinement as bgzf VCF).
+  * row-for-row interchangeable. Scans split into record-aligned byte
+  * ranges via each file's CSI virtual offsets ([[Csi]], round-3 work);
+  * an index-less `.bcf` gets its CSI built on first read, so every
+  * file is range-splittable.
   *
   * Typed-value encoding (spec §6.3.3): descriptor byte = len<<4 | type,
   * len 15 = overflow length as a following typed int; types: 1=int8,
@@ -373,12 +374,65 @@ object Bcf {
     recordIterator(bs, h, numbers, () => bs.virtualPos >= v1)
   }
 
+  /** One sequential pass over an index-less `.bcf`: decodes just the
+    * record prologues (rid, pos, rlen — no typed-value parsing) to
+    * build the standard CSI binning index the splitter consumes. The
+    * index is persisted next to the file when the directory is
+    * writable, so later reads skip the pass; a read-only location
+    * (e.g. the reference fixtures) still gets in-memory split points
+    * for this session. Returns every record's start virtual offset. */
+  def buildCsi(path: String): Array[Long] = {
+    val p = path.stripPrefix("file:")
+    val bs = new Bgzf.BlockStream(p, 0L)
+    try {
+      readHeaderFrom(bs, path) // positions the stream at record 0
+      val csi = new Csi.Builder()
+      val starts = ArrayBuffer.empty[Long]
+      val sizes = new Array[Byte](8)
+      val scratch = new Array[Byte](64 * 1024)
+      var eof = false
+      while (!eof) {
+        val vbeg = bs.virtualPos
+        val first = bs.read()
+        if (first < 0) eof = true
+        else {
+          sizes(0) = first.toByte
+          var off = 1
+          while (off < 8) {
+            val n = bs.read(sizes, off, 8 - off)
+            if (n < 0) throw new EOFException(s"$path truncated record")
+            off += n
+          }
+          val lShared = u32(sizes, 0)
+          val lIndiv = u32(sizes, 4)
+          val head = new Array[Byte](math.min(lShared, 12))
+          readFully(bs, head)
+          var toSkip = (lShared - head.length).toLong + lIndiv
+          while (toSkip > 0) {
+            val n = bs.read(scratch, 0,
+              math.min(toSkip, scratch.length.toLong).toInt)
+            if (n < 0) throw new EOFException(s"$path truncated record")
+            toSkip -= n
+          }
+          val rid = u32(head, 0)
+          val pos0 = u32(head, 4).toLong
+          val rlen = math.max(u32(head, 8), 1)
+          csi.add(rid, pos0, pos0 + rlen, vbeg, bs.virtualPos)
+          starts += vbeg
+        }
+      }
+      try csi.write(p + ".csi")
+      catch { case _: java.io.IOException => () } // read-only dir: in-memory only
+      starts.toArray
+    } finally bs.close()
+  }
+
   /** seqBCF2GDS analog: BCF → the engine's canonical variants schema,
     * identical to [[Vcf.read]] of the equivalent VCF. With a `.csi`
     * sitting next to the file (ours or htslib's), the scan splits into
     * record-aligned compressed byte ranges — one task per ~`splitBytes`
-    * of compressed data; without one, BCF's length-prefixed records
-    * force one partition per file. */
+    * of compressed data; an index-less file gets its CSI built by one
+    * sequential prologue pass ([[buildCsi]]) and splits the same way. */
   def read(spark: SparkSession, path: String,
       splitBytes: Long = 16L * 1024 * 1024): DataFrame = {
     val (headerLines, _) = open(path)
@@ -388,7 +442,7 @@ object Bcf {
     val starts =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(csiPath)))
         Csi.recordStarts(csiPath)
-      else Array.empty[Long]
+      else buildCsi(path)
     val lines =
       if (starts.length > 1) {
         val cuts = ArrayBuffer(starts.head)

@@ -53,6 +53,31 @@ class BcfSpec extends AnyFunSuite {
       s"split scan differs: ${(a diff b).take(1)} vs ${(b diff a).take(1)}")
   }
 
+  test("index-less bcf: csi built on first read, splits equal whole scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_noidx")
+    val bcfPath = s"$dir/noidx.bcf"
+    Bcf.writeFromVcf(vcf, bcfPath)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(bcfPath + ".csi"))
+    // first read builds the index by one prologue pass — the scan must
+    // still split into byte ranges, and persist the csi for next time
+    val split = Bcf.read(spark, bcfPath, splitBytes = 8 * 1024)
+    assert(split.rdd.getNumPartitions > 1,
+      "index-less bcf read did not range-split")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(bcfPath + ".csi")),
+      "first read did not persist the built csi")
+    val whole = Bcf.read(spark, bcfPath, splitBytes = Long.MaxValue)
+    val a = split.collect().map(_.toSeq).toSet
+    val b = whole.collect().map(_.toSeq).toSet
+    assert(a.size == 1348 && (a diff b).isEmpty && (b diff a).isEmpty)
+    // the self-built index carries the same record starts the writer's
+    // own csi would have (identical writer + input ⇒ identical layout)
+    val twin = s"$dir/twin.bcf"
+    Bcf.writeFromVcf(vcf, twin)
+    assert(Csi.recordStarts(bcfPath + ".csi").toSeq ==
+      Csi.recordStarts(twin + ".csi").toSeq)
+  }
+
   test("csi reader agrees with an htslib-written index (VCF fixture)") {
     // The reference ships CEU_Exon.vcf.gz.csi written by htslib. Every
     // chunk begin must be a record-aligned virtual offset — i.e. land
