@@ -330,6 +330,35 @@ object SeqArray {
     } finally out.close()
   }
 
+  /** seqGDS2VCF at scale: executor-side sharded export — one
+    * `part-NNNNN.vcf.gz` (BGZF) per (chrom, pos) range shard, each a complete
+    * headered VCF, plus `_manifest.json`; no row passes through the
+    * driver (see [[graft.sources.Sharded]]). Shards read back through
+    * [[Vcf.read]] / `bcftools concat`-style concatenation. */
+  def seqGDS2VCFSharded(spark: SparkSession, gdsPath: String,
+      outDir: String): Seq[(String, Long)] = {
+    val d = openGds(spark, gdsPath)
+    val header = Vcf.formatHeader(Nil, Nil, sampleIdList(d))
+    val keyed = Vcf.formatLines(d.variants, lit(null).cast("string"),
+      keep = Seq("chrom", "variant_id"))
+    graft.sources.Sharded.export(keyed, outDir, ".vcf.gz", (it, f) => {
+      val out = new graft.sources.bcf.Bgzf.Writer(
+        new java.io.FileOutputStream(f))
+      var n = 0L
+      try {
+        header.foreach { h =>
+          out.write(h.getBytes("UTF-8")); out.write('\n')
+        }
+        while (it.hasNext) {
+          out.write(it.next().getAs[String]("value").getBytes("UTF-8"))
+          out.write('\n')
+          n += 1
+        }
+      } finally out.close()
+      n
+    })
+  }
+
   /** seqSNP2GDS / seqGDS2SNP (SNP-GDS containers). */
   def seqSNP2GDS(spark: SparkSession, snpPath: String, gdsPath: String): Unit =
     graft.sources.gds.SnpGds.toSeqArray(spark, snpPath, gdsPath)

@@ -147,10 +147,11 @@ object Vcf {
     * formatter collapsed into one expression; GT-only FORMAT). Expects the
     * [[parseLines]] shape; `infoExpr` supplies the INFO column text (caller
     * builds "K=V;..." — null → "."). */
-  def formatLines(v: DataFrame, infoExpr: Column): DataFrame = {
+  def formatLines(v: DataFrame, infoExpr: Column,
+      keep: Seq[String] = Nil): DataFrame = {
     val qualStr = when(col("qual").isNull, lit("."))
       .otherwise(col("qual").cast("string"))
-    v.select(concat_ws("\t",
+    v.select(keep.map(col) :+ concat_ws("\t",
       col("chrom"), col("pos"),
       coalesce(col("id"), lit(".")),
       col("ref"), array_join(col("alts"), ","),
@@ -158,6 +159,6 @@ object Vcf {
       coalesce(col("filter"), lit(".")),
       coalesce(infoExpr, lit(".")),
       lit("GT"),
-      gtStrings(col("geno"), col("phased"), "\t")).as("value"))
+      gtStrings(col("geno"), col("phased"), "\t")).as("value"): _*)
   }
 }

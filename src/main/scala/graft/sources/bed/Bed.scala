@@ -149,23 +149,42 @@ object Bed {
     * the sample id list. A BED triplet is a single file per component, so
     * rows stream through the driver in order (`toLocalIterator` — one
     * partition in memory at a time); multi-allelic rows fold to REF vs
-    * first ALT, which is all the 2-bit codes ever carried. */
+    * first ALT, which is all the 2-bit codes ever carried.
+    * [[writeSharded]] is the executor-side scale path. */
   def write(df: DataFrame, orderCol: String, samples: Seq[String],
       prefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeRows(df.orderBy(col(orderCol))
+      .select(col("chrom"), col("pos"), col("id"), col("allele"), col("pg"))
+      .toLocalIterator().asScala, samples, prefix)
+  }
+
+  /** Executor-side sharded BED export: one `part-NNNNN.{bed,bim,fam}`
+    * triplet per (chrom, pos) range shard (each a complete PLINK fileset over
+    * the full sample axis) + `_manifest.json`; no driver iterator
+    * (see [[graft.sources.Sharded]]). */
+  def writeSharded(df: DataFrame, orderCol: String, samples: Seq[String],
+      dir: String): Seq[(String, Long)] = {
+    val sel = df.select(col("chrom"), col("pos"), col("id"),
+      col("allele"), col("pg"), col(orderCol).as("__order"))
+    graft.sources.Sharded.export(sel, dir, ".bed",
+      (it, f) => writeRows(it, samples, f.stripSuffix(".bed")),
+      sortCol = "__order")
+  }
+
+  private def writeRows(it: Iterator[org.apache.spark.sql.Row],
+      samples: Seq[String], prefix: String): Long = {
     val fam = new java.io.PrintWriter(prefix + ".fam")
     try samples.foreach(s => fam.println(s"$s $s 0 0 0 -9"))
     finally fam.close()
 
+    var n = 0L
     val rowBytes = (samples.length + 3) / 4
     val bim = new java.io.PrintWriter(prefix + ".bim")
     val bed = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(prefix + ".bed"), 1 << 20)
     try {
       bed.write(Array(0x6c, 0x1b, 0x01).map(_.toByte))
-      val it = df.orderBy(col(orderCol))
-        .select(col("chrom"), col("pos"), col("id"),
-          col("allele"), col("pg"))
-        .toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
         val alleles = r.getString(3).split(",")
@@ -180,7 +199,9 @@ object Bed {
           bed.write(EngineToBed(pg(i) & 0xff))
           i += 1
         }
+        n += 1
       }
     } finally { bim.close(); bed.close() }
+    n
   }
 }

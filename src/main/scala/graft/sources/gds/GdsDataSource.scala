@@ -57,7 +57,18 @@ object GdsSchema {
     }
     val all = single ++ multi
     require(all.nonEmpty, "gds source requires a path")
-    all
+    // a directory (e.g. a GdsWrite.writeSharded export) expands to its
+    // shard containers; each file scans + splits independently
+    all.flatMap { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      if (f.isDirectory) {
+        val shards = Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(c => c.isFile && c.getName.endsWith(".gds"))
+          .map(_.getPath).sorted.toSeq
+        require(shards.nonEmpty, s"no .gds files under directory $p")
+        shards
+      } else Seq(p)
+    }
   }
 
   private def attrStr(n: Node, key: String): Option[String] =

@@ -199,7 +199,13 @@ object GdsWrite {
   }
 
   // ---- container assembly ----------------------------------------------
-  final class Container {
+  /** `coder` picks the `*_ra` chunk codec for large nodes: "LZMA_ra"
+    * (xz — the reference import default), "ZIP_ra" (`seqStorageOption`'s
+    * own default, `R/Utilities.R:250-252`), or "LZ4_ra". */
+  final class Container(coder: String = "LZMA_ra") {
+    private val codec: GdsCore.RaCodec = GdsCore.codecForCoder(coder)
+      .getOrElse(throw new IllegalArgumentException(
+        s"gds write: unknown storage coder $coder"))
     private val streams = ArrayBuffer.empty[(Int, Array[Byte])]
     private var next = 1
     def allocId(): Int = { val id = next; next += 1; id }
@@ -221,11 +227,11 @@ object GdsWrite {
     def node(cls: String, dims: Seq[Int], payload: Array[Byte],
         attrs: Attrs = new Attrs): Int = {
       val compress = payload.length >= Container.CompressAt
-      val stored = if (compress) xzRaFrame(payload) else payload
+      val stored = if (compress) raFrame(payload, codec) else payload
       val did = data(stored)
       val rid = allocId()
       record(rid, dataRecord(cls, payload.length, stored.length, dims, did,
-        attrs, if (compress) Some("LZMA_ra") else None))
+        attrs, if (compress) Some(codec.coderName) else None))
       rid
     }
     def folder(children: Seq[(Int, String, Int)],
@@ -264,13 +270,14 @@ object GdsWrite {
     val CompressAt: Int = 4096
   }
 
-  /** `*_ra` chunked-xz framing (read-side decode in GdsCore.nodeBytes):
-    * `XZ_RA 10 11 ff [u32 nChunks]` then per chunk `[u48 cmpSize][one
-    * independent xz stream of ≤128 KiB raw]`. */
-  private def xzRaFrame(payload: Array[Byte]): Array[Byte] = {
+  /** `*_ra` chunked framing (read-side decode in GdsCore.nodeBytes):
+    * `[magic] 10 11 ff [u32 nChunks]` then per chunk `[u48 cmpSize][one
+    * independent compressed stream of ≤128 KiB raw]`. */
+  private def raFrame(payload: Array[Byte], codec: GdsCore.RaCodec)
+      : Array[Byte] = {
     val ChunkRaw = 128 * 1024
     val o = new ByteArrayOutputStream()
-    o.write("XZ_RA".getBytes("ASCII"))
+    o.write(codec.magic.getBytes("ASCII"))
     o.write(0x10); o.write(0x11); o.write(0xff)
     val nChunks = math.max(1, (payload.length + ChunkRaw - 1) / ChunkRaw)
     u32(o, nChunks)
@@ -279,12 +286,9 @@ object GdsWrite {
       val off = c * ChunkRaw
       val len = math.min(ChunkRaw, payload.length - off)
       val cmp = new ByteArrayOutputStream()
-      // preset 3: ~2× the encode throughput of the default for a few
-      // percent larger output — the right trade for an export path
-      val xz = new org.tukaani.xz.XZOutputStream(cmp,
-        new org.tukaani.xz.LZMA2Options(3))
-      xz.write(payload, off, len)
-      xz.close()
+      val z = codec.encode(cmp)
+      z.write(payload, off, len)
+      z.close()
       u48(o, cmp.size())
       o.write(cmp.toByteArray)
       c += 1
@@ -449,19 +453,11 @@ object GdsWrite {
     }
   }
 
-  /** Writes `df` (canonical columns `variant_id, chrom, pos, id, allele,
-    * qual, filter, geno, phased`, plus `info_*` columns — scalar, array
-    * and Flag — and `fmt_*` scalar-per-sample columns; other columns
-    * ignored) plus the sample axis to a `.gds` container in the frame's
-    * row order. */
-  def write(df: DataFrame, sampleIds: Seq[String], path: String): Unit = {
+  /** Canonical column selection + name→ordinal index for the writers. */
+  private def shape(df: DataFrame): (DataFrame, Map[String, Int],
+      Seq[StructField], Seq[StructField]) = {
     import org.apache.spark.sql.functions.col
     val fields = df.schema.fieldNames.toSet
-    val hasGeno = fields.contains("geno")
-    val hasPhase = fields.contains("phased")
-    def opt(n: String): Seq[org.apache.spark.sql.Column] =
-      if (fields.contains(n)) Seq(col(n)) else Nil
-
     val infoFields = df.schema.fields
       .filter(_.name.startsWith("info_")).toSeq
     val fmtFields = df.schema.fields
@@ -469,12 +465,54 @@ object GdsWrite {
     val optNames = Seq("id", "qual", "filter", "geno", "phased")
       .filter(fields.contains) ++
       (infoFields ++ fmtFields).map(_.name)
-    val cols = Seq(col("variant_id"), col("chrom"), col("pos"),
-      col("allele")) ++ optNames.map(col)
-    val index: Map[String, Int] =
-      (Seq("variant_id", "chrom", "pos", "allele") ++ optNames)
-        .zipWithIndex.toMap
+    val names = Seq("variant_id", "chrom", "pos", "allele") ++ optNames
+    (df.select(names.map(col): _*), names.zipWithIndex.toMap,
+      infoFields, fmtFields)
+  }
+
+  /** Writes `df` (canonical columns `variant_id, chrom, pos, id, allele,
+    * qual, filter, geno, phased`, plus `info_*` columns — scalar, array
+    * and Flag — and `fmt_*` scalar-per-sample columns; other columns
+    * ignored) plus the sample axis to a `.gds` container in the frame's
+    * row order. `storage` is the `seqStorageOption` compression name:
+    * LZMA_ra (default), ZIP_ra, or LZ4_ra. One file ⇒ rows stream
+    * through the driver; use [[writeSharded]] for the executor-side
+    * scale path. */
+  def write(df: DataFrame, sampleIds: Seq[String], path: String,
+      storage: String = "LZMA_ra"): Unit = {
+    val (sel, index, infoFields, fmtFields) = shape(df)
+    import scala.jdk.CollectionConverters._
+    writeRows(sel.toLocalIterator().asScala, index, infoFields, fmtFields,
+      sampleIds, path, storage)
+  }
+
+  /** Executor-side sharded export — the 100 TB path: rows shuffle once
+    * into contiguous (chrom, pos) ranges, each shard builds its own
+    * container ON ITS EXECUTOR in `variant_id` order, and a
+    * `_manifest.json` lists the shards. No row ever passes through the
+    * driver. `dir` must be a path every executor can write (posix/NFS
+    * here; the pattern carries to any shared FS). Read back with
+    * `Gds.read(spark, dir)` — the gds source expands a directory to its
+    * shard files. Returns (shard file, variant count) pairs. */
+  def writeSharded(df: DataFrame, sampleIds: Seq[String], dir: String,
+      storage: String = "LZMA_ra", numShards: Int = 0)
+      : Seq[(String, Long)] = {
+    val (sel, index, infoFields, fmtFields) = shape(df)
+    graft.sources.Sharded.export(sel, dir, ".gds",
+      (it, f) => writeRows(it, index, infoFields, fmtFields, sampleIds, f,
+        storage),
+      numShards = numShards)
+  }
+
+  /** Container build from a row iterator — runs on the driver for
+    * [[write]] and on executors for [[writeSharded]]. Returns the
+    * variant count. */
+  private def writeRows(it: Iterator[Row], index: Map[String, Int],
+      infoFields: Seq[StructField], fmtFields: Seq[StructField],
+      sampleIds: Seq[String], path: String, storage: String): Long = {
     def at(n: String): Int = index.getOrElse(n, -1)
+    val hasGeno = index.contains("geno")
+    val hasPhase = index.contains("phased")
 
     val vids = ArrayBuffer.empty[Int]
     val chroms = ArrayBuffer.empty[String]
@@ -491,7 +529,6 @@ object GdsWrite {
     val infoAccs = infoFields.map(f => f.name -> accFor(f, nS))
     val fmtAccs = fmtFields.map(f => f.name -> accFor(f, nS))
 
-    val it = df.select(cols: _*).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       (infoAccs ++ fmtAccs).foreach { case (n, acc) => acc.add(r, at(n)) }
@@ -544,7 +581,7 @@ object GdsWrite {
     }
     val nVar = vids.length
 
-    val c = new Container
+    val c = new Container(storage)
     val rootId = c.allocId() // stream 1 = entry
     val desc = c.folder(Nil, new Attrs().str("vcf.fileformat", "VCFv4.2"))
     val sampleId = c.node("dStr8", Seq(nS), strPayload(sampleIds))
@@ -603,5 +640,6 @@ object GdsWrite {
       new Attrs().str("FileFormat", "SEQ_ARRAY").str("FileVersion", "v1.0"))
 
     c.save(path, rootId)
+    nVar.toLong
   }
 }

@@ -35,8 +35,27 @@ object SnpGds {
     * REF-allele count (any-missing folds to 3 — the same fold as
     * `pack_2b`/PLINK BED, which SNP-GDS's one-code-per-call model
     * forces), `snp.allele` = "REF/ALT". Single container file ⇒ driver
-    * streaming, as with every exporter here. */
+    * streaming; [[writeSharded]] is the executor-side scale path. */
   def write(df: DataFrame, sampleIds: Seq[String], path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeRows(df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("geno")).toLocalIterator().asScala,
+      sampleIds, path)
+  }
+
+  /** Executor-side sharded SNP-GDS export: one container per (chrom,
+    * pos) range shard + `_manifest.json`, no driver iterator (see
+    * [[graft.sources.Sharded]]). */
+  def writeSharded(df: DataFrame, sampleIds: Seq[String], dir: String)
+      : Seq[(String, Long)] = {
+    val sel = df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("geno"))
+    graft.sources.Sharded.export(sel, dir, ".gds",
+      (it, f) => writeRows(it, sampleIds, f))
+  }
+
+  private def writeRows(it: Iterator[org.apache.spark.sql.Row],
+      sampleIds: Seq[String], path: String): Long = {
     val vids = ArrayBuffer.empty[Int]
     val chroms = ArrayBuffer.empty[String]
     val poss = ArrayBuffer.empty[Int]
@@ -45,8 +64,6 @@ object SnpGds {
     val bitsP = new GdsWrite.BitPacker(2)
     val nS = sampleIds.length
 
-    val it = df.select(col("variant_id"), col("chrom"), col("pos"),
-      col("id"), col("allele"), col("geno")).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       vids += r.getLong(0).toInt
@@ -85,6 +102,7 @@ object SnpGds {
         (genotype, "genotype", 0)),
       new Attrs().str("FileFormat", "SNP_ARRAY"))
     c.save(path, rootId)
+    nSnp.toLong
   }
 
   private type Attrs = GdsWrite.Attrs
@@ -94,6 +112,23 @@ object SnpGds {
     * `ds` = ARRAY<FLOAT> per sample. */
   def writeDosage(df: DataFrame, sampleIds: Seq[String], path: String)
       : Unit = {
+    import scala.jdk.CollectionConverters._
+    writeDosageRows(df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("ds")).toLocalIterator().asScala,
+      sampleIds, path)
+  }
+
+  /** Executor-side sharded dosage export (see [[writeSharded]]). */
+  def writeDosageSharded(df: DataFrame, sampleIds: Seq[String], dir: String)
+      : Seq[(String, Long)] = {
+    val sel = df.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("ds"))
+    graft.sources.Sharded.export(sel, dir, ".gds",
+      (it, f) => writeDosageRows(it, sampleIds, f))
+  }
+
+  private def writeDosageRows(it: Iterator[org.apache.spark.sql.Row],
+      sampleIds: Seq[String], path: String): Long = {
     val vids = ArrayBuffer.empty[Int]
     val chroms = ArrayBuffer.empty[String]
     val poss = ArrayBuffer.empty[Int]
@@ -102,8 +137,6 @@ object SnpGds {
     val values = ArrayBuffer.empty[Float]
     val nS = sampleIds.length
 
-    val it = df.select(col("variant_id"), col("chrom"), col("pos"),
-      col("id"), col("allele"), col("ds")).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       vids += r.getLong(0).toInt
@@ -139,6 +172,7 @@ object SnpGds {
         (genotype, "genotype", 0)),
       new Attrs().str("FileFormat", "SNP_ARRAY"))
     c.save(path, rootId)
+    nSnp.toLong
   }
 
   /** `seqSNP2GDS`: SNP-GDS → SeqArray GDS container. `majorRef` mirrors

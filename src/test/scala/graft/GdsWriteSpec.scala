@@ -81,6 +81,40 @@ class GdsWriteSpec extends AnyFunSuite {
       viaCube.exceptAll(viaPg).count() == 0)
   }
 
+  test("ZIP_ra / LZ4_ra / LZMA_ra codings all round-trip the CEU VCF") {
+    // seqStorageOption's own default is ZIP_ra (R/Utilities.R:250-252);
+    // a converted container in every supported coding must scan
+    // identical to the CEU_Exon.vcf.gz parse (the reference's oracle
+    // pairing), and its coder strings must name the requested codec
+    import graft.sources.Vcf
+    import org.apache.spark.sql.expressions.Window
+    val vcf = Vcf.read(spark, s"$extdata/CEU_Exon.vcf.gz")
+    val cols = Seq("chrom", "pos", "id", "allele", "qual", "filter",
+      "geno", "phased")
+    val src = vcf.select(
+      row_number().over(Window.orderBy("chrom", "pos", "allele"))
+        .cast("long").as("variant_id") +: cols.map(col): _*)
+    // the two CEU fixtures share the same cohort → same sample axis
+    val samples = Gds.samples(spark, s"$extdata/CEU_Exon.gds")
+      .orderBy("sample_ordinal").collect().map(_.getString(1)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_coders").toString
+    for (coder <- Seq("ZIP_ra", "LZ4_ra", "LZMA_ra")) {
+      val out = s"$dir/ceu_$coder.gds"
+      GdsWrite.write(src, samples, out, storage = coder)
+      val back = Gds.read(spark, out).select(cols.map(col): _*)
+      val orig = vcf.select(cols.map(col): _*)
+      assert(back.count() == 1348, coder)
+      assert(back.exceptAll(orig).count() == 0 &&
+        orig.exceptAll(back).count() == 0, s"$coder scan != vcf parse")
+      assert(Gds.check(spark, out).filter(!col("ok")).count() == 0, coder)
+      // the big nodes really carry the requested coder
+      val coders = Gds.check(spark, out)
+        .filter(col("node") === "genotype/data")
+        .select("coder").collect().map(_.getString(0))
+      assert(coders.forall(_ == coder), s"$coder: ${coders.mkString(",")}")
+    }
+  }
+
   test("seqCheck audit: every node of the fixtures and of our output decodes") {
     for (p <- Seq(s"$extdata/CEU_Exon.gds",
         s"$extdata/Imputed_dosages.gds")) {
