@@ -659,6 +659,23 @@ object GdsCore {
           val v = b(i) & 0xff
           if (v == 0xff) Float.NaN else (v * scale).toFloat
         }
+      case "dPackedReal16" =>
+        // the reference's default imputation-dosage storage
+        // ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:580);
+        // signed int16, min value = missing
+        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
+        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
+        Array.tabulate(cnt) { i =>
+          val v = ((u16(b, 2 * i) << 16) >> 16).toShort
+          if (v == Short.MinValue) Float.NaN else (v * scale).toFloat
+        }
+      case "dPackedReal16U" =>
+        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
+        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
+        Array.tabulate(cnt) { i =>
+          val v = u16(b, 2 * i)
+          if (v == 0xffff) Float.NaN else (v * scale).toFloat
+        }
       case c => throw new UnsupportedOperationException(
         s"gds ranged float decode for class $c at ${n.path}")
     }
@@ -712,6 +729,18 @@ object GdsCore {
         Array.tabulate(b.length) { i =>
           val v = b(i) & 0xff
           if (v == 0xff) Float.NaN else (v * scale).toFloat
+        }
+      case "dPackedReal16" =>
+        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
+        Array.tabulate(b.length / 2) { i =>
+          val v = ((u16(b, 2 * i) << 16) >> 16).toShort
+          if (v == Short.MinValue) Float.NaN else (v * scale).toFloat
+        }
+      case "dPackedReal16U" =>
+        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
+        Array.tabulate(b.length / 2) { i =>
+          val v = u16(b, 2 * i)
+          if (v == 0xffff) Float.NaN else (v * scale).toFloat
         }
       case c => throw new UnsupportedOperationException(
         s"gds float decode for class $c at ${n.path}")

@@ -324,6 +324,41 @@ object GdsSchema {
       (bytes, base, nS)
     }
 
+    // genotype/extra: ploidy-overflow alleles of triploid+ calls
+    // (Tutorial.Rmd:149-150; import kernel ConvVCF2GDS.cpp:1736-1887).
+    // extra.index is dInt32 [N, 3] rows of (sample 1-based, variant
+    // 1-based, count); extra carries the overflow allele codes
+    // contiguously. N is metadata-scale (rare calls), so the whole
+    // index decodes per partition and only this range's entries keep.
+    lazy val genoExtra: Map[(Int, Int), Array[Any]] =
+      root.child("genotype").flatMap { g =>
+        for {
+          ei <- g.child("extra.index")
+          if ei.dims.headOption.exists(_ > 0)
+          ex <- g.child("extra")
+        } yield {
+          val idx = ints(f, ei)
+          val vals = ints(f, ex)
+          val out = Map.newBuilder[(Int, Int), Array[Any]]
+          val n = idx.length / 3
+          var r = 0
+          var o = 0
+          while (r < n) {
+            val s = idx(3 * r) - 1
+            val vv = idx(3 * r + 1) - 1
+            val cnt = idx(3 * r + 2)
+            if (vv >= v0 && vv < v1)
+              out += (vv, s) -> Array.tabulate[Any](cnt) { k =>
+                val v = vals(o + k)
+                if (v < 0) null else java.lang.Long.valueOf(v.toLong)
+              }
+            o += cnt
+            r += 1
+          }
+          out.result()
+        }
+      }.getOrElse(Map.empty)
+
     def scalarNull(vtype: String, v: AnyRef): AnyRef = v
 
     /** Reader over value elements; fixed-stride classes decode only
@@ -342,7 +377,8 @@ object GdsSchema {
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base) == Int.MinValue) null
                else java.lang.Integer.valueOf(a(i - base))
-        case "dFloat32" | "dFloat64" | "dPackedReal8U" =>
+        case "dFloat32" | "dFloat64" | "dPackedReal8U" | "dPackedReal16"
+            | "dPackedReal16U" =>
           val (a, base) = if (whole) (floats(f, n), 0)
             else (floatsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base).isNaN) null
@@ -533,7 +569,7 @@ object GdsSchema {
             val missCode = (1 << (2 * np)) - 1
             val rowBase = starts(v).toLong * nS * ploidy - unitBase
             new GenericArrayData(Array.tabulate[Any](nS) { s =>
-              new GenericArrayData(Array.tabulate[Any](ploidy) { a =>
+              val base = Array.tabulate[Any](ploidy) { a =>
                 var code = 0
                 var k = 0
                 while (k < np) {
@@ -542,7 +578,11 @@ object GdsSchema {
                   k += 1
                 }
                 if (code == missCode) null else java.lang.Long.valueOf(code.toLong)
-              })
+              }
+              genoExtra.get((v, s)) match {
+                case Some(ex) => new GenericArrayData(base ++ ex)
+                case None => new GenericArrayData(base)
+              }
             })
           }
         case "phased" =>

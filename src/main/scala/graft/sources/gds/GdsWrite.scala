@@ -112,16 +112,25 @@ object GdsWrite {
   }
 
   private val TokCoder = hx("15c4466d10")
+  // scale token of the packed-real classes: sig + 0x04 + f64le (layout
+  // recovered from the Imputed_dosages fixture's dPackedReal8U node)
+  private val TokScale = hx("1385e7301704")
 
   /** Data-node record: class [+ coder] + sizes + dims + data-stream id +
     * attrs — the 9-prop shape of the fixtures' LZMA_ra nodes (8 props
-    * when uncompressed, coder omitted). */
+    * when uncompressed, coder omitted). `packedScale` adds the
+    * packed-real scale property (dPackedReal16 & co). */
   def dataRecord(cls: String, rawSize: Long, cmpSize: Long, dims: Seq[Int],
-      dataId: Int, attrs: Attrs, coder: Option[String]): Array[Byte] = {
+      dataId: Int, attrs: Attrs, coder: Option[String],
+      packedScale: Option[Double] = None): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(TokClass)
     o.write(cls.length)
     o.write(pack7(cls))
+    packedScale.foreach { s =>
+      o.write(TokScale)
+      u64(o, java.lang.Double.doubleToLongBits(s))
+    }
     coder.foreach { cd =>
       o.write(TokCoder)
       val b = cd.getBytes("ASCII")
@@ -135,7 +144,8 @@ object GdsWrite {
     dims.foreach(u32(o, _))
     o.write(TokDataId); u32(o, dataId)
     val nAttrProps = attrProps(o, attrs)
-    finishRecord(6 + coder.size + nAttrProps, o.toByteArray)
+    finishRecord(6 + coder.size + packedScale.size + nAttrProps,
+      o.toByteArray)
   }
 
   /** Folder record: child table + attrs (root/genotype/annotation shape). */
@@ -176,9 +186,28 @@ object GdsWrite {
     vs.foreach(u32(o, _))
     o.toByteArray
   }
+  def int16Payload(vs: Iterable[Int]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    vs.foreach(v => u16(o, v & 0xffff))
+    o.toByteArray
+  }
   def floatPayload(vs: Iterable[Float]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     vs.foreach(v => u32(o, java.lang.Float.floatToIntBits(v)))
+    o.toByteArray
+  }
+  /** dPackedReal16 payload: value/scale rounded to int16 LE, NaN → the
+    * min-int16 missing sentinel, finite values clamped to the packable
+    * range (the reference's packedreal16 dosage storage,
+    * ConvVCF2GDS.R:577-583). */
+  def packedReal16Payload(vs: Iterable[Float], scale: Double): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    vs.foreach { v =>
+      val code =
+        if (v != v) Short.MinValue.toInt
+        else math.max(-32767, math.min(32767, math.round(v / scale))).toInt
+      o.write(code & 0xff); o.write((code >> 8) & 0xff)
+    }
     o.toByteArray
   }
 
@@ -225,13 +254,14 @@ object GdsWrite {
       * random-access property the reference's variant-range reads rely
       * on); small nodes stay raw. */
     def node(cls: String, dims: Seq[Int], payload: Array[Byte],
-        attrs: Attrs = new Attrs): Int = {
+        attrs: Attrs = new Attrs, packedScale: Option[Double] = None)
+        : Int = {
       val compress = payload.length >= Container.CompressAt
       val stored = if (compress) raFrame(payload, codec) else payload
       val did = data(stored)
       val rid = allocId()
       record(rid, dataRecord(cls, payload.length, stored.length, dims, did,
-        attrs, if (compress) Some(codec.coderName) else None))
+        attrs, if (compress) Some(codec.coderName) else None, packedScale))
       rid
     }
     def folder(children: Seq[(Int, String, Int)],
@@ -380,8 +410,12 @@ object GdsWrite {
     }
   }
 
-  /** FORMAT scalar-per-sample (Number=1) → data [nVar, nS]. */
-  private final class FmtAcc(elem: DataType, nS: Int) extends ColAcc {
+  /** FORMAT scalar-per-sample (Number=1) → data [nVar, nS]. With
+    * `pack16` (the reference's `ds.type="packedreal16"` import default
+    * for DS/GP, ConvVCF2GDS.R:577-583) a float matrix stores as
+    * dPackedReal16 int16 codes at scale [[PackedReal16Scale]]. */
+  private final class FmtAcc(elem: DataType, nS: Int,
+      pack16: Boolean = false) extends ColAcc {
     private val values = ArrayBuffer.empty[Any]
     private var rows = 0
     def add(r: Row, i: Int): Unit = {
@@ -395,9 +429,17 @@ object GdsWrite {
       }))
     }
     def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
-      val (cls, pay, vt) = scalarCls(elem)
-      val dNode = c.node(cls, Seq(rows, nS), pay(values.toSeq),
-        new Attrs())
+      val dNode =
+        if (pack16 && elem == FloatType)
+          c.node("dPackedReal16", Seq(rows, nS),
+            packedReal16Payload(values.map(_.asInstanceOf[Float]).toSeq,
+              PackedReal16Scale),
+            new Attrs(), packedScale = Some(PackedReal16Scale))
+        else {
+          val (cls, pay, _) = scalarCls(elem)
+          c.node(cls, Seq(rows, nS), pay(values.toSeq), new Attrs())
+        }
+      val vt = scalarCls(elem)._3
       Seq((c.folder(Seq((dNode, "data", 0)), attrsFor("1", vt)),
         name, FolderFlag))
     }
@@ -441,13 +483,22 @@ object GdsWrite {
     }
   }
 
-  private def accFor(field: StructField, nS: Int): ColAcc = {
+  /** The reference's packedreal16 quantization step
+    * ("packedreal16:offset=0,scale=0.0001", ConvVCF2GDS.R:580). */
+  val PackedReal16Scale: Double = 0.0001
+
+  private def accFor(field: StructField, nS: Int,
+      dsType: String = "float"): ColAcc = {
     val isFmt = field.name.startsWith("fmt_")
+    // ds.type="packedreal16" applies to the dosage/probability matrices
+    // the reference packs (annotation/format/{DS,GP}, ConvVCF2GDS.R:577)
+    val pack16 = dsType == "packedreal16" &&
+      (field.name == "fmt_DS" || field.name == "fmt_GP")
     field.dataType match {
       case BooleanType => new FlagAcc
       case ArrayType(e: ArrayType, _) if isFmt =>
         new FmtNestedAcc(e.elementType, nS)
-      case ArrayType(e, _) if isFmt => new FmtAcc(e, nS)
+      case ArrayType(e, _) if isFmt => new FmtAcc(e, nS, pack16)
       case ArrayType(e, _) => new ArrAcc(e)
       case dt => new ScalarAcc(dt)
     }
@@ -479,11 +530,11 @@ object GdsWrite {
     * through the driver; use [[writeSharded]] for the executor-side
     * scale path. */
   def write(df: DataFrame, sampleIds: Seq[String], path: String,
-      storage: String = "LZMA_ra"): Unit = {
+      storage: String = "LZMA_ra", dsType: String = "float"): Unit = {
     val (sel, index, infoFields, fmtFields) = shape(df)
     import scala.jdk.CollectionConverters._
     writeRows(sel.toLocalIterator().asScala, index, infoFields, fmtFields,
-      sampleIds, path, storage)
+      sampleIds, path, storage, dsType)
   }
 
   /** Executor-side sharded export — the 100 TB path: rows shuffle once
@@ -495,12 +546,12 @@ object GdsWrite {
     * `Gds.read(spark, dir)` — the gds source expands a directory to its
     * shard files. Returns (shard file, variant count) pairs. */
   def writeSharded(df: DataFrame, sampleIds: Seq[String], dir: String,
-      storage: String = "LZMA_ra", numShards: Int = 0)
-      : Seq[(String, Long)] = {
+      storage: String = "LZMA_ra", numShards: Int = 0,
+      dsType: String = "float"): Seq[(String, Long)] = {
     val (sel, index, infoFields, fmtFields) = shape(df)
     graft.sources.Sharded.export(sel, dir, ".gds",
       (it, f) => writeRows(it, index, infoFields, fmtFields, sampleIds, f,
-        storage),
+        storage, dsType),
       numShards = numShards)
   }
 
@@ -509,7 +560,8 @@ object GdsWrite {
     * variant count. */
   private def writeRows(it: Iterator[Row], index: Map[String, Int],
       infoFields: Seq[StructField], fmtFields: Seq[StructField],
-      sampleIds: Seq[String], path: String, storage: String): Long = {
+      sampleIds: Seq[String], path: String, storage: String,
+      dsType: String = "float"): Long = {
     def at(n: String): Int = index.getOrElse(n, -1)
     val hasGeno = index.contains("geno")
     val hasPhase = index.contains("phased")
@@ -524,10 +576,19 @@ object GdsWrite {
     val planes = ArrayBuffer.empty[Int]
     val genoBits = new BitPacker(2)
     val phaseBits = new BitPacker(1)
+    // ploidy-overflow (triploid+ calls): (sample 1-based, variant
+    // 1-based, count) index rows + the overflow allele codes / phase
+    // separator bits (Tutorial.Rmd:149-150 layout)
+    val extraIdx = ArrayBuffer.empty[Int]
+    val extraVals = ArrayBuffer.empty[Int]
+    val phaseExtraIdx = ArrayBuffer.empty[Int]
+    val phaseExtraBits = new BitPacker(1)
+    var phaseExtraCount = 0
     var nS = sampleIds.length
     var ploidy = 2
+    var ploidySet = false
     val infoAccs = infoFields.map(f => f.name -> accFor(f, nS))
-    val fmtAccs = fmtFields.map(f => f.name -> accFor(f, nS))
+    val fmtAccs = fmtFields.map(f => f.name -> accFor(f, nS, dsType))
 
     while (it.hasNext) {
       val r = it.next()
@@ -547,11 +608,20 @@ object GdsWrite {
       if (hasGeno) {
         val g = r.getSeq[scala.collection.Seq[Any]](at("geno"))
         require(g.length == nS, s"geno width ${g.length} != ${sampleIds.length}")
-        ploidy = g.headOption.map(_.length).getOrElse(2)
+        if (!ploidySet) {
+          // container ploidy freezes on the first row's most common call
+          // length (reference VCF import fixes ploidy up front); shorter
+          // calls pad missing, longer calls overflow into genotype/extra
+          ploidy =
+            if (g.isEmpty) 2
+            else g.groupBy(_.length).maxBy(p => (p._2.size, -p._1))._1
+          ploidySet = true
+        }
         // planes: enough 2-bit planes that the all-ones missing code is
-        // distinct from every allele code (reference Index.h NA pattern)
+        // distinct from every in-plane allele code (reference Index.h
+        // NA pattern); overflow codes live in extra (dInt16), not planes
         var maxCode = 0
-        g.foreach(_.foreach {
+        g.foreach(_.take(ploidy).foreach {
           case null =>
           case v: Long => maxCode = math.max(maxCode, v.toInt)
           case v: java.lang.Long => maxCode = math.max(maxCode, v.intValue())
@@ -573,10 +643,48 @@ object GdsWrite {
           }
           k += 1
         }
+        var s = 0
+        g.foreach { sa =>
+          if (sa.length > ploidy) {
+            val cnt = sa.length - ploidy
+            extraIdx += (s + 1); extraIdx += vids.length; extraIdx += cnt
+            var a = ploidy
+            while (a < sa.length) {
+              extraVals += (sa(a) match {
+                case null => -1 // int16 missing sentinel
+                case v: Long => v.toInt
+                case v: java.lang.Long => v.intValue()
+              })
+              a += 1
+            }
+          }
+          s += 1
+        }
       }
       if (hasPhase) {
         val ph = r.getSeq[Boolean](at("phased"))
         ph.foreach(b => phaseBits.add(if (b) 1 else 0))
+        if (hasGeno) {
+          // a call with L alleles has L-1 separators; the first lives in
+          // phase/data, the rest in phase/extra (the engine's one-bool
+          // model repeats the call's phasing for the extra separators)
+          val g = r.getSeq[scala.collection.Seq[Any]](at("geno"))
+          var s = 0
+          g.foreach { sa =>
+            if (sa.length > ploidy) {
+              val cnt = sa.length - ploidy
+              phaseExtraIdx += (s + 1); phaseExtraIdx += vids.length
+              phaseExtraIdx += cnt
+              var k = 0
+              while (k < cnt) {
+                phaseExtraBits.add(if (ph(s)) 1 else 0)
+                phaseExtraCount += 1
+                k += 1
+              }
+            }
+            s += 1
+          }
+        }
       }
     }
     val nVar = vids.length
@@ -595,13 +703,24 @@ object GdsWrite {
       val atData = c.node("dUInt8", Seq(nVar),
         planes.map(_.toByte).toArray,
         new Attrs().nul("R.invisible"))
-      Some(c.folder(Seq((data, "data", 0), (atData, "@data", HiddenFlag)),
+      // ploidy-overflow companions — written even when empty, matching
+      // the reference's node tree (both fixtures carry [0,3]/[0] nodes)
+      val exIdx = c.node("dInt32", Seq(extraIdx.length / 3, 3),
+        intPayload(extraIdx))
+      val ex = c.node("dInt16", Seq(extraVals.length),
+        int16Payload(extraVals))
+      Some(c.folder(Seq((data, "data", 0), (atData, "@data", HiddenFlag),
+        (exIdx, "extra.index", 0), (ex, "extra", 0)),
         new Attrs().str("VariableName", "GT")
           .str("Description", "Genotype")))
     }
     val phaseFolder = if (!hasPhase) None else {
       val data = c.node("dBit1", Seq(nVar, nS), phaseBits.bytes)
-      Some(c.folder(Seq((data, "data", 0))))
+      val exIdx = c.node("dInt32", Seq(phaseExtraIdx.length / 3, 3),
+        intPayload(phaseExtraIdx))
+      val ex = c.node("dBit1", Seq(phaseExtraCount), phaseExtraBits.bytes)
+      Some(c.folder(Seq((data, "data", 0),
+        (exIdx, "extra.index", 0), (ex, "extra", 0))))
     }
 
     val annChildren = ArrayBuffer.empty[(Int, String, Int)]

@@ -115,6 +115,92 @@ class GdsWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("triploid 0/0/1 calls overflow into genotype/extra and round-trip") {
+    import spark.implicits._
+    import graft.sources.gds.GdsCore
+    // reference layout (Tutorial.Rmd:149-150): first `ploidy` alleles in
+    // the planes, the rest in genotype/extra, indexed by an [N,3] matrix
+    // of (sample 1-based, variant 1-based, count)
+    val df = Seq(
+      (1L, "c1", 100, Seq(Seq[java.lang.Long](0L, 0L, 1L), // triploid
+        Seq[java.lang.Long](0L, 1L), Seq[java.lang.Long](1L, 1L)),
+        Seq(true, false, true)),
+      (2L, "c1", 200, Seq(Seq[java.lang.Long](0L, 0L),
+        Seq[java.lang.Long](0L, 0L, 1L, 1L), // tetraploid
+        Seq[java.lang.Long](null, null)),
+        Seq(false, true, false)),
+      (3L, "c2", 300, Seq(Seq[java.lang.Long](1L), // haploid → pads
+        Seq[java.lang.Long](0L, 1L), Seq[java.lang.Long](0L, 0L)),
+        Seq(false, false, false)))
+      .toDF("variant_id", "chrom", "pos", "geno", "phased")
+      .withColumn("allele", lit("A,C"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_extra").toString + "/tri.gds"
+    GdsWrite.write(df, Seq("S1", "S2", "S3"), out)
+
+    // container-level layout check via the core reader
+    val f = new GdsCore.GdsFile(out)
+    try {
+      val g = f.root("genotype")
+      assert(g("data").dims == Seq(3, 3, 2), "ploidy must freeze at 2")
+      assert(g("extra.index").dims == Seq(2, 3))
+      assert(GdsCore.ints(f, g("extra.index")).toSeq ==
+        Seq(1, 1, 1, 2, 2, 2))
+      assert(GdsCore.ints(f, g("extra")).toSeq == Seq(1, 1, 1))
+      assert(f.root("phase")("extra.index").dims == Seq(2, 3))
+    } finally f.close()
+
+    val back = Gds.read(spark, out)
+      .select("variant_id", "geno", "phased").collect()
+      .map(r => (r.getLong(0), r.getSeq[scala.collection.Seq[Any]](1)
+        .map(_.toSeq), r.getSeq[Boolean](2).toSeq))
+      .sortBy(_._1)
+    assert(back(0)._2 == Seq(Seq(0L, 0L, 1L), Seq(0L, 1L), Seq(1L, 1L)))
+    assert(back(1)._2 == Seq(Seq(0L, 0L), Seq(0L, 0L, 1L, 1L),
+      Seq(null, null)))
+    // haploid call pads to (1, missing) — the in-plane NA code
+    assert(back(2)._2 == Seq(Seq(1L, null), Seq(0L, 1L), Seq(0L, 0L)))
+    assert(back.map(_._3).toSeq == Seq(Seq(true, false, true),
+      Seq(false, true, false), Seq(false, false, false)))
+    assert(Gds.check(spark, out).filter(!col("ok")).count() == 0)
+  }
+
+  test("packedreal16 DS matrix round-trips and feeds the DS kernels") {
+    import spark.implicits._
+    // the reference's default imputation-dosage storage
+    // ("packedreal16:offset=0,scale=0.0001", ConvVCF2GDS.R:577-583):
+    // values on the 1e-4 grid survive the int16 quantization exactly
+    val nS = 5
+    val src = (1 to 60).map { v =>
+      val ds = (0 until nS).map { s =>
+        if ((v + s) % 7 == 0) null
+        else java.lang.Float.valueOf(
+          (((v * 13 + s * 31) % 20001) * 0.0001).toFloat)
+      }
+      (v.toLong, "c1", v * 10, "A,C", ds)
+    }.toDF("variant_id", "chrom", "pos", "allele", "fmt_DS")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ds16").toString + "/ds16.gds"
+    GdsWrite.write(src, (1 to nS).map("S" + _), out, dsType = "packedreal16")
+    val audit = Gds.check(spark, out)
+    assert(audit.filter(col("node") === "annotation/format/DS/data")
+      .select("cls").collect()(0).getString(0) == "dPackedReal16")
+    assert(audit.filter(!col("ok")).count() == 0)
+    val back = Gds.read(spark, out).select("variant_id", "fmt_DS")
+    val orig = src.select("variant_id", "fmt_DS")
+    assert(back.count() == 60)
+    assert(back.exceptAll(orig).count() == 0 &&
+      orig.exceptAll(back).count() == 0)
+    // the dosage-fallback kernels consume the packed node's decode
+    import graft.functions.genetics.{dsAltFreq, dsCalled}
+    val stats = Gds.read(spark, out)
+      .select(dsAltFreq(col("fmt_DS")).as("af"),
+        dsCalled(col("fmt_DS")).as("nc"))
+      .agg(min(col("af")), max(col("af")), min(col("nc"))).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0001)
+    assert(stats.getInt(2) > 0)
+  }
+
   test("seqCheck audit: every node of the fixtures and of our output decodes") {
     for (p <- Seq(s"$extdata/CEU_Exon.gds",
         s"$extdata/Imputed_dosages.gds")) {
