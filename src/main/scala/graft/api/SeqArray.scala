@@ -359,11 +359,33 @@ object SeqArray {
     })
   }
 
+  /** seqVCF2GDS at scale: import straight into a sharded GDS directory
+    * (one container per (chrom, pos) range shard, written on executors;
+    * reads back via `Gds.read(spark, outDir)`). */
+  def seqVCF2GDSSharded(spark: SparkSession, vcfPath: String,
+      outDir: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val d = openVcf(spark, vcfPath)
+    val numbered = d.variants.withColumn("variant_id",
+      row_number().over(Window.orderBy(col("chrom"), col("pos"),
+        col("allele"), col("id"))).cast("long"))
+    graft.sources.gds.GdsWrite.writeSharded(numbered, sampleIdList(d), outDir)
+  }
+
   /** seqSNP2GDS / seqGDS2SNP (SNP-GDS containers). */
   def seqSNP2GDS(spark: SparkSession, snpPath: String, gdsPath: String): Unit =
     graft.sources.gds.SnpGds.toSeqArray(spark, snpPath, gdsPath)
   def seqGDS2SNP(spark: SparkSession, gdsPath: String, snpPath: String): Unit =
     graft.sources.gds.SnpGds.fromSeqArray(spark, gdsPath, snpPath)
+
+  /** seqGDS2SNP at scale: sharded SNP-GDS directory export. */
+  def seqGDS2SNPSharded(spark: SparkSession, gdsPath: String,
+      outDir: String): Seq[(String, Long)] = {
+    val d = openGds(spark, gdsPath)
+    val df = d.variants.select(col("variant_id"), col("chrom"), col("pos"),
+      col("id"), col("allele"), col("geno"))
+    graft.sources.gds.SnpGds.writeSharded(df, sampleIdList(d), outDir)
+  }
 
   /** seqBED2GDS: PLINK triplet → SeqArray `.gds` (REF-dosage codes
     * expand to normalized pairs, the same fold the reference's BED
@@ -395,6 +417,18 @@ object SeqArray {
       coalesce(col("id"), concat(lit("v"), col("variant_id"))).as("id"),
       col("allele"), pack2b(col("geno")).as("pg"))
     graft.sources.bed.Bed.write(shaped, "variant_id", ids, bedPrefix)
+  }
+
+  /** seqGDS2BED at scale: sharded PLINK triplet directory export. */
+  def seqGDS2BEDSharded(spark: SparkSession, gdsPath: String,
+      outDir: String): Seq[(String, Long)] = {
+    val d = openGds(spark, gdsPath)
+    val ids = sampleIdList(d)
+    val shaped = d.variants.select(col("variant_id"), col("chrom"),
+      col("pos"),
+      coalesce(col("id"), concat(lit("v"), col("variant_id"))).as("id"),
+      col("allele"), pack2b(col("geno")).as("pg"))
+    graft.sources.bed.Bed.writeSharded(shaped, "variant_id", ids, outDir)
   }
 
   /** seqMerge (variant-union): full outer join on (chrom, pos), allele-set

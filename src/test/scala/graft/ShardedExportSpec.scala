@@ -101,6 +101,21 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("seqVCF2GDS sharded: import lands as a readable shard directory") {
+    import graft.api.SeqArray
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_v2g_shard").toString + "/ceu"
+    val metas = SeqArray.seqVCF2GDSSharded(spark,
+      s"$extdata/CEU_Exon.vcf.gz", dir)
+    assert(metas.length > 1 && metas.map(_._2).sum == 1348L)
+    val back = Gds.read(spark, dir)
+      .select("chrom", "pos", "allele", "geno", "phased")
+    val direct = Vcf.read(spark, s"$extdata/CEU_Exon.vcf.gz")
+      .select("chrom", "pos", "allele", "geno", "phased")
+    assert(back.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(back).count() == 0)
+  }
+
   test("vcf: sharded bgzf parts parse back equal to the gds scan") {
     import graft.api.SeqArray
     val dir = java.nio.file.Files
