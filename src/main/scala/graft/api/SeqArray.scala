@@ -372,6 +372,25 @@ object SeqArray {
     graft.sources.gds.GdsWrite.writeSharded(numbered, sampleIdList(d), outDir)
   }
 
+  /** seqRecompress: re-encode a `.gds` container's data streams in a
+    * different compression (reference R/Utilities.R — ZIP/LZ4/LZMA map
+    * to the ZIP_ra/LZ4_ra/LZMA_ra chunk coders here; "none" writes
+    * uncompressed-eligible nodes raw). Round-trips through the scan, so
+    * it also renumbers nothing and preserves every core column. */
+  def seqRecompress(spark: SparkSession, gdsPath: String, outPath: String,
+      compress: String = "ZIP"): Unit = {
+    val storage = compress.toUpperCase match {
+      case "ZIP" => "ZIP_ra"
+      case "LZ4" => "LZ4_ra"
+      case "LZMA" | "ULTRA" | "ULTRAMAX" => "LZMA_ra"
+      case other => throw new IllegalArgumentException(
+        s"seqRecompress: unknown compression $other")
+    }
+    val d = openGds(spark, gdsPath)
+    graft.sources.gds.GdsWrite.write(d.variants, sampleIdList(d), outPath,
+      storage = storage)
+  }
+
   /** seqSNP2GDS / seqGDS2SNP (SNP-GDS containers). */
   def seqSNP2GDS(spark: SparkSession, snpPath: String, gdsPath: String): Unit =
     graft.sources.gds.SnpGds.toSeqArray(spark, snpPath, gdsPath)

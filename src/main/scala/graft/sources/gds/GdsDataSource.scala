@@ -680,12 +680,34 @@ class GdsScan(paths: Seq[String], required: StructType,
       case EqualTo("pos", v: Int) => (p: Int) => p == v
     }
     if (chromSets.isEmpty && posTests.isEmpty) return None
-    val chroms =
-      if (chromSets.isEmpty) null else GdsCore.strings(f, root("chromosome"))
+    // chromosome lookup: prefer the @chrom_rle_val/@chrom_rle_len run-
+    // length twin (written by the reference and by GdsWrite) — planning
+    // then touches a handful of runs instead of decoding one string per
+    // variant on the driver (matters at biobank variant counts)
+    val chromAt: Int => String =
+      if (chromSets.isEmpty) null
+      else (root.child("@chrom_rle_val"), root.child("@chrom_rle_len")) match {
+        case (Some(vn), Some(ln)) if ln.dims.headOption.exists(_ > 0) =>
+          val vals = GdsCore.strings(f, vn)
+          val lens = GdsCore.ints(f, ln)
+          val bounds = lens.scanLeft(0)(_ + _) // nRuns+1 entries
+          v => {
+            var lo = 0
+            var hi = lens.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >>> 1
+              if (bounds(mid) <= v) lo = mid else hi = mid - 1
+            }
+            vals(lo)
+          }
+        case _ =>
+          val a = GdsCore.strings(f, root("chromosome"))
+          v => a(v)
+      }
     val poss =
       if (posTests.isEmpty) null else GdsCore.ints(f, root("position"))
     Some { v =>
-      (chroms == null || chromSets.forall(_.contains(chroms(v)))) &&
+      (chromAt == null || chromSets.forall(_.contains(chromAt(v)))) &&
         (poss == null || posTests.forall(_(poss(v))))
     }
   }

@@ -447,8 +447,11 @@ object GdsWrite {
 
   /** FORMAT ragged (Number=.) → data [rows, nS] + @data rows-per-variant
     * (the reference's layout: one row count per VARIANT; a null sample
-    * cell pads its column with sentinels). */
-  private final class FmtNestedAcc(elem: DataType, nS: Int) extends ColAcc {
+    * cell pads its column with sentinels). `pack16` stores a float
+    * matrix as dPackedReal16 (the reference packs ragged GP the same
+    * way as DS, ConvVCF2GDS.R:581). */
+  private final class FmtNestedAcc(elem: DataType, nS: Int,
+      pack16: Boolean = false) extends ColAcc {
     private val values = ArrayBuffer.empty[Any]
     private val lens = ArrayBuffer.empty[Int]
     def add(r: Row, i: Int): Unit = {
@@ -473,9 +476,17 @@ object GdsWrite {
       }
     }
     def emit(c: Container, name: String): Seq[(Int, String, Int)] = {
-      val (cls, pay, vt) = scalarCls(elem)
-      val dNode = c.node(cls, Seq(lens.sum, nS), pay(values.toSeq),
-        new Attrs())
+      val dNode =
+        if (pack16 && elem == FloatType)
+          c.node("dPackedReal16", Seq(lens.sum, nS),
+            packedReal16Payload(values.map(_.asInstanceOf[Float]).toSeq,
+              PackedReal16Scale),
+            new Attrs(), packedScale = Some(PackedReal16Scale))
+        else {
+          val (cls, pay, _) = scalarCls(elem)
+          c.node(cls, Seq(lens.sum, nS), pay(values.toSeq), new Attrs())
+        }
+      val vt = scalarCls(elem)._3
       val lNode = c.node("dInt32", Seq(lens.length),
         intPayload(lens.toSeq), new Attrs().nul("R.invisible"))
       Seq((c.folder(Seq((dNode, "data", 0), (lNode, "@data", HiddenFlag)),
@@ -497,7 +508,7 @@ object GdsWrite {
     field.dataType match {
       case BooleanType => new FlagAcc
       case ArrayType(e: ArrayType, _) if isFmt =>
-        new FmtNestedAcc(e.elementType, nS)
+        new FmtNestedAcc(e.elementType, nS, pack16)
       case ArrayType(e, _) if isFmt => new FmtAcc(e, nS, pack16)
       case ArrayType(e, _) => new ArrAcc(e)
       case dt => new ScalarAcc(dt)
@@ -696,6 +707,20 @@ object GdsWrite {
     val variantId = c.node("dInt32", Seq(nVar), intPayload(vids))
     val position = c.node("dInt32", Seq(nVar), intPayload(poss))
     val chromosome = c.node("dStr8", Seq(nVar), strPayload(chroms))
+    // run-length chromosome twin (the reference writes the same pair):
+    // planning-time chrom pruning reads a handful of runs instead of
+    // one string per variant
+    val rleVals = ArrayBuffer.empty[String]
+    val rleLens = ArrayBuffer.empty[Int]
+    chroms.foreach { ch =>
+      if (rleVals.nonEmpty && rleVals.last == ch)
+        rleLens(rleLens.length - 1) += 1
+      else { rleVals += ch; rleLens += 1 }
+    }
+    val chromRleVal = c.node("dStr8", Seq(rleVals.length),
+      strPayload(rleVals))
+    val chromRleLen = c.node("dInt32", Seq(rleLens.length),
+      intPayload(rleLens))
     val allele = c.node("dStr8", Seq(nVar), strPayload(alleles))
 
     val genoFolder = if (!hasGeno) None else {
@@ -752,6 +777,8 @@ object GdsWrite {
         (variantId, "variant.id", 0),
         (position, "position", 0),
         (chromosome, "chromosome", 0),
+        (chromRleVal, "@chrom_rle_val", HiddenFlag),
+        (chromRleLen, "@chrom_rle_len", HiddenFlag),
         (allele, "allele", 0)) ++
         genoFolder.map(g => (g, "genotype", FolderFlag)) ++
         phaseFolder.map(p => (p, "phase", FolderFlag)) :+

@@ -231,6 +231,26 @@ class GdsWriteSpec extends AnyFunSuite {
     assert(corrupt)
   }
 
+  test("seqRecompress re-codes CEU to ZIP with identical rows") {
+    import graft.api.SeqArray
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_recmp").toString + "/ceu_zip.gds"
+    SeqArray.seqRecompress(spark, s"$extdata/CEU_Exon.gds", out, "ZIP")
+    val src = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+    val back = Gds.read(spark, out)
+    val cols = src.columns.toSet.intersect(back.columns.toSet).toSeq.sorted
+    assert(cols.contains("geno") && cols.exists(_.startsWith("info_")))
+    val a = back.select(cols.map(col): _*)
+    val b = src.select(cols.map(col): _*)
+    assert(a.count() == 1348)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the big nodes really re-coded to zlib chunks
+    val coders = Gds.check(spark, out)
+      .filter(col("node") === "genotype/data")
+      .select("coder").collect().map(_.getString(0))
+    assert(coders.forall(_ == "ZIP_ra"), coders.mkString(","))
+  }
+
   test("written container parses with the independent python decoder") {
     // the scripts/gds_read.py layer decoder recovered the format from
     // the reference fixtures; our containers must satisfy it too
