@@ -316,8 +316,9 @@ object SeqArray {
   def seqGDS2VCF(spark: SparkSession, gdsPath: String, vcfPath: String)
       : Unit = {
     val d = openGds(spark, gdsPath)
-    val header = Vcf.formatHeader(Nil, Nil, sampleIdList(d))
-    val lines = Vcf.formatLines(d.variants, lit(null).cast("string"))
+    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema), Nil,
+      sampleIdList(d))
+    val lines = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants))
     val raw = new java.io.FileOutputStream(vcfPath)
     val out: java.io.OutputStream =
       if (vcfPath.endsWith(".gz")) new graft.sources.bcf.Bgzf.Writer(raw)
@@ -338,8 +339,9 @@ object SeqArray {
   def seqGDS2VCFSharded(spark: SparkSession, gdsPath: String,
       outDir: String): Seq[(String, Long)] = {
     val d = openGds(spark, gdsPath)
-    val header = Vcf.formatHeader(Nil, Nil, sampleIdList(d))
-    val keyed = Vcf.formatLines(d.variants, lit(null).cast("string"),
+    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema), Nil,
+      sampleIdList(d))
+    val keyed = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
       keep = Seq("chrom", "variant_id"))
     graft.sources.Sharded.export(keyed, outDir, ".vcf.gz", (it, f) => {
       val out = new graft.sources.bcf.Bgzf.Writer(

@@ -35,10 +35,7 @@ object Sharded {
       sortCol: String = "variant_id", numShards: Int = 0)
       : Seq[(String, Long)] = {
     new java.io.File(dir).mkdirs()
-    val n = if (numShards > 0) numShards
-      else df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.repartitionByRange(n, shardCols.map(col): _*)
-      .sortWithinPartitions(sortCol)
+    val parts = shardPlan(df, shardCols, sortCol, numShards)
     val metas = parts.rdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -53,5 +50,15 @@ object Sharded {
       }.mkString("[\n  ", ",\n  ", "\n]"))
     } finally mf.close()
     metas
+  }
+
+  /** The shard-shaped frame — visible so plan tests can lock the shape:
+    * exactly one range exchange plus a partition-local sort. */
+  def shardPlan(df: DataFrame, shardCols: Seq[String] = Seq("chrom", "pos"),
+      sortCol: String = "variant_id", numShards: Int = 0): DataFrame = {
+    val n = if (numShards > 0) numShards
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, shardCols.map(col): _*)
+      .sortWithinPartitions(sortCol)
   }
 }

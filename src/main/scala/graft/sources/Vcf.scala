@@ -143,6 +143,54 @@ object Vcf {
         "FORMAT") ++ samples).mkString("\t")
   }
 
+  /** FieldSpecs for a frame's `info_*` columns — the header half of the
+    * annotation export (Flag ⇒ Number=0; arrays ⇒ Number=".";
+    * element type names the VCF Type). */
+  def infoSpecsFor(schema: org.apache.spark.sql.types.StructType)
+      : Seq[FieldSpec] = {
+    import org.apache.spark.sql.types._
+    def vt(dt: DataType): String = dt match {
+      case IntegerType | LongType => "Integer"
+      case FloatType | DoubleType => "Float"
+      case _ => "String"
+    }
+    schema.fields.filter(_.name.startsWith("info_")).toSeq.map { f =>
+      val id = f.name.stripPrefix("info_")
+      f.dataType match {
+        case BooleanType => FieldSpec(id, "0", "Flag")
+        case ArrayType(e, _) => FieldSpec(id, ".", vt(e))
+        case dt => FieldSpec(id, "1", vt(dt))
+      }
+    }
+  }
+
+  /** INFO column text "K=V;…" assembled from a frame's `info_*` columns
+    * (the value half of the annotation export): Flags contribute their
+    * bare key when true, arrays join on ',', null columns drop out
+    * (concat_ws skips nulls), and an all-null row yields null ⇒ ".". */
+  def infoExprFor(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    val parts = df.schema.fields.filter(_.name.startsWith("info_")).toSeq
+      .map { f =>
+        val key = f.name.stripPrefix("info_")
+        f.dataType match {
+          case BooleanType =>
+            when(col(f.name), lit(key))
+          case ArrayType(_, _) =>
+            when(col(f.name).isNotNull, concat(lit(key + "="),
+              array_join(col(f.name).cast("array<string>"), ",", ".")))
+          case _ =>
+            when(col(f.name).isNotNull,
+              concat(lit(key + "="), col(f.name).cast("string")))
+        }
+      }
+    if (parts.isEmpty) lit(null).cast("string")
+    else {
+      val joined = concat_ws(";", parts: _*)
+      when(length(joined) > 0, joined)
+    }
+  }
+
   /** Format variant rows back into VCF body lines (the seqGDS2VCF
     * formatter collapsed into one expression; GT-only FORMAT). Expects the
     * [[parseLines]] shape; `infoExpr` supplies the INFO column text (caller

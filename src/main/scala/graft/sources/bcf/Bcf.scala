@@ -516,19 +516,24 @@ object Bcf {
   /** seqVCF2BCF: convert a VCF (possibly .gz) to BCF2.2 — also the
     * fixture generator for the round-trip spec. */
   def writeFromVcf(vcfPath: String, bcfPath: String): Unit = {
-    val src = graft.sources.v2.VcfDataSource.open(vcfPath)
-    val all = scala.io.Source.fromInputStream(src, "UTF-8").getLines()
+    // dictionaries need every contig + filter id declared; missing
+    // ##contig lines are synthesized by a FIRST streaming pass over the
+    // body (contig set is metadata-scale), then a second streaming pass
+    // writes the records — the body is never buffered in memory
+    def openLines() = scala.io.Source.fromInputStream(
+      graft.sources.v2.VcfDataSource.open(vcfPath), "UTF-8").getLines()
     val headerLines = ArrayBuffer.empty[String]
-    var line: String = null
-    while (all.hasNext && { line = all.next(); line.startsWith("#") })
-      headerLines += line
-    val body = (if (line != null && !line.startsWith("#")) Iterator(line)
-      else Iterator.empty) ++ all
-    // dictionaries need every contig + filter id declared; synthesize
-    // missing ##contig lines from the data (two-pass over the body is
-    // avoided by buffering lines — converter is an import-time tool)
-    val bodyLines = body.filter(_.nonEmpty).toVector
-    val contigsInData = bodyLines.map(_.takeWhile(_ != '\t')).distinct
+    val contigsInData = ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    openLines().foreach { l =>
+      if (l.startsWith("#")) headerLines += l
+      else if (l.nonEmpty) {
+        val c = l.takeWhile(_ != '\t')
+        if (seen.add(c)) contigsInData += c
+      }
+    }
+    def body: Iterator[String] =
+      openLines().filterNot(_.startsWith("#")).filter(_.nonEmpty)
     val declared = headerLines.collect { case contigRe(id) => id }
     val extraContigs = contigsInData.filterNot(declared.contains)
       .map(c => s"##contig=<ID=$c>")
@@ -555,7 +560,7 @@ object Bcf {
     // standard binning index, which is what makes the .bcf byte-range
     // splittable on read (records have no resync marker otherwise).
     val csi = new Csi.Builder()
-    bodyLines.foreach { l =>
+    body.foreach { l =>
       val vbeg = out.virtualPos
       writeRecord(o, l, h, numbers)
       val t1 = l.indexOf('\t')

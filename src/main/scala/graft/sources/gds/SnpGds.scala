@@ -182,6 +182,21 @@ object SnpGds {
     * — alleles reverse to "B,A" and every genotype code flips 0↔1. */
   def toSeqArray(spark: SparkSession, snpPath: String, outPath: String,
       majorRef: Boolean = false): Unit = {
+    val (df, samples) = seqArrayFrame(spark, snpPath, majorRef)
+    GdsWrite.write(df, samples, outPath)
+  }
+
+  /** `seqSNP2GDS` at scale: executor-side sharded SeqArray export. */
+  def toSeqArraySharded(spark: SparkSession, snpPath: String,
+      outDir: String, majorRef: Boolean = false): Seq[(String, Long)] = {
+    val (df, samples) = seqArrayFrame(spark, snpPath, majorRef)
+    GdsWrite.writeSharded(df, samples, outDir)
+  }
+
+  /** The converted variants frame + sample axis shared by the single-
+    * file and sharded seqSNP2GDS paths. */
+  private def seqArrayFrame(spark: SparkSession, snpPath: String,
+      majorRef: Boolean): (DataFrame, Seq[String]) = {
     val isDosage = {
       val f = new GdsFile(snpPath)
       try GdsSchema.snpGenoIsDosage(f.root) finally f.close()
@@ -198,8 +213,7 @@ object SnpGds {
       val f = new GdsFile(snpPath)
       val samples = try strings(f, f.root("sample.id")).toSeq
         finally f.close()
-      GdsWrite.write(df, samples, outPath)
-      return
+      return (df, samples)
     }
     val df0 = read(spark, snpPath)
     val df = if (!majorRef) df0 else {
@@ -226,7 +240,7 @@ object SnpGds {
     }
     val f = new GdsFile(snpPath)
     val samples = try strings(f, f.root("sample.id")).toSeq finally f.close()
-    GdsWrite.write(df, samples, outPath)
+    (df, samples)
   }
 
   /** `seqGDS2SNP`: SeqArray GDS → SNP-GDS container (biallelic fold). */

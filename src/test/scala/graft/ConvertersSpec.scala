@@ -42,18 +42,23 @@ class ConvertersSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(fromGds.samples.get.count() == 90)
 
-    // back out to VCF text and re-parse: core fields survive; the .gz
-    // flavor writes real BGZF members that our splittable scan reads
+    // back out to VCF text and re-parse: core fields AND every info_*
+    // annotation survive (the export rebuilds ##INFO header lines from
+    // the schema and assembles the INFO column from info_* values); the
+    // .gz flavor writes real BGZF members that our splittable scan reads
+    val infoCols = fromVcf.variants.columns.filter(_.startsWith("info_"))
+    assert(infoCols.nonEmpty)
     for (out <- Seq(s"$d/ceu_out.vcf", s"$d/ceu_out.vcf.gz")) {
       SeqArray.seqGDS2VCF(spark, s"$d/ceu.gds", out)
       if (out.endsWith(".gz"))
         assert(graft.sources.bcf.Bgzf.isBgzfFile(out))
+      val cols = Seq("chrom", "pos", "allele", "geno", "phased") ++ infoCols
       val reparsed = SeqArray.openVcf(spark, out).variants
-        .select(Seq("chrom", "pos", "allele", "geno", "phased").map(col): _*)
-      val orig = b.select(Seq("chrom", "pos", "allele", "geno", "phased")
-        .map(col): _*)
-      assert(reparsed.exceptAll(orig).count() == 0 &&
-        orig.exceptAll(reparsed).count() == 0, out)
+      assert(infoCols.forall(reparsed.columns.contains), out)
+      val a2 = reparsed.select(cols.map(col): _*)
+      val b2 = b.select(cols.map(col): _*)
+      assert(a2.exceptAll(b2).count() == 0 &&
+        b2.exceptAll(a2).count() == 0, out)
     }
   }
 

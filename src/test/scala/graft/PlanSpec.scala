@@ -123,4 +123,19 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("WholeStageCodegen"), q)
     }
   }
+
+  test("sharded export: one range exchange + partition-local sort only") {
+    import org.apache.spark.sql.functions._
+    val src = spark.range(1000).select(col("id").as("variant_id"),
+      concat(lit("c"), col("id") % 5).as("chrom"),
+      (col("id") % 100).cast("int").as("pos"))
+    val p = graft.sources.Sharded.shardPlan(src)
+      .queryExecution.explainString(SimpleMode)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    // the shard sort must stay partition-local — a global sort would
+    // add a second exchange and defeat the one-shuffle export
+    assert("Sort \\[".r.findAllIn(p).size == 1)
+    assert(p.contains("false, 0") || !p.contains("Sort [variant_id"))
+  }
 }
