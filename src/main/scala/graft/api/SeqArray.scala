@@ -316,9 +316,12 @@ object SeqArray {
   def seqGDS2VCF(spark: SparkSession, gdsPath: String, vcfPath: String)
       : Unit = {
     val d = openGds(spark, gdsPath)
-    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema), Nil,
+    val fmtCells = Vcf.fmtCellsFor(d.variants)
+    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema),
+      Vcf.FieldSpec("GT", "1", "String") +: fmtCells.map(_._1),
       sampleIdList(d))
-    val lines = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants))
+    val lines = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
+      fmt = fmtCells.map(fc => fc._1.id -> fc._2))
     val raw = new java.io.FileOutputStream(vcfPath)
     val out: java.io.OutputStream =
       if (vcfPath.endsWith(".gz")) new graft.sources.bcf.Bgzf.Writer(raw)
@@ -339,10 +342,13 @@ object SeqArray {
   def seqGDS2VCFSharded(spark: SparkSession, gdsPath: String,
       outDir: String): Seq[(String, Long)] = {
     val d = openGds(spark, gdsPath)
-    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema), Nil,
+    val fmtCells = Vcf.fmtCellsFor(d.variants)
+    val header = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema),
+      Vcf.FieldSpec("GT", "1", "String") +: fmtCells.map(_._1),
       sampleIdList(d))
     val keyed = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
-      keep = Seq("chrom", "variant_id"))
+      keep = Seq("chrom", "variant_id"),
+      fmt = fmtCells.map(fc => fc._1.id -> fc._2))
     graft.sources.Sharded.export(keyed, outDir, ".vcf.gz", (it, f) => {
       val out = new graft.sources.bcf.Bgzf.Writer(
         new java.io.FileOutputStream(f))

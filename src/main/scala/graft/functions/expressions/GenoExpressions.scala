@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -361,4 +362,142 @@ case class GtStringsJoined(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): GtStringsJoined = copy(first = f, second = s, third = t)
+}
+
+/** Per-sample VCF cells `GT[:f1][:f2]…` joined by `sep` — the FORMAT
+  * export kernel (seqGDS2VCF with annotation/format fields, reference
+  * `src/ConvGDS2VCF.cpp:571-989`). Children: geno, phased, sep, then one
+  * ARRAY<STRING> per FORMAT field carrying each sample's cell text (a
+  * null element or null column renders "."). One generated loop per
+  * row; the plan grows with the FIELD count, never the sample count —
+  * biobank-width safe where per-sample expression unrolling is not. */
+case class SampleCellsJoined(children: Seq[Expression])
+    extends Expression with GenoInput {
+
+  private def geno = children(0)
+  private def phased = children(1)
+  private def sep = children(2)
+  private def fields = children.drop(3)
+
+  override def nullable: Boolean =
+    geno.nullable || phased.nullable || sep.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val phasedOk = phased.dataType match {
+      case ArrayType(BooleanType, _) => true
+      case _ => false
+    }
+    val fieldsOk = fields.forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (genoOk(geno) && phasedOk && sep.dataType == StringType && fieldsOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sample_cells(ARRAY<ARRAY<BIGINT>>, ARRAY<BOOLEAN>, STRING sep, " +
+        "ARRAY<STRING>...); got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sample_cells"
+
+  override def eval(input: InternalRow): Any = {
+    val g = geno.eval(input)
+    val p = phased.eval(input)
+    val s = sep.eval(input)
+    if (g == null || p == null || s == null) return null
+    val ga = g.asInstanceOf[ArrayData]
+    val pa = p.asInstanceOf[ArrayData]
+    val fa = fields.map(_.eval(input).asInstanceOf[ArrayData]).toArray
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = ga.numElements()
+    while (i < n) {
+      if (i > 0) sb.append(s.toString)
+      if (ga.isNullAt(i)) sb.append('.')
+      else {
+        val sa = ga.getArray(i)
+        val ph = i < pa.numElements() && !pa.isNullAt(i) && pa.getBoolean(i)
+        var j = 0
+        val m = sa.numElements()
+        while (j < m) {
+          if (j > 0) sb.append(if (ph) '|' else '/')
+          if (sa.isNullAt(j)) sb.append('.') else sb.append(sa.getLong(j))
+          j += 1
+        }
+      }
+      var k = 0
+      while (k < fa.length) {
+        sb.append(':')
+        val arr = fa(k)
+        if (arr == null || i >= arr.numElements() || arr.isNullAt(i))
+          sb.append('.')
+        else sb.append(arr.getUTF8String(i).toString)
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val gEv = geno.genCode(ctx)
+    val pEv = phased.genCode(ctx)
+    val sEv = sep.genCode(ctx)
+    val fEvs = fields.map(_.genCode(ctx))
+    val sb = ctx.freshName("sb")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val sa = ctx.freshName("sa")
+    val ph = ctx.freshName("ph")
+    val sepStr = ctx.freshName("sepStr")
+    val fieldAppends = fEvs.map { f =>
+      s"""
+         |$sb.append(':');
+         |if (${f.isNull} || $i >= ${f.value}.numElements()
+         |    || ${f.value}.isNullAt($i)) $sb.append('.');
+         |else $sb.append(${f.value}.getUTF8String($i).toString());
+       """.stripMargin
+    }.mkString("\n")
+    val code =
+      code"""
+         |${gEv.code}
+         |${pEv.code}
+         |${sEv.code}
+         |${fEvs.map(_.code).mkString("\n")}
+         |boolean ${ev.isNull} = ${gEv.isNull} || ${pEv.isNull} ||
+         |  ${sEv.isNull};
+         |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  java.lang.StringBuilder $sb = new java.lang.StringBuilder();
+         |  String $sepStr = ${sEv.value}.toString();
+         |  for (int $i = 0; $i < ${gEv.value}.numElements(); $i++) {
+         |    if ($i > 0) $sb.append($sepStr);
+         |    if (${gEv.value}.isNullAt($i)) $sb.append('.');
+         |    else {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $sa =
+         |        ${gEv.value}.getArray($i);
+         |      boolean $ph = $i < ${pEv.value}.numElements()
+         |        && !${pEv.value}.isNullAt($i)
+         |        && ${pEv.value}.getBoolean($i);
+         |      for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |        if ($j > 0) $sb.append($ph ? '|' : '/');
+         |        if ($sa.isNullAt($j)) $sb.append('.');
+         |        else $sb.append($sa.getLong($j));
+         |      }
+         |    }
+         |    $fieldAppends
+         |  }
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |    .fromString($sb.toString());
+         |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SampleCellsJoined =
+    copy(children = newChildren)
 }

@@ -89,6 +89,15 @@ object genetics {
     Bridge.column(GtStringsJoined(Bridge.expression(geno),
       Bridge.expression(phased), Bridge.expression(lit(sep))))
 
+  /** Per-sample `GT[:f1][:f2]…` cells joined by `sep`; each field is an
+    * ARRAY<STRING> of per-sample cell text (null → "."). The FORMAT
+    * export kernel — plan size grows with field count, not samples. */
+  def sampleCells(geno: Column, phased: Column, sep: String,
+      fields: Seq[Column]): Column =
+    Bridge.column(graft.functions.expressions.SampleCellsJoined(
+      Seq(Bridge.expression(geno), Bridge.expression(phased),
+        Bridge.expression(lit(sep))) ++ fields.map(Bridge.expression)))
+
   /** One sample's VCF GT string, any ploidy: "0/1", "1|2", "./." — missing
     * allele renders ".", separator by phase (reference
     * `R/Methods-SeqVarGDSClass.R:190-199`). */

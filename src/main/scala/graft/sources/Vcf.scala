@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.expressions.ParseGtCells
-import graft.functions.genetics.gtStrings
+import graft.functions.genetics.{gtStrings, sampleCells}
 
 /** VCF reader/writer (SURVEY.md §2.1: `seqVCF2GDS`
   * /root/reference/R/ConvVCF2GDS.R:559-1465 + C tokenizer
@@ -191,14 +191,49 @@ object Vcf {
     }
   }
 
+  /** FieldSpecs + per-sample ARRAY<STRING> cell columns for a frame's
+    * `fmt_*` columns — the FORMAT half of the annotation export. Scalar-
+    * per-sample matrices cast to string cells; ragged (Number=.) ones
+    * comma-join per sample. */
+  def fmtCellsFor(df: DataFrame): Seq[(FieldSpec, Column)] = {
+    import org.apache.spark.sql.types._
+    def vt(dt: DataType): String = dt match {
+      case IntegerType | LongType => "Integer"
+      case FloatType | DoubleType => "Float"
+      case _ => "String"
+    }
+    df.schema.fields.filter(_.name.startsWith("fmt_")).toSeq.map { f =>
+      val id = f.name.stripPrefix("fmt_")
+      f.dataType match {
+        case ArrayType(ArrayType(e, _), _) =>
+          (FieldSpec(id, ".", vt(e)),
+            transform(col(f.name), x =>
+              when(x.isNull, lit(null: String))
+                .otherwise(array_join(x.cast("array<string>"), ",", "."))))
+        case ArrayType(e, _) =>
+          (FieldSpec(id, "1", vt(e)), col(f.name).cast("array<string>"))
+        case dt => throw new IllegalArgumentException(
+          s"fmt column ${f.name} is not per-sample: ${dt.simpleString}")
+      }
+    }
+  }
+
   /** Format variant rows back into VCF body lines (the seqGDS2VCF
-    * formatter collapsed into one expression; GT-only FORMAT). Expects the
-    * [[parseLines]] shape; `infoExpr` supplies the INFO column text (caller
-    * builds "K=V;..." — null → "."). */
+    * formatter collapsed into one expression). Expects the [[parseLines]]
+    * shape; `infoExpr` supplies the INFO column text (caller builds
+    * "K=V;..." — null → "."); `fmt` adds FORMAT fields beyond GT as
+    * (id, per-sample ARRAY<STRING> cells) pairs — assembled by the
+    * variadic [[graft.functions.genetics.sampleCells]] kernel, so the
+    * plan grows with the field count, not the cohort width. */
   def formatLines(v: DataFrame, infoExpr: Column,
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil,
+      fmt: Seq[(String, Column)] = Nil): DataFrame = {
     val qualStr = when(col("qual").isNull, lit("."))
       .otherwise(col("qual").cast("string"))
+    val fmtNames = ("GT" +: fmt.map(_._1)).mkString(":")
+    val cells =
+      if (fmt.isEmpty) gtStrings(col("geno"), col("phased"), "\t")
+      else sampleCells(col("geno"), col("phased"), "\t", fmt.map(_._2))
     v.select(keep.map(col) :+ concat_ws("\t",
       col("chrom"), col("pos"),
       coalesce(col("id"), lit(".")),
@@ -206,7 +241,7 @@ object Vcf {
       qualStr,
       coalesce(col("filter"), lit(".")),
       coalesce(infoExpr, lit(".")),
-      lit("GT"),
-      gtStrings(col("geno"), col("phased"), "\t")).as("value"): _*)
+      lit(fmtNames),
+      cells).as("value"): _*)
   }
 }

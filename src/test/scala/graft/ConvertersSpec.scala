@@ -62,6 +62,54 @@ class ConvertersSpec extends AnyFunSuite {
     }
   }
 
+  test("seqGDS2VCF exports FORMAT fields; sample_cells codegen == eval") {
+    import spark.implicits._
+    import graft.sources.gds.GdsWrite
+    // synthetic cohort with DP (int) and DS (float) per-sample matrices
+    val nS = 4
+    val src = (1 to 40).map { v =>
+      val geno = (0 until nS).map(s => Seq[java.lang.Long](
+        ((v + s) % 3 - 1) match { case -1 => null; case a => a.toLong },
+        (s % 2).toLong))
+      val phased = (0 until nS).map(s => (v + s) % 2 == 0)
+      val dp = (0 until nS).map(s =>
+        if ((v + s) % 5 == 0) null
+        else java.lang.Integer.valueOf((v * 3 + s) % 60))
+      val ds = (0 until nS).map(s =>
+        if ((v + s) % 7 == 0) null
+        else java.lang.Float.valueOf(((v + s) % 20) * 0.1f))
+      (v.toLong, "c" + (v % 3 + 1), v * 7, geno, phased, dp, ds)
+    }.toDF("variant_id", "chrom", "pos", "geno", "phased", "fmt_DP",
+      "fmt_DS").withColumn("allele", lit("A,C"))
+    val d = dir()
+    GdsWrite.write(src, (1 to nS).map("S" + _), s"$d/fmt.gds")
+    SeqArray.seqGDS2VCF(spark, s"$d/fmt.gds", s"$d/fmt.vcf")
+    val reparsed = SeqArray.openVcf(spark, s"$d/fmt.vcf").variants
+    assert(reparsed.columns.contains("fmt_DP") &&
+      reparsed.columns.contains("fmt_DS"))
+    val cols = Seq("chrom", "pos", "geno", "phased", "fmt_DP", "fmt_DS")
+    val a = reparsed.select(cols.map(col): _*)
+    val b = src.select(cols.map(col): _*)
+    assert(a.count() == 40)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+
+    // kernel differential: generated and interpreted paths agree, and
+    // the no-fields case matches gtStrings
+    import graft.functions.genetics.{gtStrings, sampleCells}
+    val probe = src.select(col("variant_id"),
+      sampleCells(col("geno"), col("phased"), "\t",
+        Seq(col("fmt_DP").cast("array<string>"))).as("cells"),
+      sampleCells(col("geno"), col("phased"), "\t", Nil).as("gtonly"),
+      gtStrings(col("geno"), col("phased"), "\t").as("gt"))
+    val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { mode =>
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try probe.orderBy("variant_id").collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(modes(0) == modes(1))
+    assert(probe.filter(col("gtonly") =!= col("gt")).count() == 0)
+  }
+
   test("seqGDS2BED → seqBED2GDS preserves the REF-dosage fold") {
     val d = dir()
     SeqArray.seqGDS2BED(spark, s"$extdata/CEU_Exon.gds", s"$d/ceu")
