@@ -242,5 +242,105 @@ object Similarity extends QueryModule {
         GROUP BY a.vec_id, b.vec_id)
       ORDER BY cos DESC, id_a, id_b LIMIT 20"""))
 
-  override def queries: Seq[Q] = Seq(q36, q37, q38, q39)
+  // --- full IVF search: the query half of the IVF index q38 only
+  // assigns for. Probes score against the 10 broadcast centroids and
+  // keep their NPROBE nearest lists; only vectors ASSIGNED to those
+  // lists get exact-scored — the corpus scan shrinks to ~NPROBE/nlist
+  // of brute force while the plan stays one broadcast join (centroids)
+  // + one broadcast join (probe→list pairs) + a bounded top-k window.
+  // At 100 TB the assignment is a one-off build artifact (write the
+  // corpus partitioned by `assigned`); here it is computed inline so
+  // the oracle can replay every step. ------------------------------------
+  private val NPROBE = 3
+  private val q61 = Q("q61_ivf_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      val sums = e.select(col("label"),
+          posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
+        .select(col("label").as("c_label"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      // coarse assignment (q38 shape): nearest centroid per vector
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_label"))
+      val assigned = e.crossJoin(broadcast(sums))
+        .select(col("vec_id"), col("qv"), col("nrm"), col("c_label"),
+          cosineQ(dotLong(col("qv"), col("cv")), col("nrm"), col("cnrm"))
+            .as("ccos"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          col("c_label").as("assigned"))
+      // probes keep their NPROBE nearest lists
+      val wP = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pcos").desc, col("c_label"))
+      val ptop = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+        .crossJoin(broadcast(sums))
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("c_label"),
+          cosineQ(dotLong(col("pv"), col("cv")), col("pnrm"), col("cnrm"))
+            .as("pcos"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= NPROBE)
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("c_label"))
+      // exact scoring on the pruned lists only
+      val cand = assigned.join(broadcast(ptop),
+          col("assigned") === col("c_label") &&
+            col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, label, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      sums AS (SELECT label AS c_label, i,
+          CAST(SUM(qv[i]) AS BIGINT) AS sx
+        FROM q, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i),
+      cent AS (SELECT c_label, list(sx ORDER BY i) AS cv FROM sums
+        GROUP BY c_label),
+      centn AS (SELECT c_label, cv, ${dot2("cv", "cv")} AS cnrm FROM cent),
+      assign AS (SELECT vec_id, qv, nrm, c_label AS assigned FROM
+        (SELECT n.vec_id, n.qv, n.nrm, centn.c_label,
+           CASE WHEN nrm > 0 AND cnrm > 0 THEN
+             CAST(${dotSql.format("qv", "qv", "cv")} AS DOUBLE) /
+               (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) END
+             AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY CASE WHEN nrm > 0 AND cnrm > 0 THEN
+               CAST(${dotSql.format("qv", "qv", "cv")} AS DOUBLE) /
+                 (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) END
+               DESC, c_label) AS rn
+         FROM n, centn) WHERE rn = 1),
+      ptop AS (SELECT probe_id, pv, pnrm, c_label FROM
+        (SELECT p.vec_id AS probe_id, p.qv AS pv, p.nrm AS pnrm,
+           centn.c_label,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY CASE WHEN p.nrm > 0 AND cnrm > 0 THEN
+               CAST(${dotSql.format("p.qv", "p.qv", "cv")} AS DOUBLE) /
+                 (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) END
+               DESC, c_label) AS rn
+         FROM n p, centn WHERE p.vec_id % $PROBE_MOD = 0) WHERE rn <= $NPROBE),
+      cand AS (SELECT probe_id, vec_id,
+          CASE WHEN pnrm > 0 AND nrm > 0 THEN
+            CAST(${dotSql.format("pv", "pv", "qv")} AS DOUBLE) /
+              (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+            AS cos
+        FROM assign JOIN ptop ON assigned = c_label AND vec_id <> probe_id)
+      SELECT probe_id, vec_id, cos, rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM cand)
+      WHERE rank <= 5"""))
+
+  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61)
 }

@@ -70,6 +70,13 @@ object GdsCore {
     raf.readFully(magic)
     require(new String(magic, "ASCII") == "COREARRAYx0A",
       s"$path is not a GDS file")
+    /** Identity token for the per-JVM decode caches: a file REWRITTEN at
+      * the same path (length or mtime changed) must never serve another
+      * file's cached chunk tables / element indexes. */
+    private[gds] val cacheToken: String = {
+      val f = new java.io.File(path.stripPrefix("file:"))
+      s"$path@${f.length}@${f.lastModified}"
+    }
     raf.seek(14)
     private val entryId = readU32(raf)
 
@@ -460,7 +467,7 @@ object GdsCore {
     * touches only the ~6 bytes of each chunk header. */
   def chunkTable(f: GdsFile, node: Node): Option[ChunkTable] = {
     if (node.dataId == 0) return None
-    val key = f.path + "#" + node.dataId
+    val key = f.cacheToken + "#" + node.dataId
     val ref = chunkTableCache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return Some(hit)
@@ -942,7 +949,7 @@ object GdsCore {
     * by-product the node's exact chunk boundaries land on its cached
     * [[ChunkTable]], making every later ranged read exact. */
   def varIndex(f: GdsFile, n: Node, count: Int): VarIndex = {
-    val key = f.path + "#" + n.dataId
+    val key = f.cacheToken + "#" + n.dataId
     val ref = varIdxCache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return hit
@@ -1075,7 +1082,7 @@ object GdsCore {
 
   /** Whole count vector + clamped cumulative starts, cached per JVM. */
   def lensWithStarts(f: GdsFile, n: Node): (Array[Int], Array[Int]) = {
-    val key = f.path + "#" + n.dataId
+    val key = f.cacheToken + "#" + n.dataId
     val ref = prefixCache.get(key)
     val hit = if (ref != null) ref.get else null
     if (hit != null) return hit
