@@ -367,6 +367,49 @@ object SeqArray {
     })
   }
 
+  /** Complete VCF-style header + FORMAT cell columns for the BCF export
+    * (BCF dictionaries require every contig declared up front; the
+    * distinct-chrom list is metadata-scale). */
+  private def bcfHeaderFor(d: SeqVarData)
+      : (Seq[String], Seq[(Vcf.FieldSpec, Column)]) = {
+    val contigs = d.variants.select(col("chrom")).distinct()
+      .orderBy(col("chrom")).collect().map(_.getString(0)).toSeq
+    val fmtCells = Vcf.fmtCellsFor(d.variants)
+    val base = Vcf.formatHeader(Vcf.infoSpecsFor(d.variants.schema),
+      Vcf.FieldSpec("GT", "1", "String") +: fmtCells.map(_._1),
+      sampleIdList(d))
+    (base.head +: (contigs.map(c => s"##contig=<ID=$c>") ++ base.tail),
+      fmtCells)
+  }
+
+  /** seqGDS2BCF: `.gds` → BCF2.2 (+CSI) directly — the reference pipes
+    * seqGDS2VCF through bcftools; here the binary writer is first-class.
+    * Single file ⇒ driver-streamed; [[seqGDS2BCFSharded]] scales. */
+  def seqGDS2BCF(spark: SparkSession, gdsPath: String, bcfPath: String)
+      : Unit = {
+    val d = openGds(spark, gdsPath)
+    val (header, fmtCells) = bcfHeaderFor(d)
+    val lines = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
+      fmt = fmtCells.map(fc => fc._1.id -> fc._2))
+    import scala.jdk.CollectionConverters._
+    graft.sources.bcf.Bcf.writeLines(
+      lines.toLocalIterator().asScala.map(_.getString(0)), header, bcfPath)
+  }
+
+  /** seqGDS2BCF at scale: one complete BCF (+CSI) per (chrom, pos)
+    * range shard, written on executors + `_manifest.json`. */
+  def seqGDS2BCFSharded(spark: SparkSession, gdsPath: String,
+      outDir: String): Seq[(String, Long)] = {
+    val d = openGds(spark, gdsPath)
+    val (header, fmtCells) = bcfHeaderFor(d)
+    val keyed = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
+      keep = Seq("chrom", "variant_id"),
+      fmt = fmtCells.map(fc => fc._1.id -> fc._2))
+    graft.sources.Sharded.export(keyed, outDir, ".bcf", (it, f) =>
+      graft.sources.bcf.Bcf.writeLines(
+        it.map(_.getAs[String]("value")), header, f))
+  }
+
   /** seqVCF2GDS at scale: import straight into a sharded GDS directory
     * (one container per (chrom, pos) range shard, written on executors;
     * reads back via `Gds.read(spark, outDir)`). */

@@ -540,6 +540,16 @@ object Bcf {
     val chromLine = headerLines.last
     val fullHeader =
       headerLines.init.toSeq ++ extraContigs :+ chromLine
+    writeLines(body, fullHeader, bcfPath)
+  }
+
+  /** BCF2.2 + CSI from decoded VCF body lines and a COMPLETE header
+    * (every contig/filter/info/format id declared — the caller owns
+    * dictionary completeness). Streaming: one record in memory at a
+    * time. Returns the record count. Runs anywhere — the driver for
+    * the single-file converters, executors for the sharded export. */
+  def writeLines(body: Iterator[String], fullHeader: Seq[String],
+      bcfPath: String): Long = {
     val h = headerOf(fullHeader)
     val numbers = (for {
       l <- fullHeader
@@ -560,6 +570,7 @@ object Bcf {
     // standard binning index, which is what makes the .bcf byte-range
     // splittable on read (records have no resync marker otherwise).
     val csi = new Csi.Builder()
+    var n = 0L
     body.foreach { l =>
       val vbeg = out.virtualPos
       writeRecord(o, l, h, numbers)
@@ -570,10 +581,12 @@ object Bcf {
       val beg = l.substring(t1 + 1, t2).toLong - 1
       csi.add(h.contigIdx(l.substring(0, t1)), beg, beg + (t4 - t3 - 1),
         vbeg, out.virtualPos)
+      n += 1
     }
     o.flush()
     out.close()
     csi.write(bcfPath + ".csi")
+    n
   }
 
   private def writeRecord(o: DataOutputStream, line: String, h: Header,

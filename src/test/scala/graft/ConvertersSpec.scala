@@ -110,6 +110,23 @@ class ConvertersSpec extends AnyFunSuite {
     assert(probe.filter(col("gtonly") =!= col("gt")).count() == 0)
   }
 
+  test("seqGDS2BCF: direct binary export reads back equal to the gds scan") {
+    val d = dir()
+    SeqArray.seqGDS2BCF(spark, s"$extdata/CEU_Exon.gds", s"$d/ceu.bcf")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/ceu.bcf.csi")))
+    val back = graft.sources.bcf.Bcf.read(spark, s"$d/ceu.bcf")
+    val cols = Seq("chrom", "pos", "allele", "geno", "phased") ++
+      back.columns.filter(_.startsWith("info_"))
+    val orig = Gds.read(spark, s"$extdata/CEU_Exon.gds")
+    assert(cols.forall(orig.columns.contains),
+      cols.filterNot(orig.columns.contains).mkString(","))
+    val a = back.select(cols.map(col): _*)
+    val b = orig.select(cols.map(col): _*)
+    assert(a.count() == 1348)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("seqGDS2BED → seqBED2GDS preserves the REF-dosage fold") {
     val d = dir()
     SeqArray.seqGDS2BED(spark, s"$extdata/CEU_Exon.gds", s"$d/ceu")

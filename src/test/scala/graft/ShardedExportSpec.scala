@@ -116,6 +116,26 @@ class ShardedExportSpec extends AnyFunSuite {
       direct.exceptAll(back).count() == 0)
   }
 
+  test("bcf: sharded binary parts (+csi each) union to the gds scan") {
+    import graft.api.SeqArray
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shard_bcf").toString + "/ceu"
+    val metas = SeqArray.seqGDS2BCFSharded(spark,
+      s"$extdata/CEU_Exon.gds", dir)
+    assert(metas.length > 1 && metas.map(_._2).sum == 1348L)
+    metas.foreach { case (f, _) =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(f + ".csi")), f)
+    }
+    val parts = metas.map { case (f, _) =>
+      graft.sources.bcf.Bcf.read(spark, f)
+    }.reduce(_ unionAll _)
+    val cols = Seq("chrom", "pos", "allele", "geno", "phased")
+    val a = parts.select(cols.map(col): _*)
+    val b = ceu.select(cols.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("vcf: sharded bgzf parts parse back equal to the gds scan") {
     import graft.api.SeqArray
     val dir = java.nio.file.Files
