@@ -121,11 +121,23 @@ object Vcf {
 
   /** Read a VCF file: header on the driver (streamed — takeWhile stops
     * at the first body line instead of filtering the whole file), body
-    * distributed. */
+    * distributed. A DIRECTORY (e.g. a `seqGDS2VCFSharded` export) reads
+    * all its `.vcf`/`.vcf.gz` shards in one text scan — every shard
+    * carries the same header, taken from the first. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val header = graft.sources.v2.VcfDataSource.headerLines(path)
+    val f = new java.io.File(path.stripPrefix("file:"))
+    val (headerPath, textPath) =
+      if (f.isDirectory) {
+        val shards = Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(c => c.isFile && (c.getName.endsWith(".vcf") ||
+            c.getName.endsWith(".vcf.gz")))
+          .map(_.getPath).sorted
+        require(shards.nonEmpty, s"no .vcf/.vcf.gz files under $path")
+        (shards.head, shards.toSeq)
+      } else (path, Seq(path))
+    val header = graft.sources.v2.VcfDataSource.headerLines(headerPath)
     val (info, fmtSpecs, samples) = headerSpecs(header)
-    val raw = spark.read.text(path)
+    val raw = spark.read.text(textPath: _*)
     parseLines(raw.filter(!col("value").startsWith("#")), info, fmtSpecs,
       samples.length)
   }

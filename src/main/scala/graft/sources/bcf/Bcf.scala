@@ -435,6 +435,16 @@ object Bcf {
     * sequential prologue pass ([[buildCsi]]) and splits the same way. */
   def read(spark: SparkSession, path: String,
       splitBytes: Long = 16L * 1024 * 1024): DataFrame = {
+    val dirF = new java.io.File(path.stripPrefix("file:"))
+    if (dirF.isDirectory) {
+      // a seqGDS2BCFSharded export: union the shard scans (each plans
+      // its own csi byte ranges; headers are identical by construction)
+      val shards = Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && c.getName.endsWith(".bcf"))
+        .map(_.getPath).sorted
+      require(shards.nonEmpty, s"no .bcf files under $path")
+      return shards.map(read(spark, _, splitBytes)).reduce(_ unionAll _)
+    }
     val (headerLines, _) = open(path)
     val (info, fmt, samples) = Vcf.headerSpecs(headerLines)
     import spark.implicits._
