@@ -96,35 +96,43 @@ class GdsRangedSpec extends AnyFunSuite {
       assert(used > 0)
     } finally f.close()
 
-    // strong bound on our own framing (128 KiB raw chunks): a 1000-int
-    // slice of a 1M-int node must read ~one chunk, not the stream
+    // strong bound on our own framing (128 KiB raw chunks), for EVERY
+    // chunk codec: a 1000-int slice of a 1M-int node must read ~one
+    // chunk, not the stream, and decode the exact values
     val dir = java.nio.file.Files.createTempDirectory("graft_rng").toString
-    val path = s"$dir/big.gds"
-    val c = new graft.sources.gds.GdsWrite.Container()
-    val rootId = c.allocId()
     val payload = new java.io.ByteArrayOutputStream()
     var i = 0
-    while (i < 1000000) { // varied ints so xz can't collapse the node
+    while (i < 1000000) { // varied ints so the codecs can't collapse them
       val v = i * 2654435761L
       payload.write((v & 0xff).toInt); payload.write(((v >> 8) & 0xff).toInt)
       payload.write(((v >> 16) & 0xff).toInt)
       payload.write(((v >> 24) & 0xff).toInt)
       i += 1
     }
-    val node = c.node("dInt32", Seq(1000000), payload.toByteArray)
-    c.folderAt(rootId, Seq((node, "big", 0)))
-    c.save(path, rootId)
-    val f2 = new GdsFile(path)
-    try {
-      val n = f2.root("big")
-      val streamLen = f2.view(n.dataId).length
-      GdsCore.intsRange(f2, n, 0, 16) // warm chunk table + uniform probe
-      val before = GdsCore.fileBytesRead.get()
-      val got = GdsCore.intsRange(f2, n, 500000, 1000)
-      val used = GdsCore.fileBytesRead.get() - before
-      assert(got(0) == (500000 * 2654435761L).toInt)
-      assert(used < streamLen / 8,
-        s"ranged decode read $used of $streamLen compressed bytes")
-    } finally f2.close()
+    for (coder <- Seq("LZMA_ra", "ZIP_ra", "LZ4_ra")) {
+      val path = s"$dir/big_$coder.gds"
+      val c = new graft.sources.gds.GdsWrite.Container(coder)
+      val rootId = c.allocId()
+      val node = c.node("dInt32", Seq(1000000), payload.toByteArray)
+      c.folderAt(rootId, Seq((node, "big", 0)))
+      c.save(path, rootId)
+      val f2 = new GdsFile(path)
+      try {
+        val n = f2.root("big")
+        assert(n.coder.contains(coder), s"$coder not recorded")
+        val streamLen = f2.view(n.dataId).length
+        GdsCore.intsRange(f2, n, 0, 16) // warm chunk table + uniform probe
+        val before = GdsCore.fileBytesRead.get()
+        val got = GdsCore.intsRange(f2, n, 500000, 1000)
+        val used = GdsCore.fileBytesRead.get() - before
+        var k = 0
+        while (k < 1000) {
+          assert(got(k) == ((500000 + k) * 2654435761L).toInt, s"$coder@$k")
+          k += 1
+        }
+        assert(used < streamLen / 8,
+          s"$coder ranged decode read $used of $streamLen compressed bytes")
+      } finally f2.close()
+    }
   }
 }
