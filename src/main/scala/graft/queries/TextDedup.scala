@@ -216,5 +216,92 @@ object TextDedup extends QueryModule {
                THEN 1 << j ELSE 0 END)) AS BIGINT) AS sketch
       FROM t"""))
 
-  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  // --- the end-to-end training-data dedup PIPELINE: exact-dup removal
+  // (keep min doc_id per content fingerprint), then MinHash+LSH near-dup
+  // removal over the survivors (verified Jaccard ≥ 0.5; the larger
+  // doc_id of each verified pair drops — the standard single-pass
+  // keep-first policy), emitting the cleaned corpus. Composes q32's and
+  // q33's oracle-checked stages into ONE declarative plan: two
+  // fingerprint/band shuffles + one candidate-only verify join — the
+  // whole clean step a 100 TB corpus would run before training. ----------
+  private val q62 = Q("q62_dedup_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      // stage 1: exact dedup
+      val fp = d.select(col("doc_id"), col("lang"), col("source"),
+        col("text"), fingerprint(tokens(col("text"))).as("fp"))
+      val wFp = Window.partitionBy(col("fp"))
+      val ek = fp
+        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
+        .filter(col("__keep")).drop("__keep", "fp")
+      // stage 2: near-dup candidates over survivors (q33 shape)
+      val docs = ek.select(col("doc_id"),
+          shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id") +: (1 to MINHASH_K).map(i =>
+          md5(concat(lit(s"$i:"), col("s"))).as(s"h$i")): _*)
+        .groupBy(col("doc_id"))
+        .agg(min(col("h1")).as("m1"),
+          (2 to MINHASH_K).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+        .select(col("doc_id"),
+          array((1 to MINHASH_K).map(i => col(s"m$i")): _*).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          .as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val texts = ek.select(col("doc_id"), col("text"))
+      val dropped = cand
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), "doc_b")
+        .filter(jaccard(shingles(col("text_a"), SHINGLE_N),
+          shingles(col("text_b"), SHINGLE_N)) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // stage 3: the cleaned corpus
+      ek.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"),
+          tokenCount(col("text")).as("n_tokens"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      fp AS (SELECT doc_id, lang, source, text, toks,
+          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        FROM t),
+      ek AS (SELECT doc_id, lang, source, text, toks FROM fp
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= $SHINGLE_N THEN
+          list_distinct(list_transform(range(1, len(toks) - ${SHINGLE_N - 2}),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS sh FROM ek),
+      shv AS (SELECT * FROM sh WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(1, ${MINHASH_K + 1}), i ->
+          list_min(list_transform(sh, s ->
+            md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM shv),
+      bands AS (SELECT doc_id, b,
+        md5(array_to_string(
+          sig[b*$ROWS_PER_BAND+1 : b*$ROWS_PER_BAND+$ROWS_PER_BAND], '|'))
+          AS bkey
+        FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+        JOIN shv sa ON sa.doc_id = cand.doc_a
+        JOIN shv sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5)
+      SELECT doc_id, lang, source, len(toks) AS n_tokens FROM ek
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
+
+  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34, q62)
 }
