@@ -288,6 +288,41 @@ object SeqArray {
     SeqVarData(graft.sources.gds.Gds.read(spark, path),
       Some(graft.sources.gds.Gds.samples(spark, path)))
 
+  /** seqOpen + seqSetFilter(sample.id=) fused INTO THE SCAN: the sample
+    * selection pushes down to the gds source (`option("samples", …)`) so
+    * per-sample columns decode only the chosen ordinals — at biobank
+    * width, a sub-cohort query never materializes the other samples.
+    * Reference semantics as [[SeqVarData.setFilterSampleIds]]: file
+    * order kept, duplicates collapse, unknown ids warn. */
+  def openGds(spark: SparkSession, path: String, sampleIds: Seq[String])
+      : SeqVarData = {
+    val st = graft.sources.gds.Gds.samples(spark, path)
+    val fileOrder = st.select(col("sample_ordinal"), col("sample_id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    val known = fileOrder.map(_._2).toSet
+    val missing = sampleIds.distinct.filterNot(known)
+    if (missing.nonEmpty)
+      Console.err.println(
+        s"[graft] openGds: ${missing.size} unknown sample id(s) ignored: " +
+          missing.take(5).mkString(", "))
+    val want = sampleIds.toSet
+    val ordinals = fileOrder.filter(p => want(p._2)).map(_._1)
+    val variants = spark.read.format("gds")
+      .option("samples", ordinals.mkString(","))
+      .load(path)
+    val remap = ordinals.zipWithIndex.toMap
+    val newSamples = {
+      import spark.implicits._
+      val keep = st.filter(col("sample_ordinal")
+        .isin(ordinals.map(Integer.valueOf): _*))
+      val cols = st.columns
+      keep.withColumn("sample_ordinal",
+        udf((o: Int) => remap(o)).apply(col("sample_ordinal")))
+        .select(cols.map(col): _*)
+    }
+    SeqVarData(variants, Some(newSamples))
+  }
+
   // ---- file-level converters (reference R/ConvVCF2GDS.R, Conversion.R) --
 
   private def sampleIdList(d: SeqVarData): Seq[String] =

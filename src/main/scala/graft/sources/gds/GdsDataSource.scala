@@ -139,10 +139,15 @@ object GdsSchema {
     * per the reference's FC_SNP2GDS (src/ConvToGDS.cpp: 0→(1,1) hom-ALT,
     * 1→(0,1) het, 2→(0,0) hom-REF, 3→missing). */
   private def snpExtractors(f: GdsFile, required: StructType,
-      v0: Int, v1: Int): Array[Int => Any] = {
+      v0: Int, v1: Int, sampleSel: Option[Array[Int]] = None)
+      : Array[Int => Any] = {
     val root = f.root
     def utf8(s: String): AnyRef =
       if (s == null) null else UTF8String.fromString(s)
+    def selOf(nS: Int): (Int, Int => Int) = sampleSel match {
+      case Some(sel) => (sel.length, sel.apply)
+      case None => (nS, identity)
+    }
     lazy val geno = {
       val g = root("genotype")
       val nSnp = root("snp.id").dims.head
@@ -202,7 +207,9 @@ object GdsSchema {
               (floatsRange(f, g, v0.toLong * nSample,
                 (v1 - v0) * nSample), v0.toLong * nSample)
             else (floats(f, g), 0L)
-          (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
+          val (outN, smap) = selOf(nSample)
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](outN) { si =>
+            val s = smap(si)
             val idx = if (snpMajor) v.toLong * nSample + s - base
               else s.toLong * nSnp + v
             val x = vals(idx.toInt)
@@ -211,21 +218,25 @@ object GdsSchema {
         case "pg" =>
           // SNP-GDS codes ARE engine REF-dosage codes — repack verbatim
           val (bytes, base, nSnp, nSample, snpMajor) = geno
+          val (outN, smap) = selOf(nSample)
           (v: Int) => {
-            val out = new Array[Byte]((nSample + 3) / 4)
-            var s = 0
-            while (s < nSample) {
+            val out = new Array[Byte]((outN + 3) / 4)
+            var si = 0
+            while (si < outN) {
+              val s = smap(si)
               val idx = if (snpMajor) v.toLong * nSample + s - base
                 else s.toLong * nSnp + v
-              out(s >> 2) = (out(s >> 2) |
-                (bit2(bytes, idx) << ((s & 3) << 1))).toByte
-              s += 1
+              out(si >> 2) = (out(si >> 2) |
+                (bit2(bytes, idx) << ((si & 3) << 1))).toByte
+              si += 1
             }
             out
           }
         case "geno" =>
           val (bytes, base, nSnp, nSample, snpMajor) = geno
-          (v: Int) => new GenericArrayData(Array.tabulate[Any](nSample) { s =>
+          val (outN, smap) = selOf(nSample)
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](outN) { si =>
+            val s = smap(si)
             val idx = if (snpMajor) v.toLong * nSample + s - base
               else s.toLong * nSnp + v
             new GenericArrayData((bit2(bytes, idx): @annotation.switch) match {
@@ -290,10 +301,18 @@ object GdsSchema {
     * chunks. @len/@data prefix sums come from a per-executor cache
     * ([[GdsCore.lensWithStarts]]) instead of a per-partition [0, v1)
     * decode. */
-  def extractors(f: GdsFile, required: StructType, v0: Int, v1: Int)
-      : Array[Int => Any] = {
+  def extractors(f: GdsFile, required: StructType, v0: Int, v1: Int,
+      sampleSel: Option[Array[Int]] = None): Array[Int => Any] = {
     val root = f.root
-    if (isSnpTree(root)) return snpExtractors(f, required, v0, v1)
+    if (isSnpTree(root)) return snpExtractors(f, required, v0, v1, sampleSel)
+    // sample-dimension pushdown (the reference's sample bitmap applied
+    // AT DECODE): per-sample columns materialize only the selected
+    // ordinals — at biobank width, selecting a sub-cohort skips the
+    // array assembly for every unselected sample
+    def selOf(nS: Int): (Int, Int => Int) = sampleSel match {
+      case Some(sel) => (sel.length, sel.apply)
+      case None => (nS, identity)
+    }
     val nVariants = root("variant.id").dims.head
     val nRange = v1 - v0
     val ann = root.child("annotation")
@@ -444,14 +463,15 @@ object GdsSchema {
       val rd = valueReaderRange(dataN, vtype, starts(v0) * nS, endElem * nS,
         total.toLong * nS)
       val numberOne = attrStr(node, "Number").contains("1")
+      val (outN, smap) = selOf(nS)
       if (numberOne)
         (v: Int) => new GenericArrayData(
-          Array.tabulate[Any](nS)(s => rd(starts(v) * nS + s)))
+          Array.tabulate[Any](outN)(si => rd(starts(v) * nS + smap(si))))
       else
-        (v: Int) => new GenericArrayData(Array.tabulate[Any](nS)(s =>
+        (v: Int) => new GenericArrayData(Array.tabulate[Any](outN)(si =>
           if (lens(v) <= 0) null
           else new GenericArrayData(Array.tabulate[Any](lens(v))(r =>
-            rd((starts(v) + r) * nS + s)))))
+            rd((starts(v) + r) * nS + smap(si))))))
     }
 
     required.fields.map { field =>
@@ -516,13 +536,14 @@ object GdsSchema {
         case "pg" =>
           // bit-planes → engine 2-bit REF-dosage, no array materialization
           val (data, unitBase, planes, starts, nS, ploidy) = genoData.get
+          val (outN, smap) = selOf(nS)
           (v: Int) => {
             val np = planes(v)
             val missCode = (1 << (2 * np)) - 1
             val rowBase = starts(v).toLong * nS * ploidy - unitBase
-            val out = new Array[Byte]((nS + 3) / 4)
-            if (np == 1 && ploidy == 2 && (rowBase & 3) == 0 &&
-                (nS & 1) == 0) {
+            val out = new Array[Byte]((outN + 3) / 4)
+            if (sampleSel.isEmpty && np == 1 && ploidy == 2 &&
+                (rowBase & 3) == 0 && (nS & 1) == 0) {
               // aligned diploid single-plane row: one input byte = two
               // calls; translate per BYTE through the 256-entry table
               // (the biobank-width hot path — 4 samples per output byte)
@@ -538,8 +559,9 @@ object GdsSchema {
                 out((i >> 1) - 1) = (lo | (hi << 4)).toByte
               }
             } else {
-              var s = 0
-              while (s < nS) {
+              var si = 0
+              while (si < outN) {
+                val s = smap(si)
                 var refs = 0
                 var miss = false
                 var a = 0
@@ -556,19 +578,21 @@ object GdsSchema {
                   a += 1
                 }
                 val c2 = if (miss || refs > 2) 3 else refs
-                out(s >> 2) = (out(s >> 2) | (c2 << ((s & 3) << 1))).toByte
-                s += 1
+                out(si >> 2) = (out(si >> 2) | (c2 << ((si & 3) << 1))).toByte
+                si += 1
               }
             }
             out
           }
         case "geno" =>
           val (data, unitBase, planes, starts, nS, ploidy) = genoData.get
+          val (outN, smap) = selOf(nS)
           (v: Int) => {
             val np = planes(v)
             val missCode = (1 << (2 * np)) - 1
             val rowBase = starts(v).toLong * nS * ploidy - unitBase
-            new GenericArrayData(Array.tabulate[Any](nS) { s =>
+            new GenericArrayData(Array.tabulate[Any](outN) { si =>
+              val s = smap(si)
               val base = Array.tabulate[Any](ploidy) { a =>
                 var code = 0
                 var k = 0
@@ -587,9 +611,10 @@ object GdsSchema {
           }
         case "phased" =>
           val (data, unitBase, nS) = phaseData.get
-          (v: Int) => new GenericArrayData(Array.tabulate[Any](nS)(s =>
+          val (outN, smap) = selOf(nS)
+          (v: Int) => new GenericArrayData(Array.tabulate[Any](outN)(si =>
             java.lang.Boolean.valueOf(
-              bit1(data, v.toLong * nS + s - unitBase) == 1)))
+              bit1(data, v.toLong * nS + smap(si) - unitBase) == 1)))
         case n if n.startsWith("info_") =>
           infoExtractor(infoNode(n.stripPrefix("info_")).getOrElse(
             throw new NoSuchElementException(s"gds info node $n")))
@@ -621,6 +646,11 @@ class GdsScanBuilder(paths: Seq[String], full: StructType,
   private var required: StructType = full
   private val splitVariants =
     Option(options.get("splitVariants")).map(_.toInt)
+  // option("samples", "0,5,9"): sample-ordinal pushdown — per-sample
+  // columns decode only these ordinals, in the given order
+  private val sampleSel: Option[Array[Int]] =
+    Option(options.get("samples")).map(_.split(",")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt))
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep at least one column so row counts survive `select(count(*))`
@@ -643,7 +673,7 @@ class GdsScanBuilder(paths: Seq[String], full: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GdsScan(paths, required, splitVariants, pushed)
+    new GdsScan(paths, required, splitVariants, pushed, sampleSel)
 }
 
 /** Partitioning: a .gds cohort usually ships as per-chromosome shards
@@ -654,7 +684,8 @@ class GdsScanBuilder(paths: Seq[String], full: StructType,
   * one core. `splitVariants` overrides the auto range size. */
 class GdsScan(paths: Seq[String], required: StructType,
     splitVariants: Option[Int],
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    sampleSel: Option[Array[Int]] = None)
     extends Scan with Batch {
   import org.apache.spark.sql.sources._
   override def readSchema(): StructType = required
@@ -750,23 +781,25 @@ class GdsScan(paths: Seq[String], required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdsReaderFactory(required)
+    new GdsReaderFactory(required, sampleSel)
 }
 
 final case class GdsInputPartition(path: String, v0: Int, v1: Int)
     extends InputPartition
 
-class GdsReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GdsReaderFactory(required: StructType,
+    sampleSel: Option[Array[Int]] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GdsInputPartition]
-    new GdsPartitionReader(gp.path, gp.v0, gp.v1, required)
+    new GdsPartitionReader(gp.path, gp.v0, gp.v1, required, sampleSel)
   }
 }
 
 class GdsPartitionReader(path: String, v0: Int, v1: Int,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, sampleSel: Option[Array[Int]] = None)
+    extends PartitionReader[InternalRow] {
   private val file = new GdsFile(path)
-  private val cols = GdsSchema.extractors(file, required, v0, v1)
+  private val cols = GdsSchema.extractors(file, required, v0, v1, sampleSel)
   private var v = v0 - 1
 
   override def next(): Boolean = { v += 1; v < v1 }

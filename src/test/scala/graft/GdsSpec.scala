@@ -124,6 +124,57 @@ class GdsSpec extends AnyFunSuite {
     assert(g(0) == full(0) && g(1) == full(2))
   }
 
+  test("sample-ordinal pushdown decodes only the selected samples") {
+    // option("samples"): the scan-level sample bitmap — every per-sample
+    // column must equal the full read sliced to those ordinals
+    val p = s"$extdata/CEU_Exon.gds"
+    val sel = Seq(3, 0, 41, 89)
+    val pushed = spark.read.format("gds")
+      .option("samples", sel.mkString(",")).load(p)
+      .select("variant_id", "geno", "phased")
+    val full = Gds.read(spark, p)
+    val sliced = full.select(col("variant_id"),
+      array(sel.map(i => element_at(col("geno"), i + 1)): _*).as("geno"),
+      array(sel.map(i => element_at(col("phased"), i + 1)): _*).as("phased"))
+    assert(pushed.count() == 1348)
+    assert(pushed.exceptAll(sliced).count() == 0 &&
+      sliced.exceptAll(pushed).count() == 0)
+    // packed lane under selection matches packing the sliced cube
+    import graft.functions.genetics.pack2b
+    val pgPushed = spark.read.format("gds")
+      .option("samples", sel.mkString(","))
+      .option("packed", "true").load(p)
+      .select(col("variant_id"), col("pg"))
+    val pgSliced = sliced.select(col("variant_id"),
+      pack2b(col("geno")).as("pg"))
+    assert(pgPushed.exceptAll(pgSliced).count() == 0 &&
+      pgSliced.exceptAll(pgPushed).count() == 0)
+    // façade: openGds(sampleIds) == open + setFilterSampleIds
+    import graft.api.SeqArray
+    val ids = Seq("NA06986", "NA06984", "NO_SUCH")
+    val viaScan = SeqArray.openGds(spark, p, ids)
+    val viaSlice = SeqArray.openGds(spark, p).setFilterSampleIds(ids)
+    assert(viaScan.samples.get.orderBy("sample_ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      viaSlice.samples.get.orderBy("sample_ordinal").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq)
+    val a = viaScan.variants.select("variant_id", "geno", "phased")
+    val b = viaSlice.variants.select("variant_id", "geno", "phased")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // fmt matrices under selection (dosage fixture carries fmt_DS)
+    val dsSel = Seq(7, 999, 123)
+    val dsPushed = spark.read.format("gds")
+      .option("samples", dsSel.mkString(","))
+      .load(s"$extdata/Imputed_dosages.gds")
+      .select("variant_id", "fmt_DS")
+    val dsSliced = Gds.read(spark, s"$extdata/Imputed_dosages.gds")
+      .select(col("variant_id"),
+        array(dsSel.map(i => element_at(col("fmt_DS"), i + 1)): _*)
+          .as("fmt_DS"))
+    assert(dsPushed.exceptAll(dsSliced).count() == 0 &&
+      dsSliced.exceptAll(dsPushed).count() == 0)
+  }
+
   test("variant-range splits equal the whole-file scan (CEU + 1KG)") {
     // ranged XZ_RA chunk decode must reproduce the sequential decode
     // byte-for-byte, across both _ra framing versions (CEU=v11, 1KG=v10)
