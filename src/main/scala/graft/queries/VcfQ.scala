@@ -166,18 +166,16 @@ object VcfQ extends QueryModule {
       val shaped = SynthGeno.variants(s, dir)
         .select(col("vid"), col("chrom"), col("pos"), col("geno"),
           col("phased"), dp.as("dp"))
-      // statically-unrolled cell/aggregate expressions — HOF lambdas
-      // (zip_with/aggregate/filter) are CodegenFallback and dominate at
-      // 600k rows; element_at chains stay inside whole-stage codegen
-      val gtArr = split(gtStrings(col("geno"), col("phased"), "\t"), "\t")
-      val cells = array((0 until n).map(i =>
-        concat(element_at(gtArr, i + 1), lit(":"),
-          coalesce(element_at(col("dp"), i + 1).cast("string"),
-            lit(".")))): _*)
+      // the variadic sample-cells kernel fuses GT:DP assembly into ONE
+      // generated loop per row (HOF lambdas are CodegenFallback; the
+      // earlier per-sample element_at unrolling grew the plan with the
+      // cohort width — this stays O(#fields))
       val lines = shaped.select(concat_ws("\t",
         col("chrom"), col("pos"), concat(lit("v"), col("vid")),
         lit("A"), lit("C"), lit("."), lit("."), lit("."),
-        lit("GT:DP"), array_join(cells, "\t")).as("value"))
+        lit("GT:DP"),
+        sampleCells(col("geno"), col("phased"), "\t",
+          Seq(col("dp").cast("array<string>")))).as("value"))
       val parsed = Vcf.parseLines(lines, Nil,
         Seq(Vcf.FieldSpec("GT", "1", "String"),
           Vcf.FieldSpec("DP", "1", "Integer")), n)
