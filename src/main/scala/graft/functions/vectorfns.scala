@@ -44,8 +44,15 @@ object vectorfns {
     * any SQL engine — no RNG state). `table` seeds independent hash
     * tables for banded multi-table LSH (the recall knob: more tables =
     * more chances for a true neighbor to collide). 1-based component
-    * index i matches DuckDB's 1-based list indexing. */
-  def srpBucket(qv: Column, bits: Int, table: Int = 0): Column = {
+    * index i matches DuckDB's 1-based list indexing. One fused codegen
+    * loop for all bits ([[graft.functions.expressions.SrpBucket]]). */
+  def srpBucket(qv: Column, bits: Int, table: Int = 0): Column =
+    Bridge.column(graft.functions.expressions.SrpBucket(
+      Bridge.expression(qv), bits, table))
+
+  /** Reference implementation of [[srpBucket]] as built-in higher-order
+    * functions — kept as the differential oracle for the expression. */
+  def srpBucketHof(qv: Column, bits: Int, table: Int = 0): Column = {
     require(bits > 0 && bits < 31, "bits must be in [1,30]")
     (0 until bits).map { j =>
       val seed = (table * 131L + j + 1) * 2654435761L

@@ -48,6 +48,25 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("srp bucket expression == higher-order reference, both modes") {
+    import spark.implicits._
+    val df = (1 to 200).map { k =>
+      (k.toLong, (0 until 64).map(i => ((k * 31 + i * 7) % 41 - 20).toLong))
+    }.toDF("id", "qv")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val diff = df.select(
+            (0 until 4).map(t =>
+              (srpBucket(col("qv"), 16, t) =!=
+                srpBucketHof(col("qv"), 16, t)).as(s"d$t")): _*)
+          .filter((0 until 4).map(t => col(s"d$t")).reduce(_ || _))
+          .count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("quantize + cosine are exact and order-independent") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.6f, 0.8f)), (2L, Seq(0.6f, 0.8f)),
