@@ -60,6 +60,13 @@ object textfns {
     * Hash family i is `md5(i + ":" + shingle)` — deterministic and
     * replayable in SQL. Null components when the shingle set is empty. */
   def minhashSignature(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.MinhashSig(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), k))
+
+  /** Reference implementation of [[minhashSignature]] as built-in HOFs —
+    * the differential oracle for the fused expression. */
+  def minhashSignatureHof(shingles: Column, k: Int): Column =
     transform(sequence(lit(1), lit(k)), i =>
       array_min(transform(shingles,
         s => md5(concat(i.cast("string"), lit(":"), s)))))

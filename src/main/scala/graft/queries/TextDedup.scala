@@ -152,18 +152,12 @@ object TextDedup extends QueryModule {
       val docs = d.select(col("doc_id"),
           shingles(col("text"), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
-      // Signature via explode + codegen md5 projections + min-aggregation:
-      // the nested-HOF formulation (minhashSignature) is interpreted
-      // (CodegenFallback) and benchmarked ~10× slower; partial aggregation
-      // collapses each partition to one row per doc before the shuffle.
-      val sigs = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id") +: (1 to MINHASH_K).map(i =>
-          md5(concat(lit(s"$i:"), col("s"))).as(s"h$i")): _*)
-        .groupBy(col("doc_id"))
-        .agg(min(col("h1")).as("m1"),
-          (2 to MINHASH_K).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-        .select(col("doc_id"),
-          array((1 to MINHASH_K).map(i => col(s"m$i")): _*).as("sig"))
+      // Fused signature kernel: all k minima in one pass per document —
+      // no shingle explode, no signature shuffle (the earlier explode +
+      // md5 projections + min-aggregate shape paid a full shuffle of the
+      // exploded rows; the nested-HOF form is CodegenFallback).
+      val sigs = docs.select(col("doc_id"),
+        minhashSignature(col("sh"), MINHASH_K).as("sig"))
       val bands = sigs.select(col("doc_id"),
         posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
           .as(Seq("band", "bkey")))
@@ -239,14 +233,8 @@ object TextDedup extends QueryModule {
       val docs = ek.select(col("doc_id"),
           shingles(col("text"), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sigs = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id") +: (1 to MINHASH_K).map(i =>
-          md5(concat(lit(s"$i:"), col("s"))).as(s"h$i")): _*)
-        .groupBy(col("doc_id"))
-        .agg(min(col("h1")).as("m1"),
-          (2 to MINHASH_K).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-        .select(col("doc_id"),
-          array((1 to MINHASH_K).map(i => col(s"m$i")): _*).as("sig"))
+      val sigs = docs.select(col("doc_id"),
+        minhashSignature(col("sh"), MINHASH_K).as("sig"))
       val bands = sigs.select(col("doc_id"),
         posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
           .as(Seq("band", "bkey")))

@@ -33,6 +33,20 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("fused minhash signature == declarative oracle, both modes") {
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val sh = shingles(col("text"), 3)
+        val diff = docs.filter(size(shingles(col("text"), 3)) > 0)
+          .select(minhashSignature(sh, 12).as("a"),
+            minhashSignatureHof(sh, 12).as("b"))
+          .filter(!(col("a") === col("b"))).count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("codegen simhash == declarative oracle, both modes") {
     for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
