@@ -251,6 +251,20 @@ class GdsWriteSpec extends AnyFunSuite {
     assert(coders.forall(_ == "ZIP_ra"), coders.mkString(","))
   }
 
+  test("zero-variant container (seqEmptyFile) round-trips") {
+    import spark.implicits._
+    val src = Seq.empty[(Long, String, Int, String,
+        Seq[Seq[java.lang.Long]], Seq[Boolean])]
+      .toDF("variant_id", "chrom", "pos", "allele", "geno", "phased")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_empty").toString + "/empty.gds"
+    GdsWrite.write(src, Seq("S1", "S2"), out)
+    val back = Gds.read(spark, out)
+    assert(back.count() == 0)
+    assert(Gds.samples(spark, out).count() == 2)
+    assert(Gds.check(spark, out).filter(!col("ok")).count() == 0)
+  }
+
   test("written container parses with the independent python decoder") {
     // the scripts/gds_read.py layer decoder recovered the format from
     // the reference fixtures; our containers must satisfy it too
