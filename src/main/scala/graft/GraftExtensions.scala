@@ -72,5 +72,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash16",
       "simhash16(text) - 16-bit SimHash sketch of whitespace tokens",
       1, a => Simhash16Expr(a(0)))
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a literal integer, got $e")
+    }
+    register(ext, "srp_bucket",
+      "srp_bucket(qv, bits, table) - signed-random-projection LSH bucket",
+      3, a => SrpBucket(a(0), litInt(a(1), "srp_bucket"),
+        litInt(a(2), "srp_bucket")))
+    register(ext, "minhash_sig",
+      "minhash_sig(shingles, k) - fused k-component MinHash signature",
+      2, a => MinhashSig(a(0), litInt(a(1), "minhash_sig")))
+    // variadic: sample_cells(geno, phased, sep, field1, field2, ...)
+    ext.injectFunction((FunctionIdentifier("sample_cells"),
+      info("sample_cells",
+        "sample_cells(geno, phased, sep, cells...) - GT[:f]... per sample"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3,
+          s"sample_cells expects >= 3 arguments, got ${args.length}")
+        SampleCellsJoined(args)
+      }))
   }
 }

@@ -45,4 +45,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Any](7) == Seq(1L))
     assert(r.getSeq[Long](8) == Seq(2L, 2L, 1L, 0L, 0L))
   }
+
+  test("round-4 kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  srp_bucket(array(1L, -2L, 3L), 8, 1) AS srp,
+        |  minhash_sig(array('a b c', 'b c d'), 3) AS mh,
+        |  sample_cells(array(array(0L, 1L)), array(true), ';',
+        |    array('42')) AS cells
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) >= 0L && r.getLong(0) < 256L)
+    assert(r.getSeq[String](1).length == 3 &&
+      r.getSeq[String](1).forall(_.length == 32))
+    assert(r.getString(2) == "0|1:42")
+  }
 }
