@@ -754,9 +754,26 @@ object GdsCore {
     }
   }
 
+  /** Fixed-width string vector (dFStr8 — SNPRelate's default string
+    * storage): stride = rawSize / count, elements NUL-padded. */
+  private def fixedStrings(b: Array[Byte], count: Int, rawSize: Long)
+      : Array[String] = {
+    if (count == 0) return Array.empty
+    val stride = (rawSize / count).toInt
+    Array.tabulate(count) { i =>
+      var len = 0
+      while (len < stride && b(i * stride + len) != 0) len += 1
+      new String(b, i * stride, len, "UTF-8")
+    }
+  }
+
   /** Length-prefixed string vector (dStr8); lengths are LEB128 varints
-    * (single byte below 128 — 1KG carries 296 kb indel alleles). */
+    * (single byte below 128 — 1KG carries 296 kb indel alleles). Also
+    * accepts fixed-width dFStr8 nodes. */
   def strings(f: GdsFile, n: Node): Array[String] = {
+    if (n.cls.contains("dFStr8"))
+      return fixedStrings(nodeBytes(f, n), n.dims.headOption.getOrElse(0),
+        n.rawSize)
     require(n.cls.contains("dStr8"),
       s"gds string decode for class ${n.cls} at ${n.path}")
     val b = nodeBytes(f, n)
@@ -1009,8 +1026,17 @@ object GdsCore {
   }
 
   /** dStr8 elements [e0, e1), locally indexed (result(0) = element e0);
-    * decodes only the XZ_RA chunks covering the range. */
+    * decodes only the chunks covering the range. Fixed-width dFStr8
+    * nodes slice directly (stride known without an element index). */
   def stringsRange(f: GdsFile, n: Node, e0: Int, e1: Int): Array[String] = {
+    if (n.cls.contains("dFStr8")) {
+      val cnt = n.dims.headOption.getOrElse(0)
+      if (e1 <= e0 || cnt == 0) return Array.empty
+      val stride = n.rawSize / cnt
+      return fixedStrings(
+        nodeBytesRange(f, n, e0 * stride, (e1 - e0).toLong * stride),
+        e1 - e0, (e1 - e0).toLong * stride)
+    }
     require(n.cls.contains("dStr8"),
       s"gds string decode for class ${n.cls} at ${n.path}")
     if (e1 <= e0) return Array.empty

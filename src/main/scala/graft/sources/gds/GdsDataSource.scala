@@ -177,7 +177,7 @@ object GdsSchema {
         case "chrom" =>
           val n = root("snp.chromosome")
           val a = n.cls.getOrElse("") match {
-            case "dStr8" => stringsRange(f, n, v0, v1)
+            case "dStr8" | "dFStr8" => stringsRange(f, n, v0, v1)
             case _ => intsRange(f, n, v0, nRange).map(_.toString)
           }
           (v: Int) => utf8(a(v - v0))
@@ -387,7 +387,7 @@ object GdsSchema {
         count: Long): Int => AnyRef = {
       val whole = e1 < 0
       n.cls.getOrElse("") match {
-        case "dStr8" =>
+        case "dStr8" | "dFStr8" =>
           val (a, base) = if (whole) (strings(f, n), 0)
             else (stringsRange(f, n, e0, math.max(e1, e0)), e0)
           i => if (a(i - base).isEmpty) null else utf8(a(i - base))
@@ -891,7 +891,7 @@ object Gds {
         f.root.child("sample.annotation").map(_.children).getOrElse(Nil)
           .flatMap { n =>
             n.cls.getOrElse("") match {
-              case "dStr8" =>
+              case "dStr8" | "dFStr8" =>
                 val a = GdsCore.strings(f, n)
                 Some((n.name, StructField(n.name, StringType),
                   (i: Int) => a(i): Any))

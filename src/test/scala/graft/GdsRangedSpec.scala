@@ -71,6 +71,33 @@ class GdsRangedSpec extends AnyFunSuite {
     checkFile(s"$extdata/Imputed_dosages.gds")
   }
 
+  test("fixed-width dFStr8 nodes decode whole and ranged") {
+    // SNPRelate's default string storage is fixed-width NUL-padded
+    // (stride = rawSize / count) — no element index needed, ranged
+    // reads slice directly
+    val vals = (0 until 500).map(i => s"c${i % 23}")
+    val width = 8
+    val payload = new Array[Byte](vals.length * width)
+    vals.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, payload, i * width, b.length)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstr").toString
+    val c = new graft.sources.gds.GdsWrite.Container()
+    val rootId = c.allocId()
+    val node = c.node("dFStr8", Seq(vals.length), payload)
+    c.folderAt(rootId, Seq((node, "fs", 0)))
+    c.save(s"$dir/fs.gds", rootId)
+    val f = new GdsFile(s"$dir/fs.gds")
+    try {
+      val n = f.root("fs")
+      assert(GdsCore.strings(f, n).toSeq == vals)
+      assert(GdsCore.stringsRange(f, n, 100, 130).toSeq ==
+        vals.slice(100, 130))
+      assert(GdsCore.stringsRange(f, n, 499, 500).toSeq == Seq(vals.last))
+    } finally f.close()
+  }
+
   test("ranged reads pull only the covering chunks' bytes from disk") {
     // the scale guarantee behind variant-range splits: decoding a small
     // slice of a big node must NOT read the node's whole compressed
