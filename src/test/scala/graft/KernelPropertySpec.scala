@@ -74,6 +74,59 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 kernels agree with HOF oracles on random inputs") {
+    import spark.implicits._
+    import graft.functions.vectorfns.{srpBucket, srpBucketHof}
+    // sample_cells: arbitrary ragged cubes + a per-sample field column
+    for (round <- 1 to 4) {
+      val cubes = (1 to 40).map(i =>
+        draw(cubeGen(Gen.choose(1, 3)), 11000L * round + i))
+      val df = cubes.zipWithIndex.map { case (g, i) =>
+        (i.toLong, g, g.indices.map(_ % 2 == 0),
+          g.indices.map(s => if ((i + s) % 4 == 0) null else s"f$s"))
+      }.toDF("vid", "geno", "phased", "fld")
+      val gtArr = split(gtStrings(col("geno"), col("phased"), "\t"), "\t")
+      val oracle = array_join(
+        transform(sequence(lit(1), size(col("geno"))), i =>
+          concat(element_at(gtArr, i), lit(":"),
+            coalesce(element_at(col("fld"), i), lit(".")))), "\t")
+      val bad = df.select(
+          sampleCells(col("geno"), col("phased"), "\t",
+            Seq(col("fld"))).as("a"),
+          oracle.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(bad == 0, s"sample_cells round=$round")
+    }
+    // srp_bucket: random null-free quantized vectors (non-empty — the
+    // HOF oracle's sequence(1, size) steps backwards on size 0), all 4
+    // tables
+    val vecGen = Gen.choose(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000L, 1000L)))
+    for (round <- 1 to 4) {
+      val vecs = (1 to 60).map(i => draw(vecGen, 13000L * round + i))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "qv")
+      val bad = df.select(
+          (0 until 4).map(t => (srpBucket(col("qv"), 16, t) =!=
+            srpBucketHof(col("qv"), 16, t)).as(s"d$t")): _*)
+        .filter((0 until 4).map(t => col(s"d$t")).reduce(_ || _)).count()
+      assert(bad == 0, s"srp round=$round")
+    }
+    // minhash_sig: random shingle sets incl. empty
+    val shingleGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a b c", "b c d", "x y z", "q w e", "spark sql x")))
+    for (round <- 1 to 4) {
+      val sets = (1 to 60).map(i => draw(shingleGen, 17000L * round + i))
+      val df = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sh")
+      val bad = df.select(
+          minhashSignature(col("sh"), 8).as("a"),
+          minhashSignatureHof(col("sh"), 8).as("b"))
+        .filter(!(col("a") === col("b"))).count()
+      assert(bad == 0, s"minhash round=$round")
+    }
+  }
+
   test("text kernels agree with HOF oracles on random token soup") {
     import spark.implicits._
     val word = Gen.oneOf("spark", "sort", "a", "b", "xy", "zq", "data")
