@@ -453,13 +453,16 @@ case class SampleCellsJoined(children: Seq[Expression])
     val sa = ctx.freshName("sa")
     val ph = ctx.freshName("ph")
     val sepStr = ctx.freshName("sepStr")
+    // NOTE: this fragment is folded into the outer code block's static
+    // parts, so the outer .stripMargin processes it a SECOND time — a
+    // line-leading "||" would be eaten as a margin character (round-4
+    // codegen bug: `if (a || b\n|| c)` compiled to `if (a || b\nc)`).
+    // Keep boolean operators at line ENDS and use no margins here.
     val fieldAppends = fEvs.map { f =>
-      s"""
-         |$sb.append(':');
-         |if (${f.isNull} || $i >= ${f.value}.numElements()
-         |    || ${f.value}.isNullAt($i)) $sb.append('.');
-         |else $sb.append(${f.value}.getUTF8String($i).toString());
-       """.stripMargin
+      s"""$sb.append(':');
+if (${f.isNull} || $i >= ${f.value}.numElements() ||
+    ${f.value}.isNullAt($i)) $sb.append('.');
+else $sb.append(${f.value}.getUTF8String($i).toString());"""
     }.mkString("\n")
     val code =
       code"""

@@ -72,8 +72,10 @@ case class SrpBucket(child: Expression, bits: Int, table: Int)
       val acc = ctx.freshName("acc")
       val bkt = ctx.freshName("bkt")
       val seeds = ctx.freshName("seeds")
-      // hyperplane seeds are compile-time constants of (table, bits)
-      val seedInit = (0 until bits).map(seedOf).mkString(", ")
+      // hyperplane seeds are compile-time constants of (table, bits);
+      // the L suffix is required — they exceed Int.MaxValue and Janino
+      // rejects bare int literals that overflow (round-4 codegen bug)
+      val seedInit = (0 until bits).map(j => s"${seedOf(j)}L").mkString(", ")
       s"""
          |final long[] $seeds = new long[] { $seedInit };
          |final long[] $acc = new long[$bits];
