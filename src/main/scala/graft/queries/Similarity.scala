@@ -342,5 +342,91 @@ object Similarity extends QueryModule {
            ORDER BY cos DESC, vec_id) AS rank FROM cand)
       WHERE rank <= 5"""))
 
-  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61)
+  // --- k-means centroid training (Lloyd): the index-BUILD half of IVF —
+  // q38/q61 score against given centroids; this trains them. Exact oracle
+  // parity for an iterative float algorithm comes from never dividing:
+  // a centroid is its cluster's component-wise integer SUM (cosine is
+  // scale-invariant, so cos(v, sum/n) == cos(v, sum) bit-for-bit).
+  // Init is deterministic (the K smallest vec_ids as singleton clusters);
+  // each iteration is one explode+groupBy tree-aggregate (the standard
+  // distributed k-means update — shuffles k·dims rows, never the corpus)
+  // plus one broadcast-centroid assignment; ITERS is fixed so the oracle
+  // can replay the exact unrolled computation. At 100 TB: corpus scanned
+  // ITERS+1 times, each pass one broadcast join + one k·dims-row shuffle.
+  private val KMEANS_K = 8
+  private val KMEANS_ITERS = 2
+  private val q63 = Q("q63_kmeans_train",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      // assignment: nearest (max-cosine, tie → smallest cid) centroid
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cid"))
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("qv"), col("nrm"), col("cid"),
+            cosineQ(dotLong(col("qv"), col("cv")), col("nrm"), col("cnrm"))
+              .as("cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn")
+      }
+      // update: component-wise integer sums of each cluster's members
+      def centroids(assigned: DataFrame): DataFrame = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val init = e.filter(col("vec_id") < KMEANS_K)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"),
+          col("nrm").as("cnrm"))
+      var assigned = assign(init)
+      for (_ <- 1 to KMEANS_ITERS) assigned = assign(centroids(assigned))
+      assigned.groupBy(col("cid")).agg(
+        count(lit(1)).as("n"),
+        sum(col("vec_id")).as("sum_vid"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+    },
+    Some {
+      // one CTE pair per iteration: update from a$k, assign into a${k+1}
+      def cosSql(q: String, c: String, qn: String, cn: String) =
+        s"""CASE WHEN $qn > 0 AND $cn > 0 THEN
+            CAST(${dotSql.format(q, q, c)} AS DOUBLE) /
+              (sqrt(CAST($qn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE))) END"""
+      def assignSql(cent: String, out: String) =
+        s"""$out AS (SELECT vec_id, qv, nrm, cid, cos FROM
+          (SELECT n.vec_id, n.qv, n.nrm, c.cid,
+             ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")}
+                 DESC, c.cid) AS rn
+           FROM n, $cent c) WHERE rn = 1)"""
+      def updateSql(prev: String, k: Int) =
+        s"""sums$k AS (SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sx
+             FROM $prev, (SELECT unnest(range(1, 65)) AS i)
+             GROUP BY cid, i),
+           cent$k AS (SELECT cid, list(sx ORDER BY i) AS cv FROM sums$k
+             GROUP BY cid),
+           centn$k AS (SELECT cid, cv, ${dot2("cv", "cv")} AS cnrm
+             FROM cent$k)"""
+      val iters = (1 to KMEANS_ITERS).map(k =>
+        updateSql(s"a${k - 1}", k) + ",\n" + assignSql(s"centn$k", s"a$k"))
+        .mkString(",\n")
+      s"""WITH q AS ($qCte),
+        n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+        centn0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n
+          WHERE vec_id < $KMEANS_K),
+        ${assignSql("centn0", "a0")},
+        $iters
+        SELECT cid, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vid,
+          MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        FROM a$KMEANS_ITERS GROUP BY cid"""
+    })
+
+  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61, q63)
 }
