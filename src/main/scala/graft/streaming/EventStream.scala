@@ -40,6 +40,25 @@ object EventStream {
       lines.filter(!col("value").startsWith("#")), info, fmt, samples.length)
   }
 
+  /** Streaming exact dedup for a continuously-ingested document corpus
+    * (the training-data-pipeline shape: dedup a crawl as it arrives,
+    * not in a nightly batch). Content fingerprints are the SAME
+    * order-insensitive md5 used by the batch dedup (q32), so a document
+    * already admitted suppresses later arrivals of identical content.
+    * The watermark bounds the dedup state: fingerprints older than
+    * `lateness` are evicted — at 100 TB/day ingest the state holds one
+    * ~16-byte key per distinct document inside the horizon instead of
+    * forever. Input needs `ts TIMESTAMP` and `text STRING`. */
+  def dedupStream(docs: DataFrame, lateness: String): DataFrame = {
+    import graft.functions.textfns._
+    val fp = docs.withColumn("fp", fingerprint(tokens(col("text"))))
+    // the within-watermark variant (bounded state) exists only for
+    // streams; on a static frame plain dropDuplicates is the same query
+    if (docs.isStreaming)
+      fp.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Int, total: Double,
       closed: Boolean)

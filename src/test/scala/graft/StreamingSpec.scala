@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup == batch dedup fingerprint set") {
+    import spark.implicits._
+    // duplicates differ in token ORDER and MULTIPLICITY — the
+    // fingerprint is order-insensitive and set-based (q32 semantics),
+    // so all three "aa bb" variants collapse to one admitted document
+    val docs = Seq(
+      (ts(1), "aa bb"), (ts(2), "unique one"), (ts(3), "bb aa"),
+      (ts(10), "aa bb aa"), (ts(12), "another text"), (ts(14), "unique one"))
+    val stream = MemoryStream[(Timestamp, String)](spark)
+    val out = EventStream.dedupStream(
+      stream.toDF().toDF("ts", "text"), "1 minute")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // duplicates split ACROSS micro-batches: admission state must
+      // carry over, not reset per batch
+      stream.addData(docs.take(3))
+      q.processAllAvailable()
+      stream.addData(docs.drop(3))
+      q.processAllAvailable()
+      val streamedFps = spark.table("dedup_out")
+        .select(col("fp")).as[String].collect().toSet
+      val batchFps = EventStream.dedupStream(
+          docs.toDF("ts", "text"), "1 minute")
+        .select(col("fp")).as[String].collect().toSet
+      assert(streamedFps == batchFps)
+      assert(streamedFps.size == 3) // {aa bb}, {unique one}, {another text}
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
