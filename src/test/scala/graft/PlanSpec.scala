@@ -124,6 +124,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q61/q63: IVF plans broadcast centroids and probe lists only") {
+    // every join in the IVF search and k-means build must broadcast the
+    // SMALL side (centroids: k rows; probe lists: probes×nprobe) — a
+    // sort-merge join here would shuffle the corpus once per iteration
+    for (q <- Seq("q61_ivf_search", "q63_kmeans_train")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q62: dedup pipeline joins near-dup candidates on band keys") {
+    val p = plan("q62_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sharded export: one range exchange + partition-local sort only") {
     import org.apache.spark.sql.functions._
     val src = spark.range(1000).select(col("id").as("variant_id"),
