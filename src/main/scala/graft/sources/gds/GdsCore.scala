@@ -231,6 +231,12 @@ object GdsCore {
     while (i >= o) { v = (v << 8) | (b(i) & 0xff); i -= 1 }
     v
   }
+  private def i64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = o + 7
+    while (i >= o) { v = (v << 8) | (b(i) & 0xff); i -= 1 }
+    v
+  }
   private def f64le(b: Array[Byte], o: Int): Double = {
     var bits = 0L
     var i = o + 7
@@ -630,62 +636,101 @@ object GdsCore {
       s"gds ranged decode short read: $written of $rawLen at raw $rawOff")
   }
 
-  /** Fixed-stride int elements [off, off+cnt). */
-  def intsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Int] = {
-    n.cls.getOrElse("") match {
-      case "dInt32" =>
-        val b = nodeBytesRange(f, n, off * 4, cnt.toLong * 4)
-        Array.tabulate(cnt)(i => u32(b, 4 * i))
-      case "dInt16" =>
-        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
-        Array.tabulate(cnt)(i => (u16(b, 2 * i) << 16) >> 16)
-      case "dUInt8" =>
-        val b = nodeBytesRange(f, n, off, cnt.toLong)
-        Array.tabulate(cnt)(i => b(i) & 0xff)
-      case "dInt8" =>
-        val b = nodeBytesRange(f, n, off, cnt.toLong)
-        Array.tabulate(cnt)(i => b(i).toInt)
-      case c => throw new UnsupportedOperationException(
-        s"gds ranged int decode for class $c at ${n.path}")
-    }
+  /** Byte stride of a fixed-stride integer storage class. */
+  private def intStride(cls: String, path: String): Int = cls match {
+    case "dInt8" | "dUInt8" => 1
+    case "dInt16" | "dUInt16" => 2
+    case "dInt32" | "dUInt32" => 4
+    case "dInt64" | "dUInt64" => 8
+    case c => throw new UnsupportedOperationException(
+      s"gds int decode for class $c at $path")
   }
 
-  /** Fixed-stride float elements [off, off+cnt). */
-  def floatsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Float] = {
-    n.cls.getOrElse("") match {
+  /** Decode `cnt` little-endian integers of class `cls` from b(0).
+    * Values surface as Int — the engine's axis/annotation type; a
+    * dUInt32 above 2^31−1 or a 64-bit magnitude beyond Int range wraps
+    * (the id/coordinate/index nodes these classes carry fit in Int). */
+  private def intsFromBytes(b: Array[Byte], cls: String, cnt: Int)
+      : Array[Int] = cls match {
+    case "dInt8" => Array.tabulate(cnt)(i => b(i).toInt)
+    case "dUInt8" => Array.tabulate(cnt)(i => b(i) & 0xff)
+    case "dInt16" => Array.tabulate(cnt)(i => (u16(b, 2 * i) << 16) >> 16)
+    case "dUInt16" => Array.tabulate(cnt)(i => u16(b, 2 * i))
+    case "dInt32" | "dUInt32" => Array.tabulate(cnt)(i => u32(b, 4 * i))
+    case "dInt64" | "dUInt64" => Array.tabulate(cnt)(i => i64(b, 8 * i).toInt)
+  }
+
+  /** Byte stride of a fixed-stride float storage class. */
+  private def floatStride(cls: String, path: String): Int = cls match {
+    case "dPackedReal8" | "dPackedReal8U" => 1
+    case "dPackedReal16" | "dPackedReal16U" => 2
+    case "dPackedReal24" | "dPackedReal24U" => 3
+    case "dFloat32" | "dPackedReal32" | "dPackedReal32U" => 4
+    case "dFloat64" => 8
+    case c => throw new UnsupportedOperationException(
+      s"gds float decode for class $c at $path")
+  }
+
+  /** Effective packed-real scale: the node's stored scale attribute when
+    * present. Defaults are only assumed where verified — dPackedReal8U's
+    * 1/127 (the Imputed_dosages fixture) and packedreal16's 0.0001 (the
+    * reference's documented dosage storage, R/ConvVCF2GDS.R:580); other
+    * packed classes REQUIRE the stored attribute rather than guess. */
+  private def packedScaleOf(n: Node, cls: String): Double =
+    if (!n.packedScale.isNaN) n.packedScale
+    else cls match {
+      case "dPackedReal8U" => 1.0 / 127
+      case "dPackedReal16" | "dPackedReal16U" => 0.0001
+      case c => throw new UnsupportedOperationException(
+        s"gds $c without a stored scale attribute at ${n.path}")
+    }
+
+  /** Decode `cnt` floats of class `cls` from b(0). Packed classes store
+    * value/scale as little-endian integer codes; the missing sentinel is
+    * the minimum signed / maximum unsigned code of the width. */
+  private def floatsFromBytes(b: Array[Byte], n: Node, cls: String, cnt: Int)
+      : Array[Float] = {
+    def i24u(i: Int): Int =
+      (b(3 * i) & 0xff) | ((b(3 * i + 1) & 0xff) << 8) |
+        ((b(3 * i + 2) & 0xff) << 16)
+    lazy val scale = packedScaleOf(n, cls)
+    def packed(code: Int => Int, missing: Int): Array[Float] =
+      Array.tabulate(cnt) { i =>
+        val v = code(i)
+        if (v == missing) Float.NaN else (v * scale).toFloat
+      }
+    cls match {
       case "dFloat32" =>
-        val b = nodeBytesRange(f, n, off * 4, cnt.toLong * 4)
         Array.tabulate(cnt)(i => java.lang.Float.intBitsToFloat(u32(b, 4 * i)))
       case "dFloat64" =>
-        val b = nodeBytesRange(f, n, off * 8, cnt.toLong * 8)
         Array.tabulate(cnt)(i => f64le(b, 8 * i).toFloat)
-      case "dPackedReal8U" =>
-        val scale = if (n.packedScale.isNaN) 1.0 / 127 else n.packedScale
-        val b = nodeBytesRange(f, n, off, cnt.toLong)
-        Array.tabulate(cnt) { i =>
-          val v = b(i) & 0xff
-          if (v == 0xff) Float.NaN else (v * scale).toFloat
-        }
+      case "dPackedReal8" => packed(i => b(i).toInt, Byte.MinValue.toInt)
+      case "dPackedReal8U" => packed(i => b(i) & 0xff, 0xff)
       case "dPackedReal16" =>
         // the reference's default imputation-dosage storage
         // ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:580);
         // signed int16, min value = missing
-        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
-        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
-        Array.tabulate(cnt) { i =>
-          val v = ((u16(b, 2 * i) << 16) >> 16).toShort
-          if (v == Short.MinValue) Float.NaN else (v * scale).toFloat
-        }
-      case "dPackedReal16U" =>
-        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
-        val b = nodeBytesRange(f, n, off * 2, cnt.toLong * 2)
-        Array.tabulate(cnt) { i =>
-          val v = u16(b, 2 * i)
-          if (v == 0xffff) Float.NaN else (v * scale).toFloat
-        }
-      case c => throw new UnsupportedOperationException(
-        s"gds ranged float decode for class $c at ${n.path}")
+        packed(i => (u16(b, 2 * i) << 16) >> 16, Short.MinValue.toInt)
+      case "dPackedReal16U" => packed(i => u16(b, 2 * i), 0xffff)
+      case "dPackedReal24" => packed(i => (i24u(i) << 8) >> 8, -0x800000)
+      case "dPackedReal24U" => packed(i24u, 0xffffff)
+      case "dPackedReal32" => packed(i => u32(b, 4 * i), Int.MinValue)
+      case "dPackedReal32U" => packed(i => u32(b, 4 * i), -1) // 0xffffffff
     }
+  }
+
+  /** Fixed-stride int elements [off, off+cnt). */
+  def intsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Int] = {
+    val cls = n.cls.getOrElse("")
+    val w = intStride(cls, n.path)
+    intsFromBytes(nodeBytesRange(f, n, off * w, cnt.toLong * w), cls, cnt)
+  }
+
+  /** Fixed-stride float elements [off, off+cnt). */
+  def floatsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Float] = {
+    val cls = n.cls.getOrElse("")
+    val w = floatStride(cls, n.path)
+    floatsFromBytes(nodeBytesRange(f, n, off * w, cnt.toLong * w), n, cls, cnt)
   }
 
   /** 2-bit units [u0, u1): returns (bytes, unitBase) — index with
@@ -708,50 +753,15 @@ object GdsCore {
   // ---- typed array decode --------------------------------------------------
 
   def ints(f: GdsFile, n: Node): Array[Int] = {
+    val cls = n.cls.getOrElse("")
     val b = nodeBytes(f, n)
-    n.cls.getOrElse("") match {
-      case "dInt32" =>
-        Array.tabulate(b.length / 4)(i => u32(b, 4 * i))
-      case "dInt16" =>
-        Array.tabulate(b.length / 2)(i =>
-          (u16(b, 2 * i) << 16) >> 16)
-      case "dUInt8" => Array.tabulate(b.length)(i => b(i) & 0xff)
-      case "dInt8" => Array.tabulate(b.length)(i => b(i).toInt)
-      case c => throw new UnsupportedOperationException(
-        s"gds int decode for class $c at ${n.path}")
-    }
+    intsFromBytes(b, cls, b.length / intStride(cls, n.path))
   }
 
   def floats(f: GdsFile, n: Node): Array[Float] = {
+    val cls = n.cls.getOrElse("")
     val b = nodeBytes(f, n)
-    n.cls.getOrElse("") match {
-      case "dFloat32" =>
-        Array.tabulate(b.length / 4)(i =>
-          java.lang.Float.intBitsToFloat(u32(b, 4 * i)))
-      case "dFloat64" =>
-        Array.tabulate(b.length / 8)(i => f64le(b, 8 * i).toFloat)
-      case "dPackedReal8U" =>
-        val scale =
-          if (n.packedScale.isNaN) 1.0 / 127 else n.packedScale
-        Array.tabulate(b.length) { i =>
-          val v = b(i) & 0xff
-          if (v == 0xff) Float.NaN else (v * scale).toFloat
-        }
-      case "dPackedReal16" =>
-        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
-        Array.tabulate(b.length / 2) { i =>
-          val v = ((u16(b, 2 * i) << 16) >> 16).toShort
-          if (v == Short.MinValue) Float.NaN else (v * scale).toFloat
-        }
-      case "dPackedReal16U" =>
-        val scale = if (n.packedScale.isNaN) 0.0001 else n.packedScale
-        Array.tabulate(b.length / 2) { i =>
-          val v = u16(b, 2 * i)
-          if (v == 0xffff) Float.NaN else (v * scale).toFloat
-        }
-      case c => throw new UnsupportedOperationException(
-        s"gds float decode for class $c at ${n.path}")
-    }
+    floatsFromBytes(b, n, cls, b.length / floatStride(cls, n.path))
   }
 
   /** Fixed-width string vector (dFStr8 — SNPRelate's default string

@@ -200,13 +200,38 @@ object GdsWrite {
     * min-int16 missing sentinel, finite values clamped to the packable
     * range (the reference's packedreal16 dosage storage,
     * ConvVCF2GDS.R:577-583). */
-  def packedReal16Payload(vs: Iterable[Float], scale: Double): Array[Byte] = {
+  def packedReal16Payload(vs: Iterable[Float], scale: Double): Array[Byte] =
+    packedRealPayload(vs, scale, width = 2, unsigned = false)
+
+  /** Generic packed-real payload (dPackedReal{8,16,24,32}[U]):
+    * value/scale rounded to a `width`-byte LE code, NaN → the missing
+    * sentinel (minimum signed / maximum unsigned code), finite values
+    * clamped to the packable range. */
+  def packedRealPayload(vs: Iterable[Float], scale: Double, width: Int,
+      unsigned: Boolean): Array[Byte] = {
+    val bits = 8 * width
+    val (lo, hi, missing) =
+      if (unsigned) (0L, (1L << bits) - 2, (1L << bits) - 1)
+      else (-(1L << (bits - 1)) + 1, (1L << (bits - 1)) - 1,
+        -(1L << (bits - 1)))
     val o = new ByteArrayOutputStream()
     vs.foreach { v =>
       val code =
-        if (v != v) Short.MinValue.toInt
-        else math.max(-32767, math.min(32767, math.round(v / scale))).toInt
-      o.write(code & 0xff); o.write((code >> 8) & 0xff)
+        if (v != v) missing
+        else math.max(lo, math.min(hi, math.round(v / scale)))
+      var k = 0
+      while (k < width) { o.write(((code >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    o.toByteArray
+  }
+
+  /** Fixed-width little-endian integer payload (dInt{8,16,32,64} and the
+    * unsigned variants; `width` in bytes). */
+  def intPayloadW(vs: Iterable[Long], width: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    vs.foreach { v =>
+      var k = 0
+      while (k < width) { o.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
     }
     o.toByteArray
   }

@@ -290,4 +290,113 @@ print('OK', len(names))
     val outTxt = scala.io.Source.fromInputStream(py.getInputStream).mkString
     assert(py.waitFor() == 0 && outTxt.contains("OK"), outTxt)
   }
+
+  test("every fixed-stride storage class round-trips whole and ranged") {
+    import graft.sources.gds.GdsCore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_classes").toString
+
+    // ---- integer classes: full signed/unsigned width matrix ----------
+    val intCases: Seq[(String, Int, Seq[Long])] = Seq(
+      ("dInt8", 1, Seq(-128L, -1L, 0L, 1L, 127L)),
+      ("dUInt8", 1, Seq(0L, 1L, 200L, 255L)),
+      ("dInt16", 2, Seq(-32768L, -300L, 0L, 300L, 32767L)),
+      ("dUInt16", 2, Seq(0L, 1L, 40000L, 65535L)),
+      ("dInt32", 4, Seq(Int.MinValue.toLong, -7L, 0L, 7L, Int.MaxValue.toLong)),
+      ("dUInt32", 4, Seq(0L, 1L, 2000000000L)),
+      ("dInt64", 8, Seq(-2000000000L, -1L, 0L, 1L, 2000000000L)),
+      ("dUInt64", 8, Seq(0L, 1L, 2000000000L)))
+    for ((cls, w, base) <- intCases) {
+      val vs = base ++ base ++ base // >1 element per ranged slice
+      val path = s"$dir/int_$cls.gds"
+      val c = new GdsWrite.Container()
+      val rootId = c.allocId()
+      val node = c.node(cls, Seq(vs.length), GdsWrite.intPayloadW(vs, w))
+      c.folderAt(rootId, Seq((node, "v", 0)))
+      c.save(path, rootId)
+      val f = new GdsCore.GdsFile(path)
+      try {
+        val n = f.root("v")
+        assert(GdsCore.ints(f, n).toSeq == vs.map(_.toInt), s"$cls whole")
+        assert(GdsCore.intsRange(f, n, base.length.toLong, base.length)
+          .toSeq == base.map(_.toInt), s"$cls ranged")
+      } finally f.close()
+    }
+
+    // ---- float classes: plain + all packed widths, NaN sentinel ------
+    val fCases: Seq[(String, Option[(Double, Int, Boolean)], Seq[Float])] =
+      Seq(
+        ("dFloat32", None, Seq(0f, -1.5f, 2.25f, Float.NaN, 1e30f)),
+        ("dFloat64", None, Seq(0f, -1.5f, 2.25f, Float.NaN, 1e30f)),
+        ("dPackedReal8", Some((0.02, 1, false)),
+          Seq(0f, -1.5f, 2.24f, Float.NaN)),
+        ("dPackedReal8U", Some((0.02, 1, true)),
+          Seq(0f, 1.5f, 2.24f, Float.NaN)),
+        ("dPackedReal16", Some((0.0001, 2, false)),
+          Seq(0f, -1.5f, 2.2437f, Float.NaN)),
+        ("dPackedReal16U", Some((0.0001, 2, true)),
+          Seq(0f, 1.5f, 2.2437f, Float.NaN)),
+        ("dPackedReal24", Some((0.0001, 3, false)),
+          Seq(0f, -100.5f, 2.2437f, Float.NaN)),
+        ("dPackedReal24U", Some((0.0001, 3, true)),
+          Seq(0f, 100.5f, 2.2437f, Float.NaN)),
+        ("dPackedReal32", Some((0.00001, 4, false)),
+          Seq(0f, -100.5f, 2.24371f, Float.NaN)),
+        ("dPackedReal32U", Some((0.00001, 4, true)),
+          Seq(0f, 100.5f, 2.24371f, Float.NaN)))
+    for ((cls, packed, base) <- fCases) {
+      val vs = base ++ base ++ base
+      val payload = packed match {
+        case Some((scale, w, unsigned)) =>
+          GdsWrite.packedRealPayload(vs, scale, w, unsigned)
+        case None if cls == "dFloat32" => GdsWrite.floatPayload(vs)
+        case None =>
+          val o = new java.io.ByteArrayOutputStream()
+          vs.foreach { v =>
+            val bits = java.lang.Double.doubleToLongBits(v.toDouble)
+            (0 until 8).foreach(k => o.write(((bits >> (8 * k)) & 0xff).toInt))
+          }
+          o.toByteArray
+      }
+      val path = s"$dir/f_$cls.gds"
+      val c = new GdsWrite.Container()
+      val rootId = c.allocId()
+      val node = c.node(cls, Seq(vs.length), payload,
+        packedScale = packed.map(_._1))
+      c.folderAt(rootId, Seq((node, "v", 0)))
+      c.save(path, rootId)
+      val f = new GdsCore.GdsFile(path)
+      try {
+        val n = f.root("v")
+        def expect(v: Float): Float = packed match {
+          case Some((scale, _, _)) =>
+            if (v != v) Float.NaN
+            else (math.round(v / scale) * scale).toFloat
+          case None => v
+        }
+        def eq(a: Float, b: Float): Boolean = (a != a && b != b) || a == b
+        val whole = GdsCore.floats(f, n)
+        val want = vs.map(expect)
+        assert(whole.length == vs.length, cls)
+        whole.indices.foreach(i =>
+          assert(eq(whole(i), want(i)), s"$cls whole@$i: ${whole(i)} want ${want(i)}"))
+        val ranged = GdsCore.floatsRange(f, n, base.length.toLong, base.length)
+        ranged.indices.foreach(i =>
+          assert(eq(ranged(i), want(i)), s"$cls ranged@$i"))
+      } finally f.close()
+    }
+
+    // a packed class with no stored scale must refuse, not guess
+    val path = s"$dir/noscale.gds"
+    val c = new GdsWrite.Container()
+    val rootId = c.allocId()
+    val node = c.node("dPackedReal24", Seq(1),
+      GdsWrite.packedRealPayload(Seq(1f), 0.0001, 3, unsigned = false))
+    c.folderAt(rootId, Seq((node, "v", 0)))
+    c.save(path, rootId)
+    val f = new GdsCore.GdsFile(path)
+    try intercept[UnsupportedOperationException] {
+      GdsCore.floats(f, f.root("v"))
+    } finally f.close()
+  }
 }
