@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.VcfQ,
     graft.queries.MultimodalQ,
     graft.queries.PackedGeno,
-    graft.queries.BedQ)
+    graft.queries.BedQ,
+    graft.queries.Sampling)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

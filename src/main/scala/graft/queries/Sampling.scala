@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic sampling / split operators for the training-data
+  * pipeline (builder brief): every large corpus run needs a stable
+  * train/validation split and per-group quota sampling ("data mixing" —
+  * rebalance a mixture so no language/source dominates). Randomness
+  * comes from md5 of the document id, so the assignment is a pure
+  * projection — reproducible across runs, engines, and cluster sizes,
+  * never a `rand()` that reshuffles per execution.
+  *
+  * Scale notes (100 TB): the split is a narrow projection (no shuffle).
+  * Quota sampling is a per-group top-Q by hash order — Spark's
+  * WindowGroupLimit caps every map task at Q rows per group before the
+  * shuffle, so the exchange carries ≤ Q·groups·partitions rows, not the
+  * corpus.
+  */
+object Sampling extends QueryModule {
+
+  /** First md5 hex nibble of the doc id — 16 stable buckets. */
+  private def hashNibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+
+  // --- deterministic train/val split: nibbles c-f (4/16 = 25%) hold
+  // out. Aggregated per (lang, split) so the oracle checks both the
+  // assignment and that it is a partition of the corpus. -----------------
+  private val q64 = Q("q64_split_assign",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+          when(hashNibble.isin("c", "d", "e", "f"), "val")
+            .otherwise("train").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some("""SELECT lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+          THEN 'val' ELSE 'train' END AS split,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS first_doc
+      FROM documents GROUP BY 1, 2"""))
+
+  // --- per-language quota sampling (mixture rebalancing): keep the Q
+  // hash-first documents of every language — a deterministic uniform
+  // subsample whose membership never changes as the corpus grows at the
+  // tail. ----------------------------------------------------------------
+  private val QUOTA = 30
+  private val q65 = Q("q65_quota_sample",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= QUOTA)
+    },
+    Some(s"""SELECT doc_id, lang, rk FROM
+        (SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+      WHERE rk <= $QUOTA"""))
+
+  override def queries: Seq[Q] = Seq(q64, q65)
+}

@@ -137,6 +137,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q64/q65: sampling is projection-only / WindowGroupLimit-capped") {
+    // the split must not shuffle (pure projection + partial agg), and
+    // quota sampling must cap per-group rows BEFORE its exchange
+    val p64 = plan("q64_split_assign")
+    assert(p64.contains("partial_count") || p64.contains("partial_sum"))
+    assert(!p64.contains("Join"), "split must not join")
+    val p65 = plan("q65_quota_sample")
+    assert(p65.contains("WindowGroupLimit"), p65)
+  }
+
   test("q62: dedup pipeline joins near-dup candidates on band keys") {
     val p = plan("q62_dedup_pipeline")
     assert(!p.contains("CartesianProduct"))
