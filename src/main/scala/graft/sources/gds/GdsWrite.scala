@@ -327,7 +327,11 @@ object GdsWrite {
 
   /** `*_ra` chunked framing (read-side decode in GdsCore.nodeBytes):
     * `[magic] 10 11 ff [u32 nChunks]` then per chunk `[u48 cmpSize][one
-    * independent compressed stream of ≤128 KiB raw]`. */
+    * independent compressed stream of ≤128 KiB raw]`. Chunks are
+    * independent streams BY DESIGN (that is the random-access
+    * property), so they compress concurrently on every available core —
+    * compression dominates single-file export cost, and the output
+    * bytes are identical to a serial pass. */
   private def raFrame(payload: Array[Byte], codec: GdsCore.RaCodec)
       : Array[Byte] = {
     val ChunkRaw = 128 * 1024
@@ -336,17 +340,19 @@ object GdsWrite {
     o.write(0x10); o.write(0x11); o.write(0xff)
     val nChunks = math.max(1, (payload.length + ChunkRaw - 1) / ChunkRaw)
     u32(o, nChunks)
-    var c = 0
-    while (c < nChunks) {
+    val parts = new Array[Array[Byte]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
       val off = c * ChunkRaw
       val len = math.min(ChunkRaw, payload.length - off)
       val cmp = new ByteArrayOutputStream()
       val z = codec.encode(cmp)
       z.write(payload, off, len)
       z.close()
-      u48(o, cmp.size())
-      o.write(cmp.toByteArray)
-      c += 1
+      parts(c) = cmp.toByteArray
+    }
+    parts.foreach { p =>
+      u48(o, p.length)
+      o.write(p)
     }
     o.toByteArray
   }
