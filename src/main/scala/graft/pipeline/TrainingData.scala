@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.textfns._
+import graft.functions.vectorfns._
+
+/** The training-data pipeline as a PUBLIC API over arbitrary
+  * DataFrames — the same oracle-checked logic the `q32/q62/q63/q64/q65`
+  * queries run (those queries delegate here, so the driver's DuckDB
+  * gate continuously proves these functions exact).
+  *
+  * Scale notes (100 TB) are per function; none enumerates pairs beyond
+  * LSH candidates, none collects to the driver, and all determinism
+  * comes from content hashes — never `rand()`.
+  */
+object TrainingData {
+
+  /** Exact dedup: keep the smallest-id row per order-insensitive
+    * content fingerprint. One shuffle on the 128-bit fingerprint. */
+  def exactDedupKeepFirst(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    docs
+      .withColumn("__fp", fingerprint(tokens(col(textCol))))
+      .withColumn("__keep", col(idCol) === min(col(idCol)).over(w))
+      .filter(col("__keep")).drop("__keep", "__fp")
+  }
+
+  /** Ids to DROP as near-duplicates: MinHash+LSH band candidates among
+    * `docs`, verified at exact shingle-Jaccard ≥ `threshold`; the larger
+    * id of each verified pair drops (single-pass keep-first policy).
+    * The only corpus-scale shuffle is the band-key equi-join; Jaccard
+    * runs on candidates only. */
+  def nearDupDrops(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val withSh = docs.select(col(idCol),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withSh.select(col(idCol),
+      minhashSignature(col("sh"), minhashK).as("sig"))
+    val bnd = sigs.select(col(idCol),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bkey")))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col(s"a.band") === col(s"b.band") &&
+          col(s"a.bkey") === col(s"b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val texts = docs.select(col(idCol), col(textCol))
+    cand
+      .join(texts.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed(textCol, "text_a"), "doc_a")
+      .join(texts.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed(textCol, "text_b"), "doc_b")
+      .filter(jaccard(shingles(col("text_a"), shingleN),
+        shingles(col("text_b"), shingleN)) >= threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+  }
+
+  /** Full corpus clean (the q62 pipeline): exact dedup, then near-dup
+    * removal over the survivors. Returns the surviving rows of `docs`
+    * with their original columns. */
+  def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val exact = exactDedupKeepFirst(docs, idCol, textCol)
+    val drops = nearDupDrops(exact, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand, threshold)
+    exact.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic split assignment from the md5 nibble of the id —
+    * a pure projection, reproducible across runs and cluster sizes.
+    * `holdout` nibbles (of `0`-`f`) map to `val`, the rest to `train`;
+    * the default c-f holds out 4/16 = 25%. */
+  def trainValSplit(df: DataFrame, idCol: String = "doc_id",
+      holdout: Seq[String] = Seq("c", "d", "e", "f")): DataFrame =
+    df.withColumn("split",
+      when(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
+        .isin(holdout: _*), "val").otherwise("train"))
+
+  /** Per-group quota sample: the `quota` hash-first rows of every group
+    * — membership never changes as the corpus grows at the tail.
+    * WindowGroupLimit caps each map task at `quota` rows per group
+    * before the shuffle. Adds the hash rank as `rk`. */
+  def quotaSample(df: DataFrame, groupCol: String, quota: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+  }
+
+  /** Component-wise integer-sum centroids of `assigned` (grouped by
+    * `cid`) — exact across engines; cosine is scale-invariant so the
+    * sum vector scores identically to the mean. */
+  private def centroidSums(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
+      .select(col("cid"),
+        transform(col("pairs"), p => p.getField("sx")).as("cv"))
+      .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+
+  /** Nearest-centroid assignment (max cosine, tie → smallest cid). */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"),
+        cosineQ(dotLong(col("qv"), col("cv")), col("nrm"), col("cnrm"))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Lloyd k-means over quantized vectors (`vec_id`, `qv ARRAY<BIGINT>`):
+    * init = the k smallest vec_ids as singleton clusters, `iters`
+    * centroid updates, then a final assignment. Returns (vec_id, qv,
+    * nrm, cid, cos). Exact across engines — centroids stay integer sums
+    * (never divided), so the computation replays bit-for-bit in SQL.
+    * Per iteration: one k·dims-row shuffle + one broadcast assign; the
+    * corpus is scanned iters+1 times and never shuffled. */
+  def kmeansTrain(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = vecs.select(col("vec_id"), col("qv"))
+      .withColumn("nrm", dotLong(col("qv"), col("qv")))
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    var assigned = assignTo(e, init)
+    for (_ <- 1 to iters)
+      assigned = assignTo(e, centroidSums(assigned))
+    assigned
+  }
+}

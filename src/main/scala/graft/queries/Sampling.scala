@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -21,18 +20,15 @@ import graft.core.Tables
   */
 object Sampling extends QueryModule {
 
-  /** First md5 hex nibble of the doc id — 16 stable buckets. */
-  private def hashNibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-
   // --- deterministic train/val split: nibbles c-f (4/16 = 25%) hold
   // out. Aggregated per (lang, split) so the oracle checks both the
-  // assignment and that it is a partition of the corpus. -----------------
+  // assignment and that it is a partition of the corpus. Delegates to
+  // the public pipeline API (graft.pipeline.TrainingData). ---------------
   private val q64 = Q("q64_split_assign",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      d.select(col("doc_id"), col("lang"), col("n_chars"),
-          when(hashNibble.isin("c", "d", "e", "f"), "val")
-            .otherwise("train").as("split"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.pipeline.TrainingData.trainValSplit(d)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
@@ -54,11 +50,8 @@ object Sampling extends QueryModule {
   private val q65 = Q("q65_quota_sample",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      d.select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= QUOTA)
+        .select(col("doc_id"), col("lang"))
+      graft.pipeline.TrainingData.quotaSample(d, "lang", QUOTA)
     },
     Some(s"""SELECT doc_id, lang, rk FROM
         (SELECT doc_id, lang,

@@ -357,35 +357,12 @@ object Similarity extends QueryModule {
   private val KMEANS_ITERS = 2
   private val q63 = Q("q63_kmeans_train",
     (s, dir) => {
-      import org.apache.spark.sql.DataFrame
+      // delegates to the public pipeline API — the oracle below proves
+      // graft.pipeline.TrainingData.kmeansTrain exact every round
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
-        .withColumn("nrm", dotLong(col("qv"), col("qv")))
-      // assignment: nearest (max-cosine, tie → smallest cid) centroid
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cid"))
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("qv"), col("nrm"), col("cid"),
-            cosineQ(dotLong(col("qv"), col("cv")), col("nrm"), col("cnrm"))
-              .as("cos"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .drop("rn")
-      }
-      // update: component-wise integer sums of each cluster's members
-      def centroids(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
-        .select(col("cid"),
-          transform(col("pairs"), p => p.getField("sx")).as("cv"))
-        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
-      val init = e.filter(col("vec_id") < KMEANS_K)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"),
-          col("nrm").as("cnrm"))
-      var assigned = assign(init)
-      for (_ <- 1 to KMEANS_ITERS) assigned = assign(centroids(assigned))
+      val assigned = graft.pipeline.TrainingData
+        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
       assigned.groupBy(col("cid")).agg(
         count(lit(1)).as("n"),
         sum(col("vec_id")).as("sum_vid"),

@@ -220,40 +220,13 @@ object TextDedup extends QueryModule {
   // whole clean step a 100 TB corpus would run before training. ----------
   private val q62 = Q("q62_dedup_pipeline",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // the public pipeline API (graft.pipeline.TrainingData) IS the
+      // implementation — this query delegates so the driver's DuckDB
+      // gate continuously proves the API functions exact
       val d = Tables(s, dir, "documents")
-      // stage 1: exact dedup
-      val fp = d.select(col("doc_id"), col("lang"), col("source"),
-        col("text"), fingerprint(tokens(col("text"))).as("fp"))
-      val wFp = Window.partitionBy(col("fp"))
-      val ek = fp
-        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
-        .filter(col("__keep")).drop("__keep", "fp")
-      // stage 2: near-dup candidates over survivors (q33 shape)
-      val docs = ek.select(col("doc_id"),
-          shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sigs = docs.select(col("doc_id"),
-        minhashSignature(col("sh"), MINHASH_K).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      val texts = ek.select(col("doc_id"), col("text"))
-      val dropped = cand
-        .join(texts.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("text", "text_a"), "doc_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("text", "text_b"), "doc_b")
-        .filter(jaccard(shingles(col("text_a"), SHINGLE_N),
-          shingles(col("text_b"), SHINGLE_N)) >= 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      // stage 3: the cleaned corpus
-      ek.join(dropped, Seq("doc_id"), "left_anti")
+      graft.pipeline.TrainingData.dedupCorpus(d,
+          shingleN = SHINGLE_N, minhashK = MINHASH_K,
+          bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
         .select(col("doc_id"), col("lang"), col("source"),
           tokenCount(col("text")).as("n_tokens"))
     },
