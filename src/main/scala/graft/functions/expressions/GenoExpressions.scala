@@ -464,12 +464,16 @@ if (${f.isNull} || $i >= ${f.value}.numElements() ||
     ${f.value}.isNullAt($i)) $sb.append('.');
 else $sb.append(${f.value}.getUTF8String($i).toString());"""
     }.mkString("\n")
+    // child code must stay Block ARGS (a mkString'd String would fold
+    // into the static parts and face the second stripMargin too)
+    val fieldChildCode = fEvs.map(_.code)
+      .foldLeft(code"")((acc, c) => code"$acc\n$c")
     val code =
       code"""
          |${gEv.code}
          |${pEv.code}
          |${sEv.code}
-         |${fEvs.map(_.code).mkString("\n")}
+         |$fieldChildCode
          |boolean ${ev.isNull} = ${gEv.isNull} || ${pEv.isNull} ||
          |  ${sEv.isNull};
          |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;

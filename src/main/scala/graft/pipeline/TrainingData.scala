@@ -22,6 +22,9 @@ object TrainingData {
     * content fingerprint. One shuffle on the 128-bit fingerprint. */
   def exactDedupKeepFirst(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(!docs.columns.exists(Set("__fp", "__keep")),
+      "exactDedupKeepFirst uses internal columns __fp/__keep; " +
+        "the input already has one")
     val w = Window.partitionBy(col("__fp"))
     docs
       .withColumn("__fp", fingerprint(tokens(col(textCol))))
@@ -81,10 +84,13 @@ object TrainingData {
     * `holdout` nibbles (of `0`-`f`) map to `val`, the rest to `train`;
     * the default c-f holds out 4/16 = 25%. */
   def trainValSplit(df: DataFrame, idCol: String = "doc_id",
-      holdout: Seq[String] = Seq("c", "d", "e", "f")): DataFrame =
+      holdout: Seq[String] = Seq("c", "d", "e", "f")): DataFrame = {
+    require(!df.columns.contains("split"),
+      "trainValSplit writes a `split` column; the input already has one")
     df.withColumn("split",
       when(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
         .isin(holdout: _*), "val").otherwise("train"))
+  }
 
   /** Per-group quota sample: the `quota` hash-first rows of every group
     * — membership never changes as the corpus grows at the tail.
@@ -92,6 +98,8 @@ object TrainingData {
     * before the shuffle. Adds the hash rank as `rk`. */
   def quotaSample(df: DataFrame, groupCol: String, quota: Int,
       idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("rk"),
+      "quotaSample writes an `rk` column; the input already has one")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
@@ -132,7 +140,10 @@ object TrainingData {
   def kmeansTrain(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = vecs.select(col("vec_id"), col("qv"))
       .withColumn("nrm", dotLong(col("qv"), col("qv")))
-    val init = e.filter(col("vec_id") < k)
+    // the k SMALLEST ids — works for arbitrary (sparse, offset) id
+    // spaces, not only 0-based dense ones; orderBy+limit plans as a
+    // distributed TakeOrdered, never a global sort
+    val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     var assigned = assignTo(e, init)

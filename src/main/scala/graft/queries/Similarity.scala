@@ -396,8 +396,9 @@ object Similarity extends QueryModule {
         .mkString(",\n")
       s"""WITH q AS ($qCte),
         n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
-        centn0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n
-          WHERE vec_id < $KMEANS_K),
+        centn0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM
+          (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM n)
+          WHERE rn0 <= $KMEANS_K),
         ${assignSql("centn0", "a0")},
         $iters
         SELECT cid, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vid,

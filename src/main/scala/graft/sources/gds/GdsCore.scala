@@ -636,6 +636,17 @@ object GdsCore {
       s"gds ranged decode short read: $written of $rawLen at raw $rawOff")
   }
 
+  /** Every fixed-stride integer storage class [[ints]] decodes — the
+    * read-path dispatch (GdsDataSource) keys on these sets so a class
+    * added here is reachable from `Gds.read`, not only the primitives. */
+  val IntClasses: Set[String] = Set("dInt8", "dUInt8", "dInt16", "dUInt16",
+    "dInt32", "dUInt32", "dInt64", "dUInt64")
+
+  /** Every fixed-stride float storage class [[floats]] decodes. */
+  val FloatClasses: Set[String] = Set("dFloat32", "dFloat64",
+    "dPackedReal8", "dPackedReal8U", "dPackedReal16", "dPackedReal16U",
+    "dPackedReal24", "dPackedReal24U", "dPackedReal32", "dPackedReal32U")
+
   /** Byte stride of a fixed-stride integer storage class. */
   private def intStride(cls: String, path: String): Int = cls match {
     case "dInt8" | "dUInt8" => 1
@@ -687,14 +698,16 @@ object GdsCore {
 
   /** Decode `cnt` floats of class `cls` from b(0). Packed classes store
     * value/scale as little-endian integer codes; the missing sentinel is
-    * the minimum signed / maximum unsigned code of the width. */
+    * the minimum signed / maximum unsigned code of the width. Codes go
+    * through Long so the unsigned 32-bit range above 2³¹−1 cannot wrap
+    * negative. */
   private def floatsFromBytes(b: Array[Byte], n: Node, cls: String, cnt: Int)
       : Array[Float] = {
     def i24u(i: Int): Int =
       (b(3 * i) & 0xff) | ((b(3 * i + 1) & 0xff) << 8) |
         ((b(3 * i + 2) & 0xff) << 16)
     lazy val scale = packedScaleOf(n, cls)
-    def packed(code: Int => Int, missing: Int): Array[Float] =
+    def packed(code: Int => Long, missing: Long): Array[Float] =
       Array.tabulate(cnt) { i =>
         val v = code(i)
         if (v == missing) Float.NaN else (v * scale).toFloat
@@ -704,18 +717,22 @@ object GdsCore {
         Array.tabulate(cnt)(i => java.lang.Float.intBitsToFloat(u32(b, 4 * i)))
       case "dFloat64" =>
         Array.tabulate(cnt)(i => f64le(b, 8 * i).toFloat)
-      case "dPackedReal8" => packed(i => b(i).toInt, Byte.MinValue.toInt)
-      case "dPackedReal8U" => packed(i => b(i) & 0xff, 0xff)
+      case "dPackedReal8" => packed(i => b(i).toLong, Byte.MinValue.toLong)
+      case "dPackedReal8U" => packed(i => (b(i) & 0xff).toLong, 0xffL)
       case "dPackedReal16" =>
         // the reference's default imputation-dosage storage
         // ("packedreal16:offset=0,scale=0.0001", R/ConvVCF2GDS.R:580);
         // signed int16, min value = missing
-        packed(i => (u16(b, 2 * i) << 16) >> 16, Short.MinValue.toInt)
-      case "dPackedReal16U" => packed(i => u16(b, 2 * i), 0xffff)
-      case "dPackedReal24" => packed(i => (i24u(i) << 8) >> 8, -0x800000)
-      case "dPackedReal24U" => packed(i24u, 0xffffff)
-      case "dPackedReal32" => packed(i => u32(b, 4 * i), Int.MinValue)
-      case "dPackedReal32U" => packed(i => u32(b, 4 * i), -1) // 0xffffffff
+        packed(i => ((u16(b, 2 * i) << 16) >> 16).toLong,
+          Short.MinValue.toLong)
+      case "dPackedReal16U" => packed(i => u16(b, 2 * i).toLong, 0xffffL)
+      case "dPackedReal24" =>
+        packed(i => ((i24u(i) << 8) >> 8).toLong, -0x800000L)
+      case "dPackedReal24U" => packed(i => i24u(i).toLong, 0xffffffL)
+      case "dPackedReal32" =>
+        packed(i => u32(b, 4 * i).toLong, Int.MinValue.toLong)
+      case "dPackedReal32U" =>
+        packed(i => u32(b, 4 * i) & 0xffffffffL, 0xffffffffL)
     }
   }
 

@@ -123,8 +123,7 @@ object GdsSchema {
   /** Dosage-typed SNP-GDS (FC_Dosage2GDS source data): genotype node is
     * REAL-valued REF-allele dosage, surfaced as `ds ARRAY<FLOAT>`. */
   def snpGenoIsDosage(root: Node): Boolean =
-    root("genotype").cls.exists(c =>
-      c == "dFloat32" || c == "dFloat64" || c == "dPackedReal8U")
+    root("genotype").cls.exists(GdsCore.FloatClasses)
 
   private def snpSchema(root: Node, packed: Boolean): StructType = StructType(
     Seq(StructField("variant_id", LongType, nullable = false),
@@ -391,13 +390,12 @@ object GdsSchema {
           val (a, base) = if (whole) (strings(f, n), 0)
             else (stringsRange(f, n, e0, math.max(e1, e0)), e0)
           i => if (a(i - base).isEmpty) null else utf8(a(i - base))
-        case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
+        case c if GdsCore.IntClasses(c) =>
           val (a, base) = if (whole) (ints(f, n), 0)
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base) == Int.MinValue) null
                else java.lang.Integer.valueOf(a(i - base))
-        case "dFloat32" | "dFloat64" | "dPackedReal8U" | "dPackedReal16"
-            | "dPackedReal16U" =>
+        case c if GdsCore.FloatClasses(c) =>
           val (a, base) = if (whole) (floats(f, n), 0)
             else (floatsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base).isNaN) null
@@ -895,11 +893,11 @@ object Gds {
                 val a = GdsCore.strings(f, n)
                 Some((n.name, StructField(n.name, StringType),
                   (i: Int) => a(i): Any))
-              case "dInt32" | "dInt16" | "dUInt8" | "dInt8" =>
+              case c if GdsCore.IntClasses(c) =>
                 val a = GdsCore.ints(f, n)
                 Some((n.name, StructField(n.name, IntegerType),
                   (i: Int) => a(i): Any))
-              case "dFloat32" | "dFloat64" =>
+              case c if GdsCore.FloatClasses(c) =>
                 val a = GdsCore.floats(f, n)
                 Some((n.name, StructField(n.name, FloatType),
                   (i: Int) => a(i): Any))

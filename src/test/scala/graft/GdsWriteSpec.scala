@@ -342,8 +342,10 @@ print('OK', len(names))
           Seq(0f, 100.5f, 2.2437f, Float.NaN)),
         ("dPackedReal32", Some((0.00001, 4, false)),
           Seq(0f, -100.5f, 2.24371f, Float.NaN)),
+        // 30000/1e-5 = 3e9 > 2^31: the unsigned 32-bit code range above
+        // Int.MaxValue must not wrap negative (round-4 review find)
         ("dPackedReal32U", Some((0.00001, 4, true)),
-          Seq(0f, 100.5f, 2.24371f, Float.NaN)))
+          Seq(0f, 100.5f, 30000f, 2.24371f, Float.NaN)))
     for ((cls, packed, base) <- fCases) {
       val vs = base ++ base ++ base
       val payload = packed match {
@@ -398,5 +400,46 @@ print('OK', len(names))
     try intercept[UnsupportedOperationException] {
       GdsCore.floats(f, f.root("v"))
     } finally f.close()
+  }
+
+  test("a packed-class dosage node reads through Gds.read, not only the " +
+      "decode primitives") {
+    // SNP-GDS dosage container whose genotype node is dPackedReal16U —
+    // the DataFrame read path must dispatch the new classes (round-4
+    // review find: they decoded in GdsCore but valueReaderRange /
+    // snpGenoIsDosage whitelisted the old class list)
+    val scale = 0.0001
+    val ds = Seq(0.5f, Float.NaN, 1.25f, 2.0f, 0.0f, 1.5f) // 2 snps × 3
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_packedsnp").toString
+    val path = s"$dir/packed.gds"
+    val c = new GdsWrite.Container()
+    val rootId = c.allocId()
+    val sampleId = c.node("dStr8", Seq(3),
+      GdsWrite.strPayload(Seq("S1", "S2", "S3")))
+    val snpId = c.node("dInt32", Seq(2), GdsWrite.intPayload(Seq(1, 2)))
+    val rsId = c.node("dStr8", Seq(2), GdsWrite.strPayload(Seq("r1", "r2")))
+    val snpPos = c.node("dInt32", Seq(2),
+      GdsWrite.intPayload(Seq(100, 200)))
+    val snpChrom = c.node("dStr8", Seq(2),
+      GdsWrite.strPayload(Seq("1", "1")))
+    val snpAllele = c.node("dStr8", Seq(2),
+      GdsWrite.strPayload(Seq("A/C", "G/T")))
+    val genotype = c.node("dPackedReal16U", Seq(2, 3),
+      GdsWrite.packedRealPayload(ds, scale, width = 2, unsigned = true),
+      new GdsWrite.Attrs().nul("snp.order"), packedScale = Some(scale))
+    c.folderAt(rootId,
+      Seq((sampleId, "sample.id", 0), (snpId, "snp.id", 0),
+        (rsId, "snp.rs.id", 0), (snpPos, "snp.position", 0),
+        (snpChrom, "snp.chromosome", 0), (snpAllele, "snp.allele", 0),
+        (genotype, "genotype", 0)),
+      new GdsWrite.Attrs().str("FileFormat", "SNP_ARRAY"))
+    c.save(path, rootId)
+    val back = Gds.read(spark, path).orderBy("variant_id")
+      .select("ds").collect()
+      .flatMap(_.getSeq[Any](0))
+    val want = ds.map(v =>
+      if (v.isNaN) null else java.lang.Float.valueOf(v))
+    assert(back.toSeq == want.toSeq)
   }
 }
