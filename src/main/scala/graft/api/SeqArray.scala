@@ -358,8 +358,11 @@ object SeqArray {
     val lines = Vcf.formatLines(d.variants, Vcf.infoExprFor(d.variants),
       fmt = fmtCells.map(fc => fc._1.id -> fc._2))
     val raw = new java.io.FileOutputStream(vcfPath)
+    // this path never samples virtual offsets (no CSI for text VCF),
+    // so members deflate concurrently in batches — identical bytes
     val out: java.io.OutputStream =
-      if (vcfPath.endsWith(".gz")) new graft.sources.bcf.Bgzf.Writer(raw)
+      if (vcfPath.endsWith(".gz"))
+        new graft.sources.bcf.Bgzf.ParallelWriter(raw)
       else new java.io.BufferedOutputStream(raw, 1 << 20)
     try {
       def ln(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write('\n') }

@@ -3,6 +3,8 @@ package graft.sources.bcf
 import java.io.OutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
+import scala.collection.mutable.ArrayBuffer
+
 /** BGZF block writer (the blocked-gzip framing BCF requires — public
   * htslib/SAM spec §4.1): each ≤64 KiB payload becomes an independent
   * gzip member whose extra field carries the compressed block size
@@ -47,27 +49,9 @@ object Bgzf {
 
     private def flushBlock(): Unit = {
       if (n == 0) return
-      val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-      deflater.setInput(buf, 0, n)
-      deflater.finish()
-      val cmp = new Array[Byte](MaxBlock + 1024)
-      var clen = 0
-      while (!deflater.finished())
-        clen += deflater.deflate(cmp, clen, cmp.length - clen)
-      deflater.end()
-      val crc = new CRC32()
-      crc.update(buf, 0, n)
-      val bsize = clen + 25 // total member size - 1
-      val hdr = Array[Int](
-        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 6, 0,
-        'B', 'C', 2, 0, bsize & 0xff, (bsize >> 8) & 0xff).map(_.toByte)
-      out.write(hdr)
-      out.write(cmp, 0, clen)
-      val tail = new Array[Byte](8)
-      writeU32(tail, 0, crc.getValue.toInt)
-      writeU32(tail, 4, n)
-      out.write(tail)
-      coff += bsize + 1
+      val m = Writer.member(java.util.Arrays.copyOf(buf, n))
+      out.write(m)
+      coff += m.length
       n = 0
     }
 
@@ -76,6 +60,91 @@ object Bgzf {
       flushBlock()
       out.write(EofBlock)
       out.close()
+    }
+  }
+
+  /** BGZF writer that deflates members CONCURRENTLY in batches —
+    * members are independent streams by design, so a batch compresses
+    * on every core and then emits in order; the output bytes equal the
+    * serial [[Writer]]'s. No `virtualPos`: compressed offsets inside a
+    * pending batch are unknown until it drains, so this variant is for
+    * export paths that never sample positions (a CSI-building caller
+    * needs the sequential [[Writer]]). */
+  final class ParallelWriter(out: OutputStream, batch: Int = 64)
+      extends OutputStream {
+    private val buf = new Array[Byte](MaxBlock)
+    private var n = 0
+    private val pending = ArrayBuffer.empty[Array[Byte]]
+
+    override def write(b: Int): Unit = {
+      buf(n) = b.toByte
+      n += 1
+      if (n == MaxBlock) queueBlock()
+    }
+
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        val take = math.min(rem, MaxBlock - n)
+        System.arraycopy(b, o, buf, n, take)
+        n += take; o += take; rem -= take
+        if (n == MaxBlock) queueBlock()
+      }
+    }
+
+    private def queueBlock(): Unit = {
+      if (n == 0) return
+      pending += java.util.Arrays.copyOf(buf, n)
+      n = 0
+      if (pending.size >= batch) drain()
+    }
+
+    private def drain(): Unit = {
+      if (pending.isEmpty) return
+      val members = new Array[Array[Byte]](pending.size)
+      java.util.stream.IntStream.range(0, pending.size).parallel()
+        .forEach { k =>
+          members(k) = Writer.member(pending(k))
+        }
+      members.foreach(out.write)
+      pending.clear()
+    }
+
+    override def flush(): Unit = { queueBlock(); drain(); out.flush() }
+    override def close(): Unit = {
+      queueBlock(); drain()
+      out.write(EofBlock)
+      out.close()
+    }
+  }
+
+  private object Writer {
+    /** One complete BGZF member for `raw` — shared by the serial and
+      * parallel writers so their bytes are identical. */
+    def member(raw: Array[Byte]): Array[Byte] = {
+      val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      deflater.setInput(raw, 0, raw.length)
+      deflater.finish()
+      val cmp = new Array[Byte](MaxBlock + 1024)
+      var clen = 0
+      while (!deflater.finished())
+        clen += deflater.deflate(cmp, clen, cmp.length - clen)
+      deflater.end()
+      val crc = new CRC32()
+      crc.update(raw, 0, raw.length)
+      val bsize = clen + 25 // total member size - 1
+      val o = new java.io.ByteArrayOutputStream(clen + 26)
+      val hdr = Array[Int](
+        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 6, 0,
+        'B', 'C', 2, 0, bsize & 0xff, (bsize >> 8) & 0xff).map(_.toByte)
+      o.write(hdr)
+      o.write(cmp, 0, clen)
+      val tail = new Array[Byte](8)
+      writeU32(tail, 0, crc.getValue.toInt)
+      writeU32(tail, 4, raw.length)
+      o.write(tail)
+      o.toByteArray
     }
   }
 
