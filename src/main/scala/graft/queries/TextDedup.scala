@@ -119,6 +119,49 @@ object TextDedup extends QueryModule {
         string_agg(doc_id, ',' ORDER BY doc_id) AS members
       FROM t GROUP BY 1"""))
 
+  // --- text cleaning / normalization (the standard pre-training
+  // normalize pass: strip markup, drop URLs, collapse whitespace). The
+  // corpus is synthetic word soup with nothing to clean, so the query
+  // first synthesizes deterministic dirt — wraps each document in tags
+  // and plants a per-doc URL — then removes it; both engines replay the
+  // whole chain, and the outputs prove the dirt is really gone. Pure
+  // projection: no shuffle at any scale. -----------------------------------
+  private val q35 = Q("q35_text_clean",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dirty = concat(lit("<p class=\"doc\">"), col("text"),
+        lit(" See https://example.com/d/"), col("doc_id"),
+        lit("?ref=crawl <br/> tail</p>"))
+      val noTags = regexp_replace(dirty, "<[^>]*>", " ")
+      val noUrls = regexp_replace(noTags, "https?://\\S+", " ")
+      val clean =
+        trim(regexp_replace(noUrls, "\\s+", " "))
+      d.select(col("doc_id"),
+        length(dirty).as("n_dirty"),
+        length(clean).as("n_clean"),
+        regexp_count(dirty, lit("https?://\\S+")).as("n_urls"),
+        regexp_count(clean, lit("https?://\\S+|<[^>]*>"))
+          .as("n_residual"),
+        substring(clean, 1, 40).as("head"))
+    },
+    Some("""SELECT doc_id,
+        length(dirty) AS n_dirty,
+        length(clean) AS n_clean,
+        len(regexp_extract_all(dirty, 'https?://\S+')) AS n_urls,
+        len(regexp_extract_all(clean, 'https?://\S+|<[^>]*>'))
+          AS n_residual,
+        substr(clean, 1, 40) AS head
+      FROM (SELECT doc_id, dirty,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+              'https?://\S+', ' ', 'g'),
+            '\s+', ' ', 'g')) AS clean
+        FROM (SELECT doc_id,
+            '<p class="doc">' || text || ' See https://example.com/d/' ||
+            doc_id || '?ref=crawl <br/> tail</p>' AS dirty
+          FROM documents))"""))
+
   private val SHINGLE_N = 3
   private val MINHASH_K = 12
   private val BANDS = 4
@@ -264,5 +307,5 @@ object TextDedup extends QueryModule {
       SELECT doc_id, lang, source, len(toks) AS n_tokens FROM ek
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
-  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34, q62)
+  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q62)
 }
