@@ -20,9 +20,33 @@ object Bgzf {
     0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
     0x00, 0x00, 0x00, 0x00).map(_.toByte)
 
-  final class Writer(out: OutputStream) extends OutputStream {
-    private val buf = new Array[Byte](MaxBlock)
-    private var n = 0
+  /** Shared ≤64 KiB block buffering for the two writers below;
+    * subclasses consume each full block via [[onBlockFull]]. */
+  sealed abstract class BlockBuffered(protected val out: OutputStream)
+      extends OutputStream {
+    protected val buf = new Array[Byte](MaxBlock)
+    protected var n = 0
+    protected def onBlockFull(): Unit
+
+    final override def write(b: Int): Unit = {
+      buf(n) = b.toByte
+      n += 1
+      if (n == MaxBlock) onBlockFull()
+    }
+
+    final override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        val take = math.min(rem, MaxBlock - n)
+        System.arraycopy(b, o, buf, n, take)
+        n += take; o += take; rem -= take
+        if (n == MaxBlock) onBlockFull()
+      }
+    }
+  }
+
+  final class Writer(out0: OutputStream) extends BlockBuffered(out0) {
     private var coff = 0L // compressed bytes of completed members
 
     /** htslib virtual offset of the next byte to be written — a valid
@@ -30,28 +54,11 @@ object Bgzf {
       * sampled at record boundaries; feeds the CSI builder). */
     def virtualPos: Long = (coff << 16) | n
 
-    override def write(b: Int): Unit = {
-      buf(n) = b.toByte
-      n += 1
-      if (n == MaxBlock) flushBlock()
-    }
-
-    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      var o = off
-      var rem = len
-      while (rem > 0) {
-        val take = math.min(rem, MaxBlock - n)
-        System.arraycopy(b, o, buf, n, take)
-        n += take; o += take; rem -= take
-        if (n == MaxBlock) flushBlock()
-      }
-    }
+    override protected def onBlockFull(): Unit = flushBlock()
 
     private def flushBlock(): Unit = {
       if (n == 0) return
-      val m = Writer.member(java.util.Arrays.copyOf(buf, n))
-      out.write(m)
-      coff += m.length
+      coff += Writer.memberTo(out, buf, n) // deflates in place, no copy
       n = 0
     }
 
@@ -70,28 +77,11 @@ object Bgzf {
     * pending batch are unknown until it drains, so this variant is for
     * export paths that never sample positions (a CSI-building caller
     * needs the sequential [[Writer]]). */
-  final class ParallelWriter(out: OutputStream, batch: Int = 64)
-      extends OutputStream {
-    private val buf = new Array[Byte](MaxBlock)
-    private var n = 0
+  final class ParallelWriter(out0: OutputStream, batch: Int = 64)
+      extends BlockBuffered(out0) {
     private val pending = ArrayBuffer.empty[Array[Byte]]
 
-    override def write(b: Int): Unit = {
-      buf(n) = b.toByte
-      n += 1
-      if (n == MaxBlock) queueBlock()
-    }
-
-    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      var o = off
-      var rem = len
-      while (rem > 0) {
-        val take = math.min(rem, MaxBlock - n)
-        System.arraycopy(b, o, buf, n, take)
-        n += take; o += take; rem -= take
-        if (n == MaxBlock) queueBlock()
-      }
-    }
+    override protected def onBlockFull(): Unit = queueBlock()
 
     private def queueBlock(): Unit = {
       if (n == 0) return
@@ -105,7 +95,9 @@ object Bgzf {
       val members = new Array[Array[Byte]](pending.size)
       java.util.stream.IntStream.range(0, pending.size).parallel()
         .forEach { k =>
-          members(k) = Writer.member(pending(k))
+          val o = new java.io.ByteArrayOutputStream(1 << 16)
+          Writer.memberTo(o, pending(k), pending(k).length)
+          members(k) = o.toByteArray
         }
       members.foreach(out.write)
       pending.clear()
@@ -120,11 +112,13 @@ object Bgzf {
   }
 
   private object Writer {
-    /** One complete BGZF member for `raw` — shared by the serial and
-      * parallel writers so their bytes are identical. */
-    def member(raw: Array[Byte]): Array[Byte] = {
+    /** Writes one complete BGZF member for `raw[0, len)` straight to
+      * `out` (no intermediate member array) and returns its total size
+      * — shared by the serial and parallel writers so their bytes are
+      * identical. */
+    def memberTo(out: OutputStream, raw: Array[Byte], len: Int): Long = {
       val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-      deflater.setInput(raw, 0, raw.length)
+      deflater.setInput(raw, 0, len)
       deflater.finish()
       val cmp = new Array[Byte](MaxBlock + 1024)
       var clen = 0
@@ -132,19 +126,18 @@ object Bgzf {
         clen += deflater.deflate(cmp, clen, cmp.length - clen)
       deflater.end()
       val crc = new CRC32()
-      crc.update(raw, 0, raw.length)
+      crc.update(raw, 0, len)
       val bsize = clen + 25 // total member size - 1
-      val o = new java.io.ByteArrayOutputStream(clen + 26)
       val hdr = Array[Int](
         0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 6, 0,
         'B', 'C', 2, 0, bsize & 0xff, (bsize >> 8) & 0xff).map(_.toByte)
-      o.write(hdr)
-      o.write(cmp, 0, clen)
+      out.write(hdr)
+      out.write(cmp, 0, clen)
       val tail = new Array[Byte](8)
       writeU32(tail, 0, crc.getValue.toInt)
-      writeU32(tail, 4, raw.length)
-      o.write(tail)
-      o.toByteArray
+      writeU32(tail, 4, len)
+      out.write(tail)
+      bsize + 1L
     }
   }
 

@@ -642,10 +642,29 @@ object GdsCore {
   val IntClasses: Set[String] = Set("dInt8", "dUInt8", "dInt16", "dUInt16",
     "dInt32", "dUInt32", "dInt64", "dUInt64")
 
+  /** The integer classes whose full value range fits the engine's Int
+    * columns. VALUE readers (info/format/annotation — arbitrary user
+    * numbers) must stay inside this set: decoding dUInt32/dInt64/dUInt64
+    * there would silently truncate; axis/index nodes may use the wider
+    * [[IntClasses]] since their values fit by construction. */
+  val IntSafeClasses: Set[String] =
+    Set("dInt8", "dUInt8", "dInt16", "dUInt16", "dInt32")
+
   /** Every fixed-stride float storage class [[floats]] decodes. */
   val FloatClasses: Set[String] = Set("dFloat32", "dFloat64",
     "dPackedReal8", "dPackedReal8U", "dPackedReal16", "dPackedReal16U",
     "dPackedReal24", "dPackedReal24U", "dPackedReal32", "dPackedReal32U")
+
+  /** True when [[floats]] can decode `n` — a packed class needs its
+    * stored scale attribute (or a verified default). Lets optional
+    * readers (sample.annotation) SKIP an undecodable column instead of
+    * failing the whole table. */
+  def floatsDecodable(n: Node): Boolean = n.cls.exists {
+    case c if !FloatClasses(c) => false
+    case "dFloat32" | "dFloat64" | "dPackedReal8U" | "dPackedReal16"
+        | "dPackedReal16U" => true
+    case _ => !n.packedScale.isNaN
+  }
 
   /** Byte stride of a fixed-stride integer storage class. */
   private def intStride(cls: String, path: String): Int = cls match {

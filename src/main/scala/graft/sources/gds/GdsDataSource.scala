@@ -123,7 +123,7 @@ object GdsSchema {
   /** Dosage-typed SNP-GDS (FC_Dosage2GDS source data): genotype node is
     * REAL-valued REF-allele dosage, surfaced as `ds ARRAY<FLOAT>`. */
   def snpGenoIsDosage(root: Node): Boolean =
-    root("genotype").cls.exists(GdsCore.FloatClasses)
+    GdsCore.floatsDecodable(root("genotype"))
 
   private def snpSchema(root: Node, packed: Boolean): StructType = StructType(
     Seq(StructField("variant_id", LongType, nullable = false),
@@ -390,7 +390,10 @@ object GdsSchema {
           val (a, base) = if (whole) (strings(f, n), 0)
             else (stringsRange(f, n, e0, math.max(e1, e0)), e0)
           i => if (a(i - base).isEmpty) null else utf8(a(i - base))
-        case c if GdsCore.IntClasses(c) =>
+        // Int-SAFE widths only: these carry arbitrary user values, and
+        // decoding dUInt32/dInt64/dUInt64 here would silently truncate
+        // — a loud unsupported-class error is the correct failure
+        case c if GdsCore.IntSafeClasses(c) =>
           val (a, base) = if (whole) (ints(f, n), 0)
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base) == Int.MinValue) null
@@ -893,11 +896,15 @@ object Gds {
                 val a = GdsCore.strings(f, n)
                 Some((n.name, StructField(n.name, StringType),
                   (i: Int) => a(i): Any))
-              case c if GdsCore.IntClasses(c) =>
+              // annotation columns are optional: skip classes that
+              // would truncate (wide ints) or cannot decode (packed
+              // with no stored scale) instead of failing the table
+              case c if GdsCore.IntSafeClasses(c) =>
                 val a = GdsCore.ints(f, n)
                 Some((n.name, StructField(n.name, IntegerType),
                   (i: Int) => a(i): Any))
-              case c if GdsCore.FloatClasses(c) =>
+              case c if GdsCore.FloatClasses(c)
+                  && GdsCore.floatsDecodable(n) =>
                 val a = GdsCore.floats(f, n)
                 Some((n.name, StructField(n.name, FloatType),
                   (i: Int) => a(i): Any))
