@@ -105,6 +105,25 @@ object TrainingData {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
   }
 
+  /** Benchmark decontamination: drop from `train` every document whose
+    * content fingerprint appears in `eval` — the standard "remove
+    * test-set leakage from the training corpus" pass. Order-insensitive
+    * exact matching (the q32 fingerprint), one broadcast-or-shuffled
+    * left-anti join on the 128-bit key; the eval side is typically the
+    * small side and broadcasts. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(!train.columns.contains("__fp"),
+      "decontaminate uses an internal __fp column; the input already " +
+        "has one")
+    val evalFps = eval
+      .select(fingerprint(tokens(col(textCol))).as("__fp")).distinct()
+    train
+      .withColumn("__fp", fingerprint(tokens(col(textCol))))
+      .join(evalFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Component-wise integer-sum centroids of `assigned` (grouped by
     * `cid`) — exact across engines; cosine is scale-invariant so the
     * sum vector scores identically to the mean. */

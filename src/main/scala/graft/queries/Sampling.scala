@@ -60,5 +60,44 @@ object Sampling extends QueryModule {
          FROM documents)
       WHERE rk <= $QUOTA"""))
 
-  override def queries: Seq[Q] = Seq(q64, q65)
+  // --- benchmark decontamination: drop from the train split every
+  // document whose content fingerprint appears in the val split (the
+  // "remove test-set leakage" pass every training corpus runs). The
+  // corpus carries real exact-dups across splits, so rows demonstrably
+  // drop. Delegates to graft.pipeline.TrainingData.decontaminate; one
+  // anti-join on the 128-bit fingerprint, eval side broadcastable. -------
+  private val q66 = Q("q66_decontaminate",
+    (s, dir) => {
+      val d = graft.pipeline.TrainingData.trainValSplit(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+      val train = d.filter(col("split") === "train")
+      val eval = d.filter(col("split") === "val")
+      val clean = graft.pipeline.TrainingData.decontaminate(train, eval)
+      val nTrain = train.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"))
+      val nClean = clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clean"))
+      nTrain.join(nClean, Seq("lang"))
+        .withColumn("n_dropped", col("n_train") - col("n_clean"))
+    },
+    Some("""WITH s AS (SELECT doc_id, lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\s+'), t -> t <> ''))),
+          ' ')) AS fp
+      FROM documents),
+      tr AS (SELECT * FROM s WHERE split = 'train'),
+      ev AS (SELECT DISTINCT fp FROM s WHERE split = 'val'),
+      cl AS (SELECT * FROM tr WHERE fp NOT IN (SELECT fp FROM ev))
+      SELECT lang,
+        (SELECT COUNT(*) FROM tr t2 WHERE t2.lang = tr.lang) AS n_train,
+        (SELECT COUNT(*) FROM cl c2 WHERE c2.lang = tr.lang) AS n_clean,
+        (SELECT COUNT(*) FROM tr t2 WHERE t2.lang = tr.lang) -
+          (SELECT COUNT(*) FROM cl c2 WHERE c2.lang = tr.lang)
+          AS n_dropped
+      FROM tr GROUP BY lang"""))
+
+  override def queries: Seq[Q] = Seq(q64, q65, q66)
 }

@@ -121,4 +121,32 @@ class BcfSpec extends AnyFunSuite {
     val first = lines.next()
     assert(first.startsWith("1\t1105366\trs111751804\tT\tC"))
   }
+
+  test("parallel BGZF writer emits byte-identical output to the serial") {
+    // members are independent deflate streams, so batching them across
+    // cores must not change a single byte — spanning several 64 KiB
+    // blocks plus a partial tail
+    val rnd = new scala.util.Random(7)
+    val payload = new Array[Byte](5 * 64 * 1024 + 12345)
+    rnd.nextBytes(payload)
+    // compressible stretches too, not only incompressible noise
+    java.util.Arrays.fill(payload, 100000, 200000, 'a'.toByte)
+    def through(mk: java.io.OutputStream => java.io.OutputStream)
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = mk(bos)
+      var off = 0
+      while (off < payload.length) { // varied write sizes
+        val len = math.min(1 + (off % 7919), payload.length - off)
+        w.write(payload, off, len)
+        off += len
+      }
+      w.close()
+      bos.toByteArray
+    }
+    val serial = through(new graft.sources.bcf.Bgzf.Writer(_))
+    val parallel =
+      through(new graft.sources.bcf.Bgzf.ParallelWriter(_, batch = 3))
+    assert(java.util.Arrays.equals(serial, parallel))
+  }
 }
