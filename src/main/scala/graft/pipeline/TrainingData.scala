@@ -41,14 +41,8 @@ object TrainingData {
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
       : DataFrame = {
-    val withSh = docs.select(col(idCol),
-        shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = withSh.select(col(idCol),
-      minhashSignature(col("sh"), minhashK).as("sig"))
-    val bnd = sigs.select(col(idCol),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "bkey")))
+    val bnd = bandKeys(docs, idCol, textCol, shingleN, minhashK, bands,
+      rowsPerBand)
     val cand = bnd.as("a").join(bnd.as("b"),
         col(s"a.band") === col(s"b.band") &&
           col(s"a.bkey") === col(s"b.bkey") &&
@@ -103,6 +97,45 @@ object TrainingData {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+  }
+
+  /** (id, band, bkey) LSH band rows of `docs` — the near-dup candidate
+    * key shared by [[nearDupDrops]] and [[decontaminateNear]]. */
+  private def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minhashK: Int, bands: Int, rowsPerBand: Int)
+      : DataFrame =
+    docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), minhashSignature(col("sh"), minhashK).as("sig"))
+      .select(col(idCol),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+
+  /** NEAR-duplicate decontamination: drop from `train` every document
+    * with a verified near-duplicate (shingle-Jaccard ≥ `threshold`) in
+    * `eval` — exact-match decontamination misses paraphrased leakage.
+    * Candidates come from a band-key equi-join of the two sides' LSH
+    * signatures (never an all-pairs comparison); Jaccard runs on
+    * candidates only. */
+  def decontaminateNear(train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, minhashK: Int = 12, bands: Int = 4,
+      rowsPerBand: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bTrain = bandKeys(train, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand)
+    val bEval = bandKeys(eval, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand)
+      .select(col(idCol).as("__eid"), col("band"), col("bkey"))
+    val cand = bTrain.join(bEval, Seq("band", "bkey"))
+      .select(col(idCol), col("__eid")).distinct()
+    val contaminated = cand
+      .join(train.select(col(idCol), col(textCol).as("__ttext")), idCol)
+      .join(eval.select(col(idCol).as("__eid"),
+        col(textCol).as("__etext")), "__eid")
+      .filter(jaccard(shingles(col("__ttext"), shingleN),
+        shingles(col("__etext"), shingleN)) >= threshold)
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination: drop from `train` every document whose

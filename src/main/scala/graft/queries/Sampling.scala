@@ -99,5 +99,53 @@ object Sampling extends QueryModule {
           AS n_dropped
       FROM tr GROUP BY lang"""))
 
-  override def queries: Seq[Q] = Seq(q64, q65, q66)
+  // --- NEAR-dup decontamination: exact matching (q66) misses
+  // paraphrased leakage; this drops train documents with a verified
+  // shingle-Jaccard ≥ 0.5 near-duplicate in the val split. Candidates
+  // from a train×val band-key equi-join — never all pairs. Output is
+  // the dropped rows, proving cross-split near-dups really exist and
+  // really drop. --------------------------------------------------------
+  private val q67 = Q("q67_decontaminate_near",
+    (s, dir) => {
+      val d = graft.pipeline.TrainingData.trainValSplit(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+      val train = d.filter(col("split") === "train")
+      val eval = d.filter(col("split") === "val")
+      val clean = graft.pipeline.TrainingData.decontaminateNear(train, eval)
+      train.join(clean.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""WITH s AS (SELECT doc_id, lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split,
+        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents),
+      sh AS (SELECT doc_id, lang, split,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS sh FROM s),
+      shv AS (SELECT * FROM sh WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, split, sh,
+        list_transform(range(1, 13), i ->
+          list_min(list_transform(sh, x ->
+            md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+        FROM shv),
+      bands AS (SELECT doc_id, split, b,
+        md5(array_to_string(sig[b*3+1 : b*3+3], '|')) AS bkey
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+        FROM bands t JOIN bands e ON t.b = e.b AND t.bkey = e.bkey
+        WHERE t.split = 'train' AND e.split = 'val'),
+      ver AS (SELECT DISTINCT tid FROM cand
+        JOIN shv a ON a.doc_id = cand.tid
+        JOIN shv b ON b.doc_id = cand.eid
+        WHERE CAST(len(a.sh) + len(b.sh)
+               - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+      SELECT doc_id, lang FROM s
+      WHERE split = 'train' AND doc_id IN (SELECT tid FROM ver)"""))
+
+  override def queries: Seq[Q] = Seq(q64, q65, q66, q67)
 }
