@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_sig",
       "minhash_sig(shingles, k) - fused k-component MinHash signature",
       2, a => MinhashSig(a(0), litInt(a(1), "minhash_sig")))
+    register(ext, "winnow_fps",
+      "winnow_fps(text, k, w) - winnowed k-gram rolling-hash fingerprints",
+      3, a => WinnowFpExpr(a(0), litInt(a(1), "winnow_fps"),
+        litInt(a(2), "winnow_fps")))
     // variadic: sample_cells(geno, phased, sep, field1, field2, ...)
     ext.injectFunction((FunctionIdentifier("sample_cells"),
       info("sample_cells",

@@ -114,6 +114,39 @@ object textfns {
   private def pow2(j: Column): Column =
     element_at(array((0 to 30).map(i => lit(1L << i)): _*), j + 1)
 
+  /** Winnowed rolling-hash fingerprints straight from text — fused codegen
+    * expression (O(n) rolling update + monotonic-deque window minimum).
+    * Bit-identical to [[winnowFpsHof]], which stays as the differential
+    * oracle. */
+  def winnowFps(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.WinnowFpExpr(
+      Bridge.expression(text), k, w))
+  }
+
+  /** Declarative twin of [[winnowFps]]: every k-gram hash recomputed in
+    * full as Σ codepoint·(B^(k-1-j) mod M) mod M — each power pre-reduced,
+    * so no intermediate exceeds ~8·10^15 and any BIGINT SQL engine replays
+    * it exactly — then min per w-window, distinct, sorted. */
+  def winnowFpsHof(text: Column, k: Int, w: Int): Column = {
+    import graft.functions.expressions.WinnowFpExpr.{B, M}
+    val pows = (0 until k).map { j => // B^(k-1-j) mod M
+      var p = 1L; (0 until (k - 1 - j)).foreach(_ => p = p * B % M); p
+    }
+    val cps = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))))
+    val grams = size(cps) - (k - 1)
+    val hashes = transform(sequence(lit(1), grams), i =>
+      pows.zipWithIndex.map { case (p, j) =>
+        element_at(cps, i + j).cast("long") * p % M
+      }.reduce(_ + _) % M)
+    val mins = transform(sequence(lit(1), grams - (w - 1)), s =>
+      array_min(slice(hashes, s, lit(w))))
+    when(length(text) >= k + w - 1,
+        array_sort(array_distinct(mins)))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Hamming distance between two small non-negative long sketches (e.g.
     * [[simhash16]] values) via bit_count(xor). */
   def hamming(a: Column, b: Column): Column =

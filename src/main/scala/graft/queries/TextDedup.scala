@@ -238,6 +238,83 @@ object TextDedup extends QueryModule {
              - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
           / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5"""))
 
+  // --- exact n-gram Jaccard similarity join (brief lists "n-gram Jaccard"
+  // as its own dedup method — EXACT output, unlike q33's MinHash-LSH which
+  // only surfaces pairs the bands happen to catch). AllPairs/PPJoin-style
+  // candidate generation: order every document's shingle set rarest-first
+  // by global document frequency (ties by shingle text), explode only the
+  // first |sh| − ⌈t·|sh|⌉ + 1 shingles (the prefix filter: two sets with
+  // Jaccard ≥ t MUST share an element inside those prefixes under any
+  // common total order), equi-join the inverted index on the shingle with
+  // the lossless length filter t·max(|a|,|b|) ≤ min(|a|,|b|), then verify
+  // exact Jaccard on candidates only. Candidate generation is lossless, so
+  // the output equals brute-force all-pairs — which is exactly what the
+  // DuckDB oracle computes (O(n²) is fine at oracle scale; the Spark plan
+  // never enumerates pairs outside shared-prefix postings).
+  //
+  // 100 TB: two linear shuffles build the frequency-ordered index (explode
+  // + count, re-collect); the pair-generating join touches only prefix
+  // postings, and rarest-first ordering is what keeps common shingles out
+  // of the prefixes — the standard skew defense for similarity joins.
+  // JAC_T as a double sits just BELOW the rational 0.6, so ⌈t·|sh|⌉ never
+  // overshoots and both pruning filters stay conservative (never drop a
+  // true pair); the final jac ≥ t compare uses the identical double in
+  // both engines. -----------------------------------------------------------
+  private val JAC_T = 0.6
+
+  private val q68 = Q("q68_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sh = d.select(col("doc_id"),
+          shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      val dfreq = posting.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val ordered = posting.join(dfreq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+          .as("o"))
+        .select(col("doc_id"),
+          transform(col("o"), x => x.getField("tok")).as("sh"))
+      val pref = ordered.select(col("doc_id"), size(col("sh")).as("len"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(lit(JAC_T) * size(col("sh"))) + 1)
+            .cast("int"))).as("tok"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.tok") === col("b.tok")
+            && col("a.doc_id") < col("b.doc_id")
+            && lit(JAC_T) * col("a.len") <= col("b.len")
+            && lit(JAC_T) * col("b.len") <= col("a.len"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val texts = d.select(col("doc_id"), col("text"))
+      cand
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(shingles(col("text_a"), SHINGLE_N),
+            shingles(col("text_b"), SHINGLE_N)).as("jac"))
+        .filter(col("jac") >= JAC_T)
+    },
+    Some(s"""WITH t AS ($tokCte),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= $SHINGLE_N THEN
+          list_distinct(list_transform(range(1, len(toks) - ${SHINGLE_N - 2}),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS sh FROM t),
+      shv AS (SELECT * FROM sh WHERE len(sh) > 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(a.sh) + len(b.sh)
+             - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+      WHERE CAST(len(a.sh) + len(b.sh)
+             - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= $JAC_T"""))
+
   // --- SimHash sketch per document (brief: "SimHash"). Pure projection. ----
   private val q34 = Q("q34_simhash",
     (s, dir) => {
@@ -252,6 +329,56 @@ object TextDedup extends QueryModule {
                    IN ('8','9','a','b','c','d','e','f'))) >= len(toks)
                THEN 1 << j ELSE 0 END)) AS BIGINT) AS sketch
       FROM t"""))
+
+  // --- winnowed rolling-hash document fingerprints (brief: "document
+  // fingerprinting (rolling hash)"): Rabin–Karp hashes of every K-char
+  // gram (base B=131, mod M=1e9+7), minimum per W-wide window, distinct +
+  // sorted (winnowing, Schleimer et al. SIGMOD'03). Edit-robust — docs
+  // sharing any K..K+W−1-char substring share a fingerprint — where q32's
+  // md5 key is whole-document and order-insensitive. Codegen kernel does
+  // the O(n) rolling+deque pass; the oracle replays the Σ c·(B^j mod M)
+  // mod M form, every power pre-reduced so BIGINT never overflows. Pure
+  // projection: no shuffle at any scale. -----------------------------------
+  private val WIN_K = 8
+  private val WIN_W = 4
+
+  private val q69 = Q("q69_winnow_fp",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val fps = winnowFps(col("text"), WIN_K, WIN_W)
+      d.select(col("doc_id"),
+        size(fps).as("n_fps"),
+        array_join(fps, ",").as("fps"))
+    },
+    Some {
+      import graft.functions.expressions.WinnowFpExpr.{B, M}
+      val pows = (0 until WIN_K).map { j =>
+        var p = 1L; (0 until (WIN_K - 1 - j)).foreach(_ => p = p * B % M); p
+      }
+      val terms = pows.zipWithIndex
+        .map { case (p, j) => s"cps[i+$j] * $p % $M" }
+        .mkString(" + ")
+      s"""WITH cp AS (SELECT doc_id,
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+            AS cps
+        FROM documents),
+      h AS (SELECT doc_id,
+          list_transform(range(1, len(cps) - ${WIN_K - 1} + 1),
+            i -> ($terms) % $M) AS hashes
+        FROM cp WHERE len(cps) >= ${WIN_K + WIN_W - 1}),
+      f AS (SELECT doc_id,
+          list_sort(list_distinct(
+            list_transform(range(1, len(hashes) - ${WIN_W - 1} + 1),
+              s -> list_min(hashes[s : s + ${WIN_W - 1}])))) AS fps
+        FROM h)
+      SELECT doc_id, len(fps) AS n_fps,
+        array_to_string(fps, ',') AS fps
+      FROM f
+      UNION ALL
+      SELECT doc_id, 0 AS n_fps, '' AS fps FROM cp
+      WHERE len(cps) < ${WIN_K + WIN_W - 1}"""
+    })
 
   // --- the end-to-end training-data dedup PIPELINE: exact-dup removal
   // (keep min doc_id per content fingerprint), then MinHash+LSH near-dup
@@ -307,5 +434,6 @@ object TextDedup extends QueryModule {
       SELECT doc_id, lang, source, len(toks) AS n_tokens FROM ek
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
-  override def queries: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q62)
+  override def queries: Seq[Q] =
+    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69)
 }

@@ -72,6 +72,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "srp_bucket/b30" -> SrpBucket(ref(3, longArrT), 30, 7),
     "minhash_sig" -> MinhashSig(ref(7, strArrT), 8),
     "simhash16" -> Simhash16Expr(ref(5, StringType)),
+    "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
     "word_shingles" -> WordShinglesExpr(ref(5, StringType), Literal(3)),
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),
     "unpack_2b" -> Unpack2bDosage(ref(6, BinaryType), Literal(4)),

@@ -146,4 +146,25 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(bad == 0, s"round=$round")
     }
   }
+
+  test("winnow_fps kernel agrees with its HOF oracle on random ASCII") {
+    import spark.implicits._
+    // printable ASCII (the HOF twin indexes UTF-16 chars; the kernel walks
+    // code points — identical off the supplementary planes, and the corpus
+    // is ASCII); lengths straddle the k+w-1 empty-result boundary
+    val charGen = Gen.choose(32, 126).map(_.toChar)
+    val textGen = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    for (round <- 1 to 6) {
+      val texts = (1 to 80).map(i => draw(textGen, 13000L * round + i))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val bad = df.select(
+          winnowFps(col("text"), 8, 4).as("a"),
+          winnowFpsHof(col("text"), 8, 4).as("b"))
+        .filter(!(col("a") === col("b")))
+        .count()
+      assert(bad == 0, s"winnow round=$round")
+    }
+  }
 }
