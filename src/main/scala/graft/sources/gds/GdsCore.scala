@@ -650,6 +650,11 @@ object GdsCore {
   val IntSafeClasses: Set[String] =
     Set("dInt8", "dUInt8", "dInt16", "dUInt16", "dInt32")
 
+  /** The wide integer classes VALUE readers surface as BIGINT columns via
+    * [[longs]]/[[longsRange]] (dUInt64 codes above 2⁶³−1 reinterpret as
+    * their signed-64 bit pattern — the engine's widest column type). */
+  val LongClasses: Set[String] = Set("dUInt32", "dInt64", "dUInt64")
+
   /** Every fixed-stride float storage class [[floats]] decodes. */
   val FloatClasses: Set[String] = Set("dFloat32", "dFloat64",
     "dPackedReal8", "dPackedReal8U", "dPackedReal16", "dPackedReal16U",
@@ -690,7 +695,16 @@ object GdsCore {
     case "dInt64" | "dUInt64" => Array.tabulate(cnt)(i => i64(b, 8 * i).toInt)
   }
 
-  /** Byte stride of a fixed-stride float storage class. */
+  /** Decode `cnt` little-endian integers of class `cls` from b(0) into
+    * Long — the lossless surface for [[LongClasses]] (also accepts the
+    * narrow classes, widened). dUInt64 reinterprets as signed 64-bit. */
+  private def longsFromBytes(b: Array[Byte], cls: String, cnt: Int)
+      : Array[Long] = cls match {
+    case "dUInt32" =>
+      Array.tabulate(cnt)(i => u32(b, 4 * i) & 0xffffffffL)
+    case "dInt64" | "dUInt64" => Array.tabulate(cnt)(i => i64(b, 8 * i))
+    case _ => intsFromBytes(b, cls, cnt).map(_.toLong)
+  }
   private def floatStride(cls: String, path: String): Int = cls match {
     case "dPackedReal8" | "dPackedReal8U" => 1
     case "dPackedReal16" | "dPackedReal16U" => 2
@@ -762,6 +776,13 @@ object GdsCore {
     intsFromBytes(nodeBytesRange(f, n, off * w, cnt.toLong * w), cls, cnt)
   }
 
+  /** Fixed-stride integer elements [off, off+cnt) as lossless Longs. */
+  def longsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Long] = {
+    val cls = n.cls.getOrElse("")
+    val w = intStride(cls, n.path)
+    longsFromBytes(nodeBytesRange(f, n, off * w, cnt.toLong * w), cls, cnt)
+  }
+
   /** Fixed-stride float elements [off, off+cnt). */
   def floatsRange(f: GdsFile, n: Node, off: Long, cnt: Int): Array[Float] = {
     val cls = n.cls.getOrElse("")
@@ -792,6 +813,12 @@ object GdsCore {
     val cls = n.cls.getOrElse("")
     val b = nodeBytes(f, n)
     intsFromBytes(b, cls, b.length / intStride(cls, n.path))
+  }
+
+  def longs(f: GdsFile, n: Node): Array[Long] = {
+    val cls = n.cls.getOrElse("")
+    val b = nodeBytes(f, n)
+    longsFromBytes(b, cls, b.length / intStride(cls, n.path))
   }
 
   def floats(f: GdsFile, n: Node): Array[Float] = {

@@ -79,8 +79,14 @@ object GdsSchema {
   private def fieldType(n: Node): (String, String, DataType) = {
     val number = attrStr(n, "Number").getOrElse("1")
     val vtype = attrStr(n, "Type").getOrElse("String")
+    // storage class of the value payload — the node itself for INFO
+    // fields, the `data` child for FORMAT folders. An Integer field
+    // STORED wide (dUInt32/dInt64/dUInt64, e.g. via seqAddValue from a
+    // non-R writer) surfaces as BIGINT so no value truncates.
+    val cls = n.child("data").flatMap(_.cls).orElse(n.cls).getOrElse("")
     val scalar: DataType = vtype match {
-      case "Integer" => IntegerType
+      case "Integer" =>
+        if (GdsCore.LongClasses(cls)) LongType else IntegerType
       case "Float" => FloatType
       case _ => StringType
     }
@@ -390,14 +396,21 @@ object GdsSchema {
           val (a, base) = if (whole) (strings(f, n), 0)
             else (stringsRange(f, n, e0, math.max(e1, e0)), e0)
           i => if (a(i - base).isEmpty) null else utf8(a(i - base))
-        // Int-SAFE widths only: these carry arbitrary user values, and
-        // decoding dUInt32/dInt64/dUInt64 here would silently truncate
-        // — a loud unsupported-class error is the correct failure
+        // Int-SAFE widths surface as INT; the wide classes
+        // (dUInt32/dInt64/dUInt64) decode losslessly through the BIGINT
+        // path below — fieldType typed those columns LongType
         case c if GdsCore.IntSafeClasses(c) =>
           val (a, base) = if (whole) (ints(f, n), 0)
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base) == Int.MinValue) null
                else java.lang.Integer.valueOf(a(i - base))
+        case c if GdsCore.LongClasses(c) =>
+          val (a, base) = if (whole) (longs(f, n), 0)
+            else (longsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
+          // NA sentinel mirrors the narrow path's Int.MinValue for the
+          // signed class; unsigned classes have no reserved code
+          i => if (c == "dInt64" && a(i - base) == Long.MinValue) null
+               else java.lang.Long.valueOf(a(i - base))
         case c if GdsCore.FloatClasses(c) =>
           val (a, base) = if (whole) (floats(f, n), 0)
             else (floatsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
@@ -897,11 +910,15 @@ object Gds {
                 Some((n.name, StructField(n.name, StringType),
                   (i: Int) => a(i): Any))
               // annotation columns are optional: skip classes that
-              // would truncate (wide ints) or cannot decode (packed
-              // with no stored scale) instead of failing the table
+              // cannot decode (packed with no stored scale) instead of
+              // failing the table
               case c if GdsCore.IntSafeClasses(c) =>
                 val a = GdsCore.ints(f, n)
                 Some((n.name, StructField(n.name, IntegerType),
+                  (i: Int) => a(i): Any))
+              case c if GdsCore.LongClasses(c) =>
+                val a = GdsCore.longs(f, n)
+                Some((n.name, StructField(n.name, LongType),
                   (i: Int) => a(i): Any))
               case c if GdsCore.FloatClasses(c)
                   && GdsCore.floatsDecodable(n) =>

@@ -377,6 +377,8 @@ object GdsWrite {
     dt match {
       case IntegerType => ("dInt32",
         vs => intPayload(vs.asInstanceOf[Seq[Int]]), "Integer")
+      case LongType => ("dInt64", // VCF has no 64-bit type; Type stays
+        vs => intPayloadW(vs.asInstanceOf[Seq[Long]], 8), "Integer")
       case FloatType => ("dFloat32",
         vs => floatPayload(vs.asInstanceOf[Seq[Float]]), "Float")
       case StringType => ("dStr8",
@@ -405,6 +407,7 @@ object GdsWrite {
     private val buf = ArrayBuffer.empty[Any]
     def add(r: Row, i: Int): Unit = buf += (dt match {
       case IntegerType => if (r.isNullAt(i)) Int.MinValue else r.getInt(i)
+      case LongType => if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
       case FloatType => if (r.isNullAt(i)) Float.NaN else r.getFloat(i)
       case _ => if (r.isNullAt(i)) "" else r.getString(i)
     })
@@ -426,6 +429,7 @@ object GdsWrite {
         lens += s.length
         s.foreach(v => values += (elem match {
           case IntegerType => if (v == null) Int.MinValue else v
+          case LongType => if (v == null) Long.MinValue else v
           case FloatType => if (v == null) Float.NaN else v
           case _ => if (v == null) "" else v
         }))
@@ -455,6 +459,7 @@ object GdsWrite {
       require(s.length == nS, s"fmt width ${s.length} != $nS")
       s.foreach(v => values += (elem match {
         case IntegerType => if (v == null) Int.MinValue else v
+        case LongType => if (v == null) Long.MinValue else v
         case FloatType => if (v == null) Float.NaN else v
         case _ => if (v == null) "" else v
       }))
@@ -499,6 +504,7 @@ object GdsWrite {
           val v = if (s == null || row >= s.length) null else s(row)
           values += (elem match {
             case IntegerType => if (v == null) Int.MinValue else v
+            case LongType => if (v == null) Long.MinValue else v
             case FloatType => if (v == null) Float.NaN else v
             case _ => if (v == null) "" else v
           })

@@ -402,6 +402,84 @@ print('OK', len(names))
     } finally f.close()
   }
 
+  test("wide integer values surface as lossless BIGINT columns") {
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.gds.GdsCore
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wideint").toString
+
+    // decode primitives: unsigned codes above the signed range survive
+    val wideCases: Seq[(String, Int, Seq[Long])] = Seq(
+      ("dUInt32", 4, Seq(0L, 1L, 4000000000L, 0xffffffffL)),
+      ("dInt64", 8, Seq(Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue)),
+      ("dUInt64", 8, Seq(0L, 1L, Long.MaxValue)))
+    for ((cls, w, base) <- wideCases) {
+      val vs = base ++ base ++ base
+      val path = s"$dir/wide_$cls.gds"
+      val c = new GdsWrite.Container()
+      val rootId = c.allocId()
+      val node = c.node(cls, Seq(vs.length), GdsWrite.intPayloadW(vs, w))
+      c.folderAt(rootId, Seq((node, "v", 0)))
+      c.save(path, rootId)
+      val f = new GdsCore.GdsFile(path)
+      try {
+        val n = f.root("v")
+        assert(GdsCore.longs(f, n).toSeq == vs, s"$cls whole")
+        assert(GdsCore.longsRange(f, n, base.length.toLong, base.length)
+          .toSeq == base, s"$cls ranged")
+      } finally f.close()
+    }
+
+    // a LongType info column round-trips write → read as dInt64/BIGINT
+    // (2^53+1 would corrupt through any double path; null → NA sentinel)
+    val big = 9007199254740993L
+    val df = Seq(
+      (1L, "c1", 100, Some(big)),
+      (2L, "c1", 200, None: Option[Long]),
+      (3L, "c2", 300, Some(-big)))
+      .toDF("variant_id", "chrom", "pos", "info_BIG")
+      .withColumn("allele", lit("A,C"))
+    GdsWrite.write(df, Seq("S1"), s"$dir/roundtrip.gds")
+    val back = Gds.read(spark, s"$dir/roundtrip.gds")
+    assert(back.schema("info_BIG").dataType == LongType)
+    val got = back.select("variant_id", "info_BIG").orderBy("variant_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, big), (2L, null), (3L, -big)))
+
+    // hand-built dUInt32 INFO node + wide sample.annotation column:
+    // the DataFrame read paths dispatch the wide classes, not only the
+    // decode primitives
+    val path = s"$dir/tree.gds"
+    val c = new GdsWrite.Container()
+    val rootId = c.allocId()
+    val vid = c.node("dInt32", Seq(3), GdsWrite.intPayload(Seq(1, 2, 3)))
+    val intAttrs = new GdsWrite.Attrs().str("Number", "1")
+      .str("Type", "Integer")
+    val u32 = c.node("dUInt32", Seq(3),
+      GdsWrite.intPayloadW(Seq(7L, 4000000000L, 0xffffffffL), 4), intAttrs)
+    val sid = c.node("dStr8", Seq(2), GdsWrite.strPayload(Seq("S1", "S2")))
+    val cohort = c.node("dUInt64", Seq(2),
+      GdsWrite.intPayloadW(Seq(5000000000L, Long.MaxValue), 8))
+    val annIdx = c.folder(Seq((u32, "U32", 0)))
+    val ann = c.folder(Seq((annIdx, "info", 2)))
+    val sann = c.folder(Seq((cohort, "cohort", 0)))
+    c.folderAt(rootId, Seq((vid, "variant.id", 0),
+      (sid, "sample.id", 0), (sann, "sample.annotation", 2),
+      (ann, "annotation", 2)))
+    c.save(path, rootId)
+    val tree = Gds.read(spark, path).select("variant_id", "info_U32")
+    assert(tree.schema("info_U32").dataType == LongType)
+    assert(tree.orderBy("variant_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, 4000000000L), (3L, 0xffffffffL)))
+    val samples = Gds.samples(spark, path).orderBy("sample_ordinal")
+    assert(samples.schema("cohort").dataType == LongType)
+    assert(samples.collect().map(_.getLong(2)).toSeq ==
+      Seq(5000000000L, Long.MaxValue))
+  }
+
   test("a packed-class dosage node reads through Gds.read, not only the " +
       "decode primitives") {
     // SNP-GDS dosage container whose genotype node is dPackedReal16U —
