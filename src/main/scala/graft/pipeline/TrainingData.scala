@@ -8,9 +8,10 @@ import graft.functions.textfns._
 import graft.functions.vectorfns._
 
 /** The training-data pipeline as a PUBLIC API over arbitrary
-  * DataFrames — the same oracle-checked logic the `q32/q62/q63/q64/q65`
-  * queries run (those queries delegate here, so the driver's DuckDB
-  * gate continuously proves these functions exact).
+  * DataFrames — the same oracle-checked logic the
+  * `q32/q62/q63/q64/q65/q68/q69/q70/q71` queries run (those queries
+  * delegate here, so the driver's DuckDB gate continuously proves these
+  * functions exact).
   *
   * Scale notes (100 TB) are per function; none enumerates pairs beyond
   * LSH candidates, none collects to the driver, and all determinism
@@ -156,6 +157,120 @@ object TrainingData {
       .join(evalFps, Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** EXACT n-gram Jaccard similarity self-join: every pair of documents
+    * with shingle-Jaccard ≥ `threshold`, as (doc_a, doc_b, jac) with
+    * doc_a < doc_b — unlike [[nearDupDrops]] the output is complete,
+    * not just what LSH bands catch. AllPairs/PPJoin candidate
+    * generation: shingle sets ordered rarest-first by global document
+    * frequency, only the first |sh| − ⌈t·|sh|⌉ + 1 shingles explode
+    * (prefix filter), the inverted-index join applies the lossless
+    * length filter t·max ≤ min and the PPJoin position filter
+    * min(|a|−i, |b|−j)+1 ≥ ⌈t/(1+t)·(|a|+|b|)⌉, and exact Jaccard runs
+    * on candidates only, against the already-collected shingle arrays.
+    * Corpus-scale shuffles are all linear (explode, count, re-collect,
+    * prefix-posting join); no pair outside shared-prefix postings is
+    * ever enumerated. The position bound subtracts 1e-9 before its
+    * ceil so double rounding can only loosen a filter. */
+  def similarityJoin(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val t = threshold
+    val sh = docs.select(col(idCol),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col(idCol), explode(col("sh")).as("tok"))
+    val dfreq = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = posting.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .select(col(idCol), transform(col("o"), x => x.getField("tok")).as("sh"))
+    val pref = ordered.select(col(idCol), size(col("sh")).as("len"),
+      posexplode(slice(col("sh"), lit(1),
+        (size(col("sh")) - ceil(lit(t) * size(col("sh"))) + 1)
+          .cast("int"))).as(Seq("pos0", "tok")))
+    val overlapNeeded = // α = ⌈t/(1+t)·(|a|+|b|)⌉, rounded DOWN-safe
+      ceil(lit(t / (1 + t)) * (col("a.len") + col("b.len")) - lit(1e-9))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok")
+          && col(s"a.$idCol") < col(s"b.$idCol")
+          && lit(t) * col("a.len") <= col("b.len")
+          && lit(t) * col("b.len") <= col("a.len")
+          && least(col("a.len") - col("a.pos0") - 1,
+               col("b.len") - col("b.pos0") - 1) + 1 >= overlapNeeded)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(ordered.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(ordered.select(col(idCol).as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= t)
+  }
+
+  /** SimHash near-duplicate pairs: (doc_a, doc_b, ham) with hamming
+    * distance ≤ `maxHamming` on the 16-bit sketch. Candidates come from
+    * an equi-join on the sketch's bytes — pigeonhole-lossless while
+    * maxHamming < 2 (one flipped bit leaves a byte intact); a wider
+    * production sketch splits into maxHamming+1 bands the same way.
+    * One shuffle on the band key, exact hamming on candidates only. */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 1): DataFrame = {
+    require(maxHamming < 2,
+      s"two 8-bit bands are pigeonhole-complete only for hamming <= 1; " +
+        s"got $maxHamming (use a wider sketch with more bands)")
+    val sk = docs.select(col(idCol), simhash16Text(col(textCol)).as("sketch"))
+    val bands = sk.select(col(idCol), col("sketch"),
+      posexplode(array(col("sketch").bitwiseAND(lit(255L)),
+        shiftright(col("sketch"), 8))).as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        hamming(col("a.sketch"), col("b.sketch")).as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Fixed-size token windows with overlap — the standard
+    * pre-tokenization chunking pass. start_i = clamp(i·stride, 0,
+    * n−chunk): the last window aligns to the document end, so no token
+    * drops and no chunk is shorter than it must be; a doc with ≤ chunk
+    * tokens is one chunk, an empty doc none. Adds (chunk_idx, start,
+    * chunk, n_tok). Pure projection + explode — no shuffle. */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunk: Int = 512, stride: Int = 384)
+      : DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk; got chunk=$chunk stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= chunk, lit(1))
+      .otherwise(lit(1) + ceil((n - chunk).cast("double") / stride)
+        .cast("int"))
+    val parts = when(n > 0, transform(sequence(lit(0), nChunks - 1),
+        i => {
+          val st = greatest(least(i * stride, n - chunk), lit(0))
+          struct(st.as("start"),
+            array_join(slice(toks, st + 1, lit(chunk)), " ").as("chunk"),
+            least(lit(chunk), n - st).as("n_tok"))
+        }))
+      .otherwise(array().cast(
+        "array<struct<start:int,chunk:string,n_tok:int>>"))
+    docs.select(col(idCol), posexplode(parts).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"), col("c.start").as("start"),
+        col("c.chunk").as("chunk"), col("c.n_tok").as("n_tok"))
+  }
+
+  /** Winnowed rolling-hash fingerprint sets (the MOSS substring-level
+    * document fingerprint): k-codepoint Rabin–Karp hashes, minimum per
+    * w-window, distinct + sorted, as `fps ARRAY<BIGINT>`. Codegen O(n)
+    * per document; pure projection. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol), winnowFps(col(textCol), k, w).as("fps"))
 
   /** Component-wise integer-sum centroids of `assigned` (grouped by
     * `cid`) — exact across engines; cosine is scale-invariant so the

@@ -270,45 +270,12 @@ object TextDedup extends QueryModule {
   private val JAC_T = 0.6
 
   private val q68 = Q("q68_ngram_jaccard",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val sh = d.select(col("doc_id"),
-          shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val posting = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      val dfreq = posting.groupBy(col("tok"))
-        .agg(count(lit(1)).as("df"))
-      val ordered = posting.join(dfreq, "tok")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-          .as("o"))
-        .select(col("doc_id"),
-          transform(col("o"), x => x.getField("tok")).as("sh"))
-      val pref = ordered.select(col("doc_id"), size(col("sh")).as("len"),
-        posexplode(slice(col("sh"), lit(1),
-          (size(col("sh")) - ceil(lit(JAC_T) * size(col("sh"))) + 1)
-            .cast("int"))).as(Seq("pos0", "tok")))
-      val overlapNeeded = // α = ⌈t/(1+t)·(|a|+|b|)⌉, rounded DOWN-safe
-        ceil(lit(JAC_T / (1 + JAC_T)) * (col("a.len") + col("b.len"))
-          - lit(1e-9))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.tok") === col("b.tok")
-            && col("a.doc_id") < col("b.doc_id")
-            && lit(JAC_T) * col("a.len") <= col("b.len")
-            && lit(JAC_T) * col("b.len") <= col("a.len")
-            && least(col("a.len") - col("a.pos0") - 1,
-                 col("b.len") - col("b.pos0") - 1) + 1 >= overlapNeeded)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand
-        .join(ordered.select(col("doc_id").as("doc_a"),
-          col("sh").as("sh_a")), "doc_a")
-        .join(ordered.select(col("doc_id").as("doc_b"),
-          col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jac"))
-        .filter(col("jac") >= JAC_T)
-    },
+    (s, dir) =>
+      // the public pipeline API IS the implementation — delegating keeps
+      // the driver's DuckDB gate continuously proving the API exact
+      graft.pipeline.TrainingData.similarityJoin(
+        Tables(s, dir, "documents"),
+        shingleN = SHINGLE_N, threshold = JAC_T),
     Some(s"""WITH t AS ($tokCte),
       sh AS (SELECT doc_id,
         CASE WHEN len(toks) >= $SHINGLE_N THEN
@@ -353,21 +320,8 @@ object TextDedup extends QueryModule {
   private val HAM_T = 1
 
   private val q70 = Q("q70_simhash_neardup",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val sk = d.select(col("doc_id"),
-        simhash16Text(col("text")).as("sketch"))
-      val bands = sk.select(col("doc_id"), col("sketch"),
-        posexplode(array(col("sketch").bitwiseAND(lit(255L)),
-          shiftright(col("sketch"), 8))).as(Seq("band", "bkey")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming(col("a.sketch"), col("b.sketch")).as("ham"))
-        .filter(col("ham") <= HAM_T)
-        .dropDuplicates("doc_a", "doc_b")
-    },
+    (s, dir) => graft.pipeline.TrainingData.simhashNearDups(
+      Tables(s, dir, "documents"), maxHamming = HAM_T),
     Some(s"""WITH t AS ($tokCte),
       sk AS (SELECT doc_id,
           CAST(list_sum(list_transform(range(0, 16), j ->
@@ -394,13 +348,10 @@ object TextDedup extends QueryModule {
   private val WIN_W = 4
 
   private val q69 = Q("q69_winnow_fp",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val fps = winnowFps(col("text"), WIN_K, WIN_W)
-      d.select(col("doc_id"),
-        size(fps).as("n_fps"),
-        array_join(fps, ",").as("fps"))
-    },
+    (s, dir) => graft.pipeline.TrainingData.winnowFingerprints(
+        Tables(s, dir, "documents"), k = WIN_K, w = WIN_W)
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_join(col("fps"), ",").as("fps")),
     Some {
       import graft.functions.expressions.WinnowFpExpr.{B, M}
       val pows = (0 until WIN_K).map { j =>
@@ -441,27 +392,8 @@ object TextDedup extends QueryModule {
   private val STRIDE = 24
 
   private val q71 = Q("q71_chunk_docs",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val toks = tokens(col("text"))
-      val n = size(toks)
-      val nChunks = when(n <= CHUNK, lit(1))
-        .otherwise(lit(1) +
-          ceil((n - CHUNK).cast("double") / STRIDE).cast("int"))
-      val chunks = when(n > 0, transform(sequence(lit(0), nChunks - 1),
-          i => {
-            val st = greatest(least(i * STRIDE, n - CHUNK), lit(0))
-            struct(st.as("start"),
-              array_join(slice(toks, st + 1, lit(CHUNK)), " ").as("chunk"),
-              least(lit(CHUNK), n - st).as("n_tok"))
-          }))
-        .otherwise(array().cast(
-          "array<struct<start:int,chunk:string,n_tok:int>>"))
-      d.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
-        .select(col("doc_id"), col("chunk_idx"),
-          col("c.start").as("start"), col("c.chunk").as("chunk"),
-          col("c.n_tok").as("n_tok"))
-    },
+    (s, dir) => graft.pipeline.TrainingData.chunkDocs(
+      Tables(s, dir, "documents"), chunk = CHUNK, stride = STRIDE),
     Some(s"""WITH t AS ($tokCte),
       c AS (SELECT doc_id, toks, len(toks) AS n,
           CASE WHEN len(toks) <= $CHUNK THEN 1
