@@ -27,7 +27,9 @@ class CodegenOnlyQuerySpec extends AnyFunSuite {
     "q37_ann_lsh", // srp_bucket multi-table signatures
     "q57_fmt_roundtrip", // sample_cells (variadic) + parse_gt_cells
     "q58_gds_packed_af", // geno_stats_packed off GDS bit-planes
-    "q62_dedup_pipeline") // fingerprint + shingles + minhash composed
+    "q62_dedup_pipeline", // fingerprint + shingles + minhash composed
+    "q69_winnow_fp", // winnow_fps rolling-hash kernel
+    "q70_simhash_neardup") // simhash16 inside the band self-join
 
   test("kernel queries execute with codegen fallback disabled") {
     val conf = spark.conf
