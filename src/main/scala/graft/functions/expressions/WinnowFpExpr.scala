@@ -53,18 +53,27 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFpExpr {
-  /** Hash base/modulus — M·B and the rolling intermediates stay far inside
-    * the signed-64 range (max intermediate ≈ 2M·B ≈ 2.6e11). */
+  /** Hash base/modulus. Overflow margin: the largest intermediate is the
+    * rolled-off head product code·(B^(k-1) mod M) ≤ 0x10FFFF·(M−1) ≈
+    * 1.2e15, and the window product 2M·B ≈ 2.6e11 — both far inside
+    * signed-64. Raising M toward 2^31 keeps code·M ≈ 2.4e15 safe; any
+    * larger modulus needs this bound re-checked. */
   val B = 131L
   val M = 1000000007L
 
-  /** B^(k-1) mod M — the weight rolled off the window head. */
-  def headPow(k: Int): Long = {
-    var p = 1L
-    var i = 1
-    while (i < k) { p = p * B % M; i += 1 }
-    p
+  /** (B^(k-1-j) mod M) for j in [0, k) — THE powers table: the codegen
+    * kernel, the HOF twin, and the DuckDB oracle must all derive their
+    * weights from here or their hashes silently diverge. */
+  def pows(k: Int): IndexedSeq[Long] = {
+    val p = new Array[Long](k)
+    p(k - 1) = 1L
+    var j = k - 2
+    while (j >= 0) { p(j) = p(j + 1) * B % M; j -= 1 }
+    p.toIndexedSeq
   }
+
+  /** B^(k-1) mod M — the weight rolled off the window head. */
+  def headPow(k: Int): Long = pows(k)(0)
 
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString

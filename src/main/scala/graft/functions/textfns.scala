@@ -129,10 +129,8 @@ object textfns {
     * so no intermediate exceeds ~8·10^15 and any BIGINT SQL engine replays
     * it exactly — then min per w-window, distinct, sorted. */
   def winnowFpsHof(text: Column, k: Int, w: Int): Column = {
-    import graft.functions.expressions.WinnowFpExpr.{B, M}
-    val pows = (0 until k).map { j => // B^(k-1-j) mod M
-      var p = 1L; (0 until (k - 1 - j)).foreach(_ => p = p * B % M); p
-    }
+    import graft.functions.expressions.WinnowFpExpr.M
+    val pows = graft.functions.expressions.WinnowFpExpr.pows(k)
     val cps = transform(sequence(lit(1), length(text)),
       i => ascii(text.substr(i, lit(1))))
     val grams = size(cps) - (k - 1)

@@ -353,10 +353,8 @@ object TextDedup extends QueryModule {
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_join(col("fps"), ",").as("fps")),
     Some {
-      import graft.functions.expressions.WinnowFpExpr.{B, M}
-      val pows = (0 until WIN_K).map { j =>
-        var p = 1L; (0 until (WIN_K - 1 - j)).foreach(_ => p = p * B % M); p
-      }
+      import graft.functions.expressions.WinnowFpExpr.M
+      val pows = graft.functions.expressions.WinnowFpExpr.pows(WIN_K)
       val terms = pows.zipWithIndex
         .map { case (p, j) => s"cps[i+$j] * $p % $M" }
         .mkString(" + ")

@@ -176,6 +176,29 @@ object Vcf {
     }
   }
 
+  /** VCF `Type=Integer` is 32-bit (BCF additionally reserves the 8 codes
+    * at the bottom of the range): a BIGINT column (a wide-stored GDS
+    * node, GdsDataSource.fieldType) exports fine while its VALUES fit,
+    * and raises a clear error on the first one that doesn't — instead of
+    * emitting out-of-spec text or failing the BCF re-encode at a
+    * distance with a bare NumberFormatException. */
+  private def i32Checked(x: Column, name: String): Column =
+    when(x.isNull, lit(null).cast("string"))
+      .otherwise(when(x.between(Int.MinValue + 8, Int.MaxValue),
+          x.cast("string"))
+        .otherwise(raise_error(concat(
+          lit(s"VCF Integer is 32-bit; $name value "), x.cast("string"),
+          lit(" does not fit (cast the column to a Float/String field " +
+            "or drop it before export)")))))
+
+  /** Per-type string rendering for an exported value column — BIGINT
+    * goes through the [[i32Checked]] range guard. */
+  private def cellStr(x: Column, dt: org.apache.spark.sql.types.DataType,
+      name: String): Column = dt match {
+    case org.apache.spark.sql.types.LongType => i32Checked(x, name)
+    case _ => x.cast("string")
+  }
+
   /** INFO column text "K=V;…" assembled from a frame's `info_*` columns
     * (the value half of the annotation export): Flags contribute their
     * bare key when true, arrays join on ',', null columns drop out
@@ -188,12 +211,13 @@ object Vcf {
         f.dataType match {
           case BooleanType =>
             when(col(f.name), lit(key))
-          case ArrayType(_, _) =>
+          case ArrayType(e, _) =>
             when(col(f.name).isNotNull, concat(lit(key + "="),
-              array_join(col(f.name).cast("array<string>"), ",", ".")))
-          case _ =>
+              array_join(transform(col(f.name),
+                x => cellStr(x, e, f.name)), ",", ".")))
+          case dt =>
             when(col(f.name).isNotNull,
-              concat(lit(key + "="), col(f.name).cast("string")))
+              concat(lit(key + "="), cellStr(col(f.name), dt, f.name)))
         }
       }
     if (parts.isEmpty) lit(null).cast("string")
@@ -221,9 +245,11 @@ object Vcf {
           (FieldSpec(id, ".", vt(e)),
             transform(col(f.name), x =>
               when(x.isNull, lit(null: String))
-                .otherwise(array_join(x.cast("array<string>"), ",", "."))))
+                .otherwise(array_join(
+                  transform(x, c => cellStr(c, e, f.name)), ",", "."))))
         case ArrayType(e, _) =>
-          (FieldSpec(id, "1", vt(e)), col(f.name).cast("array<string>"))
+          (FieldSpec(id, "1", vt(e)),
+            transform(col(f.name), x => cellStr(x, e, f.name)))
         case dt => throw new IllegalArgumentException(
           s"fmt column ${f.name} is not per-sample: ${dt.simpleString}")
       }

@@ -28,6 +28,7 @@ class CodegenOnlyQuerySpec extends AnyFunSuite {
     "q57_fmt_roundtrip", // sample_cells (variadic) + parse_gt_cells
     "q58_gds_packed_af", // geno_stats_packed off GDS bit-planes
     "q62_dedup_pipeline", // fingerprint + shingles + minhash composed
+    "q68_ngram_jaccard", // shingles under posexplode-of-slice + self-join
     "q69_winnow_fp", // winnow_fps rolling-hash kernel
     "q70_simhash_neardup") // simhash16 inside the band self-join
 

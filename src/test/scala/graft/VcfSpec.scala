@@ -230,4 +230,22 @@ class VcfSpec extends AnyFunSuite {
     val gb = reparsed.select(col("geno"), col("phased")).collect().map(_.toSeq).toSet
     assert(ga == gb)
   }
+
+  test("BIGINT info export renders while values fit, raises past 32-bit") {
+    import spark.implicits._
+    // wide-stored GDS nodes surface as LongType; VCF Integer is 32-bit
+    val ok = Seq((1L, Option(7L)), (2L, Option.empty[Long]),
+      (3L, Option(-5L))).toDF("variant_id", "info_BIG")
+    val txt = ok.orderBy("variant_id").select(Vcf.infoExprFor(ok).as("i"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("."))
+    assert(txt.toSeq == Seq("BIG=7", ".", "BIG=-5"))
+    assert(Vcf.infoSpecsFor(ok.schema) ==
+      Seq(Vcf.FieldSpec("BIG", "1", "Integer")))
+    val bad = Seq((1L, 5000000000L)).toDF("variant_id", "info_BIG")
+    val e = intercept[Exception] {
+      bad.select(Vcf.infoExprFor(bad).as("i")).collect()
+    }
+    assert(e.getMessage.contains("32-bit"),
+      s"expected the range-guard message, got: ${e.getMessage}")
+  }
 }
