@@ -33,12 +33,11 @@ object TrainingData {
       .filter(col("__keep")).drop("__keep", "__fp")
   }
 
-  /** Ids to DROP as near-duplicates: MinHash+LSH band candidates among
-    * `docs`, verified at exact shingle-Jaccard ≥ `threshold`; the larger
-    * id of each verified pair drops (single-pass keep-first policy).
-    * The only corpus-scale shuffle is the band-key equi-join; Jaccard
-    * runs on candidates only. */
-  def nearDupDrops(docs: DataFrame, idCol: String = "doc_id",
+  /** Verified near-duplicate PAIRS: MinHash+LSH band candidates among
+    * `docs`, kept at exact shingle-Jaccard ≥ `threshold`, as
+    * (doc_a, doc_b) with doc_a < doc_b. The only corpus-scale shuffle is
+    * the band-key equi-join; Jaccard runs on candidates only. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
       : DataFrame = {
@@ -58,7 +57,74 @@ object TrainingData {
         .withColumnRenamed(textCol, "text_b"), "doc_b")
       .filter(jaccard(shingles(col("text_a"), shingleN),
         shingles(col("text_b"), shingleN)) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Ids to DROP as near-duplicates: the larger id of each verified
+    * [[nearDupPairs]] pair (single-pass keep-first policy). */
+  def nearDupDrops(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame =
+    nearDupPairs(docs, idCol, textCol, shingleN, minhashK, bands,
+      rowsPerBand, threshold)
       .select(col("doc_b").as(idCol)).distinct()
+
+  /** Connected components of an undirected (doc_a, doc_b) edge set by
+    * min-label propagation, run to the FIXPOINT (each driver iteration
+    * is one edge join + one min aggregate; `localCheckpoint` truncates
+    * the growing lineage — a cluster deployment would use a reliable
+    * checkpoint dir). The fixpoint — every node labeled with the
+    * smallest id reachable from it — is engine-independent, which is
+    * what lets a SQL recursive CTE replay it exactly. Label-propagation
+    * rounds needed = component diameter; dup clusters are near-cliques,
+    * so this is 2-3 rounds in practice (the big-graph alternative,
+    * large-star/small-star, halves diameters per round — swap it in if
+    * components ever get long). Returns (`idCol`, cluster). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id"))
+      .distinct().withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("nxt") < col("lbl")).isEmpty
+      labels = updated.select(col("id"), col("nxt").as("lbl"))
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIters rounds")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * [[nearDupPairs]] graph, for every document (a doc with no near-dup
+    * is its own singleton). The transitive grouping is what a keep-one-
+    * per-cluster dedup actually needs — pairwise keep-first can drop
+    * both endpoints of an unverified edge. Returns `docs`' id column
+    * plus (cluster, cluster_size). */
+  def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand, threshold)
+    val comp = connectedComponents(pairs, docs.select(col(idCol)), idCol)
+    val sizes = comp.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster")
+      .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
   /** Full corpus clean (the q62 pipeline): exact dedup, then near-dup

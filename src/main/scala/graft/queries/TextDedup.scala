@@ -408,6 +408,44 @@ object TextDedup extends QueryModule {
         CAST(LEAST($CHUNK, n - s) AS INT) AS n_tok
       FROM st"""))
 
+  // --- near-duplicate CLUSTERS: connected components over the verified
+  // LSH pair graph (q33's edges), every document labeled with the
+  // smallest doc_id reachable from it, plus the cluster size. Pairwise
+  // keep-first (q62) can transitively drop docs whose mutual similarity
+  // was never verified; keep-one-per-CLUSTER is the production dedup
+  // semantics, and components are what dedup reporting/auditing works
+  // with. Spark side: min-label propagation run to the fixpoint (one
+  // edge join + min aggregate per round, rounds = component diameter —
+  // near-clique dup clusters converge in 2-3). The fixpoint is engine-
+  // independent, so the DuckDB oracle replays it with a recursive CTE
+  // rather than mimicking the iteration count. ------------------------------
+  private val q72 = Q("q72_dedup_clusters",
+    (s, dir) => graft.pipeline.TrainingData.dedupClusters(
+      Tables(s, dir, "documents"),
+      shingleN = SHINGLE_N, minhashK = MINHASH_K,
+      bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      comp(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
+      lab AS (SELECT id AS doc_id, min(lbl) AS cluster
+        FROM comp GROUP BY 1)
+      SELECT doc_id, cluster,
+        count(*) OVER (PARTITION BY cluster) AS cluster_size
+      FROM lab"""))
+
   // --- the end-to-end training-data dedup PIPELINE: exact-dup removal
   // (keep min doc_id per content fingerprint), then MinHash+LSH near-dup
   // removal over the survivors (verified Jaccard ≥ 0.5; the larger
@@ -463,5 +501,5 @@ object TextDedup extends QueryModule {
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
   override def queries: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71)
+    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72)
 }
