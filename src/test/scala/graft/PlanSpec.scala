@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q68/q70: similarity pair joins stay equi-joins") {
+    // the pair-generating joins must hash on their candidate keys
+    // (prefix shingle / sketch byte-band) — a nested-loop or cartesian
+    // fallback here is the O(n²) failure the prefix/band filters exist
+    // to prevent
+    for (q <- Seq("q68_ngram_jaccard", "q70_simhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("sharded export: one range exchange + partition-local sort only") {
     import org.apache.spark.sql.functions._
     val src = spark.range(1000).select(col("id").as("variant_id"),

@@ -70,4 +70,22 @@ class TextSpec extends AnyFunSuite {
     assert(r(2).getSeq[String](0) == Seq("a b c"))   // whitespace runs
     assert(r(3).getSeq[String](0) == Seq("a b a", "b a b", "a b c"))
   }
+
+  test("connected components label chains, cliques, and singletons") {
+    import spark.implicits._
+    // a 5-node CHAIN (diameter 4 forces several propagation rounds),
+    // a separate triangle, and an isolated node
+    val edges = Seq(
+      ("b", "c"), ("c", "d"), ("d", "e"), ("a", "b"), // chain a-b-c-d-e
+      ("x", "y"), ("y", "z"), ("x", "z")) // triangle
+      .toDF("doc_a", "doc_b")
+    val nodes = Seq("a", "b", "c", "d", "e", "x", "y", "z", "solo")
+      .toDF("doc_id")
+    val got = graft.pipeline.TrainingData
+      .connectedComponents(edges, nodes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x", "solo" -> "solo"))
+  }
 }
