@@ -236,8 +236,14 @@ object TrainingData {
     * on candidates only, against the already-collected shingle arrays.
     * Corpus-scale shuffles are all linear (explode, count, re-collect,
     * prefix-posting join); no pair outside shared-prefix postings is
-    * ever enumerated. The position bound subtracts 1e-9 before its
-    * ceil so double rounding can only loosen a filter. */
+    * ever enumerated. EVERY pruning bound subtracts 1e-9 before its
+    * ceil/compare so double rounding can only loosen a filter, never
+    * tighten one: a threshold whose double sits above its rational
+    * value (0.8 does; 0.6 sits below) combined with a product that
+    * rounds up rather than back to the exact integer would otherwise
+    * shorten the prefix or tighten the length filter and silently drop
+    * true pairs (defense-in-depth — common thresholds' products round
+    * back exactly, but that is an IEEE accident, not a guarantee). */
   def similarityJoin(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
@@ -253,15 +259,15 @@ object TrainingData {
       .select(col(idCol), transform(col("o"), x => x.getField("tok")).as("sh"))
     val pref = ordered.select(col(idCol), size(col("sh")).as("len"),
       posexplode(slice(col("sh"), lit(1),
-        (size(col("sh")) - ceil(lit(t) * size(col("sh"))) + 1)
+        (size(col("sh")) - ceil(lit(t) * size(col("sh")) - lit(1e-9)) + 1)
           .cast("int"))).as(Seq("pos0", "tok")))
     val overlapNeeded = // α = ⌈t/(1+t)·(|a|+|b|)⌉, rounded DOWN-safe
       ceil(lit(t / (1 + t)) * (col("a.len") + col("b.len")) - lit(1e-9))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok")
           && col(s"a.$idCol") < col(s"b.$idCol")
-          && lit(t) * col("a.len") <= col("b.len")
-          && lit(t) * col("b.len") <= col("a.len")
+          && lit(t) * col("a.len") - lit(1e-9) <= col("b.len")
+          && lit(t) * col("b.len") - lit(1e-9) <= col("a.len")
           && least(col("a.len") - col("a.pos0") - 1,
                col("b.len") - col("b.pos0") - 1) + 1 >= overlapNeeded)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

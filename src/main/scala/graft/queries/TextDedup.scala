@@ -262,10 +262,10 @@ object TextDedup extends QueryModule {
   // 2.8× fewer candidates on this corpus (its tiny vocabulary is the
   // adversarial case for AllPairs). Verification reuses the collected
   // shingle arrays rather than recomputing from text per candidate.
-  // JAC_T as a double sits just BELOW the rational 0.6, so ⌈t·|sh|⌉ never
-  // overshoots, and the position bound subtracts 1e-9 before its ceil so
-  // double rounding can only loosen the pruning filters (never drop a
-  // true pair); the final jac ≥ t compare uses the identical double in
+  // Every pruning bound in the API subtracts 1e-9 before its ceil/compare
+  // so double rounding can only loosen a filter regardless of threshold
+  // (0.8's double sits ABOVE the rational and would otherwise shorten
+  // the prefix); the final jac ≥ t compare uses the identical double in
   // both engines. -----------------------------------------------------------
   private val JAC_T = 0.6
 

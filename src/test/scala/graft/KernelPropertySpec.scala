@@ -147,6 +147,62 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("similarityJoin == brute force on random tiny-vocab corpora") {
+    import spark.implicits._
+    // a 6-word vocabulary maximizes shingle collisions — the adversarial
+    // case for the prefix/position/length filters; thresholds cover a
+    // double BELOW its rational (0.6), exact (0.5), and ABOVE (0.8 —
+    // the case where an unguarded ceil over-prunes)
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(5, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for ((threshold, round) <- Seq(0.5, 0.6, 0.8).zipWithIndex) {
+      // 25 random bases + a near-duplicate of each (one word appended /
+      // first word dropped) so every threshold, 0.8 included, has true
+      // pairs to miss — without them the lossless check is vacuous
+      val bases = (1 to 25).map(i => draw(docGen, 17000L * (round + 1) + i))
+      val texts = bases ++ bases.zipWithIndex.map { case (t, i) =>
+        if (i % 2 == 0) t + " " + draw(word, 900L * round + i)
+        else t.split(" ").drop(1).mkString(" ")
+      }
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (f"d$i%03d", t) }.toDF("doc_id", "text")
+      val got = graft.pipeline.TrainingData
+        .similarityJoin(docs, threshold = threshold)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val want = sh.as("a").join(sh.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(jaccard(col("a.sh"), col("b.sh")) >= threshold)
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == want,
+        s"threshold=$threshold missed=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("similarityJoin golden: 0.8-threshold prefix boundary pair") {
+    import spark.implicits._
+    // base = 12 distinct words (10 distinct shingles); variant drops the
+    // first two words (8 shared shingles; jac = 8/10 = exactly 0.8).
+    // The two base-only shingles have df=1 and fill the head of base's
+    // rarest-first order, so the pair survives ONLY through the last
+    // prefix slot and the position/length filters at their exact
+    // bounds — the adversarial boundary for every pruning filter at a
+    // threshold whose double sits above its rational value.
+    val words = (1 to 12).map(i => f"t$i%02d")
+    val docs = Seq(
+      ("a", words.mkString(" ")),
+      ("b", words.drop(2).mkString(" "))).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .similarityJoin(docs, threshold = 0.8).collect()
+    assert(got.length == 1, s"expected the boundary pair, got ${got.toSeq}")
+    assert(got(0).getString(0) == "a" && got(0).getString(1) == "b")
+    assert(math.abs(got(0).getDouble(2) - 0.8) < 1e-12)
+  }
+
   test("winnow_fps kernel agrees with its HOF oracle on random ASCII") {
     import spark.implicits._
     // printable ASCII (the HOF twin indexes UTF-16 chars; the kernel walks
