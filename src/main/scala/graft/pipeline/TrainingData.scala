@@ -127,6 +127,23 @@ object TrainingData {
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
+  /** Corpus clean by CLUSTER: keep exactly one document — the
+    * smallest id — per [[dedupClusters]] component. The component label
+    * IS the smallest reachable id, so the keeper set is simply the rows
+    * whose id equals their cluster label; unlike [[dedupCorpus]]'s
+    * pairwise keep-first, a chain a~b~c keeps `a` and drops only b, c
+    * — never more than one survivor's worth per component. */
+  def dedupCorpusByCluster(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val keep = dedupClusters(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand, threshold)
+      .filter(col(idCol) === col("cluster"))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Full corpus clean (the q62 pipeline): exact dedup, then near-dup
     * removal over the survivors. Returns the surviving rows of `docs`
     * with their original columns. */

@@ -446,6 +446,40 @@ object TextDedup extends QueryModule {
         count(*) OVER (PARTITION BY cluster) AS cluster_size
       FROM lab"""))
 
+  // --- keep-one-per-CLUSTER corpus clean: the q72 components reduced to
+  // their keepers (a component's label IS its smallest id, so keepers
+  // are the rows whose doc_id equals their cluster), with the surviving
+  // documents' columns. The cluster policy never over-drops the way
+  // pairwise keep-first can on a chain with an unverified middle edge. --
+  private val q73 = Q("q73_cluster_dedup",
+    (s, dir) => graft.pipeline.TrainingData.dedupCorpusByCluster(
+        Tables(s, dir, "documents"),
+        shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokenCount(col("text")).as("n_tokens")),
+    Some(s"""WITH RECURSIVE $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      comp(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
+      lab AS (SELECT id AS doc_id, min(lbl) AS cluster
+        FROM comp GROUP BY 1)
+      SELECT t.doc_id, t.lang, t.source, len(t.toks) AS n_tokens
+      FROM t JOIN lab ON lab.doc_id = t.doc_id
+      WHERE lab.doc_id = lab.cluster"""))
+
   // --- the end-to-end training-data dedup PIPELINE: exact-dup removal
   // (keep min doc_id per content fingerprint), then MinHash+LSH near-dup
   // removal over the survivors (verified Jaccard ≥ 0.5; the larger
@@ -501,5 +535,5 @@ object TextDedup extends QueryModule {
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
   override def queries: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72)
+    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73)
 }
