@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,36 +108,46 @@ object TrainingData {
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 
+  /** (id, cluster) labels of the verified near-dup component graph —
+    * [[dedupClusters]] without the size aggregation. */
+  private def clusterLabels(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, minhashK: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand, threshold)
+    connectedComponents(pairs, docs.select(col(idCol)), idCol)
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * [[nearDupPairs]] graph, for every document (a doc with no near-dup
-    * is its own singleton). The transitive grouping is what a keep-one-
-    * per-cluster dedup actually needs — pairwise keep-first can drop
-    * both endpoints of an unverified edge. Returns `docs`' id column
-    * plus (cluster, cluster_size). */
+    * is its own singleton) — the grouping dedup reporting and auditing
+    * work with. Returns `docs`' id column plus (cluster, cluster_size). */
   def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
       : DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
+    val comp = clusterLabels(docs, idCol, textCol, shingleN, minhashK,
       bands, rowsPerBand, threshold)
-    val comp = connectedComponents(pairs, docs.select(col(idCol)), idCol)
     val sizes = comp.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "cluster")
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
-  /** Corpus clean by CLUSTER: keep exactly one document — the
-    * smallest id — per [[dedupClusters]] component. The component label
-    * IS the smallest reachable id, so the keeper set is simply the rows
-    * whose id equals their cluster label; unlike [[dedupCorpus]]'s
-    * pairwise keep-first, a chain a~b~c keeps `a` and drops only b, c
-    * — never more than one survivor's worth per component. */
+  /** Corpus clean by CLUSTER: keep exactly ONE document — the smallest
+    * id — per near-duplicate component. The component label IS the
+    * smallest reachable id, so keepers are simply the rows whose id
+    * equals their cluster label. Strictly more aggressive than the
+    * pairwise keep-first of [[dedupCorpus]]: with verified edges a~c
+    * and b~c only (a<b<c), pairwise keeps BOTH a and b — two transitive
+    * near-dups survive — while the cluster policy keeps only a. Choose
+    * pairwise for retention, cluster when no two near-dup survivors may
+    * coexist. */
   def dedupCorpusByCluster(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
       : DataFrame = {
-    val keep = dedupClusters(docs, idCol, textCol, shingleN, minhashK,
+    val keep = clusterLabels(docs, idCol, textCol, shingleN, minhashK,
       bands, rowsPerBand, threshold)
       .filter(col(idCol) === col("cluster"))
       .select(col(idCol))
@@ -253,14 +263,13 @@ object TrainingData {
     * on candidates only, against the already-collected shingle arrays.
     * Corpus-scale shuffles are all linear (explode, count, re-collect,
     * prefix-posting join); no pair outside shared-prefix postings is
-    * ever enumerated. EVERY pruning bound subtracts 1e-9 before its
-    * ceil/compare so double rounding can only loosen a filter, never
-    * tighten one: a threshold whose double sits above its rational
-    * value (0.8 does; 0.6 sits below) combined with a product that
-    * rounds up rather than back to the exact integer would otherwise
-    * shorten the prefix or tighten the length filter and silently drop
-    * true pairs (defense-in-depth — common thresholds' products round
-    * back exactly, but that is an IEEE accident, not a guarantee). */
+    * ever enumerated. EVERY pruning bound subtracts a RELATIVE margin
+    * (size·1e-12 — far above the ~2.3e-16 relative error a rounded
+    * product can carry, at any corpus size) before its ceil/compare, so
+    * double rounding can only loosen a filter, never tighten one; an
+    * absolute epsilon would stop covering the product error once sets
+    * reach ~1e7 elements. Loosening is safe — a too-long prefix or
+    * too-low bound only adds candidates the exact verify then rejects. */
   def similarityJoin(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
@@ -274,17 +283,20 @@ object TrainingData {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("o"))
       .select(col(idCol), transform(col("o"), x => x.getField("tok")).as("sh"))
+    def relaxed(bound: Column, scale: Column): Column = // size-relative
+      bound - scale * lit(1e-12)
     val pref = ordered.select(col(idCol), size(col("sh")).as("len"),
       posexplode(slice(col("sh"), lit(1),
-        (size(col("sh")) - ceil(lit(t) * size(col("sh")) - lit(1e-9)) + 1)
-          .cast("int"))).as(Seq("pos0", "tok")))
+        (size(col("sh")) - ceil(relaxed(lit(t) * size(col("sh")),
+          size(col("sh")))) + 1).cast("int"))).as(Seq("pos0", "tok")))
+    val pairLen = col("a.len") + col("b.len")
     val overlapNeeded = // α = ⌈t/(1+t)·(|a|+|b|)⌉, rounded DOWN-safe
-      ceil(lit(t / (1 + t)) * (col("a.len") + col("b.len")) - lit(1e-9))
+      ceil(relaxed(lit(t / (1 + t)) * pairLen, pairLen))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok")
           && col(s"a.$idCol") < col(s"b.$idCol")
-          && lit(t) * col("a.len") - lit(1e-9) <= col("b.len")
-          && lit(t) * col("b.len") - lit(1e-9) <= col("a.len")
+          && relaxed(lit(t) * col("a.len"), col("a.len")) <= col("b.len")
+          && relaxed(lit(t) * col("b.len"), col("b.len")) <= col("a.len")
           && least(col("a.len") - col("a.pos0") - 1,
                col("b.len") - col("b.pos0") - 1) + 1 >= overlapNeeded)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

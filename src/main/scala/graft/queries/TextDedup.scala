@@ -419,12 +419,10 @@ object TextDedup extends QueryModule {
   // near-clique dup clusters converge in 2-3). The fixpoint is engine-
   // independent, so the DuckDB oracle replays it with a recursive CTE
   // rather than mimicking the iteration count. ------------------------------
-  private val q72 = Q("q72_dedup_clusters",
-    (s, dir) => graft.pipeline.TrainingData.dedupClusters(
-      Tables(s, dir, "documents"),
-      shingleN = SHINGLE_N, minhashK = MINHASH_K,
-      bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5),
-    Some(s"""WITH RECURSIVE $lshCte,
+  /** Shared DuckDB chain for q72/q73: verified LSH pairs → undirected
+    * edges → recursive min-label components → (doc_id, cluster). */
+  private val componentsCte =
+    s"""$lshCte,
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -441,7 +439,14 @@ object TextDedup extends QueryModule {
         UNION
         SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
       lab AS (SELECT id AS doc_id, min(lbl) AS cluster
-        FROM comp GROUP BY 1)
+        FROM comp GROUP BY 1)"""
+
+  private val q72 = Q("q72_dedup_clusters",
+    (s, dir) => graft.pipeline.TrainingData.dedupClusters(
+      Tables(s, dir, "documents"),
+      shingleN = SHINGLE_N, minhashK = MINHASH_K,
+      bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $componentsCte
       SELECT doc_id, cluster,
         count(*) OVER (PARTITION BY cluster) AS cluster_size
       FROM lab"""))
@@ -449,8 +454,9 @@ object TextDedup extends QueryModule {
   // --- keep-one-per-CLUSTER corpus clean: the q72 components reduced to
   // their keepers (a component's label IS its smallest id, so keepers
   // are the rows whose doc_id equals their cluster), with the surviving
-  // documents' columns. The cluster policy never over-drops the way
-  // pairwise keep-first can on a chain with an unverified middle edge. --
+  // documents' columns. Strictly more aggressive than q62's pairwise
+  // keep-first — exactly one survivor per component, so no two
+  // transitive near-dups can coexist in the output. ----------------------
   private val q73 = Q("q73_cluster_dedup",
     (s, dir) => graft.pipeline.TrainingData.dedupCorpusByCluster(
         Tables(s, dir, "documents"),
@@ -458,24 +464,7 @@ object TextDedup extends QueryModule {
         bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
       .select(col("doc_id"), col("lang"), col("source"),
         tokenCount(col("text")).as("n_tokens")),
-    Some(s"""WITH RECURSIVE $lshCte,
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand
-        JOIN sh sa ON sa.doc_id = cand.doc_a
-        JOIN sh sb ON sb.doc_id = cand.doc_b
-        WHERE CAST(len(sa.sh) + len(sb.sh)
-               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs),
-      comp(id, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
-      lab AS (SELECT id AS doc_id, min(lbl) AS cluster
-        FROM comp GROUP BY 1)
+    Some(s"""WITH RECURSIVE $componentsCte
       SELECT t.doc_id, t.lang, t.source, len(t.toks) AS n_tokens
       FROM t JOIN lab ON lab.doc_id = t.doc_id
       WHERE lab.doc_id = lab.cluster"""))
