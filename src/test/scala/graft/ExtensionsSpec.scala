@@ -59,4 +59,17 @@ class ExtensionsSpec extends AnyFunSuite {
       r.getSeq[String](1).forall(_.length == 32))
     assert(r.getString(2) == "0|1:42")
   }
+
+  test("winnow_fps callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      "SELECT winnow_fps('the quick brown fox jumps', 8, 4) AS fps")
+      .collect()(0).getSeq[Long](0)
+    import spark.implicits._
+    val viaCol = Seq("the quick brown fox jumps").toDF("t")
+      .select(graft.functions.textfns.winnowFps(col("t"), 8, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    assert(viaSql == viaSql.sorted && viaSql.distinct == viaSql)
+  }
 }
