@@ -70,17 +70,19 @@ object TrainingData {
       rowsPerBand, threshold)
       .select(col("doc_b").as(idCol)).distinct()
 
-  /** Connected components of an undirected (doc_a, doc_b) edge set by
-    * min-label propagation, run to the FIXPOINT (each driver iteration
-    * is one edge join + one min aggregate; `localCheckpoint` truncates
-    * the growing lineage — a cluster deployment would use a reliable
-    * checkpoint dir). The fixpoint — every node labeled with the
-    * smallest id reachable from it — is engine-independent, which is
-    * what lets a SQL recursive CTE replay it exactly. Label-propagation
-    * rounds needed = component diameter; dup clusters are near-cliques,
-    * so this is 2-3 rounds in practice (the big-graph alternative,
-    * large-star/small-star, halves diameters per round — swap it in if
-    * components ever get long). Returns (`idCol`, cluster). */
+  /** Connected components of an undirected (doc_a, doc_b) edge set, run
+    * to the FIXPOINT: every node labeled with the smallest id reachable
+    * from it — engine-independent, which is what lets a SQL recursive
+    * CTE replay it exactly. Each driver round combines min-label
+    * propagation (one edge join + min aggregate) with POINTER DOUBLING
+    * (follow your label's current label), so convergence takes
+    * O(log diameter) rounds instead of O(diameter) — a chain of 2^25
+    * progressive near-dups converges where plain propagation would need
+    * one round per link. Labels start at own id and only decrease, and
+    * every step keeps them inside the component, so the fixpoint is the
+    * component minimum. `localCheckpoint` truncates the growing lineage
+    * (a cluster deployment would use a reliable checkpoint dir).
+    * Returns (`idCol`, cluster). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -94,10 +96,15 @@ object TrainingData {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels
+      val lp = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mid"))
+        .localCheckpoint(true)
+      val byId = lp.select(col("id").as("lid"), col("mid").as("llbl"))
+      val updated = lp.join(byId, lp("mid") === byId("lid"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("mid"), coalesce(col("llbl"), col("mid"))).as("nxt"))
         .localCheckpoint(true)
       converged = updated.filter(col("nxt") < col("lbl")).isEmpty
       labels = updated.select(col("id"), col("nxt").as("lbl"))

@@ -88,4 +88,19 @@ class TextSpec extends AnyFunSuite {
       "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
       "x" -> "x", "y" -> "x", "z" -> "x", "solo" -> "solo"))
   }
+
+  test("connected components converge on a 40-link chain (doubling)") {
+    import spark.implicits._
+    // diameter 40 > maxIters=25: plain one-hop label propagation would
+    // exhaust the round budget; pointer doubling converges in O(log d).
+    // Ids are zero-padded so lexicographic min == numeric min.
+    val ids = (0 to 40).map(i => f"n$i%02d")
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = graft.pipeline.TrainingData
+      .connectedComponents(edges, ids.toDF("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.length == 41 && got.forall(_._2 == "n00"),
+      got.filter(_._2 != "n00").take(5).mkString(","))
+  }
 }
