@@ -9,20 +9,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Codegen'd signed-random-projection LSH bucket id over `ARRAY<BIGINT>`.
   *
   * Bit j of the bucket is the sign of the projection onto pseudo-
-  * hyperplane (table, j) whose ±1 components come from the pure-integer
-  * mixer `(seed_j + i * 40503) % 97 % 2` (1-based component index i —
-  * replayable in any SQL engine, see `vectorfns.srpBucketSql`).
+  * hyperplane (table, j) whose ±1 components come from a pure-integer
+  * xorshift-multiply mixer over the key `(table·131 + j + 1, i)`
+  * (1-based component index i). All arithmetic stays inside non-negative
+  * 63-bit range (mod the Mersenne prime 2^31−1 after each multiply), so
+  * the identical value is replayable in any SQL engine with plain BIGINT
+  * ops — see `vectorfns.srpBucketSql`. The two xor-shift rounds between
+  * the multiplies are load-bearing: a chain of multiply-mod rounds alone
+  * is one LINEAR map mod M, which collapses the whole family to shifted
+  * copies of a single ±1 sequence (at most M_small distinct hyperplanes —
+  * the round-4 recall bug: 4 tables × 16 bits yielded only 68 distinct
+  * patterns and ~0.10 recall@3). This family measures i.i.d.-grade:
+  * balance 0.50, pairwise agreement 0.50 ± the binomial stdev.
   *
   * The declarative form runs one interpreted `aggregate(transform(...))`
-  * HOF pair PER BIT (16 bits × 4 tables = 64 interpreted passes per row
-  * in the ANN queries); this expression computes every bit in one fused
-  * loop over the vector — bits×dims multiply-adds inside whole-stage
-  * codegen. Null array → null; null elements contribute 0.
+  * HOF pair PER BIT; this expression computes every bit in one fused
+  * loop over the vector inside whole-stage codegen, reading the ±1 signs
+  * from a lazily-built per-operator cache (signs depend only on (table,
+  * bits, i), never on the row). Null array → null; null elements
+  * contribute 0.
   */
 case class SrpBucket(child: Expression, bits: Int, table: Int)
     extends UnaryExpression {
 
   require(bits > 0 && bits < 31, "bits must be in [1,30]")
+  // keeps (key·131071 + i)·2654435761 inside signed-64 for any realistic
+  // dim, so the SQL replay never hits BIGINT overflow
+  require(table >= 0 && table <= 128, "table must be in [0,128]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -33,8 +46,6 @@ case class SrpBucket(child: Expression, bits: Int, table: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bucket"
 
-  private def seedOf(j: Int): Long = (table * 131L + j + 1) * 2654435761L
-
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
@@ -43,11 +54,9 @@ case class SrpBucket(child: Expression, bits: Int, table: Int)
     while (i < n) {
       if (!x.isNullAt(i)) {
         val v = x.getLong(i)
-        val i1 = i + 1L
         var j = 0
         while (j < bits) {
-          val sign = if ((seedOf(j) + i1 * 40503L) % 97 % 2 == 0) 1L else -1L
-          acc(j) += v * sign
+          acc(j) += (if (SrpBucket.signBit(table, j, i + 1L)) v else -v)
           j += 1
         }
       }
@@ -69,23 +78,44 @@ case class SrpBucket(child: Expression, bits: Int, table: Int)
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
       val acc = ctx.freshName("acc")
       val bkt = ctx.freshName("bkt")
-      val seeds = ctx.freshName("seeds")
-      // hyperplane seeds are compile-time constants of (table, bits);
-      // the L suffix is required — they exceed Int.MaxValue and Janino
-      // rejects bare int literals that overflow (round-4 codegen bug)
-      val seedInit = (0 until bits).map(j => s"${seedOf(j)}L").mkString(", ")
+      val keys = ctx.freshName("keys")
+      // sign cache: signs[i*bits + j] for component i < cached length.
+      // Signs are constants of (table, bits, i) — computed once per
+      // operator instance, reused for every row.
+      val signs = ctx.addMutableState("byte[]", "srpSigns")
+      val signN = ctx.addMutableState("int", "srpSignN")
+      // hyperplane keys are compile-time constants of (table, bits);
+      // the L suffix is required — Janino rejects bare int literals
+      // that overflow (round-4 codegen bug)
+      val keyInit =
+        (0 until bits).map(j => s"${table * 131L + j + 1}L").mkString(", ")
       s"""
-         |final long[] $seeds = new long[] { $seedInit };
-         |final long[] $acc = new long[$bits];
+         |final long[] $keys = new long[] { $keyInit };
          |final int $n = $a.numElements();
+         |if ($n > $signN) {
+         |  $signs = new byte[$n * $bits];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    for (int $j = 0; $j < $bits; $j++) {
+         |      long $h = (($keys[$j] * 131071L + ($i + 1L)) * 2654435761L)
+         |        % 2147483647L;
+         |      $h ^= $h >>> 15;
+         |      $h = ($h * 40503L) % 2147483647L;
+         |      $h ^= $h >>> 13;
+         |      $signs[$i * $bits + $j] =
+         |        (($h & 1L) == 1L) ? (byte) 1 : (byte) -1;
+         |    }
+         |  }
+         |  $signN = $n;
+         |}
+         |final long[] $acc = new long[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) continue;
          |  final long $v = $a.getLong($i);
          |  for (int $j = 0; $j < $bits; $j++) {
-         |    $acc[$j] += (($seeds[$j] + ($i + 1L) * 40503L) % 97 % 2 == 0)
-         |      ? $v : -$v;
+         |    $acc[$j] += ($signs[$i * $bits + $j] > 0) ? $v : -$v;
          |  }
          |}
          |long $bkt = 0L;
@@ -98,4 +128,18 @@ case class SrpBucket(child: Expression, bits: Int, table: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : SrpBucket = copy(child = newChild)
+}
+
+object SrpBucket {
+  /** True ⇒ +1 hyperplane component for (table, bit j, 1-based index i).
+    * Kept on the companion so the interpreted path and tests share one
+    * definition of the mixer. */
+  def signBit(table: Int, j: Int, i1: Long): Boolean = {
+    var h = ((table * 131L + j + 1) * 131071L + i1) * 2654435761L
+    h %= 2147483647L
+    h ^= h >>> 15
+    h = (h * 40503L) % 2147483647L
+    h ^= h >>> 13
+    (h & 1L) == 1L
+  }
 }

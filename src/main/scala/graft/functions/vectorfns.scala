@@ -40,12 +40,15 @@ object vectorfns {
 
   /** Signed-random-projection LSH bucket id in [0, 2^bits): bit j is the
     * sign of the projection of `qv` onto pseudo-hyperplane (table, j),
-    * whose ±1 components come from a pure-integer mixer (replayable in
-    * any SQL engine — no RNG state). `table` seeds independent hash
-    * tables for banded multi-table LSH (the recall knob: more tables =
-    * more chances for a true neighbor to collide). 1-based component
-    * index i matches DuckDB's 1-based list indexing. One fused codegen
-    * loop for all bits ([[graft.functions.expressions.SrpBucket]]). */
+    * whose ±1 components come from a pure-integer xorshift-multiply
+    * mixer (replayable in any SQL engine — no RNG state, no 64-bit
+    * wraparound; see [[graft.functions.expressions.SrpBucket.signBit]]
+    * for why the xor rounds are load-bearing). `table` seeds independent
+    * hash tables for banded multi-table LSH (the recall knob: more
+    * tables = more chances for a true neighbor to collide). 1-based
+    * component index i matches DuckDB's 1-based list indexing. One fused
+    * codegen loop for all bits
+    * ([[graft.functions.expressions.SrpBucket]]). */
   def srpBucket(qv: Column, bits: Int, table: Int = 0): Column =
     Bridge.column(graft.functions.expressions.SrpBucket(
       Bridge.expression(qv), bits, table))
@@ -54,13 +57,19 @@ object vectorfns {
     * functions — kept as the differential oracle for the expression. */
   def srpBucketHof(qv: Column, bits: Int, table: Int = 0): Column = {
     require(bits > 0 && bits < 31, "bits must be in [1,30]")
+    require(table >= 0 && table <= 128, "table must be in [0,128]")
     (0 until bits).map { j =>
-      val seed = (table * 131L + j + 1) * 2654435761L
+      val key = table * 131L + j + 1
       val proj = aggregate(
-        transform(sequence(lit(1), size(qv)), i =>
+        transform(sequence(lit(1), size(qv)), i => {
+          val h1 = (lit(key * 131071L) + i) * lit(2654435761L) %
+            lit(2147483647L)
+          val h1x = h1.bitwiseXOR(shiftright(h1, 15))
+          val h2 = h1x * lit(40503L) % lit(2147483647L)
+          val h2x = h2.bitwiseXOR(shiftright(h2, 13))
           element_at(qv, i) *
-            when((lit(seed) + i * lit(40503L)) % 97 % 2 === 0,
-              lit(1L)).otherwise(lit(-1L))),
+            when(h2x.bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        }),
         lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -70,9 +79,15 @@ object vectorfns {
     * column named `expr` — kept next to the Scala so the two stay in sync. */
   def srpBucketSql(expr: String, bits: Int, table: Int = 0): String = {
     val terms = (0 until bits).map { j =>
-      val seed = (table * 131L + j + 1) * 2654435761L
+      val key = table * 131L + j + 1
+      // the two xor-rounds mirror SrpBucket.signBit exactly; >> on the
+      // non-negative intermediates equals the Scala logical shift
+      val h1 = s"((${key * 131071L} + i) * 2654435761 % 2147483647)"
+      val h1x = s"xor($h1, $h1 >> 15)"
+      val h2 = s"($h1x * 40503 % 2147483647)"
+      val h2x = s"xor($h2, $h2 >> 13)"
       s"""CASE WHEN CAST(list_sum(list_transform(range(1, len($expr) + 1),
-         |  i -> $expr[i] * (CASE WHEN ($seed + i * 40503) % 97 % 2 = 0
+         |  i -> $expr[i] * (CASE WHEN ($h2x & 1) = 1
          |                   THEN 1 ELSE -1 END))) AS BIGINT) >= 0
          |THEN ${1L << j} ELSE 0 END""".stripMargin
     }

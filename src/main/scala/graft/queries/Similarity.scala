@@ -24,14 +24,21 @@ object Similarity extends QueryModule {
 
   private val SCALE = 10000
   private val PROBE_MOD = 40
-  // Banded multi-table SRP: TABLES independent 16-bit signatures. Bits
-  // control precision (2^16 buckets ⇒ shuffle parallelism and bucket
-  // occupancy n/65536 at any n); tables control recall (a true neighbor
-  // colliding in ANY table becomes a candidate); CAP bounds the members
-  // considered per (table, bucket) so a degenerate bucket can never
-  // produce O(n²) pairs — candidates ≤ TABLES · n · CAP by construction.
-  private val SRP_BITS = 16
-  private val SRP_TABLES = 4
+  // Banded multi-table SRP: TABLES independent BITS-bit signatures. For a
+  // neighbor at angle θ each signature bit agrees with prob p = 1 − θ/π,
+  // so recall ≈ 1 − (1 − p^BITS)^TABLES: bits control precision (bucket
+  // occupancy n/2^BITS ⇒ candidate volume), tables control recall (a true
+  // neighbor colliding in ANY table becomes a candidate). 8×16 puts a
+  // cos-0.6 neighbor (p≈0.70) at ~63% recall and a cos-0.95 near-dup
+  // (p≈0.90) at ~99.99% — measured floors are pinned in AnnRecallSpec
+  // (16 bits × 4 tables scored ~0.10 recall@3: near-singleton buckets at
+  // test n, and p^16 vanishes for any non-near-dup angle). At larger n,
+  // grow BITS with log2(n) to hold occupancy, adding tables to keep
+  // recall. CAP bounds the members considered per (table, bucket) so a
+  // degenerate bucket can never produce O(n²) pairs — candidates ≤
+  // TABLES · n · CAP by construction.
+  private val SRP_BITS = 8
+  private val SRP_TABLES = 32
   private val BUCKET_CAP = 64
 
   /** (tab, bucket) signature rows, one per table, Spark side. */
@@ -251,7 +258,7 @@ object Similarity extends QueryModule {
   // At 100 TB the assignment is a one-off build artifact (write the
   // corpus partitioned by `assigned`); here it is computed inline so
   // the oracle can replay every step. ------------------------------------
-  private val NPROBE = 3
+  private val NPROBE = 4
   private val q61 = Q("q61_ivf_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
