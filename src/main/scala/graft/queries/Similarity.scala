@@ -28,17 +28,22 @@ object Similarity extends QueryModule {
   // neighbor at angle θ each signature bit agrees with prob p = 1 − θ/π,
   // so recall ≈ 1 − (1 − p^BITS)^TABLES: bits control precision (bucket
   // occupancy n/2^BITS ⇒ candidate volume), tables control recall (a true
-  // neighbor colliding in ANY table becomes a candidate). 8×16 puts a
-  // cos-0.6 neighbor (p≈0.70) at ~63% recall and a cos-0.95 near-dup
-  // (p≈0.90) at ~99.99% — measured floors are pinned in AnnRecallSpec
-  // (16 bits × 4 tables scored ~0.10 recall@3: near-singleton buckets at
-  // test n, and p^16 vanishes for any non-near-dup angle). At larger n,
-  // grow BITS with log2(n) to hold occupancy, adding tables to keep
-  // recall. CAP bounds the members considered per (table, bucket) so a
-  // degenerate bucket can never produce O(n²) pairs — candidates ≤
-  // TABLES · n · CAP by construction.
+  // neighbor colliding in ANY table becomes a candidate). The ANN search
+  // (q37) additionally MULTI-PROBES: each probe visits its own bucket
+  // plus the BITS single-bit-flip neighbors per table (Lv et al. 2007),
+  // lifting the per-table hit probability from p^BITS to
+  // p^BITS + BITS·p^(BITS−1)(1−p) — at this corpus's hostile p≈0.61
+  // (true top-3 neighbors sit at cos 0.29–0.43) that is 0.019 → 0.118
+  // per table, ~0.87 recall over 16 tables, for a 9× larger broadcast
+  // probe side and an unchanged corpus scan. Measured floors are pinned
+  // in AnnRecallSpec (16 bits × 4 tables scored ~0.10 recall@3:
+  // near-singleton buckets at test n, and p^16 vanishes for any
+  // non-near-dup angle). At larger n, grow BITS with log2(n) to hold
+  // occupancy, adding tables to keep recall. CAP bounds the members
+  // considered per (table, bucket) so a degenerate bucket can never
+  // produce O(n²) pairs — candidates ≤ TABLES · n · CAP by construction.
   private val SRP_BITS = 8
-  private val SRP_TABLES = 32
+  private val SRP_TABLES = 16
   private val BUCKET_CAP = 64
 
   /** (tab, bucket) signature rows, one per table, Spark side. */
@@ -117,10 +122,15 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
       val corp = sg.withColumn("rk", row_number().over(wB))
         .filter(col("rk") <= BUCKET_CAP)
+      // multi-probe: own bucket + every single-bit flip (mask 0 first)
+      val masks = array((lit(0L) +:
+        (0 until SRP_BITS).map(b => lit(1L << b))): _*)
       val probes = sg.filter(col("vec_id") % PROBE_MOD === 0)
         .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
           col("nrm").as("pnrm"), col("tab").as("ptab"),
-          col("bucket").as("pbucket"))
+          explode(masks).as("m"), col("bucket"))
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("ptab"),
+          col("bucket").bitwiseXOR(col("m")).as("pbucket"))
       val cand = corp.join(broadcast(probes),
           col("tab") === col("ptab") && col("bucket") === col("pbucket") &&
             col("vec_id") =!= col("probe_id"))
@@ -141,7 +151,9 @@ object Similarity extends QueryModule {
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
            ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
       prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
-              tab AS ptab, bucket AS pbucket FROM sig
+              tab AS ptab, xor(bucket, m) AS pbucket FROM sig,
+              (SELECT unnest([${(0L +: (0 until SRP_BITS)
+                .map(b => 1L << b)).mkString(", ")}]) AS m)
               WHERE vec_id % $PROBE_MOD = 0),
       cand AS (SELECT probe_id, vec_id, MAX(
         CASE WHEN pnrm > 0 AND nrm > 0 THEN
