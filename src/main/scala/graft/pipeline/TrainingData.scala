@@ -380,6 +380,87 @@ object TrainingData {
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col(idCol), winnowFps(col(textCol), k, w).as("fps"))
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A.1.1 "repetitious text" filters, adapted to word level): per
+    * document,
+    *   - `max_run`: longest run of consecutive identical words ("batch
+    *     batch batch" → 3),
+    *   - `top2_frac`: chars of the words COVERED by occurrences of the
+    *     most frequent word bigram (ties → lexicographically smallest
+    *     gram), over total word chars,
+    *   - `dup5_frac`: chars of the words covered by any word 5-gram
+    *     occurring ≥ 2 times, over total word chars.
+    * Both are positional-union coverage — overlapping occurrences are
+    * not double-counted, so the fractions live in [0, 1] (a naive
+    * per-occurrence sum exceeds 1 on overlaps: "a b a b a b" holds six
+    * bigram occurrences over six words). Char counts are word lengths
+    * (separators excluded). Docs with no words score (0, 0.0, 0.0).
+    * All counts are exact integers and each fraction is a single
+    * BIGINT/BIGINT IEEE division, so a SQL engine replays every bit.
+    * At 100 TB: (doc, gram)- and (doc, position)-keyed aggregates and
+    * one (doc, word, island) gaps-and-islands aggregate — canonical
+    * map-reduce shapes keyed by content, no driver state. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__chars", aggregate(
+        transform(col("__toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x))
+    val pos = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__pos", "__w")))
+    val wRun = Window.partitionBy(col(idCol), col("__w"))
+      .orderBy(col("__pos"))
+    // gaps-and-islands: __pos − row_number is constant exactly along a
+    // run of identical words
+    val runs = pos
+      .withColumn("__isl", col("__pos") - row_number().over(wRun))
+      .groupBy(col(idCol), col("__w"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol)).agg(max(col("__run")).as("max_run"))
+    // gram OCCURRENCES keep their 0-based start — coverage needs it
+    def gramOcc(k: Int) = base
+      .select(col(idCol), posexplode(when(col("__n") >= k,
+        transform(sequence(lit(1L), col("__n") - lit(k - 1L)),
+          i => array_join(slice(col("__toks"), i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("__i", "__g")))
+    // positional-union covered chars of the selected grams' occurrences
+    def coverage(occ: DataFrame, k: Int, out: String) = occ
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + lit(k - 1))).as("__cp"))
+      .distinct()
+      .join(pos.withColumnRenamed("__pos", "__cp"), Seq(idCol, "__cp"))
+      .groupBy(col(idCol))
+      .agg(sum(length(col("__w")).cast("long")).as(out))
+    val occ2 = gramOcc(2)
+    val wTop = Window.partitionBy(col(idCol))
+      .orderBy(col("__cnt").desc, col("__g"))
+    val topG = occ2.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1).select(col(idCol), col("__g"))
+    val top2 = coverage(occ2.join(topG, Seq(idCol, "__g")), 2, "__top2")
+    val occ5 = gramOcc(5)
+    val dupG = occ5.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select(col(idCol), col("__g"))
+    val dup5 = coverage(occ5.join(dupG, Seq(idCol, "__g")), 5, "__dup5")
+    base.select(col(idCol), col("__n").as("n_words"), col("__chars"))
+      .join(runs, Seq(idCol), "left")
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(col("__chars") > 0,
+          coalesce(col("__top2"), lit(0L)).cast("double") / col("__chars"))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        when(col("__chars") > 0,
+          coalesce(col("__dup5"), lit(0L)).cast("double") / col("__chars"))
+          .otherwise(lit(0.0)).as("dup5_frac"))
+  }
+
   /** Component-wise integer-sum centroids of `assigned` (grouped by
     * `cid`) — exact across engines; cosine is scale-invariant so the
     * sum vector scores identically to the mean. */

@@ -523,6 +523,69 @@ object TextDedup extends QueryModule {
       SELECT doc_id, lang, source, len(toks) AS n_tokens FROM ek
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
+  // --- Gopher-style repetition signals (Rae et al. 2021 §A.1.1): the
+  // quality-filter stage that drops degenerate repetitious documents
+  // before training. Delegates to the public pipeline API; the oracle
+  // replays the gaps-and-islands run detection and both gram aggregates
+  // exactly (integer counts, one IEEE division per fraction). ------------
+  private val q74 = Q("q74_repetition_stats",
+    (s, dir) => graft.pipeline.TrainingData
+      .repetitionStats(Tables(s, dir, "documents")),
+    Some(s"""WITH t AS ($tokCte),
+      b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(toks,
+            w -> length(w))), 0) AS BIGINT) AS chars
+        FROM t),
+      e AS (SELECT doc_id, toks,
+          unnest(range(1, len(toks) + 1)) AS pos FROM t),
+      w AS (SELECT doc_id, pos, toks[pos] AS word FROM e),
+      isl AS (SELECT doc_id, word,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+            ORDER BY pos) AS g
+        FROM w),
+      runs AS (SELECT doc_id, MAX(cnt) AS max_run FROM
+          (SELECT doc_id, COUNT(*) AS cnt FROM isl
+           GROUP BY doc_id, word, g)
+        GROUP BY doc_id),
+      g2 AS (SELECT doc_id, pos,
+          array_to_string(list_slice(toks, pos, pos + 1), ' ') AS gr
+        FROM e WHERE pos + 1 <= len(toks)),
+      topg AS (SELECT doc_id, gr FROM
+          (SELECT doc_id, gr, COUNT(*) AS cnt FROM g2
+           GROUP BY doc_id, gr
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY cnt DESC, gr) = 1)),
+      cov2 AS (SELECT DISTINCT g2.doc_id, g2.pos + o AS cp
+        FROM g2 JOIN topg USING (doc_id, gr),
+          (SELECT unnest(range(0, 2)) AS o)),
+      top2 AS (SELECT cov2.doc_id,
+          CAST(SUM(length(word)) AS BIGINT) AS t2
+        FROM cov2 JOIN w ON w.doc_id = cov2.doc_id AND w.pos = cov2.cp
+        GROUP BY cov2.doc_id),
+      g5 AS (SELECT doc_id, pos,
+          array_to_string(list_slice(toks, pos, pos + 4), ' ') AS gr
+        FROM e WHERE pos + 4 <= len(toks)),
+      dupg AS (SELECT doc_id, gr FROM g5
+        GROUP BY doc_id, gr HAVING COUNT(*) >= 2),
+      cov5 AS (SELECT DISTINCT g5.doc_id, g5.pos + o AS cp
+        FROM g5 JOIN dupg USING (doc_id, gr),
+          (SELECT unnest(range(0, 5)) AS o)),
+      dup5 AS (SELECT cov5.doc_id,
+          CAST(SUM(length(word)) AS BIGINT) AS d5
+        FROM cov5 JOIN w ON w.doc_id = cov5.doc_id AND w.pos = cov5.cp
+        GROUP BY cov5.doc_id)
+      SELECT b.doc_id, n_words,
+        CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run,
+        CASE WHEN chars > 0
+          THEN CAST(COALESCE(t2, 0) AS DOUBLE) / chars
+          ELSE 0.0 END AS top2_frac,
+        CASE WHEN chars > 0
+          THEN CAST(COALESCE(d5, 0) AS DOUBLE) / chars
+          ELSE 0.0 END AS dup5_frac
+      FROM b LEFT JOIN runs USING (doc_id)
+        LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)"""))
+
   override def queries: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73)
+    Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
+      q74)
 }

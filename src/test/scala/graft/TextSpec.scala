@@ -103,4 +103,31 @@ class TextSpec extends AnyFunSuite {
     assert(got.length == 41 && got.forall(_._2 == "n00"),
       got.filter(_._2 != "n00").take(5).mkString(","))
   }
+
+  test("repetition stats golden values") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b a b"),       // run of 3; "a a"×2 and "a b"×2
+      (2L, "x y x y x y"),       // "x y"×3 covers all 6 chars
+      (3L, "a b c d e a b c d e a b c d e"), // 5-gram ×3 ⇒ dup5 = 1
+      (4L, "solo"),              // no grams at all
+      (5L, " ")                  // no words at all
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData.repetitionStats(d)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // doc 1: top gram ties "a a"/"a b" ×2 → lex min "a a", occurrences
+    // at 0,1 cover words {0,1,2} = 3 of 6 chars; no dup 5-gram
+    assert(got(0) == ((1L, 6L, 3L, 0.5, 0.0)))
+    // doc 2: "x y" ×3 covers every word
+    assert(got(1) == ((2L, 6L, 1L, 1.0, 0.0)))
+    // doc 3: top gram "a b" ×3 covers {0,1,5,6,10,11} = 6 of 15; every
+    // 5-gram repeats, union-covering all 15 words — coverage stays ≤ 1
+    // where a per-occurrence sum would score 55/15
+    assert(got(2) == ((3L, 15L, 1L, 6.0 / 15, 1.0)))
+    assert(got(3) == ((4L, 1L, 1L, 0.0, 0.0)))
+    assert(got(4) == ((5L, 0L, 0L, 0.0, 0.0)))
+  }
 }
