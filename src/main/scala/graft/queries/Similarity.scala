@@ -374,6 +374,49 @@ object Similarity extends QueryModule {
   // ITERS+1 times, each pass one broadcast join + one k·dims-row shuffle.
   private val KMEANS_K = 8
   private val KMEANS_ITERS = 2
+
+  private def cosSql(q: String, c: String, qn: String, cn: String) =
+    s"""CASE WHEN $qn > 0 AND $cn > 0 THEN
+        CAST(${dotSql.format(q, q, c)} AS DOUBLE) /
+          (sqrt(CAST($qn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE))) END"""
+
+  private def assignSql(cent: String, out: String) =
+    s"""$out AS (SELECT vec_id, qv, nrm, cid, cos FROM
+      (SELECT n.vec_id, n.qv, n.nrm, c.cid,
+         ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           ORDER BY ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")}
+             DESC, c.cid) AS rn
+       FROM n, $cent c) WHERE rn = 1)"""
+
+  /** Integer-sum centroids of assignment CTE `prev` into `centn$tag`. */
+  private def updateSql(prev: String, tag: String) =
+    s"""sums$tag AS (SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sx
+         FROM $prev, (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY cid, i),
+       cent$tag AS (SELECT cid, list(sx ORDER BY i) AS cv FROM sums$tag
+         GROUP BY cid),
+       centn$tag AS (SELECT cid, cv, ${dot2("cv", "cv")} AS cnrm
+         FROM cent$tag)"""
+
+  /** The unrolled Lloyd chain (q63's oracle core): CTEs `q`, `n`,
+    * `centn0`, and per-iteration `sums$k`/`cent$k`/`centn$k`/`a$k` up to
+    * the final assignment `a$iters` — exactly
+    * `TrainingData.kmeansTrain(e, k, iters)`. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val its = (1 to iters).map(i =>
+      updateSql(s"a${i - 1}", i.toString) + ",\n" +
+        assignSql(s"centn$i", s"a$i"))
+      .mkString(",\n")
+    s"""q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      centn0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM
+        (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM n)
+        WHERE rn0 <= $k),
+      ${assignSql("centn0", "a0")},
+      $its"""
+  }
+
   private val q63 = Q("q63_kmeans_train",
     (s, dir) => {
       // delegates to the public pipeline API — the oracle below proves
@@ -388,42 +431,78 @@ object Similarity extends QueryModule {
         min(col("cos")).as("min_cos"),
         max(col("cos")).as("max_cos"))
     },
+    Some(s"""WITH ${kmeansCtes(KMEANS_K, KMEANS_ITERS)}
+      SELECT cid, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vid,
+        MIN(cos) AS min_cos, MAX(cos) AS max_cos
+      FROM a$KMEANS_ITERS GROUP BY cid"""))
+
+  // --- IVF search over the TRAINED quantizer: q61 prunes with label-mean
+  // lists (labels only loosely track geometry on this corpus); this is
+  // the real index — kmeansTrain builds the coarse quantizer, vectors
+  // live in their cluster's inverted list, probes rank the CURRENT list
+  // centroids (one more integer-sum update over the final assignment)
+  // and exact-score only the NPROBE nearest lists. Same plan skeleton as
+  // q61: per-iteration k·dims-row shuffles + broadcast assigns to build,
+  // then one broadcast probe join + bounded top-k to search. At 100 TB
+  // the build is a one-off artifact (corpus written partitioned by cid);
+  // the search side touches ~NPROBE/k of the corpus. -----------------------
+  private val q75 = Q("q75_ivf_kmeans_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      val assigned = graft.pipeline.TrainingData
+        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+      // current list centroids: integer sums over the final assignment
+      val cents = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
+          .as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val wP = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pcos").desc, col("cid"))
+      val ptop = assigned.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("cid"),
+          cosineQ(dotLong(col("pv"), col("cv")), col("pnrm"), col("cnrm"))
+            .as("pcos"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= NPROBE)
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("cid"))
+      val cand = assigned.join(broadcast(ptop),
+          Seq("cid")).filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
     Some {
-      // one CTE pair per iteration: update from a$k, assign into a${k+1}
-      def cosSql(q: String, c: String, qn: String, cn: String) =
-        s"""CASE WHEN $qn > 0 AND $cn > 0 THEN
-            CAST(${dotSql.format(q, q, c)} AS DOUBLE) /
-              (sqrt(CAST($qn AS DOUBLE)) * sqrt(CAST($cn AS DOUBLE))) END"""
-      def assignSql(cent: String, out: String) =
-        s"""$out AS (SELECT vec_id, qv, nrm, cid, cos FROM
-          (SELECT n.vec_id, n.qv, n.nrm, c.cid,
-             ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")} AS cos,
-             ROW_NUMBER() OVER (PARTITION BY n.vec_id
-               ORDER BY ${cosSql("n.qv", "cv", "n.nrm", "c.cnrm")}
-                 DESC, c.cid) AS rn
-           FROM n, $cent c) WHERE rn = 1)"""
-      def updateSql(prev: String, k: Int) =
-        s"""sums$k AS (SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sx
-             FROM $prev, (SELECT unnest(range(1, 65)) AS i)
-             GROUP BY cid, i),
-           cent$k AS (SELECT cid, list(sx ORDER BY i) AS cv FROM sums$k
-             GROUP BY cid),
-           centn$k AS (SELECT cid, cv, ${dot2("cv", "cv")} AS cnrm
-             FROM cent$k)"""
-      val iters = (1 to KMEANS_ITERS).map(k =>
-        updateSql(s"a${k - 1}", k) + ",\n" + assignSql(s"centn$k", s"a$k"))
-        .mkString(",\n")
-      s"""WITH q AS ($qCte),
-        n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
-        centn0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM
-          (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM n)
-          WHERE rn0 <= $KMEANS_K),
-        ${assignSql("centn0", "a0")},
-        $iters
-        SELECT cid, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vid,
-          MIN(cos) AS min_cos, MAX(cos) AS max_cos
-        FROM a$KMEANS_ITERS GROUP BY cid"""
+      val f = KMEANS_ITERS
+      s"""WITH ${kmeansCtes(KMEANS_K, KMEANS_ITERS)},
+      ${updateSql(s"a$f", "F")},
+      ptop AS (SELECT probe_id, pv, pnrm, cid FROM
+        (SELECT p.vec_id AS probe_id, p.qv AS pv, p.nrm AS pnrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY ${cosSql("p.qv", "cv", "p.nrm", "c.cnrm")}
+               DESC, c.cid) AS rn
+         FROM a$f p, centnF c WHERE p.vec_id % $PROBE_MOD = 0)
+        WHERE rn <= $NPROBE),
+      cand AS (SELECT probe_id, a.vec_id,
+          ${cosSql("pv", "a.qv", "pnrm", "a.nrm")} AS cos
+        FROM a$f a JOIN ptop USING (cid) WHERE a.vec_id <> probe_id)
+      SELECT probe_id, vec_id, cos, rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM cand)
+      WHERE rank <= 5"""
     })
 
-  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61, q63)
+  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61, q63, q75)
 }

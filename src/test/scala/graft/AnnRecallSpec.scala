@@ -65,4 +65,13 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ivf recall@5 = $r%.3f")
     assert(r >= 0.50, f"recall@5 = $r%.3f")
   }
+
+  // the trained quantizer beats label-mean lists (q61's 0.62) at the
+  // same nprobe: measured 0.77
+  test("k-means IVF search (q75) recall@5 >= 0.65 vs brute force") {
+    val ivf = SparkEntry.queries("q75_ivf_kmeans_search")(spark, dir)
+    val r = recallAtK(ivf, 5)
+    info(f"kmeans ivf recall@5 = $r%.3f")
+    assert(r >= 0.65, f"recall@5 = $r%.3f")
+  }
 }
