@@ -461,6 +461,38 @@ object TrainingData {
           .otherwise(lit(0.0)).as("dup5_frac"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    * embedded corpus. k-means clusters the vectors (the paper's
+    * complexity bound: candidate pairs only WITHIN a cluster, never
+    * corpus²); within each cluster, pairs with cosine ≥ `tau` form
+    * ε-ball duplicate groups (transitively closed — connected
+    * components); each group keeps exactly one member — the one
+    * FURTHEST from its cluster centroid (lowest centroid cosine, the
+    * paper's keep rule; ties → smallest id). Cross-cluster duplicates
+    * are missed by design — that is the accepted approximation that
+    * makes the method scale. Returns (vec_id, cid, cos, component,
+    * kept 0/1) for every input vector; `cos` is the centroid cosine.
+    * All comparisons are on exactly-replayable integer-derived values,
+    * so a SQL engine reproduces the kept set bit for bit. */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double)
+      : DataFrame = {
+    val assigned = kmeansTrain(vecs, k, iters)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineQ(dotLong(col("a.qv"), col("b.qv")),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val comp = connectedComponents(pairs,
+      assigned.select(col("vec_id").as("doc_id")))
+    val wk = Window.partitionBy(col("component"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    assigned.join(comp, assigned("vec_id") === comp("doc_id"))
+      .select(col("vec_id"), col("cid"), col("cos"),
+        col("cluster").as("component"))
+      .withColumn("kept", (row_number().over(wk) === 1).cast("int"))
+  }
+
   /** Component-wise integer-sum centroids of `assigned` (grouped by
     * `cid`) — exact across engines; cosine is scale-invariant so the
     * sum vector scores identically to the mean. */

@@ -504,5 +504,41 @@ object Similarity extends QueryModule {
       WHERE rank <= 5"""
     })
 
-  override def queries: Seq[Q] = Seq(q36, q37, q38, q39, q61, q63, q75)
+  // --- SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+  // → within-cluster ε-ball components → keep the member furthest from
+  // its centroid. τ = 0.4 exercises the path on this structureless
+  // corpus (its max pair cosine is ~0.51; production corpora with real
+  // semantic dups run τ ≈ 0.95). Delegates to the public pipeline API;
+  // the oracle replays training, pairing, the transitive closure
+  // (recursive CTE), and the keep rule exactly. --------------------------
+  private val SEMDEDUP_TAU = 0.4
+  private val q76 = Q("q76_semdedup",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      graft.pipeline.TrainingData
+        .semDedup(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
+    },
+    Some {
+      val f = KMEANS_ITERS
+      s"""WITH RECURSIVE ${kmeansCtes(KMEANS_K, KMEANS_ITERS)},
+      prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM a$f a JOIN a$f b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.qv", "b.qv", "a.nrm", "b.nrm")}
+          >= $SEMDEDUP_TAU),
+      edges AS (SELECT va AS src, vb AS dst FROM prs
+        UNION ALL SELECT vb, va FROM prs),
+      comp(id, lbl) AS (
+        SELECT vec_id, vec_id FROM a$f
+        UNION
+        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
+      lab AS (SELECT id, MIN(lbl) AS component FROM comp GROUP BY 1)
+      SELECT a.vec_id, a.cid, a.cos, l.component,
+        CAST(ROW_NUMBER() OVER (PARTITION BY l.component
+          ORDER BY a.cos ASC, a.vec_id) = 1 AS INT) AS kept
+      FROM a$f a JOIN lab l ON l.id = a.vec_id"""
+    })
+
+  override def queries: Seq[Q] =
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76)
 }
