@@ -200,6 +200,79 @@ object TrainingData {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
   }
 
+  /** Token-budget mixture sampling: per group, take documents in
+    * content-hash order until the group's token budget is spent — the
+    * "mix N tokens of web, M tokens of code" operation (training
+    * mixtures are token-budgeted, not row-budgeted). `budgets` is a
+    * (`groupCol`, `budget`) frame, broadcast-joined so any number of
+    * groups scales; groups without a budget row drop entirely. The doc
+    * that CROSSES the boundary is included (its start offset is within
+    * budget), bounding overshoot by one document while guaranteeing
+    * progress for any positive budget. Hash order keeps membership
+    * stable as the corpus grows at the tail. Adds `cum_tokens`, the
+    * group running total including the row. The per-group running sum
+    * windows only (id, group, count) metadata — the text rejoins by id
+    * afterwards, so the window shuffle never carries document bodies. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String,
+      budgets: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudgetSample writes a `cum_tokens` column; " +
+        "the input already has one")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = df
+      .select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("cum_tokens", sum(col("__nt")).over(w))
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("cum_tokens") - col("__nt") < col("budget"))
+      .select(col(idCol), col("cum_tokens"))
+    df.join(kept, Seq(idCol))
+  }
+
+  /** Concatenate-and-cut sequence packing (the standard LM pretraining
+    * layout): documents ordered by id form one virtual token stream cut
+    * into fixed `seqLen`-token context windows; each document reports
+    * its global token offset (`start_tok`), the first and last window
+    * it touches, and how many windows it spans — the bookkeeping a
+    * loader needs to slice shards without re-tokenizing. Zero-token
+    * docs span 0 windows. Only token COUNTS move (never text), and the
+    * running sum is two-level: a per-bucket cumsum (buckets =
+    * id DIV `bucketSize`) plus a broadcast cumsum over the tiny
+    * per-bucket totals — no single-partition global window, so the
+    * plan holds at 100 TB where a naive `Window.orderBy(id)` would
+    * funnel every row through one task. All arithmetic is integer
+    * (`DIV`), replayable exactly in SQL. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketSize: Long = 4096L): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val counts = docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__b", expr(s"$idCol DIV $bucketSize"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = counts.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__pre", sum(col("__bt")).over(wB) - col("__bt"))
+      .select(col("__b"), col("__pre"))
+    counts.withColumn("__cum", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(prefix), "__b")
+      .withColumn("end_tok", col("__pre") + col("__cum"))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_tok DIV $seqLen"))
+      .withColumn("last_seq", when(col("n_tokens") === 0,
+        col("first_seq")).otherwise(expr(s"(end_tok - 1) DIV $seqLen")))
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        col("first_seq"), col("last_seq"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+  }
+
   /** (id, band, bkey) LSH band rows of `docs` — the near-dup candidate
     * key shared by [[nearDupDrops]] and [[decontaminateNear]]. */
   private def bandKeys(docs: DataFrame, idCol: String, textCol: String,

@@ -147,5 +147,61 @@ object Sampling extends QueryModule {
       SELECT doc_id, lang FROM s
       WHERE split = 'train' AND doc_id IN (SELECT tid FROM ver)"""))
 
-  override def queries: Seq[Q] = Seq(q64, q65, q66, q67)
+  /** DuckDB whitespace token count identical to `textfns.tokenCount`. */
+  private val ntSql =
+    """CAST(len(list_filter(string_split_regex(text, '\s+'),
+       t -> t <> '')) AS BIGINT)"""
+
+  // --- concatenate-and-cut sequence packing: documents in id order form
+  // one virtual token stream cut into SEQ_LEN-token context windows;
+  // each document reports its global offset and the windows it spans —
+  // what a loader needs to slice shards without re-tokenizing. The
+  // Spark side's running sum is two-level (bucketed cumsum + broadcast
+  // bucket prefixes, no single-partition window); the oracle needs only
+  // the RESULT, so it uses the plain windowed sum. -----------------------
+  private val SEQ_LEN = 512
+  private val q77 = Q("q77_pack_sequences",
+    (s, dir) => graft.pipeline.TrainingData.packSequences(
+      Tables(s, dir, "documents"), SEQ_LEN),
+    Some(s"""WITH c AS (SELECT doc_id, $ntSql AS n_tokens FROM documents),
+      s AS (SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS end_tok
+      FROM c)
+      SELECT doc_id, n_tokens, end_tok - n_tokens AS start_tok,
+        (end_tok - n_tokens) // $SEQ_LEN AS first_seq,
+        CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // $SEQ_LEN
+          ELSE (end_tok - 1) // $SEQ_LEN END AS last_seq,
+        CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+          ELSE (end_tok - 1) // $SEQ_LEN
+             - (end_tok - n_tokens) // $SEQ_LEN + 1 END AS n_seqs
+      FROM s"""))
+
+  // --- token-budget mixture: per source, take hash-first documents
+  // until the source's token budget is spent (budgets vary by source to
+  // exercise the join; the boundary-crossing doc is included). Training
+  // mixtures are token-budgeted, not row-budgeted — this is the mixing
+  // step q65's row quotas approximate. -----------------------------------
+  private val q78 = Q("q78_token_budget_mix",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("budget", lit(200L) +
+          lit(50L) * (substring(col("source"), 4, 10).cast("long") % 4))
+      graft.pipeline.TrainingData.tokenBudgetSample(d, "source", budgets)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+    },
+    Some(s"""WITH c AS (SELECT doc_id, source, $ntSql AS nt
+        FROM documents),
+      s AS (SELECT doc_id, source, nt,
+        CAST(SUM(nt) OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+          AS cum_tokens
+      FROM c),
+      b AS (SELECT source,
+        200 + 50 * (CAST(substr(source, 4) AS BIGINT) % 4) AS budget
+      FROM (SELECT DISTINCT source FROM documents))
+      SELECT doc_id, source, cum_tokens FROM s JOIN b USING (source)
+      WHERE cum_tokens - nt < budget"""))
+
+  override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78)
 }

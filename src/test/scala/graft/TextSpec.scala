@@ -104,6 +104,31 @@ class TextSpec extends AnyFunSuite {
       got.filter(_._2 != "n00").take(5).mkString(","))
   }
 
+  test("sequence packing crosses bucket and window boundaries exactly") {
+    import spark.implicits._
+    // bucketSize=4 forces the two-level cumsum across buckets {0..3},
+    // {4..7}, {8,9} — the sf0.01 oracle run never leaves bucket 0, so
+    // this is the only coverage of the broadcast-prefix path. seqLen=5
+    // with 3 tokens per doc makes every window boundary fall mid-doc.
+    val docs = (0L to 9L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .packSequences(docs, seqLen = 5, bucketSize = 4L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // doc i spans tokens [3i, 3i+3): windows 5-wide
+    val want = (0L to 9L).map(i =>
+      (i, 3 * i, (3 * i) / 5, (3 * i + 2) / 5, (3 * i + 2) / 5 - (3 * i) / 5 + 1))
+    assert(got.toSeq == want, got.mkString(","))
+    // zero-token doc sits at its offset with zero windows
+    val z = graft.pipeline.TrainingData
+      .packSequences(Seq((0L, "a b"), (1L, " "), (2L, "c")).toDF("doc_id", "text"),
+        seqLen = 2, bucketSize = 4L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(z.toSeq == Seq((0L, 2L, 0L, 1L), (1L, 0L, 2L, 0L), (2L, 1L, 2L, 1L)))
+  }
+
   test("repetition stats golden values") {
     import spark.implicits._
     val d = Seq(
