@@ -82,14 +82,25 @@ object TrainingData {
     * every step keeps them inside the component, so the fixpoint is the
     * component minimum. `localCheckpoint` truncates the growing lineage
     * (a cluster deployment would use a reliable checkpoint dir).
+    *
+    * Only nodes touched by an edge iterate: an isolated node's label
+    * can never change, so it joins the result directly as its own
+    * singleton component. In a dedup run duplicates are a small
+    * minority, so at corpus scale the per-round joins and checkpoints
+    * run over the dup subgraph, not the 100 TB node set.
     * Returns (`idCol`, cluster). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"))
-      .distinct().withColumn("lbl", col("id"))
+    val allNodes = nodes.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val touched = sym.select(col("src").as("id")).distinct()
+    val isolated = allNodes.join(touched, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("id").as("cluster"))
+    var labels = allNodes.join(touched, Seq("id"), "left_semi")
+      .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     var it = 0
     var converged = false
@@ -113,6 +124,7 @@ object TrainingData {
     require(converged,
       s"connected components did not converge in $maxIters rounds")
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+      .union(isolated)
   }
 
   /** (id, cluster) labels of the verified near-dup component graph —

@@ -129,6 +129,65 @@ class TextSpec extends AnyFunSuite {
     assert(z.toSeq == Seq((0L, 2L, 0L, 1L), (1L, 0L, 2L, 0L), (2L, 1L, 2L, 1L)))
   }
 
+  test("token budget sampling includes the boundary doc and drops unbudgeted groups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e f"), (3L, "g1", "g h i"),
+      (4L, "g2", "j k"), (5L, "g3", "l m n o")
+    ).toDF("doc_id", "source", "text")
+    // g1 budget 4: hash order decides which docs start under 4 tokens —
+    // exactly the docs whose running start offset < 4 (the second doc
+    // starts at 3 < 4 and CROSSES the boundary; the third starts at 6)
+    val budgets = Seq(("g1", 4L), ("g2", 100L)).toDF("source", "budget")
+    val got = graft.pipeline.TrainingData
+      .tokenBudgetSample(docs, "source", budgets)
+      .select("doc_id").as[Long].collect().sorted
+    // g3 has no budget row → dropped entirely; g2 keeps its only doc
+    assert(!got.contains(5L) && got.contains(4L))
+    // g1: exactly the docs starting under budget — 2 of 3
+    assert(got.count(id => id <= 3L) == 2, got.mkString(","))
+    // zero budget keeps nothing
+    val none = graft.pipeline.TrainingData
+      .tokenBudgetSample(docs, "source",
+        Seq(("g1", 0L)).toDF("source", "budget"))
+      .count()
+    assert(none == 0)
+  }
+
+  test("semDedup keeps one member per duplicate group, furthest from centroid") {
+    import spark.implicits._
+    // two tight groups of 3 near-identical vectors plus 2 singletons.
+    // Ids interleave so k-means' smallest-two-ids init (10, 11) seeds
+    // ONE centroid per group — each orthogonal group then converges to
+    // its own cluster and τ=0.99 links only true near-dups.
+    def v(base: Seq[Long], jitter: Long) =
+      base.map(x => x + jitter)
+    val a = Seq(1000L, 0L, 0L, 0L)
+    val b = Seq(0L, 1000L, 0L, 0L)
+    val grpA = Seq(10L, 12L, 14L)
+    val grpB = Seq(11L, 13L, 15L)
+    val rows = (
+      grpA.zipWithIndex.map { case (id, j) => (id, v(a, j)) } ++
+      grpB.zipWithIndex.map { case (id, j) => (id, v(b, j)) } ++
+      Seq((30L, Seq(700L, 700L, 0L, 0L)), (31L, Seq(0L, 700L, 700L, 0L)))
+    ).toDF("vec_id", "qv")
+    val out = graft.pipeline.TrainingData
+      .semDedup(rows, k = 2, iters = 2, tau = 0.99)
+      .select("vec_id", "component", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // every component keeps exactly one member
+    assert(out.groupBy(_._2).values.forall(_.count(_._3 == 1) == 1),
+      out.mkString(","))
+    // each near-dup triple is one component labeled by its min id
+    assert(grpA.forall(id => byId(id)._2 == 10L), out.mkString(","))
+    assert(grpB.forall(id => byId(id)._2 == 11L), out.mkString(","))
+    // singletons survive as their own kept components
+    assert(Seq(30L, 31L).forall(id =>
+      byId(id)._2 == id && byId(id)._3 == 1), out.mkString(","))
+  }
+
   test("repetition stats golden values") {
     import spark.implicits._
     val d = Seq(
