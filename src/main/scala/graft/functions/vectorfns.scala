@@ -93,4 +93,33 @@ object vectorfns {
     }
     terms.mkString("(", " + ", ")")
   }
+
+  /** Per-vector int8 scalar quantization of an exact BIGINT vector:
+    * `c_i = floor(q_i * 127 / max|q| + 0.5)` ∈ [−127, 127]. The
+    * per-vector scale cancels in cosine, so int8 codes score against
+    * each other directly — at 100 TB this is the memory lever (8× less
+    * than the float corpus, 4× less than int32 fixed-point) that lets a
+    * resident ANN corpus fit; the ranking error is bounded by the
+    * ~1/254 per-component rounding. Every step (integer max, one IEEE
+    * multiply/divide/add per element, floor) replays bit-for-bit in any
+    * SQL engine. Zero vectors stay zero. */
+  def int8Codes(qv: Column): Column = {
+    val amax = array_max(transform(qv, x => abs(x))).cast("double")
+    when(amax > 0, transform(qv, x =>
+      floor(x.cast("double") * 127.0 / amax + 0.5).cast("long")))
+      .otherwise(transform(qv, _ => lit(0L)))
+  }
+
+  /** DuckDB SQL fragment computing the identical [[int8Codes]] over a
+    * BIGINT list column named `expr` — kept next to the Scala so the
+    * two stay in sync (same operation order: (x·127)/amax, then +0.5,
+    * then floor). */
+  def int8CodesSql(expr: String): String =
+    s"""CASE WHEN CAST(list_max(list_transform($expr, x -> abs(x)))
+          AS DOUBLE) > 0
+        THEN list_transform($expr, x -> CAST(floor(
+          CAST(x AS DOUBLE) * 127.0 /
+            CAST(list_max(list_transform($expr, y -> abs(y)))
+              AS DOUBLE) + 0.5) AS BIGINT))
+        ELSE list_transform($expr, x -> CAST(0 AS BIGINT)) END"""
 }

@@ -624,4 +624,37 @@ object TrainingData {
       assigned = assignTo(e, centroidSums(assigned))
     assigned
   }
+
+  /** PII patterns, deliberately restricted to the regex subset with
+    * identical semantics in java.util.regex (Spark) and RE2 (DuckDB,
+    * Go-based scanners): character classes, bounded repetition and the
+    * ASCII `\b` word boundary — no backreferences, no lookaround.
+    * Public so downstream filters can reuse the exact same definitions. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction stage every public-web training
+    * pipeline runs before anything else sees the text (emails, IPv4
+    * addresses, NANP-style phone numbers → typed placeholder tokens).
+    * Counts are taken on the ORIGINAL text, then redaction applies
+    * email → ip → phone, in that order (the trailing `\b` in the ipv4
+    * pattern keeps dotted phone numbers out of it, so the three match
+    * sets are disjoint and order only matters for determinism).
+    * Pure per-row projection — `regexp_replace`/`regexp_count` are
+    * codegen'd Spark built-ins, so this stage fuses into whatever scan
+    * precedes it: zero shuffles at any scale. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(PiiEmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(PiiIpv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PiiPhoneRe)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+            PiiIpv4Re, "<IP>"),
+          PiiPhoneRe, "<PHONE>"))
+  }
 }

@@ -539,6 +539,70 @@ object Similarity extends QueryModule {
       FROM a$f a JOIN lab l ON l.id = a.vec_id"""
     })
 
+  // --- int8 scalar-quantized kNN: the memory-scale path. Codes are
+  // per-vector max-abs int8 (vectorfns.int8Codes) — 8× smaller than the
+  // float corpus, so a 100 TB embedding set's resident working set
+  // shrinks to ~12 TB while the per-vector scale cancels out of cosine.
+  // The query ranks by int8 cosine AND scores each returned neighbor
+  // against the exact fixed-point top-5 (`hit`), so the oracle pins both
+  // the quantizer arithmetic and the quantization quality every round;
+  // Int8AnnSpec asserts the recall floor. -------------------------------
+  private val q80 = Q("q80_int8_ann",
+    (s, dir) => {
+      val m = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("cv", int8Codes(col("qv")))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val probes = m.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("cv").as("pc"), col("nrm").as("pnrm"),
+          col("cnrm").as("pcnrm"))
+      val scored = m.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pc"), col("cv")), col("pcnrm"),
+            col("cnrm")).as("cos8"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"),
+            col("nrm")).as("cosx"))
+      val w8 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos8").desc, col("vec_id"))
+      val wx = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosx").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w8))
+        .withColumn("__rx", row_number().over(wx))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("cos8"), col("rank"),
+          when(col("__rx") <= 5, lit(1L)).otherwise(lit(0L)).as("hit"))
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${int8CodesSql("qv")} AS cv FROM q),
+      m AS (SELECT vec_id, qv, cv, ${dot2("qv", "qv")} AS nrm,
+          ${dot2("cv", "cv")} AS cnrm FROM n),
+      p AS (SELECT vec_id AS probe_id, qv AS pv, cv AS pc,
+          nrm AS pnrm, cnrm AS pcnrm FROM m
+        WHERE vec_id % $PROBE_MOD = 0),
+      scored AS (SELECT probe_id, vec_id,
+        CASE WHEN pcnrm > 0 AND cnrm > 0 THEN
+          CAST(${dot2("pc", "cv")} AS DOUBLE) /
+            (sqrt(CAST(pcnrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) END
+          AS cos8,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cosx
+        FROM m JOIN p ON vec_id <> probe_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cos8 DESC, vec_id) AS rank,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosx DESC, vec_id) AS __rx
+        FROM scored)
+      SELECT probe_id, vec_id, cos8, rank,
+        CASE WHEN __rx <= 5 THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS hit
+      FROM r WHERE rank <= 5"""))
+
   override def queries: Seq[Q] =
-    Seq(q36, q37, q38, q39, q61, q63, q75, q76)
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80)
 }

@@ -585,7 +585,67 @@ object TextDedup extends QueryModule {
       FROM b LEFT JOIN runs USING (doc_id)
         LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)"""))
 
+  // --- PII redaction (brief: training-data pipeline ops). The synthetic
+  // corpus contains no PII, so the query splices deterministic
+  // doc_id-derived emails / IPv4s / phone numbers into each document —
+  // BOTH engines build the identical dirty text, then redact it via
+  // graft.pipeline.TrainingData.redactPii, so the oracle checks regex
+  // semantics (match sets, non-overlap scan order, counts) across
+  // java.util.regex and RE2, not just on trivially-clean input. --------
+  private val q79 = Q("q79_pii_redact",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val dirty = d.select(col("doc_id"), col("source"), concat(
+        col("text"),
+        lit(" contact u"), id.cast("string"),
+        lit("@ex"), (id % 7).cast("string"), lit(".org"),
+        when(id % 3 === 0,
+          concat(lit(" cc b"), id.cast("string"), lit("@corp.net")))
+          .otherwise(lit("")),
+        when(id % 2 === 0,
+          concat(lit(" from 10."), (id % 250).cast("string"),
+            lit("."), ((id * 7) % 250).cast("string"),
+            lit("."), (id % 100).cast("string")))
+          .otherwise(lit("")),
+        lit(" tel 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((id * 13) % 10000).cast("string"), 4, "0"))
+        .as("text"))
+      graft.pipeline.TrainingData.redactPii(dirty)
+    },
+    Some(s"""WITH p AS (SELECT doc_id, source, text
+        || ' contact u' || CAST(doc_id AS VARCHAR)
+        || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' cc b' || CAST(doc_id AS VARCHAR) || '@corp.net'
+             ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+             THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+               || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+               || '.' || CAST(doc_id % 100 AS VARCHAR)
+             ELSE '' END
+        || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+          AS text
+      FROM documents)
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.PiiEmailRe}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.PiiIpv4Re}')) AS BIGINT)
+          AS n_ips,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.PiiPhoneRe}')) AS BIGINT)
+          AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${graft.pipeline.TrainingData.PiiEmailRe}', '<EMAIL>', 'g'),
+          '${graft.pipeline.TrainingData.PiiIpv4Re}', '<IP>', 'g'),
+          '${graft.pipeline.TrainingData.PiiPhoneRe}', '<PHONE>', 'g')
+          AS text
+      FROM p"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74)
+      q74, q79)
 }

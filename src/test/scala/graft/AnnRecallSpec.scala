@@ -74,4 +74,21 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"kmeans ivf recall@5 = $r%.3f")
     assert(r >= 0.65, f"recall@5 = $r%.3f")
   }
+
+  // int8 is a full scan — its only error source is per-component
+  // rounding (~1/254), so recall should be near-perfect even on this
+  // tightly-bunched corpus (neighbor gaps >> quantization noise)
+  test("int8-quantized kNN (q80) recall@5 >= 0.9 vs brute force") {
+    val sq = SparkEntry.queries("q80_int8_ann")(spark, dir)
+    val r = recallAtK(sq, 5)
+    info(f"int8 recall@5 = $r%.3f")
+    assert(r >= 0.9, f"recall@5 = $r%.3f")
+    // the query's own hit column must agree with the recall join
+    val claimed = sq.agg(sum(col("hit"))).collect()(0).getLong(0)
+    val truth = SparkEntry.queries("q36_knn_brute")(spark, dir)
+      .filter(col("rank") <= 5).select(col("probe_id"), col("vec_id"))
+    val joined = sq.select(col("probe_id"), col("vec_id"))
+      .join(truth, Seq("probe_id", "vec_id"), "left_semi").count()
+    assert(claimed == joined, s"hit column $claimed != join $joined")
+  }
 }

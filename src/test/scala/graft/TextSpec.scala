@@ -188,6 +188,32 @@ class TextSpec extends AnyFunSuite {
       byId(id)._2 == id && byId(id)._3 == 1), out.mkString(","))
   }
 
+  test("pii redaction golden values on real-world shapes") {
+    import spark.implicits._
+    // the q79 oracle checks engine parity on synthetic spliced PII; this
+    // pins the behavior on realistic shapes the corpus can't produce
+    val d = Seq(
+      (1L, "write a@b.io or alice.smith+x@corp.example.org today"),
+      (2L, "host 192.168.0.1 and 10.0.300.7 but not 1.2.3.4567"),
+      (3L, "call 555-123-4567 or 555.123.4567 not 55-123-4567"),
+      (4L, "clean text, no pii at all"),
+      (5L, "mixed: bob@x.co at 8.8.8.8 tel 800-555-0100")
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.redactPii(d)
+      .orderBy("doc_id")
+      .select("text", "n_emails", "n_ips", "n_phones")
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r(0) == ("write <EMAIL> or <EMAIL> today", 2L, 0L, 0L))
+    // no 0-255 octet-range check by design; a 4-digit tail is NOT an ip
+    assert(r(1) == ("host <IP> and <IP> but not 1.2.3.4567", 0L, 2L, 0L))
+    // dotted phones match phone, not ip (only 3 groups); 2-digit area
+    // code matches neither
+    assert(r(2) == ("call <PHONE> or <PHONE> not 55-123-4567", 0L, 0L, 2L))
+    assert(r(3) == ("clean text, no pii at all", 0L, 0L, 0L))
+    assert(r(4) == ("mixed: <EMAIL> at <IP> tel <PHONE>", 1L, 1L, 1L))
+  }
+
   test("repetition stats golden values") {
     import spark.implicits._
     val d = Seq(

@@ -27,6 +27,33 @@ class VectorSpec extends AnyFunSuite {
     ).toDF("id", "a", "b")
   }
 
+  test("int8 codes golden values, bounds, and scale invariance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1000L, -500L, 250L, 0L)),
+      (2L, Seq(3L, -3L, 1L)),
+      (3L, Seq(0L, 0L, 0L)),           // zero vector stays zero
+      (4L, Seq(7L)),                   // max component maps to ±127
+      (5L, Seq(-7L))
+    ).toDF("id", "qv")
+    val got = df.select(col("id"), int8Codes(col("qv")).as("c"))
+      .orderBy("id").collect()
+      .map(_.getSeq[Long](1).toList)
+    assert(got(0) == List(127L, -63L, 32L, 0L)) // floor(±x*127/1000+.5)
+    assert(got(1) == List(127L, -127L, 42L))
+    assert(got(2) == List(0L, 0L, 0L))
+    assert(got(3) == List(127L) && got(4) == List(-127L))
+    // codes are scale-invariant: qv and 1000*qv quantize identically,
+    // and every code is in [-127, 127]
+    val big = df.filter(col("id") =!= 3)
+      .select(col("id"), int8Codes(col("qv")).as("a"),
+        int8Codes(transform(col("qv"), x => x * 1000)).as("b"))
+    assert(big.filter(col("a") =!= col("b")).count() == 0)
+    val bounds = df.select(explode(int8Codes(col("qv"))).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(bounds == 0)
+  }
+
   test("dot product golden values") {
     val r = vecDf.select(col("id"), dotLong(col("a"), col("b")).as("d"))
       .orderBy("id").collect()
