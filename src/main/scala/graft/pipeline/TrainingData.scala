@@ -561,7 +561,12 @@ object TrainingData {
     * so a SQL engine reproduces the kept set bit for bit. */
   def semDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double)
       : DataFrame = {
-    val assigned = kmeansTrain(vecs, k, iters)
+    // materialize the iterative k-means chain ONCE: it is consumed four
+    // times below (both sides of the pair self-join, the component node
+    // list, and the final labeling join) and would otherwise re-execute
+    // per consumer (a cluster deployment would use a reliable
+    // checkpoint dir or a cached table)
+    val assigned = kmeansTrain(vecs, k, iters).localCheckpoint(true)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -591,17 +596,26 @@ object TrainingData {
         transform(col("pairs"), p => p.getField("sx")).as("cv"))
       .withColumn("cnrm", dotLong(col("cv"), col("cv")))
 
-  /** Nearest-centroid assignment (max cosine, tie → smallest cid). */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid"))
+  /** Nearest-centroid assignment (max cosine, tie → smallest cid).
+    * Implemented as an argmax AGGREGATE, not a window: `max_by` over
+    * the lexicographic (cos, −cid) key combines map-side, so the
+    * exchange carries n rows instead of the window's n·k — per k-means
+    * iteration that is the difference between shuffling the corpus and
+    * shuffling it k times. Null cosines (zero vectors) order below any
+    * real score in both the struct comparator and the window it
+    * replaced, and an all-null row still resolves to the smallest cid. */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"),
         cosineQ(dotLong(col("qv"), col("cv")), col("nrm"), col("cnrm"))
           .as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("qv"), col("nrm"), col("cid"), col("cos")),
+        struct(col("cos"), (-col("cid")).as("negCid"))).as("best"))
+      .select(col("vec_id"), col("best.qv").as("qv"),
+        col("best.nrm").as("nrm"), col("best.cid").as("cid"),
+        col("best.cos").as("cos"))
 
   /** Lloyd k-means over quantized vectors (`vec_id`, `qv ARRAY<BIGINT>`):
     * init = the k smallest vec_ids as singleton clusters, `iters`
