@@ -639,6 +639,54 @@ object TrainingData {
     assigned
   }
 
+  /** Cross-document duplicated-span removal (the Spark-first shape of
+    * Lee et al. 2022's exact substring deduplication): any `l`-token
+    * span occurring in ≥ 2 DISTINCT documents is excised from every
+    * document that contains it (all occurrences — the conservative
+    * variant; overlapping spans merge via the positional union, exactly
+    * like [[repetitionStats]]' coverage). Documents shorter than `l`
+    * tokens pass through untouched. Returns (`idCol`, n_tokens,
+    * removed_tokens, text_clean).
+    *
+    * Scale (100 TB): one shuffle keyed on the span content to find
+    * cross-doc duplicates (the suffix-array build this replaces is not
+    * distributable), one positional-union distinct, one anti-join, one
+    * per-doc rebuild aggregate — all map-side-combining shapes. No
+    * driver state, no pair enumeration. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", l: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    // 0-based span starts, one row per occurrence
+    val occ = base.select(col(idCol), posexplode(when(col("__n") >= l,
+      transform(sequence(lit(1L), col("__n") - lit(l - 1L)),
+        i => array_join(slice(col("__toks"), i, lit(l)), " ")))
+      .otherwise(array().cast("array<string>")))
+      .as(Seq("__i", "__g")))
+    val dupG = occ.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") >= 2).select(col("__g"))
+    val covered = occ.join(dupG, Seq("__g"))
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + lit(l - 1))).as("__cp"))
+      .distinct()
+    val pos = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__cp", "__w")))
+    val rebuilt = pos.join(covered, Seq(idCol, "__cp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__cp"), col("__w")))),
+        p => p.getField("__w")), " ").as("text_clean"))
+    val removed = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("removed_tokens"))
+    base.select(col(idCol), col("__n").as("n_tokens"))
+      .join(removed, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** PII patterns, deliberately restricted to the regex subset with
     * identical semantics in java.util.regex (Spark) and RE2 (DuckDB,
     * Go-based scanners): character classes, bounded repetition and the

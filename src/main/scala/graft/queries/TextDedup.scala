@@ -645,7 +645,43 @@ object TextDedup extends QueryModule {
           AS text
       FROM p"""))
 
+  // --- cross-document duplicated-span removal (Lee et al. 2022 exact
+  // substring dedup, Spark-first: span-key shuffle instead of a suffix
+  // array). Any 5-token span shared by >= 2 distinct docs is excised
+  // everywhere it occurs; overlaps merge via positional union. ----------
+  private val SPAN_L = 5
+  private val q81 = Q("q81_dup_span_removal",
+    (s, dir) => graft.pipeline.TrainingData
+      .removeDuplicatedSpans(Tables(s, dir, "documents"), l = SPAN_L),
+    Some(s"""WITH t AS ($tokCte),
+      b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      e AS (SELECT doc_id, toks,
+          unnest(range(1, len(toks) + 1)) AS pos FROM t),
+      g AS (SELECT doc_id, pos,
+          array_to_string(list_slice(toks, pos, pos + ${SPAN_L - 1}), ' ')
+            AS gr
+        FROM e WHERE pos + ${SPAN_L - 1} <= len(toks)),
+      dup AS (SELECT gr FROM g
+        GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT g.doc_id, g.pos + o AS cp
+        FROM g JOIN dup USING (gr),
+          (SELECT unnest(range(0, $SPAN_L)) AS o)),
+      w AS (SELECT doc_id, pos AS cp, toks[pos] AS word FROM e),
+      keptw AS (SELECT w.doc_id, w.cp, w.word FROM w
+        LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.cp = w.cp
+        WHERE cov.doc_id IS NULL),
+      reb AS (SELECT doc_id,
+          string_agg(word, ' ' ORDER BY cp) AS text_clean
+        FROM keptw GROUP BY doc_id),
+      rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed_tokens
+        FROM cov GROUP BY doc_id)
+      SELECT b.doc_id, n_tokens,
+        COALESCE(removed_tokens, 0) AS removed_tokens,
+        COALESCE(text_clean, '') AS text_clean
+      FROM b LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79)
+      q74, q79, q81)
 }

@@ -188,6 +188,26 @@ class TextSpec extends AnyFunSuite {
       byId(id)._2 == id && byId(id)._3 == 1), out.mkString(","))
   }
 
+  test("duplicated span removal excises cross-doc 5-gram spans") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x a b c d e y"),          // shares "a b c d e" with 2 and 5
+      (2L, "a b c d e z w"),
+      (3L, "p q r s t u v"),          // no shared span — untouched
+      (4L, "a b c"),                  // shorter than l — untouched
+      (5L, "a b c d e a b c d e")     // two occurrences, fully covered
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.removeDuplicatedSpans(d, l = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == (7L, 5L, "x y"))
+    assert(r(1) == (7L, 5L, "z w"))
+    assert(r(2) == (7L, 0L, "p q r s t u v"))
+    assert(r(3) == (3L, 0L, "a b c"))
+    assert(r(4) == (10L, 10L, ""))
+  }
+
   test("pii redaction golden values on real-world shapes") {
     import spark.implicits._
     // the q79 oracle checks engine parity on synthetic spliced PII; this
