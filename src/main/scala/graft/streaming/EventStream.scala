@@ -59,6 +59,59 @@ object EventStream {
     else fp.dropDuplicates("fp")
   }
 
+  /** Streaming NEAR-dup admission — the single-pass policy for deduping
+    * a crawl as it arrives: a document is admitted iff it is the first
+    * (arrival-order) holder of EVERY one of its MinHash-LSH band keys
+    * inside the watermark horizon; one band collision with an earlier
+    * admitted document drops it. This is the batch q33/q62 candidate
+    * generator promoted to the admission decision itself — no Jaccard
+    * verify pass (the collided-with shingle sets are gone from state),
+    * the standard precision/recall tradeoff of one-pass streaming dedup
+    * versus the nightly batch job. State is one entry per admitted band
+    * key inside the horizon (watermark-evicted), never a shingle set.
+    * Documents too short to shingle are always admitted. Input needs
+    * `ts TIMESTAMP`, `doc_id`, `text`; returns admitted (ts, doc_id).
+    * On a static frame the same decision runs as window ranks — the
+    * spec's stream==batch gate. */
+  def nearDupStream(docs: DataFrame, lateness: String, shingleN: Int = 3,
+      minhashK: Int = 8, bands: Int = 4): DataFrame = {
+    import graft.functions.textfns._
+    val rows = minhashK / bands
+    require(bands * rows == minhashK, "bands must divide minhashK")
+    val sh = docs.withColumn("__sh", shingles(col("text"), shingleN))
+    // band index prefixes the key: a repetitive doc whose bands hash
+    // identically must still hold ALL its bands, not collide with itself
+    val banded = sh.filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), minhashK))
+      .select(col("ts"), col("doc_id"),
+        posexplode(lshBands(col("__sig"), bands, rows))
+          .as(Seq("__b", "__k")))
+      .select(col("ts"), col("doc_id"),
+        concat_ws(":", col("__b"), col("__k")).as("__bk"))
+    val tiny = sh.filter(size(col("__sh")) === 0)
+      .select(col("ts"), col("doc_id"))
+    if (docs.isStreaming) {
+      // two chained stateful operators (band-key dedup, then per-doc
+      // count-to-quorum), both bounded by the same watermark
+      val first = banded.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("__bk")
+      first.groupBy(col("ts"), col("doc_id"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === bands)
+        .select(col("ts"), col("doc_id"))
+        .unionByName(tiny)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__bk")).orderBy(col("ts"), col("doc_id"))
+      banded.withColumn("__rn", row_number().over(w))
+        .groupBy(col("ts"), col("doc_id"))
+        .agg(max(col("__rn")).as("__mx"))
+        .filter(col("__mx") === 1)
+        .select(col("ts"), col("doc_id"))
+        .unionByName(tiny)
+    }
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Int, total: Double,
       closed: Boolean)

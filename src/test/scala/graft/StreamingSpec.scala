@@ -117,6 +117,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup admission == batch twin across micro-batches") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (ts(1), 1L, base),                       // admitted
+      (ts(2), 2L, "one two three four five six seven"), // admitted
+      (ts(3), 3L, base),                       // exact copy of 1 → dropped
+      // near-dup of 1 (append one word: all of 1's shingles survive)
+      (ts(70), 4L, base + " lambda"),          // dropped on band collision
+      (ts(72), 5L, "red green blue cyan magenta yellow"), // admitted
+      (ts(74), 6L, "zz")                       // too short to shingle → admitted
+    )
+    val sentinel = (ts(900), 99L, "sentinel words never emitted here today")
+    val stream = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.nearDupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), "1 minute")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // near-dups split ACROSS micro-batches: band state must carry over
+      stream.addData(docs.take(3))
+      q.processAllAvailable()
+      stream.addData(docs.drop(3) :+ sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val batch = EventStream.nearDupStream(
+          (docs :+ sentinel).toDF("ts", "doc_id", "text"), "1 minute")
+        .select(col("doc_id")).as[Long].collect().toSet
+      // the sentinel only advances the watermark; its own group is
+      // still pending when the query stops
+      assert(streamed == Set(1L, 2L, 5L, 6L), streamed.toSeq.sorted)
+      assert(batch == Set(1L, 2L, 5L, 6L, 99L), batch.toSeq.sorted)
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
