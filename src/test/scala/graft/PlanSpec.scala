@@ -58,6 +58,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q79: pii redaction is a pure projection — no exchange, no join") {
+    val p = plan("q79_pii_redact")
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
+  test("q80: int8 scan broadcasts probes; corpus is never shuffled to join") {
+    // the brute-force scan is BY DESIGN a broadcast loop over the tiny
+    // probe side (the <> condition admits no hash join) — what must
+    // never appear is a corpus-side shuffle join or unbroadcast product
+    val p = plan("q80_int8_ann")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one exchange: the probe-partitioned top-k window")
+  }
+
+  test("q81: span removal shuffles on content keys, no pair enumeration") {
+    val p = plan("q81_dup_span_removal")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the duplicate-gram aggregate must partial-aggregate map-side
+    assert(p.contains("partial_count"))
+  }
+
   test("q37/q39: ANN candidate joins are equi-joins on (table, bucket)") {
     val p37 = plan("q37_ann_lsh")
     assert(p37.contains("BroadcastHashJoin [tab"))
