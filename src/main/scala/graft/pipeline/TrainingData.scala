@@ -639,6 +639,41 @@ object TrainingData {
     assigned
   }
 
+  /** Per-group corpus report — the numbers a mixture designer reads
+    * before setting sampling quotas: doc count, total/mean tokens, and
+    * EXACT rank-based percentiles of `valueCol` (p50/p90 = the value at
+    * 0-based order position floor((n−1)·p), doc_id tie-break). Exact
+    * ranks instead of an engine's percentile function: every engine
+    * defines interpolation differently, a rank position is the same
+    * everywhere. One shuffle on the group key (window + aggregate share
+    * it); group cardinality is tiny by construction, the window is over
+    * group-sized partitions. For a skewed 100 TB corpus the same report
+    * runs per-shard and merges, or swaps the exact rank for a t-digest;
+    * exactness is the point here. Returns (`groupCol`, n_docs,
+    * total_tokens, mean_tokens, p50, p90). */
+  def corpusStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      valueCol: String = "n_chars"): DataFrame = {
+    val base = docs.select(col(groupCol), col(idCol), col(valueCol),
+      tokenCount(col(textCol)).cast("long").as("__t"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def at(p: Int, out: String) = ranked
+      .filter(col("__rn") ===
+        floor((col("__cnt") - 1).cast("double") * p / 100) + 1)
+      .select(col(groupCol), col(valueCol).cast("long").as(out))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .join(at(50, "p50"), Seq(groupCol))
+      .join(at(90, "p90"), Seq(groupCol))
+  }
+
   /** Cross-document duplicated-span removal (the Spark-first shape of
     * Lee et al. 2022's exact substring deduplication): any `l`-token
     * span occurring in ≥ 2 DISTINCT documents is excised from every

@@ -681,7 +681,31 @@ object TextDedup extends QueryModule {
         COALESCE(text_clean, '') AS text_clean
       FROM b LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)"""))
 
+  // --- per-source corpus report with EXACT rank-based percentiles (the
+  // mixture-design numbers). Rank positions, not percentile functions:
+  // interpolation differs per engine, order statistics do not. ---------
+  private val q82 = Q("q82_corpus_stats",
+    (s, dir) => graft.pipeline.TrainingData
+      .corpusStats(Tables(s, dir, "documents")),
+    Some(s"""WITH t AS ($tokCte),
+      b AS (SELECT source, doc_id, n_chars,
+          CAST(len(toks) AS BIGINT) AS tkn FROM t),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS cnt FROM b),
+      a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(tkn) AS BIGINT) AS total_tokens FROM b GROUP BY source),
+      p50 AS (SELECT source, CAST(n_chars AS BIGINT) AS p50 FROM r
+        WHERE rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 50 / 100)
+          AS BIGINT) + 1),
+      p90 AS (SELECT source, CAST(n_chars AS BIGINT) AS p90 FROM r
+        WHERE rn = CAST(floor(CAST(cnt - 1 AS DOUBLE) * 90 / 100)
+          AS BIGINT) + 1)
+      SELECT a.source, n_docs, total_tokens,
+        CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens, p50, p90
+      FROM a JOIN p50 USING (source) JOIN p90 USING (source)"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81)
+      q74, q79, q81, q82)
 }

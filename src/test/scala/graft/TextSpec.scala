@@ -188,6 +188,24 @@ class TextSpec extends AnyFunSuite {
       byId(id)._2 == id && byId(id)._3 == 1), out.mkString(","))
   }
 
+  test("corpus stats compute exact rank-based percentiles") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "g1", "a b", 10L), (2L, "g1", "c", 20L),
+      (3L, "g1", "d e f", 30L), (4L, "g1", "g", 40L),
+      (5L, "g2", "x y z", 7L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val r = graft.pipeline.TrainingData.corpusStats(d)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4), x.getLong(5)))
+    // g1: 4 docs → p50 at 0-based floor(3*.5)=1 → 20; p90 at
+    // floor(3*.9)=2 → 30; 7 tokens total
+    assert(r(0) == ("g1", 4L, 7L, 1.75, 20L, 30L))
+    // singleton group: every percentile is the single value
+    assert(r(1) == ("g2", 1L, 3L, 3.0, 7L, 7L))
+  }
+
   test("duplicated span removal excises cross-doc 5-gram spans") {
     import spark.implicits._
     val d = Seq(
