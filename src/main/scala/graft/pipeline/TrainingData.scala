@@ -674,6 +674,42 @@ object TrainingData {
       .join(at(90, "p90"), Seq(groupCol))
   }
 
+  /** Boolean-AND keyword search with tf·idf ranking — the retrieval
+    * query over a corpus's inverted index. Returns the top `k` docs
+    * containing ALL of `terms`, ranked by Σ_t tf_t · idf_t with the
+    * INTEGER idf weight floor(N·10000/df_t): an integer score sums
+    * order-independently (a double Σ tf·(N/df) would be
+    * addition-order-dependent across engines), and ranking by it
+    * equals ranking by the rational within the scale's resolution.
+    * Plan: one shuffle on the term key for tf, a broadcast of the
+    * |terms|-row df table and the 1-row corpus count, one map-side
+    * combining per-doc aggregate, and a distributed TakeOrdered for
+    * the top-k — the corpus is never sorted globally. The persisted
+    * inverted-index layout (postings written `partitionBy(term)`) is
+    * proven to prune in `InvertedIndexSpec`. */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isin(terms: _*))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(dfT), Seq("__w"))
+      .crossJoin(broadcast(total))
+      .withColumn("__idf",
+        floor((col("__n") * 10000).cast("double") / col("__df"))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__tf") * col("__idf")).as("score"))
+      .filter(col("__m") === terms.length)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Cross-document duplicated-span removal (the Spark-first shape of
     * Lee et al. 2022's exact substring deduplication): any `l`-token
     * span occurring in ≥ 2 DISTINCT documents is excised from every

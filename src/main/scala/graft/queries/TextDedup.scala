@@ -705,7 +705,31 @@ object TextDedup extends QueryModule {
         CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens, p50, p90
       FROM a JOIN p50 USING (source) JOIN p90 USING (source)"""))
 
+  // --- boolean-AND keyword search, tf·idf-ranked (integer idf weights
+  // so the score sum is order-independent in any engine). -------------
+  private val SEARCH_TERMS = Seq("spark", "join", "window")
+  private val q83 = Q("q83_keyword_search",
+    (s, dir) => graft.pipeline.TrainingData.keywordSearch(
+      Tables(s, dir, "documents"), SEARCH_TERMS, k = 20),
+    Some {
+      val inList = SEARCH_TERMS.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS ($tokCte),
+      e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        WHERE w IN ($inList) GROUP BY doc_id, w),
+      df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        GROUP BY w),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      sc AS (SELECT doc_id,
+          CAST(SUM(tf * CAST(floor(CAST(n * 10000 AS DOUBLE) / df)
+            AS BIGINT)) AS BIGINT) AS score,
+          COUNT(*) AS m
+        FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY doc_id)
+      SELECT doc_id, score FROM sc WHERE m = ${SEARCH_TERMS.length}
+      ORDER BY score DESC, doc_id LIMIT 20"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82)
+      q74, q79, q81, q82, q83)
 }
