@@ -60,4 +60,38 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeStub))
   }
+
+  /** Binary near-duplicate candidates WITHOUT decoding — the media
+    * analog of MinHash banding: the payload splits into `blockLen`-byte
+    * aligned content blocks, each md5-hashed, and two payloads pair iff
+    * they share any (block index, hash) — catching re-uploads that
+    * differ only past some offset (truncated tail, appended metadata).
+    * Returns (doc_a, doc_b, shared_blocks, sim) with
+    * sim = shared / max(block counts) — 1.0 ⇒ byte-identical.
+    * One shuffle on the (index, hash) key; at pathological skew (a
+    * corpus-wide shared prefix) the same per-bucket cap as the text
+    * LSH join applies — not needed for content-addressed blocks, whose
+    * buckets are near-dup groups by construction. */
+  def blockNearDup(media: DataFrame, blockLen: Int = 64): DataFrame = {
+    val n = media.select(col("doc_id"), col("payload"))
+      .withColumn("__nb",
+        ceil(length(col("payload")).cast("double") / blockLen)
+          .cast("long"))
+      .filter(col("__nb") > 0)
+    val chunks = n
+      .select(col("doc_id"), col("__nb"), col("payload"),
+        explode(sequence(lit(0L), col("__nb") - 1)).as("__i"))
+      .select(col("doc_id"), col("__nb"), col("__i"),
+        md5(expr(s"substring(payload, __i * $blockLen + 1, $blockLen)"))
+          .as("__h"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.__i") === col("b.__i") && col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_blocks"),
+        max(col("a.__nb")).as("__na"), max(col("b.__nb")).as("__nb2"))
+      .select(col("doc_a"), col("doc_b"), col("shared_blocks"),
+        (col("shared_blocks").cast("double") /
+          greatest(col("__na"), col("__nb2"))).as("sim"))
+  }
 }

@@ -53,5 +53,28 @@ object MultimodalQ extends QueryModule {
         md5(substring(text, 1, 64)) AS thumb_md5
       FROM documents"""))
 
-  override def queries: Seq[Q] = Seq(q41, q42)
+  // Binary near-dup candidates without decoding: 64-byte aligned block
+  // hashes, paired on any shared (index, hash) — re-uploads differing
+  // only past some offset. DuckDB replays the byte blocks from text
+  // (ASCII ⇒ identical bytes; DuckDB cannot slice BLOBs).
+  private val q84 = Q("q84_media_block_dedup",
+    (s, dir) => Multimodal.blockNearDup(Multimodal.mediaTable(s, dir).toDF()),
+    Some("""WITH n AS (SELECT doc_id, text AS p,
+          CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS nb
+        FROM documents WHERE length(text) > 0),
+      c AS (SELECT doc_id, nb, i AS idx,
+          md5(substring(p, CAST(i * 64 + 1 AS BIGINT), CAST(64 AS BIGINT)))
+            AS h
+        FROM n, (SELECT unnest(range(0, 4096)) AS i) WHERE i < nb),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(COUNT(*) AS BIGINT) AS shared_blocks,
+          MAX(a.nb) AS na, MAX(b.nb) AS nb2
+        FROM c a JOIN c b ON a.idx = b.idx AND a.h = b.h
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared_blocks,
+        CAST(shared_blocks AS DOUBLE) / greatest(na, nb2) AS sim
+      FROM pr"""))
+
+  override def queries: Seq[Q] = Seq(q41, q42, q84)
 }
