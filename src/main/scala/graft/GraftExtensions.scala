@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_sig",
       "minhash_sig(shingles, k) - fused k-component MinHash signature",
       2, a => MinhashSig(a(0), litInt(a(1), "minhash_sig")))
+    register(ext, "c4_clean_lines",
+      "c4_clean_lines(text, minWords) - C4 line filter, survivors re-joined",
+      2, a => C4CleanExpr(a(0), litInt(a(1), "c4_clean_lines")))
     register(ext, "winnow_fps",
       "winnow_fps(text, k, w) - winnowed k-gram rolling-hash fingerprints",
       3, a => WinnowFpExpr(a(0), litInt(a(1), "winnow_fps"),

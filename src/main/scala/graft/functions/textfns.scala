@@ -145,6 +145,25 @@ object textfns {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** C4-style line filter fused into one codegen pass: keep lines whose
+    * last non-space char is terminal punctuation, with ≥ `minWords`
+    * words, not mentioning "javascript"; survivors re-join with `\n`.
+    * Bit-identical to [[c4CleanLinesHof]], the differential oracle. */
+  def c4CleanLines(text: Column, minWords: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.C4CleanExpr(
+      Bridge.expression(text), minWords))
+  }
+
+  /** Declarative twin of [[c4CleanLines]] (interpreted HOF path). */
+  def c4CleanLinesHof(text: Column, minWords: Int): Column =
+    array_join(
+      filter(split(text, "\n"), l =>
+        l.rlike("[.!?\"]\\s*$") &&
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= minWords &&
+          !contains(lower(l), lit("javascript"))),
+      "\n")
+
   /** Hamming distance between two small non-negative long sketches (e.g.
     * [[simhash16]] values) via bit_count(xor). */
   def hamming(a: Column, b: Column): Column =

@@ -343,6 +343,77 @@ object TrainingData {
       .drop("__fp")
   }
 
+  /** [[decontaminate]] with a broadcast Bloom-filter prefilter — the
+    * shape that survives an eval side too large to broadcast as a join
+    * hash table. A distributed `BloomFilterAggregate` pass condenses the
+    * eval fingerprints into a ~`1.44·n·log2(1/fpp)`-bit sketch (only
+    * those bytes reach the driver), which ships back inside a literal
+    * `BloomFilterMightContain` — so the 100 TB train side is a pure
+    * codegen filter with NO join: rows the sketch rejects are
+    * definitely clean (a Bloom filter has no false negatives) and skip
+    * the join entirely; only the ~`fpp` false-positive fraction plus
+    * the true leaks reach the exact anti-join that removes false
+    * positives. Result is bit-identical to [[decontaminate]]. This is
+    * Spark's own runtime-filter pattern (InjectRuntimeFilter), applied
+    * where the optimizer can't see it — across the two passes of a
+    * decontamination pipeline. */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    require(!train.columns.contains("__fp") &&
+      !train.columns.contains("__cand"),
+      "decontaminateBloom uses internal __fp/__cand columns; the input " +
+        "already has one")
+    val evalFps = eval
+      .select(fingerprint(tokens(col(textCol))).as("__fp")).distinct()
+    val n = evalFps.count()
+    if (n == 0) return train
+    // optimal bit count for the target false-positive rate: -n·ln p / ln²2
+    val bits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val sketch = evalFps.select(Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(xxhash64(col("__fp"))),
+        Literal(n), Literal(bits)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val fpd = train.withColumn("__fp", fingerprint(tokens(col(textCol))))
+    val cand = Bridge.column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      Bridge.expression(xxhash64(col("__fp")))))
+    val flagged = fpd.withColumn("__cand", cand)
+    flagged.filter(!col("__cand")).drop("__cand", "__fp")
+      .unionByName(flagged.filter(col("__cand"))
+        .join(evalFps, Seq("__fp"), "left_anti")
+        .drop("__cand", "__fp"))
+  }
+
+  /** C4-style cleaning (Raffel et al. 2019 §2.2), line level + document
+    * level: lines survive [[graft.functions.textfns.c4CleanLines]]'s
+    * keep rule (terminal punctuation, ≥ `minWords` words, no
+    * "javascript"); the whole document is flagged `doc_dropped` when
+    * the RAW text mentions "lorem ipsum" (case-insensitive) or contains
+    * a curly brace (code), or fewer than `minLines` lines survive.
+    * Adds `clean_text`, `n_lines`, `n_kept`, `doc_dropped`. Pure
+    * projection — one codegen line-scan kernel per row, no shuffle at
+    * any scale. */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 3, minLines: Int = 1): DataFrame = {
+    val cleaned = c4CleanLines(col(textCol), minWords)
+    docs
+      .withColumn("clean_text", cleaned)
+      .withColumn("n_lines", size(split(col(textCol), "\n")).cast("long"))
+      .withColumn("n_kept",
+        when(length(col("clean_text")) === 0, lit(0L))
+          .otherwise(size(split(col("clean_text"), "\n")).cast("long")))
+      .withColumn("doc_dropped",
+        contains(lower(col(textCol)), lit("lorem ipsum")) ||
+          contains(col(textCol), lit("{")) ||
+          col("n_kept") < minLines)
+  }
+
   /** EXACT n-gram Jaccard similarity self-join: every pair of documents
     * with shingle-Jaccard ≥ `threshold`, as (doc_a, doc_b, jac) with
     * doc_a < doc_b — unlike [[nearDupDrops]] the output is complete,

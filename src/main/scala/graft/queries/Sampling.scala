@@ -99,6 +99,44 @@ object Sampling extends QueryModule {
           AS n_dropped
       FROM tr GROUP BY lang"""))
 
+  // --- q66 through the Bloom-prefilter path: the train side is a pure
+  // codegen might_contain filter (no join for the clean mass); only
+  // sketch-flagged candidates reach the exact anti-join, which removes
+  // the false positives — so the result, and hence the oracle, is
+  // identical to q66's plain anti-join. -------------------------------
+  private val q85 = Q("q85_decontaminate_bloom",
+    (s, dir) => {
+      val d = graft.pipeline.TrainingData.trainValSplit(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+      val train = d.filter(col("split") === "train")
+      val eval = d.filter(col("split") === "val")
+      val clean = graft.pipeline.TrainingData.decontaminateBloom(train, eval)
+      val nTrain = train.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"))
+      val nClean = clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clean"))
+      nTrain.join(nClean, Seq("lang"))
+        .withColumn("n_dropped", col("n_train") - col("n_clean"))
+    },
+    Some("""WITH s AS (SELECT doc_id, lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\s+'), t -> t <> ''))),
+          ' ')) AS fp
+      FROM documents),
+      tr AS (SELECT * FROM s WHERE split = 'train'),
+      ev AS (SELECT DISTINCT fp FROM s WHERE split = 'val'),
+      cl AS (SELECT * FROM tr WHERE fp NOT IN (SELECT fp FROM ev))
+      SELECT lang,
+        (SELECT COUNT(*) FROM tr t2 WHERE t2.lang = tr.lang) AS n_train,
+        (SELECT COUNT(*) FROM cl c2 WHERE c2.lang = tr.lang) AS n_clean,
+        (SELECT COUNT(*) FROM tr t2 WHERE t2.lang = tr.lang) -
+          (SELECT COUNT(*) FROM cl c2 WHERE c2.lang = tr.lang)
+          AS n_dropped
+      FROM tr GROUP BY lang"""))
+
   // --- NEAR-dup decontamination: exact matching (q66) misses
   // paraphrased leakage; this drops train documents with a verified
   // shingle-Jaccard ≥ 0.5 near-duplicate in the val split. Candidates
@@ -203,5 +241,5 @@ object Sampling extends QueryModule {
       SELECT doc_id, source, cum_tokens FROM s JOIN b USING (source)
       WHERE cum_tokens - nt < budget"""))
 
-  override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78)
+  override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85)
 }

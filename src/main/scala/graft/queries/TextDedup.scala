@@ -705,6 +705,59 @@ object TextDedup extends QueryModule {
         CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens, p50, p90
       FROM a JOIN p50 USING (source) JOIN p90 USING (source)"""))
 
+  // --- C4-style line + document cleaning (Raffel et al. 2019 §2.2):
+  // crafted boilerplate lines splice onto every document so each filter
+  // (terminal punctuation, min words, javascript, lorem ipsum, braces)
+  // provably fires; the codegen line-scan kernel runs per row with no
+  // shuffle, and DuckDB replays the keep rule with RE2 lambdas. -------
+  private val q86 = Q("q86_c4_line_clean",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dirty = concat(
+        concat_ws("\n",
+          col("text"),
+          lit("This synthetic line survives the filters."),
+          lit("Please enable JavaScript to continue."),
+          lit("too short."),
+          lit("no terminal punctuation here")),
+        when(col("doc_id") % 11 === 0, lit("\n{ code block }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nLorem ipsum dolor sit amet."))
+          .otherwise(lit("")))
+      graft.pipeline.TrainingData.c4Clean(
+          d.select(col("doc_id"), dirty.as("text")))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("doc_dropped").cast("long").as("doc_dropped"),
+          substring(col("clean_text"), 1, 40).as("head"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        concat_ws(chr(10), text,
+          'This synthetic line survives the filters.',
+          'Please enable JavaScript to continue.',
+          'too short.',
+          'no terminal punctuation here')
+        || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{ code block }'
+             ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+          AS t
+      FROM documents),
+      c AS (SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)), l ->
+          regexp_matches(l, '[.!?"]\s*$')
+          AND len(list_filter(string_split_regex(l, '\s+'),
+            w -> w <> '')) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM d)
+      SELECT doc_id,
+        len(string_split(t, chr(10))) AS n_lines,
+        len(kept) AS n_kept,
+        CAST(contains(lower(t), 'lorem ipsum') OR contains(t, '{')
+          OR len(kept) < 1 AS BIGINT) AS doc_dropped,
+        substr(array_to_string(kept, chr(10)), 1, 40) AS head
+      FROM c"""))
+
   // --- boolean-AND keyword search, tf·idf-ranked (integer idf weights
   // so the score sum is order-independent in any engine). -------------
   private val SEARCH_TERMS = Seq("spark", "join", "window")
@@ -731,5 +784,5 @@ object TextDedup extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82, q83)
+      q74, q79, q81, q82, q83, q86)
 }

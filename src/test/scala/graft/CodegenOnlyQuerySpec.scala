@@ -30,7 +30,8 @@ class CodegenOnlyQuerySpec extends AnyFunSuite {
     "q62_dedup_pipeline", // fingerprint + shingles + minhash composed
     "q68_ngram_jaccard", // shingles under posexplode-of-slice + self-join
     "q69_winnow_fp", // winnow_fps rolling-hash kernel
-    "q70_simhash_neardup") // simhash16 inside the band self-join
+    "q70_simhash_neardup", // simhash16 inside the band self-join
+    "q86_c4_line_clean") // c4_clean_lines line-scan kernel
 
   test("kernel queries execute with codegen fallback disabled") {
     val conf = spark.conf

@@ -278,4 +278,61 @@ class TextSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1L, 1L, 0.0, 0.0)))
     assert(got(4) == ((5L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("c4 line clean kernel == HOF twin, both modes, incl. crafted lines") {
+    import spark.implicits._
+    val crafted = Seq(
+      "Plain good sentence here.",       // kept
+      "Ends with bang!",                 // 3 words, kept
+      "Ends with quote\"",               // 3 words, kept
+      "short.",                          // 1 word, dropped
+      "two words.",                      // dropped
+      "no punctuation at all",           // dropped
+      "Please enable JavaScript now.",   // dropped (case-insensitive)
+      "javascript reference mid line.",  // dropped
+      "Trailing spaces still count.   ", // kept (\s* tolerance)
+      "",                                // dropped
+      "   ",                             // dropped
+      "Question form works too?")        // kept
+      .mkString("\n")
+    val craftedDf = Seq((0L, crafted)).toDF("doc_id", "text")
+    val kept = craftedDf
+      .select(c4CleanLines(col("text"), 3).as("c"))
+      .head.getString(0).split("\n").toSeq
+    assert(kept == Seq("Plain good sentence here.", "Ends with bang!",
+      "Ends with quote\"", "Trailing spaces still count.   ",
+      "Question form works too?"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val diff = docs.select(col("text"))
+          .union(craftedDf.select(col("text")))
+          .select(c4CleanLines(col("text"), 3).as("a"),
+            c4CleanLinesHof(col("text"), 3).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("bloom decontamination == exact anti-join, incl. forced false positives") {
+    val d = graft.pipeline.TrainingData.trainValSplit(
+      docs.select(col("doc_id"), col("text")))
+    val train = d.filter(col("split") === "train")
+    val eval = d.filter(col("split") === "val")
+    val exact = graft.pipeline.TrainingData.decontaminate(train, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fpp 0.5 forces the sketch to flag many clean rows, so the verify
+    // anti-join's false-positive removal is genuinely exercised
+    for (fpp <- Seq(0.001, 0.5)) {
+      val bloom = graft.pipeline.TrainingData
+        .decontaminateBloom(train, eval, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    // empty eval side: everything passes through untouched
+    val none = graft.pipeline.TrainingData.decontaminateBloom(
+      train, eval.filter(lit(false)))
+    assert(none.count() == train.count())
+  }
 }
