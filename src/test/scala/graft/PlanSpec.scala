@@ -191,6 +191,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q84: media block pairing is an equi-join on (index, hash)") {
+    val p = plan("q84_media_block_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("__h"), "join must key on the block hash")
+  }
+
+  test("bloom decontamination: clean mass filters join-free, one anti-join") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id") % 50, lit(" body text here.")).as("text"))
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val p = graft.pipeline.TrainingData.decontaminateBloom(docs, eval)
+      .queryExecution.explainString(SimpleMode)
+    // the 100 TB side: might_contain is a plain filter; the ONLY join in
+    // the whole plan is the candidate-side broadcast anti-join
+    assert("(?m)Join".r.findAllIn(p).size ==
+      "BroadcastHashJoin".r.findAllIn(p).size, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("might_contain"), p)
+  }
+
+  test("q86: c4 cleaning is a pure projection — no exchange, no join") {
+    val p = plan("q86_c4_line_clean")
+    assert(!p.contains("Exchange"), "line cleaning must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
   test("sharded export: one range exchange + partition-local sort only") {
     import org.apache.spark.sql.functions._
     val src = spark.range(1000).select(col("id").as("variant_id"),
