@@ -390,6 +390,56 @@ object TrainingData {
         .drop("__cand", "__fp"))
   }
 
+  /** CCNet-style cross-document boilerplate removal: a LINE is dropped
+    * from every document when it appears in more than `maxDf` distinct
+    * documents (cookie banners, nav menus, copyright footers — the
+    * line-granular sibling of [[removeDuplicatedSpans]]'s 5-gram
+    * spans). Adds `n_lines`, `n_kept`, `clean_text` (survivors re-join
+    * in original order; empty when nothing survives). Three linear
+    * shuffles at any scale — line-key document-frequency aggregate
+    * (partial map-side: boilerplate collapses before the exchange),
+    * line-key anti-join, doc-key rebuild; never a pair enumeration. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDf: Int = 2): DataFrame = {
+    require(!docs.columns.exists(c => c.startsWith("__")),
+      "removeBoilerplateLines uses internal __ columns")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val common = lines.groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__line"))
+    val rebuilt = lines.join(common, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          "\n").as("clean_text"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("clean_text"))
+  }
+
+  /** Corpus-wide top-k word n-grams by DOCUMENT frequency (tokenizer /
+    * corpus-inspection prep): each document contributes its distinct
+    * n-grams once (the codegen shingle kernel), counts partial-aggregate
+    * map-side, and the top-k resolves through a distributed
+    * TakeOrdered with a tie-free (count desc, gram) order. One linear
+    * shuffle on the gram key — never a global sort. */
+  def topNgramsByDf(docs: DataFrame, textCol: String = "text",
+      n: Int = 2, k: Int = 20): DataFrame =
+    docs
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(k)
+
   /** C4-style cleaning (Raffel et al. 2019 §2.2), line level + document
     * level: lines survive [[graft.functions.textfns.c4CleanLines]]'s
     * keep rule (terminal punctuation, ≥ `minWords` words, no

@@ -758,6 +758,59 @@ object TextDedup extends QueryModule {
         substr(array_to_string(kept, chr(10)), 1, 40) AS head
       FROM c"""))
 
+  // --- CCNet-style cross-document boilerplate removal: two spliced
+  // banner lines appear in every document (df = corpus size ⇒ dropped);
+  // the per-doc unique footer and the original text survive unless the
+  // text itself repeats in > maxDf docs (real dups exist in the table —
+  // deterministic in both engines). ------------------------------------
+  private val q87 = Q("q87_boilerplate_lines",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dirty = concat_ws("\n",
+        col("text"),
+        lit("Subscribe to our newsletter today."),
+        lit("All rights reserved."),
+        concat(lit("Doc "), col("doc_id"), lit(" unique footer line.")))
+      graft.pipeline.TrainingData.removeBoilerplateLines(
+          d.select(col("doc_id"), dirty.as("text")), maxDf = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          substring(col("clean_text"), 1, 40).as("head"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        text || chr(10) || 'Subscribe to our newsletter today.'
+          || chr(10) || 'All rights reserved.'
+          || chr(10) || 'Doc ' || doc_id || ' unique footer line.' AS t
+      FROM documents),
+      s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+      l AS (SELECT doc_id, i AS pos, ls[CAST(i + 1 AS INTEGER)] AS line
+        FROM s, (SELECT unnest(range(0, 64)) AS i) WHERE i < len(ls)),
+      com AS (SELECT line FROM (SELECT line,
+          COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line)
+        WHERE df > 2),
+      k AS (SELECT doc_id, pos, line FROM l
+        WHERE line NOT IN (SELECT line FROM com)),
+      r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS ct
+        FROM k GROUP BY doc_id)
+      SELECT s.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        substr(COALESCE(ct, ''), 1, 40) AS head
+      FROM s LEFT JOIN r USING (doc_id)"""))
+
+  // --- corpus-wide top-k bigrams by document frequency (tokenizer /
+  // inspection prep): distinct grams per doc from the codegen shingle
+  // kernel, map-side partial counts, tie-free (df desc, gram) top-k. --
+  private val q88 = Q("q88_top_ngrams",
+    (s, dir) => graft.pipeline.TrainingData.topNgramsByDf(
+      Tables(s, dir, "documents"), n = 2, k = 20),
+    Some(s"""WITH t AS ($tokCte),
+      g AS (SELECT doc_id, list_distinct([toks[i+1] || ' ' || toks[i+2]
+          for i in range(0, len(toks) - 1)]) AS grams
+        FROM t WHERE len(toks) >= 2),
+      e AS (SELECT unnest(grams) AS gram FROM g)
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e
+      GROUP BY gram ORDER BY df DESC, gram LIMIT 20"""))
+
   // --- boolean-AND keyword search, tf·idf-ranked (integer idf weights
   // so the score sum is order-independent in any engine). -------------
   private val SEARCH_TERMS = Seq("spark", "join", "window")
@@ -784,5 +837,5 @@ object TextDedup extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82, q83, q86)
+      q74, q79, q81, q82, q83, q86, q87, q88)
 }

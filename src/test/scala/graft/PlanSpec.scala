@@ -214,6 +214,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), p)
   }
 
+  test("q87: boilerplate removal is anti-join + linear aggregates, no pairs") {
+    val p = plan("q87_boilerplate_lines")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftAnti"), "common lines must drop via anti-join")
+    assert(p.contains("partial_count"), "df counts must combine map-side")
+  }
+
+  test("q88: top n-grams resolve via TakeOrdered, partial counts first") {
+    val p = plan("q88_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"))
+    assert(!p.contains("rangepartitioning"), "no global sort for a top-k")
+  }
+
   test("q86: c4 cleaning is a pure projection — no exchange, no join") {
     val p = plan("q86_c4_line_clean")
     assert(!p.contains("Exchange"), "line cleaning must not shuffle")

@@ -315,6 +315,26 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate removal drops common lines, keeps order, empty-doc safe") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "unique one.\ncommon line\nunique two."),
+      (2L, "common line\nother text."),
+      (3L, "common line"), // nothing survives
+      (4L, "solo doc line."))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .removeBoilerplateLines(d, maxDf = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 3L, 2L, "unique one.\nunique two.")))
+    assert(got(1) == ((2L, 2L, 1L, "other text.")))
+    assert(got(2) == ((3L, 1L, 0L, "")))
+    assert(got(3) == ((4L, 1L, 1L, "solo doc line.")))
+  }
+
   test("bloom decontamination == exact anti-join, incl. forced false positives") {
     val d = graft.pipeline.TrainingData.trainValSplit(
       docs.select(col("doc_id"), col("text")))
