@@ -61,6 +61,21 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** Uniform frame sampling over video rows: each video explodes into
+    * `nFrames` (slot, timestamp, frame number) rows — the fan-out shape
+    * a frame-extraction stage consumes (the decode itself is the
+    * documented sandbox stub). Expects `duration_ms` and `fps` columns
+    * (typed metadata travels WITH the binary column, so sampling plans
+    * never touch the payload bytes); all arithmetic is integer division
+    * — exactly replayable by any engine. Narrow explode, no shuffle. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("duration_ms"), col("fps"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_slot"))
+      .withColumn("frame_slot", col("frame_slot").cast("long"))
+      .withColumn("ts_ms", expr(s"(frame_slot * duration_ms) div $nFrames"))
+      .withColumn("frame_no", expr("(ts_ms * fps) div 1000"))
+
   /** Binary near-duplicate candidates WITHOUT decoding — the media
     * analog of MinHash banding: the payload splits into `blockLen`-byte
     * aligned content blocks, each md5-hashed, and two payloads pair iff

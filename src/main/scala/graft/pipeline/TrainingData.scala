@@ -390,6 +390,38 @@ object TrainingData {
         .drop("__cand", "__fp"))
   }
 
+  /** Temperature-weighted mixture sampling (the multilingual-corpus
+    * rebalancing rule, α = 1/2): group `s` receives a quota
+    * `totalBudget · w_s / Σw` with `w_s = ⌊√(n_s · 10⁶)⌋` — i.e.
+    * sampling probability ∝ n_s^α, flattening the source distribution
+    * so rare groups up-sample. α is fixed at 1/2 because a single
+    * correctly-rounded IEEE `sqrt` per GROUP is the only power any SQL
+    * engine replays bit-for-bit (general `pow(n, α)` is not exactly
+    * reproducible); all remaining arithmetic is integer (the weight
+    * sum is order-independent, quotas use integer division). Members
+    * are chosen per group by md5-hash order — deterministic, no
+    * `rand()`, stable under reruns. One group-key count, a broadcast
+    * quota frame, one window shuffle on the group key. */
+  def temperatureSample(df: DataFrame, groupCol: String,
+      totalBudget: Long, idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.exists(c => c.startsWith("__")),
+      "temperatureSample uses internal __ columns")
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor(sqrt((col("__n") * 1000000L).cast("double"))).cast("long"))
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum(col("__w")).as("__tot"))))
+      .withColumn("__quota", expr(s"($totalBudget * __w) div __tot"))
+      .select(col(groupCol), col("__quota"))
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** CCNet-style cross-document boilerplate removal: a LINE is dropped
     * from every document when it appears in more than `maxDf` distinct
     * documents (cookie banners, nav menus, copyright footers — the

@@ -76,5 +76,25 @@ object MultimodalQ extends QueryModule {
         CAST(shared_blocks AS DOUBLE) / greatest(na, nb2) AS sim
       FROM pr"""))
 
-  override def queries: Seq[Q] = Seq(q41, q42, q84)
+  // Uniform frame sampling over the video rows: typed metadata columns
+  // (duration, fps) ride beside the binary payload, so the explode plan
+  // never touches the bytes; all timestamp math is integer division.
+  private val q90 = Q("q90_frame_sample",
+    (s, dir) => Multimodal.sampleFrames(
+      Multimodal.mediaTable(s, dir).toDF()
+        .withColumn("duration_ms",
+          lit(1000L) + (col("doc_id") % 20) * 500L)
+        .withColumn("fps", lit(24L) + (col("doc_id") % 2) * 6L)),
+    Some("""WITH v AS (SELECT doc_id,
+        CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS duration_ms,
+        CAST(24 + (doc_id % 2) * 6 AS BIGINT) AS fps
+      FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id, duration_ms, fps, CAST(i AS BIGINT) AS frame_slot
+        FROM v, (SELECT unnest(range(0, 4)) AS i))
+      SELECT doc_id, duration_ms, fps, frame_slot,
+        (frame_slot * duration_ms) // 4 AS ts_ms,
+        ((frame_slot * duration_ms) // 4 * fps) // 1000 AS frame_no
+      FROM f"""))
+
+  override def queries: Seq[Q] = Seq(q41, q42, q84, q90)
 }

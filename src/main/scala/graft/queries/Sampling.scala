@@ -137,6 +137,30 @@ object Sampling extends QueryModule {
           AS n_dropped
       FROM tr GROUP BY lang"""))
 
+  // --- temperature-weighted mixture sampling (α = 1/2): per-source
+  // quotas ∝ √n_s, so rare sources up-sample — integer weights from one
+  // IEEE sqrt per source, md5-ordered members; DuckDB replays weights,
+  // integer-division quotas, and hash ranks bit-for-bit. --------------
+  private val q89 = Q("q89_temperature_mix",
+    (s, dir) => graft.pipeline.TrainingData.temperatureSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", totalBudget = 200L)
+      .select(col("doc_id"), col("source")),
+    Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      w AS (SELECT source,
+          CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w
+        FROM c),
+      tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+      q AS (SELECT source, (200 * w) // tot AS quota
+        FROM w CROSS JOIN tw),
+      r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source FROM r JOIN q USING (source)
+      WHERE rn <= quota"""))
+
   // --- NEAR-dup decontamination: exact matching (q66) misses
   // paraphrased leakage; this drops train documents with a verified
   // shingle-Jaccard ≥ 0.5 near-duplicate in the val split. Candidates
@@ -241,5 +265,6 @@ object Sampling extends QueryModule {
       SELECT doc_id, source, cum_tokens FROM s JOIN b USING (source)
       WHERE cum_tokens - nt < budget"""))
 
-  override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85)
+  override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
+    q89)
 }

@@ -229,6 +229,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "no global sort for a top-k")
   }
 
+  test("q89: temperature mix joins quotas broadcast, one window shuffle") {
+    val p = plan("q89_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q90: frame sampling is a narrow explode — no exchange, no join") {
+    val p = plan("q90_frame_sample")
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Join"))
+  }
+
   test("q86: c4 cleaning is a pure projection — no exchange, no join") {
     val p = plan("q86_c4_line_clean")
     assert(!p.contains("Exchange"), "line cleaning must not shuffle")

@@ -335,6 +335,21 @@ class TextSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1L, 1L, "solo doc line.")))
   }
 
+  test("temperature sampling flattens the source distribution") {
+    import spark.implicits._
+    // 160 docs in 'big', 10 in 'small': count ratio 16:1, √-weight
+    // ratio ~4:1 — the α=1/2 mixture must up-sample the rare source
+    val df = ((0L until 160L).map((_, "big")) ++
+      (1000L until 1010L).map((_, "small"))).toDF("doc_id", "source")
+    val got = graft.pipeline.TrainingData
+      .temperatureSample(df, "source", 50)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big = ⌊√160e6⌋ = 12649, w_small = ⌊√10e6⌋ = 3162, Σ = 15811
+    // quota_big = 50·12649 // 15811 = 40, quota_small = 50·3162 // 15811 = 9
+    assert(got == Map("big" -> 40L, "small" -> 9L))
+  }
+
   test("bloom decontamination == exact anti-join, incl. forced false positives") {
     val d = graft.pipeline.TrainingData.trainValSplit(
       docs.select(col("doc_id"), col("text")))
