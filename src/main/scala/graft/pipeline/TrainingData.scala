@@ -390,6 +390,32 @@ object TrainingData {
         .drop("__cand", "__fp"))
   }
 
+  /** GPT-3-style contamination report: for each EVAL document, the
+    * fraction of its distinct word n-grams that appear anywhere in
+    * `train` (the papers use 13-grams; `n` is configurable). Unlike
+    * [[decontaminate]] (which drops), this MEASURES leakage — the
+    * number reviewers ask for. Gram sets explode linearly (codegen
+    * shingle kernel), the train gram set dedups with map-side partial
+    * aggregation, one semi-join on the gram key, and hits/total is a
+    * single exact division. Eval documents with fewer than `n` tokens
+    * have no grams and are absent from the report. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val evalGrams = eval.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("__g"))
+    val trainGrams = train
+      .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+    val tot = evalGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val hit = evalGrams.join(trainGrams, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap",
+        col("n_hit").cast("double") / col("n_grams"))
+  }
+
   /** Temperature-weighted mixture sampling (the multilingual-corpus
     * rebalancing rule, α = 1/2): group `s` receives a quota
     * `totalBudget · w_s / Σw` with `w_s = ⌊√(n_s · 10⁶)⌋` — i.e.

@@ -161,6 +161,40 @@ object Sampling extends QueryModule {
       SELECT doc_id, source FROM r JOIN q USING (source)
       WHERE rn <= quota"""))
 
+  // --- GPT-3-style contamination REPORT: per eval doc, the fraction of
+  // its distinct 3-grams appearing anywhere in train — measurement, not
+  // removal. Gram explosion is linear, the train set joins semi. ------
+  private val q91 = Q("q91_contamination_report",
+    (s, dir) => {
+      val d = graft.pipeline.TrainingData.trainValSplit(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+      graft.pipeline.TrainingData.contaminationReport(
+        d.filter(col("split") === "train"),
+        d.filter(col("split") === "val"))
+    },
+    Some("""WITH s AS (SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split,
+        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents),
+      g AS (SELECT doc_id, split,
+          list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+            for i in range(0, len(toks) - 2)]) AS grams
+        FROM s WHERE len(toks) >= 3),
+      tg AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+        WHERE split = 'train'),
+      eg AS (SELECT doc_id, unnest(grams) AS gr FROM g
+        WHERE split = 'val'),
+      t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM eg GROUP BY doc_id),
+      h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM eg
+        WHERE gr IN (SELECT gr FROM tg) GROUP BY doc_id)
+      SELECT t.doc_id, n_grams,
+        COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams AS overlap
+      FROM t LEFT JOIN h USING (doc_id)"""))
+
   // --- NEAR-dup decontamination: exact matching (q66) misses
   // paraphrased leakage; this drops train documents with a verified
   // shingle-Jaccard ≥ 0.5 near-duplicate in the val split. Candidates
@@ -266,5 +300,5 @@ object Sampling extends QueryModule {
       WHERE cum_tokens - nt < budget"""))
 
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89)
+    q89, q91)
 }

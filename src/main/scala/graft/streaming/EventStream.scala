@@ -40,6 +40,16 @@ object EventStream {
       lines.filter(!col("value").startsWith("#")), info, fmt, samples.length)
   }
 
+  /** Ingest-time cleaning for a streaming corpus:
+    * [[graft.pipeline.TrainingData.c4Clean]] plus a token count are pure
+    * per-row projections (the line-scan kernel included), so the batch
+    * cleaning operators lift onto any streaming source unchanged — no
+    * state, no watermark, no shuffle. */
+  def cleanStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TrainingData.c4Clean(docs)
+      .withColumn("n_tokens",
+        graft.functions.textfns.tokenCount(col("clean_text")).cast("long"))
+
   /** Streaming exact dedup for a continuously-ingested document corpus
     * (the training-data-pipeline shape: dedup a crawl as it arrives,
     * not in a nightly batch). Content fingerprints are the SAME

@@ -86,6 +86,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming c4 cleaning == batch cleaning across micro-batches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Good sentence stays right here.\nenable javascript now."),
+      (2L, "no punctuation line\nAnother keeper line stands."),
+      (3L, "Lorem ipsum dolor sit amet.\nFine line survives anyway."),
+      (4L, "{ brace } doc gets flagged.\nStill cleaned normally."))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = EventStream.cleanStream(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("clean_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("clean_out")
+        .select("doc_id", "clean_text", "n_kept", "doc_dropped",
+          "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4))).toSet
+      val batch = EventStream.cleanStream(docs.toDF("doc_id", "text"))
+        .select("doc_id", "clean_text", "n_kept", "doc_dropped",
+          "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+      // the lorem-ipsum and brace docs are flagged, the rest keep lines
+      assert(streamed.count(_._4) == 2)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup == batch dedup fingerprint set") {
     import spark.implicits._
     // duplicates differ in token ORDER and MULTIPLICITY — the
