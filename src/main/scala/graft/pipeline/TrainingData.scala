@@ -725,6 +725,41 @@ object TrainingData {
           .otherwise(lit(0.0)).as("dup5_frac"))
   }
 
+  /** Composite quality gate — the Gopher/RefinedWeb-style rule set over
+    * the engine's own signals: token-count bounds, mean-token-length
+    * bounds, identical-word runs, top-bigram and duplicated-5-gram
+    * coverage ([[repetitionStats]]), and the C4 document flags. Emits
+    * `keep` plus a sorted `reasons` array naming every failed rule —
+    * the audit trail a curation run needs (a bare boolean can't tell
+    * you WHY a third of the corpus vanished). One repetitionStats pass
+    * + a doc-key join; every rule itself is a projection. */
+  def qualityGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Long = 20,
+      maxTokens: Long = 100000, maxRun: Long = 3,
+      maxTop2: Double = 0.15, maxDup5: Double = 0.15,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0): DataFrame = {
+    val rep = repetitionStats(docs.select(col(idCol), col(textCol)),
+      idCol, textCol)
+    val avg = avgTokenLen(col(textCol))
+    val reasons = array_sort(filter(array(
+      when(col("n_words") < minTokens, lit("too_short")),
+      when(col("n_words") > maxTokens, lit("too_long")),
+      when(avg < minAvgLen, lit("short_words")),
+      when(avg > maxAvgLen, lit("long_words")),
+      when(col("max_run") >= maxRun, lit("word_runs")),
+      when(col("top2_frac") > maxTop2, lit("top_bigram")),
+      when(col("dup5_frac") > maxDup5, lit("dup_grams")),
+      when(contains(lower(col(textCol)), lit("lorem ipsum")),
+        lit("lorem_ipsum")),
+      when(contains(col(textCol), lit("{")), lit("brace"))),
+      r => r.isNotNull))
+    docs.select(col(idCol), col(textCol))
+      .join(rep, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("max_run"),
+        col("top2_frac"), col("dup5_frac"), reasons.as("reasons"),
+        (size(reasons) === 0).as("keep"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication of an
     * embedded corpus. k-means clusters the vectors (the paper's
     * complexity bound: candidate pairs only WITHIN a cluster, never

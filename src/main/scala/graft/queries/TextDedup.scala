@@ -528,10 +528,8 @@ object TextDedup extends QueryModule {
   // before training. Delegates to the public pipeline API; the oracle
   // replays the gaps-and-islands run detection and both gram aggregates
   // exactly (integer counts, one IEEE division per fraction). ------------
-  private val q74 = Q("q74_repetition_stats",
-    (s, dir) => graft.pipeline.TrainingData
-      .repetitionStats(Tables(s, dir, "documents")),
-    Some(s"""WITH t AS ($tokCte),
+  // Shared by q74 and q92: the full repetition-stats replay.
+  private val repOracle = s"""WITH t AS ($tokCte),
       b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
           CAST(COALESCE(list_sum(list_transform(toks,
             w -> length(w))), 0) AS BIGINT) AS chars
@@ -583,7 +581,53 @@ object TextDedup extends QueryModule {
           THEN CAST(COALESCE(d5, 0) AS DOUBLE) / chars
           ELSE 0.0 END AS dup5_frac
       FROM b LEFT JOIN runs USING (doc_id)
-        LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)"""))
+        LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)"""
+
+  private val q74 = Q("q74_repetition_stats",
+    (s, dir) => graft.pipeline.TrainingData
+      .repetitionStats(Tables(s, dir, "documents")),
+    Some(repOracle))
+
+  // --- composite quality gate (Gopher/RefinedWeb rule set) with an
+  // audit-trail reasons column; DuckDB replays the repetition stats
+  // (shared CTE with q74) and every threshold rule. ------------------
+  private val q92 = Q("q92_quality_gate",
+    (s, dir) => graft.pipeline.TrainingData.qualityGate(
+        Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("max_run"),
+        col("top2_frac"), col("dup5_frac"),
+        array_join(col("reasons"), ",").as("reasons"),
+        col("keep").cast("long").as("keep")),
+    Some(s"""WITH rep AS ($repOracle),
+      d AS (SELECT doc_id, text,
+          CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) = 0
+            THEN NULL
+            ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                AS DOUBLE)
+              / len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> t <> ''))
+          END AS avg_len
+        FROM documents),
+      j AS (SELECT rep.*, d.avg_len, d.text FROM rep
+        JOIN d USING (doc_id)),
+      r AS (SELECT doc_id, n_words, max_run, top2_frac, dup5_frac,
+          list_sort(list_filter([
+            CASE WHEN n_words < 20 THEN 'too_short' END,
+            CASE WHEN n_words > 100000 THEN 'too_long' END,
+            CASE WHEN avg_len < 3.0 THEN 'short_words' END,
+            CASE WHEN avg_len > 10.0 THEN 'long_words' END,
+            CASE WHEN max_run >= 3 THEN 'word_runs' END,
+            CASE WHEN top2_frac > 0.15 THEN 'top_bigram' END,
+            CASE WHEN dup5_frac > 0.15 THEN 'dup_grams' END,
+            CASE WHEN contains(lower(text), 'lorem ipsum')
+              THEN 'lorem_ipsum' END,
+            CASE WHEN contains(text, '{') THEN 'brace' END
+          ], x -> x IS NOT NULL)) AS rs
+        FROM j)
+      SELECT doc_id, n_words, max_run, top2_frac, dup5_frac,
+        COALESCE(array_to_string(rs, ','), '') AS reasons,
+        CAST(len(rs) = 0 AS BIGINT) AS keep
+      FROM r"""))
 
   // --- PII redaction (brief: training-data pipeline ops). The synthetic
   // corpus contains no PII, so the query splices deterministic
@@ -837,5 +881,5 @@ object TextDedup extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82, q83, q86, q87, q88)
+      q74, q79, q81, q82, q83, q86, q87, q88, q92)
 }
