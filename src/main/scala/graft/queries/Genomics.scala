@@ -327,6 +327,34 @@ object Genomics extends QueryModule {
             AS dos
           FROM variants))""")))
 
+  // --- multiallelic split (bcftools norm -m- semantics): every variant
+  // atomizes into nall−1 biallelic records; the recoded cube feeds the
+  // existing AF kernels. Narrow explode, no shuffle; DuckDB replays the
+  // per-alt genotype recode and counts. --------------------------------
+  private val q93 = Q("q93_split_multiallelic",
+    (s, dir) => {
+      val atomized = graft.operators.SplitMultiallelic(
+        SynthGeno.variants(s, dir))
+      atomized.select(col("vid"), col("alt_index"),
+        nCalledAlleles(col("geno")).as("n_called"),
+        alleleCount(col("geno"), lit(1)).as("ac_alt"),
+        alleleFreq(col("geno"), lit(1)).as("af_alt"))
+    },
+    Some(withCte("""SELECT vid, CAST(k AS BIGINT) AS alt_index,
+        CAST(len(list_filter(fa, a -> a IS NOT NULL)) AS BIGINT)
+          AS n_called,
+        CAST(len(list_filter(fa, a -> a = 1)) AS BIGINT) AS ac_alt,
+        CASE WHEN len(list_filter(fa, a -> a IS NOT NULL)) > 0 THEN
+          CAST(len(list_filter(fa, a -> a = 1)) AS DOUBLE)
+            / len(list_filter(fa, a -> a IS NOT NULL)) END AS af_alt
+      FROM (SELECT vid, k,
+          flatten(list_transform(geno, sa -> list_transform(sa, a ->
+            CASE WHEN a IS NULL THEN NULL
+                 WHEN a = k THEN 1 ELSE 0 END))) AS fa
+        FROM (SELECT vid, nall, geno, i AS k FROM variants,
+            (SELECT unnest(range(1, 4)) AS i)
+          WHERE i <= nall - 1))""")))
+
   override def queries: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59)
+    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93)
 }

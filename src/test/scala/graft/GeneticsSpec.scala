@@ -151,4 +151,33 @@ class GeneticsSpec extends AnyFunSuite {
       sum(alleleCount(col("geno"), lit(0)))).collect()(0)
     assert(agg1 == aggN)
   }
+
+  test("multiallelic split follows the bcftools norm -m- genotype rule") {
+    import spark.implicits._
+    // nall=3: samples 0/1, 2/2, ./0 — alt 1 sees the 1, alt 2 sees the
+    // 2s; other CALLED alleles recode to 0, missing stays missing
+    val df = Seq((1L, 3,
+        Seq(Seq[java.lang.Long](0L, 1L), Seq[java.lang.Long](2L, 2L),
+          Seq[java.lang.Long](null, 0L))))
+      .toDF("vid", "nall", "geno")
+    val got = graft.operators.SplitMultiallelic(df)
+      .orderBy("alt_index")
+      .select("alt_index", "nall", "geno")
+      .collect()
+    def cube(r: org.apache.spark.sql.Row, i: Int): List[List[Any]] =
+      r.getSeq[scala.collection.Seq[Any]](i).map(_.toList).toList
+    assert(got.length == 2)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getInt(1) == 2))
+    assert(cube(got(0), 2) ==
+      List(List(0L, 1L), List(0L, 0L), List(null, 0L)))
+    assert(cube(got(1), 2) ==
+      List(List(0L, 0L), List(1L, 1L), List(null, 0L)))
+    // biallelic passthrough: one record, identical cube
+    val bi = Seq((2L, 2, Seq(Seq[java.lang.Long](0L, 1L))))
+      .toDF("vid", "nall", "geno")
+    val b = graft.operators.SplitMultiallelic(bi)
+      .select("alt_index", "nall", "geno").collect()
+    assert(b.length == 1 && cube(b(0), 2) == List(List(0L, 1L)))
+  }
 }
