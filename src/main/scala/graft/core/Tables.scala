@@ -14,11 +14,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-      // read it as a long (nanos since epoch). Runtime conf, so it works no
-      // matter who built the session.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (rejected by
+      // default — read as long nanos via the legacy conf) and
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ).
+      // Downstream queries always see long NANOS: timestampdiff is the one
+      // NTZ→epoch conversion that never consults the session timezone.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) df
+      else df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

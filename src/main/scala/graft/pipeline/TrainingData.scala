@@ -1004,4 +1004,131 @@ object TrainingData {
             PiiIpv4Re, "<IP>"),
           PiiPhoneRe, "<PHONE>"))
   }
+
+  /** Deterministic corpus shuffle into training shards — the export
+    * step after cleaning/mixing: every row gets a stable (shard, pos)
+    * from md5(seed:id), so the "random" order is reproducible across
+    * runs, engines, and cluster sizes (never `rand()`), and a training
+    * job can stream shard files in pos order. One shuffle on the shard
+    * key; the per-shard sort is the per-partition sort a write would do
+    * anyway. `nShards` should be ≥ the writing cluster's parallelism —
+    * each shard's window sorts only its own ~N/nShards rows. */
+  def shuffleToShards(df: DataFrame, nShards: Int, seed: Int = 0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val shard = conv(substring(key, 1, 8), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
+  /** Frequency-ranked vocabulary with ids and corpus coverage — the
+    * tokenizer-prep step: whitespace tokens with `tf` (total
+    * occurrences) and `df` (documents containing), thresholded at
+    * `minCount` total occurrences, ranked by (tf desc, token) with
+    * `id` = rank − 1 and `coverage` = cumulative tf at this rank over
+    * ALL corpus tokens (including sub-threshold ones), as one exact
+    * int/int division.
+    *
+    * Scale: token counting is a map-side-combined groupBy (one linear
+    * shuffle). Ranking never uses a global single-partition window —
+    * rank = (rows in strictly-higher tf groups, from a broadcast
+    * per-tf prefix table) + (row_number within this tf group ordered
+    * by token). The minCount threshold is what bounds the window work:
+    * it drops the df=1 long tail BEFORE ranking, exactly as real vocab
+    * builds do, so the largest surviving equal-tf group stays small. */
+  def buildVocab(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 2L): DataFrame = {
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val dfCounts = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = tok.agg(count(lit(1)).as("__total"))
+    val kept = counts.filter(col("tf") >= minCount).join(dfCounts, "token")
+    // per-tf prefix table: rows and tokens in all strictly-higher tf
+    // groups (tiny — one row per distinct tf value; broadcast).
+    val wTf = Window.orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = kept.groupBy(col("tf"))
+      .agg(count(lit(1)).as("__n"), sum(col("tf")).as("__toks"))
+      .withColumn("__nAbove", sum(col("__n")).over(wTf) - col("__n"))
+      .withColumn("__toksAbove",
+        sum(col("__toks")).over(wTf) - col("__toks"))
+      .select(col("tf"), col("__nAbove"), col("__toksAbove"))
+    val wIn = Window.partitionBy(col("tf")).orderBy(col("token"))
+    kept
+      .withColumn("__rIn", row_number().over(wIn).cast("long"))
+      .withColumn("__tIn", sum(col("tf")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(prefix), "tf")
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        (col("__nAbove") + col("__rIn") - 1).as("id"),
+        col("tf"), col("df"),
+        ((col("__toksAbove") + col("__tIn")).cast("double") /
+          col("__total")).as("coverage"))
+  }
+
+  /** Corpus snapshot diff — dataset versioning for pipeline runs: which
+    * documents a new corpus version added, removed, changed, or kept,
+    * by id. The compare ships 128-bit content fingerprints, never
+    * document bodies, so the single id-keyed sort-merge join carries
+    * ~48 bytes/doc regardless of document size; both scans prune to
+    * (id, text) and the md5 folds into each side's scan projection.
+    * Output: (idCol, status ∈ added|removed|changed|unchanged,
+    * fp_prev, fp_cur — null on the absent side). */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame, id: String, fp: String) =
+      df.select(col(idCol).as(id),
+        md5(col(textCol).cast("binary")).as(fp))
+    val a = fps(prev, "__ida", "fp_prev")
+    val b = fps(cur, "__idb", "fp_cur")
+    a.join(b, col("__ida") === col("__idb"), "full_outer")
+      .select(
+        coalesce(col("__ida"), col("__idb")).as(idCol),
+        when(col("__ida").isNull, lit("added"))
+          .when(col("__idb").isNull, lit("removed"))
+          .when(col("fp_prev") =!= col("fp_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("fp_prev"), col("fp_cur"))
+  }
+
+  /** Markup tag pattern — same regex-subset discipline as the PII
+    * patterns (no lookaround, no backreferences) so java.util.regex and
+    * RE2 agree byte-for-byte. `<[^>]*>` is the classic tag stripper used
+    * by WET-style extraction: script/style CONTENT is out of scope here
+    * (a real extractor drops those blocks upstream). */
+  val MarkupTagRe = "<[^<>]*>"
+
+  /** The fixed entity set decoded after tag removal, in application
+    * order. `&amp;` is decoded LAST so `&amp;lt;` becomes the literal
+    * text `&lt;` and not a `<` (the standard double-escaping rule). */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup stripping — the HTML→text extraction step of a web-scale
+    * pipeline (the C4/CCNet shape: drop tags, decode the common
+    * entities, collapse the whitespace runs the removed tags leave
+    * behind). Adds `n_tags` (tags removed — a useful "was this page
+    * markup-heavy" quality signal) and rewrites `textCol` in place.
+    * Pure per-row projection over codegen'd built-ins: zero shuffles,
+    * fuses into the preceding scan at any scale. */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val untagged = regexp_replace(t, MarkupTagRe, " ")
+    val decoded = MarkupEntities.foldLeft(untagged) {
+      case (c, (ent, rep)) => replace(c, lit(ent), lit(rep))
+    }
+    docs
+      .withColumn("n_tags", regexp_count(t, lit(MarkupTagRe)).cast("long"))
+      .withColumn(textCol,
+        trim(regexp_replace(decoded, "\\s+", " ")))
+  }
 }

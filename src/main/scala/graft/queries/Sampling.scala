@@ -299,6 +299,63 @@ object Sampling extends QueryModule {
       SELECT doc_id, source, cum_tokens FROM s JOIN b USING (source)
       WHERE cum_tokens - nt < budget"""))
 
+  // --- corpus snapshot diff (dataset versioning): v2 simulates one
+  // pipeline release — 1/7 of documents dropped, 1/5 edited, a batch of
+  // new ids ingested — and the diff classifies every id by comparing
+  // 128-bit content fingerprints, never bodies. One id-keyed join. ------
+  private val q95 = Q("q95_corpus_diff",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val prev = d.select(col("doc_id"), col("text"))
+      val cur = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" [edited v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string"))
+              .as("text")))
+      graft.pipeline.TrainingData.corpusDiff(prev, cur)
+    },
+    Some("""WITH prev AS (SELECT doc_id, text FROM documents),
+      cur AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]'
+            ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+          'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 11 = 0),
+      a AS (SELECT doc_id, md5(text) AS fp_prev FROM prev),
+      b AS (SELECT doc_id, md5(text) AS fp_cur FROM cur)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN a.doc_id IS NULL THEN 'added'
+             WHEN b.doc_id IS NULL THEN 'removed'
+             WHEN fp_prev <> fp_cur THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        fp_prev, fp_cur
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"""))
+
+  // --- deterministic shard shuffle (training-export ordering): stable
+  // (shard, pos) from md5(seed:id) — reproducible "random" order with
+  // no rand(), one shuffle on the shard key, per-shard local sort. ------
+  private val q96 = Q("q96_shard_shuffle",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      graft.pipeline.TrainingData.shuffleToShards(d, nShards = 8, seed = 7)
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+        md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+      a AS (SELECT doc_id, source, key,
+        CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8 AS shard FROM k)
+      SELECT doc_id, source, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+          AS BIGINT) AS pos
+      FROM a"""))
+
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89, q91)
+    q89, q91, q95, q96)
 }

@@ -879,7 +879,74 @@ object TextDedup extends QueryModule {
       ORDER BY score DESC, doc_id LIMIT 20"""
     })
 
+  // --- markup stripping (HTML→text extraction, the C4/CCNet WET step):
+  // markup is spliced in deterministically from doc_id — opening tag with
+  // an attribute, closing tag, self-closing tag, and double-escaped
+  // entities — then stripped by the shared pipeline stage; the oracle
+  // replays the identical regex + entity-decode chain. Pure projection. --
+  private val q94 = Q("q94_markup_strip",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val dirty = d.select(id, col("source"), concat(
+        lit("<p class=\"c"), (id % 5).cast("string"), lit("\">"),
+        col("text"), lit("</p>"),
+        when(id % 4 === 0, lit("<br/>&nbsp;tail &amp;lt; kept"))
+          .otherwise(lit("")),
+        when(id % 3 === 0, concat(
+          lit("<a href=\"/d"), id.cast("string"),
+          lit("\">link&quot;s &#39;q&#39;</a>"))).otherwise(lit("")))
+        .as("text"))
+      graft.pipeline.TrainingData.stripMarkup(dirty)
+    },
+    Some(s"""WITH p AS (SELECT doc_id, source,
+        '<p class="c' || CAST(doc_id % 5 AS VARCHAR) || '">' || text
+          || '</p>'
+        || CASE WHEN doc_id % 4 = 0
+             THEN '<br/>&nbsp;tail &amp;lt; kept' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+             THEN '<a href="/d' || CAST(doc_id AS VARCHAR)
+               || '">link&quot;s &#39;q&#39;</a>' ELSE '' END AS text
+      FROM documents)
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.MarkupTagRe}')) AS BIGINT)
+          AS n_tags,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(text,
+              '${graft.pipeline.TrainingData.MarkupTagRe}', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS text
+      FROM p"""))
+
+  // --- frequency-ranked vocabulary with ids + corpus coverage
+  // (tokenizer prep): tf/df counts, minCount threshold, rank without a
+  // global window (per-tf prefix table + within-group row_number), exact
+  // coverage division. ---------------------------------------------------
+  private val q97 = Q("q97_vocab_build",
+    (s, dir) => graft.pipeline.TrainingData.buildVocab(
+      Tables(s, dir, "documents"), minCount = 2L),
+    Some(s"""WITH t AS ($tokCte),
+      e AS (SELECT unnest(toks) AS token FROM t),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        GROUP BY token),
+      d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+        GROUP BY token),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+      k AS (SELECT c.token, tf, df FROM c JOIN d USING (token)
+        WHERE tf >= 2)
+      SELECT token,
+        CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT)
+          AS id,
+        tf, df,
+        CAST(SUM(tf) OVER (ORDER BY tf DESC, token) AS DOUBLE) / total
+          AS coverage
+      FROM k CROSS JOIN tot"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82, q83, q86, q87, q88, q92)
+      q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97)
 }

@@ -350,6 +350,83 @@ class TextSpec extends AnyFunSuite {
     assert(got == Map("big" -> 40L, "small" -> 9L))
   }
 
+  test("markup strip golden values: tags, double-escaped entities, whitespace") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<p class=\"x\">hello <b>world</b></p>"),
+      (2L, "a &lt;tag&gt; literal &amp;lt; stays; q&#39;s &quot;ok&quot;&nbsp;end"),
+      (3L, "no markup at all"),
+      (4L, "<br/><br/>  spaced   out  "),
+      (5L, "unclosed < no close but <em>this</em> is")
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.stripMarkup(d)
+      .orderBy("doc_id").select("text", "n_tags").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r(0) == ("hello world", 4L))
+    // &amp;lt; decodes to the LITERAL text "&lt;" (amp is decoded last)
+    assert(r(1) == ("a <tag> literal &lt; stays; q's \"ok\" end", 0L))
+    assert(r(2) == ("no markup at all", 0L))
+    assert(r(3) == ("spaced out", 2L))
+    // "< no close" has no matching '>' before the next '<', so it is NOT
+    // a tag; the '<em>' pair still strips
+    assert(r(4) == ("unclosed < no close but this is", 2L))
+  }
+
+  test("corpus diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.corpusDiff(prev, cur)
+      .orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect()
+    assert(r.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("shard shuffle: stable partition of the corpus, dense pos per shard") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.shuffleToShards(d, nShards = 4,
+      seed = 7)
+    assert(r.count() == 200)
+    // every row lands in exactly one shard; pos is 1..n within each shard
+    val perShard = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perShard.map(_._2).sum == 200)
+    perShard.foreach { case (_, n, lo, hi) =>
+      assert(lo == 1L && hi == n)
+    }
+    // deterministic: a second run assigns identical (shard, pos)
+    val again = graft.pipeline.TrainingData.shuffleToShards(d, nShards = 4,
+      seed = 7)
+    assert(r.select("doc_id", "shard", "pos")
+      .except(again.select("doc_id", "shard", "pos")).count() == 0)
+    // a different seed produces a different order
+    val other = graft.pipeline.TrainingData.shuffleToShards(d, nShards = 4,
+      seed = 8)
+    assert(r.select("doc_id", "shard", "pos")
+      .except(other.select("doc_id", "shard", "pos")).count() > 0)
+  }
+
+  test("vocab build: ranks, ids, and exact coverage") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare"),
+      (3L, "a c")
+    ).toDF("doc_id", "text")
+    // tf: a=4 b=4 c=2 rare=1 (total 11); minCount 2 drops rare
+    val r = graft.pipeline.TrainingData.buildVocab(d, minCount = 2L)
+      .orderBy("id")
+      .select("token", "id", "tf", "df", "coverage")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("a", 0L, 4L, 3L, 4.0 / 11),
+      ("b", 1L, 4L, 2L, 8.0 / 11),
+      ("c", 2L, 2L, 2L, 10.0 / 11)))
+  }
+
   test("bloom decontamination == exact anti-join, incl. forced false positives") {
     val d = graft.pipeline.TrainingData.trainValSplit(
       docs.select(col("doc_id"), col("text")))
