@@ -261,4 +261,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort \\[".r.findAllIn(p).size == 1)
     assert(p.contains("false, 0") || !p.contains("Sort [variant_id"))
   }
+
+  test("q94: markup strip is a pure projection — no exchange, no join") {
+    val p = plan("q94_markup_strip")
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q95: corpus diff is one id-keyed join shipping fingerprints") {
+    val p = plan("q95_corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    // the join must carry md5 fingerprints, not document bodies: no
+    // `text` column survives past the scan-side projections
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).get
+    assert(!joinLine.contains("text#"), joinLine)
+  }
+
+  test("q96: shard shuffle is one exchange on the shard key") {
+    val p = plan("q96_shard_shuffle")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"))
+  }
+
+  test("q97: vocab ranking windows partition by tf — no global window") {
+    val p = plan("q97_vocab_build")
+    // per-tf windows only: every Window operator must declare a
+    // partition spec (a global rank would show `Window [...], [tf ...]`
+    // with an empty partition list and run on one task)
+    val winLines = p.linesIterator.filter(_.trim.startsWith("Window "))
+      .toSeq.filterNot(_.contains("windowspecdefinition(tf#"))
+    // the one permitted unpartitioned window is the per-tf prefix table
+    // (rows = distinct tf values, broadcast afterwards)
+    assert(winLines.size <= 1, winLines.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
