@@ -1099,6 +1099,81 @@ object TrainingData {
         col("fp_prev"), col("fp_cur"))
   }
 
+  /** URL canonicalization — the normalization every web-crawl dedup
+    * runs before comparing URLs: lowercase the scheme+host (ONLY — the
+    * path stays case-sensitive per RFC 3986), drop the fragment, strip
+    * `utm_*` tracking parameters, drop a bare trailing slash, and fold
+    * `www.`. Pure per-row projection over regexp built-ins (same
+    * RE2∩java.regex-safe subset as the PII patterns). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val schemeHost = lower(regexp_extract(noFrag, "^[^/]*//[^/?]*", 0))
+    val rest = noFrag.substr(length(schemeHost) + 1, lit(1 << 24))
+    val u0 = concat(replace(schemeHost, lit("://www."), lit("://")), rest)
+    val u1 = regexp_replace(u0, "\\?utm_[^&]*&", "?")
+    val u2 = regexp_replace(u1, "&utm_[^&]*", "")
+    val u3 = regexp_replace(u2, "\\?utm_[^&]*$", "")
+    regexp_replace(u3, "/$", "")
+  }
+
+  /** URL-level dedup — group documents by canonical URL (the cheapest,
+    * highest-yield dedup pass in a crawl pipeline: it removes re-crawls
+    * and tracking-parameter aliases before any content hashing runs).
+    * One shuffle on the normalized URL; members as a sorted csv so the
+    * output is order-stable. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keeper"),
+        array_join(sort_array(collect_list(col(idCol))), ",")
+          .as("members"))
+
+  /** Intra-document repeated-line removal — the within-doc twin of
+    * [[removeBoilerplateLines]] (C4 drops every duplicate line *inside*
+    * a page too: nav menus, repeated headers). Keeps the FIRST
+    * occurrence of each line, preserves order, rebuilds the document.
+    * The explode/groupBy pair shuffles on (id, line) then id — both
+    * linear in corpus size; no cross-document state at all. */
+  def dedupLinesInDoc(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val first = lines.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"))
+    val rebuilt = first.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as(textCol))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol))
+  }
+
+  /** Corpus encoding — map every token to its [[buildVocab]] id
+    * (out-of-vocabulary → −1), preserving token order: the final
+    * "text → ids" step before packing. The vocab is broadcast (it is
+    * vocab-sized, not corpus-sized); the explode/rebuild shuffles are
+    * linear in token count. Output: (idCol, n_tokens, n_oov,
+    * ids — csv in token order). */
+  def encodeWithVocab(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab.select(col("token"), col("id"))),
+        Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id").cast("string")), ",").as("ids"))
+  }
+
   /** Markup tag pattern — same regex-subset discipline as the PII
     * patterns (no lookaround, no backreferences) so java.util.regex and
     * RE2 agree byte-for-byte. `<[^>]*>` is the classic tag stripper used

@@ -946,7 +946,129 @@ object TextDedup extends QueryModule {
           AS coverage
       FROM k CROSS JOIN tot"""))
 
+  // --- URL canonicalization + dedup (the cheapest crawl dedup pass):
+  // URLs spliced from doc_id cover the alias classes the normalizer
+  // folds — case-varied scheme/host, www, fragments, utm tracking
+  // params, trailing slash — then grouped by canonical form. ------------
+  private val q98 = Q("q98_url_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val withUrl = d.select(id,
+        concat(
+          when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Ex"), (id % 13).cast("string"), lit(".COM/Path"),
+          (id % 29).cast("string"),
+          when(id % 4 === 0,
+            concat(lit("?utm_source=a"), (id % 5).cast("string")))
+            .otherwise(lit("")),
+          when(id % 6 === 0, concat(lit("#frag"), id.cast("string")))
+            .otherwise(lit("")),
+          when(id % 5 === 0, lit("/")).otherwise(lit("")))
+          .as("url"))
+      graft.pipeline.TrainingData.urlDedup(withUrl)
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+        || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        || 'Ex' || CAST(doc_id % 13 AS VARCHAR) || '.COM/Path'
+        || CAST(doc_id % 29 AS VARCHAR)
+        || CASE WHEN doc_id % 4 = 0
+             THEN '?utm_source=a' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '' END
+        || CASE WHEN doc_id % 6 = 0
+             THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+      FROM documents),
+      n AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                replace(lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                    '^[^/]*//[^/?]*')), '://www.', '://')
+                  || substr(regexp_replace(url, '#.*', ''),
+                    length(regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^[^/]*//[^/?]*')) + 1),
+                '\?utm_[^&]*&', '?'),
+              '&utm_[^&]*', ''),
+            '\?utm_[^&]*$', ''),
+          '/$', '') AS norm_url
+      FROM u)
+      SELECT norm_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+        string_agg(doc_id, ',' ORDER BY doc_id) AS members
+      FROM n GROUP BY norm_url"""))
+
+  // --- intra-document repeated-line removal (C4's within-page pass):
+  // a nav menu line is spliced before AND after the body plus a unique
+  // line, the first occurrence of each line survives, order holds. -----
+  private val q99 = Q("q99_line_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val dirty = d.select(id, concat(
+        lit("Home | About | Contact\n"),
+        col("text"),
+        lit("\nHome | About | Contact"),
+        when(id % 3 === 0, concat(lit("\nfooter "), id.cast("string"),
+          lit("\nHome | About | Contact"))).otherwise(lit("")))
+        .as("text"))
+      graft.pipeline.TrainingData.dedupLinesInDoc(dirty)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          substring(col("text"), 1, 60).as("head"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        'Home | About | Contact' || chr(10) || text || chr(10)
+          || 'Home | About | Contact'
+        || CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || 'footer ' || CAST(doc_id AS VARCHAR)
+               || chr(10) || 'Home | About | Contact'
+             ELSE '' END AS t
+      FROM documents),
+      s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+      l AS (SELECT doc_id, i AS pos, ls[CAST(i + 1 AS INTEGER)] AS line
+        FROM s, (SELECT unnest(range(0, 64)) AS i) WHERE i < len(ls)),
+      f AS (SELECT doc_id, line, MIN(pos) AS pos FROM l
+        GROUP BY doc_id, line),
+      r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS ct
+        FROM f GROUP BY doc_id)
+      SELECT s.doc_id, CAST(len(ls) AS BIGINT) AS n_lines, n_kept,
+        substr(ct, 1, 60) AS head
+      FROM s JOIN r USING (doc_id)"""))
+
+  // --- corpus encoding: tokens → vocab ids in order (OOV → −1), the
+  // final text→ids step before sequence packing; vocab broadcast. -------
+  private val q100 = Q("q100_encode_ids",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // top-20 vocab only, so OOV (−1) is exercised at every scale
+      // factor (a fixed minCount would stop producing OOV as tf grows
+      // with corpus size)
+      val vocab = graft.pipeline.TrainingData.buildVocab(d, minCount = 1L)
+        .filter(col("id") < 20)
+      graft.pipeline.TrainingData.encodeWithVocab(d, vocab)
+    },
+    Some(s"""WITH t AS ($tokCte),
+      e AS (SELECT unnest(toks) AS token FROM t),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        GROUP BY token),
+      v AS (SELECT token, id FROM (SELECT token,
+          CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT)
+            AS id
+        FROM c) WHERE id < 20),
+      p AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        unnest(toks) AS token FROM t),
+      j AS (SELECT doc_id, pos, COALESCE(id, -1) AS id
+        FROM p LEFT JOIN v USING (token))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        string_agg(id, ',' ORDER BY pos) AS ids
+      FROM j GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
-      q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97)
+      q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
+      q100)
 }

@@ -283,6 +283,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q98: url dedup is normalize-projection + one group-key shuffle") {
+    val p = plan("q98_url_dedup")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning\\(norm_url".r.findAllIn(p).size == 1,
+      p)
+  }
+
+  test("q100: vocab encode joins the broadcast vocab, never shuffles it") {
+    val p = plan("q100_encode_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q97: vocab ranking windows partition by tf — no global window") {
     val p = plan("q97_vocab_build")
     // per-tf windows only: every Window operator must declare a

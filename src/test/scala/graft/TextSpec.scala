@@ -427,6 +427,59 @@ class TextSpec extends AnyFunSuite {
       ("c", 2L, 2L, 2L, 10.0 / 11)))
   }
 
+  test("url normalization golden values") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "HTTPS://WWW.Example.COM/Path/One"),
+      (2L, "https://example.com/Path/One#section-2"),
+      (3L, "https://example.com/Path/One?utm_source=tw&id=9"),
+      (4L, "https://example.com/Path/One?id=9&utm_campaign=x"),
+      (5L, "https://example.com/Path/One/"),
+      (6L, "https://example.com/CASE/sensitive/path")
+    ).toDF("doc_id", "url")
+    val r = d.select(col("doc_id"),
+        graft.pipeline.TrainingData.normalizeUrl(col("url")).as("u"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    assert(r(0) == "https://example.com/Path/One")
+    assert(r(1) == "https://example.com/Path/One")
+    assert(r(2) == "https://example.com/Path/One?id=9")
+    assert(r(3) == "https://example.com/Path/One?id=9")
+    assert(r(4) == "https://example.com/Path/One")
+    // path case is preserved (RFC 3986: only scheme+host fold)
+    assert(r(5) == "https://example.com/CASE/sensitive/path")
+  }
+
+  test("intra-doc line dedup keeps first occurrence, preserves order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "nav\nbody a\nnav\nbody b\nnav"),
+      (2L, "only\nunique\nlines"),
+      (3L, "x\nx\nx")
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.dedupLinesInDoc(d)
+      .orderBy("doc_id")
+      .select("text", "n_lines", "n_kept")
+      .as[(String, Long, Long)].collect()
+    assert(r(0) == ("nav\nbody a\nbody b", 5L, 3L))
+    assert(r(1) == ("only\nunique\nlines", 3L, 3L))
+    assert(r(2) == ("x", 3L, 1L))
+  }
+
+  test("vocab encoding maps tokens to ids in order, OOV to -1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a c b zzz"),
+      (2L, "a a a")
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("token", "id")
+    val r = graft.pipeline.TrainingData.encodeWithVocab(docs, vocab)
+      .orderBy("doc_id")
+      .select("ids", "n_tokens", "n_oov")
+      .as[(String, Long, Long)].collect()
+    assert(r(0) == ("1,0,2,1,-1", 5L, 1L))
+    assert(r(1) == ("0,0,0", 3L, 0L))
+  }
+
   test("bloom decontamination == exact anti-join, incl. forced false positives") {
     val d = graft.pipeline.TrainingData.trainValSplit(
       docs.select(col("doc_id"), col("text")))
