@@ -1191,7 +1191,11 @@ object TrainingData {
   /** Markup stripping — the HTML→text extraction step of a web-scale
     * pipeline (the C4/CCNet shape: drop tags, decode the common
     * entities, collapse the whitespace runs the removed tags leave
-    * behind). Adds `n_tags` (tags removed — a useful "was this page
+    * behind). NEWLINES SURVIVE: only horizontal whitespace collapses
+    * and spaces hugging a newline drop, so the line-based cleaners
+    * downstream ([[c4Clean]], [[removeBoilerplateLines]],
+    * [[dedupLinesInDoc]]) still see the document's line structure.
+    * Adds `n_tags` (tags removed — a useful "was this page
     * markup-heavy" quality signal) and rewrites `textCol` in place.
     * Pure per-row projection over codegen'd built-ins: zero shuffles,
     * fuses into the preceding scan at any scale. */
@@ -1204,6 +1208,7 @@ object TrainingData {
     docs
       .withColumn("n_tags", regexp_count(t, lit(MarkupTagRe)).cast("long"))
       .withColumn(textCol,
-        trim(regexp_replace(decoded, "\\s+", " ")))
+        trim(regexp_replace(
+          regexp_replace(decoded, "[ \\t]+", " "), " ?\\n ?", "\n")))
   }
 }

@@ -912,13 +912,13 @@ object TextDedup extends QueryModule {
         CAST(len(regexp_extract_all(text,
           '${graft.pipeline.TrainingData.MarkupTagRe}')) AS BIGINT)
           AS n_tags,
-        trim(regexp_replace(
+        trim(regexp_replace(regexp_replace(
           replace(replace(replace(replace(replace(replace(
             regexp_replace(text,
               '${graft.pipeline.TrainingData.MarkupTagRe}', ' ', 'g'),
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-          '\\s+', ' ', 'g')) AS text
+          '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text
       FROM p"""))
 
   // --- frequency-ranked vocabulary with ids + corpus coverage

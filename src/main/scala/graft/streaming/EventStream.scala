@@ -40,15 +40,19 @@ object EventStream {
       lines.filter(!col("value").startsWith("#")), info, fmt, samples.length)
   }
 
-  /** Ingest-time cleaning for a streaming corpus:
-    * [[graft.pipeline.TrainingData.c4Clean]] plus a token count are pure
-    * per-row projections (the line-scan kernel included), so the batch
-    * cleaning operators lift onto any streaming source unchanged — no
-    * state, no watermark, no shuffle. */
-  def cleanStream(docs: DataFrame): DataFrame =
-    graft.pipeline.TrainingData.c4Clean(docs)
+  /** Ingest-time cleaning for a streaming corpus: markup stripping →
+    * PII redaction → [[graft.pipeline.TrainingData.c4Clean]] plus a
+    * token count — the full extraction-side cleaning chain. Every stage
+    * is a pure per-row projection (the line-scan kernel included), so
+    * the batch cleaning operators lift onto any streaming source
+    * unchanged — no state, no watermark, no shuffle. */
+  def cleanStream(docs: DataFrame): DataFrame = {
+    val extracted = graft.pipeline.TrainingData.redactPii(
+      graft.pipeline.TrainingData.stripMarkup(docs))
+    graft.pipeline.TrainingData.c4Clean(extracted)
       .withColumn("n_tokens",
         graft.functions.textfns.tokenCount(col("clean_text")).cast("long"))
+  }
 
   /** Streaming exact dedup for a continuously-ingested document corpus
     * (the training-data-pipeline shape: dedup a crawl as it arrives,
