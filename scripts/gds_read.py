@@ -162,5 +162,97 @@ def main(path):
               + (f" data={r['data_id']}({data_len}B)" if r["data_id"] else "")
               + f"] {desc}")
 
+
+# ---- *_ra stream decode + oracle dumps --------------------------------------
+# Chunk framing (same empirical recovery as the tree layer): stream =
+# [u48 total][magic "XZ_RA"/"ZIP_RA"/"LZ4_RA"][verHi verLo][0xff]
+# [u32 nChunks] then per chunk v11: [u48 cmpSize][payload] /
+# v10: [u24 cmpSizeIncl][u32 rawSize][payload]; each payload is one
+# independent xz / zlib stream.
+
+def ra_decode(stream):
+    magics = {b"XZ_RA": "xz", b"ZIP_RA": "zlib"}
+    for m, kind in magics.items():
+        if stream[6:6 + len(m)] == m:
+            mlen = len(m)
+            break
+    else:
+        return stream[6:]  # uncompressed payload
+    v11 = stream[6 + mlen + 1] >= 0x11
+    n = u32(stream, 6 + mlen + 3)
+    p = 6 + mlen + 7
+    out = bytearray()
+    for _ in range(n):
+        if v11:
+            size, off = u48(stream, p), p + 6
+        else:
+            size = (stream[p] | (stream[p+1] << 8) | (stream[p+2] << 16)) - 7
+            off = p + 7
+        payload = bytes(stream[off:off + size])
+        if kind == "xz":
+            out += lzma.decompress(payload)
+        else:
+            out += zlib.decompress(payload)
+        p = off + size
+    return bytes(out)
+
+
+def node_bytes(st, path_names):
+    """Decoded raw bytes of the node at path (list of child names)."""
+    recs = {name: (sid, r) for name, sid, r, _ in walk(st)}
+    key = "<root>/" + "/".join(path_names)
+    sid, r = recs[key]
+    return ra_decode(st[r["data_id"]]), r
+
+
+def dump_1kg_stats(path, out_parquet):
+    """Per-variant REF-dosage stats of a diploid single-plane GDS,
+    computed INDEPENDENTLY of the Scala engine (this decoder shares no
+    code with it) — the DuckDB oracle for the q60 packed-AF aggregate.
+    Semantics match the packed lane: a call with any missing allele
+    (2-bit code 3) folds to fully missing; `called` counts ALLELES
+    (2 per fully-called sample); `ac_ref` counts REF (allele 0) among
+    fully-called samples."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    geno, gr = node_bytes(st, ["genotype", "data"])
+    planes, _ = node_bytes(st, ["genotype", "@data"])
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    n_planes, n_samp, ploidy = gr["dims"]
+    n_var = vr["dims"][0]
+    assert ploidy == 2, f"ploidy {ploidy}"
+    assert set(planes[:n_var]) == {1}, "multi-plane variant present"
+    assert n_planes == n_var and len(geno) == n_var * n_samp * 2 // 4
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    arr = np.frombuffer(geno, np.uint8).reshape(n_var, n_samp * 2 // 4)
+    # byte = 4 allele slots (2 bits, LSB-first): slots (0,1)=sample 2k,
+    # (2,3)=sample 2k+1
+    a0, a1 = arr & 3, (arr >> 2) & 3
+    b0, b1 = (arr >> 4) & 3, (arr >> 6) & 3
+    def lane(x, y):
+        ok = (x != 3) & (y != 3)
+        refs = np.where(ok, (x == 0).astype(np.int64)
+                        + (y == 0).astype(np.int64), 0)
+        return ok.sum(axis=1, dtype=np.int64), refs.sum(axis=1)
+    c_a, r_a = lane(a0, a1)
+    c_b, r_b = lane(b0, b1)
+    called = 2 * (c_a + c_b)
+    ac_ref = r_a + r_b
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, called BIGINT, "
+                "ac_ref BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(int(v), int(c), int(a))
+                     for v, c, a in zip(vids, called, ac_ref)])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n_var} variants, sum_called={called.sum()}, "
+          f"sum_ref={ac_ref.sum()}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1])
+    if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
+        dump_1kg_stats(sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1])

@@ -772,18 +772,28 @@ object TrainingData {
     * makes the method scale. Returns (vec_id, cid, cos, component,
     * kept 0/1) for every input vector; `cos` is the centroid cosine.
     * All comparisons are on exactly-replayable integer-derived values,
-    * so a SQL engine reproduces the kept set bit for bit. */
-  def semDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double)
-      : DataFrame = {
+    * so a SQL engine reproduces the kept set bit for bit.
+    *
+    * `clusterCap` bounds the within-cluster pair join: k-means clusters
+    * are NOT balanced, and one hot cluster of c members would otherwise
+    * enumerate c²/2 candidate pairs (the skew scale-killer at corpus
+    * scale). Members are ranked by centroid cosine inside their cluster
+    * and banded `clusterCap` at a time; pairs form only within a band,
+    * so a cluster contributes ≤ ⌈c/cap⌉·cap²/2 = O(c·cap) candidates.
+    * Near-duplicates have near-equal centroid cosine, so they land in
+    * the same band — the same rationale as the ANN path's BUCKET_CAP
+    * (queries/Similarity.scala); band-straddling pairs are a documented
+    * miss, like the paper's own cross-cluster misses. */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double,
+      clusterCap: Int = 4096): DataFrame = {
+    require(clusterCap > 1, "clusterCap must be > 1")
     // materialize the iterative k-means chain ONCE: it is consumed four
     // times below (both sides of the pair self-join, the component node
     // list, and the final labeling join) and would otherwise re-execute
     // per consumer (a cluster deployment would use a reliable
     // checkpoint dir or a cached table)
     val assigned = kmeansTrain(vecs, k, iters).localCheckpoint(true)
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val pairs = semDedupCandidates(assigned, clusterCap)
       .filter(cosineQ(dotLong(col("a.qv"), col("b.qv")),
         col("a.nrm"), col("b.nrm")) >= tau)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
@@ -795,6 +805,25 @@ object TrainingData {
       .select(col("vec_id"), col("cid"), col("cos"),
         col("cluster").as("component"))
       .withColumn("kept", (row_number().over(wk) === 1).cast("int"))
+  }
+
+  /** The capped within-cluster candidate pair join of [[semDedup]],
+    * exposed for the candidate-bound property test: self-join of
+    * `assigned` (kmeansTrain output) restricted to equal (cid, band),
+    * band = centroid-cosine rank DIV `clusterCap`. Aliases the two
+    * sides as `a`/`b`. */
+  private[graft] def semDedupCandidates(assigned: DataFrame,
+      clusterCap: Int): DataFrame = {
+    val wb = Window.partitionBy(col("cid"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    val banded = assigned
+      .withColumn("__rn", row_number().over(wb))
+      .withColumn("band", expr(s"CAST((__rn - 1) DIV $clusterCap AS BIGINT)"))
+      .drop("__rn")
+    banded.as("a").join(banded.as("b"),
+      col("a.cid") === col("b.cid") &&
+        col("a.band") === col("b.band") &&
+        col("a.vec_id") < col("b.vec_id"))
   }
 
   /** Component-wise integer-sum centroids of `assigned` (grouped by
@@ -1016,6 +1045,9 @@ object TrainingData {
   def shuffleToShards(df: DataFrame, nShards: Int, seed: Int = 0,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    for (c <- Seq("__key", "shard", "pos"))
+      require(!df.columns.contains(c),
+        s"shuffleToShards writes a `$c` column; the input already has one")
     val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
     val shard = conv(substring(key, 1, 8), 16, 10).cast("long") % nShards
     val w = Window.partitionBy(col("shard"))
@@ -1110,7 +1142,11 @@ object TrainingData {
     val schemeHost = lower(regexp_extract(noFrag, "^[^/]*//[^/?]*", 0))
     val rest = noFrag.substr(length(schemeHost) + 1, lit(1 << 24))
     val u0 = concat(replace(schemeHost, lit("://www."), lit("://")), rest)
-    val u1 = regexp_replace(u0, "\\?utm_[^&]*&", "?")
+    // The leading run must collapse in ONE match: with a single-param
+    // pattern the replace consumes "?utm_a=x&" and resumes PAST it, so a
+    // second adjacent utm param is no longer preceded by '?' or '&' and
+    // survives every rule. "?utm_a=x&utm_b=y&id=1" → "?id=1".
+    val u1 = regexp_replace(u0, "\\?(?:utm_[^&]*&)+", "?")
     val u2 = regexp_replace(u1, "&utm_[^&]*", "")
     val u3 = regexp_replace(u2, "\\?utm_[^&]*$", "")
     regexp_replace(u3, "/$", "")
@@ -1122,13 +1158,17 @@ object TrainingData {
     * One shuffle on the normalized URL; members as a sorted csv so the
     * output is order-stable. */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    for (c <- Seq("norm_url", "n_docs", "keeper", "members"))
+      require(!Seq(idCol, urlCol).contains(c),
+        s"urlDedup writes a `$c` column; rename the `$c` input column")
     docs.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
       .groupBy(col("norm_url"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(idCol)).as("keeper"),
         array_join(sort_array(collect_list(col(idCol))), ",")
           .as("members"))
+  }
 
   /** Intra-document repeated-line removal — the within-doc twin of
     * [[removeBoilerplateLines]] (C4 drops every duplicate line *inside*
@@ -1176,9 +1216,13 @@ object TrainingData {
 
   /** Markup tag pattern — same regex-subset discipline as the PII
     * patterns (no lookaround, no backreferences) so java.util.regex and
-    * RE2 agree byte-for-byte. `<[^>]*>` is the classic tag stripper used
-    * by WET-style extraction: script/style CONTENT is out of scope here
-    * (a real extractor drops those blocks upstream). */
+    * RE2 agree byte-for-byte. `<[^<>]*>` deliberately excludes '<'
+    * INSIDE the tag (the classic `<[^>]*>` does not): on text with an
+    * unclosed angle bracket — "a < b but <em>x</em>" — the classic
+    * pattern swallows everything from the stray '<' to the first '>',
+    * eating real prose; excluding '<' makes the match restart at the
+    * genuine tag. Script/style CONTENT is out of scope here (a real
+    * extractor drops those blocks upstream). */
   val MarkupTagRe = "<[^<>]*>"
 
   /** The fixed entity set decoded after tag removal, in application
@@ -1200,6 +1244,8 @@ object TrainingData {
     * Pure per-row projection over codegen'd built-ins: zero shuffles,
     * fuses into the preceding scan at any scale. */
   def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("n_tags"),
+      "stripMarkup writes an `n_tags` column; the input already has one")
     val t = col(textCol)
     val untagged = regexp_replace(t, MarkupTagRe, " ")
     val decoded = MarkupEntities.foldLeft(untagged) {

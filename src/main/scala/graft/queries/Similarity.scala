@@ -512,18 +512,25 @@ object Similarity extends QueryModule {
   // the oracle replays training, pairing, the transitive closure
   // (recursive CTE), and the keep rule exactly. --------------------------
   private val SEMDEDUP_TAU = 0.4
+  // cap 32 < the ~62-member clusters here, so the centroid-cosine
+  // banding (the skew defense) is ACTIVE and oracle-gated every round
+  private val SEMDEDUP_CAP = 32
   private val q76 = Q("q76_semdedup",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
       graft.pipeline.TrainingData
-        .semDedup(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
+        .semDedup(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU, SEMDEDUP_CAP)
     },
     Some {
       val f = KMEANS_ITERS
       s"""WITH RECURSIVE ${kmeansCtes(KMEANS_K, KMEANS_ITERS)},
+      bnd AS (SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY cid
+          ORDER BY cos ASC, vec_id) - 1) // $SEMDEDUP_CAP AS BIGINT)
+          AS band FROM a$f),
       prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM a$f a JOIN a$f b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        FROM bnd a JOIN bnd b ON a.cid = b.cid AND a.band = b.band
+          AND a.vec_id < b.vec_id
         WHERE ${cosSql("a.qv", "b.qv", "a.nrm", "b.nrm")}
           >= $SEMDEDUP_TAU),
       edges AS (SELECT va AS src, vb AS dst FROM prs

@@ -827,7 +827,8 @@ object TextDedup extends QueryModule {
       FROM documents),
       s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
       l AS (SELECT doc_id, i AS pos, ls[CAST(i + 1 AS INTEGER)] AS line
-        FROM s, (SELECT unnest(range(0, 64)) AS i) WHERE i < len(ls)),
+        FROM s, (SELECT unnest(range(0,
+          (SELECT MAX(len(ls)) FROM s))) AS i) WHERE i < len(ls)),
       com AS (SELECT line FROM (SELECT line,
           COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line)
         WHERE df > 2),
@@ -991,7 +992,7 @@ object TextDedup extends QueryModule {
                   || substr(regexp_replace(url, '#.*', ''),
                     length(regexp_extract(regexp_replace(url, '#.*', ''),
                       '^[^/]*//[^/?]*')) + 1),
-                '\?utm_[^&]*&', '?'),
+                '\?(?:utm_[^&]*&)+', '?'),
               '&utm_[^&]*', ''),
             '\?utm_[^&]*$', ''),
           '/$', '') AS norm_url
@@ -1028,7 +1029,8 @@ object TextDedup extends QueryModule {
       FROM documents),
       s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
       l AS (SELECT doc_id, i AS pos, ls[CAST(i + 1 AS INTEGER)] AS line
-        FROM s, (SELECT unnest(range(0, 64)) AS i) WHERE i < len(ls)),
+        FROM s, (SELECT unnest(range(0,
+          (SELECT MAX(len(ls)) FROM s))) AS i) WHERE i < len(ls)),
       f AS (SELECT doc_id, line, MIN(pos) AS pos FROM l
         GROUP BY doc_id, line),
       r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,

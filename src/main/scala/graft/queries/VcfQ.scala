@@ -52,11 +52,41 @@ object VcfQ extends QueryModule {
           || COALESCE(CAST(geno[s+1][2] AS VARCHAR), '.')), ';') AS gts
       FROM variants"""))
 
+  // DuckDB reads neither GDS nor BCF, but the CEU fixture has an exact VCF
+  // twin DuckDB CAN read as headerless gzipped TSV (15 `##` lines + the
+  // `#CHROM` line → skip 16; 9 fixed columns + 90 samples). The oracle
+  // recomputes the aggregates straight from the GT strings — an
+  // implementation-independent replay of the container decode.
+  private val CeuVcf = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+  private val ceuSampleCols =
+    (9 until 99).map(i => f"column$i%02d").mkString("[", ", ", "]")
+  private def ceuOracle(withMissing: Boolean): String =
+    s"""WITH raw AS (
+      SELECT * FROM read_csv('$CeuVcf',
+        sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+    v AS (
+      SELECT column00 AS chrom,
+        flatten(list_transform($ceuSampleCols,
+          s -> string_split(replace(string_split(s, ':')[1], '|', '/'),
+            '/'))) AS toks
+      FROM raw)
+    SELECT chrom,
+      CAST(COUNT(*) AS BIGINT) AS n_variants,
+      CAST(SUM(len(list_filter(toks, t -> t = '0'))) AS BIGINT)
+        AS sum_ref_count,
+      CAST(SUM(len(list_filter(toks, t -> t != '.'))) AS BIGINT)
+        AS sum_called""" +
+    (if (withMissing)
+      """,
+      CAST(SUM(len(list_filter(toks, t -> t = '.'))) AS BIGINT)
+        AS sum_missing"""
+     else "") + "\n    FROM v GROUP BY chrom"
+
   // seqOpen on a native CoreArray .gds (the reference's own storage): full
   // scan of the real CEU_Exon fixture through the DSv2 gds source into the
-  // fused AF/AC/missing kernel. No DuckDB oracle (DuckDB cannot read GDS) —
-  // rows-only here; the hash-grade check is GdsSpec's row-for-row equality
-  // against parsing CEU_Exon.vcf.gz.
+  // fused AF/AC/missing kernel. Hash-grade oracle: DuckDB replays the same
+  // aggregate from the fixture's VCF twin (GdsSpec holds the row-for-row
+  // container==VCF equality underneath).
   private val q49 = Q("q49_gds_import",
     (s, _) => {
       val df = graft.sources.gds.Gds.read(
@@ -73,13 +103,12 @@ object VcfQ extends QueryModule {
           sum(col("called")).as("sum_called"),
           sum(col("total") - col("called")).as("sum_missing"))
     },
-    None)
+    Some(ceuOracle(withMissing = true)))
 
   // seqBCF2GDS analog end-to-end: the CEU fixture converted to BCF2.2
   // (our writer) and read back through the binary record decoder into
-  // the allele-frequency kernel. Rows-only here (DuckDB reads neither
-  // BCF nor GDS); BcfSpec holds the hash-grade row-for-row equality
-  // against the direct VCF parse.
+  // the allele-frequency kernel. Hash-grade oracle: same VCF-twin replay
+  // as q49 (BcfSpec holds the row-for-row equality underneath).
   private val q50 = Q("q50_bcf_import",
     (s, _) => {
       val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
@@ -98,7 +127,7 @@ object VcfQ extends QueryModule {
           sum(col("ac")).as("sum_ref_count"),
           sum(col("called")).as("sum_called"))
     },
-    None)
+    Some(ceuOracle(withMissing = false)))
 
   // GDS WRITE path with a hash-grade oracle: SynthGeno is exported once
   // per sf-dir as a native CoreArray container (GdsWrite — incl. dBit2
@@ -225,10 +254,14 @@ object VcfQ extends QueryModule {
           AS miss_calls
       FROM variants"""))
 
-  // real data at near-biobank width: 1KG chr22 (1092 samples × ~80k
+  // real data at near-biobank width: 1KG chr22 (1092 samples × ~20k
   // variants) through the native gds source's packed lane — ranged dBit2
-  // decode straight into the per-byte GenoStats kernel. Rows-only
-  // (DuckDB cannot read GDS); GdsSpec holds the AF sanity checks.
+  // decode straight into the per-byte GenoStats kernel. Hash-grade
+  // oracle: scripts/gds_read.py (an independent pure-python CoreArray
+  // decoder sharing no code with the Scala source) dumps the fixture's
+  // per-variant REF-dosage stats to scripts/oracle/*.parquet (committed;
+  // regenerate with `python3 scripts/gds_read.py dump-stats <gds> <out>`)
+  // and DuckDB aggregates that dump.
   private val q60 = Q("q60_1kg_packed_af",
     (s, _) => {
       val df = s.read.format("gds").option("packed", "true")
@@ -241,7 +274,11 @@ object VcfQ extends QueryModule {
           sum(col("ac_ref")).as("sum_ref"),
           sum(col("called")).as("sum_called"))
     },
-    None)
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+      CAST(SUM(ac_ref) AS BIGINT) AS sum_ref,
+      CAST(SUM(called) AS BIGINT) AS sum_called
+      FROM read_parquet(
+        '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet')"""))
 
   override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57, q58, q60)
 }

@@ -435,7 +435,12 @@ class TextSpec extends AnyFunSuite {
       (3L, "https://example.com/Path/One?utm_source=tw&id=9"),
       (4L, "https://example.com/Path/One?id=9&utm_campaign=x"),
       (5L, "https://example.com/Path/One/"),
-      (6L, "https://example.com/CASE/sensitive/path")
+      (6L, "https://example.com/CASE/sensitive/path"),
+      // consecutive LEADING utm params — the most common real tracking
+      // pattern; the run must collapse in one match or the second one
+      // (no longer preceded by ? or &) survives every rule
+      (7L, "https://example.com/Path/One?utm_source=x&utm_medium=y&id=9"),
+      (8L, "https://example.com/Path/One?utm_source=x&utm_medium=y")
     ).toDF("doc_id", "url")
     val r = d.select(col("doc_id"),
         graft.pipeline.TrainingData.normalizeUrl(col("url")).as("u"))
@@ -447,6 +452,8 @@ class TextSpec extends AnyFunSuite {
     assert(r(4) == "https://example.com/Path/One")
     // path case is preserved (RFC 3986: only scheme+host fold)
     assert(r(5) == "https://example.com/CASE/sensitive/path")
+    assert(r(6) == "https://example.com/Path/One?id=9")
+    assert(r(7) == "https://example.com/Path/One")
   }
 
   test("intra-doc line dedup keeps first occurrence, preserves order") {
