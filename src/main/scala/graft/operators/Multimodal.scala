@@ -9,14 +9,21 @@ import org.apache.spark.sql.functions._
   * Scala analog of a vectorized (Arrow-batched) UDF, and the reference's
   * block apply (`seqBlockApply`, /root/reference/R/Methods.R:690-769).
   *
-  * The actual codec is STUBBED with a deterministic fake (this container
-  * has no image/audio libraries): every derived value is a pure function of
-  * the payload bytes, so tests — and the DuckDB oracle in
-  * [[graft.queries.MultimodalQ]] — can verify the full pipeline shape
-  * (schema, batching, partitioning) with exact expected values. Swapping
-  * `decodeStub` for a real codec changes no plumbing.
+  * IMAGES decode for real: [[decode]] sniffs the payload magic and runs
+  * PNG/JPEG/GIF/BMP through `javax.imageio` (JDK-only — no external
+  * codec libraries exist in this container) for true width/height and
+  * mean-luminance brightness. Audio/video — whose codecs are NOT in the
+  * JDK — keep the deterministic stub: every derived value is a pure
+  * function of the payload bytes, so tests and the DuckDB oracles in
+  * [[graft.queries.MultimodalQ]] verify the full pipeline shape with
+  * exact expected values. Swapping the stub for a real codec changes no
+  * plumbing.
   */
 object Multimodal {
+
+  // ImageIO's default scratch cache writes temp FILES per decode — pure
+  // overhead for in-memory byte-array payloads on an executor hot path.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** One media row: payload + envelope metadata. */
   final case class MediaRow(doc_id: Long, media_type: String,
@@ -41,6 +48,88 @@ object Multimodal {
       brightness = if (n > 0) s.toDouble / n else 0.0)
   }
 
+  /** True image decode via `javax.imageio`: (width, height, brightness)
+    * where brightness = mean over pixels of (R+G+B)/3 on the 0–255 scale
+    * (one exact integer sum, one IEEE division — for a solid-gray image
+    * the result is the fill value exactly, which is what lets a SQL
+    * oracle replay it). None when the payload is not a decodable image —
+    * the magic sniff keeps arbitrary non-image bytes away from the
+    * ImageIO reader plugins entirely. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (payload == null || payload.length < 12) return None
+    def b(i: Int): Int = payload(i) & 0xff
+    val isPng = b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val isJpg = b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    val isBmp = b(0) == 'B' && b(1) == 'M'
+    if (!(isPng || isJpg || isGif || isBmp)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var s = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      Some((w, h, s.toDouble / (3.0 * w * h)))
+    }
+  }
+
+  /** The per-row codec: real ImageIO decode for image payloads (a decoded
+    * still contributes one frame), deterministic stub for everything else
+    * (no audio/video codecs exist in the JDK). */
+  def decode(r: MediaRow): MediaFeature =
+    if (r.media_type == "image") {
+      decodeImage(r.payload) match {
+        case Some((w, h, bright)) =>
+          MediaFeature(r.doc_id, r.media_type, r.payload.length,
+            width = w, height = h, n_frames = 1, brightness = bright)
+        case None => decodeStub(r)
+      }
+    } else decodeStub(r)
+
+  /** Deterministic solid-gray PNG: the smallest payload whose decoded
+    * (width, height, brightness) are knowable in advance — the fixture
+    * generator for the real-codec path. */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-image table: one synthetic PNG per document, dimensions and
+    * fill derived from `doc_id` so the decoded values replay in SQL
+    * without touching the (encoder-dependent) payload bytes. Narrow
+    * per-partition generation — the encode never shuffles. */
+  def syntheticImageTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "image", syntheticPng(
+          width = (id % 24 + 8).toInt,
+          height = (id * 3 % 24 + 8).toInt,
+          gray = (id * 37 % 256).toInt))
+      })
+  }
+
   /** Media table synthesized from `documents` (no binary fixtures ship with
     * the testdata): payload = utf-8 bytes of the text, media_type cycles
     * through image/audio/video. */
@@ -55,10 +144,11 @@ object Multimodal {
   }
 
   /** Partition-batched decode: one iterator pass per partition (the
-    * mapInPandas/Arrow-batch shape in Scala terms). Narrow — no shuffle. */
+    * mapInPandas/Arrow-batch shape in Scala terms). Narrow — no shuffle.
+    * Real ImageIO decode for images, stub for the rest ([[decode]]). */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Uniform frame sampling over video rows: each video explodes into

@@ -96,5 +96,28 @@ object MultimodalQ extends QueryModule {
         ((frame_slot * duration_ms) // 4 * fps) // 1000 AS frame_no
       FROM f"""))
 
-  override def queries: Seq[Q] = Seq(q41, q42, q84, q90)
+  // REAL image decode end-to-end: per-document solid-gray PNGs (dims and
+  // fill are formulas of doc_id) are encoded with ImageIO on the
+  // executors, decoded back through the real javax.imageio codec path,
+  // and the decoded width/height/brightness must equal the generation
+  // formulas — DuckDB replays those directly. A decode bug (wrong
+  // dimensions, wrong pixel read, broken luminance sum) breaks the hash.
+  // PNG is lossless and the fill is solid gray, so brightness is the
+  // fill value EXACTLY (integer sum, one IEEE division). The payload
+  // bytes themselves never appear in the output (PNG encoding is
+  // encoder-dependent; the decoded values are not).
+  private val q101 = Q("q101_image_decode",
+    (s, dir) => {
+      val feats = Multimodal.decodeAll(Multimodal.syntheticImageTable(s, dir))
+      feats.toDF().select(col("doc_id"), col("width"), col("height"),
+        col("n_frames"), col("brightness"))
+    },
+    Some("""SELECT doc_id,
+        CAST(doc_id % 24 + 8 AS INT) AS width,
+        CAST((doc_id * 3) % 24 + 8 AS INT) AS height,
+        CAST(1 AS INT) AS n_frames,
+        CAST((doc_id * 37) % 256 AS DOUBLE) AS brightness
+      FROM documents"""))
+
+  override def queries: Seq[Q] = Seq(q41, q42, q84, q90, q101)
 }
