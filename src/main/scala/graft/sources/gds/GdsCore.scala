@@ -651,9 +651,16 @@ object GdsCore {
     Set("dInt8", "dUInt8", "dInt16", "dUInt16", "dInt32")
 
   /** The wide integer classes VALUE readers surface as BIGINT columns via
-    * [[longs]]/[[longsRange]] (dUInt64 codes above 2⁶³−1 reinterpret as
-    * their signed-64 bit pattern — the engine's widest column type). */
+    * [[longs]]/[[longsRange]]. dUInt64 is decoded through the same Long
+    * path but SURFACES as DECIMAL(20,0) — the full unsigned range has no
+    * primitive column type, and [[unsignedDecimal]] rebuilds the true
+    * value from the signed bit pattern losslessly. */
   val LongClasses: Set[String] = Set("dUInt32", "dInt64", "dUInt64")
+
+  /** The unsigned reading of a raw 64-bit pattern, as an exact decimal —
+    * identity for v ≥ 0, v + 2⁶⁴ for negative bit patterns. */
+  def unsignedDecimal(v: Long): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))
 
   /** Every fixed-stride float storage class [[floats]] decodes. */
   val FloatClasses: Set[String] = Set("dFloat32", "dFloat64",

@@ -86,7 +86,12 @@ object GdsSchema {
     val cls = n.child("data").flatMap(_.cls).orElse(n.cls).getOrElse("")
     val scalar: DataType = vtype match {
       case "Integer" =>
-        if (GdsCore.LongClasses(cls)) LongType else IntegerType
+        // dUInt64's full range fits no primitive: DECIMAL(20,0) is the
+        // lossless surface (values above 2⁶³−1 would otherwise
+        // reinterpret as negative BIGINTs)
+        if (cls == "dUInt64") DecimalType(20, 0)
+        else if (GdsCore.LongClasses(cls)) LongType
+        else IntegerType
       case "Float" => FloatType
       case _ => StringType
     }
@@ -404,6 +409,13 @@ object GdsSchema {
             else (intsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
           i => if (a(i - base) == Int.MinValue) null
                else java.lang.Integer.valueOf(a(i - base))
+        case "dUInt64" =>
+          // raw bits decode through the Long path; the unsigned value is
+          // rebuilt exactly as DECIMAL(20,0) — no reserved NA code
+          val (a, base) = if (whole) (longs(f, n), 0)
+            else (longsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
+          i => org.apache.spark.sql.types.Decimal(
+            GdsCore.unsignedDecimal(a(i - base)), 20, 0)
         case c if GdsCore.LongClasses(c) =>
           val (a, base) = if (whole) (longs(f, n), 0)
             else (longsRange(f, n, e0, math.max(e1 - e0, 0)), e0)
@@ -916,6 +928,10 @@ object Gds {
                 val a = GdsCore.ints(f, n)
                 Some((n.name, StructField(n.name, IntegerType),
                   (i: Int) => a(i): Any))
+              case "dUInt64" =>
+                val a = GdsCore.longs(f, n)
+                Some((n.name, StructField(n.name, DecimalType(20, 0)),
+                  (i: Int) => GdsCore.unsignedDecimal(a(i)): Any))
               case c if GdsCore.LongClasses(c) =>
                 val a = GdsCore.longs(f, n)
                 Some((n.name, StructField(n.name, LongType),

@@ -459,9 +459,12 @@ print('OK', len(names))
       .str("Type", "Integer")
     val u32 = c.node("dUInt32", Seq(3),
       GdsWrite.intPayloadW(Seq(7L, 4000000000L, 0xffffffffL), 4), intAttrs)
-    val sid = c.node("dStr8", Seq(2), GdsWrite.strPayload(Seq("S1", "S2")))
-    val cohort = c.node("dUInt64", Seq(2),
-      GdsWrite.intPayloadW(Seq(5000000000L, Long.MaxValue), 8))
+    val sid = c.node("dStr8", Seq(3),
+      GdsWrite.strPayload(Seq("S1", "S2", "S3")))
+    // raw bit pattern -1L = 2^64-1: the value a signed surface would
+    // corrupt to -1; DECIMAL(20,0) must rebuild it exactly
+    val cohort = c.node("dUInt64", Seq(3),
+      GdsWrite.intPayloadW(Seq(5000000000L, Long.MaxValue, -1L), 8))
     val annIdx = c.folder(Seq((u32, "U32", 0)))
     val ann = c.folder(Seq((annIdx, "info", 2)))
     val sann = c.folder(Seq((cohort, "cohort", 0)))
@@ -475,9 +478,45 @@ print('OK', len(names))
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 7L), (2L, 4000000000L), (3L, 0xffffffffL)))
     val samples = Gds.samples(spark, path).orderBy("sample_ordinal")
-    assert(samples.schema("cohort").dataType == LongType)
-    assert(samples.collect().map(_.getLong(2)).toSeq ==
-      Seq(5000000000L, Long.MaxValue))
+    assert(samples.schema("cohort").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(samples.collect().map(_.getDecimal(2).toBigInteger.toString)
+      .toSeq == Seq("5000000000", Long.MaxValue.toString,
+        "18446744073709551615"))
+  }
+
+  test("dUInt64 INFO values above 2^63-1 surface exactly as DECIMAL(20,0)") {
+    import graft.sources.gds.GdsCore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_u64info").toString
+    val path = s"$dir/u64.gds"
+    // raw signed patterns whose unsigned readings cross every boundary:
+    // 0, 1, 2^63-1, 2^63 (MinValue), 2^64-1 (-1L)
+    val raw = Seq(0L, 1L, Long.MaxValue, Long.MinValue, -1L)
+    val expected = Seq("0", "1", "9223372036854775807",
+      "9223372036854775808", "18446744073709551615")
+    val c = new GdsWrite.Container()
+    val rootId = c.allocId()
+    val vid = c.node("dInt32", Seq(raw.length),
+      GdsWrite.intPayload(raw.indices.map(_ + 1)))
+    val intAttrs = new GdsWrite.Attrs().str("Number", "1")
+      .str("Type", "Integer")
+    val u64 = c.node("dUInt64", Seq(raw.length),
+      GdsWrite.intPayloadW(raw, 8), intAttrs)
+    val sid = c.node("dStr8", Seq(1), GdsWrite.strPayload(Seq("S1")))
+    val annIdx = c.folder(Seq((u64, "U64", 0)))
+    val ann = c.folder(Seq((annIdx, "info", 2)))
+    c.folderAt(rootId, Seq((vid, "variant.id", 0),
+      (sid, "sample.id", 0), (ann, "annotation", 2)))
+    c.save(path, rootId)
+    // the helper itself
+    assert(raw.map(GdsCore.unsignedDecimal(_).toString) == expected)
+    val back = Gds.read(spark, path).select("variant_id", "info_U64")
+    assert(back.schema("info_U64").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(back.orderBy("variant_id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger.toString))
+      .toSeq == raw.indices.map(i => ((i + 1).toLong, expected(i))))
   }
 
   test("a packed-class dosage node reads through Gds.read, not only the " +
