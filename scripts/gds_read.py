@@ -80,6 +80,7 @@ def folder_children(rec):
 
 SIGS = [  # (hexsig, handler key)
     ("0001", "cls"), ("15c4466d10", "coder"),
+    ("138616451ef401", "offset"), ("1385e7301704", "scale"),
     ("02c9466d50e051250410", "sizes"), ("05ca466d507041217401", "skip10"),
     ("0205cb466d50d0581e5542", "skip12"), ("07c4e3641f", "ndim"),
     ("02c34361", "dims"), ("09c4c37c0c", "data_id"),
@@ -116,6 +117,12 @@ def parse_record(rec):
             p = q
             continue
         key, sl = hit
+        if key == "offset":
+            r["offset"] = struct.unpack_from("<d", rec, p + 7)[0]; p += 15
+            continue
+        if key == "scale":
+            r["scale"] = struct.unpack_from("<d", rec, p + 6)[0]; p += 14
+            continue
         if key == "cls":
             n = rec[p+2]; need = (n*7+7)//8
             r["cls"] = unpack7(rec[p+3:p+3+need], n); p += 3+need

@@ -48,7 +48,9 @@ object GdsCore {
       rawSize: Long,
       attrs: Map[String, AttrValue],
       children: Seq[Node],
-      packedScale: Double) {
+      packedScale: Double,
+      packedOffset: Double,
+      unknownProps: Boolean) {
     def child(n: String): Option[Node] = children.find(_.name == n)
     def apply(n: String): Node = child(n).getOrElse(
       throw new NoSuchElementException(s"gds node $path/$n"))
@@ -199,7 +201,8 @@ object GdsCore {
       val p = if (parent.isEmpty) name else s"$parent/$name"
       Node(name, p, rec.cls, rec.coder, rec.dims, rec.dataId, rec.raw,
         parseAttrs(rec.attrs),
-        rec.children.map(c => parseNode(c._1, c._2, p)), rec.packedScale)
+        rec.children.map(c => parseNode(c._1, c._2, p)), rec.packedScale,
+        rec.packedOffset, rec.unknownProps)
     }
 
     override def close(): Unit = raf.close()
@@ -261,7 +264,8 @@ object GdsCore {
 
   private[gds] final case class Rec(cls: Option[String], coder: Option[String],
       dims: Seq[Int], dataId: Int, raw: Long, attrs: Array[Byte],
-      children: Seq[(Int, String)], packedScale: Double)
+      children: Seq[(Int, String)], packedScale: Double,
+      packedOffset: Double, unknownProps: Boolean)
 
   private def hx(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -279,9 +283,16 @@ object GdsCore {
   private val SigNChild = hx("08c643754ef601")
   private val SigChildren = hx("01c7437517e57d")
   private val SigScale = hx("1385e73017")
+  // the packed-real OFFSET property, recovered from the Imputed_dosages
+  // fixture: same 0x13 tag family as SCALE, second byte 0x80|nameLen
+  // (0x85="SCALE", 0x86="OFFSET"), hash bytes, then an f64le payload —
+  // the fixture stores exactly 0.0, the reference's always-written
+  // default ("packedreal16:offset=0,scale=1e-4", R/ConvVCF2GDS.R:580)
+  private val SigOffset = hx("138616451ef401")
   // resync anchors (>= 5 bytes, collision-safe)
   private val Anchors = Seq(SigCoder, SigSizes, SigSkipA, SigSkipB, SigNdim,
-    SigDataId, SigNAttr, SigAttrs, SigNChild, SigChildren, SigScale)
+    SigDataId, SigNAttr, SigAttrs, SigNChild, SigChildren, SigScale,
+    SigOffset)
 
   private def matches(b: Array[Byte], p: Int, sig: Array[Byte]): Boolean = {
     if (p + sig.length > b.length) return false
@@ -302,6 +313,8 @@ object GdsCore {
     var attrs = Array.empty[Byte]
     var children: Seq[(Int, String)] = Nil
     var scale = Double.NaN
+    var offset = Double.NaN
+    var unknown = false
     var p = 14 // [u48 len][u48 len2][u16 nProps]
     var done = false
     while (!done && p < rec.length) {
@@ -338,17 +351,26 @@ object GdsCore {
         p += 13 + math.max(n - 8, 0) // resync scan recovers the tail drift
       } else if (matches(rec, p, SigScale)) {
         scale = f64le(rec, p + 6); p += 14
+      } else if (matches(rec, p, SigOffset)) {
+        offset = f64le(rec, p + 7); p += 15
       } else {
-        // unknown/offset bytes: resync on the next anchor token
+        // unknown/offset bytes: resync on the next anchor token. A
+        // MID-RECORD resync (an anchor found past the gap) means the
+        // record carries a property this reader has no token for —
+        // remembered on the node so decoders whose semantics such a
+        // property could change (packed-real: a stored nonzero offset)
+        // can refuse instead of decoding shifted. Trailing drift with no
+        // later anchor is the known value-length quirk, not a property.
         var q = p + 1
         var hit = false
         while (!hit && q < rec.length && q < p + 96) {
           if (Anchors.exists(matches(rec, q, _))) hit = true else q += 1
         }
-        if (hit) p = q else done = true
+        if (hit) { unknown = true; p = q } else done = true
       }
     }
-    Rec(cls, coder, dims, dataId, raw, attrs, children, scale)
+    Rec(cls, coder, dims, dataId, raw, attrs, children, scale, offset,
+      unknown)
   }
 
   private val SigEntry = hx("03000902f500")
@@ -673,8 +695,9 @@ object GdsCore {
     * failing the whole table. */
   def floatsDecodable(n: Node): Boolean = n.cls.exists {
     case c if !FloatClasses(c) => false
-    case "dFloat32" | "dFloat64" | "dPackedReal8U" | "dPackedReal16"
-        | "dPackedReal16U" => true
+    case "dFloat32" | "dFloat64" => true
+    case _ if n.unknownProps => false // unparsed property: maybe an offset
+    case "dPackedReal8U" | "dPackedReal16" | "dPackedReal16U" => true
     case _ => !n.packedScale.isNaN
   }
 
@@ -726,8 +749,19 @@ object GdsCore {
     * present. Defaults are only assumed where verified — dPackedReal8U's
     * 1/127 (the Imputed_dosages fixture) and packedreal16's 0.0001 (the
     * reference's documented dosage storage, R/ConvVCF2GDS.R:580); other
-    * packed classes REQUIRE the stored attribute rather than guess. */
-  private def packedScaleOf(n: Node, cls: String): Double =
+    * packed classes REQUIRE the stored attribute rather than guess.
+    *
+    * A record that carried a property this reader has no token for
+    * REFUSES packed decode: an unparsed property could change the
+    * value mapping the way offset/scale do, and decoding past it risks
+    * silently wrong values. All known writers parse cleanly (the offset
+    * token itself was recovered from exactly such a gap in the
+    * Imputed_dosages fixture), so this only fires on foreign nodes. */
+  private def packedScaleOf(n: Node, cls: String): Double = {
+    if (n.unknownProps) throw new UnsupportedOperationException(
+      s"gds $cls at ${n.path}: the node record carries a property this " +
+        "reader does not parse (an offset/scale-like property would " +
+        "change the decode) — refusing to decode rather than guess")
     if (!n.packedScale.isNaN) n.packedScale
     else cls match {
       case "dPackedReal8U" => 1.0 / 127
@@ -735,6 +769,13 @@ object GdsCore {
       case c => throw new UnsupportedOperationException(
         s"gds $c without a stored scale attribute at ${n.path}")
     }
+  }
+
+  /** Effective packed-real offset: the stored attribute when present,
+    * else 0 — the reference's always-written default
+    * (R/ConvVCF2GDS.R:577-583). Decoded value = code·scale + offset. */
+  private def packedOffsetOf(n: Node): Double =
+    if (n.packedOffset.isNaN) 0.0 else n.packedOffset
 
   /** Decode `cnt` floats of class `cls` from b(0). Packed classes store
     * value/scale as little-endian integer codes; the missing sentinel is
@@ -747,10 +788,11 @@ object GdsCore {
       (b(3 * i) & 0xff) | ((b(3 * i + 1) & 0xff) << 8) |
         ((b(3 * i + 2) & 0xff) << 16)
     lazy val scale = packedScaleOf(n, cls)
+    lazy val offset = packedOffsetOf(n)
     def packed(code: Int => Long, missing: Long): Array[Float] =
       Array.tabulate(cnt) { i =>
         val v = code(i)
-        if (v == missing) Float.NaN else (v * scale).toFloat
+        if (v == missing) Float.NaN else (v * scale + offset).toFloat
       }
     cls match {
       case "dFloat32" =>

@@ -112,22 +112,30 @@ object GdsWrite {
   }
 
   private val TokCoder = hx("15c4466d10")
-  // scale token of the packed-real classes: sig + 0x04 + f64le (layout
-  // recovered from the Imputed_dosages fixture's dPackedReal8U node)
+  // scale/offset tokens of the packed-real classes: sig + f64le (layout
+  // recovered from the Imputed_dosages fixture's dPackedReal8U node,
+  // which stores OFFSET=0.0 immediately before SCALE=1/127; the 0x13
+  // tag's second byte is 0x80|nameLen — 0x85 "SCALE", 0x86 "OFFSET")
   private val TokScale = hx("1385e7301704")
+  private val TokOffset = hx("138616451ef401")
 
   /** Data-node record: class [+ coder] + sizes + dims + data-stream id +
     * attrs — the 9-prop shape of the fixtures' LZMA_ra nodes (8 props
     * when uncompressed, coder omitted). `packedScale` adds the
-    * packed-real scale property (dPackedReal16 & co). */
+    * packed-real OFFSET+SCALE properties (dPackedReal16 & co; the
+    * reference writes both, offset normally 0). */
   def dataRecord(cls: String, rawSize: Long, cmpSize: Long, dims: Seq[Int],
       dataId: Int, attrs: Attrs, coder: Option[String],
-      packedScale: Option[Double] = None): Array[Byte] = {
+      packedScale: Option[Double] = None,
+      packedOffset: Double = 0.0): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(TokClass)
     o.write(cls.length)
     o.write(pack7(cls))
     packedScale.foreach { s =>
+      // fixture order: OFFSET first, then SCALE
+      o.write(TokOffset)
+      u64(o, java.lang.Double.doubleToLongBits(packedOffset))
       o.write(TokScale)
       u64(o, java.lang.Double.doubleToLongBits(s))
     }
@@ -144,7 +152,7 @@ object GdsWrite {
     dims.foreach(u32(o, _))
     o.write(TokDataId); u32(o, dataId)
     val nAttrProps = attrProps(o, attrs)
-    finishRecord(6 + coder.size + packedScale.size + nAttrProps,
+    finishRecord(6 + coder.size + 2 * packedScale.size + nAttrProps,
       o.toByteArray)
   }
 
@@ -279,14 +287,15 @@ object GdsWrite {
       * random-access property the reference's variant-range reads rely
       * on); small nodes stay raw. */
     def node(cls: String, dims: Seq[Int], payload: Array[Byte],
-        attrs: Attrs = new Attrs, packedScale: Option[Double] = None)
-        : Int = {
+        attrs: Attrs = new Attrs, packedScale: Option[Double] = None,
+        packedOffset: Double = 0.0): Int = {
       val compress = payload.length >= Container.CompressAt
       val stored = if (compress) raFrame(payload, codec) else payload
       val did = data(stored)
       val rid = allocId()
       record(rid, dataRecord(cls, payload.length, stored.length, dims, did,
-        attrs, if (compress) Some(codec.coderName) else None, packedScale))
+        attrs, if (compress) Some(codec.coderName) else None, packedScale,
+        packedOffset))
       rid
     }
     def folder(children: Seq[(Int, String, Int)],
