@@ -246,6 +246,49 @@ final case class SeqVarData(variants: DataFrame,
 
   // ---- §2.1 export --------------------------------------------------------
 
+  /** seqAsVCF (/root/reference/R/asVCF.R:5-57): the VariantAnnotation-
+    * class-shaped view — one row per selected variant with the VCF
+    * object's slots as columns: `chrom`/`start`/`end` (rowRanges; `end`
+    * = start + len(REF) − 1), a `fixed` struct (REF, ALT array, QUAL,
+    * FILTER), an `info` struct of the INFO fields, and a `geno` struct
+    * (per-sample GT strings + the FORMAT fields). `info`/`geno` select
+    * subsets like the reference's arguments (unknown names drop, as its
+    * warning path does); `chrPrefix` prepends to the chromosome like
+    * `chr.prefix`. A pure projection: no shuffle, fuses into the scan. */
+  def asVcf(chrPrefix: String = "", info: Option[Seq[String]] = None,
+      geno: Option[Seq[String]] = None): DataFrame = {
+    val cols = variants.columns.toSeq
+    val infoAll = cols.filter(_.startsWith("info_")).map(_.stripPrefix("info_"))
+    val fmtAll = cols.filter(_.startsWith("fmt_")).map(_.stripPrefix("fmt_"))
+    val infoSel = info.map(_.filter(infoAll.contains)).getOrElse(infoAll)
+    val fmtSel = geno.map(_.filter(fmtAll.contains)).getOrElse(fmtAll)
+    val parts = split(col("allele"), ",")
+    val ref = element_at(parts, 1)
+    val fixed = struct(
+      ref.as("REF"),
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))).as("ALT"),
+      (if (cols.contains("qual")) col("qual")
+       else lit(null).cast("float")).as("QUAL"),
+      (if (cols.contains("filter")) col("filter")
+       else lit(null).cast("string")).as("FILTER"))
+    val gt = split(gtStrings(col("geno"), col("phased"), ";"), ";")
+    val genoStruct =
+      struct((gt.as("GT") +: fmtSel.map(n => col("fmt_" + n).as(n))): _*)
+    val base = Seq(
+      col("variant_id"),
+      (if (cols.contains("id")) col("id")
+       else concat(lit("v"), col("variant_id"))).as("id"),
+      concat(lit(chrPrefix), col("chrom")).as("chrom"),
+      col("pos").as("start"),
+      (col("pos") + length(ref) - 1).as("end"),
+      fixed.as("fixed")) ++
+      (if (infoSel.nonEmpty)
+        Seq(struct(infoSel.map(n => col("info_" + n).as(n)): _*).as("info"))
+       else Nil) :+
+      genoStruct.as("geno")
+    variants.select(base: _*)
+  }
+
   /** seqGDS2VCF body lines (GT-only FORMAT; caller writes the header). */
   def toVcfLines(infoExpr: Column = lit(null)): DataFrame = {
     val parts = split(col("allele"), ",")

@@ -163,4 +163,39 @@ class SeqArraySpec extends AnyFunSuite {
     assert(lines.nonEmpty &&
       lines(0).getString(0).split("\t").length >= 10)
   }
+
+  test("seqAsVCF-shaped view matches the CEU fixture's first record") {
+    val ceu = SeqArray.openGds(spark,
+      "/root/reference/inst/extdata/CEU_Exon.gds")
+    val v = ceu.asVcf(chrPrefix = "chr").orderBy("variant_id")
+    val f = v.schema("fixed").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(f.fieldNames.toSeq == Seq("REF", "ALT", "QUAL", "FILTER"))
+    val r = v.limit(1).collect()(0)
+    // #CHROM 1, POS 1105366, rs111751804, REF T, ALT C, AC=4, AN=114
+    assert(r.getAs[String]("chrom") == "chr1")
+    assert(r.getAs[Number]("start").longValue == 1105366L)
+    assert(r.getAs[Number]("end").longValue == 1105366L) // len(REF)=1
+    assert(r.getAs[String]("id") == "rs111751804")
+    val fixed = r.getAs[org.apache.spark.sql.Row]("fixed")
+    assert(fixed.getAs[String]("REF") == "T")
+    assert(fixed.getSeq[String](fixed.fieldIndex("ALT")).toSeq == Seq("C"))
+    val info = r.getAs[org.apache.spark.sql.Row]("info")
+    assert(info.getAs[Number]("AC").intValue == 4)
+    assert(info.getAs[Number]("AN").intValue == 114)
+    val geno = r.getAs[org.apache.spark.sql.Row]("geno")
+    val gt = geno.getSeq[String](geno.fieldIndex("GT")).toSeq
+    assert(gt.length == 90)
+    // samples 1-2 are ./. and sample 3 is 0/0 in the VCF body
+    assert(gt(0) == "./." && gt(2) == "0/0")
+    // info/geno selections subset the structs; unknown names drop
+    val sel = ceu.asVcf(info = Some(Seq("AC", "NOPE")),
+      geno = Some(Seq("DP")))
+    val selInfo = sel.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(selInfo.fieldNames.toSeq == Seq("AC"))
+    val selGeno = sel.schema("geno").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(selGeno.fieldNames.toSeq == Seq("GT", "DP"))
+  }
 }
