@@ -666,6 +666,29 @@ object TrainingData {
     * map-reduce shapes keyed by content, no driver state. */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val st = Bridge.column(graft.functions.expressions
+      .RepetitionStatsExpr(Bridge.expression(col(textCol))))
+    docs.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        element_at(col("__st"), 1).as("n_words"),
+        element_at(col("__st"), 3).as("max_run"),
+        when(element_at(col("__st"), 2) > 0,
+          element_at(col("__st"), 4).cast("double") /
+            element_at(col("__st"), 2))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        when(element_at(col("__st"), 2) > 0,
+          element_at(col("__st"), 5).cast("double") /
+            element_at(col("__st"), 2))
+          .otherwise(lit(0.0)).as("dup5_frac"))
+  }
+
+  /** The declarative (explode/window/groupBy) twin of
+    * [[repetitionStats]] — ~6 doc-keyed shuffles vs the kernel's pure
+    * projection; kept as the differential oracle
+    * (`RepetitionStatsSpec`). */
+  def repetitionStatsDeclarative(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))

@@ -73,6 +73,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "minhash_sig" -> MinhashSig(ref(7, strArrT), 8),
     "simhash16" -> Simhash16Expr(ref(5, StringType)),
     "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
+    "repetition_stats" -> RepetitionStatsExpr(ref(5, StringType)),
     "c4_clean_lines" -> C4CleanExpr(ref(5, StringType), 3),
     "word_shingles" -> WordShinglesExpr(ref(5, StringType), Literal(3)),
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),
