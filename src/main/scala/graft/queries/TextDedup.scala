@@ -1069,8 +1069,69 @@ object TextDedup extends QueryModule {
         string_agg(id, ',' ORDER BY pos) AS ids
       FROM j GROUP BY doc_id"""))
 
+  // --- the COMPOSED cleaning pipeline, end to end in ONE Catalyst plan:
+  // markup strip → exact dedup (keep-first) → train/val split → shard
+  // shuffle. The point is composition: each stage is the same public
+  // TrainingData function its standalone query gates, chained with no
+  // materialization between stages — the plan stays two exchanges (the
+  // dedup fingerprint window + the shard key), everything else fuses
+  // into the scan. The oracle replays the whole chain, so a semantic
+  // drift in ANY stage (or in how stages compose) breaks the hash. ------
+  private val q102 = Q("q102_clean_pipeline",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val dirty = d.select(id, concat(
+        lit("<div id=\"d"), id.cast("string"), lit("\">"), col("text"),
+        lit("</div>"),
+        when(id % 4 === 0, lit(" <b>promo &amp; tail</b>"))
+          .otherwise(lit("")))
+        .as("text"))
+      val cleaned = graft.pipeline.TrainingData.stripMarkup(dirty)
+      val deduped = graft.pipeline.TrainingData.exactDedupKeepFirst(cleaned)
+      val split = graft.pipeline.TrainingData.trainValSplit(deduped)
+      val sharded = graft.pipeline.TrainingData
+        .shuffleToShards(split, nShards = 8, seed = 7)
+      sharded.select(id, col("n_tags"), col("split"), col("shard"),
+        col("pos"), substring(col("text"), 1, 40).as("head"))
+    },
+    Some(s"""WITH p AS (SELECT doc_id,
+        '<div id="d' || CAST(doc_id AS VARCHAR) || '">' || text || '</div>'
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' <b>promo &amp; tail</b>' ELSE '' END AS text
+      FROM documents),
+      st AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.MarkupTagRe}')) AS BIGINT)
+          AS n_tags,
+        trim(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(text,
+              '${graft.pipeline.TrainingData.MarkupTagRe}', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text
+      FROM p),
+      fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))),
+          ' ')) AS fp
+        FROM st),
+      keep AS (SELECT * FROM fp
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+      sp AS (SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split
+        FROM keep),
+      k AS (SELECT *, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM sp),
+      a AS (SELECT *, CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8
+          AS shard FROM k)
+      SELECT doc_id, n_tags, split, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+          AS BIGINT) AS pos,
+        substr(text, 1, 40) AS head
+      FROM a"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100)
+      q100, q102)
 }

@@ -307,4 +307,17 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.size <= 1, winLines.mkString("\n"))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q102: the composed cleaning pipeline stays at two exchanges " +
+      "over one pruned scan") {
+    val p = plan("q102_clean_pipeline")
+    // strip/split are projections that fuse into the scan; only the
+    // dedup fingerprint window and the shard window may exchange
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert("FileScan".r.findAllIn(p).size == 1)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("lang") && !read.contains("n_chars"))
+    assert(!p.contains("Join"), "the pipeline is join-free")
+  }
 }
