@@ -119,5 +119,51 @@ object MultimodalQ extends QueryModule {
         CAST((doc_id * 37) % 256 AS DOUBLE) AS brightness
       FROM documents"""))
 
-  override def queries: Seq[Q] = Seq(q41, q42, q84, q90, q101)
+  // REAL image resize end-to-end: the q101 PNGs resized to 8×8 through
+  // Graphics2D (bilinear) and re-decoded — dimensions must be the resize
+  // target and, because the fill is solid gray, the interpolated pixels
+  // keep the fill value exactly, so brightness still equals the formula.
+  private val q103 = Q("q103_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.syntheticImageTable(s, dir)
+        .map { r =>
+          val resized = Multimodal.resizeImage(r.payload, 8, 8).get
+          r.copy(payload = resized)
+        }
+        .mapPartitions(_.map(Multimodal.decode))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("brightness"))
+    },
+    Some("""SELECT doc_id,
+        CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        CAST((doc_id * 37) % 256 AS DOUBLE) AS brightness
+      FROM documents"""))
+
+  // REAL audio decode end-to-end: per-document constant-fill 16-bit PCM
+  // WAVs (frames/rate/fill are formulas of doc_id) through the JDK's
+  // javax.sound.sampled stack. The exact integer sum-of-squares is the
+  // oracle surface (n·value²); rms derives as one division + sqrt, so
+  // DuckDB replays every column bit-for-bit. A broken WAV parse, sample
+  // byte order, or RMS sum breaks the hash.
+  private val q104 = Q("q104_audio_decode",
+    (s, dir) => Multimodal.decodeAudioAll(Multimodal.syntheticWavTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("channels"), col("sum_sq"), col("rms")),
+    Some("""SELECT doc_id,
+        CAST(doc_id % 400 + 100 AS BIGINT) AS n_frames,
+        CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        CAST(1 AS INT) AS channels,
+        CAST((doc_id % 400 + 100)
+          * ((doc_id * 31) % 2048 - 1024)
+          * ((doc_id * 31) % 2048 - 1024) AS BIGINT) AS sum_sq,
+        sqrt(CAST((doc_id % 400 + 100)
+            * ((doc_id * 31) % 2048 - 1024)
+            * ((doc_id * 31) % 2048 - 1024) AS DOUBLE)
+          / CAST(doc_id % 400 + 100 AS DOUBLE)) AS rms
+      FROM documents"""))
+
+  override def queries: Seq[Q] = Seq(q41, q42, q84, q90, q101, q103, q104)
 }

@@ -50,6 +50,40 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(math.abs(bright - 200.0) < 3.0, s"got $bright")
   }
 
+  test("bilinear resize: exact target dims; solid fill survives exactly; " +
+      "gradient brightness stays in range") {
+    val png = Multimodal.syntheticPng(24, 16, 77)
+    val Some(small) = Multimodal.resizeImage(png, 8, 8)
+    val Some((w, h, bright)) = Multimodal.decodeImage(small)
+    assert((w, h) == (8, 8))
+    assert(bright == 77.0)
+    // upscale too
+    val Some(big) = Multimodal.resizeImage(png, 40, 40)
+    val Some((bw, bh, bb)) = Multimodal.decodeImage(big)
+    assert((bw, bh) == (40, 40) && bb == 77.0)
+    // non-image input refuses
+    assert(Multimodal.resizeImage("text".getBytes, 8, 8).isEmpty)
+  }
+
+  test("WAV round trip: constant-fill PCM decodes to exact frame count, " +
+      "rate, channels, sum of squares") {
+    val wav = Multimodal.syntheticWav(nFrames = 250, sampleRateHz = 8000,
+      value = 300)
+    val Some((frames, rate, ch, sumSq)) = Multimodal.decodeWav(wav)
+    assert(frames == 250L && rate == 8000 && ch == 1)
+    assert(sumSq == 250L * 300 * 300)
+    // negative fill squares positive; zero-fill sums to zero
+    val neg = Multimodal.syntheticWav(100, 12000, -1024)
+    assert(Multimodal.decodeWav(neg).get._4 == 100L * 1024 * 1024)
+    assert(Multimodal.decodeWav(
+      Multimodal.syntheticWav(100, 12000, 0)).get._4 == 0L)
+    // non-WAV bytes refuse; decode() routes audio through the real path
+    assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+    val f = Multimodal.decode(Multimodal.MediaRow(5L, "audio", wav))
+    assert(f.width == 8000 && f.height == 1 && f.n_frames == 250
+      && f.brightness == 300.0)
+  }
+
   test("non-image bytes fall back to the stub; media_type routes") {
     val text = "not an image at all, just prose bytes".getBytes("UTF-8")
     assert(Multimodal.decodeImage(text).isEmpty)
