@@ -50,10 +50,40 @@ object Vcf {
     (info.result(), fmt.result(), samples)
   }
 
-  private def castScalar(c: Column, vtype: String): Column = vtype match {
-    case "Integer" => c.cast("int")
-    case "Float"   => c.cast("float")
-    case _         => c
+  /** TRY-mode numeric cast: malformed values become null instead of the
+    * ANSI runtime error — a malformed number in one cell of a 100 TB
+    * VCF must degrade to NA (the reference's behavior), never kill the
+    * import job. */
+  private def castScalar(c: Column, vtype: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    vtype match {
+      case "Integer" => Bridge.column(
+        Cast(Bridge.expression(c), IntegerType, None, EvalMode.TRY))
+      case "Float" => Bridge.column(
+        Cast(Bridge.expression(c), FloatType, None, EvalMode.TRY))
+      case _ => c
+    }
+  }
+
+  /** The unrolled per-sample fmt parser — [[ParseFmtCells]]'s declarative
+    * twin, kept for the differential spec (`ParseFmtCellsSpec`): the
+    * kernel must reproduce these cast-built values exactly. */
+  private[graft] def fmtColUnrolled(fields: Column, fmtArr: Column,
+      spec: FieldSpec, nSamples: Int): Column = {
+    val idx = array_position(fmtArr, spec.id)
+    array((0 until nSamples).map { i =>
+      // try_element_at: a truncated trailing FORMAT field (legal VCF)
+      // must yield null, not an ANSI index error
+      val raw = when(idx > 0,
+        try_element_at(split(element_at(fields, 10 + i), ":"),
+          idx.cast("int")))
+      val nn = when(raw.isNull || raw === "" || raw === ".", lit(null))
+        .otherwise(raw)
+      if (spec.number == "1") castScalar(nn, spec.vtype)
+      else transform(split(nn, ","),
+        x => castScalar(when(x === ".", lit(null)).otherwise(x), spec.vtype))
+    }: _*)
   }
 
   /** Typed INFO column from the raw semicolon-joined string. */
@@ -80,7 +110,6 @@ object Vcf {
       chrPrefix: String = "chr"): DataFrame = {
     val f = split(col("value"), "\t")
     val fmtArr = split(element_at(f, 9), ":")
-    def sampleParts(i: Int) = split(element_at(f, 10 + i), ":")
     val gtIdx = array_position(fmtArr, "GT")
     // Fused codegen parser for the genotype cube (see ParseGtCells) — the
     // per-sample split/transform chains are interpreted and dominated the
@@ -89,16 +118,15 @@ object Vcf {
       Bridge.expression(slice(f, 10, nSamples)), Bridge.expression(gtIdx)))
     val genoCol = gp.getField("geno")
     val phasedCol = gp.getField("phased")
+    // Fused fmt_* parser (ParseFmtCells): the unrolled twin below grows
+    // the expression tree O(nSamples) per field — plan-fatal at biobank
+    // width; the kernel is one generated loop at any width.
     val fmtCols = formatSpecs.filter(_.id != "GT").map { spec =>
       val idx = array_position(fmtArr, spec.id)
-      array((0 until nSamples).map { i =>
-        val raw = when(idx > 0, element_at(sampleParts(i), idx.cast("int")))
-        val nn = when(raw.isNull || raw === "" || raw === ".", lit(null))
-          .otherwise(raw)
-        if (spec.number == "1") castScalar(nn, spec.vtype)
-        else transform(split(nn, ","),
-          x => castScalar(when(x === ".", lit(null)).otherwise(x), spec.vtype))
-      }: _*).as(s"fmt_${spec.id}")
+      Bridge.column(graft.functions.expressions.ParseFmtCells(
+        Bridge.expression(slice(f, 10, nSamples)),
+        Bridge.expression(idx.cast("int")),
+        spec.number, spec.vtype)).as(s"fmt_${spec.id}")
     }
     val infoCols = infoSpecs.map(spec =>
       infoCol(element_at(f, 8), spec).as(s"info_${spec.id}"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Vcf
+
+/** The fused fmt_* parser must reproduce the unrolled cast-built twin
+  * value-for-value — including the cast edge cases (malformed numbers,
+  * spaces, specials) — in both execution modes. */
+class ParseFmtCellsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val lines = Seq(
+    // FORMAT GT:DP:AD:GQ — ints, ragged Number=. ints, missing cells
+    "1\t100\tv1\tA\tC\t.\t.\t.\tGT:DP:AD:GQ\t0/1:12:3,9:99\t1|1:.:.,.:7",
+    // field order permuted; trailing field absent in one sample
+    "1\t101\tv2\tA\tC\t.\t.\t.\tDP:GT:AD\t7:0/0:1,2\t.:1/1",
+    // the field entirely absent from FORMAT
+    "1\t102\tv3\tA\tC\t.\t.\t.\tGT\t0/1\t1/1",
+    // cast edge cases: spaces, malformed, overflow-ish, specials
+    "1\t103\tv4\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1: 42 :1.5\t1/1:x:NaN",
+    "1\t104\tv5\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1:2147483648:Infinity\t1/1:-7:-2.5e2",
+    "1\t105\tv6\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1:1.5:+inf\t1/1:+9:1e2"
+  )
+
+  private def df = {
+    import spark.implicits._
+    lines.toDF("value")
+  }
+
+  private val specs = Seq(
+    Vcf.FieldSpec("DP", "1", "Integer"),
+    Vcf.FieldSpec("AD", ".", "Integer"),
+    Vcf.FieldSpec("GQ", "1", "Integer"),
+    Vcf.FieldSpec("AF", "1", "Float"))
+
+  test("kernel == unrolled twin on permuted/absent/malformed cells") {
+    import org.apache.spark.sql.graft.Bridge
+    val f = split(col("value"), "\t")
+    val fmtArr = split(element_at(f, 9), ":")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        for (spec <- specs) {
+          val kernel = Bridge.column(graft.functions.expressions
+            .ParseFmtCells(
+              Bridge.expression(slice(f, 10, 2)),
+              Bridge.expression(
+                array_position(fmtArr, spec.id).cast("int")),
+              spec.number, spec.vtype))
+          val twin = Vcf.fmtColUnrolled(f, fmtArr, spec, 2)
+          val got = df.select(kernel.as("k"), twin.as("t")).collect()
+          got.zip(lines).foreach { case (r, line) =>
+            // stringified: NaN must compare equal to NaN
+            assert(String.valueOf(r.get(0)) == String.valueOf(r.get(1)),
+              s"$mode ${spec.id} on $line: kernel=${r.get(0)} " +
+                s"twin=${r.get(1)}")
+          }
+        }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("parseLines end-to-end golden values through the kernel") {
+    val parsed = Vcf.parseLines(df, Nil, Vcf.FieldSpec("GT", "1", "String")
+      +: specs, nSamples = 2, chrPrefix = "")
+    val r = parsed.orderBy("pos")
+      .select("pos", "fmt_DP", "fmt_AD", "fmt_AF").collect()
+    assert(r(0).getSeq[Integer](1).toSeq == Seq(12, null))
+    assert(r(0).getSeq[scala.collection.Seq[Integer]](2)
+      .map(Option(_).map(_.toList)).toList ==
+      Seq(Some(List[Integer](3, 9)), Some(List[Integer](null, null))))
+    assert(r(1).getSeq[Integer](1).toSeq == Seq(7, null))
+    // absent field -> all-null column
+    assert(r(2).getSeq[Integer](1).toSeq == Seq(null, null))
+    // spark cast semantics: " 42 " trims to 42, "x" and 2^31 -> null
+    assert(r(3).getSeq[Integer](1).toSeq == Seq(42, null))
+    assert(r(4).getSeq[Integer](1).toSeq == Seq(null, -7))
+    val af4 = r(4).getSeq[java.lang.Float](3).toSeq
+    assert(af4(0) == Float.PositiveInfinity && af4(1) == -250.0f)
+  }
+}
