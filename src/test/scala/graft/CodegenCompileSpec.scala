@@ -74,9 +74,8 @@ class CodegenCompileSpec extends AnyFunSuite {
     "simhash16" -> Simhash16Expr(ref(5, StringType)),
     "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
     "repetition_stats" -> RepetitionStatsExpr(ref(5, StringType)),
-    "parse_fmt_cells" -> ParseFmtCells(
-      ref(10, org.apache.spark.sql.types.ArrayType(StringType)),
-      Literal(2), "1", "Integer"),
+    "parse_fmt_cells" -> ParseFmtCells(ref(7, strArrT), Literal(2),
+      "1", "String"),
     "c4_clean_lines" -> C4CleanExpr(ref(5, StringType), 3),
     "word_shingles" -> WordShinglesExpr(ref(5, StringType), Literal(3)),
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),
