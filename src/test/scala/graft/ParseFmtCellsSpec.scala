@@ -68,6 +68,24 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     }
   }
 
+  test("biobank-width parse: 2000 samples stay one kernel call per field") {
+    import spark.implicits._
+    val n = 2000
+    val cells = (0 until n).map(i => s"0/1:${i % 97}").mkString("\t")
+    val wide = Seq(s"1\t500\tw1\tA\tC\t.\t.\t.\tGT:DP\t$cells").toDF("value")
+    val t0 = System.nanoTime()
+    val parsed = Vcf.parseLines(wide,
+      Nil, Seq(Vcf.FieldSpec("GT", "1", "String"),
+        Vcf.FieldSpec("DP", "1", "Integer")), n)
+    val dp = parsed.select("fmt_DP").collect()(0).getSeq[Integer](0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(dp.length == n)
+    assert((0 until n).forall(i => dp(i) == i % 97))
+    // the unrolled shape planned O(n) expression nodes here; the kernel
+    // must keep plan+run comfortably sub-second at this width
+    assert(secs < 30.0, s"wide parse took $secs s")
+  }
+
   test("parseLines end-to-end golden values through the kernel") {
     val parsed = Vcf.parseLines(df, Nil, Vcf.FieldSpec("GT", "1", "String")
       +: specs, nSamples = 2, chrPrefix = "")
