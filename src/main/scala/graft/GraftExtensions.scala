@@ -93,6 +93,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "winnow_fps(text, k, w) - winnowed k-gram rolling-hash fingerprints",
       3, a => WinnowFpExpr(a(0), litInt(a(1), "winnow_fps"),
         litInt(a(2), "winnow_fps")))
+    register(ext, "repetition_stats",
+      "repetition_stats(text) - [n_words, chars, max_run, top2_chars, " +
+        "dup5_chars] Gopher repetition signals",
+      1, a => RepetitionStatsExpr(a(0)))
+    def litStr(e: Expression, fn: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a literal string, got $e")
+    }
+    register(ext, "parse_fmt_cells",
+      "parse_fmt_cells(cells, idx, number, vtype) - per-sample FORMAT " +
+        "field values from VCF cells",
+      4, a => ParseFmtCells(a(0), a(1), litStr(a(2), "parse_fmt_cells"),
+        litStr(a(3), "parse_fmt_cells")))
     // variadic: sample_cells(geno, phased, sep, field1, field2, ...)
     ext.injectFunction((FunctionIdentifier("sample_cells"),
       info("sample_cells",

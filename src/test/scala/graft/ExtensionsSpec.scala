@@ -72,4 +72,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol && viaSql.nonEmpty)
     assert(viaSql == viaSql.sorted && viaSql.distinct == viaSql)
   }
+
+  test("round-5 kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  repetition_stats('a a a b') AS rep,
+        |  parse_fmt_cells(array('0/1:7', '1/1:.'), 2, '1', 'Integer')
+        |    AS dp
+        |""".stripMargin).collect()(0)
+    // top bigram "a a" occurs at starts 0,1 -> covers slots 0..2 = 3 chars
+    assert(r.getSeq[Long](0) == Seq(4L, 4L, 3L, 3L, 0L))
+    assert(r.getSeq[Integer](1).toSeq == Seq(7, null))
+  }
 }
