@@ -104,10 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn expects a literal string, got $e")
     }
     register(ext, "parse_fmt_cells",
-      "parse_fmt_cells(cells, idx, number, vtype) - per-sample FORMAT " +
-        "field values from VCF cells",
-      4, a => ParseFmtCells(a(0), a(1), litStr(a(2), "parse_fmt_cells"),
-        litStr(a(3), "parse_fmt_cells")))
+      "parse_fmt_cells(cells, idx, number, vtype, nSamples) - per-sample " +
+        "FORMAT field values from VCF cells (padded to nSamples)",
+      5, a => ParseFmtCells(a(0), a(1), litStr(a(2), "parse_fmt_cells"),
+        litStr(a(3), "parse_fmt_cells"), litInt(a(4), "parse_fmt_cells")))
     // variadic: sample_cells(geno, phased, sep, field1, field2, ...)
     ext.injectFunction((FunctionIdentifier("sample_cells"),
       info("sample_cells",

@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the `cast`-based twin agree value-for-value
   * (`ParseFmtCellsSpec`). */
 case class ParseFmtCells(left: Expression, right: Expression,
-    number: String, vtype: String) extends BinaryExpression {
+    number: String, vtype: String, nSamples: Int)
+    extends BinaryExpression {
+
+  require(nSamples >= 0, "nSamples must be >= 0")
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val cellsOk = left.dataType match {
@@ -63,12 +66,12 @@ case class ParseFmtCells(left: Expression, right: Expression,
 
   override protected def nullSafeEval(c: Any, k: Any): Any =
     ParseFmtCells.parse(c.asInstanceOf[ArrayData],
-      k.asInstanceOf[Number].intValue(), number == "1", vcode)
+      k.asInstanceOf[Number].intValue(), number == "1", vcode, nSamples)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, k) =>
       s"""${ev.value} = graft.functions.expressions.ParseFmtCells$$.MODULE$$
-         |  .parse($c, (int) $k, ${number == "1"}, $vcode);
+         |  .parse($c, (int) $k, ${number == "1"}, $vcode, $nSamples);
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -78,37 +81,57 @@ case class ParseFmtCells(left: Expression, right: Expression,
 
 object ParseFmtCells {
 
-  /** Spark's non-ANSI string→int (UTF8String.toInt) and string→float
-    * (special-literal-aware parse) — null on malformed. */
-  private def castOne(raw: String, vcode: Int): Any = vcode match {
-    case 0 =>
-      // toIntExact = the ANSI/TRY cast's parse (rejects fractions and
-      // overflow), matching the twin's EvalMode.TRY Cast
-      try java.lang.Integer.valueOf(UTF8String.fromString(raw).toIntExact)
-      catch { case _: NumberFormatException => null }
-    case 1 =>
-      val t = raw.trim
+  /** Mirrors the twin's TRY casts: Integer = string→double→int (accepts
+    * float-formatted integers, truncates toward zero, null outside the
+    * int range), Float = special-literal-aware parse — null on
+    * malformed, never an error. */
+  private def castOne(raw: String, vcode: Int): Any = {
+    def asDouble(t: String): java.lang.Double = {
       val mapped = t.toLowerCase match {
         case "inf" | "+inf" | "infinity" | "+infinity" => "Infinity"
         case "-inf" | "-infinity" => "-Infinity"
         case "nan" => "NaN"
         case _ => t
       }
-      try java.lang.Float.valueOf(java.lang.Float.parseFloat(mapped))
+      try java.lang.Double.valueOf(java.lang.Double.parseDouble(mapped))
       catch { case _: NumberFormatException => null }
-    case _ => UTF8String.fromString(raw)
+    }
+    vcode match {
+      case 0 =>
+        val d = asDouble(raw.trim)
+        if (d == null || d.isNaN
+            || math.floor(d) > Int.MaxValue.toDouble
+            || math.ceil(d) < Int.MinValue.toDouble) null
+        else java.lang.Integer.valueOf(d.toInt)
+      case 1 =>
+        // direct parseFloat, NOT via double (double→float double-rounds
+        // some decimal strings; the TRY float cast parses directly)
+        val t = raw.trim
+        val mapped = t.toLowerCase match {
+          case "inf" | "+inf" | "infinity" | "+infinity" => "Infinity"
+          case "-inf" | "-infinity" => "-Infinity"
+          case "nan" => "NaN"
+          case _ => t
+        }
+        try java.lang.Float.valueOf(java.lang.Float.parseFloat(mapped))
+        catch { case _: NumberFormatException => null }
+      case _ => UTF8String.fromString(raw)
+    }
   }
 
   /** Static parse loop invoked from generated code. `idx` is the 1-based
-    * field position in FORMAT (≤ 0 = absent). */
-  def parse(cells: ArrayData, idx: Int, scalar: Boolean, vcode: Int)
-      : GenericArrayData = {
+    * field position in FORMAT (≤ 0 = absent). The output always has
+    * `nSamples` entries: a truncated body line (fewer sample columns
+    * than the header promises) pads with nulls, so per-sample indexing
+    * downstream never walks off a short array. */
+  def parse(cells: ArrayData, idx: Int, scalar: Boolean, vcode: Int,
+      nSamples: Int): GenericArrayData = {
     val n = cells.numElements()
-    val out = new Array[Any](n)
+    val out = new Array[Any](nSamples)
     var i = 0
-    while (i < n) {
+    while (i < nSamples) {
       var v: Any = null
-      if (idx > 0 && !cells.isNullAt(i)) {
+      if (i < n && idx > 0 && !cells.isNullAt(i)) {
         val parts = cells.getUTF8String(i).toString.split(":", -1)
         if (idx <= parts.length) {
           val raw = parts(idx - 1)

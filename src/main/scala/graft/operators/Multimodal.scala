@@ -63,9 +63,13 @@ object Multimodal {
     val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
     val isBmp = b(0) == 'B' && b(1) == 'M'
     if (!(isPng || isJpg || isGif || isBmp)) return None
+    // NonFatal, not just IOException: the JDK ImageIO plugins throw
+    // unchecked exceptions (IndexOutOfBounds/NegativeArraySize/...) on
+    // corrupt headers that pass the magic sniff — one bad payload must
+    // fall back to the stub, never kill the import task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth
@@ -154,9 +158,20 @@ object Multimodal {
   def resizeImage(payload: Array[Byte], outW: Int, outH: Int)
       : Option[Array[Byte]] = {
     require(outW > 0 && outH > 0, "resize dimensions must be positive")
-    if (decodeImage(payload).isEmpty) return None
+    // ONE decode: the magic sniff rejects non-images cheaply and the
+    // null check covers undecodable ones — a validity pre-decode would
+    // double the per-row cost and scan every pixel for nothing
+    if (payload == null || payload.length < 12) return None
+    def b(i: Int): Int = payload(i) & 0xff
+    val sniffed =
+      (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M')
+    if (!sniffed) return None
     val src =
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (src == null) return None
     val dst = new java.awt.image.BufferedImage(outW, outH,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

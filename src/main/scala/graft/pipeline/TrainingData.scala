@@ -667,8 +667,11 @@ object TrainingData {
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
+    // null text counts as empty (all-zero stats) — matching the
+    // declarative twin's left-join + coalesce shape on such rows
     val st = Bridge.column(graft.functions.expressions
-      .RepetitionStatsExpr(Bridge.expression(col(textCol))))
+      .RepetitionStatsExpr(
+        Bridge.expression(coalesce(col(textCol), lit("")))))
     docs.select(col(idCol), st.as("__st"))
       .select(col(idCol),
         element_at(col("__st"), 1).as("n_words"),
@@ -690,7 +693,8 @@ object TrainingData {
   def repetitionStatsDeclarative(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .withColumn("__chars", aggregate(
         transform(col("__toks"), w => length(w).cast("long")),

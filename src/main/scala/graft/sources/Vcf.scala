@@ -53,13 +53,18 @@ object Vcf {
   /** TRY-mode numeric cast: malformed values become null instead of the
     * ANSI runtime error — a malformed number in one cell of a 100 TB
     * VCF must degrade to NA (the reference's behavior), never kill the
-    * import job. */
+    * import job. Integer goes through DOUBLE first: real-world VCFs
+    * carry float-formatted integers in Integer-declared fields
+    * ("250.0") and both the legacy Spark cast and R's as.integer accept
+    * them by truncating toward zero — a strict integer parse would
+    * silently NA values that used to import. */
   private def castScalar(c: Column, vtype: String): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
-    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
     vtype match {
       case "Integer" => Bridge.column(
-        Cast(Bridge.expression(c), IntegerType, None, EvalMode.TRY))
+        Cast(Cast(Bridge.expression(c), DoubleType, None, EvalMode.TRY),
+          IntegerType, None, EvalMode.TRY))
       case "Float" => Bridge.column(
         Cast(Bridge.expression(c), FloatType, None, EvalMode.TRY))
       case _ => c
@@ -73,10 +78,11 @@ object Vcf {
       spec: FieldSpec, nSamples: Int): Column = {
     val idx = array_position(fmtArr, spec.id)
     array((0 until nSamples).map { i =>
-      // try_element_at: a truncated trailing FORMAT field (legal VCF)
-      // must yield null, not an ANSI index error
+      // try_element_at at BOTH levels: a truncated trailing FORMAT
+      // field (legal VCF) or a truncated body line must yield null,
+      // not an ANSI index error
       val raw = when(idx > 0,
-        try_element_at(split(element_at(fields, 10 + i), ":"),
+        try_element_at(split(try_element_at(fields, lit(10 + i)), ":"),
           idx.cast("int")))
       val nn = when(raw.isNull || raw === "" || raw === ".", lit(null))
         .otherwise(raw)
@@ -126,7 +132,7 @@ object Vcf {
       Bridge.column(graft.functions.expressions.ParseFmtCells(
         Bridge.expression(slice(f, 10, nSamples)),
         Bridge.expression(idx.cast("int")),
-        spec.number, spec.vtype)).as(s"fmt_${spec.id}")
+        spec.number, spec.vtype, nSamples)).as(s"fmt_${spec.id}")
     }
     val infoCols = infoSpecs.map(spec =>
       infoCol(element_at(f, 8), spec).as(s"info_${spec.id}"))

@@ -388,6 +388,14 @@ object GdsWrite {
         vs => intPayload(vs.asInstanceOf[Seq[Int]]), "Integer")
       case LongType => ("dInt64", // VCF has no 64-bit type; Type stays
         vs => intPayloadW(vs.asInstanceOf[Seq[Long]], 8), "Integer")
+      case _: DecimalType => ("dUInt64", // the read surface of dUInt64:
+        // write back the raw unsigned bit pattern (BigInteger.longValue
+        // wraps 2^63..2^64-1 to the negative bits the container stores)
+        vs => intPayloadW(vs.asInstanceOf[Seq[Any]].map {
+          case null => 0L
+          case d: java.math.BigDecimal => d.toBigInteger.longValue
+          case d: BigDecimal => d.toBigInt.longValue
+        }, 8), "Integer")
       case FloatType => ("dFloat32",
         vs => floatPayload(vs.asInstanceOf[Seq[Float]]), "Float")
       case StringType => ("dStr8",
@@ -418,6 +426,9 @@ object GdsWrite {
       case IntegerType => if (r.isNullAt(i)) Int.MinValue else r.getInt(i)
       case LongType => if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
       case FloatType => if (r.isNullAt(i)) Float.NaN else r.getFloat(i)
+      // dUInt64 has no reserved NA code (see the reader) — null stores 0
+      case _: DecimalType =>
+        if (r.isNullAt(i)) java.math.BigDecimal.ZERO else r.getDecimal(i)
       case _ => if (r.isNullAt(i)) "" else r.getString(i)
     })
     def emit(c: Container, name: String): Seq[(Int, String, Int)] = {

@@ -75,7 +75,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
     "repetition_stats" -> RepetitionStatsExpr(ref(5, StringType)),
     "parse_fmt_cells" -> ParseFmtCells(ref(7, strArrT), Literal(2),
-      "1", "String"),
+      "1", "String", 4),
     "c4_clean_lines" -> C4CleanExpr(ref(5, StringType), 3),
     "word_shingles" -> WordShinglesExpr(ref(5, StringType), Literal(3)),
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),

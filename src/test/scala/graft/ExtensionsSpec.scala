@@ -77,11 +77,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT
         |  repetition_stats('a a a b') AS rep,
-        |  parse_fmt_cells(array('0/1:7', '1/1:.'), 2, '1', 'Integer')
+        |  parse_fmt_cells(array('0/1:7', '1/1:.'), 2, '1', 'Integer', 3)
         |    AS dp
         |""".stripMargin).collect()(0)
     // top bigram "a a" occurs at starts 0,1 -> covers slots 0..2 = 3 chars
     assert(r.getSeq[Long](0) == Seq(4L, 4L, 3L, 3L, 0L))
-    assert(r.getSeq[Integer](1).toSeq == Seq(7, null))
+    // padded to nSamples: the third (absent) sample is null
+    assert(r.getSeq[Integer](1).toSeq == Seq(7, null, null))
   }
 }

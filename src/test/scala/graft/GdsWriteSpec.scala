@@ -517,6 +517,24 @@ print('OK', len(names))
     assert(back.orderBy("variant_id").collect()
       .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger.toString))
       .toSeq == raw.indices.map(i => ((i + 1).toLong, expected(i))))
+
+    // and the WRITE direction: the DECIMAL(20,0) read surface must go
+    // back through GdsWrite (dUInt64 raw bits), or a read->rewrite flow
+    // on such a container hard-fails
+    import org.apache.spark.sql.functions.{col, lit}
+    val dfOut = back
+      .withColumn("chrom", lit("c1"))
+      .withColumn("pos", (col("variant_id") * 10).cast("int"))
+      .withColumn("allele", lit("A,C"))
+    val path2 = s"$dir/u64_rewrite.gds"
+    GdsWrite.write(dfOut, Seq("S1"), path2)
+    val again = Gds.read(spark, path2)
+      .select("variant_id", "info_U64").orderBy("variant_id")
+    assert(again.schema("info_U64").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(again.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger.toString))
+      .toSeq == raw.indices.map(i => ((i + 1).toLong, expected(i))))
   }
 
   test("a packed-class dosage node reads through Gds.read, not only the " +

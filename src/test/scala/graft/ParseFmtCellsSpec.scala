@@ -27,7 +27,10 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     // cast edge cases: spaces, malformed, overflow-ish, specials
     "1\t103\tv4\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1: 42 :1.5\t1/1:x:NaN",
     "1\t104\tv5\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1:2147483648:Infinity\t1/1:-7:-2.5e2",
-    "1\t105\tv6\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1:1.5:+inf\t1/1:+9:1e2"
+    "1\t105\tv6\tA\tC\t.\t.\t.\tGT:DP:AF\t0/1:1.5:+inf\t1/1:+9:1e2",
+    // truncated body line: SECOND SAMPLE COLUMN MISSING entirely — the
+    // fmt arrays must still come back nSamples wide (nulls padded)
+    "1\t106\tv7\tA\tC\t.\t.\t.\tGT:DP\t0/1:5"
   )
 
   private def df = {
@@ -54,7 +57,7 @@ class ParseFmtCellsSpec extends AnyFunSuite {
               Bridge.expression(slice(f, 10, 2)),
               Bridge.expression(
                 array_position(fmtArr, spec.id).cast("int")),
-              spec.number, spec.vtype))
+              spec.number, spec.vtype, 2))
           val twin = Vcf.fmtColUnrolled(f, fmtArr, spec, 2)
           val got = df.select(kernel.as("k"), twin.as("t")).collect()
           got.zip(lines).foreach { case (r, line) =>
@@ -98,10 +101,14 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     assert(r(1).getSeq[Integer](1).toSeq == Seq(7, null))
     // absent field -> all-null column
     assert(r(2).getSeq[Integer](1).toSeq == Seq(null, null))
-    // spark cast semantics: " 42 " trims to 42, "x" and 2^31 -> null
+    // tolerant numeric semantics: " 42 " trims to 42, "x" -> null,
+    // 2^31 overflows -> null, "1.5" truncates toward zero -> 1
     assert(r(3).getSeq[Integer](1).toSeq == Seq(42, null))
     assert(r(4).getSeq[Integer](1).toSeq == Seq(null, -7))
     val af4 = r(4).getSeq[java.lang.Float](3).toSeq
     assert(af4(0) == Float.PositiveInfinity && af4(1) == -250.0f)
+    assert(r(5).getSeq[Integer](1).toSeq == Seq(1, 9))
+    // truncated line: second sample padded with null, not a short array
+    assert(r(6).getSeq[Integer](1).toSeq == Seq(5, null))
   }
 }

@@ -34,7 +34,8 @@ class RepetitionStatsSpec extends AnyFunSuite {
       (7L, "t1 t2\tt3\n t4   t5"),                // mixed whitespace
       (8L, "z z z z z z z z z z"),                // one long run
       (9L, "aa bb aa bb cc aa bb"),               // bigram tie-breaking
-      (10L, "p q r s t u v w")                    // all unique
+      (10L, "p q r s t u v w"),                   // all unique
+      (11L, null.asInstanceOf[String])            // null text == empty
     ).toDF("doc_id", "text")
     assert(collect(TrainingData.repetitionStats(docs)) ==
       collect(TrainingData.repetitionStatsDeclarative(docs)))
