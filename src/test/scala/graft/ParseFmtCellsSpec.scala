@@ -71,6 +71,50 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed cells: kernel == twin on 300 random lines") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    // cells drawn from the full grammar a FORMAT cell can take: numeric
+    // and junk tokens, '.', empties, commas, missing separators, short
+    // lines — anywhere the two parsers could disagree
+    val token: Gen[String] = Gen.frequency(
+      6 -> Gen.choose(-300, 300).map(_.toString),
+      2 -> Gen.oneOf(".", "", " 7 ", "1.5", "-2.75", "x", "3e2",
+        "2147483648", "NaN", "Infinity"),
+      1 -> Gen.oneOf("1,2", ".,5", "4,.", ",", "a,b"))
+    val cell: Gen[String] = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n + 1, token).map(_.mkString(":")))
+    val lineGen: Gen[String] = for {
+      fmtN <- Gen.choose(1, 3)
+      nCells <- Gen.choose(0, 3) // may be SHORTER than nSamples=3
+      cells <- Gen.listOfN(nCells, cell)
+    } yield (Seq("1", "9", "v", "A", "C", ".", ".", ".",
+      Seq("GT", "DP", "AD", "AF").take(fmtN + 1).mkString(":"))
+      ++ cells).mkString("\t")
+    val seed = 20260813L
+    val lines = (0 until 300).map(i =>
+      lineGen.pureApply(Gen.Parameters.default, Seed(seed + i)))
+    val df = lines.toDF("value")
+    val f = split(col("value"), "\t")
+    val fmtArr = split(element_at(f, 9), ":")
+    for (spec <- specs :+ Vcf.FieldSpec("AD", ".", "Float")) {
+      val kernel = Bridge.column(graft.functions.expressions
+        .ParseFmtCells(
+          Bridge.expression(slice(f, 10, 3)),
+          Bridge.expression(array_position(fmtArr, spec.id).cast("int")),
+          spec.number, spec.vtype, 3))
+      val twin = Vcf.fmtColUnrolled(f, fmtArr, spec, 3)
+      val got = df.select(kernel.as("k"), twin.as("t")).collect()
+      got.zip(lines).foreach { case (r, line) =>
+        assert(String.valueOf(r.get(0)) == String.valueOf(r.get(1)),
+          s"${spec.id}/${spec.number}/${spec.vtype} on <$line>: " +
+            s"kernel=${r.get(0)} twin=${r.get(1)}")
+      }
+    }
+  }
+
   test("biobank-width parse: 2000 samples stay one kernel call per field") {
     import spark.implicits._
     val n = 2000

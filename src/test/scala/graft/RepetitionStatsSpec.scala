@@ -48,6 +48,28 @@ class RepetitionStatsSpec extends AnyFunSuite {
       collect(TrainingData.repetitionStatsDeclarative(docs)))
   }
 
+  test("fuzzed texts: kernel == declarative twin on 200 random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny alphabet forces runs, repeated bigrams, duplicated 5-grams
+    // and count ties (the tie-break path); mixed whitespace separators
+    val word = Gen.oneOf("a", "b", "ab", "ba", "ccc")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \n ")
+    val doc: Gen[String] = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield (ws.headOption.toList ++
+      ss.zip(ws.drop(1)).flatMap { case (s, w) => Seq(s, w) }).mkString
+    val seed = 137L
+    val docs = (0 until 200).map(i =>
+      (i.toLong, doc.pureApply(Gen.Parameters.default, Seed(seed + i))))
+      .toDF("doc_id", "text")
+    assert(collect(TrainingData.repetitionStats(docs)) ==
+      collect(TrainingData.repetitionStatsDeclarative(docs)))
+  }
+
   test("kernel golden values") {
     import spark.implicits._
     import org.apache.spark.sql.graft.Bridge
