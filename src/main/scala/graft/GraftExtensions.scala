@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a literal integer, got $e")
+    }
     register(ext, "geno_stats",
       "geno_stats(geno, k) - [total, called, ac_k, miss_calls, miss_alleles]",
       2, a => GenoStats(a(0), a(1)))
@@ -49,8 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "gt_strings(geno, phased, sep) - joined VCF GT strings",
       3, a => GtStringsJoined(a(0), a(1), a(2)))
     register(ext, "parse_gt_cells",
-      "parse_gt_cells(cells, gtIdx) - struct(geno, phased) from VCF cells",
-      2, a => ParseGtCells(a(0), a(1)))
+      "parse_gt_cells(cells, gtIdx, nSamples) - struct(geno, phased) " +
+        "from VCF cells (padded to nSamples)",
+      3, a => ParseGtCells(a(0), a(1), litInt(a(2), "parse_gt_cells")))
     register(ext, "allele_union",
       "allele_union(a, b) - merged REF,ALT,... allele list",
       2, a => AlleleUnionExpr(a(0), a(1)))
@@ -72,13 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash16",
       "simhash16(text) - 16-bit SimHash sketch of whitespace tokens",
       1, a => Simhash16Expr(a(0)))
-    def litInt(e: Expression, fn: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-        v.toInt
-      case _ => throw new IllegalArgumentException(
-        s"$fn expects a literal integer, got $e")
-    }
     register(ext, "srp_bucket",
       "srp_bucket(qv, bits, table) - signed-random-projection LSH bucket",
       3, a => SrpBucket(a(0), litInt(a(1), "srp_bucket"),

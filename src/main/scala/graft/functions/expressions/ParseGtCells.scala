@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   * or absent GT field → null sample array + unphased; "." or "" allele →
   * null; phased iff the GT string contains '|'.
   */
-case class ParseGtCells(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class ParseGtCells(left: Expression, right: Expression,
+    nSamples: Int) extends BinaryExpression {
+
+  require(nSamples >= 0, "nSamples must be >= 0")
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val cellsOk = left.dataType match {
@@ -51,12 +53,12 @@ case class ParseGtCells(left: Expression, right: Expression)
 
   override protected def nullSafeEval(c: Any, k: Any): Any =
     ParseGtCells.parse(c.asInstanceOf[ArrayData],
-      k.asInstanceOf[Number].intValue())
+      k.asInstanceOf[Number].intValue(), nSamples)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, k) =>
       s"""${ev.value} = graft.functions.expressions.ParseGtCells$$.MODULE$$
-         |  .parse($c, (int) $k);
+         |  .parse($c, (int) $k, $nSamples);
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -67,15 +69,18 @@ case class ParseGtCells(left: Expression, right: Expression)
 object ParseGtCells {
 
   /** Static parse loop invoked from generated code. `gtIdx` is the 1-based
-    * position of GT in the FORMAT column (≤0 = absent). */
-  def parse(cells: ArrayData, gtIdx: Int): InternalRow = {
+    * position of GT in the FORMAT column (≤0 = absent). The output cube
+    * always has `nSamples` entries — a truncated body line pads with
+    * missing calls, so per-sample indexing never walks off a short
+    * array (same contract as [[ParseFmtCells]]). */
+  def parse(cells: ArrayData, gtIdx: Int, nSamples: Int): InternalRow = {
     val n = cells.numElements()
-    val geno = new Array[Any](n)
-    val phased = new Array[Any](n)
+    val geno = new Array[Any](nSamples)
+    val phased = new Array[Any](nSamples)
     var i = 0
-    while (i < n) {
+    while (i < nSamples) {
       var ph = false
-      if (cells.isNullAt(i) || gtIdx <= 0) geno(i) = null
+      if (i >= n || cells.isNullAt(i) || gtIdx <= 0) geno(i) = null
       else {
         val cell = cells.getUTF8String(i).toString
         val parts = cell.split(":", -1)
@@ -89,7 +94,10 @@ object ParseGtCells {
           while (j < toks.length) {
             al(j) =
               if (toks(j).isEmpty || toks(j) == ".") null
-              else java.lang.Long.valueOf(toks(j).toLong)
+              // malformed allele token -> missing, never an exception
+              // (one corrupt GT cell must not kill a 100 TB import)
+              else toks(j).toLongOption
+                .map(java.lang.Long.valueOf).orNull
             j += 1
           }
           geno(i) = new GenericArrayData(al)

@@ -121,7 +121,8 @@ object Vcf {
     // per-sample split/transform chains are interpreted and dominated the
     // import bench.
     val gp = Bridge.column(ParseGtCells(
-      Bridge.expression(slice(f, 10, nSamples)), Bridge.expression(gtIdx)))
+      Bridge.expression(slice(f, 10, nSamples)), Bridge.expression(gtIdx),
+      nSamples))
     val genoCol = gp.getField("geno")
     val phasedCol = gp.getField("phased")
     // Fused fmt_* parser (ParseFmtCells): the unrolled twin below grows

@@ -65,7 +65,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "sample_cells/3" -> SampleCellsJoined(
       Seq(ref(0, genoT), ref(1, phasedT), Literal("\t"),
         ref(2, strArrT), ref(2, strArrT), ref(2, strArrT))),
-    "parse_gt_cells" -> ParseGtCells(ref(2, strArrT), Literal(0)),
+    "parse_gt_cells" -> ParseGtCells(ref(2, strArrT), Literal(0), 4),
     "dot_long" -> DotProductLong(ref(3, longArrT), ref(4, longArrT)),
     "srp_bucket/t0" -> SrpBucket(ref(3, longArrT), 16, 0),
     "srp_bucket/t3" -> SrpBucket(ref(3, longArrT), 16, 3),

@@ -155,4 +155,20 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     // truncated line: second sample padded with null, not a short array
     assert(r(6).getSeq[Integer](1).toSeq == Seq(5, null))
   }
+
+  test("GT cube pads truncated lines and nulls malformed alleles") {
+    import spark.implicits._
+    val parsed = Vcf.parseLines(Seq(
+      "1\t200\tg1\tA\tC\t.\t.\t.\tGT\t0/1",          // 2nd sample missing
+      "1\t201\tg2\tA\tC\t.\t.\t.\tGT\tx/1\t0|zz"     // malformed alleles
+    ).toDF("value"), Nil, Seq(Vcf.FieldSpec("GT", "1", "String")), 2)
+    val rows = parsed.orderBy("pos").select("geno", "phased").collect()
+    val g1 = rows(0).getSeq[scala.collection.Seq[java.lang.Long]](0)
+    assert(g1.length == 2 && rows(0).getSeq[Boolean](1).length == 2)
+    assert(g1(0).toSeq == Seq(0L, 1L) && g1(1) == null)
+    val g2 = rows(1).getSeq[scala.collection.Seq[java.lang.Long]](0)
+    assert(g2(0).toSeq == Seq(null, 1L)) // "x" -> missing, not a crash
+    assert(g2(1).toSeq == Seq(0L, null))
+    assert(rows(1).getSeq[Boolean](1).toSeq == Seq(false, true))
+  }
 }
