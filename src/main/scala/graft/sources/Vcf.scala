@@ -50,6 +50,14 @@ object Vcf {
     (info.result(), fmt.result(), samples)
   }
 
+  /** Null-on-out-of-bounds element access. NOT `functions.try_element_at`:
+    * that is RuntimeReplaceable (only the optimizer can substitute it)
+    * and the DSv2 vcf reader evaluates these parse expressions directly
+    * — the raw `ElementAt(failOnError = false)` evals everywhere. */
+  private def tryElem(arr: Column, i: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.ElementAt(
+      Bridge.expression(arr), Bridge.expression(i), None, false))
+
   /** TRY-mode numeric cast: malformed values become null instead of the
     * ANSI runtime error — a malformed number in one cell of a 100 TB
     * VCF must degrade to NA (the reference's behavior), never kill the
@@ -78,11 +86,11 @@ object Vcf {
       spec: FieldSpec, nSamples: Int): Column = {
     val idx = array_position(fmtArr, spec.id)
     array((0 until nSamples).map { i =>
-      // try_element_at at BOTH levels: a truncated trailing FORMAT
-      // field (legal VCF) or a truncated body line must yield null,
-      // not an ANSI index error
+      // null-tolerant element access at BOTH levels: a truncated
+      // trailing FORMAT field (legal VCF) or a truncated body line must
+      // yield null, not an ANSI index error
       val raw = when(idx > 0,
-        try_element_at(split(try_element_at(fields, lit(10 + i)), ":"),
+        tryElem(split(tryElem(fields, lit(10 + i)), ":"),
           idx.cast("int")))
       val nn = when(raw.isNull || raw === "" || raw === ".", lit(null))
         .otherwise(raw)
@@ -115,7 +123,9 @@ object Vcf {
       nSamples: Int,
       chrPrefix: String = "chr"): DataFrame = {
     val f = split(col("value"), "\t")
-    val fmtArr = split(element_at(f, 9), ":")
+    // a line with no FORMAT column (short/garbage) yields gtIdx 0 →
+    // all-missing geno, instead of an ANSI index error
+    val fmtArr = split(coalesce(tryElem(f, lit(9)), lit("")), ":")
     val gtIdx = array_position(fmtArr, "GT")
     // Fused codegen parser for the genotype cube (see ParseGtCells) — the
     // per-sample split/transform chains are interpreted and dominated the
@@ -135,21 +145,23 @@ object Vcf {
         Bridge.expression(idx.cast("int")),
         spec.number, spec.vtype, nSamples)).as(s"fmt_${spec.id}")
     }
+    // try_element_at + TRY casts on every fixed field: a blank trailing
+    // line or malformed POS/QUAL in a 100 TB import yields a null-padded
+    // row (caller-filterable), never an ANSI index/cast job kill
+    def fld(i: Int) = tryElem(f, lit(i))
     val infoCols = infoSpecs.map(spec =>
-      infoCol(element_at(f, 8), spec).as(s"info_${spec.id}"))
-    val alts = split(element_at(f, 5), ",")
+      infoCol(fld(8), spec).as(s"info_${spec.id}"))
+    val alts = split(fld(5), ",")
     lines.select(Seq(
       regexp_replace(element_at(f, 1), s"^$chrPrefix", "").as("chrom"),
-      element_at(f, 2).cast("int").as("pos"),
-      when(element_at(f, 3) === ".", lit(null))
-        .otherwise(element_at(f, 3)).as("id"),
-      element_at(f, 4).as("ref"),
+      castScalar(fld(2), "Integer").as("pos"),
+      when(fld(3) === ".", lit(null)).otherwise(fld(3)).as("id"),
+      fld(4).as("ref"),
       alts.as("alts"),
-      concat_ws(",", element_at(f, 4), array_join(alts, ",")).as("allele"),
-      when(element_at(f, 6) === ".", lit(null))
-        .otherwise(element_at(f, 6)).cast("float").as("qual"),
-      when(element_at(f, 7) === ".", lit(null))
-        .otherwise(element_at(f, 7)).as("filter")) ++
+      concat_ws(",", fld(4), array_join(alts, ",")).as("allele"),
+      castScalar(when(fld(6) === ".", lit(null)).otherwise(fld(6)),
+        "Float").as("qual"),
+      when(fld(7) === ".", lit(null)).otherwise(fld(7)).as("filter")) ++
       infoCols ++ Seq(genoCol.as("geno"), phasedCol.as("phased")) ++
       fmtCols: _*)
   }

@@ -156,6 +156,27 @@ class ParseFmtCellsSpec extends AnyFunSuite {
     assert(r(6).getSeq[Integer](1).toSeq == Seq(5, null))
   }
 
+  test("garbage body lines degrade to null-padded rows, never errors") {
+    import spark.implicits._
+    val parsed = Vcf.parseLines(Seq(
+      "1\t300\tok\tA\tC\t5.0\tPASS\t.\tGT:DP\t0/1:3\t1/1:4",
+      "",                        // blank trailing line
+      "just-one-field",          // no tabs at all
+      "1\tnot_a_number\tx\tA\tC\tqual?\t.\t."  // malformed pos/qual, no FORMAT
+    ).toDF("value"), Nil,
+      Seq(Vcf.FieldSpec("GT", "1", "String"),
+        Vcf.FieldSpec("DP", "1", "Integer")), 2)
+    val rows = parsed.select("id", "pos", "qual", "fmt_DP").collect()
+    assert(rows.length == 4)
+    // the good line parses fully
+    val ok = rows.find(r => !r.isNullAt(0) && r.getString(0) == "ok").get
+    assert(ok.getInt(1) == 300 && ok.getFloat(2) == 5.0f)
+    assert(ok.getSeq[Integer](3).toSeq == Seq(3, 4))
+    // the three garbage lines: pos (and qual) degrade to null
+    assert(rows.count(_.isNullAt(1)) == 3)
+    assert(rows.count(_.isNullAt(2)) == 3)
+  }
+
   test("GT cube pads truncated lines and nulls malformed alleles") {
     import spark.implicits._
     val parsed = Vcf.parseLines(Seq(
