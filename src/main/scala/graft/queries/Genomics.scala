@@ -355,6 +355,271 @@ object Genomics extends QueryModule {
             (SELECT unnest(range(1, 4)) AS i)
           WHERE i <= nall - 1))""")))
 
+  // --- Hardy–Weinberg chi-square (the classic seqApply workload in the
+  // reference's ecosystem, e.g. SNPRelate::snpgdsHWE over a SeqArray
+  // handle, LinkSNPRelate.cpp:1-410): per variant, genotype-class counts
+  // a/b/c = #(hom-ref / het / hom-alt) over fully-called diploid samples
+  // (multi-allelic collapsed to ref-vs-any-alt), then the closed form
+  // χ² = n·(4ac−b²)² / ((2a+b)²·(2c+b)²). The counts and the 4ac−b²
+  // numerator stay in int64 (safe to ~500k-sample cohorts); squaring
+  // happens in doubles with an identical operation order in both
+  // engines, so the hash compare cannot drift. Pure projection — no
+  // shuffle, survives any scale-up as a map-only pass. ------------------
+  private val q106 = Q("q106_hwe",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val d = dosageAlt(col("geno"))
+      val a = size(filter(d, x => x === 0))
+      val b = size(filter(d, x => x === 1))
+      val c = size(filter(d, x => x === 2))
+      v.select(col("vid"), a.as("n_aa"), b.as("n_ab"), c.as("n_bb"))
+        .withColumn("n", col("n_aa") + col("n_ab") + col("n_bb"))
+        .withColumn("x",
+          lit(4L) * col("n_aa") * col("n_bb")
+            - col("n_ab").cast("long") * col("n_ab"))
+        .withColumn("y", lit(2L) * col("n_aa") + col("n_ab"))
+        .withColumn("z", lit(2L) * col("n_bb") + col("n_ab"))
+        .select(col("vid"), col("n_aa"), col("n_ab"), col("n_bb"),
+          when(col("n") > 0,
+            col("y").cast("double") / (lit(2.0) * col("n")))
+            .as("p_ref"),
+          when(col("y") > 0 && col("z") > 0,
+            (col("n").cast("double") * col("x").cast("double")
+              * col("x").cast("double"))
+              / (col("y").cast("double") * col("y").cast("double")
+                * col("z").cast("double") * col("z").cast("double")))
+            .as("hwe_chisq"))
+    },
+    Some(withCte("""SELECT vid, n_aa, n_ab, n_bb,
+      CASE WHEN n > 0
+           THEN CAST(y AS DOUBLE) / (2.0 * n) END AS p_ref,
+      CASE WHEN y > 0 AND z > 0
+           THEN (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                / (CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                   * CAST(z AS DOUBLE) * CAST(z AS DOUBLE)) END AS hwe_chisq
+      FROM (SELECT vid, n_aa, n_ab, n_bb,
+          n_aa + n_ab + n_bb AS n,
+          4 * n_aa * n_bb - n_ab * n_ab AS x,
+          2 * n_aa + n_ab AS y,
+          2 * n_bb + n_ab AS z
+        FROM (SELECT vid,
+            len(list_filter(d, v -> v = 0)) AS n_aa,
+            len(list_filter(d, v -> v = 1)) AS n_ab,
+            len(list_filter(d, v -> v = 2)) AS n_bb
+          FROM (SELECT vid, list_transform(geno, sa ->
+              CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+                   ELSE len(list_filter(sa, a -> a <> 0)) END) AS d
+            FROM variants)))""")))
+
+  // --- transition/transversion ratio per chromosome (the vcftools/bcftools
+  // QC staple; the reference surfaces the allele letters this derives
+  // from via $ref/$alt, src/GetData.cpp:637-680). REF/ALT nucleotides are
+  // synthesized deterministically from (vid, nall); a transition is
+  // A<->G or C<->T, i.e. |idx_ref − idx_alt| = 2 in ACGT order. One
+  // 5-group aggregate — partial map-side sums, a 5-row shuffle. ----------
+  private val q107 = Q("q107_tstv",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val refI = col("vid") % 4
+      val altI0 = (expr("vid div 7") + col("nall")) % 4
+      val altI = when(altI0 === refI, (altI0 + 1) % 4).otherwise(altI0)
+      val isTs = abs(refI - altI) === 2
+      v.select(col("chrom"),
+          element_at(letters, (refI + 1).cast("int")).as("ref"),
+          element_at(letters, (altI + 1).cast("int")).as("alt"),
+          isTs.as("is_ts"), (col("nall") > 2).as("is_multi"))
+        .groupBy(col("chrom"))
+        .agg(
+          count(lit(1)).as("n_snv"),
+          sum(when(col("is_ts"), 1L).otherwise(0L)).as("n_ts"),
+          sum(when(!col("is_ts"), 1L).otherwise(0L)).as("n_tv"),
+          sum(when(col("is_multi"), 1L).otherwise(0L)).as("n_multi"))
+        .withColumn("tstv",
+          when(col("n_tv") > 0,
+            col("n_ts").cast("double") / col("n_tv")))
+    },
+    Some(withCte("""SELECT chrom, COUNT(*) AS n_snv,
+      CAST(SUM(CASE WHEN is_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+      CAST(SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+      CAST(SUM(CASE WHEN nall > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+      CASE WHEN SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) > 0
+           THEN CAST(SUM(CASE WHEN is_ts THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) END AS tstv
+      FROM (SELECT chrom, nall,
+          abs(ri - CASE WHEN ai0 = ri THEN (ai0 + 1) % 4 ELSE ai0 END) = 2
+            AS is_ts
+        FROM (SELECT chrom, nall, vid % 4 AS ri,
+            (vid // 7 + nall) % 4 AS ai0 FROM variants))
+      GROUP BY chrom""")))
+
+  // --- windowed linkage-disequilibrium r² (SNPRelate::snpgdsLDMat over a
+  // SeqArray handle; the per-window pairing is the GRanges-band pattern
+  // of SURVEY §2.4): variant pairs on one chromosome within WINDOW bp,
+  // composite r² from alt-dosage vectors over samples called in BOTH.
+  // Scale shape: a BANDED self-join — each variant lands in bucket
+  // pos div WINDOW, the left side emits (bucket, bucket+1) keys, and
+  // pairs only form inside a (chrom, bucket) equi-join cell, so the
+  // shuffle is linear in variants and no pair outside the window is ever
+  // enumerated (pos_b − pos_a ≤ WINDOW ⇒ buckets differ by ≤ 1). All
+  // sums are integers; r² = (n·Sxy − Sx·Sy)² over the two variance
+  // factors, squared in doubles with one final division. ----------------
+  private val LD_WINDOW = 200
+  private val LD_MOD = 11
+  private val q108 = Q("q108_ld_r2",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d"))
+        .withColumn("bucket", expr(s"pos div $LD_WINDOW"))
+      val a = v.select(col("chrom"), col("vid").as("vid_a"),
+          col("pos").as("pos_a"), col("d").as("da"),
+          explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
+      val b = v.select(col("chrom"), col("vid").as("vid_b"),
+          col("pos").as("pos_b"), col("d").as("db"),
+          col("bucket").as("bkey"))
+      val pairs = a.join(b, Seq("chrom", "bkey"))
+        .filter(
+          (col("pos_a") < col("pos_b") ||
+            (col("pos_a") === col("pos_b") && col("vid_a") < col("vid_b"))) &&
+          col("pos_b") - col("pos_a") <= LD_WINDOW)
+      // per-pair integer sums over samples called in both
+      val both = zip_with(col("da"), col("db"), (x, y) =>
+        when(x.isNotNull && y.isNotNull, struct(x.as("x"), y.as("y"))))
+      val obs = filter(both, p => p.isNotNull)
+      val stats = pairs.select(col("chrom"), col("vid_a"), col("vid_b"),
+          (col("pos_b") - col("pos_a")).as("dist"), obs.as("obs"))
+        .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+          size(col("obs")).cast("long").as("n"),
+          aggregate(col("obs"), lit(0L),
+            (acc, p) => acc + p.getField("x")).as("sx"),
+          aggregate(col("obs"), lit(0L),
+            (acc, p) => acc + p.getField("y")).as("sy"),
+          aggregate(col("obs"), lit(0L),
+            (acc, p) => acc + p.getField("x") * p.getField("y")).as("sxy"),
+          aggregate(col("obs"), lit(0L),
+            (acc, p) => acc + p.getField("x") * p.getField("x")).as("sxx"),
+          aggregate(col("obs"), lit(0L),
+            (acc, p) => acc + p.getField("y") * p.getField("y")).as("syy"))
+      stats
+        .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+          col("n"),
+          when(col("var_x") > 0 && col("var_y") > 0,
+            (col("cov_n").cast("double") * col("cov_n").cast("double"))
+              / (col("var_x").cast("double") * col("var_y").cast("double")))
+            .as("r2"))
+    },
+    Some(withCte(s"""SELECT chrom, vid_a, vid_b, dist, n,
+      CASE WHEN var_x > 0 AND var_y > 0
+           THEN (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+                / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)) END AS r2
+      FROM (SELECT chrom, vid_a, vid_b, dist, n,
+          n * sxy - sx * sy AS cov_n,
+          n * sxx - sx * sx AS var_x,
+          n * syy - sy * sy AS var_y
+        FROM (SELECT chrom, vid_a, vid_b, dist,
+            CAST(len(obs) AS BIGINT) AS n,
+            CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+              AS BIGINT) AS sx,
+            CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+              AS BIGINT) AS sy,
+            CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+              AS BIGINT) AS sxy,
+            CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.x)), 0)
+              AS BIGINT) AS sxx,
+            CAST(COALESCE(list_sum(list_transform(obs, p -> p.y * p.y)), 0)
+              AS BIGINT) AS syy
+          FROM (SELECT a.chrom, a.vid AS vid_a, b.vid AS vid_b,
+              b.pos - a.pos AS dist,
+              list_filter(
+                list_transform(range(1, 9), i ->
+                  CASE WHEN a.d[i] IS NOT NULL AND b.d[i] IS NOT NULL
+                       THEN {'x': a.d[i], 'y': b.d[i]} END),
+                p -> p IS NOT NULL) AS obs
+            FROM (SELECT vid, chrom, pos, list_transform(geno, sa ->
+                  CASE WHEN len(list_filter(sa, x -> x IS NULL)) > 0
+                       THEN NULL
+                       ELSE len(list_filter(sa, x -> x <> 0)) END) AS d
+                FROM variants WHERE vid % $LD_MOD = 0) a
+            JOIN (SELECT vid, chrom, pos, list_transform(geno, sa ->
+                  CASE WHEN len(list_filter(sa, x -> x IS NULL)) > 0
+                       THEN NULL
+                       ELSE len(list_filter(sa, x -> x <> 0)) END) AS d
+                FROM variants WHERE vid % $LD_MOD = 0) b
+              ON a.chrom = b.chrom
+              AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
+              AND b.pos - a.pos <= $LD_WINDOW)))""")))
+
+  // --- KING-robust pairwise sample kinship (Manichaikul et al. 2010; the
+  // per-sample-PAIR margin — the heaviest by.sample workload the
+  // reference's ~data transpose exists for): over variants where both
+  // samples are fully called, φ = (N_het,het − 2·N_opp) / (N_het,i +
+  // N_het,j) from the biallelic-collapsed dosages. The explode emits one
+  // tiny counter row per (variant, pair) and groupBy's map-side partial
+  // aggregation collapses it to 28 rows per partition before the
+  // shuffle — at 100 TB the exchange carries #pairs × #partitions rows,
+  // never the cube. For biobank sample counts the pair set is blocked
+  // (this shape is per-block). --------------------------------------------
+  private val q109 = Q("q109_king",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val pairsLit = array((for {
+        i <- 0 until SynthGeno.nSamples
+        j <- (i + 1) until SynthGeno.nSamples
+      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+      val d = dosageAlt(col("geno"))
+      val rows = v.select(d.as("d"), explode(pairsLit).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          element_at(col("d"), col("p.i") + 1).as("di"),
+          element_at(col("d"), col("p.j") + 1).as("dj"))
+        .filter(col("di").isNotNull && col("dj").isNotNull)
+      rows.groupBy(col("i"), col("j"))
+        .agg(
+          count(lit(1)).as("n_both"),
+          sum(when(col("di") === 1, 1L).otherwise(0L)).as("n_het_i"),
+          sum(when(col("dj") === 1, 1L).otherwise(0L)).as("n_het_j"),
+          sum(when(col("di") === 1 && col("dj") === 1, 1L).otherwise(0L))
+            .as("n_het_both"),
+          sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+            .as("n_opp"))
+        .withColumn("kinship",
+          when(col("n_het_i") + col("n_het_j") > 0,
+            (col("n_het_both").cast("double")
+              - lit(2.0) * col("n_opp"))
+              / (col("n_het_i") + col("n_het_j")).cast("double")))
+    },
+    Some(withCte("""SELECT i, j, COUNT(*) AS n_both,
+      CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_i,
+      CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_j,
+      CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_het_both,
+      CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_opp,
+      CASE WHEN SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) > 0
+           THEN (CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+                 - 2.0 * SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END))
+                / CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      END AS kinship
+      FROM (SELECT pr.i, pr.j, d[pr.i + 1] AS di, d[pr.j + 1] AS dj
+        FROM (SELECT list_transform(geno, sa ->
+            CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+                 ELSE len(list_filter(sa, a -> a <> 0)) END) AS d
+          FROM variants),
+          (SELECT ii.i, jj.j
+           FROM (SELECT unnest(range(0, 8)) AS i) ii,
+                (SELECT unnest(range(0, 8)) AS j) jj
+           WHERE jj.j > ii.i) pr)
+      WHERE di IS NOT NULL AND dj IS NOT NULL
+      GROUP BY i, j""")))
+
   override def queries: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93)
+    Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
+      q106, q107, q108, q109)
 }

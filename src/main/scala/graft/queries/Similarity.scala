@@ -610,6 +610,119 @@ object Similarity extends QueryModule {
           ELSE CAST(0 AS BIGINT) END AS hit
       FROM r WHERE rank <= 5"""))
 
+  // --- Product-Quantization ADC search (Jégou et al. 2011) — the third
+  // leg of the FAISS-style memory ladder next to int8 SQ (q80) and IVF
+  // (q61/q75): vectors compress to PQ_M one-byte codewords (64× smaller
+  // than the float corpus), probes precompute a PQ_M×PQ_K distance
+  // table against the broadcast codebook, and the scan ranks by
+  // asymmetric distance = PQ_M table lookups per vector. Codebook =
+  // the PQ_K lowest-vec_id subvectors (the k-means-init sampled-codebook
+  // baseline; kmeansTrain per subspace is the trained upgrade). Encode
+  // is a broadcast crossJoin + projection (no shuffle of the corpus);
+  // ADC is a map-only scan with the probes' distance tables broadcast —
+  // the plan shape that survives a 100 TB corpus. All distances are
+  // integer L2², argmin ties break to the smallest codeword via
+  // first-position-of-min, so DuckDB replays every bit; `hit` scores
+  // each ADC neighbor against the exact top-5 like q80. -----------------
+  private val PQ_M = 8      // subspaces
+  private val PQ_DSUB = 8   // dims per subspace (PQ_M * PQ_DSUB = 64)
+  private val PQ_K = 16     // codewords per subspace
+  private val q105 = Q("q105_pq_adc",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      val cbRow = e.orderBy(col("vec_id")).limit(PQ_K)
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("qv"))))
+          .as("pairs"))
+        .select(transform(col("pairs"), p => p.getField("qv")).as("cbs"))
+      // integer L2² between subspace m of `v` and subspace m of codeword k
+      def subL2(v: org.apache.spark.sql.Column,
+          m: org.apache.spark.sql.Column,
+          k: org.apache.spark.sql.Column) =
+        aggregate(sequence(lit(1), lit(PQ_DSUB)), lit(0L), (acc, i) => {
+          val a = element_at(v, (m * PQ_DSUB + i).cast("int"))
+          val b = element_at(element_at(col("cbs"), (k + 1).cast("int")),
+            (m * PQ_DSUB + i).cast("int"))
+          acc + (a - b) * (a - b)
+        })
+      // per-subspace distance list over the K codewords
+      def distList(v: org.apache.spark.sql.Column,
+          m: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(PQ_K - 1)), k => subL2(v, m, k))
+      val codes = e.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"), col("qv"),
+          transform(sequence(lit(0), lit(PQ_M - 1)), m => {
+            val dl = distList(col("qv"), m)
+            (array_position(dl, array_min(dl)) - 1).cast("int")
+          }).as("codes"))
+      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .crossJoin(broadcast(cbRow))
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          transform(sequence(lit(0), lit(PQ_M - 1)),
+            m => distList(col("qv"), m)).as("dtab"))
+      val scored = codes.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          aggregate(sequence(lit(1), lit(PQ_M)), lit(0L), (acc, m) =>
+            acc + element_at(element_at(col("dtab"), m.cast("int")),
+              (element_at(col("codes"), m.cast("int")) + 1).cast("int")))
+            .as("adc"),
+          aggregate(sequence(lit(1), lit(PQ_M * PQ_DSUB)), lit(0L),
+            (acc, i) => {
+              val d = element_at(col("pv"), i.cast("int")) -
+                element_at(col("qv"), i.cast("int"))
+              acc + d * d
+            }).as("l2x"))
+      val wA = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val wX = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2x").asc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(wA))
+        .withColumn("__rx", row_number().over(wX))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("adc"), col("rank"),
+          when(col("__rx") <= 5, lit(1L)).otherwise(lit(0L)).as("hit"))
+    },
+    Some {
+      def subL2Sql(v: String) =
+        s"""CAST(list_sum(list_transform(range(1, ${PQ_DSUB + 1}), i ->
+           ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])
+           * ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])))
+           AS BIGINT)"""
+      def distListSql(v: String) =
+        s"list_transform(range(0, $PQ_K), k -> ${subL2Sql(v)})"
+      s"""WITH q AS ($qCte),
+      cb AS (SELECT rk, qv FROM
+        (SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM q)
+        WHERE rk <= $PQ_K),
+      cbrow AS (SELECT list(qv ORDER BY rk) AS cbs FROM cb),
+      codes AS (SELECT vec_id, qv,
+          list_transform(range(0, $PQ_M), m ->
+            CAST(list_position(${distListSql("qv")},
+              list_min(${distListSql("qv")})) - 1 AS INT)) AS codes
+        FROM q, cbrow),
+      probes AS (SELECT vec_id AS probe_id, qv AS pv,
+          list_transform(range(0, $PQ_M), m -> ${distListSql("qv")}) AS dtab
+        FROM q, cbrow WHERE vec_id % $PROBE_MOD = 0),
+      scored AS (SELECT probe_id, c.vec_id,
+          CAST(list_sum(list_transform(range(1, ${PQ_M + 1}), m ->
+            dtab[m][c.codes[m] + 1])) AS BIGINT) AS adc,
+          CAST(list_sum(list_transform(range(1, ${PQ_M * PQ_DSUB + 1}), i ->
+            (pv[i] - c.qv[i]) * (pv[i] - c.qv[i]))) AS BIGINT) AS l2x
+        FROM codes c JOIN probes ON c.vec_id <> probe_id),
+      r AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY adc ASC, vec_id) AS rank,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY l2x ASC, vec_id) AS __rx
+        FROM scored)
+      SELECT probe_id, vec_id, adc, rank,
+        CASE WHEN __rx <= 5 THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS hit
+      FROM r WHERE rank <= 5"""
+    })
+
   override def queries: Seq[Q] =
-    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80)
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105)
 }

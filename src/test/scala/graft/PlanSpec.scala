@@ -308,6 +308,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q105: PQ encode and ADC scan never shuffle the corpus to join") {
+    // codebook and probe distance tables ride broadcasts; the only hash
+    // exchanges are the two probe-partitioned rank windows
+    val p = plan("q105_pq_adc")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p).size >= 1,
+      p)
+  }
+
+  test("q106: HWE chi-square is a pure projection — no exchange, no join") {
+    val p = plan("q106_hwe")
+    // one round-robin fan-out of the single-row-group scan is the only
+    // permitted exchange (SynthGeno's documented repartition)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q108: windowed LD is a banded EQUI-join — no nested-loop pairing") {
+    val p = plan("q108_ld_r2")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p)
+  }
+
+  test("q109: KING kinship partial-aggregates before its one pair shuffle") {
+    val p = plan("q109_king")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(i#".r.findAllIn(p).size == 1, p)
+    // map-side partial aggregation must collapse the per-variant counter
+    // rows to #pairs per partition before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
