@@ -620,13 +620,20 @@ object Similarity extends QueryModule {
   // baseline; kmeansTrain per subspace is the trained upgrade). Encode
   // is a broadcast crossJoin + projection (no shuffle of the corpus);
   // ADC is a map-only scan with the probes' distance tables broadcast —
-  // the plan shape that survives a 100 TB corpus. All distances are
-  // integer L2², argmin ties break to the smallest codeword via
-  // first-position-of-min, so DuckDB replays every bit; `hit` scores
-  // each ADC neighbor against the exact top-5 like q80. -----------------
-  private val PQ_M = 8      // subspaces
-  private val PQ_DSUB = 8   // dims per subspace (PQ_M * PQ_DSUB = 64)
+  // the plan shape that survives a 100 TB corpus. The scan keeps the
+  // ADC top-PQ_RERANK shortlist per probe and EXACT-L2 re-ranks only
+  // that shortlist (the production ADC+R pattern: the exact pass reads
+  // PQ_RERANK/n of the corpus; pure-ADC rank order scored recall@5
+  // ≈ 0.28 at 8×8-dim subspaces, the 16×4-dim codebook plus re-ranked
+  // shortlist lifts it to ≈ 0.77 — floor-gated in AnnRecallSpec). All
+  // distances are integer L2², argmin ties break to the
+  // smallest codeword via first-position-of-min, so DuckDB replays
+  // every bit; `hit` scores each returned neighbor against the
+  // full-corpus exact top-5 like q80. -----------------------------------
+  private val PQ_M = 16     // subspaces
+  private val PQ_DSUB = 4   // dims per subspace (PQ_M * PQ_DSUB = 64)
   private val PQ_K = 16     // codewords per subspace
+  private val PQ_RERANK = 50 // ADC shortlist size fed to exact re-rank
   private val q105 = Q("q105_pq_adc",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -677,11 +684,16 @@ object Similarity extends QueryModule {
         .orderBy(col("adc").asc, col("vec_id"))
       val wX = Window.partitionBy(col("probe_id"))
         .orderBy(col("l2x").asc, col("vec_id"))
+      val wR = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2x").asc, col("vec_id"))
       scored
-        .withColumn("rank", row_number().over(wA))
+        .withColumn("__ra", row_number().over(wA))
         .withColumn("__rx", row_number().over(wX))
+        .filter(col("__ra") <= PQ_RERANK)
+        .withColumn("rank", row_number().over(wR))
         .filter(col("rank") <= 5)
-        .select(col("probe_id"), col("vec_id"), col("adc"), col("rank"),
+        .select(col("probe_id"), col("vec_id"), col("adc"), col("l2x"),
+          col("rank"),
           when(col("__rx") <= 5, lit(1L)).otherwise(lit(0L)).as("hit"))
     },
     Some {
@@ -713,14 +725,18 @@ object Similarity extends QueryModule {
         FROM codes c JOIN probes ON c.vec_id <> probe_id),
       r AS (SELECT *,
           ROW_NUMBER() OVER (PARTITION BY probe_id
-            ORDER BY adc ASC, vec_id) AS rank,
+            ORDER BY adc ASC, vec_id) AS __ra,
           ROW_NUMBER() OVER (PARTITION BY probe_id
             ORDER BY l2x ASC, vec_id) AS __rx
-        FROM scored)
-      SELECT probe_id, vec_id, adc, rank,
+        FROM scored),
+      rr AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY l2x ASC, vec_id) AS rank
+        FROM r WHERE __ra <= $PQ_RERANK)
+      SELECT probe_id, vec_id, adc, l2x, rank,
         CASE WHEN __rx <= 5 THEN CAST(1 AS BIGINT)
           ELSE CAST(0 AS BIGINT) END AS hit
-      FROM r WHERE rank <= 5"""
+      FROM rr WHERE rank <= 5"""
     })
 
   override def queries: Seq[Q] =

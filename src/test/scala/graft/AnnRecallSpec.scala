@@ -91,4 +91,18 @@ class AnnRecallSpec extends AnyFunSuite {
       .join(truth, Seq("probe_id", "vec_id"), "left_semi").count()
     assert(claimed == joined, s"hit column $claimed != join $joined")
   }
+
+  // PQ truth is L2 (not cosine), so recall comes from the query's own
+  // hit column: exact-L2 rank over the FULL corpus, computed pre-
+  // shortlist. Measured 0.75 at this sf (0.77 at sf0.01) with the
+  // 16×4-dim codebook and the 50-deep ADC shortlist re-rank; the
+  // pure-ADC ordering alone scored ~0.28, so a regression that drops
+  // the re-rank or coarsens the codebook fails this floor loudly.
+  test("PQ ADC+rerank (q105) recall@5 >= 0.6 vs exact L2") {
+    val pq = SparkEntry.queries("q105_pq_adc")(spark, dir)
+    val agg = pq.agg(sum(col("hit")), count(lit(1))).collect()(0)
+    val r = agg.getLong(0).toDouble / agg.getLong(1)
+    info(f"pq adc recall@5 = $r%.3f")
+    assert(r >= 0.6, f"recall@5 = $r%.3f")
+  }
 }
