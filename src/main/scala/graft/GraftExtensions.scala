@@ -109,6 +109,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "FORMAT field values from VCF cells (padded to nSamples)",
       5, a => ParseFmtCells(a(0), a(1), litStr(a(2), "parse_fmt_cells"),
         litStr(a(3), "parse_fmt_cells"), litInt(a(4), "parse_fmt_cells")))
+    register(ext, "l2_i64",
+      "l2_i64(a, b) - integer squared-L2 distance of two BIGINT arrays",
+      2, a => L2DistLong(a(0), a(1)))
+    register(ext, "pq_encode",
+      "pq_encode(qv, cbs, m, dsub) - per-subspace argmin PQ codes",
+      4, a => PqEncode(a(0), a(1), litInt(a(2), "pq_encode"),
+        litInt(a(3), "pq_encode")))
+    register(ext, "pq_adc",
+      "pq_adc(dtab, codes) - ADC lookup-sum over PQ codes",
+      2, a => PqAdcLookup(a(0), a(1)))
+    register(ext, "ld_pair_stats",
+      "ld_pair_stats(da, db) - [n, sx, sy, sxy, sxx, syy] over " +
+        "pairwise-complete dosages",
+      2, a => LdPairStats(a(0), a(1)))
     // variadic: sample_cells(geno, phased, sep, field1, field2, ...)
     ext.injectFunction((FunctionIdentifier("sample_cells"),
       info("sample_cells",

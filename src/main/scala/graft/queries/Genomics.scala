@@ -484,24 +484,19 @@ object Genomics extends QueryModule {
           (col("pos_a") < col("pos_b") ||
             (col("pos_a") === col("pos_b") && col("vid_a") < col("vid_b"))) &&
           col("pos_b") - col("pos_a") <= LD_WINDOW)
-      // per-pair integer sums over samples called in both
-      val both = zip_with(col("da"), col("db"), (x, y) =>
-        when(x.isNotNull && y.isNotNull, struct(x.as("x"), y.as("y"))))
-      val obs = filter(both, p => p.isNotNull)
+      // per-pair integer sums over samples called in both — one fused
+      // codegen pass (LdPairStats kernel; the 5-HOF twin it replaced is
+      // the differential oracle in KernelPropertySpec)
+      val st = graft.functions.vectorfns.ldPairStats(col("da"), col("db"))
       val stats = pairs.select(col("chrom"), col("vid_a"), col("vid_b"),
-          (col("pos_b") - col("pos_a")).as("dist"), obs.as("obs"))
+          (col("pos_b") - col("pos_a")).as("dist"), st.as("st"))
         .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
-          size(col("obs")).cast("long").as("n"),
-          aggregate(col("obs"), lit(0L),
-            (acc, p) => acc + p.getField("x")).as("sx"),
-          aggregate(col("obs"), lit(0L),
-            (acc, p) => acc + p.getField("y")).as("sy"),
-          aggregate(col("obs"), lit(0L),
-            (acc, p) => acc + p.getField("x") * p.getField("y")).as("sxy"),
-          aggregate(col("obs"), lit(0L),
-            (acc, p) => acc + p.getField("x") * p.getField("x")).as("sxx"),
-          aggregate(col("obs"), lit(0L),
-            (acc, p) => acc + p.getField("y") * p.getField("y")).as("syy"))
+          element_at(col("st"), 1).as("n"),
+          element_at(col("st"), 2).as("sx"),
+          element_at(col("st"), 3).as("sy"),
+          element_at(col("st"), 4).as("sxy"),
+          element_at(col("st"), 5).as("sxx"),
+          element_at(col("st"), 6).as("syy"))
       stats
         .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
         .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))

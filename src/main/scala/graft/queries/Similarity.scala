@@ -658,10 +658,7 @@ object Similarity extends QueryModule {
         transform(sequence(lit(0), lit(PQ_K - 1)), k => subL2(v, m, k))
       val codes = e.crossJoin(broadcast(cbRow))
         .select(col("vec_id"), col("qv"),
-          transform(sequence(lit(0), lit(PQ_M - 1)), m => {
-            val dl = distList(col("qv"), m)
-            (array_position(dl, array_min(dl)) - 1).cast("int")
-          }).as("codes"))
+          pqEncode(col("qv"), col("cbs"), PQ_M, PQ_DSUB).as("codes"))
       val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
         .crossJoin(broadcast(cbRow))
         .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
@@ -670,16 +667,8 @@ object Similarity extends QueryModule {
       val scored = codes.join(broadcast(probes),
           col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          aggregate(sequence(lit(1), lit(PQ_M)), lit(0L), (acc, m) =>
-            acc + element_at(element_at(col("dtab"), m.cast("int")),
-              (element_at(col("codes"), m.cast("int")) + 1).cast("int")))
-            .as("adc"),
-          aggregate(sequence(lit(1), lit(PQ_M * PQ_DSUB)), lit(0L),
-            (acc, i) => {
-              val d = element_at(col("pv"), i.cast("int")) -
-                element_at(col("qv"), i.cast("int"))
-              acc + d * d
-            }).as("l2x"))
+          pqAdc(col("dtab"), col("codes")).as("adc"),
+          l2Long(col("pv"), col("qv")).as("l2x"))
       val wA = Window.partitionBy(col("probe_id"))
         .orderBy(col("adc").asc, col("vec_id"))
       val wX = Window.partitionBy(col("probe_id"))

@@ -45,10 +45,14 @@ class CodegenCompileSpec extends AnyFunSuite {
     Pack2bRefDosage.pack(geno).asInstanceOf[Array[Byte]]
   }
 
+  private val cbs: ArrayData =
+    arr(arr(1L, 2L, 0L, 1L, 5L), arr(3L, -1L, 4L, null, 0L))
+  private val codes: ArrayData = arr(1, 0)
+
   /** input row layout shared by all cases below */
   private val row = InternalRow(
     geno, phased, cells, vecA, vecB, utf("the quick brown fox"),
-    packed, words, utf("A,C"), utf("A,C,T"))
+    packed, words, utf("A,C"), utf("A,C,T"), cbs, codes)
   private def ref(i: Int, t: DataType) = BoundReference(i, t, nullable = true)
 
   private val kernels: Seq[(String, Expression)] = Seq(
@@ -81,6 +85,12 @@ class CodegenCompileSpec extends AnyFunSuite {
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),
     "unpack_2b" -> Unpack2bDosage(ref(6, BinaryType), Literal(4)),
     "geno_stats_packed" -> GenoStatsPacked(ref(6, BinaryType), Literal(4)),
+    "l2_i64" -> L2DistLong(ref(3, longArrT), ref(4, longArrT)),
+    "pq_encode" -> PqEncode(ref(3, longArrT),
+      ref(10, ArrayType(ArrayType(LongType))), 2, 2),
+    "pq_adc" -> PqAdcLookup(ref(10, ArrayType(ArrayType(LongType))),
+      ref(11, ArrayType(IntegerType))),
+    "ld_pair_stats" -> LdPairStats(ref(3, longArrT), ref(4, longArrT)),
     "allele_union" ->
       AlleleUnionExpr(ref(8, StringType), ref(9, StringType)),
     "remap_geno" -> // src alleles cover geno's max index (2), dst permutes

@@ -203,6 +203,68 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(math.abs(got(0).getDouble(2) - 0.8) < 1e-12)
   }
 
+  test("PQ/LD kernels agree with HOF oracles on random vectors") {
+    import spark.implicits._
+    import graft.functions.vectorfns._
+    // l2 + pq: null-free vectors (the pipeline never produces null
+    // components; the HOF twins propagate nulls differently by design)
+    val m = 3; val dsub = 2
+    val dimGen = Gen.choose(-50L, 50L)
+    val vecGen = Gen.listOfN(m * dsub, dimGen)
+    val cbGen = Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, vecGen))
+    for (round <- 1 to 4) {
+      val rows = (1 to 60).map { i =>
+        (i.toLong, draw(vecGen, 21000L * round + i),
+          draw(vecGen, 22000L * round + i),
+          draw(cbGen, 23000L * round + i))
+      }
+      val df = rows.toDF("id", "va", "vb", "cbs")
+      val bad = df.select(
+          l2Long(col("va"), col("vb")).as("a1"),
+          l2LongHof(col("va"), col("vb")).as("b1"),
+          pqEncode(col("va"), col("cbs"), m, dsub).as("a2"),
+          pqEncodeHof(col("va"), col("cbs"), m, dsub).as("b2"))
+        .filter(col("a1") =!= col("b1") || !(col("a2") === col("b2")))
+        .count()
+      assert(bad == 0, s"pq round=$round")
+    }
+    // adc: per-row distance tables + in-range codes
+    val dtabGen = Gen.listOfN(m, Gen.choose(2, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(0L, 1000L))))
+    for (round <- 1 to 4) {
+      val rows = (1 to 60).map { i =>
+        val dtab = draw(dtabGen, 31000L * round + i)
+        val codes = dtab.zipWithIndex.map { case (r, j) =>
+          (i + j) % r.length }
+        (i.toLong, dtab, codes)
+      }
+      val df = rows.toDF("id", "dtab", "codes")
+      val bad = df.select(
+          pqAdc(col("dtab"), col("codes")).as("a"),
+          pqAdcHof(col("dtab"), col("codes")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(bad == 0, s"adc round=$round")
+    }
+    // ld_pair_stats: nullable dosage-like vectors (the kernel's whole
+    // point is the both-non-null pairwise-complete rule)
+    val dGen: Gen[java.lang.Long] = Gen.frequency(
+      (5, Gen.choose(0L, 2L).map(java.lang.Long.valueOf)),
+      (2, Gen.const(null.asInstanceOf[java.lang.Long])))
+    val dvGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, dGen))
+    for (round <- 1 to 4) {
+      val rows = (1 to 60).map { i =>
+        (i.toLong, draw(dvGen, 41000L * round + i).toSeq,
+          draw(dvGen, 42000L * round + i).toSeq)
+      }
+      val df = rows.toDF("id", "da", "db")
+      val bad = df.select(
+          ldPairStats(col("da"), col("db")).as("a"),
+          ldPairStatsHof(col("da"), col("db")).as("b"))
+        .filter(!(col("a") === col("b"))).count()
+      assert(bad == 0, s"ld round=$round")
+    }
+  }
+
   test("winnow_fps kernel agrees with its HOF oracle on random ASCII") {
     import spark.implicits._
     // printable ASCII (the HOF twin indexes UTF-16 chars; the kernel walks
