@@ -636,6 +636,60 @@ object TrainingData {
         col("c.chunk").as("chunk"), col("c.n_tok").as("n_tok"))
   }
 
+  /** T5-style span-corruption example generation (Raffel et al. 2020):
+    * the token stream is cut into fixed `spanLen` spans, each span is
+    * masked iff the first hex nibble of md5(id:spanOrdinal) falls in
+    * `maskNibbles` (3/16 ≈ the T5 ~15-20% noise density — deterministic,
+    * so examples are reproducible across runs, engines, and cluster
+    * sizes, the same md5 device as [[trainValSplit]]), the k-th masked
+    * span becomes sentinel `<extra_id_k>` in the input, and the target
+    * is the sentinel-prefixed masked spans in order. Pure projection —
+    * no shuffle, no join; the per-row work is O(nspans²/2) sentinel
+    * ranking over a boolean array, negligible against tokenization.
+    *
+    * Output: id, input, target, n_spans, n_masked_spans,
+    * n_masked_tokens (LongType counters). */
+  def spanCorrupt(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanLen: Int = 3,
+      maskNibbles: Seq[String] = Seq("0", "1", "2")): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1; got $spanLen")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nspans = ceil(n.cast("double") / spanLen).cast("int")
+    def spanToks(sp: Column) = slice(toks, sp * spanLen + 1, lit(spanLen))
+    val flags = transform(sequence(lit(0), nspans - 1), sp =>
+      substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        sp.cast("string"))), 1, 1).isin(maskNibbles: _*))
+    // sentinel ordinal of span sp = #masked spans before it
+    def sentIdx(flagsC: Column, sp: Column) =
+      size(filter(slice(flagsC, lit(1), sp), f => f))
+    val inputC = array_join(
+      transform(sequence(lit(0), nspans - 1), sp =>
+        when(element_at(col("__flags"), sp + 1),
+          concat(lit("<extra_id_"),
+            sentIdx(col("__flags"), sp).cast("string"), lit(">")))
+          .otherwise(array_join(spanToks(sp), " "))), " ")
+    val maskedSpans = filter(sequence(lit(0), nspans - 1),
+      sp => element_at(col("__flags"), sp + 1))
+    val targetC = array_join(
+      transform(maskedSpans, sp =>
+        concat(lit("<extra_id_"),
+          sentIdx(col("__flags"), sp).cast("string"), lit("> "),
+          array_join(spanToks(sp), " "))), " ")
+    val nMaskedToks = aggregate(maskedSpans, lit(0L),
+      (acc, sp) => acc + size(spanToks(sp)))
+    docs
+      .withColumn("__flags",
+        when(n > 0, flags).otherwise(array().cast("array<boolean>")))
+      .select(col(idCol),
+        when(n > 0, inputC).otherwise(lit("")).as("input"),
+        when(n > 0, targetC).otherwise(lit("")).as("target"),
+        when(n > 0, nspans).otherwise(lit(0)).cast("long").as("n_spans"),
+        size(filter(col("__flags"), f => f)).cast("long")
+          .as("n_masked_spans"),
+        nMaskedToks.as("n_masked_tokens"))
+  }
+
   /** Winnowed rolling-hash fingerprint sets (the MOSS substring-level
     * document fingerprint): k-codepoint Rabin–Karp hashes, minimum per
     * w-window, distinct + sorted, as `fps ARRAY<BIGINT>`. Codegen O(n)

@@ -356,6 +356,55 @@ object Sampling extends QueryModule {
           AS BIGINT) AS pos
       FROM a"""))
 
+  // --- T5-style span corruption (Raffel et al. 2020): deterministic
+  // masked-span (input, target) example pairs straight from the
+  // documents table — fixed 3-token spans, a span masks iff the first
+  // md5(doc_id:span) nibble ∈ {0,1,2} (≈19% noise), masked span k
+  // becomes <extra_id_k>. Pure projection (no shuffle, no join, no
+  // rand()); the oracle replays tokenization, flags, sentinel ranking,
+  // and both reassembled strings verbatim. Delegates to the public
+  // pipeline API (TrainingData.spanCorrupt). ----------------------------
+  private val q111 = Q("q111_span_corrupt",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.pipeline.TrainingData.spanCorrupt(d)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents),
+    f AS (SELECT doc_id, toks,
+        CAST(ceil(len(toks) / 3.0) AS INT) AS nspans,
+        list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)), sp ->
+          substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sp AS VARCHAR)),
+            1, 1) IN ('0', '1', '2')) AS flags
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0 THEN
+        array_to_string(list_transform(range(0, nspans), sp ->
+          CASE WHEN flags[sp + 1]
+            THEN '<extra_id_' ||
+              CAST(len(list_filter(flags[1:sp], x -> x)) AS VARCHAR) || '>'
+            ELSE array_to_string(toks[sp * 3 + 1 : sp * 3 + 3], ' ')
+          END), ' ')
+        ELSE '' END AS input,
+      CASE WHEN len(toks) > 0 THEN
+        COALESCE(array_to_string(list_transform(
+          list_filter(range(0, nspans), sp -> flags[sp + 1]), sp ->
+            '<extra_id_' ||
+            CAST(len(list_filter(flags[1:sp], x -> x)) AS VARCHAR) ||
+            '> ' || array_to_string(toks[sp * 3 + 1 : sp * 3 + 3], ' ')),
+          ' '), '')
+        ELSE '' END AS target,
+      CASE WHEN len(toks) > 0 THEN CAST(nspans AS BIGINT)
+        ELSE 0 END AS n_spans,
+      CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked_spans,
+      CAST(COALESCE(list_sum(list_transform(
+          list_filter(range(0, nspans), sp -> flags[sp + 1]),
+          sp -> len(toks[sp * 3 + 1 : sp * 3 + 3]))), 0) AS BIGINT)
+        AS n_masked_tokens
+    FROM f"""))
+
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89, q91, q95, q96)
+    q89, q91, q95, q96, q111)
 }

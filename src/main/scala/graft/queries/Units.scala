@@ -146,5 +146,87 @@ object Units extends QueryModule {
               ROW_NUMBER() OVER (PARTITION BY chrom, pos ORDER BY vid) AS rn
             FROM variants)""")))
 
-  override def queries: Seq[Q] = Seq(q25, q26, q27, q28, q48)
+  // --- per-window per-sample rare-variant burden (the SKAT/burden-test
+  // data layout — the heaviest seqUnitApply workload, R/UnitList.R:290-443,
+  // combined with the by.sample margin): for every sliding window, each
+  // sample's burden = Σ over the window's RARE members (MINOR-allele
+  // frequency ≤ 0.2 as the exact-integer flag min(ac, called−ac)·5 ≤
+  // called — burden tests weight the rare allele, which here can be
+  // either collapse side) of its minor-allele dosage, missing imputed
+  // to 0 and counted. Shape: the same window-key explode as q25
+  // (bounded: ceil(size/shift) windows per variant) × a posexplode of the
+  // codegen'd dosage vector; conditional aggregates keep the rare flag in
+  // the pre-explode projection (q26's pushdown lesson), and the groupBy's
+  // map-side partial agg collapses the (window, sample) rows before the
+  // one shuffle. At biobank width the sample explode becomes a blocked
+  // matrix fold, but the plan skeleton — explode, partial agg, one
+  // exchange — is unchanged. ----------------------------------------------
+  private val q110 = Q("q110_burden",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val st = genoStats(col("geno"), lit(0))
+      val called = element_at(st, 2)
+      val acRef = element_at(st, 3)
+      val acAlt = called - acRef
+      val rare = called > 0 && least(acAlt, acRef) * 5 <= called
+      val minorIsAlt = acAlt * 2 <= called
+      // per-sample minor-allele dosage: alt dosage when alt is minor,
+      // else ploidy − alt dosage (null propagates through both arms)
+      val dMinor = when(minorIsAlt, dosageAlt(col("geno")))
+        .otherwise(transform(dosageAlt(col("geno")),
+          x => lit(SynthGeno.ploidy.toLong) - x))
+      val kMin = greatest(lit(0L),
+        floor((col("pos") - WIN_SIZE).cast("double") / WIN_SHIFT)
+          .cast("long") + 1L)
+      val kMax = floor(col("pos").cast("double") / WIN_SHIFT).cast("long")
+      v.select(col("chrom"), rare.as("rare"),
+          dMinor.as("d"),
+          explode(sequence(kMin, kMax)).as("k"))
+        .select(col("chrom"), (col("k") * WIN_SHIFT).as("win_start"),
+          col("rare"), posexplode(col("d")).as(Seq("s", "dos")))
+        .groupBy(col("chrom"), col("win_start"), col("s"))
+        .agg(
+          sum(when(col("rare"), 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("rare"), coalesce(col("dos"), lit(0L)))
+            .otherwise(0L)).as("burden"),
+          sum(when(col("rare") && col("dos").isNull, 1L).otherwise(0L))
+            .as("n_miss"))
+        .filter(col("n_members") > 0)
+    },
+    Some(withCte(s"""SELECT chrom, win_start, s, n_members, burden, n_miss
+      FROM (SELECT chrom, win_start, CAST(ss AS INT) AS s,
+          CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_members,
+          CAST(SUM(CASE WHEN rare THEN COALESCE(dos, 0) ELSE 0 END)
+            AS BIGINT) AS burden,
+          CAST(SUM(CASE WHEN rare AND dos IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_miss
+        FROM (SELECT chrom, k * $WIN_SHIFT AS win_start, rare,
+            sq.ss, d[sq.ss + 1] AS dos
+          FROM (SELECT chrom, rare, d,
+              unnest(range(
+                greatest(0, CAST(floor((pos - $WIN_SIZE.0) / $WIN_SHIFT)
+                  AS BIGINT) + 1),
+                CAST(floor(pos / $WIN_SHIFT.0) AS BIGINT) + 1)) AS k
+            FROM (SELECT chrom, pos,
+                CASE WHEN ac_alt * 2 <= called THEN da
+                     ELSE list_transform(da, x -> ${SynthGeno.ploidy} - x)
+                END AS d,
+                called > 0 AND least(ac_alt, called - ac_alt) * 5 <= called
+                  AS rare
+              FROM (SELECT chrom, pos,
+                  list_transform(geno, sa ->
+                    CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0
+                         THEN NULL
+                         ELSE len(list_filter(sa, a -> a <> 0)) END) AS da,
+                  len(list_filter(flatten(geno), a -> a IS NOT NULL))
+                    AS called,
+                  len(list_filter(flatten(geno),
+                    a -> a IS NOT NULL AND a <> 0)) AS ac_alt
+                FROM variants))),
+            (SELECT unnest(range(0, 8)) AS ss) sq)
+        GROUP BY 1, 2, 3)
+      WHERE n_members > 0""")))
+
+  override def queries: Seq[Q] = Seq(q25, q26, q27, q28, q48, q110)
 }

@@ -344,6 +344,19 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q110: window burden partial-aggregates before its one exchange") {
+    val p = plan("q110_burden")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(chrom".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q111: span corruption is a pure projection — no exchange, no join") {
+    val p = plan("q111_span_corrupt")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
