@@ -614,7 +614,147 @@ object Genomics extends QueryModule {
       WHERE di IS NOT NULL AND dj IS NOT NULL
       GROUP BY i, j""")))
 
+  // --- runs of homozygosity (bcftools roh / detectRuns shape — the
+  // per-sample positional scan the reference's sample-major `~data`
+  // layout serves): per (sample, chrom), variants in (pos, vid) order,
+  // a run = consecutive fully-called homozygous calls (minor dosage 0
+  // or 2); report hom counts, run count, and the longest run. Shape:
+  // one posexplode to (sample, chrom) rows, the gaps-and-islands
+  // double row_number (island id = rn_all − rn_hom is constant within
+  // a run), then two aggregates — all windows partition by
+  // (s, chrom), so parallelism grows with samples × chromosomes (the
+  // biobank axis), never a global sort. ---------------------------------
+  private val q112 = Q("q112_roh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = SynthGeno.variants(s, dir)
+      val d = dosageAlt(col("geno"))
+      val rows = v.select(col("chrom"), col("pos"), col("vid"),
+          posexplode(d).as(Seq("s", "dos")))
+        .select(col("s"), col("chrom"), col("pos"), col("vid"),
+          coalesce(col("dos"), lit(-1L)).as("dkey"),
+          (col("dos").isNotNull &&
+            (col("dos") === 0 || col("dos") === 2)).as("hom"))
+      // lag-based islands: a run STARTS at a hom row whose predecessor
+      // is not hom; the run id is the running count of starts (RANGE
+      // frame, so full-key ties share it). vid is NOT unique in the
+      // testdata (duplicate (orderkey, linenumber) pairs), so the
+      // dosage value joins the sort key: remaining ties are rows with
+      // identical hom flags, where exactly one of the tied rows sees
+      // the pre-boundary predecessor — the segmentation is invariant
+      // to their internal order (a rank-subtraction islands id is NOT:
+      // two independent window sorts may permute ties differently).
+      val wAll = Window.partitionBy(col("s"), col("chrom"))
+        .orderBy(col("pos"), col("vid"), col("dkey"))
+      val runs = rows
+        .withColumn("start",
+          col("hom") && !lag(col("hom"), 1, false).over(wAll))
+        .withColumn("rid",
+          sum(when(col("start"), 1L).otherwise(0L)).over(wAll))
+        .filter(col("hom"))
+        .groupBy(col("s"), col("chrom"), col("rid"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy(col("s"), col("chrom"))
+        .agg(sum(col("run_len")).as("n_hom"),
+          count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("max_run"))
+    },
+    Some(withCte("""SELECT s, chrom,
+      CAST(SUM(run_len) AS BIGINT) AS n_hom,
+      COUNT(*) AS n_runs,
+      CAST(MAX(run_len) AS BIGINT) AS max_run
+      FROM (SELECT s, chrom, rid, COUNT(*) AS run_len
+        FROM (SELECT s, chrom, hom,
+            SUM(CASE WHEN strt THEN 1 ELSE 0 END)
+              OVER (PARTITION BY s, chrom ORDER BY pos, vid, dkey) AS rid
+          FROM (SELECT s, chrom, pos, vid, dkey, hom,
+              hom AND NOT LAG(hom, 1, FALSE)
+                OVER (PARTITION BY s, chrom ORDER BY pos, vid, dkey)
+                AS strt
+            FROM (SELECT CAST(sq.s AS INT) AS s, chrom, pos, vid,
+              COALESCE(d[sq.s + 1], -1) AS dkey,
+              d[sq.s + 1] IS NOT NULL
+                AND (d[sq.s + 1] = 0 OR d[sq.s + 1] = 2) AS hom
+            FROM (SELECT chrom, pos, vid,
+                list_transform(geno, sa ->
+                  CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0
+                       THEN NULL
+                       ELSE len(list_filter(sa, a -> a <> 0)) END) AS d
+              FROM variants),
+              (SELECT unnest(range(0, 8)) AS s) sq)))
+        WHERE hom GROUP BY 1, 2, 3)
+      GROUP BY s, chrom""")))
+
+  // --- genotype concordance between two callsets (bcftools gtcheck /
+  // GATK GenotypeConcordance): callset B is a deterministic perturbation
+  // of A (every (vid·7 + s) % 13 == 0 call allele-swapped — which must
+  // NOT count as discordant, genotypes compare unphased as multisets —
+  // and every (vid + s) % 11 == 0 call dropped to missing). Per variant:
+  // both-called, either-missing, unphased-equal counts and the
+  // concordance rate. Pure projection over the cube — the comparison
+  // kernel a cross-callset QC join would run after a (chrom, pos,
+  // allele)-key merge (q29's join shape); here both cubes share rows so
+  // the join drops out and the oracle replays every rule. ----------------
+  private val q113 = Q("q113_gtcheck",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      def sortedPair(g: org.apache.spark.sql.Column) = array_sort(g)
+      val pairs = transform(sequence(lit(0), lit(SynthGeno.nSamples - 1)),
+        i => {
+          val a = element_at(col("geno"), (i + 1).cast("int"))
+          val aMiss = size(filter(a, x => x.isNull)) > 0
+          val bMissing = (col("vid") + i) % 11 === 0
+          val bSwapped = (col("vid") * 7 + i) % 13 === 0
+          val b = when(bMissing, lit(null).cast("array<bigint>"))
+            .otherwise(when(bSwapped, reverse(a)).otherwise(a))
+          val bMiss = b.isNull || size(filter(b, x => x.isNull)) > 0
+          struct(
+            (!aMiss && !bMiss).as("both"),
+            (aMiss =!= bMiss).as("half"),
+            (!aMiss && !bMiss &&
+              sortedPair(a) === sortedPair(b)).as("eq"))
+        })
+      v.select(col("vid"),
+          size(filter(pairs, p => p.getField("both"))).as("n_both"),
+          size(filter(pairs, p => p.getField("half"))).as("n_half"),
+          size(filter(pairs, p => p.getField("eq"))).as("n_eq"))
+        .withColumn("concordance",
+          when(col("n_both") > 0,
+            col("n_eq").cast("double") / col("n_both")))
+    },
+    Some(withCte("""SELECT vid, n_both, n_half, n_eq,
+      CASE WHEN n_both > 0
+           THEN CAST(n_eq AS DOUBLE) / n_both END AS concordance
+      FROM (SELECT vid,
+          len(list_filter(ps, p -> p.both)) AS n_both,
+          len(list_filter(ps, p -> p.half)) AS n_half,
+          len(list_filter(ps, p -> p.eq)) AS n_eq
+        FROM (SELECT vid, list_transform(range(0, 8), i ->
+            {'both': NOT (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
+               AND NOT (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
+                 ELSE len(list_filter(
+                   CASE WHEN (vid * 7 + i) % 13 = 0
+                        THEN [geno[i + 1][2], geno[i + 1][1]]
+                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END),
+             'half': (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
+               <> (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
+                 ELSE len(list_filter(
+                   CASE WHEN (vid * 7 + i) % 13 = 0
+                        THEN [geno[i + 1][2], geno[i + 1][1]]
+                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END),
+             'eq': NOT (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
+               AND NOT (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
+                 ELSE len(list_filter(
+                   CASE WHEN (vid * 7 + i) % 13 = 0
+                        THEN [geno[i + 1][2], geno[i + 1][1]]
+                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END)
+               AND list_sort(geno[i + 1]) = list_sort(
+                 CASE WHEN (vid * 7 + i) % 13 = 0
+                      THEN list_reverse(geno[i + 1])
+                      ELSE geno[i + 1] END)}) AS ps
+          FROM variants))""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109)
+      q106, q107, q108, q109, q112, q113)
 }

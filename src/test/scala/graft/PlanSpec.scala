@@ -344,6 +344,20 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q112: ROH runs one (sample, chrom) exchange reused by every stage") {
+    val p = plan("q112_roh")
+    assert(!p.contains("Join"), p)
+    // the lag window, the running-sum window, and both aggregations all
+    // cluster on (s, chrom) prefixes — one hash exchange serves them all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q113: genotype concordance is a pure projection") {
+    val p = plan("q113_gtcheck")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q110: window burden partial-aggregates before its one exchange") {
     val p = plan("q110_burden")
     assert(!p.contains("Join"), p)
