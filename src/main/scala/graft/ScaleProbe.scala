@@ -67,19 +67,78 @@ object ScaleProbe {
       graft.functions.vectorfns.quantize(col("embedding"), 10000)
         .as("qv"))
 
-    val ops: Seq[(String, DataFrame => DataFrame, Boolean)] = Seq(
+    // the LD probe's variants table: dosage vectors from the SynthGeno
+    // cube, subsampled like q108. Expansion = 10 replica shards with
+    // pos offset by a full window-disjoint stride (shards never pair
+    // across the band boundary ⇒ the right linearity null model).
+    val vars1 = {
+      val v = graft.genomics.SynthGeno.variants(spark, sfDir)
+        .filter(col("vid") % 11 === 0)
+      v.select(col("vid"), col("chrom"), col("pos"),
+        graft.functions.genetics.dosageAlt(col("geno")).as("d"))
+    }
+    val varsN = vars1
+      .select(col("vid"), col("chrom"), col("pos"), col("d"),
+        explode(sequence(lit(0), lit(Factor - 1))).as("__r"))
+      .select((col("vid") * Factor + col("__r")).as("vid"), col("chrom"),
+        (col("pos") + col("__r") * 10000000L).as("pos"), col("d"))
+    vars1.cache(); varsN.cache(); vars1.count(); varsN.count()
+
+    sealed trait Input
+    case object Docs extends Input
+    case object Vecs extends Input
+    case object Vars extends Input
+
+    // PQ ADC probes must stay a FIXED set as the corpus grows (the
+    // query's % PROBE_MOD would grow them 10× and make the scan 100×
+    // by design, not by defect), so the probe set is the base corpus's.
+    def pqAdcScan(corpus: DataFrame, probeMod: Int): DataFrame = {
+      import graft.functions.vectorfns._
+      val e = quant(corpus)
+      val cbRow = e.orderBy(col("vec_id")).limit(16)
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("qv"))))
+          .as("pairs"))
+        .select(transform(col("pairs"), p => p.getField("qv")).as("cbs"))
+      val codes = e.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"), col("qv"),
+          pqEncode(col("qv"), col("cbs"), 16, 4).as("codes"))
+      val probes = e.filter(col("vec_id") % probeMod === 0)
+        .crossJoin(broadcast(cbRow))
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          transform(sequence(lit(0), lit(15)), m =>
+            transform(sequence(lit(0), lit(15)), k =>
+              l2Long(slice(col("qv"), m * 4 + 1, lit(4)),
+                slice(element_at(col("cbs"), (k + 1).cast("int")),
+                  m * 4 + 1, lit(4))))).as("dtab"))
+      val scored = codes.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          pqAdc(col("dtab"), col("codes")).as("adc"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 50)
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame, Input)] = Seq(
       ("ngram_jaccard",
         d => TrainingData.similarityJoin(d, shingleN = 3, threshold = 0.8),
-        false),
+        Docs),
       ("dedup_clusters",
         d => TrainingData.dedupClusters(d, shingleN = 3, minhashK = 32,
-          bands = 8, rowsPerBand = 4, threshold = 0.5), false),
+          bands = 8, rowsPerBand = 4, threshold = 0.5), Docs),
       ("dup_span_removal",
-        d => TrainingData.removeDuplicatedSpans(d, l = 8), false),
-      ("quality_gate", d => TrainingData.qualityGate(d), false),
+        d => TrainingData.removeDuplicatedSpans(d, l = 8), Docs),
+      ("quality_gate", d => TrainingData.qualityGate(d), Docs),
       ("semdedup",
         d => TrainingData.semDedup(quant(d), k = 8, iters = 2, tau = 0.4,
-          clusterCap = 64), true))
+          clusterCap = 64), Vecs),
+      ("ld_r2",
+        d => graft.operators.LdWindow.r2(d, 200L), Vars),
+      ("pq_adc",
+        d => pqAdcScan(d,
+          if (d eq vecsN) 40 * Factor else 40), Vecs))
 
     def time(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -87,8 +146,12 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = ops.map { case (name, fn, onVecs) =>
-      val (small, big) = if (onVecs) (vecs1, vecsN) else (docs1, docsN)
+    val results = ops.map { case (name, fn, input) =>
+      val (small, big) = input match {
+        case Docs => (docs1, docsN)
+        case Vecs => (vecs1, vecsN)
+        case Vars => (vars1, varsN)
+      }
       // min-of-2: first run pays Janino/JIT compile
       val t1 = math.min(time(fn(small)), time(fn(small)))
       val tN = math.min(time(fn(big)), time(fn(big)))

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectorfns.ldPairStats
+
+/** Windowed linkage-disequilibrium r² (the snpgdsLDMat shape of
+  * SNPRelate over a SeqArray handle; reference link layer
+  * /root/reference/src/LinkSNPRelate.cpp:1-410) as a BANDED self-join:
+  * each variant lands in bucket `pos div window`, the left side emits
+  * (bucket, bucket+1) keys, and pairs only form inside a (chrom,
+  * bucket) equi-join cell — `pos_b − pos_a ≤ window` implies the
+  * buckets differ by at most 1, so no out-of-window pair is ever
+  * enumerated and the shuffle is linear in variants (2 rows per
+  * variant), never O(pairs-outside-window).
+  *
+  * Sums come from the one-pass codegen kernel
+  * [[graft.functions.expressions.LdPairStats]] (pairwise-complete
+  * observations); r² = (n·Sxy − Sx·Sy)² / (varX·varY) with integer
+  * numerators squared in doubles — exactly replayable by any engine.
+  */
+object LdWindow {
+
+  /** `variants` must carry `vid` (LONG), `chrom`, `pos` (LONG) and `d`
+    * (ARRAY<BIGINT>, per-sample dosages, null = missing). Returns one
+    * row per in-window ordered pair: chrom, vid_a, vid_b, dist, n, r2
+    * (null when either variant is monomorphic over the shared
+    * samples). */
+  def r2(variants: DataFrame, window: Long): DataFrame = {
+    require(window > 0, s"window must be positive; got $window")
+    val v = variants.withColumn("bucket", expr(s"pos div $window"))
+    val a = v.select(col("chrom"), col("vid").as("vid_a"),
+      col("pos").as("pos_a"), col("d").as("da"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
+    val b = v.select(col("chrom"), col("vid").as("vid_b"),
+      col("pos").as("pos_b"), col("d").as("db"),
+      col("bucket").as("bkey"))
+    val pairs = a.join(b, Seq("chrom", "bkey"))
+      .filter(
+        (col("pos_a") < col("pos_b") ||
+          (col("pos_a") === col("pos_b") && col("vid_a") < col("vid_b"))) &&
+        col("pos_b") - col("pos_a") <= window)
+    val st = ldPairStats(col("da"), col("db"))
+    pairs.select(col("chrom"), col("vid_a"), col("vid_b"),
+        (col("pos_b") - col("pos_a")).as("dist"), st.as("st"))
+      .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+        element_at(col("st"), 1).as("n"),
+        element_at(col("st"), 2).as("sx"),
+        element_at(col("st"), 3).as("sy"),
+        element_at(col("st"), 4).as("sxy"),
+        element_at(col("st"), 5).as("sxx"),
+        element_at(col("st"), 6).as("syy"))
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+        col("n"),
+        when(col("var_x") > 0 && col("var_y") > 0,
+          (col("cov_n").cast("double") * col("cov_n").cast("double"))
+            / (col("var_x").cast("double") * col("var_y").cast("double")))
+          .as("r2"))
+  }
+}

@@ -468,45 +468,13 @@ object Genomics extends QueryModule {
   private val LD_MOD = 11
   private val q108 = Q("q108_ld_r2",
     (s, dir) => {
+      // delegates to the public operator — the oracle below proves
+      // graft.operators.LdWindow.r2 exact every round
       val v = SynthGeno.variants(s, dir)
         .filter(col("vid") % LD_MOD === 0)
         .select(col("vid"), col("chrom"), col("pos"),
           dosageAlt(col("geno")).as("d"))
-        .withColumn("bucket", expr(s"pos div $LD_WINDOW"))
-      val a = v.select(col("chrom"), col("vid").as("vid_a"),
-          col("pos").as("pos_a"), col("d").as("da"),
-          explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-      val b = v.select(col("chrom"), col("vid").as("vid_b"),
-          col("pos").as("pos_b"), col("d").as("db"),
-          col("bucket").as("bkey"))
-      val pairs = a.join(b, Seq("chrom", "bkey"))
-        .filter(
-          (col("pos_a") < col("pos_b") ||
-            (col("pos_a") === col("pos_b") && col("vid_a") < col("vid_b"))) &&
-          col("pos_b") - col("pos_a") <= LD_WINDOW)
-      // per-pair integer sums over samples called in both — one fused
-      // codegen pass (LdPairStats kernel; the 5-HOF twin it replaced is
-      // the differential oracle in KernelPropertySpec)
-      val st = graft.functions.vectorfns.ldPairStats(col("da"), col("db"))
-      val stats = pairs.select(col("chrom"), col("vid_a"), col("vid_b"),
-          (col("pos_b") - col("pos_a")).as("dist"), st.as("st"))
-        .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
-          element_at(col("st"), 1).as("n"),
-          element_at(col("st"), 2).as("sx"),
-          element_at(col("st"), 3).as("sy"),
-          element_at(col("st"), 4).as("sxy"),
-          element_at(col("st"), 5).as("sxx"),
-          element_at(col("st"), 6).as("syy"))
-      stats
-        .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
-        .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
-          col("n"),
-          when(col("var_x") > 0 && col("var_y") > 0,
-            (col("cov_n").cast("double") * col("cov_n").cast("double"))
-              / (col("var_x").cast("double") * col("var_y").cast("double")))
-            .as("r2"))
+      graft.operators.LdWindow.r2(v, LD_WINDOW)
     },
     Some(withCte(s"""SELECT chrom, vid_a, vid_b, dist, n,
       CASE WHEN var_x > 0 AND var_y > 0
