@@ -634,36 +634,70 @@ object Similarity extends QueryModule {
   private val PQ_DSUB = 4   // dims per subspace (PQ_M * PQ_DSUB = 64)
   private val PQ_K = 16     // codewords per subspace
   private val PQ_RERANK = 50 // ADC shortlist size fed to exact re-rank
+
+  /** The PQ_K lowest-vec_id vectors as a single-row broadcastable
+    * codebook (`cbs ARRAY<ARRAY<BIGINT>>`). */
+  private def pqCodebook(e: org.apache.spark.sql.DataFrame) =
+    e.orderBy(col("vec_id")).limit(PQ_K)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("qv"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("qv")).as("cbs"))
+
+  /** Integer L2² between subspace `m` of `v` and of codeword `k`
+    * (expects `cbs` in scope) — the HOF twin of the PqEncode kernel's
+    * inner loop, used to build probe distance tables. */
+  private def pqSubL2(v: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column) =
+    aggregate(sequence(lit(1), lit(PQ_DSUB)), lit(0L), (acc, i) => {
+      val a = element_at(v, (m * PQ_DSUB + i).cast("int"))
+      val b = element_at(element_at(col("cbs"), (k + 1).cast("int")),
+        (m * PQ_DSUB + i).cast("int"))
+      acc + (a - b) * (a - b)
+    })
+
+  /** Per-subspace distance list of `v` over the K codewords. */
+  private def pqDistList(v: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(PQ_K - 1)), k => pqSubL2(v, m, k))
+
+  /** probe → PQ_M × PQ_K integer distance table (expects `cbs`). */
+  private def pqDtab(v: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(PQ_M - 1)), m => pqDistList(v, m))
+
+  private def pqSubL2Sql(v: String) =
+    s"""CAST(list_sum(list_transform(range(1, ${PQ_DSUB + 1}), i ->
+       ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])
+       * ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])))
+       AS BIGINT)"""
+  private def pqDistListSql(v: String) =
+    s"list_transform(range(0, $PQ_K), k -> ${pqSubL2Sql(v)})"
+  /** cb/cbrow/codes CTE fragment shared by the PQ oracles; expects the
+    * corpus CTE `q` (vec_id, qv) and emits `codes(vec_id, qv, codes)`
+    * plus the `cbrow(cbs)` single row. `src` = the relation coded. */
+  private def pqCodesCtes(src: String) =
+    s"""cb AS (SELECT rk, qv FROM
+        (SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM q)
+        WHERE rk <= $PQ_K),
+      cbrow AS (SELECT list(qv ORDER BY rk) AS cbs FROM cb),
+      codes AS (SELECT $src.*,
+          list_transform(range(0, $PQ_M), m ->
+            CAST(list_position(${pqDistListSql(s"$src.qv")},
+              list_min(${pqDistListSql(s"$src.qv")})) - 1 AS INT)) AS codes
+        FROM $src, cbrow)"""
+
   private val q105 = Q("q105_pq_adc",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
-      val cbRow = e.orderBy(col("vec_id")).limit(PQ_K)
-        .agg(array_sort(collect_list(struct(col("vec_id"), col("qv"))))
-          .as("pairs"))
-        .select(transform(col("pairs"), p => p.getField("qv")).as("cbs"))
-      // integer L2² between subspace m of `v` and subspace m of codeword k
-      def subL2(v: org.apache.spark.sql.Column,
-          m: org.apache.spark.sql.Column,
-          k: org.apache.spark.sql.Column) =
-        aggregate(sequence(lit(1), lit(PQ_DSUB)), lit(0L), (acc, i) => {
-          val a = element_at(v, (m * PQ_DSUB + i).cast("int"))
-          val b = element_at(element_at(col("cbs"), (k + 1).cast("int")),
-            (m * PQ_DSUB + i).cast("int"))
-          acc + (a - b) * (a - b)
-        })
-      // per-subspace distance list over the K codewords
-      def distList(v: org.apache.spark.sql.Column,
-          m: org.apache.spark.sql.Column) =
-        transform(sequence(lit(0), lit(PQ_K - 1)), k => subL2(v, m, k))
+      val cbRow = pqCodebook(e)
       val codes = e.crossJoin(broadcast(cbRow))
         .select(col("vec_id"), col("qv"),
           pqEncode(col("qv"), col("cbs"), PQ_M, PQ_DSUB).as("codes"))
       val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
         .crossJoin(broadcast(cbRow))
         .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
-          transform(sequence(lit(0), lit(PQ_M - 1)),
-            m => distList(col("qv"), m)).as("dtab"))
+          pqDtab(col("qv")).as("dtab"))
       val scored = codes.join(broadcast(probes),
           col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
@@ -686,25 +720,11 @@ object Similarity extends QueryModule {
           when(col("__rx") <= 5, lit(1L)).otherwise(lit(0L)).as("hit"))
     },
     Some {
-      def subL2Sql(v: String) =
-        s"""CAST(list_sum(list_transform(range(1, ${PQ_DSUB + 1}), i ->
-           ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])
-           * ($v[m * $PQ_DSUB + i] - cbs[k + 1][m * $PQ_DSUB + i])))
-           AS BIGINT)"""
-      def distListSql(v: String) =
-        s"list_transform(range(0, $PQ_K), k -> ${subL2Sql(v)})"
       s"""WITH q AS ($qCte),
-      cb AS (SELECT rk, qv FROM
-        (SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM q)
-        WHERE rk <= $PQ_K),
-      cbrow AS (SELECT list(qv ORDER BY rk) AS cbs FROM cb),
-      codes AS (SELECT vec_id, qv,
-          list_transform(range(0, $PQ_M), m ->
-            CAST(list_position(${distListSql("qv")},
-              list_min(${distListSql("qv")})) - 1 AS INT)) AS codes
-        FROM q, cbrow),
+      ${pqCodesCtes("q")},
       probes AS (SELECT vec_id AS probe_id, qv AS pv,
-          list_transform(range(0, $PQ_M), m -> ${distListSql("qv")}) AS dtab
+          list_transform(range(0, $PQ_M), m -> ${pqDistListSql("qv")})
+            AS dtab
         FROM q, cbrow WHERE vec_id % $PROBE_MOD = 0),
       scored AS (SELECT probe_id, c.vec_id,
           CAST(list_sum(list_transform(range(1, ${PQ_M + 1}), m ->
@@ -728,6 +748,131 @@ object Similarity extends QueryModule {
       FROM rr WHERE rank <= 5"""
     })
 
+  // --- IVF-PQ (FAISS IVFADC+R; Jégou 2011 §V): the composed index —
+  // kmeansTrain builds the coarse quantizer (q75's build), vectors
+  // store only their PQ codes inside their inverted list, probes rank
+  // the current list centroids and visit NPROBE lists, candidates rank
+  // by ADC table lookups, and the exact pass re-ranks the PQ_RERANK
+  // shortlist. At 100 TB the resident per-vector state is PQ_M bytes +
+  // a list id (vs 256 B of floats); the scan touches ~NPROBE/k of the
+  // corpus, each visit costing PQ_M lookups — the plan is the k-means
+  // chain + two broadcast joins + bounded windows, no corpus shuffle
+  // beyond the build. `hit` scores against the FULL-corpus exact-L2
+  // top-5, so the gate prices IVF pruning loss AND PQ error together
+  // every round. ---------------------------------------------------------
+  private val q114 = Q("q114_ivf_pq",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      val assigned = graft.pipeline.TrainingData
+        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+      val cents = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
+          .as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val cbRow = pqCodebook(e)
+      val coded = assigned.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          pqEncode(col("qv"), col("cbs"), PQ_M, PQ_DSUB).as("codes"))
+      val wP = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pcos").desc, col("cid"))
+      val ptop = assigned.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("cid"),
+          cosineQ(dotLong(col("pv"), col("cv")), col("pnrm"), col("cnrm"))
+            .as("pcos"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= NPROBE)
+        .select(col("probe_id"), col("pv"), col("cid"))
+      val pdt = ptop.select(col("probe_id"), col("pv")).distinct()
+        .crossJoin(broadcast(cbRow))
+        .select(col("probe_id"), col("pv"), pqDtab(col("pv")).as("dtab"))
+      val cand = coded
+        .join(broadcast(ptop.select(col("probe_id"), col("cid"))),
+          Seq("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(pdt), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          pqAdc(col("dtab"), col("codes")).as("adc"),
+          l2Long(col("pv"), col("qv")).as("l2x"))
+      val wA = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val wR = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2x").asc, col("vec_id"))
+      val top = cand.withColumn("__ra", row_number().over(wA))
+        .filter(col("__ra") <= PQ_RERANK)
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 5)
+      val probesF = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      val wX = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2x").asc, col("vec_id"))
+      val truth = e.join(broadcast(probesF),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          l2Long(col("pv"), col("qv")).as("l2x"))
+        .withColumn("__rx", row_number().over(wX))
+        .filter(col("__rx") <= 5)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("__h"))
+      // truth is ≤ 5·#probes rows by construction — broadcast it
+      top.join(broadcast(truth), Seq("probe_id", "vec_id"), "left")
+        .select(col("probe_id"), col("vec_id"), col("adc"), col("l2x"),
+          col("rank"), coalesce(col("__h"), lit(0L)).as("hit"))
+    },
+    Some {
+      val f = KMEANS_ITERS
+      s"""WITH ${kmeansCtes(KMEANS_K, KMEANS_ITERS)},
+      ${updateSql(s"a$f", "F")},
+      ${pqCodesCtes(s"a$f")},
+      ptop AS (SELECT probe_id, pv, cid FROM
+        (SELECT p.vec_id AS probe_id, p.qv AS pv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY ${cosSql("p.qv", "cv", "p.nrm", "c.cnrm")}
+               DESC, c.cid) AS rn
+         FROM a$f p, centnF c WHERE p.vec_id % $PROBE_MOD = 0)
+        WHERE rn <= $NPROBE),
+      pdt AS (SELECT probe_id, pv,
+          list_transform(range(0, $PQ_M), m -> ${pqDistListSql("pv")})
+            AS dtab
+        FROM (SELECT DISTINCT probe_id, pv FROM ptop), cbrow),
+      cand AS (SELECT t.probe_id, c.vec_id,
+          CAST(list_sum(list_transform(range(1, ${PQ_M + 1}), m ->
+            d.dtab[m][c.codes[m] + 1])) AS BIGINT) AS adc,
+          CAST(list_sum(list_transform(range(1, ${PQ_M * PQ_DSUB + 1}),
+            i -> (d.pv[i] - c.qv[i]) * (d.pv[i] - c.qv[i]))) AS BIGINT)
+            AS l2x
+        FROM codes c
+        JOIN ptop t ON c.cid = t.cid AND c.vec_id <> t.probe_id
+        JOIN pdt d ON d.probe_id = t.probe_id),
+      ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY adc ASC, vec_id) AS __ra FROM cand),
+      rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY l2x ASC, vec_id) AS rank
+        FROM ra WHERE __ra <= $PQ_RERANK),
+      truth AS (SELECT probe_id, vec_id FROM
+        (SELECT p.vec_id AS probe_id, n2.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, ${PQ_M * PQ_DSUB + 1}),
+               i -> (p.qv[i] - n2.qv[i]) * (p.qv[i] - n2.qv[i])))
+               AS BIGINT), n2.vec_id) AS rx
+         FROM n n2, n p
+         WHERE p.vec_id % $PROBE_MOD = 0 AND n2.vec_id <> p.vec_id)
+        WHERE rx <= 5)
+      SELECT rr.probe_id, rr.vec_id, adc, l2x, rank,
+        CASE WHEN truth.vec_id IS NOT NULL THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS hit
+      FROM rr LEFT JOIN truth
+        ON truth.probe_id = rr.probe_id AND truth.vec_id = rr.vec_id
+      WHERE rank <= 5"""
+    })
+
   override def queries: Seq[Q] =
-    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105)
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114)
 }

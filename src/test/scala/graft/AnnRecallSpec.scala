@@ -105,4 +105,16 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"pq adc recall@5 = $r%.3f")
     assert(r >= 0.6, f"recall@5 = $r%.3f")
   }
+
+  // IVF-PQ pays BOTH pruning loss (nprobe=4 of 8 lists; IVF-flat q61
+  // scores ~0.62 alone on this label-loose corpus) and PQ error — the
+  // hit column prices them together against the full-corpus exact-L2
+  // truth. Measured 0.63 here (0.57 at sf0.01).
+  test("IVF-PQ (q114) recall@5 >= 0.45 vs full-corpus exact L2") {
+    val pq = SparkEntry.queries("q114_ivf_pq")(spark, dir)
+    val agg = pq.agg(sum(col("hit")), count(lit(1))).collect()(0)
+    val r = agg.getLong(0).toDouble / agg.getLong(1)
+    info(f"ivf-pq recall@5 = $r%.3f")
+    assert(r >= 0.45, f"recall@5 = $r%.3f")
+  }
 }

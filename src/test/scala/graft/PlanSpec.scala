@@ -319,6 +319,13 @@ class PlanSpec extends AnyFunSuite {
       p)
   }
 
+  test("q114: IVF-PQ joins ride broadcasts — corpus never shuffled to join") {
+    val p = plan("q114_ivf_pq")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q106: HWE chi-square is a pure projection — no exchange, no join") {
     val p = plan("q106_hwe")
     // one round-robin fan-out of the single-row-group scan is the only
