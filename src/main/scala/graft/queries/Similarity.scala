@@ -873,6 +873,71 @@ object Similarity extends QueryModule {
       WHERE rank <= 5"""
     })
 
+  // --- hard-negative mining for contrastive training: for each anchor,
+  // the top-k most-similar corpus vectors from a DIFFERENT label (label
+  // = the positive class; a near-dup fingerprint filter composes the
+  // same way). The plan is the q36 broadcast scan with the class filter
+  // fused into the join condition — at scale the full scan swaps for
+  // any of the ANN paths (q37/q61/q114) feeding the same filter +
+  // top-k; margin = anchor's nearest positive cosine minus the
+  // negative's (>0 ⇒ the negative is "hard but not confusable"). ---------
+  private val HARDNEG_K = 4
+  private val q115 = Q("q115_hard_negatives",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      val anchors = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("qv").as("pv"), col("nrm").as("pnrm"))
+      val scored = e.join(broadcast(anchors),
+          col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("a_label"), col("vec_id"),
+          col("label"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      // nearest positive per anchor (same label) — the margin baseline
+      val wPos = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val pos = scored.filter(col("label") === col("a_label"))
+        .withColumn("rn", row_number().over(wPos))
+        .filter(col("rn") === 1)
+        .select(col("anchor_id"), col("cos").as("pos_cos"))
+      val wNeg = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.filter(col("label") =!= col("a_label"))
+        .withColumn("rank", row_number().over(wNeg))
+        .filter(col("rank") <= HARDNEG_K)
+        .join(broadcast(pos), Seq("anchor_id"), "left")
+        .select(col("anchor_id"), col("vec_id").as("negative_id"),
+          col("label").as("neg_label"), col("cos"), col("rank"),
+          (col("pos_cos") - col("cos")).as("margin"))
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, label, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      a AS (SELECT vec_id AS anchor_id, label AS a_label, qv AS pv,
+          nrm AS pnrm FROM n WHERE vec_id % $PROBE_MOD = 0),
+      scored AS (SELECT anchor_id, a_label, vec_id, label,
+          CASE WHEN pnrm > 0 AND nrm > 0 THEN
+            CAST(${dot2("pv", "qv")} AS DOUBLE) /
+              (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+            AS cos
+        FROM n JOIN a ON vec_id <> anchor_id),
+      pos AS (SELECT anchor_id, cos AS pos_cos FROM
+        (SELECT anchor_id, cos, ROW_NUMBER() OVER (PARTITION BY anchor_id
+           ORDER BY cos DESC, vec_id) AS rn
+         FROM scored WHERE label = a_label) WHERE rn = 1),
+      neg AS (SELECT anchor_id, vec_id AS negative_id,
+          label AS neg_label, cos,
+          ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY cos DESC, vec_id) AS rank
+        FROM scored WHERE label <> a_label)
+      SELECT neg.anchor_id, negative_id, neg_label, cos, rank,
+        pos_cos - cos AS margin
+      FROM neg LEFT JOIN pos ON pos.anchor_id = neg.anchor_id
+      WHERE rank <= $HARDNEG_K"""))
+
   override def queries: Seq[Q] =
-    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114)
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115)
 }
