@@ -722,7 +722,71 @@ object Genomics extends QueryModule {
                       ELSE geno[i + 1] END)}) AS ps
           FROM variants))""")))
 
+  // --- Mendelian-error check over trios (bcftools +mendelian / GATK
+  // PhaseByTransmission QC): for fixed trios (father, mother, child) =
+  // (0,1,2) and (3,4,5) of the 8-sample cube, a diploid child call is
+  // CONSISTENT iff some assignment puts one child allele in the
+  // father's pair and the other in the mother's. Trios with any
+  // missing member are counted separately. Pure projection — exact
+  // set logic per variant, no shuffle; a pedigree-table version joins
+  // the broadcast pedigree the same way the samples table joins. -------
+  private val q116 = Q("q116_mendel",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      def g(i: Int) = element_at(col("geno"), i + 1)
+      def called(i: Int) = size(filter(g(i), x => x.isNull)) === 0
+      def inPair(a: org.apache.spark.sql.Column, i: Int) =
+        element_at(g(i), 1) === a || element_at(g(i), 2) === a
+      def trio(f: Int, m: Int, c: Int) = {
+        val c1 = element_at(g(c), 1)
+        val c2 = element_at(g(c), 2)
+        val ok = (inPair(c1, f) && inPair(c2, m)) ||
+          (inPair(c1, m) && inPair(c2, f))
+        struct(
+          (called(f) && called(m) && called(c)).as("checked"),
+          (called(f) && called(m) && called(c) && !ok).as("violation"))
+      }
+      val trios = array(trio(0, 1, 2), trio(3, 4, 5))
+      v.select(col("vid"),
+          size(filter(trios, t => t.getField("checked")))
+            .cast("long").as("n_checked"),
+          size(filter(trios, t => t.getField("violation")))
+            .cast("long").as("n_violations"))
+        .withColumn("error_rate",
+          when(col("n_checked") > 0,
+            col("n_violations").cast("double") / col("n_checked")))
+    },
+    Some(withCte({
+      def gSql(i: Int) = s"geno[${i + 1}]"
+      def calledSql(i: Int) =
+        s"len(list_filter(${gSql(i)}, x -> x IS NULL)) = 0"
+      def inPairSql(a: String, i: Int) =
+        s"(${gSql(i)}[1] = $a OR ${gSql(i)}[2] = $a)"
+      def trioSql(f: Int, m: Int, c: Int) = {
+        val c1 = s"${gSql(c)}[1]"
+        val c2 = s"${gSql(c)}[2]"
+        val ok = s"""((${inPairSql(c1, f)} AND ${inPairSql(c2, m)})
+           OR (${inPairSql(c1, m)} AND ${inPairSql(c2, f)}))"""
+        s"""{'checked': ${calledSql(f)} AND ${calledSql(m)}
+             AND ${calledSql(c)},
+           'violation': ${calledSql(f)} AND ${calledSql(m)}
+             AND ${calledSql(c)} AND NOT $ok}"""
+      }
+      s"""SELECT vid, n_checked, n_violations,
+        CASE WHEN n_checked > 0
+             THEN CAST(n_violations AS DOUBLE) / n_checked
+        END AS error_rate
+      FROM (SELECT vid,
+          CAST(len(list_filter(ts, t -> t.checked)) AS BIGINT)
+            AS n_checked,
+          CAST(len(list_filter(ts, t -> t.violation)) AS BIGINT)
+            AS n_violations
+        FROM (SELECT vid,
+            [${trioSql(0, 1, 2)}, ${trioSql(3, 4, 5)}] AS ts
+          FROM variants))"""
+    })))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113)
+      q106, q107, q108, q109, q112, q113, q116)
 }

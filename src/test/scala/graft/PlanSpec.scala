@@ -365,6 +365,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
+  test("q116: Mendelian check is a pure projection") {
+    val p = plan("q116_mendel")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q110: window burden partial-aggregates before its one exchange") {
     val p = plan("q110_burden")
     assert(!p.contains("Join"), p)
