@@ -655,72 +655,78 @@ object Genomics extends QueryModule {
 
   // --- genotype concordance between two callsets (bcftools gtcheck /
   // GATK GenotypeConcordance): callset B is a deterministic perturbation
-  // of A (every (vid·7 + s) % 13 == 0 call allele-swapped — which must
-  // NOT count as discordant, genotypes compare unphased as multisets —
-  // and every (vid + s) % 11 == 0 call dropped to missing). Per variant:
-  // both-called, either-missing, unphased-equal counts and the
-  // concordance rate. Pure projection over the cube — the comparison
-  // kernel a cross-callset QC join would run after a (chrom, pos,
-  // allele)-key merge (q29's join shape); here both cubes share rows so
-  // the join drops out and the oracle replays every rule. ----------------
+  // of A — per call, in precedence order: (vid + s) % 11 == 0 drops to
+  // missing, (vid·3 + s) % 7 == 0 MUTATES the first allele to
+  // (a1+1) % nall (always discordant: the multiset provably changes),
+  // (vid·7 + s) % 13 == 0 swaps the alleles (must NOT count as
+  // discordant — genotypes compare unphased as (min, max) multisets).
+  // Statically unrolled over the 8 samples: every comparison is scalar
+  // when/least/greatest codegen, no per-row HOF walk (the first cut ran
+  // nested list_filters per sample and was the slowest bench query).
+  // Pure projection; a real cross-callset run joins on q29's
+  // (chrom, pos, allele) merge key first. -------------------------------
   private val q113 = Q("q113_gtcheck",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      def sortedPair(g: org.apache.spark.sql.Column) = array_sort(g)
-      val pairs = transform(sequence(lit(0), lit(SynthGeno.nSamples - 1)),
-        i => {
-          val a = element_at(col("geno"), (i + 1).cast("int"))
-          val aMiss = size(filter(a, x => x.isNull)) > 0
-          val bMissing = (col("vid") + i) % 11 === 0
-          val bSwapped = (col("vid") * 7 + i) % 13 === 0
-          val b = when(bMissing, lit(null).cast("array<bigint>"))
-            .otherwise(when(bSwapped, reverse(a)).otherwise(a))
-          val bMiss = b.isNull || size(filter(b, x => x.isNull)) > 0
-          struct(
-            (!aMiss && !bMiss).as("both"),
-            (aMiss =!= bMiss).as("half"),
-            (!aMiss && !bMiss &&
-              sortedPair(a) === sortedPair(b)).as("eq"))
-        })
+      val samples = (0 until SynthGeno.nSamples).map { i =>
+        val a1 = col("geno")(i)(0)
+        val a2 = col("geno")(i)(1)
+        val aMiss = a1.isNull || a2.isNull
+        val bMissing = (col("vid") + i) % 11 === 0
+        val bMutated = (col("vid") * 3 + i) % 7 === 0
+        val bSwapped = (col("vid") * 7 + i) % 13 === 0
+        val b1 = when(bMutated, (a1 + 1) % col("nall"))
+          .otherwise(when(bSwapped, a2).otherwise(a1))
+        val b2 = when(bSwapped, a1).otherwise(a2)
+        val bMiss = bMissing || b1.isNull || b2.isNull
+        val both = !aMiss && !bMiss
+        val eq = both && least(a1, a2) === least(b1, b2) &&
+          greatest(a1, a2) === greatest(b1, b2)
+        (when(both, 1).otherwise(0),
+          when(aMiss =!= bMiss, 1).otherwise(0),
+          when(eq, 1).otherwise(0))
+      }
       v.select(col("vid"),
-          size(filter(pairs, p => p.getField("both"))).as("n_both"),
-          size(filter(pairs, p => p.getField("half"))).as("n_half"),
-          size(filter(pairs, p => p.getField("eq"))).as("n_eq"))
+          samples.map(_._1).reduce(_ + _).as("n_both"),
+          samples.map(_._2).reduce(_ + _).as("n_half"),
+          samples.map(_._3).reduce(_ + _).as("n_eq"))
         .withColumn("concordance",
           when(col("n_both") > 0,
             col("n_eq").cast("double") / col("n_both")))
     },
-    Some(withCte("""SELECT vid, n_both, n_half, n_eq,
-      CASE WHEN n_both > 0
-           THEN CAST(n_eq AS DOUBLE) / n_both END AS concordance
+    Some(withCte({
+      def term(i: Int, field: String) = {
+        val a1 = s"geno[${i + 1}][1]"
+        val a2 = s"geno[${i + 1}][2]"
+        val aMiss = s"($a1 IS NULL OR $a2 IS NULL)"
+        val b1 = s"""(CASE WHEN (vid * 3 + $i) % 7 = 0
+          THEN ($a1 + 1) % nall
+          WHEN (vid * 7 + $i) % 13 = 0 THEN $a2 ELSE $a1 END)"""
+        val b2 = s"""(CASE WHEN (vid * 7 + $i) % 13 = 0
+          THEN $a1 ELSE $a2 END)"""
+        val bMiss =
+          s"((vid + $i) % 11 = 0 OR $b1 IS NULL OR $b2 IS NULL)"
+        val both = s"(NOT $aMiss AND NOT $bMiss)"
+        val eq = s"""($both AND least($a1, $a2) = least($b1, $b2)
+          AND greatest($a1, $a2) = greatest($b1, $b2))"""
+        field match {
+          case "both" => s"(CASE WHEN $both THEN 1 ELSE 0 END)"
+          case "half" =>
+            s"(CASE WHEN $aMiss <> $bMiss THEN 1 ELSE 0 END)"
+          case "eq" => s"(CASE WHEN $eq THEN 1 ELSE 0 END)"
+        }
+      }
+      def sumOf(field: String) =
+        (0 until SynthGeno.nSamples).map(term(_, field)).mkString(" + ")
+      s"""SELECT vid, n_both, n_half, n_eq,
+        CASE WHEN n_both > 0
+             THEN CAST(n_eq AS DOUBLE) / n_both END AS concordance
       FROM (SELECT vid,
-          len(list_filter(ps, p -> p.both)) AS n_both,
-          len(list_filter(ps, p -> p.half)) AS n_half,
-          len(list_filter(ps, p -> p.eq)) AS n_eq
-        FROM (SELECT vid, list_transform(range(0, 8), i ->
-            {'both': NOT (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
-               AND NOT (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
-                 ELSE len(list_filter(
-                   CASE WHEN (vid * 7 + i) % 13 = 0
-                        THEN [geno[i + 1][2], geno[i + 1][1]]
-                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END),
-             'half': (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
-               <> (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
-                 ELSE len(list_filter(
-                   CASE WHEN (vid * 7 + i) % 13 = 0
-                        THEN [geno[i + 1][2], geno[i + 1][1]]
-                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END),
-             'eq': NOT (len(list_filter(geno[i + 1], x -> x IS NULL)) > 0)
-               AND NOT (CASE WHEN (vid + i) % 11 = 0 THEN TRUE
-                 ELSE len(list_filter(
-                   CASE WHEN (vid * 7 + i) % 13 = 0
-                        THEN [geno[i + 1][2], geno[i + 1][1]]
-                        ELSE geno[i + 1] END, x -> x IS NULL)) > 0 END)
-               AND list_sort(geno[i + 1]) = list_sort(
-                 CASE WHEN (vid * 7 + i) % 13 = 0
-                      THEN list_reverse(geno[i + 1])
-                      ELSE geno[i + 1] END)}) AS ps
-          FROM variants))""")))
+          CAST(${sumOf("both")} AS INT) AS n_both,
+          CAST(${sumOf("half")} AS INT) AS n_half,
+          CAST(${sumOf("eq")} AS INT) AS n_eq
+        FROM variants)"""
+    })))
 
   // --- Mendelian-error check over trios (bcftools +mendelian / GATK
   // PhaseByTransmission QC): for fixed trios (father, mother, child) =

@@ -405,6 +405,103 @@ object Sampling extends QueryModule {
         AS n_masked_tokens
     FROM f"""))
 
+  // --- fill-in-the-middle transformation (Bavarian et al. 2022 — the
+  // code-LLM pretraining op): deterministically cut each document's
+  // token stream into (prefix, middle, suffix) and emit the PSM
+  // rearrangement <PRE>prefix<SUF>suffix<MID>middle. Cut points come
+  // from md5 nibbles of the doc id (reproducible, no rand()); docs
+  // with < 3 tokens pass through unchanged (fim_applied = 0). Pure
+  // projection. --------------------------------------------------------
+  private val q117 = Q("q117_fim_transform",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val n = size(toks)
+      // two md5 nibble pairs → cut1 in [1, n-2], cut2 in (cut1, n-1]:
+      // h1 % (n-2) + 1 and cut1 + h2 % (n-1-cut1) + 1, exact integers
+      val h1 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":a"))), 1, 4), 16, 10).cast("long")
+      val h2 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":b"))), 1, 4), 16, 10).cast("long")
+      val cut1 = (h1 % (n - 2) + 1).cast("int")
+      val cut2 = (cut1 + h2 % (n - 1 - cut1) + 1).cast("int")
+      val pre = array_join(slice(toks, lit(1), cut1), " ")
+      val mid = array_join(slice(toks, cut1 + 1, cut2 - cut1), " ")
+      val suf = array_join(slice(toks, cut2 + 1, n - cut2), " ")
+      d.select(col("doc_id"),
+        when(n >= 3,
+          concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid))
+          .otherwise(col("text")).as("fim_text"),
+        when(n >= 3, lit(1L)).otherwise(lit(0L)).as("fim_applied"),
+        when(n >= 3, (cut2 - cut1).cast("long")).otherwise(lit(0L))
+          .as("n_middle_tokens"))
+    },
+    Some("""SELECT doc_id,
+      CASE WHEN n >= 3 THEN
+        '<PRE>' || array_to_string(toks[1 : cut1], ' ') ||
+        '<SUF>' || array_to_string(toks[cut2 + 1 : n], ' ') ||
+        '<MID>' || array_to_string(toks[cut1 + 1 : cut2], ' ')
+        ELSE text END AS fim_text,
+      CASE WHEN n >= 3 THEN CAST(1 AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS fim_applied,
+      CASE WHEN n >= 3 THEN CAST(cut2 - cut1 AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS n_middle_tokens
+      FROM (SELECT doc_id, text, toks, n, cut1,
+          CAST(cut1 + h2 % (n - 1 - cut1) + 1 AS INT) AS cut2
+        FROM (SELECT doc_id, text, toks, n, h2,
+            CAST(h1 % (n - 2) + 1 AS INT) AS cut1
+          FROM (SELECT doc_id, text, toks, len(toks) AS n,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+                1, 4)) AS BIGINT) AS h1,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+                1, 4)) AS BIGINT) AS h2
+            FROM (SELECT doc_id, text,
+                list_filter(string_split_regex(text, '\s+'),
+                  t -> t <> '') AS toks
+              FROM documents))))"""))
+
+  // --- length-grouped batch assignment (padding-efficiency batching):
+  // docs bucket by floor(log2(n_tokens)), batches of BATCH within a
+  // bucket in hash order — all windows partition by bucket, so the
+  // plan has no global sort and parallelism grows with the length
+  // spread; deterministic md5 order keeps batches stable across runs
+  // and engines. ------------------------------------------------------
+  private val BATCH = 16
+  private val q118 = Q("q118_length_batches",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      // floor(log2(n)) computed EXACTLY as bit-length − 1 (a floating
+      // log2 can straddle integer boundaries differently per engine)
+      val bucket = when(n <= 0, lit(0))
+        .otherwise((length(bin(n.cast("long"))) - 1).cast("int"))
+      val key = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("key"), col("doc_id"))
+      d.select(col("doc_id"), n.cast("long").as("n_tokens"),
+          bucket.as("bucket"), key.as("key"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          expr(s"CAST((rn - 1) div $BATCH AS BIGINT)")
+            .as("batch_in_bucket"),
+          ((col("rn") - 1) % BATCH).cast("long").as("slot"))
+    },
+    Some(s"""SELECT doc_id, n_tokens, bucket,
+      CAST((rn - 1) // $BATCH AS BIGINT) AS batch_in_bucket,
+      CAST((rn - 1) % $BATCH AS BIGINT) AS slot
+      FROM (SELECT doc_id, n_tokens, bucket,
+          ROW_NUMBER() OVER (PARTITION BY bucket
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+            CASE WHEN n <= 0 THEN 0
+              ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT)
+            END AS bucket
+          FROM (SELECT doc_id,
+              len(list_filter(string_split_regex(text, '\\s+'),
+                t -> t <> '')) AS n
+            FROM documents)))"""))
+
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89, q91, q95, q96, q111)
+    q89, q91, q95, q96, q111, q117, q118)
 }

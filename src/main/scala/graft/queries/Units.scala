@@ -170,28 +170,38 @@ object Units extends QueryModule {
       val acAlt = called - acRef
       val rare = called > 0 && least(acAlt, acRef) * 5 <= called
       val minorIsAlt = acAlt * 2 <= called
-      // per-sample minor-allele dosage: alt dosage when alt is minor,
-      // else ploidy − alt dosage (null propagates through both arms)
-      val dMinor = when(minorIsAlt, dosageAlt(col("geno")))
-        .otherwise(transform(dosageAlt(col("geno")),
-          x => lit(SynthGeno.ploidy.toLong) - x))
       val kMin = greatest(lit(0L),
         floor((col("pos") - WIN_SIZE).cast("double") / WIN_SHIFT)
           .cast("long") + 1L)
       val kMax = floor(col("pos").cast("double") / WIN_SHIFT).cast("long")
-      v.select(col("chrom"), rare.as("rare"),
-          dMinor.as("d"),
-          explode(sequence(kMin, kMax)).as("k"))
-        .select(col("chrom"), (col("k") * WIN_SHIFT).as("win_start"),
-          col("rare"), posexplode(col("d")).as(Seq("s", "dos")))
-        .groupBy(col("chrom"), col("win_start"), col("s"))
-        .agg(
-          sum(when(col("rare"), 1L).otherwise(0L)).as("n_members"),
-          sum(when(col("rare"), coalesce(col("dos"), lit(0L)))
-            .otherwise(0L)).as("burden"),
-          sum(when(col("rare") && col("dos").isNull, 1L).otherwise(0L))
-            .as("n_miss"))
+      // per-sample sums are statically-unrolled aggregate COLUMNS over
+      // the window-key rows (8 samples × 2 counters), unpivoted only
+      // after the aggregation — the posexplode-then-group variant
+      // shipped 8× the rows through the Generate and cost ~5× as much.
+      // (At biobank width the unroll flips back to a posexplode or the
+      // packed-BINARY kernels: the plan must stay O(1) in n_samples.)
+      val rows = v.select(col("chrom"), rare.as("rare"),
+        minorIsAlt.as("mia"), dosageAlt(col("geno")).as("d"),
+        explode(sequence(kMin, kMax)).as("k"))
+      def dosS(s: Int) = when(col("mia"), col("d")(s))
+        .otherwise(lit(SynthGeno.ploidy.toLong) - col("d")(s))
+      val aggs =
+        sum(when(col("rare"), 1L).otherwise(0L)).as("n_members") +:
+        (0 until SynthGeno.nSamples).flatMap(s => Seq(
+          sum(when(col("rare"), coalesce(dosS(s), lit(0L)))
+            .otherwise(0L)).as(s"__b$s"),
+          sum(when(col("rare") && dosS(s).isNull, 1L).otherwise(0L))
+            .as(s"__m$s")))
+      val perWin = rows
+        .groupBy(col("chrom"), (col("k") * WIN_SHIFT).as("win_start"))
+        .agg(aggs.head, aggs.tail: _*)
         .filter(col("n_members") > 0)
+      perWin.select(col("chrom"), col("win_start"), col("n_members"),
+          posexplode(array((0 until SynthGeno.nSamples).map(s =>
+            struct(lit(s).as("s"), col(s"__b$s").as("b"),
+              col(s"__m$s").as("m"))): _*)).as(Seq("__p", "c")))
+        .select(col("chrom"), col("win_start"), col("c.s").as("s"),
+          col("n_members"), col("c.b").as("burden"), col("c.m").as("n_miss"))
     },
     Some(withCte(s"""SELECT chrom, win_start, s, n_members, burden, n_miss
       FROM (SELECT chrom, win_start, CAST(ss AS INT) AS s,

@@ -384,6 +384,21 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
+  test("q117: FIM transform is a pure projection — no exchange, no join") {
+    val p = plan("q117_fim_transform")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q118: length batching windows partition by bucket — no global sort") {
+    val p = plan("q118_length_batches")
+    assert(!p.contains("Join"), p)
+    // every Window declares the bucket partition key
+    val winLines = p.linesIterator.filter(_.trim.startsWith("Window "))
+      .toSeq.filterNot(_.contains("windowspecdefinition(bucket#"))
+    assert(winLines.isEmpty, winLines.mkString("\n"))
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
