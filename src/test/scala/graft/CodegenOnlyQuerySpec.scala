@@ -31,7 +31,9 @@ class CodegenOnlyQuerySpec extends AnyFunSuite {
     "q68_ngram_jaccard", // shingles under posexplode-of-slice + self-join
     "q69_winnow_fp", // winnow_fps rolling-hash kernel
     "q70_simhash_neardup", // simhash16 inside the band self-join
-    "q86_c4_line_clean") // c4_clean_lines line-scan kernel
+    "q86_c4_line_clean", // c4_clean_lines line-scan kernel
+    "q105_pq_adc", // pq_encode + pq_adc + l2_i64 in the ADC scan
+    "q108_ld_r2") // ld_pair_stats inside the banded LD join
 
   test("kernel queries execute with codegen fallback disabled") {
     val conf = spark.conf

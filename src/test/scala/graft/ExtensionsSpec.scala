@@ -85,4 +85,23 @@ class ExtensionsSpec extends AnyFunSuite {
     // padded to nSamples: the third (absent) sample is null
     assert(r.getSeq[Integer](1).toSeq == Seq(7, null, null))
   }
+
+  test("PQ/LD kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  l2_i64(array(1L, 2L), array(4L, 0L)) AS l2,
+        |  pq_encode(array(1L, 2L, 9L, 9L),
+        |    array(array(1L, 2L, 0L, 0L), array(9L, 9L, 9L, 9L)), 2, 2)
+        |    AS codes,
+        |  pq_adc(array(array(10L, 20L), array(30L, 40L)),
+        |    array(1, 0)) AS adc,
+        |  ld_pair_stats(array(1L, CAST(null AS BIGINT), 2L),
+        |    array(2L, 1L, CAST(null AS BIGINT))) AS ld
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 13L) // 3² + 2²
+    assert(r.getSeq[Int](1) == Seq(0, 1)) // sub0 → cw0, sub1 → cw1
+    assert(r.getLong(2) == 50L) // 20 + 30
+    // only index 0 is pairwise-complete: n=1, sx=1, sy=2, sxy=2, sxx=1, syy=4
+    assert(r.getSeq[Long](3) == Seq(1L, 1L, 2L, 2L, 1L, 4L))
+  }
 }
