@@ -663,13 +663,18 @@ object TrainingData {
     // sentinel ordinal of span sp = #masked spans before it
     def sentIdx(flagsC: Column, sp: Column) =
       size(filter(slice(flagsC, lit(1), sp), f => f))
+    // guarded span ordinals: sequence(0, -1) is a DESCENDING Spark
+    // sequence, and an empty document's [0, -1] would index the empty
+    // flags array (caught by the streaming lift's empty-doc case)
+    val spanSeq = when(n > 0, sequence(lit(0), nspans - 1))
+      .otherwise(array().cast("array<int>"))
     val inputC = array_join(
-      transform(sequence(lit(0), nspans - 1), sp =>
+      transform(spanSeq, sp =>
         when(element_at(col("__flags"), sp + 1),
           concat(lit("<extra_id_"),
             sentIdx(col("__flags"), sp).cast("string"), lit(">")))
           .otherwise(array_join(spanToks(sp), " "))), " ")
-    val maskedSpans = filter(sequence(lit(0), nspans - 1),
+    val maskedSpans = filter(spanSeq,
       sp => element_at(col("__flags"), sp + 1))
     val targetC = array_join(
       transform(maskedSpans, sp =>

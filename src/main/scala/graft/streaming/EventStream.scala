@@ -54,6 +54,15 @@ object EventStream {
         graft.functions.textfns.tokenCount(col("clean_text")).cast("long"))
   }
 
+  /** Ingest-time training-example generation: T5 span corruption (and by
+    * the same argument the FIM transform) is an md5-deterministic pure
+    * projection, so the batch operator lifts onto any streaming source
+    * unchanged — admitted documents become (input, target) pairs inside
+    * their own micro-batch, no state, no watermark, and re-processing a
+    * document after a failure regenerates the identical example. */
+  def exampleStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TrainingData.spanCorrupt(docs)
+
   /** Streaming exact dedup for a continuously-ingested document corpus
     * (the training-data-pipeline shape: dedup a crawl as it arrives,
     * not in a nightly batch). Content fingerprints are the SAME
