@@ -76,4 +76,52 @@ class IvfIndexSpec extends AnyFunSuite {
     val got = pruned.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  // the IVF-PQ build artifact (q114's comment made concrete): the index
+  // persists ONLY (vec_id, codes) per inverted list — PQ_M bytes of
+  // payload per vector — and a search reads nprobe list directories,
+  // reconstructing ADC distances from the persisted codes alone. The
+  // pruned-index ADC must equal the inline computation exactly.
+  test("persisted PQ-codes index: pruned ADC == inline ADC on probed lists") {
+    val M = 16; val DSUB = 4; val K = 16
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding"), 10000).as("qv"))
+    val cbRow = e.orderBy(col("vec_id")).limit(K)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("qv"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("qv")).as("cbs"))
+    // lists = labels (the q38 coarse shape suffices for the I/O claim)
+    val coded = e.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), col("label").as("cid"),
+        pqEncode(col("qv"), col("cbs"), M, DSUB).as("codes"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    coded.write.partitionBy("cid").mode("overwrite").parquet(idx)
+
+    val lists = coded.select(col("cid")).distinct()
+      .orderBy(col("cid")).limit(2).collect().map(_.get(0)).toSeq
+    val probe = e.orderBy(col("vec_id")).limit(1)
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("probe_id"),
+        transform(sequence(lit(0), lit(M - 1)), m =>
+          transform(sequence(lit(0), lit(K - 1)), k =>
+            l2Long(slice(col("qv"), m * DSUB + 1, lit(DSUB)),
+              slice(element_at(col("cbs"), (k + 1).cast("int")),
+                m * DSUB + 1, lit(DSUB))))).as("dtab"))
+
+    val prunedIdx = spark.read.parquet(idx)
+      .filter(col("cid").isin(lists: _*))
+    val scanned = prunedIdx.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scanned.selectedPartitions.partitionCount == 2)
+
+    def adcOf(codes: DataFrame): Map[Long, Long] = codes
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), pqAdc(col("dtab"), col("codes")).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val fromIndex = adcOf(prunedIdx)
+    val inline = adcOf(coded.filter(col("cid").isin(lists: _*)))
+    assert(fromIndex == inline && fromIndex.nonEmpty)
+  }
 }
