@@ -548,12 +548,21 @@ object Genomics extends QueryModule {
           sum(when(col("di") === 1 && col("dj") === 1, 1L).otherwise(0L))
             .as("n_het_both"),
           sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
-            .as("n_opp"))
+            .as("n_opp"),
+          // IBS spectrum (snpgdsIBS): alleles shared per both-called site
+          sum(when(abs(col("di") - col("dj")) === 1, 1L).otherwise(0L))
+            .as("n_ibs1"),
+          sum(when(col("di") === col("dj"), 1L).otherwise(0L))
+            .as("n_ibs2"))
         .withColumn("kinship",
           when(col("n_het_i") + col("n_het_j") > 0,
             (col("n_het_both").cast("double")
               - lit(2.0) * col("n_opp"))
               / (col("n_het_i") + col("n_het_j")).cast("double")))
+        .withColumn("ibs",
+          when(col("n_both") > 0,
+            (lit(2.0) * col("n_ibs2") + col("n_ibs1"))
+              / (lit(2.0) * col("n_both"))))
     },
     Some(withCte("""SELECT i, j, COUNT(*) AS n_both,
       CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_i,
@@ -562,6 +571,10 @@ object Genomics extends QueryModule {
         AS n_het_both,
       CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_opp,
+      CAST(SUM(CASE WHEN abs(di - dj) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ibs1,
+      CAST(SUM(CASE WHEN di = dj THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ibs2,
       CASE WHEN SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
              + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) > 0
            THEN (CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
@@ -569,7 +582,12 @@ object Genomics extends QueryModule {
                  - 2.0 * SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END))
                 / CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
                        + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      END AS kinship
+      END AS kinship,
+      CASE WHEN COUNT(*) > 0
+           THEN (2.0 * SUM(CASE WHEN di = dj THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN abs(di - dj) = 1 THEN 1 ELSE 0 END))
+                / (2.0 * COUNT(*))
+      END AS ibs
       FROM (SELECT pr.i, pr.j, d[pr.i + 1] AS di, d[pr.j + 1] AS dj
         FROM (SELECT list_transform(geno, sa ->
             CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
