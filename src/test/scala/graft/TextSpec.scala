@@ -507,4 +507,61 @@ class TextSpec extends AnyFunSuite {
       train, eval.filter(lit(false)))
     assert(none.count() == train.count())
   }
+
+  test("span corruption reconstructs the original token stream") {
+    // lossless-ness property: substituting each <extra_id_k> sentinel
+    // in `input` with target's k-th span must reproduce the normalized
+    // token stream exactly, for EVERY document — the invariant that
+    // makes the (input, target) pair a valid denoising example. The
+    // real corpus (incl. short and punctuation-heavy docs) is the
+    // fuzz source.
+    val rows = graft.pipeline.TrainingData
+      .spanCorrupt(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select("doc_id", "text", "input", "target", "n_masked_spans")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val norm = r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).mkString(" ")
+      val nMasked = r.getLong(4)
+      if (nMasked == 0) {
+        assert(r.getString(2).trim == norm, s"doc ${r.getLong(0)}")
+        assert(r.getString(3) == "", s"doc ${r.getLong(0)}")
+      } else {
+        // parse target: "<extra_id_k> tok tok <extra_id_k+1> ..." —
+        // split on the sentinels, index by k
+        val parts = r.getString(3).split("<extra_id_\\d+> ?")
+          .filter(_.nonEmpty).map(_.trim)
+        assert(parts.length == nMasked, s"doc ${r.getLong(0)}")
+        var rebuilt = r.getString(2)
+        for ((span, k) <- parts.zipWithIndex)
+          rebuilt = rebuilt.replace(s"<extra_id_$k>", span)
+        val got = rebuilt.trim.split("\\s+").filter(_.nonEmpty)
+          .mkString(" ")
+        assert(got == norm, s"doc ${r.getLong(0)}: $got != $norm")
+      }
+    }
+  }
+
+  test("FIM transform reassembles to the original token stream") {
+    val fim = SparkEntry.queries("q117_fim_transform")(
+      spark, "/root/testdata/sf0.001")
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select("doc_id", "text", "fim_text", "fim_applied").collect()
+    assert(fim.nonEmpty && fim.exists(_.getLong(3) == 1L))
+    for (r <- fim if r.getLong(3) == 1L) {
+      val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+      r.getString(2) match {
+        case m(pre, suf, mid) =>
+          val got = s"$pre $mid $suf".trim.split("\\s+")
+            .filter(_.nonEmpty).mkString(" ")
+          val norm = r.getString(1).trim.split("\\s+")
+            .filter(_.nonEmpty).mkString(" ")
+          assert(got == norm, s"doc ${r.getLong(0)}")
+          assert(mid.trim.nonEmpty, s"doc ${r.getLong(0)}: empty middle")
+        case other => fail(s"doc ${r.getLong(0)}: unparseable $other")
+      }
+    }
+  }
 }
