@@ -266,6 +266,71 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Horizontal-gradient PNG: pixel luminance = x·255/(w−1) (integer
+    * division), constant down each column — the dHash-predictable
+    * counterpart of [[syntheticPng]]'s solid fill (strictly increasing
+    * left-to-right ⇒ every dHash bit set). */
+  def syntheticGradientPng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 2, "gradient needs width >= 2")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val l = x * 255 / (width - 1)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): decode via `javax.imageio`, resample to 9×8 through
+    * the same bilinear Graphics2D path as [[resizeImage]], integer ITU
+    * luma (299R+587G+114B)/1000, bit (y·8+x) set iff
+    * lum(x,y) < lum(x+1,y). CONTENT-level: two encodings of the same
+    * pixels (PNG vs BMP, different compressors) hash identically even
+    * though their payload bytes — and so md5/block hashes (q84) —
+    * differ. None for undecodable payloads. */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 12) return None
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) return None
+    val dst = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val c = dst.getRGB(x, y)
+      (299 * ((c >> 16) & 0xff) + 587 * ((c >> 8) & 0xff) +
+        114 * (c & 0xff)) / 1000
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) < lum(x + 1, y)) h |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(h)
+  }
+
   /** Real-image table: one synthetic PNG per document, dimensions and
     * fill derived from `doc_id` so the decoded values replay in SQL
     * without touching the (encoder-dependent) payload bytes. Narrow

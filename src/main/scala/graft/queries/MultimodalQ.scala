@@ -165,5 +165,41 @@ object MultimodalQ extends QueryModule {
           / CAST(doc_id % 400 + 100 AS DOUBLE)) AS rms
       FROM documents"""))
 
-  override def queries: Seq[Q] = Seq(q41, q42, q84, q90, q101, q103, q104)
+  // --- content-level image near-dup via dHash over REAL decoded
+  // pixels: even docs carry a solid PNG (fill varies with doc_id —
+  // every payload's BYTES differ, so q84's block hashes see nothing),
+  // odd docs a 9×8 horizontal gradient. All solids hash to 0 (no
+  // adjacent luma difference) and all gradients to −1 (all 64 bits:
+  // strictly increasing columns), so the hash GROUPS by content where
+  // byte-level dedup cannot — and the oracle predicts both constants
+  // and the group sizes from the generation formulas; a decode,
+  // resample, luma, or bit-order bug breaks the hash. Narrow generate
+  // + one count-over-hash window. --------------------------------------
+  private val q119 = Q("q119_image_phash",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val hashed = graft.core.Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload =
+            if (id % 2 == 0)
+              Multimodal.syntheticPng(9, 8, (id * 37 % 200 + 20).toInt)
+            else Multimodal.syntheticGradientPng(9, 8)
+          (id, Multimodal.dHash64(payload).get)
+        }).toDF("doc_id", "dhash")
+      val w = Window.partitionBy(col("dhash"))
+      hashed.withColumn("n_same_hash", count(lit(1)).over(w))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(-1 AS BIGINT) END AS dhash,
+        CASE WHEN doc_id % 2 = 0
+          THEN (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+          ELSE (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)
+        END AS n_same_hash
+      FROM documents"""))
+
+  override def queries: Seq[Q] =
+    Seq(q41, q42, q84, q90, q101, q103, q104, q119)
 }

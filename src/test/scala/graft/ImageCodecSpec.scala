@@ -98,4 +98,28 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(audio == Multimodal.decodeStub(
       Multimodal.MediaRow(8L, "audio", png)))
   }
+
+  test("dHash is content-level: re-encodings collide, bytes do not") {
+    // predicted constants: solid → no adjacent difference → 0; 9×8
+    // horizontal gradient → strictly increasing columns → all 64 bits
+    assert(Multimodal.dHash64(Multimodal.syntheticPng(9, 8, 77))
+      .contains(0L))
+    assert(Multimodal.dHash64(Multimodal.syntheticPng(32, 16, 200))
+      .contains(0L))
+    val grad = Multimodal.syntheticGradientPng(9, 8)
+    assert(Multimodal.dHash64(grad).contains(-1L))
+    // SAME pixels, DIFFERENT container: decode the gradient and
+    // re-encode as BMP — payload bytes (and so md5/q84 block hashes)
+    // differ, the perceptual hash does not
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grad))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val bmp = out.toByteArray
+    assert(!java.util.Arrays.equals(grad, bmp))
+    assert(Multimodal.dHash64(bmp) == Multimodal.dHash64(grad))
+    // undecodable payloads return None, never throw
+    assert(Multimodal.dHash64("not pixels".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash64(null).isEmpty)
+  }
 }
