@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.MultimodalQ,
     graft.queries.PackedGeno,
     graft.queries.BedQ,
-    graft.queries.Sampling)
+    graft.queries.Sampling,
+    graft.queries.PopGenQ)
 
   lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

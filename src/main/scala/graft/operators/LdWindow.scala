@@ -26,39 +26,47 @@ object LdWindow {
     * (ARRAY<BIGINT>, per-sample dosages, null = missing). Returns one
     * row per in-window ordered pair: chrom, vid_a, vid_b, dist, n, r2
     * (null when either variant is monomorphic over the shared
-    * samples). */
-  def r2(variants: DataFrame, window: Long): DataFrame = {
+    * samples), plus `<c>_a`/`<c>_b` for every column name in `carry` —
+    * values ride the pair join itself, so they stay row-accurate even
+    * when `vid` is not unique (a re-join on vid after the fact would
+    * cross-match duplicates). */
+  def r2(variants: DataFrame, window: Long,
+      carry: Seq[String] = Nil): DataFrame = {
     require(window > 0, s"window must be positive; got $window")
     val v = variants.withColumn("bucket", expr(s"pos div $window"))
-    val a = v.select(col("chrom"), col("vid").as("vid_a"),
+    val a = v.select(Seq(col("chrom"), col("vid").as("vid_a"),
       col("pos").as("pos_a"), col("d").as("da"),
       explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-    val b = v.select(col("chrom"), col("vid").as("vid_b"),
+      ++ carry.map(c => col(c).as(s"${c}_a")): _*)
+    val b = v.select(Seq(col("chrom"), col("vid").as("vid_b"),
       col("pos").as("pos_b"), col("d").as("db"),
       col("bucket").as("bkey"))
+      ++ carry.map(c => col(c).as(s"${c}_b")): _*)
     val pairs = a.join(b, Seq("chrom", "bkey"))
       .filter(
         (col("pos_a") < col("pos_b") ||
           (col("pos_a") === col("pos_b") && col("vid_a") < col("vid_b"))) &&
         col("pos_b") - col("pos_a") <= window)
     val st = ldPairStats(col("da"), col("db"))
-    pairs.select(col("chrom"), col("vid_a"), col("vid_b"),
+    val carried = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    pairs.select(Seq(col("chrom"), col("vid_a"), col("vid_b"),
         (col("pos_b") - col("pos_a")).as("dist"), st.as("st"))
-      .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+        ++ carried: _*)
+      .select(Seq(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
         element_at(col("st"), 1).as("n"),
         element_at(col("st"), 2).as("sx"),
         element_at(col("st"), 3).as("sy"),
         element_at(col("st"), 4).as("sxy"),
         element_at(col("st"), 5).as("sxx"),
-        element_at(col("st"), 6).as("syy"))
+        element_at(col("st"), 6).as("syy")) ++ carried: _*)
       .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
-      .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+      .select(Seq(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
         col("n"),
         when(col("var_x") > 0 && col("var_y") > 0,
           (col("cov_n").cast("double") * col("cov_n").cast("double"))
             / (col("var_x").cast("double") * col("var_y").cast("double")))
-          .as("r2"))
+          .as("r2")) ++ carried: _*)
   }
 }

@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population-genetics statistics over the two-table variant model — the
+  * SNPRelate/GCTA/PLINK workloads a SeqArray handle feeds (reference link
+  * layer /root/reference/src/LinkSNPRelate.cpp:1-410): Hudson Fst, the
+  * VanRaden genetic-relationship matrix, the method-of-moments inbreeding
+  * coefficient, the Cochran–Armitage trend association test, polygenic
+  * risk scoring, and MAF-ranked LD pruning.
+  *
+  * Exactness discipline: every estimator here is a RATIO OF TWO INTEGER
+  * AGGREGATES. Per-variant terms are rationalized onto a constant common
+  * denominator (an LCM over the possible per-variant called-sample
+  * counts), summed as BIGINTs (associative, order-free — safe to shuffle),
+  * and divided exactly once at the end. A floating-point SUM would be
+  * ordering-sensitive and could not be hash-compared against another
+  * engine; a single int/int division is IEEE-correctly-rounded and
+  * bit-identical everywhere.
+  *
+  * Scale notes (100 TB / biobank): Fst and the trend test are pure
+  * per-variant projections + one map-side-combined groupBy-free pass (no
+  * shuffle at all — one row in, one row out). GRM and inbreeding explode
+  * to (variant, pair) / (variant, sample) COUNTER rows whose partial
+  * aggregation collapses each partition to #pairs (resp. #samples) rows
+  * before the exchange — the shuffle carries pairs × partitions rows,
+  * never the genotype cube. LD pruning rides the banded window join of
+  * [[LdWindow]] (linear shuffle, no out-of-window pair enumerated).
+  */
+object PopGen {
+
+  /** lcm of `4·n²` for n = 1..nMax — the common denominator that makes
+    * every VanRaden per-variant term an exact integer. */
+  def grmScale(nMax: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to nMax).map(n => 4L * n * n).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** lcm of `n·(2n−1)` for n = 1..nMax — common denominator for the
+    * small-sample-corrected expected-heterozygosity terms. */
+  def hetScale(nMax: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to nMax).map(n => n.toLong * (2L * n - 1)).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  private def alleleAt(geno: Column, s: Int, p: Int): Column =
+    element_at(element_at(geno, s + 1), p + 1)
+
+  /** Exact integer `f(n)` as a static when-chain over n = 1..nMax —
+    * Spark's `/` on integers is DOUBLE division, which would poison the
+    * BIGINT sums; a literal switch keeps the quotient integral and the
+    * whole expression inside codegen. */
+  private def intByN(n: Column, nMax: Int)(f: Int => Long): Column =
+    (1 to nMax).foldLeft(lit(0L)) { (acc, k) =>
+      when(n === k, lit(f(k))).otherwise(acc)
+    }
+
+  /** Per-group called-allele and alt-allele counts, statically unrolled
+    * over the sample ordinals (stays inside whole-stage codegen — no
+    * interpreted higher-order function on the hot path). */
+  private def groupCounts(geno: Column, group: Seq[Int], ploidy: Int)
+      : (Column, Column) = {
+    val alleles = for (s <- group; p <- 0 until ploidy) yield alleleAt(geno, s, p)
+    val called = alleles.map(a => when(a.isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val alt = alleles.map(a => when(a.isNotNull && a =!= 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    (called, alt)
+  }
+
+  /** Hudson Fst (Bhatia et al. 2013, eq. 10) per variant between two
+    * sample groups, on collapsed-biallelic allele counts (any non-REF
+    * allele counts as ALT — the same collapse [[graft.functions.genetics.dosageAlt]]
+    * applies). `v` must carry `vid` and `geno`; emits
+    * (vid, n1, n2, a1, a2, fst) where n_g / a_g are called / alt allele
+    * counts in group g and fst is NULL when either group has < 2 called
+    * alleles or the between-group heterozygosity is 0.
+    *
+    * num = (p1−p2)² − p1(1−p1)/(n1−1) − p2(1−p2)/(n2−1),
+    * den = p1(1−p2) + p2(1−p1), multiplied through by
+    * n1²·n2²·(n1−1)·(n2−1) so both are integers; one final division.
+    * Pure projection — zero shuffles, scales embarrassingly. */
+  def hudsonFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int], ploidy: Int = 2)
+      : DataFrame = {
+    val (n1, a1) = groupCounts(col("geno"), g1, ploidy)
+    val (n2, a2) = groupCounts(col("geno"), g2, ploidy)
+    v.select(col("vid"), n1.as("n1"), n2.as("n2"), a1.as("a1"), a2.as("a2"))
+      .withColumn("num_i",
+        (col("a1") * col("n2") - col("a2") * col("n1"))
+          * (col("a1") * col("n2") - col("a2") * col("n1"))
+          * (col("n1") - 1) * (col("n2") - 1)
+          - col("a1") * (col("n1") - col("a1")) * col("n2") * col("n2")
+            * (col("n2") - 1)
+          - col("a2") * (col("n2") - col("a2")) * col("n1") * col("n1")
+            * (col("n1") - 1))
+      .withColumn("den_i",
+        (col("a1") * (col("n2") - col("a2"))
+          + col("a2") * (col("n1") - col("a1")))
+          * col("n1") * col("n2") * (col("n1") - 1) * (col("n2") - 1))
+      .withColumn("fst",
+        when(col("n1") >= 2 && col("n2") >= 2 && col("den_i") =!= 0,
+          col("num_i").cast("double") / col("den_i").cast("double")))
+      .drop("num_i", "den_i")
+  }
+
+  /** VanRaden (2008, method 1) genetic relationship matrix on
+    * pairwise-complete observations: for samples j ≤ k,
+    * G_jk = Σ_i (x_ij − 2p_i)(x_ik − 2p_i) / Σ_i 2 p_i (1 − p_i), both
+    * sums over variants where BOTH samples are called and the variant is
+    * polymorphic; p_i is the all-sample alt frequency. Input `v` carries
+    * `vid` and `d` (per-sample collapsed alt dosage, null = missing; see
+    * [[graft.functions.genetics.dosageAlt]]). Emits
+    * (i, j, n_sites, g_num, g_den, grm) with i ≤ j — diagonal entries
+    * estimate 1 + F̂.
+    *
+    * Per-variant terms ×[[grmScale]] are exact BIGINTs, so the two sums
+    * shuffle-aggregate exactly; one division at the end. */
+  def grm(v: DataFrame, nSamples: Int): DataFrame = {
+    val scale = grmScale(nSamples)
+    val pairsLit = array((for {
+      i <- 0 until nSamples
+      j <- i until nSamples
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val called = (0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val altSum = (0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
+      .reduce(_ + _)
+    val rows = v
+      .select(col("d"), called.as("n"), altSum.as("a"))
+      .filter(col("a") > 0 && col("a") < lit(2) * col("n"))
+      .select(col("d"), col("n"), col("a"), explode(pairsLit).as("p"))
+      .select(col("n"), col("a"),
+        col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("d"), col("p.i") + 1).as("di"),
+        element_at(col("d"), col("p.j") + 1).as("dj"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+    // Z_j·Z_k = (n·x_j − a)(n·x_k − a)/n²; 2p(1−p) = a(2n−a)/(2n²).
+    rows
+      .withColumn("num_t",
+        (col("n") * col("di") - col("a")) * (col("n") * col("dj") - col("a"))
+          * intByN(col("n"), nSamples)(k => scale / (k.toLong * k)))
+      .withColumn("den_t",
+        col("a") * (lit(2) * col("n") - col("a"))
+          * intByN(col("n"), nSamples)(k => scale / (2L * k * k)))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("num_t")).as("g_num"),
+        sum(col("den_t")).as("g_den"))
+      .withColumn("grm",
+        when(col("g_den") > 0,
+          col("g_num").cast("double") / col("g_den").cast("double")))
+  }
+
+  /** Method-of-moments inbreeding coefficient per sample
+    * (PLINK `--het` shape): F̂_s = 1 − O_het(s) / E_het(s), with the
+    * small-sample-corrected expectation
+    * E_het = Σ_i 2 p_i (1 − p_i) · 2n_i/(2n_i − 1) over the variant's
+    * called samples (n_i, p_i from all called samples of variant i),
+    * summed over sites where s is called. Input like [[grm]] (`vid`,
+    * `d`). Emits (s, n_sites, o_het, e_scaled, f) — `e_scaled` is the
+    * ×[[hetScale]] integer expectation, f NULL when E = 0. */
+  def inbreedingF(v: DataFrame, nSamples: Int): DataFrame = {
+    val scale = hetScale(nSamples)
+    val called = (0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val altSum = (0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
+      .reduce(_ + _)
+    // 2p(1−p)·2n/(2n−1) = a(2n−a) / (n(2n−1))
+    val rows = v
+      .select(col("d"), called.as("n"), altSum.as("a"))
+      .filter(col("n") > 0)
+      .withColumn("e_t",
+        col("a") * (lit(2) * col("n") - col("a"))
+          * intByN(col("n"), nSamples)(k => scale / (k.toLong * (2L * k - 1))))
+      .select(col("e_t"), posexplode(col("d")).as(Seq("s", "x")))
+      .filter(col("x").isNotNull)
+    rows.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when(col("x") === 1, 1L).otherwise(0L)).as("o_het"),
+        sum(col("e_t")).as("e_scaled"))
+      .withColumn("f",
+        when(col("e_scaled") > 0,
+          (col("e_scaled") - col("o_het") * scale).cast("double")
+            / col("e_scaled").cast("double")))
+  }
+
+  /** Cochran–Armitage trend test (scores 0/1/2 = alt dosage) of a
+    * case/control phenotype, per variant:
+    * χ² = N·(N·Σx_case − R·Σx)² / (R·(N−R)·(N·Σx² − (Σx)²)) over called
+    * samples (N called, R called cases). `v` carries `vid` and `d`;
+    * `isCase(s)` is the phenotype of sample ordinal s. Emits
+    * (vid, n, r, sx, sx_case, chi2), chi2 NULL when the denominator is 0
+    * (monomorphic site or single-class phenotype). Pure projection —
+    * zero shuffles. */
+  def trendTest(v: DataFrame, isCase: Seq[Boolean]): DataFrame = {
+    val nSamples = isCase.length
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) =
+      (0 until nSamples).map(f).reduce(_ + _)
+    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
+    val r = sumOver(s =>
+      when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
+    val sx = sumOver(s => coalesce(d(s), lit(0L)))
+    val sxc = sumOver(s =>
+      when(lit(isCase(s)), coalesce(d(s), lit(0L))).otherwise(0L))
+    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    v.select(col("vid"), col("d"))
+      .withColumn("n", n).withColumn("r", r)
+      .withColumn("sx", sx).withColumn("sx_case", sxc)
+      .withColumn("sxx", sxx)
+      .withColumn("u", col("n") * col("sx_case") - col("r") * col("sx"))
+      .withColumn("v_i",
+        col("r") * (col("n") - col("r"))
+          * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("chi2",
+        when(col("v_i") > 0,
+          (col("n") * col("u") * col("u")).cast("double")
+            / col("v_i").cast("double")))
+      .select(col("vid"), col("n"), col("r"), col("sx"), col("sx_case"),
+        col("chi2"))
+  }
+
+  /** Polygenic risk score: per sample, Σ_i w_i · x_is over called sites,
+    * with INTEGER per-variant weights `w` (the caller fixes the decimal
+    * scale — one division by it at the end keeps the sum exact). Input
+    * `v` carries `vid`, `d`, `w`. Emits (s, n_used, score_num). The
+    * (variant, sample) explode rows are single counters; map-side
+    * partial aggregation collapses them to #samples rows per partition
+    * before the one exchange. */
+  def prsScore(v: DataFrame): DataFrame =
+    v.select(col("w"), posexplode(col("d")).as(Seq("s", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("w") * col("x")).as("score_num"))
+
+  /** Top-k sample principal components from a [[grm]] result — the
+    * snpgdsPCA shape (SNPRelate over a SeqArray handle): the GRM is the
+    * distributed part (one linear pass over the genotype cube); the
+    * eigen-decomposition runs driver-side on the S×S matrix via power
+    * iteration with deflation, which is exact-enough and dependency-free.
+    * Deterministic: fixed start vector, fixed iteration count — same
+    * input ⇒ bit-identical output, no RNG.
+    *
+    * Scale: S×S on the driver is the right call up to ~tens of
+    * thousands of samples (a 10k×10k double matrix is 800 MB); the
+    * biobank regime (500k samples) blocks the GRM and uses randomized
+    * sketching instead — out of scope here, the distributed GRM pass
+    * itself is the 100 TB-bound stage either way.
+    *
+    * Returns (eigenvalues desc, loadings): `loadings(p)(s)` = sample s's
+    * coordinate on PC p, each vector unit-norm with a sign convention
+    * (first nonzero component positive). */
+  def pcaFromGrm(grmEntries: DataFrame, nSamples: Int, k: Int,
+      iters: Int = 200): (Array[Double], Array[Array[Double]]) = {
+    val g = Array.ofDim[Double](nSamples, nSamples)
+    grmEntries.select(col("i"), col("j"), col("grm")).collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        g(i)(j) = v; g(j)(i) = v
+      }
+    }
+    val evs = new Array[Double](k)
+    val vecs = Array.ofDim[Double](k, nSamples)
+    for (p <- 0 until k) {
+      // deterministic start, not orthogonal to anything by construction
+      var v = Array.tabulate(nSamples)(i => 1.0 / (i + 2))
+      def matVec(x: Array[Double]): Array[Double] = {
+        val y = new Array[Double](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          var s = 0.0; var j = 0
+          while (j < nSamples) { s += g(i)(j) * x(j); j += 1 }
+          // deflation: subtract projections onto found eigenpairs
+          var q = 0
+          while (q < p) {
+            var dot = 0.0; var m = 0
+            while (m < nSamples) { dot += vecs(q)(m) * x(m); m += 1 }
+            s -= evs(q) * vecs(q)(i) * dot
+            q += 1
+          }
+          y(i) = s; i += 1
+        }
+        y
+      }
+      for (_ <- 0 until iters) {
+        val y = matVec(v)
+        val norm = math.sqrt(y.map(x => x * x).sum)
+        if (norm > 0) v = y.map(_ / norm)
+      }
+      // Re-orthogonalize against the found eigenpairs and normalize.
+      // When the deflated matrix is (numerically) zero — rank-deficient
+      // GRM, eigenvalue 0 — the iteration never moved v; any unit vector
+      // of the remaining null space is a valid eigenvector, so Gram-Schmidt the
+      // start (or, if that collapsed, the first independent basis
+      // vector) into one deterministically.
+      def orthog(x: Array[Double]): Array[Double] = {
+        val w = x.clone()
+        for (q <- 0 until p) {
+          var dot = 0.0; var m = 0
+          while (m < nSamples) { dot += vecs(q)(m) * w(m); m += 1 }
+          for (m2 <- 0 until nSamples) w(m2) -= dot * vecs(q)(m2)
+        }
+        w
+      }
+      var w = orthog(v)
+      var norm = math.sqrt(w.map(x => x * x).sum)
+      var basis = 0
+      while (norm < 1e-12 && basis < nSamples) {
+        w = orthog(Array.tabulate(nSamples)(i => if (i == basis) 1.0 else 0.0))
+        norm = math.sqrt(w.map(x => x * x).sum)
+        basis += 1
+      }
+      v = if (norm > 0) w.map(_ / norm) else w
+      // Rayleigh quotient for a signed eigenvalue (power-iteration norm
+      // loses the sign of negative eigenvalues)
+      val gv = matVec(v)
+      val lambda = v.zip(gv).map { case (a, b) => a * b }.sum
+      val firstNz = v.indexWhere(math.abs(_) > 1e-12)
+      if (firstNz >= 0 && v(firstNz) < 0) v = v.map(-_)
+      evs(p) = lambda; vecs(p) = v
+    }
+    (evs, vecs)
+  }
+
+  /** MAF-ranked LD pruning (the `bcftools +prune` / snpgdsLDpruning
+    * decision rule, made order-free so it is deterministic and
+    * distributable): within every `window`-bp banded pair with
+    * r² ≥ `r2Max`, the member with the LOWER minor-allele frequency is
+    * pruned (tie → the larger vid). A variant survives iff NO in-window
+    * high-LD partner out-ranks it. Unlike the reference's sequential
+    * greedy scan this needs no ordered pass over the chromosome — one
+    * banded join + one distinct + one anti-join, all linear in variants.
+    *
+    * Input `v` carries vid, chrom, pos, d. Emits surviving
+    * (vid, chrom, pos, maf). */
+  def ldPrune(v: DataFrame, window: Long, r2Max: Double,
+      nSamples: Int): DataFrame = {
+    val called = (0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val altSum = (0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
+      .reduce(_ + _)
+    val withMaf = v
+      .withColumn("n_c", called).withColumn("a_c", altSum)
+      .withColumn("maf",
+        when(col("n_c") > 0,
+          least(col("a_c"), lit(2) * col("n_c") - col("a_c")).cast("double")
+            / (lit(2) * col("n_c")).cast("double")).otherwise(lit(0.0)))
+    // maf rides the pair join itself (carry) — a re-join on vid would
+    // cross-match rows when vid is not unique in the input.
+    val pairs = LdWindow.r2(withMaf, window, carry = Seq("maf"))
+      .filter(col("r2") >= r2Max)
+    val victims = pairs.select(
+      when(col("maf_a") < col("maf_b"), col("vid_a"))
+        .when(col("maf_b") < col("maf_a"), col("vid_b"))
+        .otherwise(greatest(col("vid_a"), col("vid_b"))).as("vid"))
+      .distinct()
+    withMaf.select(col("vid"), col("chrom"), col("pos"), col("maf"))
+      .join(victims, Seq("vid"), "left_anti")
+  }
+}

@@ -1192,6 +1192,37 @@ object TrainingData {
           col("__total")).as("coverage"))
   }
 
+  /** Unigram-LM token-commonness scoring — the log-free cousin of a
+    * KenLM perplexity quality filter: each document is scored by how
+    * common its tokens are in the corpus itself. Per document:
+    * `n_tokens`, `sum_tf` (Σ over token occurrences of that token's
+    * corpus frequency), `n_rare` (occurrences with corpus frequency
+    * < `minCount`) and `score = sum_tf / n_tokens` — an exact BIGINT
+    * sum with ONE final division, so another engine replays it
+    * bit-for-bit (a Σlog perplexity would drift in the last ulp and
+    * could never be hash-compared). Gibberish/OCR noise scores low
+    * (unique junk tokens), templated boilerplate scores high.
+    * Documents with zero tokens drop out (no occurrences to score).
+    *
+    * Scale (100 TB): token counting is one map-side-combined groupBy;
+    * the count table is vocabulary-sized (≪ corpus) and joins back on
+    * the token key — a linear shuffle join. A cluster deployment can
+    * swap that join for a broadcast of the top-K vocabulary with a
+    * `coalesce(tf, 1)` floor for the tail, trading exactness of the
+    * rare-token tail for zero shuffle on the corpus side. */
+  def tokenCommonness(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 3L): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    tok.join(counts, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__tf")).as("sum_tf"),
+        sum(when(col("__tf") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("score",
+        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Corpus snapshot diff — dataset versioning for pipeline runs: which
     * documents a new corpus version added, removed, changed, or kept,
     * by id. The compare ships 128-bit content fingerprints, never

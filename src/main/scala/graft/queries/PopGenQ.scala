@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.genetics._
+import graft.genomics.SynthGeno
+import graft.operators.PopGen
+
+/** Population-genetics statistics queries (the SNPRelate/GCTA/PLINK
+  * workloads a SeqArray handle feeds — reference link layer
+  * /root/reference/src/LinkSNPRelate.cpp): Hudson Fst, the VanRaden GRM,
+  * per-sample inbreeding F, the Cochran–Armitage trend test, polygenic
+  * risk scores, and MAF-ranked LD pruning — all over the deterministic
+  * [[SynthGeno]] cube with a DuckDB oracle that rebuilds the identical
+  * integer aggregates (see [[PopGen]] for the exactness discipline:
+  * BIGINT sums on a constant common denominator, one final division).
+  */
+object PopGenQ extends QueryModule {
+
+  private def withCte(body: String): String =
+    s"WITH variants AS (${SynthGeno.sqlCte})\n$body"
+
+  /** DuckDB twin of [[graft.functions.genetics.dosageAlt]]. */
+  private val dSql =
+    """list_transform(geno, sa ->
+         CASE WHEN len(list_filter(sa, x -> x IS NULL)) > 0 THEN NULL
+              ELSE len(list_filter(sa, x -> x <> 0)) END)"""
+
+  private val N = SynthGeno.nSamples
+
+  // --- Hudson Fst between sample halves (Bhatia 2013 eq. 10), exact
+  // integer numerator/denominator per variant, zero shuffles. ------------
+  private val q120 = Q("q120_fst",
+    (s, dir) => PopGen.hudsonFst(SynthGeno.variants(s, dir),
+      0 until N / 2, N / 2 until N),
+    Some(withCte(s"""SELECT vid, n1, n2, a1, a2,
+      CASE WHEN n1 >= 2 AND n2 >= 2
+             AND (a1*(n2-a2) + a2*(n1-a1))*n1*n2*(n1-1)*(n2-1) <> 0
+           THEN CAST((a1*n2 - a2*n1)*(a1*n2 - a2*n1)*(n1-1)*(n2-1)
+                     - a1*(n1-a1)*n2*n2*(n2-1)
+                     - a2*(n2-a2)*n1*n1*(n1-1) AS DOUBLE)
+                / CAST((a1*(n2-a2) + a2*(n1-a1))
+                       *n1*n2*(n1-1)*(n2-1) AS DOUBLE)
+      END AS fst
+      FROM (SELECT vid,
+          len(list_filter(f1, a -> a IS NOT NULL)) AS n1,
+          len(list_filter(f2, a -> a IS NOT NULL)) AS n2,
+          len(list_filter(f1, a -> a IS NOT NULL AND a <> 0)) AS a1,
+          len(list_filter(f2, a -> a IS NOT NULL AND a <> 0)) AS a2
+        FROM (SELECT vid, flatten(geno[1:${N / 2}]) AS f1,
+            flatten(geno[${N / 2 + 1}:$N]) AS f2
+          FROM variants))""")))
+
+  // --- VanRaden (2008, method 1) GRM on pairwise-complete sites; the
+  // (variant, pair) explode emits counter rows that map-side combine to
+  // 36 rows per partition before the one exchange. -----------------------
+  private val q121 = Q("q121_grm",
+    (s, dir) => PopGen.grm(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT i, j, n_sites, g_num, g_den,
+      CASE WHEN g_den > 0
+           THEN CAST(g_num AS DOUBLE) / CAST(g_den AS DOUBLE) END AS grm
+      FROM (SELECT i, j, COUNT(*) AS n_sites,
+          CAST(SUM((n*di - a)*(n*dj - a)
+                   * (${PopGen.grmScale(N)} // (n*n))) AS BIGINT) AS g_num,
+          CAST(SUM(a*(2*n - a)
+                   * (${PopGen.grmScale(N)} // (2*n*n))) AS BIGINT) AS g_den
+        FROM (SELECT p.i, p.j, st.n, st.a,
+            d[p.i + 1] AS di, d[p.j + 1] AS dj
+          FROM (SELECT d,
+              len(list_filter(d, x -> x IS NOT NULL)) AS n,
+              CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+                AS BIGINT) AS a
+            FROM (SELECT $dSql AS d FROM variants)) st,
+            (SELECT ii.i, jj.j
+             FROM (SELECT unnest(range(0, $N)) AS i) ii,
+                  (SELECT unnest(range(0, $N)) AS j) jj
+             WHERE jj.j >= ii.i) p
+          WHERE a > 0 AND a < 2*n
+            AND d[p.i + 1] IS NOT NULL AND d[p.j + 1] IS NOT NULL)
+        GROUP BY i, j)""")))
+
+  // --- per-sample inbreeding F (PLINK --het shape): O_het vs the
+  // small-sample-corrected E_het, both exact BIGINT sums. ---------------
+  private val q122 = Q("q122_inbreeding",
+    (s, dir) => PopGen.inbreedingF(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT s, n_sites, o_het, e_scaled,
+      CASE WHEN e_scaled > 0
+           THEN CAST(e_scaled - o_het * ${PopGen.hetScale(N)} AS DOUBLE)
+                / CAST(e_scaled AS DOUBLE) END AS f
+      FROM (SELECT ss.s, COUNT(*) AS n_sites,
+          CAST(SUM(CASE WHEN d[ss.s + 1] = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS o_het,
+          CAST(SUM(a*(2*n - a)
+                   * (${PopGen.hetScale(N)} // (n*(2*n - 1)))) AS BIGINT)
+            AS e_scaled
+        FROM (SELECT d,
+            len(list_filter(d, x -> x IS NOT NULL)) AS n,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+              AS BIGINT) AS a
+          FROM (SELECT $dSql AS d FROM variants)) st,
+          (SELECT unnest(range(0, $N)) AS s) ss
+        WHERE n > 0 AND d[ss.s + 1] IS NOT NULL
+        GROUP BY ss.s)""")))
+
+  // --- Cochran–Armitage trend test, phenotype = sample-ordinal parity
+  // (deterministic case/control split); pure projection. -----------------
+  private val phenoCase: Seq[Boolean] = (0 until N).map(_ % 2 == 1)
+  private val q123 = Q("q123_assoc_trend",
+    (s, dir) => PopGen.trendTest(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      phenoCase),
+    Some(withCte {
+      val caseIdx = phenoCase.zipWithIndex.filter(_._1).map(_._2)
+      val rSql = caseIdx
+        .map(i => s"(CASE WHEN d[${i + 1}] IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val sxcSql = caseIdx.map(i => s"COALESCE(d[${i + 1}], 0)")
+        .mkString(" + ")
+      s"""SELECT vid, n, r, sx, sx_case,
+      CASE WHEN r*(n - r)*(n*sxx - sx*sx) > 0
+           THEN CAST(n*(n*sx_case - r*sx)*(n*sx_case - r*sx) AS DOUBLE)
+                / CAST(r*(n - r)*(n*sxx - sx*sx) AS DOUBLE)
+      END AS chi2
+      FROM (SELECT vid,
+          CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+          CAST($rSql AS BIGINT) AS r,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS sx,
+          CAST($sxcSql AS BIGINT) AS sx_case,
+          CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, x -> x IS NOT NULL), x -> x*x)), 0)
+            AS BIGINT) AS sxx
+        FROM (SELECT vid, $dSql AS d FROM variants))"""
+    }))
+
+  // --- polygenic risk score: Σ wᵢ·xᵢₛ with integer milli-weights derived
+  // from vid (Knuth multiplicative hash), one exact division by the
+  // weight scale at the end. --------------------------------------------
+  private val q124 = Q("q124_prs",
+    (s, dir) => PopGen.prsScore(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d"))
+        .withColumn("w", (col("vid") * 2654435761L) % 1001 - 500))
+      .withColumn("score",
+        col("score_num").cast("double") / lit(1000.0)),
+    Some(withCte(s"""SELECT ss.s, COUNT(*) AS n_used,
+        CAST(SUM(w * d[ss.s + 1]) AS BIGINT) AS score_num,
+        CAST(CAST(SUM(w * d[ss.s + 1]) AS BIGINT) AS DOUBLE) / 1000.0
+          AS score
+      FROM (SELECT (vid * 2654435761) % 1001 - 500 AS w, $dSql AS d
+          FROM variants) st,
+        (SELECT unnest(range(0, $N)) AS s) ss
+      WHERE d[ss.s + 1] IS NOT NULL
+      GROUP BY ss.s""")))
+
+  // --- MAF-ranked LD pruning over the banded window pairs (order-free
+  // bcftools +prune rule: the lower-MAF member of every in-window pair
+  // with r² ≥ 0.5 is pruned, tie → larger vid). Same vid subsample and
+  // window as q108 so the pair set is the proven one. --------------------
+  private val LD_WINDOW = 200
+  private val LD_MOD = 11
+  private val R2_MAX = 0.5
+  private val q126 = Q("q126_ld_prune",
+    (s, dir) => PopGen.ldPrune(
+      SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d")),
+      LD_WINDOW, R2_MAX, N),
+    Some(withCte(s""", mf AS (SELECT vid, chrom, pos, d,
+        CASE WHEN n > 0
+             THEN CAST(least(a, 2*n - a) AS DOUBLE)
+                  / CAST(2*n AS DOUBLE) ELSE 0.0 END AS maf
+      FROM (SELECT vid, chrom, pos, d,
+          len(list_filter(d, x -> x IS NOT NULL)) AS n,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS a
+        FROM (SELECT vid, chrom, pos, $dSql AS d FROM variants
+          WHERE vid % $LD_MOD = 0))),
+    pr AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+        a.maf AS maf_a, b.maf AS maf_b,
+        list_filter(list_transform(range(1, ${N + 1}), i ->
+            CASE WHEN a.d[i] IS NOT NULL AND b.d[i] IS NOT NULL
+                 THEN {'x': a.d[i], 'y': b.d[i]} END),
+          p -> p IS NOT NULL) AS obs
+      FROM mf a JOIN mf b ON a.chrom = b.chrom
+        AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
+        AND b.pos - a.pos <= $LD_WINDOW),
+    st AS (SELECT vid_a, vid_b, maf_a, maf_b,
+        CAST(len(obs) AS BIGINT) AS n,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+          AS BIGINT) AS sx,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+          AS BIGINT) AS sy,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+          AS BIGINT) AS sxy,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.x)), 0)
+          AS BIGINT) AS sxx,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y * p.y)), 0)
+          AS BIGINT) AS syy
+      FROM pr),
+    r2s AS (SELECT vid_a, vid_b, maf_a, maf_b,
+        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN (CAST(n*sxy - sx*sy AS DOUBLE)
+                   * CAST(n*sxy - sx*sy AS DOUBLE))
+                  / (CAST(n*sxx - sx*sx AS DOUBLE)
+                     * CAST(n*syy - sy*sy AS DOUBLE)) END AS r2
+      FROM st),
+    vict AS (SELECT DISTINCT
+        CASE WHEN maf_a < maf_b THEN vid_a
+             WHEN maf_b < maf_a THEN vid_b
+             ELSE greatest(vid_a, vid_b) END AS vid
+      FROM r2s WHERE r2 >= $R2_MAX)
+    SELECT vid, chrom, pos, maf FROM mf
+    WHERE vid NOT IN (SELECT vid FROM vict)""")))
+
+  override def queries: Seq[Q] =
+    Seq(q120, q121, q122, q123, q124, q126)
+}

@@ -1130,8 +1130,27 @@ object TextDedup extends QueryModule {
         substr(text, 1, 40) AS head
       FROM a"""))
 
+  // --- unigram-LM token-commonness quality score (the log-free KenLM
+  // perplexity shape — see TrainingData.tokenCommonness for why the
+  // score is an exact BIGINT sum ÷ count, never a Σlog): low score =
+  // rare-token gibberish, high = templated boilerplate. ------------------
+  private val q125 = Q("q125_lm_score",
+    (s, dir) => graft.pipeline.TrainingData.tokenCommonness(
+      Tables(s, dir, "documents"), minCount = 3L),
+    Some(s"""WITH t AS ($tokCte),
+      e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        GROUP BY token)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(tf) AS BIGINT) AS sum_tf,
+        CAST(SUM(CASE WHEN tf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS score
+      FROM e JOIN c USING (token)
+      GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102)
+      q100, q102, q125)
 }

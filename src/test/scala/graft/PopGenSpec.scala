@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PopGen
+
+/** Hand-computed golden values for the population-genetics statistics
+  * (Hudson Fst, VanRaden GRM, inbreeding F, Cochran–Armitage trend, PRS,
+  * MAF-ranked LD pruning) plus the integer-scale divisibility invariants
+  * the exact-arithmetic discipline rests on. The sf0.01 oracle gate
+  * (q120–q124, q126) proves the full formulas against DuckDB; these
+  * goldens pin the SEMANTICS (what the formulas mean on known cubes). */
+class PopGenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("grmScale / hetScale divide every per-n denominator") {
+    for (nMax <- 1 to 12; n <- 1 to nMax) {
+      assert(PopGen.grmScale(nMax) % (4L * n * n) == 0)
+      assert(PopGen.hetScale(nMax) % (n.toLong * (2L * n - 1)) == 0)
+    }
+    assert(PopGen.grmScale(8) == 2822400L)
+    assert(PopGen.hetScale(8) == 360360L)
+  }
+
+  test("hudsonFst golden: divergent halves give 2/3, monomorphic null") {
+    import spark.implicits._
+    // A: g1 = {(0,0),(0,1)} p1=0.25; g2 = {(1,1),(1,1)} p2=1 → Fst = 2/3
+    // B: all-REF everywhere → between-group heterozygosity 0 → NULL
+    val v = Seq(
+      (1L, Seq(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 1L), Seq(1L, 1L))),
+      (2L, Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(0L, 0L), Seq(0L, 0L)))
+    ).toDF("vid", "geno")
+    val r = PopGen.hudsonFst(v, Seq(0, 1), Seq(2, 3))
+      .orderBy("vid").collect()
+    assert(r(0).getAs[Long]("a1") == 1L && r(0).getAs[Long]("a2") == 4L)
+    assert(math.abs(r(0).getAs[Double]("fst") - 2.0 / 3.0) < 1e-15)
+    assert(r(1).isNullAt(r(1).fieldIndex("fst")))
+  }
+
+  test("grm golden: opposite homozygotes at p=0.5 give ±2") {
+    import spark.implicits._
+    val v = Seq((1L, Seq[java.lang.Long](0L, 2L)))
+      .toDF("vid", "d")
+    val r = PopGen.grm(v, 2).orderBy("i", "j").collect()
+    assert(r.length == 3)
+    val byPair = r.map(x => ((x.getInt(0), x.getInt(1)),
+      x.getAs[Double]("grm"))).toMap
+    assert(byPair((0, 0)) == 2.0)
+    assert(byPair((0, 1)) == -2.0)
+    assert(byPair((1, 1)) == 2.0)
+  }
+
+  test("inbreedingF golden: the all-het pair scores F = −1/2") {
+    import spark.implicits._
+    val v = Seq((1L, Seq[java.lang.Long](1L, 1L))).toDF("vid", "d")
+    val r = PopGen.inbreedingF(v, 2).orderBy("s").collect()
+    assert(r.length == 2)
+    for (row <- r) {
+      assert(row.getAs[Long]("o_het") == 1L)
+      assert(row.getAs[Double]("f") == -0.5)
+    }
+  }
+
+  test("trendTest golden: perfect association scores χ² = N, flat null") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 2L, 0L, 2L)),
+      (2L, Seq[java.lang.Long](1L, 1L, 1L, 1L))
+    ).toDF("vid", "d")
+    val r = PopGen.trendTest(v, Seq(false, true, false, true))
+      .orderBy("vid").collect()
+    assert(r(0).getAs[Double]("chi2") == 4.0)
+    assert(r(1).isNullAt(r(1).fieldIndex("chi2")))
+  }
+
+  test("prsScore golden: weighted dosage sums over called sites only") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq[java.lang.Long](1L, null), 100L),
+      (2L, Seq[java.lang.Long](2L, 1L), -50L)
+    ).toDF("vid", "d", "w")
+    val r = PopGen.prsScore(v).orderBy("s").collect()
+    assert(r(0).getAs[Long]("n_used") == 2L
+      && r(0).getAs[Long]("score_num") == 0L)
+    assert(r(1).getAs[Long]("n_used") == 1L
+      && r(1).getAs[Long]("score_num") == -50L)
+  }
+
+  test("ldPrune: one survivor per perfectly-correlated clique, " +
+      "isolated variants untouched, and no kept-kept pair above r²") {
+    import spark.implicits._
+    // A,B identical and C anti-correlated at adjacent positions (r²=1
+    // pairwise); equal MAFs ⇒ ties prune the larger vid. D is isolated.
+    val a = Seq[java.lang.Long](0L, 1L, 2L, 0L)
+    val c = Seq[java.lang.Long](2L, 1L, 0L, 2L)
+    val v = Seq(
+      (10L, "c1", 1L, a), (20L, "c1", 2L, a), (30L, "c1", 3L, c),
+      (40L, "c1", 10000L, a)
+    ).toDF("vid", "chrom", "pos", "d")
+    val kept = PopGen.ldPrune(v, 200L, 0.5, 4)
+    assert(kept.select("vid").as[Long].collect().sorted.toSeq
+      == Seq(10L, 40L))
+    // invariant: re-running LD over the kept set finds nothing ≥ r²max
+    val keptV = v.join(kept.select("vid"), Seq("vid"), "left_semi")
+    val residual = graft.operators.LdWindow.r2(keptV, 200L)
+      .filter(col("r2") >= 0.5).count()
+    assert(residual == 0L)
+  }
+
+  test("pcaFromGrm: residual, orthonormality, and cluster separation") {
+    import spark.implicits._
+    // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
+    // variants plus one flat variant — PC1 must separate the clusters
+    val rows = (1L to 6L).map(v =>
+      (v, Seq[java.lang.Long](0L, 0L, 2L, 2L))) :+
+      (7L, Seq[java.lang.Long](1L, 1L, 1L, 1L))
+    val grmDf = PopGen.grm(rows.toDF("vid", "d"), 4)
+    val (evs, vecs) = PopGen.pcaFromGrm(grmDf, 4, 2)
+    assert(evs(0) >= evs(1) - 1e-9)
+    // orthonormal loadings
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(vecs(0), vecs(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(vecs(0), vecs(1))) < 1e-6)
+    // eigen residual ‖Gv − λv‖ ≈ 0, G rebuilt from the entries
+    val g = Array.ofDim[Double](4, 4)
+    grmDf.collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("grm"))) {
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        g(i)(j) = r.getAs[Double]("grm"); g(j)(i) = g(i)(j)
+      }
+    }
+    val gv = (0 until 4).map(i =>
+      (0 until 4).map(j => g(i)(j) * vecs(0)(j)).sum)
+    val resid = math.sqrt((0 until 4)
+      .map(i => math.pow(gv(i) - evs(0) * vecs(0)(i), 2)).sum)
+    assert(resid < 1e-6, s"eigen residual $resid")
+    // PC1 separates the clusters: within-cluster equal sign, across opposite
+    assert(vecs(0)(0) * vecs(0)(1) > 0 && vecs(0)(2) * vecs(0)(3) > 0)
+    assert(vecs(0)(0) * vecs(0)(2) < 0)
+  }
+
+  test("tokenCommonness golden: corpus-frequency sums, one division") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
+    val r = graft.pipeline.TrainingData.tokenCommonness(docs, minCount = 3L)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 3L
+      && r(0).getAs[Long]("sum_tf") == 6L
+      && r(0).getAs[Long]("n_rare") == 3L
+      && r(0).getAs[Double]("score") == 2.0)
+    assert(r(1).getAs[Long]("n_tokens") == 2L
+      && r(1).getAs[Long]("sum_tf") == 3L
+      && r(1).getAs[Double]("score") == 1.5)
+  }
+}
