@@ -1223,6 +1223,100 @@ object TrainingData {
         col("sum_tf").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Distributed byte-pair-encoding merge training (Sennrich et al.
+    * 2016) — the real tokenizer-training loop, on Spark: lowercase
+    * alnum words are counted once (ONE corpus scan; everything after
+    * runs on the vocabulary-sized word table), each word becomes a
+    * boundary-safe symbol string `(h)(e)(l)(l)(o)`, and each round
+    * (1) counts adjacent symbol pairs weighted by word frequency,
+    * (2) picks the most frequent pair (ties: lexicographic — fully
+    * deterministic, no RNG), (3) merges it corpus-wide with one literal
+    * `replace` (left-to-right non-overlapping — exactly BPE's greedy
+    * apply; the `)(`-delimited wrapping makes substring collisions
+    * impossible since symbols are alnum-only). Returns the merge table
+    * (round, left, right, merged, cnt).
+    *
+    * Scale (100 TB): the corpus is touched exactly once (word count,
+    * map-side combined). The per-round loop — a pair-count aggregation
+    * and an argmax — runs over the DISTINCT-WORD table, which is
+    * vocabulary-sized (millions, not billions) regardless of corpus
+    * size; the driver collects one row per round. This is the standard
+    * structure of distributed BPE trainers. */
+  def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String = "text")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", "($1)").as("sym"),
+        col("cnt"))
+    var syms = words.cache()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      val ls = split(regexp_replace(col("sym"), "^\\(|\\)$", ""), "\\)\\(")
+      val pairs = syms
+        // guard BEFORE building the index sequence: sequence(0, -1)
+        // would generate a DESCENDING range for single-symbol words
+        .filter(size(ls) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(ls) - 2),
+          i => struct(element_at(ls, i + 1).as("a"),
+            element_at(ls, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("tot"))
+      val best = pairs.orderBy(col("tot").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, tot) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, a, b, a + b, tot))
+        val next = syms.select(
+          call_function("replace", col("sym"),
+            lit(s"($a)($b)"), lit(s"(${a + b})")).as("sym"),
+          col("cnt")).cache()
+        next.count()
+        syms.unpersist()
+        syms = next
+      }
+    }
+    syms.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Apply a learned [[bpeTrain]] merge list to the corpus — the encode
+    * half of the tokenizer: every word becomes its boundary-safe symbol
+    * string, the whole document is one space-joined wrapped string
+    * (merges can never cross a word boundary: the pattern `(a)(b)`
+    * requires adjacency with no space), and the merges replay IN
+    * TRAINING ORDER as literal replaces. Pure projection — zero
+    * shuffles, embarrassingly parallel; the merge list is a driver-side
+    * constant folded into the plan (the broadcast-free analogue of a
+    * tokenizer vocabulary ship). Emits (idCol, n_words, n_subwords,
+    * enc_fp) — the fingerprint pins the exact encoded sequence. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => w =!= "")
+    val wrapped = array_join(
+      transform(ws, w => regexp_replace(w, "(.)", "($1)")), " ")
+    val enc = merges.foldLeft(wrapped) { case (e, (a, b)) =>
+      call_function("replace", e, lit(s"($a)($b)"), lit(s"(${a + b})"))
+    }
+    docs.select(col(idCol), size(ws).cast("long").as("n_words"),
+      enc.as("__enc"))
+      .withColumn("n_subwords",
+        (length(col("__enc"))
+          - length(call_function("replace", col("__enc"), lit("("),
+            lit("")))).cast("long"))
+      .withColumn("enc_fp", md5(col("__enc").cast("binary")))
+      .drop("__enc")
+  }
+
   /** Corpus snapshot diff — dataset versioning for pipeline runs: which
     * documents a new corpus version added, removed, changed, or kept,
     * by id. The compare ships 128-bit content fingerprints, never

@@ -1149,8 +1149,97 @@ object TextDedup extends QueryModule {
       FROM e JOIN c USING (token)
       GROUP BY doc_id"""))
 
+  // --- distributed BPE merge training (Sennrich 2016): the oracle
+  // unrolls the same deterministic loop — pair-count → argmax (ties
+  // lexicographic) → literal merge — round by round in SQL, so the
+  // whole training trajectory is hash-compared, not just the last
+  // state. Symbols ride a boundary-safe `(a)(b)` wrapping; `replace`
+  // is left-to-right non-overlapping in both engines (BPE's greedy
+  // apply). ------------------------------------------------------------
+  private val BPE_MERGES = 8
+  private val q127 = Q("q127_bpe_train",
+    (s, dir) => graft.pipeline.TrainingData.bpeTrain(
+      Tables(s, dir, "documents"), nMerges = BPE_MERGES),
+    Some {
+      val union = (1 to BPE_MERGES).map { r =>
+        s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
+           tot AS cnt FROM b$r"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeCtes
+      $union"""
+    })
+
+  /** The shared b1..s8 merge-trajectory CTE body of the q127 oracle
+    * (everything after `WITH`), reused by the encode oracle. */
+  private def bpeCtes: String = {
+    val rounds = (1 to BPE_MERGES).map { r =>
+      s"""p$r AS (SELECT struct_extract(u, 'a') AS a,
+          struct_extract(u, 'b') AS b,
+          CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM (SELECT cnt, unnest(list_transform(range(1, len(ls)),
+            i -> {'a': ls[i], 'b': ls[i + 1]})) AS u
+          FROM (SELECT string_split(
+              regexp_replace(sym, '^\\(|\\)$$', '', 'g'), ')(') AS ls,
+              cnt
+            FROM s${r - 1}) t
+          WHERE len(ls) >= 2)
+        GROUP BY 1, 2),
+      b$r AS (SELECT a, b, tot FROM p$r ORDER BY tot DESC, a, b LIMIT 1),
+      s$r AS (SELECT replace(sym, '(' || a || ')(' || b || ')',
+          '(' || a || b || ')') AS sym, cnt FROM s${r - 1}, b$r)"""
+    }.mkString(",\n")
+    s"""s0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g')
+        AS sym, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          w -> w <> '')) AS word
+        FROM documents)
+      GROUP BY 1),
+    $rounds"""
+  }
+
+  // --- BPE encode: replay the trained merges over every document as a
+  // pure projection (no shuffle); the md5 fingerprint pins the exact
+  // encoded symbol sequence, so the oracle catches any divergence in
+  // merge ORDER, not just subword counts. -------------------------------
+  private val q128 = Q("q128_bpe_encode",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.pipeline.TrainingData
+        .bpeTrain(docs, nMerges = BPE_MERGES)
+        .orderBy("round").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      graft.pipeline.TrainingData.bpeEncode(docs, merges)
+    },
+    Some {
+      val encChain = (1 to BPE_MERGES).map { r =>
+        s"""d$r AS (SELECT doc_id, n_words,
+           CASE WHEN (SELECT COUNT(*) FROM b$r) = 0 THEN enc
+                ELSE replace(enc,
+                  '(' || (SELECT a FROM b$r) || ')('
+                      || (SELECT b FROM b$r) || ')',
+                  '(' || (SELECT a || b FROM b$r) || ')') END AS enc
+         FROM d${r - 1})"""
+      }.mkString(",\n")
+      s"""WITH $bpeCtes,
+      d0 AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_words,
+          array_to_string(list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              w -> w <> ''),
+            w -> regexp_replace(w, '(.)', '(\\1)', 'g')), ' ') AS enc
+        FROM documents),
+      $encChain
+      SELECT doc_id, n_words,
+        CAST(length(enc) - length(replace(enc, '(', '')) AS BIGINT)
+          AS n_subwords,
+        md5(enc) AS enc_fp
+      FROM d$BPE_MERGES"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102, q125)
+      q100, q102, q125, q127, q128)
 }

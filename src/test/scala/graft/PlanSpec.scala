@@ -399,6 +399,43 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.isEmpty, winLines.mkString("\n"))
   }
 
+  test("q120/q123: Fst and trend test are pure projections") {
+    for (q <- Seq("q120_fst", "q123_assoc_trend")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    }
+  }
+
+  test("q121/q122/q124: GRM, inbreeding, PRS partial-aggregate before " +
+      "their one counter exchange") {
+    for (q <- Seq("q121_grm", "q122_inbreeding", "q124_prs")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      // map-side partial aggregation collapses the per-(variant,pair/
+      // sample) counter rows before the shuffle
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    }
+  }
+
+  test("q126: LD pruning pairs via banded equi-join, prunes via " +
+      "anti-join — never a nested loop") {
+    val p = plan("q126_ld_prune")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q125: LM scoring joins the vocabulary-sized count table on the " +
+      "token key — equi-join, no pair enumeration") {
+    val p = plan("q125_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
