@@ -33,10 +33,15 @@ object Bench {
     // queries whose two runs still disagree by >20% get a tie-break third
     // run within a bounded budget — one contended pass can no longer
     // poison the headline number.
-    val first = SparkEntry.queries.map { case (name, fn) =>
+    // Optional local-iteration filter (the driver never sets it): run
+    // only the named queries, e.g. SPARK_GRAFT_ONLY=q126_ld_prune.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val first = picked.map { case (name, fn) =>
       name -> run1(name, fn)
     }
-    val second = SparkEntry.queries.map { case (name, fn) =>
+    val second = picked.map { case (name, fn) =>
       name -> run1(name, fn)
     }
     def best(a: Double, b: Double): Double =

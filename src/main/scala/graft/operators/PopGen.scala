@@ -47,6 +47,24 @@ object PopGen {
   private def alleleAt(geno: Column, s: Int, p: Int): Column =
     element_at(element_at(geno, s + 1), p + 1)
 
+  /** Filter that CANNOT be pushed below the projection computing its
+    * inputs. Catalyst substitutes projected expressions into any filter
+    * it pushes through a Project — even a non-deterministic predicate —
+    * and the substituted copy loses the projection chain's subexpression
+    * sharing: for a heavy derived column (a genotype-cube dosage array,
+    * an LD-stats vector) that re-evaluates the expression once per
+    * column reference (measured 8× on the LD-pair r² filter), sometimes
+    * clear down to the single-task scan. What DOES stop pushdown is a
+    * non-deterministic field in the Project itself
+    * (`PushPredicateThroughNonJoin` requires every project field to be
+    * deterministic), so the predicate routes through a referenced
+    * non-deterministic pin column — always-false disjunct, one long
+    * comparison per row. */
+  private def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
+    df.withColumn("__pin", monotonically_increasing_id())
+      .filter(cond || col("__pin") < 0)
+      .drop("__pin")
+
   /** Exact integer `f(n)` as a static when-chain over n = 1..nMax —
     * Spark's `/` on integers is DOUBLE division, which would poison the
     * BIGINT sums; a literal switch keeps the quotient integral and the
@@ -128,9 +146,9 @@ object PopGen {
     val altSum = (0 until nSamples)
       .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
       .reduce(_ + _)
-    val rows = v
-      .select(col("d"), called.as("n"), altSum.as("a"))
-      .filter(col("a") > 0 && col("a") < lit(2) * col("n"))
+    val rows = pinnedFilter(
+      v.select(col("d"), called.as("n"), altSum.as("a")),
+      col("a") > 0 && col("a") < lit(2) * col("n"))
       .select(col("d"), col("n"), col("a"), explode(pairsLit).as("p"))
       .select(col("n"), col("a"),
         col("p.i").as("i"), col("p.j").as("j"),
@@ -171,13 +189,17 @@ object PopGen {
       .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
       .reduce(_ + _)
     // 2p(1−p)·2n/(2n−1) = a(2n−a) / (n(2n−1))
-    val rows = v
-      .select(col("d"), called.as("n"), altSum.as("a"))
-      .filter(col("n") > 0)
+    // posexplode_OUTER: the non-outer generate would get an inferred
+    // `size(d) > 0` filter whose pushed form re-evaluates the whole d
+    // expression; outer semantics are identical here (the null row an
+    // empty/null d would emit is dropped by the x filter).
+    val rows = pinnedFilter(
+      v.select(col("d"), called.as("n"), altSum.as("a")),
+      col("n") > 0)
       .withColumn("e_t",
         col("a") * (lit(2) * col("n") - col("a"))
           * intByN(col("n"), nSamples)(k => scale / (k.toLong * (2L * k - 1))))
-      .select(col("e_t"), posexplode(col("d")).as(Seq("s", "x")))
+      .select(col("e_t"), posexplode_outer(col("d")).as(Seq("s", "x")))
       .filter(col("x").isNotNull)
     rows.groupBy(col("s"))
       .agg(count(lit(1)).as("n_sites"),
@@ -233,7 +255,9 @@ object PopGen {
     * partial aggregation collapses them to #samples rows per partition
     * before the one exchange. */
   def prsScore(v: DataFrame): DataFrame =
-    v.select(col("w"), posexplode(col("d")).as(Seq("s", "x")))
+    // outer explode: see inbreedingF — avoids the inferred size(d)>0
+    // filter that re-evaluates a computed d below the fan-out exchange
+    v.select(col("w"), posexplode_outer(col("d")).as(Seq("s", "x")))
       .filter(col("x").isNotNull)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n_used"),
@@ -354,9 +378,14 @@ object PopGen {
           least(col("a_c"), lit(2) * col("n_c") - col("a_c")).cast("double")
             / (lit(2) * col("n_c")).cast("double")).otherwise(lit(0.0)))
     // maf rides the pair join itself (carry) — a re-join on vid would
-    // cross-match rows when vid is not unique in the input.
-    val pairs = LdWindow.r2(withMaf, window, carry = Seq("maf"))
-      .filter(col("r2") >= r2Max)
+    // cross-match rows when vid is not unique in the input. The pinned
+    // threshold keeps Catalyst from substituting r²'s definition down
+    // through the stats projections (the pushed predicate inlines the
+    // pair-stats kernel ~6× with no subexpression sharing — measured
+    // 2 s → 17 s on this query).
+    val pairs = pinnedFilter(
+      LdWindow.r2(withMaf, window, carry = Seq("maf")),
+      col("r2") >= r2Max)
     val victims = pairs.select(
       when(col("maf_a") < col("maf_b"), col("vid_a"))
         .when(col("maf_b") < col("maf_a"), col("vid_b"))
