@@ -105,7 +105,10 @@ object Genomics extends QueryModule {
   private val q23 = Q("q23_sample_missing",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      v.select(posexplode(missPerSample(col("geno"))).as(Seq("s", "mc")))
+      // outer: identical for the never-empty margin array, and no
+      // inferred size()>0 filter re-running the kernel below the fan-out
+      v.select(posexplode_outer(missPerSample(col("geno")))
+          .as(Seq("s", "mc")))
         .groupBy(col("s"))
         .agg(
           count(lit(1)).as("n_variants"),
@@ -615,8 +618,10 @@ object Genomics extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val v = SynthGeno.variants(s, dir)
       val d = dosageAlt(col("geno"))
+      // outer: d is never empty, and the non-outer generate's inferred
+      // size(d)>0 filter would re-run the dosage kernel below the fan-out
       val rows = v.select(col("chrom"), col("pos"), col("vid"),
-          posexplode(d).as(Seq("s", "dos")))
+          posexplode_outer(d).as(Seq("s", "dos")))
         .select(col("s"), col("chrom"), col("pos"), col("vid"),
           coalesce(col("dos"), lit(-1L)).as("dkey"),
           (col("dos").isNotNull &&
