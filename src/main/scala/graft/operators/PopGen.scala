@@ -352,6 +352,59 @@ object PopGen {
     (evs, vecs)
   }
 
+  /** Per-variant simple linear regression of a quantitative phenotype on
+    * alt dosage (the GWAS `--linear` shape): over called samples,
+    * β = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) and
+    * r² = (n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²)) — five integer
+    * sums statically unrolled per row, one (resp. one squared-products)
+    * division at the end. `y(s)` is the integer phenotype of sample
+    * ordinal s. NULL β/r² for monomorphic sites or constant phenotype
+    * over the called set. Pure projection — zero shuffles. */
+  def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {
+    val nSamples = y.length
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
+    val sx = sumOver(s => coalesce(d(s), lit(0L)))
+    val sy = sumOver(s => when(d(s).isNotNull, lit(y(s))).otherwise(0L))
+    val sxy = sumOver(s => coalesce(d(s) * y(s), lit(0L)))
+    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    val syy = sumOver(s =>
+      when(d(s).isNotNull, lit(y(s) * y(s))).otherwise(0L))
+    v.select(col("vid"), col("d"))
+      .withColumn("n", n)
+      .withColumn("num", n * sxy - sx * sy)
+      .withColumn("vx", n * sxx - sx * sx)
+      .withColumn("vy", n * syy - sy * sy)
+      .withColumn("beta",
+        when(col("vx") > 0,
+          col("num").cast("double") / col("vx").cast("double")))
+      .withColumn("r2",
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("vx").cast("double") * col("vy").cast("double"))))
+      .select(col("vid"), col("n"), col("beta"), col("r2"))
+  }
+
+  /** Windowed LD-partner profile per variant (the integer-exact cousin
+    * of an LD score): how many in-window partners a variant has in
+    * total and above r² ∈ {0.2, 0.5, 0.8}. A Σr² LD score proper is an
+    * ordering-sensitive double sum that no other engine could replay
+    * bit-for-bit; threshold COUNTS are exact integers and serve the
+    * same pruning/QC diagnostics. Both endpoints of every banded pair
+    * count (symmetric profile); rows sharing a vid aggregate together.
+    * One banded equi-join + one vid-keyed aggregation — linear. */
+  def ldPartnerProfile(v: DataFrame, window: Long): DataFrame = {
+    val pairs = LdWindow.r2(v, window)
+    val ends = pairs.select(col("vid_a").as("vid"), col("r2"))
+      .unionByName(pairs.select(col("vid_b").as("vid"), col("r2")))
+    ends.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_partners"),
+        sum(when(col("r2") >= 0.2, 1L).otherwise(0L)).as("n_ge02"),
+        sum(when(col("r2") >= 0.5, 1L).otherwise(0L)).as("n_ge05"),
+        sum(when(col("r2") >= 0.8, 1L).otherwise(0L)).as("n_ge08"))
+  }
+
   /** MAF-ranked LD pruning (the `bcftools +prune` / snpgdsLDpruning
     * decision rule, made order-free so it is deterministic and
     * distributable): within every `window`-bp banded pair with

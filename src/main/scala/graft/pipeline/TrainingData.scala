@@ -1212,6 +1212,8 @@ object TrainingData {
     * rare-token tail for zero shuffle on the corpus side. */
   def tokenCommonness(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minCount: Long = 3L): DataFrame = {
+    require(!Set("__tok", "__tf").contains(idCol),
+      s"idCol '$idCol' collides with an internal column")
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
     val counts = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
     tok.join(counts, "__tok")

@@ -221,6 +221,89 @@ object PopGenQ extends QueryModule {
     SELECT vid, chrom, pos, maf FROM mf
     WHERE vid NOT IN (SELECT vid FROM vict)""")))
 
+  // --- per-variant linear-regression association (GWAS --linear) on a
+  // deterministic integer phenotype; pure projection, exact integer
+  // sums, two guarded divisions. ----------------------------------------
+  private val phenoY: Seq[Long] = (0 until N).map(s => (s * 7L) % 5)
+  private val q129 = Q("q129_linreg_gwas",
+    (s, dir) => PopGen.linRegScore(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      phenoY),
+    Some(withCte {
+      def term(f: Int => String) =
+        (0 until N).map(f).mkString("(", " + ", ")")
+      val n = term(s => s"CASE WHEN d[${s + 1}] IS NOT NULL THEN 1 ELSE 0 END")
+      val sx = term(s => s"COALESCE(d[${s + 1}], 0)")
+      val sy = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${phenoY(s)} ELSE 0 END")
+      val sxy = term(s => s"COALESCE(d[${s + 1}] * ${phenoY(s)}, 0)")
+      val sxx = term(s => s"COALESCE(d[${s + 1}] * d[${s + 1}], 0)")
+      val syy = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${phenoY(s) * phenoY(s)} ELSE 0 END")
+      s"""SELECT vid, n,
+        CASE WHEN vx > 0 THEN CAST(num AS DOUBLE) / CAST(vx AS DOUBLE) END
+          AS beta,
+        CASE WHEN vx > 0 AND vy > 0
+             THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                  / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r2
+      FROM (SELECT vid, n, n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+        FROM (SELECT vid, CAST($n AS BIGINT) AS n, CAST($sx AS BIGINT) AS sx,
+            CAST($sy AS BIGINT) AS sy, CAST($sxy AS BIGINT) AS sxy,
+            CAST($sxx AS BIGINT) AS sxx, CAST($syy AS BIGINT) AS syy
+          FROM (SELECT vid, $dSql AS d FROM variants)))"""
+    }))
+
+  // --- windowed LD-partner profile (integer-exact LD-score cousin):
+  // partner counts per variant, total and above r² thresholds; same
+  // subsample and window as q108/q126 so the pair set is the proven
+  // one. -----------------------------------------------------------------
+  private val q130 = Q("q130_ld_partners",
+    (s, dir) => PopGen.ldPartnerProfile(
+      SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d")),
+      LD_WINDOW),
+    Some(withCte(s""", dz AS (SELECT vid, chrom, pos, $dSql AS d
+      FROM variants WHERE vid % $LD_MOD = 0),
+    pr AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+        list_filter(list_transform(range(1, ${N + 1}), i ->
+            CASE WHEN a.d[i] IS NOT NULL AND b.d[i] IS NOT NULL
+                 THEN {'x': a.d[i], 'y': b.d[i]} END),
+          p -> p IS NOT NULL) AS obs
+      FROM dz a JOIN dz b ON a.chrom = b.chrom
+        AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
+        AND b.pos - a.pos <= $LD_WINDOW),
+    st AS (SELECT vid_a, vid_b,
+        CAST(len(obs) AS BIGINT) AS n,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+          AS BIGINT) AS sx,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+          AS BIGINT) AS sy,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+          AS BIGINT) AS sxy,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.x)), 0)
+          AS BIGINT) AS sxx,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y * p.y)), 0)
+          AS BIGINT) AS syy
+      FROM pr),
+    r2s AS (SELECT vid_a, vid_b,
+        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN (CAST(n*sxy - sx*sy AS DOUBLE)
+                   * CAST(n*sxy - sx*sy AS DOUBLE))
+                  / (CAST(n*sxx - sx*sx AS DOUBLE)
+                     * CAST(n*syy - sy*sy AS DOUBLE)) END AS r2
+      FROM st),
+    ends AS (SELECT vid_a AS vid, r2 FROM r2s
+      UNION ALL SELECT vid_b AS vid, r2 FROM r2s)
+    SELECT vid, COUNT(*) AS n_partners,
+      CAST(SUM(CASE WHEN r2 >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge02,
+      CAST(SUM(CASE WHEN r2 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge05,
+      CAST(SUM(CASE WHEN r2 >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge08
+    FROM ends GROUP BY vid""")))
+
   override def queries: Seq[Q] =
-    Seq(q120, q121, q122, q123, q124, q126)
+    Seq(q120, q121, q122, q123, q124, q126, q129, q130)
 }

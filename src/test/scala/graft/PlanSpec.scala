@@ -419,6 +419,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q129: linear-regression association is a pure projection") {
+    val p = plan("q129_linreg_gwas")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q130: LD-partner profile is banded equi-join + one vid " +
+      "aggregation — no nested loop") {
+    val p = plan("q130_ld_partners")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(vid#".r.findAllIn(p).size == 1, p)
+  }
+
   test("q126: LD pruning pairs via banded equi-join, prunes via " +
       "anti-join — never a nested loop") {
     val p = plan("q126_ld_prune")

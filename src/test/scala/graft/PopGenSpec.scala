@@ -114,6 +114,38 @@ class PopGenSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("linRegScore golden: perfect line gives r²=1, flat site null") {
+    import spark.implicits._
+    // y = (0, 2, 4, 1); d = [0,1,2,null] → called set lies on y = 2x
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 1L, 2L, null)),
+      (2L, Seq[java.lang.Long](1L, 1L, 1L, 1L))
+    ).toDF("vid", "d")
+    val r = PopGen.linRegScore(v, Seq(0L, 2L, 4L, 1L))
+      .orderBy("vid").collect()
+    assert(r(0).getAs[Long]("n") == 3L)
+    assert(r(0).getAs[Double]("beta") == 2.0)
+    assert(r(0).getAs[Double]("r2") == 1.0)
+    assert(r(1).isNullAt(r(1).fieldIndex("beta")))
+    assert(r(1).isNullAt(r(1).fieldIndex("r2")))
+  }
+
+  test("ldPartnerProfile golden: both endpoints count, null r² only in " +
+      "the partner total") {
+    import spark.implicits._
+    val a = Seq[java.lang.Long](0L, 1L, 2L, 0L)
+    val flat = Seq[java.lang.Long](1L, 1L, 1L, 1L)
+    val v = Seq(
+      (10L, "c1", 1L, a), (20L, "c1", 2L, a), (30L, "c1", 3L, flat)
+    ).toDF("vid", "chrom", "pos", "d")
+    val got = PopGen.ldPartnerProfile(v, 100L).collect()
+      .map(r => r.getAs[Long]("vid") ->
+        (r.getAs[Long]("n_partners"), r.getAs[Long]("n_ge05"))).toMap
+    assert(got(10L) == ((2L, 1L)))
+    assert(got(20L) == ((2L, 1L)))
+    assert(got(30L) == ((2L, 0L)))
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
