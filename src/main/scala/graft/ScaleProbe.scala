@@ -136,6 +136,12 @@ object ScaleProbe {
           clusterCap = 64), Vecs),
       ("ld_r2",
         d => graft.operators.LdWindow.r2(d, 200L), Vars),
+      ("ld_prune",
+        d => graft.operators.PopGen.ldPrune(d, 200L, 0.5, 8), Vars),
+      ("grm",
+        d => graft.operators.PopGen.grm(d, 8), Vars),
+      ("bpe_train",
+        d => TrainingData.bpeTrain(d, nMerges = 4), Docs),
       ("pq_adc",
         d => pqAdcScan(d,
           if (d eq vecsN) 40 * Factor else 40), Vecs))
