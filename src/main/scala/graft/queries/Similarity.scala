@@ -938,6 +938,71 @@ object Similarity extends QueryModule {
       FROM neg LEFT JOIN pos ON pos.anchor_id = neg.anchor_id
       WHERE rank <= $HARDNEG_K"""))
 
+  // --- margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin):
+  // source probes vs the odd-id "target side"; per probe the best target
+  // plus cos1 / mean(cos2..cos5) — the margin criterion that separates
+  // true translations from hubness artifacts. The mean is a FIXED
+  // left-associated 4-term sum (pivoted from ranks), never an
+  // order-dependent aggregate, so the double is exactly replayable.
+  // Scale: probes broadcast; rank 1-5 via WindowGroupLimit-capped
+  // per-probe top-k, same shape as q36. ---------------------------------
+  private val q131 = Q("q131_bitext_margin",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+        .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+      val target = e.filter(col("vec_id") % 2 === 1)
+      val scored = target.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+            .as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      def at(r: Int, c: String) = max(when(col("rank") === r, col(c)))
+      top.groupBy(col("probe_id"))
+        .agg(at(1, "vec_id").as("best_id"), at(1, "cos").as("cos1"),
+          at(2, "cos").as("c2"), at(3, "cos").as("c3"),
+          at(4, "cos").as("c4"), at(5, "cos").as("c5"))
+        .withColumn("margin",
+          when(col("c2") + (col("c3") + (col("c4") + col("c5"))) > 0,
+            col("cos1") / ((col("c2") + (col("c3")
+              + (col("c4") + col("c5")))) / lit(4.0))))
+        .select(col("probe_id"), col("best_id"), col("cos1"), col("margin"))
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
+            WHERE vec_id % $PROBE_MOD = 0),
+      t AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+      scored AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM t CROSS JOIN p),
+      top AS (SELECT * FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= 5),
+      piv AS (SELECT probe_id,
+          MAX(CASE WHEN rank = 1 THEN vec_id END) AS best_id,
+          MAX(CASE WHEN rank = 1 THEN cos END) AS cos1,
+          MAX(CASE WHEN rank = 2 THEN cos END) AS c2,
+          MAX(CASE WHEN rank = 3 THEN cos END) AS c3,
+          MAX(CASE WHEN rank = 4 THEN cos END) AS c4,
+          MAX(CASE WHEN rank = 5 THEN cos END) AS c5
+        FROM top GROUP BY probe_id)
+      SELECT probe_id, best_id, cos1,
+        CASE WHEN c2 + (c3 + (c4 + c5)) > 0
+             THEN cos1 / ((c2 + (c3 + (c4 + c5))) / 4.0) END AS margin
+      FROM piv"""))
+
   override def queries: Seq[Q] =
-    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115)
+    Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
+      q131)
 }

@@ -419,6 +419,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q131: bitext mining broadcasts probes; WindowGroupLimit caps " +
+      "per-probe candidates before the shuffle") {
+    val p = plan("q131_bitext_margin")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q129: linear-regression association is a pure projection") {
     val p = plan("q129_linreg_gwas")
     assert(!p.contains("Join"), p)
