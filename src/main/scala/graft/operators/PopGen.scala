@@ -405,6 +405,59 @@ object PopGen {
         sum(when(col("r2") >= 0.8, 1L).otherwise(0L)).as("n_ge08"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2×K association (PLINK `--mh`,
+    * no continuity correction): per variant, each stratum contributes a
+    * 2×2 table of phenotype (case/control) × alt-carriage (dosage > 0)
+    * over called samples; χ² = (Σₖ aₖ − Eₖ)² / Σₖ Vₖ with
+    * Eₖ = n1ₖm1ₖ/nₖ and Vₖ = n1ₖn2ₖm1ₖm2ₖ/(nₖ²(nₖ−1)). Rationalized:
+    * U scaled by lcm(nₖ), V by lcm(nₖ)² — the identity
+    * χ² = (U·s)² / (V·s²) makes the result ONE exact division of two
+    * BIGINTs. NULL when every stratum is degenerate (V = 0). Pure
+    * projection — zero shuffles. */
+  def cmhTest(v: DataFrame, isCase: Seq[Boolean], strata: Seq[Seq[Int]])
+      : DataFrame = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val nMax = strata.map(_.length).max
+    val uScale = (1 to nMax).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val vScale = uScale * uScale
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def cnt(ss: Seq[Int], f: Int => Column) =
+      ss.map(f).reduce(_ + _)
+    // per-stratum scaled contributions, statically unrolled
+    val terms = strata.map { ss =>
+      val n1 = cnt(ss, s => when(d(s).isNotNull && lit(isCase(s)), 1L)
+        .otherwise(0L))
+      val n2 = cnt(ss, s => when(d(s).isNotNull && !lit(isCase(s)), 1L)
+        .otherwise(0L))
+      val m1 = cnt(ss, s => when(d(s) > 0, 1L).otherwise(0L))
+      val m2 = cnt(ss, s => when(d(s) === 0, 1L).otherwise(0L))
+      val a = cnt(ss, s => when(d(s) > 0 && lit(isCase(s)), 1L)
+        .otherwise(0L))
+      val n = n1 + n2
+      // U·uScale: a·uScale − n1·m1·(uScale/n); V·vScale similarly —
+      // uScale/n and vScale/(n²(n−1)) are exact via the static switch
+      val uT = when(n > 0,
+        a * uScale - n1 * m1 * intByN(n, nMax)(k => uScale / k))
+        .otherwise(0L)
+      val vT = when(n > 1,
+        n1 * n2 * m1 * m2
+          * intByN(n, nMax)(k =>
+            if (k < 2) 0L else vScale / (k.toLong * k * (k - 1))))
+        .otherwise(0L)
+      (uT, vT)
+    }
+    val u = terms.map(_._1).reduce(_ + _)
+    val vv = terms.map(_._2).reduce(_ + _)
+    v.select(col("vid"), col("d"))
+      .withColumn("u_scaled", u)
+      .withColumn("v_scaled", vv)
+      .withColumn("chi2",
+        when(col("v_scaled") > 0,
+          (col("u_scaled") * col("u_scaled")).cast("double")
+            / col("v_scaled").cast("double")))
+      .select(col("vid"), col("u_scaled"), col("v_scaled"), col("chi2"))
+  }
+
   /** MAF-ranked LD pruning (the `bcftools +prune` / snpgdsLDpruning
     * decision rule, made order-free so it is deterministic and
     * distributable): within every `window`-bp banded pair with

@@ -304,6 +304,58 @@ object PopGenQ extends QueryModule {
       CAST(SUM(CASE WHEN r2 >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge08
     FROM ends GROUP BY vid""")))
 
+  // --- Cochran–Mantel–Haenszel stratified association (PLINK --mh):
+  // strata = sample halves, phenotype = ordinal parity; χ² as ONE exact
+  // division via lcm scaling (see PopGen.cmhTest). ----------------------
+  private val cmhStrata: Seq[Seq[Int]] =
+    Seq(0 until N / 2, N / 2 until N)
+  private val q132 = Q("q132_cmh_assoc",
+    (s, dir) => PopGen.cmhTest(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      phenoCase, cmhStrata),
+    Some(withCte {
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val uS = (1 to cmhStrata.map(_.length).max)
+        .map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+      val vS = uS * uS
+      def cnt(ss: Seq[Int], f: Int => String) =
+        ss.map(f).mkString("(", " + ", ")")
+      val strataCols = cmhStrata.zipWithIndex.map { case (ss, z) =>
+        val n1 = cnt(ss, i =>
+          s"CASE WHEN d[${i + 1}] IS NOT NULL AND ${phenoCase(i)} THEN 1 ELSE 0 END")
+        val n2 = cnt(ss, i =>
+          s"CASE WHEN d[${i + 1}] IS NOT NULL AND NOT ${phenoCase(i)} THEN 1 ELSE 0 END")
+        val m1 = cnt(ss, i =>
+          s"CASE WHEN d[${i + 1}] > 0 THEN 1 ELSE 0 END")
+        val m2 = cnt(ss, i =>
+          s"CASE WHEN d[${i + 1}] = 0 THEN 1 ELSE 0 END")
+        val a = cnt(ss, i =>
+          s"CASE WHEN d[${i + 1}] > 0 AND ${phenoCase(i)} THEN 1 ELSE 0 END")
+        s"""CAST($n1 AS BIGINT) AS n1_$z, CAST($n2 AS BIGINT) AS n2_$z,
+           CAST($m1 AS BIGINT) AS m1_$z, CAST($m2 AS BIGINT) AS m2_$z,
+           CAST($a AS BIGINT) AS a_$z"""
+      }.mkString(",\n")
+      val uT = cmhStrata.indices.map(z =>
+        s"""CASE WHEN n1_$z + n2_$z > 0
+            THEN a_$z * $uS - n1_$z * m1_$z * ($uS // (n1_$z + n2_$z))
+            ELSE 0 END""").mkString("(", " + ", ")")
+      val vT = cmhStrata.indices.map(z =>
+        s"""CASE WHEN n1_$z + n2_$z > 1
+            THEN n1_$z * n2_$z * m1_$z * m2_$z
+                 * ($vS // ((n1_$z + n2_$z) * (n1_$z + n2_$z)
+                            * (n1_$z + n2_$z - 1)))
+            ELSE 0 END""").mkString("(", " + ", ")")
+      s"""SELECT vid, u_scaled, v_scaled,
+        CASE WHEN v_scaled > 0
+             THEN CAST(u_scaled * u_scaled AS DOUBLE)
+                  / CAST(v_scaled AS DOUBLE) END AS chi2
+      FROM (SELECT vid, CAST($uT AS BIGINT) AS u_scaled,
+          CAST($vT AS BIGINT) AS v_scaled
+        FROM (SELECT vid, $strataCols
+          FROM (SELECT vid, $dSql AS d FROM variants)))"""
+    }))
+
   override def queries: Seq[Q] =
-    Seq(q120, q121, q122, q123, q124, q126, q129, q130)
+    Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132)
 }

@@ -427,10 +427,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("q129: linear-regression association is a pure projection") {
-    val p = plan("q129_linreg_gwas")
-    assert(!p.contains("Join"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  test("q129/q132: regression and CMH association are pure projections") {
+    for (q <- Seq("q129_linreg_gwas", "q132_cmh_assoc")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    }
   }
 
   test("q130: LD-partner profile is banded equi-join + one vid " +

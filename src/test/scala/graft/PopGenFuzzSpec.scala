@@ -159,6 +159,35 @@ class PopGenFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("cmhTest matches brute force") {
+    import spark.implicits._
+    val pheno = Seq(false, true, true, false)
+    val strata = Seq(Seq(0, 1), Seq(2, 3))
+    for (round <- 1 to 4) {
+      val vs = draw(varsGen(40), 15000L + round)
+      val df = vs.map(v => (v.vid, v.d.map(_.map(java.lang.Long.valueOf)
+        .orNull))).toDF("vid", "d")
+      val got = PopGen.cmhTest(df, pheno, strata).collect()
+        .map(r => (r.getAs[Long]("vid"), r.getAs[Long]("u_scaled"),
+          r.getAs[Long]("v_scaled"))).toSet
+      val exp = vs.map { v =>
+        var (u, vv) = (0L, 0L)
+        for (ss <- strata) {
+          val n1 = ss.count(s => v.d(s).isDefined && pheno(s)).toLong
+          val n2 = ss.count(s => v.d(s).isDefined && !pheno(s)).toLong
+          val m1 = ss.count(s => v.d(s).exists(_ > 0)).toLong
+          val m2 = ss.count(s => v.d(s).contains(0L)).toLong
+          val a = ss.count(s => v.d(s).exists(_ > 0) && pheno(s)).toLong
+          val n = n1 + n2
+          if (n > 0) u += a * 2 - n1 * m1 * (2 / n)
+          if (n > 1) vv += n1 * n2 * m1 * m2 * (4 / (n * n * (n - 1)))
+        }
+        (v.vid, u, vv)
+      }.toSet
+      assert(got == exp, s"round $round")
+    }
+  }
+
   test("ldPrune matches brute force, duplicate vids included") {
     import spark.implicits._
     for (round <- 1 to 4) {

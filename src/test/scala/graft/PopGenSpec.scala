@@ -146,6 +146,22 @@ class PopGenSpec extends AnyFunSuite {
     assert(got(30L) == ((2L, 0L)))
   }
 
+  test("cmhTest golden: perfect stratified association gives χ² = 2, " +
+      "monomorphic null") {
+    import spark.implicits._
+    // strata {0,1} and {2,3}, cases = odd ordinals, carriers = cases
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 2L, 0L, 2L)),
+      (2L, Seq[java.lang.Long](0L, 0L, 0L, 0L))
+    ).toDF("vid", "d")
+    val r = PopGen.cmhTest(v, Seq(false, true, false, true),
+      Seq(Seq(0, 1), Seq(2, 3))).orderBy("vid").collect()
+    assert(r(0).getAs[Long]("u_scaled") == 2L
+      && r(0).getAs[Long]("v_scaled") == 2L
+      && r(0).getAs[Double]("chi2") == 2.0)
+    assert(r(1).isNullAt(r(1).fieldIndex("chi2")))
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
