@@ -263,6 +263,49 @@ object PopGen {
       .agg(count(lit(1)).as("n_used"),
         sum(col("w") * col("x")).as("score_num"))
 
+  /** IBD-segment runs per sample pair (the GERMLINE/hap-IBD shape on
+    * collapsed dosages): for every pair and chromosome, variants in
+    * (pos, vid) order are scanned for maximal runs of IBS2 state
+    * (both called, equal dosage); emits per (i, j, chrom) the IBS2
+    * count, run count, and longest run. The same gaps-and-islands
+    * lag + running-sum construction as the ROH scan (q112), lifted to
+    * the PAIR axis — the heaviest by.sample-PAIR positional workload
+    * the reference's `~data` transpose exists for. Dosage values join
+    * the sort key, so the segmentation is invariant under duplicate
+    * (pos, vid) ties. One (i, j, chrom) exchange serves the lag
+    * window, the running sum, and both aggregations; parallelism
+    * grows with pairs × chromosomes. */
+  def ibdSegments(v: DataFrame, nSamples: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairsLit = array((for {
+      i <- 0 until nSamples
+      j <- (i + 1) until nSamples
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val rows = v
+      .select(col("chrom"), col("pos"), col("vid"), col("d"),
+        explode(pairsLit).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("chrom"), col("pos"), col("vid"),
+        coalesce(element_at(col("d"), col("p.i") + 1), lit(-1L)).as("dik"),
+        coalesce(element_at(col("d"), col("p.j") + 1), lit(-1L)).as("djk"))
+      .withColumn("ibs2",
+        col("dik") >= 0 && col("djk") >= 0 && col("dik") === col("djk"))
+    val w = Window.partitionBy(col("i"), col("j"), col("chrom"))
+      .orderBy(col("pos"), col("vid"), col("dik"), col("djk"))
+    val runs = rows
+      .withColumn("start",
+        col("ibs2") && !lag(col("ibs2"), 1, false).over(w))
+      .withColumn("rid",
+        sum(when(col("start"), 1L).otherwise(0L)).over(w))
+      .filter(col("ibs2"))
+      .groupBy(col("i"), col("j"), col("chrom"), col("rid"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("i"), col("j"), col("chrom"))
+      .agg(sum(col("run_len")).as("n_ibs2"),
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"))
+  }
+
   /** Top-k sample principal components from a [[grm]] result — the
     * snpgdsPCA shape (SNPRelate over a SeqArray handle): the GRM is the
     * distributed part (one linear pass over the genotype cube); the
@@ -403,6 +446,29 @@ object PopGen {
         sum(when(col("r2") >= 0.2, 1L).otherwise(0L)).as("n_ge02"),
         sum(when(col("r2") >= 0.5, 1L).otherwise(0L)).as("n_ge05"),
         sum(when(col("r2") >= 0.8, 1L).otherwise(0L)).as("n_ge08"))
+  }
+
+  /** MaCH/minimac imputation-quality r̂² per variant: the ratio of the
+    * observed dosage variance to the binomial expectation 2p̂(1−p̂),
+    * which algebra reduces to the all-integer
+    * r̂² = 2·(n·Σx² − (Σx)²) / (Σx·(2n − Σx)) over called samples —
+    * one exact division, NULL for monomorphic dosage mass (Σx = 0 or
+    * 2n). Hard calls give r̂² ≥ 1-ish, over-smoothed imputed dosages
+    * < 1 — the standard post-imputation QC filter. Pure projection. */
+  def imputeRhat2(v: DataFrame, nSamples: Int): DataFrame = {
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
+    val a = sumOver(s => coalesce(d(s), lit(0L)))
+    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    v.select(col("vid"), col("d"))
+      .withColumn("n", n).withColumn("a", a).withColumn("sxx", sxx)
+      .withColumn("rhat2",
+        when(col("a") > 0 && col("a") < lit(2) * col("n"),
+          (lit(2) * (col("n") * col("sxx") - col("a") * col("a")))
+            .cast("double")
+            / (col("a") * (lit(2) * col("n") - col("a"))).cast("double")))
+      .select(col("vid"), col("n"), col("a"), col("rhat2"))
   }
 
   /** Cochran–Mantel–Haenszel stratified 2×2×K association (PLINK `--mh`,

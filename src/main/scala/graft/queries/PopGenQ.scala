@@ -356,6 +356,64 @@ object PopGenQ extends QueryModule {
           FROM (SELECT vid, $dSql AS d FROM variants)))"""
     }))
 
+  // --- MaCH imputation-quality r̂² (post-imputation QC filter): the
+  // observed/expected dosage-variance ratio reduced to one exact
+  // integer division. -------------------------------------------------
+  private val q133 = Q("q133_impute_rhat2",
+    (s, dir) => PopGen.imputeRhat2(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT vid, n, a,
+      CASE WHEN a > 0 AND a < 2*n
+           THEN CAST(2 * (n * sxx - a * a) AS DOUBLE)
+                / CAST(a * (2*n - a) AS DOUBLE) END AS rhat2
+      FROM (SELECT vid,
+          CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS a,
+          CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, x -> x IS NOT NULL), x -> x*x)), 0)
+            AS BIGINT) AS sxx
+        FROM (SELECT vid, $dSql AS d FROM variants))""")))
+
+  // --- IBD-segment runs per sample pair (GERMLINE shape): maximal IBS2
+  // runs per (pair, chrom) via the gaps-and-islands scan; one exchange
+  // serves windows and aggregations. -----------------------------------
+  private val q134 = Q("q134_ibd_segments",
+    (s, dir) => PopGen.ibdSegments(
+      SynthGeno.variants(s, dir)
+        .filter(col("vid") % 7 === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT i, j, chrom,
+      CAST(SUM(run_len) AS BIGINT) AS n_ibs2,
+      COUNT(*) AS n_runs,
+      CAST(MAX(run_len) AS BIGINT) AS max_run
+      FROM (SELECT i, j, chrom, rid, COUNT(*) AS run_len
+        FROM (SELECT i, j, chrom, ibs2,
+            SUM(CASE WHEN strt THEN 1 ELSE 0 END)
+              OVER (PARTITION BY i, j, chrom
+                    ORDER BY pos, vid, dik, djk) AS rid
+          FROM (SELECT i, j, chrom, pos, vid, dik, djk, ibs2,
+              ibs2 AND NOT LAG(ibs2, 1, FALSE)
+                OVER (PARTITION BY i, j, chrom
+                      ORDER BY pos, vid, dik, djk) AS strt
+            FROM (SELECT p.i, p.j, chrom, pos, vid,
+                COALESCE(d[p.i + 1], -1) AS dik,
+                COALESCE(d[p.j + 1], -1) AS djk,
+                (d[p.i + 1] IS NOT NULL AND d[p.j + 1] IS NOT NULL
+                  AND d[p.i + 1] = d[p.j + 1]) AS ibs2
+              FROM (SELECT vid, chrom, pos, $dSql AS d FROM variants
+                  WHERE vid % 7 = 0) dz,
+                (SELECT ii.i, jj.j
+                 FROM (SELECT unnest(range(0, $N)) AS i) ii,
+                      (SELECT unnest(range(0, $N)) AS j) jj
+                 WHERE jj.j > ii.i) p)))
+        WHERE ibs2 GROUP BY i, j, chrom, rid)
+      GROUP BY i, j, chrom""")))
+
   override def queries: Seq[Q] =
-    Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132)
+    Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134)
 }

@@ -427,12 +427,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("q129/q132: regression and CMH association are pure projections") {
-    for (q <- Seq("q129_linreg_gwas", "q132_cmh_assoc")) {
+  test("q129/q132/q133: regression, CMH, and r̂² are pure projections") {
+    for (q <- Seq("q129_linreg_gwas", "q132_cmh_assoc",
+        "q133_impute_rhat2")) {
       val p = plan(q)
       assert(!p.contains("Join"), p)
       assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
     }
+  }
+
+  test("q134: IBD segments run one (i,j,chrom) exchange for every stage") {
+    val p = plan("q134_ibd_segments")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
   test("q130: LD-partner profile is banded equi-join + one vid " +

@@ -162,6 +162,38 @@ class PopGenSpec extends AnyFunSuite {
     assert(r(1).isNullAt(r(1).fieldIndex("chi2")))
   }
 
+  test("imputeRhat2 golden: over-dispersed 2, all-het 0, monomorphic null") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 2L, 0L, 2L)),
+      (2L, Seq[java.lang.Long](1L, 1L, 1L, 1L)),
+      (3L, Seq[java.lang.Long](0L, 0L, 0L, 0L))
+    ).toDF("vid", "d")
+    val r = PopGen.imputeRhat2(v, 4).orderBy("vid").collect()
+    assert(r(0).getAs[Double]("rhat2") == 2.0)
+    assert(r(1).getAs[Double]("rhat2") == 0.0)
+    assert(r(2).isNullAt(r(2).fieldIndex("rhat2")))
+  }
+
+  test("ibdSegments golden: runs split on mismatch, all-missing pairs " +
+      "absent") {
+    import spark.implicits._
+    // pair (0,1): IBS2 pattern T,T,F,T → runs 2+1; samples 2,3 never
+    // called → their pairs have no IBS2 row at all
+    val v = Seq(
+      (1L, "c1", 10L, Seq[java.lang.Long](1L, 1L, null, null)),
+      (2L, "c1", 20L, Seq[java.lang.Long](1L, 1L, null, null)),
+      (3L, "c1", 30L, Seq[java.lang.Long](0L, 1L, null, null)),
+      (4L, "c1", 40L, Seq[java.lang.Long](1L, 1L, null, null))
+    ).toDF("vid", "chrom", "pos", "d")
+    val got = PopGen.ibdSegments(v, 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getAs[Long]("n_ibs2"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run")))).toMap
+    assert(got((0, 1)) == ((3L, 2L, 2L)))
+    assert(!got.contains((2, 3)) && !got.contains((0, 2)))
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
