@@ -30,7 +30,10 @@ object LdWindow {
     * values ride the pair join itself, so they stay row-accurate even
     * when `vid` is not unique (a re-join on vid after the fact would
     * cross-match duplicates). */
-  def r2(variants: DataFrame, window: Long,
+  /** Banded in-window pairs with the raw pairwise-complete sums
+    * (n, sx, sy, sxy, sxx, syy) — the shared substrate for r² and for
+    * haplotype-count statistics like D′. Same contract as [[r2]]. */
+  def stats(variants: DataFrame, window: Long,
       carry: Seq[String] = Nil): DataFrame = {
     require(window > 0, s"window must be positive; got $window")
     val v = variants.withColumn("bucket", expr(s"pos div $window"))
@@ -59,6 +62,12 @@ object LdWindow {
         element_at(col("st"), 4).as("sxy"),
         element_at(col("st"), 5).as("sxx"),
         element_at(col("st"), 6).as("syy")) ++ carried: _*)
+  }
+
+  def r2(variants: DataFrame, window: Long,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    stats(variants, window, carry)
       .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))

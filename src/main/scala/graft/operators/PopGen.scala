@@ -263,6 +263,47 @@ object PopGen {
       .agg(count(lit(1)).as("n_used"),
         sum(col("w") * col("x")).as("score_num"))
 
+  /** Per-slot haplotype alt indicators: one entry per (sample, ploidy)
+    * slot — 1/0 for an alt/ref allele on a PHASED sample, null when the
+    * sample is unphased or the allele missing (phase-unknown slots
+    * carry no haplotype information). Statically unrolled, stays in
+    * codegen. */
+  def hapAlt(geno: Column, phased: Column, nSamples: Int,
+      ploidy: Int = 2): Column =
+    array((for (s <- 0 until nSamples; p <- 0 until ploidy) yield {
+      val a = element_at(element_at(geno, s + 1), p + 1)
+      when(element_at(phased, s + 1) && a.isNotNull,
+        (a =!= 0).cast("long"))
+    }): _*)
+
+  /** Lewontin D′ over PHASED haplotypes for every in-window variant
+    * pair: with haplotype counts n (slots called at both variants),
+    * nA/nB (alt at either), n11 (alt at both), D·n² = n·n11 − nA·nB and
+    * D′ = D·n² / Dmax·n², where Dmax·n² = min(nA(n−nB), nB(n−nA)) for
+    * D > 0 and min(nA·nB, (n−nA)(n−nB)) for D < 0 — ONE exact integer
+    * division, sign carried by D. NULL for monomorphic pairs (Dmax = 0)
+    * and exactly 0.0 at D = 0 (linkage equilibrium). Input `v` carries
+    * vid, chrom, pos and `d` = [[hapAlt]] slots; rides the banded
+    * [[LdWindow.stats]] join — linear, no out-of-window pair. */
+  def dPrimeWindow(v: DataFrame, window: Long): DataFrame = {
+    val st = LdWindow.stats(v, window)
+    st
+      .withColumn("d_n2", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dmax_n2",
+        when(col("d_n2") > 0,
+          least(col("sx") * (col("n") - col("sy")),
+            col("sy") * (col("n") - col("sx"))))
+          .otherwise(least(col("sx") * col("sy"),
+            (col("n") - col("sx")) * (col("n") - col("sy")))))
+      .select(col("chrom"), col("vid_a"), col("vid_b"), col("dist"),
+        col("n"), col("sx").as("na"), col("sy").as("nb"),
+        col("sxy").as("n11"),
+        when(col("d_n2") === 0, lit(0.0))
+          .when(col("dmax_n2") > 0,
+            col("d_n2").cast("double") / col("dmax_n2").cast("double"))
+          .as("dprime"))
+  }
+
   /** IBD-segment runs per sample pair (the GERMLINE/hap-IBD shape on
     * collapsed dosages): for every pair and chromosome, variants in
     * (pos, vid) order are scanned for maximal runs of IBS2 state

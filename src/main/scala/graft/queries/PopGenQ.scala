@@ -414,6 +414,59 @@ object PopGenQ extends QueryModule {
         WHERE ibs2 GROUP BY i, j, chrom, rid)
       GROUP BY i, j, chrom""")))
 
+  // --- Lewontin D′ over phased haplotype slots (the phase-AWARE LD
+  // statistic q108's genotype r² cannot express): haplotype counts from
+  // phased samples only, D′ as one exact integer division, banded
+  // window pairs. -------------------------------------------------------
+  private val q135 = Q("q135_dprime",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+      PopGen.dPrimeWindow(
+        v.select(col("vid"), col("chrom"), col("pos"),
+          PopGen.hapAlt(col("geno"), col("phased"), N).as("d")),
+        LD_WINDOW)
+    },
+    Some(withCte(s""", hv AS (SELECT vid, chrom, pos,
+      flatten(list_transform(range(0, $N), s -> [
+        CASE WHEN phased[s + 1] AND geno[s + 1][1] IS NOT NULL
+             THEN CASE WHEN geno[s + 1][1] <> 0 THEN 1 ELSE 0 END END,
+        CASE WHEN phased[s + 1] AND geno[s + 1][2] IS NOT NULL
+             THEN CASE WHEN geno[s + 1][2] <> 0 THEN 1 ELSE 0 END END]))
+        AS d
+      FROM variants WHERE vid % $LD_MOD = 0),
+    pr AS (SELECT a.chrom, a.vid AS vid_a, b.vid AS vid_b,
+        b.pos - a.pos AS dist,
+        list_filter(list_transform(range(1, ${2 * N + 1}), i ->
+            CASE WHEN a.d[i] IS NOT NULL AND b.d[i] IS NOT NULL
+                 THEN {'x': a.d[i], 'y': b.d[i]} END),
+          p -> p IS NOT NULL) AS obs
+      FROM hv a JOIN hv b ON a.chrom = b.chrom
+        AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
+        AND b.pos - a.pos <= $LD_WINDOW),
+    st AS (SELECT chrom, vid_a, vid_b, dist,
+        CAST(len(obs) AS BIGINT) AS n,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+          AS BIGINT) AS na,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+          AS BIGINT) AS nb,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+          AS BIGINT) AS n11
+      FROM pr)
+    SELECT chrom, vid_a, vid_b, dist, n, na, nb, n11,
+      CASE WHEN n * n11 - na * nb = 0 THEN 0.0
+           WHEN (CASE WHEN n * n11 - na * nb > 0
+                      THEN least(na * (n - nb), nb * (n - na))
+                      ELSE least(na * nb, (n - na) * (n - nb)) END) > 0
+           THEN CAST(n * n11 - na * nb AS DOUBLE)
+                / CAST(CASE WHEN n * n11 - na * nb > 0
+                            THEN least(na * (n - nb), nb * (n - na))
+                            ELSE least(na * nb, (n - na) * (n - nb)) END
+                       AS DOUBLE)
+      END AS dprime
+    FROM st""")))
+
   override def queries: Seq[Q] =
-    Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134)
+    Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
+      q135)
 }

@@ -194,6 +194,31 @@ class PopGenSpec extends AnyFunSuite {
     assert(!got.contains((2, 3)) && !got.contains((0, 2)))
   }
 
+  test("dPrimeWindow golden: coupling 1, repulsion −1, equilibrium 0, " +
+      "unphased slots excluded") {
+    import spark.implicits._
+    def g(rows: (Long, Long)*) = rows.map { case (a, b) =>
+      Seq[java.lang.Long](a, b) }
+    val v = Seq(
+      (1L, "c1", 1L, g((1L, 0L), (1L, 0L)), Seq(true, true)),
+      (2L, "c1", 2L, g((1L, 0L), (1L, 0L)), Seq(true, true)),
+      (3L, "c1", 3L, g((0L, 1L), (0L, 1L)), Seq(true, true)),
+      (4L, "c1", 4L, g((1L, 1L), (0L, 0L)), Seq(true, true)),
+      (5L, "c1", 5L, g((1L, 0L), (1L, 0L)), Seq(true, false))
+    ).toDF("vid", "chrom", "pos", "geno", "phased")
+    val hv = v.select(col("vid"), col("chrom"), col("pos"),
+      PopGen.hapAlt(col("geno"), col("phased"), 2).as("d"))
+    val got = PopGen.dPrimeWindow(hv, 100L).collect()
+      .map(r => ((r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")),
+        (r.getAs[Long]("n"), if (r.isNullAt(r.fieldIndex("dprime")))
+          Double.NaN else r.getAs[Double]("dprime")))).toMap
+    assert(got((1L, 2L)) == ((4L, 1.0)))    // full coupling
+    assert(got((1L, 3L)) == ((4L, -1.0)))   // full repulsion
+    assert(got((1L, 4L)) == ((4L, 0.0)))    // equilibrium
+    // unphased sample drops its slots from the pairwise-complete set
+    assert(got((1L, 5L))._1 == 2L)
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
