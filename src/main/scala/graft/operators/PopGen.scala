@@ -304,6 +304,66 @@ object PopGen {
           .as("dprime"))
   }
 
+  /** Haplotype blocks from ADJACENT-pair D′ runs (the simplified
+    * Gabriel et al. 2002 shape): per chromosome, variants in
+    * (pos, vid, slot-digest) order link to their successor with the
+    * Lewontin D′ of the two [[hapAlt]] slot vectors; maximal runs of
+    * links with |D′| ≥ `dMin` form blocks. Emits one row per block:
+    * (chrom, start_pos, end_pos, n_variants, span). The slot digest
+    * joins the sort key so duplicate (pos, vid) rows order
+    * deterministically (their d vectors differ).
+    *
+    * Scale: adjacency needs no pair join at all — one lead() window +
+    * the gaps-and-islands construction, all clustered on the chrom
+    * partition axis (per-chromosome ordered scans are how every
+    * haplotype-block tool works; within-chrom parallelism would need
+    * the windowed-bucket variant with boundary stitching). */
+  def haploBlocks(v: DataFrame, dMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dig = array_join(transform(col("d"),
+      x => coalesce(x, lit(-1L)).cast("string")), ",")
+    val w = Window.partitionBy(col("chrom"))
+      .orderBy(col("pos"), col("vid"), col("dig"))
+    val st = graft.functions.vectorfns.ldPairStats(col("d"), col("nd"))
+    val linked = v
+      .withColumn("dig", dig)
+      .withColumn("nd", lead(col("d"), 1).over(w))
+      .withColumn("npos", lead(col("pos"), 1).over(w))
+      .withColumn("st", st)
+      .withColumn("n", element_at(col("st"), 1))
+      .withColumn("na", element_at(col("st"), 2))
+      .withColumn("nb", element_at(col("st"), 3))
+      .withColumn("n11", element_at(col("st"), 4))
+      .withColumn("d_n2", col("n") * col("n11") - col("na") * col("nb"))
+      .withColumn("dmax_n2",
+        when(col("d_n2") > 0,
+          least(col("na") * (col("n") - col("nb")),
+            col("nb") * (col("n") - col("na"))))
+          .otherwise(least(col("na") * col("nb"),
+            (col("n") - col("na")) * (col("n") - col("nb")))))
+      .withColumn("dprime",
+        when(col("nd").isNull || col("n") === 0, lit(null))
+          .when(col("d_n2") === 0, lit(0.0))
+          .when(col("dmax_n2") > 0,
+            col("d_n2").cast("double") / col("dmax_n2").cast("double")))
+      .withColumn("link_ok",
+        coalesce(abs(col("dprime")) >= dMin, lit(false)))
+    val runs = linked
+      .withColumn("start",
+        col("link_ok") && !lag(col("link_ok"), 1, false).over(w))
+      .withColumn("rid",
+        sum(when(col("start"), 1L).otherwise(0L)).over(w))
+      .filter(col("link_ok"))
+      .groupBy(col("chrom"), col("rid"))
+      .agg(min(col("pos")).as("start_pos"),
+        max(col("npos")).as("end_pos"),
+        (count(lit(1)) + 1).as("n_variants"))
+      .withColumn("span", col("end_pos") - col("start_pos"))
+      .select(col("chrom"), col("start_pos"), col("end_pos"),
+        col("n_variants"), col("span"))
+    runs
+  }
+
   /** IBD-segment runs per sample pair (the GERMLINE/hap-IBD shape on
     * collapsed dosages): for every pair and chromosome, variants in
     * (pos, vid) order are scanned for maximal runs of IBS2 state

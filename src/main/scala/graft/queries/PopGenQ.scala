@@ -466,7 +466,74 @@ object PopGenQ extends QueryModule {
       END AS dprime
     FROM st""")))
 
+  // --- haplotype blocks from adjacent-pair D′ runs (simplified Gabriel
+  // blocks): per-chrom ordered scan, no pair join; slot digest breaks
+  // duplicate-(pos, vid) ties deterministically. ------------------------
+  private val DPRIME_MIN = 0.8
+  private val q136 = Q("q136_haplo_blocks",
+    (s, dir) => PopGen.haploBlocks(
+      SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          PopGen.hapAlt(col("geno"), col("phased"), N).as("d")),
+      DPRIME_MIN),
+    Some(withCte(s""", hv AS (SELECT vid, chrom, pos,
+      flatten(list_transform(range(0, $N), s -> [
+        CASE WHEN phased[s + 1] AND geno[s + 1][1] IS NOT NULL
+             THEN CASE WHEN geno[s + 1][1] <> 0 THEN 1 ELSE 0 END END,
+        CASE WHEN phased[s + 1] AND geno[s + 1][2] IS NOT NULL
+             THEN CASE WHEN geno[s + 1][2] <> 0 THEN 1 ELSE 0 END END]))
+        AS d
+      FROM variants WHERE vid % $LD_MOD = 0),
+    hd AS (SELECT vid, chrom, pos, d,
+        array_to_string(list_transform(d, x ->
+          CAST(COALESCE(x, -1) AS VARCHAR)), ',') AS dig
+      FROM hv),
+    lk AS (SELECT chrom, pos, vid, dig, d,
+        LEAD(d) OVER w AS nd, LEAD(pos) OVER w AS npos
+      FROM hd WINDOW w AS (PARTITION BY chrom ORDER BY pos, vid, dig)),
+    st AS (SELECT chrom, pos, vid, dig, npos,
+        (nd IS NULL) AS tail_row,
+        CAST(len(obs) AS BIGINT) AS n,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+          AS BIGINT) AS na,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+          AS BIGINT) AS nb,
+        CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+          AS BIGINT) AS n11
+      FROM (SELECT *, list_filter(list_transform(range(1, ${2 * N + 1}),
+            i -> CASE WHEN d[i] IS NOT NULL AND nd[i] IS NOT NULL
+                      THEN {'x': d[i], 'y': nd[i]} END),
+          p -> p IS NOT NULL) AS obs FROM lk)),
+    dp AS (SELECT chrom, pos, vid, dig, npos,
+        CASE WHEN tail_row OR n = 0 THEN NULL
+             WHEN n * n11 - na * nb = 0 THEN 0.0
+             WHEN (CASE WHEN n * n11 - na * nb > 0
+                        THEN least(na * (n - nb), nb * (n - na))
+                        ELSE least(na * nb, (n - na) * (n - nb)) END) > 0
+             THEN CAST(n * n11 - na * nb AS DOUBLE)
+                  / CAST(CASE WHEN n * n11 - na * nb > 0
+                              THEN least(na * (n - nb), nb * (n - na))
+                              ELSE least(na * nb, (n - na) * (n - nb)) END
+                         AS DOUBLE)
+        END AS dprime
+      FROM st),
+    lnk AS (SELECT chrom, pos, vid, dig, npos,
+        COALESCE(abs(dprime) >= $DPRIME_MIN, FALSE) AS link_ok
+      FROM dp),
+    isl AS (SELECT chrom, pos, npos, link_ok,
+        SUM(CASE WHEN strt THEN 1 ELSE 0 END) OVER w2 AS rid
+      FROM (SELECT *, link_ok AND NOT LAG(link_ok, 1, FALSE)
+          OVER (PARTITION BY chrom ORDER BY pos, vid, dig) AS strt
+        FROM lnk)
+      WINDOW w2 AS (PARTITION BY chrom ORDER BY pos, vid, dig))
+    SELECT chrom, CAST(MIN(pos) AS BIGINT) AS start_pos,
+      CAST(MAX(npos) AS BIGINT) AS end_pos,
+      COUNT(*) + 1 AS n_variants,
+      CAST(MAX(npos) - MIN(pos) AS BIGINT) AS span
+    FROM isl WHERE link_ok GROUP BY chrom, rid""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135)
+      q135, q136)
 }

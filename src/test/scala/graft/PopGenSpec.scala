@@ -219,6 +219,28 @@ class PopGenSpec extends AnyFunSuite {
     assert(got((1L, 5L))._1 == 2L)
   }
 
+  test("haploBlocks golden: coupled+repulsed run forms one 3-variant " +
+      "block; equilibrium link breaks it") {
+    import spark.implicits._
+    def g(rows: (Long, Long)*) = rows.map { case (a, b) =>
+      Seq[java.lang.Long](a, b) }
+    val v = Seq(
+      (1L, "c1", 1L, g((1L, 0L), (1L, 0L)), Seq(true, true)),
+      (2L, "c1", 2L, g((1L, 0L), (1L, 0L)), Seq(true, true)),
+      (3L, "c1", 3L, g((0L, 1L), (0L, 1L)), Seq(true, true)),
+      (4L, "c1", 4L, g((1L, 1L), (0L, 0L)), Seq(true, true)),
+      (5L, "c1", 5L, g((1L, 0L), (1L, 0L)), Seq(true, false))
+    ).toDF("vid", "chrom", "pos", "geno", "phased")
+    val hv = v.select(col("vid"), col("chrom"), col("pos"),
+      PopGen.hapAlt(col("geno"), col("phased"), 2).as("d"))
+    val got = PopGen.haploBlocks(hv, 0.8).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("start_pos") == 1L
+      && got(0).getAs[Long]("end_pos") == 3L
+      && got(0).getAs[Long]("n_variants") == 3L
+      && got(0).getAs[Long]("span") == 2L)
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
