@@ -407,6 +407,54 @@ object PopGen {
         max(col("run_len")).as("max_run"))
   }
 
+  /** Relatedness pruning (the KING-kinship analogue of [[ldPrune]] — the
+    * `--king-cutoff` / GCTA `--grm-cutoff` workflow): for every sample
+    * pair with KING-robust kinship φ > `phiMax`, the member with the
+    * LOWER call rate is pruned (tie → the larger ordinal); emits the
+    * surviving samples with their call counts. Kinship rides the same
+    * per-(variant, pair) counter explode as q109 (map-side combined to
+    * #pairs rows); call rates ride a posexplode_outer counter pass; the
+    * pair table is pairs-sized, so every downstream join broadcasts. */
+  def kinshipPrune(v: DataFrame, nSamples: Int, phiMax: Double)
+      : DataFrame = {
+    val pairsLit = array((for {
+      i <- 0 until nSamples
+      j <- (i + 1) until nSamples
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val rows = v.select(col("d"), explode(pairsLit).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("d"), col("p.i") + 1).as("di"),
+        element_at(col("d"), col("p.j") + 1).as("dj"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+    val kin = rows.groupBy(col("i"), col("j"))
+      .agg(
+        sum(when(col("di") === 1, 1L).otherwise(0L)).as("n_het_i"),
+        sum(when(col("dj") === 1, 1L).otherwise(0L)).as("n_het_j"),
+        sum(when(col("di") === 1 && col("dj") === 1, 1L).otherwise(0L))
+          .as("n_het_both"),
+        sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+          .as("n_opp"))
+      .withColumn("kinship",
+        when(col("n_het_i") + col("n_het_j") > 0,
+          (col("n_het_both").cast("double") - lit(2.0) * col("n_opp"))
+            / (col("n_het_i") + col("n_het_j")).cast("double")))
+      .filter(col("kinship") > phiMax)
+    val callrate = v
+      .select(posexplode_outer(col("d")).as(Seq("s", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_called"))
+    val victims = kin
+      .join(broadcast(callrate.select(col("s").as("i"),
+        col("n_called").as("nc_i"))), Seq("i"))
+      .join(broadcast(callrate.select(col("s").as("j"),
+        col("n_called").as("nc_j"))), Seq("j"))
+      .select(when(col("nc_i") < col("nc_j"), col("i"))
+        .when(col("nc_j") < col("nc_i"), col("j"))
+        .otherwise(greatest(col("i"), col("j"))).as("s"))
+      .distinct()
+    callrate.join(victims, Seq("s"), "left_anti")
+  }
+
   /** Top-k sample principal components from a [[grm]] result — the
     * snpgdsPCA shape (SNPRelate over a SeqArray handle): the GRM is the
     * distributed part (one linear pass over the genotype cube); the

@@ -533,7 +533,45 @@ object PopGenQ extends QueryModule {
       CAST(MAX(npos) - MIN(pos) AS BIGINT) AS span
     FROM isl WHERE link_ok GROUP BY chrom, rid""")))
 
+  // --- relatedness pruning (KING --king-cutoff workflow): drop the
+  // lower-call-rate member of every pair with φ > 0.06; emits the
+  // surviving samples. ----------------------------------------------------
+  private val PHI_MAX = 0.06
+  private val q137 = Q("q137_king_prune",
+    (s, dir) => PopGen.kinshipPrune(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N, PHI_MAX),
+    Some(withCte(s""", dz AS (SELECT $dSql AS d FROM variants),
+    pr AS (SELECT p.i, p.j, d[p.i + 1] AS di, d[p.j + 1] AS dj
+      FROM dz, (SELECT ii.i, jj.j
+          FROM (SELECT unnest(range(0, $N)) AS i) ii,
+               (SELECT unnest(range(0, $N)) AS j) jj
+          WHERE jj.j > ii.i) p
+      WHERE d[p.i + 1] IS NOT NULL AND d[p.j + 1] IS NOT NULL),
+    kin AS (SELECT i, j,
+        CASE WHEN SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) > 0
+             THEN (CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE)
+                   - 2.0 * SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END))
+                  / CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+                         + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        END AS kinship
+      FROM pr GROUP BY i, j),
+    cr AS (SELECT ss.s, CAST(COUNT(*) AS BIGINT) AS n_called
+      FROM dz, (SELECT unnest(range(0, $N)) AS s) ss
+      WHERE d[ss.s + 1] IS NOT NULL GROUP BY ss.s),
+    vict AS (SELECT DISTINCT
+        CASE WHEN ci.n_called < cj.n_called THEN k.i
+             WHEN cj.n_called < ci.n_called THEN k.j
+             ELSE greatest(k.i, k.j) END AS s
+      FROM kin k JOIN cr ci ON ci.s = k.i JOIN cr cj ON cj.s = k.j
+      WHERE kinship > $PHI_MAX)
+    SELECT s, n_called FROM cr
+    WHERE s NOT IN (SELECT s FROM vict)""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136)
+      q135, q136, q137)
 }

@@ -241,6 +241,21 @@ class PopGenSpec extends AnyFunSuite {
       && got(0).getAs[Long]("span") == 2L)
   }
 
+  test("kinshipPrune golden: the lower-call-rate twin is pruned, " +
+      "unrelated samples survive") {
+    import spark.implicits._
+    // s0 == s1 (φ = 0.5) with s1 missing one call; s2 unrelated
+    val v = Seq(
+      (1L, Seq[java.lang.Long](1L, 1L, 0L)),
+      (2L, Seq[java.lang.Long](1L, 1L, 0L)),
+      (3L, Seq[java.lang.Long](0L, null, 2L)),
+      (4L, Seq[java.lang.Long](1L, 1L, 0L))
+    ).toDF("vid", "d")
+    val got = PopGen.kinshipPrune(v, 3, 0.06).orderBy("s").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_called"))).toSeq
+    assert(got == Seq((0, 4L), (2, 4L)))
+  }
+
   test("pcaFromGrm: residual, orthonormality, and cluster separation") {
     import spark.implicits._
     // two sample clusters: {0,1} vs {2,3}, opposite homozygotes over 6
