@@ -202,6 +202,91 @@ final case class SeqVarData(variants: DataFrame,
             .otherwise(col("mc"))).cast("double") /
           sum(col("__ploidy"))).as("miss"))
 
+  // ---- SNPRelate-over-SeqArray statistics ---------------------------------
+  // The workloads the reference serves through its SNPRelate link layer
+  // (/root/reference/src/LinkSNPRelate.cpp), surfaced as façade methods
+  // over the canonical columns. All delegate to graft.operators.PopGen /
+  // LdWindow — see those for the exact-arithmetic and scale contracts.
+
+  /** Number of samples, inferred from the first fully-present genotype
+    * row (one tiny driver action; pass explicitly to avoid it). */
+  def nSamples: Int =
+    variants.select(size(col("geno")).as("__n")).filter(col("__n") > 0)
+      .head().getInt(0)
+
+  /** Canonical dosage frame (vid, chrom, pos, d) the popgen ops consume. */
+  private def dosed: DataFrame =
+    variants.select(col("variant_id").as("vid"), col("chrom"), col("pos"),
+      dosageAlt(col("geno")).as("d"))
+
+  /** snpgdsFst (Hudson): see [[graft.operators.PopGen.hudsonFst]]. */
+  def fst(g1: Seq[Int], g2: Seq[Int]): DataFrame =
+    graft.operators.PopGen.hudsonFst(
+      variants.select(col("variant_id").as("vid"), col("geno")), g1, g2)
+
+  /** snpgdsGRM (VanRaden): see [[graft.operators.PopGen.grm]]. */
+  def grm(n: Int = -1): DataFrame =
+    graft.operators.PopGen.grm(dosed, if (n > 0) n else nSamples)
+
+  /** snpgdsPCA: GRM + driver-side power iteration. */
+  def pca(k: Int, n: Int = -1): (Array[Double], Array[Array[Double]]) = {
+    val nn = if (n > 0) n else nSamples
+    graft.operators.PopGen.pcaFromGrm(grm(nn), nn, k)
+  }
+
+  /** snpgdsIndInb-shaped per-sample inbreeding F. */
+  def inbreeding(n: Int = -1): DataFrame =
+    graft.operators.PopGen.inbreedingF(dosed, if (n > 0) n else nSamples)
+
+  /** snpgdsLDMat windowed r². */
+  def ldMatrix(window: Long): DataFrame =
+    graft.operators.LdWindow.r2(dosed, window)
+
+  /** snpgdsLDpruning (MAF-ranked, order-free rule). */
+  def ldPrune(window: Long, r2Max: Double, n: Int = -1): DataFrame =
+    graft.operators.PopGen.ldPrune(dosed, window, r2Max,
+      if (n > 0) n else nSamples)
+
+  /** GWAS Cochran–Armitage trend test. */
+  def assocTrend(isCase: Seq[Boolean]): DataFrame =
+    graft.operators.PopGen.trendTest(dosed, isCase)
+
+  /** GWAS linear-regression association on an integer phenotype. */
+  def assocLinear(y: Seq[Long]): DataFrame =
+    graft.operators.PopGen.linRegScore(dosed, y)
+
+  /** PLINK --mh stratified CMH association. */
+  def assocCmh(isCase: Seq[Boolean], strata: Seq[Seq[Int]]): DataFrame =
+    graft.operators.PopGen.cmhTest(dosed, isCase, strata)
+
+  /** MaCH imputation-quality r̂². */
+  def imputeR2(n: Int = -1): DataFrame =
+    graft.operators.PopGen.imputeRhat2(dosed, if (n > 0) n else nSamples)
+
+  /** GERMLINE-shaped IBD-segment runs per sample pair. */
+  def ibdSegments(n: Int = -1): DataFrame =
+    graft.operators.PopGen.ibdSegments(dosed, if (n > 0) n else nSamples)
+
+  /** KING --king-cutoff relatedness pruning. */
+  def kinshipPrune(phiMax: Double, n: Int = -1): DataFrame =
+    graft.operators.PopGen.kinshipPrune(dosed, if (n > 0) n else nSamples,
+      phiMax)
+
+  /** Phased-haplotype frame for D′/blocks. */
+  private def hapVars(n: Int): DataFrame =
+    variants.select(col("variant_id").as("vid"), col("chrom"), col("pos"),
+      graft.operators.PopGen.hapAlt(col("geno"), col("phased"), n).as("d"))
+
+  /** Lewontin D′ over phased haplotypes, banded window. */
+  def dPrime(window: Long, n: Int = -1): DataFrame =
+    graft.operators.PopGen.dPrimeWindow(
+      hapVars(if (n > 0) n else nSamples), window)
+
+  /** Gabriel-shaped haplotype blocks from adjacent-pair D′ runs. */
+  def haploBlocks(dMin: Double, n: Int = -1): DataFrame =
+    graft.operators.PopGen.haploBlocks(
+      hapVars(if (n > 0) n else nSamples), dMin)
+
   // ---- §2.11 apply engine -------------------------------------------------
 
   /** seqApply(margin="by.variant"): typed map over variant rows

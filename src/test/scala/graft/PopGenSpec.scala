@@ -289,6 +289,26 @@ class PopGenSpec extends AnyFunSuite {
     assert(vecs(0)(0) * vecs(0)(2) < 0)
   }
 
+  test("SeqVarData façade surfaces the popgen ops over canonical columns") {
+    import spark.implicits._
+    val v = graft.api.SeqVarData(Seq(
+      (1L, "c1", 1L, Seq(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 1L),
+        Seq(1L, 1L)), Seq(true, true, true, true)),
+      (2L, "c1", 2L, Seq(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 1L),
+        Seq(1L, 1L)), Seq(true, true, true, true))
+    ).toDF("variant_id", "chrom", "pos", "geno", "phased"))
+    assert(v.nSamples == 4)
+    val fst = v.fst(Seq(0, 1), Seq(2, 3)).orderBy("vid").collect()
+    assert(math.abs(fst(0).getAs[Double]("fst") - 2.0 / 3.0) < 1e-15)
+    assert(v.grm().count() == 10)         // 4 samples → 10 pairs incl. diag
+    assert(v.ldMatrix(100L).count() == 1) // one in-window pair
+    assert(v.dPrime(100L).collect()(0).getAs[Double]("dprime") == 1.0)
+    assert(v.assocTrend(Seq(false, false, true, true))
+      .filter(col("chi2").isNotNull).count() == 2)
+    val (evs, _) = v.pca(1)
+    assert(evs(0) > 0)
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
