@@ -459,6 +459,53 @@ object Relational extends QueryModule {
       COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag"""))
 
+  // --- q138: batch sessionization (the gaps-and-islands twin of the
+  // streaming sessionizer in streaming/EventStream): per user, ordered
+  // events split into sessions at >30 min silence; per session the
+  // event count, bounds, duration, and exact milli-value sum. One
+  // (user_id) exchange serves the lag window, the running sum, and the
+  // aggregation — parallelism grows with users. ------------------------
+  private val SESSION_GAP_S = 1800L
+  private val q138 = Q("q138_sessionize",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("epoch_s"),
+          floor(col("value") * 1000).cast("long").as("value_mil"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"), col("event_id"))
+      ev
+        .withColumn("start",
+          coalesce(col("epoch_s") - lag(col("epoch_s"), 1).over(w)
+            > SESSION_GAP_S, lit(true)))
+        .withColumn("sid",
+          sum(when(col("start"), 1L).otherwise(0L)).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("epoch_s")).as("start_s"),
+          max(col("epoch_s")).as("end_s"),
+          sum(col("value_mil")).as("sum_mil"))
+        .withColumn("duration_s", col("end_s") - col("start_s"))
+    },
+    Some(s"""SELECT user_id, sid, COUNT(*) AS n_events,
+      CAST(MIN(epoch_s) AS BIGINT) AS start_s,
+      CAST(MAX(epoch_s) AS BIGINT) AS end_s,
+      CAST(SUM(value_mil) AS BIGINT) AS sum_mil,
+      CAST(MAX(epoch_s) - MIN(epoch_s) AS BIGINT) AS duration_s
+      FROM (SELECT user_id, epoch_s, value_mil,
+          CAST(SUM(CASE WHEN strt THEN 1 ELSE 0 END) OVER w2 AS BIGINT)
+            AS sid
+        FROM (SELECT user_id, event_id, epoch_s, value_mil,
+            COALESCE(epoch_s - LAG(epoch_s, 1)
+              OVER (PARTITION BY user_id ORDER BY epoch_s, event_id)
+              > $SESSION_GAP_S, TRUE) AS strt
+          FROM (SELECT user_id, event_id,
+              epoch_ns(ts) // 1000000000 AS epoch_s,
+              CAST(floor(value * 1000) AS BIGINT) AS value_mil
+            FROM events))
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id))
+      GROUP BY user_id, sid"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138)
 }

@@ -436,6 +436,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q138: sessionization runs one user_id exchange for every stage") {
+    val p = plan("q138_sessionize")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q134: IBD segments run one (i,j,chrom) exchange for every stage") {
     val p = plan("q134_ibd_segments")
     assert(!p.contains("Join"), p)
