@@ -506,6 +506,79 @@ object Relational extends QueryModule {
         WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id))
       GROUP BY user_id, sid"""))
 
+  // --- q139: ordered funnel (view → click → purchase): per user the
+  // earliest time each stage is reached IN ORDER (stage k counts only
+  // after stage k−1's time). Three conditional-min aggregations chained
+  // through user-keyed joins — each side is one row per user, so the
+  // exchanges carry users, never events; no window over the event
+  // stream. Nanos stay integral end to end. ----------------------------
+  private val q139 = Q("q139_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click"
+          && col("ts") > col("t1"), col("ts"))).as("t2"))
+      val t3 = ev.join(t2, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase"
+          && col("ts") > col("t2"), col("ts"))).as("t3"))
+      t1.join(t2, Seq("user_id")).join(t3, Seq("user_id"))
+        .withColumn("stage",
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+        FROM events),
+      s1 AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY user_id),
+      s2 AS (SELECT e.user_id,
+          MIN(CASE WHEN event_type = 'click' AND e.ts > t1 THEN e.ts END)
+            AS t2
+        FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id,
+          MIN(CASE WHEN event_type = 'purchase' AND e.ts > t2 THEN e.ts END)
+            AS t3
+        FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id)
+      SELECT user_id, t1, t2, t3,
+        CASE WHEN t3 IS NOT NULL THEN 3
+             WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)"""))
+
+  // --- q140: retention cohorts: users cohorted by first-activity day,
+  // counted per day offset — two map-side-combined aggregations, exact
+  // integer day arithmetic. --------------------------------------------
+  private val q140 = Q("q140_retention",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+          epoch_ns(ts) // 86400000000000 AS ed
+        FROM events),
+      f AS (SELECT user_id, MIN(ed) AS cohort_day FROM e
+        GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, cohort_day,
+          ed - cohort_day AS "offset"
+        FROM e JOIN f ON e.user_id = f.user_id)
+      SELECT cohort_day, "offset", COUNT(*) AS n_users
+      FROM a GROUP BY cohort_day, "offset""""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
-    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138)
+    q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
+    q139, q140)
 }
