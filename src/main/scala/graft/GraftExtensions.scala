@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "winnow_fps(text, k, w) - winnowed k-gram rolling-hash fingerprints",
       3, a => WinnowFpExpr(a(0), litInt(a(1), "winnow_fps"),
         litInt(a(2), "winnow_fps")))
+    register(ext, "cdc_chunks",
+      "cdc_chunks(text, k, d) - content-defined chunk md5 fingerprints",
+      3, a => CdcChunksExpr(a(0), litInt(a(1), "cdc_chunks"),
+        litInt(a(2), "cdc_chunks")))
     register(ext, "repetition_stats",
       "repetition_stats(text) - [n_words, chars, max_run, top2_chars, " +
         "dup5_chars] Gopher repetition signals",

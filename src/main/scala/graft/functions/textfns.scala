@@ -145,6 +145,45 @@ object textfns {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Content-defined chunk fingerprints (md5 per chunk, document order) —
+    * fused codegen kernel (O(n) rolling hash, cut where the trailing
+    * K-gram hash ≡ 0 mod D). Bit-identical to [[cdcChunksHof]], the
+    * differential oracle. */
+  def cdcChunks(text: Column, k: Int, d: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.CdcChunksExpr(
+      Bridge.expression(text), k, d))
+  }
+
+  /** Declarative twin of [[cdcChunks]]: every k-gram hash recomputed in
+    * full from the shared powers table; interior cut ends = gram ends
+    * whose hash ≡ 0 mod D (a cut at the last codepoint is suppressed);
+    * chunks = md5 of the text between consecutive cuts. ASCII-parity like
+    * [[winnowFpsHof]] (`ascii` vs the kernel's codepoints). */
+  def cdcChunksHof(text: Column, k: Int, d: Int): Column = {
+    import graft.functions.expressions.WinnowFpExpr.M
+    val pows = graft.functions.expressions.WinnowFpExpr.pows(k)
+    val n = length(text)
+    val cps = transform(sequence(lit(1), n), i => ascii(text.substr(i, lit(1))))
+    val grams = n - (k - 1)
+    val hashes = transform(sequence(lit(1), grams), i =>
+      pows.zipWithIndex.map { case (p, j) =>
+        element_at(cps, i + j).cast("long") * p % M
+      }.reduce(_ + _) % M)
+    val cutEnds = transform(
+      filter(sequence(lit(1), grams), i =>
+        element_at(hashes, i) % d === 0 && (i + lit(k - 1)) < n),
+      i => i + (k - 1))
+    val starts = concat(array(lit(1)), transform(cutEnds, e => e + 1))
+    val ends = concat(cutEnds, array(n))
+    val chunks = transform(sequence(lit(1), size(starts)), j =>
+      md5(encode(text.substr(element_at(starts, j),
+        element_at(ends, j) - element_at(starts, j) + 1), "utf-8")))
+    when(n === 0, array().cast("array<string>"))
+      .when(grams < 1, array(md5(encode(text, "utf-8"))))
+      .otherwise(chunks)
+  }
+
   /** C4-style line filter fused into one codegen pass: keep lines whose
     * last non-space char is terminal punctuation, with ≥ `minWords`
     * words, not mentioning "javascript"; survivors re-join with `\n`.

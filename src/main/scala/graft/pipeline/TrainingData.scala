@@ -483,6 +483,132 @@ object TrainingData {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** Content-defined chunk-level dedup stats (rsync/LBFS chunking,
+    * Muthitacharoen SOSP'01): each document splits into content-anchored
+    * chunks ([[graft.functions.textfns.cdcChunks]] — cut where the rolling
+    * K-gram hash ≡ 0 mod D), and a chunk FINGERPRINT held by ≥ 2 documents
+    * marks shared/boilerplate material that whole-document fingerprints
+    * miss when headers/footers shift the text. Returns one row per doc:
+    * `n_chunks` and `n_shared` (this doc's chunk instances whose
+    * fingerprint appears in ≥ minDocs docs).
+    *
+    * Scale (100 TB): one explode + count-distinct per 128-bit chunk key
+    * (linear shuffle, partial-aggregated map-side), one equi-join of the
+    * chunk instances against the shared-key set, one groupBy(id). Chunk
+    * TEXT never shuffles — only md5 fingerprints. */
+  def cdcChunkStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, d: Int = 64,
+      minDocs: Int = 2): DataFrame = {
+    require(!docs.columns.exists(c => c.startsWith("__")),
+      "cdcChunkStats uses internal __ columns")
+    val ch = docs.select(col(idCol),
+      cdcChunks(col(textCol), k, d).as("__fps"))
+    val ex = ch.select(col(idCol), explode(col("__fps")).as("__fp"))
+    val shared = ex.groupBy(col("__fp"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__fp"))
+    val sh = ex.join(shared, Seq("__fp"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    ch.select(col(idCol), size(col("__fps")).cast("long").as("n_chunks"))
+      .join(sh, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_shared"))
+  }
+
+  /** DSIR-shaped importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), exact-arithmetic
+    * variant: hashed token features (bucket = first two md5 nibbles, 256
+    * buckets), per-bucket occurrence counts over the TARGET slice (rows
+    * where `targetCol`) vs the RAW corpus, and a per-document linear
+    * discriminant — `tgt_mass = Σ_tokens tgt[bucket]`,
+    * `raw_mass = Σ_tokens raw[bucket]` — selecting documents whose
+    * average target-affinity beats the corpus mean:
+    * `tgt_mass · raw_total > raw_mass · tgt_total` (all BIGINT, so any
+    * SQL engine replays the decision bit-for-bit; the published log-ratio
+    * form would put a float Σlog in the gate). Returns every row with
+    * `tgt_mass`, `raw_mass`, `keep`.
+    *
+    * Scale (100 TB): the bucket table is 256 rows — one partial-aggregated
+    * explode feeds it, then it broadcasts back as a map literal and the
+    * per-doc masses are a pure `aggregate` projection: no per-token
+    * shuffle back to documents. BIGINT headroom: mass ≤ tokens_per_doc ·
+    * bucket_count and the gate multiplies by total tokens — at corpus
+    * sizes where tokens² approaches 2⁶³ (≈ 3·10⁹ tokens) the two gate
+    * products must move to DECIMAL(38,0). */
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(!docs.columns.exists(c => c.startsWith("__")),
+      "dsirSelect uses internal __ columns")
+    val toks = tokens(col(textCol))
+    def bucket(tk: Column) = substring(md5(tk), 1, 2)
+    val tok = docs.select(isTarget.as("__t"), explode(toks).as("__tk"))
+      .select(col("__t"), bucket(col("__tk")).as("__b"))
+    val buckets = tok.groupBy(col("__b")).agg(
+      count(lit(1)).as("__raw"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tgt"))
+    val m = buckets.agg(
+      map_from_entries(collect_list(struct(col("__b"),
+        struct(col("__raw"), col("__tgt"))))).as("__m"),
+      sum(col("__raw")).as("__rawTot"), sum(col("__tgt")).as("__tgtTot"))
+    val zero = struct(lit(0L).as("__tm"), lit(0L).as("__rm"))
+    val masses = aggregate(toks, zero, (acc, tk) => {
+      val e = element_at(col("__m"), bucket(tk))
+      struct((acc.getField("__tm") + e.getField("__tgt")).as("__tm"),
+        (acc.getField("__rm") + e.getField("__raw")).as("__rm"))
+    })
+    docs.crossJoin(broadcast(m))
+      .withColumn("__ms", masses)
+      .withColumn("tgt_mass", col("__ms").getField("__tm"))
+      .withColumn("raw_mass", col("__ms").getField("__rm"))
+      .withColumn("keep",
+        col("tgt_mass") * col("__rawTot") > col("raw_mass") * col("__tgtTot"))
+      .drop("__m", "__rawTot", "__tgtTot", "__ms")
+  }
+
+  /** Collocation extraction: corpus bigrams ranked by pointwise mutual
+    * information. Counts are exact BIGINTs; the PMI ORDER is the exact
+    * rational c_ab·N / (c_a·c_b), surfaced as the single IEEE division
+    * `score` (one double op on exact ints — engine-independent), with a
+    * (score DESC, bigram) tiebreak so the top-k is deterministic.
+    *
+    * Scale (100 TB): one bigram-key shuffle (partial-aggregated) + two
+    * broadcast joins against the vocabulary-sized unigram table + a
+    * distributed TakeOrdered — never a global sort. A vocabulary too
+    * large to broadcast falls back to two shuffle joins on the word key
+    * (still linear). */
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    require(!docs.columns.exists(c => c.startsWith("__")),
+      "collocations uses internal __ columns")
+    val toks = tokens(col(textCol))
+    val uni = docs.select(explode(toks).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum(col("__c")).as("__n"))
+    // guard: sequence(1, n-1) runs DESCENDING for n < 2 (Spark auto-steps
+    // -1), so short docs must map to an explicit empty pair list
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = docs.select(explode(pairs).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    bi.join(broadcast(uni.withColumnRenamed("__w", "w1")
+        .withColumnRenamed("__c", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("__w", "w2")
+        .withColumnRenamed("__c", "c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        (col("pair_n") * col("__n")).cast("double") /
+          (col("c1") * col("c2")))
+      .select(col("w1"), col("w2"), col("pair_n"), col("c1"), col("c2"),
+        col("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Corpus-wide top-k word n-grams by DOCUMENT frequency (tokenizer /
     * corpus-inspection prep): each document contributes its distinct
     * n-grams once (the codegen shingle kernel), counts partial-aggregate

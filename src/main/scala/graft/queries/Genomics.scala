@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.genetics._
@@ -815,7 +816,71 @@ object Genomics extends QueryModule {
           FROM variants))"""
     })))
 
+  // Per-sample QC margin (the standard cohort QC pass: call rate, het
+  // rate, singleton count, outlier flag — the per-sample view of
+  // seqMissing/seqAlleleCount the reference users run via seqApply +
+  // margin=“by.sample”): per (variant, sample) facts compute BEFORE the
+  // explode, so the shuffle carries three small ints per cell; the
+  // singleton test reuses the per-variant flattened allele list (an
+  // in-row HOF count, no per-allele shuffle). The outlier gate is exact
+  // BIGINT cross-multiplication — het_rate > 2 × cohort rate — against
+  // broadcast cohort totals, so the flag replays engine-exact.
+  private val q143 = Q("q143_sample_qc",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val n = SynthGeno.nSamples
+      val cell = v.select(col("geno"), flatten(col("geno")).as("fl"),
+          explode(sequence(lit(0), lit(n - 1))).as("smp"))
+        .select(col("smp"), col("fl"),
+          element_at(element_at(col("geno"), col("smp") + 1), 1).as("a1"),
+          element_at(element_at(col("geno"), col("smp") + 1), 2).as("a2"))
+      def sing(a: Column) = when(a.isNotNull && a > 0 &&
+        size(filter(col("fl"), x => x === a)) === 1, 1L).otherwise(0L)
+      val g = cell.select(col("smp"),
+          (col("a1").isNotNull && col("a2").isNotNull).as("called"),
+          (col("a1").isNotNull && col("a2").isNotNull &&
+            col("a1") =!= col("a2")).as("het"),
+          (sing(col("a1")) + sing(col("a2"))).as("sing"))
+        .groupBy(col("smp"))
+        .agg(sum(when(col("called"), 1L).otherwise(0L)).as("n_called"),
+          sum(when(col("het"), 1L).otherwise(0L)).as("n_het"),
+          sum(col("sing")).as("n_singletons"))
+      val tot = g.agg(sum(col("n_called")).as("tc"),
+        sum(col("n_het")).as("th"))
+      g.crossJoin(broadcast(tot))
+        .select(col("smp"), col("n_called"), col("n_het"),
+          col("n_singletons"),
+          (col("n_het") * col("tc") > lit(2) * col("th") * col("n_called"))
+            .as("het_outlier"))
+    },
+    Some(withCte(s"""SELECT smp, n_called, n_het, n_singletons,
+        n_het * tc > 2 * th * n_called AS het_outlier
+      FROM (SELECT CAST(s AS INT) AS smp,
+          CAST(SUM(CASE WHEN a1 IS NOT NULL AND a2 IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_called,
+          CAST(SUM(CASE WHEN a1 IS NOT NULL AND a2 IS NOT NULL
+            AND a1 <> a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+          CAST(SUM(
+            (CASE WHEN a1 IS NOT NULL AND a1 > 0
+              AND len(list_filter(fl, x -> x = a1)) = 1
+              THEN 1 ELSE 0 END)
+            + (CASE WHEN a2 IS NOT NULL AND a2 > 0
+              AND len(list_filter(fl, x -> x = a2)) = 1
+              THEN 1 ELSE 0 END)) AS BIGINT) AS n_singletons
+        FROM (SELECT s, flatten(geno) AS fl,
+            geno[s+1][1] AS a1, geno[s+1][2] AS a2
+          FROM variants,
+            (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s))
+        GROUP BY 1),
+        (SELECT CAST(SUM(CASE WHEN a1 IS NOT NULL AND a2 IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+          CAST(SUM(CASE WHEN a1 IS NOT NULL AND a2 IS NOT NULL
+            AND a1 <> a2 THEN 1 ELSE 0 END) AS BIGINT) AS th
+          FROM (SELECT geno[s+1][1] AS a1, geno[s+1][2] AS a2
+            FROM variants,
+              (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s)))""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113, q116)
+      q106, q107, q108, q109, q112, q113, q116, q143)
 }

@@ -502,6 +502,40 @@ object Sampling extends QueryModule {
                 t -> t <> '')) AS n
             FROM documents)))"""))
 
+  // --- DSIR-shaped importance selection (Xie 2023): hashed-token feature
+  // buckets (first two md5 nibbles → 256), per-bucket target-vs-raw
+  // occurrence counts, and a per-document BIGINT linear discriminant —
+  // keep docs whose average target-affinity beats the corpus mean. The
+  // bucket table broadcasts back as a 256-entry map literal, so the
+  // per-doc masses are a pure projection (no token shuffle back to docs);
+  // all-integer arithmetic keeps the KEEP decision engine-exact where the
+  // published Σlog form would drift. Target slice: lang = 'en'. ----------
+  private val q141 = Q("q141_dsir_select",
+    (s, dir) => graft.pipeline.TrainingData.dsirSelect(
+        Tables(s, dir, "documents"), isTarget = col("lang") === "en")
+      .select(col("doc_id"), col("lang"),
+        col("tgt_mass"), col("raw_mass"), col("keep")),
+    Some("""WITH t AS (SELECT doc_id, lang,
+        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, lang, substr(md5(tk), 1, 2) AS b
+        FROM (SELECT doc_id, lang, unnest(toks) AS tk FROM t)),
+      bk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_c,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS tgt_c
+        FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(SUM(raw_c) AS BIGINT) AS raw_tot,
+          CAST(SUM(tgt_c) AS BIGINT) AS tgt_tot FROM bk),
+      mass AS (SELECT doc_id, CAST(SUM(bk.tgt_c) AS BIGINT) AS tgt_mass,
+          CAST(SUM(bk.raw_c) AS BIGINT) AS raw_mass
+        FROM tok JOIN bk USING (b) GROUP BY 1)
+      SELECT t.doc_id, t.lang,
+        COALESCE(m.tgt_mass, 0) AS tgt_mass,
+        COALESCE(m.raw_mass, 0) AS raw_mass,
+        COALESCE(m.tgt_mass, 0) * tot.raw_tot
+          > COALESCE(m.raw_mass, 0) * tot.tgt_tot AS keep
+      FROM t LEFT JOIN mass m ON t.doc_id = m.doc_id CROSS JOIN tot"""))
+
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89, q91, q95, q96, q111, q117, q118)
+    q89, q91, q95, q96, q111, q117, q118, q141)
 }

@@ -1238,8 +1238,149 @@ object TextDedup extends QueryModule {
       FROM d$BPE_MERGES"""
     })
 
+  // --- content-defined chunk dedup (rsync/LBFS chunking): cut where the
+  // rolling K-gram hash ≡ 0 mod D, so chunk identity survives insertions
+  // that shift every later byte — the dedup pass that catches shared
+  // passages/boilerplate whole-doc fingerprints (q32) and even span keys
+  // (q81) miss under offset drift. Kernel = CdcChunksExpr (O(n) rolling
+  // hash); oracle replays grams, cuts, substrings and md5s in SQL from
+  // the SAME powers table. One linear shuffle on the 128-bit chunk key. --
+  private val CDC_K = 8
+  private val CDC_D = 64
+
+  private val q142 = Q("q142_cdc_chunks",
+    (s, dir) => graft.pipeline.TrainingData.cdcChunkStats(
+      Tables(s, dir, "documents"), k = CDC_K, d = CDC_D),
+    Some {
+      import graft.functions.expressions.WinnowFpExpr.M
+      val pows = graft.functions.expressions.WinnowFpExpr.pows(CDC_K)
+      val terms = pows.zipWithIndex
+        .map { case (p, j) => s"cps[i+$j] * $p % $M" }
+        .mkString(" + ")
+      s"""WITH cp AS (SELECT doc_id, text, length(text) AS n,
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+            AS cps
+        FROM documents),
+      h AS (SELECT doc_id, text, n,
+          list_transform(range(1, n - ${CDC_K - 1} + 1),
+            i -> ($terms) % $M) AS hashes
+        FROM cp),
+      cu AS (SELECT doc_id, text, n,
+          list_transform(
+            list_filter(range(1, len(hashes) + 1),
+              i -> hashes[i] % $CDC_D = 0 AND i + ${CDC_K - 1} < n),
+            i -> i + ${CDC_K - 1}) AS ce
+        FROM h),
+      fp AS (SELECT doc_id,
+          CASE WHEN n = 0 THEN []::VARCHAR[]
+               WHEN n < $CDC_K THEN [md5(text)]
+               ELSE list_transform(range(1, len(ce) + 2), j ->
+                 md5(substr(text,
+                   CAST(CASE WHEN j = 1 THEN 1
+                        ELSE ce[j-1] + 1 END AS INT),
+                   CAST((CASE WHEN j = len(ce) + 1 THEN n
+                         ELSE ce[j] END)
+                     - (CASE WHEN j = 1 THEN 1
+                        ELSE ce[j-1] + 1 END) + 1 AS INT))))
+          END AS fps
+        FROM cu),
+      ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+      nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS ndocs
+        FROM ex GROUP BY 1),
+      sh AS (SELECT ex.doc_id, COUNT(*) AS n_shared
+        FROM ex JOIN nd ON ex.fp = nd.fp WHERE nd.ndocs >= 2 GROUP BY 1)
+      SELECT f.doc_id, CAST(len(f.fps) AS BIGINT) AS n_chunks,
+        CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared
+      FROM fp f LEFT JOIN sh ON f.doc_id = sh.doc_id"""
+    })
+
+  // --- collocation extraction: corpus bigrams ranked by PMI. Counts are
+  // exact BIGINTs; the score is ONE IEEE division on exactly-representable
+  // ints (every operand < 2^53), so both engines emit the identical
+  // double; (score DESC, w1, w2) makes the top-k tie-free. One bigram-key
+  // shuffle + broadcast unigram joins + TakeOrdered. -----------------------
+  private val COLL_MIN = 5
+  private val COLL_K = 50
+
+  private val q144 = Q("q144_collocations",
+    (s, dir) => graft.pipeline.TrainingData.collocations(
+      Tables(s, dir, "documents"), minCount = COLL_MIN, k = COLL_K),
+    Some(s"""WITH t AS ($tokCte),
+      uni AS (SELECT tk AS w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      bi AS (SELECT p['w1'] AS w1, p['w2'] AS w2, COUNT(*) AS pair_n
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+          FROM t)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= $COLL_MIN)
+      SELECT bi.w1, bi.w2, bi.pair_n, u1.c AS c1, u2.c AS c2,
+        CAST(bi.pair_n * tot.n AS DOUBLE) / (u1.c * u2.c) AS score
+      FROM bi
+      JOIN uni u1 ON bi.w1 = u1.w
+      JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN tot
+      ORDER BY score DESC, bi.w1, bi.w2
+      LIMIT $COLL_K"""))
+
+  // --- character-class / encoding-sanity profile (the mojibake gate every
+  // web-scale ingest runs before tokenization): exact per-class counts by
+  // class-removal length arithmetic (identical in both regex engines),
+  // U+FFFD replacement-character and C0-control tallies, dominant class
+  // via the same lexicographic max-struct trick as q31. Pure projection —
+  // zero shuffles at any scale. --------------------------------------------
+  private val q145 = Q("q145_charclass_profile",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = col("text")
+      // DuckDB length() is BIGINT — counts stay LongType end to end
+      def removed(re: String) =
+        (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+      val nLetters = removed("[A-Za-z]")
+      val nDigits = removed("[0-9]")
+      val nWs = removed("[ \\t\\n\\r]")
+      val classes = array(
+        struct(nLetters.as("score"), lit("letters").as("cls")),
+        struct(nDigits.as("score"), lit("digits").as("cls")),
+        struct((length(t).cast("long") - nLetters - nDigits - nWs)
+          .as("score"), lit("other").as("cls")))
+      d.select(col("doc_id"),
+        length(t).cast("long").as("n_chars_utf"),
+        nLetters.as("n_letters"),
+        nDigits.as("n_digits"),
+        nWs.as("n_ws"),
+        removed("�").as("n_replacement"),
+        removed("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_ctl"),
+        array_max(classes).getField("cls").as("dominant"))
+    },
+    Some("""SELECT doc_id,
+        length(text) AS n_chars_utf,
+        length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+          AS n_letters,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+          AS n_digits,
+        length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+          AS n_ws,
+        length(text) - length(regexp_replace(text, '�', '', 'g'))
+          AS n_replacement,
+        length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS n_ctl,
+        list_max([
+          {'score': length(text)
+             - length(regexp_replace(text, '[A-Za-z]', '', 'g')),
+           'cls': 'letters'},
+          {'score': length(text)
+             - length(regexp_replace(text, '[0-9]', '', 'g')),
+           'cls': 'digits'},
+          {'score': length(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9]', '', 'g'), '[ \t\n\r]', '', 'g')),
+           'cls': 'other'}]).cls AS dominant
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102, q125, q127, q128)
+      q100, q102, q125, q127, q128, q142, q144, q145)
 }

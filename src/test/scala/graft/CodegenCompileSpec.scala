@@ -77,6 +77,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "minhash_sig" -> MinhashSig(ref(7, strArrT), 8),
     "simhash16" -> Simhash16Expr(ref(5, StringType)),
     "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
+    "cdc_chunks" -> CdcChunksExpr(ref(5, StringType), 4, 4),
     "repetition_stats" -> RepetitionStatsExpr(ref(5, StringType)),
     "parse_fmt_cells" -> ParseFmtCells(ref(7, strArrT), Literal(2),
       "1", "String", 4),

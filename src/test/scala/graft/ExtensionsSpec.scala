@@ -73,6 +73,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaSql.sorted && viaSql.distinct == viaSql)
   }
 
+  test("cdc_chunks callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      "SELECT cdc_chunks('the quick brown fox jumps over it', 8, 4) AS c")
+      .collect()(0).getSeq[String](0)
+    import spark.implicits._
+    val viaCol = Seq("the quick brown fox jumps over it").toDF("t")
+      .select(graft.functions.textfns.cdcChunks(col("t"), 8, 4))
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    assert(viaSql.forall(_.length == 32))
+  }
+
   test("round-5 kernels callable from SQL") {
     val r = spark.sql(
       """SELECT

@@ -265,6 +265,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_chunks kernel agrees with its HOF oracle on random ASCII") {
+    import spark.implicits._
+    // same ASCII regime as the winnow test; small d forces many cuts,
+    // lengths straddle both the empty-text and the n<k single-chunk edges
+    val charGen = Gen.choose(32, 126).map(_.toChar)
+    val textGen = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    for (round <- 1 to 6) {
+      val texts = (1 to 80).map(i => draw(textGen, 15000L * round + i))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val bad = df.select(
+          cdcChunks(col("text"), 8, 4).as("a"),
+          cdcChunksHof(col("text"), 8, 4).as("b"))
+        .filter(!(col("a") === col("b")))
+        .count()
+      assert(bad == 0, s"cdc round=$round")
+    }
+  }
+
   test("winnow_fps kernel agrees with its HOF oracle on random ASCII") {
     import spark.implicits._
     // printable ASCII (the HOF twin indexes UTF-16 chars; the kernel walks

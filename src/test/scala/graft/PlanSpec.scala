@@ -473,6 +473,46 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q142: CDC chunk dedup shuffles on the chunk key only — no pair " +
+      "enumeration, no nested loop") {
+    val p = plan("q142_cdc_chunks")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q141: DSIR masses are a projection against the broadcast bucket " +
+      "map — the corpus is never shuffled to a join") {
+    val p = plan("q141_dsir_select")
+    // the only joins are the 1-row bucket-map/totals broadcasts; a
+    // SortMergeJoin would mean the doc table shuffled to meet them
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q144: collocations resolve via TakeOrdered with broadcast " +
+      "unigram joins — no global sort, no nested loop") {
+    val p = plan("q144_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q145: char-class profile is a pure projection — no exchange, " +
+      "no join") {
+    val p = plan("q145_charclass_profile")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q143: sample QC partially aggregates the per-cell margin before " +
+      "its one small shuffle") {
+    val p = plan("q143_sample_qc")
+    assert(!p.contains("SortMergeJoin"), p)
+    val firstExchange = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0, p)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
