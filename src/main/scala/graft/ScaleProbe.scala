@@ -142,6 +142,13 @@ object ScaleProbe {
         d => graft.operators.PopGen.grm(d, 8), Vars),
       ("bpe_train",
         d => TrainingData.bpeTrain(d, nMerges = 4), Docs),
+      ("cdc_chunks",
+        d => TrainingData.cdcChunkStats(d), Docs),
+      ("dsir_select",
+        d => TrainingData.dsirSelect(d, isTarget = col("doc_id") % 3 === 0),
+        Docs),
+      ("collocations",
+        d => TrainingData.collocations(d), Docs),
       ("pq_adc",
         d => pqAdcScan(d,
           if (d eq vecsN) 40 * Factor else 40), Vecs))

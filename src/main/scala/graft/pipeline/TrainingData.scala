@@ -483,6 +483,69 @@ object TrainingData {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** ASYMMETRIC near-dup detection — shingle CONTAINMENT pairs (Broder
+    * 1997's containment coefficient): |A∩B| / min(|A|,|B|) ≥ thr. Jaccard
+    * misses quote-inclusion (a short doc pasted inside a long one drives
+    * the union up and Jaccard down; its containment stays ≈ 1), which is
+    * exactly the partial-duplication mode span dedup targets at the
+    * passage level and this op surfaces at the document level. Candidates
+    * come from the SAME LSH band join as [[nearDupPairs]] (recall is the
+    * band recall); the exact intersect count runs on candidates only,
+    * via |A|+|B|−|A∪B| — no set-intersect primitive needed, so any SQL
+    * engine replays it. The gate is integer cross-multiplication
+    * (n_common·thrDen ≥ thrNum·min) — engine-exact; the fractions are
+    * presented as single IEEE divisions.
+    *
+    * Scale (100 TB): one band-key self-join (the standard near-dup
+    * shuffle), shingle arrays rebuilt only on candidate rows. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3,
+      thrNum: Int = 4, thrDen: Int = 5): DataFrame = {
+    val b = bandKeys(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val texts = docs.select(col(idCol), col(textCol))
+    val sa = shingles(col("text_a"), shingleN)
+    val sb = shingles(col("text_b"), shingleN)
+    cand
+      .join(texts.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed(textCol, "text_a"), "doc_a")
+      .join(texts.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed(textCol, "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(sa).cast("long").as("n_a"),
+        size(sb).cast("long").as("n_b"),
+        (size(sa) + size(sb) -
+          size(array_distinct(concat(sa, sb)))).cast("long").as("n_common"))
+      .filter(col("n_common") * thrDen >=
+        lit(thrNum) * least(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+  }
+
+  /** Blocklist quality gate (the C4/Dolma "bad words" pass, distinct from
+    * the structural line rules of [[c4Clean]]): exact whole-word counts of
+    * a fixed term list, with an integer-ratio keep gate — keep while
+    * flagged tokens stay ≤ num/den of the document. Pure projection: no
+    * shuffle at any scale; the blocklist travels as a literal array. */
+  def blocklistGate(docs: DataFrame, blocklist: Seq[String],
+      textCol: String = "text", maxNum: Int = 1, maxDen: Int = 20)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val bl = array(blocklist.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_flagged",
+        size(filter(toks, t => array_contains(bl, t))).cast("long"))
+      .withColumn("keep",
+        col("n_flagged") * maxDen <= lit(maxNum) * col("n_tokens"))
+  }
+
   /** Content-defined chunk-level dedup stats (rsync/LBFS chunking,
     * Muthitacharoen SOSP'01): each document splits into content-anchored
     * chunks ([[graft.functions.textfns.cdcChunks]] — cut where the rolling

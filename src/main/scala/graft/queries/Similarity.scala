@@ -1002,7 +1002,62 @@ object Similarity extends QueryModule {
              THEN cos1 / ((c2 + (c3 + (c4 + c5))) / 4.0) END AS margin
       FROM piv"""))
 
+  // --- leading-subspace covariance of the embedding corpus (whitening /
+  // PCA prep, the Matryoshka-style leading block): every Cov(i,j) entry is
+  // a ratio of exact BIGINT sums over the quantized vectors — n·Σxy − ΣxΣy
+  // — so the whole matrix hash-compares engine-exact; the one division per
+  // entry presents it as DOUBLE. ONE aggregation pass with D·(D+1)/2
+  // statically-unrolled sums: partial-aggregated map-side, a single
+  // 137-value row crosses the wire, then explodes to (i, j) rows. At any
+  // corpus size the shuffle is O(D²), never O(n). -------------------------
+  private val COV_D = 16
+
+  private val q148 = Q("q148_embed_cov",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(quantize(col("embedding"), SCALE).as("qv"))
+      val pairs = for (i <- 0 until COV_D; j <- i until COV_D) yield (i, j)
+      val aggs =
+        pairs.map { case (i, j) =>
+          sum(element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1))
+            .as(s"sxy_${i}_$j")
+        } ++
+        (0 until COV_D).map(i =>
+          sum(element_at(col("qv"), i + 1)).as(s"sx_$i")) :+
+        count(lit(1)).as("n")
+      val one = e.agg(aggs.head, aggs.tail: _*)
+      val entries = array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          col(s"sxy_${i}_$j").as("sxy"),
+          col(s"sx_$i").as("sx"), col(s"sx_$j").as("sy"))
+      }: _*)
+      one.select(col("n"), explode(entries).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("n"),
+          col("e.sxy").as("sxy"), col("e.sx").as("sx"), col("e.sy").as("sy"),
+          ((col("n") * col("e.sxy") - col("e.sx") * col("e.sy"))
+            .cast("double") / (col("n") * col("n"))).as("cov"))
+    },
+    Some {
+      val q = s"CAST(floor(CAST(embedding[__D__] AS DOUBLE) * $SCALE) AS BIGINT)"
+      val pairs = for (i <- 0 until COV_D; j <- i until COV_D) yield (i, j)
+      val sums = pairs.map { case (i, j) =>
+        s"CAST(SUM(${q.replace("__D__", (i + 1).toString)} * ${q.replace("__D__", (j + 1).toString)}) AS BIGINT) AS sxy_${i}_$j"
+      } ++ (0 until COV_D).map(i =>
+        s"CAST(SUM(${q.replace("__D__", (i + 1).toString)}) AS BIGINT) AS sx_$i")
+      val entries = pairs.map { case (i, j) =>
+        s"{'i': $i, 'j': $j, 'sxy': sxy_${i}_$j, 'sx': sx_$i, 'sy': sx_$j}"
+      }.mkString(",\n          ")
+      s"""WITH a AS (SELECT ${sums.mkString(",\n          ")},
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings),
+      ex AS (SELECT n, unnest([
+          $entries]) AS e FROM a)
+      SELECT e.i AS i, e.j AS j, n, e.sxy AS sxy, e.sx AS sx, e.sy AS sy,
+        CAST(n * e.sxy - e.sx * e.sy AS DOUBLE) / (n * n) AS cov
+      FROM ex"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131)
+      q131, q148)
 }

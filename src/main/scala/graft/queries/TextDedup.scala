@@ -1295,6 +1295,52 @@ object TextDedup extends QueryModule {
       FROM fp f LEFT JOIN sh ON f.doc_id = sh.doc_id"""
     })
 
+  // --- shingle CONTAINMENT pairs (Broder's containment coefficient):
+  // asymmetric near-dup — |A∩B|/min(|A|,|B|) ≥ 0.8 catches quote-inclusion
+  // where Jaccard dilutes below any sane threshold. Same LSH band-join
+  // candidates as q33; intersect via |A|+|B|−|A∪B| (engine-replayable);
+  // integer cross-multiplied gate; one fraction division. ------------------
+  private val q146 = Q("q146_containment_dedup",
+    (s, dir) => graft.pipeline.TrainingData.containmentPairs(
+      Tables(s, dir, "documents"), shingleN = SHINGLE_N,
+      minhashK = MINHASH_K, bands = BANDS, rowsPerBand = ROWS_PER_BAND,
+      thrNum = 4, thrDen = 5),
+    Some(s"""WITH $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b,
+          CAST(len(sa.sh) AS BIGINT) AS n_a,
+          CAST(len(sb.sh) AS BIGINT) AS n_b,
+          CAST(len(sa.sh) + len(sb.sh)
+            - len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+            AS n_common
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, n_a, n_b, n_common,
+        CAST(n_common AS DOUBLE) / least(n_a, n_b) AS containment
+      FROM v WHERE n_common * 5 >= 4 * least(n_a, n_b)"""))
+
+  // --- blocklist quality gate (the C4/Dolma bad-words pass — term-level,
+  // where q86's C4 rules are structural): exact whole-word counts against
+  // a fixed list, integer-ratio keep gate. Pure projection. ---------------
+  private val Blocklist = Seq("slow", "dup", "junk")
+
+  private val q147 = Q("q147_blocklist_gate",
+    (s, dir) => graft.pipeline.TrainingData.blocklistGate(
+        Tables(s, dir, "documents"), Blocklist, maxNum = 1, maxDen = 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_flagged"), col("keep")),
+    Some {
+      val lst = Blocklist.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS ($tokCte)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, t -> t IN ($lst))) AS BIGINT)
+          AS n_flagged,
+        len(list_filter(toks, t -> t IN ($lst))) * 20 <= len(toks) AS keep
+      FROM t"""
+    })
+
   // --- collocation extraction: corpus bigrams ranked by PMI. Counts are
   // exact BIGINTs; the score is ONE IEEE division on exactly-representable
   // ints (every operand < 2^53), so both engines emit the identical
@@ -1382,5 +1428,5 @@ object TextDedup extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102, q125, q127, q128, q142, q144, q145)
+      q100, q102, q125, q127, q128, q142, q144, q145, q146, q147)
 }

@@ -513,6 +513,27 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0 && firstExchange >= 0, p)
   }
 
+  test("q146: containment pairs ride the band-key equi-join — no " +
+      "nested loop, no cartesian") {
+    val p = plan("q146_containment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q147: blocklist gate is a pure projection — no exchange, no join") {
+    val p = plan("q147_blocklist_gate")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q148: covariance is ONE partial-aggregated pass — no join, " +
+      "no O(n) shuffle") {
+    val p = plan("q148_embed_cov")
+    assert(!p.contains("Join"), p)
+    // partial HashAggregate appears below the single-row exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")

@@ -564,4 +564,154 @@ class TextSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CDC chunking is edit-robust: a prepended header only disturbs " +
+      "the prefix chunks") {
+    import spark.implicits._
+    // the property CDC exists for (and whole-doc fingerprints lack):
+    // cut positions are content-defined, so all grams fully inside the
+    // original text hash identically after a prefix edit — every chunk
+    // from the first preserved cut onward keeps its fingerprint
+    val rows = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 400).limit(5)
+      .as[(Long, String)].collect()
+    assert(rows.length == 5)
+    for ((id, text) <- rows) {
+      val edited = "PREPENDED BOILERPLATE HEADER 12345. " + text
+      val df = Seq(("orig", text), ("edit", edited)).toDF("k", "text")
+        .select(col("k"), cdcChunks(col("text"), 8, 64).as("fps"))
+      val m = df.as[(String, Seq[String])].collect().toMap
+      val (o, e) = (m("orig"), m("edit"))
+      assert(o.size >= 4, s"doc $id chunked too coarsely (${o.size})")
+      val common = o.toSet.intersect(e.toSet).size
+      assert(common >= o.size - 2,
+        s"doc $id: only $common/${o.size} chunks survived a prefix edit")
+      // the whole-document fingerprint sees an unrelated document
+      assert(o != e)
+    }
+  }
+
+  test("CDC chunks partition the text: fingerprints replay from an " +
+      "independent plain-Scala chunker") {
+    import spark.implicits._
+    // NOTE: the HOF twin is only usable on SHORT inputs — interpreted
+    // nested HOFs re-evaluate subtrees per element (no CSE), so its cost
+    // grows combinatorially with length; the KernelPropertySpec fuzz runs
+    // it on ≤40-char strings. Here a plain-Scala reimplementation checks
+    // a long document instead.
+    // high-entropy text (a repeating phrase has ~44 distinct grams and a
+    // (31/32)^44 ≈ 25% chance of NO cut at all — a 1-chunk doc is a valid
+    // but useless fixture)
+    val text = (1 to 200)
+      .map(i => "w" + (i * 2654435761L % 9973)).mkString(" ")
+    val fps = Seq(text).toDF("text")
+      .select(cdcChunks(col("text"), 8, 32).as("f"))
+      .as[Seq[String]].collect().head
+    // independent chunker: same published algorithm, direct Scala
+    import graft.functions.expressions.WinnowFpExpr.{B, M}
+    val k = 8; val d = 32
+    val cps = text.toCharArray.map(_.toLong)
+    val p0 = graft.functions.expressions.WinnowFpExpr.headPow(k)
+    var h = 0L
+    for (i <- 0 until k) h = (h * B + cps(i)) % M
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 0 until cps.length - k + 1) {
+      if (h % d == 0 && i + k < cps.length) cuts += (i + k)
+      if (i + 1 < cps.length - k + 1)
+        h = ((h + M - cps(i) * p0 % M) % M * B + cps(i + k)) % M
+    }
+    val bounds: Seq[Int] = (0 +: cuts.toSeq) :+ cps.length
+    val want = bounds.sliding(2).map { w =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.substring(w(0), w(1)).getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }.toSeq
+    assert(fps == want && fps.size >= 5, s"${fps.size} vs ${want.size}")
+    // and the chunks reassemble the full document
+    assert(bounds.last == text.length && bounds.head == 0)
+  }
+
+  test("containmentPairs: quote-inclusion scores containment 1.0 where " +
+      "Jaccard dilutes") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => "w" + (i * 37 % 101)).mkString(" ")
+    val big = small + " " + (1 to 20).map(i => "x" + i).mkString(" ")
+    val d = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .containmentPairs(d, thrNum = 4, thrDen = 5)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1, got.toSeq.toString)
+    val (a, b, na, nb, nc, cont) = got.head
+    assert(a == 1L && b == 2L && nc == na && cont == 1.0,
+      got.toSeq.toString)
+    // the Jaccard view of the same pair is diluted below the 0.8 gate
+    assert(nc.toDouble / (na + nb - nc) < 0.7)
+  }
+
+  test("blocklistGate: exact counts and the integer-ratio keep gate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text with twenty tokens " + ("pad " * 15).trim),
+      (2L, "junk junk junk here now"),
+      (3L, "one junk in twenty tokens " + ("pad " * 15).trim)
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .blocklistGate(d, Seq("junk"), maxNum = 1, maxDen = 20)
+      .select("doc_id", "n_tokens", "n_flagged", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 20L, 0L, true)), got.toSeq.toString)
+    assert(got(1) == ((2L, 5L, 3L, false)), got.toSeq.toString)
+    // exactly at the 1/20 boundary: 1 flagged in 20 tokens keeps
+    assert(got(2) == ((3L, 20L, 1L, true)), got.toSeq.toString)
+  }
+
+  test("dsirSelect: exact masses and keep decisions on a hand corpus") {
+    import spark.implicits._
+    // two 'en' docs sharing vocab {aa,bb}, two 'de' docs sharing {cc,dd};
+    // no md5-prefix bucket collisions between the four tokens (asserted),
+    // so the masses are exact small integers
+    val buckets = Seq("aa", "bb", "cc", "dd")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_)).head)
+    assert(buckets.distinct.size == 4, s"bucket collision: $buckets")
+    val d = Seq(
+      (1L, "en", "aa bb"), (2L, "en", "aa bb"),
+      (3L, "de", "cc dd"), (4L, "de", "cc dd")).toDF("doc_id", "lang", "text")
+    val got = graft.pipeline.TrainingData
+      .dsirSelect(d, isTarget = col("lang") === "en")
+      .select("doc_id", "tgt_mass", "raw_mass", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // tgt_c(aa)=tgt_c(bb)=2, raw_c=2 for all four tokens;
+    // tgt_tot=4, raw_tot=8. en doc: 4*8 > 4*4 keep; de doc: 0*8 > 4*4 no.
+    assert(got.toSeq == Seq(
+      (1L, 4L, 4L, true), (2L, 4L, 4L, true),
+      (3L, 0L, 4L, false), (4L, 0L, 4L, false)))
+  }
+
+  test("collocations: PMI ranks the bound pair above frequent-but-" +
+      "independent pairs, exact counts") {
+    import spark.implicits._
+    // 'new york' always co-occurs; filler docs reuse every OTHER word in
+    // fresh contexts, so their unigram counts grow while the pair stays
+    // bound — PMI must rank 'new york' strictly first (by hand: score =
+    // N/12 vs ≤ N/18 for every other qualifying pair)
+    val main = (1 to 6).map(i =>
+      (i.toLong, "the cat saw new york and the dog saw new york today"))
+    val filler = (7 to 12).map(i =>
+      (i.toLong, "the cat and the dog ran as it saw me"))
+    val d = (main ++ filler).toDF("doc_id", "text")
+    val got = graft.pipeline.TrainingData
+      .collocations(d, minCount = 5, k = 20)
+      .select("w1", "w2", "pair_n")
+      .as[(String, String, Long)].collect().toSeq
+    // exact count for the bound pair
+    assert(got.contains(("new", "york", 12L)), got.toString)
+    // PMI ordering: 'new york' (score N/12) strictly outranks the
+    // diluted 'the cat' / 'saw new' (N/30, N/18) — rare fully-bound
+    // filler pairs like 'as it' (N/6) may legitimately sit above it
+    val idx = got.map(r => (r._1, r._2)).zipWithIndex.toMap
+    assert(idx(("new", "york")) < idx(("the", "cat")), got.toString)
+    assert(idx(("new", "york")) < idx(("saw", "new")), got.toString)
+  }
 }
