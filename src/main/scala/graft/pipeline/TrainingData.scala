@@ -483,6 +483,36 @@ object TrainingData {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** Dedup-quality evaluation harness: LSH RECALL against the engine's
+    * own exact similarity join, bucketed by true Jaccard. [[nearDupPairs]]
+    * verifies its candidates, so its precision is 1 by construction and
+    * the open question a pipeline owner must answer is recall — which
+    * pairs the band join never surfaces. [[similarityJoin]] (PPJoin,
+    * lossless) provides ground truth AT SCALE, so this report needs no
+    * sampling: per jac-decile bucket, `n_exact` true pairs, `n_found` by
+    * LSH, and recall — the classic LSH S-curve, measurable on the real
+    * corpus. All counts exact; recall is the one presented division.
+    *
+    * Scale (100 TB): the exact join IS the expensive operator (priced
+    * honestly, prefix-filtered); the report adds one pair-keyed left
+    * join and a ≤ 10-row aggregate on top. */
+  def lshRecallReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.6)
+      : DataFrame = {
+    val exact = similarityJoin(docs, idCol, textCol, shingleN, threshold)
+    val found = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand, threshold).withColumn("__hit", lit(1L))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(floor(col("jac") * 10).cast("int").as("jac_bucket"),
+        col("__hit"))
+      .groupBy(col("jac_bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact"))
+  }
+
   /** ASYMMETRIC near-dup detection — shingle CONTAINMENT pairs (Broder
     * 1997's containment coefficient): |A∩B| / min(|A|,|B|) ≥ thr. Jaccard
     * misses quote-inclusion (a short doc pasted inside a long one drives

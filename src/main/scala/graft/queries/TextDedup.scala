@@ -1341,6 +1341,46 @@ object TextDedup extends QueryModule {
       FROM t"""
     })
 
+  // --- LSH recall evaluation (the dedup-quality report every pipeline
+  // owner needs): exact PPJoin pairs as ground truth, MinHash-LSH verified
+  // pairs as the system under test, recall per true-Jaccard decile — the
+  // LSH S-curve measured on the real corpus, no sampling. Precision is 1
+  // by construction (candidates verify); recall is the open question. ----
+  private val q149 = Q("q149_lsh_recall",
+    (s, dir) => graft.pipeline.TrainingData.lshRecallReport(
+      Tables(s, dir, "documents"), shingleN = SHINGLE_N,
+      minhashK = MINHASH_K, bands = BANDS, rowsPerBand = ROWS_PER_BAND,
+      threshold = JAC_T),
+    Some(s"""WITH $lshCte,
+      shv AS (SELECT * FROM sh WHERE len(sh) > 0),
+      ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(a.sh) + len(b.sh)
+               - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+        WHERE CAST(len(a.sh) + len(b.sh)
+               - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= $JAC_T),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      found AS (SELECT cand.doc_a, cand.doc_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $JAC_T)
+      SELECT CAST(floor(jac * 10) AS INT) AS jac_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_found,
+        CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS recall
+      FROM ex LEFT JOIN found f
+        ON ex.doc_a = f.doc_a AND ex.doc_b = f.doc_b
+      GROUP BY 1"""))
+
   // --- collocation extraction: corpus bigrams ranked by PMI. Counts are
   // exact BIGINTs; the score is ONE IEEE division on exactly-representable
   // ints (every operand < 2^53), so both engines emit the identical
@@ -1428,5 +1468,5 @@ object TextDedup extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102, q125, q127, q128, q142, q144, q145, q146, q147)
+      q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149)
 }
