@@ -135,6 +135,39 @@ object EventStream {
     }
   }
 
+  /** Streaming chunk-NOVELTY metering — CDC chunk dedup promoted to a
+    * stream: each arriving document splits into content-defined chunks
+    * ([[graft.functions.textfns.cdcChunks]]) and `n_new` counts the chunk
+    * fingerprints this document is the FIRST holder of inside the
+    * watermark horizon — the per-document novel-content meter a crawl
+    * pipeline uses to admit or down-weight re-syndicated material (a doc
+    * of entirely seen chunks is a re-wrap; CDC anchoring means a moved
+    * header doesn't reset chunk identity the way whole-doc fingerprints
+    * do). State is one entry per chunk fingerprint inside the horizon
+    * (watermark-evicted); chunk text never enters state. On a static
+    * frame the same decision runs as first-holder window ranks — the
+    * spec's stream==batch gate. Documents with no chunks (empty text)
+    * emit nothing. */
+  def chunkNoveltyStream(docs: DataFrame, lateness: String, k: Int = 8,
+      d: Int = 64): DataFrame = {
+    import graft.functions.textfns._
+    val ch = docs.select(col("ts"), col("doc_id"),
+      explode(cdcChunks(col("text"), k, d)).as("__fp"))
+    if (docs.isStreaming) {
+      ch.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("__fp")
+        .groupBy(col("ts"), col("doc_id"))
+        .agg(count(lit(1)).as("n_new"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("ts"), col("doc_id"))
+      ch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("ts"), col("doc_id"))
+        .agg(count(lit(1)).as("n_new"))
+    }
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Int, total: Double,
       closed: Boolean)

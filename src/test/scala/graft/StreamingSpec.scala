@@ -218,6 +218,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk novelty == batch twin across micro-batches") {
+    import spark.implicits._
+    // long high-entropy docs so CDC actually cuts; doc 3 re-wraps doc 1's
+    // content behind a new header — whole-doc fingerprints see a new doc,
+    // chunk novelty sees ~zero new chunks
+    val body = (1 to 120).map(i => "w" + (i * 2654435761L % 9973))
+      .mkString(" ")
+    val other = (1 to 120).map(i => "v" + (i * 48271 % 9973)).mkString(" ")
+    val docs = Seq(
+      (ts(1), 1L, body),
+      (ts(2), 2L, other),
+      (ts(60), 3L, "SYNDICATED REPOST HEADER. " + body))
+    val sentinel = (ts(900), 99L,
+      (1 to 60).map(i => "s" + i).mkString(" "))
+    val stream = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.chunkNoveltyStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), "1 minute")
+    val q = out.writeStream.format("memory").queryName("chunknov_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // chunk state must carry across micro-batches
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2) :+ sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("chunknov_out")
+        .select(col("doc_id"), col("n_new")).as[(Long, Long)]
+        .collect().toMap
+      val batch = EventStream.chunkNoveltyStream(
+          (docs :+ sentinel).toDF("ts", "doc_id", "text"), "1 minute")
+        .select(col("doc_id"), col("n_new")).as[(Long, Long)]
+        .collect().toMap
+      // sentinel advances the watermark; its group is pending at stop
+      assert(streamed.keySet == Set(1L, 2L, 3L), streamed.toString)
+      assert(batch.keySet == Set(1L, 2L, 3L, 99L), batch.toString)
+      assert(streamed.view.filterKeys(_ != 99L).toMap ==
+        batch.view.filterKeys(_ != 99L).toMap)
+      // originals are all-new; the re-wrap contributes at most the
+      // header-disturbed prefix chunks
+      assert(streamed(1L) >= 5L && streamed(2L) >= 5L)
+      assert(streamed(3L) <= 2L, s"re-wrap novelty ${streamed(3L)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
