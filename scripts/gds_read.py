@@ -258,8 +258,54 @@ def dump_1kg_stats(path, out_parquet):
           f"sum_ref={ac_ref.sum()}")
 
 
+def dump_1kg_dosage(path, out_parquet, cut):
+    """Per-sample REF-dosage vectors (NULL = any-missing call) plus
+    positions for the first `cut` variants (storage order == variant.id
+    order in this fixture) — the DuckDB oracle input for replaying the
+    banded windowed-LD join on the 1KG fixture. Same independent decode
+    as dump_1kg_stats; per-pair LD statistics are Σ over samples, so
+    they are invariant to sample order as long as the vector order is
+    consistent across variants (it is: storage order)."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    geno, gr = node_bytes(st, ["genotype", "data"])
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    pos_raw, _ = node_bytes(st, ["position"])
+    n_planes, n_samp, ploidy = gr["dims"]
+    n_var = vr["dims"][0]
+    assert ploidy == 2
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    poss = np.frombuffer(pos_raw, "<i4", count=n_var)
+    arr = np.frombuffer(geno, np.uint8).reshape(n_var, n_samp * 2 // 4)
+    a0, a1 = arr & 3, (arr >> 2) & 3          # sample 2k alleles
+    b0, b1 = (arr >> 4) & 3, (arr >> 6) & 3   # sample 2k+1 alleles
+    def dos(x, y):
+        ok = (x != 3) & (y != 3)
+        return ok, (x == 0).astype(np.int64) + (y == 0).astype(np.int64)
+    okA, dA = dos(a0, a1)
+    okB, dB = dos(b0, b1)
+    rows = []
+    for v in range(cut):
+        d = []
+        for k in range(arr.shape[1]):
+            d.append(int(dA[v, k]) if okA[v, k] else None)
+            d.append(int(dB[v, k]) if okB[v, k] else None)
+        rows.append((int(vids[v]), int(poss[v]), d[:n_samp]))
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, pos BIGINT, "
+                "d BIGINT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {cut} variants, {n_samp} samples")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-dosage":
+        dump_1kg_dosage(sys.argv[2], sys.argv[3],
+                        int(sys.argv[4]) if len(sys.argv) > 4 else 1000)
     else:
         main(sys.argv[1])

@@ -280,5 +280,66 @@ object VcfQ extends QueryModule {
       FROM read_parquet(
         '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet')"""))
 
-  override def queries: Seq[Q] = Seq(q40, q49, q50, q55, q57, q58, q60)
+  // windowed LD on REAL data at biobank width: the 1KG chr22 fixture's
+  // first 1,000 variants decode from packed 2-bit planes straight into
+  // per-sample REF-dosage vectors (unpack_2b codegen kernel) and pair up
+  // in the SAME banded (chrom, pos div W) join as q108 — no out-of-window
+  // pair ever enumerated. Hash-grade oracle: scripts/gds_read.py
+  // dump-dosage (independent pure-python decoder) materializes the same
+  // dosage vectors to parquet (committed; regenerate with
+  // `python3 scripts/gds_read.py dump-dosage <gds> <out> 1000`) and
+  // DuckDB replays the banded join + the pairwise-complete integer sums;
+  // LD stats are Σ over samples, so they are sample-order invariant.
+  private val LD_CUT = 1000
+  private val LD_W = 10000L
+
+  private val q150 = Q("q150_1kg_ld",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+        .filter(col("variant_id") <= LD_CUT)
+        .select(col("variant_id").cast("long").as("vid"), col("chrom"),
+          col("pos").cast("long").as("pos"),
+          transform(unpack2b(col("pg"), lit(1092)), x => x.cast("long"))
+            .as("d"))
+      graft.operators.LdWindow.r2(df, LD_W)
+    },
+    Some {
+      def pc(expr: String): String =
+        s"""CAST(COALESCE(list_sum(list_transform(range(1, 1093), i ->
+           CASE WHEN da[i] IS NOT NULL AND db[i] IS NOT NULL
+                THEN $expr ELSE 0 END)), 0) AS BIGINT)"""
+      s"""WITH v AS (SELECT variant_id AS vid, pos, d,
+          pos // $LD_W AS bucket
+        FROM read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_dosage.parquet')),
+      a AS (SELECT vid AS vid_a, pos AS pos_a, d AS da,
+          unnest([bucket, bucket + 1]) AS bkey FROM v),
+      b AS (SELECT vid AS vid_b, pos AS pos_b, d AS db,
+          bucket AS bkey FROM v),
+      p AS (SELECT vid_a, vid_b, pos_a, pos_b, da, db
+        FROM a JOIN b USING (bkey)
+        WHERE (pos_a < pos_b OR (pos_a = pos_b AND vid_a < vid_b))
+          AND pos_b - pos_a <= $LD_W),
+      st AS (SELECT vid_a, vid_b, pos_b - pos_a AS dist,
+          CAST(len(list_filter(range(1, 1093), i ->
+            da[i] IS NOT NULL AND db[i] IS NOT NULL)) AS BIGINT) AS n,
+          ${pc("da[i]")} AS sx,
+          ${pc("db[i]")} AS sy,
+          ${pc("da[i] * db[i]")} AS sxy,
+          ${pc("da[i] * da[i]")} AS sxx,
+          ${pc("db[i] * db[i]")} AS syy
+        FROM p)
+      SELECT '22' AS chrom, vid_a, vid_b, dist, n,
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE))
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))
+        END AS r2
+      FROM st"""
+    })
+
+  override def queries: Seq[Q] =
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150)
 }

@@ -32,6 +32,7 @@ class CodegenOnlyQuerySpec extends AnyFunSuite {
     "q69_winnow_fp", // winnow_fps rolling-hash kernel
     "q70_simhash_neardup", // simhash16 inside the band self-join
     "q86_c4_line_clean", // c4_clean_lines line-scan kernel
+    "q142_cdc_chunks", // cdc_chunks rolling-hash chunker in the dedup join
     "q105_pq_adc", // pq_encode + pq_adc + l2_i64 in the ADC scan
     "q108_ld_r2") // ld_pair_stats inside the banded LD join
 
