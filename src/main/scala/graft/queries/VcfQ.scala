@@ -340,6 +340,36 @@ object VcfQ extends QueryModule {
       FROM st"""
     })
 
+  // per-sample margin on the REAL fixture through the packed lane (the
+  // reference's seqMissing(per.variant=FALSE) / sample QC view at 1,092
+  // samples): dosage vectors from the 2-bit planes, per-sample facts
+  // compute in the posexplode_outer fan-out, one small groupBy(sample).
+  // Same dosage dump as q150 is the oracle.
+  private val q151 = Q("q151_1kg_sample_margin",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+        .filter(col("variant_id") <= LD_CUT)
+        .select(unpack2b(col("pg"), lit(1092)).as("d"))
+      df.select(posexplode_outer(col("d")).as(Seq("smp", "dos")))
+        .groupBy(col("smp"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(when(col("dos").isNotNull, 1L).otherwise(0L)).as("n_called"),
+          sum(coalesce(col("dos").cast("long"), lit(0L))).as("sum_ref_dosage"),
+          sum(when(col("dos").isNull, 1L).otherwise(0L)).as("n_missing"))
+    },
+    Some(s"""SELECT CAST(s AS INT) AS smp,
+        CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(SUM(CASE WHEN d[s+1] IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_called,
+        CAST(SUM(COALESCE(d[s+1], 0)) AS BIGINT) AS sum_ref_dosage,
+        CAST(SUM(CASE WHEN d[s+1] IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_missing
+      FROM read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_dosage.parquet'),
+        (SELECT unnest(range(0, 1092)) AS s)
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
-    Seq(q40, q49, q50, q55, q57, q58, q60, q150)
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151)
 }
