@@ -270,11 +270,16 @@ def dump_1kg_dosage(path, out_parquet, cut):
     data = open(path, "rb").read()
     st = streams(data)
     geno, gr = node_bytes(st, ["genotype", "data"])
+    planes, _ = node_bytes(st, ["genotype", "@data"])
     vid_raw, vr = node_bytes(st, ["variant.id"])
     pos_raw, _ = node_bytes(st, ["position"])
     n_planes, n_samp, ploidy = gr["dims"]
     n_var = vr["dims"][0]
-    assert ploidy == 2
+    assert ploidy == 2, f"ploidy {ploidy}"
+    # a multi-plane (multiallelic-overflow) variant would silently
+    # misalign the reshape below — fail loudly like dump_1kg_stats
+    assert set(planes[:n_var]) == {1}, "multi-plane variant present"
+    assert n_planes == n_var and len(geno) == n_var * n_samp * 2 // 4
     vids = np.frombuffer(vid_raw, "<i4", count=n_var)
     poss = np.frombuffer(pos_raw, "<i4", count=n_var)
     arr = np.frombuffer(geno, np.uint8).reshape(n_var, n_samp * 2 // 4)

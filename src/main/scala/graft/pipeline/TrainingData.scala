@@ -37,10 +37,14 @@ object TrainingData {
     * `docs`, kept at exact shingle-Jaccard ≥ `threshold`, as
     * (doc_a, doc_b) with doc_a < doc_b. The only corpus-scale shuffle is
     * the band-key equi-join; Jaccard runs on candidates only. */
-  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
-      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
-      : DataFrame = {
+  /** Shared LSH candidate generation: band-key self-join (ordered ids,
+    * deduped) with both candidates' texts re-attached — so the
+    * (interpreted-HOF) shingle reconstruction downstream runs only on
+    * candidate rows. One band-key shuffle; serves [[nearDupPairs]] and
+    * [[containmentPairs]], which must never diverge on candidates. */
+  private def candidateTextPairs(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, minhashK: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bnd = bandKeys(docs, idCol, textCol, shingleN, minhashK, bands,
       rowsPerBand)
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -55,10 +59,17 @@ object TrainingData {
         .withColumnRenamed(textCol, "text_a"), "doc_a")
       .join(texts.withColumnRenamed(idCol, "doc_b")
         .withColumnRenamed(textCol, "text_b"), "doc_b")
+  }
+
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame =
+    candidateTextPairs(docs, idCol, textCol, shingleN, minhashK, bands,
+      rowsPerBand)
       .filter(jaccard(shingles(col("text_a"), shingleN),
         shingles(col("text_b"), shingleN)) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-  }
 
   /** Ids to DROP as near-duplicates: the larger id of each verified
     * [[nearDupPairs]] pair (single-pass keep-first policy). */
@@ -532,21 +543,10 @@ object TrainingData {
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3,
       thrNum: Int = 4, thrDen: Int = 5): DataFrame = {
-    val b = bandKeys(docs, idCol, textCol, shingleN, minhashK,
-      bands, rowsPerBand)
-    val cand = b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val texts = docs.select(col(idCol), col(textCol))
     val sa = shingles(col("text_a"), shingleN)
     val sb = shingles(col("text_b"), shingleN)
-    cand
-      .join(texts.withColumnRenamed(idCol, "doc_a")
-        .withColumnRenamed(textCol, "text_a"), "doc_a")
-      .join(texts.withColumnRenamed(idCol, "doc_b")
-        .withColumnRenamed(textCol, "text_b"), "doc_b")
+    candidateTextPairs(docs, idCol, textCol, shingleN, minhashK, bands,
+      rowsPerBand)
       .select(col("doc_a"), col("doc_b"),
         size(sa).cast("long").as("n_a"),
         size(sb).cast("long").as("n_b"),
@@ -585,10 +585,14 @@ object TrainingData {
     * `n_chunks` and `n_shared` (this doc's chunk instances whose
     * fingerprint appears in ≥ minDocs docs).
     *
-    * Scale (100 TB): one explode + count-distinct per 128-bit chunk key
+    * Scale (100 TB): explode + count-distinct per 128-bit chunk key
     * (linear shuffle, partial-aggregated map-side), one equi-join of the
     * chunk instances against the shared-key set, one groupBy(id). Chunk
-    * TEXT never shuffles — only md5 fingerprints. */
+    * TEXT never shuffles — only md5 fingerprints. The chunk kernel runs
+    * once per branch of the final join (twice per document — the same
+    * recompute-vs-cache tradeoff as the other two-pass dedup ops here);
+    * a cluster run that wants one pass should persist the
+    * (id, fingerprints) projection first. */
   def cdcChunkStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, d: Int = 64,
       minDocs: Int = 2): DataFrame = {
@@ -666,9 +670,10 @@ object TrainingData {
     *
     * Scale (100 TB): one bigram-key shuffle (partial-aggregated) + two
     * broadcast joins against the vocabulary-sized unigram table + a
-    * distributed TakeOrdered — never a global sort. A vocabulary too
-    * large to broadcast falls back to two shuffle joins on the word key
-    * (still linear). */
+    * distributed TakeOrdered — never a global sort. The broadcast hint
+    * is unconditional: a vocabulary too large for the driver needs the
+    * hint DROPPED (the planner then picks a shuffle join on the word
+    * key — still linear), not a bigger driver. */
   def collocations(docs: DataFrame, textCol: String = "text",
       minCount: Int = 5, k: Int = 50): DataFrame = {
     require(!docs.columns.exists(c => c.startsWith("__")),

@@ -829,13 +829,20 @@ object Genomics extends QueryModule {
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
       val n = SynthGeno.nSamples
-      val cell = v.select(col("geno"), flatten(col("geno")).as("fl"),
+      // the per-variant SINGLETON-ALLELE SET computes once before the
+      // explode (O(n·#distinct) per variant); the per-cell test is then
+      // an array_contains — never a per-cell rescan of the 2n-allele
+      // list, which would be O(n²) per variant at biobank width
+      val fl = flatten(col("geno"))
+      val singletons = filter(array_distinct(fl), a =>
+        a.isNotNull && a > 0 && size(filter(fl, x => x === a)) === 1)
+      val cell = v.select(col("geno"), singletons.as("ss"),
           explode(sequence(lit(0), lit(n - 1))).as("smp"))
-        .select(col("smp"), col("fl"),
+        .select(col("smp"), col("ss"),
           element_at(element_at(col("geno"), col("smp") + 1), 1).as("a1"),
           element_at(element_at(col("geno"), col("smp") + 1), 2).as("a2"))
-      def sing(a: Column) = when(a.isNotNull && a > 0 &&
-        size(filter(col("fl"), x => x === a)) === 1, 1L).otherwise(0L)
+      def sing(a: Column) = when(a.isNotNull &&
+        array_contains(col("ss"), a), 1L).otherwise(0L)
       val g = cell.select(col("smp"),
           (col("a1").isNotNull && col("a2").isNotNull).as("called"),
           (col("a1").isNotNull && col("a2").isNotNull &&

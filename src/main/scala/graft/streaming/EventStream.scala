@@ -146,8 +146,12 @@ object EventStream {
     * do). State is one entry per chunk fingerprint inside the horizon
     * (watermark-evicted); chunk text never enters state. On a static
     * frame the same decision runs as first-holder window ranks — the
-    * spec's stream==batch gate. Documents with no chunks (empty text)
-    * emit nothing. */
+    * spec's stream==batch gate holds for in-timestamp-order arrival;
+    * under LATE data the two legitimately diverge on who gets the
+    * credit: the stream credits the first ARRIVAL (admission-order
+    * semantics — the one-pass tradeoff, same as [[nearDupStream]]),
+    * the batch twin the (ts, doc_id)-minimal holder. Documents with no
+    * chunks (empty text) emit nothing. */
   def chunkNoveltyStream(docs: DataFrame, lateness: String, k: Int = 8,
       d: Int = 64): DataFrame = {
     import graft.functions.textfns._

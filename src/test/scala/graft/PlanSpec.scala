@@ -508,9 +508,12 @@ class PlanSpec extends AnyFunSuite {
       "its one small shuffle") {
     val p = plan("q143_sample_qc")
     assert(!p.contains("SortMergeJoin"), p)
+    // explainString prints top-down, so the PARTIAL aggregate must
+    // appear BELOW (after) the first exchange in the string
     val firstExchange = p.indexOf("Exchange")
-    val firstAgg = p.indexOf("HashAggregate")
-    assert(firstAgg >= 0 && firstExchange >= 0, p)
+    assert(firstExchange >= 0, p)
+    assert(p.indexOf("HashAggregate", firstExchange) > 0,
+      "no partial HashAggregate below the exchange:\n" + p)
   }
 
   test("q146: containment pairs ride the band-key equi-join — no " +
