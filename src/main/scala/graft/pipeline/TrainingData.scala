@@ -682,12 +682,17 @@ object TrainingData {
     val uni = docs.select(explode(toks).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     val tot = uni.agg(sum(col("__c")).as("__n"))
-    // guard: sequence(1, n-1) runs DESCENDING for n < 2 (Spark auto-steps
-    // -1), so short docs must map to an explicit empty pair list
+    // zip_with over two slices, NOT transform+element_at: an interpreted
+    // HOF re-evaluates child expressions per element (no CSE), so
+    // element_at(tokens(text), i) re-tokenizes the document per pair —
+    // measured 7.8 s for this query at sf0.1; the zip_with children
+    // evaluate once and the lambda touches only its own variables.
+    // Guard: slice with a non-positive length (docs under 2 tokens)
+    // must map to an explicit empty pair list.
     val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val bi = docs.select(explode(pairs).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))

@@ -370,6 +370,58 @@ object VcfQ extends QueryModule {
         (SELECT unnest(range(0, 1092)) AS s)
       GROUP BY 1"""))
 
+  // ragged INFO + FORMAT decode on the REAL fixture, oracle-gated (the
+  // GdsSpec row-for-row gate covers these columns, but this puts them on
+  // the DuckDB board): per-chrom sums of the container's typed info_AC/
+  // AN/DP, the HM2 flag count, and the Number=. per-sample fmt_DP total.
+  // Oracle: the VCF twin re-parses INFO key=value strings and splits the
+  // 90 sample columns' GT:DP cells.
+  private val q152 = Q("q152_gds_info_agg",
+    (s, _) => {
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+      val dpCells = filter(flatten(col("fmt_DP")), x => x.isNotNull)
+      df.select(col("chrom"),
+          col("info_AC").cast("long").as("ac"),
+          col("info_AN").cast("long").as("an"),
+          col("info_DP").cast("long").as("dp"),
+          col("info_HM2").cast("boolean").as("hm2"),
+          aggregate(dpCells, lit(0L), (a, x) => a + x).as("fmt_dp"))
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("ac")).as("sum_ac"),
+          sum(col("an")).as("sum_an"),
+          sum(col("dp")).as("sum_dp"),
+          sum(when(col("hm2"), 1L).otherwise(0L)).as("n_hm2"),
+          sum(col("fmt_dp")).as("sum_fmt_dp"))
+    },
+    Some(s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      v AS (SELECT column00 AS chrom,
+          CAST(NULLIF(regexp_extract(column07, 'AC=([0-9]+)', 1), '')
+            AS BIGINT) AS ac,
+          CAST(NULLIF(regexp_extract(column07, 'AN=([0-9]+)', 1), '')
+            AS BIGINT) AS an,
+          CAST(NULLIF(regexp_extract(column07, 'DP=([0-9]+)', 1), '')
+            AS BIGINT) AS dp,
+          CASE WHEN column07 = 'HM2'
+                 OR column07 LIKE 'HM2;%' OR column07 LIKE '%;HM2'
+                 OR column07 LIKE '%;HM2;%' THEN 1 ELSE 0 END AS hm2,
+          COALESCE(list_sum(list_transform(
+            list_filter($ceuSampleCols,
+              s -> string_split(s, ':')[2] <> '.'),
+            s -> CAST(string_split(s, ':')[2] AS BIGINT))), 0) AS fmt_dp
+        FROM raw)
+      SELECT chrom,
+        CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(SUM(ac) AS BIGINT) AS sum_ac,
+        CAST(SUM(an) AS BIGINT) AS sum_an,
+        CAST(SUM(dp) AS BIGINT) AS sum_dp,
+        CAST(SUM(hm2) AS BIGINT) AS n_hm2,
+        CAST(SUM(fmt_dp) AS BIGINT) AS sum_fmt_dp
+      FROM v GROUP BY chrom"""))
+
   override def queries: Seq[Q] =
-    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151)
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152)
 }
