@@ -578,7 +578,43 @@ object Relational extends QueryModule {
       SELECT cohort_day, "offset", COUNT(*) AS n_users
       FROM a GROUP BY cohort_day, "offset""""))
 
+  // --- hourly anomaly flagging over the event stream (the ops-dashboard
+  // "hot hour" detector): per (event_type, hour) exact counts, flagged
+  // when an hour carries more than HOT_X times its type's mean hourly
+  // load — the gate is integer cross-multiplication (n·n_hours >
+  // HOT_X·type_total), so it replays engine-exact where a double mean
+  // would drift. Two partial-aggregated exchanges (hour grid, then the
+  // tiny per-type totals broadcast back); nanos stay integral. ----------
+  private val HOT_X = 3
+
+  private val q154 = Q("q154_event_anomaly",
+    (s, dir) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000000000) div 3600").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val totals = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("type_total"),
+          count(lit(1)).as("n_hours"))
+      hourly.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("hour"), col("n"),
+          col("type_total"), col("n_hours"),
+          (col("n") * col("n_hours") > lit(HOT_X) * col("type_total"))
+            .as("hot"))
+    },
+    Some(s"""WITH h AS (SELECT event_type,
+          (epoch_ns(ts) // 1000000000) // 3600 AS hour,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS type_total,
+          CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM h GROUP BY 1)
+      SELECT h.event_type, h.hour, h.n, t.type_total, t.n_hours,
+        h.n * t.n_hours > $HOT_X * t.type_total AS hot
+      FROM h JOIN t ON h.event_type = t.event_type"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140)
+    q139, q140, q154)
 }

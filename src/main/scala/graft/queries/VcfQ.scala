@@ -422,6 +422,30 @@ object VcfQ extends QueryModule {
         CAST(SUM(fmt_dp) AS BIGINT) AS sum_fmt_dp
       FROM v GROUP BY chrom"""))
 
+  // folded site-frequency spectrum of 1KG chr22 (the first plot of any
+  // popgen paper): minor-allele COUNT histogram over all 19,773 variants,
+  // computed from the packed lane's per-variant stats — one projection +
+  // a ≤1093-bin aggregate. Oracle: the independent python decoder's
+  // per-variant stats dump, binned by the same exact integer arithmetic
+  // (mac = min(ac_ref, called − ac_ref); monomorphic = bin 0).
+  private val q153 = Q("q153_1kg_sfs",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      df.select(element_at(st, 2).as("called"),
+          element_at(st, 3).as("ac_ref"))
+        .select(least(col("ac_ref"), col("called") - col("ac_ref"))
+          .as("mac"))
+        .groupBy(col("mac"))
+        .agg(count(lit(1)).as("n_variants"))
+    },
+    Some("""SELECT least(ac_ref, called - ac_ref) AS mac,
+        CAST(COUNT(*) AS BIGINT) AS n_variants
+      FROM read_parquet(
+        '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet')
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
-    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152)
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153)
 }
