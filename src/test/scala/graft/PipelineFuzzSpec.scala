@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TrainingData
+
+/** Randomized differential tests for the round-5 pipeline operators:
+  * each recomputed by an independent brute-force Scala implementation on
+  * random corpora (short docs, duplicates, near-dups, empty docs). The
+  * DuckDB oracles prove Spark==SQL on the fixed corpus; this proves the
+  * algebra on adversarial inputs. Deterministic seeds. */
+class PipelineFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def draw[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // small vocab → plenty of shared tokens/chunks across docs
+  private val wordGen = Gen.oneOf(
+    (1 to 12).map(i => "w" + i) ++ Seq("x", "yy", "zzz"))
+  private val docGen: Gen[String] =
+    Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  private def corpus(seed: Long, n: Int): Seq[(Long, String)] =
+    (1 to n).map(i => (i.toLong, draw(docGen, seed * 1000 + i)))
+
+  private def toks(t: String): Seq[String] =
+    t.split("\\s+").filter(_.nonEmpty).toSeq
+
+  // plain-Scala CDC chunker (same published algorithm, shared constants)
+  private def bruteChunks(text: String, k: Int, d: Int): Seq[String] = {
+    import graft.functions.expressions.WinnowFpExpr.{B, M}
+    val cps = text.toCharArray.map(_.toLong)
+    if (cps.isEmpty) return Nil
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (cps.length >= k) {
+      val p0 = graft.functions.expressions.WinnowFpExpr.headPow(k)
+      var h = 0L
+      for (i <- 0 until k) h = (h * B + cps(i)) % M
+      for (i <- 0 until cps.length - k + 1) {
+        if (h % d == 0 && i + k < cps.length) cuts += (i + k)
+        if (i + 1 < cps.length - k + 1)
+          h = ((h + M - cps(i) * p0 % M) % M * B + cps(i + k)) % M
+      }
+    }
+    val bounds = (0 +: cuts.toSeq) :+ cps.length
+    bounds.sliding(2).map(w => md5hex(text.substring(w(0), w(1)))).toSeq
+  }
+
+  test("cdcChunkStats == brute chunk-and-count on random corpora") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val docs = corpus(round, 40)
+      val got = TrainingData.cdcChunkStats(
+          docs.toDF("doc_id", "text"), k = 4, d = 4)
+        .select("doc_id", "n_chunks", "n_shared")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val all = docs.map { case (id, t) => id -> bruteChunks(t, 4, 4) }
+      val holders = all.flatMap { case (id, ch) => ch.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      for ((id, ch) <- all) {
+        val (nc, ns) = got.getOrElse(id, fail(s"round=$round doc $id missing"))
+        assert(nc == ch.size, s"round=$round doc $id n_chunks")
+        val wantShared = ch.count(fp => holders(fp) >= 2)
+        assert(ns == wantShared, s"round=$round doc $id n_shared")
+      }
+    }
+  }
+
+  test("dsirSelect == brute bucket masses on random corpora") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val docs = corpus(round + 50, 40)
+        .map { case (id, t) => (id, if (id % 2 == 0) "en" else "de", t) }
+      val got = TrainingData.dsirSelect(
+          docs.toDF("doc_id", "lang", "text"), col("lang") === "en")
+        .select("doc_id", "tgt_mass", "raw_mass", "keep")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      def bucket(tk: String) = md5hex(tk).substring(0, 2)
+      val allToks = docs.flatMap { case (_, l, t) =>
+        toks(t).map(tk => (bucket(tk), l == "en")) }
+      val raw = allToks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val tgt = allToks.groupBy(_._1).view
+        .mapValues(_.count(_._2).toLong).toMap
+      val rawTot = allToks.size.toLong
+      val tgtTot = allToks.count(_._2).toLong
+      for ((id, _, t) <- docs) {
+        val tm = toks(t).map(tk => tgt.getOrElse(bucket(tk), 0L)).sum
+        val rm = toks(t).map(tk => raw.getOrElse(bucket(tk), 0L)).sum
+        val keep = tm * rawTot > rm * tgtTot
+        assert(got(id) == ((tm, rm, keep)), s"round=$round doc $id")
+      }
+    }
+  }
+
+  test("containmentPairs: every reported pair's counts and gate replay " +
+      "from brute shingle sets") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      // append near-dup copies so candidates exist
+      val base = corpus(round + 100, 25).filter(_._2.nonEmpty)
+      val dups = base.take(8).map { case (id, t) =>
+        (id + 1000L, t + " w1") }
+      val docs = base ++ dups
+      val got = TrainingData.containmentPairs(
+          docs.toDF("doc_id", "text"), thrNum = 4, thrDen = 5)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+      def sh(t: String): Set[String] =
+        toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val byId = docs.toMap
+      for ((a, b, na, nb, nc, cont) <- got) {
+        val (sa, sb) = (sh(byId(a)), sh(byId(b)))
+        assert(na == sa.size && nb == sb.size, s"round=$round ($a,$b)")
+        assert(nc == sa.intersect(sb).size, s"round=$round ($a,$b)")
+        assert(nc * 5 >= 4 * math.min(na, nb), s"round=$round gate")
+        assert(cont == nc.toDouble / math.min(na, nb))
+      }
+      // (candidate RECALL is the bands' business — q149 measures it;
+      // here only the verify arithmetic is under test)
+    }
+  }
+
+  test("lshRecallReport: n_exact matches brute all-pairs Jaccard and " +
+      "recall is a valid fraction") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val base = corpus(round + 200, 20).filter(_._2.nonEmpty)
+      val dups = base.take(6).map { case (id, t) => (id + 1000L, t) }
+      val docs = base ++ dups
+      val got = TrainingData.lshRecallReport(
+          docs.toDF("doc_id", "text"), threshold = 0.6)
+        .select("jac_bucket", "n_exact", "n_found", "recall")
+        .as[(Int, Long, Long, Double)].collect()
+      def sh(t: String): Set[String] =
+        toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val withSh = docs.map { case (id, t) => (id, sh(t)) }
+        .filter(_._2.nonEmpty)
+      val brute = for {
+        (a, sa) <- withSh; (b, sb) <- withSh if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.6
+      } yield math.floor(j * 10).toInt
+      val wantBuckets = brute.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(got.map(r => r._1 -> r._2).toMap == wantBuckets,
+        s"round=$round n_exact")
+      for ((_, ne, nf, rec) <- got) {
+        assert(nf <= ne && rec >= 0.0 && rec <= 1.0)
+        assert(rec == nf.toDouble / ne)
+      }
+    }
+  }
+
+  test("collocations == brute recount on a random corpus") {
+    import spark.implicits._
+    val docs = corpus(999, 40)
+    val got = TrainingData.collocations(
+        docs.toDF("doc_id", "text"), minCount = 3, k = 1000)
+      .select("w1", "w2", "pair_n", "c1", "c2", "score")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val allT = docs.flatMap(d => toks(d._2))
+    val uni = allT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allT.size.toLong
+    val pairs = docs.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3)
+    assert(got.length == pairs.size)
+    for ((w1, w2, pn, c1, c2, score) <- got) {
+      assert(pairs((w1, w2)) == pn)
+      assert(uni(w1) == c1 && uni(w2) == c2)
+      assert(score == (pn * n).toDouble / (c1 * c2))
+    }
+    // descending by (score, w1, w2) — the deterministic emit order
+    val keys = got.map(r => (-r._6, r._1, r._2)).toSeq
+    assert(keys == keys.sorted)
+  }
+}
