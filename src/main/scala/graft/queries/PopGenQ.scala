@@ -571,7 +571,64 @@ object PopGenQ extends QueryModule {
     SELECT s, n_called FROM cr
     WHERE s NOT IN (SELECT s FROM vict)""")))
 
+  // --- balanced-label permutation association test (the empirical-
+  // p-value companion to q123's asymptotic χ²): the score U_y = N·Σxy −
+  // Σy·Σx compares across 20 deterministic BALANCED label permutations
+  // (every y has exactly N/2 cases, so the trend χ²'s y-variance term is
+  // constant and the χ² ORDER reduces to U² order — the comparison stays
+  // pure BIGINT). Permutations = the N/2 smallest md5("j:s") sample
+  // ordinals per round j, computed once at plan build and embedded as
+  // literals in BOTH plans (any fixed balanced label set is a valid
+  // permutation test; the md5 derivation just makes it reproducible).
+  // p_emp = (1 + #{U_j² ≥ U_obs²}) / (nPerms + 1). Missing dosage counts
+  // as 0 in every label set alike. Pure projection — the 20 permuted
+  // scores statically unroll inside one codegen pass, no shuffle, no
+  // per-perm explode.
+  private val N_PERMS = 20
+
+  private val perms: Seq[Seq[Int]] = {
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until N_PERMS).map(j =>
+      (0 until N).sortBy(s => md5hex(s"$j:$s")).take(N / 2).sorted)
+  }
+  private val obsIdx: Seq[Int] = (0 until N).filter(_ % 2 == 1)
+
+  private val q155 = Q("q155_perm_assoc",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d"))
+      def xs(i: Int) =
+        coalesce(element_at(col("d"), i + 1).cast("long"), lit(0L))
+      val sx = (0 until N).map(xs).reduce(_ + _)
+      def u(idx: Seq[Int]) =
+        lit(N.toLong) * idx.map(xs).reduce(_ + _) - lit(N.toLong / 2) * sx
+      val uObs = u(obsIdx)
+      val nGe = perms.map(p =>
+          when(u(p) * u(p) >= uObs * uObs, 1L).otherwise(0L))
+        .reduce(_ + _)
+      v.select(col("vid"), uObs.as("u_obs"), nGe.as("n_ge"),
+        ((nGe + 1).cast("double") / (N_PERMS + 1)).as("p_emp"))
+    },
+    Some(withCte {
+      def xsSql(i: Int) = s"COALESCE(d[${i + 1}], 0)"
+      val sxSql = (0 until N).map(xsSql).mkString(" + ")
+      def uSql(idx: Seq[Int]) =
+        s"($N * (${idx.map(xsSql).mkString(" + ")}) - ${N / 2} * sx)"
+      val ges = perms.map(p =>
+        s"(CASE WHEN ${uSql(p)} * ${uSql(p)} >= u_obs * u_obs " +
+          "THEN 1 ELSE 0 END)").mkString("\n          + ")
+      s"""SELECT vid, u_obs, CAST(n_ge AS BIGINT) AS n_ge,
+        CAST(n_ge + 1 AS DOUBLE) / ${N_PERMS + 1} AS p_emp
+      FROM (SELECT vid, u_obs, $ges AS n_ge
+        FROM (SELECT vid, d, sx,
+            CAST(${uSql(obsIdx)} AS BIGINT) AS u_obs
+          FROM (SELECT vid, d, CAST($sxSql AS BIGINT) AS sx
+            FROM (SELECT vid, $dSql AS d FROM variants))))"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137)
+      q135, q136, q137, q155)
 }

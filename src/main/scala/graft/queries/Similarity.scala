@@ -73,24 +73,29 @@ object Similarity extends QueryModule {
 
   private def dot2(a: String, b: String) = dotSql.format(a, a, b)
 
+  /** Brute-force exact cosine top-k per probe (the correctness
+    * baseline); (probe_id, vec_id, cos, rank ≤ k). */
+  private def bruteTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      .withColumn("nrm", dotLong(col("qv"), col("qv")))
+    val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+        col("nrm").as("pnrm"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+          .as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // --- brute-force exact top-k (the correctness baseline). -----------------
   private val q36 = Q("q36_knn_brute",
-    (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
-        .withColumn("nrm", dotLong(col("qv"), col("qv")))
-      val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
-        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
-          col("nrm").as("pnrm"))
-      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
-            .as("cos"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-    },
+    (s, dir) => bruteTopK(s, dir, 5),
     Some(s"""WITH q AS ($qCte),
       n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
       p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
@@ -112,38 +117,43 @@ object Similarity extends QueryModule {
   // per (table, bucket); probes keep all their buckets. Candidates are
   // deduped across tables with a max() aggregate (cosine is
   // deterministic per pair, so max == the value). -------------------------
+  /** SRP-LSH multi-probe ANN top-k per probe; (probe_id, vec_id, cos,
+    * rank ≤ k). */
+  private def annTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      .withColumn("nrm", dotLong(col("qv"), col("qv")))
+    val sg = sigs(e)
+    val wB = Window.partitionBy(col("tab"), col("bucket"))
+      .orderBy(col("vec_id"))
+    val corp = sg.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= BUCKET_CAP)
+    // multi-probe: own bucket + every single-bit flip (mask 0 first)
+    val masks = array((lit(0L) +:
+      (0 until SRP_BITS).map(b => lit(1L << b))): _*)
+    val probes = sg.filter(col("vec_id") % PROBE_MOD === 0)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+        col("nrm").as("pnrm"), col("tab").as("ptab"),
+        explode(masks).as("m"), col("bucket"))
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("ptab"),
+        col("bucket").bitwiseXOR(col("m")).as("pbucket"))
+    val cand = corp.join(broadcast(probes),
+        col("tab") === col("ptab") && col("bucket") === col("pbucket") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
+          .as("cos"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   private val q37 = Q("q37_ann_lsh",
-    (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
-        .withColumn("nrm", dotLong(col("qv"), col("qv")))
-      val sg = sigs(e)
-      val wB = Window.partitionBy(col("tab"), col("bucket"))
-        .orderBy(col("vec_id"))
-      val corp = sg.withColumn("rk", row_number().over(wB))
-        .filter(col("rk") <= BUCKET_CAP)
-      // multi-probe: own bucket + every single-bit flip (mask 0 first)
-      val masks = array((lit(0L) +:
-        (0 until SRP_BITS).map(b => lit(1L << b))): _*)
-      val probes = sg.filter(col("vec_id") % PROBE_MOD === 0)
-        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
-          col("nrm").as("pnrm"), col("tab").as("ptab"),
-          explode(masks).as("m"), col("bucket"))
-        .select(col("probe_id"), col("pv"), col("pnrm"), col("ptab"),
-          col("bucket").bitwiseXOR(col("m")).as("pbucket"))
-      val cand = corp.join(broadcast(probes),
-          col("tab") === col("ptab") && col("bucket") === col("pbucket") &&
-            col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          cosineQ(dotLong(col("pv"), col("qv")), col("pnrm"), col("nrm"))
-            .as("cos"))
-        .groupBy(col("probe_id"), col("vec_id"))
-        .agg(max(col("cos")).as("cos"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-    },
+    (s, dir) => annTopK(s, dir, 3),
     Some(s"""WITH q AS ($qCte),
       n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
       sig AS ($sigSql),
@@ -1057,7 +1067,64 @@ object Similarity extends QueryModule {
       FROM ex"""
     })
 
+  // --- ANN recall report (the vector-side twin of the text board's LSH
+  // recall q149): per probe, how many of the exact cosine top-5 the
+  // SRP-LSH multi-probe path surfaces in ITS top-5. Both rank chains are
+  // the proven q36/q37 plans at k=5; the overlap is one pair-keyed left
+  // join + a per-probe count — everything downstream of the two ranked
+  // lists is exact integers, and recall is the one presented division. --
+  private val q156 = Q("q156_ann_recall",
+    (s, dir) => {
+      val brute = bruteTopK(s, dir, 5).select(col("probe_id"), col("vec_id"))
+      val ann = annTopK(s, dir, 5).select(col("probe_id"), col("vec_id"))
+        .withColumn("__hit", lit(1L))
+      brute.join(ann, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / 5)
+    },
+    Some(s"""WITH q AS ($qCte),
+      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
+      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
+            WHERE vec_id % $PROBE_MOD = 0),
+      bscored AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM n JOIN p ON vec_id <> probe_id),
+      brute AS (SELECT probe_id, vec_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM bscored)
+        WHERE rank <= 5),
+      sig AS ($sigSql),
+      corp AS (SELECT * FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
+           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
+      prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
+              tab AS ptab, xor(bucket, m) AS pbucket FROM sig,
+              (SELECT unnest([${(0L +: (0 until SRP_BITS)
+                .map(b => 1L << b)).mkString(", ")}]) AS m)
+              WHERE vec_id % $PROBE_MOD = 0),
+      cand AS (SELECT probe_id, vec_id, MAX(
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END)
+          AS cos
+        FROM corp JOIN prb ON tab = ptab AND bucket = pbucket
+          AND vec_id <> probe_id
+        GROUP BY probe_id, vec_id),
+      ann AS (SELECT probe_id, vec_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM cand)
+        WHERE rank <= 5)
+      SELECT b.probe_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(a.vec_id) AS DOUBLE) / 5 AS recall
+      FROM brute b LEFT JOIN ann a
+        ON b.probe_id = a.probe_id AND b.vec_id = a.vec_id
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131, q148)
+      q131, q148, q156)
 }
