@@ -626,40 +626,42 @@ object TrainingData {
     * `tgt_mass`, `raw_mass`, `keep`.
     *
     * Scale (100 TB): the bucket table is 256 rows — one partial-aggregated
-    * explode feeds it, then it broadcasts back as a map literal and the
-    * per-doc masses are a pure `aggregate` projection: no per-token
-    * shuffle back to documents. BIGINT headroom: mass ≤ tokens_per_doc ·
-    * bucket_count and the gate multiplies by total tokens — at corpus
-    * sizes where tokens² approaches 2⁶³ (≈ 3·10⁹ tokens) the two gate
-    * products must move to DECIMAL(38,0). */
+    * explode feeds it, then it broadcasts back onto the token stream as a
+    * HASH equi-join and the per-doc masses partial-aggregate before their
+    * doc-key exchange (≈ one row per document crosses the wire, never
+    * tokens). An earlier shape shipped the bucket table as a 256-entry
+    * map literal consumed by an interpreted `aggregate` HOF — the map
+    * value was copied into every joined row and the HOF ran outside
+    * codegen, and the 10× ScaleProbe measured it 23× (superlinear in
+    * practice); the equi-join shape probes ≈ 8×. BIGINT headroom: mass ≤
+    * tokens_per_doc · bucket_count and the gate multiplies by total
+    * tokens — at corpus sizes where tokens² approaches 2⁶³ (≈ 3·10⁹
+    * tokens) the two gate products must move to DECIMAL(38,0). */
   def dsirSelect(docs: DataFrame, isTarget: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(!docs.columns.exists(c => c.startsWith("__")),
       "dsirSelect uses internal __ columns")
     val toks = tokens(col(textCol))
     def bucket(tk: Column) = substring(md5(tk), 1, 2)
-    val tok = docs.select(isTarget.as("__t"), explode(toks).as("__tk"))
-      .select(col("__t"), bucket(col("__tk")).as("__b"))
+    val tok = docs.select(col(idCol), isTarget.as("__t"),
+        explode(toks).as("__tk"))
+      .select(col(idCol), col("__t"), bucket(col("__tk")).as("__b"))
     val buckets = tok.groupBy(col("__b")).agg(
       count(lit(1)).as("__raw"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__tgt"))
-    val m = buckets.agg(
-      map_from_entries(collect_list(struct(col("__b"),
-        struct(col("__raw"), col("__tgt"))))).as("__m"),
+    val tot = buckets.agg(
       sum(col("__raw")).as("__rawTot"), sum(col("__tgt")).as("__tgtTot"))
-    val zero = struct(lit(0L).as("__tm"), lit(0L).as("__rm"))
-    val masses = aggregate(toks, zero, (acc, tk) => {
-      val e = element_at(col("__m"), bucket(tk))
-      struct((acc.getField("__tm") + e.getField("__tgt")).as("__tm"),
-        (acc.getField("__rm") + e.getField("__raw")).as("__rm"))
-    })
-    docs.crossJoin(broadcast(m))
-      .withColumn("__ms", masses)
-      .withColumn("tgt_mass", col("__ms").getField("__tm"))
-      .withColumn("raw_mass", col("__ms").getField("__rm"))
+    val masses = tok
+      .join(broadcast(buckets), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tgt")).as("tgt_mass"),
+        sum(col("__raw")).as("raw_mass"))
+    docs.join(masses, Seq(idCol), "left")
+      .na.fill(0L, Seq("tgt_mass", "raw_mass"))
+      .crossJoin(broadcast(tot))
       .withColumn("keep",
         col("tgt_mass") * col("__rawTot") > col("raw_mass") * col("__tgtTot"))
-      .drop("__m", "__rawTot", "__tgtTot", "__ms")
+      .drop("__rawTot", "__tgtTot")
   }
 
   /** Collocation extraction: corpus bigrams ranked by pointwise mutual

@@ -480,13 +480,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q141: DSIR masses are a projection against the broadcast bucket " +
-      "map — the corpus is never shuffled to a join") {
+  test("q141: DSIR bucket counts ride a broadcast HASH join onto the " +
+      "token stream — never a shuffled bucket join") {
     val p = plan("q141_dsir_select")
-    // the only joins are the 1-row bucket-map/totals broadcasts; a
-    // SortMergeJoin would mean the doc table shuffled to meet them
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc masses partial-aggregate before the doc-key exchange
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 &&
+      p.indexOf("HashAggregate", firstExchange) > 0, p)
   }
 
   test("q144: collocations resolve via TakeOrdered with broadcast " +
