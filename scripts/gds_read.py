@@ -306,11 +306,41 @@ def dump_1kg_dosage(path, out_parquet, cut):
     print(f"{out_parquet}: {cut} variants, {n_samp} samples")
 
 
+def dump_imputed_ds(path, out_parquet):
+    """Per-variant exact dosage-code sums of a dPackedReal8U DS matrix
+    (the Imputed_dosages fixture): raw uint8 codes (255 = missing)
+    summed as integers, BEFORE any scale multiplication — so the oracle
+    compare against the engine's float surface stays exact (the engine
+    side recovers codes via round(ds·127))."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    ds, dr = node_bytes(st, ["annotation", "format", "DS", "data"])
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    n_var, n_samp = dr["dims"]
+    assert len(ds) == n_var * n_samp, (len(ds), dr["dims"])
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    arr = np.frombuffer(ds, np.uint8).reshape(n_var, n_samp)
+    ok = arr != 255
+    sums = np.where(ok, arr, 0).sum(axis=1, dtype=np.int64)
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, n_nonmiss BIGINT, "
+                "sum_code BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(int(v), int(n), int(sc)) for v, n, sc in
+                     zip(vids, ok.sum(axis=1), sums)])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n_var} variants x {n_samp} samples")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-dosage":
         dump_1kg_dosage(sys.argv[2], sys.argv[3],
                         int(sys.argv[4]) if len(sys.argv) > 4 else 1000)
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-ds":
+        dump_imputed_ds(sys.argv[2], sys.argv[3])
     else:
         main(sys.argv[1])

@@ -446,6 +446,36 @@ object VcfQ extends QueryModule {
         '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet')
       GROUP BY 1"""))
 
+  // the packedreal DOSAGE fixture (dPackedReal8U DS matrix, scale 1/127,
+  // 100 variants × 1000 samples) with an EXACT oracle despite the float
+  // surface: the engine decodes code·(1/127) to Float, and round(ds·127)
+  // recovers the integer code exactly (codes ≤ 254 sit far inside
+  // Float32 precision), so the per-variant aggregate compares as BIGINT
+  // code sums. Oracle: scripts/gds_read.py dump-ds materializes the raw
+  // uint8 codes' sums (committed; regenerate with
+  // `python3 scripts/gds_read.py dump-ds <gds> <out>`).
+  private val q157 = Q("q157_imputed_ds",
+    (s, _) => {
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/Imputed_dosages.gds")
+      val cells = filter(flatten(col("fmt_DS")), x => !isnan(x))
+      val sumCode = aggregate(cells, lit(0L), (a, x) =>
+        a + round(x.cast("double") * 127).cast("long"))
+      df.select(col("variant_id").cast("long").as("vid"),
+          size(cells).cast("long").as("n_nonmiss"),
+          sumCode.as("sum_code"))
+        .withColumn("mean_ds",
+          when(col("n_nonmiss") > 0,
+            col("sum_code").cast("double") * lit(1.0 / 127)
+              / col("n_nonmiss")))
+    },
+    Some(s"""SELECT variant_id AS vid, n_nonmiss, sum_code,
+        CASE WHEN n_nonmiss > 0
+             THEN CAST(sum_code AS DOUBLE) * ${1.0 / 127} / n_nonmiss
+        END AS mean_ds
+      FROM read_parquet(
+        '/root/repo/scripts/oracle/imputed_ds_codes.parquet')"""))
+
   override def queries: Seq[Q] =
-    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153)
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157)
 }
