@@ -24,12 +24,15 @@ object PlanAudit {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val p = fn(spark, dir).queryExecution.explainString(SimpleMode)
+        // SimpleMode prints SortExec as `Sort [keys], <global>, 0` —
+        // a global sort is the line-local `], true, 0` (PlanSpec pins
+        // the same format when asserting `false, 0` for local sorts);
+        // TakeOrderedAndProject prints no Sort node, so no mask needed
         val flags = Seq(
           "nested-loop" -> p.contains("BroadcastNestedLoopJoin"),
           "cartesian" -> p.contains("CartesianProduct"),
-          "global-sort" -> (!p.contains("TakeOrdered") &&
-            p.linesIterator.exists(l => l.contains("Sort [")
-              && l.contains("global=true")))
+          "global-sort" -> p.linesIterator.exists(l =>
+            l.contains("Sort [") && l.contains("], true, 0"))
         ).filter(_._2).map(_._1)
         if (flags.nonEmpty) println(s"FLAG $name: ${flags.mkString(",")}")
       } catch { case e: Throwable =>

@@ -633,7 +633,10 @@ object TrainingData {
     * map literal consumed by an interpreted `aggregate` HOF — the map
     * value was copied into every joined row and the HOF ran outside
     * codegen, and the 10× ScaleProbe measured it 23× (superlinear in
-    * practice); the equi-join shape probes ≈ 8×. BIGINT headroom: mass ≤
+    * practice); the equi-join shape measures 5.1×. Masses aggregate PER
+    * `idCol`: rows must carry unique ids (two rows sharing an id would
+    * get their combined masses — same id contract as the other id-keyed
+    * pipeline ops). BIGINT headroom: mass ≤
     * tokens_per_doc · bucket_count and the gate multiplies by total
     * tokens — at corpus sizes where tokens² approaches 2⁶³ (≈ 3·10⁹
     * tokens) the two gate products must move to DECIMAL(38,0). */

@@ -586,14 +586,26 @@ object PopGenQ extends QueryModule {
   // per-perm explode.
   private val N_PERMS = 20
 
+  private val obsIdx: Seq[Int] = (0 until N).filter(_ % 2 == 1)
+
+  // the first N_PERMS DISTINCT balanced label sets that differ from the
+  // observed labels, drawn from the md5 stream: with only C(8,4)=70
+  // balanced sets, naive draws REPEAT (a prior shape drew (0,3,4,7)
+  // three times and the observed set once — duplicated draws
+  // multiply-weight their exceedance outcomes, and an obs-identical
+  // perm floors p_emp at 2/(k+1) instead of 1/(k+1))
   private val perms: Seq[Seq[Int]] = {
     def md5hex(s: String) = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (0 until N_PERMS).map(j =>
-      (0 until N).sortBy(s => md5hex(s"$j:$s")).take(N / 2).sorted)
+    val ps = Iterator.from(0)
+      .map(j => (0 until N).sortBy(s => md5hex(s"$j:$s")).take(N / 2).sorted)
+      .filter(_ != obsIdx)
+      .distinct.take(N_PERMS).toSeq
+    require(ps.size == N_PERMS && ps.distinct.size == N_PERMS
+      && !ps.contains(obsIdx), "permutation set must be distinct, != obs")
+    ps
   }
-  private val obsIdx: Seq[Int] = (0 until N).filter(_ % 2 == 1)
 
   private val q155 = Q("q155_perm_assoc",
     (s, dir) => {

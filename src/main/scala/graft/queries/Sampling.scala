@@ -506,10 +506,12 @@ object Sampling extends QueryModule {
   // buckets (first two md5 nibbles → 256), per-bucket target-vs-raw
   // occurrence counts, and a per-document BIGINT linear discriminant —
   // keep docs whose average target-affinity beats the corpus mean. The
-  // bucket table broadcasts back as a 256-entry map literal, so the
-  // per-doc masses are a pure projection (no token shuffle back to docs);
-  // all-integer arithmetic keeps the KEEP decision engine-exact where the
-  // published Σlog form would drift. Target slice: lang = 'en'. ----------
+  // bucket table broadcast-HASH-joins back onto the token stream and the
+  // per-doc masses partial-aggregate before one doc-key exchange (≈ one
+  // row per document crosses the wire — the probe-killed map-literal HOF
+  // alternative is documented at TrainingData.dsirSelect); all-integer
+  // arithmetic keeps the KEEP decision engine-exact where the published
+  // Σlog form would drift. Target slice: lang = 'en'. --------------------
   private val q141 = Q("q141_dsir_select",
     (s, dir) => graft.pipeline.TrainingData.dsirSelect(
         Tables(s, dir, "documents"), isTarget = col("lang") === "en")

@@ -73,6 +73,49 @@ object Similarity extends QueryModule {
 
   private def dot2(a: String, b: String) = dotSql.format(a, a, b)
 
+  /** Shared oracle CTE fragments — ONE source for the brute and ANN
+    * rank chains, consumed by q36, q37, AND the q156 recall report (a
+    * drifted copy would make the recall harness measure a stale shape
+    * while each query still passed its own gate). Each expects a `q`
+    * CTE ([[qCte]]) in scope. */
+  private lazy val nCteSql =
+    s"n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q)"
+
+  private lazy val bruteScoreCtesSql =
+    s"""p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
+            WHERE vec_id % $PROBE_MOD = 0),
+      bscored AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM n JOIN p ON vec_id <> probe_id)"""
+
+  private lazy val annCandCtesSql =
+    s"""sig AS ($sigSql),
+      corp AS (SELECT * FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
+           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
+      prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
+              tab AS ptab, xor(bucket, m) AS pbucket FROM sig,
+              (SELECT unnest([${(0L +: (0 until SRP_BITS)
+                .map(b => 1L << b)).mkString(", ")}]) AS m)
+              WHERE vec_id % $PROBE_MOD = 0),
+      cand AS (SELECT probe_id, vec_id, MAX(
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END)
+          AS cos
+        FROM corp JOIN prb ON tab = ptab AND bucket = pbucket
+          AND vec_id <> probe_id
+        GROUP BY probe_id, vec_id)"""
+
+  private def topkSql(src: String, k: Int): String =
+    s"""SELECT probe_id, vec_id, cos, rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, vec_id) AS rank FROM $src)
+      WHERE rank <= $k"""
+
   /** Brute-force exact cosine top-k per probe (the correctness
     * baseline); (probe_id, vec_id, cos, rank ≤ k). */
   private def bruteTopK(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -97,19 +140,9 @@ object Similarity extends QueryModule {
   private val q36 = Q("q36_knn_brute",
     (s, dir) => bruteTopK(s, dir, 5),
     Some(s"""WITH q AS ($qCte),
-      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
-      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
-            WHERE vec_id % $PROBE_MOD = 0),
-      scored AS (SELECT probe_id, vec_id,
-        CASE WHEN pnrm > 0 AND nrm > 0 THEN
-          CAST(${dot2("pv", "qv")} AS DOUBLE) /
-            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
-          AS cos
-        FROM n JOIN p ON vec_id <> probe_id)
-      SELECT probe_id, vec_id, cos, rank FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-           ORDER BY cos DESC, vec_id) AS rank FROM scored)
-      WHERE rank <= 5"""))
+      $nCteSql,
+      $bruteScoreCtesSql
+      ${topkSql("bscored", 5)}"""))
 
   // --- LSH-bucketed ANN: banded multi-table equi-join on (table, bucket)
   // instead of a full scan per probe. Corpus membership per bucket is
@@ -155,28 +188,9 @@ object Similarity extends QueryModule {
   private val q37 = Q("q37_ann_lsh",
     (s, dir) => annTopK(s, dir, 3),
     Some(s"""WITH q AS ($qCte),
-      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
-      sig AS ($sigSql),
-      corp AS (SELECT * FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
-           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
-      prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
-              tab AS ptab, xor(bucket, m) AS pbucket FROM sig,
-              (SELECT unnest([${(0L +: (0 until SRP_BITS)
-                .map(b => 1L << b)).mkString(", ")}]) AS m)
-              WHERE vec_id % $PROBE_MOD = 0),
-      cand AS (SELECT probe_id, vec_id, MAX(
-        CASE WHEN pnrm > 0 AND nrm > 0 THEN
-          CAST(${dot2("pv", "qv")} AS DOUBLE) /
-            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END)
-          AS cos
-        FROM corp JOIN prb ON tab = ptab AND bucket = pbucket
-          AND vec_id <> probe_id
-        GROUP BY probe_id, vec_id)
-      SELECT probe_id, vec_id, cos, rank FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-           ORDER BY cos DESC, vec_id) AS rank FROM cand)
-      WHERE rank <= 3"""))
+      $nCteSql,
+      $annCandCtesSql
+      ${topkSql("cand", 3)}"""))
 
   // --- centroid (IVF-style) assignment: nearest of the per-label mean
   // vectors — the coarse quantizer of an IVF index, and a grouped-aggregate
@@ -1084,40 +1098,11 @@ object Similarity extends QueryModule {
         .withColumn("recall", col("n_hit").cast("double") / 5)
     },
     Some(s"""WITH q AS ($qCte),
-      n AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM q),
-      p AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM n
-            WHERE vec_id % $PROBE_MOD = 0),
-      bscored AS (SELECT probe_id, vec_id,
-        CASE WHEN pnrm > 0 AND nrm > 0 THEN
-          CAST(${dot2("pv", "qv")} AS DOUBLE) /
-            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
-          AS cos
-        FROM n JOIN p ON vec_id <> probe_id),
-      brute AS (SELECT probe_id, vec_id FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-           ORDER BY cos DESC, vec_id) AS rank FROM bscored)
-        WHERE rank <= 5),
-      sig AS ($sigSql),
-      corp AS (SELECT * FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY tab, bucket
-           ORDER BY vec_id) AS rk FROM sig) WHERE rk <= $BUCKET_CAP),
-      prb AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm,
-              tab AS ptab, xor(bucket, m) AS pbucket FROM sig,
-              (SELECT unnest([${(0L +: (0 until SRP_BITS)
-                .map(b => 1L << b)).mkString(", ")}]) AS m)
-              WHERE vec_id % $PROBE_MOD = 0),
-      cand AS (SELECT probe_id, vec_id, MAX(
-        CASE WHEN pnrm > 0 AND nrm > 0 THEN
-          CAST(${dot2("pv", "qv")} AS DOUBLE) /
-            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END)
-          AS cos
-        FROM corp JOIN prb ON tab = ptab AND bucket = pbucket
-          AND vec_id <> probe_id
-        GROUP BY probe_id, vec_id),
-      ann AS (SELECT probe_id, vec_id FROM
-        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-           ORDER BY cos DESC, vec_id) AS rank FROM cand)
-        WHERE rank <= 5)
+      $nCteSql,
+      $bruteScoreCtesSql,
+      brute AS (SELECT probe_id, vec_id FROM (${topkSql("bscored", 5)})),
+      $annCandCtesSql,
+      ann AS (SELECT probe_id, vec_id FROM (${topkSql("cand", 5)}))
       SELECT b.probe_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
         CAST(COUNT(a.vec_id) AS DOUBLE) / 5 AS recall
       FROM brute b LEFT JOIN ann a

@@ -480,15 +480,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q141: DSIR bucket counts ride a broadcast HASH join onto the " +
-      "token stream — never a shuffled bucket join") {
+  test("q141: DSIR bucket counts ride broadcast HASH joins — nothing " +
+      "shuffles to meet a join at test scale") {
     val p = plan("q141_dsir_select")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // bucket join + doc-key join both hash-broadcast (masses are tiny
+    // here); a SortMergeJoin would mean the token stream or doc table
+    // shuffled to meet a join side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // per-doc masses partial-aggregate before the doc-key exchange
-    val firstExchange = p.indexOf("Exchange")
-    assert(firstExchange >= 0 &&
-      p.indexOf("HashAggregate", firstExchange) > 0, p)
   }
 
   test("q144: collocations resolve via TakeOrdered with broadcast " +
