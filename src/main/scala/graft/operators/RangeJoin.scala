@@ -36,4 +36,35 @@ object RangeJoin {
       .filter(point >= lo && point < hi)
       .drop("__band")
   }
+
+  /** Interval×interval OVERLAP join with a reciprocal-overlap gate
+    * (`bedtools intersect -f x -r`): pairs where [loA, hiA) ∩ [loB, hiB)
+    * is non-empty and the overlap covers ≥ minNum/minDen of BOTH
+    * intervals — integer cross-multiplied, so the gate replays
+    * engine-exact. Both sides explode to their covering bands; a pair
+    * meets in every band their overlap covers, so it is kept ONLY in
+    * the overlap's FIRST band (`floor(max(lo)/bandWidth)`) — the
+    * standard banded-join dedup, no `dropDuplicates` shuffle. Adds
+    * `ov_len` (exact overlap length). Intervals must be non-empty
+    * (`hi > lo`). */
+  def intervalOverlap(
+      a: DataFrame, loA: Column, hiA: Column,
+      b: DataFrame, loB: Column, hiB: Column,
+      bandWidth: Long, minNum: Int = 0, minDen: Int = 1): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    require(minDen > 0 && minNum >= 0, "reciprocal gate must be >= 0")
+    def bands(lo: Column, hi: Column) = explode(sequence(
+      floor(lo / bandWidth).cast("long"),
+      floor((hi - 1) / bandWidth).cast("long")))
+    val ab = a.withColumn("__band", bands(loA, hiA))
+    val bb = b.withColumn("__band", bands(loB, hiB))
+    ab.join(bb, "__band")
+      .filter(loA < hiB && loB < hiA)
+      .filter(floor(greatest(loA, loB) / bandWidth).cast("long")
+        === col("__band"))
+      .withColumn("ov_len", least(hiA, hiB) - greatest(loA, loB))
+      .filter(col("ov_len") * minDen >= lit(minNum) * (hiA - loA) &&
+        col("ov_len") * minDen >= lit(minNum) * (hiB - loB))
+      .drop("__band")
+  }
 }

@@ -887,7 +887,52 @@ object Genomics extends QueryModule {
             FROM variants,
               (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s)))""")))
 
+  // Per-SAMPLE Ts/Tv (the q107 class split carried onto the sample
+  // margin — the standard per-sample QC ratio bcftools stats prints as
+  // PSC): over biallelic variants only, a sample contributes where it
+  // CARRIES the alt allele; the transition flag reuses q107's exact
+  // ref/alt derivation. Explode-after-facts like q23/q143 — the shuffle
+  // carries one boolean pair per (variant, sample).
+  private val q159 = Q("q159_sample_tstv",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir).filter(col("nall") === 2)
+      val refI = col("vid") % 4
+      val altI0 = (expr("vid div 7") + col("nall")) % 4
+      val altI = when(altI0 === refI, (altI0 + 1) % 4).otherwise(altI0)
+      val isTs = abs(refI - altI) === 2
+      val n = SynthGeno.nSamples
+      v.select(isTs.as("is_ts"), col("geno"),
+          explode(sequence(lit(0), lit(n - 1))).as("smp"))
+        .select(col("smp"), col("is_ts"),
+          exists(element_at(col("geno"), col("smp") + 1),
+            x => x.isNotNull && x > 0).as("carrier"))
+        .filter(col("carrier"))
+        .groupBy(col("smp"))
+        .agg(count(lit(1)).as("n_alt_sites"),
+          sum(when(col("is_ts"), 1L).otherwise(0L)).as("n_ts"),
+          sum(when(!col("is_ts"), 1L).otherwise(0L)).as("n_tv"))
+        .withColumn("tstv",
+          when(col("n_tv") > 0, col("n_ts").cast("double") / col("n_tv")))
+    },
+    Some(withCte(s"""SELECT CAST(s AS INT) AS smp,
+        COUNT(*) AS n_alt_sites,
+        CAST(SUM(CASE WHEN is_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+        CAST(SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+        CASE WHEN SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) > 0
+             THEN CAST(SUM(CASE WHEN is_ts THEN 1 ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN is_ts THEN 0 ELSE 1 END) END AS tstv
+      FROM (SELECT s,
+          abs(vid % 4 -
+            (CASE WHEN (vid // 7 + nall) % 4 = vid % 4
+                  THEN (vid // 7 + nall + 1) % 4
+                  ELSE (vid // 7 + nall) % 4 END)) = 2 AS is_ts,
+          len(list_filter(geno[s+1], x -> x IS NOT NULL AND x > 0)) > 0
+            AS carrier
+        FROM variants, (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s)
+        WHERE nall = 2)
+      WHERE carrier GROUP BY 1""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113, q116, q143)
+      q106, q107, q108, q109, q112, q113, q116, q143, q159)
 }

@@ -614,7 +614,51 @@ object Relational extends QueryModule {
         h.n * t.n_hours > $HOT_X * t.type_total AS hot
       FROM h JOIN t ON h.event_type = t.event_type"""))
 
+  // --- q158: interval×interval overlap join with a reciprocal gate
+  // (bedtools intersect -f 0.5 -r — SURVEY §2.4's GRanges surface beyond
+  // point containment): both interval sets explode to covering bands,
+  // pairs meet in a shared band, survive only in the overlap's FIRST
+  // band (dedup without a shuffle), and the ≥ 50%-of-BOTH gate is
+  // integer cross-multiplication. ----------------------------------------
+  private val q158 = Q("q158_interval_overlap",
+    (s, dir) => {
+      val p = Tables(s, dir, "part")
+      val a = p.filter(col("p_partkey") % 30 === 0)
+        .select(col("p_partkey").as("a_id"),
+          (col("p_size") * 100L).cast("long").as("lo_a"),
+          (col("p_size") * 100L + 1000L + (col("p_partkey") % 3) * 100L)
+            .cast("long").as("hi_a"))
+      val b = p.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("b_id"),
+          (col("p_size") * 100L + (col("p_partkey") % 5) * 100L)
+            .cast("long").as("lo_b"),
+          (col("p_size") * 100L + (col("p_partkey") % 5) * 100L + 900L)
+            .cast("long").as("hi_b"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, col("lo_a"), col("hi_a"), b, col("lo_b"), col("hi_b"),
+          bandWidth = 1000L, minNum = 1, minDen = 2)
+        .select(col("a_id"), col("b_id"), col("ov_len"),
+          (col("hi_a") - col("lo_a")).as("len_a"),
+          (col("hi_b") - col("lo_b")).as("len_b"))
+    },
+    Some("""WITH a AS (SELECT p_partkey AS a_id,
+          CAST(p_size * 100 AS BIGINT) AS lo_a,
+          CAST(p_size * 100 + 1000 + (p_partkey % 3) * 100 AS BIGINT) AS hi_a
+        FROM part WHERE p_partkey % 30 = 0),
+      b AS (SELECT p_partkey AS b_id,
+          CAST(p_size * 100 + (p_partkey % 5) * 100 AS BIGINT) AS lo_b,
+          CAST(p_size * 100 + (p_partkey % 5) * 100 + 900 AS BIGINT) AS hi_b
+        FROM part WHERE p_partkey % 7 = 0)
+      SELECT a_id, b_id,
+        least(hi_a, hi_b) - greatest(lo_a, lo_b) AS ov_len,
+        hi_a - lo_a AS len_a, hi_b - lo_b AS len_b
+      FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+      WHERE (least(hi_a, hi_b) - greatest(lo_a, lo_b)) * 2
+              >= (hi_a - lo_a)
+        AND (least(hi_a, hi_b) - greatest(lo_a, lo_b)) * 2
+              >= (hi_b - lo_b)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154)
+    q139, q140, q154, q158)
 }
