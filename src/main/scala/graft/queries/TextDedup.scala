@@ -451,6 +451,44 @@ object TextDedup extends QueryModule {
         count(*) OVER (PARTITION BY cluster) AS cluster_size
       FROM lab"""))
 
+  // --- dedup IMPACT report (the "what did dedup buy us" table every
+  // corpus release ships): the q72 components bucketed by cluster size,
+  // with document and token mass split into keepers vs dropped (keeper =
+  // the component's min-id label). One token-count join over the proven
+  // cluster table + a ≤max-cluster-size aggregate. -----------------------
+  private val q160 = Q("q160_dedup_impact",
+    (s, dir) => {
+      val cl = graft.pipeline.TrainingData.dedupClusters(
+        Tables(s, dir, "documents"),
+        shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+      val tc = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+      cl.join(tc, Seq("doc_id"))
+        .withColumn("__keep", col("doc_id") === col("cluster"))
+        .groupBy(col("cluster_size"))
+        .agg(count_distinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("nt").cast("long")).as("tok_mass"),
+          sum(when(!col("__keep"), col("nt").cast("long")).otherwise(0L))
+            .as("dropped_tok_mass"))
+    },
+    Some(s"""WITH RECURSIVE $componentsCte,
+      cs AS (SELECT doc_id, cluster,
+          count(*) OVER (PARTITION BY cluster) AS cluster_size
+        FROM lab)
+      SELECT cluster_size,
+        CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN cs.doc_id <> cluster THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dropped,
+        CAST(SUM(len(t.toks)) AS BIGINT) AS tok_mass,
+        CAST(SUM(CASE WHEN cs.doc_id <> cluster THEN len(t.toks)
+          ELSE 0 END) AS BIGINT) AS dropped_tok_mass
+      FROM cs JOIN t ON cs.doc_id = t.doc_id
+      GROUP BY 1"""))
+
   // --- keep-one-per-CLUSTER corpus clean: the q72 components reduced to
   // their keepers (a component's label IS its smallest id, so keepers
   // are the rows whose doc_id equals their cluster), with the surviving
@@ -1468,5 +1506,6 @@ object TextDedup extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
-      q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149)
+      q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
+      q160)
 }
