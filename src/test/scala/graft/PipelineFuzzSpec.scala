@@ -168,6 +168,38 @@ class PipelineFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap == naive all-pairs join on random intervals") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val ivGen = for {
+      lo <- Gen.choose(0L, 5000L)
+      len <- Gen.choose(1L, 1500L)
+    } yield (lo, lo + len)
+    for (round <- 1 to 4) {
+      val as = (1 to 60).map(i =>
+        (i.toLong, draw(ivGen, round * 100L + i)))
+        .map { case (id, (lo, hi)) => (id, lo, hi) }
+      val bs = (1 to 60).map(i =>
+        (i.toLong + 1000, draw(ivGen, round * 7000L + i)))
+        .map { case (id, (lo, hi)) => (id, lo, hi) }
+      val got = graft.operators.RangeJoin.intervalOverlap(
+          as.toDF("a_id", "lo_a", "hi_a"), col("lo_a"), col("hi_a"),
+          bs.toDF("b_id", "lo_b", "hi_b"), col("lo_b"), col("hi_b"),
+          bandWidth = 700L, minNum = 1, minDen = 2)
+        .select("a_id", "b_id", "ov_len")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (aid, la, ha) <- as; (bid, lb, hb) <- bs
+        if la < hb && lb < ha
+        ov = math.min(ha, hb) - math.max(la, lb)
+        if ov * 2 >= (ha - la) && ov * 2 >= (hb - lb)
+      } yield (aid, bid, ov)).toSet
+      assert(got == want,
+        s"round=$round missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("collocations == brute recount on a random corpus") {
     import spark.implicits._
     val docs = corpus(999, 40)
