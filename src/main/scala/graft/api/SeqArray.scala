@@ -457,17 +457,44 @@ object SeqArray {
     d.samples.map(_.orderBy("sample_ordinal").collect()
       .map(_.getString(1)).toSeq).getOrElse(Seq.empty)
 
+  /** Assigns `variant_id` = 1..n in (chrom, pos, allele, id) order — the
+    * reference's import numbering (R/ConvVCF2GDS.R:976-978) — WITHOUT a
+    * global single-partition window. Two-level prefix (the
+    * [[graft.pipeline.TrainingData.packSequences]] pattern): a
+    * partition-local `row_number` within (chrom, pos DIV `bucket`)
+    * buckets, plus a cumsum over the tiny per-bucket counts joined back
+    * broadcast. The bucket key is a prefix of the sort key, so bucket
+    * order composed with in-bucket order is the same total order; the
+    * only unpartitioned window runs over ≤ n/bucket aggregate rows
+    * (~46k rows even at 3 billion variants), never the fact table. */
+  private[graft] def numberVariants(df: DataFrame,
+      bucket: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__vb",
+      expr(s"CAST(pos AS BIGINT) DIV ${bucket}L"))
+    val wIn = Window.partitionBy(col("chrom"), col("__vb"))
+      .orderBy(col("pos"), col("allele"), col("id"))
+    val wB = Window.orderBy(col("chrom"), col("__vb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = keyed.groupBy(col("chrom"), col("__vb"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", sum(col("__bn")).over(wB) - col("__bn"))
+      .select(col("chrom"), col("__vb"), col("__off"))
+    keyed.withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("chrom", "__vb"))
+      .withColumn("variant_id", col("__off") + col("__r"))
+      .drop("__vb", "__r", "__off")
+      .select(df.columns.map(col): _*)
+  }
+
   /** seqVCF2GDS proper: VCF/vcf.gz → native CoreArray `.gds` on disk.
     * Variant ids are assigned 1..n in (chrom, pos, allele) order, as the
-    * reference numbers its import. */
+    * reference numbers its import (scale-safe via [[numberVariants]]). */
   def seqVCF2GDS(spark: SparkSession, vcfPath: String, gdsPath: String)
       : Unit = {
-    import org.apache.spark.sql.expressions.Window
     val d = openVcf(spark, vcfPath)
-    val numbered = d.variants.withColumn("variant_id",
-      row_number().over(Window.orderBy(col("chrom"), col("pos"),
-        col("allele"), col("id"))).cast("long"))
-    graft.sources.gds.GdsWrite.write(numbered, sampleIdList(d), gdsPath)
+    graft.sources.gds.GdsWrite.write(numberVariants(d.variants),
+      sampleIdList(d), gdsPath)
   }
 
   /** seqGDS2VCF file-level: core columns of a `.gds` back to a VCF text
@@ -581,12 +608,9 @@ object SeqArray {
     * reads back via `Gds.read(spark, outDir)`). */
   def seqVCF2GDSSharded(spark: SparkSession, vcfPath: String,
       outDir: String): Seq[(String, Long)] = {
-    import org.apache.spark.sql.expressions.Window
     val d = openVcf(spark, vcfPath)
-    val numbered = d.variants.withColumn("variant_id",
-      row_number().over(Window.orderBy(col("chrom"), col("pos"),
-        col("allele"), col("id"))).cast("long"))
-    graft.sources.gds.GdsWrite.writeSharded(numbered, sampleIdList(d), outDir)
+    graft.sources.gds.GdsWrite.writeSharded(numberVariants(d.variants),
+      sampleIdList(d), outDir)
   }
 
   /** seqRecompress: re-encode a `.gds` container's data streams in a

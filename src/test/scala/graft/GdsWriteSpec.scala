@@ -24,6 +24,37 @@ class GdsWriteSpec extends AnyFunSuite {
   private val core = Seq("variant_id", "chrom", "pos", "id", "allele",
     "qual", "filter", "geno", "phased")
 
+  test("two-level variant numbering equals the global-window numbering") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial layout: interleaved chroms, repeated positions (ties
+    // broken by allele then id), rows arriving in scrambled order, and a
+    // tiny bucket so many buckets exist per chrom
+    val src = spark.range(3000).select(
+      concat(lit("chr"), col("id") % 4).as("chrom"),
+      (col("id") * 131 % 500).cast("int").as("pos"),
+      concat(lit("A,"), when(col("id") % 3 === 0, "C")
+        .when(col("id") % 3 === 1, "G").otherwise("T")).as("allele"),
+      concat(lit("rs"), col("id")).as("id"),
+      lit(0L).as("variant_id"))
+      .repartition(7)
+    val fast = graft.api.SeqArray.numberVariants(src, bucket = 16L)
+    val slow = src.withColumn("variant_id",
+      row_number().over(Window.orderBy(col("chrom"), col("pos"),
+        col("allele"), col("id"))).cast("long"))
+    // compare (key → id) maps: tie groups (identical sort keys) may
+    // permute ids within the group, so compare the sorted id multiset
+    // per distinct key — both numberings must agree there
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("chrom", "pos", "allele", "id")
+        .agg(sort_array(collect_list("variant_id")).as("vids"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getString(3)) -> r.getSeq[Long](4)).toMap
+    assert(keyed(fast) == keyed(slow))
+    // and the full numbering is a permutation of 1..n
+    assert(fast.select("variant_id").collect().map(_.getLong(0)).sorted
+      .sameElements(1L to 3000L))
+  }
+
   test("CEU read → write → read round-trips every core column") {
     val src = Gds.read(spark, s"$extdata/CEU_Exon.gds")
       .select(core.map(col): _*)

@@ -262,6 +262,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("false, 0") || !p.contains("Sort [variant_id"))
   }
 
+  test("variant numbering: fact table never funnels through one partition") {
+    import org.apache.spark.sql.functions._
+    val src = spark.range(5000).select(
+      concat(lit("chr"), col("id") % 3).as("chrom"),
+      (col("id") * 7 % 100000).cast("int").as("pos"),
+      concat(lit("A,"), when(col("id") % 2 === 0, "T").otherwise("G"))
+        .as("allele"),
+      concat(lit("rs"), col("id")).as("id"),
+      lit(0L).as("variant_id"))
+    val p = graft.api.SeqArray.numberVariants(src, bucket = 64L)
+      .queryExecution.explainString(SimpleMode)
+    // the row_number window shuffles on (chrom, bucket) — never a global
+    // single-partition exchange of the fact table; the ONE SinglePartition
+    // exchange allowed is the cumsum over the per-bucket COUNT aggregate
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, p)
+    assert(p.contains("hashpartitioning(chrom"), p)
+    if (single == 1) {
+      // the single-partition branch must sit above an aggregate (bucket
+      // counts), i.e. a HashAggregate appears between it and the scan
+      val after = p.substring(p.indexOf("Exchange SinglePartition"))
+      assert(after.contains("HashAggregate"), p)
+    }
+    // offsets come back broadcast — the fact table is not re-shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q94: markup strip is a pure projection — no exchange, no join") {
     val p = plan("q94_markup_strip")
     assert(!p.contains("Exchange"))
