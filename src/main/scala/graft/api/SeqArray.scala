@@ -228,10 +228,15 @@ final case class SeqVarData(variants: DataFrame,
   def grm(n: Int = -1): DataFrame =
     graft.operators.PopGen.grm(dosed, if (n > 0) n else nSamples)
 
-  /** snpgdsPCA: GRM + driver-side power iteration. */
+  /** snpgdsPCA: GRM + deterministic power iteration. Small cohorts
+    * (≤ 8192 samples) collect the S×S GRM to the driver; above that the
+    * mat-vec runs distributed over the GRM entries table
+    * ([[graft.operators.PopGen.pcaFromGrmDistributed]]) so the driver
+    * only ever holds k+1 S-vectors — the biobank regime. */
   def pca(k: Int, n: Int = -1): (Array[Double], Array[Array[Double]]) = {
     val nn = if (n > 0) n else nSamples
-    graft.operators.PopGen.pcaFromGrm(grm(nn), nn, k)
+    if (nn <= 8192) graft.operators.PopGen.pcaFromGrm(grm(nn), nn, k)
+    else graft.operators.PopGen.pcaFromGrmDistributed(grm(nn), nn, k)
   }
 
   /** snpgdsIndInb-shaped per-sample inbreeding F. */

@@ -481,26 +481,83 @@ object PopGen {
         g(i)(j) = v; g(j)(i) = v
       }
     }
+    def rawMatVec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        var s = 0.0; var j = 0
+        while (j < nSamples) { s += g(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    powerIterate(rawMatVec, nSamples, k, iters)
+  }
+
+  /** [[pcaFromGrm]] at biobank scale: identical deterministic power
+    * iteration, but G·x is a distributed pass over the GRM-entries
+    * DataFrame — the driver holds only k+1 S-vectors, never the S×S
+    * matrix (a 500k-sample GRM is 2 TB dense; its entries table
+    * distributes fine). Per iteration: broadcast x, accumulate each
+    * partition's contributions into a local dense S-vector (entries are
+    * upper-triangle i ≤ j, so (i,j,g) contributes g·x(j) to y(i) and,
+    * off-diagonal, g·x(i) to y(j)), then sum the ≤P partials on the
+    * driver in partition order — deterministic given the cached entry
+    * partitioning, no shuffle, one job per iteration. Returns the same
+    * (eigenvalues, loadings) shape as [[pcaFromGrm]]. */
+  def pcaFromGrmDistributed(grmEntries: DataFrame, nSamples: Int, k: Int,
+      iters: Int = 200): (Array[Double], Array[Array[Double]]) = {
+    val sc = grmEntries.sparkSession.sparkContext
+    val entries = grmEntries.select(col("i"), col("j"), col("grm"))
+      .filter(col("grm").isNotNull)
+      .rdd.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def rawMatVec(x: Array[Double]): Array[Double] = {
+        val bx = sc.broadcast(x)
+        val partials = entries.mapPartitionsWithIndex { (pid, it) =>
+          val xv = bx.value
+          val acc = new Array[Double](xv.length)
+          it.foreach { case (i, j, g) =>
+            acc(i) += g * xv(j)
+            if (i != j) acc(j) += g * xv(i)
+          }
+          Iterator((pid, acc))
+        }.collect()
+        bx.destroy()
+        val y = new Array[Double](nSamples)
+        partials.sortBy(_._1).foreach { case (_, a) =>
+          var m = 0; while (m < nSamples) { y(m) += a(m); m += 1 }
+        }
+        y
+      }
+      powerIterate(rawMatVec, nSamples, k, iters)
+    } finally entries.unpersist(blocking = false)
+  }
+
+  /** Shared deterministic power iteration with deflation over an opaque
+    * symmetric mat-vec (dense driver-side or distributed): fixed start
+    * vector, fixed iteration count, Gram-Schmidt re-orthogonalization,
+    * Rayleigh-quotient eigenvalues, first-nonzero-positive sign
+    * convention — same input ⇒ same output, no RNG. */
+  private def powerIterate(rawMatVec: Array[Double] => Array[Double],
+      nSamples: Int, k: Int, iters: Int)
+      : (Array[Double], Array[Array[Double]]) = {
     val evs = new Array[Double](k)
     val vecs = Array.ofDim[Double](k, nSamples)
     for (p <- 0 until k) {
       // deterministic start, not orthogonal to anything by construction
       var v = Array.tabulate(nSamples)(i => 1.0 / (i + 2))
+      // deflation: subtract projections onto found eigenpairs
       def matVec(x: Array[Double]): Array[Double] = {
-        val y = new Array[Double](nSamples)
-        var i = 0
-        while (i < nSamples) {
-          var s = 0.0; var j = 0
-          while (j < nSamples) { s += g(i)(j) * x(j); j += 1 }
-          // deflation: subtract projections onto found eigenpairs
-          var q = 0
-          while (q < p) {
-            var dot = 0.0; var m = 0
-            while (m < nSamples) { dot += vecs(q)(m) * x(m); m += 1 }
-            s -= evs(q) * vecs(q)(i) * dot
-            q += 1
-          }
-          y(i) = s; i += 1
+        val y = rawMatVec(x)
+        var q = 0
+        while (q < p) {
+          var dot = 0.0; var m = 0
+          while (m < nSamples) { dot += vecs(q)(m) * x(m); m += 1 }
+          var i = 0
+          while (i < nSamples) { y(i) -= evs(q) * vecs(q)(i) * dot; i += 1 }
+          q += 1
         }
         y
       }
