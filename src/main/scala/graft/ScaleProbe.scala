@@ -25,7 +25,11 @@ import graft.pipeline.TrainingData
   * graft.ScaleProbe"; one JSON line on stdout + target/scaleprobe.json.
   */
 object ScaleProbe {
-  private val Factor = 10
+  /** Expansion factor (SPARK_GRAFT_SCALE_FACTOR, default 10); the
+    * 30× runs for the heaviest raters set it to 30 with
+    * SPARK_GRAFT_SCALE_OPS filtering to the ops under test. */
+  private val Factor =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
 
   private def expandDocs(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), col("text"),
@@ -154,12 +158,19 @@ object ScaleProbe {
           if (d eq vecsN) 40 * Factor else 40), Vecs))
 
     def time(fn: => DataFrame): Double = {
+      // the LD family shares a session-scoped materialized pair-stats
+      // stage (a deliberate cross-query fusion); this probe measures
+      // COMPUTE linearity, so every timed run starts cold
+      graft.operators.LdWindow.clearShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = ops.map { case (name, fn, input) =>
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = ops.filter(o => opFilter.forall(_.contains(o._1)))
+      .map { case (name, fn, input) =>
       val (small, big) = input match {
         case Docs => (docs1, docsN)
         case Vecs => (vecs1, vecsN)
@@ -171,15 +182,19 @@ object ScaleProbe {
       val ratio = tN / math.max(t1, 1e-9)
       (name, t1, tN, ratio)
     }
+    // linear = ratio ≈ Factor; the red line leaves 1.5× headroom for
+    // fixed overheads — an O(n²) op would come back at ~Factor²
+    val redLine = Factor * 1.5
     val json = results.map { case (n, t1, tN, r) =>
-      f""""$n":{"base_s":$t1%.2f,"x${Factor}_s":$tN%.2f,"ratio":$r%.2f,"ok":${r < 15}}"""
+      f""""$n":{"base_s":$t1%.2f,"x${Factor}_s":$tN%.2f,"ratio":$r%.2f,"ok":${r < redLine}}"""
     }.mkString("{\"factor\":" + Factor + ",\"sf\":\"" + sfDir + "\",", ",", "}")
     println(json)
-    val out = java.nio.file.Paths.get("target", "scaleprobe.json")
+    val out = java.nio.file.Paths.get("target",
+      if (Factor == 10) "scaleprobe.json" else s"scaleprobe_x$Factor.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val bad = results.filter(_._4 >= 15)
+    val bad = results.filter(_._4 >= redLine)
     if (bad.nonEmpty) {
       System.err.println(s"SUPERLINEAR: ${bad.map(_._1).mkString(",")}")
       spark.stop(); sys.exit(1)

@@ -128,11 +128,11 @@ final case class SeqVarData(variants: DataFrame,
   def setFilterRanges(ranges: DataFrame, bandWidth: Long = 100000): SeqVarData = {
     val hits = graft.operators.RangeJoin.pointInInterval(
         variants, col("pos"),
-        ranges.select(col("chrom").as("r_chrom"), col("start").as("__lo"),
-          (col("end") + 1).as("__hi")),
-        col("__lo"), col("__hi"), bandWidth)
+        ranges.select(col("chrom").as("r_chrom"), col("start").as("r_lo"),
+          (col("end") + 1).as("r_hi")),
+        col("r_lo"), col("r_hi"), bandWidth)
       .filter(col("chrom") === col("r_chrom"))
-      .drop("r_chrom", "__lo", "__hi")
+      .drop("r_chrom", "r_lo", "r_hi")
       .dropDuplicates("variant_id")
     copy(variants = hits)
   }

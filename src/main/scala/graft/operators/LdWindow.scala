@@ -32,9 +32,50 @@ object LdWindow {
     * cross-match duplicates). */
   /** Banded in-window pairs with the raw pairwise-complete sums
     * (n, sx, sy, sxy, sxx, syy) — the shared substrate for r² and for
-    * haplotype-count statistics like D′. Same contract as [[r2]]. */
+    * haplotype-count statistics like D′. Same contract as [[r2]].
+    *
+    * Session-scoped shared materialization: several LD consumers (r²,
+    * the partner profile, pruning) enumerate the SAME (input, window,
+    * carry) pair set, and the pair-stats kernel is the expensive stage
+    * in all of them — so the first caller prices it and persists the
+    * stage, later semantically-identical callers reuse it (the
+    * DataFrame analog of a materialized CTE across queries). Keyed on
+    * the CANONICALIZED logical plan, so only true same-result inputs
+    * share; bounded to [[MaxShared]] entries, FIFO-evicted and
+    * unpersisted. [[clearShared]] drops everything (e.g. when the
+    * underlying files changed mid-session). */
   def stats(variants: DataFrame, window: Long,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame = synchronized {
+    val key = (variants.queryExecution.analyzed.canonicalized, window,
+      carry.toList)
+    shared.get(key) match {
+      case Some(df) => df
+      case None =>
+        val df = statsPlan(variants, window, carry)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (shared.size >= MaxShared) {
+          val k0 = shared.head._1
+          shared(k0).unpersist(blocking = false)
+          shared.remove(k0)
+        }
+        shared(key) = df
+        df
+    }
+  }
+
+  private val MaxShared = 8
+  private val shared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Long, List[String]), DataFrame]
+
+  /** Drop every shared pair-stats materialization. */
+  def clearShared(): Unit = synchronized {
+    shared.values.foreach(_.unpersist(blocking = false))
+    shared.clear()
+  }
+
+  private def statsPlan(variants: DataFrame, window: Long,
+      carry: Seq[String]): DataFrame = {
     require(window > 0, s"window must be positive; got $window")
     val v = variants.withColumn("bucket", expr(s"pos div $window"))
     val a = v.select(Seq(col("chrom"), col("vid").as("vid_a"),

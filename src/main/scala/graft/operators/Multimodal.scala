@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * IMAGES decode for real: [[decode]] sniffs the payload magic and runs
   * PNG/JPEG/GIF/BMP through `javax.imageio` (JDK-only — no external
   * codec libraries exist in this container) for true width/height and
-  * mean-luminance brightness. Audio/video — whose codecs are NOT in the
-  * JDK — keep the deterministic stub: every derived value is a pure
-  * function of the payload bytes, so tests and the DuckDB oracles in
-  * [[graft.queries.MultimodalQ]] verify the full pipeline shape with
-  * exact expected values. Swapping the stub for a real codec changes no
-  * plumbing.
+  * mean-luminance brightness. AUDIO decodes for real twice over: WAV/PCM
+  * through `javax.sound.sampled` (waveform RMS), and compressed MPEG
+  * audio (MP3 family) through [[parseMp3]] — a pure-JVM frame-header
+  * walk yielding true frame count / sample rate / channels / duration /
+  * mean bitrate (payload-bit decode would need a codec the JDK lacks).
+  * VIDEO stays on the deterministic stub — its contract is PINNED in
+  * `MultimodalSpec` ("video stub contract…"): every derived value is a
+  * documented pure function of the payload bytes, so stub output can
+  * never silently be mistaken for a real decode, and tests plus the
+  * DuckDB oracles in [[graft.queries.MultimodalQ]] verify the full
+  * pipeline shape with exact expected values. Swapping the stub for a
+  * real codec changes no plumbing.
   */
 object Multimodal {
 
@@ -108,7 +114,17 @@ object Multimodal {
             brightness =
               if (frames == 0) 0.0
               else math.sqrt(sumSq.toDouble / (frames.toDouble * ch)))
-        case None => decodeStub(r)
+        case None => parseMp3(r.payload) match {
+          // compressed-audio lane: real header metadata, no waveform —
+          // brightness carries the mean bitrate (kbps), the only
+          // energy-like scalar a header walk can produce
+          case Some(m) =>
+            MediaFeature(r.doc_id, r.media_type, r.payload.length,
+              width = m.sample_rate, height = m.channels,
+              n_frames = math.min(m.n_frames, Int.MaxValue.toLong).toInt,
+              brightness = m.kbps_mean)
+          case None => decodeStub(r)
+        }
       }
     case _ => decodeStub(r)
   }
@@ -246,6 +262,177 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  // --- MPEG-audio (MP3 family) metadata: a real pure-JVM frame-header
+  // walk. The JDK has no MP3 payload decoder, but the frame HEADER
+  // layout is public (ISO/IEC 11172-3 §2.4.1.3 for MPEG-1, 13818-3 for
+  // MPEG-2, plus the de-facto MPEG-2.5 extension): 4 bytes carrying
+  // version/layer/bitrate/sample-rate/padding/channel-mode, and a frame
+  // length computable from them — so frame count, duration, channel
+  // layout, and (VBR-aware) mean bitrate come out of a linear byte walk
+  // with no codec. This is the metadata a 100 TB multimodal pipeline
+  // actually filters/shards on; waveform features still need a real
+  // codec and stay on the documented stub. ---------------------------
+
+  /** Parsed MPEG-audio stream metadata (header walk only — no payload
+    * decode): `kbps_mean` averages the per-frame bitrate, so CBR
+    * streams report their nominal rate exactly and VBR the true mean;
+    * `duration_ms` = frames·samples-per-frame/rate. */
+  final case class Mp3Meta(n_frames: Long, sample_rate: Int,
+      channels: Int, kbps_mean: Double, duration_ms: Double)
+
+  // header-table constants (public spec): bitrate kbps by [version,
+  // layer, index] and sample rate by [version, index]
+  private val KbpsV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256,
+    288, 320, 352, 384, 416, 448)
+  private val KbpsV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 384)
+  private[operators] val KbpsV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320)
+  private val KbpsV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+    160, 176, 192, 224, 256)
+  private val KbpsV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160)
+  private val RatesV1 = Array(44100, 48000, 32000)
+
+  /** Walk the MPEG-audio frames of `payload`: None unless ≥ 2 chained
+    * valid frames of one consistent (version, layer, sample-rate,
+    * channel-mode) start at byte 0 (after an optional ID3v2 tag, which
+    * is skipped by its syncsafe length) — chaining each frame to the
+    * next by its COMPUTED length makes a false positive on arbitrary
+    * bytes vanishingly unlikely, which is what lets [[decode]] probe
+    * every audio payload safely. The walk stops cleanly at trailing
+    * non-frame bytes (e.g. an ID3v1 `TAG` block) or a truncated final
+    * frame. Free-format (bitrate index 0) and reserved codes reject. */
+  def parseMp3(payload: Array[Byte]): Option[Mp3Meta] = {
+    if (payload == null || payload.length < 4) return None
+    def b(i: Int): Int = payload(i) & 0xff
+    var off = 0
+    if (payload.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      off = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    var nFrames = 0L
+    var kbpsSum = 0L
+    var ver = -1; var layer = -1; var rate = -1; var mode = -1
+    var spf = 0
+    var stop = false
+    while (!stop) {
+      if (off + 4 > payload.length ||
+          !(b(off) == 0xff && (b(off + 1) & 0xe0) == 0xe0)) stop = true
+      else {
+        val h1 = b(off + 1); val h2 = b(off + 2); val h3 = b(off + 3)
+        val v = (h1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val l = (h1 >> 1) & 3 // 1=Layer III, 2=Layer II, 3=Layer I
+        val bri = (h2 >> 4) & 15
+        val sri = (h2 >> 2) & 3
+        val pad = (h2 >> 1) & 1
+        val md = (h3 >> 6) & 3
+        if (v == 1 || l == 0 || bri == 0 || bri == 15 || sri == 3)
+          stop = true
+        else {
+          val r = RatesV1(sri) / (if (v == 3) 1 else if (v == 2) 2 else 4)
+          if (nFrames == 0) {
+            ver = v; layer = l; mode = md; rate = r
+            spf = if (l == 3) 384 else if (l == 2) 1152
+                  else if (v == 3) 1152 else 576
+          } else if (v != ver || l != layer || md != mode || r != rate)
+            stop = true
+          if (!stop) {
+            val kbps = (if (ver == 3) {
+              if (layer == 3) KbpsV1L1
+              else if (layer == 2) KbpsV1L2 else KbpsV1L3
+            } else {
+              if (layer == 3) KbpsV2L1 else KbpsV2L23
+            })(bri)
+            val frameLen =
+              if (layer == 3) (12 * kbps * 1000 / rate + pad) * 4
+              else spf / 8 * kbps * 1000 / rate + pad
+            if (off + frameLen > payload.length) stop = true
+            else {
+              nFrames += 1
+              kbpsSum += kbps
+              off += frameLen
+            }
+          }
+        }
+      }
+    }
+    if (nFrames < 2) None
+    else Some(Mp3Meta(nFrames, rate, if (mode == 3) 1 else 2,
+      kbpsSum.toDouble / nFrames,
+      nFrames * spf * 1000.0 / rate))
+  }
+
+  /** Deterministic MPEG-1 Layer III CBR stream: `nFrames` frames at
+    * sample-rate index `sri` (44100/48000/32000) and bitrate index
+    * `kbpsIdx` (1–14 of the Layer III table), odd frames padded, mono,
+    * behind a `tagLen`-byte ID3v2 tag — every header field and the
+    * total byte length are knowable in advance (payload bits are a
+    * deterministic fill; a header walk never reads them). */
+  def syntheticMp3(nFrames: Int, sri: Int, kbpsIdx: Int,
+      tagLen: Int = 0): Array[Byte] = {
+    require(sri >= 0 && sri < 3 && kbpsIdx >= 1 && kbpsIdx <= 14)
+    require(tagLen >= 0 && tagLen < (1 << 21) - 1)
+    val rate = RatesV1(sri)
+    val kbps = KbpsV1L3(kbpsIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    if (tagLen > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0)
+      out.write((tagLen >> 21) & 0x7f); out.write((tagLen >> 14) & 0x7f)
+      out.write((tagLen >> 7) & 0x7f); out.write(tagLen & 0x7f)
+      var i = 0
+      while (i < tagLen) { out.write(i * 37 & 0xff); i += 1 }
+    }
+    var f = 0
+    while (f < nFrames) {
+      val pad = f % 2
+      val len = 144 * kbps * 1000 / rate + pad
+      out.write(0xff); out.write(0xfb) // sync, MPEG1, Layer III, no CRC
+      out.write((kbpsIdx << 4) | (sri << 2) | (pad << 1))
+      out.write(0xc0)                  // mono
+      var i = 4
+      while (i < len) { out.write((f * 131 + i * 17) & 0xff); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Typed MP3-metadata record for the partition-batched path. */
+  final case class Mp3Feature(doc_id: Long, n_frames: Long,
+      sample_rate: Int, channels: Int, kbps_mean: Double,
+      duration_ms: Double, n_bytes: Int)
+
+  /** Partition-batched MP3 metadata extraction: rows whose payload is
+    * not a parseable MPEG-audio stream are dropped (the caller filters
+    * media_type upstream) — the [[decodeAudioAll]] sibling for the
+    * compressed-audio lane. */
+  def decodeMp3All(media: Dataset[MediaRow]): Dataset[Mp3Feature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp3(r.payload).map(m => Mp3Feature(r.doc_id, m.n_frames,
+        m.sample_rate, m.channels, m.kbps_mean, m.duration_ms,
+        r.payload.length))
+    })
+  }
+
+  /** Compressed-audio fixture table: one synthetic MPEG-1 Layer III
+    * stream per document, frame count / rate / bitrate / ID3 tag length
+    * all formulas of `doc_id` so every parsed value (and the total byte
+    * length, padding included) replays in SQL. */
+  def syntheticMp3Table(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio", syntheticMp3(
+          nFrames = (id % 200 + 40).toInt,
+          sri = (id % 3).toInt,
+          kbpsIdx = (id % 14 + 1).toInt,
+          tagLen = (id % 64).toInt))
+      })
   }
 
   /** Deterministic solid-gray PNG: the smallest payload whose decoded

@@ -27,6 +27,8 @@ object RangeJoin {
       intervals: DataFrame, lo: Column, hi: Column,
       bandWidth: Long): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(!(points.columns ++ intervals.columns).exists(_.startsWith("__")),
+      "pointInInterval uses internal __ columns")
     val iv = intervals.withColumn("__band",
       explode(sequence(
         floor(lo / bandWidth).cast("long"),
@@ -53,6 +55,10 @@ object RangeJoin {
       bandWidth: Long, minNum: Int = 0, minDen: Int = 1): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
     require(minDen > 0 && minNum >= 0, "reciprocal gate must be >= 0")
+    require(!(a.columns ++ b.columns).exists(_.startsWith("__")),
+      "intervalOverlap uses internal __ columns")
+    require(!(a.columns ++ b.columns).contains("ov_len"),
+      "intervalOverlap emits ov_len; rename the input's ov_len column")
     def bands(lo: Column, hi: Column) = explode(sequence(
       floor(lo / bandWidth).cast("long"),
       floor((hi - 1) / bandWidth).cast("long")))

@@ -165,6 +165,36 @@ object MultimodalQ extends QueryModule {
           / CAST(doc_id % 400 + 100 AS DOUBLE)) AS rms
       FROM documents"""))
 
+  // REAL compressed-audio metadata end-to-end: per-document synthetic
+  // MPEG-1 Layer III streams (frames/rate/bitrate/ID3-tag length are
+  // formulas of doc_id) through the pure-JVM frame-header walk. The
+  // oracle replays every parsed value AND the total byte length —
+  // including the per-frame padding bytes and the ID3v2 envelope — so a
+  // broken bitrate table, frame-length formula, tag skip, or padding
+  // bit breaks the hash.
+  private val q162 = Q("q162_mp3_meta",
+    (s, dir) => Multimodal.decodeMp3All(Multimodal.syntheticMp3Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("channels"), col("kbps_mean"), col("duration_ms"),
+        col("n_bytes")),
+    Some("""WITH p AS (SELECT doc_id,
+        doc_id % 200 + 40 AS nf,
+        ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS rate,
+        ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+          320])[CAST(doc_id % 14 AS INT) + 1] AS kbps,
+        doc_id % 64 AS tag
+      FROM documents)
+      SELECT doc_id,
+        CAST(nf AS BIGINT) AS n_frames,
+        CAST(rate AS INT) AS sample_rate,
+        CAST(1 AS INT) AS channels,
+        CAST(kbps AS DOUBLE) AS kbps_mean,
+        nf * 1152 * 1000.0 / rate AS duration_ms,
+        CAST(CASE WHEN tag > 0 THEN 10 + tag ELSE 0 END
+          + nf * (144 * kbps * 1000 // rate) + nf // 2 AS INT) AS n_bytes
+      FROM p"""))
+
   // --- content-level image near-dup via dHash over REAL decoded
   // pixels: even docs carry a solid PNG (fill varies with doc_id —
   // every payload's BYTES differ, so q84's block hashes see nothing),
@@ -201,5 +231,5 @@ object MultimodalQ extends QueryModule {
       FROM documents"""))
 
   override def queries: Seq[Q] =
-    Seq(q41, q42, q84, q90, q101, q103, q104, q119)
+    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162)
 }

@@ -1092,10 +1092,15 @@ object Similarity extends QueryModule {
       val brute = bruteTopK(s, dir, 5).select(col("probe_id"), col("vec_id"))
       val ann = annTopK(s, dir, 5).select(col("probe_id"), col("vec_id"))
         .withColumn("__hit", lit(1L))
+      // recall denominator = this probe's ACTUAL exact-top-k row count
+      // (== k on big corpora, fewer when the corpus has < k neighbors),
+      // never the k literal — both engines divide by the same count
       brute.join(ann, Seq("probe_id", "vec_id"), "left")
         .groupBy(col("probe_id"))
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .withColumn("recall", col("n_hit").cast("double") / 5)
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("__nb"))
+        .withColumn("recall", col("n_hit").cast("double") / col("__nb"))
+        .drop("__nb")
     },
     Some(s"""WITH q AS ($qCte),
       $nCteSql,
@@ -1104,7 +1109,7 @@ object Similarity extends QueryModule {
       $annCandCtesSql,
       ann AS (SELECT probe_id, vec_id FROM (${topkSql("cand", 5)}))
       SELECT b.probe_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
-        CAST(COUNT(a.vec_id) AS DOUBLE) / 5 AS recall
+        CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
       FROM brute b LEFT JOIN ann a
         ON b.probe_id = a.probe_id AND b.vec_id = a.vec_id
       GROUP BY 1"""))

@@ -1168,6 +1168,121 @@ object TextDedup extends QueryModule {
         substr(text, 1, 40) AS head
       FROM a"""))
 
+  // --- the CORPUS-RELEASE rehearsal: the full clean a 100 TB corpus
+  // runs before shipping, composed end-to-end from the same public
+  // stage functions the standalone queries gate — markup strip → exact
+  // dedup (keep-first) → near-dup CLUSTER keep-one (LSH candidates →
+  // verified Jaccard → connected components) → Bloom decontamination
+  // against an external benchmark set (simulated: every 13th RAW
+  // document — benchmark text leaked into the crawl) → train/val split
+  // → shard shuffle. Everything between the CC fixpoint's checkpointed
+  // label table and the output is ONE Catalyst plan (exchange count
+  // plan-locked); the oracle replays the entire chain, recursive
+  // components included, so drift in ANY stage or in how they compose
+  // breaks the hash. ----------------------------------------------------
+  private val q161 = Q("q161_corpus_release",
+    (s, dir) => {
+      val raw = Tables(s, dir, "documents")
+      val id = col("doc_id")
+      val bench = raw.filter(id % 13 === 0).select(id, col("text"))
+      val dirty = raw.select(id, concat(
+        lit("<div id=\"d"), id.cast("string"), lit("\">"), col("text"),
+        lit("</div>"),
+        when(id % 4 === 0, lit(" <b>promo &amp; tail</b>"))
+          .otherwise(lit("")))
+        .as("text"))
+      val cleaned = graft.pipeline.TrainingData.stripMarkup(dirty)
+      val exact = graft.pipeline.TrainingData.exactDedupKeepFirst(cleaned)
+      val near = graft.pipeline.TrainingData.dedupCorpusByCluster(exact,
+        shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+      val decon = graft.pipeline.TrainingData.decontaminateBloom(near, bench)
+      val split = graft.pipeline.TrainingData.trainValSplit(decon)
+      val sharded = graft.pipeline.TrainingData
+        .shuffleToShards(split, nShards = 8, seed = 7)
+      sharded.select(id, col("n_tags"), col("split"), col("shard"),
+        col("pos"), substring(col("text"), 1, 40).as("head"))
+    },
+    Some(s"""WITH RECURSIVE p AS (SELECT doc_id,
+        '<div id="d' || CAST(doc_id AS VARCHAR) || '">' || text || '</div>'
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' <b>promo &amp; tail</b>' ELSE '' END AS text
+      FROM documents),
+      st AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '${graft.pipeline.TrainingData.MarkupTagRe}')) AS BIGINT)
+          AS n_tags,
+        trim(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(text,
+              '${graft.pipeline.TrainingData.MarkupTagRe}', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text
+      FROM p),
+      fpt AS (SELECT *, md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))),
+          ' ')) AS fp
+        FROM st),
+      keep AS (SELECT * FROM fpt
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+      t2 AS (SELECT doc_id, n_tags, fp, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+            AS toks
+        FROM keep),
+      sh2 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= $SHINGLE_N THEN
+          list_distinct(list_transform(range(1, len(toks) - ${SHINGLE_N - 2}),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS sh FROM t2),
+      sig2 AS (SELECT doc_id, sh,
+        list_transform(range(1, ${MINHASH_K + 1}), i ->
+          list_min(list_transform(sh, s ->
+            md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh2 WHERE len(sh) > 0),
+      bands2 AS (SELECT doc_id, b,
+        md5(array_to_string(
+          sig[b*$ROWS_PER_BAND+1 : b*$ROWS_PER_BAND+$ROWS_PER_BAND], '|'))
+          AS bkey
+        FROM sig2, (SELECT unnest(range(0, $BANDS)) AS b)),
+      cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands2 a JOIN bands2 b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs2 AS (SELECT doc_a, doc_b FROM cand2
+        JOIN sh2 sa ON sa.doc_id = cand2.doc_a
+        JOIN sh2 sb ON sb.doc_id = cand2.doc_b
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs2
+        UNION ALL SELECT doc_b, doc_a FROM pairs2),
+      comp2(id, lbl) AS (
+        SELECT doc_id, doc_id FROM t2
+        UNION
+        SELECT e.src, c.lbl FROM edges2 e JOIN comp2 c ON c.id = e.dst),
+      lab2 AS (SELECT id AS doc_id, min(lbl) AS cluster
+        FROM comp2 GROUP BY 1),
+      surv AS (SELECT t2.* FROM t2
+        JOIN lab2 ON lab2.doc_id = t2.doc_id
+        WHERE lab2.doc_id = lab2.cluster),
+      ev AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))),
+          ' ')) AS fp
+        FROM documents WHERE doc_id % 13 = 0),
+      cl AS (SELECT * FROM surv
+        WHERE fp NOT IN (SELECT fp FROM ev)),
+      sp AS (SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('c','d','e','f') THEN 'val' ELSE 'train' END AS split
+        FROM cl),
+      k AS (SELECT *, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM sp),
+      a AS (SELECT *, CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8
+          AS shard FROM k)
+      SELECT doc_id, n_tags, split, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+          AS BIGINT) AS pos,
+        substr(text, 1, 40) AS head
+      FROM a"""))
+
   // --- unigram-LM token-commonness quality score (the log-free KenLM
   // perplexity shape — see TrainingData.tokenCommonness for why the
   // score is an exact BIGINT sum ÷ count, never a Σlog): low score =
@@ -1507,5 +1622,5 @@ object TextDedup extends QueryModule {
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160)
+      q160, q161)
 }

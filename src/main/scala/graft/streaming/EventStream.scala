@@ -40,6 +40,27 @@ object EventStream {
       lines.filter(!col("value").startsWith("#")), info, fmt, samples.length)
   }
 
+  /** The genomic ingest chain end-to-end on a stream: [[vcfIngest]] →
+    * 2-bit packed REF-dosage encode (`pack_2b`, the engine's storage
+    * coding) → the fused per-variant AF/AC/missing kernel on the packed
+    * bytes (`geno_stats_packed`) — a live import computing the same
+    * per-variant stats the batch packed lane reads straight from a GDS
+    * container's stored bit-planes. Every stage is a pure per-row
+    * projection (encode and kernel are codegen expressions), so the
+    * batch operators lift onto the stream unchanged — no state, no
+    * watermark, no shuffle; `StreamingSpec` gates the output against
+    * the native CEU container's packed lane row-for-row. */
+  def genoStatsStream(lines: DataFrame, header: Seq[String]): DataFrame = {
+    import graft.functions.genetics.{genoStatsPacked, pack2b}
+    val nSamples = graft.sources.Vcf.headerSpecs(header)._3.length
+    val st = genoStatsPacked(pack2b(col("geno")), lit(nSamples))
+    vcfIngest(lines, header)
+      .select(col("chrom"), col("pos"), col("allele"),
+        element_at(st, 2).as("n_called"),
+        element_at(st, 3).as("ac_ref"),
+        element_at(st, 4).as("miss_calls"))
+  }
+
   /** Ingest-time cleaning for a streaming corpus: markup stripping →
     * PII redaction → [[graft.pipeline.TrainingData.c4Clean]] plus a
     * token count — the full extraction-side cleaning chain. Every stage
@@ -146,9 +167,15 @@ object EventStream {
     * do). State is one entry per chunk fingerprint inside the horizon
     * (watermark-evicted); chunk text never enters state. On a static
     * frame the same decision runs as first-holder window ranks — the
-    * spec's stream==batch gate holds for in-timestamp-order arrival;
-    * under LATE data the two legitimately diverge on who gets the
-    * credit: the stream credits the first ARRIVAL (admission-order
+    * spec's stream==batch gate holds for in-timestamp-order arrival
+    * WHOSE duplicate fingerprints recur within the watermark horizon:
+    * `dropDuplicatesWithinWatermark` evicts fingerprint state past the
+    * horizon, so two in-order docs sharing a chunk more than `lateness`
+    * apart BOTH earn novelty credit in the stream, while the batch twin
+    * (global first-holder window) credits only the first — horizon-
+    * bounded memory is the price of unbounded streams. Under LATE data
+    * the two also diverge on who gets the credit: the stream credits
+    * the first ARRIVAL (admission-order
     * semantics — the one-pass tradeoff, same as [[nearDupStream]]),
     * the batch twin the (ts, doc_id)-minimal holder. Documents with no
     * chunks (empty text) emit nothing. */

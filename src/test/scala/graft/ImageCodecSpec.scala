@@ -4,10 +4,100 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
-/** Ground-truth tests for the real `javax.imageio` codec path: decoded
-  * values must match ImageIO's own read of the same bytes, and the
-  * non-image fallback must stay on the deterministic stub. */
+/** Ground-truth tests for the real JDK media paths — `javax.imageio`
+  * images, `javax.sound.sampled` WAV, and the pure-JVM MPEG-audio
+  * frame-header walk: decoded values must match an independent replay of
+  * the same bytes, and everything else must stay on the deterministic
+  * stub, whose contract is pinned here so its output can never be
+  * mistaken for a real decode. */
 class ImageCodecSpec extends AnyFunSuite {
+
+  test("MP3 CBR: frame count, rate, duration, bitrate, exact byte walk") {
+    val mp3 = Multimodal.syntheticMp3(nFrames = 50, sri = 0, kbpsIdx = 9)
+    val Some(m) = Multimodal.parseMp3(mp3)
+    assert(m.n_frames == 50 && m.sample_rate == 44100 && m.channels == 1)
+    assert(m.kbps_mean == 128.0)
+    assert(m.duration_ms == 50 * 1152 * 1000.0 / 44100)
+    // frame length replay: 144·128000/44100 = 417 (+1 on odd frames)
+    assert(mp3.length == 50 * 417 + 25)
+  }
+
+  test("MP3: ID3v2 tag skips by its syncsafe length; trailing bytes and " +
+      "truncation stop the walk cleanly") {
+    val tagged = Multimodal.syntheticMp3(12, sri = 1, kbpsIdx = 14,
+      tagLen = 777)
+    val Some(m) = Multimodal.parseMp3(tagged)
+    assert(m.n_frames == 12 && m.sample_rate == 48000)
+    assert(m.kbps_mean == 320.0)
+    // trailing garbage (an ID3v1 TAG block) must not add frames
+    val trailed = tagged ++ ("TAG" + "x" * 125).getBytes("UTF-8")
+    assert(Multimodal.parseMp3(trailed).contains(m))
+    // a truncated final frame is not counted
+    val cut = java.util.Arrays.copyOf(tagged, tagged.length - 10)
+    assert(Multimodal.parseMp3(cut).map(_.n_frames).contains(11L))
+  }
+
+  test("MP3 VBR: mean bitrate averages the per-frame rates") {
+    // hand-spliced two-frame stream: 128 kbps then 160 kbps at 44100
+    val out = new java.io.ByteArrayOutputStream()
+    for ((idx, len) <- Seq((9, 417), (10, 522))) {
+      out.write(0xff); out.write(0xfb)
+      out.write((idx << 4) | (0 << 2)); out.write(0xc0)
+      (4 until len).foreach(i => out.write(i & 0xff))
+    }
+    val Some(m) = Multimodal.parseMp3(out.toByteArray)
+    assert(m.n_frames == 2 && m.kbps_mean == 144.0)
+  }
+
+  test("MP3 MPEG-2: half sample rate, 576 samples per frame") {
+    // MPEG-2 Layer III @ 22050 Hz, bitrate index 8 = 64 kbps:
+    // frame length = 72·64000/22050 = 208 bytes
+    val out = new java.io.ByteArrayOutputStream()
+    for (_ <- 0 until 3) {
+      out.write(0xff); out.write(0xf3)
+      out.write((8 << 4) | (0 << 2)); out.write(0xc0)
+      (4 until 208).foreach(i => out.write(i & 0xff))
+    }
+    val Some(m) = Multimodal.parseMp3(out.toByteArray)
+    assert(m.n_frames == 3 && m.sample_rate == 22050)
+    assert(m.kbps_mean == 64.0)
+    assert(m.duration_ms == 3 * 576 * 1000.0 / 22050)
+  }
+
+  test("MP3 rejections: prose bytes, a lone frame, free-format bitrate") {
+    assert(Multimodal.parseMp3(
+      "definitely not mpeg audio data".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp3(Multimodal.syntheticMp3(1, 0, 9)).isEmpty)
+    val free = Array(0xff, 0xfb, 0x00, 0xc0, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseMp3(free).isEmpty)
+  }
+
+  test("decode() audio lane: WAV first, MP3 header fallback, stub last") {
+    val mp3 = Multimodal.syntheticMp3(nFrames = 8, sri = 2, kbpsIdx = 5)
+    val f = Multimodal.decode(Multimodal.MediaRow(3L, "audio", mp3))
+    assert(f.width == 32000 && f.height == 1 && f.n_frames == 8)
+    assert(f.brightness == 64.0) // mean bitrate rides brightness
+    // an MP3 payload under media_type video routes to the stub
+    val v = Multimodal.decode(Multimodal.MediaRow(3L, "video", mp3))
+    assert(v == Multimodal.decodeStub(Multimodal.MediaRow(3L, "video", mp3)))
+  }
+
+  test("video stub contract: the documented byte formulas, pinned") {
+    // the ONLY remaining non-real decode is compressed video (the JDK
+    // has no codec): its outputs are these exact pure functions of the
+    // payload bytes — anything else coming out of the video lane means
+    // the stub was silently swapped or broken, and any future real
+    // codec must consciously delete this pin
+    val payload = (0 until 1000).map(i => (i * 7 & 0xff).toByte).toArray
+    val f = Multimodal.decode(Multimodal.MediaRow(11L, "video", payload))
+    val n = payload.length
+    assert(f.n_bytes == n)
+    assert(f.width == n % 640 + 16)
+    assert(f.height == (n * 7) % 480 + 16)
+    assert(f.n_frames == n % 8 + 1)
+    assert(f.brightness ==
+      payload.map(b => (b & 0xff).toLong).sum.toDouble / n)
+  }
 
   test("solid-gray PNG decodes to exact dimensions and brightness") {
     for ((w, h, g) <- Seq((1, 1, 0), (8, 31, 255), (24, 9, 128),

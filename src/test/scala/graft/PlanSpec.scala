@@ -566,6 +566,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q161: the corpus-release rehearsal runs ONE corpus pass — " +
+      "bloom union's branches reuse the fingerprint shuffle") {
+    val df = SparkEntry.queries("q161_corpus_release")(spark, dir)
+    val init = df.queryExecution.explainString(SimpleMode)
+    // nothing in the full chain may enumerate pairs or nested-loop
+    assert(!init.contains("CartesianProduct"), init)
+    assert(!init.contains("BroadcastNestedLoopJoin"), init)
+    // the corpus scan is pruned to (doc_id, text) — never lang/n_chars
+    val reads = init.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("n_chars")), init)
+    // the scale property: decontaminateBloom's clean/candidate UNION is
+    // one corpus pass at runtime — AQE materializes the exact-dedup
+    // fingerprint shuffle once and the sibling branch reads a
+    // ReusedExchange of it (sf0.001, cheap to execute)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      "bloom union branches must reuse the upstream shuffle:\n" + fin)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")

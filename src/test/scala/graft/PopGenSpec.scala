@@ -289,6 +289,32 @@ class PopGenSpec extends AnyFunSuite {
     assert(vecs(0)(0) * vecs(0)(2) < 0)
   }
 
+  test("LdWindow.stats shares one materialized stage across consumers") {
+    import spark.implicits._
+    import graft.operators.LdWindow
+    LdWindow.clearShared()
+    val base = Seq(
+      (1L, "c1", 10L, Seq[java.lang.Long](0L, 1L, 2L, 0L)),
+      (2L, "c1", 20L, Seq[java.lang.Long](0L, 1L, 2L, 1L)),
+      (3L, "c1", 500L, Seq[java.lang.Long](2L, 0L, 0L, null))
+    ).toDF("vid", "chrom", "pos", "d")
+    // two consumers building the SAME logical stage independently get
+    // the one persisted DataFrame back (canonicalized-plan key) …
+    def mk = base.filter(col("pos") < 1000L)
+    val s1 = LdWindow.stats(mk, 100L)
+    val s2 = LdWindow.stats(mk, 100L)
+    assert(s1 eq s2)
+    // … while a different window (or carry) is a different stage
+    assert(!(LdWindow.stats(mk, 50L) eq s1))
+    assert(!(LdWindow.stats(mk, 100L, carry = Seq("chrom")) eq s1))
+    // and the shared stage computes the same pairs as an uncached run
+    val got = graft.operators.LdWindow.r2(mk, 100L)
+      .select("vid_a", "vid_b", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 4L)))
+    LdWindow.clearShared()
+  }
+
   test("pcaFromGrmDistributed matches the dense driver-side eigenpairs") {
     import spark.implicits._
     // same two-cluster GRM as the dense test, plus a third odd sample

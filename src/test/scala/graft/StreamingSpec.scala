@@ -86,6 +86,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming VCF ingestion → packed-lane stats == native GDS " +
+      "packed lane on the CEU fixture") {
+    import spark.implicits._
+    // the genomic path end-to-end on a stream: live import → 2-bit
+    // packed encode → fused AF/AC/missing kernel, verified per-variant
+    // against the SAME stats decoded from the native CoreArray
+    // container's stored bit-planes (a chain that crosses ingestion,
+    // the storage coding, and the aggregate kernel in one gate)
+    val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
+    val all = {
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(src)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val header = all.takeWhile(_.startsWith("#"))
+    val body = all.drop(header.length)
+
+    val mem = MemoryStream[String](spark)
+    val q = EventStream.genoStatsStream(mem.toDF().toDF("value"), header)
+      .writeStream.format("memory").queryName("vcf_geno_stats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(body.take(500))
+      q.processAllAvailable()
+      mem.addData(body.drop(500))
+      q.processAllAvailable()
+      val streamed = spark.table("vcf_geno_stats")
+      val nSamples = graft.sources.Vcf.headerSpecs(header)._3.length
+      val st = graft.functions.genetics.genoStatsPacked(
+        col("pg"), lit(nSamples))
+      val batch = spark.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/CEU_Exon.gds")
+        .select(col("chrom"), col("pos"), col("allele"),
+          element_at(st, 2).as("n_called"),
+          element_at(st, 3).as("ac_ref"),
+          element_at(st, 4).as("miss_calls"))
+      assert(streamed.count() == 1348)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming c4 cleaning == batch cleaning across micro-batches") {
     import spark.implicits._
     val docs = Seq(
