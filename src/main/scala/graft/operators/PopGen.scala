@@ -122,6 +122,115 @@ object PopGen {
       .drop("num_i", "den_i")
   }
 
+  /** Weir–Cockerham (1984) θ per variant between two DIPLOID sample
+    * groups — the other standard Fst estimator next to [[hudsonFst]]
+    * (the reference ecosystem's snpgdsFst offers both; W&C is the one
+    * that uses observed heterozygosity). Emits (vid, c1, x1, h1, c2,
+    * x2, h2, theta) where c_g / x_g / h_g are called-individual, alt-
+    * allele, and het-individual counts in group g.
+    *
+    * The three variance components a (among populations), b (among
+    * individuals within populations), c (within individuals) are
+    * rational in the six integer counts; multiplying through by the
+    * common denominator 8·M²·N·(N−2) (N = c1+c2, M = c1·c2) gives,
+    * with D = x1·c2 − x2·c1, X = x1+x2, H = h1+h2:
+    *   a′ = N·(D²(N−1) − M·(X(2N−X) − HN))
+    *   b′ = 2M·(X(2N−X)M − D² − 2HM(N−1))
+    *   c′ = 4M²(N−2)H
+    * and θ = a′/(a′+b′+c′) — exact BIGINTs, one final division
+    * (`PopGenSpec` fuzzes the closed form against the textbook
+    * formulas). NULL when either group is empty, N ≤ 2, or the
+    * denominator is 0 (monomorphic site). Pure projection — zero
+    * shuffles. */
+  def wcFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame = {
+    def gc(group: Seq[Int]): (Column, Column, Column) = {
+      val per = group.map { s =>
+        val a0 = alleleAt(col("geno"), s, 0)
+        val a1 = alleleAt(col("geno"), s, 1)
+        val called = a0.isNotNull && a1.isNotNull
+        val alt = when(a0 =!= 0, 1L).otherwise(0L) +
+          when(a1 =!= 0, 1L).otherwise(0L)
+        (when(called, 1L).otherwise(0L),
+          when(called, alt).otherwise(0L),
+          when(called && alt === 1L, 1L).otherwise(0L))
+      }
+      (per.map(_._1).reduce(_ + _), per.map(_._2).reduce(_ + _),
+        per.map(_._3).reduce(_ + _))
+    }
+    val (c1, x1, h1) = gc(g1)
+    val (c2, x2, h2) = gc(g2)
+    v.select(col("vid"), c1.as("c1"), x1.as("x1"), h1.as("h1"),
+        c2.as("c2"), x2.as("x2"), h2.as("h2"))
+      .withColumn("nn", col("c1") + col("c2"))
+      .withColumn("mm", col("c1") * col("c2"))
+      .withColumn("dd", col("x1") * col("c2") - col("x2") * col("c1"))
+      .withColumn("xx", col("x1") + col("x2"))
+      .withColumn("hh", col("h1") + col("h2"))
+      .withColumn("a_i", col("nn") *
+        (col("dd") * col("dd") * (col("nn") - 1)
+          - col("mm") * (col("xx") * (lit(2) * col("nn") - col("xx"))
+            - col("hh") * col("nn"))))
+      .withColumn("b_i", lit(2) * col("mm") *
+        (col("xx") * (lit(2) * col("nn") - col("xx")) * col("mm")
+          - col("dd") * col("dd")
+          - lit(2) * col("hh") * col("mm") * (col("nn") - 1)))
+      .withColumn("c_i",
+        lit(4) * col("mm") * col("mm") * (col("nn") - 2) * col("hh"))
+      .withColumn("den_i", col("a_i") + col("b_i") + col("c_i"))
+      .withColumn("theta",
+        when(col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2 &&
+            col("den_i") =!= 0,
+          col("a_i").cast("double") / col("den_i").cast("double")))
+      .drop("nn", "mm", "dd", "xx", "hh", "a_i", "b_i", "c_i", "den_i")
+  }
+
+  /** Pairwise identity-by-state fraction (the snpgdsIBS workload,
+    * reference link layer LinkSNPRelate.cpp): for samples i ≤ j over
+    * pairwise-complete sites, IBS = 1 − Σ|d_i − d_j| / (2·n_sites) on
+    * collapsed alt dosages — the PLINK `--distance` 1-ibs complement.
+    * Input like [[grm]] (`vid`, `d`). Emits (i, j, n_sites, dist_sum,
+    * ibs). The per-variant pair terms are small BIGINTs that partial-
+    * aggregate map-side to the S·(S+1)/2 pair rows before the one
+    * exchange — the same shuffle contract as [[grm]]/KING. */
+  def ibs(v: DataFrame, nSamples: Int): DataFrame = {
+    val pairsLit = array((for {
+      i <- 0 until nSamples
+      j <- i until nSamples
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    v.select(col("d"), explode(pairsLit).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("d"), col("p.i") + 1).as("di"),
+        element_at(col("d"), col("p.j") + 1).as("dj"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(abs(col("di") - col("dj"))).as("dist_sum"))
+      .withColumn("ibs",
+        lit(1.0) - col("dist_sum").cast("double")
+          / (lit(2.0) * col("n_sites").cast("double")))
+  }
+
+  /** Mean-dosage imputation — the missing-data handling snpgdsPCA (and
+    * this module's [[pcaProject]]) uses: a missing collapsed dosage
+    * becomes the variant's called-sample mean 2p̂ = a/n (0.0 on a fully
+    * missing variant). Input like [[grm]] (`vid`, `d`); emits the input
+    * plus `n BIGINT`, `a BIGINT`, and `d_imp ARRAY<DOUBLE>`. The mean
+    * is one exact division of the two BIGINT counts, so every imputed
+    * value replays bit-for-bit in SQL. Pure projection. */
+  def imputeMeanDosage(v: DataFrame, nSamples: Int): DataFrame = {
+    val called = (0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val altSum = (0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
+      .reduce(_ + _)
+    val mean = when(col("n") > 0,
+      col("a").cast("double") / col("n").cast("double")).otherwise(lit(0.0))
+    v.withColumn("n", called).withColumn("a", altSum)
+      .withColumn("d_imp", transform(col("d"),
+        x => coalesce(x.cast("double"), mean)))
+  }
+
   /** VanRaden (2008, method 1) genetic relationship matrix on
     * pairwise-complete observations: for samples j ≤ k,
     * G_jk = Σ_i (x_ij − 2p_i)(x_ik − 2p_i) / Σ_i 2 p_i (1 − p_i), both
@@ -609,6 +718,87 @@ object PopGen {
     * division at the end. `y(s)` is the integer phenotype of sample
     * ordinal s. NULL β/r² for monomorphic sites or constant phenotype
     * over the called set. Pure projection — zero shuffles. */
+  /** Exact mean-imputed GRM denominator Σ_i 2p̂_i(1−p̂_i) over the
+    * polymorphic sites of the TRAINING cohort — the scale constant the
+    * [[pcaProject]] model freezes. Integer-summed ×[[grmScale]], one
+    * final division; a single scalar reaches the driver. */
+  def grmDenominator(v: DataFrame, nSamples: Int): Double = {
+    val scale = grmScale(nSamples)
+    val called = (0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val altSum = (0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
+      .reduce(_ + _)
+    val r = pinnedFilter(v.select(called.as("n"), altSum.as("a")),
+        col("a") > 0 && col("a") < lit(2) * col("n"))
+      .agg(sum(col("a") * (lit(2) * col("n") - col("a"))
+        * intByN(col("n"), nSamples)(k => scale / (2L * k * k))).as("s"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / scale
+  }
+
+  /** Per-variant SNP loadings for PCA sample projection — the
+    * snpgdsPCASampLoading workload the reference's link layer exists to
+    * feed (LinkSNPRelate.cpp): b_l(i) = Σ_s (d̃_is − a_i/n_i) · v_ls
+    * over the MEAN-IMPUTED training dosages (d̃ from
+    * [[imputeMeanDosage]]; a missing call contributes exactly 0, the
+    * snpgdsPCA convention), for each supplied sample-space vector v_l.
+    * Emits (vid, n, a, b_1..b_k). A pure projection over the training
+    * cohort — each b_l is a statically-unrolled dot product (left-
+    * associated, so a SQL oracle replays it bit-for-bit); the vectors
+    * ride into the plan as literals (k·S doubles — fine for the
+    * projection batch sizes this serves; the plan-size axis is
+    * documented in SCALE.md). */
+  def pcaLoadings(v: DataFrame, nSamples: Int,
+      vecs: Seq[Seq[Double]]): DataFrame = {
+    require(vecs.nonEmpty && vecs.forall(_.length == nSamples),
+      s"each vector must have $nSamples entries")
+    val mean = when(col("n") > 0,
+      col("a").cast("double") / col("n").cast("double")).otherwise(lit(0.0))
+    val bCols = vecs.zipWithIndex.map { case (vec, l) =>
+      (0 until nSamples).map(s =>
+        (element_at(col("d_imp"), s + 1) - col("__mean")) * lit(vec(s)))
+        .reduce(_ + _).as(s"b_${l + 1}")
+    }
+    imputeMeanDosage(v, nSamples).withColumn("__mean", mean)
+      .select(col("vid") +: col("n") +: col("a") +: bCols: _*)
+  }
+
+  /** Project `nNew` samples onto the PCA space a training cohort
+    * defined (the snpgdsPCASampProj shape): given [[pcaLoadings]] for
+    * the eigenvectors, the frozen [[grmDenominator]] and eigenvalues,
+    * score_{t,l} = Σ_i (d̃′_it − a_i/n_i) · b_l(i) / (den·√λ_l) — for a
+    * TRAINING sample this reproduces √λ_l · v_tl exactly when the
+    * cohort is complete (PopGenSpec gates it; with missing data the
+    * mean-imputed model is the standard snpgdsPCA approximation). New
+    * samples mean-impute with the TRAINING per-variant mean carried on
+    * the loadings table (frozen model parameters — the correct
+    * out-of-sample treatment; a variant the model never saw simply
+    * doesn't join). One equi-join on vid, then one global aggregate of
+    * k·nNew partially-aggregated doubles — nothing wider crosses the
+    * wire, so cohort size only affects the join's linear pass; project
+    * wide cohorts in batches of a few thousand samples per call (the
+    * agg column count is nNew·k). Returns scores(t)(l). */
+  def pcaProject(loadings: DataFrame, newV: DataFrame, nNew: Int,
+      den: Double, eigvals: Seq[Double]): Array[Array[Double]] = {
+    require(den > 0 && eigvals.forall(_ > 0), "den and eigvals must be > 0")
+    val k = eigvals.size
+    val joined = newV.join(loadings, Seq("vid"))
+      .withColumn("__mean", when(col("n") > 0,
+        col("a").cast("double") / col("n").cast("double"))
+        .otherwise(lit(0.0)))
+    val terms = for { t <- 0 until nNew; l <- 0 until k } yield
+      sum((coalesce(element_at(col("d"), t + 1).cast("double"),
+        col("__mean")) - col("__mean")) * col(s"b_${l + 1}"))
+        .as(s"t_${t}_$l")
+    val row = joined.agg(terms.head, terms.tail: _*).head()
+    Array.tabulate(nNew, k) { (t, l) =>
+      val s = if (row.isNullAt(t * k + l)) 0.0 else row.getDouble(t * k + l)
+      s / (den * math.sqrt(eigvals(l)))
+    }
+  }
+
   def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {
     val nSamples = y.length
     def d(s: Int) = element_at(col("d"), s + 1)

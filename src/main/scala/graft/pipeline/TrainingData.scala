@@ -33,6 +33,45 @@ object TrainingData {
       .filter(col("__keep")).drop("__keep", "__fp")
   }
 
+  /** Domain-level quality propagation — the "bad source" gate every
+    * large crawl pipeline runs (C4 / RefinedWeb block domains, not just
+    * documents: a source whose content keeps duplicating is boilerplate
+    * or spam, and its NON-duplicated pages are suspect too). Per
+    * document: the exact-dedup content fingerprint marks it duplicated
+    * when the fingerprint occurs more than once corpus-wide; per
+    * source: document and duplicated-document counts; the gate flags a
+    * source when dup_docs·1000 > `dupMaxPermille`·docs (exact
+    * cross-multiplied integers — no division) and `keep` clears every
+    * document of a flagged source. Emits the input plus (src_docs,
+    * src_dup_docs, src_flagged, keep).
+    *
+    * Shuffle budget: one fingerprint-key exchange (the same window as
+    * [[exactDedupKeepFirst]] — under AQE the sibling branch reuses its
+    * shuffle), one #sources-row aggregate, and a source-key join back.
+    * The source table carries NO broadcast hint: domains grow with the
+    * corpus (millions at 100 TB), so pinning it would pin an unbounded
+    * table to the driver — AQE broadcasts it while small (the
+    * collocations lesson, SCALE.md). */
+  def sourceReputation(docs: DataFrame, dupMaxPermille: Long = 150L,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(!docs.columns.exists(_.startsWith("__")),
+      "sourceReputation uses internal __ columns; the input already has one")
+    val w = Window.partitionBy(col("__fp"))
+    val flagged = docs
+      .withColumn("__fp", fingerprint(tokens(col(textCol))))
+      .withColumn("__isdup",
+        when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+    val src = flagged.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("src_docs"),
+        sum(col("__isdup")).as("src_dup_docs"))
+      .withColumn("src_flagged",
+        col("src_dup_docs") * 1000L > lit(dupMaxPermille) * col("src_docs"))
+    flagged.drop("__fp", "__isdup")
+      .join(src, Seq(srcCol))
+      .withColumn("keep", !col("src_flagged"))
+  }
+
   /** Verified near-duplicate PAIRS: MinHash+LSH band candidates among
     * `docs`, kept at exact shingle-Jaccard ≥ `threshold`, as
     * (doc_a, doc_b) with doc_a < doc_b. The only corpus-scale shuffle is

@@ -640,7 +640,129 @@ object PopGenQ extends QueryModule {
             FROM (SELECT vid, $dSql AS d FROM variants))))"""
     }))
 
+  // --- Weir–Cockerham θ between sample halves: the OTHER standard Fst
+  // estimator (uses observed heterozygosity), exact BIGINT variance
+  // components on the 8·M²·N·(N−2) common denominator (closed form
+  // fuzz-proved against the textbook formulas in PopGenSpec), one final
+  // division, zero shuffles. --------------------------------------------
+  private val q163 = Q("q163_wc_fst",
+    (s, dir) => PopGen.wcFst(SynthGeno.variants(s, dir),
+      0 until N / 2, N / 2 until N),
+    Some(withCte(s"""SELECT vid, c1, x1, h1, c2, x2, h2,
+      CASE WHEN c1 >= 1 AND c2 >= 1 AND nn > 2
+             AND a_i + b_i + c_i <> 0
+           THEN CAST(a_i AS DOUBLE) / CAST(a_i + b_i + c_i AS DOUBLE)
+      END AS theta
+      FROM (SELECT vid, c1, x1, h1, c2, x2, h2, nn,
+          nn * (dd*dd*(nn-1) - mm*(xx*(2*nn-xx) - hh*nn)) AS a_i,
+          2*mm * (xx*(2*nn-xx)*mm - dd*dd - 2*hh*mm*(nn-1)) AS b_i,
+          4*mm*mm*(nn-2)*hh AS c_i
+        FROM (SELECT vid, c1, x1, h1, c2, x2, h2,
+            c1 + c2 AS nn, c1 * c2 AS mm,
+            x1*c2 - x2*c1 AS dd, x1 + x2 AS xx, h1 + h2 AS hh
+          FROM (SELECT vid,
+              CAST(len(list_filter(ga, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0)) AS BIGINT)
+                AS c1,
+              CAST(COALESCE(list_sum(list_transform(list_filter(ga, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0), sa ->
+                len(list_filter(sa, x -> x <> 0)))), 0) AS BIGINT) AS x1,
+              CAST(len(list_filter(ga, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0
+                AND len(list_filter(sa, x -> x <> 0)) = 1)) AS BIGINT)
+                AS h1,
+              CAST(len(list_filter(gb, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0)) AS BIGINT)
+                AS c2,
+              CAST(COALESCE(list_sum(list_transform(list_filter(gb, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0), sa ->
+                len(list_filter(sa, x -> x <> 0)))), 0) AS BIGINT) AS x2,
+              CAST(len(list_filter(gb, sa ->
+                len(list_filter(sa, x -> x IS NULL)) = 0
+                AND len(list_filter(sa, x -> x <> 0)) = 1)) AS BIGINT)
+                AS h2
+            FROM (SELECT vid, geno[1:${N / 2}] AS ga,
+                geno[${N / 2 + 1}:$N] AS gb FROM variants))))""")))
+
+  // --- pairwise IBS fraction (snpgdsIBS / PLINK --distance 1-ibs):
+  // Σ|d_i − d_j| over pairwise-complete sites, same pair-explode +
+  // map-side partial aggregation contract as the GRM. -------------------
+  private val q164 = Q("q164_ibs",
+    (s, dir) => PopGen.ibs(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT i, j, n_sites, dist_sum,
+      1.0 - CAST(dist_sum AS DOUBLE)
+            / (2.0 * CAST(n_sites AS DOUBLE)) AS ibs
+      FROM (SELECT p.i, p.j, COUNT(*) AS n_sites,
+          CAST(SUM(abs(d[p.i + 1] - d[p.j + 1])) AS BIGINT) AS dist_sum
+        FROM (SELECT $dSql AS d FROM variants) st,
+          (SELECT ii.i, jj.j
+           FROM (SELECT unnest(range(0, $N)) AS i) ii,
+                (SELECT unnest(range(0, $N)) AS j) jj
+           WHERE jj.j >= ii.i) p
+        WHERE d[p.i + 1] IS NOT NULL AND d[p.j + 1] IS NOT NULL
+        GROUP BY i, j)""")))
+
+  // --- mean-dosage imputation (snpgdsPCA's missing handling): missing
+  // collapsed dosages become the variant's called-mean a/n — one exact
+  // division, so every imputed value replays bit-for-bit. The query
+  // pins two fixed samples' imputed values plus the per-variant counts.
+  private val q165 = Q("q165_impute_mean",
+    (s, dir) => PopGen.imputeMeanDosage(
+        SynthGeno.variants(s, dir)
+          .select(col("vid"), dosageAlt(col("geno")).as("d")),
+        N)
+      .select(col("vid"), col("n"), col("a"),
+        (lit(N.toLong) - col("n")).as("n_miss"),
+        element_at(col("d_imp"), 1).as("imp_s0"),
+        element_at(col("d_imp"), 4).as("imp_s3")),
+    Some(withCte(s"""SELECT vid, n, a, $N - n AS n_miss,
+      COALESCE(CAST(d[1] AS DOUBLE), mean) AS imp_s0,
+      COALESCE(CAST(d[4] AS DOUBLE), mean) AS imp_s3
+      FROM (SELECT vid, d, n, a,
+          CASE WHEN n > 0 THEN CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0.0 END AS mean
+        FROM (SELECT vid, d,
+            CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+              AS BIGINT) AS a
+          FROM (SELECT vid, $dSql AS d FROM variants)))""")))
+
+  // --- PCA SNP loadings (snpgdsPCASampLoading): mean-imputed, mean-
+  // centred dot products against fixed sample-space vectors (the op is
+  // linear algebra — whether v is a true eigenvector is PopGenSpec's
+  // concern, where pcaProject(training) must reproduce √λ·v; here two
+  // FIXED ±1 vectors make the oracle exact: left-associated double
+  // sums replay in the same order, and ±1.0 products are lossless). ----
+  private val PCV: Seq[Seq[Double]] = Seq(
+    Seq(1, -1, 1, -1, 1, -1, 1, -1).map(_.toDouble),
+    Seq(1, 1, -1, -1, 1, 1, -1, -1).map(_.toDouble))
+
+  private val q166 = Q("q166_pca_loadings",
+    (s, dir) => PopGen.pcaLoadings(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N, PCV),
+    Some(withCte {
+      def bSql(vec: Seq[Double]) = vec.zipWithIndex.map { case (w, i) =>
+        s"(COALESCE(CAST(d[${i + 1}] AS DOUBLE), mean) - mean) * $w"
+      }.mkString(" + ")
+      s"""SELECT vid, n, a,
+        ${bSql(PCV(0))} AS b_1,
+        ${bSql(PCV(1))} AS b_2
+      FROM (SELECT vid, d, n, a,
+          CASE WHEN n > 0 THEN CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0.0 END AS mean
+        FROM (SELECT vid, d,
+            CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+              AS BIGINT) AS a
+          FROM (SELECT vid, $dSql AS d FROM variants)))"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137, q155)
+      q135, q136, q137, q155, q163, q164, q165, q166)
 }

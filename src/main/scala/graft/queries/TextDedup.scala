@@ -1283,6 +1283,33 @@ object TextDedup extends QueryModule {
         substr(text, 1, 40) AS head
       FROM a"""))
 
+  // --- domain-level quality propagation: the "bad source" gate (C4/
+  // RefinedWeb block DOMAINS, not just documents) — a source whose
+  // content keeps duplicating corpus-wide gets ALL its documents
+  // dropped, clean pages included. Exact cross-multiplied permille
+  // gate, no division; the oracle replays fingerprint, window count,
+  // source rollup, and gate. ---------------------------------------------
+  private val q167 = Q("q167_source_reputation",
+    (s, dir) => graft.pipeline.TrainingData.sourceReputation(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")))
+      .select(col("doc_id"), col("source"), col("src_docs"),
+        col("src_dup_docs"), col("src_flagged"), col("keep")),
+    Some("""WITH f AS (SELECT doc_id, source,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split_regex(text, '\s+'), x -> x <> ''))),
+          ' ')) AS fp
+      FROM documents),
+      d AS (SELECT doc_id, source,
+        CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END
+          AS isdup FROM f),
+      s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs,
+        CAST(SUM(isdup) AS BIGINT) AS src_dup_docs FROM d GROUP BY 1)
+      SELECT doc_id, d.source, src_docs, src_dup_docs,
+        src_dup_docs * 1000 > 150 * src_docs AS src_flagged,
+        NOT (src_dup_docs * 1000 > 150 * src_docs) AS keep
+      FROM d JOIN s ON d.source = s.source"""))
+
   // --- unigram-LM token-commonness quality score (the log-free KenLM
   // perplexity shape — see TrainingData.tokenCommonness for why the
   // score is an exact BIGINT sum ÷ count, never a Σlog): low score =
@@ -1622,5 +1649,5 @@ object TextDedup extends QueryModule {
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161)
+      q160, q161, q167)
 }

@@ -224,4 +224,43 @@ class PipelineFuzzSpec extends AnyFunSuite {
     val keys = got.map(r => (-r._6, r._1, r._2)).toSeq
     assert(keys == keys.sorted)
   }
+
+  test("sourceReputation == brute per-source rollup on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L)) {
+      val base = corpus(seed, 60)
+      // plant duplicates (every 7th doc copies one of the first three),
+      // landing unevenly across the 5 sources — the gate needs real
+      // dup-rate variance to discriminate
+      val docs = base.map { case (id, text) =>
+        val t = if (id % 7 == 0) base((id % 3).toInt)._2 else text
+        (id, t, "s" + (id % 5))
+      }
+      val fp = docs.map { case (id, t, _) =>
+        id -> md5hex(toks(t).distinct.sorted.mkString(" "))
+      }.toMap
+      val fpCount = fp.values.groupBy(identity).view.mapValues(_.size).toMap
+      val bySrc = docs.groupBy(_._3).view.mapValues { ds =>
+        (ds.size.toLong, ds.count(d => fpCount(fp(d._1)) > 1).toLong)
+      }.toMap
+      // pick the gate between the observed per-source extremes so the
+      // fuzz always exercises BOTH outcomes
+      val permille = bySrc.values.map { case (nd, dup) => dup * 1000 / nd }
+      val thr = (permille.min + permille.max) / 2
+      assert(permille.min < permille.max, s"seed=$seed: flat dup rates")
+      val got = TrainingData.sourceReputation(
+          docs.toDF("doc_id", "text", "source"), dupMaxPermille = thr)
+        .select("doc_id", "src_docs", "src_dup_docs", "keep")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got.size == docs.size)
+      for ((id, _, src) <- docs) {
+        val (nd, dup) = bySrc(src)
+        assert(got(id) == ((nd, dup, !(dup * 1000L > thr * nd))),
+          s"seed=$seed doc=$id src=$src")
+      }
+      assert(got.values.exists(_._3) && got.values.exists(!_._3),
+        s"seed=$seed: degenerate gate")
+    }
+  }
 }

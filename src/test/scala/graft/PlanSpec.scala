@@ -434,6 +434,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q163/q165/q166: W&C Fst, imputation, PCA loadings are pure " +
+      "projections") {
+    for (q <- Seq("q163_wc_fst", "q165_impute_mean", "q166_pca_loadings")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    }
+  }
+
+  test("q164: IBS partial-aggregates the pair terms before its one " +
+      "exchange") {
+    val p = plan("q164_ibs")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q121/q122/q124: GRM, inbreeding, PRS partial-aggregate before " +
       "their one counter exchange") {
     for (q <- Seq("q121_grm", "q122_inbreeding", "q124_prs")) {

@@ -382,6 +382,120 @@ class PopGenSpec extends AnyFunSuite {
     assert(evs(0) > 0)
   }
 
+  test("wcFst integer closed form == textbook Weir–Cockerham on a " +
+      "fuzzed cube") {
+    import spark.implicits._
+    // 300 random diploid variants over 8 samples (two groups of 4) with
+    // missing calls; the exact-BIGINT closed form must match the
+    // floating-point textbook variance components everywhere, NULLs
+    // included
+    val rng = new scala.util.Random(20260814)
+    val cube = (1L to 300L).map { vid =>
+      (vid, Seq.fill(8) {
+        if (rng.nextInt(6) == 0) Seq[java.lang.Long](null, null)
+        else Seq[java.lang.Long](rng.nextInt(2).toLong, rng.nextInt(2).toLong)
+      })
+    }
+    def textbook(g: Seq[Seq[java.lang.Long]]): Option[Double] = {
+      def grp(ss: Seq[Seq[java.lang.Long]]) = {
+        val called = ss.filter(_.forall(_ != null))
+        (called.size,
+          called.map(_.count(_ != 0L)).sum,
+          called.count(_.count(_ != 0L) == 1))
+      }
+      val (c1, x1, h1) = grp(g.take(4)); val (c2, x2, h2) = grp(g.drop(4))
+      if (c1 < 1 || c2 < 1 || c1 + c2 <= 2) return None
+      val r = 2.0
+      val nbar = (c1 + c2) / r
+      val nc = (r * nbar - (c1.toDouble * c1 + c2.toDouble * c2) / (r * nbar)) / (r - 1)
+      val p1 = x1 / (2.0 * c1); val p2 = x2 / (2.0 * c2)
+      val pbar = (c1 * p1 + c2 * p2) / (r * nbar)
+      val s2 = (c1 * math.pow(p1 - pbar, 2) + c2 * math.pow(p2 - pbar, 2)) /
+        ((r - 1) * nbar)
+      val hbar = (h1 + h2) / (r * nbar)
+      val a = (nbar / nc) * (s2 - (1 / (nbar - 1)) *
+        (pbar * (1 - pbar) - ((r - 1) / r) * s2 - hbar / 4))
+      val b = (nbar / (nbar - 1)) * (pbar * (1 - pbar) -
+        ((r - 1) / r) * s2 - (2 * nbar - 1) / (4 * nbar) * hbar)
+      val c = hbar / 2
+      if (a + b + c == 0) None else Some(a / (a + b + c))
+    }
+    val got = PopGen.wcFst(cube.toDF("vid", "geno"),
+        Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))
+      .select("vid", "theta").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    var nonNull = 0
+    for ((vid, g) <- cube) {
+      val exp = textbook(g)
+      (got(vid), exp) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) =>
+          nonNull += 1
+          assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+            s"vid=$vid got $a expected $b")
+        case other => fail(s"vid=$vid null-mismatch: $other")
+      }
+    }
+    assert(nonNull > 200, s"fuzz must exercise non-null thetas: $nonNull")
+  }
+
+  test("ibs golden: identical pair = 1, opposite pair = 0, " +
+      "pairwise-complete sites only") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 0L, 2L, 1L)),
+      (2L, Seq[java.lang.Long](2L, 2L, 0L, null)),
+      (3L, Seq[java.lang.Long](1L, 1L, 1L, 0L))
+    ).toDF("vid", "d")
+    val r = PopGen.ibs(v, 4).collect()
+      .map(x => ((x.getInt(0), x.getInt(1)),
+        (x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r((0, 1)) == ((3L, 0L, 1.0)))       // identical everywhere
+    assert(r((0, 2)) == ((3L, 4L, 1.0 - 4.0 / 6.0))) // |0-2|+|2-0|+|1-1|
+    assert(r((1, 3))._1 == 2L)                 // sample 3 missing at vid 2
+    assert(r((0, 0)) == ((3L, 0L, 1.0)))       // diagonal
+  }
+
+  test("imputeMeanDosage: missing becomes the called mean, complete " +
+      "rows untouched, all-missing becomes 0") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq[java.lang.Long](0L, 2L, null, 1L)),
+      (2L, Seq[java.lang.Long](null, null, null, null))
+    ).toDF("vid", "d")
+    val r = PopGen.imputeMeanDosage(v, 4).orderBy("vid").collect()
+    assert(r(0).getAs[Long]("n") == 3L && r(0).getAs[Long]("a") == 3L)
+    assert(r(0).getAs[scala.collection.Seq[Double]]("d_imp").toList ==
+      List(0.0, 2.0, 1.0, 1.0))
+    assert(r(1).getAs[scala.collection.Seq[Double]]("d_imp").toList ==
+      List(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("pcaProject reproduces sqrt(lambda) * eigenvector for the " +
+      "training cohort") {
+    import spark.implicits._
+    // complete cohort (no missing): the pairwise-complete GRM equals
+    // the mean-imputed model exactly, so projecting the training
+    // samples through the SNP loadings must land on √λ_l · v_l
+    val rows = (1L to 6L).map(v =>
+      (v, Seq[java.lang.Long](0L, 0L, 2L, 2L, 1L))) ++
+      (7L to 9L).map(v => (v, Seq[java.lang.Long](2L, 0L, 0L, 2L, 1L))) ++
+      (10L to 12L).map(v => (v, Seq[java.lang.Long](1L, 0L, 2L, 1L, 0L)))
+    val v = rows.toDF("vid", "d")
+    val grmDf = PopGen.grm(v, 5)
+    val (ev, vecs) = PopGen.pcaFromGrm(grmDf, 5, 2)
+    val den = PopGen.grmDenominator(v, 5)
+    assert(den > 0)
+    val loadings = PopGen.pcaLoadings(v, 5, vecs.toSeq.map(_.toSeq))
+    val scores = PopGen.pcaProject(loadings, v, 5, den, ev.toSeq)
+    for (l <- 0 until 2; t <- 0 until 5) {
+      val expected = math.sqrt(ev(l)) * vecs(l)(t)
+      assert(math.abs(scores(t)(l) - expected) < 1e-6,
+        s"component $l sample $t: ${scores(t)(l)} vs $expected")
+    }
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
