@@ -105,6 +105,38 @@ object LdWindow {
         element_at(col("st"), 6).as("syy")) ++ carried: _*)
   }
 
+  /** LD decay profile: per (chrom, distance-bin), the pair count and
+    * how many pairs cross each r² threshold — the curve every LD-decay
+    * plot shows. Thresholds are RATIONALS (num, den): r² ≥ num/den
+    * evaluates as cov²·den ≥ var_x·var_y·num on exact BIGINTs (a mean
+    * of per-pair r² ratios would need per-pair denominators and an
+    * order-dependent double sum; the crossing fractions are what the
+    * plot reads anyway). Rides the SAME shared [[stats]] stage as
+    * r²/partners/pruning, then one (chrom, bin) aggregate over
+    * partially-combined counters — #bins rows cross the wire. */
+  def decayProfile(variants: DataFrame, window: Long, binWidth: Long,
+      thresholds: Seq[(Int, Int)] = Seq((1, 5), (1, 2), (4, 5)))
+      : DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive; got $binWidth")
+    require(thresholds.forall { case (n, d) => n >= 0 && d > 0 },
+      "thresholds must be non-negative rationals")
+    val withVar = stats(variants, window)
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+    val defined = col("var_x") > 0 && col("var_y") > 0
+    val thrCols = thresholds.map { case (num, den) =>
+      sum(when(defined && col("cov_n") * col("cov_n") * den
+          >= col("var_x") * col("var_y") * num, 1L).otherwise(0L))
+        .as(s"ge_${num}_$den")
+    }
+    val aggs = Seq(count(lit(1)).as("n_pairs"),
+      sum(when(defined, 1L).otherwise(0L)).as("n_def")) ++ thrCols
+    withVar.withColumn("bin", expr(s"dist div $binWidth").cast("long"))
+      .groupBy(col("chrom"), col("bin"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def r2(variants: DataFrame, window: Long,
       carry: Seq[String] = Nil): DataFrame = {
     val carried = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))

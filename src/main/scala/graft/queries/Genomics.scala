@@ -470,21 +470,11 @@ object Genomics extends QueryModule {
   // factors, squared in doubles with one final division. ----------------
   private val LD_WINDOW = 200
   private val LD_MOD = 11
-  private val q108 = Q("q108_ld_r2",
-    (s, dir) => {
-      // delegates to the public operator — the oracle below proves
-      // graft.operators.LdWindow.r2 exact every round
-      val v = SynthGeno.variants(s, dir)
-        .filter(col("vid") % LD_MOD === 0)
-        .select(col("vid"), col("chrom"), col("pos"),
-          dosageAlt(col("geno")).as("d"))
-      graft.operators.LdWindow.r2(v, LD_WINDOW)
-    },
-    Some(withCte(s"""SELECT chrom, vid_a, vid_b, dist, n,
-      CASE WHEN var_x > 0 AND var_y > 0
-           THEN (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
-                / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)) END AS r2
-      FROM (SELECT chrom, vid_a, vid_b, dist, n,
+  // DuckDB twin of the banded pair frame with covariance/variance
+  // components (cov_n, var_x, var_y) — shared by the per-pair r² oracle
+  // (q108) and the decay-profile oracle (q168), exactly as the Spark
+  // side shares LdWindow.stats.
+  private val ldVarSql: String = s"""(SELECT chrom, vid_a, vid_b, dist, n,
           n * sxy - sx * sy AS cov_n,
           n * sxx - sx * sx AS var_x,
           n * syy - sy * sy AS var_y
@@ -519,7 +509,54 @@ object Genomics extends QueryModule {
                 FROM variants WHERE vid % $LD_MOD = 0) b
               ON a.chrom = b.chrom
               AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
-              AND b.pos - a.pos <= $LD_WINDOW)))""")))
+              AND b.pos - a.pos <= $LD_WINDOW)))"""
+
+  private val q108 = Q("q108_ld_r2",
+    (s, dir) => {
+      // delegates to the public operator — the oracle below proves
+      // graft.operators.LdWindow.r2 exact every round
+      val v = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d"))
+      graft.operators.LdWindow.r2(v, LD_WINDOW)
+    },
+    Some(withCte(s"""SELECT chrom, vid_a, vid_b, dist, n,
+      CASE WHEN var_x > 0 AND var_y > 0
+           THEN (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+                / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)) END AS r2
+      FROM $ldVarSql""")))
+
+  // --- LD decay profile: per (chrom, distance-bin) pair counts and the
+  // fraction crossing r² ∈ {0.2, 0.5, 0.8} — thresholds evaluated as
+  // exact cross-multiplied BIGINTs (cov²·den ≥ var_x·var_y·num), never
+  // a mean of per-pair double ratios. Rides the SAME shared
+  // LdWindow.stats stage as q108/q126/q130/q135; the oracle reuses the
+  // SAME pair-frame SQL as q108 plus the bin rollup. --------------------
+  private val LD_BIN = 50L
+  private val q168 = Q("q168_ld_decay",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d"))
+      graft.operators.LdWindow.decayProfile(v, LD_WINDOW, LD_BIN)
+    },
+    Some(withCte(s"""SELECT chrom, CAST(dist // $LD_BIN AS BIGINT) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_def,
+      CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+        AND cov_n*cov_n*5 >= var_x*var_y*1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS ge_1_5,
+      CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+        AND cov_n*cov_n*2 >= var_x*var_y*1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS ge_1_2,
+      CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+        AND cov_n*cov_n*5 >= var_x*var_y*4 THEN 1 ELSE 0 END)
+        AS BIGINT) AS ge_4_5
+      FROM $ldVarSql
+      GROUP BY 1, 2""")))
 
   // --- KING-robust pairwise sample kinship (Manichaikul et al. 2010; the
   // per-sample-PAIR margin — the heaviest by.sample workload the
@@ -934,5 +971,5 @@ object Genomics extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113, q116, q143, q159)
+      q106, q107, q108, q109, q112, q113, q116, q143, q159, q168)
 }
