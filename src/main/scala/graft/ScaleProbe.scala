@@ -144,6 +144,15 @@ object ScaleProbe {
         d => graft.operators.PopGen.ldPrune(d, 200L, 0.5, 8), Vars),
       ("grm",
         d => graft.operators.PopGen.grm(d, 8), Vars),
+      ("ibs",
+        d => graft.operators.PopGen.ibs(d, 8), Vars),
+      ("ld_decay",
+        d => graft.operators.LdWindow.decayProfile(d, 200L, 50L), Vars),
+      ("source_reputation",
+        d => graft.pipeline.TrainingData.sourceReputation(
+          d.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 41).cast("string")))),
+        Docs),
       ("bpe_train",
         d => TrainingData.bpeTrain(d, nMerges = 4), Docs),
       ("cdc_chunks",

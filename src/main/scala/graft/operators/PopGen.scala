@@ -142,7 +142,52 @@ object PopGen {
     * formulas). NULL when either group is empty, N ≤ 2, or the
     * denominator is 0 (monomorphic site). Pure projection — zero
     * shuffles. */
-  def wcFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame = {
+  def wcFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame =
+    wcComponents(v, g1, g2)
+      .withColumn("den_i", col("a_i") + col("b_i") + col("c_i"))
+      .withColumn("theta",
+        when(col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2 &&
+            col("den_i") =!= 0,
+          col("a_i").cast("double") / col("den_i").cast("double")))
+      .drop("nn", "mm", "dd", "xx", "hh", "a_i", "b_i", "c_i", "den_i")
+
+  /** Multi-locus Weir–Cockerham sums, stratified by the call-count
+    * pair: the genome-wide estimator is Σa / Σ(a+b+c) over valid loci
+    * with UNSCALED components, but the exact integers of
+    * [[wcComponents]] carry a per-locus scale 8·M²·N·(N−2) that varies
+    * with missingness — constant only WITHIN a (c1, c2) stratum. So
+    * the exact-arithmetic aggregate is per stratum: (c1, c2, n_loci,
+    * sum_a, sum_bc) — ≤ |g1|·|g2| tiny rows, every value an exact
+    * BIGINT sum (map-side combined), and genome-wide θ follows as
+    * Σ_g sum_a_g/s_g over Σ_g (sum_a_g+sum_bc_g)/s_g with
+    * s_g = 8·(c1·c2)²·N·(N−2) — see [[wcThetaFromStrata]]. */
+  def wcFstStrata(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame =
+    wcComponents(v, g1, g2)
+      .filter(col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2)
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("n_loci"),
+        sum(col("a_i")).as("sum_a"),
+        sum(col("b_i") + col("c_i")).as("sum_bc"))
+
+  /** Genome-wide W&C θ from a collected [[wcFstStrata]] table —
+    * deterministic driver-side fold in (c1, c2) order over the ≤
+    * |g1|·|g2|-row strata (the per-stratum scale divides out here). */
+  def wcThetaFromStrata(strata: Seq[(Long, Long, Long, Long)]): Double = {
+    var num = 0.0; var den = 0.0
+    for ((c1, c2, sa, sbc) <- strata.sortBy(t => (t._1, t._2))) {
+      val n = (c1 + c2).toDouble
+      val s = 8.0 * (c1 * c2).toDouble * (c1 * c2).toDouble * n * (n - 2)
+      num += sa.toDouble / s
+      den += (sa + sbc).toDouble / s
+    }
+    num / den
+  }
+
+  /** Per-variant W&C variance components (shared by [[wcFst]] and
+    * [[wcFstGenome]]): the six counts plus the scaled integer a/b/c —
+    * see [[wcFst]] for the algebra. */
+  private def wcComponents(v: DataFrame, g1: Seq[Int], g2: Seq[Int])
+      : DataFrame = {
     def gc(group: Seq[Int]): (Column, Column, Column) = {
       val per = group.map { s =>
         val a0 = alleleAt(col("geno"), s, 0)
@@ -176,12 +221,6 @@ object PopGen {
           - lit(2) * col("hh") * col("mm") * (col("nn") - 1)))
       .withColumn("c_i",
         lit(4) * col("mm") * col("mm") * (col("nn") - 2) * col("hh"))
-      .withColumn("den_i", col("a_i") + col("b_i") + col("c_i"))
-      .withColumn("theta",
-        when(col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2 &&
-            col("den_i") =!= 0,
-          col("a_i").cast("double") / col("den_i").cast("double")))
-      .drop("nn", "mm", "dd", "xx", "hh", "a_i", "b_i", "c_i", "den_i")
   }
 
   /** Pairwise identity-by-state fraction (the snpgdsIBS workload,
@@ -797,6 +836,41 @@ object PopGen {
       val s = if (row.isNullAt(t * k + l)) 0.0 else row.getDouble(t * k + l)
       s / (den * math.sqrt(eigvals(l)))
     }
+  }
+
+  /** Per-variant SNP–PC correlation (the snpgdsPCACorr workload — the
+    * loading plot every PCA report shows): Pearson correlation between
+    * the variant's collapsed dosages and each supplied sample-space
+    * vector v_l, over CALLED samples only. Emits (vid, n, corr_1..k)
+    * with corr NULL when either variance term is 0 or n < 2. The
+    * dosage-side sums are exact BIGINTs; the vector-side sums are
+    * left-associated doubles (a SQL oracle replays the identical
+    * order), one sqrt + one division at the end. Pure projection. */
+  def pcaCorr(v: DataFrame, nSamples: Int,
+      vecs: Seq[Seq[Double]]): DataFrame = {
+    require(vecs.nonEmpty && vecs.forall(_.length == nSamples),
+      s"each vector must have $nSamples entries")
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumL(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val base = v
+      .withColumn("n", sumL(s => when(d(s).isNotNull, 1L).otherwise(0L)))
+      .withColumn("sd", sumL(s => coalesce(d(s), lit(0L))))
+      .withColumn("sdd", sumL(s => coalesce(d(s) * d(s), lit(0L))))
+      .withColumn("dx", col("n") * col("sdd") - col("sd") * col("sd"))
+    val corrCols = vecs.zipWithIndex.flatMap { case (vec, l) =>
+      val sv = sumL(s =>
+        when(d(s).isNotNull, lit(vec(s))).otherwise(lit(0.0)))
+      val svv = sumL(s =>
+        when(d(s).isNotNull, lit(vec(s) * vec(s))).otherwise(lit(0.0)))
+      val sdv = sumL(s =>
+        when(d(s).isNotNull, d(s).cast("double") * lit(vec(s)))
+          .otherwise(lit(0.0)))
+      val num = col("n").cast("double") * sdv - col("sd").cast("double") * sv
+      val dv = col("n").cast("double") * svv - sv * sv
+      Seq(when(col("n") >= 2 && col("dx") > 0 && dv > 0,
+        num / sqrt(col("dx").cast("double") * dv)).as(s"corr_${l + 1}"))
+    }
+    base.select(col("vid") +: col("n") +: corrCols: _*)
   }
 
   def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {

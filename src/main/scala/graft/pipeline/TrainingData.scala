@@ -1514,6 +1514,52 @@ object TrainingData {
         col("sum_tf").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    * split each language's documents into head / middle / tail by LM
+    * quality score — here [[tokenCommonness]]'s corpus-frequency score,
+    * descending (commonest-vocabulary documents are "head", CCNet's
+    * lowest-perplexity-first convention). CCNet derives its cutoffs
+    * from a SAMPLE, never a global sort — the scale-critical choice
+    * this op keeps twice over: the sample is a [[quotaSample]]
+    * (hash-first `sampleCap` docs per language, WindowGroupLimit-capped
+    * map-side, membership stable as the corpus grows), so the tercile
+    * ranking runs over ≤ `sampleCap` rows per language no matter the
+    * corpus size, and the full corpus buckets by comparing its score
+    * against the #languages-row threshold table — no corpus-wide
+    * window anywhere. Thresholds are the sample scores at ranks
+    * ⌈n/3⌉ and ⌈2n/3⌉ (ties → the better bucket); a language absent
+    * from the sample buckets as head (documented edge, deterministic).
+    * Emits (idCol, langCol, n_tokens, score, bucket). */
+  def ccnetBuckets(docs: DataFrame, langCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Long = 3L, sampleCap: Int = 50): DataFrame = {
+    require(sampleCap > 0, "sampleCap must be positive")
+    val scored = tokenCommonness(docs, idCol, textCol, minCount)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val sample = quotaSample(scored, langCol, sampleCap, idCol).drop("rk")
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("score").desc, col(idCol))
+    val ranked = sample
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(langCol))))
+    val thresholds = ranked
+      .filter(col("__rk") === expr("(__n + 2) div 3") ||
+        col("__rk") === expr("(2 * __n + 2) div 3"))
+      .groupBy(col(langCol))
+      .agg(max(when(col("__rk") === expr("(__n + 2) div 3"),
+          col("score"))).as("__t_head"),
+        max(when(col("__rk") === expr("(2 * __n + 2) div 3"),
+          col("score"))).as("__t_mid"))
+    scored.join(thresholds, Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col("__t_head").isNull || col("score") >= col("__t_head"),
+          "head")
+        .when(col("score") >= col("__t_mid"), "middle")
+        .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("score"),
+        col("bucket"))
+  }
+
   /** Distributed byte-pair-encoding merge training (Sennrich et al.
     * 2016) — the real tokenizer-training loop, on Spark: lowercase
     * alnum words are counted once (ONE corpus scan; everything after

@@ -762,7 +762,49 @@ object PopGenQ extends QueryModule {
           FROM (SELECT vid, $dSql AS d FROM variants)))"""
     }))
 
+  // --- SNP–PC correlation (snpgdsPCACorr): Pearson corr between each
+  // variant's dosages and fixed ±1 sample-space vectors over called
+  // samples — dosage sums exact BIGINTs, vector sums exact ±1.0 doubles
+  // in the same left-associated order, one sqrt + one division. -------
+  private val q170 = Q("q170_pca_corr",
+    (s, dir) => PopGen.pcaCorr(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N, PCV),
+    Some(withCte {
+      def chain(term: Int => String) =
+        (0 until N).map(term).mkString(" + ")
+      def corrSql(vec: Seq[Double], l: Int) = {
+        val sv = chain(i =>
+          s"(CASE WHEN d[${i + 1}] IS NOT NULL THEN ${vec(i)} ELSE 0.0 END)")
+        val svv = chain(i =>
+          s"(CASE WHEN d[${i + 1}] IS NOT NULL THEN ${vec(i) * vec(i)} " +
+            "ELSE 0.0 END)")
+        val sdv = chain(i =>
+          s"(CASE WHEN d[${i + 1}] IS NOT NULL " +
+            s"THEN CAST(d[${i + 1}] AS DOUBLE) * ${vec(i)} ELSE 0.0 END)")
+        s"""CASE WHEN n >= 2 AND dx > 0
+             AND CAST(n AS DOUBLE) * ($svv) - ($sv) * ($sv) > 0
+           THEN (CAST(n AS DOUBLE) * ($sdv) - CAST(sd AS DOUBLE) * ($sv))
+                / sqrt(CAST(dx AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * ($svv) - ($sv) * ($sv)))
+           END AS corr_${l + 1}"""
+      }
+      s"""SELECT vid, n,
+        ${corrSql(PCV(0), 0)},
+        ${corrSql(PCV(1), 1)}
+      FROM (SELECT *, n * sdd - sd * sd AS dx
+        FROM (SELECT vid, d,
+            CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+              AS BIGINT) AS sd,
+            CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, x -> x IS NOT NULL), x -> x * x)), 0)
+              AS BIGINT) AS sdd
+          FROM (SELECT vid, $dSql AS d FROM variants)))"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137, q155, q163, q164, q165, q166)
+      q135, q136, q137, q155, q163, q164, q165, q166, q170)
 }

@@ -1329,6 +1329,42 @@ object TextDedup extends QueryModule {
       FROM e JOIN c USING (token)
       GROUP BY doc_id"""))
 
+  // --- CCNet head/middle/tail quality bucketing (Wenzek 2020): per-
+  // language tercile thresholds from a quota-capped hash sample (never
+  // a corpus-wide sort — the published design's scale choice), then a
+  // broadcast-size threshold join buckets the full corpus. The oracle
+  // replays the token-commonness score, the capped sample, the tercile
+  // ranks, and the gate. -----------------------------------------------
+  private val q169 = Q("q169_ccnet_buckets",
+    (s, dir) => graft.pipeline.TrainingData.ccnetBuckets(
+      Tables(s, dir, "documents")),
+    Some(s"""WITH t AS ($tokCte),
+      e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        GROUP BY 1),
+      sc AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS score
+        FROM e JOIN c USING (token) GROUP BY 1),
+      sl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+      samp AS (SELECT * FROM (SELECT sl.*,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrk
+        FROM sl) WHERE qrk <= 50),
+      rk2 AS (SELECT lang, score,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY score DESC, doc_id) AS r,
+          COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM samp),
+      thr AS (SELECT lang,
+          MAX(CASE WHEN r = (n + 2) // 3 THEN score END) AS t_head,
+          MAX(CASE WHEN r = (2*n + 2) // 3 THEN score END) AS t_mid
+        FROM rk2 GROUP BY 1)
+      SELECT sl.doc_id, sl.lang, n_tokens, score,
+        CASE WHEN t_head IS NULL OR score >= t_head THEN 'head'
+             WHEN score >= t_mid THEN 'middle' ELSE 'tail' END AS bucket
+      FROM sl LEFT JOIN thr USING (lang)"""))
+
   // --- distributed BPE merge training (Sennrich 2016): the oracle
   // unrolls the same deterministic loop — pair-count → argmax (ties
   // lexicographic) → literal merge — round by round in SQL, so the
@@ -1649,5 +1685,5 @@ object TextDedup extends QueryModule {
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167)
+      q160, q161, q167, q169)
 }

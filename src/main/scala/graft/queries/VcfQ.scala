@@ -476,6 +476,70 @@ object VcfQ extends QueryModule {
       FROM read_parquet(
         '/root/repo/scripts/oracle/imputed_ds_codes.parquet')"""))
 
+  // --- Weir–Cockerham Fst on REAL data: the CEU fixture through the
+  // native gds source, halves of the 90-sample cohort as the two
+  // populations, aggregated to the call-count-stratified exact-integer
+  // W&C sums (wcFstStrata — the multi-locus estimator's exact form
+  // under varying missingness). The oracle reparses the fixture's VCF
+  // twin per line in DuckDB and replays count extraction, the variance-
+  // component algebra, the validity gate, and the stratum rollup. A
+  // genotype decode drift, ploidy slip, or algebra error breaks the
+  // hash; PopGenSpec derives genome-wide θ from these strata. ---------
+  private val q171 = Q("q171_ceu_wc_fst",
+    (s, _) => {
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+      graft.operators.PopGen.wcFstStrata(
+        df.select(col("variant_id").as("vid"), col("geno")),
+        0 until 45, 45 until 90)
+    },
+    Some {
+      def half(lo: Int, hi: Int) =
+        (lo until hi).map(i => f"column$i%02d").mkString("[", ", ", "]")
+      def grp(g: String, c: String, x: String, h: String) =
+        s"""CAST(len(list_filter($g, sa -> len(sa) = 2
+             AND len(list_filter(sa, t -> t = '.')) = 0)) AS BIGINT)
+             AS $c,
+           CAST(COALESCE(list_sum(list_transform(
+             list_filter($g, sa -> len(sa) = 2
+               AND len(list_filter(sa, t -> t = '.')) = 0),
+             sa -> len(list_filter(sa, t -> t <> '0')))), 0) AS BIGINT)
+             AS $x,
+           CAST(len(list_filter($g, sa -> len(sa) = 2
+             AND len(list_filter(sa, t -> t = '.')) = 0
+             AND len(list_filter(sa, t -> t <> '0')) = 1)) AS BIGINT)
+             AS $h"""
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      g AS (SELECT
+          list_transform(${half(9, 54)}, s ->
+            string_split(replace(string_split(s, ':')[1], '|', '/'), '/'))
+            AS ga,
+          list_transform(${half(54, 99)}, s ->
+            string_split(replace(string_split(s, ':')[1], '|', '/'), '/'))
+            AS gb
+        FROM raw),
+      cnt AS (SELECT
+          ${grp("ga", "c1", "x1", "h1")},
+          ${grp("gb", "c2", "x2", "h2")}
+        FROM g),
+      comp AS (SELECT *, c1 + c2 AS nn, c1 * c2 AS mm,
+          x1*c2 - x2*c1 AS dd, x1 + x2 AS xx, h1 + h2 AS hh
+        FROM cnt),
+      t AS (SELECT *,
+          nn * (dd*dd*(nn-1) - mm*(xx*(2*nn-xx) - hh*nn)) AS a_i,
+          2*mm * (xx*(2*nn-xx)*mm - dd*dd - 2*hh*mm*(nn-1)) AS b_i,
+          4*mm*mm*(nn-2)*hh AS c_i
+        FROM comp)
+      SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n_loci,
+        CAST(SUM(a_i) AS BIGINT) AS sum_a,
+        CAST(SUM(b_i + c_i) AS BIGINT) AS sum_bc
+      FROM t WHERE c1 >= 1 AND c2 >= 1 AND nn > 2
+      GROUP BY 1, 2"""
+    })
+
   override def queries: Seq[Q] =
-    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157)
+    Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
+      q171)
 }

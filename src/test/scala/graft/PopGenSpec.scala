@@ -496,6 +496,50 @@ class PopGenSpec extends AnyFunSuite {
     }
   }
 
+  test("wcFstStrata on CEU: strata rebuild from per-variant counts; " +
+      "genome-wide theta near zero for same-population halves") {
+    val v = graft.sources.gds.Gds.read(spark,
+        "/root/reference/inst/extdata/CEU_Exon.gds")
+      .select(col("variant_id").as("vid"), col("geno"))
+    val strata = PopGen.wcFstStrata(v, 0 until 45, 45 until 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // independent rebuild: per-variant counts through the public wcFst
+    // surface, components recomputed in BigInt, grouped by stratum
+    val counts = PopGen.wcFst(v, 0 until 45, 45 until 90)
+      .select("c1", "x1", "h1", "c2", "x2", "h2").collect()
+      .map(r => (0 to 5).map(r.getLong).toList)
+    val expected = counts
+      .filter { case List(c1, _, _, c2, _, _) => c1 >= 1 && c2 >= 1 && c1 + c2 > 2 }
+      .groupBy { case List(c1, _, _, c2, _, _) => (c1, c2) }
+      .map { case ((c1, c2), rows) =>
+        var sa = BigInt(0); var sbc = BigInt(0)
+        for (List(_, x1, h1, _, x2, h2) <- rows) {
+          val nn = BigInt(c1 + c2); val mm = BigInt(c1 * c2)
+          val dd = BigInt(x1 * c2 - x2 * c1)
+          val xx = BigInt(x1 + x2); val hh = BigInt(h1 + h2)
+          val a = nn * (dd * dd * (nn - 1) - mm * (xx * (2 * nn - xx) - hh * nn))
+          val b = 2 * mm * (xx * (2 * nn - xx) * mm - dd * dd -
+            2 * hh * mm * (nn - 1))
+          val c = 4 * mm * mm * (nn - 2) * hh
+          sa += a; sbc += b + c
+        }
+        (c1, c2) -> ((rows.size.toLong, sa, sbc))
+      }
+    assert(strata.length == expected.size)
+    for ((c1, c2, n, sa, sbc) <- strata) {
+      val (en, esa, esbc) = expected((c1, c2))
+      assert(n == en && BigInt(sa) == esa && BigInt(sbc) == esbc,
+        s"stratum ($c1,$c2)")
+    }
+    // the halves are one population: genome-wide θ must sit near 0
+    val theta = PopGen.wcThetaFromStrata(
+      strata.map { case (c1, c2, _, sa, sbc) => (c1, c2, sa, sbc) })
+    assert(theta.abs < 0.02, s"theta=$theta")
+    assert(strata.map(_._3).sum == 1348 ||
+      strata.map(_._3).sum < 1348, "valid loci bounded by fixture size")
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
