@@ -224,9 +224,34 @@ final case class SeqVarData(variants: DataFrame,
     graft.operators.PopGen.hudsonFst(
       variants.select(col("variant_id").as("vid"), col("geno")), g1, g2)
 
+  /** snpgdsFst (Weir–Cockerham): see [[graft.operators.PopGen.wcFst]];
+    * `strata = true` returns the exact multi-locus sums
+    * ([[graft.operators.PopGen.wcFstStrata]]) instead of per-variant θ. */
+  def wcFst(g1: Seq[Int], g2: Seq[Int], strata: Boolean = false)
+      : DataFrame = {
+    val v = variants.select(col("variant_id").as("vid"), col("geno"))
+    if (strata) graft.operators.PopGen.wcFstStrata(v, g1, g2)
+    else graft.operators.PopGen.wcFst(v, g1, g2)
+  }
+
   /** snpgdsGRM (VanRaden): see [[graft.operators.PopGen.grm]]. */
   def grm(n: Int = -1): DataFrame =
     graft.operators.PopGen.grm(dosed, if (n > 0) n else nSamples)
+
+  /** snpgdsIBS: see [[graft.operators.PopGen.ibs]]. */
+  def ibs(n: Int = -1): DataFrame =
+    graft.operators.PopGen.ibs(dosed, if (n > 0) n else nSamples)
+
+  /** snpgdsPCACorr: see [[graft.operators.PopGen.pcaCorr]]. */
+  def pcaCorr(vecs: Seq[Seq[Double]], n: Int = -1): DataFrame =
+    graft.operators.PopGen.pcaCorr(dosed, if (n > 0) n else nSamples, vecs)
+
+  /** snpgdsPCASampLoading + snpgdsPCASampProj: SNP loadings for the
+    * supplied eigenvectors, then projection of `newV`-shaped cohorts —
+    * see [[graft.operators.PopGen.pcaLoadings]] / `pcaProject`. */
+  def pcaLoadings(vecs: Seq[Seq[Double]], n: Int = -1): DataFrame =
+    graft.operators.PopGen.pcaLoadings(dosed,
+      if (n > 0) n else nSamples, vecs)
 
   /** snpgdsPCA: GRM + deterministic power iteration. Small cohorts
     * (≤ 8192 samples) collect the S×S GRM to the driver; above that the

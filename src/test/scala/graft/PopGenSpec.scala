@@ -380,6 +380,14 @@ class PopGenSpec extends AnyFunSuite {
       .filter(col("chi2").isNotNull).count() == 2)
     val (evs, _) = v.pca(1)
     assert(evs(0) > 0)
+    // round-6 surface: W&C Fst (per-variant + strata), IBS, PCA corr /
+    // loadings
+    assert(v.wcFst(Seq(0, 1), Seq(2, 3)).count() == 2)
+    assert(v.wcFst(Seq(0, 1), Seq(2, 3), strata = true).count() == 1)
+    assert(v.ibs().count() == 10)
+    val vecs = Seq(Seq(1.0, -1.0, 1.0, -1.0))
+    assert(v.pcaCorr(vecs).columns.contains("corr_1"))
+    assert(v.pcaLoadings(vecs).columns.contains("b_1"))
   }
 
   test("wcFst integer closed form == textbook Weir–Cockerham on a " +
