@@ -527,6 +527,20 @@ object SeqArray {
       sampleIdList(d), gdsPath)
   }
 
+  /** seqApply(…, as.is = "gdsn") analog (reference R/Methods.R:594-683:
+    * stream apply results into a node of an output GDS file): evaluate
+    * a per-variant expression over the handle's (filtered) variants and
+    * write the result as a NEW `annotation/info/<name>` node of a fresh
+    * container alongside the data — read back through `Gds.read`, the
+    * node surfaces as `info_<name>`. Single-file reference-compat
+    * writer (driver-streamed); the sharded exporter is the scale path
+    * for the same shape. */
+  def seqApplyToGds(d: SeqVarData, name: String, value: Column,
+      gdsPath: String, storage: String = "LZMA_ra"): Unit =
+    graft.sources.gds.GdsWrite.write(
+      d.variants.withColumn(s"info_$name", value),
+      sampleIdList(d), gdsPath, storage)
+
   /** seqGDS2VCF file-level: core columns of a `.gds` back to a VCF text
     * file (header rebuilt from the sample axis; info columns export via
     * [[Vcf.formatLines]]'s infoExpr hook when needed). A `.gz` suffix

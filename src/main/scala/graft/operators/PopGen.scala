@@ -257,6 +257,8 @@ object PopGen {
     * is one exact division of the two BIGINT counts, so every imputed
     * value replays bit-for-bit in SQL. Pure projection. */
   def imputeMeanDosage(v: DataFrame, nSamples: Int): DataFrame = {
+    require(!v.columns.exists(Set("n", "a", "d_imp")),
+      "imputeMeanDosage writes n/a/d_imp columns; the input already has one")
     val called = (0 until nSamples)
       .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)

@@ -72,6 +72,30 @@ class GdsWriteSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq == samples)
   }
 
+  test("seqApplyToGds: per-variant apply result lands as a new " +
+      "annotation/info node and reads back exactly") {
+    // the as.is="gdsn" analog: an AC-style derived value computed over
+    // the handle streams into annotation/info/MYAC of a fresh container
+    val d = graft.api.SeqArray.openGds(spark, s"$extdata/CEU_Exon.gds")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_gdsn").toString + "/applied.gds"
+    val ac = graft.functions.genetics.alleleCount(
+      org.apache.spark.sql.functions.col("geno"),
+      org.apache.spark.sql.functions.lit(0))
+    graft.api.SeqArray.seqApplyToGds(d, "MYAC", ac, out)
+    val back = Gds.read(spark, out)
+    assert(back.columns.contains("info_MYAC"))
+    // node values == recomputing the expression on the ORIGINAL handle
+    val expected = d.variants.select(col("variant_id"), ac.as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.select(col("variant_id"), col("info_MYAC"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue)
+    assert(got.length == 1348)
+    got.foreach { case (vid, v) => assert(v == expected(vid), s"vid=$vid") }
+    // and the container still audits clean
+    assert(Gds.check(spark, out).filter(!col("ok")).count() == 0)
+  }
+
   test("5-allele cube forces two genotype bit-planes and round-trips") {
     import spark.implicits._
     // codes up to 4 ⇒ missing sentinel must move to 15 (np=2)
