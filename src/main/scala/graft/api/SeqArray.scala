@@ -242,6 +242,12 @@ final case class SeqVarData(variants: DataFrame,
   def ibs(n: Int = -1): DataFrame =
     graft.operators.PopGen.ibs(dosed, if (n > 0) n else nSamples)
 
+  /** Relatedness-aware family-wise train/val split: see
+    * [[graft.operators.PopGen.familySplit]]. */
+  def familySplit(phiMax: Double, n: Int = -1): DataFrame =
+    graft.operators.PopGen.familySplit(dosed,
+      if (n > 0) n else nSamples, phiMax)
+
   /** snpgdsPCACorr: see [[graft.operators.PopGen.pcaCorr]]. */
   def pcaCorr(vecs: Seq[Seq[Double]], n: Int = -1): DataFrame =
     graft.operators.PopGen.pcaCorr(dosed, if (n > 0) n else nSamples, vecs)

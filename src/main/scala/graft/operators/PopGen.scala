@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Population-genetics statistics over the two-table variant model — the
@@ -565,18 +566,20 @@ object PopGen {
     * per-(variant, pair) counter explode as q109 (map-side combined to
     * #pairs rows); call rates ride a posexplode_outer counter pass; the
     * pair table is pairs-sized, so every downstream join broadcasts. */
-  def kinshipPrune(v: DataFrame, nSamples: Int, phiMax: Double)
-      : DataFrame = {
+  /** KING-robust kinship per sample pair — the shared pair stage of
+    * [[kinshipPrune]] and [[familySplit]]: per-(variant, pair) counters
+    * partial-aggregate map-side to the S·(S−1)/2 pair rows. */
+  private def kinshipPairs(v: DataFrame, nSamples: Int): DataFrame = {
     val pairsLit = array((for {
       i <- 0 until nSamples
       j <- (i + 1) until nSamples
     } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    val rows = v.select(col("d"), explode(pairsLit).as("p"))
+    v.select(col("d"), explode(pairsLit).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"),
         element_at(col("d"), col("p.i") + 1).as("di"),
         element_at(col("d"), col("p.j") + 1).as("dj"))
       .filter(col("di").isNotNull && col("dj").isNotNull)
-    val kin = rows.groupBy(col("i"), col("j"))
+      .groupBy(col("i"), col("j"))
       .agg(
         sum(when(col("di") === 1, 1L).otherwise(0L)).as("n_het_i"),
         sum(when(col("dj") === 1, 1L).otherwise(0L)).as("n_het_j"),
@@ -588,6 +591,56 @@ object PopGen {
         when(col("n_het_i") + col("n_het_j") > 0,
           (col("n_het_both").cast("double") - lit(2.0) * col("n_opp"))
             / (col("n_het_i") + col("n_het_j")).cast("double")))
+  }
+
+  /** Relatedness-aware (family-wise) train/val split — the leakage
+    * guard genomic ML needs where the corpus pipeline's trainValSplit
+    * is not enough: related samples must never straddle the split (a
+    * sibling in val leaks the train sibling's genome). Families =
+    * connected components of the φ > `phiMax` KING kinship graph;
+    * every family lands WHOLLY in one side by the md5 nibble of its
+    * smallest member ordinal (the same `holdout` rule as the corpus
+    * trainValSplit, so mixed pipelines share one convention). The
+    * kinship pass is the distributed stage (same pair contract as
+    * [[kinshipPrune]]); component labelling is driver-side union–find
+    * over the collected φ-filtered PAIR list — sample-axis-sized (the
+    * samples table is driver-scale by design, SURVEY §1.5), a few edges
+    * per related sample. Emits (s, family, n_family, split). */
+  def familySplit(v: DataFrame, nSamples: Int, phiMax: Double,
+      holdout: Seq[String] = Seq("c", "d", "e", "f")): DataFrame = {
+    val rel = kinshipPairs(v, nSamples)
+      .filter(col("kinship") > phiMax)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val parent = Array.tabulate(nSamples)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rel.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    // root = smallest ordinal of the component (unions always point to
+    // the smaller root, so find() IS the family label)
+    val fams = (0 until nSamples).map(find)
+    val spark = v.sparkSession
+    import spark.implicits._
+    fams.zipWithIndex.map { case (f, s) => (s, f) }
+      .toDF("s", "family")
+      .withColumn("n_family",
+        count(lit(1)).over(Window.partitionBy(col("family"))))
+      .withColumn("split",
+        when(substring(md5(col("family").cast("string").cast("binary")),
+          1, 1).isin(holdout: _*), "val").otherwise("train"))
+  }
+
+  def kinshipPrune(v: DataFrame, nSamples: Int, phiMax: Double)
+      : DataFrame = {
+    val kin = kinshipPairs(v, nSamples)
       .filter(col("kinship") > phiMax)
     val callrate = v
       .select(posexplode_outer(col("d")).as(Seq("s", "x")))

@@ -804,7 +804,51 @@ object PopGenQ extends QueryModule {
           FROM (SELECT vid, $dSql AS d FROM variants)))"""
     }))
 
+  // --- relatedness-aware family-wise train/val split: the genomic-ML
+  // leakage guard (related samples never straddle the split). Families
+  // are connected components of the φ > 0.05 KING graph; the oracle
+  // replays the kinship pass, the components (recursive CTE), and the
+  // md5 family-level assignment. ---------------------------------------
+  private val q172 = Q("q172_family_split",
+    (s, dir) => PopGen.familySplit(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N, phiMax = 0.05),
+    Some(s"""WITH RECURSIVE variants AS (${SynthGeno.sqlCte}),
+      dd AS (SELECT $dSql AS d FROM variants),
+      pr AS (SELECT ii.i, jj.j
+        FROM (SELECT unnest(range(0, $N)) AS i) ii,
+             (SELECT unnest(range(0, $N)) AS j) jj
+        WHERE jj.j > ii.i),
+      kin AS (SELECT pr.i, pr.j,
+          CASE WHEN SUM(CASE WHEN d[pr.i+1] = 1 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN d[pr.j+1] = 1 THEN 1 ELSE 0 END) > 0
+               THEN (CAST(SUM(CASE WHEN d[pr.i+1] = 1 AND d[pr.j+1] = 1
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                     - 2.0 * SUM(CASE WHEN abs(d[pr.i+1] - d[pr.j+1]) = 2
+                        THEN 1 ELSE 0 END))
+                    / CAST(SUM(CASE WHEN d[pr.i+1] = 1 THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN d[pr.j+1] = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+          END AS kinship
+        FROM dd, pr
+        WHERE d[pr.i+1] IS NOT NULL AND d[pr.j+1] IS NOT NULL
+        GROUP BY 1, 2),
+      rel AS (SELECT i, j FROM kin WHERE kinship > 0.05),
+      edges AS (SELECT i AS src, j AS dst FROM rel
+        UNION ALL SELECT j, i FROM rel),
+      comp(id, lbl) AS (
+        SELECT i, i FROM (SELECT unnest(range(0, $N)) AS i)
+        UNION
+        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
+      fam AS (SELECT id AS s, MIN(lbl) AS family FROM comp GROUP BY 1)
+      SELECT CAST(s AS INT) AS s, CAST(family AS INT) AS family,
+        CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT) AS n_family,
+        CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 1)
+               IN ('c', 'd', 'e', 'f') THEN 'val' ELSE 'train' END AS split
+      FROM fam"""))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137, q155, q163, q164, q165, q166, q170)
+      q135, q136, q137, q155, q163, q164, q165, q166, q170, q172)
 }

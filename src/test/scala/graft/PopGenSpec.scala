@@ -548,6 +548,31 @@ class PopGenSpec extends AnyFunSuite {
       strata.map(_._3).sum < 1348, "valid loci bounded by fixture size")
   }
 
+  test("familySplit: whole families stay on one side, components match " +
+      "a hand-checked kinship graph") {
+    import spark.implicits._
+    // two parent-child duos (share one haplotype) + two unrelated:
+    // kinship(0,1) and kinship(2,3) high, cross-pairs low
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map { vid =>
+      val h = Array.fill(6)(rng.nextInt(2).toLong)
+      // s0,s1 share h(0); s2,s3 share h(1); s4,s5 independent
+      def g(shared: Long) = shared + rng.nextInt(2)
+      (vid, Seq[java.lang.Long](g(h(0)), g(h(0)), g(h(1)), g(h(1)),
+        rng.nextInt(3).toLong, rng.nextInt(3).toLong))
+    }
+    val r = PopGen.familySplit(rows.toDF("vid", "d"), 6, phiMax = 0.15)
+      .collect().map(x => x.getInt(0) ->
+        (x.getInt(1), x.getLong(2), x.getString(3))).toMap
+    // duos form families, unrelated samples are singletons
+    assert(r(0)._1 == r(1)._1 && r(0)._2 == 2L)
+    assert(r(2)._1 == r(3)._1 && r(2)._2 == 2L)
+    assert(r(0)._1 != r(2)._1)
+    assert(r(4)._2 == 1L && r(5)._2 == 1L && r(4)._1 != r(5)._1)
+    // the leakage guard itself: split is a FUNCTION of the family
+    assert(r.values.groupBy(_._1).forall(_._2.map(_._3).toSet.size == 1))
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
