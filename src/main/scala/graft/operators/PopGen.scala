@@ -61,7 +61,7 @@ object PopGen {
     * deterministic), so the predicate routes through a referenced
     * non-deterministic pin column — always-false disjunct, one long
     * comparison per row. */
-  private def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
+  private[graft] def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
     df.withColumn("__pin", monotonically_increasing_id())
       .filter(cond || col("__pin") < 0)
       .drop("__pin")
@@ -370,7 +370,8 @@ object PopGen {
     * (vid, n, r, sx, sx_case, chi2), chi2 NULL when the denominator is 0
     * (monomorphic site or single-class phenotype). Pure projection —
     * zero shuffles. */
-  def trendTest(v: DataFrame, isCase: Seq[Boolean]): DataFrame = {
+  def trendTest(v: DataFrame, isCase: Seq[Boolean],
+      carry: Seq[String] = Nil): DataFrame = {
     val nSamples = isCase.length
     def d(s: Int) = element_at(col("d"), s + 1)
     def sumOver(f: Int => Column) =
@@ -382,7 +383,7 @@ object PopGen {
     val sxc = sumOver(s =>
       when(lit(isCase(s)), coalesce(d(s), lit(0L))).otherwise(0L))
     val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
-    v.select(col("vid"), col("d"))
+    v.select(col("vid") +: col("d") +: carry.map(col): _*)
       .withColumn("n", n).withColumn("r", r)
       .withColumn("sx", sx).withColumn("sx_case", sxc)
       .withColumn("sxx", sxx)
@@ -394,8 +395,8 @@ object PopGen {
         when(col("v_i") > 0,
           (col("n") * col("u") * col("u")).cast("double")
             / col("v_i").cast("double")))
-      .select(col("vid"), col("n"), col("r"), col("sx"), col("sx_case"),
-        col("chi2"))
+      .select(Seq(col("vid"), col("n"), col("r"), col("sx"),
+        col("sx_case"), col("chi2")) ++ carry.map(col): _*)
   }
 
   /** Polygenic risk score: per sample, Σ_i w_i · x_is over called sites,
@@ -1061,7 +1062,7 @@ object PopGen {
     * Input `v` carries vid, chrom, pos, d. Emits surviving
     * (vid, chrom, pos, maf). */
   def ldPrune(v: DataFrame, window: Long, r2Max: Double,
-      nSamples: Int): DataFrame = {
+      nSamples: Int, keepInput: Boolean = false): DataFrame = {
     val called = (0 until nSamples)
       .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)
@@ -1088,7 +1089,9 @@ object PopGen {
         .when(col("maf_b") < col("maf_a"), col("vid_b"))
         .otherwise(greatest(col("vid_a"), col("vid_b"))).as("vid"))
       .distinct()
-    withMaf.select(col("vid"), col("chrom"), col("pos"), col("maf"))
-      .join(victims, Seq("vid"), "left_anti")
+    val kept =
+      if (keepInput) withMaf.drop("n_c", "a_c")
+      else withMaf.select(col("vid"), col("chrom"), col("pos"), col("maf"))
+    kept.join(victims, Seq("vid"), "left_anti")
   }
 }

@@ -848,7 +848,126 @@ object PopGenQ extends QueryModule {
                IN ('c', 'd', 'e', 'f') THEN 'val' ELSE 'train' END AS split
       FROM fam"""))
 
+  // --- the composed GWAS pipeline — the genomic counterpart of the
+  // corpus-release rehearsal (q161): QC gates (MAF ≥ 0.05, call rate ≥
+  // 75%, HWE χ² < 6 — all exact cross-multiplied integers, never a
+  // double compare) → MAF-ranked LD pruning → Cochran–Armitage trend
+  // test on the survivors, as ONE plan over one scan of the cube. The
+  // oracle replays every stage: genotype classes, the three gates, the
+  // banded pair r² pruning, and the trend statistic. -------------------
+  private val q173 = Q("q173_gwas_pipeline",
+    (s, dir) => {
+      val v0 = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d"))
+      val stats = v0
+        .withColumn("n_aa", size(filter(col("d"), x => x === 0)).cast("long"))
+        .withColumn("n_ab", size(filter(col("d"), x => x === 1)).cast("long"))
+        .withColumn("n_bb", size(filter(col("d"), x => x === 2)).cast("long"))
+        .withColumn("ng", col("n_aa") + col("n_ab") + col("n_bb"))
+        .withColumn("x", lit(4L) * col("n_aa") * col("n_bb")
+          - col("n_ab") * col("n_ab"))
+        .withColumn("y", lit(2L) * col("n_aa") + col("n_ab"))
+        .withColumn("z", lit(2L) * col("n_bb") + col("n_ab"))
+      // exact integer gates; pinned so the pushed predicate cannot
+      // re-evaluate the dosage kernel below the scan (the q126 lesson)
+      val qc = PopGen.pinnedFilter(stats,
+        lit(20L) * least(col("y"), col("z")) >= lit(2L) * col("ng") &&
+        col("ng") >= 6L &&
+        !(col("y") > 0 && col("z") > 0 &&
+          col("ng") * col("x") * col("x")
+            >= lit(6L) * col("y") * col("y") * col("z") * col("z")))
+      // one LINEAR chain — prune carries the input through (keepInput)
+      // and the trend statistic is a projection over the survivors with
+      // chrom/pos/maf carried, so the cube is scanned exactly ONCE
+      // (plan-locked) and no self-join re-reads it
+      val pruned = PopGen.ldPrune(
+        qc.select(col("vid"), col("chrom"), col("pos"), col("d")),
+        LD_WINDOW, R2_MAX, N, keepInput = true)
+      PopGen.trendTest(pruned, phenoCase,
+          carry = Seq("chrom", "pos", "maf"))
+        .select(col("vid"), col("chrom"), col("pos"), col("maf"),
+          col("n"), col("chi2"))
+    },
+    Some(withCte {
+      val caseIdx = phenoCase.zipWithIndex.filter(_._1).map(_._2)
+      val rSql = caseIdx
+        .map(i => s"(CASE WHEN d[${i + 1}] IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val sxcSql = caseIdx.map(i => s"COALESCE(d[${i + 1}], 0)")
+        .mkString(" + ")
+      s""", st0 AS (SELECT vid, chrom, pos, d,
+          n_aa, n_ab, n_bb, n_aa + n_ab + n_bb AS ng,
+          4*n_aa*n_bb - n_ab*n_ab AS x,
+          2*n_aa + n_ab AS y, 2*n_bb + n_ab AS z
+        FROM (SELECT vid, chrom, pos, d,
+            CAST(len(list_filter(d, v -> v = 0)) AS BIGINT) AS n_aa,
+            CAST(len(list_filter(d, v -> v = 1)) AS BIGINT) AS n_ab,
+            CAST(len(list_filter(d, v -> v = 2)) AS BIGINT) AS n_bb
+          FROM (SELECT vid, chrom, pos, $dSql AS d FROM variants
+            WHERE vid % $LD_MOD = 0))),
+      qc AS (SELECT * FROM st0
+        WHERE 20 * least(y, z) >= 2 * ng AND ng >= 6
+          AND NOT (y > 0 AND z > 0 AND ng*x*x >= 6*y*y*z*z)),
+      mf AS (SELECT vid, chrom, pos, d,
+          CASE WHEN ng > 0
+               THEN CAST(least(z, y) AS DOUBLE) / CAST(2*ng AS DOUBLE)
+               ELSE 0.0 END AS maf,
+          CAST(len(list_filter(d, v -> v IS NOT NULL)) AS BIGINT) AS tn,
+          CAST($rSql AS BIGINT) AS r,
+          CAST(COALESCE(list_sum(list_filter(d, v -> v IS NOT NULL)), 0)
+            AS BIGINT) AS sx,
+          CAST($sxcSql AS BIGINT) AS sx_case,
+          CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, v -> v IS NOT NULL), v -> v*v)), 0)
+            AS BIGINT) AS sxx
+        FROM qc),
+      pr AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+          a.maf AS maf_a, b.maf AS maf_b,
+          list_filter(list_transform(range(1, ${N + 1}), i ->
+              CASE WHEN a.d[i] IS NOT NULL AND b.d[i] IS NOT NULL
+                   THEN {'x': a.d[i], 'y': b.d[i]} END),
+            p -> p IS NOT NULL) AS obs
+        FROM mf a JOIN mf b ON a.chrom = b.chrom
+          AND (a.pos < b.pos OR (a.pos = b.pos AND a.vid < b.vid))
+          AND b.pos - a.pos <= $LD_WINDOW),
+      st2 AS (SELECT vid_a, vid_b, maf_a, maf_b,
+          CAST(len(obs) AS BIGINT) AS n,
+          CAST(COALESCE(list_sum(list_transform(obs, p -> p.x)), 0)
+            AS BIGINT) AS sx,
+          CAST(COALESCE(list_sum(list_transform(obs, p -> p.y)), 0)
+            AS BIGINT) AS sy,
+          CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.y)), 0)
+            AS BIGINT) AS sxy,
+          CAST(COALESCE(list_sum(list_transform(obs, p -> p.x * p.x)), 0)
+            AS BIGINT) AS sxx,
+          CAST(COALESCE(list_sum(list_transform(obs, p -> p.y * p.y)), 0)
+            AS BIGINT) AS syy
+        FROM pr),
+      r2s AS (SELECT vid_a, vid_b, maf_a, maf_b,
+          CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+               THEN (CAST(n*sxy - sx*sy AS DOUBLE)
+                     * CAST(n*sxy - sx*sy AS DOUBLE))
+                    / (CAST(n*sxx - sx*sx AS DOUBLE)
+                       * CAST(n*syy - sy*sy AS DOUBLE)) END AS r2
+        FROM st2),
+      vict AS (SELECT DISTINCT
+          CASE WHEN maf_a < maf_b THEN vid_a
+               WHEN maf_b < maf_a THEN vid_b
+               ELSE greatest(vid_a, vid_b) END AS vid
+        FROM r2s WHERE r2 >= $R2_MAX)
+      SELECT vid, chrom, pos, maf, tn AS n,
+        CASE WHEN r*(tn - r)*(tn*sxx - sx*sx) > 0
+             THEN CAST(tn*(tn*sx_case - r*sx)*(tn*sx_case - r*sx)
+                    AS DOUBLE)
+                  / CAST(r*(tn - r)*(tn*sxx - sx*sx) AS DOUBLE)
+        END AS chi2
+      FROM mf
+      WHERE vid NOT IN (SELECT vid FROM vict)"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137, q155, q163, q164, q165, q166, q170, q172)
+      q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173)
 }

@@ -451,6 +451,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q173: the GWAS pipeline is one linear chain — banded prune " +
+      "join + one anti-join, trend stats as a projection above them") {
+    val p = plan("q173_gwas_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly the banded LD pair join and the victims anti-join — a
+    // third join would mean the trend stage re-joined the cube (the
+    // shape the keepInput/carry threading exists to avoid)
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 2, s"expected 2 joins, got $joins:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+    // scans: the pruned chain + the two sides of the banded self-join
+    assert("FileScan".r.findAllIn(p).size == 3, p)
+  }
+
   test("q121/q122/q124: GRM, inbreeding, PRS partial-aggregate before " +
       "their one counter exchange") {
     for (q <- Seq("q121_grm", "q122_inbreeding", "q124_prs")) {
