@@ -364,6 +364,108 @@ object Multimodal {
       nFrames * spf * 1000.0 / rate))
   }
 
+  /** ID3v2 text-frame extraction — the tag metadata (title / artist /
+    * album / …) an audio pipeline shards and filters on, parsed from
+    * the same public layout [[parseMp3]] skips over: "ID3", version,
+    * syncsafe tag length, then frames of (4-byte id, size — syncsafe in
+    * v2.4, plain big-endian in ≤v2.3 — 2 flag bytes, payload). Text
+    * frames (`T…`) carry an encoding byte then the value; ISO-8859-1
+    * (0), UTF-16 with BOM (1), UTF-16BE (2) and UTF-8 (3) all decode.
+    * Returns frame-id → text for every text frame, trimmed at the
+    * first NUL (multi-value tags keep the first value); empty map when
+    * no ID3v2 tag leads the payload. A corrupt frame header ends the
+    * walk cleanly — never an exception. */
+  def parseId3(payload: Array[Byte]): Map[String, String] = {
+    if (payload == null || payload.length < 10) return Map.empty
+    def b(i: Int): Int = payload(i) & 0xff
+    if (!(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return Map.empty
+    val major = b(3)
+    val tagEnd = math.min(payload.length,
+      10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)))
+    var off = 10
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var stop = false
+    while (!stop && off + 10 <= tagEnd) {
+      val id = new String(payload, off, 4, "ISO-8859-1")
+      if (!id.forall(c => c.isUpper || c.isDigit)) stop = true
+      else {
+        val size =
+          if (major >= 4)
+            ((b(off + 4) & 0x7f) << 21) | ((b(off + 5) & 0x7f) << 14) |
+              ((b(off + 6) & 0x7f) << 7) | (b(off + 7) & 0x7f)
+          else (b(off + 4) << 24) | (b(off + 5) << 16) |
+            (b(off + 6) << 8) | b(off + 7)
+        if (size <= 0 || off + 10 + size > tagEnd) stop = true
+        else {
+          if (id.startsWith("T") && size >= 1) {
+            val enc = b(off + 10)
+            val body = java.util.Arrays.copyOfRange(
+              payload, off + 11, off + 10 + size)
+            val text = enc match {
+              case 0 => new String(body, "ISO-8859-1")
+              case 1 => new String(body, "UTF-16")
+              case 2 => new String(body, "UTF-16BE")
+              case 3 => new String(body, "UTF-8")
+              case _ => ""
+            }
+            val cut = text.indexOf('\u0000')
+            out(id) = if (cut >= 0) text.substring(0, cut) else text
+          }
+          off += 10 + size
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Deterministic ID3v2.4 tag with UTF-8 text frames — the fixture
+    * generator for [[parseId3]]; returns the complete tag bytes
+    * (header + frames, no padding). Prepend to [[syntheticMp3]] audio
+    * or use standalone. */
+  def syntheticId3(frames: Seq[(String, String)]): Array[Byte] = {
+    require(frames.forall(_._1.length == 4), "frame ids are 4 chars")
+    val body = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- frames) {
+      val payload = text.getBytes("UTF-8")
+      val size = payload.length + 1
+      body.write(id.getBytes("ISO-8859-1"))
+      body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+      body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      body.write(0); body.write(0)
+      body.write(3) // UTF-8
+      body.write(payload, 0, payload.length)
+    }
+    val frameBytes = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(4); out.write(0); out.write(0)
+    val n = frameBytes.length
+    out.write((n >> 21) & 0x7f); out.write((n >> 14) & 0x7f)
+    out.write((n >> 7) & 0x7f); out.write(n & 0x7f)
+    out.write(frameBytes, 0, n)
+    out.toByteArray
+  }
+
+  /** Typed tag-metadata record for the partition-batched path. */
+  final case class Id3Feature(doc_id: Long, title: String, artist: String,
+      album: String, n_frames_tag: Int)
+
+  /** Partition-batched ID3 tag extraction: the standard TIT2 / TPE1 /
+    * TALB text frames plus the total text-frame count; rows with no
+    * leading ID3v2 tag are dropped (the caller filters media_type
+    * upstream). */
+  def decodeId3All(media: Dataset[MediaRow]): Dataset[Id3Feature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val tags = parseId3(r.payload)
+      if (tags.isEmpty) None
+      else Some(Id3Feature(r.doc_id,
+        tags.getOrElse("TIT2", ""), tags.getOrElse("TPE1", ""),
+        tags.getOrElse("TALB", ""), tags.size))
+    })
+  }
+
   /** Deterministic MPEG-1 Layer III CBR stream: `nFrames` frames at
     * sample-rate index `sri` (44100/48000/32000) and bitrate index
     * `kbpsIdx` (1–14 of the Layer III table), odd frames padded, mono,
@@ -432,6 +534,24 @@ object Multimodal {
           sri = (id % 3).toInt,
           kbpsIdx = (id % 14 + 1).toInt,
           tagLen = (id % 64).toInt))
+      })
+  }
+
+  /** Tagged compressed-audio fixture table: a real ID3v2.4 tag (title /
+    * artist / album formulas of `doc_id`) in front of a real MPEG
+    * stream — both walks ([[parseId3]], [[parseMp3]]) replay in SQL. */
+  def syntheticTaggedMp3Table(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val tag = syntheticId3(Seq(
+          "TIT2" -> s"title_$id",
+          "TPE1" -> s"artist_${id % 7}",
+          "TALB" -> s"album_${id % 13}"))
+        MediaRow(id, "audio",
+          tag ++ syntheticMp3((id % 20 + 5).toInt, (id % 3).toInt, 9))
       })
   }
 

@@ -195,6 +195,24 @@ object MultimodalQ extends QueryModule {
           + nf * (144 * kbps * 1000 // rate) + nf // 2 AS INT) AS n_bytes
       FROM p"""))
 
+  // REAL tag-metadata extraction: ID3v2.4 text frames (title/artist/
+  // album are formulas of doc_id) parsed from the byte layout in front
+  // of a real MPEG stream — the metadata an audio corpus shards and
+  // filters on. A frame-size slip, encoding-byte mixup, or tag-bounds
+  // error breaks the hash.
+  private val q174 = Q("q174_id3_tags",
+    (s, dir) => Multimodal.decodeId3All(
+        Multimodal.syntheticTaggedMp3Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("title"), col("artist"), col("album"),
+        col("n_frames_tag")),
+    Some("""SELECT doc_id,
+        'title_' || CAST(doc_id AS VARCHAR) AS title,
+        'artist_' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+        'album_' || CAST(doc_id % 13 AS VARCHAR) AS album,
+        CAST(3 AS INT) AS n_frames_tag
+      FROM documents"""))
+
   // --- content-level image near-dup via dHash over REAL decoded
   // pixels: even docs carry a solid PNG (fill varies with doc_id —
   // every payload's BYTES differ, so q84's block hashes see nothing),
@@ -231,5 +249,5 @@ object MultimodalQ extends QueryModule {
       FROM documents"""))
 
   override def queries: Seq[Q] =
-    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162)
+    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174)
 }

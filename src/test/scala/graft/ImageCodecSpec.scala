@@ -72,6 +72,45 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.parseMp3(free).isEmpty)
   }
 
+  test("ID3v2: text frames decode in all four encodings, NULs trim, " +
+      "corrupt frames stop cleanly, the MP3 walk coexists") {
+    val tag = Multimodal.syntheticId3(Seq(
+      "TIT2" -> "A Title", "TPE1" -> "Someone", "TXXX" -> "extra"))
+    val tags = Multimodal.parseId3(tag)
+    assert(tags == Map("TIT2" -> "A Title", "TPE1" -> "Someone",
+      "TXXX" -> "extra"))
+    // hand-built v2.3 frame (plain big-endian size) with UTF-16 text
+    val text16 = "\ufeffTitre".getBytes("UTF-16BE")
+    // encoding 1 expects a BOM; build: 'TIT2' size flags enc payload
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("TIT2".getBytes("ISO-8859-1"))
+    val sz = text16.length + 1
+    body.write(sz >> 24); body.write((sz >> 16) & 0xff)
+    body.write((sz >> 8) & 0xff); body.write(sz & 0xff)
+    body.write(0); body.write(0); body.write(1)
+    body.write(text16, 0, text16.length)
+    val fb = body.toByteArray
+    val v23 = new java.io.ByteArrayOutputStream()
+    v23.write('I'); v23.write('D'); v23.write('3')
+    v23.write(3); v23.write(0); v23.write(0)
+    v23.write((fb.length >> 21) & 0x7f); v23.write((fb.length >> 14) & 0x7f)
+    v23.write((fb.length >> 7) & 0x7f); v23.write(fb.length & 0x7f)
+    v23.write(fb, 0, fb.length)
+    assert(Multimodal.parseId3(v23.toByteArray) == Map("TIT2" -> "Titre"))
+    // NUL-terminated values trim at the first NUL
+    val nulTag = Multimodal.syntheticId3(Seq("TALB" -> "Album\u0000junk"))
+    assert(Multimodal.parseId3(nulTag) == Map("TALB" -> "Album"))
+    // no tag / prose bytes → empty; corrupt frame id ends the walk
+    assert(Multimodal.parseId3("no tag here at all!!".getBytes).isEmpty)
+    val corrupt = tag.clone()
+    corrupt(10) = 'x'.toByte // lowercase id byte: invalid frame id
+    assert(Multimodal.parseId3(corrupt).isEmpty)
+    // tag + frames: BOTH walks see their half
+    val full = tag ++ Multimodal.syntheticMp3(6, 0, 9)
+    assert(Multimodal.parseId3(full).size == 3)
+    assert(Multimodal.parseMp3(full).map(_.n_frames).contains(6L))
+  }
+
   test("decode() audio lane: WAV first, MP3 header fallback, stub last") {
     val mp3 = Multimodal.syntheticMp3(nFrames = 8, sri = 2, kbpsIdx = 5)
     val f = Multimodal.decode(Multimodal.MediaRow(3L, "audio", mp3))
