@@ -213,6 +213,81 @@ object MultimodalQ extends QueryModule {
         CAST(3 AS INT) AS n_frames_tag
       FROM documents"""))
 
+  // --- the MEDIA-RELEASE rehearsal: the multimodal counterpart of the
+  // corpus-release (q161) and GWAS (q173) pipelines — a mixed media
+  // corpus with PLANTED byte-duplicate payloads (even docs: solid PNGs
+  // keyed by doc_id%97; odd docs: tagged MPEG streams keyed by
+  // doc_id%83 — same key ⇒ identical bytes) flows through exact
+  // byte-level keep-first dedup → REAL decode (ImageIO dims/brightness,
+  // MPEG frame walk) → md5 shard assignment with deterministic
+  // in-shard order. The oracle replays the duplicate structure, the
+  // decode formulas per lane, and the shard math. ----------------------
+  private val q175 = Q("q175_media_release",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val media = graft.core.Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) {
+            val k = (id % 97).toInt
+            Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(
+              k % 24 + 8, (k * 3) % 24 + 8, (k * 37) % 256))
+          } else {
+            val k = (id % 83).toInt
+            val tag = Multimodal.syntheticId3(Seq("TIT2" -> s"t_$k"))
+            Multimodal.MediaRow(id, "audio",
+              tag ++ Multimodal.syntheticMp3(k % 20 + 5, k % 3, 9))
+          }
+        })
+      val w = Window.partitionBy(col("__fp"))
+      val kept = media.toDF()
+        .withColumn("__fp", md5(col("payload")))
+        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(w))
+        .filter(col("__keep")).drop("__fp", "__keep")
+      val feats = kept.as[Multimodal.MediaRow]
+        .mapPartitions(_.map(Multimodal.decode)).toDF()
+      val sw = Window.partitionBy(col("shard"))
+        .orderBy(col("__key"), col("doc_id"))
+      feats
+        .withColumn("__key",
+          md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("shard",
+          (conv(substring(col("__key"), 1, 8), 16, 10).cast("long") % 4)
+            .cast("long"))
+        .withColumn("pos", row_number().over(sw).cast("long"))
+        .select(col("doc_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames"), col("shard"), col("pos"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+          AS media_type,
+        CASE WHEN doc_id % 2 = 0 THEN doc_id % 97 ELSE doc_id % 83 END
+          AS k
+      FROM documents),
+      kept AS (SELECT * FROM m
+        QUALIFY doc_id = MIN(doc_id)
+          OVER (PARTITION BY media_type, k)),
+      f AS (SELECT doc_id, media_type,
+        CASE WHEN media_type = 'image'
+             THEN CAST(k % 24 + 8 AS INT)
+             ELSE CAST(([44100, 48000, 32000])[CAST(k % 3 AS INT) + 1]
+               AS INT) END AS width,
+        CASE WHEN media_type = 'image'
+             THEN CAST((k * 3) % 24 + 8 AS INT)
+             ELSE CAST(1 AS INT) END AS height,
+        CASE WHEN media_type = 'image' THEN CAST(1 AS INT)
+             ELSE CAST(k % 20 + 5 AS INT) END AS n_frames
+        FROM kept),
+      sh AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS key,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 4 AS shard
+        FROM f)
+      SELECT doc_id, media_type, width, height, n_frames, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key, doc_id) AS BIGINT) AS pos
+      FROM sh"""))
+
   // --- content-level image near-dup via dHash over REAL decoded
   // pixels: even docs carry a solid PNG (fill varies with doc_id —
   // every payload's BYTES differ, so q84's block hashes see nothing),
@@ -249,5 +324,5 @@ object MultimodalQ extends QueryModule {
       FROM documents"""))
 
   override def queries: Seq[Q] =
-    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174)
+    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175)
 }
