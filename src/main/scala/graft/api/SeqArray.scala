@@ -248,6 +248,11 @@ final case class SeqVarData(variants: DataFrame,
     graft.operators.PopGen.familySplit(dosed,
       if (n > 0) n else nSamples, phiMax)
 
+  /** PLINK --mendel trio QC: see
+    * [[graft.operators.PopGen.mendelErrors]]. */
+  def mendelErrors(trios: Seq[(Int, Int, Int)]): DataFrame =
+    graft.operators.PopGen.mendelErrors(dosed, trios)
+
   /** snpgdsPCACorr: see [[graft.operators.PopGen.pcaCorr]]. */
   def pcaCorr(vecs: Seq[Seq[Double]], n: Int = -1): DataFrame =
     graft.operators.PopGen.pcaCorr(dosed, if (n > 0) n else nSamples, vecs)

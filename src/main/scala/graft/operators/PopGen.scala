@@ -567,6 +567,36 @@ object PopGen {
     * per-(variant, pair) counter explode as q109 (map-side combined to
     * #pairs rows); call rates ride a posexplode_outer counter pass; the
     * pair table is pairs-sized, so every downstream join broadcasts. */
+  /** Mendelian-error check over (father, mother, child) trios — the
+    * PLINK `--mendel` family-QC workload, on collapsed biallelic
+    * dosages: a trio is inconsistent at a variant when the child's
+    * dosage cannot arise from one transmitted allele per parent —
+    * child 0 is impossible under any hom-ALT parent, child 2 under any
+    * hom-REF parent, and child 1 when both parents are the same
+    * homozygote. Trios with any missing member at a variant don't
+    * count. Emits per (trio, variant-row): (trio, vid, df, dm, dc,
+    * mendel_err) — a pure projection+explode; callers aggregate per
+    * trio or per variant (the q176 query does both exactly). */
+  def mendelErrors(v: DataFrame, trios: Seq[(Int, Int, Int)]): DataFrame = {
+    require(trios.nonEmpty, "at least one trio")
+    val trioLit = array(trios.zipWithIndex.map { case ((f, m, c), t) =>
+      struct(lit(t).as("trio"), lit(f).as("f"), lit(m).as("m"),
+        lit(c).as("c"))
+    }: _*)
+    def d(ord: Column) = element_at(col("d"), ord + 1)
+    val rows = v.select(col("vid"), col("d"), explode(trioLit).as("p"))
+      .select(col("vid"), col("p.trio").as("trio"),
+        d(col("p.f")).as("df"), d(col("p.m")).as("dm"),
+        d(col("p.c")).as("dc"))
+      .filter(col("df").isNotNull && col("dm").isNotNull &&
+        col("dc").isNotNull)
+    rows.withColumn("mendel_err",
+      when((col("dc") === 0 && (col("df") === 2 || col("dm") === 2)) ||
+        (col("dc") === 2 && (col("df") === 0 || col("dm") === 0)) ||
+        (col("dc") === 1 && col("df") === col("dm") &&
+          (col("df") === 0 || col("df") === 2)), 1L).otherwise(0L))
+  }
+
   /** KING-robust kinship per sample pair — the shared pair stage of
     * [[kinshipPrune]] and [[familySplit]]: per-(variant, pair) counters
     * partial-aggregate map-side to the S·(S−1)/2 pair rows. */

@@ -967,7 +967,33 @@ object PopGenQ extends QueryModule {
       WHERE vid NOT IN (SELECT vid FROM vict)"""
     }))
 
+  // --- Mendelian-error trio QC (PLINK --mendel): per (variant, trio)
+  // consistency of the child's dosage with one transmitted allele per
+  // parent, row-level oracle — a violation-table slip breaks the hash.
+  private val TRIOS = Seq((0, 1, 2), (3, 4, 5))
+  private val q176 = Q("q176_mendel_errors",
+    (s, dir) => PopGen.mendelErrors(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      TRIOS),
+    Some(withCte {
+      val trioRows = TRIOS.zipWithIndex.map { case ((f, m, c), t) =>
+        s"({'trio': $t, 'f': ${f + 1}, 'm': ${m + 1}, 'c': ${c + 1}})"
+      }.mkString(", ")
+      s"""SELECT vid, trio, df, dm, dc,
+        CAST(CASE WHEN (dc = 0 AND (df = 2 OR dm = 2))
+               OR (dc = 2 AND (df = 0 OR dm = 0))
+               OR (dc = 1 AND df = dm AND (df = 0 OR df = 2))
+             THEN 1 ELSE 0 END AS BIGINT) AS mendel_err
+      FROM (SELECT vid, CAST(p.t.trio AS INT) AS trio,
+          d[p.t.f] AS df, d[p.t.m] AS dm, d[p.t.c] AS dc
+        FROM (SELECT vid, $dSql AS d FROM variants),
+          (SELECT unnest([$trioRows]) AS t) p)
+      WHERE df IS NOT NULL AND dm IS NOT NULL AND dc IS NOT NULL"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
-      q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173)
+      q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
+      q176)
 }

@@ -573,6 +573,31 @@ class PopGenSpec extends AnyFunSuite {
     assert(r.values.groupBy(_._1).forall(_._2.map(_._3).toSet.size == 1))
   }
 
+  test("mendelErrors golden: the full violation table on hand cases") {
+    import spark.implicits._
+    // one trio (f=0, m=1, c=2); every (df, dm, dc) class exercised
+    val cases = Seq(
+      // (vid, df, dm, dc, expected err)
+      (1L, 2L, 1L, 0L, 1L), // hom-ALT father, child hom-REF
+      (2L, 0L, 1L, 2L, 1L), // hom-REF father, child hom-ALT
+      (3L, 0L, 0L, 1L, 1L), // both hom-REF, het child
+      (4L, 2L, 2L, 1L, 1L), // both hom-ALT, het child
+      (5L, 0L, 2L, 1L, 0L), // opposite homozygotes: het child REQUIRED
+      (6L, 1L, 1L, 0L, 0L), (7L, 1L, 1L, 2L, 0L), // double het: anything
+      (8L, 0L, 1L, 0L, 0L), (9L, 2L, 1L, 2L, 0L)
+    )
+    val v = cases.map { case (vid, f, m, c, _) =>
+      (vid, Seq[java.lang.Long](f, m, c, null))
+    }.toDF("vid", "d")
+    val got = PopGen.mendelErrors(v, Seq((0, 1, 2)))
+      .select("vid", "mendel_err").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((vid, _, _, _, e) <- cases)
+      assert(got(vid) == e, s"vid=$vid")
+    // a trio touching the all-null sample contributes nothing
+    assert(PopGen.mendelErrors(v, Seq((0, 1, 3))).count() == 0)
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
