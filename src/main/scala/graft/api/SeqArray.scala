@@ -253,6 +253,11 @@ final case class SeqVarData(variants: DataFrame,
   def mendelErrors(trios: Seq[(Int, Int, Int)]): DataFrame =
     graft.operators.PopGen.mendelErrors(dosed, trios)
 
+  /** PLINK --tdt family association: see
+    * [[graft.operators.PopGen.tdt]]. */
+  def tdt(trios: Seq[(Int, Int, Int)]): DataFrame =
+    graft.operators.PopGen.tdt(dosed, trios)
+
   /** snpgdsPCACorr: see [[graft.operators.PopGen.pcaCorr]]. */
   def pcaCorr(vecs: Seq[Seq[Double]], n: Int = -1): DataFrame =
     graft.operators.PopGen.pcaCorr(dosed, if (n > 0) n else nSamples, vecs)

@@ -597,6 +597,34 @@ object PopGen {
           (col("df") === 0 || col("df") === 2)), 1L).otherwise(0L))
   }
 
+  /** Transmission-disequilibrium test (Spielman 1993; PLINK --tdt) —
+    * family-based association over the SAME trio rows as
+    * [[mendelErrors]]: per Mendel-consistent (variant, trio), the ALT
+    * alleles transmitted by HET parents are dc minus the hom-ALT
+    * parents' forced contributions (b), the rest of the het
+    * transmissions are REF (c) — the double-het het-child ambiguity
+    * adds one to each, the PLINK convention. Per variant:
+    * χ² = (B−C)²/(B+C) over the trio sums — exact BIGINTs, one final
+    * division. Emits (vid, n_trios, b, c, tdt_chi2), NULL χ² when no
+    * het-parent transmission was observed. One map-side-combined
+    * vid aggregate. */
+  def tdt(v: DataFrame, trios: Seq[(Int, Int, Int)]): DataFrame = {
+    val homAlt = when(col("df") === 2, 1L).otherwise(0L) +
+      when(col("dm") === 2, 1L).otherwise(0L)
+    val het = when(col("df") === 1, 1L).otherwise(0L) +
+      when(col("dm") === 1, 1L).otherwise(0L)
+    mendelErrors(v, trios).filter(col("mendel_err") === 0)
+      .withColumn("b_t", col("dc") - homAlt)
+      .withColumn("c_t", het - (col("dc") - homAlt))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_trios"),
+        sum(col("b_t")).as("b"), sum(col("c_t")).as("c"))
+      .withColumn("tdt_chi2",
+        when(col("b") + col("c") > 0,
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double")
+            / (col("b") + col("c")).cast("double")))
+  }
+
   /** KING-robust kinship per sample pair — the shared pair stage of
     * [[kinshipPrune]] and [[familySplit]]: per-(variant, pair) counters
     * partial-aggregate map-side to the S·(S−1)/2 pair rows. */

@@ -992,8 +992,46 @@ object PopGenQ extends QueryModule {
       WHERE df IS NOT NULL AND dm IS NOT NULL AND dc IS NOT NULL"""
     }))
 
+  // --- transmission-disequilibrium test (Spielman 1993; PLINK --tdt):
+  // family-based association on the SAME trio rows as q176 — het-parent
+  // ALT vs REF transmissions as exact BIGINT sums, chi2 = (B−C)²/(B+C)
+  // with one division, per-variant oracle over both counts. -----------
+  private val q177 = Q("q177_tdt",
+    (s, dir) => PopGen.tdt(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      TRIOS),
+    Some(withCte {
+      val trioRows = TRIOS.zipWithIndex.map { case ((f, m, c), t) =>
+        s"({'trio': $t, 'f': ${f + 1}, 'm': ${m + 1}, 'c': ${c + 1}})"
+      }.mkString(", ")
+      s"""SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_trios,
+        CAST(SUM(b_t) AS BIGINT) AS b, CAST(SUM(c_t) AS BIGINT) AS c,
+        CASE WHEN SUM(b_t) + SUM(c_t) > 0
+             THEN CAST((SUM(b_t) - SUM(c_t)) * (SUM(b_t) - SUM(c_t))
+                    AS DOUBLE)
+                  / CAST(SUM(b_t) + SUM(c_t) AS DOUBLE)
+        END AS tdt_chi2
+      FROM (SELECT vid,
+          dc - homalt AS b_t, het - (dc - homalt) AS c_t
+        FROM (SELECT vid, df, dm, dc,
+            (CASE WHEN df = 2 THEN 1 ELSE 0 END
+             + CASE WHEN dm = 2 THEN 1 ELSE 0 END) AS homalt,
+            (CASE WHEN df = 1 THEN 1 ELSE 0 END
+             + CASE WHEN dm = 1 THEN 1 ELSE 0 END) AS het
+          FROM (SELECT vid,
+              d[p.t.f] AS df, d[p.t.m] AS dm, d[p.t.c] AS dc
+            FROM (SELECT vid, $dSql AS d FROM variants),
+              (SELECT unnest([$trioRows]) AS t) p)
+          WHERE df IS NOT NULL AND dm IS NOT NULL AND dc IS NOT NULL
+            AND NOT ((dc = 0 AND (df = 2 OR dm = 2))
+              OR (dc = 2 AND (df = 0 OR dm = 0))
+              OR (dc = 1 AND df = dm AND (df = 0 OR df = 2)))))
+      GROUP BY vid"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176)
+      q176, q177)
 }

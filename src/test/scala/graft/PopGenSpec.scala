@@ -598,6 +598,29 @@ class PopGenSpec extends AnyFunSuite {
     assert(PopGen.mendelErrors(v, Seq((0, 1, 3))).count() == 0)
   }
 
+  test("tdt golden: het-parent transmissions, double-het ambiguity " +
+      "splits both ways, hom-only trios are uninformative") {
+    import spark.implicits._
+    // one trio per variant (f=0, m=1, c=2)
+    val v = Seq(
+      (1L, Seq[java.lang.Long](1L, 0L, 1L)), // het father transmits ALT
+      (2L, Seq[java.lang.Long](1L, 0L, 0L)), // het father transmits REF
+      (3L, Seq[java.lang.Long](1L, 1L, 1L)), // double het, het child: b+1 c+1
+      (4L, Seq[java.lang.Long](1L, 1L, 2L)), // double het, hom-ALT: b+2
+      (5L, Seq[java.lang.Long](2L, 0L, 1L)), // hom parents only: b=c=0
+      (6L, Seq[java.lang.Long](1L, 2L, 2L))  // het + hom-ALT: ALT from het
+    ).toDF("vid", "d")
+    val r = PopGen.tdt(v, Seq((0, 1, 2))).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(r(1L) == ((1L, 0L, Some(1.0))))
+    assert(r(2L) == ((0L, 1L, Some(1.0))))
+    assert(r(3L) == ((1L, 1L, Some(0.0))))
+    assert(r(4L) == ((2L, 0L, Some(4.0 / 2.0))))
+    assert(r(5L) == ((0L, 0L, None)))
+    assert(r(6L) == ((1L, 0L, Some(1.0))))
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
