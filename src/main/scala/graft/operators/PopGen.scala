@@ -101,10 +101,54 @@ object PopGen {
     * n1²·n2²·(n1−1)·(n2−1) so both are integers; one final division.
     * Pure projection — zero shuffles, scales embarrassingly. */
   def hudsonFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int], ploidy: Int = 2)
-      : DataFrame = {
+      : DataFrame =
+    hudsonComponents(v.select(col("vid"), col("geno")), g1, g2, ploidy)
+      .withColumn("fst",
+        when(col("n1") >= 2 && col("n2") >= 2 && col("den_i") =!= 0,
+          col("num_i").cast("double") / col("den_i").cast("double")))
+      .drop("geno", "num_i", "den_i")
+
+  /** Windowed Hudson Fst — the selection-scan workload: per genomic
+    * window (chrom, pos DIV `window`), the RATIO OF SUMS
+    * Σnum / Σden over the window's valid variants — exactly the
+    * "ratio of averages" estimator Bhatia et al. 2013 recommend over
+    * averaging per-site ratios (and, conveniently, the only form that
+    * stays exact: both sums are BIGINTs on the same per-site scale,
+    * one division per window). Valid sites = both groups ≥ 2 called
+    * alleles and den ≠ 0. `v` needs vid, chrom, pos, geno. One
+    * map-side-combined (chrom, win) aggregate — #windows rows cross
+    * the wire. Emits (chrom, win, win_start, n_sites, fst_num,
+    * fst_den, fst_win). */
+  def windowedFst(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      window: Long, ploidy: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive; got $window")
+    // pinned: a plain filter on these aliased wide expressions both
+    // re-inlines the per-sample unrolls below the scan (the q126
+    // lesson) and feeds InferFiltersFromConstraints a combinatorial
+    // constraint set (measured: OOM at analysis time)
+    pinnedFilter(hudsonComponents(v, g1, g2, ploidy),
+      col("n1") >= 2 && col("n2") >= 2 && col("den_i") =!= 0)
+      .withColumn("win", expr(s"pos div $window").cast("long"))
+      .groupBy(col("chrom"), col("win"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("num_i")).as("fst_num"),
+        sum(col("den_i")).as("fst_den"))
+      .withColumn("win_start", col("win") * window)
+      .withColumn("fst_win",
+        col("fst_num").cast("double") / col("fst_den").cast("double"))
+      .select(col("chrom"), col("win"), col("win_start"), col("n_sites"),
+        col("fst_num"), col("fst_den"), col("fst_win"))
+  }
+
+  /** Per-variant Hudson components (shared by [[hudsonFst]] and
+    * [[windowedFst]]): the input columns plus counts and the exact
+    * scaled integer numerator/denominator. */
+  private def hudsonComponents(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      ploidy: Int): DataFrame = {
     val (n1, a1) = groupCounts(col("geno"), g1, ploidy)
     val (n2, a2) = groupCounts(col("geno"), g2, ploidy)
-    v.select(col("vid"), n1.as("n1"), n2.as("n2"), a1.as("a1"), a2.as("a2"))
+    v.withColumn("n1", n1).withColumn("n2", n2)
+      .withColumn("a1", a1).withColumn("a2", a2)
       .withColumn("num_i",
         (col("a1") * col("n2") - col("a2") * col("n1"))
           * (col("a1") * col("n2") - col("a2") * col("n1"))
@@ -117,10 +161,6 @@ object PopGen {
         (col("a1") * (col("n2") - col("a2"))
           + col("a2") * (col("n1") - col("a1")))
           * col("n1") * col("n2") * (col("n1") - 1) * (col("n2") - 1))
-      .withColumn("fst",
-        when(col("n1") >= 2 && col("n2") >= 2 && col("den_i") =!= 0,
-          col("num_i").cast("double") / col("den_i").cast("double")))
-      .drop("num_i", "den_i")
   }
 
   /** Weir–Cockerham (1984) θ per variant between two DIPLOID sample

@@ -1030,8 +1030,44 @@ object PopGenQ extends QueryModule {
       GROUP BY vid"""
     }))
 
+  // --- windowed Hudson Fst (the selection-scan workload): per genomic
+  // window the RATIO OF SUMS Σnum/Σden — Bhatia 2013's recommended
+  // estimator, and the only exact form (both sums BIGINT on one scale,
+  // one division per window). One (chrom, win) aggregate. ------------
+  private val FST_WIN = 500L
+  private val q178 = Q("q178_windowed_fst",
+    (s, dir) => PopGen.windowedFst(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      0 until N / 2, N / 2 until N, FST_WIN),
+    Some(withCte(s"""SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win,
+      CAST((pos // $FST_WIN) * $FST_WIN AS BIGINT) AS win_start,
+      CAST(COUNT(*) AS BIGINT) AS n_sites,
+      CAST(SUM(num_i) AS BIGINT) AS fst_num,
+      CAST(SUM(den_i) AS BIGINT) AS fst_den,
+      CAST(SUM(num_i) AS DOUBLE) / CAST(SUM(den_i) AS DOUBLE) AS fst_win
+      FROM (SELECT chrom, pos, n1, n2, a1, a2,
+          (a1*n2 - a2*n1)*(a1*n2 - a2*n1)*(n1-1)*(n2-1)
+            - a1*(n1-a1)*n2*n2*(n2-1)
+            - a2*(n2-a2)*n1*n1*(n1-1) AS num_i,
+          (a1*(n2-a2) + a2*(n1-a1))*n1*n2*(n1-1)*(n2-1) AS den_i
+        FROM (SELECT chrom, pos,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL)) AS BIGINT)
+              AS n1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL)) AS BIGINT)
+              AS n2,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a2
+          FROM (SELECT chrom, pos, flatten(geno[1:${N / 2}]) AS f1,
+              flatten(geno[${N / 2 + 1}:$N]) AS f2
+            FROM variants)))
+      WHERE n1 >= 2 AND n2 >= 2 AND den_i <> 0
+      GROUP BY 1, 2, 3""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177)
+      q176, q177, q178)
 }
