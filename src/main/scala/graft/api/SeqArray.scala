@@ -224,6 +224,21 @@ final case class SeqVarData(variants: DataFrame,
     graft.operators.PopGen.hudsonFst(
       variants.select(col("variant_id").as("vid"), col("geno")), g1, g2)
 
+  /** Windowed Hudson Fst selection scan: see
+    * [[graft.operators.PopGen.windowedFst]]. */
+  def windowedFst(g1: Seq[Int], g2: Seq[Int], window: Long): DataFrame =
+    graft.operators.PopGen.windowedFst(
+      variants.select(col("variant_id").as("vid"), col("chrom"),
+        col("pos"), col("geno")), g1, g2, window)
+
+  /** Windowed nucleotide diversity π + Watterson θ_W: see
+    * [[graft.operators.PopGen.diversityWindow]]. */
+  def diversityWindow(window: Long, n: Int = -1): DataFrame =
+    graft.operators.PopGen.diversityWindow(
+      variants.select(col("variant_id").as("vid"), col("chrom"),
+        col("pos"), col("geno")),
+      0 until (if (n > 0) n else nSamples), window)
+
   /** snpgdsFst (Weir–Cockerham): see [[graft.operators.PopGen.wcFst]];
     * `strata = true` returns the exact multi-locus sums
     * ([[graft.operators.PopGen.wcFstStrata]]) instead of per-variant θ. */

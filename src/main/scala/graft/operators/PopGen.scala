@@ -140,6 +140,54 @@ object PopGen {
         col("fst_num"), col("fst_den"), col("fst_win"))
   }
 
+  /** Windowed nucleotide diversity π and Watterson's θ_W — the other
+    * two selection-scan statistics next to [[windowedFst]]. Per site
+    * with m called alleles and a ALT among them, the unbiased
+    * π_site = 2a(m−a)/(m(m−1)); scaled ×lcm(1..mMax) it is an exact
+    * BIGINT (the lcm is divisible by every m(m−1)), so the window sum
+    * is exact and π = sum/scale is one division. S = segregating-site
+    * count (0 < a < m) is exact; θ_W = S / a_{mMax−1} uses the
+    * full-sample harmonic number (the standard high-call-rate
+    * simplification — per-site harmonics would need an order-dependent
+    * double sum; documented). Emits (chrom, win, win_start, n_sites,
+    * s_seg, pi_num, pi, theta_w). One map-side-combined (chrom, win)
+    * aggregate; validity filter pinned like [[windowedFst]]. */
+  def diversityWindow(v: DataFrame, g: Seq[Int], window: Long,
+      ploidy: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive; got $window")
+    val mMax = g.size * ploidy
+    val scale = piScale(mMax)
+    val (m, a) = groupCounts(col("geno"), g, ploidy)
+    val base = v.withColumn("m", m).withColumn("a", a)
+    val piT = col("a") * (col("m") - col("a")) *
+      intByN(col("m"), mMax)(k => if (k >= 2) 2L * scale / (k.toLong * (k - 1)) else 0L)
+    val segT = when(col("a") > 0 && col("a") < col("m"), 1L).otherwise(0L)
+    val harm = harmonic(mMax - 1)
+    pinnedFilter(base, col("m") >= 2)
+      .withColumn("win", expr(s"pos div $window").cast("long"))
+      .withColumn("pi_t", piT).withColumn("seg_t", segT)
+      .groupBy(col("chrom"), col("win"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("seg_t")).as("s_seg"),
+        sum(col("pi_t")).as("pi_num"))
+      .withColumn("win_start", col("win") * window)
+      .withColumn("pi", col("pi_num").cast("double") / scale.toDouble)
+      .withColumn("theta_w", col("s_seg").cast("double") / harm)
+      .select(col("chrom"), col("win"), col("win_start"), col("n_sites"),
+        col("s_seg"), col("pi_num"), col("pi"), col("theta_w"))
+  }
+
+  /** lcm of 1..mMax — divisible by every per-site π denominator
+    * m(m−1)/2 (m and m−1 are coprime and both ≤ mMax). */
+  def piScale(mMax: Int): Long = {
+    def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+    (1 to mMax).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+  }
+
+  /** Harmonic number Σ 1/i, i = 1..m — Watterson's a_m, left-assoc. */
+  def harmonic(m: Int): Double =
+    (1 to m).foldLeft(0.0)((s, i) => s + 1.0 / i)
+
   /** Per-variant Hudson components (shared by [[hudsonFst]] and
     * [[windowedFst]]): the input columns plus counts and the exact
     * scaled integer numerator/denominator. */

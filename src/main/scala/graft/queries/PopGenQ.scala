@@ -1066,8 +1066,42 @@ object PopGenQ extends QueryModule {
       WHERE n1 >= 2 AND n2 >= 2 AND den_i <> 0
       GROUP BY 1, 2, 3""")))
 
+  // --- windowed nucleotide diversity π + Watterson θ_W (the Tajima
+  // inputs): per-site unbiased π scaled ×lcm(1..2N) to exact BIGINTs,
+  // segregating-site counts, one division per window; θ_W divides by
+  // the full-sample harmonic constant (interpolated to the oracle, so
+  // both engines parse the identical double). -------------------------
+  private val q179 = Q("q179_diversity_window",
+    (s, dir) => PopGen.diversityWindow(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      0 until N, FST_WIN),
+    Some(withCte {
+      val scale = PopGen.piScale(2 * N)
+      val harm = PopGen.harmonic(2 * N - 1)
+      s"""SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win,
+        CAST((pos // $FST_WIN) * $FST_WIN AS BIGINT) AS win_start,
+        CAST(COUNT(*) AS BIGINT) AS n_sites,
+        CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END) AS BIGINT)
+          AS s_seg,
+        CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+          AS BIGINT) AS pi_num,
+        CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+          AS DOUBLE) / CAST($scale AS DOUBLE) AS pi,
+        CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END) AS DOUBLE)
+          / $harm AS theta_w
+      FROM (SELECT chrom, pos,
+          CAST(len(list_filter(flatten(geno), x -> x IS NOT NULL))
+            AS BIGINT) AS m,
+          CAST(len(list_filter(flatten(geno),
+            x -> x IS NOT NULL AND x <> 0)) AS BIGINT) AS a
+        FROM variants)
+      WHERE m >= 2
+      GROUP BY 1, 2, 3"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177, q178)
+      q176, q177, q178, q179)
 }

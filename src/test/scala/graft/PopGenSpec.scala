@@ -621,6 +621,33 @@ class PopGenSpec extends AnyFunSuite {
     assert(r(6L) == ((1L, 0L, Some(1.0))))
   }
 
+  test("diversityWindow golden: hand-computed pi, segregating sites, " +
+      "Watterson theta") {
+    import spark.implicits._
+    val v = Seq(
+      // window 0: one site a=2 of m=4 (pi = 2*2*2/(4*3) = 1/3... ) and
+      // one monomorphic site; window 1: a fully-missing site drops
+      (1L, "c1", 10L, Seq(Seq[java.lang.Long](0L, 1L),
+        Seq[java.lang.Long](1L, 0L))),
+      (2L, "c1", 20L, Seq(Seq[java.lang.Long](0L, 0L),
+        Seq[java.lang.Long](0L, 0L))),
+      (3L, "c1", 120L, Seq(Seq[java.lang.Long](null, null),
+        Seq[java.lang.Long](null, null)))
+    ).toDF("vid", "chrom", "pos", "geno")
+    val r = PopGen.diversityWindow(v, Seq(0, 1), window = 100L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(3), x.getLong(4), x.getDouble(6), x.getDouble(7)))
+      .toMap
+    val scale = PopGen.piScale(4)
+    // site 1: a=2, m=4 → pi_site = 2*2*(4-2)/(4*3) = 2/3
+    val (nS, sSeg, pi, thetaW) = r(0L)
+    assert(nS == 2L && sSeg == 1L)
+    assert(pi == (2L * 2 * 2 * (scale / 12)).toDouble / scale)
+    assert(math.abs(pi - 2.0 / 3.0) < 1e-15)
+    assert(thetaW == 1.0 / PopGen.harmonic(3))
+    assert(!r.contains(1L)) // the all-missing site forms no window
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
