@@ -177,6 +177,40 @@ object PopGen {
         col("s_seg"), col("pi_num"), col("pi"), col("theta_w"))
   }
 
+  /** Tajima's D per window (Tajima 1989) — the neutrality capstone over
+    * [[diversityWindow]]'s exact π and S:
+    * D = (π − S/a₁) / √(e₁S + e₂S(S−1)) with the standard constants of
+    * the full-sample allele count n = |g|·ploidy (a₁,a₂ harmonic sums;
+    * b,c,e per the paper). π and S are exact per window; the D
+    * arithmetic is a fixed-order double expression both engines replay
+    * identically (constants interpolate into the oracle as shortest
+    * round-trip literals). NULL when S = 0. */
+  def tajimaD(v: DataFrame, g: Seq[Int], window: Long,
+      ploidy: Int = 2): DataFrame = {
+    val (_, e1, e2) = tajimaConstants(g.size * ploidy)
+    val s = col("s_seg").cast("double")
+    diversityWindow(v, g, window, ploidy)
+      .withColumn("tajima_d",
+        when(col("s_seg") > 0,
+          (col("pi") - col("theta_w")) /
+            // association pinned as e₂·(S·(S−1)): DuckDB folds the
+            // chained product this way regardless of SQL's left-assoc
+            // grammar, so both engines must be EXPLICIT about it
+            sqrt(lit(e1) * s + lit(e2) * (s * (s - lit(1.0))))))
+  }
+
+  /** Tajima's (a₁, e₁, e₂) for n sequences — a₁ also equals
+    * [[harmonic]](n−1), kept together for the oracle interpolation. */
+  def tajimaConstants(n: Int): (Double, Double, Double) = {
+    val a1 = harmonic(n - 1)
+    val a2 = (1 to n - 1).foldLeft(0.0)((acc, i) => acc + 1.0 / (i.toDouble * i))
+    val b1 = (n + 1.0) / (3.0 * (n - 1))
+    val b2 = 2.0 * (n.toDouble * n + n + 3) / (9.0 * n * (n - 1))
+    val c1 = b1 - 1.0 / a1
+    val c2 = b2 - (n + 2.0) / (a1 * n) + a2 / (a1 * a1)
+    (a1, c1 / a1, c2 / (a1 * a1 + a2))
+  }
+
   /** lcm of 1..mMax — divisible by every per-site π denominator
     * m(m−1)/2 (m and m−1 are coprime and both ≤ mMax). */
   def piScale(mMax: Int): Long = {

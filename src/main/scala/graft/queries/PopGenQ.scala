@@ -1100,8 +1100,48 @@ object PopGenQ extends QueryModule {
       GROUP BY 1, 2, 3"""
     }))
 
+  // --- Tajima's D per window: the neutrality test over q179's exact π
+  // and S, with the 1989 constants of the full-sample allele count
+  // interpolated into the oracle as shortest-round-trip literals so
+  // both engines run the identical fixed-order double expression. ------
+  private val q180 = Q("q180_tajima_d",
+    (s, dir) => PopGen.tajimaD(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      0 until N, FST_WIN),
+    Some(withCte {
+      val scale = PopGen.piScale(2 * N)
+      val harm = PopGen.harmonic(2 * N - 1)
+      val (_, e1, e2) = PopGen.tajimaConstants(2 * N)
+      s"""SELECT *, CASE WHEN s_seg > 0
+           THEN (pi - theta_w)
+                / sqrt($e1 * CAST(s_seg AS DOUBLE)
+                  + $e2 * (CAST(s_seg AS DOUBLE)
+                    * (CAST(s_seg AS DOUBLE) - 1.0)))
+        END AS tajima_d
+      FROM (SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win,
+          CAST((pos // $FST_WIN) * $FST_WIN AS BIGINT) AS win_start,
+          CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS BIGINT) AS s_seg,
+          CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+            AS BIGINT) AS pi_num,
+          CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+            AS DOUBLE) / CAST($scale AS DOUBLE) AS pi,
+          CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS DOUBLE) / $harm AS theta_w
+        FROM (SELECT chrom, pos,
+            CAST(len(list_filter(flatten(geno), x -> x IS NOT NULL))
+              AS BIGINT) AS m,
+            CAST(len(list_filter(flatten(geno),
+              x -> x IS NOT NULL AND x <> 0)) AS BIGINT) AS a
+          FROM variants)
+        WHERE m >= 2
+        GROUP BY 1, 2, 3)"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177, q178, q179)
+      q176, q177, q178, q179, q180)
 }
