@@ -53,6 +53,53 @@ object SynthGeno {
         array((0 until nSamples).map(s =>
           (h1(s) + h2(s)) % 2 === 0): _*).as("phased"))
 
+  private def h1b(s: Int): Column =
+    (col("l_partkey") * 37 + col("l_suppkey") * 5 + lit(s * 23)) % 29
+  private def h2b(s: Int): Column =
+    (col("l_partkey") * 23 + col("l_suppkey") * 13 + lit(s * 17)) % 29
+
+  /** [[variants]] plus a second, independently-hashed callset `geno2`
+    * over the SAME variants — the "re-called twin" for duplicate-sample
+    * concordance QC. Both cubes come from ONE lineitem scan so no join
+    * or vid matching is ever needed (vids need not be unique). */
+  def variantsDup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nall", lit(2) + col("l_partkey") % 3)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("vid"),
+        concat(lit("c"), (col("l_partkey") % 5).cast("string")).as("chrom"),
+        (col("l_orderkey") % 100000).as("pos"),
+        col("nall"),
+        array((0 until nSamples).map(s =>
+          array(allele(h1(s)), allele(h2(s)))): _*).as("geno"),
+        array((0 until nSamples).map(s =>
+          array(allele(h1b(s)), allele(h2b(s)))): _*).as("geno2"))
+
+  /** DuckDB twin of [[variantsDup]]. */
+  val sqlCteDup: String =
+    """SELECT l_orderkey * 10 + l_linenumber AS vid,
+      'c' || CAST(l_partkey % 5 AS VARCHAR) AS chrom,
+      l_orderkey % 100000 AS pos,
+      2 + l_partkey % 3 AS nall,
+      list_transform(range(0, 8), s -> [
+        CASE WHEN (l_partkey*31 + l_suppkey*7 + s*13) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*31 + l_suppkey*7 + s*13) % 29)
+                  % (2 + l_partkey % 3) END,
+        CASE WHEN (l_partkey*17 + l_suppkey*11 + s*19) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*17 + l_suppkey*11 + s*19) % 29)
+                  % (2 + l_partkey % 3) END]) AS geno,
+      list_transform(range(0, 8), s -> [
+        CASE WHEN (l_partkey*37 + l_suppkey*5 + s*23) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*37 + l_suppkey*5 + s*23) % 29)
+                  % (2 + l_partkey % 3) END,
+        CASE WHEN (l_partkey*23 + l_suppkey*13 + s*17) % 29 < 2 THEN NULL
+             ELSE ((l_partkey*23 + l_suppkey*13 + s*17) % 29)
+                  % (2 + l_partkey % 3) END]) AS geno2
+    FROM lineitem"""
+
   /** DuckDB CTE producing the identical table from `lineitem` — prepend to
     * oracle SQL as `WITH variants AS (<sqlCte>) SELECT ...`. */
   val sqlCte: String =

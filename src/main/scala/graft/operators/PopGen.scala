@@ -1274,4 +1274,181 @@ object PopGen {
       else withMaf.select(col("vid"), col("chrom"), col("pos"), col("maf"))
     kept.join(victims, Seq("vid"), "left_anti")
   }
+
+  /** f2 (doubleton) allele sharing — the 1000 Genomes-style recent-
+    * ancestry signal (reference workload: seqApply scans counting rare-
+    * allele co-carriage, /root/reference/R/Methods.R seqApply over
+    * dosage): a biallelic variant whose total alt dosage over called
+    * samples is exactly 2 is carried either by two HET samples (a
+    * shared doubleton — row i < j) or by one HOM-ALT sample (a private
+    * doubleton — row i == j). Because dosages are non-negative
+    * integers, `a == 2` fully determines the carrier shape, and the
+    * carrier pair is simply (min, max) of the indices with d > 0.
+    * One pure projection + one groupBy on the pair key — at most
+    * S·(S+1)/2 groups, no pair enumeration, linear in variants. */
+  def f2Sharing(v: DataFrame, nSamples: Int): DataFrame = {
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val a = sumOver(s => coalesce(d(s), lit(0L)))
+    def carrier(s: Int) =
+      when(d(s) > 0, lit(s.toLong)).otherwise(lit(null).cast("long"))
+    // least/greatest skip NULLs, so these are min/max over carriers
+    val i = (0 until nSamples).map(carrier).reduce(least(_, _))
+    val j = (0 until nSamples).map(carrier).reduce(greatest(_, _))
+    v.withColumn("a2", a)
+      .where(col("nall") === 2 && col("a2") === 2)
+      .select(i.as("i"), j.as("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_f2"))
+  }
+
+  /** Garud H1/H2/H12 haplotype-homozygosity statistics per genomic
+    * window (Garud 2015, the soft-sweep selection scan; serves the
+    * reference's sliding-window seqUnitApply haplotype workloads,
+    * /root/reference/R/Unit.R). Each haplotype slot's allele string
+    * over the window (missing → 'm') is assembled ordered by
+    * (pos, vid, allele); window haplotype counts c₁ ≥ c₂ ≥ … give
+    *   H1  = Σc²/H²,  H2 = (Σc² − c₁²)/H²,
+    *   H12 = ((c₁+c₂)² + Σ_{i≥3}c²)/H² = (Σc² + 2·c₁·c₂)/H²
+    * with H = nSamples·ploidy — every numerator an exact BIGINT, one
+    * division by the constant H² each.
+    *
+    * Shuffle budget: one explode ×H (slot fan-out), one groupBy on
+    * (chrom, window, slot) building strings bounded by the window's
+    * variant count, then two window-keyed aggregations over ≤H rows
+    * per window — all linear in variants·H, nothing pairwise. */
+  def garudH(v: DataFrame, window: Long, nSamples: Int,
+      ploidy: Int = 2): DataFrame = {
+    val h = nSamples * ploidy
+    def alleleStr(slot: Int) = coalesce(
+      element_at(element_at(col("geno"), slot / ploidy + 1),
+        slot % ploidy + 1).cast("string"),
+      lit("m"))
+    val slots = v.select(col("chrom"), expr(s"pos div $window").as("win"),
+        col("pos"), col("vid"),
+        explode(array((0 until h).map(s =>
+          struct(lit(s).as("slot"), alleleStr(s).as("a"))): _*)).as("sa"))
+      .select(col("chrom"), col("win"), col("pos"), col("vid"),
+        col("sa.slot"), col("sa.a"))
+    val haps = slots.groupBy(col("chrom"), col("win"), col("slot"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("vid"), col("a")))),
+        x => x.getField("a")), ",").as("hap"))
+    val counts = haps.groupBy(col("chrom"), col("win"), col("hap"))
+      .agg(count(lit(1)).as("c"))
+    val hh = lit((h.toLong * h).toDouble)
+    counts.groupBy(col("chrom"), col("win"))
+      .agg(count(lit(1)).as("n_hap"),
+        sum(col("c") * col("c")).as("ssq"),
+        sort_array(collect_list(col("c")), asc = false).as("cs"))
+      .select(col("chrom"), col("win"), col("n_hap"),
+        element_at(col("cs"), 1).as("c1"),
+        coalesce(element_at(col("cs"), 2), lit(0L)).as("c2"),
+        col("ssq"))
+      .withColumn("h1", col("ssq").cast("double") / hh)
+      .withColumn("h2", (col("ssq") - col("c1") * col("c1"))
+        .cast("double") / hh)
+      .withColumn("h12", (col("ssq") + lit(2) * col("c1") * col("c2"))
+        .cast("double") / hh)
+  }
+
+  /** Window-indexed LD clumping (the PLINK `--clump` post-GWAS shape,
+    * window-local rather than globally greedy so the whole assignment
+    * is ONE deterministic Catalyst plan): per (chrom, pos div window)
+    * cell the index variant maximizes (minor-allele count, vid); every
+    * other variant in the cell reports its exact pairwise-complete r²
+    * with the index — (n·Sxy − Sx·Sy)² over the two variance terms,
+    * all-BIGINT numerators, one division — and `clumped` if r² ≥
+    * r2Min. The index table is one row per window cell (≪ variants);
+    * the join is a plain equi-join on the cell key that AQE broadcasts
+    * when small — nothing pinned, nothing pairwise beyond the 1×cell
+    * fan. Self rows keep r2 NULL with is_index = true. */
+  def clumpLite(v: DataFrame, window: Long, r2Min: Double,
+      nSamples: Int): DataFrame = {
+    def d(c: String, s: Int) = element_at(col(c), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val called = sumOver(s => when(d("d", s).isNotNull, 1L).otherwise(0L))
+    val altSum = sumOver(s => coalesce(d("d", s), lit(0L)))
+    // vid need not be unique (the synthetic cube has duplicate vids by
+    // design), so (mac, vid) can tie across genuinely different rows; a
+    // base-5 dosage fingerprint (null → 4, injective for d ∈ {0,1,2})
+    // makes the index choice deterministic on any engine — rows still
+    // tied after fp share the identical dosage vector, so r² agrees.
+    val fp = (0 until nSamples).map { s =>
+      var p = 1L; (0 until s).foreach(_ => p *= 5)
+      coalesce(d("d", s), lit(4L)) * lit(p)
+    }.reduce(_ + _)
+    val base = v.select(col("vid"), col("chrom"), col("pos"), col("d"))
+      .withColumn("win", expr(s"pos div $window"))
+      .withColumn("n_c", called).withColumn("a_c", altSum)
+      .withColumn("mac", least(col("a_c"), lit(2) * col("n_c") - col("a_c")))
+      .withColumn("fp", fp)
+    val idx = base.groupBy(col("chrom"), col("win"))
+      .agg(max(struct(col("mac"), col("vid"), col("fp"), col("d"))).as("ix"))
+      .select(col("chrom"), col("win"), col("ix.vid").as("index_vid"),
+        col("ix.d").as("d_ix"))
+    val joined = base.join(idx, Seq("chrom", "win"))
+    def pairSum(f: Int => Column) = sumOver(f)
+    val bothCalled = (s: Int) =>
+      d("d", s).isNotNull && d("d_ix", s).isNotNull
+    val n = pairSum(s => when(bothCalled(s), 1L).otherwise(0L))
+    val sx = pairSum(s => when(bothCalled(s), d("d", s)).otherwise(0L))
+    val sy = pairSum(s => when(bothCalled(s), d("d_ix", s)).otherwise(0L))
+    val sxy = pairSum(s =>
+      when(bothCalled(s), d("d", s) * d("d_ix", s)).otherwise(0L))
+    val sxx = pairSum(s =>
+      when(bothCalled(s), d("d", s) * d("d", s)).otherwise(0L))
+    val syy = pairSum(s =>
+      when(bothCalled(s), d("d_ix", s) * d("d_ix", s)).otherwise(0L))
+    joined
+      .withColumn("nn", n).withColumn("sx", sx).withColumn("sy", sy)
+      .withColumn("sxy", sxy).withColumn("sxx", sxx).withColumn("syy", syy)
+      .withColumn("num", col("nn") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("nn") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r2",
+        when(col("vid") =!= col("index_vid") &&
+            col("dx") > 0 && col("dy") > 0,
+          (col("num") * col("num")).cast("double")
+            / (col("dx") * col("dy")).cast("double")))
+      .withColumn("is_index", col("vid") === col("index_vid"))
+      .withColumn("clumped", col("is_index") || col("r2") >= r2Min)
+      .select(col("vid"), col("chrom"), col("win"), col("index_vid"),
+        col("mac"), col("r2"), col("is_index"),
+        coalesce(col("clumped"), lit(false)).as("clumped"))
+  }
+
+  /** Duplicate-sample genotype concordance (the array-vs-sequencing /
+    * re-called-twin QC the reference ecosystem runs via two seqOpen
+    * handles and a paired seqApply): per sample, over variants where
+    * BOTH callsets are fully called, count unordered-genotype matches.
+    * Input carries the two cubes side by side (`geno`, `geno2`) from
+    * ONE scan — no join, no vid matching (vids need not be unique).
+    * One explode ×S + one S-group aggregation; one final division. */
+  def dupConcordance(v: DataFrame, nSamples: Int,
+      ploidy: Int = 2): DataFrame = {
+    require(ploidy == 2, "dupConcordance is diploid-only")
+    def al(c: String, s: Int, p: Int) =
+      element_at(element_at(col(c), s + 1), p + 1)
+    def stats(s: Int): Column = {
+      val aCalled = al("geno", s, 0).isNotNull && al("geno", s, 1).isNotNull
+      val bCalled = al("geno2", s, 0).isNotNull && al("geno2", s, 1).isNotNull
+      val comp = aCalled && bCalled
+      val matched = comp &&
+        least(al("geno", s, 0), al("geno", s, 1)) ===
+          least(al("geno2", s, 0), al("geno2", s, 1)) &&
+        greatest(al("geno", s, 0), al("geno", s, 1)) ===
+          greatest(al("geno2", s, 0), al("geno2", s, 1))
+      struct(lit(s.toLong).as("i"),
+        when(comp, 1L).otherwise(0L).as("comp"),
+        when(matched, 1L).otherwise(0L).as("m"))
+    }
+    v.select(explode(array((0 until nSamples).map(stats): _*)).as("st"))
+      .select(col("st.i"), col("st.comp"), col("st.m"))
+      .groupBy(col("i"))
+      .agg(sum(col("comp")).as("n_comp"), sum(col("m")).as("n_match"))
+      .withColumn("concordance",
+        when(col("n_comp") > 0,
+          col("n_match").cast("double") / col("n_comp").cast("double")))
+  }
 }

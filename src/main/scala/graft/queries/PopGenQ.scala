@@ -1140,8 +1140,161 @@ object PopGenQ extends QueryModule {
         GROUP BY 1, 2, 3)"""
     }))
 
+  // --- f2 (doubleton) sharing: biallelic sites with total alt dosage
+  // exactly 2 — two het carriers (i < j, the recent-shared-ancestry
+  // signal) or one hom-alt carrier (i == j). Carrier pair = (min, max)
+  // index with d > 0; one groupBy on ≤ S(S+1)/2 pair keys. ------------
+  private val q181 = Q("q181_f2_sharing",
+    (s, dir) => PopGen.f2Sharing(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("nall"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_f2
+      FROM (SELECT list_min(cs) AS i, list_max(cs) AS j
+        FROM (SELECT
+            list_filter(list_transform(range(0, $N),
+              s -> CASE WHEN d[s + 1] > 0 THEN s END),
+              x -> x IS NOT NULL) AS cs,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+              AS BIGINT) AS a2,
+            nall
+          FROM (SELECT nall, $dSql AS d FROM variants))
+        WHERE nall = 2 AND a2 = 2)
+      GROUP BY i, j""")))
+
+  // --- Garud H1/H2/H12 per window (soft-sweep scan): window haplotype
+  // strings per slot ordered by (pos, vid, allele), counts c₁ ≥ c₂ ≥ …,
+  // all numerators exact BIGINTs over the constant H² = (2N)². --------
+  private val q182 = Q("q182_garud_h",
+    (s, dir) => PopGen.garudH(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), col("vid"), col("geno")),
+      FST_WIN, N),
+    Some(withCte {
+      val hh = (2 * N) * (2 * N)
+      s""", slots AS (
+        SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win, pos, vid,
+          t.s AS slot,
+          COALESCE(CAST(geno[CAST(t.s // 2 AS INT) + 1]
+            [CAST(t.s % 2 AS INT) + 1] AS VARCHAR), 'm') AS a
+        FROM variants, (SELECT unnest(range(0, ${2 * N})) AS s) t),
+      haps AS (
+        SELECT chrom, win, slot,
+          string_agg(a, ',' ORDER BY pos, vid, a) AS hap
+        FROM slots GROUP BY 1, 2, 3),
+      counts AS (
+        SELECT chrom, win, hap, CAST(COUNT(*) AS BIGINT) AS c
+        FROM haps GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT chrom, win, CAST(COUNT(*) AS BIGINT) AS n_hap,
+          CAST(SUM(c * c) AS BIGINT) AS ssq,
+          list_sort(list(c), 'DESC') AS cs
+        FROM counts GROUP BY 1, 2)
+      SELECT chrom, win, n_hap, cs[1] AS c1,
+        COALESCE(cs[2], 0) AS c2, ssq,
+        CAST(ssq AS DOUBLE) / $hh.0 AS h1,
+        CAST(ssq - cs[1] * cs[1] AS DOUBLE) / $hh.0 AS h2,
+        CAST(ssq + 2 * cs[1] * COALESCE(cs[2], 0) AS DOUBLE) / $hh.0
+          AS h12
+      FROM agg"""
+    }))
+
+  // --- window-indexed LD clumping (PLINK --clump, window-local):
+  // index = max (minor-allele count, vid) per (chrom, pos div W) cell;
+  // every member reports exact pairwise-complete r² with its index —
+  // all-BIGINT numerators, one division — and a clumped flag. ---------
+  private val q183 = Q("q183_clump_lite",
+    (s, dir) => PopGen.clumpLite(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d")),
+      FST_WIN, 0.5, N),
+    Some(withCte {
+      def pairChain(f: Int => String) =
+        (0 until N).map(f).mkString(" + ")
+      val bc = (i: Int) =>
+        s"d[${i + 1}] IS NOT NULL AND d_ix[${i + 1}] IS NOT NULL"
+      s""", dz AS (SELECT vid, chrom, pos,
+          CAST(pos // $FST_WIN AS BIGINT) AS win, $dSql AS d
+        FROM variants),
+      st AS (SELECT vid, chrom, win, d,
+          CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n_c,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS a_c
+        FROM dz),
+      st2 AS (SELECT vid, chrom, win, d,
+          LEAST(a_c, 2 * n_c - a_c) AS mac,
+          ${(0 until N).map(s =>
+            s"COALESCE(d[${s + 1}], 4) * ${math.pow(5, s).toLong}")
+            .mkString(" + ")} AS fp
+        FROM st),
+      ix AS (SELECT chrom, win, vid AS index_vid, d AS d_ix
+        FROM (SELECT *, row_number() OVER (PARTITION BY chrom, win
+            ORDER BY mac DESC, vid DESC, fp DESC) AS rn FROM st2)
+        WHERE rn = 1),
+      pr AS (SELECT st2.vid, st2.chrom, st2.win, ix.index_vid, st2.mac,
+          ${pairChain(i => s"CASE WHEN ${bc(i)} THEN 1 ELSE 0 END")} AS nn,
+          ${pairChain(i =>
+            s"CASE WHEN ${bc(i)} THEN d[${i + 1}] ELSE 0 END")} AS sx,
+          ${pairChain(i =>
+            s"CASE WHEN ${bc(i)} THEN d_ix[${i + 1}] ELSE 0 END")} AS sy,
+          ${pairChain(i => s"CASE WHEN ${bc(i)} THEN d[${i + 1}] " +
+            s"* d_ix[${i + 1}] ELSE 0 END")} AS sxy,
+          ${pairChain(i => s"CASE WHEN ${bc(i)} THEN d[${i + 1}] " +
+            s"* d[${i + 1}] ELSE 0 END")} AS sxx,
+          ${pairChain(i => s"CASE WHEN ${bc(i)} THEN d_ix[${i + 1}] " +
+            s"* d_ix[${i + 1}] ELSE 0 END")} AS syy
+        FROM st2 JOIN ix ON st2.chrom = ix.chrom AND st2.win = ix.win)
+      SELECT vid, chrom, win, index_vid, mac,
+        CASE WHEN vid <> index_vid AND nn * sxx - sx * sx > 0
+            AND nn * syy - sy * sy > 0
+          THEN CAST((nn * sxy - sx * sy) * (nn * sxy - sx * sy) AS DOUBLE)
+            / CAST((nn * sxx - sx * sx) * (nn * syy - sy * sy) AS DOUBLE)
+        END AS r2,
+        vid = index_vid AS is_index,
+        COALESCE(vid = index_vid OR
+          CASE WHEN vid <> index_vid AND nn * sxx - sx * sx > 0
+              AND nn * syy - sy * sy > 0
+            THEN CAST((nn * sxy - sx * sy) * (nn * sxy - sx * sy)
+                AS DOUBLE)
+              / CAST((nn * sxx - sx * sx) * (nn * syy - sy * sy)
+                AS DOUBLE)
+          END >= 0.5, FALSE) AS clumped
+      FROM pr"""
+    }))
+
+  // --- duplicate-sample genotype concordance: the re-called twin cube
+  // rides the SAME lineitem scan (no join, vids never matched); per
+  // sample, unordered-genotype matches over fully-called-in-both sites,
+  // one final division. -----------------------------------------------
+  private val q184 = Q("q184_dup_concordance",
+    (s, dir) => PopGen.dupConcordance(
+      SynthGeno.variantsDup(s, dir)
+        .select(col("vid"), col("geno"), col("geno2")),
+      N),
+    Some(s"""WITH variants AS (${SynthGeno.sqlCteDup})
+      SELECT i, CAST(SUM(comp) AS BIGINT) AS n_comp,
+        CAST(SUM(m) AS BIGINT) AS n_match,
+        CASE WHEN SUM(comp) > 0
+          THEN CAST(SUM(m) AS DOUBLE) / CAST(SUM(comp) AS DOUBLE)
+        END AS concordance
+      FROM (SELECT s AS i,
+          CASE WHEN ga[1] IS NOT NULL AND ga[2] IS NOT NULL
+            AND gb[1] IS NOT NULL AND gb[2] IS NOT NULL
+            THEN 1 ELSE 0 END AS comp,
+          CASE WHEN ga[1] IS NOT NULL AND ga[2] IS NOT NULL
+            AND gb[1] IS NOT NULL AND gb[2] IS NOT NULL
+            AND LEAST(ga[1], ga[2]) = LEAST(gb[1], gb[2])
+            AND GREATEST(ga[1], ga[2]) = GREATEST(gb[1], gb[2])
+            THEN 1 ELSE 0 END AS m
+        FROM (SELECT t.s AS s,
+            geno[CAST(t.s AS INT) + 1] AS ga,
+            geno2[CAST(t.s AS INT) + 1] AS gb
+          FROM variants, (SELECT unnest(range(0, $N)) AS s) t))
+      GROUP BY i"""))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177, q178, q179, q180)
+      q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }
