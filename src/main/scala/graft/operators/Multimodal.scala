@@ -555,6 +555,180 @@ object Multimodal {
       })
   }
 
+  // ------------------------------------------------------------------
+  // ISO base-media (MP4) metadata — the video-container counterpart of
+  // the MP3 frame-header walk: a real box parser over the public ISO
+  // 14496-12 layout (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr), pure
+  // JVM, no codec needed — container metadata (duration, timescale,
+  // track handlers, pixel dimensions) is what a video corpus shards
+  // and filters on long before any frame is decoded.
+  // ------------------------------------------------------------------
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** Parsed MP4 container metadata. */
+  final case class Mp4Meta(durationMs: Double, timescale: Long,
+      nTracks: Int, handlers: String, width: Int, height: Int)
+
+  /** Walk the top-level and moov-level boxes of an ISO-BMFF file.
+    * Handles 32-bit sizes, 64-bit `largesize` (size == 1) and
+    * to-end-of-file (size == 0) boxes, and both version-0 and
+    * version-1 mvhd/mdhd layouts. Returns None when no valid moov/mvhd
+    * is present (NOT an MP4 — the caller drops the row). */
+  def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    try {
+      // generic child-box walk over [from, to)
+      def children(from: Long, to: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)]
+        var o = from
+        while (o + 8 <= to) {
+          val sz0 = be32(b, o.toInt)
+          val typ = fourcc(b, o.toInt + 4)
+          val (bodyOff, sz) =
+            if (sz0 == 1 && o + 16 <= to) (o + 16, be64(b, o.toInt + 8))
+            else if (sz0 == 0) (o + 8, to - o)
+            else (o + 8, sz0)
+          if (sz < 8 || o + sz > to) return out.toSeq // malformed tail
+          out += ((typ, bodyOff, o + sz))
+          o += sz
+        }
+        out.toSeq
+      }
+      val top = children(0L, b.length.toLong)
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val mc = children(moov._2, moov._3)
+      val mvhd = mc.find(_._1 == "mvhd").getOrElse(return None)
+      val v = b(mvhd._2.toInt) & 0xff
+      val (ts, dur) =
+        if (v == 1) (be32(b, mvhd._2.toInt + 20), be64(b, mvhd._2.toInt + 24))
+        else (be32(b, mvhd._2.toInt + 12), be32(b, mvhd._2.toInt + 16))
+      if (ts == 0) return None
+      val traks = mc.filter(_._1 == "trak")
+      var w = 0; var h = 0
+      val handlers = traks.flatMap { t =>
+        val tc = children(t._2, t._3)
+        tc.find(_._1 == "tkhd").foreach { tk =>
+          val tv = b(tk._2.toInt) & 0xff
+          val base = if (tv == 1) tk._2 + 92 else tk._2 + 76
+          if (base + 8 <= tk._3) {
+            val wf = (be32(b, base.toInt) >> 16).toInt
+            val hf = (be32(b, base.toInt + 4) >> 16).toInt
+            if (wf > w) w = wf
+            if (hf > h) h = hf
+          }
+        }
+        tc.find(_._1 == "mdia").flatMap { md =>
+          children(md._2, md._3).find(_._1 == "hdlr")
+            .map(hd => fourcc(b, hd._2.toInt + 8))
+        }
+      }
+      Some(Mp4Meta(dur * 1000.0 / ts, ts, traks.length,
+        handlers.mkString(","), w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def u32bytes(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    u32bytes(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+
+  /** Deterministic minimal MP4: ftyp + moov(mvhd + a `vide` and a
+    * `soun` trak) + mdat. `mvhdV1` exercises the 64-bit mvhd layout;
+    * movie timescale is 1000 so duration units are milliseconds.
+    * Every parsed value and the total byte length are formulas of the
+    * inputs. */
+  def syntheticMp4(durMs: Long, width: Int, height: Int,
+      mdatLen: Int, mvhdV1: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
+      u32bytes(0x200) ++ "isom".getBytes("ISO-8859-1"))
+    val mvhdBody: Array[Byte] =
+      if (mvhdV1)
+        Array[Byte](1, 0, 0, 0) ++ u32bytes(0) ++ u32bytes(0) ++
+          u32bytes(0) ++ u32bytes(0) ++ u32bytes(1000) ++
+          u32bytes(0) ++ u32bytes(durMs) ++
+          mvhdTail
+      else
+        Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++ u32bytes(0) ++
+          u32bytes(1000) ++ u32bytes(durMs) ++ mvhdTail
+    def trak(handler: String, mediaTs: Long, trackId: Long,
+        w: Int, hgt: Int): Array[Byte] = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
+        u32bytes(0) ++ u32bytes(0) ++ u32bytes(trackId) ++ u32bytes(0) ++
+        u32bytes(durMs) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ identityMatrix ++
+        u32bytes(w.toLong << 16) ++ u32bytes(hgt.toLong << 16))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++
+        u32bytes(0) ++ u32bytes(0) ++ u32bytes(mediaTs) ++
+        u32bytes(durMs * mediaTs / 1000) ++
+        Array[Byte](0x55.toByte, 0xc4.toByte, 0, 0))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++
+        handler.getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
+        Array[Byte](0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    val moov = box("moov", mvhdBody0(mvhdBody) ++
+      trak("vide", 90000L, 1, width, height) ++
+      trak("soun", 48000L, 2, 0, 0))
+    val mdat = box("mdat",
+      Array.tabulate[Byte](mdatLen)(i => ((i * 41) & 0xff).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  private def mvhdBody0(body: Array[Byte]): Array[Byte] = box("mvhd", body)
+  // rate 1.0, volume 1.0, reserved, unity matrix, predefined, next id
+  private val mvhdTail: Array[Byte] =
+    u32bytes(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](8) ++ identityMatrix ++ new Array[Byte](24) ++
+      u32bytes(3)
+  private lazy val identityMatrix: Array[Byte] =
+    u32bytes(0x00010000L) ++ new Array[Byte](12) ++
+      u32bytes(0x00010000L) ++ new Array[Byte](12) ++
+      u32bytes(0x40000000L)
+
+  /** Typed MP4-metadata record for the partition-batched path. */
+  final case class Mp4Feature(doc_id: Long, duration_ms: Double,
+      timescale: Long, n_tracks: Int, handlers: String,
+      width: Int, height: Int, n_bytes: Int)
+
+  /** Partition-batched MP4 container-metadata extraction; rows whose
+    * payload is not a parseable ISO-BMFF container are dropped. */
+  def decodeMp4All(media: Dataset[MediaRow]): Dataset[Mp4Feature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp4(r.payload).map(m => Mp4Feature(r.doc_id, m.durationMs,
+        m.timescale, m.nTracks, m.handlers, m.width, m.height,
+        r.payload.length))
+    })
+  }
+
+  /** Video-container fixture table: one synthetic MP4 per document,
+    * duration / dimensions / mdat length / mvhd version all formulas of
+    * `doc_id` so every parsed value (and the total byte length) replays
+    * in SQL. */
+  def syntheticMp4Table(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video", syntheticMp4(
+          durMs = id % 30000 + 1000,
+          width = ((id % 8) + 1).toInt * 160,
+          height = ((id % 6) + 1).toInt * 90,
+          mdatLen = (id % 50).toInt,
+          mvhdV1 = id % 2 == 0))
+      })
+  }
+
   /** Deterministic solid-gray PNG: the smallest payload whose decoded
     * (width, height, brightness) are knowable in advance — the fixture
     * generator for the real-codec path. */

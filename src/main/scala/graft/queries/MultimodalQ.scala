@@ -323,6 +323,34 @@ object MultimodalQ extends QueryModule {
         END AS n_same_hash
       FROM documents"""))
 
+  // REAL video-container metadata end-to-end: per-document synthetic
+  // ISO-BMFF files (duration / dimensions / mdat length / mvhd version
+  // are formulas of doc_id; movie timescale 1000) through the pure-JVM
+  // box walk — ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr, both mvhd
+  // versions exercised on alternating docs. The oracle replays every
+  // parsed value AND the total byte length (the 12-byte v1 mvhd delta
+  // included), so a box-size slip, version-offset mixup, or fixed-point
+  // width shift breaks the hash.
+  private val q186 = Q("q186_mp4_meta",
+    (s, dir) => Multimodal.decodeMp4All(Multimodal.syntheticMp4Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("duration_ms"), col("timescale"),
+        col("n_tracks"), col("handlers"), col("width"), col("height"),
+        col("n_bytes")),
+    Some("""SELECT doc_id,
+        CAST(doc_id % 30000 + 1000 AS DOUBLE) * 1000.0 / 1000.0
+          AS duration_ms,
+        CAST(1000 AS BIGINT) AS timescale,
+        CAST(2 AS INT) AS n_tracks,
+        'vide,soun' AS handlers,
+        CAST((doc_id % 8 + 1) * 160 AS INT) AS width,
+        CAST((doc_id % 6 + 1) * 90 AS INT) AS height,
+        CAST(490 + doc_id % 50
+          + CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 0 END AS INT)
+          AS n_bytes
+      FROM documents"""))
+
   override def queries: Seq[Q] =
-    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175)
+    Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
+      q186)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.genetics._
@@ -539,7 +540,81 @@ object VcfQ extends QueryModule {
       GROUP BY 1, 2"""
     })
 
+  // --- pre-imputation QC report over the real CEU fixture (the Rayner-
+  // style pre-imputation checks every array→imputation pipeline runs):
+  // per chrom, variant-class counts from the allele strings — SNV /
+  // indel / MNP / multiallelic / strand-ambiguous (A·T, C·G palindromes
+  // that cannot be strand-resolved) — plus duplicate-position totals.
+  // Two-level linear aggregation: (chrom, pos) cell counts first, so
+  // duplicate-site detection never re-scans, then one chrom rollup. ----
+  private val q185 = Q("q185_preimpute_qc",
+    (s, _) => {
+      val v = Vcf.read(s, CeuVcf).select(col("chrom"),
+        col("pos").cast("long").as("pos"), col("ref"), col("alts"))
+      val alt1 = element_at(col("alts"), 1)
+      val bi = size(col("alts")) === 1
+      val snv = bi && length(col("ref")) === 1 && length(alt1) === 1
+      val indel = bi && length(col("ref")) =!= length(alt1)
+      val mnp = bi && length(col("ref")) === length(alt1) &&
+        length(col("ref")) > 1
+      val ambig = snv && concat(col("ref"), alt1)
+        .isin("AT", "TA", "CG", "GC")
+      def f(c: Column) = sum(when(c, 1L).otherwise(0L))
+      v.groupBy(col("chrom"), col("pos"))
+        .agg(count(lit(1)).as("cnt"),
+          f(snv).as("s_snv"), f(indel).as("s_indel"),
+          f(mnp).as("s_mnp"),
+          f(size(col("alts")) > 1).as("s_multi"),
+          f(ambig).as("s_ambig"))
+        .groupBy(col("chrom"))
+        .agg(sum(col("cnt")).as("n_variants"),
+          sum(col("s_snv")).as("n_snv"),
+          sum(col("s_indel")).as("n_indel"),
+          sum(col("s_mnp")).as("n_mnp"),
+          sum(col("s_multi")).as("n_multi"),
+          sum(col("s_ambig")).as("n_ambig"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+            .as("n_at_dup_pos"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_sites"))
+    },
+    Some(s"""WITH raw AS (
+        SELECT column00 AS chrom, CAST(column01 AS BIGINT) AS pos,
+          column03 AS ref, string_split(column04, ',') AS alts
+        FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      cls AS (
+        SELECT chrom, pos,
+          CASE WHEN len(alts) = 1 AND length(ref) = 1
+            AND length(alts[1]) = 1 THEN 1 ELSE 0 END AS s_snv,
+          CASE WHEN len(alts) = 1 AND length(ref) <> length(alts[1])
+            THEN 1 ELSE 0 END AS s_indel,
+          CASE WHEN len(alts) = 1 AND length(ref) = length(alts[1])
+            AND length(ref) > 1 THEN 1 ELSE 0 END AS s_mnp,
+          CASE WHEN len(alts) > 1 THEN 1 ELSE 0 END AS s_multi,
+          CASE WHEN len(alts) = 1 AND length(ref) = 1
+            AND length(alts[1]) = 1
+            AND ref || alts[1] IN ('AT', 'TA', 'CG', 'GC')
+            THEN 1 ELSE 0 END AS s_ambig
+        FROM raw),
+      cell AS (
+        SELECT chrom, pos, COUNT(*) AS cnt,
+          SUM(s_snv) AS s_snv, SUM(s_indel) AS s_indel,
+          SUM(s_mnp) AS s_mnp, SUM(s_multi) AS s_multi,
+          SUM(s_ambig) AS s_ambig
+        FROM cls GROUP BY 1, 2)
+      SELECT chrom, CAST(SUM(cnt) AS BIGINT) AS n_variants,
+        CAST(SUM(s_snv) AS BIGINT) AS n_snv,
+        CAST(SUM(s_indel) AS BIGINT) AS n_indel,
+        CAST(SUM(s_mnp) AS BIGINT) AS n_mnp,
+        CAST(SUM(s_multi) AS BIGINT) AS n_multi,
+        CAST(SUM(s_ambig) AS BIGINT) AS n_ambig,
+        CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+          AS n_at_dup_pos,
+        CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_sites
+      FROM cell GROUP BY chrom"""))
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171)
+      q171, q185)
 }
