@@ -1805,4 +1805,55 @@ object TrainingData {
         trim(regexp_replace(
           regexp_replace(decoded, "[ \\t]+", " "), " ?\\n ?", "\n")))
   }
+
+  /** Per-group lexical profile — tokens / types / hapax legomena and
+    * their ratios per `byCol` (source, language, shard …), the corpus-
+    * composition diagnostic a mixing plan is tuned against. Two linear
+    * shuffles: (group, token) counts, then one group rollup, plus a
+    * group-keyed doc-count join (≤ #groups rows). Exact integers; two
+    * final divisions. */
+  def lexicalProfile(docs: DataFrame, textCol: String = "text",
+      byCol: String = "source"): DataFrame = {
+    val tf = docs
+      .select(col(byCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(byCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nd = docs.groupBy(col(byCol)).agg(count(lit(1)).as("n_docs"))
+    tf.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .join(nd, Seq(byCol))
+      .select(col(byCol), col("n_docs"), col("n_types"), col("n_tokens"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio"))
+  }
+
+  /** Token-frequency spectrum (the Zipf diagnostic without any global
+    * rank): token counts bucketed by the floor-log₂ OCTAVE of tf —
+    * under Zipf, types-per-octave decays geometrically and mass-per-
+    * octave stays flat. The octave comes from a static integer
+    * comparison chain (no floating log, so any engine replays it
+    * bit-for-bit). Two linear shuffles (token counts, octave rollup);
+    * the total-mass denominator is a broadcast 1-row aggregate. */
+  def tokenSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val octave = (62 to 0 by -1).foldLeft(lit(null).cast("long")) {
+      (acc, k) => if (k == 62) when(col("tf") >= lit(1L << k), k.toLong)
+        else acc.when(col("tf") >= lit(1L << k), k.toLong)
+    }
+    val total = tf.agg(sum(col("tf")).as("__total"))
+    tf.withColumn("octave", octave)
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("tf_min"), max(col("tf")).as("tf_max"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        col("sum_tf").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+  }
 }

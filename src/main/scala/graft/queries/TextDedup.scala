@@ -1681,9 +1681,55 @@ object TextDedup extends QueryModule {
            'cls': 'other'}]).cls AS dominant
       FROM documents"""))
 
+  // --- per-source lexical profile: tokens / types / hapax legomena and
+  // their ratios per corpus source — the composition diagnostic a mixing
+  // plan is tuned against. Exact integers, two final divisions. ---------
+  private val q187 = Q("q187_lexical_profile",
+    (s, dir) => graft.pipeline.TrainingData.lexicalProfile(
+      Tables(s, dir, "documents")),
+    Some(s"""WITH t AS ($tokCte),
+      e AS (SELECT source, unnest(toks) AS token FROM t),
+      c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM e GROUP BY 1, 2),
+      d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1)
+      SELECT c.source, n_docs, CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hapax,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
+        CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+      FROM c JOIN d USING (source) GROUP BY 1, 2"""))
+
+  // --- token-frequency spectrum (Zipf diagnostic with NO global rank
+  // and NO floating log): tokens bucketed by the floor-log₂ octave of
+  // tf via a static integer comparison chain — under Zipf, types decay
+  // geometrically per octave while mass stays flat. --------------------
+  private val q188 = Q("q188_token_spectrum",
+    (s, dir) => graft.pipeline.TrainingData.tokenSpectrum(
+      Tables(s, dir, "documents")),
+    Some {
+      val octaveSql = "CASE " + (62 to 0 by -1).map(k =>
+        s"WHEN tf >= ${1L << k} THEN CAST($k AS BIGINT)")
+        .mkString(" ") + " END"
+      s"""WITH t AS ($tokCte),
+      e AS (SELECT unnest(toks) AS token FROM t),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM e
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM c)
+      SELECT $octaveSql AS octave,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(tf) AS BIGINT) AS sum_tf,
+        CAST(MIN(tf) AS BIGINT) AS tf_min,
+        CAST(MAX(tf) AS BIGINT) AS tf_max,
+        CAST(SUM(tf) AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM c CROSS JOIN tot GROUP BY 1, total"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169)
+      q160, q161, q167, q169, q187, q188)
 }
