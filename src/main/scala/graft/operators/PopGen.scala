@@ -1343,7 +1343,9 @@ object PopGen {
         sort_array(collect_list(col("c")), asc = false).as("cs"))
       .select(col("chrom"), col("win"), col("n_hap"),
         element_at(col("cs"), 1).as("c1"),
-        coalesce(element_at(col("cs"), 2), lit(0L)).as("c2"),
+        // a fixed-window sweep can leave ONE haplotype — strict
+        // element_at throws under ANSI on the missing second entry
+        coalesce(try_element_at(col("cs"), lit(2)), lit(0L)).as("c2"),
         col("ssq"))
       .withColumn("h1", col("ssq").cast("double") / hh)
       .withColumn("h2", (col("ssq") - col("c1") * col("c1"))

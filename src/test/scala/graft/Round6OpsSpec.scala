@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, PopGen}
+import graft.pipeline.TrainingData
+
+/** Hand-computed goldens for the round-6 additions: f2 doubleton
+  * sharing, Garud H soft-sweep statistics, window-indexed LD clumping,
+  * duplicate-sample concordance, the ISO-BMFF (MP4) box walk, and the
+  * lexical-profile / token-spectrum corpus diagnostics. The sf0.01
+  * oracle gate (q181–q188) proves the full formulas against DuckDB;
+  * these pin the SEMANTICS on known inputs. */
+class Round6OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("f2Sharing golden: het-het pairs, hom self-pairs, filters") {
+    import spark.implicits._
+    val v = Seq(
+      // shared doubleton by samples 0,1
+      (1L, 2, Seq[java.lang.Long](1L, 1L, 0L, 0L)),
+      // private doubleton: hom-alt sample 0
+      (2L, 2, Seq[java.lang.Long](2L, 0L, 0L, 0L)),
+      // shared by 0,2 — twice
+      (3L, 2, Seq[java.lang.Long](1L, 0L, 1L, 0L)),
+      (4L, 2, Seq[java.lang.Long](1L, null, 1L, 0L)),
+      // excluded: triallelic site
+      (5L, 3, Seq[java.lang.Long](1L, 1L, 0L, 0L)),
+      // excluded: total alt dosage 3
+      (6L, 2, Seq[java.lang.Long](1L, 1L, 1L, 0L))
+    ).toDF("vid", "nall", "d")
+    val r = PopGen.f2Sharing(v, 4).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r == Map((0L, 1L) -> 1L, (0L, 0L) -> 1L, (0L, 2L) -> 2L))
+  }
+
+  test("garudH golden: hard sweep vs all-distinct window") {
+    import spark.implicits._
+    // window 0: both variants identical across all 4 haplotype slots
+    // window 1: the 4 slots spell 4 distinct haplotypes
+    val v = Seq(
+      (1L, "c1", 10L, Seq(Seq(0L, 0L), Seq(0L, 0L))),
+      (2L, "c1", 20L, Seq(Seq(1L, 1L), Seq(1L, 1L))),
+      (3L, "c1", 110L, Seq(Seq(0L, 0L), Seq(1L, 1L))),
+      (4L, "c1", 120L, Seq(Seq(0L, 1L), Seq(0L, 1L)))
+    ).toDF("vid", "chrom", "pos", "geno")
+    val r = PopGen.garudH(v, 100L, nSamples = 2).collect()
+      .map(x => (x.getLong(1), x)).toMap
+    val sweep = r(0L)
+    assert(sweep.getLong(sweep.fieldIndex("n_hap")) == 1L)
+    assert(sweep.getDouble(sweep.fieldIndex("h1")) == 1.0)
+    assert(sweep.getDouble(sweep.fieldIndex("h2")) == 0.0)
+    assert(sweep.getDouble(sweep.fieldIndex("h12")) == 1.0)
+    val spread = r(1L)
+    assert(spread.getLong(spread.fieldIndex("n_hap")) == 4L)
+    assert(spread.getDouble(spread.fieldIndex("h1")) == 0.25)
+    assert(spread.getDouble(spread.fieldIndex("h2")) == 3.0 / 16.0)
+    assert(spread.getDouble(spread.fieldIndex("h12")) == 0.375)
+  }
+
+  test("clumpLite golden: max-mac index, exact r², threshold flag") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, "c1", 10L, Seq[java.lang.Long](0L, 1L, 2L, 0L)), // mac 3
+      (2L, "c1", 20L, Seq[java.lang.Long](0L, 1L, 2L, 1L)), // mac 4 → index
+      (3L, "c1", 30L, Seq[java.lang.Long](2L, 1L, 0L, 2L))  // mac 3
+    ).toDF("vid", "chrom", "pos", "d")
+    val r = PopGen.clumpLite(v, 100L, 0.5, 4).collect()
+      .map(x => (x.getLong(0), x)).toMap
+    assert(r.values.forall(_.getLong(_2(r)("index_vid")) == 2L))
+    assert(r(2L).getBoolean(_2(r)("is_index")))
+    assert(r(2L).isNullAt(_2(r)("r2")))
+    // v1 vs v2: num 8, dx 11, dy 8 → r² = 64/88
+    assert(math.abs(r(1L).getDouble(_2(r)("r2")) - 64.0 / 88.0) < 1e-15)
+    assert(r(1L).getBoolean(_2(r)("clumped")))
+    assert(r(3L).getBoolean(_2(r)("clumped")))
+  }
+  private def _2(m: Map[Long, org.apache.spark.sql.Row])
+      : String => Int = m.head._2.fieldIndex
+
+  test("dupConcordance golden: unordered match, missing not comparable") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Seq(Seq[java.lang.Long](0L, 1L), Seq[java.lang.Long](1L, 1L)),
+        Seq(Seq[java.lang.Long](1L, 0L), Seq[java.lang.Long](0L, 1L))),
+      (2L, Seq(Seq[java.lang.Long](0L, 0L), Seq[java.lang.Long](null, 1L)),
+        Seq(Seq[java.lang.Long](0L, 0L), Seq[java.lang.Long](1L, 1L)))
+    ).toDF("vid", "geno", "geno2")
+    val r = PopGen.dupConcordance(v, 2).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    // sample 0: {0,1}≡{0,1} match; {0,0}≡{0,0} match → 2/2
+    assert(r(0L) == ((2L, 2L)))
+    // sample 1: {1,1} vs {0,1} mismatch; missing in A not comparable
+    assert(r(1L) == ((1L, 0L)))
+  }
+
+  test("parseMp4 walks both mvhd versions and rejects junk") {
+    for (v1 <- Seq(false, true)) {
+      val bytes = Multimodal.syntheticMp4(2000L, 320, 180, 10, v1)
+      assert(bytes.length == 490 + 10 + (if (v1) 12 else 0))
+      val m = Multimodal.parseMp4(bytes).get
+      assert(m.durationMs == 2000.0)
+      assert(m.timescale == 1000L)
+      assert(m.nTracks == 2)
+      assert(m.handlers == "vide,soun")
+      assert(m.width == 320 && m.height == 180)
+    }
+    assert(Multimodal.parseMp4("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
+    // truncated moov: header claims more bytes than exist
+    val good = Multimodal.syntheticMp4(1000L, 160, 90, 0)
+    assert(Multimodal.parseMp4(good.take(40)).isEmpty)
+  }
+
+  test("lexicalProfile and tokenSpectrum goldens") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x", "a"), (2L, "x", "b"))
+      .toDF("doc_id", "text", "source")
+    val p = TrainingData.lexicalProfile(docs).collect()
+      .map(x => (x.getString(0), x)).toMap
+    assert(p("a").getLong(p("a").fieldIndex("n_tokens")) == 3L)
+    assert(p("a").getLong(p("a").fieldIndex("n_types")) == 2L)
+    assert(p("a").getLong(p("a").fieldIndex("n_hapax")) == 1L)
+    assert(p("b").getDouble(p("b").fieldIndex("ttr")) == 1.0)
+    val sp = TrainingData.tokenSpectrum(docs).collect()
+      .map(x => (x.getLong(0), x)).toMap
+    // x: tf 3 → octave 1; y: tf 1 → octave 0
+    assert(sp(0L).getLong(sp(0L).fieldIndex("n_types")) == 1L)
+    assert(sp(0L).getDouble(sp(0L).fieldIndex("share")) == 0.25)
+    assert(sp(1L).getLong(sp(1L).fieldIndex("sum_tf")) == 3L)
+    assert(sp(1L).getDouble(sp(1L).fieldIndex("share")) == 0.75)
+  }
+}
