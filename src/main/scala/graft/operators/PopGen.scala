@@ -1420,6 +1420,57 @@ object PopGen {
         coalesce(col("clumped"), lit(false)).as("clumped"))
   }
 
+  /** Differential missingness between two sample groups (PLINK
+    * `--test-missing`, the batch-effect QC): per variant the 2×2 table
+    * (missing/called × group) scores the Pearson χ² =
+    * n·(ad − bc)² / (r₁·r₂·c₁·c₂) — all-BIGINT numerator, ONE exact
+    * division, NULL when any margin is empty. Pure projection, zero
+    * shuffles. */
+  def diffMissing(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame = {
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def miss(g: Seq[Int]) =
+      g.map(s => when(d(s).isNull, 1L).otherwise(0L)).reduce(_ + _)
+    val n = (g1.length + g2.length).toLong
+    v.withColumn("m1", miss(g1)).withColumn("m2", miss(g2))
+      .withColumn("c1", lit(g1.length.toLong) - col("m1"))
+      .withColumn("c2", lit(g2.length.toLong) - col("m2"))
+      .withColumn("num",
+        lit(n) * (col("m1") * col("c2") - col("m2") * col("c1"))
+          * (col("m1") * col("c2") - col("m2") * col("c1")))
+      .withColumn("den",
+        (col("m1") + col("c1")) * (col("m2") + col("c2"))
+          * (col("m1") + col("m2")) * (col("c1") + col("c2")))
+      .select(col("vid"), col("m1"), col("m2"),
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double"))
+          .as("chi2_miss"))
+  }
+
+  /** Allele-frequency concordance between two callsets over the same
+    * variants (the panel / re-call QC): per chrom, exact BIGINT moment
+    * sums of the two per-variant alt-allele counts and the Pearson
+    * correlation assembled from them in ONE fixed-order double
+    * expression (num / (√dx·√dy)) — so any engine replays it
+    * bit-for-bit. One chrom-keyed aggregation. `v` carries chrom and
+    * the two per-variant counts a1, a2. */
+  def afConcordance(v: DataFrame): DataFrame =
+    v.groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_var"),
+        sum(col("a1")).as("sx"), sum(col("a2")).as("sy"),
+        sum(col("a1") * col("a2")).as("sxy"),
+        sum(col("a1") * col("a1")).as("sxx"),
+        sum(col("a2") * col("a2")).as("syy"))
+      .withColumn("num",
+        col("n_var") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n_var") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_var") * col("syy") - col("sy") * col("sy"))
+      .select(col("chrom"), col("n_var"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"),
+        when(col("dx") > 0 && col("dy") > 0,
+          col("num").cast("double")
+            / (sqrt(col("dx").cast("double"))
+              * sqrt(col("dy").cast("double")))).as("af_corr"))
+
   /** Duplicate-sample genotype concordance (the array-vs-sequencing /
     * re-called-twin QC the reference ecosystem runs via two seqOpen
     * handles and a paired seqApply): per sample, over variants where

@@ -1293,8 +1293,65 @@ object PopGenQ extends QueryModule {
           FROM variants, (SELECT unnest(range(0, $N)) AS s) t))
       GROUP BY i"""))
 
+  // --- differential missingness between sample halves (PLINK
+  // --test-missing, the batch-effect QC): per-variant 2×2 Pearson χ²
+  // over missing/called × group — all-BIGINT numerator, one division,
+  // NULL on empty margins. Pure projection. ----------------------------
+  private val q190 = Q("q190_diff_missing",
+    (s, dir) => PopGen.diffMissing(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      0 until N / 2, N / 2 until N),
+    Some(withCte(s"""SELECT vid, m1, m2,
+      CASE WHEN (m1 + c1) * (m2 + c2) * (m1 + m2) * (c1 + c2) > 0 THEN
+        CAST($N * (m1 * c2 - m2 * c1) * (m1 * c2 - m2 * c1) AS DOUBLE)
+          / CAST((m1 + c1) * (m2 + c2) * (m1 + m2) * (c1 + c2)
+            AS DOUBLE) END AS chi2_miss
+      FROM (SELECT vid, m1, m2,
+          ${N / 2} - m1 AS c1, ${N / 2} - m2 AS c2
+        FROM (SELECT vid,
+            CAST(len(list_filter(d[1:${N / 2}], x -> x IS NULL))
+              AS BIGINT) AS m1,
+            CAST(len(list_filter(d[${N / 2 + 1}:$N], x -> x IS NULL))
+              AS BIGINT) AS m2
+          FROM (SELECT vid, $dSql AS d FROM variants)))""")))
+
+  // --- allele-frequency concordance between the two twin callsets (the
+  // panel / re-call QC): per chrom, exact BIGINT moment sums of the two
+  // per-variant alt-allele counts; Pearson r assembled from them in one
+  // fixed-order double expression (num / (√dx·√dy)). -------------------
+  private val q191 = Q("q191_af_concordance",
+    (s, dir) => {
+      def altCount(c: String) = (0 until N).flatMap(s0 => Seq(0, 1).map(p =>
+        when(element_at(element_at(col(c), s0 + 1), p + 1) > 0, 1L)
+          .otherwise(0L))).reduce(_ + _)
+      PopGen.afConcordance(SynthGeno.variantsDup(s, dir)
+        .select(col("chrom"), altCount("geno").as("a1"),
+          altCount("geno2").as("a2")))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCteDup}),
+      ct AS (SELECT chrom,
+          CAST(len(list_filter(flatten(geno),
+            x -> x IS NOT NULL AND x <> 0)) AS BIGINT) AS a1,
+          CAST(len(list_filter(flatten(geno2),
+            x -> x IS NOT NULL AND x <> 0)) AS BIGINT) AS a2
+        FROM variants),
+      ag AS (SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_var,
+          CAST(SUM(a1) AS BIGINT) AS sx, CAST(SUM(a2) AS BIGINT) AS sy,
+          CAST(SUM(a1 * a2) AS BIGINT) AS sxy,
+          CAST(SUM(a1 * a1) AS BIGINT) AS sxx,
+          CAST(SUM(a2 * a2) AS BIGINT) AS syy
+        FROM ct GROUP BY chrom)
+      SELECT chrom, n_var, sx, sy, sxy, sxx, syy,
+        CASE WHEN n_var * sxx - sx * sx > 0 AND n_var * syy - sy * sy > 0
+          THEN CAST(n_var * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n_var * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n_var * syy - sy * sy AS DOUBLE)))
+        END AS af_corr
+      FROM ag"""))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177, q178, q179, q180, q181, q182, q183, q184)
+      q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191)
 }

@@ -1681,6 +1681,44 @@ object TextDedup extends QueryModule {
            'cls': 'other'}]).cls AS dominant
       FROM documents"""))
 
+  // --- per-shard 3-gram novelty (diversity-saturation diagnostic — the
+  // Heaps-law signal without any ordered scan): an n-gram is NOVEL in
+  // the lowest-numbered shard that contains it; per shard, the novel
+  // fraction of its distinct n-grams. Three linear shuffles: (shard,
+  // ngram) distinct, an ngram-partitioned min window (no global
+  // window), one shard rollup. -----------------------------------------
+  private val q189 = Q("q189_ngram_novelty",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables(s, dir, "documents")
+        .select((col("doc_id") % 8).as("shard"),
+          explode(shingles(col("text"), SHINGLE_N)).as("ng"))
+        .distinct()
+      val w = Window.partitionBy(col("ng"))
+      sh.withColumn("first_shard", min(col("shard")).over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      sh0 AS (SELECT doc_id % 8 AS shard,
+          unnest(CASE WHEN len(toks) >= $SHINGLE_N THEN
+            list_distinct(list_transform(
+              range(1, len(toks) - ${SHINGLE_N - 2}),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [] END) AS ng FROM t),
+      d AS (SELECT DISTINCT shard, ng FROM sh0),
+      f AS (SELECT ng, MIN(shard) AS first_shard FROM d GROUP BY ng)
+      SELECT d.shard, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(SUM(CASE WHEN first_shard = d.shard THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN first_shard = d.shard THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM d JOIN f USING (ng) GROUP BY d.shard"""))
+
   // --- per-source lexical profile: tokens / types / hapax legomena and
   // their ratios per corpus source — the composition diagnostic a mixing
   // plan is tuned against. Exact integers, two final divisions. ---------
@@ -1731,5 +1769,5 @@ object TextDedup extends QueryModule {
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188)
+      q160, q161, q167, q169, q187, q188, q189)
 }
