@@ -164,7 +164,35 @@ object ScaleProbe {
         d => TrainingData.collocations(d), Docs),
       ("pq_adc",
         d => pqAdcScan(d,
-          if (d eq vecsN) 40 * Factor else 40), Vecs))
+          if (d eq vecsN) 40 * Factor else 40), Vecs),
+      // round-6 families: haplotype-window stats (explode ×H + window-
+      // keyed string build), window-indexed clumping (cell-key join),
+      // f2 pair rollup, and the three corpus diagnostics
+      ("garud_h",
+        d => graft.operators.PopGen.garudH(
+          d.withColumn("geno", array(
+            (0 until 8).map { s =>
+              val x = element_at(col("d"), s + 1)
+              array(when(x >= 1, 1L).otherwise(when(x.isNull,
+                  lit(null).cast("long")).otherwise(0L)),
+                when(x >= 2, 1L).otherwise(when(x.isNull,
+                  lit(null).cast("long")).otherwise(0L)))
+            }: _*)).drop("d"),
+          200L, 8), Vars),
+      ("clump_lite",
+        d => graft.operators.PopGen.clumpLite(d, 200L, 0.5, 8), Vars),
+      ("f2_sharing",
+        d => graft.operators.PopGen.f2Sharing(
+          d.withColumn("nall", lit(2)), 8), Vars),
+      ("ngram_novelty",
+        d => TrainingData.ngramNovelty(d, nShards = 8), Docs),
+      ("lexical_profile",
+        d => TrainingData.lexicalProfile(
+          d.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 41).cast("string")))),
+        Docs),
+      ("token_spectrum",
+        d => TrainingData.tokenSpectrum(d), Docs))
 
     def time(fn: => DataFrame): Double = {
       // the LD family shares a session-scoped materialized pair-stats

@@ -1831,6 +1831,29 @@ object TrainingData {
           .as("hapax_ratio"))
   }
 
+  /** Per-shard n-gram novelty (the diversity-saturation diagnostic —
+    * the Heaps-law signal with NO ordered scan): an n-gram is NOVEL in
+    * the lowest-numbered shard containing it; each shard reports the
+    * novel fraction of its distinct n-grams. Three linear shuffles:
+    * (shard, ngram) distinct, an ngram-PARTITIONED min window (never a
+    * global window), one shard rollup. */
+  def ngramNovelty(docs: DataFrame, nShards: Int,
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select((col("doc_id") % nShards).as("shard"),
+        explode(shingles(col(textCol), shingleN)).as("ng"))
+      .distinct()
+    val w = Window.partitionBy(col("ng"))
+    sh.withColumn("first_shard", min(col("shard")).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+  }
+
   /** Token-frequency spectrum (the Zipf diagnostic without any global
     * rank): token counts bucketed by the floor-log₂ OCTAVE of tf —
     * under Zipf, types-per-octave decays geometrically and mass-per-

@@ -1688,21 +1688,8 @@ object TextDedup extends QueryModule {
   // ngram) distinct, an ngram-partitioned min window (no global
   // window), one shard rollup. -----------------------------------------
   private val q189 = Q("q189_ngram_novelty",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = Tables(s, dir, "documents")
-        .select((col("doc_id") % 8).as("shard"),
-          explode(shingles(col("text"), SHINGLE_N)).as("ng"))
-        .distinct()
-      val w = Window.partitionBy(col("ng"))
-      sh.withColumn("first_shard", min(col("shard")).over(w))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_ngrams"),
-          sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty",
-          col("n_novel").cast("double") / col("n_ngrams").cast("double"))
-    },
+    (s, dir) => graft.pipeline.TrainingData.ngramNovelty(
+      Tables(s, dir, "documents"), nShards = 8, shingleN = SHINGLE_N),
     Some(s"""WITH t AS ($tokCte),
       sh0 AS (SELECT doc_id % 8 AS shard,
           unnest(CASE WHEN len(toks) >= $SHINGLE_N THEN
