@@ -1420,6 +1420,29 @@ object PopGen {
         coalesce(col("clumped"), lit(false)).as("clumped"))
   }
 
+  /** Per-sample singleton load (the rare-variant / sequencing-error QC
+    * every cohort runs before association): a sample's singletons are
+    * the variants where it is the SOLE alt carrier — its dosage equals
+    * the variant's whole alt mass (het singleton d = a = 1, hom
+    * doubleton-in-one-sample d = a = 2). One explode ×S projection +
+    * one S-group rollup; exact integers. */
+  def singletonLoad(v: DataFrame, nSamples: Int): DataFrame = {
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val a = sumOver(s => coalesce(d(s), lit(0L)))
+    def st(s: Int): Column = struct(lit(s.toLong).as("i"),
+      when(d(s) === col("a0") && d(s) === 1L, 1L).otherwise(0L).as("sh"),
+      when(d(s) === col("a0") && d(s) === 2L, 1L).otherwise(0L).as("sm"))
+    v.withColumn("a0", a)
+      .select(explode(array((0 until nSamples).map(st): _*)).as("t"))
+      .select(col("t.i"), col("t.sh"), col("t.sm"))
+      .groupBy(col("i"))
+      .agg(sum(col("sh")).as("n_singleton_het"),
+        sum(col("sm")).as("n_singleton_hom"))
+      .withColumn("n_singleton",
+        col("n_singleton_het") + col("n_singleton_hom"))
+  }
+
   /** Differential missingness between two sample groups (PLINK
     * `--test-missing`, the batch-effect QC): per variant the 2×2 table
     * (missing/called × group) scores the Pearson χ² =

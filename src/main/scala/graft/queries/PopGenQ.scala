@@ -1316,6 +1316,30 @@ object PopGenQ extends QueryModule {
               AS BIGINT) AS m2
           FROM (SELECT vid, $dSql AS d FROM variants)))""")))
 
+  // --- per-sample singleton load (rare-variant / error-rate QC): the
+  // variants where a sample carries the ENTIRE alt mass — het
+  // singletons (d = a = 1) and hom private doubletons (d = a = 2). ----
+  private val q192 = Q("q192_singleton_load",
+    (s, dir) => PopGen.singletonLoad(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s"""SELECT i,
+      CAST(SUM(sh) AS BIGINT) AS n_singleton_het,
+      CAST(SUM(sm) AS BIGINT) AS n_singleton_hom,
+      CAST(SUM(sh) + SUM(sm) AS BIGINT) AS n_singleton
+      FROM (SELECT t.s AS i,
+          CASE WHEN d[CAST(t.s AS INT) + 1] = a
+            AND d[CAST(t.s AS INT) + 1] = 1 THEN 1 ELSE 0 END AS sh,
+          CASE WHEN d[CAST(t.s AS INT) + 1] = a
+            AND d[CAST(t.s AS INT) + 1] = 2 THEN 1 ELSE 0 END AS sm
+        FROM (SELECT d,
+            CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)),
+              0) AS BIGINT) AS a
+          FROM (SELECT $dSql AS d FROM variants)),
+          (SELECT unnest(range(0, $N)) AS s) t)
+      GROUP BY i""")))
+
   // --- allele-frequency concordance between the two twin callsets (the
   // panel / re-call QC): per chrom, exact BIGINT moment sums of the two
   // per-variant alt-allele counts; Pearson r assembled from them in one
@@ -1353,5 +1377,6 @@ object PopGenQ extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
-      q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191)
+      q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
+      q192)
 }

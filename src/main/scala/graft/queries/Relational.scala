@@ -658,7 +658,53 @@ object Relational extends QueryModule {
         AND (least(hi_a, hi_b) - greatest(lo_a, lo_b)) * 2
               >= (hi_b - lo_b)"""))
 
+  // --- q194: gap-based sessionization (the classic event-stream
+  // rollup; the batch twin of the streaming session window). A session
+  // breaks after a >30-min silence; session ids are a running sum of
+  // break flags over the user-PARTITIONED (ts, event_id) order — no
+  // global window anywhere; three linear user-keyed stages. All counts
+  // exact; one final division. -----------------------------------------
+  private val q194 = Q("q194_sessionize",
+    (s, dir) => {
+      val gapNs = 30L * 60 * 1000000000L
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("brk",
+          when(col("ts") - lag(col("ts"), 1).over(ord) > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("len")).as("n_events"),
+          max(col("len")).as("max_session"))
+        .withColumn("mean_session",
+          col("n_events").cast("double") / col("n_sessions").cast("double"))
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(len) AS BIGINT) AS n_events,
+        CAST(MAX(len) AS BIGINT) AS max_session,
+        CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS mean_session
+      FROM (SELECT user_id, sess, COUNT(*) AS len
+        FROM (SELECT user_id, event_id,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              ROWS UNBOUNDED PRECEDING) AS sess
+          FROM (SELECT user_id, event_id, tns,
+              CASE WHEN tns - LAG(tns) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id) > 1800000000000
+                THEN 1 ELSE 0 END AS brk
+            FROM (SELECT user_id, event_id, epoch_ns(ts) AS tns
+              FROM events)))
+        GROUP BY 1, 2)
+      GROUP BY user_id"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158)
+    q139, q140, q154, q158, q194)
 }

@@ -1114,7 +1114,58 @@ object Similarity extends QueryModule {
         ON b.probe_id = a.probe_id AND b.vec_id = a.vec_id
       GROUP BY 1"""))
 
+  // --- per-shard embedding-centroid drift (the distribution-shift
+  // monitor a sharded embedding corpus runs): exact BIGINT per-dim sums
+  // of the quantized vectors per shard and globally; each shard reports
+  // the cosine of its sum-vector against the global sum-vector,
+  // assembled from exact integer moments in ONE fixed-order double
+  // expression. Shuffles: one (shard, dim) aggregation (≤ 8·64 rows
+  // out), one dim rollup, one dim-keyed join of those tiny tables, one
+  // shard rollup — all bounded by shards × dims, never by vectors. ----
+  private val q195 = Q("q195_shard_drift",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        quantize(col("embedding"), SCALE).as("qv"))
+      val dims = e.select((col("vec_id") % 8).as("shard"),
+        posexplode(col("qv")).as(Seq("dim", "v")))
+      val sh = dims.groupBy(col("shard"), col("dim"))
+        .agg(sum(col("v")).as("sx"))
+      val g = dims.groupBy(col("dim")).agg(sum(col("v")).as("gx"))
+      val mo = sh.join(g, Seq("dim"))
+        .groupBy(col("shard"))
+        .agg(sum(col("sx") * col("gx")).as("dot"),
+          sum(col("sx") * col("sx")).as("ssx"),
+          sum(col("gx") * col("gx")).as("ssg"))
+      val nv = e.groupBy((col("vec_id") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_vecs"))
+      mo.join(nv, Seq("shard"))
+        .select(col("shard"), col("n_vecs"), col("dot"), col("ssx"),
+          when(col("ssx") > 0 && col("ssg") > 0,
+            col("dot").cast("double")
+              / (sqrt(col("ssx").cast("double"))
+                * sqrt(col("ssg").cast("double")))).as("cos_to_global"))
+    },
+    Some(s"""WITH q AS ($qCte),
+      d AS (SELECT vec_id % 8 AS shard,
+          generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v
+        FROM q),
+      sh AS (SELECT shard, dim, CAST(SUM(v) AS BIGINT) AS sx
+        FROM d GROUP BY 1, 2),
+      g AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS gx FROM d GROUP BY 1),
+      mo AS (SELECT shard,
+          CAST(SUM(sx * gx) AS BIGINT) AS dot,
+          CAST(SUM(sx * sx) AS BIGINT) AS ssx,
+          CAST(SUM(gx * gx) AS BIGINT) AS ssg
+        FROM sh JOIN g USING (dim) GROUP BY shard),
+      nv AS (SELECT vec_id % 8 AS shard, CAST(COUNT(*) AS BIGINT)
+          AS n_vecs FROM q GROUP BY 1)
+      SELECT shard, n_vecs, dot, ssx,
+        CASE WHEN ssx > 0 AND ssg > 0 THEN CAST(dot AS DOUBLE)
+          / (sqrt(CAST(ssx AS DOUBLE)) * sqrt(CAST(ssg AS DOUBLE)))
+        END AS cos_to_global
+      FROM mo JOIN nv USING (shard)"""))
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131, q148, q156)
+      q131, q148, q156, q195)
 }

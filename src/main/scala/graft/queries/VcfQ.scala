@@ -540,6 +540,56 @@ object VcfQ extends QueryModule {
       GROUP BY 1, 2"""
     })
 
+  // --- FORMAT-conditioned allele frequency (seqSetFilter on a fmt_
+  // field — the genotype-level QC mask every sequencing pipeline runs):
+  // genotypes whose per-sample DP (q57's deterministic matrix, missing
+  // cells included) falls below the threshold are masked OUT of the
+  // called-allele and alt counts; AF is one exact division. Pure
+  // projection — zero shuffles. ----------------------------------------
+  private val q193 = Q("q193_dp_masked_af",
+    (s, dir) => {
+      val n = SynthGeno.nSamples
+      def al(s0: Int, p: Int) =
+        element_at(element_at(col("geno"), s0 + 1), p + 1)
+      def dpOk(i: Int) = (col("vid") + i) % 11 =!= 0 &&
+        (col("vid") * 7 + i * 3) % 100 >= 40
+      def keep(i: Int) =
+        dpOk(i) && al(i, 0).isNotNull && al(i, 1).isNotNull
+      val nc = (0 until n).map(i => when(keep(i), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val ac = (0 until n).map(i => when(keep(i),
+          when(al(i, 0) =!= 0, 1L).otherwise(0L)
+            + when(al(i, 1) =!= 0, 1L).otherwise(0L))
+        .otherwise(0L)).reduce(_ + _)
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), nc.as("n_called_dp"), ac.as("ac_alt_dp"))
+        .withColumn("af_dp", when(col("n_called_dp") > 0,
+          col("ac_alt_dp").cast("double")
+            / (lit(2.0) * col("n_called_dp").cast("double"))))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCte})
+      SELECT vid, n_called_dp, ac_alt_dp,
+        CASE WHEN n_called_dp > 0 THEN CAST(ac_alt_dp AS DOUBLE)
+          / (2.0 * CAST(n_called_dp AS DOUBLE)) END AS af_dp
+      FROM (SELECT vid,
+          CAST(COALESCE(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN (vid + i) % 11 <> 0
+              AND (vid * 7 + i * 3) % 100 >= 40
+              AND geno[CAST(i AS INT) + 1][1] IS NOT NULL
+              AND geno[CAST(i AS INT) + 1][2] IS NOT NULL
+            THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_called_dp,
+          CAST(COALESCE(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN (vid + i) % 11 <> 0
+              AND (vid * 7 + i * 3) % 100 >= 40
+              AND geno[CAST(i AS INT) + 1][1] IS NOT NULL
+              AND geno[CAST(i AS INT) + 1][2] IS NOT NULL
+            THEN (CASE WHEN geno[CAST(i AS INT) + 1][1] <> 0
+                THEN 1 ELSE 0 END)
+              + (CASE WHEN geno[CAST(i AS INT) + 1][2] <> 0
+                THEN 1 ELSE 0 END)
+            ELSE 0 END)), 0) AS BIGINT) AS ac_alt_dp
+        FROM variants)"""))
+
   // --- pre-imputation QC report over the real CEU fixture (the Rayner-
   // style pre-imputation checks every array→imputation pipeline runs):
   // per chrom, variant-class counts from the allele strings — SNV /
@@ -616,5 +666,5 @@ object VcfQ extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185)
+      q171, q185, q193)
 }
