@@ -308,6 +308,49 @@ final case class SeqVarData(variants: DataFrame,
     graft.operators.PopGen.ldPrune(dosed, window, r2Max,
       if (n > 0) n else nSamples)
 
+  /** Tajima's D neutrality scan per window: see
+    * [[graft.operators.PopGen.tajimaD]]. */
+  def tajimaD(window: Long, n: Int = -1): DataFrame =
+    graft.operators.PopGen.tajimaD(
+      variants.select(col("variant_id").as("vid"), col("chrom"),
+        col("pos"), col("geno")),
+      0 until (if (n > 0) n else nSamples), window)
+
+  /** Garud H1/H2/H12 soft-sweep scan per window: see
+    * [[graft.operators.PopGen.garudH]]. */
+  def garudH(window: Long, n: Int = -1): DataFrame =
+    graft.operators.PopGen.garudH(
+      variants.select(col("chrom"), col("pos"),
+        col("variant_id").as("vid"), col("geno")),
+      window, if (n > 0) n else nSamples)
+
+  /** f2 (doubleton) allele sharing over the biallelic sites (nall from
+    * the canonical comma-joined allele string): see
+    * [[graft.operators.PopGen.f2Sharing]]. */
+  def f2Sharing(n: Int = -1): DataFrame =
+    graft.operators.PopGen.f2Sharing(
+      variants.select(col("variant_id").as("vid"),
+        size(split(col("allele"), ",")).cast("long").as("nall"),
+        dosageAlt(col("geno")).as("d")),
+      if (n > 0) n else nSamples)
+
+  /** Window-indexed LD clumping: see
+    * [[graft.operators.PopGen.clumpLite]]. */
+  def clump(window: Long, r2Min: Double, n: Int = -1): DataFrame =
+    graft.operators.PopGen.clumpLite(dosed, window, r2Min,
+      if (n > 0) n else nSamples)
+
+  /** Per-sample singleton load: see
+    * [[graft.operators.PopGen.singletonLoad]]. */
+  def singletonLoad(n: Int = -1): DataFrame =
+    graft.operators.PopGen.singletonLoad(dosed,
+      if (n > 0) n else nSamples)
+
+  /** PLINK --test-missing differential missingness: see
+    * [[graft.operators.PopGen.diffMissing]]. */
+  def diffMissing(g1: Seq[Int], g2: Seq[Int]): DataFrame =
+    graft.operators.PopGen.diffMissing(dosed, g1, g2)
+
   /** GWAS Cochran–Armitage trend test. */
   def assocTrend(isCase: Seq[Boolean]): DataFrame =
     graft.operators.PopGen.trendTest(dosed, isCase)

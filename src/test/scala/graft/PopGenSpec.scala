@@ -388,6 +388,17 @@ class PopGenSpec extends AnyFunSuite {
     val vecs = Seq(Seq(1.0, -1.0, 1.0, -1.0))
     assert(v.pcaCorr(vecs).columns.contains("corr_1"))
     assert(v.pcaLoadings(vecs).columns.contains("b_1"))
+    // round-6 fifth wave: selection scans, clumping, rare-variant QC
+    assert(v.tajimaD(100L).columns.contains("tajima_d"))
+    assert(v.garudH(100L).select("h12").collect()
+      .forall(_.getDouble(0) <= 1.0))
+    assert(v.clump(100L, 0.5).filter(col("is_index")).count() == 1)
+    assert(v.singletonLoad().count() == 4)
+    assert(v.diffMissing(Seq(0, 1), Seq(2, 3)).count() == 2)
+    val withAllele = graft.api.SeqVarData(
+      v.variants.withColumn("allele", lit("A,C")))
+    // both variants: sample 1 het + samples 2,3 hom — alt mass 5, no f2
+    assert(withAllele.f2Sharing().count() == 0)
   }
 
   test("wcFst integer closed form == textbook Weir–Cockerham on a " +
