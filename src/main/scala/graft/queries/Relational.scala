@@ -659,11 +659,13 @@ object Relational extends QueryModule {
               >= (hi_b - lo_b)"""))
 
   // --- q194: gap-based sessionization (the classic event-stream
-  // rollup; the batch twin of the streaming session window). A session
-  // breaks after a >30-min silence; session ids are a running sum of
-  // break flags over the user-PARTITIONED (ts, event_id) order — no
-  // global window anywhere; three linear user-keyed stages. All counts
-  // exact; one final division. -----------------------------------------
+  // rollup; the batch twin of EventStream.sessionWindows). A session
+  // breaks after ≥30 min of silence — the same boundary convention as
+  // session_window, whose [start, last+gap) span excludes an event at
+  // exactly gap distance; session ids are a running sum of break flags
+  // over the user-PARTITIONED (ts, event_id) order — no global window
+  // anywhere; three linear user-keyed stages. All counts exact; one
+  // final division. ----------------------------------------------------
   private val q194 = Q("q194_sessionize",
     (s, dir) => {
       val gapNs = 30L * 60 * 1000000000L
@@ -675,7 +677,7 @@ object Relational extends QueryModule {
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"))
         .withColumn("brk",
-          when(col("ts") - lag(col("ts"), 1).over(ord) > gapNs, 1L)
+          when(col("ts") - lag(col("ts"), 1).over(ord) >= gapNs, 1L)
             .otherwise(0L))
         .withColumn("sess", sum(col("brk")).over(run))
         .groupBy(col("user_id"), col("sess"))
@@ -697,7 +699,7 @@ object Relational extends QueryModule {
               ROWS UNBOUNDED PRECEDING) AS sess
           FROM (SELECT user_id, event_id, tns,
               CASE WHEN tns - LAG(tns) OVER (PARTITION BY user_id
-                  ORDER BY tns, event_id) > 1800000000000
+                  ORDER BY tns, event_id) >= 1800000000000
                 THEN 1 ELSE 0 END AS brk
             FROM (SELECT user_id, event_id, epoch_ns(ts) AS tns
               FROM events)))

@@ -203,6 +203,21 @@ object EventStream {
   final case class Session(user_id: Long, n_events: Int, total: Double,
       closed: Boolean)
 
+  /** Event-time sessionization as a watermarked session_window
+    * aggregate — the streaming twin of the batch gap rule (q194):
+    * a session closes after `gap` of event-time inactivity; per (user,
+    * session) the event count is emitted once the watermark passes the
+    * session end. Stream == batch for arrival inside the watermark
+    * horizon (`StreamingSpec` gates it, and cross-checks the session
+    * COUNTS against the lag-window batch formulation). */
+  def sessionWindows(events: DataFrame, gap: String,
+      lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
   /** Stateful per-user sessionization via mapGroupsWithState: a session
     * closes after `gapMs` of inactivity (processing-time timeout — the
     * KeyValueGroupedDataset state-machine shape from the brief). */

@@ -54,6 +54,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows == batch, and == the lag-gap rule") {
+    import spark.implicits._
+    // user 1: 5,12,40 s (gap 10 s → sessions {5,12}, {40});
+    // user 2: 8,30,36 s → sessions {8}, {30,36}
+    // batch split is chronological — an out-of-order split would push
+    // the watermark past user 2's opening event and drop it by design
+    val evs = Seq((ts(5), 1L), (ts(12), 1L), (ts(8), 2L),
+      (ts(40), 1L), (ts(30), 2L), (ts(36), 2L))
+    val stream = MemoryStream[(Timestamp, Long)](spark)
+    val sdf = EventStream.sessionWindows(
+      stream.toDF().toDF("ts", "user_id"), "10 seconds", "5 seconds")
+    val q = sdf.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(evs.take(3)); q.processAllAvailable()
+      stream.addData(evs.drop(3)); q.processAllAvailable()
+      stream.addData(Seq((ts(1000), 99L))); q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("user_id") =!= 99L).collect().map(_.toSeq).toSet
+      val batch = EventStream.sessionWindows(
+          evs.toDF("ts", "user_id"), "10 seconds", "5 seconds")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.size == 4)
+      // the q194 lag-gap batch rule agrees on sessions-per-user
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val lagCounts = evs.toDF("ts", "user_id")
+        .withColumn("brk", when(unix_timestamp(col("ts"))
+            - unix_timestamp(lag(col("ts"), 1).over(ord)) >= 10, 1L)
+          .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("brk")) + 1).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val swCounts = spark.table("sess_out")
+        .filter(col("user_id") =!= 99L)
+        .groupBy(col("user_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lagCounts == swCounts)
+    } finally q.stop()
+  }
+
   test("streaming VCF ingestion == batch parse on the CEU fixture") {
     import spark.implicits._
     val src = "/root/reference/inst/extdata/CEU_Exon.vcf.gz"
