@@ -286,6 +286,85 @@ object DosageAlt2Expr {
   }
 }
 
+/** Diploid group-count triple [n_called, alt_allele_count, n_het] over
+  * the sample range [lo, hi) in ONE fused loop — the Weir–Cockerham /
+  * Hudson per-group input (FC_* group scans, src/Methods.cpp:122-801).
+  * A sample is called when its call array has both first alleles
+  * non-null (a null or short call array counts as missing — diploid
+  * contract, matching the unrolled `alleleAt(s, 0/1)` algebra this
+  * kernel replaces: the 6·|group|-term unroll overflowed the 64 KB
+  * generated-method limit at 90 CEU samples and dropped the whole
+  * stage to interpreted execution). */
+case class GroupGenoCounts(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def intOk(e: Expression) = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (genoOk(first) && intOk(second) && intOk(third))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "group_geno_counts(ARRAY<ARRAY<BIGINT>>, integral lo, integral hi); " +
+        s"got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "group_geno_counts"
+
+  override protected def nullSafeEval(g: Any, loAny: Any, hiAny: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val lo = loAny.asInstanceOf[Number].intValue()
+    val hi = math.min(hiAny.asInstanceOf[Number].intValue(),
+      geno.numElements())
+    var c = 0L; var x = 0L; var h = 0L
+    var i = math.max(lo, 0)
+    while (i < hi) {
+      if (!geno.isNullAt(i)) {
+        val sa = geno.getArray(i)
+        if (sa.numElements() >= 2 && !sa.isNullAt(0) && !sa.isNullAt(1)) {
+          c += 1
+          val alt = (if (sa.getLong(0) != 0L) 1L else 0L) +
+            (if (sa.getLong(1) != 0L) 1L else 0L)
+          x += alt
+          if (alt == 1L) h += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(c, x, h))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, lo, hi) => {
+      val i = ctx.freshName("i"); val sa = ctx.freshName("sa")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x")
+      val h = ctx.freshName("h"); val alt = ctx.freshName("alt")
+      val end = ctx.freshName("end")
+      s"""
+         |long $c = 0L, $x = 0L, $h = 0L;
+         |int $end = java.lang.Math.min((int) $hi, $g.numElements());
+         |for (int $i = java.lang.Math.max((int) $lo, 0); $i < $end; $i++) {
+         |  if ($g.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  if ($sa.numElements() < 2 || $sa.isNullAt(0) || $sa.isNullAt(1))
+         |    continue;
+         |  $c++;
+         |  long $alt = ($sa.getLong(0) != 0L ? 1L : 0L)
+         |    + ($sa.getLong(1) != 0L ? 1L : 0L);
+         |  $x += $alt;
+         |  if ($alt == 1L) $h++;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(new long[]{$c, $x, $h});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): GroupGenoCounts = copy(first = f, second = s, third = t)
+}
+
 /** All samples' VCF GT strings joined with `sep` in one fused loop:
   * "0/1;1|2;./." (the seqGDS2VCF formatters, src/ConvGDS2VCF.cpp:571-989,
   * collapsed to a single pass). Missing allele → "."; null sample array →

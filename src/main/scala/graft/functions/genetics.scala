@@ -26,6 +26,14 @@ object genetics {
   def genoStats(geno: Column, k: Column): Column =
     Bridge.column(GenoStats(Bridge.expression(geno), Bridge.expression(k)))
 
+  /** Diploid [n_called, alt_count, n_het] over samples [lo, hi) in one
+    * fused loop — see
+    * [[graft.functions.expressions.GroupGenoCounts]]. */
+  def groupGenoCounts(geno: Column, lo: Int, hi: Int): Column =
+    Bridge.column(graft.functions.expressions.GroupGenoCounts(
+      Bridge.expression(geno), Bridge.expression(lit(lo)),
+      Bridge.expression(lit(hi))))
+
   /** All allele calls of a variant, ploidy-flattened. */
   def flatAlleles(geno: Column): Column = flatten(geno)
 

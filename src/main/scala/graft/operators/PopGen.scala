@@ -285,8 +285,12 @@ object PopGen {
     * Σ_g sum_a_g/s_g over Σ_g (sum_a_g+sum_bc_g)/s_g with
     * s_g = 8·(c1·c2)²·N·(N−2) — see [[wcThetaFromStrata]]. */
   def wcFstStrata(v: DataFrame, g1: Seq[Int], g2: Seq[Int]): DataFrame =
-    wcComponents(v, g1, g2)
-      .filter(col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2)
+    // pinned: a pushed copy of this predicate would inline the whole
+    // group-count expression tree into the scan filter (at 90 CEU
+    // samples the inlined copies overflowed the 64 KB generated-method
+    // limit and dropped the stage to interpreted execution)
+    pinnedFilter(wcComponents(v, g1, g2),
+        col("c1") >= 1 && col("c2") >= 1 && col("nn") > 2)
       .groupBy(col("c1"), col("c2"))
       .agg(count(lit(1)).as("n_loci"),
         sum(col("a_i")).as("sum_a"),
@@ -311,20 +315,32 @@ object PopGen {
     * see [[wcFst]] for the algebra. */
   private def wcComponents(v: DataFrame, g1: Seq[Int], g2: Seq[Int])
       : DataFrame = {
-    def gc(group: Seq[Int]): (Column, Column, Column) = {
-      val per = group.map { s =>
-        val a0 = alleleAt(col("geno"), s, 0)
-        val a1 = alleleAt(col("geno"), s, 1)
-        val called = a0.isNotNull && a1.isNotNull
-        val alt = when(a0 =!= 0, 1L).otherwise(0L) +
-          when(a1 =!= 0, 1L).otherwise(0L)
-        (when(called, 1L).otherwise(0L),
-          when(called, alt).otherwise(0L),
-          when(called && alt === 1L, 1L).otherwise(0L))
+    // contiguous sample ranges (the common cohort-halves shape) go
+    // through the fused one-loop kernel — the static unroll below is
+    // 6·|group| expression terms, which at 90 CEU samples overflowed
+    // the 64 KB generated-method limit (whole stage fell back to
+    // interpreted; measured 2.8 s → see GroupGenoCounts)
+    def contiguous(g: Seq[Int]) =
+      g.nonEmpty && g == (g.head to g.last) // ascending, no gaps
+    def gc(group: Seq[Int]): (Column, Column, Column) =
+      if (contiguous(group)) {
+        val t = graft.functions.genetics.groupGenoCounts(
+          col("geno"), group.head, group.last + 1)
+        (element_at(t, 1), element_at(t, 2), element_at(t, 3))
+      } else {
+        val per = group.map { s =>
+          val a0 = alleleAt(col("geno"), s, 0)
+          val a1 = alleleAt(col("geno"), s, 1)
+          val called = a0.isNotNull && a1.isNotNull
+          val alt = when(a0 =!= 0, 1L).otherwise(0L) +
+            when(a1 =!= 0, 1L).otherwise(0L)
+          (when(called, 1L).otherwise(0L),
+            when(called, alt).otherwise(0L),
+            when(called && alt === 1L, 1L).otherwise(0L))
+        }
+        (per.map(_._1).reduce(_ + _), per.map(_._2).reduce(_ + _),
+          per.map(_._3).reduce(_ + _))
       }
-      (per.map(_._1).reduce(_ + _), per.map(_._2).reduce(_ + _),
-        per.map(_._3).reduce(_ + _))
-    }
     val (c1, x1, h1) = gc(g1)
     val (c2, x2, h2) = gc(g2)
     v.select(col("vid"), c1.as("c1"), x1.as("x1"), h1.as("h1"),
