@@ -365,6 +365,80 @@ case class GroupGenoCounts(first: Expression, second: Expression,
       t: Expression): GroupGenoCounts = copy(first = f, second = s, third = t)
 }
 
+/** Allele-level group-count pair [n_called_alleles, n_alt_alleles]
+  * over the sample range [lo, hi) in one fused loop — the Hudson-Fst
+  * per-group input ([[GroupGenoCounts]]'s allele-level sibling: here
+  * every non-null allele slot counts independently, any ploidy). */
+case class GroupAlleleCounts(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with GenoInput {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def intOk(e: Expression) = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (genoOk(first) && intOk(second) && intOk(third))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "group_allele_counts(ARRAY<ARRAY<BIGINT>>, integral lo, " +
+        s"integral hi); got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "group_allele_counts"
+
+  override protected def nullSafeEval(g: Any, loAny: Any, hiAny: Any): Any = {
+    val geno = g.asInstanceOf[ArrayData]
+    val lo = math.max(loAny.asInstanceOf[Number].intValue(), 0)
+    val hi = math.min(hiAny.asInstanceOf[Number].intValue(),
+      geno.numElements())
+    var c = 0L; var a = 0L
+    var i = lo
+    while (i < hi) {
+      if (!geno.isNullAt(i)) {
+        val sa = geno.getArray(i)
+        var j = 0
+        val m = sa.numElements()
+        while (j < m) {
+          if (!sa.isNullAt(j)) {
+            c += 1
+            if (sa.getLong(j) != 0L) a += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(c, a))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, lo, hi) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sa = ctx.freshName("sa"); val c = ctx.freshName("c")
+      val a = ctx.freshName("a"); val end = ctx.freshName("end")
+      s"""
+         |long $c = 0L, $a = 0L;
+         |int $end = java.lang.Math.min((int) $hi, $g.numElements());
+         |for (int $i = java.lang.Math.max((int) $lo, 0); $i < $end; $i++) {
+         |  if ($g.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sa = $g.getArray($i);
+         |  for (int $j = 0; $j < $sa.numElements(); $j++) {
+         |    if ($sa.isNullAt($j)) continue;
+         |    $c++;
+         |    if ($sa.getLong($j) != 0L) $a++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(new long[]{$c, $a});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): GroupAlleleCounts = copy(first = f, second = s, third = t)
+}
+
 /** All samples' VCF GT strings joined with `sep` in one fused loop:
   * "0/1;1|2;./." (the seqGDS2VCF formatters, src/ConvGDS2VCF.cpp:571-989,
   * collapsed to a single pass). Missing allele → "."; null sample array →

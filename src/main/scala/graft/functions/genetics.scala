@@ -34,6 +34,13 @@ object genetics {
       Bridge.expression(geno), Bridge.expression(lit(lo)),
       Bridge.expression(lit(hi))))
 
+  /** Allele-level [n_called, n_alt] over samples [lo, hi) in one fused
+    * loop — see [[graft.functions.expressions.GroupAlleleCounts]]. */
+  def groupAlleleCounts(geno: Column, lo: Int, hi: Int): Column =
+    Bridge.column(graft.functions.expressions.GroupAlleleCounts(
+      Bridge.expression(geno), Bridge.expression(lit(lo)),
+      Bridge.expression(lit(hi))))
+
   /** All allele calls of a variant, ploidy-flattened. */
   def flatAlleles(geno: Column): Column = flatten(geno)
 

@@ -80,12 +80,23 @@ object PopGen {
     * interpreted higher-order function on the hot path). */
   private def groupCounts(geno: Column, group: Seq[Int], ploidy: Int)
       : (Column, Column) = {
-    val alleles = for (s <- group; p <- 0 until ploidy) yield alleleAt(geno, s, p)
-    val called = alleles.map(a => when(a.isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val alt = alleles.map(a => when(a.isNotNull && a =!= 0, 1L).otherwise(0L))
-      .reduce(_ + _)
-    (called, alt)
+    // contiguous diploid ranges go through the fused one-loop kernel
+    // (the 2·ploidy·|group|-term unroll would overflow the 64 KB
+    // generated-method limit at biobank cohort widths — same failure
+    // mode GroupGenoCounts fixed for the W&C path)
+    if (ploidy == 2 && group.nonEmpty && group == (group.head to group.last)) {
+      val t = graft.functions.genetics.groupAlleleCounts(
+        geno, group.head, group.last + 1)
+      (element_at(t, 1), element_at(t, 2))
+    } else {
+      val alleles =
+        for (s <- group; p <- 0 until ploidy) yield alleleAt(geno, s, p)
+      val called = alleles.map(a => when(a.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _)
+      val alt = alleles.map(a => when(a.isNotNull && a =!= 0, 1L)
+        .otherwise(0L)).reduce(_ + _)
+      (called, alt)
+    }
   }
 
   /** Hudson Fst (Bhatia et al. 2013, eq. 10) per variant between two

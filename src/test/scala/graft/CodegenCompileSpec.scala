@@ -57,6 +57,10 @@ class CodegenCompileSpec extends AnyFunSuite {
 
   private val kernels: Seq[(String, Expression)] = Seq(
     "geno_stats" -> GenoStats(ref(0, genoT), Literal(2)),
+    "group_geno_counts" ->
+      GroupGenoCounts(ref(0, genoT), Literal(0), Literal(2)),
+    "group_allele_counts" ->
+      GroupAlleleCounts(ref(0, genoT), Literal(1), Literal(4)),
     "miss_per_sample" -> MissAllelesPerSample(ref(0, genoT)),
     "dosage_alt" -> DosageAltExpr(ref(0, genoT)),
     "dosage_alt2" -> DosageAlt2Expr(ref(0, genoT)),
