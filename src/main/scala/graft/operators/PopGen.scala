@@ -1447,6 +1447,82 @@ object PopGen {
         coalesce(col("clumped"), lit(false)).as("clumped"))
   }
 
+  /** Compound-heterozygote candidate windows (the rare-disease screen:
+    * two hits in the same gene-sized window on one sample): per
+    * (sample, chrom, pos div window) the het count, flagged when ≥ 2.
+    * One explode ×S + one linear window-key aggregation. */
+  def compoundHet(v: DataFrame, window: Long, nSamples: Int): DataFrame = {
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def st(s: Int) = struct(lit(s.toLong).as("i"),
+      when(d(s) === 1L, 1L).otherwise(0L).as("h"))
+    v.select(col("chrom"), expr(s"pos div $window").as("win"),
+        explode(array((0 until nSamples).map(st): _*)).as("t"))
+      .select(col("chrom"), col("win"), col("t.i"), col("t.h"))
+      .groupBy(col("i"), col("chrom"), col("win"))
+      .agg(sum(col("h")).as("n_het"))
+      .filter(col("n_het") >= 1)
+      .withColumn("compound_het", col("n_het") >= 2)
+  }
+
+  /** Clumping + thresholding polygenic score (the standard C+T PRS,
+    * unit risk-allele weights so every sum is an exact BIGINT): per
+    * (chrom, pos div window) cell the most-associated variant by the
+    * Cochran–Armitage trend χ² (ties by (vid, dosage fingerprint) —
+    * both engines compute the identical double from identical integer
+    * moments, so the ranking replays); cells whose index χ² ≥ chi2Min
+    * contribute one variant; each sample scores its risk-allele dosage
+    * (alt when the case–control contrast u ≥ 0, ref otherwise) over
+    * its called selected variants. Shuffles: one cell-key argmax
+    * aggregation + one explode ×S with map-side partial aggregation to
+    * S rows — linear, nothing pairwise. */
+  def prsClumpThreshold(v: DataFrame, isCase: Seq[Boolean], window: Long,
+      chi2Min: Double): DataFrame = {
+    val nSamples = isCase.length
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
+    val r = sumOver(s =>
+      when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
+    val sx = sumOver(s => coalesce(d(s), lit(0L)))
+    val sxc = sumOver(s =>
+      when(lit(isCase(s)), coalesce(d(s), lit(0L))).otherwise(0L))
+    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    val fp = (0 until nSamples).map { s =>
+      var p = 1L; (0 until s).foreach(_ => p *= 5)
+      coalesce(d(s), lit(4L)) * lit(p)
+    }.reduce(_ + _)
+    val base = v.select(col("vid"), col("chrom"), col("pos"), col("d"))
+      .withColumn("win", expr(s"pos div $window"))
+      .withColumn("n", n).withColumn("r", r)
+      .withColumn("sx", sx).withColumn("sx_case", sxc)
+      .withColumn("sxx", sxx).withColumn("fp", fp)
+      .withColumn("u", col("n") * col("sx_case") - col("r") * col("sx"))
+      .withColumn("v_i",
+        col("r") * (col("n") - col("r"))
+          * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("chi2",
+        when(col("v_i") > 0,
+          (col("n") * col("u") * col("u")).cast("double")
+            / col("v_i").cast("double")))
+    val selected = base.groupBy(col("chrom"), col("win"))
+      .agg(max(struct(coalesce(col("chi2"), lit(-1.0)).as("c"),
+        col("vid"), col("fp"), col("u").as("uu"),
+        col("d").as("dd"))).as("ix"))
+      .select(col("ix.c").as("chi2"), col("ix.uu").as("u"),
+        col("ix.dd").as("d"))
+      .filter(col("chi2") >= chi2Min)
+    def risk(s: Int) = when(d(s).isNotNull,
+      when(col("u") >= 0, d(s)).otherwise(lit(2L) - d(s)))
+    def stc(s: Int) = struct(lit(s.toLong).as("i"),
+      when(risk(s).isNotNull, 1L).otherwise(0L).as("used"),
+      coalesce(risk(s), lit(0L)).as("sc"))
+    selected
+      .select(explode(array((0 until nSamples).map(stc): _*)).as("t"))
+      .select(col("t.i"), col("t.used"), col("t.sc"))
+      .groupBy(col("i"))
+      .agg(sum(col("used")).as("n_used"), sum(col("sc")).as("score"))
+  }
+
   /** Per-sample singleton load (the rare-variant / sequencing-error QC
     * every cohort runs before association): a sample's singletons are
     * the variants where it is the SOLE alt carrier — its dosage equals

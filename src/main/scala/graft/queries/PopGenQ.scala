@@ -1374,9 +1374,87 @@ object PopGenQ extends QueryModule {
         END AS af_corr
       FROM ag"""))
 
+  // --- compound-heterozygote candidate windows (rare-disease screen:
+  // ≥ 2 hets in one gene-sized window on one sample). -------------------
+  private val q196 = Q("q196_compound_het",
+    (s, dir) => PopGen.compoundHet(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), dosageAlt(col("geno")).as("d")),
+      FST_WIN, N),
+    Some(withCte(s"""SELECT i, chrom, win,
+      CAST(SUM(h) AS BIGINT) AS n_het,
+      SUM(h) >= 2 AS compound_het
+      FROM (SELECT t.s AS i, chrom,
+          CAST(pos // $FST_WIN AS BIGINT) AS win,
+          CASE WHEN d[CAST(t.s AS INT) + 1] = 1 THEN 1 ELSE 0 END AS h
+        FROM (SELECT chrom, pos, $dSql AS d FROM variants),
+          (SELECT unnest(range(0, $N)) AS s) t)
+      GROUP BY 1, 2, 3
+      HAVING SUM(h) >= 1""")))
+
+  // --- clumping + thresholding polygenic score (C+T, unit risk-allele
+  // weights — every sum an exact BIGINT): per window cell the top
+  // trend-χ² variant (ties by vid, dosage fingerprint — identical
+  // doubles from identical integer moments rank identically in any
+  // engine), kept when χ² ≥ 3.0; samples score risk-allele dosage over
+  // their called selected variants. ------------------------------------
+  private val q197 = Q("q197_prs_ct",
+    (s, dir) => PopGen.prsClumpThreshold(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d")),
+      phenoCase, FST_WIN, 3.0),
+    Some(withCte {
+      val caseIdx = phenoCase.zipWithIndex.filter(_._1).map(_._2)
+      val rSql = caseIdx
+        .map(i => s"(CASE WHEN d[${i + 1}] IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val sxcSql = caseIdx.map(i => s"COALESCE(d[${i + 1}], 0)")
+        .mkString(" + ")
+      val fpSql = (0 until N).map(i =>
+        s"COALESCE(d[${i + 1}], 4) * ${math.pow(5, i).toLong}")
+        .mkString(" + ")
+      s""", dz AS (SELECT vid, chrom,
+          CAST(pos // $FST_WIN AS BIGINT) AS win, $dSql AS d
+        FROM variants),
+      st AS (SELECT vid, chrom, win, d,
+          CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+          CAST($rSql AS BIGINT) AS r,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS sx,
+          CAST($sxcSql AS BIGINT) AS sx_case,
+          CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, x -> x IS NOT NULL), x -> x*x)), 0)
+            AS BIGINT) AS sxx,
+          CAST($fpSql AS BIGINT) AS fp
+        FROM dz),
+      st2 AS (SELECT *, n * sx_case - r * sx AS u,
+          r * (n - r) * (n * sxx - sx * sx) AS v_i,
+          CASE WHEN r * (n - r) * (n * sxx - sx * sx) > 0
+            THEN CAST(n * (n*sx_case - r*sx) * (n*sx_case - r*sx)
+                AS DOUBLE)
+              / CAST(r * (n - r) * (n * sxx - sx * sx) AS DOUBLE)
+            ELSE -1.0 END AS chi2
+        FROM st),
+      ix AS (SELECT u, d FROM (SELECT *, row_number() OVER (
+            PARTITION BY chrom, win
+            ORDER BY chi2 DESC, vid DESC, fp DESC) AS rn FROM st2)
+        WHERE rn = 1 AND chi2 >= 3.0),
+      sc AS (SELECT t.s AS i,
+          CASE WHEN d[CAST(t.s AS INT) + 1] IS NOT NULL
+            THEN 1 ELSE 0 END AS used,
+          CASE WHEN d[CAST(t.s AS INT) + 1] IS NULL THEN 0
+            WHEN u >= 0 THEN d[CAST(t.s AS INT) + 1]
+            ELSE 2 - d[CAST(t.s AS INT) + 1] END AS sc
+        FROM ix, (SELECT unnest(range(0, $N)) AS s) t)
+      SELECT i, CAST(SUM(used) AS BIGINT) AS n_used,
+        CAST(SUM(sc) AS BIGINT) AS score
+      FROM sc GROUP BY i"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192)
+      q192, q196, q197)
 }

@@ -706,7 +706,31 @@ object Relational extends QueryModule {
         GROUP BY 1, 2)
       GROUP BY user_id"""))
 
+  // --- q198: retention cohort matrix (the other classic event rollup):
+  // cohort = a user's first active week; per (cohort, week offset) the
+  // count of active users. Week ids are exact integer divisions of the
+  // nano timestamps; one distinct + one user-keyed min + one user-keyed
+  // join + one cell rollup — all linear. -------------------------------
+  private val q198 = Q("q198_retention",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1)
+      SELECT cohort, wk - cohort AS offset,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194)
+    q139, q140, q154, q158, q194, q198)
 }
