@@ -747,6 +747,113 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // PNG chunk-level metadata — the image counterpart of the ID3/MP4
+  // walks: real PNG chunk grammar (8-byte signature; length / type /
+  // data / CRC32-over-type+data per chunk, ISO 15948) with tEXt
+  // keyword\0value records. Provenance tags ride images through a
+  // corpus exactly this way, and reading them needs no pixel decode.
+  // ------------------------------------------------------------------
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  /** Insert tEXt chunks (keyword → value, Latin-1) right after IHDR of
+    * a valid PNG — real CRCs, so any standard reader keeps accepting
+    * the file. */
+  def pngWithText(png: Array[Byte], texts: Seq[(String, String)])
+      : Array[Byte] = {
+    require(png.length > 33, "not a PNG")
+    val out = new java.io.ByteArrayOutputStream()
+    val ihdrEnd = 8 + 8 + 13 + 4 // signature + IHDR chunk
+    out.write(png, 0, ihdrEnd)
+    for ((k, v) <- texts) {
+      val data = k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+        v.getBytes("ISO-8859-1")
+      val typeAndData = "tEXt".getBytes("ISO-8859-1") ++ data
+      out.write(u32bytes(data.length.toLong), 0, 4)
+      out.write(typeAndData, 0, typeAndData.length)
+      out.write(u32bytes(crc32(typeAndData, 0, typeAndData.length)), 0, 4)
+    }
+    out.write(png, ihdrEnd, png.length - ihdrEnd)
+    out.toByteArray
+  }
+
+  /** Parsed PNG chunk-level metadata. */
+  final case class PngMeta(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, nChunks: Int, texts: Map[String, String])
+
+  /** Walk the PNG chunk stream: IHDR geometry + every CRC-valid tEXt
+    * record (a corrupted CRC drops that record, not the file). Returns
+    * None when the signature or IHDR is absent/malformed. */
+  def parsePngMeta(b: Array[Byte]): Option[PngMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (b.length < 33 || !sig.indices.forall(i => b(i) == sig(i)))
+      return None
+    try {
+      var o = 8
+      var meta: Option[(Int, Int, Int, Int)] = None
+      var n = 0
+      val texts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      while (o + 12 <= b.length) {
+        val len = be32(b, o).toInt
+        val typ = fourcc(b, o + 4)
+        if (len < 0 || o + 12 + len > b.length) return meta.map {
+          case (w, h, d, c) => PngMeta(w, h, d, c, n, texts.toMap)
+        }
+        if (typ == "IHDR" && len == 13)
+          meta = Some((be32(b, o + 8).toInt, be32(b, o + 12).toInt,
+            b(o + 16) & 0xff, b(o + 17) & 0xff))
+        else if (typ == "tEXt" &&
+            crc32(b, o + 4, 4 + len) == be32(b, o + 8 + len)) {
+          val data = new String(b, o + 8, len, "ISO-8859-1")
+          val cut = data.indexOf('\u0000')
+          if (cut > 0) texts(data.substring(0, cut)) =
+            data.substring(cut + 1)
+        }
+        n += 1
+        o += 12 + len
+      }
+      meta.map { case (w, h, d, c) => PngMeta(w, h, d, c, n, texts.toMap) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Typed PNG-metadata record for the partition-batched path. */
+  final case class PngTextFeature(doc_id: Long, width: Int, height: Int,
+      bit_depth: Int, color_type: Int, title: String, source: String,
+      n_text: Int)
+
+  /** Partition-batched PNG chunk-metadata extraction; rows that are not
+    * PNGs are dropped. */
+  def decodePngMetaAll(media: Dataset[MediaRow]): Dataset[PngTextFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parsePngMeta(r.payload).map(m => PngTextFeature(r.doc_id, m.width,
+        m.height, m.bitDepth, m.colorType,
+        m.texts.getOrElse("Title", ""), m.texts.getOrElse("Source", ""),
+        m.texts.size))
+    })
+  }
+
+  /** Provenance-tagged image fixture table: real ImageIO PNGs with two
+    * CRC-correct tEXt records whose values are formulas of `doc_id`. */
+  def syntheticTaggedPngTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "image", pngWithText(
+          syntheticPng((id % 24 + 8).toInt, ((id * 3) % 24 + 8).toInt,
+            ((id * 37) % 256).toInt),
+          Seq("Title" -> s"t_$id", "Source" -> s"s_${id % 11}")))
+      })
+  }
+
   /** Horizontal-gradient PNG: pixel luminance = x·255/(w−1) (integer
     * division), constant down each column — the dHash-predictable
     * counterpart of [[syntheticPng]]'s solid fill (strictly increasing

@@ -350,7 +350,29 @@ object MultimodalQ extends QueryModule {
           AS n_bytes
       FROM documents"""))
 
+  // REAL PNG chunk-level metadata: ImageIO PNGs carrying two CRC-correct
+  // tEXt provenance records (values are formulas of doc_id) through the
+  // chunk walk — signature, length/type/data/CRC grammar, IHDR geometry,
+  // NUL-separated tEXt decode. A CRC slip, chunk-length error, or
+  // keyword-split bug breaks the hash.
+  private val q200 = Q("q200_png_text",
+    (s, dir) => Multimodal.decodePngMetaAll(
+        Multimodal.syntheticTaggedPngTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("bit_depth"), col("color_type"), col("title"), col("source"),
+        col("n_text")),
+    Some("""SELECT doc_id,
+        CAST(doc_id % 24 + 8 AS INT) AS width,
+        CAST((doc_id * 3) % 24 + 8 AS INT) AS height,
+        CAST(8 AS INT) AS bit_depth,
+        CAST(2 AS INT) AS color_type,
+        't_' || CAST(doc_id AS VARCHAR) AS title,
+        's_' || CAST(doc_id % 11 AS VARCHAR) AS source,
+        CAST(2 AS INT) AS n_text
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186)
+      q186, q200)
 }

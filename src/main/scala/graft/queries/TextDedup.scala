@@ -1454,6 +1454,62 @@ object TextDedup extends QueryModule {
       FROM d$BPE_MERGES"""
     })
 
+  // --- tokenizer fertility per language (subwords per word under the
+  // corpus-trained BPE): the tokenizer-efficiency report a multilingual
+  // mixing plan is priced against. Rides the SAME trained merges and
+  // encode projection as q127/q128; one doc-keyed lang join + one lang
+  // rollup; exact sums, one division. ----------------------------------
+  private val q199 = Q("q199_bpe_fertility",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.pipeline.TrainingData
+        .bpeTrain(docs, nMerges = BPE_MERGES)
+        .orderBy("round").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      graft.pipeline.TrainingData.bpeEncode(docs, merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility",
+          when(col("n_words") > 0, col("n_subwords").cast("double")
+            / col("n_words").cast("double")))
+    },
+    Some {
+      val encChain = (1 to BPE_MERGES).map { r =>
+        s"""d$r AS (SELECT doc_id, n_words,
+           CASE WHEN (SELECT COUNT(*) FROM b$r) = 0 THEN enc
+                ELSE replace(enc,
+                  '(' || (SELECT a FROM b$r) || ')('
+                      || (SELECT b FROM b$r) || ')',
+                  '(' || (SELECT a || b FROM b$r) || ')') END AS enc
+         FROM d${r - 1})"""
+      }.mkString(",\n")
+      s"""WITH $bpeCtes,
+      d0 AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_words,
+          array_to_string(list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              w -> w <> ''),
+            w -> regexp_replace(w, '(.)', '(\\1)', 'g')), ' ') AS enc
+        FROM documents),
+      $encChain
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_words,
+        CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+        CASE WHEN SUM(n_words) > 0
+          THEN CAST(SUM(n_sub) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+        END AS fertility
+      FROM (SELECT doc_id, n_words,
+          CAST(length(enc) - length(replace(enc, '(', '')) AS BIGINT)
+            AS n_sub
+        FROM d$BPE_MERGES) e
+      JOIN documents USING (doc_id)
+      GROUP BY lang"""
+    })
+
   // --- content-defined chunk dedup (rsync/LBFS chunking): cut where the
   // rolling K-gram hash ≡ 0 mod D, so chunk identity survives insertions
   // that shift every later byte — the dedup pass that catches shared
@@ -1756,5 +1812,5 @@ object TextDedup extends QueryModule {
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188, q189)
+      q160, q161, q167, q169, q187, q188, q189, q199)
 }

@@ -118,6 +118,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(good.take(40)).isEmpty)
   }
 
+  test("parsePngMeta: round trip, CRC rejection, non-PNG rejection") {
+    val png = Multimodal.pngWithText(
+      Multimodal.syntheticPng(12, 9, 100),
+      Seq("Title" -> "hello", "Source" -> "s_3"))
+    val m = Multimodal.parsePngMeta(png).get
+    assert(m.width == 12 && m.height == 9)
+    assert(m.bitDepth == 8 && m.colorType == 2)
+    assert(m.texts == Map("Title" -> "hello", "Source" -> "s_3"))
+    // corrupt ONE byte of the first tEXt value: its CRC fails and only
+    // that record is dropped — geometry and the other record survive
+    val corrupt = png.clone()
+    val idx = {
+      // first tEXt data starts after sig(8) + IHDR(25) + len/type(8)
+      8 + 25 + 8 + "Title".length + 1
+    }
+    corrupt(idx) = 'X'.toByte
+    val mc = Multimodal.parsePngMeta(corrupt).get
+    assert(mc.width == 12 && mc.texts == Map("Source" -> "s_3"))
+    assert(Multimodal.parsePngMeta("plainly not a png".getBytes).isEmpty)
+  }
+
   test("lexicalProfile and tokenSpectrum goldens") {
     import spark.implicits._
     val docs = Seq((1L, "x y x", "a"), (2L, "x", "b"))
