@@ -969,7 +969,84 @@ object Genomics extends QueryModule {
         WHERE nall = 2)
       WHERE carrier GROUP BY 1""")))
 
+  // --- F_ROH (PLINK --homozyg derived inbreeding, SNP-count mode):
+  // per sample, the fraction of its called sites inside homozygous runs
+  // of ≥ MIN_ROH consecutive hom calls — rides q112's exact lag-based
+  // island segmentation, plus a sample-keyed called-sites denominator
+  // (LEFT join so ROH-free samples report 0). ---------------------------
+  private val MIN_ROH = 3L
+  private val dSqlG =
+    """list_transform(geno, sa ->
+         CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
+              ELSE len(list_filter(sa, a -> a <> 0)) END)"""
+  private val q201 = Q("q201_froh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = SynthGeno.variants(s, dir)
+      val d = dosageAlt(col("geno"))
+      val rows = v.select(col("chrom"), col("pos"), col("vid"),
+          posexplode_outer(d).as(Seq("s", "dos")))
+        .select(col("s"), col("chrom"), col("pos"), col("vid"),
+          coalesce(col("dos"), lit(-1L)).as("dkey"),
+          (col("dos").isNotNull &&
+            (col("dos") === 0 || col("dos") === 2)).as("hom"))
+      val wAll = Window.partitionBy(col("s"), col("chrom"))
+        .orderBy(col("pos"), col("vid"), col("dkey"))
+      val runs = rows
+        .withColumn("start",
+          col("hom") && !lag(col("hom"), 1, false).over(wAll))
+        .withColumn("rid",
+          sum(when(col("start"), 1L).otherwise(0L)).over(wAll))
+        .filter(col("hom"))
+        .groupBy(col("s"), col("chrom"), col("rid"))
+        .agg(count(lit(1)).as("run_len"))
+      val roh = runs.filter(col("run_len") >= MIN_ROH)
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_roh"),
+          sum(col("run_len")).as("n_roh_sites"))
+      val called = rows.filter(col("dkey") >= 0)
+        .groupBy(col("s")).agg(count(lit(1)).as("n_called"))
+      called.join(roh, Seq("s"), "left")
+        .select(col("s").cast("long").as("s"), col("n_called"),
+          coalesce(col("n_roh"), lit(0L)).as("n_roh"),
+          coalesce(col("n_roh_sites"), lit(0L)).as("n_roh_sites"))
+        .withColumn("f_roh", col("n_roh_sites").cast("double")
+          / col("n_called").cast("double"))
+    },
+    Some(withCte(s"""SELECT s, n_called,
+      COALESCE(n_roh, 0) AS n_roh,
+      COALESCE(n_roh_sites, 0) AS n_roh_sites,
+      CAST(COALESCE(n_roh_sites, 0) AS DOUBLE)
+        / CAST(n_called AS DOUBLE) AS f_roh
+      FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_called
+        FROM (SELECT CAST(sq.s AS BIGINT) AS s,
+            d[CAST(sq.s AS INT) + 1] AS dos
+          FROM (SELECT $dSqlG AS d FROM variants),
+            (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s) sq)
+        WHERE dos IS NOT NULL GROUP BY 1) c
+      LEFT JOIN (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_roh,
+          CAST(SUM(run_len) AS BIGINT) AS n_roh_sites
+        FROM (SELECT s, chrom, rid, COUNT(*) AS run_len
+          FROM (SELECT s, chrom, hom,
+              SUM(CASE WHEN strt THEN 1 ELSE 0 END)
+                OVER (PARTITION BY s, chrom ORDER BY pos, vid, dkey)
+                AS rid
+            FROM (SELECT s, chrom, pos, vid, dkey, hom,
+                hom AND NOT LAG(hom, 1, FALSE)
+                  OVER (PARTITION BY s, chrom ORDER BY pos, vid, dkey)
+                  AS strt
+              FROM (SELECT CAST(sq.s AS BIGINT) AS s, chrom, pos, vid,
+                COALESCE(d[CAST(sq.s AS INT) + 1], -1) AS dkey,
+                d[CAST(sq.s AS INT) + 1] IS NOT NULL
+                  AND (d[CAST(sq.s AS INT) + 1] = 0
+                    OR d[CAST(sq.s AS INT) + 1] = 2) AS hom
+              FROM (SELECT chrom, pos, vid, $dSqlG AS d FROM variants),
+                (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s)
+                  sq)))
+          WHERE hom GROUP BY 1, 2, 3)
+        WHERE run_len >= $MIN_ROH GROUP BY 1) r USING (s)""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113, q116, q143, q159, q168)
+      q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201)
 }

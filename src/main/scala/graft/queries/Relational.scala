@@ -730,7 +730,34 @@ object Relational extends QueryModule {
       FROM e JOIN c USING (user_id)
       GROUP BY 1, 2"""))
 
+  // --- q202: pivot / crosstab (event_type × weekday counts through
+  // Spark's RelationalGroupedDataset.pivot with EXPLICIT values — no
+  // value-discovery job, stable schema at any scale): weekday from the
+  // exact integer epoch-day (epoch day 0 = Thursday ⇒ Monday-0 index
+  // is (day + 3) mod 7). One aggregation; 7 fixed output columns. -----
+  private val q202 = Q("q202_pivot_weekday",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 86400000000000 + 3) % 7").as("wd"))
+      ev.groupBy(col("event_type"))
+        .pivot("wd", 0 to 6)
+        .count()
+        .select(col("event_type") +: (0 to 6).map(i =>
+          coalesce(col(s"`$i`"), lit(0L)).as(s"d$i")): _*)
+    },
+    Some {
+      val cols = (0 to 6).map(i =>
+        s"CAST(SUM(CASE WHEN wd = $i THEN 1 ELSE 0 END) AS BIGINT) AS d$i")
+        .mkString(",\n        ")
+      s"""SELECT event_type,
+        $cols
+      FROM (SELECT event_type,
+          (epoch_ns(ts) // 86400000000000 + 3) % 7 AS wd FROM events)
+      GROUP BY event_type"""
+    })
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194, q198)
+    q139, q140, q154, q158, q194, q198, q202)
 }
