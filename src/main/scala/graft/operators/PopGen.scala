@@ -210,6 +210,100 @@ object PopGen {
             sqrt(lit(e1) * s + lit(e2) * (s * (s - lit(1.0))))))
   }
 
+  /** Patterson D-statistic (ABBA–BABA introgression test; Green et al.
+    * 2010, Durand et al. 2011, Patterson et al. 2012) per chromosome
+    * over four sample groups (P1, P2, P3, Outgroup) on
+    * collapsed-biallelic frequencies p_g = a_g/n_g. Per valid site
+    * (every group ≥ 1 called allele),
+    *   ABBA = (1−p1)·p2·p3·(1−p4),  BABA = p1·(1−p2)·p3·(1−p4),
+    * each rational with denominator n1·n2·n3·n4; multiplying by
+    * scale/(n1n2n3n4), scale = lcm(1..nMax)⁴ (every n_g divides the
+    * lcm, so each quotient is integral), makes the per-site terms
+    * exact BIGINTs, the chromosome sums exact, and
+    * D = Σ(ABBA−BABA) / Σ(ABBA+BABA) one final division (NULL when
+    * the denominator sum is 0). The lcm⁴ scale bounds this exact lane
+    * to small per-population panels (n_g ≲ 20 haploid calls — the
+    * regime ABBA–BABA actually runs in: a handful of genomes per
+    * population); wider panels belong on a double ratio-of-sums lane.
+    * One map-side-combined per-chrom aggregate — #chroms rows cross
+    * the wire; validity filter pinned (the q126 pushdown lesson).
+    * Reference serves this workload via the seqGetData/seqApply allele
+    * counts its admixture consumers build on
+    * (/root/reference/R/GetData.R). */
+  def dStat(v: DataFrame, g1: Seq[Int], g2: Seq[Int], g3: Seq[Int],
+      g4: Seq[Int], ploidy: Int = 2): DataFrame = {
+    val nMax = Seq(g1, g2, g3, g4).map(_.size * ploidy).max
+    val l = piScale(nMax)
+    val scale = l * l * l * l
+    val withCounts = Seq(("1", g1), ("2", g2), ("3", g3), ("4", g4))
+      .foldLeft(v.select(col("chrom"), col("geno"))) {
+        case (df, (i, g)) =>
+          val (n, a) = groupCounts(col("geno"), g, ploidy)
+          df.withColumn(s"n$i", n).withColumn(s"a$i", a)
+      }
+    val valid = pinnedFilter(withCounts,
+      col("n1") >= 1 && col("n2") >= 1 && col("n3") >= 1 &&
+        col("n4") >= 1)
+    val mult = expr(s"$scale div (n1 * n2 * n3 * n4)")
+    valid
+      .withColumn("abba_i", (col("n1") - col("a1")) * col("a2") *
+        col("a3") * (col("n4") - col("a4")) * mult)
+      .withColumn("baba_i", col("a1") * (col("n2") - col("a2")) *
+        col("a3") * (col("n4") - col("a4")) * mult)
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("abba_i")).as("abba_num"),
+        sum(col("baba_i")).as("baba_num"))
+      .withColumn("d_stat",
+        when(col("abba_num") + col("baba_num") =!= 0,
+          (col("abba_num") - col("baba_num")).cast("double")
+            / (col("abba_num") + col("baba_num")).cast("double")))
+  }
+
+  /** f3 admixture statistic f3(C; A, B) (Patterson et al. 2012,
+    * Appendix A unbiased single-site estimator) per chromosome — a
+    * significantly negative f3 is proof C is admixed between sources
+    * related to A and B. Per valid site (n_C ≥ 2 for the
+    * heterozygosity correction, n_A, n_B ≥ 1), with p = a/n,
+    *   f3_i = (p_C−p_A)(p_C−p_B) − h_C/n_C,
+    *   h_C = a_C(n_C−a_C) / (n_C(n_C−1)),
+    * a rational with denominator D_i = n_C²·n_A·n_B·(n_C−1); its
+    * numerator over D_i is
+    *   (a_C·n_A − a_A·n_C)(a_C·n_B − a_B·n_C)(n_C−1) −
+    *     a_C(n_C−a_C)·n_A·n_B,
+    * and ×(scale/D_i) with scale = lcm(1..nMax)⁵ every per-site term
+    * is an exact BIGINT (n_C² | lcm², each remaining factor | lcm).
+    * f3 = Σnum / (n_sites·scale) — one final division. Same
+    * small-panel scale bound and per-chrom one-aggregate shape as
+    * [[dStat]]. */
+  def f3Stat(v: DataFrame, gC: Seq[Int], gA: Seq[Int], gB: Seq[Int],
+      ploidy: Int = 2): DataFrame = {
+    val nMax = Seq(gC, gA, gB).map(_.size * ploidy).max
+    val l = piScale(nMax)
+    val scale = l * l * l * l * l
+    val withCounts = Seq(("c", gC), ("a", gA), ("b", gB))
+      .foldLeft(v.select(col("chrom"), col("geno"))) {
+        case (df, (i, g)) =>
+          val (n, a) = groupCounts(col("geno"), g, ploidy)
+          df.withColumn(s"n$i", n).withColumn(s"x$i", a)
+      }
+    val valid = pinnedFilter(withCounts,
+      col("nc") >= 2 && col("na") >= 1 && col("nb") >= 1)
+    val mult = expr(s"$scale div (nc * nc * na * nb * (nc - 1))")
+    valid
+      .withColumn("num_i",
+        ((col("xc") * col("na") - col("xa") * col("nc"))
+          * (col("xc") * col("nb") - col("xb") * col("nc"))
+          * (col("nc") - 1)
+          - col("xc") * (col("nc") - col("xc")) * col("na") * col("nb"))
+          * mult)
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("num_i")).as("f3_num"))
+      .withColumn("f3", col("f3_num").cast("double")
+        / (col("n_sites") * scale).cast("double"))
+  }
+
   /** Tajima's (a₁, e₁, e₂) for n sequences — a₁ also equals
     * [[harmonic]](n−1), kept together for the oracle interpolation. */
   def tajimaConstants(n: Int): (Double, Double, Double) = {

@@ -1452,9 +1452,97 @@ object PopGenQ extends QueryModule {
       FROM sc GROUP BY i"""
     }))
 
+  // --- Patterson D (ABBA–BABA) per chromosome across four 2-sample
+  // panels (P1, P2, P3, Outgroup = sample quarters): exact lcm⁴-scaled
+  // BIGINT ABBA/BABA sums, one final division — see PopGen.dStat. -----
+  private val q203 = Q("q203_dstat",
+    (s, dir) => PopGen.dStat(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("geno")),
+      0 until N / 4, N / 4 until N / 2,
+      N / 2 until 3 * N / 4, 3 * N / 4 until N),
+    Some(withCte {
+      val l = PopGen.piScale(N / 4 * 2)
+      val scale = l * l * l * l
+      s"""SELECT chrom, n_sites, abba_num, baba_num,
+        CASE WHEN abba_num + baba_num <> 0
+          THEN CAST(abba_num - baba_num AS DOUBLE)
+            / CAST(abba_num + baba_num AS DOUBLE) END AS d_stat
+      FROM (SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM((n1-a1) * a2 * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS abba_num,
+          CAST(SUM(a1 * (n2-a2) * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS baba_num
+        FROM (SELECT * FROM (SELECT chrom,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL)) AS BIGINT)
+              AS n1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL)) AS BIGINT)
+              AS n2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL)) AS BIGINT)
+              AS n3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL)) AS BIGINT)
+              AS n4,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a4
+          FROM (SELECT chrom,
+              flatten(geno[1:${N / 4}]) AS f1,
+              flatten(geno[${N / 4 + 1}:${N / 2}]) AS f2,
+              flatten(geno[${N / 2 + 1}:${3 * N / 4}]) AS f3,
+              flatten(geno[${3 * N / 4 + 1}:$N]) AS f4
+            FROM variants))
+          WHERE n1 >= 1 AND n2 >= 1 AND n3 >= 1 AND n4 >= 1)
+        GROUP BY 1)"""
+    }))
+
+  // --- f3(C; A, B) admixture test per chromosome (C = first sample
+  // quarter, A/B the next two): exact lcm⁵-scaled numerator sum with
+  // the unbiased h_C/n_C correction, one division — PopGen.f3Stat. ----
+  private val q204 = Q("q204_f3stat",
+    (s, dir) => PopGen.f3Stat(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("geno")),
+      0 until N / 4, N / 4 until N / 2, N / 2 until 3 * N / 4),
+    Some(withCte {
+      val l = PopGen.piScale(N / 4 * 2)
+      val scale = l * l * l * l * l
+      s"""SELECT chrom, n_sites, f3_num,
+        CAST(f3_num AS DOUBLE)
+          / CAST(n_sites * $scale AS DOUBLE) AS f3
+      FROM (SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM(((xc*na - xa*nc) * (xc*nb - xb*nc) * (nc-1)
+              - xc * (nc-xc) * na * nb)
+            * ($scale // (nc*nc*na*nb*(nc-1)))) AS BIGINT) AS f3_num
+        FROM (SELECT * FROM (SELECT chrom,
+            CAST(len(list_filter(fc, a -> a IS NOT NULL)) AS BIGINT)
+              AS nc,
+            CAST(len(list_filter(fa, a -> a IS NOT NULL)) AS BIGINT)
+              AS na,
+            CAST(len(list_filter(fb, a -> a IS NOT NULL)) AS BIGINT)
+              AS nb,
+            CAST(len(list_filter(fc, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS xc,
+            CAST(len(list_filter(fa, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS xa,
+            CAST(len(list_filter(fb, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS xb
+          FROM (SELECT chrom,
+              flatten(geno[1:${N / 4}]) AS fc,
+              flatten(geno[${N / 4 + 1}:${N / 2}]) AS fa,
+              flatten(geno[${N / 2 + 1}:${3 * N / 4}]) AS fb
+            FROM variants))
+          WHERE nc >= 2 AND na >= 1 AND nb >= 1)
+        GROUP BY 1)"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197)
+      q192, q196, q197, q203, q204)
 }

@@ -757,7 +757,33 @@ object Relational extends QueryModule {
       GROUP BY event_type"""
     })
 
+  // --- q205: CUBE over (event_type, weekday) — all four grouping
+  // sets in ONE pass through Spark's native Expand operator (no
+  // self-union of aggregates), with per-dimension GROUPING flags so
+  // subtotal NULLs are unambiguous. Value sums on the exact
+  // milli-grid (floor(value·1000) BIGINT) — no double accumulation. --
+  private val q205 = Q("q205_cube_events",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 86400000000000 + 3) % 7").as("wd"),
+          floor(col("value") * 1000).cast("long").as("vmil"))
+      ev.cube(col("event_type"), col("wd"))
+        .agg(grouping(col("event_type")).cast("long").as("g_et"),
+          grouping(col("wd")).cast("long").as("g_wd"),
+          count(lit(1)).as("n"), sum(col("vmil")).as("sum_vmil"))
+    },
+    Some("""SELECT event_type, wd,
+        CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+        CAST(GROUPING(wd) AS BIGINT) AS g_wd,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(vmil) AS BIGINT) AS sum_vmil
+      FROM (SELECT event_type,
+          (epoch_ns(ts) // 86400000000000 + 3) % 7 AS wd,
+          CAST(FLOOR(value * 1000) AS BIGINT) AS vmil FROM events)
+      GROUP BY CUBE (event_type, wd)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194, q198, q202)
+    q139, q140, q154, q158, q194, q198, q202, q205)
 }
