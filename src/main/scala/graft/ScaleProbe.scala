@@ -125,6 +125,17 @@ object ScaleProbe {
         .filter(col("rank") <= 50)
     }
 
+    // dosage vector → diploid geno cube (shared by the geno-cube ops)
+    def genoFromD(df: DataFrame): DataFrame =
+      df.withColumn("geno", array(
+        (0 until 8).map { s =>
+          val x = element_at(col("d"), s + 1)
+          array(when(x >= 1, 1L).otherwise(when(x.isNull,
+              lit(null).cast("long")).otherwise(0L)),
+            when(x >= 2, 1L).otherwise(when(x.isNull,
+              lit(null).cast("long")).otherwise(0L)))
+        }: _*)).drop("d")
+
     val ops: Seq[(String, DataFrame => DataFrame, Input)] = Seq(
       ("ngram_jaccard",
         d => TrainingData.similarityJoin(d, shingleN = 3, threshold = 0.8),
@@ -169,16 +180,13 @@ object ScaleProbe {
       // keyed string build), window-indexed clumping (cell-key join),
       // f2 pair rollup, and the three corpus diagnostics
       ("garud_h",
-        d => graft.operators.PopGen.garudH(
-          d.withColumn("geno", array(
-            (0 until 8).map { s =>
-              val x = element_at(col("d"), s + 1)
-              array(when(x >= 1, 1L).otherwise(when(x.isNull,
-                  lit(null).cast("long")).otherwise(0L)),
-                when(x >= 2, 1L).otherwise(when(x.isNull,
-                  lit(null).cast("long")).otherwise(0L)))
-            }: _*)).drop("d"),
-          200L, 8), Vars),
+        d => graft.operators.PopGen.garudH(genoFromD(d), 200L, 8), Vars),
+      ("dstat",
+        d => graft.operators.PopGen.dStat(genoFromD(d),
+          Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)), Vars),
+      ("f3stat",
+        d => graft.operators.PopGen.f3Stat(genoFromD(d),
+          Seq(0, 1), Seq(2, 3), Seq(4, 5)), Vars),
       ("clump_lite",
         d => graft.operators.PopGen.clumpLite(d, 200L, 0.5, 8), Vars),
       ("f2_sharing",

@@ -188,6 +188,81 @@ class PopGenFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("dStat and f3Stat match double brute force (dyadic-exact regime)") {
+    import spark.implicits._
+    // single-sample groups ⇒ every per-site frequency is a multiple of
+    // 1/2, so the brute-force double arithmetic is EXACT and the
+    // comparison against the lcm-scaled integer lane is equality-tight
+    for (round <- 1 to 4) {
+      val genos = (1 to 60).map(i =>
+        draw(Gen.listOfN(N, Gen.listOfN(2, alleleGen)), 15000L * round + i))
+      val chroms = (1 to 60).map(i => if (i % 3 == 0) "c1" else "c0")
+      val gdf = genos.zip(chroms)
+        .map { case (g, c) => (c, g.map(_.toSeq).toSeq) }
+        .toDF("chrom", "geno")
+      def cnt(g: Seq[Seq[java.lang.Long]], s: Int): (Long, Long) =
+        (g(s).count(_ != null).toLong,
+          g(s).count(a => a != null && a != 0L).toLong)
+
+      val gotD = PopGen.dStat(gdf, Seq(0), Seq(1), Seq(2), Seq(3))
+        .collect().map(r => r.getAs[String]("chrom") ->
+          (r.getAs[Long]("n_sites"),
+            Option(r.getAs[Any]("d_stat")).map(_.asInstanceOf[Double])))
+        .toMap
+      for (c <- Seq("c0", "c1")) {
+        var (ns, abba, baba) = (0L, 0.0, 0.0)
+        for ((g, i) <- genos.zipWithIndex if chroms(i) == c) {
+          val p = (0 until 4).map { s =>
+            val (n, a) = cnt(g, s)
+            if (n >= 1) Some(a.toDouble / n) else None
+          }
+          if (p.forall(_.isDefined)) {
+            val Seq(p1, p2, p3, p4) = p.map(_.get)
+            ns += 1
+            abba += (1 - p1) * p2 * p3 * (1 - p4)
+            baba += p1 * (1 - p2) * p3 * (1 - p4)
+          }
+        }
+        if (ns == 0) assert(!gotD.contains(c), s"dStat chrom $c round $round")
+        else {
+          val (gn, gd) = gotD(c)
+          assert(gn == ns, s"dStat n_sites chrom $c round $round")
+          if (abba + baba == 0.0)
+            assert(gd.isEmpty, s"chrom $c round $round")
+          else assert(math.abs(gd.get - (abba - baba) / (abba + baba))
+            < 1e-12, s"dStat chrom $c round $round")
+        }
+      }
+
+      val gotF = PopGen.f3Stat(gdf, Seq(0), Seq(1), Seq(2))
+        .collect().map(r => r.getAs[String]("chrom") ->
+          (r.getAs[Long]("n_sites"), r.getAs[Double]("f3"))).toMap
+      for (c <- Seq("c0", "c1")) {
+        var (ns, sum) = (0L, 0.0)
+        for ((g, i) <- genos.zipWithIndex if chroms(i) == c) {
+          val (nc, xc) = cnt(g, 0)
+          val (na, xa) = cnt(g, 1)
+          val (nb, xb) = cnt(g, 2)
+          if (nc >= 2 && na >= 1 && nb >= 1) {
+            ns += 1
+            val pc = xc.toDouble / nc
+            val pa = xa.toDouble / na
+            val pb = xb.toDouble / nb
+            sum += (pc - pa) * (pc - pb) -
+              xc * (nc - xc).toDouble / (nc.toDouble * nc * (nc - 1))
+          }
+        }
+        if (ns == 0) assert(!gotF.contains(c), s"f3 chrom $c round $round")
+        else {
+          val (gn, gf) = gotF(c)
+          assert(gn == ns, s"f3 n_sites chrom $c round $round")
+          assert(math.abs(gf - sum / ns) < 1e-12,
+            s"f3 chrom $c round $round")
+        }
+      }
+    }
+  }
+
   test("ldPrune matches brute force, duplicate vids included") {
     import spark.implicits._
     for (round <- 1 to 4) {
