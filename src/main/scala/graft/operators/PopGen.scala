@@ -231,12 +231,51 @@ object PopGen {
     * counts its admixture consumers build on
     * (/root/reference/R/GetData.R). */
   def dStat(v: DataFrame, g1: Seq[Int], g2: Seq[Int], g3: Seq[Int],
-      g4: Seq[Int], ploidy: Int = 2): DataFrame = {
+      g4: Seq[Int], ploidy: Int = 2): DataFrame =
+    dSiteTerms(v.select(col("chrom"), col("geno")), g1, g2, g3, g4,
+      ploidy)
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("abba_i")).as("abba_num"),
+        sum(col("baba_i")).as("baba_num"))
+      .withColumn("d_stat", dRatio)
+
+  /** Windowed Patterson D — the introgression SCAN twin of [[dStat]]
+    * (the per-window shape fd-style local tests are built from): the
+    * same exact lcm⁴-scaled ABBA/BABA sums as [[dStat]] per
+    * (chrom, pos div window) cell, ratio-of-sums per window, one
+    * map-side-combined aggregate — #windows rows cross the wire. */
+  def dStatWindow(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      g3: Seq[Int], g4: Seq[Int], window: Long, ploidy: Int = 2)
+      : DataFrame = {
+    require(window > 0, s"window must be positive; got $window")
+    dSiteTerms(v.select(col("chrom"), col("pos"), col("geno")),
+      g1, g2, g3, g4, ploidy)
+      .withColumn("win", expr(s"pos div $window").cast("long"))
+      .groupBy(col("chrom"), col("win"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("abba_i")).as("abba_num"),
+        sum(col("baba_i")).as("baba_num"))
+      .withColumn("win_start", col("win") * window)
+      .withColumn("d_win", dRatio)
+      .select(col("chrom"), col("win"), col("win_start"),
+        col("n_sites"), col("abba_num"), col("baba_num"), col("d_win"))
+  }
+
+  private def dRatio: Column =
+    when(col("abba_num") + col("baba_num") =!= 0,
+      (col("abba_num") - col("baba_num")).cast("double")
+        / (col("abba_num") + col("baba_num")).cast("double"))
+
+  /** Shared per-site ABBA/BABA terms: group counts, pinned validity
+    * filter, exact lcm⁴-scaled integer terms (see [[dStat]]). */
+  private def dSiteTerms(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      g3: Seq[Int], g4: Seq[Int], ploidy: Int): DataFrame = {
     val nMax = Seq(g1, g2, g3, g4).map(_.size * ploidy).max
     val l = piScale(nMax)
     val scale = l * l * l * l
     val withCounts = Seq(("1", g1), ("2", g2), ("3", g3), ("4", g4))
-      .foldLeft(v.select(col("chrom"), col("geno"))) {
+      .foldLeft(v) {
         case (df, (i, g)) =>
           val (n, a) = groupCounts(col("geno"), g, ploidy)
           df.withColumn(s"n$i", n).withColumn(s"a$i", a)
@@ -250,14 +289,6 @@ object PopGen {
         col("a3") * (col("n4") - col("a4")) * mult)
       .withColumn("baba_i", col("a1") * (col("n2") - col("a2")) *
         col("a3") * (col("n4") - col("a4")) * mult)
-      .groupBy(col("chrom"))
-      .agg(count(lit(1)).as("n_sites"),
-        sum(col("abba_i")).as("abba_num"),
-        sum(col("baba_i")).as("baba_num"))
-      .withColumn("d_stat",
-        when(col("abba_num") + col("baba_num") =!= 0,
-          (col("abba_num") - col("baba_num")).cast("double")
-            / (col("abba_num") + col("baba_num")).cast("double")))
   }
 
   /** f3 admixture statistic f3(C; A, B) (Patterson et al. 2012,

@@ -1540,9 +1540,59 @@ object PopGenQ extends QueryModule {
         GROUP BY 1)"""
     }))
 
+  // --- windowed Patterson D: the introgression selection scan (the
+  // per-window shape local fd-style tests ride), same exact scaled
+  // sums as q203 per (chrom, pos div W) cell. ------------------------
+  private val q206 = Q("q206_dstat_window",
+    (s, dir) => PopGen.dStatWindow(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), col("geno")),
+      0 until N / 4, N / 4 until N / 2,
+      N / 2 until 3 * N / 4, 3 * N / 4 until N, FST_WIN),
+    Some(withCte {
+      val l = PopGen.piScale(N / 4 * 2)
+      val scale = l * l * l * l
+      s"""SELECT chrom, win, win_start, n_sites, abba_num, baba_num,
+        CASE WHEN abba_num + baba_num <> 0
+          THEN CAST(abba_num - baba_num AS DOUBLE)
+            / CAST(abba_num + baba_num AS DOUBLE) END AS d_win
+      FROM (SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win,
+          CAST((pos // $FST_WIN) * $FST_WIN AS BIGINT) AS win_start,
+          CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM((n1-a1) * a2 * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS abba_num,
+          CAST(SUM(a1 * (n2-a2) * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS baba_num
+        FROM (SELECT * FROM (SELECT chrom, pos,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL)) AS BIGINT)
+              AS n1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL)) AS BIGINT)
+              AS n2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL)) AS BIGINT)
+              AS n3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL)) AS BIGINT)
+              AS n4,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a4
+          FROM (SELECT chrom, pos,
+              flatten(geno[1:${N / 4}]) AS f1,
+              flatten(geno[${N / 4 + 1}:${N / 2}]) AS f2,
+              flatten(geno[${N / 2 + 1}:${3 * N / 4}]) AS f3,
+              flatten(geno[${3 * N / 4 + 1}:$N]) AS f4
+            FROM variants))
+          WHERE n1 >= 1 AND n2 >= 1 AND n3 >= 1 AND n4 >= 1)
+        GROUP BY 1, 2, 3)"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204)
+      q192, q196, q197, q203, q204, q206)
 }

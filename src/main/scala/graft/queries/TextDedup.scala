@@ -1808,9 +1808,56 @@ object TextDedup extends QueryModule {
       FROM c CROSS JOIN tot GROUP BY 1, total"""
     })
 
+  // --- q207: Flesch readability per document — reading-ease and
+  // Flesch–Kincaid grade from three exact integer counts (whitespace
+  // words, [.!?]+ sentence terminators, [aeiouy]+ vowel-group syllable
+  // proxy), assembled in a FIXED-ORDER double expression both engines
+  // replay identically (the Tajima-constants discipline). Pure
+  // projection — zero shuffles at any corpus size. -------------------
+  private val q207 = Q("q207_readability",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_words"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long")
+          .as("n_sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syll"))
+      val ws = col("n_words").cast("double") / col("n_sents")
+        .cast("double")
+      val sw = col("n_syll").cast("double") / col("n_words")
+        .cast("double")
+      base
+        .withColumn("ease",
+          when(col("n_words") > 0 && col("n_sents") > 0,
+            lit(206.835) - lit(1.015) * ws - lit(84.6) * sw))
+        .withColumn("grade",
+          when(col("n_words") > 0 && col("n_sents") > 0,
+            lit(0.39) * ws + lit(11.8) * sw - lit(15.59)))
+    },
+    Some("""SELECT doc_id, lang, n_words, n_sents, n_syll,
+        CASE WHEN n_words > 0 AND n_sents > 0
+          THEN 206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+            - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+        END AS ease,
+        CASE WHEN n_words > 0 AND n_sents > 0
+          THEN 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+            + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+            - 15.59
+        END AS grade
+      FROM (SELECT doc_id, lang,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            t -> t <> '')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+            AS n_sents,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syll
+        FROM documents)"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188, q189, q199)
+      q160, q161, q167, q169, q187, q188, q189, q199, q207)
 }
