@@ -119,10 +119,25 @@ object Similarity extends QueryModule {
   /** Brute-force exact cosine top-k per probe (the correctness
     * baseline); (probe_id, vec_id, cos, rank ≤ k). */
   private def bruteTopK(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
-      .withColumn("nrm", dotLong(col("qv"), col("qv")))
+      k: Int): org.apache.spark.sql.DataFrame =
+    topKFrom(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv")), k)
+
+  /** [[bruteTopK]] on the FIRST `dims` dimensions only — the
+    * Matryoshka/truncated-embedding retrieval lane (score with a cheap
+    * prefix, optionally re-rank with the full vector). */
+  private def prefixTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, dims: Int): org.apache.spark.sql.DataFrame =
+    topKFrom(Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        slice(quantize(col("embedding"), SCALE), 1, dims).as("qv")), k)
+
+  /** Exact cosine top-k over a prepared (vec_id, qv) corpus — one
+    * broadcast of the ≤ |corpus|/PROBE_MOD probe rows, one ranked
+    * window per probe. */
+  private def topKFrom(eIn: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = eIn.withColumn("nrm", dotLong(col("qv"), col("qv")))
     val probes = e.filter(col("vec_id") % PROBE_MOD === 0)
       .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
         col("nrm").as("pnrm"))
@@ -1165,7 +1180,50 @@ object Similarity extends QueryModule {
         END AS cos_to_global
       FROM mo JOIN nv USING (shard)"""))
 
+  // --- Matryoshka / truncated-embedding recall (Kusupati et al. 2022
+  // regime): per probe, how many of the FULL-dimension exact cosine
+  // top-5 the first-PREFIX_DIMS prefix ranking recovers in its top-5 —
+  // the dimension-vs-recall tradeoff report a 100 TB corpus runs
+  // before committing to a cheap prefix index. Both rank chains are
+  // the proven q36 plan (the prefix side just slices the quantized
+  // vector before the norm); overlap and recall follow the q156
+  // integer-join shape. -----------------------------------------------
+  private val PREFIX_DIMS = 16
+  private val q208 = Q("q208_matryoshka_recall",
+    (s, dir) => {
+      val full = bruteTopK(s, dir, 5).select(col("probe_id"), col("vec_id"))
+      val pre = prefixTopK(s, dir, 5, PREFIX_DIMS)
+        .select(col("probe_id"), col("vec_id"))
+        .withColumn("__hit", lit(1L))
+      full.join(pre, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("__nb"))
+        .withColumn("recall", col("n_hit").cast("double") / col("__nb"))
+        .drop("__nb")
+    },
+    Some(s"""WITH q AS ($qCte),
+      $nCteSql,
+      $bruteScoreCtesSql,
+      brute AS (SELECT probe_id, vec_id FROM (${topkSql("bscored", 5)})),
+      qp AS (SELECT vec_id, qv[1:$PREFIX_DIMS] AS qv FROM q),
+      np AS (SELECT vec_id, qv, ${dot2("qv", "qv")} AS nrm FROM qp),
+      pp AS (SELECT vec_id AS probe_id, qv AS pv, nrm AS pnrm FROM np
+        WHERE vec_id % $PROBE_MOD = 0),
+      pscored AS (SELECT probe_id, vec_id,
+        CASE WHEN pnrm > 0 AND nrm > 0 THEN
+          CAST(${dot2("pv", "qv")} AS DOUBLE) /
+            (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END
+          AS cos
+        FROM np JOIN pp ON vec_id <> probe_id),
+      pre AS (SELECT probe_id, vec_id FROM (${topkSql("pscored", 5)}))
+      SELECT b.probe_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*) AS recall
+      FROM brute b LEFT JOIN pre p
+        ON b.probe_id = p.probe_id AND b.vec_id = p.vec_id
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131, q148, q156, q195)
+      q131, q148, q156, q195, q208)
 }
