@@ -729,6 +729,144 @@ object Multimodal {
       })
   }
 
+  // --- GIF container metadata (pure-JVM block walk; no frame decode —
+  // the 87a/89a block grammar is enough for dims / frame count / loop
+  // count, the triage metadata an image-dedup pipeline wants before
+  // paying for a real decode). -----------------------------------------
+
+  final case class GifMeta(width: Int, height: Int, nFrames: Int,
+      loopCount: Int, gctEntries: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Walk a GIF87a/GIF89a stream: logical screen descriptor, global
+    * color table, extension blocks (reading the NETSCAPE 2.0 loop
+    * count), image descriptors with their local color tables and LZW
+    * sub-blocks. Returns None on a bad signature or malformed block
+    * structure (the caller drops the row); loopCount is −1 when no
+    * NETSCAPE application extension is present. */
+  def parseGif(b: Array[Byte]): Option[GifMeta] = {
+    try {
+      if (b.length < 13) return None
+      val sig = new String(b, 0, 6, "ISO-8859-1")
+      if (sig != "GIF89a" && sig != "GIF87a") return None
+      val width = le16(b, 6)
+      val height = le16(b, 8)
+      val packed = b(10) & 0xff
+      val gctEntries = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1)
+        else 0
+      var o = 13 + 3 * gctEntries
+      var frames = 0
+      var loop = -1
+      // generic data-sub-block walk; returns the offset past the
+      // 0-length terminator, or -1 on truncation
+      def skipSubBlocks(from: Int): Int = {
+        var p = from
+        while (p < b.length && (b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+        if (p >= b.length) -1 else p + 1
+      }
+      while (o < b.length && (b(o) & 0xff) != 0x3b) {
+        (b(o) & 0xff) match {
+          case 0x21 => // extension: label, then sub-blocks
+            if (o + 2 > b.length) return None
+            val label = b(o + 1) & 0xff
+            if (label == 0xff && o + 13 <= b.length &&
+                (b(o + 2) & 0xff) == 11 &&
+                new String(b, o + 3, 11, "ISO-8859-1") == "NETSCAPE2.0" &&
+                o + 18 <= b.length && (b(o + 14) & 0xff) >= 3 &&
+                (b(o + 15) & 0xff) == 1)
+              loop = le16(b, o + 16)
+            o = skipSubBlocks(o + 2)
+            if (o < 0) return None
+          case 0x2c => // image descriptor
+            if (o + 10 > b.length) return None
+            frames += 1
+            val ip = b(o + 9) & 0xff
+            val lct = if ((ip & 0x80) != 0) 3 * (1 << ((ip & 7) + 1))
+              else 0
+            val lzwStart = o + 10 + lct + 1 // + LZW min-code-size byte
+            if (lzwStart > b.length) return None
+            o = skipSubBlocks(lzwStart)
+            if (o < 0) return None
+          case _ => return None // unknown top-level block: malformed
+        }
+      }
+      if (o >= b.length) return None // ran off the end before trailer
+      Some(GifMeta(width, height, frames, loop, gctEntries))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal GIF89a: logical screen + optional 2-entry
+    * global color table + optional NETSCAPE loop extension + `nFrames`
+    * single-sub-block frames. Every parsed value and the total byte
+    * length are formulas of the inputs (each frame contributes a fixed
+    * 14 bytes: 10 descriptor + LZW min-code-size + one 1-byte
+    * sub-block + terminator). */
+  def syntheticGif(width: Int, height: Int, nFrames: Int,
+      loopCount: Int, gct: Boolean): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "GIF89a".getBytes("ISO-8859-1")
+    out += (width & 0xff).toByte += ((width >> 8) & 0xff).toByte
+    out += (height & 0xff).toByte += ((height >> 8) & 0xff).toByte
+    out += (if (gct) 0x80 else 0x00).toByte // GCT flag, size bits 0 ⇒ 2
+    out += 0 += 0 // background index, aspect
+    if (gct) out ++= Array[Byte](0, 0, 0, -1, -1, -1) // black, white
+    if (loopCount >= 0) {
+      out ++= Array[Byte](0x21, 0xff.toByte, 11)
+      out ++= "NETSCAPE2.0".getBytes("ISO-8859-1")
+      out ++= Array[Byte](3, 1,
+        (loopCount & 0xff).toByte, ((loopCount >> 8) & 0xff).toByte, 0)
+    }
+    var f = 0
+    while (f < nFrames) {
+      out += 0x2c
+      out ++= Array[Byte](0, 0, 0, 0) // left, top
+      out += (width & 0xff).toByte += ((width >> 8) & 0xff).toByte
+      out += (height & 0xff).toByte += ((height >> 8) & 0xff).toByte
+      out += 0 // no local color table
+      out += 2 // LZW min code size
+      out += 1 += 0x4c // one 1-byte data sub-block
+      out += 0 // sub-block terminator
+      f += 1
+    }
+    out += 0x3b
+    out.toArray
+  }
+
+  /** Typed GIF-metadata record for the partition-batched path. */
+  final case class GifFeature(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, loop_count: Int, gct_entries: Int, n_bytes: Int)
+
+  /** Partition-batched GIF container-metadata extraction; rows whose
+    * payload is not a parseable GIF are dropped. */
+  def decodeGifAll(media: Dataset[MediaRow]): Dataset[GifFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseGif(r.payload).map(m => GifFeature(r.doc_id, m.width,
+        m.height, m.nFrames, m.loopCount, m.gctEntries,
+        r.payload.length))
+    })
+  }
+
+  /** Animated-image fixture table: one synthetic GIF per document,
+    * every field a formula of `doc_id` so the parsed values and byte
+    * length replay in SQL. */
+  def syntheticGifTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "image", syntheticGif(
+          width = (id % 32 + 4).toInt,
+          height = ((id * 7) % 32 + 4).toInt,
+          nFrames = (id % 4 + 1).toInt,
+          loopCount = if (id % 3 == 0) (id % 7).toInt else -1,
+          gct = id % 2 == 0))
+      })
+  }
+
   /** Deterministic solid-gray PNG: the smallest payload whose decoded
     * (width, height, brightness) are knowable in advance — the fixture
     * generator for the real-codec path. */

@@ -372,7 +372,32 @@ object MultimodalQ extends QueryModule {
         CAST(2 AS INT) AS n_text
       FROM documents"""))
 
+  // GIF container metadata through the real 87a/89a block walk:
+  // logical-screen dims, frame count from image descriptors, NETSCAPE
+  // loop count (−1 when the extension is absent), global-color-table
+  // size, and the exact byte length — every value a doc_id formula the
+  // oracle predicts (a block-grammar slip breaks the byte-length hash).
+  private val q209 = Q("q209_gif_meta",
+    (s, dir) => Multimodal.decodeGifAll(Multimodal.syntheticGifTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_frames"), col("loop_count"), col("gct_entries"),
+        col("n_bytes")),
+    Some("""SELECT doc_id,
+        CAST(doc_id % 32 + 4 AS INT) AS width,
+        CAST((doc_id * 7) % 32 + 4 AS INT) AS height,
+        CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 ELSE -1 END
+          AS INT) AS loop_count,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT)
+          AS gct_entries,
+        CAST(13
+          + CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 0 END
+          + CASE WHEN doc_id % 3 = 0 THEN 19 ELSE 0 END
+          + 14 * (doc_id % 4 + 1) + 1 AS INT) AS n_bytes
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200)
+      q186, q200, q209)
 }

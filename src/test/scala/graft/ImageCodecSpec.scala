@@ -12,6 +12,36 @@ import graft.operators.Multimodal
   * mistaken for a real decode. */
 class ImageCodecSpec extends AnyFunSuite {
 
+  test("GIF block walk: dims, frames, NETSCAPE loop, GCT, byte length") {
+    val g = Multimodal.syntheticGif(width = 17, height = 9, nFrames = 3,
+      loopCount = 5, gct = true)
+    val Some(m) = Multimodal.parseGif(g)
+    assert(m.width == 17 && m.height == 9 && m.nFrames == 3)
+    assert(m.loopCount == 5 && m.gctEntries == 2)
+    assert(g.length == 13 + 6 + 19 + 14 * 3 + 1)
+    // no NETSCAPE extension, no GCT → loop −1, 0 entries
+    val plain = Multimodal.syntheticGif(4, 4, 1, loopCount = -1,
+      gct = false)
+    val Some(p) = Multimodal.parseGif(plain)
+    assert(p.loopCount == -1 && p.gctEntries == 0 && p.nFrames == 1)
+    assert(plain.length == 13 + 14 + 1)
+  }
+
+  test("GIF rejections: bad magic, truncation, missing trailer drop") {
+    val g = Multimodal.syntheticGif(8, 8, 2, 3, gct = true)
+    // bad signature
+    val bad = g.clone(); bad(0) = 'J'.toByte
+    assert(Multimodal.parseGif(bad).isEmpty)
+    // truncated mid-frame: the walk must not fabricate a result
+    assert(Multimodal.parseGif(
+      java.util.Arrays.copyOf(g, g.length - 3)).isEmpty)
+    // trailer byte replaced by garbage → unknown block → reject
+    val noTrail = g.clone(); noTrail(g.length - 1) = 0x7f
+    assert(Multimodal.parseGif(noTrail).isEmpty)
+    // prose bytes are not a GIF
+    assert(Multimodal.parseGif("hello world".getBytes("UTF-8")).isEmpty)
+  }
+
   test("MP3 CBR: frame count, rate, duration, bitrate, exact byte walk") {
     val mp3 = Multimodal.syntheticMp3(nFrames = 50, sri = 0, kbpsIdx = 9)
     val Some(m) = Multimodal.parseMp3(mp3)
