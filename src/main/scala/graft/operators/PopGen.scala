@@ -262,6 +262,28 @@ object PopGen {
         col("n_sites"), col("abba_num"), col("baba_num"), col("d_win"))
   }
 
+  /** Joint 2-population site-frequency spectrum — the demographic-
+    * inference input (dadi/moments regime): over biallelic-collapsed
+    * sites FULLY CALLED in both groups (the standard fixed-haploid-
+    * sample-size convention; partially-called sites would need
+    * hypergeometric projection), the count of sites at each
+    * (alt-count-in-g1, alt-count-in-g2) cell. ≤ (2|g1|+1)·(2|g2|+1)
+    * rows out of ONE map-side-combined aggregate; monomorphic corner
+    * cells are emitted (maskable downstream). Validity filter pinned
+    * (the q126 pushdown lesson). */
+  def jointSfs(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      ploidy: Int = 2): DataFrame = {
+    val (n1, a1) = groupCounts(col("geno"), g1, ploidy)
+    val (n2, a2) = groupCounts(col("geno"), g2, ploidy)
+    val base = v.select(col("geno"))
+      .withColumn("n1", n1).withColumn("n2", n2)
+      .withColumn("a1", a1).withColumn("a2", a2)
+    pinnedFilter(base,
+      col("n1") === g1.size * ploidy && col("n2") === g2.size * ploidy)
+      .groupBy(col("a1"), col("a2"))
+      .agg(count(lit(1)).as("n_sites"))
+  }
+
   private def dRatio: Column =
     when(col("abba_num") + col("baba_num") =!= 0,
       (col("abba_num") - col("baba_num")).cast("double")

@@ -1590,9 +1590,32 @@ object PopGenQ extends QueryModule {
         GROUP BY 1, 2, 3)"""
     }))
 
+  // --- joint 2D SFS between the sample halves (dadi/moments input):
+  // exact (a1, a2) cell counts over fully-called biallelic-collapsed
+  // sites, ≤ 9×9 rows from one aggregate — PopGen.jointSfs. ----------
+  private val q211 = Q("q211_joint_sfs",
+    (s, dir) => PopGen.jointSfs(
+      SynthGeno.variants(s, dir).select(col("geno")),
+      0 until N / 2, N / 2 until N),
+    Some(withCte(s"""SELECT a1, a2, CAST(COUNT(*) AS BIGINT) AS n_sites
+      FROM (SELECT
+          CAST(len(list_filter(f1, a -> a IS NOT NULL)) AS BIGINT)
+            AS n1,
+          CAST(len(list_filter(f2, a -> a IS NOT NULL)) AS BIGINT)
+            AS n2,
+          CAST(len(list_filter(f1, a -> a IS NOT NULL AND a <> 0))
+            AS BIGINT) AS a1,
+          CAST(len(list_filter(f2, a -> a IS NOT NULL AND a <> 0))
+            AS BIGINT) AS a2
+        FROM (SELECT flatten(geno[1:${N / 2}]) AS f1,
+            flatten(geno[${N / 2 + 1}:$N]) AS f2
+          FROM variants))
+      WHERE n1 = $N AND n2 = $N
+      GROUP BY 1, 2""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206)
+      q192, q196, q197, q203, q204, q206, q211)
 }

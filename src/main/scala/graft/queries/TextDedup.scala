@@ -1855,9 +1855,42 @@ object TextDedup extends QueryModule {
             AS BIGINT) AS n_syll
         FROM documents)"""))
 
+  // --- q210: overlapping chunk windowing (the RAG / context-window
+  // splitter): W-token chunks on stride S (overlap W−S), the LAST
+  // chunk keeping its natural short tail. One posexplode_outer of a
+  // stride sequence (never-empty computed array — the q124
+  // InferFiltersFromGenerate lesson) per document; zero shuffles. ----
+  private val CHUNK_W = 12
+  private val CHUNK_S = 8
+  private val q210 = Q("q210_chunk_windows",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val ch = slice(col("toks"), col("start") + 1, lit(CHUNK_W))
+      d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode_outer(expr(s"sequence(0, n - 1, $CHUNK_S)"))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("start").cast("long").as("start_tok"),
+          size(ch).cast("long").as("n_toks"),
+          array_join(ch, " ").as("chunk_text"))
+    },
+    Some(s"""WITH t AS ($tokCte)
+      SELECT doc_id, CAST(start // $CHUNK_S AS BIGINT) AS chunk_idx,
+        CAST(start AS BIGINT) AS start_tok,
+        CAST(len(ch) AS BIGINT) AS n_toks,
+        array_to_string(ch, ' ') AS chunk_text
+      FROM (SELECT doc_id,
+          list_slice(toks, start + 1, start + $CHUNK_W) AS ch, start
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks),
+            $CHUNK_S)) AS start
+          FROM t WHERE len(toks) > 0))"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188, q189, q199, q207)
+      q160, q161, q167, q169, q187, q188, q189, q199, q207, q210)
 }
