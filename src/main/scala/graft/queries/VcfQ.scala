@@ -664,7 +664,92 @@ object VcfQ extends QueryModule {
           AS n_dup_sites
       FROM cell GROUP BY chrom"""))
 
+  // --- per-sample ROH / F_ROH on REAL data: the CEU exon fixture
+  // through the gds source, TRUE-homozygosity definition (both alleles
+  // called and equal — not the collapsed-dosage proxy q201 uses on the
+  // synthetic cube), exact lag-based run segmentation on the
+  // (sample, chrom)-partitioned window ordered by the fixture-unique
+  // (pos, id) key. Oracle replays the identical runs from the VCF
+  // twin. ------------------------------------------------------------
+  private val MIN_ROH_CEU = 5L
+  private val q212 = Q("q212_ceu_roh",
+    (s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+        .select(col("chrom"), col("pos"), col("id"), col("geno"))
+      val calledE = size(col("sa")) === 2 &&
+        !exists(col("sa"), a => a.isNull)
+      val rows = df.select(col("chrom"), col("pos"), col("id"),
+          posexplode_outer(col("geno")).as(Seq("smp", "sa")))
+        .select(col("smp").cast("long").as("smp"), col("chrom"),
+          col("pos"), col("id"), calledE.as("called"),
+          (calledE && element_at(col("sa"), 1) ===
+            element_at(col("sa"), 2)).as("hom"))
+      val w = Window.partitionBy(col("smp"), col("chrom"))
+        .orderBy(col("pos"), col("id"))
+      val runs = rows
+        .withColumn("strt",
+          col("hom") && !lag(col("hom"), 1, false).over(w))
+        .withColumn("rid",
+          sum(when(col("strt"), 1L).otherwise(0L)).over(w))
+        .filter(col("hom"))
+        .groupBy(col("smp"), col("chrom"), col("rid"))
+        .agg(count(lit(1)).as("run_len"))
+      val roh = runs.filter(col("run_len") >= MIN_ROH_CEU)
+        .groupBy(col("smp"))
+        .agg(count(lit(1)).as("n_roh"),
+          sum(col("run_len")).as("n_roh_sites"))
+      rows.filter(col("called"))
+        .groupBy(col("smp")).agg(count(lit(1)).as("n_called"))
+        .join(roh, Seq("smp"), "left")
+        .select(col("smp"), col("n_called"),
+          coalesce(col("n_roh"), lit(0L)).as("n_roh"),
+          coalesce(col("n_roh_sites"), lit(0L)).as("n_roh_sites"))
+        .withColumn("f_roh", col("n_roh_sites").cast("double")
+          / col("n_called").cast("double"))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      g AS (SELECT column00 AS chrom, CAST(column01 AS BIGINT) AS pos,
+          column02 AS id,
+          list_transform($cols, s ->
+            string_split(replace(string_split(s, ':')[1], '|', '/'), '/'))
+            AS ga
+        FROM raw),
+      f AS (SELECT CAST(j - 1 AS BIGINT) AS smp, chrom, pos, id,
+          len(ga[CAST(j AS INT)]) = 2
+            AND len(list_filter(ga[CAST(j AS INT)], t -> t = '.')) = 0
+            AS called,
+          len(ga[CAST(j AS INT)]) = 2
+            AND len(list_filter(ga[CAST(j AS INT)], t -> t = '.')) = 0
+            AND ga[CAST(j AS INT)][1] = ga[CAST(j AS INT)][2] AS hom
+        FROM g, (SELECT unnest(range(1, 91)) AS j)),
+      r AS (SELECT smp, chrom, hom,
+          SUM(CASE WHEN strt THEN 1 ELSE 0 END)
+            OVER (PARTITION BY smp, chrom ORDER BY pos, id) AS rid
+        FROM (SELECT *, hom AND NOT LAG(hom, 1, FALSE)
+            OVER (PARTITION BY smp, chrom ORDER BY pos, id) AS strt
+          FROM f)),
+      runs AS (SELECT smp, chrom, rid, COUNT(*) AS run_len
+        FROM r WHERE hom GROUP BY 1, 2, 3),
+      roh AS (SELECT smp, CAST(COUNT(*) AS BIGINT) AS n_roh,
+          CAST(SUM(run_len) AS BIGINT) AS n_roh_sites
+        FROM runs WHERE run_len >= $MIN_ROH_CEU GROUP BY 1),
+      c AS (SELECT smp, CAST(COUNT(*) AS BIGINT) AS n_called
+        FROM f WHERE called GROUP BY 1)
+      SELECT smp, n_called, COALESCE(n_roh, 0) AS n_roh,
+        COALESCE(n_roh_sites, 0) AS n_roh_sites,
+        CAST(COALESCE(n_roh_sites, 0) AS DOUBLE)
+          / CAST(n_called AS DOUBLE) AS f_roh
+      FROM c LEFT JOIN roh USING (smp)"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193)
+      q171, q185, q193, q212)
 }
