@@ -1046,7 +1046,90 @@ object Genomics extends QueryModule {
           WHERE hom GROUP BY 1, 2, 3)
         WHERE run_len >= $MIN_ROH GROUP BY 1) r USING (s)""")))
 
+  // --- q213: EXACT Hardy–Weinberg test (Wigginton et al. 2005; PLINK
+  // --hwe) — the finite-sample companion to q106's chi². The
+  // Levene–Haldane het-count distribution P(n_AB | n, R) is computed
+  // ONCE in Scala as exact BigInt numerators over the common
+  // denominator C(2n, R) (comparisons and the tail sum are exact
+  // integer arithmetic; ONE final division per table row), and the
+  // tiny (n, R, n_AB) → p table is handed VERBATIM to both engines —
+  // Spark as a broadcast literal DataFrame, DuckDB as a VALUES list
+  // with e0-suffixed literals (forces DOUBLE parse) — so no
+  // cross-engine floating arithmetic exists at all. Scale: the table
+  // is O(S²) rows for S samples (fine to biobank S with a broadcast;
+  // beyond that the χ² lane applies), the scan one projection + one
+  // broadcast join. ----------------------------------------------------
+  private def hweExactTable(maxN: Int): Seq[(Long, Long, Long, Double)] = {
+    def fact(k: Int): BigInt = (1 to k).foldLeft(BigInt(1))(_ * _)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    for (n <- 1 to maxN; r <- 0 to n) {
+      val valid = (0 to r).filter(k =>
+        (r - k) % 2 == 0 && n - k - (r - k) / 2 >= 0)
+      // unnormalized weights share the denominator C(2n, R): exact
+      val w = valid.map { k =>
+        val nrr = (r - k) / 2
+        k -> (BigInt(2).pow(k) * fact(n)
+          / (fact(k) * fact(nrr) * fact(n - k - nrr)))
+      }.toMap
+      val total = w.values.sum
+      for (k <- valid) {
+        val tail = w.valuesIterator.filter(_ <= w(k)).sum
+        out += ((n.toLong, r.toLong, k.toLong,
+          tail.toDouble / total.toDouble))
+      }
+    }
+    out.toSeq
+  }
+
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  private val q213 = Q("q213_hwe_exact",
+    (s, dir) => {
+      import s.implicits._
+      val v = SynthGeno.variants(s, dir)
+      val d = dosageAlt(col("geno"))
+      val a = size(filter(d, x => x === 0))
+      val b = size(filter(d, x => x === 1))
+      val c = size(filter(d, x => x === 2))
+      val counts = v
+        .select(col("vid"), a.as("n_aa"), b.as("n_ab"), c.as("n_bb"))
+        .withColumn("n",
+          (col("n_aa") + col("n_ab") + col("n_bb")).cast("long"))
+        .withColumn("r",
+          least(lit(2L) * col("n_aa") + col("n_ab"),
+            lit(2L) * col("n_bb") + col("n_ab")).cast("long"))
+      val tab = hweExactTable(SynthGeno.nSamples)
+        .toDF("n", "r", "nab", "p_hwe")
+      counts.join(broadcast(tab),
+          counts("n") === tab("n") && counts("r") === tab("r") &&
+            counts("n_ab").cast("long") === tab("nab"), "left")
+        .select(col("vid"), col("n_aa"), col("n_ab"), col("n_bb"),
+          counts("n"), counts("r"), col("p_hwe"))
+    },
+    Some(withCte {
+      val rows = hweExactTable(SynthGeno.nSamples)
+        .map { case (n, r, k, p) => s"($n, $r, $k, ${dlit(p)})" }
+        .mkString(",\n          ")
+      s"""SELECT vid, n_aa, n_ab, n_bb, n, r, p_hwe
+      FROM (SELECT vid, n_aa, n_ab, n_bb,
+          CAST(n_aa + n_ab + n_bb AS BIGINT) AS n,
+          CAST(LEAST(2 * n_aa + n_ab, 2 * n_bb + n_ab) AS BIGINT) AS r
+        FROM (SELECT vid,
+            CAST(len(list_filter(d, x -> x = 0)) AS BIGINT) AS n_aa,
+            CAST(len(list_filter(d, x -> x = 1)) AS BIGINT) AS n_ab,
+            CAST(len(list_filter(d, x -> x = 2)) AS BIGINT) AS n_bb
+          FROM (SELECT vid, $dSqlG AS d FROM variants))) c
+      LEFT JOIN (VALUES
+          $rows) AS t(tn, tr, tnab, p_hwe)
+        ON c.n = t.tn AND c.r = t.tr AND c.n_ab = t.tnab"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
-      q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201)
+      q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201,
+      q213)
 }
