@@ -783,7 +783,72 @@ object Relational extends QueryModule {
           CAST(FLOOR(value * 1000) AS BIGINT) AS vmil FROM events)
       GROUP BY CUBE (event_type, wd)"""))
 
+  // --- q214: event-type transition matrix (first-order Markov
+  // behavior model): per user, consecutive event pairs on the
+  // tie-free (ts, event_id) order, rolled up to (prev, next) counts
+  // with the row-probability as one division. User-partitioned window
+  // — never global — then one pair-key aggregate. --------------------
+  private val q214 = Q("q214_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val pairs = ev.groupBy(col("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(totals), "prev_type")
+        .withColumn("p", col("n").cast("double")
+          / col("n_from").cast("double"))
+    },
+    Some("""SELECT prev_type, next_type, n,
+        CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+        CAST(n AS DOUBLE)
+          / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM (SELECT prev_type, event_type AS next_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT user_id, event_type,
+            LAG(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)"""))
+
+  // --- q215: exact decile profile per event_type — ntile(10) on the
+  // tie-free (vmil, event_id) order (the standard-SQL floor
+  // distribution both engines implement), then per-cell count and
+  // exact milli-grid bounds. One partitioned window + one aggregate. --
+  private val q215 = Q("q215_value_deciles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("vmil"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vmil"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("vmil")).as("lo_vmil"),
+          max(col("vmil")).as("hi_vmil"))
+    },
+    Some("""SELECT event_type, CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(vmil) AS BIGINT) AS lo_vmil,
+        CAST(MAX(vmil) AS BIGINT) AS hi_vmil
+      FROM (SELECT event_type, event_id, vmil,
+          NTILE(10) OVER (PARTITION BY event_type
+            ORDER BY vmil, event_id) AS decile
+        FROM (SELECT event_type, event_id,
+            CAST(FLOOR(value * 1000) AS BIGINT) AS vmil FROM events))
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194, q198, q202, q205)
+    q139, q140, q154, q158, q194, q198, q202, q205, q214, q215)
 }
