@@ -1888,9 +1888,42 @@ object TextDedup extends QueryModule {
             $CHUNK_S)) AS start
           FROM t WHERE len(toks) > 0))"""))
 
+  // --- q216: cross-source duplication flow — WHO copies WHOM: over
+  // the proven near-dup components (q72's min-label clusters), each
+  // dropped document is attributed (keeper's source → duplicate's
+  // source) and rolled up to the source×source flow matrix a corpus
+  // provenance audit wants. Rides the one CC fixpoint; the keeper
+  // join is cluster-keyed (bounded by #clusters), the rollup ≤
+  // |sources|². -------------------------------------------------------
+  private val q216 = Q("q216_dup_source_flow",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cl = graft.pipeline.TrainingData.dedupClusters(
+        docs, shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+      val lab = cl.join(docs.select(col("doc_id"), col("source")),
+        "doc_id")
+      val keepers = lab.filter(col("doc_id") === col("cluster"))
+        .select(col("cluster"), col("source").as("keep_source"))
+      lab.filter(col("doc_id") =!= col("cluster"))
+        .join(keepers, "cluster")
+        .groupBy(col("keep_source"), col("source").as("dup_source"))
+        .agg(count(lit(1)).as("n_dropped"))
+    },
+    Some(s"""WITH RECURSIVE $componentsCte,
+      ls AS (SELECT lab.doc_id, cluster, d.source
+        FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+      k AS (SELECT cluster, source AS keep_source FROM ls
+        WHERE doc_id = cluster)
+      SELECT keep_source, source AS dup_source,
+        CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM ls JOIN k USING (cluster)
+      WHERE doc_id <> cluster
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188, q189, q199, q207, q210)
+      q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216)
 }
