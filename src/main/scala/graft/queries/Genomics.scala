@@ -1128,8 +1128,46 @@ object Genomics extends QueryModule {
         ON c.n = t.tn AND c.r = t.tr AND c.n_ab = t.tnab"""
     }))
 
+  // --- q218: inter-variant gap QC per chromosome — marker-density
+  // diagnostics (coverage holes, clustered calls): consecutive
+  // position gaps on the tie-free (pos, vid) order within each chrom
+  // partition, rolled up to per-chrom n, distinct positions, min/max
+  // gap, exact gap sum and the mean as one division. Chrom-partitioned
+  // window (never global) + one ≤#chroms-row aggregate. --------------
+  private val q218 = Q("q218_variant_gaps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("chrom"))
+        .orderBy(col("pos"), col("vid"))
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), col("vid"))
+        .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_variants"),
+          count_distinct(col("pos")).as("n_pos"),
+          count(col("gap")).as("n_gaps"),
+          min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"),
+          sum(col("gap")).as("gap_sum"))
+        .withColumn("mean_gap", col("gap_sum").cast("double")
+          / col("n_gaps").cast("double"))
+    },
+    Some(withCte("""SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_pos,
+        CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        CAST(MIN(gap) AS BIGINT) AS min_gap,
+        CAST(MAX(gap) AS BIGINT) AS max_gap,
+        CAST(SUM(gap) AS BIGINT) AS gap_sum,
+        CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
+          AS mean_gap
+      FROM (SELECT chrom, pos,
+          pos - LAG(pos, 1) OVER (PARTITION BY chrom
+            ORDER BY pos, vid) AS gap
+        FROM variants)
+      GROUP BY 1""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
       q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201,
-      q213)
+      q213, q218)
 }

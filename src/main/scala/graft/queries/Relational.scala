@@ -848,7 +848,51 @@ object Relational extends QueryModule {
             CAST(FLOOR(value * 1000) AS BIGINT) AS vmil FROM events))
       GROUP BY 1, 2"""))
 
+  // --- q217: RFM segmentation — per customer, Recency (days from
+  // last order to the corpus-max order date, bucketed), Frequency
+  // (order count, bucketed) and Monetary (exact total cents,
+  // bucketed), rolled up to segment populations. The corpus-max date
+  // is a 1-row broadcast aggregate (the documented benign
+  // broadcast-scalar shape); everything else is one customer-keyed
+  // aggregate + one ≤125-cell rollup. ---------------------------------
+  private val q217 = Q("q217_rfm_segments",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val maxD = o.agg(max(col("d")).as("max_d"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("last_d"), count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("tot_cents"))
+        .crossJoin(broadcast(maxD))
+      val rb = least(lit(4L), expr("(max_d - last_d) div 180"))
+      val fb = least(lit(4L), col("n_orders") - 1)
+      val mb = least(lit(4L), expr("tot_cents div 20000000"))
+      per.select(rb.cast("long").as("r_bucket"),
+          fb.cast("long").as("f_bucket"), mb.cast("long").as("m_bucket"))
+        .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""SELECT LEAST(4, (max_d - last_d) // 180) AS r_bucket,
+        LEAST(4, n_orders - 1) AS f_bucket,
+        LEAST(4, tot_cents // 20000000) AS m_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM (SELECT o_custkey,
+            CAST(MAX(d) AS BIGINT) AS last_d,
+            CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(cents) AS BIGINT) AS tot_cents
+          FROM (SELECT o_custkey,
+              datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+          GROUP BY 1),
+        (SELECT CAST(MAX(datediff('day', DATE '1970-01-01',
+            o_orderdate)) AS BIGINT) AS max_d FROM orders)
+      GROUP BY 1, 2, 3"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194, q198, q202, q205, q214, q215)
+    q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217)
 }
