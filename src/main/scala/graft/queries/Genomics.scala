@@ -1166,8 +1166,41 @@ object Genomics extends QueryModule {
         FROM variants)
       GROUP BY 1""")))
 
+  // --- q220: sample × chromosome heterozygosity matrix — the
+  // contamination / chromosomal-anomaly screen (a sample whose het
+  // rate spikes on ONE chrom flags mosaicism or a sample swap):
+  // collapsed-dosage het calls per (sample, chrom) cell, exact
+  // counts, one division per cell. One explode + one S×C-cell
+  // map-side-combined aggregate. --------------------------------------
+  private val q220 = Q("q220_sample_chrom_het",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      v.select(col("chrom"),
+          posexplode_outer(dosageAlt(col("geno")))
+            .as(Seq("smp", "dos")))
+        .select(col("chrom"), col("smp").cast("long").as("smp"),
+          col("dos"))
+        .groupBy(col("smp"), col("chrom"))
+        .agg(count(col("dos")).as("n_called"),
+          sum(when(col("dos") === 1, 1L).otherwise(0L)).as("n_het"))
+        .withColumn("het_rate", when(col("n_called") > 0,
+          col("n_het").cast("double") / col("n_called").cast("double")))
+    },
+    Some(withCte(s"""SELECT smp, chrom,
+        CAST(COUNT(dos) AS BIGINT) AS n_called,
+        CAST(SUM(CASE WHEN dos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_het,
+        CASE WHEN COUNT(dos) > 0
+          THEN CAST(SUM(CASE WHEN dos = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(dos) AS DOUBLE) END AS het_rate
+      FROM (SELECT chrom, CAST(sq.s AS BIGINT) AS smp,
+          d[CAST(sq.s AS INT) + 1] AS dos
+        FROM (SELECT chrom, $dSqlG AS d FROM variants),
+          (SELECT unnest(range(0, ${SynthGeno.nSamples})) AS s) sq)
+      GROUP BY 1, 2""")))
+
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
       q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201,
-      q213, q218)
+      q213, q218, q220)
 }

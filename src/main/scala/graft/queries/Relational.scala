@@ -892,7 +892,66 @@ object Relational extends QueryModule {
             o_orderdate)) AS BIGINT) AS max_d FROM orders)
       GROUP BY 1, 2, 3"""))
 
+  // --- q219: order-total integrity audit (the referential data-
+  // quality check a warehouse runs): per order, o_totalprice vs the
+  // recomputed Σ extendedprice·(1−discount)·(1+tax) from its line
+  // items — ALL in exact integer micro-cents (prices on the 2-decimal
+  // grid, discount/tax on the 2-decimal rate grid ⇒ cents·rate·rate
+  // is exact in ×10⁸ units), deviation bucketed by magnitude. One
+  // orderkey aggregate + one broadcast-size rollup. -------------------
+  private val q219 = Q("q219_order_audit",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+            * (lit(100L) + round(col("l_tax") * 100).cast("long")))
+            .as("micro"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("micro")).as("li_micro"),
+          count(lit(1)).as("n_lines"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (round(col("o_totalprice") * 100).cast("long") * 10000L)
+            .as("o_micro"))
+      val diff = abs(col("o_micro") - col("li_micro"))
+      val mag = when(col("li_micro").isNull, lit(-1L))
+        .when(diff === 0, lit(0L)).when(diff < 10L, lit(1L))
+        .when(diff < 100L, lit(2L)).when(diff < 1000L, lit(3L))
+        .when(diff < 10000L, lit(4L)).when(diff < 100000L, lit(5L))
+        .otherwise(lit(6L))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(mag.as("dev_mag"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .groupBy(col("dev_mag"), col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT dev_mag, n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM (SELECT
+          CASE WHEN li_micro IS NULL THEN -1
+            WHEN ABS(o_micro - li_micro) = 0 THEN 0
+            WHEN ABS(o_micro - li_micro) < 10 THEN 1
+            WHEN ABS(o_micro - li_micro) < 100 THEN 2
+            WHEN ABS(o_micro - li_micro) < 1000 THEN 3
+            WHEN ABS(o_micro - li_micro) < 10000 THEN 4
+            WHEN ABS(o_micro - li_micro) < 100000 THEN 5
+            ELSE 6 END AS dev_mag,
+          COALESCE(n_lines, 0) AS n_lines
+        FROM (SELECT o_orderkey,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000 AS o_micro
+          FROM orders) o
+        LEFT JOIN (SELECT l_orderkey,
+            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+              AS BIGINT) AS li_micro,
+            CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1) l
+          ON o.o_orderkey = l.l_orderkey)
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
-    q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217)
+    q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
+    q219)
 }
