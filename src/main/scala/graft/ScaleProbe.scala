@@ -187,6 +187,8 @@ object ScaleProbe {
       ("f3stat",
         d => graft.operators.PopGen.f3Stat(genoFromD(d),
           Seq(0, 1), Seq(2, 3), Seq(4, 5)), Vars),
+      ("froh",
+        d => graft.operators.PopGen.frohFromDosage(d, 3L), Vars),
       ("clump_lite",
         d => graft.operators.PopGen.clumpLite(d, 200L, 0.5, 8), Vars),
       ("f2_sharing",

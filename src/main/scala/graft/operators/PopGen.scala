@@ -262,6 +262,47 @@ object PopGen {
         col("n_sites"), col("abba_num"), col("baba_num"), col("d_win"))
   }
 
+  /** Per-sample F_ROH (PLINK --homozyg-derived inbreeding, SNP-count
+    * mode) from a collapsed-dosage table `v(chrom, pos, vid, d)`:
+    * exact lag-based segmentation of homozygous runs (dos ∈ {0, 2})
+    * on the (sample, chrom)-partitioned window ordered by the
+    * tie-free (pos, vid, dkey) key, runs ≥ `minRun` summed per
+    * sample over a LEFT-joined called-site denominator (ROH-free
+    * samples report 0). One explode, one partitioned window sort,
+    * two sample-keyed rollups — never a global window. Emits
+    * (s, n_called, n_roh, n_roh_sites, f_roh). */
+  def frohFromDosage(v: DataFrame, minRun: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = v.select(col("chrom"), col("pos"), col("vid"),
+        posexplode_outer(col("d")).as(Seq("s", "dos")))
+      .select(col("s"), col("chrom"), col("pos"), col("vid"),
+        coalesce(col("dos"), lit(-1L)).as("dkey"),
+        (col("dos").isNotNull &&
+          (col("dos") === 0 || col("dos") === 2)).as("hom"))
+    val w = Window.partitionBy(col("s"), col("chrom"))
+      .orderBy(col("pos"), col("vid"), col("dkey"))
+    val runs = rows
+      .withColumn("strt",
+        col("hom") && !lag(col("hom"), 1, false).over(w))
+      .withColumn("rid",
+        sum(when(col("strt"), 1L).otherwise(0L)).over(w))
+      .filter(col("hom"))
+      .groupBy(col("s"), col("chrom"), col("rid"))
+      .agg(count(lit(1)).as("run_len"))
+    val roh = runs.filter(col("run_len") >= minRun)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_roh"),
+        sum(col("run_len")).as("n_roh_sites"))
+    rows.filter(col("dkey") >= 0)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_called"))
+      .join(roh, Seq("s"), "left")
+      .select(col("s").cast("long").as("s"), col("n_called"),
+        coalesce(col("n_roh"), lit(0L)).as("n_roh"),
+        coalesce(col("n_roh_sites"), lit(0L)).as("n_roh_sites"))
+      .withColumn("f_roh", col("n_roh_sites").cast("double")
+        / col("n_called").cast("double"))
+  }
+
   /** Joint 2-population site-frequency spectrum — the demographic-
     * inference input (dadi/moments regime): over biallelic-collapsed
     * sites FULLY CALLED in both groups (the standard fixed-haploid-

@@ -980,39 +980,11 @@ object Genomics extends QueryModule {
          CASE WHEN len(list_filter(sa, a -> a IS NULL)) > 0 THEN NULL
               ELSE len(list_filter(sa, a -> a <> 0)) END)"""
   private val q201 = Q("q201_froh",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = SynthGeno.variants(s, dir)
-      val d = dosageAlt(col("geno"))
-      val rows = v.select(col("chrom"), col("pos"), col("vid"),
-          posexplode_outer(d).as(Seq("s", "dos")))
-        .select(col("s"), col("chrom"), col("pos"), col("vid"),
-          coalesce(col("dos"), lit(-1L)).as("dkey"),
-          (col("dos").isNotNull &&
-            (col("dos") === 0 || col("dos") === 2)).as("hom"))
-      val wAll = Window.partitionBy(col("s"), col("chrom"))
-        .orderBy(col("pos"), col("vid"), col("dkey"))
-      val runs = rows
-        .withColumn("start",
-          col("hom") && !lag(col("hom"), 1, false).over(wAll))
-        .withColumn("rid",
-          sum(when(col("start"), 1L).otherwise(0L)).over(wAll))
-        .filter(col("hom"))
-        .groupBy(col("s"), col("chrom"), col("rid"))
-        .agg(count(lit(1)).as("run_len"))
-      val roh = runs.filter(col("run_len") >= MIN_ROH)
-        .groupBy(col("s"))
-        .agg(count(lit(1)).as("n_roh"),
-          sum(col("run_len")).as("n_roh_sites"))
-      val called = rows.filter(col("dkey") >= 0)
-        .groupBy(col("s")).agg(count(lit(1)).as("n_called"))
-      called.join(roh, Seq("s"), "left")
-        .select(col("s").cast("long").as("s"), col("n_called"),
-          coalesce(col("n_roh"), lit(0L)).as("n_roh"),
-          coalesce(col("n_roh_sites"), lit(0L)).as("n_roh_sites"))
-        .withColumn("f_roh", col("n_roh_sites").cast("double")
-          / col("n_called").cast("double"))
-    },
+    (s, dir) => graft.operators.PopGen.frohFromDosage(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), col("vid"),
+          dosageAlt(col("geno")).as("d")),
+      MIN_ROH),
     Some(withCte(s"""SELECT s, n_called,
       COALESCE(n_roh, 0) AS n_roh,
       COALESCE(n_roh_sites, 0) AS n_roh_sites,
