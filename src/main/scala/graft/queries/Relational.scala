@@ -950,8 +950,74 @@ object Relational extends QueryModule {
           ON o.o_orderkey = l.l_orderkey)
       GROUP BY 1, 2"""))
 
+  // --- q221: market-basket part co-occurrence — top-25 part pairs
+  // ordered together. The self-join is ORDER-KEYED (orders have ≤ 7
+  // lines, so the pair fan-out is bounded ×~3 per order, never
+  // quadratic in the catalog), i < j dedupes within the order, one
+  // pair-key aggregate, tie-free (n DESC, pa, pb) top-k. -------------
+  private val q221 = Q("q221_part_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("pa"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("pb"))
+      val pairs = a.join(b,
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n"))
+      // sort+limit plans as distributed TakeOrderedAndProject (per-
+      // partition top-25, merged on the driver) — never a global sort
+      // of the pair table; the rank window then runs over ≤ 25 rows
+      val top = pairs
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(25)
+      val w = Window.orderBy(col("n").desc, col("pa"), col("pb"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    },
+    Some("""SELECT pa, pb, n, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT pa, pb, n,
+          ROW_NUMBER() OVER (ORDER BY n DESC, pa, pb) AS rank
+        FROM (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2))
+      WHERE rank <= 25"""))
+
+  // --- q222: order-to-ship latency histogram (the TPC-H Q12 flavor
+  // on this schema): days from o_orderdate to each line's l_shipdate,
+  // exact integer day buckets per (returnflag, week-of-latency) cell.
+  // One orderkey equi-join (fact-to-fact — the bucketed-table
+  // candidate BucketedJoinSpec pins) + one small-key aggregate. ------
+  private val q222 = Q("q222_ship_latency",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_shipdate"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lat_days"))
+        .withColumn("lat_week", expr("lat_days div 7"))
+        .groupBy(col("l_returnflag"), col("lat_week"))
+        .agg(count(lit(1)).as("n"), min(col("lat_days")).as("min_days"),
+          max(col("lat_days")).as("max_days"))
+    },
+    Some("""SELECT l_returnflag, lat_days // 7 AS lat_week,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(lat_days) AS BIGINT) AS min_days,
+        CAST(MAX(lat_days) AS BIGINT) AS max_days
+      FROM (SELECT l_returnflag,
+          CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+            AS lat_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219)
+    q219, q221, q222)
 }

@@ -1,9 +1,6 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SimpleMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -16,24 +13,41 @@ import org.scalatest.funsuite.AnyFunSuite
   * a regression (config default flip, bucket-info loss through the
   * relation) would silently reintroduce a full two-sided shuffle on
   * every co-located join at cluster scale.
+  *
+  * The suite-shared SparkSession is used as-is: sort-merge is forced
+  * per-join with the `merge` hint (NOT by flipping the global broadcast
+  * threshold, which would race concurrently-running plan suites), and
+  * table locations are cleaned before each write so reruns and
+  * standalone runs behave identically.
   */
 class BucketedJoinSpec extends AnyFunSuite {
-
-  private lazy val wh = Files.createTempDirectory("graft_bucketed")
-    .toAbsolutePath.toString
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir", wh)
-    // force the join strategy under test: no broadcast shortcut
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def writeBucketed(): Unit = {
+  private def dropWithLocation(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a leftover location (earlier run, different catalog) blocks
+    // CREATE even with mode=overwrite — remove it physically
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath)
+    val loc = wh.resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  private lazy val writeBucketed: Unit = {
+    dropWithLocation("orders_b")
+    dropWithLocation("lineitem_b")
     graft.core.Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite")
@@ -48,9 +62,9 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 
   test("equi-join on the bucket key runs with zero shuffle exchanges") {
-    writeBucketed()
+    writeBucketed
     val j = spark.table("lineitem_b")
-      .join(spark.table("orders_b"),
+      .join(spark.table("orders_b").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("l_quantity")).as("q"))
@@ -65,6 +79,7 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 
   test("bucketed join result equals the plain parquet join") {
+    writeBucketed
     val plain = graft.core.Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
       .join(graft.core.Tables(spark, dir, "orders")
@@ -82,11 +97,12 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 
   test("single-sided bucketing still spares the bucketed side's shuffle") {
+    writeBucketed
     // orders arrives bucketed, lineitem as plain parquet: Spark may
     // shuffle ONLY the plain side into the bucket layout
     val j = spark.table("orders_b")
       .join(graft.core.Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity")),
+          .select(col("l_orderkey"), col("l_quantity")).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"))
