@@ -1921,9 +1921,53 @@ object TextDedup extends QueryModule {
       WHERE doc_id <> cluster
       GROUP BY 1, 2"""))
 
+  // --- q223: leakage-safe k-fold assignment — folds are drawn per
+  // near-dup CLUSTER (md5 of the component label, first-nibble class →
+  // 4 folds), so near-duplicate documents can NEVER straddle a
+  // train/eval boundary — the split-leakage guard an LLM data pipeline
+  // needs where q64's per-document split does not suffice. Rides the
+  // one CC fixpoint; reports per-(fold, source) doc / cluster / token
+  // mass. --------------------------------------------------------------
+  private val q223 = Q("q223_leakage_safe_folds",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cl = graft.pipeline.TrainingData.dedupClusters(
+        docs, shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+      val h = substring(md5(col("cluster").cast("string")), 1, 1)
+      val fold = when(h.isin("0", "1", "2", "3"), 0L)
+        .when(h.isin("4", "5", "6", "7"), 1L)
+        .when(h.isin("8", "9", "a", "b"), 2L)
+        .otherwise(3L)
+      cl.join(docs.select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("nt")), "doc_id")
+        .withColumn("fold", fold)
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cluster")).as("n_clusters"),
+          sum(col("nt")).as("tok_mass"))
+    },
+    Some(s"""WITH RECURSIVE $componentsCte,
+      tk AS ($tokCte),
+      f AS (SELECT lab.doc_id, tk.source,
+          CAST(len(tk.toks) AS BIGINT) AS nt, cluster,
+          CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3') THEN 0
+            WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+              IN ('4', '5', '6', '7') THEN 1
+            WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+              IN ('8', '9', 'a', 'b') THEN 2
+            ELSE 3 END AS fold
+        FROM lab JOIN tk ON lab.doc_id = tk.doc_id)
+      SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        CAST(SUM(nt) AS BIGINT) AS tok_mass
+      FROM f GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
-      q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216)
+      q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
+      q223)
 }
