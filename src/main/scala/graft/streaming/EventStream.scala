@@ -218,6 +218,42 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"))
 
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** Stateful per-user event-bigram extraction via
+    * flatMapGroupsWithState — the streaming twin of the q214 batch
+    * transition matrix: state = the user's last event type, each
+    * arriving event emits one (prev, next) record and advances the
+    * state, so a user's chain threads CORRECTLY across micro-batch
+    * boundaries. Events inside one batch are sorted by (ts,
+    * event_type) before chaining (the grouped iterator is unordered);
+    * the stream==batch gate (`StreamingSpec`) therefore holds for
+    * per-user in-timestamp-order ARRIVAL across batches — out-of-order
+    * late data would chain in arrival order (documented, as with
+    * [[dedupStream]]'s horizon caveat). */
+  def transitionStream(events: Dataset[TypedEvent])
+      : Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent],
+            state: GroupState[String]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val out = Seq.newBuilder[Transition]
+          var prev = state.getOption
+          for (e <- evs) {
+            prev.foreach(p => out += Transition(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful per-user sessionization via mapGroupsWithState: a session
     * closes after `gapMs` of inactivity (processing-time timeout — the
     * KeyValueGroupedDataset state-machine shape from the brief). */

@@ -346,6 +346,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful transition extraction == batch lag rule across batches") {
+    import spark.implicits._
+    def te(u: Long, t: Int, et: String) =
+      EventStream.TypedEvent(u, ts(t), et)
+    // user 1's chain spans the micro-batch boundary (c follows b);
+    // user 3 appears only in batch 2 (no prior state → first event
+    // emits nothing)
+    val b1 = Seq(te(1, 1, "a"), te(1, 2, "b"), te(2, 1, "x"))
+    val b2 = Seq(te(1, 3, "c"), te(2, 4, "x"), te(3, 5, "q"))
+    val stream = MemoryStream[EventStream.TypedEvent](spark)
+    val q = EventStream.transitionStream(stream.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+      // batch twin: the q214 lag rule over the full event set
+      val batch = (b1 ++ b2).groupBy(_.user_id).toSeq.flatMap {
+        case (u, es) =>
+          val s = es.sortBy(e => (e.ts.getTime, e.event_type))
+          s.zip(s.drop(1)).map(p => (u, p._1.event_type, p._2.event_type))
+      }.sorted
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
