@@ -749,7 +749,88 @@ object VcfQ extends QueryModule {
       FROM c LEFT JOIN roh USING (smp)"""
     })
 
+  // --- KING-robust kinship + IBS over ALL 4005 sample pairs of the
+  // REAL CEU fixture — the duplicate-sample / cryptic-relatedness
+  // screen a cohort runs at intake (q109's estimator on real data).
+  // The pair set rides a broadcast 4005-row table (the documented
+  // benign crossJoin-broadcast shape — at biobank width the banded
+  // KING partitioning applies instead); one (i, j)-keyed map-side-
+  // combined aggregate. ----------------------------------------------
+  private val q224 = Q("q224_ceu_king",
+    (s, _) => {
+      import s.implicits._
+      val pairs = (for {
+        i <- 0 until 90; j <- (i + 1) until 90
+      } yield (i, j)).toDF("i", "j")
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+      val rows = df.select(dosageAlt(col("geno")).as("d"))
+        .crossJoin(broadcast(pairs))
+        .select(col("i"), col("j"),
+          element_at(col("d"), (col("i") + 1).cast("int")).as("di"),
+          element_at(col("d"), (col("j") + 1).cast("int")).as("dj"))
+        .filter(col("di").isNotNull && col("dj").isNotNull)
+      rows.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("di") === 1, 1L).otherwise(0L)).as("n_het_i"),
+          sum(when(col("dj") === 1, 1L).otherwise(0L)).as("n_het_j"),
+          sum(when(col("di") === 1 && col("dj") === 1, 1L)
+            .otherwise(0L)).as("n_het_both"),
+          sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+            .as("n_opp"))
+        .withColumn("kinship",
+          when(col("n_het_i") + col("n_het_j") > 0,
+            (col("n_het_both").cast("double")
+              - lit(2.0) * col("n_opp"))
+              / (col("n_het_i") + col("n_het_j")).cast("double")))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      dz AS (SELECT list_transform($cols, s ->
+          CASE WHEN len(list_filter(
+                string_split(replace(string_split(s, ':')[1], '|', '/'),
+                  '/'), t -> t = '.')) > 0
+               OR len(string_split(replace(string_split(s, ':')[1],
+                  '|', '/'), '/')) <> 2
+            THEN NULL
+            ELSE len(list_filter(
+              string_split(replace(string_split(s, ':')[1], '|', '/'),
+                '/'), t -> t <> '0')) END) AS d
+        FROM raw),
+      pr AS (SELECT ii.i, jj.j
+        FROM (SELECT unnest(range(0, 90)) AS i) ii,
+             (SELECT unnest(range(0, 90)) AS j) jj
+        WHERE jj.j > ii.i),
+      cells AS (SELECT CAST(pr.i AS INT) AS i, CAST(pr.j AS INT) AS j,
+          d[CAST(pr.i AS INT) + 1] AS di, d[CAST(pr.j AS INT) + 1] AS dj
+        FROM dz, pr
+        WHERE d[CAST(pr.i AS INT) + 1] IS NOT NULL
+          AND d[CAST(pr.j AS INT) + 1] IS NOT NULL)
+      SELECT i, j, COUNT(*) AS n_both,
+        CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_het_i,
+        CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_het_j,
+        CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_het_both,
+        CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_opp,
+        CASE WHEN SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) > 0
+          THEN (CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE)
+              - 2.0 * SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END))
+            / CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        END AS kinship
+      FROM cells GROUP BY 1, 2"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212)
+      q171, q185, q193, q212, q224)
 }
