@@ -334,9 +334,45 @@ def dump_imputed_ds(path, out_parquet):
     print(f"{out_parquet}: {n_var} variants x {n_samp} samples")
 
 
+def dump_alleles(path, out_parquet):
+    """Per-variant allele string ("REF,ALT,...") of a SEQ GDS, decoded
+    independently of the Scala engine (dStr8 = LEB128-length-prefixed
+    strings under the node's RA compression) — joined with
+    the stats dump for allele-aware oracles (Ts/Tv by MAF bin)."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    ab, _ = node_bytes(st, ["allele"])
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    n_var = vr["dims"][0]
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    # dStr8 elements are LEB128 length + payload
+    alleles = []
+    p = 0
+    for _ in range(n_var):
+        l, s = 0, 0
+        while True:
+            v = ab[p]; p += 1
+            l |= (v & 0x7F) << s; s += 7
+            if not (v & 0x80):
+                break
+        alleles.append(ab[p:p + l].decode("utf-8"))
+        p += l
+    assert len(alleles) == n_var
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, allele VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(int(v), a) for v, a in zip(vids, alleles)])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n_var} variants")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-alleles":
+        dump_alleles(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-dosage":
         dump_1kg_dosage(sys.argv[2], sys.argv[3],
                         int(sys.argv[4]) if len(sys.argv) > 4 else 1000)

@@ -830,7 +830,50 @@ object VcfQ extends QueryModule {
       FROM cells GROUP BY 1, 2"""
     })
 
+  // --- Ts/Tv by MAF bin on the REAL 1KG chr22 fixture — the standard
+  // variant-quality diagnostic (a Ts/Tv collapse in a frequency bin
+  // flags artifact calls): allele classes from the gds `allele`
+  // strings, AF from the PACKED bit-plane lane, 5%-MAF integer bins,
+  // one ≤ 11-row aggregate. Oracle joins the TWO independent python-
+  // decoder dumps (geno stats + LEB128 string decode). ---------------
+  private val q225 = Q("q225_1kg_tstv_maf",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      val ts = Seq("A,G", "G,A", "C,T", "T,C")
+      df.select(col("allele"),
+          element_at(st, 2).as("called"), element_at(st, 3).as("ac_ref"))
+        .filter(col("called") > 0 && length(col("allele")) === 3)
+        .select(
+          expr("least(ac_ref, called - ac_ref) * 20 div called")
+            .cast("long").as("maf_bin"),
+          col("allele").isin(ts: _*).as("is_ts"))
+        .groupBy(col("maf_bin"))
+        .agg(sum(when(col("is_ts"), 1L).otherwise(0L)).as("n_ts"),
+          sum(when(!col("is_ts"), 1L).otherwise(0L)).as("n_tv"))
+        .withColumn("tstv", when(col("n_tv") > 0,
+          col("n_ts").cast("double") / col("n_tv").cast("double")))
+    },
+    Some("""SELECT maf_bin, n_ts, n_tv,
+        CASE WHEN n_tv > 0
+          THEN CAST(n_ts AS DOUBLE) / CAST(n_tv AS DOUBLE) END AS tstv
+      FROM (SELECT
+          CAST(least(ac_ref, called - ac_ref) * 20 // called AS BIGINT)
+            AS maf_bin,
+          CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+          CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_tv
+        FROM read_parquet(
+            '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet') gs
+          JOIN read_parquet(
+            '/root/repo/scripts/oracle/1kg_chr22_alleles.parquet') al
+          USING (variant_id)
+        WHERE called > 0 AND length(allele) = 3
+        GROUP BY 1)"""))
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224)
+      q171, q185, q193, q212, q224, q225)
 }
