@@ -1501,15 +1501,25 @@ object PopGen {
     * carrier pair is simply (min, max) of the indices with d > 0.
     * One pure projection + one groupBy on the pair key — at most
     * S·(S+1)/2 groups, no pair enumeration, linear in variants. */
+  /** Balanced expression-tree reduction: a linear `reduce` chains
+    * cohort-width unrolls into an O(n)-DEEP tree that overflows the
+    * analyzer/codegen stack near ~1000 terms (found at 1092 samples,
+    * q226); pairing halves the depth to O(log n). */
+  private def balanced(xs: Seq[Column])(op: (Column, Column) => Column)
+      : Column =
+    if (xs.size == 1) xs.head
+    else balanced(xs.grouped(2).map(g =>
+      if (g.size == 2) op(g(0), g(1)) else g(0)).toSeq)(op)
+
   def f2Sharing(v: DataFrame, nSamples: Int): DataFrame = {
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
-    val a = sumOver(s => coalesce(d(s), lit(0L)))
+    val a = balanced((0 until nSamples)
+      .map(s => coalesce(d(s), lit(0L))))(_ + _)
     def carrier(s: Int) =
       when(d(s) > 0, lit(s.toLong)).otherwise(lit(null).cast("long"))
     // least/greatest skip NULLs, so these are min/max over carriers
-    val i = (0 until nSamples).map(carrier).reduce(least(_, _))
-    val j = (0 until nSamples).map(carrier).reduce(greatest(_, _))
+    val i = balanced((0 until nSamples).map(carrier))(least(_, _))
+    val j = balanced((0 until nSamples).map(carrier))(greatest(_, _))
     v.withColumn("a2", a)
       .where(col("nall") === 2 && col("a2") === 2)
       .select(i.as("i"), j.as("j"))

@@ -873,7 +873,43 @@ object VcfQ extends QueryModule {
         WHERE called > 0 AND length(allele) = 3
         GROUP BY 1)"""))
 
+  // --- f2 (doubleton) sharing on REAL 1KG data — the recent-shared-
+  // ancestry signal across the 1092-sample cohort (q181's estimator on
+  // the fixture's dumped variant range): ALT dosage = 2 − packed REF
+  // code, biallelic SNVs via the allele strings, carrier-pair rollup.
+  // The 1092-wide carrier min/max unroll exercises the codegen
+  // splitter at real cohort width. ------------------------------------
+  private val q226 = Q("q226_1kg_f2",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+        .filter(col("variant_id") <= LD_CUT &&
+          length(col("allele")) === 3)
+        .select(col("variant_id").cast("long").as("vid"),
+          transform(unpack2b(col("pg"), lit(1092)),
+            x => (lit(2L) - x).cast("long")).as("d"))
+        .withColumn("nall", lit(2L))
+      graft.operators.PopGen.f2Sharing(df, 1092)
+    },
+    Some("""SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_f2
+      FROM (SELECT list_min(cs) AS i, list_max(cs) AS j
+        FROM (SELECT list_filter(list_transform(range(0, 1092),
+              s -> CASE WHEN d[CAST(s AS INT) + 1] IS NOT NULL
+                  AND d[CAST(s AS INT) + 1] < 2 THEN s END),
+              x -> x IS NOT NULL) AS cs,
+            CAST(COALESCE(list_sum(list_transform(
+              list_filter(d, x -> x IS NOT NULL), x -> 2 - x)), 0)
+              AS BIGINT) AS a2
+          FROM read_parquet(
+              '/root/repo/scripts/oracle/1kg_chr22_dosage.parquet') dd
+            JOIN read_parquet(
+              '/root/repo/scripts/oracle/1kg_chr22_alleles.parquet') al
+            USING (variant_id)
+          WHERE length(allele) = 3)
+        WHERE a2 = 2)
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225)
+      q171, q185, q193, q212, q224, q225, q226)
 }
