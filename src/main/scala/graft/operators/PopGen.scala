@@ -91,10 +91,10 @@ object PopGen {
     } else {
       val alleles =
         for (s <- group; p <- 0 until ploidy) yield alleleAt(geno, s, p)
-      val called = alleles.map(a => when(a.isNotNull, 1L).otherwise(0L))
-        .reduce(_ + _)
-      val alt = alleles.map(a => when(a.isNotNull && a =!= 0, 1L)
-        .otherwise(0L)).reduce(_ + _)
+      val called = balanced(alleles.map(a =>
+        when(a.isNotNull, 1L).otherwise(0L)))(_ + _)
+      val alt = balanced(alleles.map(a => when(a.isNotNull && a =!= 0, 1L)
+        .otherwise(0L)))(_ + _)
       (called, alt)
     }
   }
@@ -537,8 +537,8 @@ object PopGen {
             when(called, alt).otherwise(0L),
             when(called && alt === 1L, 1L).otherwise(0L))
         }
-        (per.map(_._1).reduce(_ + _), per.map(_._2).reduce(_ + _),
-          per.map(_._3).reduce(_ + _))
+        (balanced(per.map(_._1))(_ + _), balanced(per.map(_._2))(_ + _),
+          balanced(per.map(_._3))(_ + _))
       }
     val (c1, x1, h1) = gc(g1)
     val (c2, x2, h2) = gc(g2)
@@ -597,12 +597,11 @@ object PopGen {
   def imputeMeanDosage(v: DataFrame, nSamples: Int): DataFrame = {
     require(!v.columns.exists(Set("n", "a", "d_imp")),
       "imputeMeanDosage writes n/a/d_imp columns; the input already has one")
-    val called = (0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val altSum = (0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
-      .reduce(_ + _)
+    val called = balanced((0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
+        .otherwise(0L)))(_ + _)
+    val altSum = balanced((0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
     val mean = when(col("n") > 0,
       col("a").cast("double") / col("n").cast("double")).otherwise(lit(0.0))
     v.withColumn("n", called).withColumn("a", altSum)
@@ -628,12 +627,11 @@ object PopGen {
       i <- 0 until nSamples
       j <- i until nSamples
     } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    val called = (0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val altSum = (0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
-      .reduce(_ + _)
+    val called = balanced((0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
+        .otherwise(0L)))(_ + _)
+    val altSum = balanced((0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
     val rows = pinnedFilter(
       v.select(col("d"), called.as("n"), altSum.as("a")),
       col("a") > 0 && col("a") < lit(2) * col("n"))
@@ -670,12 +668,11 @@ object PopGen {
     * ×[[hetScale]] integer expectation, f NULL when E = 0. */
   def inbreedingF(v: DataFrame, nSamples: Int): DataFrame = {
     val scale = hetScale(nSamples)
-    val called = (0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val altSum = (0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
-      .reduce(_ + _)
+    val called = balanced((0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
+        .otherwise(0L)))(_ + _)
+    val altSum = balanced((0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
     // 2p(1−p)·2n/(2n−1) = a(2n−a) / (n(2n−1))
     // posexplode_OUTER: the non-outer generate would get an inferred
     // `size(d) > 0` filter whose pushed form re-evaluates the whole d
@@ -712,7 +709,7 @@ object PopGen {
     val nSamples = isCase.length
     def d(s: Int) = element_at(col("d"), s + 1)
     def sumOver(f: Int => Column) =
-      (0 until nSamples).map(f).reduce(_ + _)
+      balanced((0 until nSamples).map(f))(_ + _)
     val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
     val r = sumOver(s =>
       when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
@@ -1214,12 +1211,11 @@ object PopGen {
     * final division; a single scalar reaches the driver. */
   def grmDenominator(v: DataFrame, nSamples: Int): Double = {
     val scale = grmScale(nSamples)
-    val called = (0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val altSum = (0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
-      .reduce(_ + _)
+    val called = balanced((0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
+        .otherwise(0L)))(_ + _)
+    val altSum = balanced((0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
     val r = pinnedFilter(v.select(called.as("n"), altSum.as("a")),
         col("a") > 0 && col("a") < lit(2) * col("n"))
       .agg(sum(col("a") * (lit(2) * col("n") - col("a"))
@@ -1302,7 +1298,8 @@ object PopGen {
     require(vecs.nonEmpty && vecs.forall(_.length == nSamples),
       s"each vector must have $nSamples entries")
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumL(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumL(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val base = v
       .withColumn("n", sumL(s => when(d(s).isNotNull, 1L).otherwise(0L)))
       .withColumn("sd", sumL(s => coalesce(d(s), lit(0L))))
@@ -1327,7 +1324,8 @@ object PopGen {
   def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {
     val nSamples = y.length
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
     val sx = sumOver(s => coalesce(d(s), lit(0L)))
     val sy = sumOver(s => when(d(s).isNotNull, lit(y(s))).otherwise(0L))
@@ -1378,7 +1376,8 @@ object PopGen {
     * < 1 — the standard post-imputation QC filter. Pure projection. */
   def imputeRhat2(v: DataFrame, nSamples: Int): DataFrame = {
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
     val a = sumOver(s => coalesce(d(s), lit(0L)))
     val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
@@ -1458,12 +1457,11 @@ object PopGen {
     * (vid, chrom, pos, maf). */
   def ldPrune(v: DataFrame, window: Long, r2Max: Double,
       nSamples: Int, keepInput: Boolean = false): DataFrame = {
-    val called = (0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val altSum = (0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L)))
-      .reduce(_ + _)
+    val called = balanced((0 until nSamples)
+      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
+        .otherwise(0L)))(_ + _)
+    val altSum = balanced((0 until nSamples)
+      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
     val withMaf = v
       .withColumn("n_c", called).withColumn("a_c", altSum)
       .withColumn("maf",
@@ -1593,7 +1591,8 @@ object PopGen {
   def clumpLite(v: DataFrame, window: Long, r2Min: Double,
       nSamples: Int): DataFrame = {
     def d(c: String, s: Int) = element_at(col(c), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val called = sumOver(s => when(d("d", s).isNotNull, 1L).otherwise(0L))
     val altSum = sumOver(s => coalesce(d("d", s), lit(0L)))
     // vid need not be unique (the synthetic cube has duplicate vids by
@@ -1677,7 +1676,8 @@ object PopGen {
       chi2Min: Double): DataFrame = {
     val nSamples = isCase.length
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
     val r = sumOver(s =>
       when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
@@ -1729,7 +1729,8 @@ object PopGen {
     * one S-group rollup; exact integers. */
   def singletonLoad(v: DataFrame, nSamples: Int): DataFrame = {
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) = (0 until nSamples).map(f).reduce(_ + _)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
     val a = sumOver(s => coalesce(d(s), lit(0L)))
     def st(s: Int): Column = struct(lit(s.toLong).as("i"),
       when(d(s) === col("a0") && d(s) === 1L, 1L).otherwise(0L).as("sh"),
