@@ -368,9 +368,47 @@ def dump_alleles(path, out_parquet):
     print(f"{out_parquet}: {n_var} variants")
 
 
+def _leb_strings(b, n):
+    out, p = [], 0
+    for _ in range(n):
+        l, s = 0, 0
+        while True:
+            v = b[p]; p += 1
+            l |= (v & 0x7F) << s; s += 7
+            if not (v & 0x80):
+                break
+        out.append(b[p:p + l].decode("utf-8"))
+        p += l
+    return out
+
+
+def dump_families(path, out_parquet):
+    """Per-sample (ordinal, sample_id, family) of a SEQ GDS — the
+    independent twin of the engine's samples side table, for
+    family-aware oracles."""
+    data = open(path, "rb").read()
+    st = streams(data)
+    sid_b, sr = node_bytes(st, ["sample.id"])
+    fam_b, _ = node_bytes(st, ["sample.annotation", "family"])
+    n = sr["dims"][0]
+    sids = _leb_strings(sid_b, n)
+    fams = _leb_strings(fam_b, n)
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ordinal BIGINT, sample_id VARCHAR, "
+                "family VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, s, f) for i, (s, f) in
+                     enumerate(zip(sids, fams))])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n} samples")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-families":
+        dump_families(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-alleles":
         dump_alleles(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-dosage":

@@ -909,7 +909,107 @@ object VcfQ extends QueryModule {
         WHERE a2 = 2)
       GROUP BY 1, 2"""))
 
+  // --- within-family vs between-family pooled kinship on REAL CEU
+  // data — the pedigree sanity check (members of one family MUST score
+  // higher than unrelateds, and the engine's samples side table
+  // provides the family labels): q224's exact per-pair KING components
+  // rolled up by family co-membership (empty family labels never
+  // match), pooled φ = (Σhet_both − 2Σopp) / Σ(het_i + het_j) — every
+  // sum a BIGINT, one division per group. Oracle replays from the VCF
+  // twin plus the INDEPENDENT python dump of sample.annotation/family
+  // (LEB128 string decode). -------------------------------------------
+  private val q227 = Q("q227_ceu_family_kinship",
+    (s, _) => {
+      import s.implicits._
+      val gds = "/root/reference/inst/extdata/CEU_Exon.gds"
+      val pairs = (for {
+        i <- 0 until 90; j <- (i + 1) until 90
+      } yield (i, j)).toDF("i", "j")
+      val rows = graft.sources.gds.Gds.read(s, gds)
+        .select(dosageAlt(col("geno")).as("d"))
+        .crossJoin(broadcast(pairs))
+        .select(col("i"), col("j"),
+          element_at(col("d"), (col("i") + 1).cast("int")).as("di"),
+          element_at(col("d"), (col("j") + 1).cast("int")).as("dj"))
+        .filter(col("di").isNotNull && col("dj").isNotNull)
+      val perPair = rows.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("di") === 1, 1L).otherwise(0L)).as("h_i"),
+          sum(when(col("dj") === 1, 1L).otherwise(0L)).as("h_j"),
+          sum(when(col("di") === 1 && col("dj") === 1, 1L)
+            .otherwise(0L)).as("hb"),
+          sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+            .as("opp"))
+      val fams = graft.sources.gds.Gds.samples(s, gds)
+        .select(col("sample_ordinal").cast("int").as("ord"),
+          col("family"))
+      perPair
+        .join(broadcast(fams.select(col("ord").as("i"),
+          col("family").as("fam_i"))), "i")
+        .join(broadcast(fams.select(col("ord").as("j"),
+          col("family").as("fam_j"))), "j")
+        .withColumn("within",
+          col("fam_i") === col("fam_j") && col("fam_i") =!= "")
+        .groupBy(col("within"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("hb")).as("sum_hb"), sum(col("opp")).as("sum_opp"),
+          sum(col("h_i") + col("h_j")).as("sum_h"))
+        .withColumn("pooled_kinship",
+          when(col("sum_h") > 0,
+            (col("sum_hb").cast("double")
+              - lit(2.0) * col("sum_opp"))
+              / col("sum_h").cast("double")))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      dz AS (SELECT list_transform($cols, s ->
+          CASE WHEN len(list_filter(
+                string_split(replace(string_split(s, ':')[1], '|', '/'),
+                  '/'), t -> t = '.')) > 0
+            THEN NULL
+            ELSE len(list_filter(
+              string_split(replace(string_split(s, ':')[1], '|', '/'),
+                '/'), t -> t <> '0')) END) AS d
+        FROM raw),
+      pr AS (SELECT ii.i, jj.j
+        FROM (SELECT unnest(range(0, 90)) AS i) ii,
+             (SELECT unnest(range(0, 90)) AS j) jj
+        WHERE jj.j > ii.i),
+      pp AS (SELECT i, j,
+          CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_i,
+          CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_j,
+          CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hb,
+          CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS opp
+        FROM (SELECT pr.i, pr.j, d[CAST(pr.i AS INT) + 1] AS di,
+            d[CAST(pr.j AS INT) + 1] AS dj
+          FROM dz, pr)
+        WHERE di IS NOT NULL AND dj IS NOT NULL
+        GROUP BY 1, 2),
+      fam AS (SELECT ordinal, family FROM read_parquet(
+        '/root/repo/scripts/oracle/ceu_families.parquet'))
+      SELECT within, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(hb) AS BIGINT) AS sum_hb,
+        CAST(SUM(opp) AS BIGINT) AS sum_opp,
+        CAST(SUM(h_i + h_j) AS BIGINT) AS sum_h,
+        CASE WHEN SUM(h_i + h_j) > 0
+          THEN (CAST(SUM(hb) AS DOUBLE) - 2.0 * SUM(opp))
+            / CAST(SUM(h_i + h_j) AS DOUBLE) END AS pooled_kinship
+      FROM (SELECT pp.*,
+          fi.family = fj.family AND fi.family <> '' AS within
+        FROM pp JOIN fam fi ON pp.i = fi.ordinal
+          JOIN fam fj ON pp.j = fj.ordinal)
+      GROUP BY 1"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225, q226)
+      q171, q185, q193, q212, q224, q225, q226, q227)
 }
