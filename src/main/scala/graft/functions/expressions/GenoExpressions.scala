@@ -661,3 +661,61 @@ else $sb.append(${f.value}.getUTF8String($i).toString());"""
       newChildren: IndexedSeq[Expression]): SampleCellsJoined =
     copy(children = newChildren)
 }
+
+/** f2-sharing carrier kernel: [sum_alt, min_carrier, max_carrier] over a
+  * collapsed-dosage array (`ARRAY<BIGINT>`, null = missing) in ONE fused
+  * loop — carrier = dosage > 0, missing contributes 0 to the sum, min/max
+  * are −1 when no carrier exists. The unrolled balanced-tree twin
+  * (`PopGen.balanced`) stays inside codegen but its ~3·S generated terms
+  * top out at the 64 KB method limit near S ≈ 1000 — observed live: the
+  * 1092-sample 1KG doubleton scan (q226) silently fell back to
+  * interpreted execution; this loop is O(1) generated code at any cohort
+  * width. */
+case class F2Carriers(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"f2_carriers(ARRAY<BIGINT>); got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "f2_carriers"
+
+  override protected def nullSafeEval(dAny: Any): Any = {
+    val d = dAny.asInstanceOf[ArrayData]
+    var a = 0L; var mn = -1L; var mx = -1L
+    var i = 0
+    val n = d.numElements()
+    while (i < n) {
+      if (!d.isNullAt(i)) {
+        val v = d.getLong(i)
+        a += v
+        if (v > 0L) { if (mn < 0L) mn = i; mx = i }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(a, mn, mx))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
+      val a = ctx.freshName("a"); val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      s"""
+         |long $a = 0L, $mn = -1L, $mx = -1L;
+         |for (int $i = 0; $i < $d.numElements(); $i++) {
+         |  if ($d.isNullAt($i)) continue;
+         |  long $v = $d.getLong($i);
+         |  $a += $v;
+         |  if ($v > 0L) { if ($mn < 0L) $mn = $i; $mx = $i; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray(new long[] {$a, $mn, $mx});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): F2Carriers =
+    copy(child = c)
+}

@@ -41,6 +41,13 @@ object genetics {
       Bridge.expression(geno), Bridge.expression(lit(lo)),
       Bridge.expression(lit(hi))))
 
+  /** [sum_alt, min_carrier, max_carrier] over a collapsed-dosage array
+    * in one fused loop — see
+    * [[graft.functions.expressions.F2Carriers]]. */
+  def f2Carriers(d: Column): Column =
+    Bridge.column(graft.functions.expressions.F2Carriers(
+      Bridge.expression(d)))
+
   /** All allele calls of a variant, ploidy-flattened. */
   def flatAlleles(geno: Column): Column = flatten(geno)
 

@@ -1510,17 +1510,16 @@ object PopGen {
       if (g.size == 2) op(g(0), g(1)) else g(0)).toSeq)(op)
 
   def f2Sharing(v: DataFrame, nSamples: Int): DataFrame = {
-    def d(s: Int) = element_at(col("d"), s + 1)
-    val a = balanced((0 until nSamples)
-      .map(s => coalesce(d(s), lit(0L))))(_ + _)
-    def carrier(s: Int) =
-      when(d(s) > 0, lit(s.toLong)).otherwise(lit(null).cast("long"))
-    // least/greatest skip NULLs, so these are min/max over carriers
-    val i = balanced((0 until nSamples).map(carrier))(least(_, _))
-    val j = balanced((0 until nSamples).map(carrier))(greatest(_, _))
-    v.withColumn("a2", a)
+    // one fused-loop kernel per row (O(1) generated code at any cohort
+    // width — the 3·S balanced-tree unroll blew the 64 KB generated-
+    // method limit at 1092 samples and fell back to interpreted);
+    // a2 == 2 guarantees a carrier exists, so min/max are never −1
+    val _ = nSamples // cohort width now implicit in the array length
+    v.withColumn("__f2", graft.functions.genetics.f2Carriers(col("d")))
+      .withColumn("a2", element_at(col("__f2"), 1))
       .where(col("nall") === 2 && col("a2") === 2)
-      .select(i.as("i"), j.as("j"))
+      .select(element_at(col("__f2"), 2).as("i"),
+        element_at(col("__f2"), 3).as("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n_f2"))
   }

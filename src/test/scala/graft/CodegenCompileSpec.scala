@@ -62,6 +62,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "group_allele_counts" ->
       GroupAlleleCounts(ref(0, genoT), Literal(1), Literal(4)),
     "miss_per_sample" -> MissAllelesPerSample(ref(0, genoT)),
+    "f2_carriers" -> F2Carriers(ref(3, longArrT)),
     "dosage_alt" -> DosageAltExpr(ref(0, genoT)),
     "dosage_alt2" -> DosageAlt2Expr(ref(0, genoT)),
     "gt_strings" ->
