@@ -1016,8 +1016,58 @@ object Relational extends QueryModule {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       GROUP BY 1, 2"""))
 
+  // --- q228: EXACT Gini concentration of per-user event activity —
+  // the whale-vs-long-tail inequality metric. Needs every user's
+  // GLOBAL rank by activity; computed scale-safely with the two-level
+  // cumsum pattern (rank inside a per-count bucket + a broadcast
+  // prefix over the tiny distinct-count table — no single-partition
+  // row window; the packSequences discipline). All integer:
+  // Σ(2·rank − n − 1)·x over n·Σx, ONE final division. --------------
+  private val q228 = Q("q228_user_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uc = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val wIn = Window.partitionBy(col("x")).orderBy(col("user_id"))
+      // distinct activity levels ≤ max-events-per-user: summary-table
+      // sized, so the bucket-prefix window is broadcast-bounded
+      val wB = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = uc.groupBy(col("x")).agg(count(lit(1)).as("__nb"))
+        .withColumn("__pre", sum(col("__nb")).over(wB) - col("__nb"))
+        .select(col("x"), col("__pre"))
+      val totals = uc.agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_events"))
+      val ranked = uc
+        .withColumn("__r", row_number().over(wIn).cast("long"))
+        .join(broadcast(prefix), "x")
+        .withColumn("rank", col("__pre") + col("__r"))
+        .crossJoin(broadcast(totals))
+      ranked
+        .select(col("n_users"), col("sum_events"),
+          ((lit(2L) * col("rank") - col("n_users") - 1L) * col("x"))
+            .as("t"))
+        .groupBy(col("n_users"), col("sum_events"))
+        .agg(sum(col("t")).as("gini_num"))
+        .withColumn("gini_den", col("n_users") * col("sum_events"))
+        .withColumn("gini", col("gini_num").cast("double")
+          / col("gini_den").cast("double"))
+    },
+    Some("""SELECT n_users, sum_events,
+        CAST(SUM((2 * rank - n_users - 1) * x) AS BIGINT) AS gini_num,
+        CAST(n_users * sum_events AS BIGINT) AS gini_den,
+        CAST(SUM((2 * rank - n_users - 1) * x) AS DOUBLE)
+          / CAST(n_users * sum_events AS DOUBLE) AS gini
+      FROM (SELECT x,
+          ROW_NUMBER() OVER (ORDER BY x, user_id) AS rank,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n_users,
+          CAST(SUM(x) OVER () AS BIGINT) AS sum_events
+        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1))
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222)
+    q219, q221, q222, q228)
 }

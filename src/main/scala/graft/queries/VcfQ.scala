@@ -1009,7 +1009,72 @@ object VcfQ extends QueryModule {
       GROUP BY 1"""
     })
 
+  // --- LD decay profile on REAL 1KG data — r² mass by distance bin
+  // (the recombination-scale diagnostic; q168's estimator on the
+  // fixture's dumped variant range): rides the SAME banded pair-stats
+  // stage as q150 and counts exact integer-cross-multiplied r²
+  // thresholds per 2 kb bin — no double sums anywhere. ----------------
+  private val LD_DECAY_BIN = 2000L
+  private val q229 = Q("q229_1kg_ld_decay",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+        .filter(col("variant_id") <= LD_CUT)
+        .select(col("variant_id").cast("long").as("vid"),
+          lit("22").as("chrom"), col("pos").cast("long").as("pos"),
+          transform(unpack2b(col("pg"), lit(1092)), x => x.cast("long"))
+            .as("d"))
+      graft.operators.LdWindow.decayProfile(df, LD_W, LD_DECAY_BIN)
+    },
+    Some {
+      def pc(expr: String): String =
+        s"""CAST(COALESCE(list_sum(list_transform(range(1, 1093), i ->
+           CASE WHEN da[i] IS NOT NULL AND db[i] IS NOT NULL
+                THEN $expr ELSE 0 END)), 0) AS BIGINT)"""
+      s"""WITH v AS (SELECT variant_id AS vid, pos, d,
+          pos // $LD_W AS bucket
+        FROM read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_dosage.parquet')),
+      a AS (SELECT vid AS vid_a, pos AS pos_a, d AS da,
+          unnest([bucket, bucket + 1]) AS bkey FROM v),
+      b AS (SELECT vid AS vid_b, pos AS pos_b, d AS db,
+          bucket AS bkey FROM v),
+      p AS (SELECT vid_a, vid_b, pos_a, pos_b, da, db
+        FROM a JOIN b USING (bkey)
+        WHERE (pos_a < pos_b OR (pos_a = pos_b AND vid_a < vid_b))
+          AND pos_b - pos_a <= $LD_W),
+      st AS (SELECT vid_a, vid_b, pos_b - pos_a AS dist,
+          CAST(len(list_filter(range(1, 1093), i ->
+            da[i] IS NOT NULL AND db[i] IS NOT NULL)) AS BIGINT) AS n,
+          ${pc("da[i]")} AS sx,
+          ${pc("db[i]")} AS sy,
+          ${pc("da[i] * db[i]")} AS sxy,
+          ${pc("da[i] * da[i]")} AS sxx,
+          ${pc("db[i] * db[i]")} AS syy
+        FROM p),
+      cv AS (SELECT dist,
+          n * sxy - sx * sy AS cov_n,
+          n * sxx - sx * sx AS var_x,
+          n * syy - sy * sy AS var_y
+        FROM st)
+      SELECT '22' AS chrom, CAST(dist // $LD_DECAY_BIN AS BIGINT) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_def,
+        CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+          AND cov_n*cov_n*5 >= var_x*var_y*1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS ge_1_5,
+        CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+          AND cov_n*cov_n*2 >= var_x*var_y*1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS ge_1_2,
+        CAST(SUM(CASE WHEN var_x > 0 AND var_y > 0
+          AND cov_n*cov_n*5 >= var_x*var_y*4 THEN 1 ELSE 0 END)
+          AS BIGINT) AS ge_4_5
+      FROM cv
+      GROUP BY 1, 2"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225, q226, q227)
+      q171, q185, q193, q212, q224, q225, q226, q227, q229)
 }
