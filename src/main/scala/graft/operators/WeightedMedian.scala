@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT weighted median per group without a data-sized sort or window.
+  *
+  * The classic scale-exact quantile shape (two-level bucket cumsum — the
+  * same discipline as `TrainingData.packSequences`): a data-sized
+  * `percentile`/global-sort answer needs every group's values ranked in
+  * one place, which at 100 TB is either a skewed per-group partition
+  * (5 groups = 5 tasks) or a global sort. Instead:
+  *
+  *  1. collapse to per-(group, value) weight partials — ONE shuffle that
+  *     scales with DISTINCT values (the data sits on an integer grid, so
+  *     this is grid-bounded, not row-bounded);
+  *  2. re-aggregate to per-(group, bucket) totals — a second summary-sized
+  *     shuffle (#groups × #buckets rows);
+  *  3. run the cumulative scan on the TINY bucket table (the per-group
+  *     window here orders #buckets rows — broadcast-scale by construction);
+  *  4. descend into the single median bucket per group and repeat the
+  *     cumulative scan over that bucket's values only — bounded by
+  *     bucketWidth grid points per group, never by corpus size.
+  *
+  * Median convention: the LOWER weighted median — the smallest value v
+  * with 2·cumWeight(≤v) ≥ totalWeight. All comparisons are exact integer
+  * cross-multiplications; no double appears until the caller divides.
+  */
+object WeightedMedian {
+
+  /** Per-group lower weighted median of integer `valueCol` under integer
+    * `weightCol`. Output: groupCols ++ (w_total, median_v). */
+  def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    // 1. grid-bounded value partials
+    val pv = df.groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    // 2. summary-sized bucket totals
+    val pb = pv.withColumn("__b", expr(s"__v div $bucketWidth"))
+      .groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__wb"))
+    // 3. cumulative scan over the bucket summary (tiny by construction)
+    val wPart = Window.partitionBy(g: _*)
+    val wCum = wPart.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bkt = pb
+      .withColumn("__cum", sum(col("__wb")).over(wCum))
+      .withColumn("__tot", sum(col("__wb")).over(
+        wPart.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val medBucket = bkt.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(min_by(struct(col("__b"), (col("__cum") - col("__wb")).as("__pre"),
+        col("__tot")), col("__b")).as("__mb"))
+      .select(g ++ Seq(col("__mb.__b").as("__b"), col("__mb.__pre"),
+        col("__mb.__tot")): _*)
+    // 4. exact scan inside the one median bucket per group
+    val wCumV = wPart.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv.withColumn("__b", expr(s"__v div $bucketWidth"))
+      .join(broadcast(medBucket), groupCols :+ "__b")
+      .withColumn("__cv", sum(col("__w")).over(wCumV))
+      .filter((col("__pre") + col("__cv")) * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(min(col("__v")).as("median_v"), min(col("__tot")).as("w_total"))
+      .select(g ++ Seq(col("w_total"), col("median_v")): _*)
+  }
+}

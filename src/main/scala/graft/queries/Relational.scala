@@ -1066,8 +1066,48 @@ object Relational extends QueryModule {
           FROM events GROUP BY 1))
       GROUP BY 1, 2"""))
 
+  // --- q231: EXACT weighted median line price per (returnflag,
+  // linestatus), weighted by quantity — the robust centre a mean-based
+  // q01 profile can't give. Delegates to the two-level bucket-cumsum
+  // operator (`operators/WeightedMedian`): the only data-sized shuffle
+  // collapses to the cents grid; every window runs over the ≤#buckets
+  // summary or ONE median bucket's grid points — no global sort, no
+  // per-group data-sized partition at any scale. Exact integer
+  // cross-multiplied comparisons; ONE final division presents dollars. ---
+  private val MEDIAN_BUCKET = 100000L // $1,000 of cents per bucket
+  private val q231 = Q("q231_weighted_median",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      graft.operators.WeightedMedian.exact(li,
+          Seq("l_returnflag", "l_linestatus"), "cents", "qty",
+          MEDIAN_BUCKET)
+        .withColumn("median_price",
+          col("median_v").cast("double") / 100.0)
+        .select(col("l_returnflag"), col("l_linestatus"), col("w_total"),
+          col("median_v").as("median_cents"), col("median_price"))
+    },
+    Some("""WITH pv AS (SELECT l_returnflag, l_linestatus,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2, 3),
+      c AS (SELECT l_returnflag, l_linestatus, v,
+          SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+            ORDER BY v) AS cum,
+          SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+        FROM pv)
+      SELECT l_returnflag, l_linestatus,
+        CAST(MIN(tot) AS BIGINT) AS w_total,
+        CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT)
+          AS median_cents,
+        CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS DOUBLE) / 100.0
+          AS median_price
+      FROM c GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228)
+    q219, q221, q222, q228, q231)
 }

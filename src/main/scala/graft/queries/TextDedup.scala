@@ -1964,10 +1964,124 @@ object TextDedup extends QueryModule {
         CAST(SUM(nt) AS BIGINT) AS tok_mass
       FROM f GROUP BY 1, 2"""))
 
+  // --- q230: edit-distance VERIFIED near-dup pairs — the character-level
+  // confirmation pass LSH candidates get when shingle Jaccard is too
+  // coarse (e.g. token-order edits that preserve the shingle set). Rides
+  // the IDENTICAL band chain as q33, then verifies with Levenshtein
+  // distance over a capped prefix — both engines ship the same standard
+  // unit-cost DP builtin, so the oracle checks true cross-engine parity.
+  // 100 TB: the only n-scaling shuffle is the band-key self-join (same as
+  // q33); the O(CAP²) DP runs ONLY on banded candidate pairs, and the
+  // prefix cap bounds the per-pair cost regardless of document length
+  // (a full-length DP on a 1 MB doc would be 10¹² cells — the cap is the
+  // difference between a verifier and a DoS). One final int/int division
+  // presents the normalized similarity. ----------------------------------
+  private val ED_CAP = 600
+  private val q230 = Q("q230_editdist_neardup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val docs = d.select(col("doc_id"),
+          shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = docs.select(col("doc_id"),
+        minhashSignature(col("sh"), MINHASH_K).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          .as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val texts = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, ED_CAP).as("t"))
+      cand
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("t", "ta"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("t", "tb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long")
+            .as("cap_len"))
+        .withColumn("ed_sim", when(col("cap_len") === 0L, lit(1.0))
+          .otherwise(lit(1.0)
+            - col("ed").cast("double") / col("cap_len").cast("double")))
+        .filter(col("ed_sim") >= 0.5)
+    },
+    Some(s"""WITH $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b,
+          CAST(levenshtein(substr(da.text, 1, $ED_CAP),
+                           substr(db.text, 1, $ED_CAP)) AS BIGINT) AS ed,
+          CAST(greatest(length(substr(da.text, 1, $ED_CAP)),
+                        length(substr(db.text, 1, $ED_CAP))) AS BIGINT)
+            AS cap_len
+        FROM cand
+        JOIN documents da ON da.doc_id = cand.doc_a
+        JOIN documents db ON db.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, ed, cap_len,
+        CASE WHEN cap_len = 0 THEN 1.0
+          ELSE 1.0 - CAST(ed AS DOUBLE) / CAST(cap_len AS DOUBLE) END
+          AS ed_sim
+      FROM v
+      WHERE (CASE WHEN cap_len = 0 THEN 1.0
+        ELSE 1.0 - CAST(ed AS DOUBLE) / CAST(cap_len AS DOUBLE) END)
+        >= 0.5"""))
+
+  // --- q232: characteristic terms per source — tf·rarity ranking, the
+  // TF-IDF-shaped "what words define this domain" report. The rarity
+  // weight is tf/df (one exact int/int division; log-idf would put a
+  // libm `log` in the hash path — not bit-identical across engines — and
+  // the corpus-size factor N multiplies every score in a source equally,
+  // so the RANKING is invariant without it). Both engines order by the
+  // identical double with a term tie-break, so row_number is tie-free.
+  // 100 TB: one tokenize scan, two token-keyed shuffles (tf, df), a
+  // term-keyed sort-merge join, then top-10 per source — the rank filter
+  // is a WindowGroupLimit shape, so each task keeps only its local
+  // top-10 per source before the final per-source exchange. ---------------
+  private val q232 = Q("q232_tfidf_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode_outer(tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
+      val dfreq = tok.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tfreq = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("term"))
+      tfreq.join(dfreq, "term")
+        .withColumn("score",
+          col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("source"), col("rank"), col("term"), col("tf"),
+          col("df"), col("score"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      tok AS (SELECT source, doc_id, unnest(toks) AS term FROM t),
+      dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY 1),
+      tfreq AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      r AS (SELECT source, term, tf, df,
+          CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term)
+            AS rank
+        FROM tfreq JOIN dfreq USING (term))
+      SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+      FROM r WHERE rank <= 10"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223)
+      q223, q230, q232)
 }
