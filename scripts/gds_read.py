@@ -404,9 +404,49 @@ def dump_families(path, out_parquet):
     print(f"{out_parquet}: {n} samples")
 
 
+def dump_code_counts(path, out_parquet):
+    """Per-variant genotype-CLASS counts (REF-dosage convention: n_dos0 =
+    hom-ALT, n_het, n_dos2 = hom-REF; any-missing call counts in none) of
+    a diploid single-plane GDS, computed INDEPENDENTLY of the Scala
+    engine — the DuckDB oracle for the packed-lane `code_count_packed`
+    kernel (FIS/genotype-class queries)."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    geno, gr = node_bytes(st, ["genotype", "data"])
+    planes, _ = node_bytes(st, ["genotype", "@data"])
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    n_planes, n_samp, ploidy = gr["dims"]
+    n_var = vr["dims"][0]
+    assert ploidy == 2 and n_planes == n_var
+    assert set(planes[:n_var]) == {1}, "multi-plane variant present"
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    arr = np.frombuffer(geno, np.uint8).reshape(n_var, n_samp * 2 // 4)
+    a0, a1 = arr & 3, (arr >> 2) & 3
+    b0, b1 = (arr >> 4) & 3, (arr >> 6) & 3
+    def classes(x, y):
+        ok = (x != 3) & (y != 3)
+        dos = (x == 0).astype(np.int64) + (y == 0).astype(np.int64)
+        return [np.where(ok & (dos == d), 1, 0).sum(axis=1, dtype=np.int64)
+                for d in (0, 1, 2)]
+    ca, cb = classes(a0, a1), classes(b0, b1)
+    d0, d1, d2 = (ca[i] + cb[i] for i in range(3))
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, n_dos0 BIGINT, "
+                "n_het BIGINT, n_dos2 BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)",
+                    [(int(v), int(x), int(h), int(z))
+                     for v, x, h, z in zip(vids, d0, d1, d2)])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n_var} variants, sum_het={d1.sum()}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-codes":
+        dump_code_counts(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-families":
         dump_families(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-alleles":

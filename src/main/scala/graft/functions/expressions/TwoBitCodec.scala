@@ -175,3 +175,63 @@ object GenoStatsPacked {
         missCalls.toLong, 2L * missCalls))
   }
 }
+
+/** Count of samples at ONE packed 2-bit code — the genotype-class
+  * counter the FIS/HWE family needs on the packed lane (code 1 = het,
+  * 0 = hom-ALT, 2 = hom-REF under the REF-dosage convention, 3 =
+  * missing). Same per-byte-table discipline as [[GenoStatsPacked]]:
+  * 4 samples per table lookup, no array materialization in the plan.
+  * The code argument must be a foldable literal 0..3 (it selects the
+  * lookup table at codegen time). */
+case class CodeCountPacked(left: Expression, right: Expression, code: Int)
+    extends BinaryExpression {
+  require(code >= 0 && code <= 3, s"code must be 0..3; got $code")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"code_count_packed(BINARY, INT); got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "code_count_packed"
+
+  override protected def nullSafeEval(b: Any, n: Any): Any =
+    CodeCountPacked.eval(b.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Number].intValue(), code)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) =>
+      s"""${ev.value} = graft.functions.expressions.CodeCountPacked$$.MODULE$$
+         |  .eval($b, (int) $n, $code);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CodeCountPacked =
+    copy(left = l, right = r)
+}
+
+object CodeCountPacked {
+  // CountTab(c)(b) = how many of byte b's 4 slots hold code c
+  private val CountTab: Array[Array[Int]] = Array.tabulate(4) { c =>
+    Array.tabulate(256) { b => (0 until 4).count(s => ((b >> (2 * s)) & 3) == c) }
+  }
+
+  def eval(packed: Array[Byte], n: Int, code: Int): Long = {
+    val tab = CountTab(code)
+    var cnt = 0L
+    val fullBytes = n >> 2
+    var i = 0
+    while (i < fullBytes) {
+      cnt += tab(packed(i) & 0xff)
+      i += 1
+    }
+    var s = fullBytes << 2
+    while (s < n) {
+      if (((packed(s >> 2) >>> ((s & 3) << 1)) & 3) == code) cnt += 1
+      s += 1
+    }
+    cnt
+  }
+}

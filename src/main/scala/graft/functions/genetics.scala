@@ -188,6 +188,12 @@ object genetics {
     Bridge.column(graft.functions.expressions.GenoStatsPacked(
       Bridge.expression(bin), Bridge.expression(nSamples)))
 
+  /** Samples at one packed 2-bit code (1 = het, 0/2 = homozygotes, 3 =
+    * missing) — [[graft.functions.expressions.CodeCountPacked]]. */
+  def codeCountPacked(bin: Column, nSamples: Column, code: Int): Column =
+    Bridge.column(graft.functions.expressions.CodeCountPacked(
+      Bridge.expression(bin), Bridge.expression(nSamples), code))
+
   /** Inverse of [[pack2b]]: ARRAY<INT> REF dosages, null = missing. */
   def unpack2b(bin: Column, nSamples: Column): Column =
     Bridge.column(Unpack2bDosage(Bridge.expression(bin),

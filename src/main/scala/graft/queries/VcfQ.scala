@@ -1074,7 +1074,56 @@ object VcfQ extends QueryModule {
       GROUP BY 1, 2"""
     })
 
+  // --- q233: per-variant F_IS (Wright's inbreeding coefficient, the
+  // het-deficit site screen) histogram over ALL 19,773 1KG chr22
+  // variants, computed on the PACKED bit-plane lane: genotype-class
+  // counts come from the new `code_count_packed` kernel (4 samples per
+  // table lookup, no genotype array in the plan). F_IS = 1 − Ho/He with
+  // Ho = h/n and He = 2p̂q̂ reduces to the EXACT rational
+  // (ar·aa − 2hn)/(ar·aa) on allele/genotype counts; the only doubles
+  // are the one division and the shared ×10+floor binning (identical op
+  // order both engines). Monomorphic sites (He = 0) land in a NULL bin.
+  // Oracle: TWO independent python-decoder dumps (dump-stats +
+  // dump-codes) joined on variant_id replay the same integers. ----------
+  private val q233 = Q("q233_1kg_fis",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      df.select(
+          element_at(st, 2).as("called"),
+          element_at(st, 3).as("ac_ref"),
+          codeCountPacked(col("pg"), lit(1092), 1).as("h"))
+        .withColumn("n", col("called") / 2)
+        .withColumn("aa", col("called") - col("ac_ref"))
+        .withColumn("num",
+          col("ac_ref") * col("aa") - lit(2L) * col("h") * col("n"))
+        .withColumn("den", col("ac_ref") * col("aa"))
+        .withColumn("bin", when(col("den") > 0,
+          floor(col("num").cast("double") / col("den").cast("double")
+            * 10.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("h")).as("sum_het"))
+    },
+    Some("""WITH j AS (SELECT s.called, s.ac_ref, c.n_het AS h,
+          s.called // 2 AS n, s.called - s.ac_ref AS aa
+        FROM read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet') s
+        JOIN read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_codes.parquet') c
+          USING (variant_id)),
+      f AS (SELECT h,
+          ac_ref * aa - 2 * h * n AS num, ac_ref * aa AS den
+        FROM j)
+      SELECT CAST(CASE WHEN den > 0 THEN floor(
+          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10.0) END
+          AS BIGINT) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(SUM(h) AS BIGINT) AS sum_het
+      FROM f GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225, q226, q227, q229)
+      q171, q185, q193, q212, q224, q225, q226, q227, q229, q233)
 }

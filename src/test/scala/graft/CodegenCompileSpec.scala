@@ -91,6 +91,10 @@ class CodegenCompileSpec extends AnyFunSuite {
     "pack_2b" -> Pack2bRefDosage(ref(0, genoT)),
     "unpack_2b" -> Unpack2bDosage(ref(6, BinaryType), Literal(4)),
     "geno_stats_packed" -> GenoStatsPacked(ref(6, BinaryType), Literal(4)),
+    "code_count_packed/het" ->
+      CodeCountPacked(ref(6, BinaryType), Literal(4), 1),
+    "code_count_packed/miss" ->
+      CodeCountPacked(ref(6, BinaryType), Literal(4), 3),
     "l2_i64" -> L2DistLong(ref(3, longArrT), ref(4, longArrT)),
     "pq_encode" -> PqEncode(ref(3, longArrT),
       ref(10, ArrayType(ArrayType(LongType))), 2, 2),

@@ -74,6 +74,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("code_count_packed == unpack-and-count on random diploid cubes") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val cubes = (1 to 50).map(i =>
+        draw(cubeGen(Gen.const(2)), 9100L * round + i))
+      val df = cubes.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+        .toDF("vid", "geno")
+        .select(pack2b(col("geno")).as("pg"), size(col("geno")).as("n"))
+      // the kernel's 4 class counts vs counting the HOF-unpacked codes
+      // (null = missing = code 3); widths here exercise the partial-byte
+      // tail path the per-byte tables skip
+      val bad = df.select((0 to 3).map { c =>
+          (codeCountPacked(col("pg"), col("n"), c) =!=
+            size(filter(unpack2b(col("pg"), col("n")), x =>
+              if (c == 3) x.isNull else x === c))).as(s"bad$c")
+        }: _*)
+        .filter((0 to 3).map(c => col(s"bad$c")).reduce(_ || _)).count()
+      assert(bad == 0, s"round=$round")
+    }
+  }
+
   test("round-4 kernels agree with HOF oracles on random inputs") {
     import spark.implicits._
     import graft.functions.vectorfns.{srpBucket, srpBucketHof}

@@ -157,4 +157,30 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(sp(1L).getLong(sp(1L).fieldIndex("sum_tf")) == 3L)
     assert(sp(1L).getDouble(sp(1L).fieldIndex("share")) == 0.75)
   }
+
+  test("WeightedMedian.exact == brute force on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 4) {
+      val rows = (1 to 400).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong,
+          (rnd.nextInt(9) + 1).toLong)
+      }
+      // brute force: smallest v with 2·cumWeight(≤v) ≥ total
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val total = rs.map(_._3).sum
+        val sorted = rs.sortBy(_._2)
+        var cum = 0L
+        val med = sorted.find { r => cum += r._3; 2 * cum >= total }.get._2
+        g -> ((total, med))
+      }
+      // bucket width deliberately NOT dividing the value range evenly,
+      // and small enough that the median crosses bucket boundaries
+      val got = graft.operators.WeightedMedian.exact(
+          rows.toDF("g", "v", "w"), Seq("g"), "v", "w", 37L)
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"round=$round")
+    }
+  }
 }
