@@ -32,9 +32,27 @@ object WeightedMedian {
   /** Per-group lower weighted median of integer `valueCol` under integer
     * `weightCol`. Output: groupCols ++ (w_total, median_v). */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      weightCol: String, bucketWidth: Long): DataFrame = {
+      weightCol: String, bucketWidth: Long): DataFrame =
+    exactQuantiles(df, groupCols, valueCol, weightCol, bucketWidth,
+        Seq((1, 2)))
+      .select(groupCols.map(col) ++ Seq(col("w_total"),
+        col("quantile_v").as("median_v")): _*)
+
+  /** Per-group lower weighted quantiles at RATIONAL levels num/den —
+    * the smallest v with cumWeight(≤v)·den ≥ totalWeight·num (so (1,2)
+    * is the lower median, (99,100) the p99). One row per group ×
+    * quantile. The bucket cumulative stage runs ONCE; every requested
+    * level reuses it, and the data-sized join descends into the union
+    * of the (≤ #groups × #levels) target buckets in one pass.
+    * Output: groupCols ++ (q_num, q_den, w_total, quantile_v). */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, bucketWidth: Long,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
     require(groupCols.nonEmpty, "need at least one group column")
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (n, d) => n > 0 && n <= d },
+      s"quantile levels must satisfy 0 < num/den <= 1; got $quantiles")
     val g = groupCols.map(col)
     // 1. grid-bounded value partials
     val pv = df.groupBy(g :+ col(valueCol).as("__v"): _*)
@@ -51,21 +69,31 @@ object WeightedMedian {
       .withColumn("__tot", sum(col("__wb")).over(
         wPart.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-    val medBucket = bkt.filter(col("__cum") * 2 >= col("__tot"))
-      .groupBy(g: _*)
-      .agg(min_by(struct(col("__b"), (col("__cum") - col("__wb")).as("__pre"),
-        col("__tot")), col("__b")).as("__mb"))
-      .select(g ++ Seq(col("__mb.__b").as("__b"), col("__mb.__pre"),
-        col("__mb.__tot")): _*)
-    // 4. exact scan inside the one median bucket per group
-    val wCumV = wPart.orderBy(col("__v"))
+    // one target bucket per (group, level); the union stays ≤ levels ×
+    // #groups rows — broadcast-scale by construction
+    val targetBuckets = quantiles.map { case (num, den) =>
+      bkt.filter(col("__cum") * den >= col("__tot") * num)
+        .groupBy(g: _*)
+        .agg(min_by(struct(col("__b"),
+          (col("__cum") - col("__wb")).as("__pre"), col("__tot")),
+          col("__b")).as("__mb"))
+        .select(g ++ Seq(lit(num).as("q_num"), lit(den).as("q_den"),
+          col("__mb.__b").as("__b"), col("__mb.__pre"),
+          col("__mb.__tot")): _*)
+    }.reduce(_ unionAll _)
+    // 4. exact scan inside the target buckets only
+    val wQ = Window.partitionBy(g :+ col("q_num") :+ col("q_den"): _*)
+      .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pv.withColumn("__b", expr(s"__v div $bucketWidth"))
-      .join(broadcast(medBucket), groupCols :+ "__b")
-      .withColumn("__cv", sum(col("__w")).over(wCumV))
-      .filter((col("__pre") + col("__cv")) * 2 >= col("__tot"))
-      .groupBy(g: _*)
-      .agg(min(col("__v")).as("median_v"), min(col("__tot")).as("w_total"))
-      .select(g ++ Seq(col("w_total"), col("median_v")): _*)
+      .join(broadcast(targetBuckets), groupCols :+ "__b")
+      .withColumn("__cv", sum(col("__w")).over(wQ))
+      .filter((col("__pre") + col("__cv")) * col("q_den")
+        >= col("__tot") * col("q_num"))
+      .groupBy(g :+ col("q_num") :+ col("q_den"): _*)
+      .agg(min(col("__v")).as("quantile_v"),
+        min(col("__tot")).as("w_total"))
+      .select(g ++ Seq(col("q_num").cast("long"), col("q_den").cast("long"),
+        col("w_total"), col("quantile_v")): _*)
   }
 }

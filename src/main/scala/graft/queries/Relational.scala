@@ -1106,8 +1106,49 @@ object Relational extends QueryModule {
           AS median_price
       FROM c GROUP BY 1, 2"""))
 
+  // --- q234: EXACT ship-latency SLO percentiles (p50/p90/p99) per
+  // returnflag — the tail-latency report approx-percentile sketches
+  // only estimate. Same latency definition as q222; delegates to
+  // `WeightedMedian.exactQuantiles`, so the bucket cumulative stage
+  // runs once and all three levels descend into their target buckets
+  // in ONE data-sized join — no global sort, no per-group data-sized
+  // window at any scale. --------------------------------------------
+  private val q234 = Q("q234_latency_quantiles",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lat_days"), lit(1L).as("one"))
+      graft.operators.WeightedMedian.exactQuantiles(lat,
+          Seq("l_returnflag"), "lat_days", "one", 8L,
+          Seq((1, 2), (9, 10), (99, 100)))
+        .select(col("l_returnflag"), col("q_num"), col("q_den"),
+          col("w_total").as("n_lines"), col("quantile_v").as("lat_days"))
+    },
+    Some("""WITH lat AS (SELECT l_returnflag,
+          CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+            AS lat_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      c AS (SELECT l_returnflag, lat_days,
+          SUM(1) OVER (PARTITION BY l_returnflag ORDER BY lat_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lat),
+      q(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+      SELECT l_returnflag, CAST(q_num AS BIGINT) AS q_num,
+        CAST(q_den AS BIGINT) AS q_den,
+        CAST(MIN(tot) AS BIGINT) AS n_lines,
+        CAST(MIN(CASE WHEN cum * q_den >= tot * q_num THEN lat_days END)
+          AS BIGINT) AS lat_days
+      FROM c CROSS JOIN q
+      GROUP BY 1, 2, 3"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231)
+    q219, q221, q222, q228, q231, q234)
 }

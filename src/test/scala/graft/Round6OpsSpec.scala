@@ -181,6 +181,26 @@ class Round6OpsSpec extends AnyFunSuite {
         .collect().map(r =>
           r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(got == want, s"round=$round")
+      // quantile generalization: same brute force at rational levels
+      val levels = Seq((1, 4), (1, 2), (9, 10), (1, 1))
+      val wantQ = (for {
+        (g, rs) <- rows.groupBy(_._1)
+        (num, den) <- levels
+      } yield {
+        val total = rs.map(_._3).sum
+        val sorted = rs.sortBy(_._2)
+        var cum = 0L
+        val v = sorted.find { r =>
+          cum += r._3; cum * den >= total * num
+        }.get._2
+        (g, num.toLong, den.toLong) -> v
+      }).toMap
+      val gotQ = graft.operators.WeightedMedian.exactQuantiles(
+          rows.toDF("g", "v", "w"), Seq("g"), "v", "w", 37L, levels)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(4))
+        .toMap
+      assert(gotQ == wantQ, s"round=$round quantiles")
     }
   }
 }
