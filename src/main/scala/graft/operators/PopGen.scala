@@ -1348,6 +1348,60 @@ object PopGen {
       .select(col("vid"), col("n"), col("beta"), col("r2"))
   }
 
+  /** Covariate-adjusted per-variant linear GWAS — y ~ β₀ + β_g·g + β_z·z
+    * solved by Cramer's rule on the 3×3 normal equations with EXACT
+    * integer determinants (g is an integer dosage; y and z are integer
+    * phenotype/covariate vectors broadcast as literals, the
+    * [[linRegScore]] discipline). Per-variant sums restrict to called
+    * samples, so the adjustment is complete-case per site. The only
+    * doubles are the two final det/det divisions; a site where the
+    * design matrix is singular (detA = 0 — monomorphic g or g collinear
+    * with z on the called subset) reports NULL βs. Zero shuffles: one
+    * narrow projection per variant at any cohort width. */
+  def linRegCovScore(v: DataFrame, y: Seq[Long], z: Seq[Long]): DataFrame = {
+    require(y.length == z.length, "y and z must have one entry per sample")
+    val nSamples = y.length
+    def d(s: Int) = element_at(col("d"), s + 1)
+    def sumOver(f: Int => Column) =
+      balanced((0 until nSamples).map(f))(_ + _)
+    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
+    val sg = sumOver(s => coalesce(d(s), lit(0L)))
+    val sz = sumOver(s => when(d(s).isNotNull, lit(z(s))).otherwise(0L))
+    val sy = sumOver(s => when(d(s).isNotNull, lit(y(s))).otherwise(0L))
+    val sgg = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    val sgz = sumOver(s => coalesce(d(s) * z(s), lit(0L)))
+    val sgy = sumOver(s => coalesce(d(s) * y(s), lit(0L)))
+    val szz = sumOver(s =>
+      when(d(s).isNotNull, lit(z(s) * z(s))).otherwise(0L))
+    val szy = sumOver(s =>
+      when(d(s).isNotNull, lit(z(s) * y(s))).otherwise(0L))
+    v.select(col("vid"), col("d"))
+      .withColumn("n", n)
+      .withColumn("sg", sg).withColumn("sz", sz).withColumn("sy", sy)
+      .withColumn("sgg", sgg).withColumn("sgz", sgz)
+      .withColumn("sgy", sgy).withColumn("szz", szz)
+      .withColumn("szy", szy)
+      // det of A = X'X with X = [1 g z]; then Cramer column swaps
+      .withColumn("det_a",
+        col("n") * (col("sgg") * col("szz") - col("sgz") * col("sgz"))
+          - col("sg") * (col("sg") * col("szz") - col("sgz") * col("sz"))
+          + col("sz") * (col("sg") * col("sgz") - col("sgg") * col("sz")))
+      .withColumn("det_g",
+        col("n") * (col("sgy") * col("szz") - col("sgz") * col("szy"))
+          - col("sy") * (col("sg") * col("szz") - col("sgz") * col("sz"))
+          + col("sz") * (col("sg") * col("szy") - col("sgy") * col("sz")))
+      .withColumn("det_z",
+        col("n") * (col("sgg") * col("szy") - col("sgy") * col("sgz"))
+          - col("sg") * (col("sg") * col("szy") - col("sgy") * col("sz"))
+          + col("sy") * (col("sg") * col("sgz") - col("sgg") * col("sz")))
+      .withColumn("beta_g", when(col("det_a") =!= 0L,
+        col("det_g").cast("double") / col("det_a").cast("double")))
+      .withColumn("beta_z", when(col("det_a") =!= 0L,
+        col("det_z").cast("double") / col("det_a").cast("double")))
+      .select(col("vid"), col("n"), col("det_a"), col("beta_g"),
+        col("beta_z"))
+  }
+
   /** Windowed LD-partner profile per variant (the integer-exact cousin
     * of an LD score): how many in-window partners a variant has in
     * total and above r² ∈ {0.2, 0.5, 0.8}. A Σr² LD score proper is an

@@ -1613,9 +1613,59 @@ object PopGenQ extends QueryModule {
       WHERE n1 = $N AND n2 = $N
       GROUP BY 1, 2""")))
 
+  // --- q236: covariate-ADJUSTED linear GWAS — y ~ β₀ + β_g·g + β_z·z
+  // per variant, the confounder-controlled upgrade of q129 (age/batch/
+  // ancestry-PC adjustment is the default in any real association run).
+  // Cramer's rule on the 3×3 normal equations: every determinant is
+  // EXACT integer arithmetic over per-variant sums (complete-case on
+  // called samples); the only doubles are the two final det/det
+  // divisions. detA = 0 (singular design) → NULL βs, reported, not
+  // dropped. Zero shuffles at any cohort width. -------------------------
+  private val zCov: Seq[Long] = (0 until N).map(s => 20L + (s * 3) % 11)
+  private val q236 = Q("q236_gwas_covariate",
+    (s, dir) => PopGen.linRegCovScore(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      phenoY, zCov),
+    Some(withCte {
+      def term(f: Int => String) =
+        (0 until N).map(f).mkString("(", " + ", ")")
+      val n = term(s => s"CASE WHEN d[${s + 1}] IS NOT NULL THEN 1 ELSE 0 END")
+      val sg = term(s => s"COALESCE(d[${s + 1}], 0)")
+      val sz = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${zCov(s)} ELSE 0 END")
+      val sy = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${phenoY(s)} ELSE 0 END")
+      val sgg = term(s => s"COALESCE(d[${s + 1}] * d[${s + 1}], 0)")
+      val sgz = term(s => s"COALESCE(d[${s + 1}] * ${zCov(s)}, 0)")
+      val sgy = term(s => s"COALESCE(d[${s + 1}] * ${phenoY(s)}, 0)")
+      val szz = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${zCov(s) * zCov(s)} ELSE 0 END")
+      val szy = term(s =>
+        s"CASE WHEN d[${s + 1}] IS NOT NULL THEN ${zCov(s) * phenoY(s)} ELSE 0 END")
+      s"""SELECT vid, n, det_a,
+        CASE WHEN det_a <> 0
+          THEN CAST(det_g AS DOUBLE) / CAST(det_a AS DOUBLE) END AS beta_g,
+        CASE WHEN det_a <> 0
+          THEN CAST(det_z AS DOUBLE) / CAST(det_a AS DOUBLE) END AS beta_z
+      FROM (SELECT vid, n,
+          n * (sgg * szz - sgz * sgz) - sg * (sg * szz - sgz * sz)
+            + sz * (sg * sgz - sgg * sz) AS det_a,
+          n * (sgy * szz - sgz * szy) - sy * (sg * szz - sgz * sz)
+            + sz * (sg * szy - sgy * sz) AS det_g,
+          n * (sgg * szy - sgy * sgz) - sg * (sg * szy - sgy * sz)
+            + sy * (sg * sgz - sgg * sz) AS det_z
+        FROM (SELECT vid, CAST($n AS BIGINT) AS n, CAST($sg AS BIGINT) AS sg,
+            CAST($sz AS BIGINT) AS sz, CAST($sy AS BIGINT) AS sy,
+            CAST($sgg AS BIGINT) AS sgg, CAST($sgz AS BIGINT) AS sgz,
+            CAST($sgy AS BIGINT) AS sgy, CAST($szz AS BIGINT) AS szz,
+            CAST($szy AS BIGINT) AS szy
+          FROM (SELECT vid, $dSql AS d FROM variants)))"""
+    }))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206, q211)
+      q192, q196, q197, q203, q204, q206, q211, q236)
 }

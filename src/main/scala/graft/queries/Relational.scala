@@ -1147,8 +1147,52 @@ object Relational extends QueryModule {
       FROM c CROSS JOIN q
       GROUP BY 1, 2, 3"""))
 
+  // --- q235: k-anonymity audit over quasi-identifiers — the privacy
+  // gate a training-data release runs before publishing user-derived
+  // records: equivalence classes on (nation, market segment, $1000
+  // balance band), then per k ∈ {2,5,10} how many classes and rows sit
+  // below the threshold. One QI-grid-bounded shuffle builds the class
+  // sizes; the k fan-out explodes a 3-element literal over the SUMMARY
+  // table only. The band uses the identical double floor both engines.
+  private val q235 = Q("q235_k_anonymity",
+    (s, dir) => {
+      val classes = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      classes
+        .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"),
+          col("sz"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+            .as("n_small_classes"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+            .as("n_rows_at_risk"))
+        .withColumn("pct_at_risk", col("n_rows_at_risk").cast("double")
+          / col("n_rows").cast("double"))
+    },
+    Some("""WITH classes AS (SELECT
+          CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2, 3),
+      ks(k) AS (VALUES (CAST(2 AS BIGINT)), (5), (10))
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(sz) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_small_classes,
+        CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+          AS n_rows_at_risk,
+        CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(sz) AS DOUBLE) AS pct_at_risk
+      FROM classes CROSS JOIN ks GROUP BY 1"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231, q234)
+    q219, q221, q222, q228, q231, q234, q235)
 }

@@ -158,6 +158,29 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(sp(1L).getDouble(sp(1L).fieldIndex("share")) == 0.75)
   }
 
+  test("linRegCovScore golden: recovers planted y = 1 + 2g + 3z exactly") {
+    import spark.implicits._
+    // z varies independently of g, so the design is non-singular; y is
+    // integer and EXACTLY linear, so Cramer must return βg=2, βz=3 with
+    // no residual — an independent check of the solver, not a replay of
+    // its own formula. Sample 4 is missing (complete-case must drop it:
+    // its y=999 would otherwise wreck the fit).
+    val z = Seq(5L, 9L, 4L, 7L, 6L)
+    val g = Seq[java.lang.Long](0L, 1L, 2L, 1L, null)
+    val y = g.zip(z).map { case (gi, zi) =>
+      if (gi == null) 999L else 1L + 2L * gi + 3L * zi }
+    val v = Seq((1L, g)).toDF("vid", "d")
+    val r = graft.operators.PopGen.linRegCovScore(v, y, z).collect()(0)
+    assert(r.getLong(1) == 4L) // n called
+    assert(r.getDouble(3) == 2.0, "beta_g")
+    assert(r.getDouble(4) == 3.0, "beta_z")
+    // singular design: monomorphic g → NULL betas, not a crash
+    val mono = Seq((2L, Seq[java.lang.Long](1L, 1L, 1L, 1L, 1L)))
+      .toDF("vid", "d")
+    val rm = graft.operators.PopGen.linRegCovScore(mono, y, z).collect()(0)
+    assert(rm.getLong(2) == 0L && rm.isNullAt(3) && rm.isNullAt(4))
+  }
+
   test("WeightedMedian.exact == brute force on random grouped data") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
