@@ -1191,8 +1191,58 @@ object Relational extends QueryModule {
           / CAST(SUM(sz) AS DOUBLE) AS pct_at_risk
       FROM classes CROSS JOIN ks GROUP BY 1"""))
 
+  // --- q237: Benford first-digit audit of order totals — the classic
+  // fabricated-data screen. The leading digit comes from the INTEGER
+  // cents rendered as a string (no log10 in the hash path); the Benford
+  // expectations log10(1+1/d) are computed ONCE in Scala and handed to
+  // both engines as identical literals (the q213 shared-constant
+  // discipline), so the only runtime doubles are one share division and
+  // one literal subtraction. One 9-row aggregate; the share window runs
+  // over the 9-row summary. ----------------------------------------------
+  private val benfordExp: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+  private val q237 = Q("q237_benford_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val expCol = benfordExp.foldLeft(lit(null).cast("double")) {
+        case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+      Tables(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_share",
+          col("n").cast("double") / sum(col("n")).over(wAll).cast("double"))
+        .withColumn("exp_share", expCol)
+        .withColumn("dev", col("obs_share") - col("exp_share"))
+    },
+    Some {
+      // e0-suffixed literals parse directly as DOUBLE in DuckDB (the
+      // q213 shared-constant trick) — a bare decimal literal would land
+      // as DECIMAL and its decimal→double cast is not correctly rounded
+      // (1-ulp drift observed on log10(4/3))
+      val expVals = (1 to 9)
+        .map(d => s"($d, ${benfordExp(d)}e0)")
+        .mkString(", ")
+      s"""WITH digits AS (SELECT
+          CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+      c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY 1),
+      e(digit, exp_share) AS (VALUES $expVals)
+      SELECT c.digit, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_share,
+        exp_share,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) - exp_share
+          AS dev
+      FROM c JOIN e ON c.digit = e.digit"""
+    })
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231, q234, q235)
+    q219, q221, q222, q228, q231, q234, q235, q237)
 }

@@ -2078,10 +2078,70 @@ object TextDedup extends QueryModule {
       SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, score
       FROM r WHERE rank <= 10"""))
 
+  // --- q238: EXACT distributed AUC (Mann–Whitney with midranks) of the
+  // stopword-count signal as an English-detector — the classifier-eval
+  // primitive every filtering pipeline needs, computed exactly instead
+  // of by a sampled/sketched ROC. Tie handling is the textbook midrank:
+  // doubling ranks keeps every midrank INTEGER (2·cumBefore + count + 1),
+  // so AUC = (Σ_pos midrank2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is integer
+  // arithmetic with ONE final division. 100 TB: one groupBy collapses
+  // docs to the distinct-score summary (score grid ≤ max tokens/doc;
+  // a continuous score would bucket first, the q228 two-level pattern);
+  // the rank window runs over that summary only. -------------------------
+  private val q238 = Q("q238_exact_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, dir, "documents")
+        .select(size(filter(tokens(col("text")),
+            t => t.isin(stopwords: _*)))
+          .cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n_tot"), sum(col("pos")).as("n_pos"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("cum_before",
+          sum(col("n_tot")).over(wCum) - col("n_tot"))
+        .withColumn("midrank2",
+          lit(2L) * col("cum_before") + col("n_tot") + 1L)
+        .agg(sum(col("n_pos") * col("midrank2")).as("r2p"),
+          sum(col("n_pos")).as("n_pos"),
+          sum(col("n_tot") - col("n_pos")).as("n_neg"))
+        .withColumn("auc",
+          (col("r2p") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+    },
+    Some {
+      val swLst = stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH t AS ($tokCte),
+      scored AS (SELECT
+          CAST(len(list_filter(toks, x -> x IN ($swLst))) AS BIGINT)
+            AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM t),
+      bys AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n_tot,
+          CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      rk AS (SELECT n_tot, n_pos,
+          SUM(n_tot) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tot
+            AS cum_before
+        FROM bys)
+      SELECT CAST(SUM(n_pos * (2 * cum_before + n_tot + 1)) AS BIGINT)
+          AS r2p,
+        CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        CAST(SUM(n_tot - n_pos) AS BIGINT) AS n_neg,
+        CAST(SUM(n_pos * (2 * cum_before + n_tot + 1))
+            - SUM(n_pos) * (SUM(n_pos) + 1) AS DOUBLE)
+          / CAST(2 * SUM(n_pos) * SUM(n_tot - n_pos) AS DOUBLE) AS auc
+      FROM rk"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232)
+      q223, q230, q232, q238)
 }
