@@ -1241,8 +1241,50 @@ object Relational extends QueryModule {
       FROM c JOIN e ON c.digit = e.digit"""
     })
 
+  // --- q240: EXACT distributed Spearman rank correlation between line
+  // quantity and price — the monotone-association screen, with textbook
+  // midrank ties, computed exactly at any scale (operators/Spearman:
+  // two-level cumsum rank assignment, five BIGINT sums, and only
+  // IEEE-correctly-rounded sqrt/division at the end — bit-identical
+  // across engines). -----------------------------------------------------
+  private val q240 = Q("q240_spearman",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.Spearman.corr(li, "qty", "cents", 8L, 100000L)
+    },
+    Some("""WITH src AS (SELECT
+          CAST(round(l_quantity) AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+      rx AS (SELECT x,
+          2 * (SUM(cnt) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+            + cnt + 1 AS mr2 FROM cx),
+      cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+      ry AS (SELECT y,
+          2 * (SUM(cnt) OVER (ORDER BY y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+            + cnt + 1 AS mr2 FROM cy),
+      j AS (SELECT rx.mr2 AS a, ry.mr2 AS b,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM src JOIN rx ON src.x = rx.x JOIN ry ON src.y = ry.y),
+      s AS (SELECT n,
+          CAST(SUM((a - (n + 1)) * (b - (n + 1))) AS BIGINT) AS num,
+          CAST(SUM((a - (n + 1)) * (a - (n + 1))) AS BIGINT) AS vx,
+          CAST(SUM((b - (n + 1)) * (b - (n + 1))) AS BIGINT) AS vy
+        FROM j GROUP BY n)
+      SELECT n, num, vx, vy,
+        CASE WHEN vx > 0 AND vy > 0 THEN
+          CAST(num AS DOUBLE)
+            / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) END
+          AS rho
+      FROM s"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231, q234, q235, q237)
+    q219, q221, q222, q228, q231, q234, q235, q237, q240)
 }

@@ -2138,10 +2138,68 @@ object TextDedup extends QueryModule {
       FROM rk"""
     })
 
+  // --- q239: exact PR-curve sweep for the q238 detector — at EVERY
+  // distinct score threshold s (predict English iff score ≥ s): TP/FP,
+  // precision, recall, and F1 in its rational form 2TP/(2TP+FP+FN) so
+  // each metric is ONE exact division. The sweep is a suffix-cumsum
+  // over the distinct-score summary (descending twin of q238's rank
+  // scan) — no per-row threshold loop at any scale. ----------------------
+  private val q239 = Q("q239_pr_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, dir, "documents")
+        .select(size(filter(tokens(col("text")),
+            t => t.isin(stopwords: _*)))
+          .cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n_tot"), sum(col("pos")).as("n_pos"))
+      val wDesc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byScore
+        .withColumn("tp", sum(col("n_pos")).over(wDesc))
+        .withColumn("fp", sum(col("n_tot") - col("n_pos")).over(wDesc))
+        .withColumn("p", sum(col("n_pos")).over(wAll))
+        .select(col("score"), col("tp"), col("fp"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / col("p").cast("double")).as("recall"),
+          ((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + (col("p") - col("tp")))
+              .cast("double")).as("f1"))
+    },
+    Some {
+      val swLst = stopwords.map(m => s"'$m'").mkString(", ")
+      s"""WITH t AS ($tokCte),
+      scored AS (SELECT
+          CAST(len(list_filter(toks, x -> x IN ($swLst))) AS BIGINT)
+            AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM t),
+      bys AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n_tot,
+          CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      c AS (SELECT score,
+          SUM(n_pos) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          SUM(n_tot - n_pos) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+          SUM(n_pos) OVER () AS p
+        FROM bys)
+      SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS recall,
+        CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (p - tp) AS DOUBLE)
+          AS f1
+      FROM c"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238)
+      q223, q230, q232, q238, q239)
 }

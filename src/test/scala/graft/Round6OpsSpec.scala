@@ -181,6 +181,37 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rm.getLong(2) == 0L && rm.isNullAt(3) && rm.isNullAt(4))
   }
 
+  test("Spearman.corr == brute-force midrank Pearson on random ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (round <- 1 to 3) {
+      // heavy ties on purpose: 12 distinct x values, 20 distinct y
+      val rows = (1 to 300).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(20).toLong * 5) }
+      def mr2(vs: Seq[Long]): Map[Long, Long] = {
+        val grouped = vs.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var before = 0L
+        grouped.map { case (v, c) =>
+          val r = 2 * before + c + 1; before += c; v -> r }.toMap
+      }
+      val n = rows.size.toLong
+      val rx = mr2(rows.map(_._1))
+      val ry = mr2(rows.map(_._2))
+      val (num, vx, vy) = rows.foldLeft((0L, 0L, 0L)) {
+        case ((a, b, c), (x, y)) =>
+          val cx = rx(x) - (n + 1); val cy = ry(y) - (n + 1)
+          (a + cx * cy, b + cx * cx, c + cy * cy)
+      }
+      val r = graft.operators.Spearman.corr(
+        rows.toDF("x", "y"), "x", "y", 5L, 7L).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        == ((n, num, vx, vy)), s"round=$round")
+      assert(r.getDouble(4) ==
+        num.toDouble / (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+    }
+  }
+
   test("WeightedMedian.exact == brute force on random grouped data") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
