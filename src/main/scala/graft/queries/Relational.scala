@@ -1283,8 +1283,110 @@ object Relational extends QueryModule {
           AS rho
       FROM s"""))
 
+  // --- q241: chi-square standardized residuals of the event_type ×
+  // weekday contingency table — WHICH cells drive a dependence, not
+  // just whether one exists. Every margin (R, C, T) comes from windows
+  // over the 35-cell summary; the residual (O·T − R·C)/√(T·R·C) uses
+  // one exact integer numerator, one IEEE sqrt and one division —
+  // bit-identical across engines (same q240 discipline). ----------------
+  private val q241 = Q("q241_contingency_resid",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wR = Window.partitionBy(col("event_type"))
+      val wC = Window.partitionBy(col("wd"))
+      val wT = Window.partitionBy()
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 86400000000000 + 3) % 7").as("wd"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("r", sum(col("o")).over(wR))
+        .withColumn("c", sum(col("o")).over(wC))
+        .withColumn("t", sum(col("o")).over(wT))
+        .select(col("event_type"), col("wd"), col("o"),
+          col("r"), col("c"),
+          (col("r").cast("double") * col("c").cast("double")
+            / col("t").cast("double")).as("e"),
+          ((col("o") * col("t") - col("r") * col("c")).cast("double")
+            / sqrt((col("t") * col("r") * col("c")).cast("double")))
+            .as("resid"))
+    },
+    Some("""WITH cells AS (SELECT event_type,
+          (epoch_ns(ts) // 86400000000000 + 3) % 7 AS wd,
+          CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, wd, o,
+          CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+          CAST(SUM(o) OVER (PARTITION BY wd) AS BIGINT) AS c,
+          CAST(SUM(o) OVER () AS BIGINT) AS t
+        FROM cells)
+      SELECT event_type, wd, o, r, c,
+        CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS e,
+        CAST(o * t - r * c AS DOUBLE) / sqrt(CAST(t * r * c AS DOUBLE))
+          AS resid
+      FROM m"""))
+
+  // --- q242: EXACT two-sample Kolmogorov–Smirnov distance between the
+  // click and view value distributions — the distribution-drift test,
+  // with the supremum found by exact integer cross-multiplication
+  // (|cum₁·n₂ − cum₂·n₁| avoids every per-step division): D and its
+  // location are grid-exact, the one division happens at the end. The
+  // ECDF scan runs over the distinct-cents summary (grid-bounded, the
+  // q228 two-level pattern applies wider); cross-products stay ≤ n₁·n₂
+  // (int64-safe through ~10⁹ rows per side). ----------------------------
+  private val q242 = Q("q242_ks_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPick = Window.orderBy(col("d_num").desc, col("v"))
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("a"))
+        .groupBy(col("v"))
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+        .withColumn("cum_a", sum(col("ca")).over(wCum))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .withColumn("d_num",
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          col("v").as("at_cents"),
+          (col("d_num").cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("d"))
+    },
+    Some("""WITH src AS (SELECT
+          CAST(round(value * 100) AS BIGINT) AS v,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('click', 'view')),
+      g AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+          CAST(SUM(1 - a) AS BIGINT) AS cb
+        FROM src GROUP BY 1),
+      c AS (SELECT v,
+          SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+          SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+          SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+        FROM g),
+      d AS (SELECT v, n_a, n_b,
+          abs(cum_a * n_b - cum_b * n_a) AS d_num,
+          ROW_NUMBER() OVER (ORDER BY abs(cum_a * n_b - cum_b * n_a)
+            DESC, v) AS rn
+        FROM c)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(d_num AS BIGINT) AS d_num, v AS at_cents,
+        CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d
+      FROM d WHERE rn = 1"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231, q234, q235, q237, q240)
+    q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242)
 }
