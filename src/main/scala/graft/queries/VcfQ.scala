@@ -1123,7 +1123,80 @@ object VcfQ extends QueryModule {
         CAST(SUM(h) AS BIGINT) AS sum_het
       FROM f GROUP BY 1"""))
 
+  // --- q243: INFO integrity audit on the REAL CEU fixture — stored
+  // INFO/AC and INFO/AN versus the same quantities RECOMPUTED from the
+  // genotype matrix (complete-call convention: a call with any missing
+  // allele contributes to neither; both engines recompute independently
+  // — the engine from the GDS container, DuckDB from the VCF text twin).
+  // The per-chrom report counts exact agreement and the drift mass —
+  // the "can you trust this file's INFO fields" screen every intake
+  // pipeline runs. All-integer outputs. ---------------------------------
+  private val q243 = Q("q243_ceu_info_audit",
+    (s, _) => {
+      val df = graft.sources.gds.Gds.read(
+        s, "/root/reference/inst/extdata/CEU_Exon.gds")
+      val d = dosageAlt(col("geno"))
+      val acRec = aggregate(d, lit(0L),
+        (a, x) => a + coalesce(x, lit(0L)))
+      val anRec = aggregate(d, lit(0L),
+        (a, x) => a + when(x.isNotNull, 2L).otherwise(0L))
+      df.select(col("chrom"),
+          col("info_AC").cast("long").as("ac"),
+          col("info_AN").cast("long").as("an"),
+          acRec.as("ac_rec"), anRec.as("an_rec"))
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(when(col("ac") === col("ac_rec"), 1L).otherwise(0L))
+            .as("n_ac_eq"),
+          sum(when(col("an") === col("an_rec"), 1L).otherwise(0L))
+            .as("n_an_eq"),
+          sum(abs(col("ac") - col("ac_rec"))).as("ac_drift"),
+          sum(abs(col("an") - col("an_rec"))).as("an_drift"),
+          sum(col("ac_rec")).as("sum_ac_rec"),
+          sum(col("an_rec")).as("sum_an_rec"))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      v AS (SELECT column00 AS chrom,
+          CAST(NULLIF(regexp_extract(column07, 'AC=([0-9]+)', 1), '')
+            AS BIGINT) AS ac,
+          CAST(NULLIF(regexp_extract(column07, 'AN=([0-9]+)', 1), '')
+            AS BIGINT) AS an,
+          list_transform($cols, s ->
+            CASE WHEN len(list_filter(
+                  string_split(replace(string_split(s, ':')[1], '|', '/'),
+                    '/'), t -> t = '.')) > 0
+                 OR len(string_split(replace(string_split(s, ':')[1],
+                    '|', '/'), '/')) <> 2
+              THEN NULL
+              ELSE len(list_filter(
+                string_split(replace(string_split(s, ':')[1], '|', '/'),
+                  '/'), t -> t <> '0')) END) AS d
+        FROM raw),
+      r AS (SELECT chrom, ac, an,
+          CAST(COALESCE(list_sum(list_transform(d, x ->
+            COALESCE(x, 0))), 0) AS BIGINT) AS ac_rec,
+          CAST(COALESCE(list_sum(list_transform(d, x ->
+            CASE WHEN x IS NOT NULL THEN 2 ELSE 0 END)), 0) AS BIGINT)
+            AS an_rec
+        FROM v)
+      SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(SUM(CASE WHEN ac = ac_rec THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ac_eq,
+        CAST(SUM(CASE WHEN an = an_rec THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_an_eq,
+        CAST(SUM(abs(ac - ac_rec)) AS BIGINT) AS ac_drift,
+        CAST(SUM(abs(an - an_rec)) AS BIGINT) AS an_drift,
+        CAST(SUM(ac_rec) AS BIGINT) AS sum_ac_rec,
+        CAST(SUM(an_rec) AS BIGINT) AS sum_an_rec
+      FROM r GROUP BY 1"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225, q226, q227, q229, q233)
+      q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243)
 }
