@@ -1385,8 +1385,115 @@ object Relational extends QueryModule {
         CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d
       FROM d WHERE rn = 1"""))
 
+  // --- q244: Lorenz curve decile points for user event activity — the
+  // curve behind q228's Gini scalar: for each user-count decile
+  // (users ordered by activity), the exact share of total events that
+  // decile's bottom holds. Users rank scale-safely with the SAME
+  // two-level pattern as q228 (per-activity-level bucket rank +
+  // broadcast prefix); decile boundaries are integer cross-products
+  // (rank·10 ≤ n_users·k); shares are one division each. ----------------
+  private val q244 = Q("q244_lorenz_deciles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uc = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val wIn = Window.partitionBy(col("x")).orderBy(col("user_id"))
+      val wB = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = uc.groupBy(col("x")).agg(count(lit(1)).as("__nb"),
+          sum(col("x")).as("__xb"))
+        .withColumn("__pre", sum(col("__nb")).over(wB) - col("__nb"))
+        .withColumn("__xpre", sum(col("__xb")).over(wB) - col("__xb"))
+        .select(col("x"), col("__pre"), col("__xpre"))
+      val totals = uc.agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_events"))
+      // per user: rank and the cumulative events up to and incl. them
+      val wCumIn = Window.partitionBy(col("x")).orderBy(col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = uc
+        .withColumn("__r", row_number().over(wIn).cast("long"))
+        .withColumn("__cx", sum(col("x")).over(wCumIn))
+        .join(broadcast(prefix), "x")
+        .withColumn("rank", col("__pre") + col("__r"))
+        .withColumn("cum_events", col("__xpre") + col("__cx"))
+        .crossJoin(broadcast(totals))
+      // a user closes decile k when it is the LAST rank with
+      // rank·10 ≤ n_users·k — equivalently rank = n_users·k div 10
+      ranked
+        .select(col("rank"), col("cum_events"), col("n_users"),
+          col("sum_events"),
+          explode(array((1 to 10).map(lit): _*)).as("decile"))
+        .filter(col("rank") === expr("(n_users * decile) div 10"))
+        .select(col("decile").cast("long"), col("rank").as("cum_users"),
+          col("cum_events"),
+          (col("cum_events").cast("double")
+            / col("sum_events").cast("double")).as("share"))
+    },
+    Some("""WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      r AS (SELECT
+          ROW_NUMBER() OVER (ORDER BY x, user_id) AS rank,
+          SUM(x) OVER (ORDER BY x, user_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_events,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n_users,
+          CAST(SUM(x) OVER () AS BIGINT) AS sum_events
+        FROM uc),
+      d AS (SELECT unnest(range(1, 11)) AS decile)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(rank AS BIGINT) AS cum_users,
+        CAST(cum_events AS BIGINT) AS cum_events,
+        CAST(cum_events AS DOUBLE) / CAST(sum_events AS DOUBLE) AS share
+      FROM r JOIN d ON rank = (n_users * decile) // 10"""))
+
+  // --- q246: EXACT inter-event gap percentiles per event type — the
+  // user-cadence profile (how long until the next click/view/...),
+  // p50/p90/p99 through `WeightedMedian.exactQuantiles` again (second
+  // consumer of the operator — gaps in ms, 10-minute buckets). The lag
+  // runs under per-user windows (bounded per-user history, the q138
+  // sessionize shape); the gap is attributed to the EARLIER event's
+  // type. Tie-free order: (ts, event_id). ------------------------------
+  private val q246 = Q("q246_gap_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(wU))
+        .filter(col("next_ts").isNotNull)
+        .select(col("event_type"),
+          expr("(next_ts - ts) div 1000000").as("gap_ms"),
+          lit(1L).as("one"))
+      graft.operators.WeightedMedian.exactQuantiles(gaps,
+          Seq("event_type"), "gap_ms", "one", 600000L,
+          Seq((1, 2), (9, 10), (99, 100)))
+        .select(col("event_type"), col("q_num"), col("q_den"),
+          col("w_total").as("n_gaps"), col("quantile_v").as("gap_ms"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+          (LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - epoch_ns(ts)) // 1000000 AS gap_ms
+        FROM events),
+      gg AS (SELECT event_type, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+      c AS (SELECT event_type, gap_ms,
+          SUM(1) OVER (PARTITION BY event_type ORDER BY gap_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          COUNT(*) OVER (PARTITION BY event_type) AS tot
+        FROM gg),
+      q(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+      SELECT event_type, CAST(q_num AS BIGINT) AS q_num,
+        CAST(q_den AS BIGINT) AS q_den,
+        CAST(MIN(tot) AS BIGINT) AS n_gaps,
+        CAST(MIN(CASE WHEN cum * q_den >= tot * q_num THEN gap_ms END)
+          AS BIGINT) AS gap_ms
+      FROM c CROSS JOIN q
+      GROUP BY 1, 2, 3"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
-    q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242)
+    q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
+    q244, q246)
 }

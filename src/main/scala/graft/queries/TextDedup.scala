@@ -2196,10 +2196,107 @@ object TextDedup extends QueryModule {
       FROM c"""
     })
 
+  // --- q245: language-ID confusion matrix + per-class precision/recall
+  // — the full error structure of q31's marker-count classifier against
+  // the labeled corpus (which languages leak into which). Cell counts
+  // are one grid-bounded aggregate; the class margins come from windows
+  // over the ≤|langs|² summary; every metric is ONE exact division. ------
+  private val q245 = Q("q245_lang_confusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val scored = array(langMarkers.map { case (lang, ms) =>
+        struct(
+          size(filter(toks, t => t.isin(ms: _*))).as("score"),
+          lit(lang).as("lang"))
+      }: _*)
+      val wTrue = Window.partitionBy(col("lang"))
+      val wPred = Window.partitionBy(col("pred_lang"))
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          array_max(scored).getField("lang").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_true", sum(col("n")).over(wTrue))
+        .withColumn("n_pred", sum(col("n")).over(wPred))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+          col("n_pred"),
+          (col("n").cast("double") / col("n_true").cast("double"))
+            .as("recall_share"),
+          (col("n").cast("double") / col("n_pred").cast("double"))
+            .as("precision_share"))
+    },
+    Some {
+      val markersSql = langMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"{'score': len(list_filter(toks, t -> t IN ($lst))), 'lang': '$lang'}"
+      }.mkString(",\n          ")
+      s"""WITH t AS ($tokCte),
+      p AS (SELECT lang, list_max([
+          $markersSql]).lang AS pred_lang
+        FROM t),
+      cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2),
+      m AS (SELECT lang, pred_lang, n,
+          CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+          CAST(SUM(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred
+        FROM cells)
+      SELECT lang, pred_lang, n, n_true, n_pred,
+        CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_share,
+        CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision_share
+      FROM m"""
+    })
+
+  // --- q247: vocabulary growth curve (Heaps'-law points) — distinct
+  // types seen after each tenth of the corpus in doc_id order, the
+  // "is the vocab saturating" scaling diagnostic for tokenizer/corpus
+  // planning. Each type collapses to its FIRST document (one token-keyed
+  // shuffle); the curve is a cumsum over the distinct-first-doc summary
+  // joined to ten integer thresholds — no per-checkpoint rescan. The
+  // 1-row doc-count broadcast is the documented benign scalar shape. ----
+  private val q247 = Q("q247_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+          explode_outer(tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
+      val byFd = tok.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("fd"), count(lit(1)).as("tf"))
+        .groupBy(col("fd"))
+        .agg(count(lit(1)).as("nv"), sum(col("tf")).as("mass"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      byFd.crossJoin(broadcast(nDocs))
+        .select(col("fd"), col("nv"), col("mass"),
+          explode(array((1 to 10).map(lit): _*)).as("decile"),
+          col("n_docs"))
+        .filter(col("fd") < expr("(n_docs * decile) div 10"))
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(max(expr("(n_docs * decile) div 10")).as("n_docs_seen"),
+          sum(col("nv")).as("vocab"), sum(col("mass")).as("type_mass"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      fdt AS (SELECT term, MIN(doc_id) AS fd,
+          CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1),
+      byfd AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS nv,
+          CAST(SUM(tf) AS BIGINT) AS mass
+        FROM fdt GROUP BY 1),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      dec AS (SELECT unnest(range(1, 11)) AS decile)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(MAX((n_docs * decile) // 10) AS BIGINT) AS n_docs_seen,
+        CAST(SUM(nv) AS BIGINT) AS vocab,
+        CAST(SUM(mass) AS BIGINT) AS type_mass
+      FROM byfd CROSS JOIN nd CROSS JOIN dec
+      WHERE fd < (n_docs * decile) // 10
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239)
+      q223, q230, q232, q238, q239, q245, q247)
 }
