@@ -202,7 +202,43 @@ object ScaleProbe {
             concat(lit("s"), (col("doc_id") % 41).cast("string")))),
         Docs),
       ("token_spectrum",
-        d => TrainingData.tokenSpectrum(d), Docs))
+        d => TrainingData.tokenSpectrum(d), Docs),
+      // round-6 tenth-wave families: two-level exact quantiles, centered
+      // midrank Spearman, and the LSH-banded edit-distance verifier
+      ("exact_quantiles",
+        d => graft.operators.WeightedMedian.exactQuantiles(
+          d.select((col("doc_id") % 5).as("g"),
+            length(col("text")).cast("long").as("v"), lit(1L).as("w")),
+          Seq("g"), "v", "w", 64L, Seq((1, 2), (9, 10), (99, 100))),
+        Docs),
+      ("spearman",
+        d => graft.operators.Spearman.corr(
+          d.select(length(col("text")).cast("long").as("x"),
+            size(split(col("text"), " ")).cast("long").as("y")),
+          "x", "y", 64L, 16L), Docs),
+      ("editdist_neardup", { d =>
+        import graft.functions.textfns._
+        val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val bands = docs.select(col("doc_id"),
+          posexplode(lshBands(minhashSignature(col("sh"), 12), 4, 3))
+            .as(Seq("band", "bkey")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val texts = d.select(col("doc_id"),
+          substring(col("text"), 1, 600).as("t"))
+        cand
+          .join(texts.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("t", "ta"), "doc_a")
+          .join(texts.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("t", "tb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("ed"))
+      }, Docs))
 
     def time(fn: => DataFrame): Double = {
       // the LD family shares a session-scoped materialized pair-stats
