@@ -1600,24 +1600,35 @@ object PopGen {
       element_at(element_at(col("geno"), slot / ploidy + 1),
         slot % ploidy + 1).cast("string"),
       lit("m"))
-    val slots = v.select(col("chrom"), expr(s"pos div $window").as("win"),
-        col("pos"), col("vid"),
-        explode(array((0 until h).map(s =>
-          struct(lit(s).as("slot"), alleleStr(s).as("a"))): _*)).as("sa"))
-      .select(col("chrom"), col("win"), col("pos"), col("vid"),
-        col("sa.slot"), col("sa.a"))
-    val haps = slots.groupBy(col("chrom"), col("win"), col("slot"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("vid"), col("a")))),
-        x => x.getField("a")), ",").as("hap"))
-    val counts = haps.groupBy(col("chrom"), col("win"), col("hap"))
-      .agg(count(lit(1)).as("c"))
+    // ONE window-keyed shuffle (each variant row carries its h-wide
+    // allele-string array), then the whole haplotype tabulation happens
+    // INSIDE the window row: transpose via h per-slot joins over the
+    // pos-sorted variant list, then O(h²) distinct-count folds — h is a
+    // cohort constant, so the per-window work is fixed while the old
+    // shape paid an explode ×h plus TWO more data-sized shuffles
+    // (slot-keyed haplotype build, haplotype-keyed count).
+    val perVar = v.select(col("chrom"), expr(s"pos div $window").as("win"),
+      col("pos"), col("vid"),
+      array((0 until h).map(s => alleleStr(s)): _*).as("as"))
+    val wins = perVar.groupBy(col("chrom"), col("win"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("vid"),
+        col("as")))).as("vs"))
+    val hapArr = transform(sequence(lit(0), lit(h - 1)), s =>
+      array_join(transform(col("vs"),
+        x => element_at(x.getField("as"), (s + 1).cast("int"))), ","))
     val hh = lit((h.toLong * h).toDouble)
-    counts.groupBy(col("chrom"), col("win"))
-      .agg(count(lit(1)).as("n_hap"),
-        sum(col("c") * col("c")).as("ssq"),
-        sort_array(collect_list(col("c")), asc = false).as("cs"))
-      .select(col("chrom"), col("win"), col("n_hap"),
+    wins
+      // materialize the h strings ONCE per window row — a lambda body
+      // referencing the bare expression would rebuild the whole array
+      // on every outer-loop element (interpreted HOFs have no CSE)
+      .withColumn("haps", hapArr)
+      .withColumn("cs", sort_array(transform(array_distinct(col("haps")),
+        x => size(filter(col("haps"), y => y === x)).cast("long")),
+        asc = false))
+      .withColumn("ssq", aggregate(col("cs"), lit(0L),
+        (acc, c) => acc + c * c))
+      .select(col("chrom"), col("win"),
+        size(col("cs")).cast("long").as("n_hap"),
         element_at(col("cs"), 1).as("c1"),
         // a fixed-window sweep can leave ONE haplotype — strict
         // element_at throws under ANSI on the missing second entry
@@ -1662,11 +1673,18 @@ object PopGen {
       .withColumn("n_c", called).withColumn("a_c", altSum)
       .withColumn("mac", least(col("a_c"), lit(2) * col("n_c") - col("a_c")))
       .withColumn("fp", fp)
-    val idx = base.groupBy(col("chrom"), col("win"))
-      .agg(max(struct(col("mac"), col("vid"), col("fp"), col("d"))).as("ix"))
-      .select(col("chrom"), col("win"), col("ix.vid").as("index_vid"),
-        col("ix.d").as("d_ix"))
-    val joined = base.join(idx, Seq("chrom", "win"))
+    // index selection as a window max over the SAME (chrom, win)
+    // partitioning instead of groupBy + self-join: one shuffle and one
+    // scan of the (expression-generated) variants base instead of two —
+    // the window groups are window-width-bounded, never data-sized
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chrom"), col("win"))
+    val joined = base
+      .withColumn("ix",
+        max(struct(col("mac"), col("vid"), col("fp"), col("d"))).over(wWin))
+      .withColumn("index_vid", col("ix.vid"))
+      .withColumn("d_ix", col("ix.d"))
+      .drop("ix")
     def pairSum(f: Int => Column) = sumOver(f)
     val bothCalled = (s: Int) =>
       d("d", s).isNotNull && d("d_ix", s).isNotNull
