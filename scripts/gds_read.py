@@ -442,11 +442,34 @@ def dump_code_counts(path, out_parquet):
     print(f"{out_parquet}: {n_var} variants, sum_het={d1.sum()}")
 
 
+def dump_positions(path, out_parquet):
+    """Per-variant (variant_id, pos) of a GDS file, decoded independently
+    of the Scala engine — the join key for positional-window oracles."""
+    import numpy as np
+    data = open(path, "rb").read()
+    st = streams(data)
+    vid_raw, vr = node_bytes(st, ["variant.id"])
+    pos_raw, pr = node_bytes(st, ["position"])
+    n_var = vr["dims"][0]
+    assert pr["dims"][0] == n_var
+    vids = np.frombuffer(vid_raw, "<i4", count=n_var)
+    pos = np.frombuffer(pos_raw, "<i4", count=n_var)
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (variant_id BIGINT, pos BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(int(v), int(p)) for v, p in zip(vids, pos)])
+    con.execute(f"COPY t TO '{out_parquet}' (FORMAT PARQUET)")
+    print(f"{out_parquet}: {n_var} variants, pos [{pos.min()}, {pos.max()}]")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "dump-stats":
         dump_1kg_stats(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-codes":
         dump_code_counts(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "dump-pos":
+        dump_positions(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-families":
         dump_families(sys.argv[2], sys.argv[3])
     elif len(sys.argv) > 2 and sys.argv[1] == "dump-alleles":

@@ -1491,9 +1491,76 @@ object Relational extends QueryModule {
       FROM c CROSS JOIN q
       GROUP BY 1, 2, 3"""))
 
+  // --- q249: association RULES over order baskets — q221's pair counts
+  // upgraded to directional confidence and lift (the "customers who buy
+  // A also buy B" miner). Baskets dedup to (order, part) first so a
+  // part repeated across lines counts once; supports are distinct-order
+  // counts; conf = n_ab/n_a and lift = T·n_ab/(n_a·n_b) are each ONE
+  // exact division. The order-keyed self-join bounds fan-out by basket
+  // width (never catalog-quadratic); the 1-row order-count broadcast is
+  // the documented benign scalar shape; top-20 rides a distributed
+  // TakeOrdered, no global sort. ----------------------------------------
+  private val q249 = Q("q249_basket_rules",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bk = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val itemN = bk.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val half = bk.as("a").join(bk.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+      val rules = half.unionByName(half.select(col("pb").as("pa"),
+        col("pa").as("pb"), col("n_ab")))
+      val tot = bk.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col("conf").desc, col("pa"), col("pb"))
+      rules.filter(col("n_ab") >= 3)
+        .join(itemN.withColumnRenamed("pk", "pa")
+          .withColumnRenamed("n_item", "n_a"), "pa")
+        .join(itemN.withColumnRenamed("pk", "pb")
+          .withColumnRenamed("n_item", "n_b"), "pb")
+        .crossJoin(broadcast(tot))
+        .withColumn("conf",
+          col("n_ab").cast("double") / col("n_a").cast("double"))
+        .withColumn("lift", (col("t") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"))
+        .orderBy(col("conf").desc, col("pa"), col("pb")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("pa"), col("pb"), col("n_ab"),
+          col("n_a"), col("n_b"), col("t"), col("conf"), col("lift"))
+    },
+    Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS pk FROM lineitem),
+      itemn AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM bk GROUP BY 1),
+      half AS (SELECT a.pk AS pa, b.pk AS pb,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      rules AS (SELECT pa, pb, n_ab FROM half
+        UNION ALL SELECT pb, pa, n_ab FROM half),
+      tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS t FROM bk),
+      scored AS (SELECT pa, pb, n_ab, na.n_item AS n_a,
+          nb.n_item AS n_b, t,
+          CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE) AS conf,
+          CAST(t * n_ab AS DOUBLE)
+            / CAST(na.n_item * nb.n_item AS DOUBLE) AS lift
+        FROM rules
+        JOIN itemn na ON na.pk = rules.pa
+        JOIN itemn nb ON nb.pk = rules.pb
+        CROSS JOIN tot
+        WHERE n_ab >= 3),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY conf DESC, pa, pb)
+          AS rank FROM scored)
+      SELECT CAST(rank AS BIGINT) AS rank, pa, pb, n_ab, n_a, n_b, t,
+        conf, lift
+      FROM r WHERE rank <= 20"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
-    q244, q246)
+    q244, q246, q249)
 }

@@ -1196,7 +1196,54 @@ object VcfQ extends QueryModule {
       FROM r GROUP BY 1"""
     })
 
+  // --- q248: positional sliding Ts/Tv along chr22 (1 Mb windows) — the
+  // REGIONAL sequencing-artifact scan (a window whose Ts/Tv collapses
+  // toward 0.5 flags an alignment/calling problem there), complementing
+  // q225's MAF-stratified view. Same packed lane + allele-string
+  // classification; one (window)-keyed aggregate. Oracle: the alleles
+  // dump joined to the NEW independent `dump-pos` twin. ------------------
+  private val TSTV_WIN = 1000000L
+  private val q248 = Q("q248_1kg_tstv_window",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      val ts = Seq("A,G", "G,A", "C,T", "T,C")
+      df.select(col("pos"), col("allele"),
+          element_at(st, 2).as("called"))
+        .filter(col("called") > 0 && length(col("allele")) === 3)
+        .select(expr(s"pos div $TSTV_WIN").cast("long").as("win"),
+          col("allele").isin(ts: _*).as("is_ts"))
+        .groupBy(col("win"))
+        .agg(sum(when(col("is_ts"), 1L).otherwise(0L)).as("n_ts"),
+          sum(when(!col("is_ts"), 1L).otherwise(0L)).as("n_tv"))
+        .withColumn("tstv", when(col("n_tv") > 0,
+          col("n_ts").cast("double") / col("n_tv").cast("double")))
+    },
+    Some(s"""SELECT CAST(pos // $TSTV_WIN AS BIGINT) AS win,
+        CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+        CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+          THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+        CASE WHEN SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+            THEN 0 ELSE 1 END) > 0
+          THEN CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+              THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN allele IN ('A,G', 'G,A', 'C,T', 'T,C')
+              THEN 0 ELSE 1 END) AS DOUBLE) END AS tstv
+      FROM read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet') gs
+        JOIN read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_alleles.parquet') al
+          USING (variant_id)
+        JOIN read_parquet(
+          '/root/repo/scripts/oracle/1kg_chr22_pos.parquet') pp
+          USING (variant_id)
+      WHERE called > 0 AND length(allele) = 3
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
-      q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243)
+      q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243,
+      q248)
 }
