@@ -1558,9 +1558,76 @@ object Relational extends QueryModule {
         conf, lift
       FROM r WHERE rank <= 20"""))
 
+  // --- q250: activity-decile MIGRATION matrix between the two halves
+  // of the event window — who climbs, who churns (decile 0 = absent in
+  // that half). Each half's deciles come from EXACT global ranks via
+  // the q228 two-level pattern (per-(half, activity) bucket rank +
+  // broadcast prefix — no data-sized single-partition window); the
+  // decile is pure integer arithmetic on (rank, n_users). The midpoint
+  // is a 1-row broadcast (documented benign scalar). ---------------------
+  private val q250 = Q("q250_decile_migration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(col("user_id"), col("ts"))
+      // integer div — a double /2 would lose precision above 2^53 nanos
+      val mid = ev.agg(min(col("ts")).as("__mn"), max(col("ts")).as("__mx"))
+        .select(expr("(__mn + __mx) div 2").as("mid"))
+      val uc = ev.crossJoin(broadcast(mid))
+        .select(col("user_id"),
+          when(col("ts") < col("mid"), 1L).otherwise(2L).as("half"))
+        .groupBy(col("half"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val wIn = Window.partitionBy(col("half"), col("x"))
+        .orderBy(col("user_id"))
+      val wB = Window.partitionBy(col("half")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wH = Window.partitionBy(col("half"))
+      val prefix = uc.groupBy(col("half"), col("x"))
+        .agg(count(lit(1)).as("__nb"))
+        .withColumn("__pre", sum(col("__nb")).over(wB) - col("__nb"))
+        .withColumn("n_h", sum(col("__nb")).over(wH))
+        .select(col("half"), col("x"), col("__pre"), col("n_h"))
+      val dec = uc
+        .withColumn("__r", row_number().over(wIn).cast("long"))
+        .join(broadcast(prefix), Seq("half", "x"))
+        .withColumn("decile",
+          expr("(__pre + __r - 1) * 10 div n_h + 1"))
+        .select(col("user_id"), col("half"), col("decile"))
+      val h1 = dec.filter(col("half") === 1L)
+        .select(col("user_id"), col("decile").as("d1"))
+      val h2 = dec.filter(col("half") === 2L)
+        .select(col("user_id"), col("decile").as("d2"))
+      h1.join(h2, Seq("user_id"), "full_outer")
+        .select(coalesce(col("d1"), lit(0L)).as("d1"),
+          coalesce(col("d2"), lit(0L)).as("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH mid AS (SELECT
+          (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS mid FROM events),
+      uc AS (SELECT CASE WHEN epoch_ns(ts) < mid THEN 1 ELSE 2 END
+            AS half, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events CROSS JOIN mid GROUP BY 1, 2),
+      r AS (SELECT half, user_id,
+          ROW_NUMBER() OVER (PARTITION BY half ORDER BY x, user_id)
+            AS rank,
+          CAST(COUNT(*) OVER (PARTITION BY half) AS BIGINT) AS n_h
+        FROM uc),
+      dec AS (SELECT half, user_id,
+          (rank - 1) * 10 // n_h + 1 AS decile FROM r),
+      m AS (SELECT COALESCE(a.decile, 0) AS d1, COALESCE(b.decile, 0)
+            AS d2
+        FROM (SELECT user_id, decile FROM dec WHERE half = 1) a
+        FULL OUTER JOIN
+          (SELECT user_id, decile FROM dec WHERE half = 2) b
+          USING (user_id))
+      SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM m GROUP BY 1, 2"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
-    q244, q246, q249)
+    q244, q246, q249, q250)
 }
