@@ -210,6 +210,97 @@ object PopGen {
             sqrt(lit(e1) * s + lit(e2) * (s * (s - lit(1.0))))))
   }
 
+  /** Fu & Li's D* and F* per window (Fu & Li 1993, with the corrected
+    * variance constants of Simonsen, Churchill & Aquadro 1995 — the
+    * forms DnaSP/libsequence compute): the outgroup-free neutrality
+    * tests that weigh SINGLETONS (η_s = sites whose minor allele is
+    * seen exactly once among called alleles) against S (D*) and π (F*).
+    * Inputs are the same exact window sums as [[diversityWindow]] plus
+    * the exact η_s count; the D-star/F-star arithmetic is a fixed-order double
+    * expression over interpolated constants (the [[tajimaD]]
+    * discipline). Constants use the full-sample allele count
+    * n = |g|·ploidy (the same high-call-rate simplification as θ_W —
+    * per-site n would make the variance order-dependent; documented).
+    * NULL when S = 0. One map-side-combined (chrom, win) aggregate. */
+  def fuLiWindow(v: DataFrame, g: Seq[Int], window: Long,
+      ploidy: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive; got $window")
+    val n = g.size * ploidy
+    val (an, uD, vD, uF, vF) = fuLiConstants(n)
+    val r = n.toDouble / (n - 1.0)        // n/(n−1), shared literal
+    val fr = (n - 1.0) / n.toDouble       // (n−1)/n
+    val scale = piScale(n)
+    val (m, a) = groupCounts(col("geno"), g, ploidy)
+    val base = v.withColumn("m", m).withColumn("a", a)
+    val piT = col("a") * (col("m") - col("a")) *
+      intByN(col("m"), n)(k =>
+        if (k >= 2) 2L * scale / (k.toLong * (k - 1)) else 0L)
+    val segT = when(col("a") > 0 && col("a") < col("m"), 1L)
+      .otherwise(0L)
+    // singleton site: the minor allele appears exactly once among the
+    // called alleles (a = 1 or a = m−1; at m = 2, a = 1 counts once)
+    val etaT = when((col("a") === 1 || col("a") === col("m") - 1)
+      && col("a") > 0 && col("a") < col("m"), 1L).otherwise(0L)
+    val agg = pinnedFilter(base, col("m") >= 2)
+      .withColumn("win", expr(s"pos div $window").cast("long"))
+      .withColumn("pi_t", piT).withColumn("seg_t", segT)
+      .withColumn("eta_t", etaT)
+      .groupBy(col("chrom"), col("win"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("seg_t")).as("s_seg"),
+        sum(col("eta_t")).as("eta_s"),
+        sum(col("pi_t")).as("pi_num"))
+      .withColumn("win_start", col("win") * window)
+      .withColumn("pi", col("pi_num").cast("double") / scale.toDouble)
+    val sD = col("s_seg").cast("double")
+    val eD = col("eta_s").cast("double")
+    agg
+      .withColumn("d_star",
+        when(col("s_seg") > 0,
+          (lit(r) * sD - lit(an) * eD) /
+            sqrt(lit(uD) * sD + lit(vD) * (sD * sD))))
+      .withColumn("f_star",
+        when(col("s_seg") > 0,
+          (col("pi") - lit(fr) * eD) /
+            sqrt(lit(uF) * sD + lit(vF) * (sD * sD))))
+      .select(col("chrom"), col("win"), col("win_start"),
+        col("n_sites"), col("s_seg"), col("eta_s"), col("pi_num"),
+        col("pi"), col("d_star"), col("f_star"))
+  }
+
+  /** Fu & Li constants for n sequences: (a_n, u_D*, v_D*, u_F*, v_F*)
+    * — a_n/b_n the harmonic sums, c_n/d_n per Fu & Li 1993, u/v per
+    * the Simonsen et al. 1995 corrections (the DnaSP/libsequence
+    * forms). Each returned value interpolates into BOTH engines as one
+    * shortest-round-trip literal, so only this function's internal
+    * arithmetic is engine-private. */
+  def fuLiConstants(n: Int): (Double, Double, Double, Double, Double) = {
+    require(n > 2, s"Fu & Li constants need n > 2; got $n")
+    val nd = n.toDouble
+    val an = harmonic(n - 1)
+    val bn = (1 to n - 1).foldLeft(0.0)((acc, i) =>
+      acc + 1.0 / (i.toDouble * i))
+    val an1 = an + 1.0 / nd
+    val cn = 2.0 * (nd * an - 2.0 * (nd - 1.0)) /
+      ((nd - 1.0) * (nd - 2.0))
+    val dn = cn + (nd - 2.0) / ((nd - 1.0) * (nd - 1.0)) +
+      (2.0 / (nd - 1.0)) *
+        (1.5 - (2.0 * an1 - 3.0) / (nd - 2.0) - 1.0 / nd)
+    val vD = ((nd / (nd - 1.0)) * (nd / (nd - 1.0)) * bn +
+      an * an * dn -
+      2.0 * (nd * an * (an + 1.0)) / ((nd - 1.0) * (nd - 1.0))) /
+      (an * an + bn)
+    val uD = (nd / (nd - 1.0)) * (an - nd / (nd - 1.0)) - vD
+    val vF = (dn + 2.0 * (nd * nd + nd + 3.0) / (9.0 * nd * (nd - 1.0)) -
+      (2.0 / (nd - 1.0)) * (4.0 * bn - 6.0 + 8.0 / nd)) /
+      (an * an + bn)
+    val uF = (nd / (nd - 1.0) + (nd + 1.0) / (3.0 * (nd - 1.0)) -
+      4.0 / (nd * (nd - 1.0)) +
+      2.0 * (nd + 1.0) / ((nd - 1.0) * (nd - 1.0)) *
+        (an1 - 2.0 * nd / (nd + 1.0))) / an - vF
+    (an, uD, vD, uF, vF)
+  }
+
   /** Patterson D-statistic (ABBA–BABA introgression test; Green et al.
     * 2010, Durand et al. 2011, Patterson et al. 2012) per chromosome
     * over four sample groups (P1, P2, P3, Outgroup) on

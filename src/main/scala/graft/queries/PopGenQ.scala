@@ -1140,6 +1140,67 @@ object PopGenQ extends QueryModule {
         GROUP BY 1, 2, 3)"""
     }))
 
+  // --- Fu & Li's D* and F* per window: the OUTGROUP-FREE neutrality
+  // tests weighing singleton sites η_s against S (D*) and π (F*) —
+  // Fu & Li 1993 with the Simonsen et al. 1995 corrected variance
+  // constants (the DnaSP forms). η_s, S and the lcm-scaled π window
+  // sums are exact BIGINTs; the D*/F* arithmetic is a fixed-order
+  // double expression whose five constants interpolate into both
+  // engines as identical shortest-round-trip literals (the q180
+  // discipline). One (chrom, win) map-side-combined aggregate. --------
+  private val q255 = Q("q255_fu_li",
+    (s, dir) => PopGen.fuLiWindow(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      0 until N, FST_WIN),
+    Some(withCte {
+      val n = 2 * N
+      val scale = PopGen.piScale(n)
+      val (an0, uD0, vD0, uF0, vF0) = PopGen.fuLiConstants(n)
+      // e0-suffixed literals parse directly as DOUBLE in DuckDB (the
+      // q213/q237 shared-constant trick) — a bare decimal literal lands
+      // as DECIMAL and its decimal→double cast is not correctly rounded
+      def dlit(d: Double): String = {
+        val str = d.toString
+        if (str.contains('E') || str.contains('e')) str else str + "e0"
+      }
+      val (an, uD, vD, uF, vF) =
+        (dlit(an0), dlit(uD0), dlit(vD0), dlit(uF0), dlit(vF0))
+      val r = dlit(n.toDouble / (n - 1.0))
+      val fr = dlit((n - 1.0) / n.toDouble)
+      s"""SELECT *,
+        CASE WHEN s_seg > 0
+          THEN ($r * CAST(s_seg AS DOUBLE) - $an * CAST(eta_s AS DOUBLE))
+               / sqrt($uD * CAST(s_seg AS DOUBLE)
+                 + $vD * (CAST(s_seg AS DOUBLE) * CAST(s_seg AS DOUBLE)))
+        END AS d_star,
+        CASE WHEN s_seg > 0
+          THEN (pi - $fr * CAST(eta_s AS DOUBLE))
+               / sqrt($uF * CAST(s_seg AS DOUBLE)
+                 + $vF * (CAST(s_seg AS DOUBLE) * CAST(s_seg AS DOUBLE)))
+        END AS f_star
+      FROM (SELECT chrom, CAST(pos // $FST_WIN AS BIGINT) AS win,
+          CAST((pos // $FST_WIN) * $FST_WIN AS BIGINT) AS win_start,
+          CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS BIGINT) AS s_seg,
+          CAST(SUM(CASE WHEN (a = 1 OR a = m - 1)
+                          AND a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS BIGINT) AS eta_s,
+          CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+            AS BIGINT) AS pi_num,
+          CAST(SUM(a * (m - a) * (2 * ($scale // (m * (m - 1)))))
+            AS DOUBLE) / CAST($scale AS DOUBLE) AS pi
+        FROM (SELECT chrom, pos,
+            CAST(len(list_filter(flatten(geno), x -> x IS NOT NULL))
+              AS BIGINT) AS m,
+            CAST(len(list_filter(flatten(geno),
+              x -> x IS NOT NULL AND x <> 0)) AS BIGINT) AS a
+          FROM variants)
+        WHERE m >= 2
+        GROUP BY 1, 2, 3)"""
+    }))
+
   // --- f2 (doubleton) sharing: biallelic sites with total alt dosage
   // exactly 2 — two het carriers (i < j, the recent-shared-ancestry
   // signal) or one hom-alt carrier (i == j). Carrier pair = (min, max)
@@ -1667,5 +1728,5 @@ object PopGenQ extends QueryModule {
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206, q211, q236)
+      q192, q196, q197, q203, q204, q206, q211, q236, q255)
 }

@@ -1625,9 +1625,253 @@ object Relational extends QueryModule {
         CAST(COUNT(*) AS BIGINT) AS n_users
       FROM m GROUP BY 1, 2"""))
 
+  // --- q251: small-quantity-line revenue by brand (the TPC-H Q17
+  // correlated-scalar-subquery shape): lines whose quantity is below
+  // 20% of their part's average, i.e. 5·qty·cnt < Σqty CROSS-MULTIPLIED
+  // so the "0.2·avg" comparison is exact integer. Catalyst decorrelates
+  // to one partkey aggregate + one partkey equi-join (AQE broadcasts
+  // the per-part stats when small); revenue in exact cents (q219's
+  // rounding contract). --------------------------------------------
+  private val q251 = Q("q251_small_qty_revenue",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val pstats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sqty"))
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(pstats, "l_partkey")
+        .filter(lit(5L) * col("qty") * col("cnt") < col("sqty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("cents")).as("rev_cents"))
+    },
+    Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM (SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem) l
+      JOIN (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sqty
+        FROM lineitem GROUP BY 1) st USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      WHERE 5 * qty * cnt < sqty
+      GROUP BY 1"""))
+
+  // --- q252: high-volume part suppliers (the TPC-H Q20 nested-
+  // aggregate semi-join shape): suppliers that shipped ≥ 60 units of
+  // at least one part in 1996 — the correlated `> SUM(...)` subquery
+  // decorrelated into one (supp, part) aggregate, a HAVING filter, and
+  // a per-supplier rollup joined to the broadcast supplier dim. ------
+  private val q252 = Q("q252_part_promo",
+    (s, dir) => {
+      val hot = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+        .filter(col("q") >= 60L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_hot_parts"), max(col("q")).as("max_q"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      hot.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_hot_parts"),
+          col("max_q"))
+    },
+    Some("""SELECT s_suppkey, s_name,
+        CAST(n_hot_parts AS BIGINT) AS n_hot_parts,
+        CAST(max_q AS BIGINT) AS max_q
+      FROM (SELECT l_suppkey, COUNT(*) AS n_hot_parts, MAX(q) AS max_q
+        FROM (SELECT l_suppkey, l_partkey,
+            SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          GROUP BY 1, 2)
+        WHERE q >= 60 GROUP BY 1) h
+      JOIN supplier ON s_suppkey = l_suppkey"""))
+
+  // --- q253: sole-blame returned orders (the TPC-H Q21
+  // EXISTS + NOT-EXISTS shape): suppliers with a returned line on a
+  // multi-supplier order where NO other supplier's line was returned.
+  // The two correlated existentials collapse into two order-keyed
+  // aggregates (distinct suppliers; distinct RETURNING suppliers) —
+  // both map-side combined — and the blame test becomes n_supp > 1 AND
+  // n_ret_supp = 1; the oracle keeps the EXISTS form to prove the
+  // rewrite. One orderkey shuffle + a broadcast supplier dim. --------
+  private val q253 = Q("q253_waiting_suppliers",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_returnflag"))
+      val ret = li.filter(col("l_returnflag") === "R")
+        .select(col("ok"), col("sk")).distinct()
+      val nSupp = li.groupBy(col("ok"))
+        .agg(countDistinct(col("sk")).as("n_supp"))
+      val nRet = ret.groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_ret_supp"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      ret.join(nSupp, "ok").join(nRet, "ok")
+        .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+        .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(sup), col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    },
+    Some("""SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R') r
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = r.l_orderkey
+            AND l2.l_suppkey <> r.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = r.l_orderkey
+            AND l3.l_suppkey <> r.l_suppkey AND l3.l_returnflag = 'R')
+      GROUP BY 1, 2"""))
+
+  // --- q254: l-diversity audit — the companion privacy gate to q235's
+  // k-anonymity: a class of identical quasi-identifiers (nation, $1000
+  // balance band) is safe only if its SENSITIVE attribute (market
+  // segment) takes ≥ l distinct values; homogeneous classes leak the
+  // attribute even when k-anonymous. Per l ∈ {2,3,5}: classes and rows
+  // below the bar. One QI-grid-bounded aggregate; the l fan-out
+  // explodes a 3-element literal over the summary table only. --------
+  private val q254 = Q("q254_l_diversity",
+    (s, dir) => {
+      val classes = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy(col("nation"), col("bal_band"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("c_mktsegment")).as("n_distinct"))
+      classes
+        .select(explode(array(lit(2L), lit(3L), lit(5L))).as("l"),
+          col("sz"), col("n_distinct"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          sum(when(col("n_distinct") < col("l"), 1L).otherwise(0L))
+            .as("n_homogeneous"),
+          sum(when(col("n_distinct") < col("l"), col("sz"))
+            .otherwise(0L)).as("n_rows_at_risk"))
+        .withColumn("pct_at_risk", col("n_rows_at_risk").cast("double")
+          / col("n_rows").cast("double"))
+    },
+    Some("""WITH classes AS (SELECT
+          CAST(c_nationkey AS BIGINT) AS nation,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          CAST(COUNT(*) AS BIGINT) AS sz,
+          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct
+        FROM customer GROUP BY 1, 2),
+      ls(l) AS (VALUES (CAST(2 AS BIGINT)), (3), (5))
+      SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(sz) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN n_distinct < l THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_homogeneous,
+        CAST(SUM(CASE WHEN n_distinct < l THEN sz ELSE 0 END) AS BIGINT)
+          AS n_rows_at_risk,
+        CAST(SUM(CASE WHEN n_distinct < l THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(sz) AS DOUBLE) AS pct_at_risk
+      FROM classes CROSS JOIN ls GROUP BY 1"""))
+
+  // --- q257: EXACT triangle census of the part co-purchase graph —
+  // the graph-analytics closer over q221's order-keyed pair stage.
+  // Edges = part pairs co-ordered ≥ 2 times; counting uses the
+  // degree-ordered orientation (Suri & Vassilvitskii 2011): each edge
+  // points from its lower (degree, id) endpoint, so every out-degree
+  // is O(√m) and the wedge self-join's fan-out is bounded — the
+  // standard distributed-triangle shape, never the naive cube. Global
+  // clustering coefficient = 3·triangles / wedges as an exact
+  // integer pair + one division. -------------------------------------
+  private val q257 = Q("q257_triangle_count",
+    (s, dir) => {
+      val d = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = d.select(col("ok"), col("pk").as("pa"))
+        .join(d.select(col("ok").as("ok2"), col("pk").as("pb")),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2L)
+        .select(col("pa"), col("pb"))
+      val deg = pairs.select(col("pa").as("node"))
+        .unionByName(pairs.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = pairs
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")),
+          "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")),
+          "pb")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val oriented = withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("ddeg").as("dv"))
+      val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"),
+        col("ddeg").as("dw"))
+      val wedges = e1.join(e2, col("u") === col("u2"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("v").as("ws"), col("w").as("wd"))
+      val nTri = wedges
+        .join(oriented.select(col("src"), col("dst")),
+          col("src") === col("ws") && col("dst") === col("wd"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1L)).as("__w2"),
+        sum(col("deg")).as("__e2"))
+        .select(col("n_nodes"), expr("__w2 div 2").as("n_wedges"),
+          expr("__e2 div 2").as("n_edges"))
+      stats.crossJoin(broadcast(nTri))
+        .withColumn("gcc", when(col("n_wedges") > 0,
+          (lit(3L) * col("n_triangles")).cast("double")
+            / col("n_wedges").cast("double")))
+    },
+    Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS pk FROM lineitem),
+      e AS (SELECT pa, pb FROM (SELECT a.pk AS pa, b.pk AS pb,
+            COUNT(*) AS n
+          FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2) WHERE n >= 2),
+      deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT pa AS node FROM e
+          UNION ALL SELECT pb AS node FROM e)
+        GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN da < db OR (da = db AND pa < pb)
+            THEN pa ELSE pb END AS src,
+          CASE WHEN da < db OR (da = db AND pa < pb)
+            THEN pb ELSE pa END AS dst,
+          CASE WHEN da < db OR (da = db AND pa < pb)
+            THEN db ELSE da END AS ddeg
+        FROM (SELECT pa, pb, x.deg AS da, y.deg AS db
+          FROM e JOIN deg x ON x.node = pa JOIN deg y ON y.node = pb)),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT e1.dst AS v, e2.dst AS w
+            FROM o e1 JOIN o e2 ON e1.src = e2.src
+            WHERE e1.ddeg < e2.ddeg
+              OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)) wdg
+        JOIN o ON o.src = wdg.v AND o.dst = wdg.w),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges,
+          CAST(SUM(deg) // 2 AS BIGINT) AS n_edges
+        FROM deg)
+      SELECT n_nodes, n_wedges, n_edges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN CAST(3 * n_triangles AS DOUBLE)
+          / CAST(n_wedges AS DOUBLE) END AS gcc
+      FROM st CROSS JOIN tri"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
-    q244, q246, q249, q250)
+    q244, q246, q249, q250, q251, q252, q253, q254, q257)
 }

@@ -659,6 +659,60 @@ class PopGenSpec extends AnyFunSuite {
     assert(!r.contains(1L)) // the all-missing site forms no window
   }
 
+  test("fuLiWindow golden: singleton counting, D*/F* signs, and the " +
+      "published constants identity") {
+    import spark.implicits._
+    // n = 4 alleles: site 1 has a=1 (singleton), site 2 a=2 (no
+    // singleton), site 3 a=3 = m-1 (singleton), site 4 monomorphic
+    val v = Seq(
+      (1L, "c1", 10L, Seq(Seq[java.lang.Long](0L, 1L),
+        Seq[java.lang.Long](0L, 0L))),
+      (2L, "c1", 20L, Seq(Seq[java.lang.Long](0L, 1L),
+        Seq[java.lang.Long](1L, 0L))),
+      (3L, "c1", 30L, Seq(Seq[java.lang.Long](1L, 1L),
+        Seq[java.lang.Long](1L, 0L))),
+      (4L, "c1", 40L, Seq(Seq[java.lang.Long](0L, 0L),
+        Seq[java.lang.Long](0L, 0L)))
+    ).toDF("vid", "chrom", "pos", "geno")
+    val r = PopGen.fuLiWindow(v, Seq(0, 1), window = 100L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_sites") == 4L)
+    assert(row.getAs[Long]("s_seg") == 3L)
+    assert(row.getAs[Long]("eta_s") == 2L) // sites 1 and 3 only
+    // constants: u + v identity from Fu & Li 1993 (the normalizing
+    // relation u_D* = (n/(n-1))*(a_n - n/(n-1)) - v_D*), and all
+    // variance constants positive for n = 4..1000
+    for (n <- Seq(4, 10, 16, 100, 1000)) {
+      val (an, uD, vD, uF, vF) = PopGen.fuLiConstants(n)
+      val nd = n.toDouble
+      assert(math.abs(uD + vD - (nd / (nd - 1.0)) *
+        (an - nd / (nd - 1.0))) < 1e-12)
+      assert(uD > 0 && vD > 0 && uF > 0 && vF > 0)
+      assert(math.abs(an - PopGen.harmonic(n - 1)) == 0.0)
+    }
+    // an all-singleton window scores NEGATIVE D* (excess rare
+    // variation), a singleton-free segregating window POSITIVE
+    val allSingle = Seq(
+      (1L, "c1", 10L, Seq(Seq[java.lang.Long](0L, 1L),
+        Seq[java.lang.Long](0L, 0L))),
+      (2L, "c1", 20L, Seq(Seq[java.lang.Long](1L, 0L),
+        Seq[java.lang.Long](0L, 0L)))
+    ).toDF("vid", "chrom", "pos", "geno")
+    val ds = PopGen.fuLiWindow(allSingle, Seq(0, 1), window = 100L)
+      .collect().head.getAs[Double]("d_star")
+    assert(ds < 0.0)
+    val noSingle = Seq(
+      (1L, "c1", 10L, Seq(Seq[java.lang.Long](0L, 1L),
+        Seq[java.lang.Long](1L, 0L))),
+      (2L, "c1", 20L, Seq(Seq[java.lang.Long](1L, 1L),
+        Seq[java.lang.Long](0L, 0L)))
+    ).toDF("vid", "chrom", "pos", "geno")
+    val dp = PopGen.fuLiWindow(noSingle, Seq(0, 1), window = 100L)
+      .collect().head.getAs[Double]("d_star")
+    assert(dp > 0.0)
+  }
+
   test("tokenCommonness golden: corpus-frequency sums, one division") {
     import spark.implicits._
     val docs = Seq(("a", "x x y"), ("b", "y z")).toDF("doc_id", "text")
