@@ -1143,4 +1143,184 @@ object Multimodal {
         (col("shared_blocks").cast("double") /
           greatest(col("__na"), col("__nb2"))).as("sim"))
   }
+
+  // ---- JPEG / EXIF ---------------------------------------------------
+
+  /** Parsed JPEG EXIF + frame metadata. */
+  final case class ExifMeta(endian: String, make: String,
+      orientation: Int, iso: Int, pixX: Long, width: Int, height: Int)
+
+  /** Walk a JPEG's marker segments: the APP1 Exif payload parses as a
+    * real TIFF structure — either byte order (`II`/`MM`), IFD0 entry
+    * scan, values stored inline (≤ 4 bytes) OR at a data offset (the
+    * ASCII Make string), and the 0x8769 pointer into the Exif sub-IFD
+    * — plus the SOF0/SOF2 frame header for the coded dimensions.
+    * Returns None without an Exif APP1 or a frame header. JPEG marker
+    * grammar per ITU-T T.81 §B; TIFF per the TIFF 6.0 and Exif 2.3
+    * public specs. */
+  def parseJpegExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    try {
+      var o = 2
+      var exif: Option[(String, String, Int, Int, Long)] = None
+      var dims: Option[(Int, Int)] = None
+      while (o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+        val marker = b(o + 1) & 0xff
+        if (marker == 0xd9) o = b.length // EOI
+        else {
+          val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          if (marker == 0xe1 && len >= 16 &&
+              new String(b, o + 4, 6, "ISO-8859-1") == "Exif  ")
+            exif = parseTiffExif(b, o + 10, len - 8)
+          else if (marker == 0xc0 || marker == 0xc2) {
+            val h = ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff)
+            val w = ((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff)
+            dims = Some((w, h))
+          }
+          o += 2 + len
+        }
+      }
+      for ((endian, make, orient, iso, pixX) <- exif; (w, h) <- dims)
+        yield ExifMeta(endian, make, orient, iso, pixX, w, h)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** TIFF walk inside the Exif APP1 (`t0` = TIFF-header offset into the
+    * byte array, `tLen` = its byte length; all TIFF offsets are
+    * relative to `t0`). */
+  private def parseTiffExif(b: Array[Byte], t0: Int, tLen: Int)
+      : Option[(String, String, Int, Int, Long)] = {
+    val endian = new String(b, t0, 2, "ISO-8859-1")
+    if (endian != "II" && endian != "MM") return None
+    val le = endian == "II"
+    def u16(o: Int): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(t0 + 2) != 42) return None
+    var make = ""
+    var orient = 0
+    var iso = 0
+    var pixX = 0L
+    // (tag, type, count, value-or-offset) 12-byte entries; a value
+    // wider than 4 bytes lives at its offset in the data area
+    def walkIfd(ifdOff: Long, sub: Boolean): Unit = {
+      val base = t0 + ifdOff.toInt
+      if (base + 2 > t0 + tLen) return
+      val n = u16(base)
+      for (i <- 0 until n) {
+        val e = base + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4)
+        if (!sub && tag == 0x010f && typ == 2) { // Make, ASCII
+          val size = cnt.toInt
+          val vo = if (size <= 4) e + 8 else t0 + u32(e + 8).toInt
+          val raw = new String(b, vo, size, "ISO-8859-1")
+          make = raw.takeWhile(_ != ' ')
+        } else if (!sub && tag == 0x0112 && typ == 3)
+          orient = u16(e + 8)
+        else if (!sub && tag == 0x8769 && typ == 4)
+          walkIfd(u32(e + 8), sub = true)
+        else if (sub && tag == 0x8827 && typ == 3)
+          iso = u16(e + 8)
+        else if (sub && tag == 0xa002 && (typ == 4 || typ == 3))
+          pixX = if (typ == 4) u32(e + 8) else u16(e + 8).toLong
+      }
+    }
+    walkIfd(u32(t0 + 4), sub = false)
+    Some((endian, make, orient, iso, pixX))
+  }
+
+  /** Minimal-but-real Exif JPEG: SOI, an APP1 whose TIFF body carries
+    * IFD0 (Make at a DATA OFFSET — the > 4-byte ASCII case —
+    * Orientation inline, the 0x8769 sub-IFD pointer), the Exif sub-IFD
+    * (ISO, PixelXDimension), a SOF0 frame header with the coded
+    * dimensions, and EOI. `littleEndian` exercises both TIFF byte
+    * orders through one writer. */
+  def syntheticExifJpeg(make: String, orientation: Int, iso: Int,
+      width: Int, height: Int, littleEndian: Boolean): Array[Byte] = {
+    val makeBytes = (make + " ").getBytes("ISO-8859-1")
+    val le = littleEndian
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (le) { tiff.write((v & 0xff).toInt)
+        tiff.write(((v >> 8) & 0xff).toInt)
+        tiff.write(((v >> 16) & 0xff).toInt)
+        tiff.write(((v >> 24) & 0xff).toInt) }
+      else { tiff.write(((v >> 24) & 0xff).toInt)
+        tiff.write(((v >> 16) & 0xff).toInt)
+        tiff.write(((v >> 8) & 0xff).toInt)
+        tiff.write((v & 0xff).toInt) }
+    // layout (offsets relative to TIFF start): header 8, IFD0 at 8
+    // (2 + 3·12 + 4 = 42 bytes), sub-IFD at 50 (2 + 2·12 + 4 = 30),
+    // Make data at 80
+    val ifd0 = 8L; val subIfd = 50L; val makeOff = 80L
+    tiff.write(if (le) 'I' else 'M'); tiff.write(if (le) 'I' else 'M')
+    w16(42); w32(ifd0)
+    w16(3) // IFD0: 3 entries, ascending tag order per TIFF 6.0
+    w16(0x010f); w16(2); w32(makeBytes.length.toLong); w32(makeOff)
+    w16(0x0112); w16(3); w32(1L); w16(orientation); w16(0)
+    w16(0x8769); w16(4); w32(1L); w32(subIfd)
+    w32(0L) // next IFD
+    w16(2) // Exif sub-IFD
+    w16(0x8827); w16(3); w32(1L); w16(iso); w16(0)
+    w16(0xa002); w16(4); w32(1L); w32(width.toLong)
+    w32(0L)
+    tiff.write(makeBytes)
+    val t = tiff.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val app1Len = 2 + 6 + t.length
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write("Exif  ".getBytes("ISO-8859-1"))
+    out.write(t)
+    out.write(0xff); out.write(0xc0) // SOF0, 1 component
+    out.write(0); out.write(11); out.write(8)
+    out.write((height >> 8) & 0xff); out.write(height & 0xff)
+    out.write((width >> 8) & 0xff); out.write(width & 0xff)
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Typed EXIF record for the partition-batched path. */
+  final case class ExifFeature(doc_id: Long, endian: String, make: String,
+      orientation: Int, iso: Int, pix_x: Long, width: Int, height: Int,
+      n_bytes: Int)
+
+  /** Partition-batched JPEG EXIF extraction; non-JPEG rows drop. */
+  def decodeExifAll(media: Dataset[MediaRow]): Dataset[ExifFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseJpegExif(r.payload).map(m => ExifFeature(r.doc_id, m.endian,
+        m.make, m.orientation, m.iso, m.pixX, m.width, m.height,
+        r.payload.length))
+    })
+  }
+
+  /** Camera-provenance JPEG fixture table: every field a `doc_id`
+    * formula (the oracle predicts them), byte order alternating by id
+    * so both TIFF endiannesses flow through the parser. */
+  def syntheticExifTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "image", syntheticExifJpeg(
+          s"cam_${id % 7}", (id % 8 + 1).toInt,
+          ((id % 5) * 100 + 100).toInt, (id % 640 + 16).toInt,
+          ((id * 3) % 480 + 8).toInt, littleEndian = id % 2 == 0))
+      })
+  }
 }

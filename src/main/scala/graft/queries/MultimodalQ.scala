@@ -397,7 +397,31 @@ object MultimodalQ extends QueryModule {
           + 14 * (doc_id % 4 + 1) + 1 AS INT) AS n_bytes
       FROM documents"""))
 
+  // REAL JPEG/EXIF camera-provenance extraction: marker-segment walk,
+  // APP1 TIFF parse in BOTH byte orders (alternating by id), Make
+  // stored at a data offset (the > 4-byte ASCII case), Orientation/ISO
+  // inline, the 0x8769 sub-IFD pointer, SOF0 coded dimensions, and the
+  // exact byte length — every value a doc_id formula the oracle
+  // predicts (an offset slip, endianness bug, or segment-length error
+  // breaks the hash).
+  private val q261 = Q("q261_exif_meta",
+    (s, dir) => Multimodal.decodeExifAll(Multimodal.syntheticExifTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("endian"), col("make"),
+        col("orientation"), col("iso"), col("pix_x"), col("width"),
+        col("height"), col("n_bytes")),
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        'cam_' || CAST(doc_id % 7 AS VARCHAR) AS make,
+        CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        CAST((doc_id % 5) * 100 + 100 AS INT) AS iso,
+        CAST(doc_id % 640 + 16 AS BIGINT) AS pix_x,
+        CAST(doc_id % 640 + 16 AS INT) AS width,
+        CAST((doc_id * 3) % 480 + 8 AS INT) AS height,
+        CAST(113 AS INT) AS n_bytes
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209)
+      q186, q200, q209, q261)
 }

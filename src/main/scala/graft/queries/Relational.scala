@@ -1869,9 +1869,113 @@ object Relational extends QueryModule {
           / CAST(n_wedges AS DOUBLE) END AS gcc
       FROM st CROSS JOIN tri"""))
 
+  // --- q259: EXACT CUSUM changepoint per event type — where did the
+  // daily event rate shift? For the daily-count series x_1..x_T the
+  // CUSUM deviation at day k is |Σ_{i≤k} x_i − (k/T)·Σx|; cross-
+  // multiplied by T it is the exact BIGINT |T·S_k − k·S|. The argmax
+  // (ties → earliest day) is the changepoint. The data-sized work is
+  // ONE (type, day) aggregate; the cumulative and rank windows run
+  // over the #types×#days summary table only. -----------------------
+  private val q259 = Q("q259_changepoint",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("s_total"), count(lit(1)).as("t_days"),
+          min(col("day")).as("d0"))
+      val dev = daily
+        .withColumn("s_k", sum(col("x")).over(wc))
+        .join(broadcast(tot), "event_type")
+        .withColumn("k", col("day") - col("d0") + 1L)
+        .withColumn("dev", abs(col("t_days") * col("s_k")
+          - col("k") * col("s_total")))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev").desc, col("day"))
+      dev.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("t_days"), col("s_total"),
+          col("day").as("cp_day"), col("dev").as("cp_dev"),
+          (col("dev").cast("double")
+            / (col("t_days") * col("s_total")).cast("double"))
+            .as("cp_stat"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          epoch_ns(ts) // 86400000000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, SUM(x) AS s_total,
+          CAST(COUNT(*) AS BIGINT) AS t_days, MIN(day) AS d0
+        FROM daily GROUP BY 1),
+      dev AS (SELECT daily.event_type, day, t_days, s_total,
+          abs(t_days * SUM(x) OVER (PARTITION BY daily.event_type
+              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)
+            - (day - d0 + 1) * s_total) AS dev
+        FROM daily JOIN tot ON daily.event_type = tot.event_type)
+      SELECT event_type, t_days, CAST(s_total AS BIGINT) AS s_total,
+        CAST(day AS BIGINT) AS cp_day, CAST(dev AS BIGINT) AS cp_dev,
+        CAST(dev AS DOUBLE) / CAST(t_days * s_total AS DOUBLE) AS cp_stat
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY dev DESC, day) AS rk FROM dev)
+      WHERE rk = 1"""))
+
+  // --- q260: supplier SKYLINE (Pareto frontier) on (total revenue ↑,
+  // worst ship latency ↓) — the classic multi-criteria "not dominated"
+  // operator. Scale shape: NO pairwise dominance join. Both attributes
+  // are exact integers, so dominance reduces to prefix maxima over the
+  // latency order: a supplier is dominated iff a strictly-faster
+  // latency class reaches ≥ its revenue, or its own class reaches more.
+  // The per-class maxima table is DISTINCT-latency-sized (bounded by
+  // the latency domain, not the supplier count), so the one ordered
+  // window runs over a broadcast-size summary — the two-level-cumsum
+  // discipline applied to prefix-max. ---------------------------------
+  private val q260 = Q("q260_skyline",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_shipdate"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val per = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("cents"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lat"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("cents")).as("rev_cents"),
+          max(col("lat")).as("worst_lat"))
+      val wPfx = Window.orderBy(col("worst_lat"))
+        .rowsBetween(Window.unboundedPreceding, -1L)
+      val classes = per.groupBy(col("worst_lat"))
+        .agg(max(col("rev_cents")).as("cls_max"))
+        .withColumn("pfx_max",
+          max(col("cls_max")).over(wPfx)) // distinct-latency-sized
+      per.join(broadcast(classes), "worst_lat")
+        .filter(col("rev_cents") === col("cls_max")
+          && (col("pfx_max").isNull
+            || col("pfx_max") < col("rev_cents")))
+        .select(col("l_suppkey"), col("rev_cents"), col("worst_lat"))
+    },
+    Some("""WITH per AS (SELECT l_suppkey,
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+          CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+            AS worst_lat
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1)
+      SELECT a.l_suppkey, a.rev_cents, a.worst_lat FROM per a
+      WHERE NOT EXISTS (SELECT 1 FROM per b
+        WHERE b.rev_cents >= a.rev_cents AND b.worst_lat <= a.worst_lat
+          AND (b.rev_cents > a.rev_cents OR b.worst_lat < a.worst_lat))"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
-    q244, q246, q249, q250, q251, q252, q253, q254, q257)
+    q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260)
 }

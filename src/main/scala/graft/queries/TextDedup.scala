@@ -2293,10 +2293,88 @@ object TextDedup extends QueryModule {
       WHERE fd < (n_docs * decile) // 10
       GROUP BY 1"""))
 
+  // --- incremental corpus admission (the nightly-crawl dedup shape):
+  // an INCOMING batch (doc_id % 5 = 0, simulating a new crawl) is
+  // classified against the standing BASE corpus — 'exact' when its
+  // content fingerprint already exists in base, else 'near' when a
+  // verified MinHash-LSH candidate (q33's bands, cross-side pairs
+  // only) clears exact Jaccard ≥ 0.5, else 'novel'. In production the
+  // base side's bands/fingerprints are a PERSISTED index the incoming
+  // batch joins against — only incoming documents shingle per run; the
+  // one data-sized shuffle is the band-key join, and verification
+  // touches candidates only. ------------------------------------------
+  private val q258 = Q("q258_incremental_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val incoming = d.filter(col("doc_id") % 5 === 0)
+      val base = d.filter(col("doc_id") % 5 =!= 0)
+      val exactHit = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(base.select(md5(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+      def bandsOf(side: org.apache.spark.sql.DataFrame) = side
+        .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          minhashSignature(col("sh"), MINHASH_K).as("sig"))
+        .select(col("doc_id"),
+          posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+            .as(Seq("band", "bkey")))
+      val cand = bandsOf(incoming).as("a").join(bandsOf(base).as("b"),
+          col("a.band") === col("b.band")
+            && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_base"))
+        .dropDuplicates("doc_in", "doc_base")
+      val texts = d.select(col("doc_id"), col("text"))
+      val nearHit = cand
+        .join(texts.withColumnRenamed("doc_id", "doc_in")
+          .withColumnRenamed("text", "text_a"), "doc_in")
+        .join(texts.withColumnRenamed("doc_id", "doc_base")
+          .withColumnRenamed("text", "text_b"), "doc_base")
+        .filter(jaccard(shingles(col("text_a"), SHINGLE_N),
+          shingles(col("text_b"), SHINGLE_N)) >= 0.5)
+        .groupBy(col("doc_in"))
+        .agg(count(lit(1)).as("n_near"))
+      incoming.select(col("doc_id"))
+        .join(exactHit.withColumn("__e", lit(1L)), Seq("doc_id"), "left")
+        .join(nearHit.withColumnRenamed("doc_in", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__e").isNotNull, "exact")
+            .when(col("n_near").isNotNull, "near")
+            .otherwise("novel").as("status"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    },
+    Some(s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      ex AS (SELECT DISTINCT i.doc_id FROM inc i
+        JOIN base b ON md5(i.text) = md5(b.text)),
+      $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_base
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey
+          AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      near AS (SELECT doc_in, CAST(COUNT(*) AS BIGINT) AS n_near
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_in
+        JOIN sh sb ON sb.doc_id = cand.doc_base
+        WHERE CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        GROUP BY 1)
+      SELECT i.doc_id,
+        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             WHEN near.doc_in IS NOT NULL THEN 'near'
+             ELSE 'novel' END AS status,
+        COALESCE(near.n_near, 0) AS n_near
+      FROM inc i
+      LEFT JOIN ex ON ex.doc_id = i.doc_id
+      LEFT JOIN near ON near.doc_in = i.doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239, q245, q247)
+      q223, q230, q232, q238, q239, q245, q247, q258)
 }

@@ -12,6 +12,36 @@ import graft.operators.Multimodal
   * mistaken for a real decode. */
 class ImageCodecSpec extends AnyFunSuite {
 
+  test("JPEG/EXIF: both TIFF byte orders, offset-stored Make, inline " +
+      "SHORT/LONG values, SOF dims, exact byte length") {
+    for (le <- Seq(true, false)) {
+      val b = Multimodal.syntheticExifJpeg("cam_3", orientation = 6,
+        iso = 400, width = 123, height = 77, littleEndian = le)
+      assert(b.length == 113) // the q261 oracle's pinned constant
+      val m = Multimodal.parseJpegExif(b).get
+      assert(m.endian == (if (le) "II" else "MM"))
+      assert(m.make == "cam_3" && m.orientation == 6 && m.iso == 400)
+      assert(m.pixX == 123L && m.width == 123 && m.height == 77)
+    }
+  }
+
+  test("JPEG/EXIF rejections: bad magic, truncation mid-segment, and a " +
+      "JPEG without APP1 or SOF drop instead of throwing") {
+    assert(Multimodal.parseJpegExif("not a jpeg".getBytes).isEmpty)
+    val good = Multimodal.syntheticExifJpeg("cam_0", 1, 100, 16, 8,
+      littleEndian = true)
+    for (cut <- Seq(1, 3, 20, 60, good.length - 3))
+      assert(Multimodal.parseJpegExif(good.take(cut)).isEmpty
+        || cut >= good.length - 3) // EOI truncation may still parse
+    // SOI+EOI only: no Exif, no frame header
+    assert(Multimodal.parseJpegExif(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // flip one byte inside the TIFF magic: the APP1 is skipped
+    val broken = good.clone()
+    broken(12) = 'X'.toByte
+    assert(Multimodal.parseJpegExif(broken).isEmpty)
+  }
+
   test("GIF block walk: dims, frames, NETSCAPE loop, GCT, byte length") {
     val g = Multimodal.syntheticGif(width = 17, height = 9, nFrames = 3,
       loopCount = 5, gct = true)
