@@ -216,6 +216,17 @@ object ScaleProbe {
           d.select(length(col("text")).cast("long").as("x"),
             size(split(col("text"), " ")).cast("long").as("y")),
           "x", "y", 64L, 16L), Docs),
+      // triangle census: each doc id u contributes edges (u,u+1) and
+      // (u,u+2) — every consecutive id closes a triangle, so truth
+      // grows linearly and the probe prices the degree join + oriented
+      // wedge join machinery, not the answer's size
+      ("triangle_census", { d =>
+        val ids = d.select(col("doc_id").as("u"))
+        val edges = ids.select(col("u").as("pa"), (col("u") + 1L).as("pb"))
+          .unionByName(ids.select(col("u").as("pa"),
+            (col("u") + 2L).as("pb")))
+        graft.operators.Graphs.triangleCensus(edges)
+      }, Docs),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))

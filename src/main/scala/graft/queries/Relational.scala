@@ -1799,41 +1799,7 @@ object Relational extends QueryModule {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2L)
         .select(col("pa"), col("pb"))
-      val deg = pairs.select(col("pa").as("node"))
-        .unionByName(pairs.select(col("pb").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val withDeg = pairs
-        .join(deg.select(col("node").as("pa"), col("deg").as("da")),
-          "pa")
-        .join(deg.select(col("node").as("pb"), col("deg").as("db")),
-          "pb")
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("pa") < col("pb"))
-      val oriented = withDeg.select(
-        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
-        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-      val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
-        col("ddeg").as("dv"))
-      val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"),
-        col("ddeg").as("dw"))
-      val wedges = e1.join(e2, col("u") === col("u2"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-        .select(col("v").as("ws"), col("w").as("wd"))
-      val nTri = wedges
-        .join(oriented.select(col("src"), col("dst")),
-          col("src") === col("ws") && col("dst") === col("wd"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val stats = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("deg") * (col("deg") - 1L)).as("__w2"),
-        sum(col("deg")).as("__e2"))
-        .select(col("n_nodes"), expr("__w2 div 2").as("n_wedges"),
-          expr("__e2 div 2").as("n_edges"))
-      stats.crossJoin(broadcast(nTri))
-        .withColumn("gcc", when(col("n_wedges") > 0,
-          (lit(3L) * col("n_triangles")).cast("double")
-            / col("n_wedges").cast("double")))
+      graft.operators.Graphs.triangleCensus(pairs)
     },
     Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok,
           l_partkey AS pk FROM lineitem),
