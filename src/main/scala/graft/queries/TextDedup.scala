@@ -2371,10 +2371,78 @@ object TextDedup extends QueryModule {
       LEFT JOIN ex ON ex.doc_id = i.doc_id
       LEFT JOIN near ON near.doc_in = i.doc_id"""))
 
+  // --- near-dup threshold COST CURVE: what does each Jaccard cutoff
+  // buy? Over the verified LSH candidate pairs (q33's bands — the set a
+  // production run would price), per threshold ∈ {0.5, 0.6, 0.8}: pairs
+  // at or above it, documents the keep-first rule would drop (distinct
+  // larger ids), and the exact character mass those drops remove. The
+  // threshold fan-out explodes a 3-element literal over the CANDIDATE
+  // pair set only — the corpus is scanned once. ------------------------
+  private val q263 = Q("q263_dedup_cost_curve",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val docs = d.select(col("doc_id"),
+          shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val bands = docs.select(col("doc_id"),
+        posexplode(lshBands(minhashSignature(col("sh"), MINHASH_K),
+          BANDS, ROWS_PER_BAND)).as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val texts = d.select(col("doc_id"), col("text"))
+      val scored = cand
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(shingles(col("text_a"), SHINGLE_N),
+            shingles(col("text_b"), SHINGLE_N)).as("jac"))
+      val byT = scored
+        .select(explode(array(lit(0.5), lit(0.6), lit(0.8))).as("t"),
+          col("doc_b"), col("jac"))
+        .filter(col("jac") >= col("t"))
+      val nPairs = byT.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val drops = byT.select(col("t"), col("doc_b")).distinct()
+        .join(d.select(col("doc_id").as("doc_b"), col("n_chars")),
+          "doc_b")
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_docs_dropped"),
+          sum(col("n_chars")).as("chars_dropped"))
+      nPairs.join(drops, "t")
+    },
+    Some(s"""WITH $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      scored AS (SELECT doc_a, doc_b,
+          CAST(len(sa.sh) + len(sb.sh)
+               - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b),
+      ts(t) AS (VALUES (0.5e0), (0.6e0), (0.8e0)),
+      byt AS (SELECT t, doc_b, jac FROM scored CROSS JOIN ts
+        WHERE jac >= t),
+      np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM byt GROUP BY 1),
+      dr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_dropped
+        FROM (SELECT DISTINCT t, doc_b FROM byt) x
+        JOIN documents d ON d.doc_id = x.doc_b
+        GROUP BY 1)
+      SELECT np.t, n_pairs, n_docs_dropped, chars_dropped
+      FROM np JOIN dr ON np.t = dr.t"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239, q245, q247, q258)
+      q223, q230, q232, q238, q239, q245, q247, q258, q263)
 }

@@ -1242,8 +1242,96 @@ object VcfQ extends QueryModule {
       WHERE called > 0 AND length(allele) = 3
       GROUP BY 1"""))
 
+  // Fu & Li's D* neutrality scan along REAL chr22 (1092 samples ×
+  // 19,773 variants) through the packed bit-plane lane: per 1 Mb
+  // window the exact segregating-site and singleton counts (a site is
+  // a singleton when its alt dosage is 1 or called−1 — both straight
+  // from the genoStatsPacked counters), plus the ratio-of-sums
+  // per-site heterozygosity (exact BIGINT numerator/denominator, one
+  // division — at n = 2184 the per-site lcm scale of the synthetic-
+  // cube lane cannot exist in 64 bits, and D* by construction needs
+  // only S and η_s, never π). The D* arithmetic interpolates the
+  // n = 2184 Fu & Li constants into both engines as e0 literals.
+  // Oracle: the independent python-decoder stats dump joined to the
+  // dump-pos twin. -----------------------------------------------------
+  private val FULI_WIN = 1000000L
+  private val q262 = Q("q262_1kg_fuli",
+    (s, _) => {
+      val df = s.read.format("gds").option("packed", "true")
+        .load("/root/reference/inst/extdata/1KG_phase1_release_v3_chr22.gds")
+      val st = genoStatsPacked(col("pg"), lit(1092))
+      val nAll = 2184
+      val (an, uD, vD, _, _) = graft.operators.PopGen.fuLiConstants(nAll)
+      val r = nAll.toDouble / (nAll - 1.0)
+      val base = df.select(col("pos"),
+          element_at(st, 2).as("m"),
+          (element_at(st, 2) - element_at(st, 3)).as("a"))
+        .filter(col("m") >= 2)
+      val agg = base
+        .select(expr(s"pos div $FULI_WIN").cast("long").as("win"),
+          col("m"), col("a"))
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when(col("a") > 0 && col("a") < col("m"), 1L)
+            .otherwise(0L)).as("s_seg"),
+          sum(when((col("a") === 1 || col("a") === col("m") - 1)
+            && col("a") > 0 && col("a") < col("m"), 1L)
+            .otherwise(0L)).as("eta_s"),
+          sum(lit(2L) * col("a") * (col("m") - col("a"))).as("pi_num"),
+          sum(col("m") * (col("m") - 1L)).as("pi_den"))
+        .withColumn("win_start", col("win") * FULI_WIN)
+        .withColumn("pi_site",
+          col("pi_num").cast("double") / col("pi_den").cast("double"))
+      val sD = col("s_seg").cast("double")
+      val eD = col("eta_s").cast("double")
+      agg.withColumn("d_star",
+          when(col("s_seg") > 0,
+            (lit(r) * sD - lit(an) * eD) /
+              sqrt(lit(uD) * sD + lit(vD) * (sD * sD))))
+        .select(col("win"), col("win_start"), col("n_sites"),
+          col("s_seg"), col("eta_s"), col("pi_num"), col("pi_den"),
+          col("pi_site"), col("d_star"))
+    },
+    Some {
+      val nAll = 2184
+      val (an0, uD0, vD0, _, _) = graft.operators.PopGen.fuLiConstants(nAll)
+      def dlit(d: Double): String = {
+        val str = d.toString
+        if (str.contains('E') || str.contains('e')) str else str + "e0"
+      }
+      val (an, uD, vD) = (dlit(an0), dlit(uD0), dlit(vD0))
+      val r = dlit(nAll.toDouble / (nAll - 1.0))
+      s"""SELECT *,
+        CASE WHEN s_seg > 0
+          THEN ($r * CAST(s_seg AS DOUBLE) - $an * CAST(eta_s AS DOUBLE))
+               / sqrt($uD * CAST(s_seg AS DOUBLE)
+                 + $vD * (CAST(s_seg AS DOUBLE) * CAST(s_seg AS DOUBLE)))
+        END AS d_star
+      FROM (SELECT CAST(pos // $FULI_WIN AS BIGINT) AS win,
+          CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM(CASE WHEN a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS BIGINT) AS s_seg,
+          CAST(SUM(CASE WHEN (a = 1 OR a = m - 1)
+                          AND a > 0 AND a < m THEN 1 ELSE 0 END)
+            AS BIGINT) AS eta_s,
+          CAST(SUM(2 * a * (m - a)) AS BIGINT) AS pi_num,
+          CAST(SUM(m * (m - 1)) AS BIGINT) AS pi_den,
+          CAST((pos // $FULI_WIN) * $FULI_WIN AS BIGINT) AS win_start,
+          CAST(SUM(2 * a * (m - a)) AS DOUBLE)
+            / CAST(SUM(m * (m - 1)) AS DOUBLE) AS pi_site
+        FROM (SELECT pp.pos, gs.called AS m,
+            gs.called - gs.ac_ref AS a
+          FROM read_parquet(
+              '/root/repo/scripts/oracle/1kg_chr22_geno_stats.parquet') gs
+            JOIN read_parquet(
+              '/root/repo/scripts/oracle/1kg_chr22_pos.parquet') pp
+              USING (variant_id)
+          WHERE called >= 2)
+        GROUP BY win, win_start)"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
       q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243,
-      q248)
+      q248, q262)
 }

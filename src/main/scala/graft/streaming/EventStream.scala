@@ -254,6 +254,55 @@ object EventStream {
       }
   }
 
+  /** A scored item flowing into the online Pareto maintainer. */
+  final case class MetricPoint(group: String, item: Long,
+      ts: java.sql.Timestamp, rev: Long, lat: Long)
+
+  /** A frontier admission: `item` was Pareto-optimal (maximize `rev`,
+    * minimize `lat`) among all points of its group seen up to its
+    * arrival. */
+  final case class FrontierRow(group: String, item: Long, rev: Long,
+      lat: Long)
+
+  /** Online Pareto-frontier (skyline) maintenance via
+    * flatMapGroupsWithState — the streaming twin of q260's batch
+    * skyline: per group the state holds the CURRENT frontier (bounded
+    * by the frontier size, never the stream), each arriving point is
+    * admitted iff no frontier point dominates it (≥ rev, ≤ lat, one
+    * strict), and an admission evicts the points it now dominates.
+    * Emits admissions (a later arrival may retroactively dominate an
+    * earlier admission — admission is an AT-ARRIVAL property; the
+    * end-of-stream frontier is the state, and the batch skyline of all
+    * points is always a subset of the admissions). Points inside one
+    * batch are ordered by (ts, item) before folding, so the
+    * stream==batch gate holds for in-timestamp-order arrival across
+    * batches (the [[transitionStream]] caveat). */
+  def skylineStream(points: Dataset[MetricPoint]): Dataset[FrontierRow] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], FrontierRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[MetricPoint],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          var frontier = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[FrontierRow]
+          for (p <- batch.toSeq.sortBy(x => (x.ts.getTime, x.item))) {
+            val dominated = frontier.exists { case (_, r, l) =>
+              r >= p.rev && l <= p.lat && (r > p.rev || l < p.lat)
+            }
+            if (!dominated) {
+              out += FrontierRow(g, p.item, p.rev, p.lat)
+              frontier = (p.item, p.rev, p.lat) :: frontier.filterNot {
+                case (_, r, l) =>
+                  p.rev >= r && p.lat <= l && (p.rev > r || p.lat < l)
+              }
+            }
+          }
+          state.update(frontier)
+          out.result().iterator
+      }
+  }
+
   /** Stateful per-user sessionization via mapGroupsWithState: a session
     * closes after `gapMs` of inactivity (processing-time timeout — the
     * KeyValueGroupedDataset state-machine shape from the brief). */

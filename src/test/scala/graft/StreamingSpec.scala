@@ -375,6 +375,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming skyline: admissions == at-arrival Pareto replay, " +
+      "state holds the batch frontier") {
+    import spark.implicits._
+    def mp(g: String, i: Long, t: Int, rev: Long, lat: Long) =
+      EventStream.MetricPoint(g, i, ts(t), rev, lat)
+    val b1 = Seq(mp("x", 1, 1, 100, 10), mp("x", 2, 2, 90, 5),
+      mp("y", 10, 1, 50, 50))
+    val b2 = Seq(mp("x", 3, 3, 100, 5), // dominates items 1 AND 2
+      mp("x", 4, 4, 80, 20), // dominated at arrival → silent
+      mp("x", 5, 5, 100, 5), // ties item 3 on both dims → admitted
+      mp("y", 11, 2, 50, 60)) // dominated (worse lat, equal rev)
+    val stream = MemoryStream[EventStream.MetricPoint](spark)
+    val q = EventStream.skylineStream(stream.toDS())
+      .writeStream.format("memory").queryName("sky_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("sky_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      // batch twin: fold all points in (ts, item) order per group,
+      // admitting exactly the at-arrival Pareto survivors
+      val batch = (b1 ++ b2).groupBy(_.group).toSeq.flatMap {
+        case (g, ps) =>
+          var f = List.empty[(Long, Long, Long)]
+          val adm = Seq.newBuilder[(String, Long)]
+          for (p <- ps.sortBy(x => (x.ts.getTime, x.item))) {
+            val dom = f.exists { case (_, r, l) =>
+              r >= p.rev && l <= p.lat && (r > p.rev || l < p.lat) }
+            if (!dom) {
+              adm += ((g, p.item))
+              f = (p.item, p.rev, p.lat) :: f.filterNot { case (_, r, l) =>
+                p.rev >= r && p.lat <= l && (p.rev > r || p.lat < l) }
+            }
+          }
+          adm.result()
+      }.sorted
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 5L),
+        ("y", 10L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per user") {
     import spark.implicits._
     val events = Seq(
