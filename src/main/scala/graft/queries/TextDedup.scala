@@ -2312,13 +2312,17 @@ object TextDedup extends QueryModule {
         .join(base.select(md5(col("text")).as("fp")).distinct(),
           Seq("fp"), "left_semi")
         .select(col("doc_id"))
+      // _outer: a plain posexplode here gets an inferred size > 0
+      // filter whose pushed copy re-runs the signature chain below the
+      // Generate (the q124/q263 lesson; bands of a k-signature are
+      // never empty)
       def bandsOf(side: org.apache.spark.sql.DataFrame) = side
         .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
           minhashSignature(col("sh"), MINHASH_K).as("sig"))
         .select(col("doc_id"),
-          posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          posexplode_outer(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
             .as(Seq("band", "bkey")))
       val cand = bandsOf(incoming).as("a").join(bandsOf(base).as("b"),
           col("a.band") === col("b.band")
@@ -2384,9 +2388,15 @@ object TextDedup extends QueryModule {
       val docs = d.select(col("doc_id"),
           shingles(col("text"), SHINGLE_N).as("sh"))
         .filter(size(col("sh")) > 0)
-      val bands = docs.select(col("doc_id"),
-        posexplode(lshBands(minhashSignature(col("sh"), MINHASH_K),
-          BANDS, ROWS_PER_BAND)).as(Seq("band", "bkey")))
+      // sig materializes as its own projection and the explode is
+      // _outer: a plain posexplode of the fused signature chain gets an
+      // inferred size(...) > 0 filter whose pushed copy re-runs the
+      // whole minhash chain below the Generate (the q124 lesson)
+      val sigs = docs.select(col("doc_id"),
+        minhashSignature(col("sh"), MINHASH_K).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode_outer(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          .as(Seq("band", "bkey")))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band")
             && col("a.bkey") === col("b.bkey")
@@ -2402,18 +2412,27 @@ object TextDedup extends QueryModule {
         .select(col("doc_a"), col("doc_b"),
           jaccard(shingles(col("text_a"), SHINGLE_N),
             shingles(col("text_b"), SHINGLE_N)).as("jac"))
-      val byT = scored
+      // one chain: pre-filter at the lowest threshold, fan out the
+      // 3-element literal, then ONE (t, doc_b) aggregate followed by a
+      // 3-row rollup — pair count, distinct-doc count, and the char
+      // mass of distinct drops all come out of the same pass (a
+      // two-consumer shape here recomputed the whole LSH chain twice:
+      // measured 9.2 s → one-pass form)
+      val nchars = d.select(col("doc_id").as("doc_b"), col("n_chars"))
+      // pinned: a plain filter on the aliased jac re-inlines the whole
+      // shingle+jaccard verify into the pushed predicate (2× the
+      // chain's hottest expression — the q126 pushdown lesson)
+      graft.operators.PopGen.pinnedFilter(scored, col("jac") >= 0.5)
+        .join(nchars, "doc_b")
         .select(explode(array(lit(0.5), lit(0.6), lit(0.8))).as("t"),
-          col("doc_b"), col("jac"))
+          col("doc_b"), col("jac"), col("n_chars"))
         .filter(col("jac") >= col("t"))
-      val nPairs = byT.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
-      val drops = byT.select(col("t"), col("doc_b")).distinct()
-        .join(d.select(col("doc_id").as("doc_b"), col("n_chars")),
-          "doc_b")
+        .groupBy(col("t"), col("doc_b"))
+        .agg(count(lit(1)).as("__np"), min(col("n_chars")).as("__nc"))
         .groupBy(col("t"))
-        .agg(count(lit(1)).as("n_docs_dropped"),
-          sum(col("n_chars")).as("chars_dropped"))
-      nPairs.join(drops, "t")
+        .agg(sum(col("__np")).as("n_pairs"),
+          count(lit(1)).as("n_docs_dropped"),
+          sum(col("__nc")).as("chars_dropped"))
     },
     Some(s"""WITH $lshCte,
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
