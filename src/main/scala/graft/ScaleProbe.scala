@@ -231,9 +231,12 @@ object ScaleProbe {
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
-        val bands = docs.select(col("doc_id"),
-          posexplode(lshBands(minhashSignature(col("sh"), 12), 4, 3))
-            .as(Seq("band", "bkey")))
+        val bands = docs
+          .select(col("doc_id"),
+            minhashSignature(col("sh"), 12).as("sig"))
+          .select(col("doc_id"),
+            posexplode_outer(lshBands(col("sig"), 4, 3))
+              .as(Seq("band", "bkey")))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band")
               && col("a.bkey") === col("b.bkey")
