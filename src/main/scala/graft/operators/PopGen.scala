@@ -331,6 +331,59 @@ object PopGen {
         sum(col("baba_i")).as("baba_num"))
       .withColumn("d_stat", dRatio)
 
+  /** Block-jackknife significance for the Patterson D — the admixtools
+    * `D ± Z` output (Busing et al. 1999 delete-one jackknife over
+    * chromosome blocks, the field's standard SE): each block's
+    * leave-one-out D_i recomputes from the EXACT total minus block
+    * ABBA/BABA sums (one division per block), and the jackknife mean,
+    * variance ((m−1)/m · Σ(D_i − D̄)²) and Z = D/SE are fixed-order
+    * double folds over the chrom-sorted block list — both engines fold
+    * left over the identical order (Spark `aggregate` HOF == DuckDB
+    * `list_reduce`), so the doubles replay bitwise. Equal block
+    * weights (the delete-one form; fine when blocks are comparable —
+    * the per-chrom design here). Everything after the per-chrom
+    * [[dStat]] aggregate is summary-sized. */
+  def dStatJackknife(v: DataFrame, g1: Seq[Int], g2: Seq[Int],
+      g3: Seq[Int], g4: Seq[Int], ploidy: Int = 2): DataFrame = {
+    val per = dStat(v, g1, g2, g3, g4, ploidy)
+      .select(col("chrom"), col("n_sites"), col("abba_num"),
+        col("baba_num"))
+    val tot = per.agg(sum(col("abba_num")).as("abba_total"),
+      sum(col("baba_num")).as("baba_total"),
+      sum(col("n_sites")).as("ns_total"))
+    val loo = per.crossJoin(broadcast(tot))
+      .filter(col("abba_total") - col("abba_num")
+        + (col("baba_total") - col("baba_num")) =!= 0)
+      .withColumn("d_i",
+        (col("abba_total") - col("abba_num")
+          - (col("baba_total") - col("baba_num"))).cast("double")
+          / (col("abba_total") - col("abba_num")
+            + (col("baba_total") - col("baba_num"))).cast("double"))
+    val folded = loo.groupBy(col("abba_total"), col("baba_total"),
+        col("ns_total"))
+      .agg(count(lit(1)).as("m_blocks"),
+        array_sort(collect_list(struct(col("chrom"), col("d_i"))))
+          .as("__ds"))
+      .withColumn("__dl", expr("transform(__ds, x -> x.d_i)"))
+    val mD = col("m_blocks").cast("double")
+    folded
+      .withColumn("d_stat",
+        when(col("abba_total") + col("baba_total") =!= 0,
+          (col("abba_total") - col("baba_total")).cast("double")
+            / (col("abba_total") + col("baba_total")).cast("double")))
+      .withColumn("jk_mean",
+        expr("aggregate(__dl, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / mD)
+      .withColumn("jk_var", (mD - lit(1.0)) / mD *
+        expr("aggregate(__dl, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + (x - jk_mean) * (x - jk_mean))"))
+      .withColumn("z_score",
+        when(col("jk_var") > 0, col("d_stat") / sqrt(col("jk_var"))))
+      .select(col("m_blocks"), col("ns_total").as("n_sites"),
+        col("abba_total"), col("baba_total"), col("d_stat"),
+        col("jk_mean"), col("jk_var"), col("z_score"))
+  }
+
   /** Windowed Patterson D — the introgression SCAN twin of [[dStat]]
     * (the per-window shape fd-style local tests are built from): the
     * same exact lcm⁴-scaled ABBA/BABA sums as [[dStat]] per

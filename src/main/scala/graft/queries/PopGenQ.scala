@@ -1201,6 +1201,92 @@ object PopGenQ extends QueryModule {
         GROUP BY 1, 2, 3)"""
     }))
 
+  // --- Patterson D with BLOCK-JACKKNIFE significance — the admixtools
+  // `D ± Z` headline number: per-chrom exact ABBA/BABA sums (q203's
+  // stage), leave-one-block-out D_i from total-minus-block integers,
+  // and jackknife mean/variance/Z as fixed-order double folds over the
+  // chrom-sorted block list — Spark's `aggregate` HOF and DuckDB's
+  // `list_reduce` fold left over the identical order, so every double
+  // replays bitwise (0.0 + x == x exactly; the numerators are integer
+  // zeros, never −0.0). Everything past the per-chrom aggregate is
+  // summary-sized. -----------------------------------------------------
+  private val q266 = Q("q266_dstat_jackknife",
+    (s, dir) => PopGen.dStatJackknife(
+      SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("geno")),
+      0 until N / 4, N / 4 until N / 2,
+      N / 2 until 3 * N / 4, 3 * N / 4 until N),
+    Some(withCte {
+      val l = PopGen.piScale(N / 4 * 2)
+      val scale = l * l * l * l
+      s""", per AS (SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM((n1-a1) * a2 * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS abba_num,
+          CAST(SUM(a1 * (n2-a2) * a3 * (n4-a4)
+            * ($scale // (n1*n2*n3*n4))) AS BIGINT) AS baba_num
+        FROM (SELECT * FROM (SELECT chrom,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL)) AS BIGINT)
+              AS n1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL)) AS BIGINT)
+              AS n2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL)) AS BIGINT)
+              AS n3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL)) AS BIGINT)
+              AS n4,
+            CAST(len(list_filter(f1, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a1,
+            CAST(len(list_filter(f2, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a2,
+            CAST(len(list_filter(f3, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a3,
+            CAST(len(list_filter(f4, a -> a IS NOT NULL AND a <> 0))
+              AS BIGINT) AS a4
+          FROM (SELECT chrom,
+              flatten(geno[1:${N / 4}]) AS f1,
+              flatten(geno[${N / 4 + 1}:${N / 2}]) AS f2,
+              flatten(geno[${N / 2 + 1}:${3 * N / 4}]) AS f3,
+              flatten(geno[${3 * N / 4 + 1}:$N]) AS f4
+            FROM variants))
+          WHERE n1 >= 1 AND n2 >= 1 AND n3 >= 1 AND n4 >= 1)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(abba_num) AS BIGINT) AS abba_total,
+          CAST(SUM(baba_num) AS BIGINT) AS baba_total,
+          CAST(SUM(n_sites) AS BIGINT) AS n_sites
+        FROM per),
+      loo AS (SELECT chrom,
+          CAST(abba_total - abba_num - (baba_total - baba_num)
+            AS DOUBLE)
+          / CAST(abba_total - abba_num + (baba_total - baba_num)
+            AS DOUBLE) AS d_i
+        FROM per CROSS JOIN tot
+        WHERE abba_total - abba_num + (baba_total - baba_num) <> 0),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_blocks,
+          list(CAST(d_i AS DOUBLE) ORDER BY chrom) AS dl
+        FROM loo),
+      st AS (SELECT m_blocks, n_sites, abba_total, baba_total,
+          CASE WHEN abba_total + baba_total <> 0
+            THEN CAST(abba_total - baba_total AS DOUBLE)
+              / CAST(abba_total + baba_total AS DOUBLE) END AS d_stat,
+          list_reduce(dl, (a, x) -> a + x)
+            / CAST(m_blocks AS DOUBLE) AS jk_mean, dl
+        FROM f CROSS JOIN tot)
+      SELECT m_blocks, n_sites, abba_total, baba_total, d_stat, jk_mean,
+        (CAST(m_blocks AS DOUBLE) - 1.0) / CAST(m_blocks AS DOUBLE)
+          * list_reduce(list_transform(dl,
+              x -> (x - jk_mean) * (x - jk_mean)), (a, x) -> a + x)
+          AS jk_var,
+        CASE WHEN (CAST(m_blocks AS DOUBLE) - 1.0)
+            / CAST(m_blocks AS DOUBLE)
+            * list_reduce(list_transform(dl,
+                x -> (x - jk_mean) * (x - jk_mean)), (a, x) -> a + x) > 0
+          THEN d_stat / sqrt((CAST(m_blocks AS DOUBLE) - 1.0)
+            / CAST(m_blocks AS DOUBLE)
+            * list_reduce(list_transform(dl,
+                x -> (x - jk_mean) * (x - jk_mean)), (a, x) -> a + x))
+        END AS z_score
+      FROM st"""
+    }))
+
   // --- f2 (doubleton) sharing: biallelic sites with total alt dosage
   // exactly 2 — two het carriers (i < j, the recent-shared-ancestry
   // signal) or one hom-alt carrier (i == j). Carrier pair = (min, max)
@@ -1728,5 +1814,5 @@ object PopGenQ extends QueryModule {
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206, q211, q236, q255)
+      q192, q196, q197, q203, q204, q206, q211, q236, q255, q266)
 }

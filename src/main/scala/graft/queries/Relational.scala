@@ -1939,9 +1939,45 @@ object Relational extends QueryModule {
         WHERE b.rev_cents >= a.rev_cents AND b.worst_lat <= a.worst_lat
           AND (b.rev_cents > a.rev_cents OR b.worst_lat < a.worst_lat))"""))
 
+  // --- q265: leakage-safe per-user ML feature extraction — the
+  // train-a-churn-model frame: for every event, lag-1 value, the
+  // rolling sum of the PREVIOUS 3 values (exclusive window — the
+  // current row can never see itself: the classic leakage bug), the
+  // count of prior events, and the NEXT event's value as the label.
+  // Values in exact integer cents (the data's 2-decimal grid); all
+  // windows partition by user — never global. -------------------------
+  private val q265 = Q("q265_lag_features",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRoll = w.rowsBetween(-3, -1)
+      val wCnt = w.rowsBetween(Window.unboundedPreceding, -1)
+      ev.select(col("event_id"), col("user_id"),
+          lag(col("cents"), 1).over(w).as("lag1_cents"),
+          sum(col("cents")).over(wRoll).as("roll3_cents"),
+          count(lit(1)).over(wCnt).as("n_prior"),
+          lead(col("cents"), 1).over(w).as("label_cents"))
+    },
+    Some("""SELECT event_id, user_id,
+        LAG(cents, 1) OVER w AS lag1_cents,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+          AS roll3_cents,
+        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+          AS n_prior,
+        LEAD(cents, 1) OVER w AS label_cents
+      FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts,
+          CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
-    q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260)
+    q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
+    q265)
 }

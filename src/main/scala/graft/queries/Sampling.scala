@@ -538,6 +538,56 @@ object Sampling extends QueryModule {
           > COALESCE(m.raw_mass, 0) * tot.tgt_tot AS keep
       FROM t LEFT JOIN mass m ON t.doc_id = m.doc_id CROSS JOIN tot"""))
 
+  // --- dataset-card representation & selection-fairness report: per
+  // (source, lang) cell — corpus share by docs and by chars, the
+  // length-gate selection rate (the documented 200 ≤ n_chars ≤ 2000
+  // filter), and the EEOC "four-fifths rule" flag computed as an EXACT
+  // integer cross-multiplication (5·sel_g·tot_all < 4·sel_all·tot_g ⇔
+  // the cell's selection rate is below 80% of the corpus rate — no
+  // rate division enters the comparison). One grid-bounded aggregate +
+  // a broadcast totals row. --------------------------------------------
+  private val q264 = Q("q264_fairness_report",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          (col("n_chars") >= 200 && col("n_chars") <= 2000).as("sel"))
+      val cells = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"))
+      val tot = cells.agg(sum(col("n_docs")).as("tot_docs"),
+        sum(col("n_chars")).as("tot_chars"),
+        sum(col("n_sel")).as("tot_sel"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_chars"), col("n_sel"),
+          (col("n_docs").cast("double") / col("tot_docs").cast("double"))
+            .as("doc_share"),
+          (col("n_chars").cast("double")
+            / col("tot_chars").cast("double")).as("char_share"),
+          (col("n_sel").cast("double") / col("n_docs").cast("double"))
+            .as("sel_rate"),
+          (lit(5L) * col("n_sel") * col("tot_docs") <
+            lit(4L) * col("tot_sel") * col("n_docs"))
+            .as("four_fifths_flag"))
+    },
+    Some("""WITH cells AS (SELECT source, lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 2000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+          CAST(SUM(n_sel) AS BIGINT) AS tot_sel FROM cells)
+      SELECT source, lang, n_docs, n_chars, n_sel,
+        CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS doc_share,
+        CAST(n_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+          AS char_share,
+        CAST(n_sel AS DOUBLE) / CAST(n_docs AS DOUBLE) AS sel_rate,
+        5 * n_sel * tot_docs < 4 * tot_sel * n_docs AS four_fifths_flag
+      FROM cells CROSS JOIN tot"""))
+
   override def queries: Seq[Q] = Seq(q64, q65, q66, q67, q77, q78, q85,
-    q89, q91, q95, q96, q111, q117, q118, q141)
+    q89, q91, q95, q96, q111, q117, q118, q141, q264)
 }
