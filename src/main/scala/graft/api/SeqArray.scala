@@ -316,6 +316,21 @@ final case class SeqVarData(variants: DataFrame,
         col("pos"), col("geno")),
       0 until (if (n > 0) n else nSamples), window)
 
+  /** Fu & Li's D-star/F-star outgroup-free neutrality scan: see
+    * [[graft.operators.PopGen.fuLiWindow]]. */
+  def fuLi(window: Long, n: Int = -1): DataFrame =
+    graft.operators.PopGen.fuLiWindow(
+      variants.select(col("variant_id").as("vid"), col("chrom"),
+        col("pos"), col("geno")),
+      0 until (if (n > 0) n else nSamples), window)
+
+  /** Patterson D with block-jackknife Z (the admixtools headline): see
+    * [[graft.operators.PopGen.dStatJackknife]]. */
+  def dJackknife(g1: Seq[Int], g2: Seq[Int], g3: Seq[Int],
+      g4: Seq[Int]): DataFrame =
+    graft.operators.PopGen.dStatJackknife(
+      variants.select(col("chrom"), col("geno")), g1, g2, g3, g4)
+
   /** Garud H1/H2/H12 soft-sweep scan per window: see
     * [[graft.operators.PopGen.garudH]]. */
   def garudH(window: Long, n: Int = -1): DataFrame =

@@ -359,11 +359,14 @@ object PopGen {
           - (col("baba_total") - col("baba_num"))).cast("double")
           / (col("abba_total") - col("abba_num")
             + (col("baba_total") - col("baba_num"))).cast("double"))
-    val folded = loo.groupBy(col("abba_total"), col("baba_total"),
-        col("ns_total"))
-      .agg(count(lit(1)).as("m_blocks"),
-        array_sort(collect_list(struct(col("chrom"), col("d_i"))))
-          .as("__ds"))
+    // a keyless aggregate always yields one row, so a degenerate input
+    // (no valid leave-one-out block — e.g. a single chromosome) still
+    // reports m_blocks = 0 with NULL jackknife fields instead of an
+    // empty frame
+    val fold0 = loo.agg(count(lit(1)).as("m_blocks"),
+      array_sort(collect_list(struct(col("chrom"), col("d_i"))))
+        .as("__ds"))
+    val folded = tot.crossJoin(broadcast(fold0))
       .withColumn("__dl", expr("transform(__ds, x -> x.d_i)"))
     val mD = col("m_blocks").cast("double")
     folded
@@ -371,12 +374,13 @@ object PopGen {
         when(col("abba_total") + col("baba_total") =!= 0,
           (col("abba_total") - col("baba_total")).cast("double")
             / (col("abba_total") + col("baba_total")).cast("double")))
-      .withColumn("jk_mean",
+      .withColumn("jk_mean", when(col("m_blocks") > 0,
         expr("aggregate(__dl, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-          / mD)
-      .withColumn("jk_var", (mD - lit(1.0)) / mD *
-        expr("aggregate(__dl, CAST(0.0 AS DOUBLE), " +
-          "(a, x) -> a + (x - jk_mean) * (x - jk_mean))"))
+          / mD))
+      .withColumn("jk_var", when(col("m_blocks") > 0,
+        (mD - lit(1.0)) / mD *
+          expr("aggregate(__dl, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + (x - jk_mean) * (x - jk_mean))")))
       .withColumn("z_score",
         when(col("jk_var") > 0, col("d_stat") / sqrt(col("jk_var"))))
       .select(col("m_blocks"), col("ns_total").as("n_sites"),

@@ -1223,7 +1223,81 @@ object Similarity extends QueryModule {
         ON b.probe_id = p.probe_id AND b.vec_id = p.vec_id
       GROUP BY 1"""))
 
+  // --- IVF nprobe TUNING CURVE: how many lists must a search visit?
+  // For every exact top-5 neighbor (q36's truth) of every probe, the
+  // rank of its ASSIGNED k-means list in the probe's centroid ordering;
+  // candidate recall@nprobe = fraction of truth neighbors whose list a
+  // search visiting `nprobe` lists would scan — the UPPER BOUND on
+  // search recall that prices the nlist/nprobe trade before building
+  // the index (documented: candidate recall, re-rank can only keep
+  // fewer). The nprobe fan-out explodes a 4-element literal over the
+  // probes×5 summary; centroid ranking is k rows per probe. -----------
+  private val q267 = Q("q267_ivf_nprobe_curve",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
+      val assigned = graft.pipeline.TrainingData
+        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+      val cents = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
+          .as("pairs"))
+        .select(col("cid"),
+          transform(col("pairs"), p => p.getField("sx")).as("cv"))
+        .withColumn("cnrm", dotLong(col("cv"), col("cv")))
+      val wP = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pcos").desc, col("cid"))
+      val ranks = assigned.filter(col("vec_id") % PROBE_MOD === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"),
+          col("nrm").as("pnrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("cid"),
+          cosineQ(dotLong(col("pv"), col("cv")), col("pnrm"),
+            col("cnrm")).as("pcos"))
+        .withColumn("list_rank", row_number().over(wP).cast("long"))
+        .select(col("probe_id"), col("cid"), col("list_rank"))
+      val truth = bruteTopK(s, dir, 5)
+        .select(col("probe_id"), col("vec_id"))
+      truth
+        .join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+        .join(ranks, Seq("probe_id", "cid"))
+        .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L)))
+          .as("nprobe"), col("list_rank"))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("list_rank") <= col("nprobe"), 1L)
+            .otherwise(0L)).as("n_in_lists"))
+        .withColumn("cand_recall",
+          col("n_in_lists").cast("double") / col("n_truth").cast("double"))
+    },
+    Some {
+      val f = KMEANS_ITERS
+      s"""WITH ${kmeansCtes(KMEANS_K, KMEANS_ITERS)},
+      ${updateSql(s"a$f", "F")},
+      $bruteScoreCtesSql,
+      truth AS (${topkSql("bscored", 5)}),
+      ranks AS (SELECT probe_id, cid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY ${cosSql("pv", "cv", "pnrm", "c.cnrm")} DESC, cid)
+            AS BIGINT) AS list_rank
+        FROM p, centnF c),
+      tr AS (SELECT t.probe_id, r.list_rank
+        FROM truth t
+        JOIN a$f a ON a.vec_id = t.vec_id
+        JOIN ranks r ON r.probe_id = t.probe_id AND r.cid = a.cid),
+      nps(nprobe) AS (VALUES (CAST(1 AS BIGINT)), (2), (4), (8))
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_truth,
+        CAST(SUM(CASE WHEN list_rank <= nprobe THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_in_lists,
+        CAST(SUM(CASE WHEN list_rank <= nprobe THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cand_recall
+      FROM tr CROSS JOIN nps
+      GROUP BY 1"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131, q148, q156, q195, q208)
+      q131, q148, q156, q195, q208, q267)
 }

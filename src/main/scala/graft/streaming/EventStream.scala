@@ -254,6 +254,34 @@ object EventStream {
       }
   }
 
+  /** Watermarked STREAM–STREAM interval join — the attribution shape:
+    * each purchase joins every view by the same user within the
+    * preceding `horizon` (event-time bound on BOTH sides, so Spark can
+    * expire join state at the watermark instead of buffering the
+    * streams forever — the canonical stream-stream-join state-cleanup
+    * contract). Inputs need (`user_id`, `ts`, …); views arrive on
+    * `views`, purchases on `purchases`; `lateness` bounds event-time
+    * disorder on both streams. Emits one row per qualifying
+    * (purchase, view) pair with the exact millisecond gap. The same
+    * plan runs on static frames (the spec's stream==batch gate). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String, lateness: String): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"),
+        expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000")
+          .as("gap_ms"))
+  }
+
   /** A scored item flowing into the online Pareto maintainer. */
   final case class MetricPoint(group: String, item: Long,
       ts: java.sql.Timestamp, rev: Long, lat: Long)

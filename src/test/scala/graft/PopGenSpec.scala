@@ -399,6 +399,14 @@ class PopGenSpec extends AnyFunSuite {
       v.variants.withColumn("allele", lit("A,C")))
     // both variants: sample 1 het + samples 2,3 hom — alt mass 5, no f2
     assert(withAllele.f2Sharing().count() == 0)
+    // wave 12-15 surface: Fu & Li windows, jackknifed Patterson D —
+    // a single-chromosome input has no leave-one-out block, and the
+    // operator must still report that (m_blocks = 0, NULL jk fields)
+    // rather than vanish
+    assert(v.fuLi(100L).columns.contains("d_star"))
+    val jk = v.dJackknife(Seq(0), Seq(1), Seq(2), Seq(3)).collect()
+    assert(jk.length == 1 && jk(0).getAs[Long]("m_blocks") == 0L)
+    assert(jk(0).isNullAt(jk(0).fieldIndex("jk_mean")))
   }
 
   test("wcFst integer closed form == textbook Weir–Cockerham on a " +

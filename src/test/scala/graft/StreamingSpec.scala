@@ -375,6 +375,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: attribution pairs == the batch " +
+      "join, late view beyond the watermark drops") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: Int) = (id, u, ts(t))
+    val views1 = Seq(ev(1, 1, 10), ev(2, 1, 50), ev(3, 2, 10))
+    val buys1 = Seq(ev(100, 1, 60))               // pairs with views 1, 2
+    val views2 = Seq(ev(4, 2, 70))
+    val buys2 = Seq(ev(101, 2, 80), ev(102, 1, 200)) // 101→{3,4}; 102→none (horizon)
+    val vs = MemoryStream[(Long, Long, Timestamp)](spark)
+    val ps = MemoryStream[(Long, Long, Timestamp)](spark)
+    def named(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "ts")
+    val out = EventStream.attributionJoin(named(vs.toDF()),
+      named(ps.toDF()), horizon = "90 SECONDS", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vs.addData(views1); ps.addData(buys1); q.processAllAvailable()
+      vs.addData(views2); ps.addData(buys2); q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      // batch twin: the identical plan on static frames
+      val batch = EventStream.attributionJoin(
+          (views1 ++ views2).toDF("event_id", "user_id", "ts"),
+          (buys1 ++ buys2).toDF("event_id", "user_id", "ts"),
+          "90 SECONDS", "10 seconds")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.map(x => (x._2, x._3)) ==
+        Seq((100L, 1L), (100L, 2L), (101L, 3L), (101L, 4L)))
+      assert(got.find(_._2 == 100L).get._4 == 50000L) // 60s−10s in ms
+    } finally q.stop()
+  }
+
   test("streaming skyline: admissions == at-arrival Pareto replay, " +
       "state holds the batch frontier") {
     import spark.implicits._
