@@ -1974,10 +1974,79 @@ object Relational extends QueryModule {
           CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  // --- q269: per-group EXACT linear trend — is each event type's
+  // daily volume rising or falling? OLS slope over (day index, daily
+  // count) kept as one integer numerator/denominator pair per group:
+  // slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) — the q129 GWAS sums on
+  // relational data. The data-sized work is ONE (type, day) aggregate;
+  // the five sums fold the #days summary. -----------------------------
+  private val q269 = Q("q269_group_trend",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("day") * col("day")).as("sxx"),
+          sum(col("day") * col("y")).as("sxy"))
+        .withColumn("slope_num",
+          col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("slope_den",
+          col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope", when(col("slope_den") =!= 0,
+          col("slope_num").cast("double")
+            / col("slope_den").cast("double")))
+        .select(col("event_type"), col("n_days"), col("sy").as("total"),
+          col("slope_num"), col("slope_den"), col("slope"))
+    },
+    Some("""SELECT event_type, n_days, total, slope_num, slope_den,
+        CASE WHEN slope_den <> 0 THEN CAST(slope_num AS DOUBLE)
+          / CAST(slope_den AS DOUBLE) END AS slope
+      FROM (SELECT event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(y) AS BIGINT) AS total,
+          CAST(COUNT(*) * SUM(day * y) - SUM(day) * SUM(y) AS BIGINT)
+            AS slope_num,
+          CAST(COUNT(*) * SUM(day * day) - SUM(day) * SUM(day)
+            AS BIGINT) AS slope_den
+        FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2)
+        GROUP BY 1)"""))
+
+  // --- q270: view→purchase attribution pairs (the BATCH twin of the
+  // watermarked stream-stream interval join, run through the IDENTICAL
+  // `EventStream.attributionJoin` plan — watermarks no-op in batch):
+  // every purchase matched to the same user's views within the
+  // preceding hour, exact millisecond gaps. The oracle prices the
+  // interval join straight. One user-keyed join; event-time bounds cap
+  // the pair fan-out (and, streaming, the join state). ---------------
+  private val q270 = Q("q270_attribution_pairs",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("ts"))
+      graft.streaming.EventStream.attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        horizon = "1 HOUR", lateness = "10 minutes")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+        v.event_id AS view_id,
+        ((epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000) AS gap_ms
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+        AND v.ts <= p.ts
+        AND v.ts >= p.ts - INTERVAL 1 HOUR"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265)
+    q265, q269, q270)
 }

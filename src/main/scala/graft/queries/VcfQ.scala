@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.genetics._
@@ -918,38 +918,45 @@ object VcfQ extends QueryModule {
   // sum a BIGINT, one division per group. Oracle replays from the VCF
   // twin plus the INDEPENDENT python dump of sample.annotation/family
   // (LEB128 string decode). -------------------------------------------
+  /** Shared CEU pair stage for q227/q268: exact per-pair KING counter
+    * sums joined to both members' family labels. */
+  private def ceuKinPairs(s: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val gds = "/root/reference/inst/extdata/CEU_Exon.gds"
+    val pairs = (for {
+      i <- 0 until 90; j <- (i + 1) until 90
+    } yield (i, j)).toDF("i", "j")
+    val rows = graft.sources.gds.Gds.read(s, gds)
+      .select(dosageAlt(col("geno")).as("d"))
+      .crossJoin(broadcast(pairs))
+      .select(col("i"), col("j"),
+        element_at(col("d"), (col("i") + 1).cast("int")).as("di"),
+        element_at(col("d"), (col("j") + 1).cast("int")).as("dj"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+    val perPair = rows.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("di") === 1, 1L).otherwise(0L)).as("h_i"),
+        sum(when(col("dj") === 1, 1L).otherwise(0L)).as("h_j"),
+        sum(when(col("di") === 1 && col("dj") === 1, 1L)
+          .otherwise(0L)).as("hb"),
+        sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+          .as("opp"))
+    val fams = graft.sources.gds.Gds.samples(s, gds)
+      .select(col("sample_ordinal").cast("int").as("ord"),
+        col("family"))
+    perPair
+      .join(broadcast(fams.select(col("ord").as("i"),
+        col("family").as("fam_i"))), "i")
+      .join(broadcast(fams.select(col("ord").as("j"),
+        col("family").as("fam_j"))), "j")
+      .withColumn("within",
+        col("fam_i") === col("fam_j") && col("fam_i") =!= "")
+  }
+
   private val q227 = Q("q227_ceu_family_kinship",
     (s, _) => {
-      import s.implicits._
-      val gds = "/root/reference/inst/extdata/CEU_Exon.gds"
-      val pairs = (for {
-        i <- 0 until 90; j <- (i + 1) until 90
-      } yield (i, j)).toDF("i", "j")
-      val rows = graft.sources.gds.Gds.read(s, gds)
-        .select(dosageAlt(col("geno")).as("d"))
-        .crossJoin(broadcast(pairs))
-        .select(col("i"), col("j"),
-          element_at(col("d"), (col("i") + 1).cast("int")).as("di"),
-          element_at(col("d"), (col("j") + 1).cast("int")).as("dj"))
-        .filter(col("di").isNotNull && col("dj").isNotNull)
-      val perPair = rows.groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n_both"),
-          sum(when(col("di") === 1, 1L).otherwise(0L)).as("h_i"),
-          sum(when(col("dj") === 1, 1L).otherwise(0L)).as("h_j"),
-          sum(when(col("di") === 1 && col("dj") === 1, 1L)
-            .otherwise(0L)).as("hb"),
-          sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
-            .as("opp"))
-      val fams = graft.sources.gds.Gds.samples(s, gds)
-        .select(col("sample_ordinal").cast("int").as("ord"),
-          col("family"))
-      perPair
-        .join(broadcast(fams.select(col("ord").as("i"),
-          col("family").as("fam_i"))), "i")
-        .join(broadcast(fams.select(col("ord").as("j"),
-          col("family").as("fam_j"))), "j")
-        .withColumn("within",
-          col("fam_i") === col("fam_j") && col("fam_i") =!= "")
+      ceuKinPairs(s)
         .groupBy(col("within"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("hb")).as("sum_hb"), sum(col("opp")).as("sum_opp"),
@@ -1007,6 +1014,102 @@ object VcfQ extends QueryModule {
         FROM pp JOIN fam fi ON pp.i = fi.ordinal
           JOIN fam fj ON pp.j = fj.ordinal)
       GROUP BY 1"""
+    })
+
+  // --- CEU sample mix-up screen — the intake QC that catches swapped
+  // or mislabeled samples: a within-family pair whose kinship falls
+  // BELOW the between-family pooled mean (declared relatives who look
+  // unrelated), or a between-family pair ABOVE the within-family
+  // pooled mean (cryptic relatedness / duplicate intake). Every
+  // comparison of a per-pair φ against a pooled φ is an EXACT integer
+  // cross-multiplication — (hb−2·opp)·SumH vs (ΣHb−2·ΣOpp)·h_sum, both
+  // denominators positive — so no rate division enters the flag. Rides
+  // the shared q227 pair stage; the two pooled rows broadcast. --------
+  private val q268 = Q("q268_ceu_sample_mixup",
+    (s, _) => {
+      val kp = ceuKinPairs(s)
+      val pooled = kp.groupBy(col("within"))
+        .agg(sum(col("hb")).as("p_hb"), sum(col("opp")).as("p_opp"),
+          sum(col("h_i") + col("h_j")).as("p_h"))
+      val w = pooled.filter(col("within"))
+        .select(col("p_hb").as("w_hb"), col("p_opp").as("w_opp"),
+          col("p_h").as("w_h"))
+      val b = pooled.filter(!col("within"))
+        .select(col("p_hb").as("b_hb"), col("p_opp").as("b_opp"),
+          col("p_h").as("b_h"))
+      val hSum = col("h_i") + col("h_j")
+      val num = col("hb") - lit(2L) * col("opp")
+      kp.crossJoin(broadcast(w)).crossJoin(broadcast(b))
+        .withColumn("flag",
+          when(col("within") &&
+            num * col("b_h") < (col("b_hb") - lit(2L) * col("b_opp"))
+              * hSum, "low_within")
+            .when(!col("within") &&
+              num * col("w_h") > (col("w_hb") - lit(2L) * col("w_opp"))
+                * hSum, "high_between"))
+        .filter(col("flag").isNotNull && hSum > 0)
+        .select(col("i"), col("j"), col("fam_i"), col("fam_j"),
+          col("flag"), col("n_both"), col("hb"), col("opp"),
+          hSum.as("h_sum"),
+          (num.cast("double") / hSum.cast("double")).as("phi"))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      dz AS (SELECT list_transform($cols, s ->
+          CASE WHEN len(list_filter(
+                string_split(replace(string_split(s, ':')[1], '|', '/'),
+                  '/'), t -> t = '.')) > 0
+            THEN NULL
+            ELSE len(list_filter(
+              string_split(replace(string_split(s, ':')[1], '|', '/'),
+                '/'), t -> t <> '0')) END) AS d
+        FROM raw),
+      pr AS (SELECT ii.i, jj.j
+        FROM (SELECT unnest(range(0, 90)) AS i) ii,
+             (SELECT unnest(range(0, 90)) AS j) jj
+        WHERE jj.j > ii.i),
+      pp AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_i,
+          CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_j,
+          CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hb,
+          CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS opp
+        FROM (SELECT pr.i, pr.j, d[CAST(pr.i AS INT) + 1] AS di,
+            d[CAST(pr.j AS INT) + 1] AS dj
+          FROM dz, pr)
+        WHERE di IS NOT NULL AND dj IS NOT NULL
+        GROUP BY 1, 2),
+      fam AS (SELECT ordinal, family FROM read_parquet(
+        '/root/repo/scripts/oracle/ceu_families.parquet')),
+      kp AS (SELECT pp.*, fi.family AS fam_i, fj.family AS fam_j,
+          fi.family = fj.family AND fi.family <> '' AS within
+        FROM pp JOIN fam fi ON pp.i = fi.ordinal
+          JOIN fam fj ON pp.j = fj.ordinal),
+      pooled AS (SELECT within, CAST(SUM(hb) AS BIGINT) AS p_hb,
+          CAST(SUM(opp) AS BIGINT) AS p_opp,
+          CAST(SUM(h_i + h_j) AS BIGINT) AS p_h
+        FROM kp GROUP BY 1),
+      w AS (SELECT p_hb AS w_hb, p_opp AS w_opp, p_h AS w_h
+        FROM pooled WHERE within),
+      b AS (SELECT p_hb AS b_hb, p_opp AS b_opp, p_h AS b_h
+        FROM pooled WHERE NOT within)
+      SELECT i, j, fam_i, fam_j, flag, n_both, hb, opp, h_sum,
+        CAST(hb - 2 * opp AS DOUBLE) / CAST(h_sum AS DOUBLE) AS phi
+      FROM (SELECT kp.*, h_i + h_j AS h_sum,
+          CASE WHEN within AND (hb - 2 * opp) * b_h
+                < (b_hb - 2 * b_opp) * (h_i + h_j) THEN 'low_within'
+               WHEN NOT within AND (hb - 2 * opp) * w_h
+                > (w_hb - 2 * w_opp) * (h_i + h_j) THEN 'high_between'
+          END AS flag
+        FROM kp CROSS JOIN w CROSS JOIN b)
+      WHERE flag IS NOT NULL AND h_sum > 0"""
     })
 
   // --- LD decay profile on REAL 1KG data — r² mass by distance bin
@@ -1333,5 +1436,5 @@ object VcfQ extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
       q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243,
-      q248, q262)
+      q248, q262, q268)
 }
