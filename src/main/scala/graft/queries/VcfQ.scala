@@ -1112,6 +1112,128 @@ object VcfQ extends QueryModule {
       WHERE flag IS NOT NULL AND h_sum > 0"""
     })
 
+  // --- CEU pedigree-recovery AUDIT from genotypes alone — can the
+  // kinship graph reconstruct the declared families? Edges = pairs
+  // whose exact cross-multiplied φ exceeds 4× the within-family pooled
+  // mean (the q268 discipline), components via the engine's
+  // pointer-doubling connected-components fixpoint (the q72 machinery
+  // on a genetics graph), each multi-member cluster scored against the
+  // declared labels: size, #distinct labels, majority label, exact
+  // purity. On THIS fixture the answer is the honest negative — the
+  // ~1.4k-site exon panel's φ is too noisy to separate 2nd-degree from
+  // unrelated, so the flagged edges chain into one impure cluster
+  // (purity 0.18) — which is precisely what this audit exists to
+  // expose before anyone trusts genotype-derived family assignment
+  // from a sparse panel. The oracle replays the fixpoint as a
+  // recursive CTE. -----------------------------------------------------
+  private val q271 = Q("q271_ceu_family_recovery",
+    (s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val kp = ceuKinPairs(s)
+      val w = kp.filter(col("within")).groupBy()
+        .agg(sum(col("hb")).as("w_hb"), sum(col("opp")).as("w_opp"),
+          sum(col("h_i") + col("h_j")).as("w_h"))
+      val edges = kp.crossJoin(broadcast(w))
+        .filter((col("hb") - lit(2L) * col("opp")) * col("w_h") >
+          lit(4L) * (col("w_hb") - lit(2L) * col("w_opp"))
+            * (col("h_i") + col("h_j")))
+        .select(col("i").cast("long").as("doc_a"),
+          col("j").cast("long").as("doc_b"))
+      val fams = graft.sources.gds.Gds.samples(s,
+          "/root/reference/inst/extdata/CEU_Exon.gds")
+        .select(col("sample_ordinal").cast("long").as("doc_id"),
+          col("family"))
+      val cc = graft.pipeline.TrainingData
+        .connectedComponents(edges, fams.select(col("doc_id")))
+        .join(fams, "doc_id")
+      val byFam = cc.groupBy(col("cluster"), col("family"))
+        .agg(count(lit(1)).as("cnt"))
+      val wTop = Window.partitionBy(col("cluster"))
+        .orderBy(col("cnt").desc, col("family"))
+      val top = byFam.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("family").as("top_family"),
+          col("cnt").as("top_count"))
+      val stats = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("size"),
+          countDistinct(col("family")).as("n_families"))
+      stats.join(top, "cluster")
+        .filter(col("size") >= 2)
+        .withColumn("purity",
+          col("top_count").cast("double") / col("size").cast("double"))
+    },
+    Some {
+      val cols = (9 until 99).map(i => f"column$i%02d")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE raw AS (
+        SELECT * FROM read_csv('$CeuVcf',
+          sep='\t', header=false, skip=16, all_varchar=true, quote='')),
+      dz AS (SELECT list_transform($cols, s ->
+          CASE WHEN len(list_filter(
+                string_split(replace(string_split(s, ':')[1], '|', '/'),
+                  '/'), t -> t = '.')) > 0
+            THEN NULL
+            ELSE len(list_filter(
+              string_split(replace(string_split(s, ':')[1], '|', '/'),
+                '/'), t -> t <> '0')) END) AS d
+        FROM raw),
+      pr AS (SELECT ii.i, jj.j
+        FROM (SELECT unnest(range(0, 90)) AS i) ii,
+             (SELECT unnest(range(0, 90)) AS j) jj
+        WHERE jj.j > ii.i),
+      pp AS (SELECT i, j,
+          CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_i,
+          CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS h_j,
+          CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hb,
+          CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS opp
+        FROM (SELECT pr.i, pr.j, d[CAST(pr.i AS INT) + 1] AS di,
+            d[CAST(pr.j AS INT) + 1] AS dj
+          FROM dz, pr)
+        WHERE di IS NOT NULL AND dj IS NOT NULL
+        GROUP BY 1, 2),
+      fam AS (SELECT ordinal, family FROM read_parquet(
+        '/root/repo/scripts/oracle/ceu_families.parquet')),
+      kp AS (SELECT pp.*,
+          fi.family = fj.family AND fi.family <> '' AS within
+        FROM pp JOIN fam fi ON pp.i = fi.ordinal
+          JOIN fam fj ON pp.j = fj.ordinal),
+      w AS (SELECT CAST(SUM(hb) AS BIGINT) AS w_hb,
+          CAST(SUM(opp) AS BIGINT) AS w_opp,
+          CAST(SUM(h_i + h_j) AS BIGINT) AS w_h
+        FROM kp WHERE within),
+      ed AS (SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst
+        FROM kp CROSS JOIN w
+        WHERE (hb - 2 * opp) * w_h
+          > 4 * (w_hb - 2 * w_opp) * (h_i + h_j)),
+      edges AS (SELECT src, dst FROM ed
+        UNION ALL SELECT dst, src FROM ed),
+      comp(id, lbl) AS (
+        SELECT ordinal, ordinal FROM fam
+        UNION
+        SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst),
+      lab AS (SELECT id AS doc_id, min(lbl) AS cluster
+        FROM comp GROUP BY 1),
+      cc AS (SELECT doc_id, cluster, family FROM lab
+        JOIN fam ON ordinal = doc_id),
+      byfam AS (SELECT cluster, family, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cc GROUP BY 1, 2),
+      top AS (SELECT cluster, family AS top_family, cnt AS top_count
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY cnt DESC, family) AS rn FROM byfam)
+        WHERE rn = 1),
+      st AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+          CAST(COUNT(DISTINCT family) AS BIGINT) AS n_families
+        FROM cc GROUP BY 1)
+      SELECT st.cluster, size, n_families, top_family, top_count,
+        CAST(top_count AS DOUBLE) / CAST(size AS DOUBLE) AS purity
+      FROM st JOIN top ON st.cluster = top.cluster
+      WHERE size >= 2"""
+    })
+
   // --- LD decay profile on REAL 1KG data — r² mass by distance bin
   // (the recombination-scale diagnostic; q168's estimator on the
   // fixture's dumped variant range): rides the SAME banded pair-stats
@@ -1436,5 +1558,5 @@ object VcfQ extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q40, q49, q50, q55, q57, q58, q60, q150, q151, q152, q153, q157,
       q171, q185, q193, q212, q224, q225, q226, q227, q229, q233, q243,
-      q248, q262, q268)
+      q248, q262, q268, q271)
 }
