@@ -620,6 +620,38 @@ class PlanSpec extends AnyFunSuite {
       "bloom union branches must reuse the upstream shuffle:\n" + fin)
   }
 
+  test("q260: skyline's only unpartitioned window runs over the " +
+      "distinct-latency AGGREGATE, never the supplier table") {
+    val p = plan("q260_skyline")
+    // the ordered prefix-max window must sit ABOVE a HashAggregate
+    // (the per-latency-class maxima) in every path that reaches it —
+    // a Window directly over the joined fact rows would be the
+    // data-sized global window this query exists to avoid
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window ["))
+    assert(wIdx >= 0, p)
+    val below = lines.drop(wIdx)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = below.indexWhere(_.contains("Join"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      "prefix-max window must consume the class aggregate:\n" + p)
+  }
+
+  test("q259/q269: the day-summary windows and trend sums partial-" +
+      "aggregate the events scan before any exchange") {
+    for (q <- Seq("q259_changepoint", "q269_group_trend")) {
+      val p = plan(q)
+      val firstAgg = p.linesIterator
+        .find(_.contains("HashAggregate")).getOrElse("")
+      assert(p.contains("HashAggregate"), p)
+      // exactly one FileScan of events, pruned to the two used columns
+      val read = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(read.contains("ts") && read.contains("event_type")
+        && !read.contains("props") && !read.contains("value"), read)
+      assert(firstAgg.nonEmpty)
+    }
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
