@@ -2043,10 +2043,141 @@ object Relational extends QueryModule {
         AND v.ts <= p.ts
         AND v.ts >= p.ts - INTERVAL 1 HOUR"""))
 
+  // --- q272: peak-concurrency profile — how many 30-minute sessions
+  // overlap at once, per day? The classic ±1 boundary sweep: every
+  // event opens (+1 at ts) and closes (−1 at ts+30 min, half-open so a
+  // close and an open at the same instant DON'T overlap — the −1 sorts
+  // first), and depth(t) is the running sum over the global boundary
+  // order. Computed scale-safely with the two-level prefix: an
+  // hour-bucket partitioned running sum plus a broadcast exclusive
+  // prefix over the per-bucket totals (the bucket key is a monotone
+  // function of the sort key, so bucket order composed with in-bucket
+  // order IS the global order). Per day: max depth and the first
+  // instant reaching it. ------------------------------------------------
+  private val q272 = Q("q272_concurrency_profile",
+    (s, dir) => {
+      val HourNs = 3600L * 1000000000L
+      val SessNs = 1800L * 1000000000L
+      val DayNs = 86400L * 1000000000L
+      val ev = Tables(s, dir, "events").select(col("ts"))
+      val bounds = ev.select(col("ts").as("t"), lit(1L).as("delta"))
+        .unionByName(ev.select((col("ts") + SessNs).as("t"),
+          lit(-1L).as("delta")))
+        .withColumn("__b", expr(s"t div ${HourNs}L"))
+      val wIn = Window.partitionBy(col("__b"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = bounds.groupBy(col("__b"))
+        .agg(sum(col("delta")).as("__bs"))
+        .withColumn("__pre", sum(col("__bs")).over(wB) - col("__bs"))
+        .select(col("__b"), col("__pre"))
+      val depth = bounds
+        .withColumn("__run", sum(col("delta")).over(wIn))
+        .join(broadcast(prefix), "__b")
+        .withColumn("depth", col("__pre") + col("__run"))
+        .withColumn("day", expr(s"t div ${DayNs}L"))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("depth").desc, col("t"), col("delta"))
+      depth.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("day"), col("depth").as("max_depth"),
+          col("t").as("at_ns"))
+    },
+    Some("""WITH b AS (
+        SELECT epoch_ns(ts) AS t, CAST(1 AS BIGINT) AS delta FROM events
+        UNION ALL
+        SELECT epoch_ns(ts) + 1800000000000 AS t,
+          CAST(-1 AS BIGINT) AS delta FROM events),
+      d AS (SELECT t, delta,
+          CAST(SUM(delta) OVER (ORDER BY t, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS depth,
+          t // 86400000000000 AS day
+        FROM b)
+      SELECT CAST(day AS BIGINT) AS day,
+        CAST(depth AS BIGINT) AS max_depth, CAST(t AS BIGINT) AS at_ns
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+          ORDER BY depth DESC, t, delta) AS rn FROM d)
+      WHERE rn = 1"""))
+
+  // --- q273: Kaplan–Meier user-retention survival curve with RIGHT
+  // CENSORING — lifetime = last − first active day; users still active
+  // within 3 days of the observation edge are censored (they didn't
+  // churn, we stopped watching). Per distinct lifetime t: risk set n_t
+  // (lifetime ≥ t), churn events d_t, censors c_t, the KM factor
+  // 1 − d_t/n_t, and the survival S(t) = Π_{t'≤t} factor — an ordered
+  // LEFT FOLD over the ≤31-row factor list (the q266 discipline:
+  // Spark `aggregate` == DuckDB `list_reduce`, bitwise-replayable).
+  // Data-sized work is ONE user aggregate; everything after runs on
+  // the distinct-lifetime summary. -------------------------------------
+  private val q273 = Q("q273_survival_curve",
+    (s, dir) => {
+      val lives = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val maxDay = lives.agg(max(col("l")).as("max_day"))
+      val lab = lives.crossJoin(broadcast(maxDay))
+        .select((col("l") - col("f")).as("lt"),
+          (col("l") >= col("max_day") - 3L).as("censored"))
+      val byT = lab.groupBy(col("lt"))
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d_churn"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c_censored"))
+      val wRisk = Window.orderBy(col("lt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wIdx = Window.orderBy(col("lt"))
+      val factors = byT
+        .withColumn("n_risk",
+          sum(col("d_churn") + col("c_censored")).over(wRisk))
+        .withColumn("km_factor", lit(1.0) -
+          col("d_churn").cast("double") / col("n_risk").cast("double"))
+        .withColumn("__i", row_number().over(wIdx))
+      val arr = factors
+        .agg(array_sort(collect_list(struct(col("__i"), col("km_factor"))))
+          .as("__fs"))
+        .select(expr("transform(__fs, x -> x.km_factor)").as("__fa"))
+      factors.crossJoin(broadcast(arr))
+        .withColumn("survival",
+          expr("aggregate(slice(__fa, 1, __i), CAST(1.0 AS DOUBLE), " +
+            "(a, x) -> a * x)"))
+        .select(col("lt"), col("n_risk"), col("d_churn"),
+          col("c_censored"), col("km_factor"), col("survival"))
+    },
+    Some("""WITH lives AS (SELECT user_id,
+          MIN(epoch_ns(ts) // 86400000000000) AS f,
+          MAX(epoch_ns(ts) // 86400000000000) AS l
+        FROM events GROUP BY 1),
+      md AS (SELECT MAX(l) AS max_day FROM lives),
+      lab AS (SELECT l - f AS lt, l >= max_day - 3 AS censored
+        FROM lives CROSS JOIN md),
+      byt AS (SELECT lt,
+          CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+            AS d_churn,
+          CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+            AS c_censored
+        FROM lab GROUP BY 1),
+      fac AS (SELECT lt, d_churn, c_censored,
+          CAST(SUM(d_churn + c_censored) OVER (ORDER BY lt DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk,
+          ROW_NUMBER() OVER (ORDER BY lt) AS i
+        FROM byt),
+      fac2 AS (SELECT *,
+          1.0e0 - CAST(d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)
+            AS km_factor
+        FROM fac),
+      fa AS (SELECT list(km_factor ORDER BY i) AS fl FROM fac2)
+      SELECT lt, n_risk, d_churn, c_censored, km_factor,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fl[1:i]),
+          (a, x) -> a * x) AS survival
+      FROM fac2 CROSS JOIN fa"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270)
+    q265, q269, q270, q272, q273)
 }
