@@ -1915,16 +1915,7 @@ object Relational extends QueryModule {
         .groupBy(col("l_suppkey"))
         .agg(sum(col("cents")).as("rev_cents"),
           max(col("lat")).as("worst_lat"))
-      val wPfx = Window.orderBy(col("worst_lat"))
-        .rowsBetween(Window.unboundedPreceding, -1L)
-      val classes = per.groupBy(col("worst_lat"))
-        .agg(max(col("rev_cents")).as("cls_max"))
-        .withColumn("pfx_max",
-          max(col("cls_max")).over(wPfx)) // distinct-latency-sized
-      per.join(broadcast(classes), "worst_lat")
-        .filter(col("rev_cents") === col("cls_max")
-          && (col("pfx_max").isNull
-            || col("pfx_max") < col("rev_cents")))
+      graft.operators.Skyline.maxMin(per, "rev_cents", "worst_lat")
         .select(col("l_suppkey"), col("rev_cents"), col("worst_lat"))
     },
     Some("""WITH per AS (SELECT l_suppkey,

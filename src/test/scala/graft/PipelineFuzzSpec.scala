@@ -263,4 +263,54 @@ class PipelineFuzzSpec extends AnyFunSuite {
         s"seed=$seed: degenerate gate")
     }
   }
+
+  test("triangleCensus == brute enumeration on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 6 + rnd.nextInt(20)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextInt(4) == 0
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        val got = graft.operators.Graphs.triangleCensus(
+          edges.toDF("pa", "pb")).collect().head
+        val es = edges.toSet
+        def adj(a: Long, b: Long) =
+          es((math.min(a, b), math.max(a, b)))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val tri = (for {
+          a <- nodes; b <- nodes if a < b && adj(a, b)
+          c <- nodes if b < c && adj(a, c) && adj(b, c)
+        } yield 1).size
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size)
+        val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+        assert(got.getAs[Long]("n_triangles") == tri.toLong,
+          s"seed=$seed triangles")
+        assert(got.getAs[Long]("n_wedges") == wedges, s"seed=$seed wedges")
+        assert(got.getAs[Long]("n_edges") == edges.size.toLong)
+        assert(got.getAs[Long]("n_nodes") == nodes.size.toLong)
+      }
+    }
+  }
+
+  test("Skyline.maxMin == brute dominance filter on random points") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      val pts = (1 to 40).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+      val got = graft.operators.Skyline
+        .maxMin(pts.toDF("id", "rev", "lat"), "rev", "lat")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val brute = pts.filter { case (_, r, l) =>
+        !pts.exists { case (_, r2, l2) =>
+          r2 >= r && l2 <= l && (r2 > r || l2 < l)
+        }
+      }.map(_._1).sorted
+      assert(got == brute, s"seed=$seed: $got vs $brute")
+    }
+  }
 }

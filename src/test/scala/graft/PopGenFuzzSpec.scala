@@ -308,4 +308,66 @@ class PopGenFuzzSpec extends AnyFunSuite {
       assert(got == exp, s"round $round")
     }
   }
+
+  test("fuLiWindow matches brute force (exact counts, bitwise doubles)") {
+    import spark.implicits._
+    val win = 100L
+    val nAll = 2 * N
+    val scale = PopGen.piScale(nAll)
+    val (an, uD, vD, uF, vF) = PopGen.fuLiConstants(nAll)
+    val r = nAll.toDouble / (nAll - 1.0)
+    val fr = (nAll - 1.0) / nAll.toDouble
+    for (round <- 1 to 4) {
+      val vs = draw(varsGen(40), 9100L + round)
+      // genotype cube: sample called (two alleles from its dosage) or
+      // fully missing — exactly the shapes the operator sees
+      val rows = vs.map { v =>
+        val geno = v.d.map {
+          case Some(d) => Seq(java.lang.Long.valueOf(if (d >= 1) 1L else 0L),
+            java.lang.Long.valueOf(if (d >= 2) 1L else 0L))
+          case None => Seq(null.asInstanceOf[java.lang.Long],
+            null.asInstanceOf[java.lang.Long])
+        }
+        (v.vid, v.chrom, v.pos, geno)
+      }
+      val got = PopGen.fuLiWindow(
+        rows.toDF("vid", "chrom", "pos", "geno"), 0 until N, win)
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1)) ->
+          (x.getAs[Long]("s_seg"), x.getAs[Long]("eta_s"),
+            x.getAs[Long]("pi_num"),
+            Option(x.getAs[java.lang.Double]("d_star")),
+            Option(x.getAs[java.lang.Double]("f_star"))))
+        .toMap
+      // brute replay
+      val perSite = vs.map { v =>
+        val alleles = v.d.flatMap {
+          case Some(d) => Seq(if (d >= 1) 1L else 0L,
+            if (d >= 2) 1L else 0L)
+          case None => Nil
+        }
+        val m = alleles.size.toLong
+        val a = alleles.count(_ != 0L).toLong
+        (v.chrom, v.pos / win, m, a)
+      }.filter(_._3 >= 2)
+      val exp = perSite.groupBy(t => (t._1, t._2)).map { case (k, ss) =>
+        val s = ss.count(t => t._4 > 0 && t._4 < t._3).toLong
+        val eta = ss.count(t =>
+          (t._4 == 1 || t._4 == t._3 - 1) && t._4 > 0 && t._4 < t._3)
+          .toLong
+        val piNum = ss.map(t => t._4 * (t._3 - t._4) *
+          (if (t._3 >= 2) 2L * scale / (t._3 * (t._3 - 1)) else 0L)).sum
+        val pi = piNum.toDouble / scale.toDouble
+        val sD = s.toDouble; val eD = eta.toDouble
+        val dStar = if (s > 0) Some((r * sD - an * eD) /
+          math.sqrt(uD * sD + vD * (sD * sD))) else None
+        val fStar = if (s > 0) Some((pi - fr * eD) /
+          math.sqrt(uF * sD + vF * (sD * sD))) else None
+        k -> ((s, eta, piNum, dStar, fStar))
+      }
+      assert(got.keySet == exp.keySet, s"round $round windows")
+      for ((k, e) <- exp)
+        assert(got(k) == e, s"round $round window $k: ${got(k)} vs $e")
+    }
+  }
 }
