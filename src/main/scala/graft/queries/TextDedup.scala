@@ -2458,10 +2458,111 @@ object TextDedup extends QueryModule {
       SELECT np.t, n_pairs, n_docs_dropped, chars_dropped
       FROM np JOIN dr ON np.t = dr.t"""))
 
+  // --- LONGEST repeated token substring via the distributed SUFFIX
+  // ARRAY (prefix doubling, `operators/SuffixArray` — the Manber–Myers
+  // structure the exact-substring-dedup literature indexes with): the
+  // corpus's worst memorization-risk spans are the maximal-LCP
+  // neighbors in suffix order, found WITHOUT any pairwise scan — one
+  // (sa, sa+1) self-join over the suffix table, LCP on the two ≤32-
+  // token slices, top 10. The oracle replays the identical five
+  // unrolled dense-rank doubling rounds (the operator's range-
+  // partition ranking produces exactly dense_rank values, proven by
+  // `SuffixArraySpec`'s brute sort). Corpus = the doc_id % 5 = 0
+  // sample — the audit runs on a stable subset by design. --------------
+  private val q274 = Q("q274_longest_repeat",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val sa = graft.operators.SuffixArray.build(docs)
+      val toksDf = docs.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      val a = sa.select(col("sa"), col("doc_id").as("da"),
+        col("off").as("oa"))
+      val b = sa.select((col("sa") - 1L).as("sa"),
+        col("doc_id").as("db"), col("off").as("ob"))
+      val cap = lit(graft.operators.SuffixArray.Cap)
+      val withT = a.join(b, "sa")
+        .join(toksDf.select(col("doc_id").as("da"),
+          col("toks").as("ta")), "da")
+        .join(toksDf.select(col("doc_id").as("db"),
+          col("toks").as("tb")), "db")
+        .withColumn("__la",
+          slice(col("ta"), (col("oa") + 1).cast("int"), cap))
+        .withColumn("__lb",
+          slice(col("tb"), (col("ob") + 1).cast("int"), cap))
+        .withColumn("__eq", zip_with(col("__la"), col("__lb"),
+          (x, y) => x <=> y))
+        .withColumn("lcp",
+          coalesce(array_position(col("__eq"), lit(false)) - 1,
+            least(size(col("__la")), size(col("__lb"))).cast("long")))
+        .filter(col("lcp") >= 2)
+      val top = withT
+        .orderBy(col("lcp").desc, col("da"), col("oa"), col("db"),
+          col("ob"))
+        .limit(10)
+      val w = Window.orderBy(col("lcp").desc, col("da"), col("oa"),
+        col("db"), col("ob"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("lcp"), col("da"), col("oa"),
+          col("db"), col("ob"),
+          array_join(slice(col("ta"), (col("oa") + 1).cast("int"),
+            col("lcp").cast("int")), " ").as("snippet"))
+    },
+    Some {
+      val rounds = Seq(1, 2, 4, 8, 16).zipWithIndex.map {
+        case (k, i) =>
+          s"""p${i + 1} AS (SELECT a.doc_id, a.off,
+            dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+          FROM p$i a LEFT JOIN p$i b
+            ON a.doc_id = b.doc_id AND b.off = a.off + $k)"""
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+            AS toks
+        FROM documents WHERE doc_id % 5 = 0),
+      pos AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS off,
+          toks[CAST(u.i AS INT)] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+      p0 AS (SELECT doc_id, off, dense_rank() OVER (ORDER BY tok) AS r
+        FROM pos),
+      $rounds,
+      sa AS (SELECT doc_id, off,
+          CAST(ROW_NUMBER() OVER (ORDER BY r, doc_id, off) AS BIGINT)
+            AS sa
+        FROM p5),
+      adj AS (SELECT a.sa, a.doc_id AS da, a.off AS oa,
+          b.doc_id AS db, b.off AS ob
+        FROM sa a JOIN sa b ON b.sa = a.sa + 1),
+      lc AS (SELECT da, oa, db, ob,
+          ta.toks[CAST(oa + 1 AS INT):CAST(oa + 32 AS INT)] AS la,
+          tb.toks[CAST(ob + 1 AS INT):CAST(ob + 32 AS INT)] AS lb,
+          ta.toks AS ta
+        FROM adj JOIN t ta ON ta.doc_id = da
+          JOIN t tb ON tb.doc_id = db),
+      scored AS (SELECT da, oa, db, ob, ta,
+          coalesce(list_position(list_transform(
+              range(1, greatest(len(la), len(lb)) + 1),
+              i -> la[CAST(i AS INT)] IS NOT DISTINCT FROM
+                lb[CAST(i AS INT)]), false) - 1,
+            least(len(la), len(lb))) AS lcp
+        FROM lc)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY lcp DESC, da, oa, db, ob)
+          AS BIGINT) AS rank,
+        CAST(lcp AS BIGINT) AS lcp, da, oa, db, ob,
+        array_to_string(ta[CAST(oa + 1 AS INT):CAST(oa + lcp AS INT)],
+          ' ') AS snippet
+      FROM scored
+      WHERE lcp >= 2
+      ORDER BY lcp DESC, da, oa, db, ob
+      LIMIT 10"""
+    })
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239, q245, q247, q258, q263)
+      q223, q230, q232, q238, q239, q245, q247, q258, q263, q274)
 }
