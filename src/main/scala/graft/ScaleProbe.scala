@@ -227,6 +227,13 @@ object ScaleProbe {
             (col("u") + 2L).as("pb")))
         graft.operators.Graphs.triangleCensus(edges)
       }, Docs),
+      // suffix-array build: 5 doubling rounds × (distinct + range
+      // exchange + join) — the probe prices the distributed dense-rank
+      // machinery; positions grow linearly with the corpus
+      ("suffix_array", { d =>
+        graft.operators.SuffixArray.build(
+          d.filter(col("doc_id") % 5 === 0))
+      }, Docs),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
