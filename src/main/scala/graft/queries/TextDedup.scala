@@ -2559,10 +2559,83 @@ object TextDedup extends QueryModule {
       LIMIT 10"""
     })
 
+  // --- most-duplicated exact 4-grams via SUFFIX-ARRAY BLOCKS, gated
+  // by an INDEPENDENT direct-counting oracle: positions sharing their
+  // first 4 tokens are contiguous in suffix order (shorter suffixes
+  // sort before every extension, so they can never interleave a
+  // block), so each maximal run of equal 4-prefixes IS that 4-gram's
+  // exact occurrence set. Runs found join-free of pairs: one
+  // (sa−1)-shift equi-join marks breaks, the island id is a two-level
+  // prefix sum (sa-bucket window + broadcast bucket offsets — never a
+  // data-sized global window). The DuckDB oracle counts 8-grams
+  // DIRECTLY (explode + groupBy — a different algorithm entirely), so
+  // this row differentially gates the suffix array's order against
+  // ground truth every round. ------------------------------------------
+  private val q275 = Q("q275_sa_gram_blocks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val G = 4
+      val B = 4096L
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val sa = graft.operators.SuffixArray.build(docs)
+      val toksDf = docs.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      val withG = sa.join(toksDf, "doc_id")
+        .withColumn("g8", when(size(col("toks")) - col("off") >= G,
+          array_join(slice(col("toks"), (col("off") + 1).cast("int"),
+            lit(G)), " ")))
+        .select(col("sa"), col("doc_id"), col("g8"))
+      val prev = withG.select((col("sa") + 1L).as("sa"),
+        col("g8").as("__gp"))
+      val flagged = withG.join(prev, Seq("sa"), "left")
+        .withColumn("__brk",
+          when(col("g8") <=> col("__gp"), 0L).otherwise(1L))
+        .withColumn("__b", expr(s"sa div ${B}L"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("sa"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pfx = flagged.groupBy(col("__b"))
+        .agg(sum(col("__brk")).as("__bs"))
+        .withColumn("__pre", sum(col("__bs")).over(wB) - col("__bs"))
+        .select(col("__b"), col("__pre"))
+      val islands = flagged
+        .withColumn("__run", sum(col("__brk")).over(wIn))
+        .join(broadcast(pfx), "__b")
+        .withColumn("island", col("__pre") + col("__run"))
+      val blocks = islands.filter(col("g8").isNotNull)
+        .groupBy(col("island"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("g8")).as("gram"))
+        .filter(col("n") >= 2L)
+      val w = Window.orderBy(col("n").desc, col("gram"))
+      blocks.orderBy(col("n").desc, col("gram")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("gram"), col("n"), col("n_docs"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+            AS toks
+        FROM documents WHERE doc_id % 5 = 0),
+      g AS (SELECT doc_id,
+          array_to_string(toks[CAST(u.i AS INT):CAST(u.i + 3 AS INT)],
+            ' ') AS gram
+        FROM t, unnest(range(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 4),
+      c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1 HAVING COUNT(*) >= 2)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS BIGINT)
+          AS rank, gram, n, n_docs
+      FROM c ORDER BY n DESC, gram LIMIT 10"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239, q245, q247, q258, q263, q274)
+      q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275)
 }
