@@ -268,6 +268,34 @@ object PopGen {
         col("pi"), col("d_star"), col("f_star"))
   }
 
+  /** Phasing SWITCH-ERROR rate (the standard phasing-QC benchmark:
+    * Browning & Browning 2011) from an exploded per-(sample, site)
+    * orientation table — `(s, chrom, pos, vid, o_true, o_test)`, one
+    * row per PHASED HETEROZYGOUS site with each callset's haplotype
+    * orientation (first allele is ALT). A switch is an adjacent het
+    * pair (in position order along a sample's chromosome) whose
+    * relative phase d = o_true XOR o_test changes. The order key
+    * includes (o_true, o_test) after (pos, vid) so duplicate-position
+    * rows have a well-defined, engine-independent order (rows tied on
+    * the whole key are interchangeable — equal d contributes no
+    * switch either way). One (s, chrom)-partitioned window serves the
+    * lag and the aggregation; rates are single divisions. */
+  def switchError(sites: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s"), col("chrom"))
+      .orderBy(col("pos"), col("vid"), col("o_true"), col("o_test"))
+    val d = col("o_true") =!= col("o_test")
+    val flagged = sites
+      .withColumn("__d", d)
+      .withColumn("__pd", lag(col("__d"), 1).over(w))
+    flagged.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_het"),
+        sum(when(col("__pd").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("__pd").isNotNull && col("__d") =!= col("__pd"),
+          1L).otherwise(0L)).as("n_switches"))
+      .withColumn("switch_rate", when(col("n_pairs") > 0,
+        col("n_switches").cast("double") / col("n_pairs").cast("double")))
+  }
+
   /** Fu & Li constants for n sequences: (a_n, u_D*, v_D*, u_F*, v_F*)
     * — a_n/b_n the harmonic sums, c_n/d_n per Fu & Li 1993, u/v per
     * the Simonsen et al. 1995 corrections (the DnaSP/libsequence

@@ -1287,6 +1287,57 @@ object PopGenQ extends QueryModule {
       FROM st"""
     }))
 
+  // --- phasing SWITCH-ERROR rate (the phasing-tool benchmark metric —
+  // Browning 2011): the truth callset's per-sample haplotype
+  // orientations vs a deterministically perturbed re-phasing (flip at
+  // pos % 7 = 0 — the query builds both orientation streams from ONE
+  // scan, so duplicate vids never need a join match), switches counted
+  // where the relative phase of adjacent phased-het sites changes.
+  // One (sample, chrom)-partitioned window; exact counts, one division
+  // per sample. ---------------------------------------------------------
+  private val q276 = Q("q276_switch_error",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val sites = v
+        .select(col("chrom"), col("pos"), col("vid"), col("phased"),
+          posexplode(col("geno")).as(Seq("s", "sa")))
+        .withColumn("a0", element_at(col("sa"), 1))
+        .withColumn("a1", element_at(col("sa"), 2))
+        .filter(element_at(col("phased"), (col("s") + 1).cast("int"))
+          && col("a0").isNotNull && col("a1").isNotNull
+          && col("a0") =!= col("a1"))
+        .withColumn("o_true", col("a0") > col("a1"))
+        .withColumn("o_test",
+          col("o_true") =!= (col("pos") % 7 === 0))
+        .select(col("s"), col("chrom"), col("pos"), col("vid"),
+          col("o_true"), col("o_test"))
+      PopGen.switchError(sites)
+    },
+    Some(withCte(s"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_het,
+        CAST(SUM(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs,
+        CAST(SUM(CASE WHEN pd IS NOT NULL AND d <> pd THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_switches,
+        CASE WHEN SUM(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) > 0
+          THEN CAST(SUM(CASE WHEN pd IS NOT NULL AND d <> pd
+              THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) END AS switch_rate
+      FROM (SELECT s, d,
+          LAG(d, 1) OVER (PARTITION BY s, chrom
+            ORDER BY pos, vid, o_true, o_test) AS pd
+        FROM (SELECT s, chrom, pos, vid, o_true, o_test,
+            o_true <> o_test AS d
+          FROM (SELECT chrom, pos, vid, u.s AS s,
+              geno[CAST(u.s + 1 AS INT)][1] AS a0,
+              geno[CAST(u.s + 1 AS INT)][2] AS a1,
+              phased[CAST(u.s + 1 AS INT)] AS ph,
+              a0 > a1 AS o_true,
+              (a0 > a1) <> (pos % 7 = 0) AS o_test
+            FROM variants, (SELECT unnest(range(0, $N)) AS s) u)
+          WHERE ph AND a0 IS NOT NULL AND a1 IS NOT NULL AND a0 <> a1))
+      GROUP BY s""")))
+
   // --- f2 (doubleton) sharing: biallelic sites with total alt dosage
   // exactly 2 — two het carriers (i < j, the recent-shared-ancestry
   // signal) or one hom-alt carrier (i == j). Carrier pair = (min, max)
@@ -1814,5 +1865,5 @@ object PopGenQ extends QueryModule {
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206, q211, q236, q255, q266)
+      q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276)
 }
