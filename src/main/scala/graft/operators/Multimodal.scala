@@ -1293,6 +1293,109 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- WebP (RIFF container, VP8 lossy / VP8L lossless headers) ------
+
+  /** Parsed WebP metadata: codec ("VP8" lossy / "VP8L" lossless),
+    * coded dimensions, and the RIFF-declared payload size. */
+  final case class WebpMeta(codec: String, width: Int, height: Int,
+      riffSize: Long)
+
+  /** Walk the RIFF/WEBP layout per the public container spec: "RIFF"
+    * + u32le size + "WEBP", then a "VP8 " chunk (3-byte frame tag +
+    * the 9D 01 2A sync code + 14-bit LE dimensions) or a "VP8L" chunk
+    * (0x2F signature + two 14-bit minus-one dimensions packed LE).
+    * Returns None on any magic/sync/size violation. */
+  def parseWebp(b: Array[Byte]): Option[WebpMeta] = {
+    def u32le(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 30) return None
+    if (new String(b, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(b, 8, 4, "ISO-8859-1") != "WEBP") return None
+    val riffSize = u32le(4)
+    if (riffSize + 8 != b.length) return None
+    val fourcc = new String(b, 12, 4, "ISO-8859-1")
+    try fourcc match {
+      case "VP8 " =>
+        // 20..22 frame tag; 23..25 sync
+        if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+            (b(25) & 0xff) != 0x2a) return None
+        val w = ((b(26) & 0xff) | ((b(27) & 0xff) << 8)) & 0x3fff
+        val h = ((b(28) & 0xff) | ((b(29) & 0xff) << 8)) & 0x3fff
+        Some(WebpMeta("VP8", w, h, riffSize))
+      case "VP8L" =>
+        if ((b(20) & 0xff) != 0x2f) return None
+        val bits = u32le(21)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Some(WebpMeta("VP8L", w, h, riffSize))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Minimal-but-real WebP bytes for [[parseWebp]]: correct RIFF
+    * accounting and either a VP8 key-frame header (sync code + 14-bit
+    * dims) or a VP8L signature + packed dims; the "payload" after the
+    * header is deterministic filler so byte lengths are id formulas. */
+  def syntheticWebp(width: Int, height: Int, lossless: Boolean,
+      fill: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = { out.write((v & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt) }
+    val payload = new java.io.ByteArrayOutputStream()
+    if (lossless) {
+      payload.write(0x2f)
+      val bits = ((width - 1) & 0x3fff).toLong |
+        (((height - 1) & 0x3fff).toLong << 14)
+      payload.write((bits & 0xff).toInt)
+      payload.write(((bits >> 8) & 0xff).toInt)
+      payload.write(((bits >> 16) & 0xff).toInt)
+      payload.write(((bits >> 24) & 0xff).toInt)
+      for (_ <- 0 until 11) payload.write(fill)
+    } else {
+      payload.write(0x10); payload.write(0); payload.write(0) // frame tag
+      payload.write(0x9d); payload.write(0x01); payload.write(0x2a)
+      payload.write(width & 0xff); payload.write((width >> 8) & 0x3f)
+      payload.write(height & 0xff); payload.write((height >> 8) & 0x3f)
+      for (_ <- 0 until 6) payload.write(fill)
+    }
+    val p = payload.toByteArray
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    w32le(4L + 8L + p.length) // "WEBP" + chunk header + chunk body
+    out.write("WEBP".getBytes("ISO-8859-1"))
+    out.write((if (lossless) "VP8L" else "VP8 ").getBytes("ISO-8859-1"))
+    w32le(p.length.toLong)
+    out.write(p)
+    out.toByteArray
+  }
+
+  /** Typed WebP record for the partition-batched path. */
+  final case class WebpFeature(doc_id: Long, codec: String, width: Int,
+    height: Int, riff_size: Long, n_bytes: Int)
+
+  /** Partition-batched WebP metadata extraction; non-WebP rows drop. */
+  def decodeWebpAll(media: Dataset[MediaRow]): Dataset[WebpFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseWebp(r.payload).map(m => WebpFeature(r.doc_id, m.codec,
+        m.width, m.height, m.riffSize, r.payload.length))
+    })
+  }
+
+  /** WebP fixture table: codec alternates by id, dims are id formulas. */
+  def syntheticWebpTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "image", syntheticWebp(
+          (id % 320 + 16).toInt, ((id * 3) % 240 + 8).toInt,
+          lossless = id % 2 == 1, fill = (id % 251).toInt))
+      })
+  }
+
   /** Typed EXIF record for the partition-batched path. */
   final case class ExifFeature(doc_id: Long, endian: String, make: String,
       orientation: Int, iso: Int, pix_x: Long, width: Int, height: Int,

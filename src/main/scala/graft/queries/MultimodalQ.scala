@@ -421,7 +421,24 @@ object MultimodalQ extends QueryModule {
         CAST(113 AS INT) AS n_bytes
       FROM documents"""))
 
+  // REAL WebP container metadata through the RIFF walk: codec
+  // detection (VP8 lossy key-frame sync + 14-bit LE dims vs VP8L
+  // signature + packed minus-one dims), RIFF size accounting, exact
+  // byte length — every value a doc_id formula the oracle predicts.
+  private val q277 = Q("q277_webp_meta",
+    (s, dir) => Multimodal.decodeWebpAll(Multimodal.syntheticWebpTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("codec"), col("width"), col("height"),
+        col("riff_size"), col("n_bytes")),
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 1 THEN 'VP8L' ELSE 'VP8' END AS codec,
+        CAST(doc_id % 320 + 16 AS INT) AS width,
+        CAST((doc_id * 3) % 240 + 8 AS INT) AS height,
+        CAST(28 AS BIGINT) AS riff_size,
+        CAST(36 AS INT) AS n_bytes
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q261)
+      q186, q200, q209, q261, q277)
 }

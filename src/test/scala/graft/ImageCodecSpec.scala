@@ -25,6 +25,24 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("WebP: VP8 sync + 14-bit dims, VP8L packed dims, RIFF size " +
+      "accounting; corrupt sync/size/magic drop") {
+    val lossy = Multimodal.syntheticWebp(321, 239, lossless = false, 7)
+    val m1 = Multimodal.parseWebp(lossy).get
+    assert(m1.codec == "VP8" && m1.width == 321 && m1.height == 239)
+    assert(m1.riffSize + 8 == lossy.length)
+    val ll = Multimodal.syntheticWebp(16, 8, lossless = true, 9)
+    val m2 = Multimodal.parseWebp(ll).get
+    assert(m2.codec == "VP8L" && m2.width == 16 && m2.height == 8)
+    // corrupt the VP8 sync code
+    val bad = lossy.clone(); bad(24) = 0x77.toByte
+    assert(Multimodal.parseWebp(bad).isEmpty)
+    // RIFF size that disagrees with the actual byte count
+    val short = lossy.dropRight(1)
+    assert(Multimodal.parseWebp(short).isEmpty)
+    assert(Multimodal.parseWebp("RIFFnope".getBytes).isEmpty)
+  }
+
   test("JPEG/EXIF rejections: bad magic, truncation mid-segment, and a " +
       "JPEG without APP1 or SOF drop instead of throwing") {
     assert(Multimodal.parseJpegExif("not a jpeg".getBytes).isEmpty)
