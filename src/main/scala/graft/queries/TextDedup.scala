@@ -2632,10 +2632,93 @@ object TextDedup extends QueryModule {
           AS rank, gram, n, n_docs
       FROM c ORDER BY n DESC, gram LIMIT 10"""))
 
+  // --- dup×quality INTERACTION (the "are duplicates junk?" question
+  // every curation decision hinges on): the q92 quality gate crossed
+  // with q72's near-dup components into an exact 2×2 table and its
+  // odds ratio as an integer numerator/denominator pair (keep∧dup ·
+  // drop∧uniq vs keep∧uniq · drop∧dup) — one division at the end. The
+  // oracle composes the two proven CTE chains verbatim, so this row
+  // re-gates both machines plus the join between them. -----------------
+  private val q278 = Q("q278_dup_quality_interaction",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val gate = graft.pipeline.TrainingData.qualityGate(docs)
+        .select(col("doc_id"), col("keep"))
+      val cl = graft.pipeline.TrainingData.dedupClusters(docs,
+        shingleN = SHINGLE_N, minhashK = MINHASH_K,
+        bands = BANDS, rowsPerBand = ROWS_PER_BAND, threshold = 0.5)
+        .select(col("doc_id"), (col("cluster_size") > 1).as("is_dup"))
+      gate.join(cl, "doc_id")
+        .agg(
+          sum(when(col("keep") && col("is_dup"), 1L).otherwise(0L))
+            .as("n_keep_dup"),
+          sum(when(col("keep") && !col("is_dup"), 1L).otherwise(0L))
+            .as("n_keep_uniq"),
+          sum(when(!col("keep") && col("is_dup"), 1L).otherwise(0L))
+            .as("n_drop_dup"),
+          sum(when(!col("keep") && !col("is_dup"), 1L).otherwise(0L))
+            .as("n_drop_uniq"))
+        .withColumn("odds_num", col("n_keep_dup") * col("n_drop_uniq"))
+        .withColumn("odds_den", col("n_keep_uniq") * col("n_drop_dup"))
+        .withColumn("odds_ratio", when(col("odds_den") > 0,
+          col("odds_num").cast("double") / col("odds_den").cast("double")))
+    },
+    Some(s"""WITH RECURSIVE gk AS (
+        SELECT doc_id, keep FROM (
+          ${"WITH rep AS (" + repOracle + """),
+          d AS (SELECT doc_id, text,
+              CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) = 0
+                THEN NULL
+                ELSE CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                    AS DOUBLE)
+                  / len(list_filter(string_split_regex(text, '\s+'),
+                      t -> t <> ''))
+              END AS avg_len
+            FROM documents),
+          j AS (SELECT rep.*, d.avg_len, d.text FROM rep
+            JOIN d USING (doc_id)),
+          r AS (SELECT doc_id,
+              list_sort(list_filter([
+                CASE WHEN n_words < 20 THEN 'too_short' END,
+                CASE WHEN n_words > 100000 THEN 'too_long' END,
+                CASE WHEN avg_len < 3.0 THEN 'short_words' END,
+                CASE WHEN avg_len > 10.0 THEN 'long_words' END,
+                CASE WHEN max_run >= 3 THEN 'word_runs' END,
+                CASE WHEN top2_frac > 0.15 THEN 'top_bigram' END,
+                CASE WHEN dup5_frac > 0.15 THEN 'dup_grams' END,
+                CASE WHEN contains(lower(text), 'lorem ipsum')
+                  THEN 'lorem_ipsum' END,
+                CASE WHEN contains(text, '{') THEN 'brace' END
+              ], x -> x IS NOT NULL)) AS rs
+            FROM j)
+          SELECT doc_id, len(rs) = 0 AS keep FROM r"""} ) _g),
+      $componentsCte,
+      cs AS (SELECT doc_id,
+          COUNT(*) OVER (PARTITION BY cluster) > 1 AS is_dup
+        FROM lab),
+      x AS (SELECT keep, is_dup FROM gk JOIN cs USING (doc_id)),
+      c2 AS (SELECT
+          CAST(SUM(CASE WHEN keep AND is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_dup,
+          CAST(SUM(CASE WHEN keep AND NOT is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_uniq,
+          CAST(SUM(CASE WHEN NOT keep AND is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drop_dup,
+          CAST(SUM(CASE WHEN NOT keep AND NOT is_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drop_uniq
+        FROM x)
+      SELECT *, n_keep_dup * n_drop_uniq AS odds_num,
+        n_keep_uniq * n_drop_dup AS odds_den,
+        CASE WHEN n_keep_uniq * n_drop_dup > 0
+          THEN CAST(n_keep_dup * n_drop_uniq AS DOUBLE)
+            / CAST(n_keep_uniq * n_drop_dup AS DOUBLE) END AS odds_ratio
+      FROM c2"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
-      q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275)
+      q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
+      q278)
 }
