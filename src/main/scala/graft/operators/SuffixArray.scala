@@ -39,10 +39,17 @@ object SuffixArray {
     * local numbering + a broadcast per-partition offset table. */
   def denseRank(df: DataFrame, keys: Seq[String], out: String)
       : DataFrame = {
+    // materialized: the offsets job and the ranking job MUST read the
+    // same physical partitioning (the offsets are per-partition-id) —
+    // recomputing the range exchange per consumer would also recompute
+    // its boundary sample, coupling correctness to two jobs making
+    // identical planning decisions; one eager checkpoint removes both
+    // the risk and the duplicate work
     val dk = df.select(keys.map(col): _*).distinct()
       .repartitionByRange(keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = dk.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
