@@ -2714,11 +2714,67 @@ object TextDedup extends QueryModule {
             / CAST(n_keep_uniq * n_drop_dup AS DOUBLE) END AS odds_ratio
       FROM c2"""))
 
+  // --- corpus DUPLICATION MASS (the Lee et al. 2022 release metric:
+  // what fraction of tokens sit inside duplicated text?): a token
+  // position is covered when any 4-gram window containing it occurs
+  // ≥ 2 times corpus-wide. One gram-key aggregate finds the repeated
+  // grams, their start positions fan out ×4 into covered offsets, and
+  // a per-doc distinct collapses overlaps — exact counts, one final
+  // division. -----------------------------------------------------------
+  private val q279 = Q("q279_duplication_mass",
+    (s, dir) => {
+      val G = 4
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
+      val grams = t
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          posexplode_outer(expr(
+            s"transform(sequence(0, size(toks) - $G), " +
+              s"i -> array_join(slice(toks, i + 1, $G), ' '))"))
+            .as(Seq("off", "gram")))
+        .filter(col("gram").isNotNull && col("n") >= G)
+        .select(col("doc_id"), col("off").cast("long").as("off"),
+          col("gram"))
+      val repeated = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2L)
+        .select(col("gram"))
+      val covered = grams.join(repeated, "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("off"), col("off") + (G - 1)))
+            .as("pos"))
+        .distinct()
+        .agg(count(lit(1)).as("n_covered"))
+      val total = t.agg(sum(size(col("toks"))).cast("long")
+        .as("n_tokens"))
+      total.crossJoin(broadcast(covered))
+        .withColumn("dup_frac", col("n_covered").cast("double")
+          / col("n_tokens").cast("double"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+            AS toks
+        FROM documents),
+      g AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS off,
+          array_to_string(toks[CAST(u.i AS INT):CAST(u.i + 3 AS INT)],
+            ' ') AS gram
+        FROM t, unnest(range(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 4),
+      rep AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+      cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_covered
+        FROM (SELECT DISTINCT doc_id, off + k.k AS pos
+          FROM g JOIN rep USING (gram),
+            (SELECT unnest(range(0, 4)) AS k) k)),
+      tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM t)
+      SELECT n_tokens, n_covered,
+        CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+      FROM tot CROSS JOIN cov"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278)
+      q278, q279)
 }
