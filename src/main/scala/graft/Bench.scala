@@ -76,8 +76,15 @@ object Bench {
       .mkString("{", ",", "}")
     // Failed queries (negative sentinel) are excluded from the headline.
     val total = results.values.filter(_ >= 0).sum
+    // Shared-stage telemetry: LD-family minima that rode the session-
+    // scoped materialized pair-stats stage are warm numbers BY DESIGN —
+    // the artifact says so instead of leaving readers to infer it.
+    val (ldHits, ldMisses) =
+      graft.operators.LdWindow.sharedTelemetry
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has
     // truncated the 100-query map before (BENCH_r04 lost 39 timings), so the

@@ -49,8 +49,9 @@ object LdWindow {
     val key = (variants.queryExecution.analyzed.canonicalized, window,
       carry.toList)
     shared.get(key) match {
-      case Some(df) => df
+      case Some(df) => sharedHits += 1; df
       case None =>
+        sharedMisses += 1
         val df = statsPlan(variants, window, carry)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (shared.size >= MaxShared) {
@@ -67,6 +68,15 @@ object LdWindow {
   private val shared = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Long, List[String]), DataFrame]
+
+  // Session-scoped telemetry: Bench emits these into target/bench.json
+  // so round-over-round LD-family timings stay interpretable (a query
+  // whose minimum rode a warm shared stage says so in the artifact).
+  private var sharedHits = 0L
+  private var sharedMisses = 0L
+  def sharedTelemetry: (Long, Long) = synchronized {
+    (sharedHits, sharedMisses)
+  }
 
   /** Drop every shared pair-stats materialization. */
   def clearShared(): Unit = synchronized {

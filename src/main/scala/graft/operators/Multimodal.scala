@@ -581,26 +581,31 @@ object Multimodal {
     * to-end-of-file (size == 0) boxes, and both version-0 and
     * version-1 mvhd/mdhd layouts. Returns None when no valid moov/mvhd
     * is present (NOT an MP4 — the caller drops the row). */
+  /** Generic ISO-BMFF child-box walk over [from, to): (fourcc,
+    * body-offset, box-end) triples; stops at the first malformed box. */
+  private def boxChildren(b: Array[Byte], from: Long, to: Long)
+      : Seq[(String, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    var o = from
+    while (o + 8 <= to) {
+      val sz0 = be32(b, o.toInt)
+      val typ = fourcc(b, o.toInt + 4)
+      val (bodyOff, sz) =
+        if (sz0 == 1 && o + 16 <= to) (o + 16, be64(b, o.toInt + 8))
+        else if (sz0 == 0) (o + 8, to - o)
+        else (o + 8, sz0)
+      if (sz < 8 || o + sz > to) return out.toSeq // malformed tail
+      out += ((typ, bodyOff, o + sz))
+      o += sz
+    }
+    out.toSeq
+  }
+
   def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
     try {
-      // generic child-box walk over [from, to)
-      def children(from: Long, to: Long): Seq[(String, Long, Long)] = {
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Long, Long)]
-        var o = from
-        while (o + 8 <= to) {
-          val sz0 = be32(b, o.toInt)
-          val typ = fourcc(b, o.toInt + 4)
-          val (bodyOff, sz) =
-            if (sz0 == 1 && o + 16 <= to) (o + 16, be64(b, o.toInt + 8))
-            else if (sz0 == 0) (o + 8, to - o)
-            else (o + 8, sz0)
-          if (sz < 8 || o + sz > to) return out.toSeq // malformed tail
-          out += ((typ, bodyOff, o + sz))
-          o += sz
-        }
-        out.toSeq
-      }
+      def children(from: Long, to: Long): Seq[(String, Long, Long)] =
+        boxChildren(b, from, to)
       val top = children(0L, b.length.toLong)
       val moov = top.find(_._1 == "moov").getOrElse(return None)
       val mc = children(moov._2, moov._3)
@@ -634,9 +639,107 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One media sample (video frame / audio packet) resolved from the
+    * ISO-BMFF sample tables: 0-based index, absolute file offset, byte
+    * size, decode timestamp in media-timescale units. */
+  final case class Mp4Sample(handler: String, idx: Int, offset: Long,
+      size: Long, pts: Long, timescale: Long)
+
+  /** Resolve per-sample (offset, size, pts) rows from a track's sample
+    * tables — stts (decode deltas), stsz (sizes, uniform or
+    * per-sample), stsc (samples-per-chunk runs), stco/co64 (32/64-bit
+    * chunk offsets) — the ISO 14496-12 §8.5-8.7 grammar. This is the
+    * codec-free frame index: REAL frame-level sharding/sampling of a
+    * video corpus needs exactly these offsets and timestamps, never a
+    * pixel decode. Tracks without sample tables (e.g. a metadata-only
+    * trak) are skipped; a track whose tables are INCONSISTENT (stsz
+    * count ≠ stts total, an stsc run pointing past the chunk list, a
+    * sample mapped beyond the last chunk) rejects the whole file —
+    * a truncated table must never yield silently-wrong offsets. */
+  def parseMp4Frames(b: Array[Byte]): Seq[Mp4Sample] = {
+    try {
+      val top = boxChildren(b, 0L, b.length.toLong)
+      val moov = top.find(_._1 == "moov").getOrElse(return Nil)
+      val traks = boxChildren(b, moov._2, moov._3).filter(_._1 == "trak")
+      traks.flatMap { t =>
+        val mdia = boxChildren(b, t._2, t._3).find(_._1 == "mdia")
+          .getOrElse(return Nil)
+        val mc = boxChildren(b, mdia._2, mdia._3)
+        val handler = mc.find(_._1 == "hdlr")
+          .map(hd => fourcc(b, hd._2.toInt + 8)).getOrElse("")
+        val timescale = mc.find(_._1 == "mdhd").map { md =>
+          val v = b(md._2.toInt) & 0xff
+          if (v == 1) be32(b, md._2.toInt + 20) else be32(b, md._2.toInt + 12)
+        }.getOrElse(0L)
+        val stbl = mc.find(_._1 == "minf")
+          .map(mi => boxChildren(b, mi._2, mi._3))
+          .flatMap(_.find(_._1 == "stbl"))
+          .map(st => boxChildren(b, st._2, st._3))
+          .getOrElse(Nil)
+        def bx(typ: String) = stbl.find(_._1 == typ)
+        (for {
+          stts <- bx("stts"); stsz <- bx("stsz"); stsc <- bx("stsc")
+          co <- bx("stco").orElse(bx("co64"))
+        } yield {
+          val co64 = co._1 == "co64"
+          // stts → per-sample decode timestamps
+          val nTts = be32(b, stts._2.toInt + 4).toInt
+          val deltas = (0 until nTts).flatMap { i =>
+            val o = stts._2.toInt + 8 + 8 * i
+            val cnt = be32(b, o).toInt
+            Seq.fill(cnt)(be32(b, o + 4))
+          }
+          // stsz → per-sample sizes
+          val uniform = be32(b, stsz._2.toInt + 4)
+          val nSamples = be32(b, stsz._2.toInt + 8).toInt
+          if (nSamples != deltas.length) return Nil
+          val sizes =
+            if (uniform != 0) Seq.fill(nSamples)(uniform)
+            else (0 until nSamples)
+              .map(i => be32(b, stsz._2.toInt + 12 + 4 * i))
+          // stco/co64 → chunk offsets
+          val nChunks = be32(b, co._2.toInt + 4).toInt
+          val chunkOff = (0 until nChunks).map { i =>
+            if (co64) be64(b, co._2.toInt + 8 + 8 * i)
+            else be32(b, co._2.toInt + 8 + 4 * i)
+          }
+          // stsc runs → samples-per-chunk for each chunk 1..nChunks
+          val nScs = be32(b, stsc._2.toInt + 4).toInt
+          val runs = (0 until nScs).map { i =>
+            val o = stsc._2.toInt + 8 + 12 * i
+            (be32(b, o).toInt, be32(b, o + 4).toInt) // (first_chunk, spc)
+          }
+          if (runs.exists(_._1 > nChunks) ||
+              runs.headOption.exists(_._1 != 1)) return Nil
+          val spcByChunk = (1 to nChunks).map { c =>
+            runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
+          }
+          val pts = deltas.scanLeft(0L)(_ + _)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+          var s = 0
+          var chunk = 0
+          while (s < nSamples && chunk < nChunks) {
+            var within = 0L
+            var inChunk = 0
+            while (s < nSamples && inChunk < spcByChunk(chunk)) {
+              out += Mp4Sample(handler, s, chunkOff(chunk) + within,
+                sizes(s), pts(s), timescale)
+              within += sizes(s); s += 1; inChunk += 1
+            }
+            chunk += 1
+          }
+          if (s != nSamples) return Nil // table ran out of chunks
+          out.toSeq
+        }).getOrElse(Nil)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
   private def u32bytes(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u64bytes(v: Long): Array[Byte] =
+    u32bytes(v >>> 32) ++ u32bytes(v & 0xffffffffL)
 
   private def box(typ: String, body: Array[Byte]): Array[Byte] =
     u32bytes(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
@@ -645,9 +748,21 @@ object Multimodal {
     * `soun` trak) + mdat. `mvhdV1` exercises the 64-bit mvhd layout;
     * movie timescale is 1000 so duration units are milliseconds.
     * Every parsed value and the total byte length are formulas of the
-    * inputs. */
+    * inputs.
+    *
+    * With `frames > 0` the `vide` trak additionally carries real
+    * sample tables — minf/stbl with stts (one run, delta 3000 at media
+    * timescale 90000), stsc (one chunk holding every sample), stsz
+    * (uniform `frameSizeBase` when `uniformSize`, else per-sample
+    * `frameSizeBase + i`), and stco or (`co64`) a 64-bit co64 at
+    * `chunkOffset` — so [[parseMp4Frames]] resolves frame i at offset
+    * `chunkOffset + Σ_{j<i} size_j`, pts `3000·i`. Defaults keep the
+    * no-frames byte layout identical to earlier rounds' fixtures. */
   def syntheticMp4(durMs: Long, width: Int, height: Int,
-      mdatLen: Int, mvhdV1: Boolean = false): Array[Byte] = {
+      mdatLen: Int, mvhdV1: Boolean = false, frames: Int = 0,
+      frameSizeBase: Int = 0, co64: Boolean = false,
+      uniformSize: Boolean = false, chunkOffset: Long = 4096L)
+      : Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
       u32bytes(0x200) ++ "isom".getBytes("ISO-8859-1"))
     val mvhdBody: Array[Byte] =
@@ -660,7 +775,8 @@ object Multimodal {
         Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++ u32bytes(0) ++
           u32bytes(1000) ++ u32bytes(durMs) ++ mvhdTail
     def trak(handler: String, mediaTs: Long, trackId: Long,
-        w: Int, hgt: Int): Array[Byte] = {
+        w: Int, hgt: Int, stbl: Array[Byte] = Array.emptyByteArray)
+        : Array[Byte] = {
       val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
         u32bytes(0) ++ u32bytes(0) ++ u32bytes(trackId) ++ u32bytes(0) ++
         u32bytes(durMs) ++ new Array[Byte](8) ++
@@ -673,10 +789,34 @@ object Multimodal {
       val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++
         handler.getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
         Array[Byte](0))
-      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+      val minf = if (stbl.isEmpty) Array.emptyByteArray
+        else box("minf", box("stbl", stbl))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ minf))
     }
+    val videStbl: Array[Byte] =
+      if (frames <= 0) Array.emptyByteArray
+      else {
+        val stts = box("stts", u32bytes(0) ++ u32bytes(1) ++
+          u32bytes(frames) ++ u32bytes(3000))
+        val stsc = box("stsc", u32bytes(0) ++ u32bytes(1) ++
+          u32bytes(1) ++ u32bytes(frames) ++ u32bytes(1))
+        val stsz =
+          if (uniformSize)
+            box("stsz", u32bytes(0) ++ u32bytes(frameSizeBase) ++
+              u32bytes(frames))
+          else
+            box("stsz", u32bytes(0) ++ u32bytes(0) ++ u32bytes(frames) ++
+              (0 until frames).flatMap(i =>
+                u32bytes(frameSizeBase + i)).toArray)
+        val co =
+          if (co64) box("co64", u32bytes(0) ++ u32bytes(1) ++
+            u64bytes(chunkOffset))
+          else box("stco", u32bytes(0) ++ u32bytes(1) ++
+            u32bytes(chunkOffset))
+        stts ++ stsc ++ stsz ++ co
+      }
     val moov = box("moov", mvhdBody0(mvhdBody) ++
-      trak("vide", 90000L, 1, width, height) ++
+      trak("vide", 90000L, 1, width, height, videStbl) ++
       trak("soun", 48000L, 2, 0, 0))
     val mdat = box("mdat",
       Array.tabulate[Byte](mdatLen)(i => ((i * 41) & 0xff).toByte))
@@ -726,6 +866,49 @@ object Multimodal {
           height = ((id % 6) + 1).toInt * 90,
           mdatLen = (id % 50).toInt,
           mvhdV1 = id % 2 == 0))
+      })
+  }
+
+  /** Typed per-frame record for the sample-table path. */
+  final case class Mp4FrameRow(doc_id: Long, handler: String,
+      frame_idx: Int, offset: Long, size: Long, pts: Long,
+      timescale: Long)
+
+  /** Partition-batched frame-index extraction over [[parseMp4Frames]]:
+    * one output row per resolved media sample; unparseable or
+    * table-less containers contribute nothing. */
+  def decodeMp4FramesAll(media: Dataset[MediaRow])
+      : Dataset[Mp4FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp4Frames(r.payload).map(s => Mp4FrameRow(r.doc_id,
+        s.handler, s.idx, s.offset, s.size, s.pts, s.timescale))
+    })
+  }
+
+  /** Frame-indexed video fixture table: synthetic MP4s whose `vide`
+    * trak carries REAL stts/stsc/stsz/stco sample tables, every
+    * parameter a `doc_id` formula — frames = id%7+2, per-frame size
+    * base (id%10+1)·100, 64-bit co64 on id%3=0, uniform-stsz mode on
+    * id%5=0, chunk base 4096+id%101 — so the resolved (offset, size,
+    * pts) of every frame replays in SQL. */
+  def syntheticMp4FrameTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video", syntheticMp4(
+          durMs = id % 30000 + 1000,
+          width = ((id % 8) + 1).toInt * 160,
+          height = ((id % 6) + 1).toInt * 90,
+          mdatLen = (id % 50).toInt,
+          mvhdV1 = id % 2 == 0,
+          frames = (id % 7 + 2).toInt,
+          frameSizeBase = ((id % 10) + 1).toInt * 100,
+          co64 = id % 3 == 0,
+          uniformSize = id % 5 == 0,
+          chunkOffset = 4096L + id % 101))
       })
   }
 

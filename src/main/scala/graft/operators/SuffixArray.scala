@@ -53,24 +53,37 @@ object SuffixArray {
     val counts = dk.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (pid, _)) => pid -> off }.toMap
-    val offExpr = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
+      .map { case (off, (pid, _)) => pid -> off }
+    // per-partition offsets attach via a BROADCAST JOIN on __pid (the
+    // numberVariants pattern, api/SeqArray.scala) — NEVER an O(P)-deep
+    // when-chain: P is the shuffle partition count (thousands on a real
+    // cluster) and linear expression trees of that depth blow the
+    // analyzer/codegen stack (SCALE.md "Cohort-width expression trees")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(keys.map(col): _*)
     val ranked = dk
       .withColumn("__r", row_number().over(wLocal).cast("long"))
-      .withColumn(out, offExpr + col("__r"))
+      .join(offDf, "__pid")
+      .withColumn(out, col("__off") + col("__r"))
       .select((keys.map(col) :+ col(out)): _*)
     df.join(ranked, keys)
   }
 
   /** Suffix-array table for a (doc_id, text) corpus: one row per token
     * position with `sa` (the 1-based suffix index in lexicographic
-    * order of the ≤ [[Cap]]-token suffixes, ties by (doc_id, off)),
-    * the equivalence `rank`, and the position's (doc_id, off). */
-  def build(docs: DataFrame): DataFrame = {
+    * order of the ≤ `cap`-token suffixes, ties by (doc_id, off)),
+    * the equivalence `rank`, and the position's (doc_id, off).
+    * `cap` must be a power of two so the doubling rounds land exactly
+    * on it (round shifts 1,2,…,cap/2 ⇒ ranks distinguish the first
+    * `cap` tokens) and the unrolled SQL oracle replays round-for-round.
+    * Default [[Cap]] = 32 serves the 4-gram/LRS consumers; the Lee et
+    * al. 2022 exact-substring threshold (50 tokens) needs cap = 64. */
+  def build(docs: DataFrame, cap: Int = Cap): DataFrame = {
+    require(cap >= 2 && (cap & (cap - 1)) == 0,
+      s"cap must be a power of two >= 2; got $cap")
     val spark = docs.sparkSession
     val pos = docs
       .select(col("doc_id"),
@@ -84,7 +97,7 @@ object SuffixArray {
       .localCheckpoint(true)
     var k = 1L
     var distinct = false
-    while (k < Cap && !distinct) {
+    while (k < cap && !distinct) {
       val shifted = cur.select(col("doc_id"),
         (col("off") - k).as("off"), col("rank").as("__r2"))
       val paired = cur.join(shifted, Seq("doc_id", "off"), "left")
@@ -98,7 +111,7 @@ object SuffixArray {
       // (ordering by (r, r2) with r distinct orders by r, and its
       // dense rank re-emits 1..n = r) — so exiting early produces the
       // same table the oracle's fixed unrolled rounds produce
-      if (k < Cap) {
+      if (k < cap) {
         val Array(n, mx) = cur.agg(count(lit(1)), max(col("rank")))
           .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
         distinct = n == mx

@@ -438,7 +438,35 @@ object MultimodalQ extends QueryModule {
         CAST(36 AS INT) AS n_bytes
       FROM documents"""))
 
+  // REAL frame-level video sharding without a codec: synthetic MP4s
+  // carrying true stts/stsc/stsz/stco|co64 sample tables (ISO 14496-12
+  // §8.5-8.7) through the pure-JVM table resolver — one row per video
+  // frame with its absolute byte offset, size, and decode timestamp.
+  // Both 32-bit stco (id%3≠0) and 64-bit co64 (id%3=0) chunk tables
+  // and both stsz modes (uniform on id%5=0, per-sample otherwise) are
+  // exercised; the oracle replays offset = chunk_base + Σ prior sizes
+  // and pts = 3000·i exactly, so a run-expansion slip, a 32/64-bit
+  // offset mixup, or an off-by-one in the chunk walk breaks the hash.
+  // The audio trak has no sample tables and must contribute 0 rows.
+  private val q256 = Q("q256_mp4_frame_index",
+    (s, dir) => Multimodal.decodeMp4FramesAll(
+        Multimodal.syntheticMp4FrameTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("handler"), col("frame_idx"),
+        col("offset"), col("size"), col("pts"), col("timescale")),
+    Some("""SELECT doc_id, 'vide' AS handler, CAST(f.i AS INT) AS frame_idx,
+        CAST(4096 + doc_id % 101
+          + (doc_id % 10 + 1) * 100 * f.i
+          + CASE WHEN doc_id % 5 = 0 THEN 0
+                 ELSE f.i * (f.i - 1) / 2 END AS BIGINT) AS offset,
+        CAST((doc_id % 10 + 1) * 100
+          + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE f.i END AS BIGINT)
+          AS size,
+        CAST(3000 * f.i AS BIGINT) AS pts,
+        CAST(90000 AS BIGINT) AS timescale
+      FROM documents, unnest(range(0, doc_id % 7 + 2)) AS f(i)"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q261, q277)
+      q186, q200, q209, q256, q261, q277)
 }

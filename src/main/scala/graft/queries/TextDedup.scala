@@ -2494,8 +2494,15 @@ object TextDedup extends QueryModule {
           slice(col("tb"), (col("ob") + 1).cast("int"), cap))
         .withColumn("__eq", zip_with(col("__la"), col("__lb"),
           (x, y) => x <=> y))
+        // array_position returns 0 (NOT null) when no false exists —
+        // i.e. when the two Cap-token slices match in full (exact-dup
+        // docs, the audit's main target). Guard the sentinel like
+        // functions/genetics.scala does, or those rows get lcp = −1
+        // and vanish while the oracle (DuckDB list_position → NULL)
+        // keeps them.
+        .withColumn("__fp", array_position(col("__eq"), lit(false)))
         .withColumn("lcp",
-          coalesce(array_position(col("__eq"), lit(false)) - 1,
+          when(col("__fp") > 0, col("__fp") - 1).otherwise(
             least(size(col("__la")), size(col("__lb"))).cast("long")))
         .filter(col("lcp") >= 2)
       val top = withT
@@ -2567,7 +2574,7 @@ object TextDedup extends QueryModule {
   // exact occurrence set. Runs found join-free of pairs: one
   // (sa−1)-shift equi-join marks breaks, the island id is a two-level
   // prefix sum (sa-bucket window + broadcast bucket offsets — never a
-  // data-sized global window). The DuckDB oracle counts 8-grams
+  // data-sized global window). The DuckDB oracle counts 4-grams
   // DIRECTLY (explode + groupBy — a different algorithm entirely), so
   // this row differentially gates the suffix array's order against
   // ground truth every round. ------------------------------------------
@@ -2583,15 +2590,15 @@ object TextDedup extends QueryModule {
       val toksDf = docs.select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
       val withG = sa.join(toksDf, "doc_id")
-        .withColumn("g8", when(size(col("toks")) - col("off") >= G,
+        .withColumn("g4", when(size(col("toks")) - col("off") >= G,
           array_join(slice(col("toks"), (col("off") + 1).cast("int"),
             lit(G)), " ")))
-        .select(col("sa"), col("doc_id"), col("g8"))
+        .select(col("sa"), col("doc_id"), col("g4"))
       val prev = withG.select((col("sa") + 1L).as("sa"),
-        col("g8").as("__gp"))
+        col("g4").as("__gp"))
       val flagged = withG.join(prev, Seq("sa"), "left")
         .withColumn("__brk",
-          when(col("g8") <=> col("__gp"), 0L).otherwise(1L))
+          when(col("g4") <=> col("__gp"), 0L).otherwise(1L))
         .withColumn("__b", expr(s"sa div ${B}L"))
       val wIn = Window.partitionBy(col("__b")).orderBy(col("sa"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2605,11 +2612,11 @@ object TextDedup extends QueryModule {
         .withColumn("__run", sum(col("__brk")).over(wIn))
         .join(broadcast(pfx), "__b")
         .withColumn("island", col("__pre") + col("__run"))
-      val blocks = islands.filter(col("g8").isNotNull)
+      val blocks = islands.filter(col("g4").isNotNull)
         .groupBy(col("island"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("doc_id")).as("n_docs"),
-          min(col("g8")).as("gram"))
+          min(col("g4")).as("gram"))
         .filter(col("n") >= 2L)
       val w = Window.orderBy(col("n").desc, col("gram"))
       blocks.orderBy(col("n").desc, col("gram")).limit(10)
@@ -2729,9 +2736,15 @@ object TextDedup extends QueryModule {
           filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
       val grams = t
         .select(col("doc_id"), size(col("toks")).as("n"),
+          // the generator itself is guarded: on a < G-token doc,
+          // sequence(0, size - G) is DESCENDING and slice(toks, 0, G)
+          // throws at runtime — relying on the post-filter (n >= G)
+          // reaching below the Generate is plan-dependent pushdown,
+          // exactly the fragility pinned elsewhere in this file
           posexplode_outer(expr(
-            s"transform(sequence(0, size(toks) - $G), " +
-              s"i -> array_join(slice(toks, i + 1, $G), ' '))"))
+            s"CASE WHEN size(toks) >= $G THEN " +
+              s"transform(sequence(0, size(toks) - $G), " +
+              s"i -> array_join(slice(toks, i + 1, $G), ' ')) END"))
             .as(Seq("off", "gram")))
         .filter(col("gram").isNotNull && col("n") >= G)
         .select(col("doc_id"), col("off").cast("long").as("off"),
@@ -2770,11 +2783,97 @@ object TextDedup extends QueryModule {
         CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
       FROM tot CROSS JOIN cov"""))
 
+  // --- EXACT-SUBSTRING dedup at the Lee et al. 2022 THRESHOLD (50
+  // tokens, "Deduplicating Training Data Makes Language Models Better"
+  // §4.1) via the suffix array at cap = 64 ≥ threshold: positions
+  // sharing their first 50 tokens form contiguous runs in suffix order
+  // (the prefix-interval property — a position between two 50-prefix
+  // sharers must share the prefix itself), so cross-document
+  // duplicated 50-token spans fall out of ONE (sa−1)-shift join + the
+  // two-level island prefix sum — never a pairwise scan. Gated by an
+  // INDEPENDENT direct 50-gram counting oracle (the q275 differential
+  // pattern): the SA path and the explode-groupBy path must agree
+  // block for block. Full corpus (the %5 sample has no cross-doc
+  // 50-token repeat at sf0.01 — this workload needs the real dup
+  // structure). ---------------------------------------------------------
+  private val q280 = Q("q280_sa_substring_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val G = 50
+      val B = 4096L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val sa = graft.operators.SuffixArray.build(docs, cap = 64)
+      val toksDf = docs.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      val withG = sa.join(toksDf, "doc_id")
+        .withColumn("g50", when(size(col("toks")) - col("off") >= G,
+          array_join(slice(col("toks"), (col("off") + 1).cast("int"),
+            lit(G)), " ")))
+        .select(col("sa"), col("doc_id"), col("g50"))
+      val prev = withG.select((col("sa") + 1L).as("sa"),
+        col("g50").as("__gp"))
+      val flagged = withG.join(prev, Seq("sa"), "left")
+        .withColumn("__brk",
+          when(col("g50") <=> col("__gp"), 0L).otherwise(1L))
+        .withColumn("__b", expr(s"sa div ${B}L"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("sa"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pfx = flagged.groupBy(col("__b"))
+        .agg(sum(col("__brk")).as("__bs"))
+        .withColumn("__pre", sum(col("__bs")).over(wB) - col("__bs"))
+        .select(col("__b"), col("__pre"))
+      val islands = flagged
+        .withColumn("__run", sum(col("__brk")).over(wIn))
+        .join(broadcast(pfx), "__b")
+        .withColumn("island", col("__pre") + col("__run"))
+      // a block is a DUPLICATED CROSS-DOC SPAN when its occurrence set
+      // spans ≥ 2 documents — the memorization-risk unit Lee et al.
+      // remove; same-doc-only repeats are excluded by n_docs >= 2
+      val blocks = islands.filter(col("g50").isNotNull)
+        .groupBy(col("island"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("g50")).as("span"))
+        .filter(col("n") >= 2L && col("n_docs") >= 2L)
+      val summary = blocks.agg(
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("n")), lit(0L)).as("n_occurrences"))
+      val w = Window.orderBy(col("n").desc, col("span"))
+      blocks.orderBy(col("n").desc, col("span")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(summary))
+        .select(col("rank"), col("span"), col("n"), col("n_docs"),
+          col("n_spans"), col("n_occurrences"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+            AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          array_to_string(toks[CAST(u.i AS INT):CAST(u.i + 49 AS INT)],
+            ' ') AS span
+        FROM t, unnest(range(1, len(toks) - 48)) AS u(i)
+        WHERE len(toks) >= 50),
+      c AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1
+        HAVING COUNT(*) >= 2 AND COUNT(DISTINCT doc_id) >= 2),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_occurrences
+        FROM c)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, span) AS BIGINT)
+          AS rank, span, n, n_docs, n_spans, n_occurrences
+      FROM c CROSS JOIN s
+      ORDER BY n DESC, span LIMIT 10"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279)
+      q278, q279, q280)
 }

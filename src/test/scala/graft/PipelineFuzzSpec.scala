@@ -313,4 +313,38 @@ class PipelineFuzzSpec extends AnyFunSuite {
       assert(got == brute, s"seed=$seed: $got vs $brute")
     }
   }
+
+  test("Skyline.maxMin on ~1e6-distinct epoch-millis minCol == " +
+      "single-threaded sorted-scan reference (the over-broadcast / " +
+      "single-partition-sort hazard case)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val n = 200000
+    // epoch-millis-like minCol: huge sparse domain, essentially all
+    // distinct — before the two-level fix this was a data-sized
+    // unpartitioned sort plus a data-sized broadcast
+    val base = 1723700000000L
+    val pts = (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(1000000).toLong,
+        base + math.abs(rnd.nextLong() % 5000000000L))
+    }
+    val got = graft.operators.Skyline
+      .maxMin(pts.toDF("id", "rev", "lat"), "rev", "lat")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // independent reference: sort by lat asc then one scan keeping a
+    // strict prefix max over EARLIER lat values (ties handled by
+    // batching equal-lat groups)
+    val byLat = pts.groupBy(_._3).toSeq.sortBy(_._1)
+    val keep = Seq.newBuilder[Long]
+    var pfx = Long.MinValue
+    for ((_, grp) <- byLat) {
+      val clsMax = grp.map(_._2).max
+      if (clsMax > pfx)
+        grp.foreach { case (id, r, _) => if (r == clsMax) keep += id }
+      pfx = math.max(pfx, clsMax)
+    }
+    val want = keep.result().sorted
+    assert(got.size == want.size && got == want,
+      s"sizes ${got.size} vs ${want.size}")
+  }
 }

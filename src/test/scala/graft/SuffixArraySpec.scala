@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SuffixArray
@@ -63,6 +64,32 @@ class SuffixArraySpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off"))).toSeq
       assert(got == bruteOrder(docs), s"seed=$seed")
     }
+  }
+
+  test("denseRank survives cluster-scale shuffle partition counts " +
+      "(4096): offsets attach by broadcast join, never an O(P) " +
+      "expression chain") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    try {
+      val df = (1 to 500).map(i => (i.toLong, (i % 37).toString))
+        .toDF("id", "k")
+      val ranked = SuffixArray.denseRank(df, Seq("k"), "r")
+      // the ranked plan must contain no per-partition CaseWhen chain:
+      // at P=4096 a linear when-tree overflows the analyzer/codegen
+      // stack (SCALE.md), so a single conditional on __pid is already
+      // one too many
+      val p = ranked.queryExecution.optimizedPlan.toString
+      assert(!p.contains("CASE WHEN (__pid"),
+        "per-partition offsets must be a broadcast join, not a " +
+          "when-chain:\n" + p.take(4000))
+      val got = ranked.select(col("k"), col("r")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = (1 to 500).map(i => (i % 37).toString).distinct
+        .sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   test("equal 32-token prefixes share a rank; distinct ones do not") {
