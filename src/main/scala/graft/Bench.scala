@@ -81,9 +81,12 @@ object Bench {
     // the artifact says so instead of leaving readers to infer it.
     val (ldHits, ldMisses) =
       graft.operators.LdWindow.sharedTelemetry
+    val (saHits, saMisses) =
+      graft.queries.TextDedup.saSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
+        s""""sa_shared_stage":{"hits":$saHits,"misses":$saMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

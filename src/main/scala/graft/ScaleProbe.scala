@@ -49,9 +49,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: probe at a CLUSTER-like partition
+    // count (clusters run thousands) — catches plan-size/driver-side
+    // per-partition costs that local core-count partitioning hides
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -262,10 +266,12 @@ object ScaleProbe {
       }, Docs))
 
     def time(fn: => DataFrame): Double = {
-      // the LD family shares a session-scoped materialized pair-stats
-      // stage (a deliberate cross-query fusion); this probe measures
-      // COMPUTE linearity, so every timed run starts cold
+      // the LD family and the suffix-array span consumers share
+      // session-scoped materialized stages (deliberate cross-query
+      // fusion); this probe measures COMPUTE linearity, so every timed
+      // run starts cold
       graft.operators.LdWindow.clearShared()
+      graft.queries.TextDedup.clearSaShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -34,42 +34,54 @@ object SuffixArray {
   val Cap = 32
 
   /** Dense rank (1-based) of the distinct `keys` combinations in their
-    * ascending order, joined back onto `df` as `out` — no
-    * single-partition exchange: ranks come from range partitioning +
-    * local numbering + a broadcast per-partition offset table. */
+    * ascending order, appended to `df` as `out` — ONE exchange total,
+    * no single-partition step: the table is range-partitioned on the
+    * keys (a range partition is a function of the key, so equal keys
+    * always colocate), each partition dense-ranks locally, and the
+    * global rank is the local rank plus a per-partition offset (the
+    * count of distinct keys in earlier partitions) attached via a
+    * BROADCAST JOIN on `__pid` — the `numberVariants` pattern
+    * (api/SeqArray.scala), NEVER an O(P)-deep when-chain: P is the
+    * shuffle partition count (thousands on a real cluster) and linear
+    * expression trees of that depth blow the analyzer/codegen stack
+    * (SCALE.md "Cohort-width expression trees"). Earlier shapes paid
+    * 4 exchanges here (distinct hash, range, window sort, hash-join
+    * back onto the fact table) with the same skew exposure. */
   def denseRank(df: DataFrame, keys: Seq[String], out: String)
-      : DataFrame = {
+      : DataFrame = denseRankCounted(df, keys, out)._1
+
+  /** [[denseRank]] plus the number of distinct key combinations —
+    * already on the driver as the offset-table total, so the doubling
+    * loop's all-ranks-distinct early-exit test costs no extra job. */
+  private[graft] def denseRankCounted(df: DataFrame, keys: Seq[String],
+      out: String): (DataFrame, Long) = {
     // materialized: the offsets job and the ranking job MUST read the
     // same physical partitioning (the offsets are per-partition-id) —
     // recomputing the range exchange per consumer would also recompute
     // its boundary sample, coupling correctness to two jobs making
     // identical planning decisions; one eager checkpoint removes both
-    // the risk and the duplicate work
-    val dk = df.select(keys.map(col): _*).distinct()
+    // the risk and the duplicate work. Cluster: swap localCheckpoint
+    // for a reliable checkpoint dir (SCALE.md).
+    val part = df
       .repartitionByRange(keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = dk.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val counts = part.groupBy(col("__pid"))
+      .agg(countDistinct(keys.head, keys.tail: _*).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
       .map { case (off, (pid, _)) => pid -> off }
-    // per-partition offsets attach via a BROADCAST JOIN on __pid (the
-    // numberVariants pattern, api/SeqArray.scala) — NEVER an O(P)-deep
-    // when-chain: P is the shuffle partition count (thousands on a real
-    // cluster) and linear expression trees of that depth blow the
-    // analyzer/codegen stack (SCALE.md "Cohort-width expression trees")
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(keys.map(col): _*)
-    val ranked = dk
-      .withColumn("__r", row_number().over(wLocal).cast("long"))
+    val ranked = part
+      .withColumn("__r", dense_rank().over(wLocal).cast("long"))
       .join(offDf, "__pid")
       .withColumn(out, col("__off") + col("__r"))
-      .select((keys.map(col) :+ col(out)): _*)
-    df.join(ranked, keys)
+      .drop("__pid", "__r", "__off")
+    (ranked, counts.map(_._2).sum)
   }
 
   /** Suffix-array table for a (doc_id, text) corpus: one row per token
@@ -92,30 +104,31 @@ object SuffixArray {
         posexplode_outer(col("__toks")).as(Seq("off", "tok")))
       .filter(col("tok").isNotNull)
       .withColumn("off", col("off").cast("long"))
-    var cur = denseRank(pos, Seq("tok"), "rank")
-      .select(col("doc_id"), col("off"), col("rank"))
+    val (r0, n0) = denseRankCounted(pos, Seq("tok"), "rank")
+    var cur = r0.select(col("doc_id"), col("off"), col("rank"))
       .localCheckpoint(true)
+    // total positions, for the early-exit test — the row count is
+    // invariant across rounds, so one count (off the checkpointed
+    // round-0 table) serves every round
+    val nPos = cur.count()
     var k = 1L
-    var distinct = false
+    var distinct = n0 == nPos
     while (k < cap && !distinct) {
       val shifted = cur.select(col("doc_id"),
         (col("off") - k).as("off"), col("rank").as("__r2"))
       val paired = cur.join(shifted, Seq("doc_id", "off"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
-      cur = denseRank(paired, Seq("rank", "__r2"), "__nr")
-        .select(col("doc_id"), col("off"), col("__nr").as("rank"))
+      val (rk, nk) = denseRankCounted(paired, Seq("rank", "__r2"), "__nr")
+      cur = rk.select(col("doc_id"), col("off"), col("__nr").as("rank"))
         .localCheckpoint(true)
       k *= 2
       // once every position ranks uniquely, a further doubling round
       // is the identity on both the order AND the dense-rank values
       // (ordering by (r, r2) with r distinct orders by r, and its
       // dense rank re-emits 1..n = r) — so exiting early produces the
-      // same table the oracle's fixed unrolled rounds produce
-      if (k < cap) {
-        val Array(n, mx) = cur.agg(count(lit(1)), max(col("rank")))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        distinct = n == mx
-      }
+      // same table the oracle's fixed unrolled rounds produce; the
+      // distinct count is free (the denseRank offset-table total)
+      distinct = nk == nPos
     }
     denseRank(cur, Seq("rank", "doc_id", "off"), "sa")
       .select(col("sa"), col("rank"), col("doc_id"), col("off"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -2796,43 +2797,106 @@ object TextDedup extends QueryModule {
   // block for block. Full corpus (the %5 sample has no cross-doc
   // 50-token repeat at sf0.01 — this workload needs the real dup
   // structure). ---------------------------------------------------------
+  /** 50-gram OCCURRENCES grouped into spans by the cap-64 SUFFIX
+    * ARRAY: one row per token position opening a 50-gram, with the SA
+    * run id `island` (two occurrences share an island iff their first
+    * 50 tokens agree — the prefix-interval property makes every such
+    * group one contiguous run in suffix order), the position
+    * (doc_id, off), and the gram text `g50`. Shared by the q280 span
+    * finder and the q281 removal rebuild; both are gated by
+    * INDEPENDENT direct-counting oracles.
+    *
+    * Session-scoped shared materialization (the `LdWindow.stats`
+    * pattern): both consumers need the SAME cap-64 suffix-array
+    * occurrence table — the expensive stage in each — so the first
+    * caller prices it and persists it, the second rides it (a real
+    * release pipeline builds the corpus suffix array ONCE and runs
+    * every exact-substring audit off it). Keyed on the canonicalized
+    * docs plan; telemetry surfaces in `target/bench.json` as
+    * `sa_shared_stage` so warm minima are labeled in the artifact. */
+  private def saSpanOccurrences(s: SparkSession, dir: String)
+      : DataFrame = synchronized {
+    val docsIn = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val key = docsIn.queryExecution.analyzed.canonicalized
+    saShared.get(key) match {
+      case Some(df) => saHits += 1; df
+      case None =>
+        saMisses += 1
+        val df = saSpanOccurrencesPlan(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (saShared.size >= 4) {
+          val k0 = saShared.head._1
+          saShared(k0).unpersist(blocking = false)
+          saShared.remove(k0)
+        }
+        saShared(key) = df
+        df
+    }
+  }
+
+  private val saShared = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame]
+  private var saHits = 0L
+  private var saMisses = 0L
+
+  /** (hits, misses) of the shared suffix-array occurrence stage. */
+  def saSharedTelemetry: (Long, Long) = synchronized {
+    (saHits, saMisses)
+  }
+
+  /** Drop the shared suffix-array materializations (scale probes
+    * measure cold compute). */
+  def clearSaShared(): Unit = synchronized {
+    saShared.values.foreach(_.unpersist(blocking = false))
+    saShared.clear()
+  }
+
+  private def saSpanOccurrencesPlan(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 50
+    val B = 4096L
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val sa = graft.operators.SuffixArray.build(docs, cap = 64)
+    val toksDf = docs.select(col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+    val withG = sa.join(toksDf, "doc_id")
+      .withColumn("g50", when(size(col("toks")) - col("off") >= G,
+        array_join(slice(col("toks"), (col("off") + 1).cast("int"),
+          lit(G)), " ")))
+      .select(col("sa"), col("doc_id"), col("off"), col("g50"))
+    val prev = withG.select((col("sa") + 1L).as("sa"),
+      col("g50").as("__gp"))
+    val flagged = withG.join(prev, Seq("sa"), "left")
+      .withColumn("__brk",
+        when(col("g50") <=> col("__gp"), 0L).otherwise(1L))
+      .withColumn("__b", expr(s"sa div ${B}L"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("sa"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pfx = flagged.groupBy(col("__b"))
+      .agg(sum(col("__brk")).as("__bs"))
+      .withColumn("__pre", sum(col("__bs")).over(wB) - col("__bs"))
+      .select(col("__b"), col("__pre"))
+    flagged
+      .withColumn("__run", sum(col("__brk")).over(wIn))
+      .join(broadcast(pfx), "__b")
+      .withColumn("island", col("__pre") + col("__run"))
+      .filter(col("g50").isNotNull)
+      .select(col("island"), col("doc_id"), col("off"), col("g50"))
+  }
+
   private val q280 = Q("q280_sa_substring_dedup",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val G = 50
-      val B = 4096L
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val sa = graft.operators.SuffixArray.build(docs, cap = 64)
-      val toksDf = docs.select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
-      val withG = sa.join(toksDf, "doc_id")
-        .withColumn("g50", when(size(col("toks")) - col("off") >= G,
-          array_join(slice(col("toks"), (col("off") + 1).cast("int"),
-            lit(G)), " ")))
-        .select(col("sa"), col("doc_id"), col("g50"))
-      val prev = withG.select((col("sa") + 1L).as("sa"),
-        col("g50").as("__gp"))
-      val flagged = withG.join(prev, Seq("sa"), "left")
-        .withColumn("__brk",
-          when(col("g50") <=> col("__gp"), 0L).otherwise(1L))
-        .withColumn("__b", expr(s"sa div ${B}L"))
-      val wIn = Window.partitionBy(col("__b")).orderBy(col("sa"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wB = Window.orderBy(col("__b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pfx = flagged.groupBy(col("__b"))
-        .agg(sum(col("__brk")).as("__bs"))
-        .withColumn("__pre", sum(col("__bs")).over(wB) - col("__bs"))
-        .select(col("__b"), col("__pre"))
-      val islands = flagged
-        .withColumn("__run", sum(col("__brk")).over(wIn))
-        .join(broadcast(pfx), "__b")
-        .withColumn("island", col("__pre") + col("__run"))
       // a block is a DUPLICATED CROSS-DOC SPAN when its occurrence set
       // spans ≥ 2 documents — the memorization-risk unit Lee et al.
       // remove; same-doc-only repeats are excluded by n_docs >= 2
-      val blocks = islands.filter(col("g50").isNotNull)
+      val blocks = saSpanOccurrences(s, dir)
         .groupBy(col("island"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("doc_id")).as("n_docs"),
@@ -2869,11 +2933,81 @@ object TextDedup extends QueryModule {
       FROM c CROSS JOIN s
       ORDER BY n DESC, span LIMIT 10"""))
 
+  // --- the Lee et al. 2022 REBUILD: remove every non-first occurrence
+  // of a cross-document duplicated 50-token span and re-emit the
+  // corpus (the q81 span-removal shape, now fed by REAL exact-substring
+  // spans instead of span keys). Occurrences of one span are one
+  // gram-key group; the keeper is the (doc_id, off)-min occurrence
+  // (deterministic, engine-replayable); a removed occurrence covers
+  // token positions off..off+49 and the rebuild drops the UNION of
+  // covered positions — overlapping spans compose identically in both
+  // engines. One gram-key shuffle + one position-key distinct; nothing
+  // pairwise. --------------------------------------------------------------
+  private val q281 = Q("q281_substring_removal_rebuild",
+    (s, dir) => {
+      val G = 50
+      val occ = saSpanOccurrences(s, dir)
+      // keeper per duplicated cross-doc span = the (doc_id, off)-min
+      // occurrence of its SA run (deterministic, engine-replayable)
+      val agg = occ.groupBy(col("island"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(struct(col("doc_id"), col("off"))).as("keep"))
+        .filter(col("n") >= 2L && col("n_docs") >= 2L)
+        .select(col("island"), col("keep.doc_id").as("kd"),
+          col("keep.off").as("ko"))
+      val removed = occ.join(agg, "island")
+        .filter(!(col("doc_id") === col("kd") && col("off") === col("ko")))
+      val covered = removed
+        .select(col("doc_id"),
+          explode(sequence(col("off"), col("off") + (G - 1))).as("pos"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("cut"))
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
+      t.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_before"),
+          (size(col("toks")) - coalesce(size(col("cut")), lit(0)))
+            .cast("long").as("n_after"),
+          array_join(filter(col("toks"), (_, i) =>
+            !coalesce(array_contains(col("cut"), i.cast("long")),
+              lit(false))), " ").as("rebuilt"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+            AS toks
+        FROM documents),
+      g AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS off,
+          array_to_string(toks[CAST(u.i AS INT):CAST(u.i + 49 AS INT)],
+            ' ') AS gram
+        FROM t, unnest(range(1, len(toks) - 48)) AS u(i)
+        WHERE len(toks) >= 50),
+      a AS (SELECT gram,
+          min(struct_pack(doc_id := doc_id, off := off)) AS keep
+        FROM g GROUP BY 1
+        HAVING COUNT(*) >= 2 AND COUNT(DISTINCT doc_id) >= 2),
+      rm AS (SELECT g.doc_id, g.off FROM g JOIN a USING (gram)
+        WHERE NOT (g.doc_id = a.keep.doc_id AND g.off = a.keep.off)),
+      cov AS (SELECT doc_id, list(DISTINCT off + k.k) AS cut
+        FROM rm, (SELECT unnest(range(0, 50)) AS k) k
+        GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+        CAST(len(t.toks) - coalesce(len(c.cut), 0) AS BIGINT) AS n_after,
+        coalesce(array_to_string([p.tok
+          FOR p IN list_transform(t.toks,
+            (x, i) -> struct_pack(tok := x, i := i))
+          IF c.cut IS NULL OR NOT list_contains(c.cut, p.i - 1)],
+          ' '), '') AS rebuilt
+      FROM t LEFT JOIN cov c USING (doc_id)"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280)
+      q278, q279, q280, q281)
 }
