@@ -238,6 +238,24 @@ object ScaleProbe {
         graft.operators.SuffixArray.build(
           d.filter(col("doc_id") % 5 === 0))
       }, Docs),
+      // integer-token PageRank over the word-adjacency graph:
+      // consecutive-token edges per doc, distinct — expansion suffixes
+      // every token per shard, so shards are vocabulary-disjoint and
+      // nodes AND edges grow exactly linearly (the right null model
+      // for an iterative edge-keyed operator)
+      ("pagerank", { d =>
+        val toks = d.select(col("doc_id"),
+          posexplode_outer(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as(Seq("off", "tok")))
+          .filter(col("tok").isNotNull)
+        val nxt = toks.select(col("doc_id"),
+          (col("off") - 1).as("off"), col("tok").as("nx"))
+        val edges = toks.join(nxt, Seq("doc_id", "off"))
+          .select(xxhash64(col("tok")).as("src"),
+            xxhash64(col("nx")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        graft.operators.Graphs.pageRankInt(edges, iters = 3)
+      }, Docs),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))

@@ -62,4 +62,67 @@ object Graphs {
         (lit(3L) * col("n_triangles")).cast("double")
           / col("n_wedges").cast("double")))
   }
+
+  /** INTEGER-TOKEN PageRank (Page et al. 1999 power iteration under a
+    * "random surfer carries indivisible tokens" discretization): every
+    * node of the directed (src, dst) edge set starts with `scale`
+    * tokens, and each of `iters` rounds applies
+    *
+    *   mass'(v) = (15·scale) div 100
+    *            + (85 · (Σ_{u→v} mass(u) div outdeg(u)
+    *                     + dangling div n)) div 100
+    *
+    * — pure BIGINT arithmetic (damping 0.85 as an exact integer
+    * fraction, dangling mass redistributed evenly), so ANY engine
+    * replays the result bit-for-bit. Classic double-precision PageRank
+    * accumulates in data order and can never hash-match across
+    * engines; the token form trades exact mass conservation (division
+    * remainders evaporate deterministically) for replayability.
+    *
+    * Scale shape: per round ONE src-keyed contribution join + ONE
+    * dst-keyed aggregate + a 1-row dangling aggregate (broadcast) +
+    * one node-keyed left join — all linear in edges; no round touches
+    * a pair set or an unpartitioned data-sized window. Lineage is
+    * truncated per round (eager localCheckpoint; swap for a reliable
+    * checkpoint dir on a cluster — SCALE.md). Returns (node, mass)
+    * after `iters` rounds. */
+  def pageRankInt(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(edges.columns.toSeq == Seq("src", "dst"),
+      s"pageRankInt expects (src, dst) edges; got " +
+        edges.columns.mkString(","))
+    require(iters >= 1 && scale >= 100L,
+      s"need iters >= 1 and scale >= 100; got $iters, $scale")
+    // the edge set is consumed once per round — materialize it ONCE so
+    // an expensive upstream derivation (joins, windows, distinct) never
+    // replays per iteration (cluster: reliable checkpoint dir, SCALE.md)
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__od"))
+    val base = 15L * scale / 100L
+    var mass = nodes.withColumn("mass", lit(scale))
+    for (_ <- 1 to iters) {
+      val m = mass.join(outdeg, Seq("node"), "left")
+      val contrib = m.filter(col("__od").isNotNull)
+        .select(col("node").as("src"),
+          expr("mass div __od").as("__c"))
+      val inflow = e.join(contrib, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      val dangle = broadcast(m.filter(col("__od").isNull)
+        .agg(coalesce(sum(col("mass")), lit(0L)).as("__dg")))
+      mass = nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(dangle)
+        .withColumn("mass", lit(base) +
+          expr(s"(85 * (coalesce(__in, 0L) + __dg div ${n}L)) div 100"))
+        .select(col("node"), col("mass"))
+        .localCheckpoint(true)
+    }
+    mass
+  }
 }

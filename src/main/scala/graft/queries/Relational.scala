@@ -2165,10 +2165,80 @@ object Relational extends QueryModule {
           (a, x) -> a * x) AS survival
       FROM fac2 CROSS JOIN fa"""))
 
+  // --- q282: INTEGER-TOKEN PageRank over the supplier co-supply
+  // graph — the iterative "importance flows along edges" operator
+  // (Page et al. 1999) a link-graph curation pipeline ranks sources
+  // with, in the exact-BIGINT discretization `Graphs.pageRankInt`
+  // replays bit-for-bit in any engine (double PageRank sums in data
+  // order and can never hash-match). The graph: per part, the
+  // suppkey-sorted supplier CHAIN (consecutive links only — linear in
+  // (part, supplier) pairs, never the quadratic per-part clique; up to
+  // 52 suppliers share a part in this data). Directed low→high, so
+  // every chain tail is a DANGLING node and the even-redistribution
+  // path is exercised on real data. 5 unrolled rounds in the oracle,
+  // exactly the q274 replay discipline. ----------------------------------
+  private val q282 = Q("q282_pagerank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val w = Window.partitionBy(col("p")).orderBy(col("sk"))
+      val edges = ps.withColumn("nx", lead(col("sk"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("sk").as("src"), col("nx").as("dst"))
+        .distinct()
+      val pr = graft.operators.Graphs.pageRankInt(edges, iters = 5)
+      val nN = pr.agg(count(lit(1)).as("n_nodes"))
+      val wTop = Window.orderBy(col("mass").desc, col("node"))
+      pr.orderBy(col("mass").desc, col("node")).limit(15)
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .crossJoin(broadcast(nN))
+        .select(col("rank"), col("node"), col("mass"), col("n_nodes"))
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""m$i AS (SELECT nodes.node,
+            150000 + (85 * (coalesce(inf.s, 0)
+              + dg.dm // nn.n)) // 100 AS mass
+          FROM nodes
+          CROSS JOIN nn
+          CROSS JOIN (SELECT coalesce(SUM(m.mass), 0) AS dm
+            FROM m${i - 1} m LEFT JOIN deg ON m.node = deg.src
+            WHERE deg.src IS NULL) dg
+          LEFT JOIN (SELECT e.dst AS node, SUM(m.mass // deg.d) AS s
+            FROM m${i - 1} m
+            JOIN deg ON m.node = deg.src
+            JOIN edges e ON e.src = m.node
+            GROUP BY 1) inf ON inf.node = nodes.node)"""
+      }.mkString(",\n")
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p,
+          CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+      ch AS (SELECT p, sk,
+          lead(sk) OVER (PARTITION BY p ORDER BY sk) AS nx
+        FROM ps),
+      edges AS (SELECT DISTINCT sk AS src, nx AS dst FROM ch
+        WHERE nx IS NOT NULL),
+      nodes AS (SELECT src AS node FROM edges
+        UNION SELECT dst FROM edges),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+        GROUP BY 1),
+      m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+      $rounds
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY mass DESC, node)
+          AS BIGINT) AS rank,
+        node, CAST(mass AS BIGINT) AS mass,
+        nn.n AS n_nodes
+      FROM m5 CROSS JOIN nn
+      ORDER BY mass DESC, node LIMIT 15"""
+    })
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273)
+    q265, q269, q270, q272, q273, q282)
 }

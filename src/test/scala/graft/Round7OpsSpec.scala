@@ -130,6 +130,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Frames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  // ---- integer-token PageRank -----------------------------------------
+
+  test("pageRankInt == independent in-memory token replay (dangling " +
+      "node, multi-in-degree, 3 rounds)") {
+    import spark.implicits._
+    // 1→2, 2→3, 3→1, 4→1, 1→5; node 5 is dangling
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 5L))
+    val iters = 3
+    val scale = 1000000L
+    val got = graft.operators.Graphs
+      .pageRankInt(edges.toDF("src", "dst"), iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: plain Scala maps, same integer formula
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = 15L * scale / 100L
+    var mass = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dangle = nodes.filter(v => !out.contains(v)).map(mass).sum
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        mass(u) / out(u)
+      }.sum).toMap
+      mass = nodes.map(v => v ->
+        (base + 85L * (inflow.getOrElse(v, 0L) + dangle / n) / 100L))
+        .toMap
+    }
+    assert(got == mass, s"$got vs $mass")
+  }
+
   // ---- q274 full-Cap exact repeat (the array_position sentinel) -------
 
   test("q274 keeps full-Cap-token exact repeats: two identical docs in " +
