@@ -2076,4 +2076,101 @@ object PopGen {
         when(col("n_comp") > 0,
           col("n_match").cast("double") / col("n_comp").cast("double")))
   }
+
+  /** EXTENDED HAPLOTYPE HOMOZYGOSITY decay (Sabeti et al. 2002 — the
+    * selection-scan statistic iHS/XP-EHH integrate; reference-adjacent:
+    * rehh/selscan run it over phased SeqArray exports): at every core
+    * variant (each `coreEvery`-th in per-chrom (pos, vid) order) and
+    * each extension length L in `exts` (in VARIANTS, L ≤ `maxExt` <
+    * `coreEvery`), group the 2·S haplotypes by their allele vector
+    * over ranks [core, core+L] and report
+    * EHH = Σ_g n_g·(n_g−1) / (n·(n−1)) as an exact integer
+    * numerator/denominator pair plus one final division. Missing
+    * alleles map to the sentinel −1 (a distinct symbol, the
+    * deterministic convention both engines replay).
+    *
+    * Scale shape: per-chrom variant ranks come from the TWO-LEVEL
+    * numbering discipline (bucket row_number + broadcast bucket
+    * offsets — never a chrom-sized single-partition window); because
+    * `coreEvery` > `maxExt`, every variant belongs to AT MOST ONE
+    * core's window, so the cell fan-out is exactly 2·S rows per
+    * variant (no pair set, no overlap blow-up); one (chrom, core,
+    * sample, hap) aggregate and one (chrom, core, L, hap-string)
+    * aggregate — both keyed, both linear. */
+  def ehhDecay(variants: DataFrame, nSamples: Int, coreEvery: Long,
+      maxExt: Int, exts: Seq[Int]): DataFrame = {
+    require(coreEvery > maxExt && exts.nonEmpty &&
+      exts.forall(l => l >= 1 && l <= maxExt),
+      s"need coreEvery > maxExt >= every ext; got $coreEvery, $maxExt, " +
+        exts.mkString(","))
+    import org.apache.spark.sql.expressions.Window
+    // per-chrom rank, two-level: in-bucket row_number + per-(chrom,
+    // bucket) offsets prefix-summed over the summary table only.
+    // (pos, vid) is NOT tie-free in synthetic ids — the third key is a
+    // canonical genotype serialization, which makes the total order
+    // engine-replayable; rows still tied under it are bit-identical
+    // variants, and swapping those changes no haplotype vector
+    val gstr = array_join(transform(col("geno"), sa =>
+      array_join(transform(sa, a =>
+        coalesce(a.cast("string"), lit("x"))), "|")), ";")
+    val keyed = variants
+      .withColumn("__gs", gstr)
+      .withColumn("__eb", expr("CAST(pos AS BIGINT) div 4096L"))
+    val wIn = Window.partitionBy(col("chrom"), col("__eb"))
+      .orderBy(col("pos"), col("vid"), col("__gs"))
+    val wB = Window.partitionBy(col("chrom")).orderBy(col("__eb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = keyed.groupBy(col("chrom"), col("__eb"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", sum(col("__bn")).over(wB) - col("__bn"))
+      .select(col("chrom"), col("__eb"), col("__off"))
+    val ranked = keyed
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq("chrom", "__eb"))
+      .withColumn("r", col("__off") + col("__r"))
+      .select(col("chrom"), col("pos"), col("r"), col("geno"))
+    // 2·S haplotype cells per variant; a variant reaches at most one
+    // core because coreEvery > maxExt
+    val hapCells = (for (s <- 0 until nSamples; h <- 1 to 2) yield
+      struct(lit(s.toLong).as("s"), lit(h.toLong).as("h"),
+        coalesce(element_at(element_at(col("geno"), s + 1), h), lit(-1L))
+          .as("a"))).toSeq
+    val cells = ranked
+      .withColumn("c",
+        expr(s"((r - 1) div ${coreEvery}L) * ${coreEvery}L + 1"))
+      .withColumn("d", col("r") - col("c"))
+      .filter(col("d") <= maxExt)
+      .select(col("chrom"), col("c"), col("d"),
+        when(col("d") === 0, col("pos")).as("cp"),
+        explode(array(hapCells: _*)).as("sh"))
+      .select(col("chrom"), col("c"), col("d"), col("cp"),
+        col("sh.s").as("s"), col("sh.h").as("h"), col("sh.a").as("a"))
+    val havs = cells.groupBy(col("chrom"), col("c"), col("s"), col("h"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("a")))),
+          p => p.getField("a")).as("av"),
+        max(col("cp")).as("core_pos"))
+    val extArr = array(exts.map(l => lit(l)): _*)
+    val byExt = havs
+      .select(col("chrom"), col("c"), col("core_pos"), col("av"),
+        explode(extArr).as("ext"))
+      // a truncated window (chrom ends before c+L) truncates EVERY
+      // hap of that (core, L) identically, so the whole cell drops
+      .filter(size(col("av")) >= col("ext") + 1)
+      .withColumn("hap", array_join(transform(
+        slice(col("av"), lit(1), col("ext") + 1),
+        a => a.cast("string")), ","))
+    val grpCounts = byExt
+      .groupBy(col("chrom"), col("c"), col("ext"), col("hap"))
+      .agg(count(lit(1)).as("ng"), max(col("core_pos")).as("core_pos"))
+    grpCounts.groupBy(col("chrom"), col("c"), col("ext"))
+      .agg(sum(col("ng") * (col("ng") - 1L)).as("ehh_num"),
+        sum(col("ng")).as("n_haps"),
+        max(col("core_pos")).as("core_pos"))
+      .withColumn("ehh_den", col("n_haps") * (col("n_haps") - 1L))
+      .withColumn("ehh", when(col("ehh_den") > 0,
+        col("ehh_num").cast("double") / col("ehh_den").cast("double")))
+      .select(col("chrom"), col("c").as("core_rank"), col("core_pos"),
+        col("ext").cast("long").as("ext"), col("n_haps"),
+        col("ehh_num"), col("ehh_den"), col("ehh"))
+  }
 }

@@ -1861,9 +1861,68 @@ object PopGenQ extends QueryModule {
           FROM (SELECT vid, $dSql AS d FROM variants)))"""
     }))
 
+  // --- q284: EHH decay (Sabeti 2002 extended haplotype homozygosity —
+  // the statistic iHS/XP-EHH selection scans integrate; rehh/selscan
+  // run it over phased SeqArray exports): at every 50th variant in
+  // per-chrom (pos, vid) order and extensions L ∈ {1,2,4,8} variants,
+  // haplotypes group by their allele vector over [core, core+L] and
+  // EHH = Σ n_g(n_g−1) / (n(n−1)) — exact integer numerator and
+  // denominator, one final division. coreEvery > maxExt means every
+  // variant reaches AT MOST one core: the fan-out is exactly 2S rows
+  // per variant, never an overlap blow-up; ranks come from the
+  // two-level numbering discipline (no chrom-sized global window). ------
+  private val q284 = Q("q284_ehh_decay",
+    (s, dir) => PopGen.ehhDecay(SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      nSamples = N, coreEvery = 50L, maxExt = 8, exts = Seq(1, 2, 4, 8)),
+    Some(withCte(s"""SELECT chrom, core_rank, core_pos,
+        CAST(ext AS BIGINT) AS ext,
+        CAST(SUM(ng) AS BIGINT) AS n_haps,
+        CAST(SUM(ng * (ng - 1)) AS BIGINT) AS ehh_num,
+        CAST(SUM(ng) * (SUM(ng) - 1) AS BIGINT) AS ehh_den,
+        CASE WHEN SUM(ng) * (SUM(ng) - 1) > 0
+          THEN CAST(SUM(ng * (ng - 1)) AS DOUBLE)
+            / CAST(SUM(ng) * (SUM(ng) - 1) AS DOUBLE) END AS ehh
+      FROM (
+        SELECT chrom, core_rank, max(core_pos) AS core_pos, ext, hap,
+          CAST(COUNT(*) AS BIGINT) AS ng
+        FROM (
+          SELECT chrom, c AS core_rank, core_pos, L.L AS ext,
+            array_to_string(av[1:CAST(L.L + 1 AS INT)], ',') AS hap
+          FROM (
+            SELECT chrom, c, s, h,
+              list(CAST(a AS VARCHAR) ORDER BY d) AS av,
+              max(CASE WHEN d = 0 THEN pos END) AS core_pos
+            FROM (
+              SELECT chrom, pos, r,
+                ((r - 1) // 50) * 50 + 1 AS c,
+                r - (((r - 1) // 50) * 50 + 1) AS d,
+                u.s AS s, hh.h AS h,
+                coalesce(geno[CAST(u.s + 1 AS INT)][CAST(hh.h AS INT)],
+                  -1) AS a
+              FROM (SELECT chrom, pos, vid, geno,
+                  row_number() OVER (PARTITION BY chrom
+                    ORDER BY pos, vid,
+                      array_to_string(list_transform(geno, sa ->
+                        array_to_string(list_transform(sa, a ->
+                          coalesce(CAST(a AS VARCHAR), 'x')), '|')),
+                        ';')) AS r
+                FROM variants),
+                unnest(range(0, $N)) AS u(s),
+                (SELECT unnest([1, 2]) AS h) hh
+            ) WHERE d <= 8
+            GROUP BY 1, 2, 3, 4
+          ), (SELECT unnest([1, 2, 4, 8]) AS L) L
+          WHERE len(av) >= L.L + 1
+        )
+        GROUP BY 1, 2, 4, 5
+      )
+      GROUP BY 1, 2, 3, 4""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
-      q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276)
+      q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
+      q284)
 }

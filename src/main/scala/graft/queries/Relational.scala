@@ -2235,10 +2235,77 @@ object Relational extends QueryModule {
       ORDER BY mass DESC, node LIMIT 15"""
     })
 
+  // --- q283: DEGREE ASSORTATIVITY of the co-supplier graph (Newman
+  // 2002's "do hubs link to hubs?" — the standard graph-health check
+  // before any diffusion/ranking pass is trusted): exact Pearson over
+  // the (deg(u), deg(v)) pairs of every directed edge endpoint (both
+  // directions of the undirected chain edges), in the Spearman
+  // discipline — five BIGINT sums, integer cross-products, and the
+  // only floating ops are two IEEE-correctly-rounded sqrts and one
+  // division, so the statistic replays bit-for-bit. One degree
+  // aggregate + two node-keyed joins + one global sum: no pair set
+  // beyond the edges themselves. ----------------------------------------
+  private val q283 = Q("q283_assortativity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val w = Window.partitionBy(col("p")).orderBy(col("sk"))
+      val fwd = ps.withColumn("nx", lead(col("sk"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("sk").as("u"), col("nx").as("v"))
+        .distinct()
+      val und = fwd.unionByName(
+        fwd.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val pairs = und
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      pairs.agg(count(lit(1)).as("n"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(col("du") * col("dv")).as("sxy"),
+          sum(col("du") * col("du")).as("sxx"),
+          sum(col("dv") * col("dv")).as("syy"))
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))))
+        .select(col("n"), col("sxy"), col("r"))
+    },
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p,
+          CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+      ch AS (SELECT p, sk,
+          lead(sk) OVER (PARTITION BY p ORDER BY sk) AS nx
+        FROM ps),
+      fwd AS (SELECT DISTINCT sk AS u, nx AS v FROM ch
+        WHERE nx IS NOT NULL),
+      und AS (SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd),
+      deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und
+        GROUP BY 1),
+      pairs AS (SELECT a.d AS du, b.d AS dv FROM und
+        JOIN deg a ON und.u = a.node
+        JOIN deg b ON und.v = b.node),
+      sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+          CAST(SUM(du * dv) AS BIGINT) AS sxy,
+          CAST(SUM(du * du) AS BIGINT) AS sxx,
+          CAST(SUM(dv * dv) AS BIGINT) AS syy
+        FROM pairs)
+      SELECT n, sxy,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      FROM sums"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282)
+    q265, q269, q270, q272, q273, q282, q283)
 }
