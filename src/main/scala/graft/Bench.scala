@@ -83,10 +83,13 @@ object Bench {
       graft.operators.LdWindow.sharedTelemetry
     val (saHits, saMisses) =
       graft.queries.TextDedup.saSharedTelemetry
+    val (ehHits, ehMisses) =
+      graft.operators.PopGen.ehhSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
         s""""sa_shared_stage":{"hits":$saHits,"misses":$saMisses},""" +
+        s""""ehh_shared_stage":{"hits":$ehHits,"misses":$ehMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

@@ -290,6 +290,7 @@ object ScaleProbe {
       // run starts cold
       graft.operators.LdWindow.clearShared()
       graft.queries.TextDedup.clearSaShared()
+      graft.operators.PopGen.clearEhhShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

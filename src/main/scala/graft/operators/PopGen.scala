@@ -2096,9 +2096,56 @@ object PopGen {
     * core's window, so the cell fan-out is exactly 2·S rows per
     * variant (no pair set, no overlap blow-up); one (chrom, core,
     * sample, hap) aggregate and one (chrom, core, L, hap-string)
-    * aggregate — both keyed, both linear. */
-  def ehhDecay(variants: DataFrame, nSamples: Int, coreEvery: Long,
-      maxExt: Int, exts: Seq[Int]): DataFrame = {
+    * aggregate — both keyed, both linear. Shared by [[ehhDecay]] and
+    * [[ihsLite]]; this stage returns the per-(core, sample, hap)
+    * allele VECTORS. */
+  private def ehhHapVectors(variants: DataFrame, nSamples: Int,
+      coreEvery: Long, maxExt: Int, exts: Seq[Int]): DataFrame =
+    synchronized {
+      // session-scoped shared materialization (the LdWindow.stats
+      // pattern): the EHH-decay and iHS consumers read the SAME
+      // per-(core, sample, hap) vector stage — the expensive part of
+      // both — so the first caller prices it; telemetry surfaces in
+      // target/bench.json as ehh_shared_stage
+      val key = (variants.queryExecution.analyzed.canonicalized,
+        nSamples, coreEvery, maxExt)
+      ehhShared.get(key) match {
+        case Some(df) => ehhHits += 1; df
+        case None =>
+          ehhMisses += 1
+          val df = ehhHapVectorsPlan(variants, nSamples, coreEvery,
+            maxExt, exts).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (ehhShared.size >= 4) {
+            val k0 = ehhShared.head._1
+            ehhShared(k0).unpersist(blocking = false)
+            ehhShared.remove(k0)
+          }
+          ehhShared(key) = df
+          df
+      }
+    }
+
+  private val ehhShared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Long, Int), DataFrame]
+  private var ehhHits = 0L
+  private var ehhMisses = 0L
+
+  /** (hits, misses) of the shared EHH hap-vector stage. */
+  def ehhSharedTelemetry: (Long, Long) = synchronized {
+    (ehhHits, ehhMisses)
+  }
+
+  /** Drop the shared EHH materializations (scale probes measure cold
+    * compute). */
+  def clearEhhShared(): Unit = synchronized {
+    ehhShared.values.foreach(_.unpersist(blocking = false))
+    ehhShared.clear()
+  }
+
+  private def ehhHapVectorsPlan(variants: DataFrame, nSamples: Int,
+      coreEvery: Long, maxExt: Int, exts: Seq[Int]): DataFrame = {
     require(coreEvery > maxExt && exts.nonEmpty &&
       exts.forall(l => l >= 1 && l <= maxExt),
       s"need coreEvery > maxExt >= every ext; got $coreEvery, $maxExt, " +
@@ -2145,21 +2192,29 @@ object PopGen {
         explode(array(hapCells: _*)).as("sh"))
       .select(col("chrom"), col("c"), col("d"), col("cp"),
         col("sh.s").as("s"), col("sh.h").as("h"), col("sh.a").as("a"))
-    val havs = cells.groupBy(col("chrom"), col("c"), col("s"), col("h"))
+    cells.groupBy(col("chrom"), col("c"), col("s"), col("h"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("a")))),
           p => p.getField("a")).as("av"),
         max(col("cp")).as("core_pos"))
+  }
+
+  /** Exploded (core, ext, hap-string) rows from the hap-vector stage. */
+  private def ehhByExt(havs: DataFrame, exts: Seq[Int]): DataFrame = {
     val extArr = array(exts.map(l => lit(l)): _*)
-    val byExt = havs
-      .select(col("chrom"), col("c"), col("core_pos"), col("av"),
-        explode(extArr).as("ext"))
+    havs
+      .select((havs.columns.map(col) :+ explode(extArr).as("ext")): _*)
       // a truncated window (chrom ends before c+L) truncates EVERY
       // hap of that (core, L) identically, so the whole cell drops
       .filter(size(col("av")) >= col("ext") + 1)
       .withColumn("hap", array_join(transform(
         slice(col("av"), lit(1), col("ext") + 1),
         a => a.cast("string")), ","))
-    val grpCounts = byExt
+  }
+
+  def ehhDecay(variants: DataFrame, nSamples: Int, coreEvery: Long,
+      maxExt: Int, exts: Seq[Int]): DataFrame = {
+    val havs = ehhHapVectors(variants, nSamples, coreEvery, maxExt, exts)
+    val grpCounts = ehhByExt(havs, exts)
       .groupBy(col("chrom"), col("c"), col("ext"), col("hap"))
       .agg(count(lit(1)).as("ng"), max(col("core_pos")).as("core_pos"))
     grpCounts.groupBy(col("chrom"), col("c"), col("ext"))
@@ -2172,5 +2227,65 @@ object PopGen {
       .select(col("chrom"), col("c").as("core_rank"), col("core_pos"),
         col("ext").cast("long").as("ext"), col("n_haps"),
         col("ehh_num"), col("ehh_den"), col("ehh"))
+  }
+
+  /** Unstandardized iHS (Voight et al. 2006 before the genome-wide
+    * frequency-bin normalization): per core, EHH computed WITHIN the
+    * ancestral-core-allele haplotype class (allele 0) and the
+    * derived-carrier class (any non-0 allele), each integrated over
+    * the extension grid `exts` (in variants) by the trapezoid rule
+    * from EHH(0) = 1 — a FIXED-ARITY expression, so the double
+    * arithmetic is order-pinned and engine-replayable; iHS =
+    * ln(iHH_der / iHH_anc), null when a class is degenerate (< 2
+    * haps) or a core's window is truncated. Haplotypes with a MISSING
+    * core allele are excluded (the selscan convention). Same scale
+    * shape as [[ehhDecay]]. */
+  def ihsLite(variants: DataFrame, nSamples: Int, coreEvery: Long,
+      maxExt: Int, exts: Seq[Int]): DataFrame = {
+    val havs = ehhHapVectors(variants, nSamples, coreEvery, maxExt, exts)
+      .filter(element_at(col("av"), 1) =!= -1L)
+      .withColumn("der", element_at(col("av"), 1) =!= 0L)
+    val cnt = ehhByExt(havs, exts)
+      .groupBy(col("chrom"), col("c"), col("der"), col("ext"),
+        col("hap"))
+      .agg(count(lit(1)).as("ng"), max(col("core_pos")).as("core_pos"))
+    val ehh = cnt.groupBy(col("chrom"), col("c"), col("der"), col("ext"))
+      .agg(sum(col("ng") * (col("ng") - 1L)).as("num"),
+        sum(col("ng")).as("nh"),
+        max(col("core_pos")).as("core_pos"))
+      .withColumn("e", when(col("nh") >= 2L,
+        col("num").cast("double")
+          / (col("nh") * (col("nh") - 1L)).cast("double")))
+    // pivot the fixed extension grid into columns; a core missing ANY
+    // grid point (truncated window / degenerate class) integrates null
+    def eAt(l: Int) = max(when(col("ext") === l, col("e")))
+    val aggCols = Seq(max(col("nh")).as("n_haps")) ++
+      exts.map(l => eAt(l).as(s"e$l"))
+    val perClass = ehh.groupBy(col("chrom"), col("c"), col("der"))
+      .agg(max(col("core_pos")).as("core_pos"), aggCols: _*)
+    // trapezoid from (0, 1.0) over the grid — fixed expression order,
+    // divisions and doublings by powers of two are exact in IEEE 754
+    val ihh = exts.zip(0 +: exts.init).map { case (x1, x0) =>
+      val e0 = if (x0 == 0) lit(1.0) else col(s"e$x0")
+      (e0 + col(s"e$x1")) / 2.0 * (x1 - x0).toDouble
+    }.reduce(_ + _)
+    val withIhh = perClass.withColumn("ihh", ihh)
+    def side(d: Boolean, c: String, as: String) =
+      max(when(col("der") === d, col(c))).as(as)
+    withIhh.groupBy(col("chrom"), col("c"))
+      .agg(max(col("core_pos")).as("core_pos"),
+        side(false, "ihh", "ihh_anc"), side(true, "ihh", "ihh_der"),
+        side(false, "n_haps", "n_anc"), side(true, "n_haps", "n_der"))
+      // the ratio, NOT ln(ratio): natural log is not correctly-rounded
+      // in IEEE 754, so JVM Math.log and libm ln disagree in the last
+      // ulp and can never hash-match across engines — iHS = ln of this
+      // column, a monotone transform the caller applies client-side
+      .withColumn("ihs_ratio",
+        when(col("ihh_anc") > 0 && col("ihh_der") > 0,
+          col("ihh_der") / col("ihh_anc")))
+      .select(col("chrom"), col("c").as("core_rank"), col("core_pos"),
+        coalesce(col("n_anc"), lit(0L)).as("n_anc"),
+        coalesce(col("n_der"), lit(0L)).as("n_der"),
+        col("ihh_anc"), col("ihh_der"), col("ihs_ratio"))
   }
 }

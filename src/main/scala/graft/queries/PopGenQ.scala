@@ -1919,10 +1919,91 @@ object PopGenQ extends QueryModule {
       )
       GROUP BY 1, 2, 3, 4""")))
 
+  // --- q285: unstandardized iHS (Voight 2006 — what a selection scan
+  // reports per site before the frequency-bin normalization): EHH
+  // within the ancestral-core-allele class vs the derived-carrier
+  // class, each trapezoid-integrated from EHH(0)=1 over the {1,2,4,8}
+  // extension grid (FIXED-ARITY double expression — order-pinned,
+  // engine-replayable). Emits the RATIO iHH_der/iHH_anc (division is
+  // IEEE-correctly-rounded; ln is not, and JVM/libm disagree in the
+  // last ulp — iHS = ln(ratio) is the caller's monotone transform).
+  // Missing-core haps excluded (the selscan convention); degenerate
+  // classes and truncated cores yield null. ----------------------------------
+  private val q285 = Q("q285_ihs",
+    (s, dir) => PopGen.ihsLite(SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      nSamples = N, coreEvery = 50L, maxExt = 8, exts = Seq(1, 2, 4, 8)),
+    Some(withCte(s""", hv AS (
+        SELECT chrom, c, s, h,
+          list(CAST(a AS VARCHAR) ORDER BY d) AS av,
+          max(CASE WHEN d = 0 THEN pos END) AS core_pos
+        FROM (
+          SELECT chrom, pos, r,
+            ((r - 1) // 50) * 50 + 1 AS c,
+            r - (((r - 1) // 50) * 50 + 1) AS d,
+            u.s AS s, hh.h AS h,
+            coalesce(geno[CAST(u.s + 1 AS INT)][CAST(hh.h AS INT)], -1)
+              AS a
+          FROM (SELECT chrom, pos, vid, geno,
+              row_number() OVER (PARTITION BY chrom
+                ORDER BY pos, vid,
+                  array_to_string(list_transform(geno, sa ->
+                    array_to_string(list_transform(sa, a ->
+                      coalesce(CAST(a AS VARCHAR), 'x')), '|')),
+                    ';')) AS r
+            FROM variants),
+            unnest(range(0, $N)) AS u(s),
+            (SELECT unnest([1, 2]) AS h) hh
+        ) WHERE d <= 8
+        GROUP BY 1, 2, 3, 4),
+      hc AS (SELECT chrom, c, core_pos, av,
+          av[1] <> '0' AS der
+        FROM hv WHERE av[1] <> '-1'),
+      cnt AS (SELECT chrom, c, der, L.L AS ext,
+          array_to_string(av[1:CAST(L.L + 1 AS INT)], ',') AS hap,
+          CAST(COUNT(*) AS BIGINT) AS ng,
+          max(core_pos) AS core_pos
+        FROM hc, (SELECT unnest([1, 2, 4, 8]) AS L) L
+        WHERE len(av) >= L.L + 1
+        GROUP BY 1, 2, 3, 4, 5),
+      e AS (SELECT chrom, c, der, ext,
+          CAST(SUM(ng * (ng - 1)) AS BIGINT) AS num,
+          CAST(SUM(ng) AS BIGINT) AS nh,
+          max(core_pos) AS core_pos,
+          CASE WHEN SUM(ng) >= 2
+            THEN CAST(SUM(ng * (ng - 1)) AS DOUBLE)
+              / CAST(SUM(ng) * (SUM(ng) - 1) AS DOUBLE) END AS eh
+        FROM cnt GROUP BY 1, 2, 3, 4),
+      pc AS (SELECT chrom, c, der, max(core_pos) AS core_pos,
+          max(nh) AS n_haps,
+          max(CASE WHEN ext = 1 THEN eh END) AS e1,
+          max(CASE WHEN ext = 2 THEN eh END) AS e2,
+          max(CASE WHEN ext = 4 THEN eh END) AS e4,
+          max(CASE WHEN ext = 8 THEN eh END) AS e8
+        FROM e GROUP BY 1, 2, 3),
+      ih AS (SELECT chrom, c, der, core_pos, n_haps,
+          (1.0 + e1) / 2.0 * 1.0 + (e1 + e2) / 2.0 * 1.0
+            + (e2 + e4) / 2.0 * 2.0 + (e4 + e8) / 2.0 * 4.0 AS ihh
+        FROM pc)
+      SELECT chrom, CAST(c AS BIGINT) AS core_rank,
+        max(core_pos) AS core_pos,
+        CAST(coalesce(max(CASE WHEN NOT der THEN n_haps END), 0)
+          AS BIGINT) AS n_anc,
+        CAST(coalesce(max(CASE WHEN der THEN n_haps END), 0)
+          AS BIGINT) AS n_der,
+        max(CASE WHEN NOT der THEN ihh END) AS ihh_anc,
+        max(CASE WHEN der THEN ihh END) AS ihh_der,
+        CASE WHEN max(CASE WHEN NOT der THEN ihh END) > 0
+            AND max(CASE WHEN der THEN ihh END) > 0
+          THEN max(CASE WHEN der THEN ihh END)
+            / max(CASE WHEN NOT der THEN ihh END) END AS ihs_ratio
+      FROM ih
+      GROUP BY 1, 2""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284)
+      q284, q285)
 }
