@@ -2288,4 +2288,54 @@ object PopGen {
         coalesce(col("n_der"), lit(0L)).as("n_der"),
         col("ihh_anc"), col("ihh_der"), col("ihs_ratio"))
   }
+
+  /** Unstandardized XP-EHH (Sabeti et al. 2007 cross-population EHH):
+    * the same per-core trapezoid-integrated iHH as [[ihsLite]], but
+    * the two haplotype classes are POPULATIONS (sample index in
+    * `pop1` vs the rest) instead of core-allele carriers — the
+    * between-cohort selection contrast. Emits iHH per population and
+    * the ratio (XP-EHH = ln(ratio), the caller's monotone transform).
+    * Rides the same shared hap-vector stage; no missing-core
+    * exclusion (population membership is never missing). */
+  def xpEhh(variants: DataFrame, nSamples: Int, pop1: Set[Int],
+      coreEvery: Long, maxExt: Int, exts: Seq[Int]): DataFrame = {
+    require(pop1.nonEmpty && pop1.size < nSamples,
+      s"pop1 must be a proper non-empty subset of 0..${nSamples - 1}")
+    val havs = ehhHapVectors(variants, nSamples, coreEvery, maxExt, exts)
+      .withColumn("p1", col("s").isInCollection(pop1.map(_.toLong)))
+    val cnt = ehhByExt(havs, exts)
+      .groupBy(col("chrom"), col("c"), col("p1"), col("ext"),
+        col("hap"))
+      .agg(count(lit(1)).as("ng"), max(col("core_pos")).as("core_pos"))
+    val ehh = cnt.groupBy(col("chrom"), col("c"), col("p1"), col("ext"))
+      .agg(sum(col("ng") * (col("ng") - 1L)).as("num"),
+        sum(col("ng")).as("nh"),
+        max(col("core_pos")).as("core_pos"))
+      .withColumn("e", when(col("nh") >= 2L,
+        col("num").cast("double")
+          / (col("nh") * (col("nh") - 1L)).cast("double")))
+    def eAt(l: Int) = max(when(col("ext") === l, col("e")))
+    val aggCols = Seq(max(col("nh")).as("n_haps")) ++
+      exts.map(l => eAt(l).as(s"e$l"))
+    val perClass = ehh.groupBy(col("chrom"), col("c"), col("p1"))
+      .agg(max(col("core_pos")).as("core_pos"), aggCols: _*)
+    val ihh = exts.zip(0 +: exts.init).map { case (x1, x0) =>
+      val e0 = if (x0 == 0) lit(1.0) else col(s"e$x0")
+      (e0 + col(s"e$x1")) / 2.0 * (x1 - x0).toDouble
+    }.reduce(_ + _)
+    val withIhh = perClass.withColumn("ihh", ihh)
+    def side(d: Boolean, c: String, as: String) =
+      max(when(col("p1") === d, col(c))).as(as)
+    withIhh.groupBy(col("chrom"), col("c"))
+      .agg(max(col("core_pos")).as("core_pos"),
+        side(true, "ihh", "ihh_p1"), side(false, "ihh", "ihh_p2"),
+        side(true, "n_haps", "n_p1"), side(false, "n_haps", "n_p2"))
+      .withColumn("xpehh_ratio",
+        when(col("ihh_p1") > 0 && col("ihh_p2") > 0,
+          col("ihh_p1") / col("ihh_p2")))
+      .select(col("chrom"), col("c").as("core_rank"), col("core_pos"),
+        coalesce(col("n_p1"), lit(0L)).as("n_p1"),
+        coalesce(col("n_p2"), lit(0L)).as("n_p2"),
+        col("ihh_p1"), col("ihh_p2"), col("xpehh_ratio"))
+  }
 }

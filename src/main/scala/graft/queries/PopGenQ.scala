@@ -2000,10 +2000,84 @@ object PopGenQ extends QueryModule {
       FROM ih
       GROUP BY 1, 2""")))
 
+  // --- q286: unstandardized XP-EHH (Sabeti 2007 — the cross-population
+  // selection contrast): the q285 trapezoid-integrated iHH with
+  // POPULATIONS (sample halves) as the haplotype classes; emits
+  // iHH_p1/iHH_p2 and the ratio (XP-EHH = ln(ratio) client-side).
+  // Rides the same session-shared hap-vector stage as q284/q285. --------
+  private val q286 = Q("q286_xpehh",
+    (s, dir) => PopGen.xpEhh(SynthGeno.variants(s, dir)
+        .select(col("vid"), col("chrom"), col("pos"), col("geno")),
+      nSamples = N, pop1 = (0 until N / 2).toSet,
+      coreEvery = 50L, maxExt = 8, exts = Seq(1, 2, 4, 8)),
+    Some(withCte(s""", hv AS (
+        SELECT chrom, c, s, h,
+          list(CAST(a AS VARCHAR) ORDER BY d) AS av,
+          max(CASE WHEN d = 0 THEN pos END) AS core_pos
+        FROM (
+          SELECT chrom, pos, r,
+            ((r - 1) // 50) * 50 + 1 AS c,
+            r - (((r - 1) // 50) * 50 + 1) AS d,
+            u.s AS s, hh.h AS h,
+            coalesce(geno[CAST(u.s + 1 AS INT)][CAST(hh.h AS INT)], -1)
+              AS a
+          FROM (SELECT chrom, pos, vid, geno,
+              row_number() OVER (PARTITION BY chrom
+                ORDER BY pos, vid,
+                  array_to_string(list_transform(geno, sa ->
+                    array_to_string(list_transform(sa, a ->
+                      coalesce(CAST(a AS VARCHAR), 'x')), '|')),
+                    ';')) AS r
+            FROM variants),
+            unnest(range(0, $N)) AS u(s),
+            (SELECT unnest([1, 2]) AS h) hh
+        ) WHERE d <= 8
+        GROUP BY 1, 2, 3, 4),
+      hc AS (SELECT chrom, c, core_pos, av, s < ${N / 2} AS p1 FROM hv),
+      cnt AS (SELECT chrom, c, p1, L.L AS ext,
+          array_to_string(av[1:CAST(L.L + 1 AS INT)], ',') AS hap,
+          CAST(COUNT(*) AS BIGINT) AS ng,
+          max(core_pos) AS core_pos
+        FROM hc, (SELECT unnest([1, 2, 4, 8]) AS L) L
+        WHERE len(av) >= L.L + 1
+        GROUP BY 1, 2, 3, 4, 5),
+      e AS (SELECT chrom, c, p1, ext,
+          CAST(SUM(ng) AS BIGINT) AS nh,
+          max(core_pos) AS core_pos,
+          CASE WHEN SUM(ng) >= 2
+            THEN CAST(SUM(ng * (ng - 1)) AS DOUBLE)
+              / CAST(SUM(ng) * (SUM(ng) - 1) AS DOUBLE) END AS eh
+        FROM cnt GROUP BY 1, 2, 3, 4),
+      pc AS (SELECT chrom, c, p1, max(core_pos) AS core_pos,
+          max(nh) AS n_haps,
+          max(CASE WHEN ext = 1 THEN eh END) AS e1,
+          max(CASE WHEN ext = 2 THEN eh END) AS e2,
+          max(CASE WHEN ext = 4 THEN eh END) AS e4,
+          max(CASE WHEN ext = 8 THEN eh END) AS e8
+        FROM e GROUP BY 1, 2, 3),
+      ih AS (SELECT chrom, c, p1, core_pos, n_haps,
+          (1.0 + e1) / 2.0 * 1.0 + (e1 + e2) / 2.0 * 1.0
+            + (e2 + e4) / 2.0 * 2.0 + (e4 + e8) / 2.0 * 4.0 AS ihh
+        FROM pc)
+      SELECT chrom, CAST(c AS BIGINT) AS core_rank,
+        max(core_pos) AS core_pos,
+        CAST(coalesce(max(CASE WHEN p1 THEN n_haps END), 0)
+          AS BIGINT) AS n_p1,
+        CAST(coalesce(max(CASE WHEN NOT p1 THEN n_haps END), 0)
+          AS BIGINT) AS n_p2,
+        max(CASE WHEN p1 THEN ihh END) AS ihh_p1,
+        max(CASE WHEN NOT p1 THEN ihh END) AS ihh_p2,
+        CASE WHEN max(CASE WHEN p1 THEN ihh END) > 0
+            AND max(CASE WHEN NOT p1 THEN ihh END) > 0
+          THEN max(CASE WHEN p1 THEN ihh END)
+            / max(CASE WHEN NOT p1 THEN ihh END) END AS xpehh_ratio
+      FROM ih
+      GROUP BY 1, 2""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285)
+      q284, q285, q286)
 }
