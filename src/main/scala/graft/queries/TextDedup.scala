@@ -3003,11 +3003,75 @@ object TextDedup extends QueryModule {
           ' '), '') AS rebuilt
       FROM t LEFT JOIN cov c USING (doc_id)"""))
 
+  // --- q287: DETERMINISTIC HyperLogLog (Flajolet 2007), the sketch
+  // every 100 TB distinct-count pass starts with — made ENGINE-
+  // REPLAYABLE: md5-derived 60-bit hashes (the house determinism
+  // idiom), 64 registers, and the harmonic mean kept as an EXACT
+  // BIGINT (Σ 2^(55−M_j) — register terms are powers of two, so the
+  // scaled sum is integer arithmetic; classic HLL sums 2^−M doubles in
+  // data order and can never hash-match). One token-key aggregate for
+  // the registers + the exact countDistinct it is judged against; the
+  // final estimate is a fixed-arity double expression. --------------------
+  private val q287 = Q("q287_hll_distinct",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(filter(split(col("text"), "\\s+"),
+          t => t =!= "")).as("tok"))
+      val h = toks.select(col("tok"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("i64"))
+      val reg = h
+        .select((col("i64") % 64).as("bucket"),
+          expr("i64 div 64").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+      val spine = s.range(0, 64).select(col("id").as("bucket"))
+      val z = spine.join(reg, Seq("bucket"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+        .agg(sum(expr("CAST(power(2, 55 - m) AS BIGINT)")).as("z"))
+      val exact = h.agg(countDistinct(col("tok")).as("n_exact"))
+      exact.crossJoin(broadcast(z))
+        .withColumn("hll_estimate",
+          lit(0.709) * lit(4096.0) * lit(36028797018963968.0)
+            / col("z").cast("double"))
+        .withColumn("rel_err",
+          (col("hll_estimate") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+    },
+    Some("""WITH tok AS (SELECT unnest(list_filter(
+          string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT tok,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS i64
+        FROM tok),
+      r AS (SELECT i64 % 64 AS bucket, i64 // 64 AS w FROM h),
+      rr AS (SELECT bucket,
+          max(CASE WHEN w = 0 THEN 55
+              ELSE 55 - length(bin(w)) END) AS m
+        FROM r GROUP BY 1),
+      spine AS (SELECT unnest(range(0, 64)) AS bucket),
+      regs AS (SELECT spine.bucket, coalesce(rr.m, 0) AS m
+        FROM spine LEFT JOIN rr USING (bucket)),
+      zz AS (SELECT CAST(SUM(CAST(power(2, 55 - m) AS BIGINT))
+          AS BIGINT) AS z FROM regs),
+      ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+        FROM h),
+      est AS (SELECT n_exact, z,
+          CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+            * CAST(36028797018963968 AS DOUBLE) / CAST(z AS DOUBLE)
+            AS hll_estimate
+        FROM ex CROSS JOIN zz)
+      SELECT n_exact, z, hll_estimate,
+        (hll_estimate - CAST(n_exact AS DOUBLE))
+          / CAST(n_exact AS DOUBLE) AS rel_err
+      FROM est"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280, q281)
+      q278, q279, q280, q281, q287)
 }

@@ -130,6 +130,37 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Frames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("streaming MP4 frame-index == batch on the same containers " +
+      "(stream==batch parity for the sample-table resolver)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val rows = (1L to 40L).map { id =>
+      Multimodal.MediaRow(id, "video", Multimodal.syntheticMp4(
+        durMs = id % 9000 + 1000, width = 160, height = 90,
+        mdatLen = (id % 7).toInt, frames = (id % 5 + 2).toInt,
+        frameSizeBase = ((id % 4) + 1).toInt * 50,
+        co64 = id % 3 == 0, uniformSize = id % 5 == 0,
+        chunkOffset = 2048L + id))
+    }
+    val mem = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeMp4FramesAll(mem.toDS())
+      .writeStream.format("memory").queryName("mp4_frames_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(15))
+      q.processAllAvailable()
+      mem.addData(rows.drop(15))
+      q.processAllAvailable()
+      val streamed = spark.table("mp4_frames_stream")
+      val batch = Multimodal.decodeMp4FramesAll(
+        rows.toDS()).toDF()
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   // ---- integer-token PageRank -----------------------------------------
 
   test("pageRankInt == independent in-memory token replay (dangling " +
