@@ -2302,10 +2302,70 @@ object Relational extends QueryModule {
             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
       FROM sums"""))
 
+  // --- q288: K-ANONYMITY generalization ladder (Sweeney 2002 — the
+  // privacy audit a data release runs on its quasi-identifiers): for
+  // each generalization level of the QI set (nation, segment,
+  // account-balance bucket at $1k → $5k → dropped), the equivalence-
+  // class profile — k (the min class size), class count, and the
+  // fraction of rows needing suppression under k ≥ 5 — so the release
+  // picks the MINIMAL generalization that clears its k target. Exact
+  // integer counts on the 2-decimal cents grid; one (level, qi-key)
+  // shuffle, class profiles are summary-sized. ---------------------------
+  private val q288 = Q("q288_k_anonymity",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val leveled = c.select(
+        explode(array(
+          struct(lit(0L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"), expr("(cents + 100000000L) div 100000")).as("qi")),
+          struct(lit(1L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"), expr("(cents + 100000000L) div 500000")).as("qi")),
+          struct(lit(2L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg")).as("qi")))).as("e"))
+        .select(col("e.lvl").as("lvl"), col("e.qi").as("qi"))
+      val classes = leveled.groupBy(col("lvl"), col("qi"))
+        .agg(count(lit(1)).as("sz"))
+      classes.groupBy(col("lvl"))
+        .agg(min(col("sz")).as("k"),
+          count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          sum(when(col("sz") < 5L, col("sz")).otherwise(0L))
+            .as("n_suppressed"))
+        .withColumn("frac_suppressed",
+          col("n_suppressed").cast("double") / col("n_rows").cast("double"))
+    },
+    Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+          c_mktsegment AS seg,
+          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      leveled AS (
+        SELECT 0 AS lvl, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 100000 AS VARCHAR) AS qi FROM c
+        UNION ALL
+        SELECT 1, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 500000 AS VARCHAR) FROM c
+        UNION ALL
+        SELECT 2, nat || '|' || seg FROM c),
+      classes AS (SELECT lvl, qi, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM leveled GROUP BY 1, 2)
+      SELECT CAST(lvl AS BIGINT) AS lvl,
+        CAST(MIN(sz) AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(sz) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_suppressed,
+        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(sz) AS DOUBLE) AS frac_suppressed
+      FROM classes
+      GROUP BY 1"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282, q283)
+    q265, q269, q270, q272, q273, q282, q283, q288)
 }
