@@ -256,6 +256,16 @@ object ScaleProbe {
           .filter(col("src") =!= col("dst")).distinct()
         graft.operators.Graphs.pageRankInt(edges, iters = 3)
       }, Docs),
+      // EHH decay over the geno cube rebuilt from the dosage vectors:
+      // cores and windows grow linearly with variants (coreEvery >
+      // maxExt keeps each variant in ≤ 1 core's window), so the
+      // hap-vector stage must scale with the variant count
+      ("ehh_decay", { d =>
+        graft.operators.PopGen.ehhDecay(
+          genoFromD(d).withColumn("vid", col("vid").cast("long")),
+          nSamples = 8, coreEvery = 50L, maxExt = 8,
+          exts = Seq(1, 2, 4, 8))
+      }, Vars),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))

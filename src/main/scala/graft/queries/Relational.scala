@@ -2362,10 +2362,78 @@ object Relational extends QueryModule {
       FROM classes
       GROUP BY 1"""))
 
+  // --- q289: the ANONYMIZED RELEASE the q288 ladder chooses — apply
+  // the MINIMAL generalization level whose k reaches 5, suppress the
+  // residual small classes, and emit the released table (generalized
+  // QI key, class size) plus the release accounting. The level choice
+  // is computed IN the plan (no hardcoded level): class profiles are
+  // summary-sized, the chosen level is a 1-row broadcast, and the
+  // release is one semi-join of the leveled rows against their own
+  // ≥k classes. ----------------------------------------------------------
+  private val q289 = Q("q289_k_anon_release",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val leveled = c.select(
+        explode(array(
+          struct(lit(0L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 100000")).as("qi")),
+          struct(lit(1L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 500000")).as("qi")),
+          struct(lit(2L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg")).as("qi")))).as("e"))
+        .select(col("e.lvl").as("lvl"), col("e.qi").as("qi"))
+      val classes = leveled.groupBy(col("lvl"), col("qi"))
+        .agg(count(lit(1)).as("sz"))
+      val chosen = classes.groupBy(col("lvl"))
+        .agg(min(col("sz")).as("k"))
+        .filter(col("k") >= 5L)
+        .agg(coalesce(min(col("lvl")), lit(2L)).as("lvl"))
+      val released = classes.join(broadcast(chosen), "lvl")
+        .filter(col("sz") >= 5L)
+      val acct = released.agg(
+        max(col("lvl")).as("chosen_lvl"),
+        count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_released"))
+      released.crossJoin(broadcast(acct))
+        .select(col("qi"), col("sz"), col("chosen_lvl"),
+          col("n_classes"), col("n_released"))
+    },
+    Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+          c_mktsegment AS seg,
+          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      leveled AS (
+        SELECT 0 AS lvl, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 100000 AS VARCHAR) AS qi FROM c
+        UNION ALL
+        SELECT 1, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 500000 AS VARCHAR) FROM c
+        UNION ALL
+        SELECT 2, nat || '|' || seg FROM c),
+      classes AS (SELECT lvl, qi, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM leveled GROUP BY 1, 2),
+      chosen AS (SELECT CAST(coalesce(MIN(lvl), 2) AS BIGINT) AS lvl
+        FROM (SELECT lvl, MIN(sz) AS k FROM classes GROUP BY 1)
+        WHERE k >= 5),
+      released AS (SELECT c.qi, c.sz, c.lvl
+        FROM classes c JOIN chosen ch ON c.lvl = ch.lvl
+        WHERE c.sz >= 5),
+      acct AS (SELECT CAST(MAX(lvl) AS BIGINT) AS chosen_lvl,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(SUM(sz) AS BIGINT) AS n_released
+        FROM released)
+      SELECT qi, sz, chosen_lvl, n_classes, n_released
+      FROM released CROSS JOIN acct"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282, q283, q288)
+    q265, q269, q270, q272, q273, q282, q283, q288, q289)
 }
