@@ -300,6 +300,7 @@ object ScaleProbe {
       // run starts cold
       graft.operators.LdWindow.clearShared()
       graft.queries.TextDedup.clearSaShared()
+      graft.operators.SuffixArray.clearShared()
       graft.operators.PopGen.clearEhhShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
