@@ -2430,10 +2430,64 @@ object Relational extends QueryModule {
       SELECT qi, sz, chosen_lvl, n_classes, n_released
       FROM released CROSS JOIN acct"""))
 
+  // --- q290: BENFORD first-significant-digit audit (Newcomb 1881 /
+  // Benford 1938 — the standard fabricated-data screen an ingestion
+  // pipeline runs on monetary columns): exact digit counts on the
+  // cents grid pivoted into nine columns, then χ² against the Benford
+  // expectations as ONE fixed-arity expression over full-precision
+  // double literals — the nine addends combine in pinned left-assoc
+  // order, so the statistic replays bit-for-bit (a SUM() over
+  // per-digit rows would add in engine-dependent order). -----------------
+  private val q290 = Q("q290_benford",
+    (s, dir) => {
+      val cents = Tables(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).as("dig"))
+      val p = Seq("0.3010299956639812", "0.17609125905568124",
+        "0.12493873660829992", "0.09691001300805642",
+        "0.07918124604762482", "0.06694678963061322",
+        "0.05799194697768673", "0.05115252244738129",
+        "0.04575749056067514")
+      val aggs = (1 to 9).map(d =>
+        sum(when(col("dig") === d.toString, 1L).otherwise(0L))
+          .as(s"o$d"))
+      val counts = cents.agg(count(lit(1)).as("n"), aggs: _*)
+      val chi2 = (1 to 9).map { d =>
+        val e = s"(CAST(n AS DOUBLE) * ${p(d - 1)})"
+        s"((CAST(o$d AS DOUBLE) - $e) * (CAST(o$d AS DOUBLE) - $e)) / $e"
+      }.mkString(" + ")
+      counts.withColumn("chi2", expr(chi2))
+    },
+    Some {
+      val p = Seq("0.3010299956639812", "0.17609125905568124",
+        "0.12493873660829992", "0.09691001300805642",
+        "0.07918124604762482", "0.06694678963061322",
+        "0.05799194697768673", "0.05115252244738129",
+        "0.04575749056067514")
+      val os = (1 to 9).map(d =>
+        s"CAST(SUM(CASE WHEN dig = '$d' THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+        .mkString(",\n          ")
+      val chi2 = (1 to 9).map { d =>
+        val e = s"(CAST(n AS DOUBLE) * ${p(d - 1)})"
+        s"((CAST(o$d AS DOUBLE) - $e) * (CAST(o$d AS DOUBLE) - $e)) / $e"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT substr(CAST(CAST(ROUND(l_extendedprice
+            * 100) AS BIGINT) AS VARCHAR), 1, 1) AS dig
+          FROM lineitem
+          WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+        k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          $os
+        FROM c)
+      SELECT n, o1, o2, o3, o4, o5, o6, o7, o8, o9, $chi2 AS chi2
+      FROM k"""
+    })
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282, q283, q288, q289)
+    q265, q269, q270, q272, q273, q282, q283, q288, q289, q290)
 }
