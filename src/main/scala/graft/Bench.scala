@@ -87,12 +87,15 @@ object Bench {
       graft.operators.PopGen.ehhSharedTelemetry
     val (sbHits, sbMisses) =
       graft.operators.SuffixArray.sharedTelemetry
+    val (ddHits, ddMisses) =
+      graft.pipeline.TrainingData.dedupSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
         s""""sa_shared_stage":{"hits":$saHits,"misses":$saMisses},""" +
         s""""ehh_shared_stage":{"hits":$ehHits,"misses":$ehMisses},""" +
         s""""sa_build_stage":{"hits":$sbHits,"misses":$sbMisses},""" +
+        s""""dedup_shared_stage":{"hits":$ddHits,"misses":$ddMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

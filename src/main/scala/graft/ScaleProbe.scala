@@ -302,6 +302,7 @@ object ScaleProbe {
       graft.queries.TextDedup.clearSaShared()
       graft.operators.SuffixArray.clearShared()
       graft.operators.PopGen.clearEhhShared()
+      TrainingData.clearDedupShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

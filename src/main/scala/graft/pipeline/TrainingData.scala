@@ -178,13 +178,57 @@ object TrainingData {
   }
 
   /** (id, cluster) labels of the verified near-dup component graph —
-    * [[dedupClusters]] without the size aggregation. */
+    * [[dedupClusters]] without the size aggregation.
+    *
+    * Session-scoped shared materialization (the `LdWindow.stats`
+    * pattern): the cluster labels are the substrate of MANY consumers
+    * (cluster report, impact accounting, source-flow matrix,
+    * leakage-safe folds, dup×quality interaction, keep-one clean) and
+    * the LSH + connected-components chain is the expensive stage in
+    * all of them — a real pipeline labels its corpus ONCE. Keyed on
+    * the canonicalized docs plan + every parameter; telemetry
+    * surfaces in `target/bench.json` as `dedup_shared_stage`;
+    * `ScaleProbe` clears per timed run. */
   private def clusterLabels(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, minhashK: Int, bands: Int,
-      rowsPerBand: Int, threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
-      bands, rowsPerBand, threshold)
-    connectedComponents(pairs, docs.select(col(idCol)), idCol)
+      rowsPerBand: Int, threshold: Double): DataFrame = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, idCol,
+      textCol, shingleN, minhashK, bands, rowsPerBand, threshold)
+    dedupShared.get(key) match {
+      case Some(df) => dedupHits += 1; df
+      case None =>
+        dedupMisses += 1
+        val pairs = nearDupPairs(docs, idCol, textCol, shingleN,
+          minhashK, bands, rowsPerBand, threshold)
+        val df = connectedComponents(pairs, docs.select(col(idCol)),
+          idCol).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (dedupShared.size >= 4) {
+          val k0 = dedupShared.head._1
+          dedupShared(k0).unpersist(blocking = false)
+          dedupShared.remove(k0)
+        }
+        dedupShared(key) = df
+        df
+    }
+  }
+
+  private val dedupShared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int, Int, Int, Int, Double), DataFrame]
+  private var dedupHits = 0L
+  private var dedupMisses = 0L
+
+  /** (hits, misses) of the shared cluster-label stage. */
+  def dedupSharedTelemetry: (Long, Long) = synchronized {
+    (dedupHits, dedupMisses)
+  }
+
+  /** Drop the shared cluster-label materializations (scale probes
+    * measure cold compute). */
+  def clearDedupShared(): Unit = synchronized {
+    dedupShared.values.foreach(_.unpersist(blocking = false))
+    dedupShared.clear()
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
