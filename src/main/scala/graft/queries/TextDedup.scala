@@ -3067,11 +3067,93 @@ object TextDedup extends QueryModule {
           / CAST(n_exact AS DOUBLE) AS rel_err
       FROM est"""))
 
+  // --- q291: HLL register MERGE (the property that makes sketches the
+  // 100 TB answer: per-shard registers combine by elementwise max, so
+  // a fleet summarizes locally and ships 64 bytes per shard instead of
+  // re-scanning): registers built independently on the doc_id-even and
+  // doc_id-odd shards, merged via greatest(), and the row PROVES
+  // merge(shardA, shardB) == whole-corpus registers by carrying both
+  // estimates plus the count of differing registers (must be 0). Same
+  // exact-BIGINT harmonic mean as q287. -----------------------------------
+  private val q291 = Q("q291_hll_merge",
+    (s, dir) => {
+      def registers(docs: DataFrame): DataFrame = {
+        val h = docs.select(explode(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as("tok"))
+          .select(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+            .cast("long").as("i64"))
+        val reg = h
+          .select((col("i64") % 64).as("bucket"),
+            expr("i64 div 64").as("w"))
+          .withColumn("rho", when(col("w") === 0, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+          .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+        s.range(0, 64).select(col("id").as("bucket"))
+          .join(reg, Seq("bucket"), "left")
+          .withColumn("m", coalesce(col("m"), lit(0L)))
+      }
+      val docs = Tables(s, dir, "documents")
+      val even = registers(docs.filter(col("doc_id") % 2 === 0))
+        .withColumnRenamed("m", "me")
+      val odd = registers(docs.filter(col("doc_id") % 2 === 1))
+        .withColumnRenamed("m", "mo")
+      val whole = registers(docs).withColumnRenamed("m", "mw")
+      val merged = even.join(odd, "bucket").join(whole, "bucket")
+        .withColumn("mm", greatest(col("me"), col("mo")))
+      def est(zc: org.apache.spark.sql.Column) =
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          zc.cast("double")
+      merged.agg(
+          sum(expr("CAST(power(2, 55 - mm) AS BIGINT)")).as("z_merged"),
+          sum(expr("CAST(power(2, 55 - mw) AS BIGINT)")).as("z_whole"),
+          sum(when(col("mm") =!= col("mw"), 1L).otherwise(0L))
+            .as("n_register_diffs"))
+        .withColumn("est_merged", est(col("z_merged")))
+        .withColumn("est_whole", est(col("z_whole")))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+          CAST('0x' || substr(md5(u.tok), 1, 15) AS BIGINT) AS i64
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+          FROM documents) u),
+      r AS (SELECT doc_id % 2 AS shard, i64 % 64 AS bucket,
+          CASE WHEN i64 // 64 = 0 THEN 55
+            ELSE 55 - length(bin(i64 // 64)) END AS rho
+        FROM h),
+      spine AS (SELECT unnest(range(0, 64)) AS bucket),
+      re AS (SELECT spine.bucket, coalesce(x.m, 0) AS me FROM spine
+        LEFT JOIN (SELECT bucket, max(rho) AS m FROM r WHERE shard = 0
+          GROUP BY 1) x USING (bucket)),
+      ro AS (SELECT spine.bucket, coalesce(x.m, 0) AS mo FROM spine
+        LEFT JOIN (SELECT bucket, max(rho) AS m FROM r WHERE shard = 1
+          GROUP BY 1) x USING (bucket)),
+      rw AS (SELECT spine.bucket, coalesce(x.m, 0) AS mw FROM spine
+        LEFT JOIN (SELECT bucket, max(rho) AS m FROM r
+          GROUP BY 1) x USING (bucket)),
+      mg AS (SELECT re.bucket, greatest(me, mo) AS mm, mw
+        FROM re JOIN ro USING (bucket) JOIN rw USING (bucket)),
+      agg AS (SELECT
+          CAST(SUM(CAST(power(2, 55 - mm) AS BIGINT)) AS BIGINT)
+            AS z_merged,
+          CAST(SUM(CAST(power(2, 55 - mw) AS BIGINT)) AS BIGINT)
+            AS z_whole,
+          CAST(SUM(CASE WHEN mm <> mw THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_register_diffs
+        FROM mg)
+      SELECT z_merged, z_whole, n_register_diffs,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+          * CAST(36028797018963968 AS DOUBLE)
+          / CAST(z_merged AS DOUBLE) AS est_merged,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+          * CAST(36028797018963968 AS DOUBLE)
+          / CAST(z_whole AS DOUBLE) AS est_whole
+      FROM agg"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280, q281, q287)
+      q278, q279, q280, q281, q287, q291)
 }
