@@ -2484,10 +2484,61 @@ object Relational extends QueryModule {
       FROM k"""
     })
 
+  // --- q292: SEASONAL-BASELINE anomaly hours (the ops-monitoring
+  // companion to q259's changepoint): hourly event counts vs their
+  // (weekday, hour-of-day) seasonal baseline, ranked by the EXACT
+  // cross-multiplied residual |obs·n_cells − cell_sum| (baseline =
+  // cell_sum/n_cells is rational; multiplying through by n_cells keeps
+  // the ordering integer — no double enters the ranking). Data-sized
+  // work is ONE hour-bucket aggregate; the baseline join and ranking
+  // run over the #hours summary table. ------------------------------------
+  private val q292 = Q("q292_seasonal_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("hour_bucket"))
+        .groupBy(col("hour_bucket")).agg(count(lit(1)).as("obs"))
+        .withColumn("weekday",
+          expr("((hour_bucket div 24) + 4) % 7"))
+        .withColumn("hod", expr("hour_bucket % 24"))
+      val base = hourly.groupBy(col("weekday"), col("hod"))
+        .agg(sum(col("obs")).as("cell_sum"),
+          count(lit(1)).as("n_cells"))
+      val resid = hourly.join(broadcast(base), Seq("weekday", "hod"))
+        .withColumn("dev",
+          abs(col("obs") * col("n_cells") - col("cell_sum")))
+      val w = Window.orderBy(col("dev").desc, col("hour_bucket"))
+      resid.orderBy(col("dev").desc, col("hour_bucket")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("baseline", col("cell_sum").cast("double")
+          / col("n_cells").cast("double"))
+        .select(col("rank"), col("hour_bucket"), col("weekday"),
+          col("hod"), col("obs"), col("dev"), col("baseline"))
+    },
+    Some("""WITH hourly AS (SELECT epoch_ns(ts) // 3600000000000
+          AS hour_bucket, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1),
+      h2 AS (SELECT hour_bucket, obs,
+          ((hour_bucket // 24) + 4) % 7 AS weekday,
+          hour_bucket % 24 AS hod
+        FROM hourly),
+      base AS (SELECT weekday, hod,
+          CAST(SUM(obs) AS BIGINT) AS cell_sum,
+          CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM h2 GROUP BY 1, 2)
+      SELECT CAST(ROW_NUMBER() OVER
+          (ORDER BY abs(obs * n_cells - cell_sum) DESC, hour_bucket)
+          AS BIGINT) AS rank,
+        hour_bucket, weekday, hod, obs,
+        CAST(abs(obs * n_cells - cell_sum) AS BIGINT) AS dev,
+        CAST(cell_sum AS DOUBLE) / CAST(n_cells AS DOUBLE) AS baseline
+      FROM h2 JOIN base USING (weekday, hod)
+      ORDER BY dev DESC, hour_bucket LIMIT 10"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282, q283, q288, q289, q290)
+    q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292)
 }
