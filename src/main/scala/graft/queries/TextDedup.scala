@@ -3149,11 +3149,76 @@ object TextDedup extends QueryModule {
           / CAST(z_whole AS DOUBLE) AS est_whole
       FROM agg"""))
 
+  // --- q293: SOURCE-level Jaccard similarity matrix (the "which feeds
+  // duplicate each other" audit that decides crawl dedup priorities,
+  // complementing q216's doc-level source-flow matrix): each source's
+  // profile is its DISTINCT shingle set; pairwise Jaccard comes from
+  // ONE shingle-key self-join over the (source, shingle) table — the
+  // per-shingle fan-out is bounded by #sources² (a bounded dimension,
+  // never the corpus), and |A∪B| = |A|+|B|−|A∩B| needs only the
+  // broadcast per-source sizes. Exact integer counts, one final
+  // division. ---------------------------------------------------------------
+  private val q293 = Q("q293_source_similarity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ssh = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(shingles(col("text"), SHINGLE_N)).as("sh"))
+        .distinct()
+      val sizes = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = ssh.select(col("source").as("src_a"), col("sh"))
+      val b = ssh.select(col("source").as("src_b"), col("sh"))
+      val inter = a.join(b, Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val j = inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val w = Window.orderBy(col("jaccard").desc, col("src_a"),
+        col("src_b"))
+      j.orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(15)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("src_a"), col("src_b"), col("inter"),
+          col("uni"), col("jaccard"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      ssh AS (SELECT DISTINCT source, u.sh FROM (
+        SELECT source,
+          CASE WHEN len(toks) >= $SHINGLE_N THEN
+            list_distinct(list_transform(
+              range(1, len(toks) - ${SHINGLE_N - 2}),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [] END AS shl FROM t), unnest(shl) AS u(sh)),
+      sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ssh
+        GROUP BY 1),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2),
+      j AS (SELECT src_a, src_b, inter,
+          na.n + nb.n - inter AS uni,
+          CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+            AS jaccard
+        FROM inter
+        JOIN sizes na ON na.source = src_a
+        JOIN sizes nb ON nb.source = src_b)
+      SELECT CAST(ROW_NUMBER() OVER
+          (ORDER BY jaccard DESC, src_a, src_b) AS BIGINT) AS rank,
+        src_a, src_b, inter, CAST(uni AS BIGINT) AS uni, jaccard
+      FROM j ORDER BY jaccard DESC, src_a, src_b LIMIT 15"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280, q281, q287, q291)
+      q278, q279, q280, q281, q287, q291, q293)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
@@ -189,6 +190,35 @@ class Round7OpsSpec extends AnyFunSuite {
         .toMap
     }
     assert(got == mass, s"$got vs $mass")
+  }
+
+  test("EHH decay on the real CEU fixture: every core's EHH is " +
+      "monotone non-increasing in the extension, bounded in [0,1], " +
+      "and counts all 2S haplotypes") {
+    val v = graft.sources.Vcf
+      .read(spark, "/root/reference/inst/extdata/CEU_Exon.vcf.gz")
+      .select(col("pos").cast("long").as("vid"), col("chrom"),
+        col("pos").cast("long").as("pos"), col("geno"))
+    val nS = 90 // CEU_Exon sample count
+    val r = graft.operators.PopGen
+      .ehhDecay(v, nSamples = nS, coreEvery = 50L, maxExt = 8,
+        exts = Seq(1, 2, 4, 8))
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("n_haps") == 2L * nS))
+    assert(r.forall { x =>
+      val e = x.getAs[Double]("ehh"); e >= 0.0 && e <= 1.0
+    })
+    // monotone: a longer extension refines the haplotype partition,
+    // so sum n_g(n_g-1) can only drop
+    val byCore = r.groupBy(x => (x.getAs[String]("chrom"),
+      x.getAs[Long]("core_rank")))
+    for ((_, rows) <- byCore) {
+      val seq = rows.sortBy(_.getAs[Long]("ext"))
+        .map(_.getAs[Long]("ehh_num"))
+      assert(seq.zip(seq.tail).forall { case (a, b) => b <= a },
+        s"non-monotone EHH: ${seq.mkString(",")}")
+    }
   }
 
   // ---- q274 full-Cap exact repeat (the array_position sentinel) -------
