@@ -2535,10 +2535,152 @@ object Relational extends QueryModule {
       FROM h2 JOIN base USING (weekday, hod)
       ORDER BY dev DESC, hour_bucket LIMIT 10"""))
 
+  // --- q294: REFERENTIAL-INTEGRITY audit across the star schema (the
+  // ingestion gate a 100 TB load runs before anything downstream
+  // trusts a join): orphan counts for every FK edge — lineitem→orders,
+  // lineitem→part, lineitem→supplier, orders→customer,
+  // customer→nation, supplier→nation — each ONE left-anti join
+  // (broadcast for the small dimensions, shuffle for orders), plus
+  // the referencing row counts so rates are exact. ------------------------
+  private val q294 = Q("q294_ref_integrity",
+    (s, dir) => {
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame,
+          pk: String, edge: String): DataFrame = {
+        val n = fact.count()
+        fact.join(dim.select(col(pk).as(fk)).distinct(),
+            Seq(fk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("edge"),
+            lit(n).as("n_rows"), col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val p = Tables(s, dir, "part")
+      val na = Tables(s, dir, "nation")
+      orphans(li.select(col("l_orderkey")), "l_orderkey",
+          o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(li.select(col("l_partkey")), "l_partkey",
+          p, "p_partkey", "lineitem->part"))
+        .unionByName(orphans(li.select(col("l_suppkey")), "l_suppkey",
+          su, "s_suppkey", "lineitem->supplier"))
+        .unionByName(orphans(o.select(col("o_custkey")), "o_custkey",
+          c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(c.select(col("c_nationkey")),
+          "c_nationkey", na, "n_nationkey", "customer->nation"))
+        .unionByName(orphans(su.select(col("s_nationkey")),
+          "s_nationkey", na, "n_nationkey", "supplier->nation"))
+        .withColumn("orphan_rate", col("n_orphans").cast("double")
+          / col("n_rows").cast("double"))
+    },
+    Some("""SELECT 'lineitem->orders' AS edge,
+        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans,
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+          AS orphan_rate
+      UNION ALL
+      SELECT 'lineitem->part',
+        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+          (SELECT p_partkey FROM part)) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+          (SELECT p_partkey FROM part)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+      UNION ALL
+      SELECT 'lineitem->supplier',
+        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier)) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+      UNION ALL
+      SELECT 'orders->customer',
+        CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+      UNION ALL
+      SELECT 'customer->nation',
+        CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation)) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
+      UNION ALL
+      SELECT 'supplier->nation',
+        CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
+          (SELECT n_nationkey FROM nation)) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
+          (SELECT n_nationkey FROM nation)) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM supplier) AS DOUBLE)"""))
+
+  // --- q295: ANALYZE-style table profile (the stats collection a
+  // cost-based optimizer feeds on — per column: exact NDV, null count,
+  // min/max on engine-stable encodings): one aggregate pass over
+  // lineitem for a fixed column set; dates profile as ISO strings
+  // (identical text in any engine), monetary columns on the cents
+  // grid. --------------------------------------------------------------------
+  private val q295 = Q("q295_table_profile",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("cents",
+          round(col("l_extendedprice") * 100).cast("long"))
+      // one countDistinct PER aggregate: several distincts in one agg
+      // force a #distincts-way Expand of the whole scan (measured ~3×
+      // slower here); independent single-distinct aggregates keep each
+      // partial-aggregated and combine as 1-row broadcasts
+      def ndv(c: String, as: String) =
+        broadcast(li.agg(countDistinct(col(c)).as(as)))
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .as("nulls_shipdate"),
+          min(col("l_shipdate").cast("string")).as("min_shipdate"),
+          max(col("l_shipdate").cast("string")).as("max_shipdate"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .crossJoin(ndv("l_orderkey", "ndv_orderkey"))
+        .crossJoin(ndv("l_partkey", "ndv_partkey"))
+        .crossJoin(ndv("l_suppkey", "ndv_suppkey"))
+        .crossJoin(ndv("l_returnflag", "ndv_returnflag"))
+        .select(col("n_rows"), col("ndv_orderkey"), col("ndv_partkey"),
+          col("ndv_suppkey"), col("ndv_returnflag"),
+          col("nulls_shipdate"), col("min_shipdate"),
+          col("max_shipdate"), col("min_cents"), col("max_cents"),
+          col("sum_cents"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_orderkey,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_suppkey,
+        CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+        CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS nulls_shipdate,
+        CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate,
+        CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate,
+        CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          AS BIGINT) AS min_cents,
+        CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          AS BIGINT) AS max_cents,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          AS BIGINT) AS sum_cents
+      FROM lineitem"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
-    q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292)
+    q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
+    q294, q295)
 }
