@@ -2676,11 +2676,52 @@ object Relational extends QueryModule {
           AS BIGINT) AS sum_cents
       FROM lineitem"""))
 
+  // --- q296: EVENT-TYPE MARKOV TRANSITIONS (the first-order sequence
+  // model a behavioral pipeline estimates before anything fancier):
+  // per-user next-event pairs from ONE (user)-partitioned lag window
+  // under a tie-free (ts, event_id) order, pair counts, and the
+  // row-normalized transition probability as an exact count ratio.
+  // The window is user-keyed (balanced), the pair table is
+  // #types²-sized. --------------------------------------------------------
+  private val q296 = Q("q296_markov_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val pairs = e
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(fromTot), "from_type")
+        .withColumn("p",
+          col("n").cast("double") / col("n_from").cast("double"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from"), col("p"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY event_id) AS next_type
+        FROM events),
+      pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1)
+      SELECT from_type, to_type, n, n_from,
+        CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      FROM pairs JOIN ft USING (from_type)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295)
+    q294, q295, q296)
 }
