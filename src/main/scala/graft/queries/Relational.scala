@@ -2717,11 +2717,105 @@ object Relational extends QueryModule {
         CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
       FROM pairs JOIN ft USING (from_type)"""))
 
+  // --- q297: behavioral DRIFT between time halves (the
+  // distribution-shift monitor a sequence model is retrained on): the
+  // q296 transition matrix estimated on each half of the event-id
+  // range, compared per from-state by TOTAL-VARIATION distance. Within
+  // one from-state the two halves' probabilities share fixed
+  // denominators d1, d2, so TV = ½·Σ|n1·d2 − n2·d1| / (d1·d2) is ONE
+  // exact BIGINT sum and one final division — no cross-row double
+  // accumulation. Split at the median event_id, computed exactly from
+  // the max (ids are dense 0..N−1 in this data; the rule is the
+  // deterministic id < (max+1)/2 both engines replay). ---------------------
+  private val q297 = Q("q297_transition_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val mid = broadcast(
+        e.agg(expr("(MAX(event_id) + 1) DIV 2").as("mid")))
+      val halves = e.crossJoin(mid)
+        .withColumn("half", when(col("event_id") < col("mid"), 0L)
+          .otherwise(1L))
+      val w = Window.partitionBy(col("half"), col("user_id"))
+        .orderBy(col("event_id"))
+      val pairs = halves
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("half"), col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("half"), col("from_type"))
+        .agg(sum(col("n")).as("d"))
+      // the denominators are FROM-STATE properties — they must come
+      // from the per-half totals, never the pair row (a (from, to)
+      // present in only one half would otherwise zero its whole term)
+      val a = pairs.filter(col("half") === 0L)
+        .select(col("from_type"), col("to_type"), col("n").as("n1"))
+      val b = pairs.filter(col("half") === 1L)
+        .select(col("from_type"), col("to_type"), col("n").as("n2"))
+      val d1 = tot.filter(col("half") === 0L)
+        .select(col("from_type"), col("d").as("d1"))
+      val d2 = tot.filter(col("half") === 1L)
+        .select(col("from_type"), col("d").as("d2"))
+      a.join(b, Seq("from_type", "to_type"), "full_outer")
+        .withColumn("n1", coalesce(col("n1"), lit(0L)))
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .join(broadcast(d1), Seq("from_type"), "left")
+        .join(broadcast(d2), Seq("from_type"), "left")
+        .withColumn("d1", coalesce(col("d1"), lit(0L)))
+        .withColumn("d2", coalesce(col("d2"), lit(0L)))
+        .groupBy(col("from_type"))
+        .agg(max(col("d1")).as("d1"), max(col("d2")).as("d2"),
+          sum(abs(col("n1") * col("d2") - col("n2") * col("d1")))
+            .as("tv_num"))
+        .withColumn("tv", when(col("d1") > 0 && col("d2") > 0,
+          col("tv_num").cast("double")
+            / (lit(2.0) * (col("d1") * col("d2")).cast("double"))))
+        .select(col("from_type"), col("d1"), col("d2"), col("tv_num"),
+          col("tv"))
+    },
+    Some("""WITH mid AS (SELECT (MAX(event_id) + 1) // 2 AS mid
+        FROM events),
+      seq AS (SELECT CASE WHEN event_id < mid.mid THEN 0 ELSE 1 END
+          AS half, user_id, event_id, event_type
+        FROM events CROSS JOIN mid),
+      nx AS (SELECT half, event_type,
+          lead(event_type) OVER (PARTITION BY half, user_id
+            ORDER BY event_id) AS next_type
+        FROM seq),
+      pairs AS (SELECT half, event_type AS from_type,
+          next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2, 3),
+      tot AS (SELECT half, from_type, CAST(SUM(n) AS BIGINT) AS d
+        FROM pairs GROUP BY 1, 2),
+      j AS (SELECT coalesce(a.from_type, b.from_type) AS from_type,
+          coalesce(a.n, 0) AS n1, coalesce(b.n, 0) AS n2
+        FROM (SELECT * FROM pairs WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM pairs WHERE half = 1) b
+          ON a.from_type = b.from_type AND a.to_type = b.to_type),
+      jd AS (SELECT j.from_type, j.n1, j.n2,
+          coalesce(t1.d, 0) AS d1, coalesce(t2.d, 0) AS d2
+        FROM j
+        LEFT JOIN (SELECT from_type, d FROM tot WHERE half = 0) t1
+          ON t1.from_type = j.from_type
+        LEFT JOIN (SELECT from_type, d FROM tot WHERE half = 1) t2
+          ON t2.from_type = j.from_type)
+      SELECT from_type,
+        CAST(MAX(d1) AS BIGINT) AS d1,
+        CAST(MAX(d2) AS BIGINT) AS d2,
+        CAST(SUM(abs(n1 * d2 - n2 * d1)) AS BIGINT) AS tv_num,
+        CASE WHEN MAX(d1) > 0 AND MAX(d2) > 0
+          THEN CAST(SUM(abs(n1 * d2 - n2 * d1)) AS DOUBLE)
+            / (CAST(2 AS DOUBLE)
+              * CAST(MAX(d1) * MAX(d2) AS DOUBLE)) END AS tv
+      FROM jd GROUP BY 1"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296)
+    q294, q295, q296, q297)
 }
