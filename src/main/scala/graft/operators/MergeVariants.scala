@@ -34,6 +34,58 @@ object MergeVariants {
     Bridge.column(RemapGenoExpr(Bridge.expression(geno),
       Bridge.expression(oldAlleles), Bridge.expression(newAlleles)))
 
+  /** N-WAY variant-union merge in ONE plan (the reference merges N
+    * files in one `seqMerge` call, `R/UtilsMerge.R:258-1006`, with the
+    * per-file allele-index translation of `src/FileMerge.cpp:110-229`;
+    * iterating the pairwise expressions re-shuffles per step — this is
+    * the scale shape): every input is tagged with its file ordinal and
+    * unioned, ONE groupBy(vid) collects the per-file payloads, the
+    * merged allele list folds over the files in ordinal order with the
+    * same left-preserving union rule as [[alleleUnion]] (an
+    * `aggregate` HOF over the sorted struct array — file count is a
+    * plan constant, data never widens it), and the per-file genotype
+    * remap happens after an explode back to (vid, file) rows. ONE
+    * shuffle total regardless of N; no join back (the merged list
+    * travels with the group).
+    *
+    * Inputs must carry (vid, alleles "REF,ALT,…", geno
+    * ARRAY<ARRAY<LONG>>, phased ARRAY<BOOLEAN>); a vid absent from a
+    * file simply contributes no row for that file. Output: one row per
+    * (vid, file) present, with the MERGED `alleles` and the remapped
+    * `geno` — bit-identical to folding the pairwise
+    * [[alleleUnion]]/[[remapGeno]] over the files (MergeSpec pins
+    * N = 3 against the iterated result). */
+  def mergeN(files: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    require(files.size >= 2, s"mergeN needs >= 2 files; got ${files.size}")
+    val tagged = files.zipWithIndex.map { case (df, i) =>
+      df.select(col("vid"), lit(i).as("file"), col("alleles"),
+        col("geno"), col("phased"))
+    }.reduce(_ unionByName _)
+    val grouped = tagged.groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("file"), col("alleles"),
+        col("geno"), col("phased")))).as("fs"))
+    val seed = split(element_at(col("fs"), 1).getField("alleles"), ",")
+    // fold over every remaining group entry (size-driven, not
+    // files.size-driven: an input violating vid-uniqueness within a
+    // file still merges every allele list it contributed rather than
+    // silently dropping the tail and remapping to -1)
+    val folded = aggregate(
+      slice(col("fs"), lit(2), greatest(size(col("fs")) - 1, lit(0))),
+      seed,
+      (acc, f) => concat(acc,
+        filter(split(f.getField("alleles"), ","),
+          x => !array_contains(acc, x))))
+    grouped
+      .withColumn("__merged", array_join(folded, ","))
+      .select(col("vid"), col("__merged"), explode(col("fs")).as("f"))
+      .select(col("vid"), col("f.file").as("file"),
+        col("__merged").as("alleles"),
+        remapGeno(col("f.geno"), col("f.alleles"), col("__merged"))
+          .as("geno"),
+        col("f.phased").as("phased"))
+  }
+
   // ---- declarative reference implementations (differential oracles) ------
 
   def alleleUnionHof(a: Column, b: Column): Column = {

@@ -648,91 +648,292 @@ object Multimodal {
   /** Resolve per-sample (offset, size, pts) rows from a track's sample
     * tables — stts (decode deltas), stsz (sizes, uniform or
     * per-sample), stsc (samples-per-chunk runs), stco/co64 (32/64-bit
-    * chunk offsets) — the ISO 14496-12 §8.5-8.7 grammar. This is the
-    * codec-free frame index: REAL frame-level sharding/sampling of a
-    * video corpus needs exactly these offsets and timestamps, never a
-    * pixel decode. Tracks without sample tables (e.g. a metadata-only
-    * trak) are skipped; a track whose tables are INCONSISTENT (stsz
-    * count ≠ stts total, an stsc run pointing past the chunk list, a
-    * sample mapped beyond the last chunk) rejects the whole file —
-    * a truncated table must never yield silently-wrong offsets. */
+    * chunk offsets) — the ISO 14496-12 §8.5-8.7 grammar, PLUS the
+    * fragmented-MP4 grammar streaming corpora actually ship (§8.8):
+    * moov/mvex/trex per-track defaults, then moof → traf → tfhd
+    * (base-data-offset / per-fragment defaults) + tfdt (decode-time
+    * rebase) + trun (per-sample sizes/durations, signed data offset),
+    * samples numbered and timed CONTINUOUSLY across fragments. This is
+    * the codec-free frame index: REAL frame-level sharding/sampling of
+    * a video corpus needs exactly these offsets and timestamps, never
+    * a pixel decode.
+    *
+    * Robustness contract: tracks without sample tables (metadata-only
+    * traks, or fMP4 traks whose samples live in fragments) contribute
+    * no moov-resolved samples but never reject the file; a table whose
+    * DECLARED counts are INCONSISTENT (stsz count ≠ stts total, an
+    * stsc run pointing past the chunk list, a sample mapped beyond the
+    * last chunk, a trun/traf referencing an unknown track, a declared
+    * entry count that overruns its enclosing box's bytes) rejects the
+    * whole file — a truncated table must never yield silently-wrong
+    * offsets, and count fields read from untrusted bytes are validated
+    * against the enclosing box's byte length BEFORE any allocation (a
+    * 16-byte corrupt box claiming 2^31 entries must reject, not OOM
+    * the executor). */
   def parseMp4Frames(b: Array[Byte]): Seq[Mp4Sample] = {
     try {
-      val top = boxChildren(b, 0L, b.length.toLong)
-      val moov = top.find(_._1 == "moov").getOrElse(return Nil)
-      val traks = boxChildren(b, moov._2, moov._3).filter(_._1 == "trak")
-      traks.flatMap { t =>
-        val mdia = boxChildren(b, t._2, t._3).find(_._1 == "mdia")
-          .getOrElse(return Nil)
-        val mc = boxChildren(b, mdia._2, mdia._3)
-        val handler = mc.find(_._1 == "hdlr")
-          .map(hd => fourcc(b, hd._2.toInt + 8)).getOrElse("")
-        val timescale = mc.find(_._1 == "mdhd").map { md =>
-          val v = b(md._2.toInt) & 0xff
-          if (v == 1) be32(b, md._2.toInt + 20) else be32(b, md._2.toInt + 12)
-        }.getOrElse(0L)
-        val stbl = mc.find(_._1 == "minf")
-          .map(mi => boxChildren(b, mi._2, mi._3))
-          .flatMap(_.find(_._1 == "stbl"))
-          .map(st => boxChildren(b, st._2, st._3))
-          .getOrElse(Nil)
-        def bx(typ: String) = stbl.find(_._1 == typ)
-        (for {
-          stts <- bx("stts"); stsz <- bx("stsz"); stsc <- bx("stsc")
-          co <- bx("stco").orElse(bx("co64"))
-        } yield {
-          val co64 = co._1 == "co64"
-          // stts → per-sample decode timestamps
-          val nTts = be32(b, stts._2.toInt + 4).toInt
-          val deltas = (0 until nTts).flatMap { i =>
-            val o = stts._2.toInt + 8 + 8 * i
-            val cnt = be32(b, o).toInt
-            Seq.fill(cnt)(be32(b, o + 4))
-          }
-          // stsz → per-sample sizes
-          val uniform = be32(b, stsz._2.toInt + 4)
-          val nSamples = be32(b, stsz._2.toInt + 8).toInt
-          if (nSamples != deltas.length) return Nil
-          val sizes =
-            if (uniform != 0) Seq.fill(nSamples)(uniform)
-            else (0 until nSamples)
-              .map(i => be32(b, stsz._2.toInt + 12 + 4 * i))
-          // stco/co64 → chunk offsets
-          val nChunks = be32(b, co._2.toInt + 4).toInt
-          val chunkOff = (0 until nChunks).map { i =>
-            if (co64) be64(b, co._2.toInt + 8 + 8 * i)
-            else be32(b, co._2.toInt + 8 + 4 * i)
-          }
-          // stsc runs → samples-per-chunk for each chunk 1..nChunks
-          val nScs = be32(b, stsc._2.toInt + 4).toInt
-          val runs = (0 until nScs).map { i =>
-            val o = stsc._2.toInt + 8 + 12 * i
-            (be32(b, o).toInt, be32(b, o + 4).toInt) // (first_chunk, spc)
-          }
-          if (runs.exists(_._1 > nChunks) ||
-              runs.headOption.exists(_._1 != 1)) return Nil
-          val spcByChunk = (1 to nChunks).map { c =>
-            runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
-          }
-          val pts = deltas.scanLeft(0L)(_ + _)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
-          var s = 0
-          var chunk = 0
-          while (s < nSamples && chunk < nChunks) {
-            var within = 0L
-            var inChunk = 0
-            while (s < nSamples && inChunk < spcByChunk(chunk)) {
-              out += Mp4Sample(handler, s, chunkOff(chunk) + within,
-                sizes(s), pts(s), timescale)
-              within += sizes(s); s += 1; inChunk += 1
-            }
-            chunk += 1
-          }
-          if (s != nSamples) return Nil // table ran out of chunks
-          out.toSeq
-        }).getOrElse(Nil)
-      }
+      parseMp4Frames0(b)
     } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Per-moov-track header info + resolved static (moov-table) samples. */
+  private final case class TrackCtx(trackId: Long, handler: String,
+    timescale: Long, samples: Seq[Mp4Sample])
+
+  private def parseMp4Frames0(b: Array[Byte]): Seq[Mp4Sample] = {
+    def bad(): Nothing = throw new BadTableWrap
+    val top = boxChildren(b, 0L, b.length.toLong)
+    val moov = top.find(_._1 == "moov").getOrElse(return Nil)
+    val mc = boxChildren(b, moov._2, moov._3)
+    // mvex/trex → per-track (default_sample_duration, default_sample_size)
+    val trex: Map[Long, (Long, Long)] = mc.find(_._1 == "mvex")
+      .map(mv => boxChildren(b, mv._2, mv._3).filter(_._1 == "trex").map {
+        tx =>
+          if (tx._3 - tx._2 < 24) bad()
+          val o = tx._2.toInt
+          be32(b, o + 4) -> (be32(b, o + 12), be32(b, o + 16))
+      }.toMap).getOrElse(Map.empty)
+    // one TrackCtx per trak that carries an mdia; a trak missing it is
+    // SKIPPED (a stub/metadata trak must not reject a file whose other
+    // traks are valid). A missing tkhd gets a synthetic NEGATIVE track
+    // id — its static tables still resolve, but no traf (which carries
+    // a positive u32 id) can reference it.
+    val tracks = boxChildren(b, moov._2, moov._3).filter(_._1 == "trak")
+      .zipWithIndex.flatMap { case (t, ti) =>
+        val tc = boxChildren(b, t._2, t._3)
+        tc.find(_._1 == "mdia").map { mdia =>
+          val trackId = tc.find(_._1 == "tkhd").map { tk =>
+            val tv = b(tk._2.toInt) & 0xff
+            if (tv == 1) be32(b, tk._2.toInt + 20)
+            else be32(b, tk._2.toInt + 12)
+          }.getOrElse(-(ti + 1L))
+          val mdc = boxChildren(b, mdia._2, mdia._3)
+          val handler = mdc.find(_._1 == "hdlr")
+            .map(hd => fourcc(b, hd._2.toInt + 8)).getOrElse("")
+          val timescale = mdc.find(_._1 == "mdhd").map { md =>
+            val v = b(md._2.toInt) & 0xff
+            if (v == 1) be32(b, md._2.toInt + 20)
+            else be32(b, md._2.toInt + 12)
+          }.getOrElse(0L)
+          val stbl = mdc.find(_._1 == "minf")
+            .map(mi => boxChildren(b, mi._2, mi._3))
+            .flatMap(_.find(_._1 == "stbl"))
+            .map(st => boxChildren(b, st._2, st._3))
+            .getOrElse(Nil)
+          TrackCtx(trackId, handler, timescale,
+            staticSamples(b, stbl, handler, timescale, bad _))
+        }
+      }
+    val byId = tracks.map(t => t.trackId -> t).toMap
+    if (byId.size != tracks.size) bad() // duplicate track ids
+    val staticRows = tracks.flatMap(_.samples)
+    // fragment walk: per-track running (next sample index, decode time)
+    val nextIdx = scala.collection.mutable.Map[Long, Int]() ++
+      tracks.map(t => t.trackId -> t.samples.length)
+    val nextPts = scala.collection.mutable.Map[Long, Long]() ++
+      tracks.map(t => t.trackId ->
+        t.samples.lastOption.map(s => s.pts).getOrElse(0L))
+    val fragRows = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+    // top-level walk again, tracking each box's START (boxChildren
+    // returns body offsets; moof-relative addressing needs the start)
+    var o = 0L
+    while (o + 8 <= b.length) {
+      val sz0 = be32(b, o.toInt)
+      val typ = fourcc(b, o.toInt + 4)
+      val sz =
+        if (sz0 == 1 && o + 16 <= b.length) be64(b, o.toInt + 8)
+        else if (sz0 == 0) b.length - o
+        else sz0
+      if (sz < 8 || o + sz > b.length) {
+        // a truncated MOOF must reject the file (its samples are
+        // unresolvable); a short non-fragment tail keeps the old
+        // stop-at-malformed tolerance
+        if (typ == "moof") bad()
+        return staticRows ++ fragRows.toSeq
+      }
+      if (typ == "moof") {
+        val bodyOff = if (sz0 == 1) o + 16 else o + 8
+        walkMoof(b, o, bodyOff, o + sz, byId, trex, nextIdx, nextPts,
+          fragRows, bad _)
+      }
+      o += sz
+    }
+    staticRows ++ fragRows.toSeq
+  }
+
+  /** Signals an inconsistent/truncated sample table: thrown through
+    * [[parseMp4Frames0]] and converted to whole-file rejection (Nil) by
+    * [[parseMp4Frames]]'s NonFatal handler. */
+  private final class BadTableWrap extends RuntimeException
+
+  /** Static (moov sample-table) samples for one track; `Nil` when any
+    * of stts/stsz/stsc/stco is absent (table-less track). Declared
+    * counts are bounds-checked against their boxes before allocation. */
+  private def staticSamples(b: Array[Byte],
+      stbl: Seq[(String, Long, Long)], handler: String, timescale: Long,
+      bad: () => Nothing): Seq[Mp4Sample] = {
+    def bx(typ: String) = stbl.find(_._1 == typ)
+    (for {
+      stts <- bx("stts"); stsz <- bx("stsz"); stsc <- bx("stsc")
+      co <- bx("stco").orElse(bx("co64"))
+    } yield {
+      val co64 = co._1 == "co64"
+      // stts → per-sample decode deltas; BOTH the run count and the
+      // total sample count are validated before any allocation
+      val nTts = be32(b, stts._2.toInt + 4)
+      if (8L + 8L * nTts > stts._3 - stts._2) bad()
+      // stsz header first: its declared sample count bounds the stts
+      // expansion (Σ run counts must equal it, so cap the fill)
+      val uniform = be32(b, stsz._2.toInt + 4)
+      val nSamples64 = be32(b, stsz._2.toInt + 8)
+      if (uniform == 0 && 12L + 4L * nSamples64 > stsz._3 - stsz._2) bad()
+      if (nSamples64 > Int.MaxValue) bad()
+      val nSamples = nSamples64.toInt
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < nTts) {
+        val o = stts._2.toInt + 8 + 8 * i
+        val cnt = be32(b, o)
+        if (cnt < 0 || deltas.length + cnt > nSamples) bad()
+        var j = 0L
+        while (j < cnt) { deltas += be32(b, o + 4); j += 1 }
+        i += 1
+      }
+      if (nSamples != deltas.length) bad()
+      val sizes =
+        if (uniform != 0) Seq.fill(nSamples)(uniform)
+        else (0 until nSamples)
+          .map(i => be32(b, stsz._2.toInt + 12 + 4 * i))
+      // stco/co64 → chunk offsets
+      val entry = if (co64) 8L else 4L
+      val nChunks64 = be32(b, co._2.toInt + 4)
+      if (8L + entry * nChunks64 > co._3 - co._2) bad()
+      val nChunks = nChunks64.toInt
+      val chunkOff = (0 until nChunks).map { i =>
+        if (co64) be64(b, co._2.toInt + 8 + 8 * i)
+        else be32(b, co._2.toInt + 8 + 4 * i)
+      }
+      // stsc runs → samples-per-chunk for each chunk 1..nChunks
+      val nScs64 = be32(b, stsc._2.toInt + 4)
+      if (8L + 12L * nScs64 > stsc._3 - stsc._2) bad()
+      val nScs = nScs64.toInt
+      val runs = (0 until nScs).map { i =>
+        val o = stsc._2.toInt + 8 + 12 * i
+        (be32(b, o).toInt, be32(b, o + 4).toInt) // (first_chunk, spc)
+      }
+      if (runs.exists(_._1 > nChunks) ||
+          runs.headOption.exists(_._1 != 1)) bad()
+      val spcByChunk = (1 to nChunks).map { c =>
+        runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
+      }
+      val pts = deltas.scanLeft(0L)(_ + _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+      var s = 0
+      var chunk = 0
+      while (s < nSamples && chunk < nChunks) {
+        var within = 0L
+        var inChunk = 0
+        while (s < nSamples && inChunk < spcByChunk(chunk)) {
+          out += Mp4Sample(handler, s, chunkOff(chunk) + within,
+            sizes(s), pts(s), timescale)
+          within += sizes(s); s += 1; inChunk += 1
+        }
+        chunk += 1
+      }
+      if (s != nSamples) bad() // table ran out of chunks
+      out.toSeq
+    }).getOrElse(Nil)
+  }
+
+  /** One moof: every traf's truns resolved against tfhd/trex defaults.
+    * Sample offsets are base-relative (tfhd base-data-offset when
+    * present, else the moof's first byte — the default-base-is-moof
+    * rule, also the fallback when neither flag is set); decode time
+    * rebases at tfdt and otherwise accumulates across fragments. */
+  private def walkMoof(b: Array[Byte], moofStart: Long, bodyOff: Long,
+      boxEnd: Long, byId: Map[Long, TrackCtx],
+      trex: Map[Long, (Long, Long)],
+      nextIdx: scala.collection.mutable.Map[Long, Int],
+      nextPts: scala.collection.mutable.Map[Long, Long],
+      out: scala.collection.mutable.ArrayBuffer[Mp4Sample],
+      bad: () => Nothing): Unit = {
+    for (traf <- boxChildren(b, bodyOff, boxEnd).filter(_._1 == "traf")) {
+      val tc = boxChildren(b, traf._2, traf._3)
+      val tfhd = tc.find(_._1 == "tfhd").getOrElse(bad())
+      if (tfhd._3 - tfhd._2 < 8) bad()
+      val tfFlags = be32(b, tfhd._2.toInt) & 0xffffffL
+      val trackId = be32(b, tfhd._2.toInt + 4)
+      val track = byId.getOrElse(trackId, bad())
+      var p = tfhd._2 + 8
+      def take(n: Long): Long = {
+        val v = p; p += n; if (p > tfhd._3) bad(); v
+      }
+      val baseOff =
+        if ((tfFlags & 0x01) != 0) be64(b, take(8).toInt)
+        else moofStart
+      if ((tfFlags & 0x02) != 0) take(4) // sample_description_index
+      val defDur =
+        if ((tfFlags & 0x08) != 0) Some(be32(b, take(4).toInt))
+        else trex.get(trackId).map(_._1)
+      val defSize =
+        if ((tfFlags & 0x10) != 0) Some(be32(b, take(4).toInt))
+        else trex.get(trackId).map(_._2)
+      if ((tfFlags & 0x20) != 0) take(4) // default_sample_flags
+      for (tfdt <- tc.find(_._1 == "tfdt")) {
+        val v = b(tfdt._2.toInt) & 0xff
+        if (tfdt._3 - tfdt._2 < (if (v == 1) 12 else 8)) bad()
+        nextPts(trackId) =
+          if (v == 1) be64(b, tfdt._2.toInt + 4)
+          else be32(b, tfdt._2.toInt + 4)
+      }
+      // truns in file order; a trun without a data offset continues
+      // after the previous trun's last byte
+      var cursor = baseOff
+      var cursorSet = false
+      for (trun <- tc.filter(_._1 == "trun")) {
+        if (trun._3 - trun._2 < 8) bad()
+        val trFlags = be32(b, trun._2.toInt) & 0xffffffL
+        val n64 = be32(b, trun._2.toInt + 4)
+        var q = trun._2 + 8
+        def takeT(n: Long): Long = {
+          val v = q; q += n; if (q > trun._3) bad(); v
+        }
+        if ((trFlags & 0x01) != 0) {
+          // SIGNED 32-bit offset relative to base
+          cursor = baseOff + be32(b, takeT(4).toInt).toInt
+          cursorSet = true
+        } else if (!cursorSet) cursor = baseOff
+        if ((trFlags & 0x04) != 0) takeT(4) // first_sample_flags
+        val perSample =
+          (if ((trFlags & 0x100) != 0) 4 else 0) +
+          (if ((trFlags & 0x200) != 0) 4 else 0) +
+          (if ((trFlags & 0x400) != 0) 4 else 0) +
+          (if ((trFlags & 0x800) != 0) 4 else 0)
+        // bounds-check the declared sample count BEFORE materializing
+        if (n64 < 0 || (q - trun._2) + perSample.toLong * n64 >
+            trun._3 - trun._2) bad()
+        val n = n64.toInt
+        var i = 0
+        while (i < n) {
+          val dur =
+            if ((trFlags & 0x100) != 0) be32(b, takeT(4).toInt)
+            else defDur.getOrElse(bad())
+          val size =
+            if ((trFlags & 0x200) != 0) be32(b, takeT(4).toInt)
+            else defSize.getOrElse(bad())
+          if ((trFlags & 0x400) != 0) takeT(4) // sample_flags
+          if ((trFlags & 0x800) != 0) takeT(4) // composition offset
+          val idx = nextIdx(trackId)
+          out += Mp4Sample(track.handler, idx, cursor, size,
+            nextPts(trackId), track.timescale)
+          nextIdx(trackId) = idx + 1
+          nextPts(trackId) = nextPts(trackId) + dur
+          cursor += size
+          cursorSet = true
+          i += 1
+        }
+      }
+    }
   }
 
   private def u32bytes(v: Long): Array[Byte] = Array(
@@ -909,6 +1110,110 @@ object Multimodal {
           co64 = id % 3 == 0,
           uniformSize = id % 5 == 0,
           chunkOffset = 4096L + id % 101))
+      })
+  }
+
+  /** Deterministic minimal FRAGMENTED MP4 (ISO 14496-12 §8.8 — the
+    * layout streaming-media corpora actually ship): ftyp + moov(mvhd +
+    * one `vide` trak with NO sample tables + a `soun` stub trak +
+    * mvex/trex) + `fragments` × [moof(mfhd + traf(tfhd + tfdt(v1) +
+    * trun)) + mdat].
+    *
+    * Default mode carries per-sample sizes and durations in the trun
+    * (flags 0x301): sample i of fragment f has size `sizeBase + i`,
+    * duration 3000 at media timescale 90000, decode time 3000·(f·K+i)
+    * (tfdt rebases each fragment), and byte offset
+    * moofStart(f) + moofSize + 8 + i·sizeBase + i(i−1)/2 with
+    * moofSize = 88 + 8K — every position a closed-form formula of the
+    * inputs, so the frame index replays in SQL.
+    *
+    * `tfhdDefaults = true` instead puts duration/size defaults in the
+    * tfhd (flags 0x020018, uniform `sizeBase`) with a sizes-free trun
+    * (flags 0x1) — the defaults-resolution path; `trexOnly = true`
+    * strips those too so resolution falls through to the mvex/trex
+    * defaults (duration 3000, size `sizeBase`). */
+  def syntheticFmp4(fragments: Int, samplesPerFrag: Int, sizeBase: Int,
+      durMs: Long = 2000L, tfhdDefaults: Boolean = false,
+      trexOnly: Boolean = false): Array[Byte] = {
+    val k = samplesPerFrag
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
+      u32bytes(0x200) ++ "isom".getBytes("ISO-8859-1"))
+    val mvhdBody: Array[Byte] =
+      Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++ u32bytes(0) ++
+        u32bytes(1000) ++ u32bytes(durMs) ++ mvhdTail
+    def trak(handler: String, mediaTs: Long, trackId: Long): Array[Byte] = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
+        u32bytes(0) ++ u32bytes(0) ++ u32bytes(trackId) ++ u32bytes(0) ++
+        u32bytes(durMs) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ identityMatrix ++
+        u32bytes(640L << 16) ++ u32bytes(360L << 16))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++
+        u32bytes(0) ++ u32bytes(0) ++ u32bytes(mediaTs) ++
+        u32bytes(durMs * mediaTs / 1000) ++
+        Array[Byte](0x55.toByte, 0xc4.toByte, 0, 0))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32bytes(0) ++
+        handler.getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
+        Array[Byte](0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    val trex = box("trex", Array[Byte](0, 0, 0, 0) ++ u32bytes(1) ++
+      u32bytes(1) ++ u32bytes(3000) ++ u32bytes(sizeBase) ++ u32bytes(0))
+    val moov = box("moov", mvhdBody0(mvhdBody) ++
+      trak("vide", 90000L, 1) ++ box("mvex", trex))
+    val frags = (0 until fragments).flatMap { f =>
+      val mfhd = box("mfhd", u32bytes(0) ++ u32bytes(f + 1L))
+      val tfhd =
+        if (trexOnly)
+          box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ u32bytes(1))
+        else if (tfhdDefaults)
+          // default-base-is-moof + default duration + default size
+          box("tfhd", Array[Byte](0, 0x02, 0, 0x18) ++ u32bytes(1) ++
+            u32bytes(3000) ++ u32bytes(sizeBase))
+        else box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ u32bytes(1))
+      val tfdt = box("tfdt", Array[Byte](1, 0, 0, 0) ++
+        u64bytes(3000L * k * f))
+      val perSample = !tfhdDefaults && !trexOnly
+      val trunFlags: Array[Byte] =
+        if (perSample) Array[Byte](0, 0, 0x03, 0x01)
+        else Array[Byte](0, 0, 0, 0x01)
+      val trunBody = trunFlags ++ u32bytes(k) ++
+        u32bytes(0) /* data_offset patched below */ ++
+        (if (perSample)
+          (0 until k).flatMap(i =>
+            u32bytes(3000) ++ u32bytes(sizeBase + i)).toArray
+        else Array.emptyByteArray)
+      val trun = box("trun", trunBody)
+      val traf = box("traf", tfhd ++ tfdt ++ trun)
+      val moof = box("moof", mfhd ++ traf)
+      // patch trun data_offset: samples start right after the moof's
+      // sibling mdat header → moofSize + 8, moof-relative
+      val doPos = moof.length - 4 * (if (perSample) 2 * k else 0) - 4
+      System.arraycopy(u32bytes(moof.length + 8L), 0, moof, doPos, 4)
+      val mdatBody =
+        if (perSample) k * sizeBase + k * (k - 1) / 2
+        else k * sizeBase
+      moof ++ box("mdat",
+        Array.tabulate[Byte](mdatBody)(i => ((i * 37) & 0xff).toByte))
+    }
+    ftyp ++ moov ++ frags
+  }
+
+  /** Fragmented-video fixture table: one synthetic fMP4 per document
+    * with fragments = id%4+1, samples/fragment = id%3+1, size base
+    * (id%10+1)·64 — all per-sample trun mode, so every resolved
+    * (offset, size, pts) is the closed-form formula in
+    * [[syntheticFmp4]]'s scaladoc and replays in SQL. */
+  def syntheticFmp4Table(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video", syntheticFmp4(
+          fragments = (id % 4 + 1).toInt,
+          samplesPerFrag = (id % 3 + 1).toInt,
+          sizeBase = ((id % 10) + 1).toInt * 64,
+          durMs = id % 30000 + 1000))
       })
   }
 

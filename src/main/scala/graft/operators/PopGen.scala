@@ -1827,9 +1827,20 @@ object PopGen {
     * r2Min. The index table is one row per window cell (≪ variants);
     * the join is a plain equi-join on the cell key that AQE broadcasts
     * when small — nothing pinned, nothing pairwise beyond the 1×cell
-    * fan. Self rows keep r2 NULL with is_index = true. */
+    * fan. Self rows keep r2 NULL with is_index = true.
+    *
+    * `nSamples` <= 27: the deterministic index tie-break uses a base-5
+    * dosage fingerprint (Σ d_s·5^s, max 5^n − 1) that stays exact in a
+    * signed Long only through n = 27 (5^28 − 1 > 2^63); wider cohorts
+    * would silently wrap and break tie-break determinism (never r²). For a
+    * wider cohort swap the fingerprint for an md5 of the canonical
+    * dosage serialization (the house determinism idiom — see
+    * ehhHapVectorsPlan's `__gs` key). */
   def clumpLite(v: DataFrame, window: Long, r2Min: Double,
       nSamples: Int): DataFrame = {
+    require(nSamples <= 27, s"clumpLite's base-5 dosage fingerprint is " +
+      s"exact only for nSamples <= 27 (Long width); got $nSamples — " +
+      "use an md5 fingerprint for wider cohorts")
     def d(c: String, s: Int) = element_at(col(c), s + 1)
     def sumOver(f: Int => Column) =
       balanced((0 until nSamples).map(f))(_ + _)
@@ -2150,6 +2161,11 @@ object PopGen {
       exts.forall(l => l >= 1 && l <= maxExt),
       s"need coreEvery > maxExt >= every ext; got $coreEvery, $maxExt, " +
         exts.mkString(","))
+    // the iHH trapezoid integrators pair exts with their predecessors
+    // (exts.zip(0 +: exts.init)) — an unsorted or duplicated grid would
+    // silently integrate negative/zero-width panels
+    require(exts == exts.sorted.distinct,
+      s"exts must be strictly increasing; got ${exts.mkString(",")}")
     import org.apache.spark.sql.expressions.Window
     // per-chrom rank, two-level: in-bucket row_number + per-(chrom,
     // bucket) offsets prefix-summed over the summary table only.

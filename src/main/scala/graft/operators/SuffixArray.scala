@@ -66,8 +66,13 @@ object SuffixArray {
       .repartitionByRange(keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    // distinct count over a STRUCT of the keys, not countDistinct(keys):
+    // count(distinct a, b) skips tuples with any NULL while dense_rank
+    // ranks nulls first, so with null keys the per-partition offsets
+    // would undercount and the global ranks collide across partitions;
+    // struct(...) is itself never null, so null-keyed tuples count
     val counts = part.groupBy(col("__pid"))
-      .agg(countDistinct(keys.head, keys.tail: _*).as("__n"))
+      .agg(countDistinct(struct(keys.map(col): _*)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
       .map { case (off, (pid, _)) => pid -> off }

@@ -1923,4 +1923,102 @@ object TrainingData {
         col("sum_tf").cast("double") / col("__total").cast("double"))
       .drop("__total")
   }
+
+  /** Deterministic HyperLogLog (Flajolet et al. 2007) as a REUSABLE
+    * typed [[org.apache.spark.sql.expressions.Aggregator]]: the state
+    * is the raw register array, so sketches GROUP-MERGE (elementwise
+    * max — the property q291 proves for the inline SQL twin) and a
+    * fleet summarizes 100 TB by shipping `m` bytes per shard instead
+    * of re-scanning. Registered through `functions.udaf` it drops into
+    * any `groupBy(...).agg(...)` next to the mixture/report
+    * aggregates.
+    *
+    * Determinism contract (the house idiom, identical to q287's inline
+    * SQL so an oracle can replay the registers): hash = first 15 hex
+    * chars of md5(UTF-8 value) as a 60-bit integer; bucket = hash mod
+    * m; rho = (61 − log2 m) − bitlength(hash div m), with the
+    * all-zero pattern mapping to 61 − log2 m. Estimates derive from
+    * the registers via [[TrainingData.hllZ]] (exact-BIGINT harmonic
+    * sum — register terms are powers of two) and
+    * [[TrainingData.hllRawEstimate]]; the small-range linear-counting
+    * branch uses ln and therefore stays CLIENT-side (ln is not
+    * correctly rounded in IEEE 754 — the iHS rule), see
+    * [[TrainingData.hllEstimate]]. */
+  final class HllAggregator(m: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[String, Array[Long], Array[Long]] {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m must be a power of two in [2, 65536]; got $m")
+    private val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    private val rhoMax = 61 - log2m
+
+    override def zero: Array[Long] = new Array[Long](m)
+
+    override def reduce(buf: Array[Long], v: String): Array[Long] = {
+      if (v != null) {
+        val i64 = TrainingData.hll60(v)
+        val b = (i64 % m).toInt
+        val w = i64 / m
+        val rho =
+          if (w == 0L) rhoMax.toLong
+          else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > buf(b)) buf(b) = rho
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]()
+  }
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5(UTF-8). */
+  def hll60(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    // first 15 hex chars = 7.5 bytes, big-endian like substr(md5,1,15)
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Exact-BIGINT scaled harmonic sum Σ 2^(rhoMax − M_j) of a register
+    * array (the q287 idiom; true Z = this / 2^rhoMax). */
+  def hllZ(regs: Array[Long], m: Int): Long = {
+    val rhoMax = 61 - java.lang.Integer.numberOfTrailingZeros(m)
+    regs.map(r => 1L << (rhoMax - r)).sum
+  }
+
+  /** Raw HLL estimate α_m·m²/Z as fixed-arity double arithmetic. */
+  def hllRawEstimate(zScaled: Long, m: Int): Double = {
+    val rhoMax = 61 - java.lang.Integer.numberOfTrailingZeros(m)
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    alpha * m.toDouble * m.toDouble *
+      java.lang.Math.scalb(1.0, rhoMax) / zScaled.toDouble
+  }
+
+  /** Bias-corrected estimate: linear counting m·ln(m/V) in the
+    * small range (raw ≤ 2.5m with V > 0 empty registers), else raw.
+    * ln keeps this CLIENT-side only — never inside an oracle-hashed
+    * column. */
+  def hllEstimate(regs: Array[Long], m: Int): Double = {
+    val z = hllZ(regs, m)
+    val raw = hllRawEstimate(z, m)
+    val v = regs.count(_ == 0L)
+    if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
+  }
 }

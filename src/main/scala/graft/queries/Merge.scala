@@ -135,5 +135,130 @@ object Merge extends QueryModule {
         len(list_filter(flatten(g), a -> a IS NOT NULL)) AS n_called
       FROM m"""))
 
-  override def queries: Seq[Q] = Seq(q29, q46)
+  // --- q298: N-WAY seqMerge in ONE plan (reference R/UtilsMerge.R:258-
+  // 1006 merges N files per call; round-7's board only exercised the
+  // pairwise expressions, which re-shuffle per step when iterated).
+  // THREE shards with three different ALT orderings — A (vid%2,
+  // canonical), B (vid%3, reversed ALTs), C (vid%5, last ALT rotated
+  // to front) — merge through MergeVariants.mergeN: one union + one
+  // groupBy(vid), the merged allele list folded in file order inside
+  // the group, genotypes remapped after the explode. The oracle
+  // rebuilds the identical 3-way merge with a static fold. -----------------
+  private val q298 = Q("q298_merge_nway",
+    (s, dir) => {
+      // synthetic vids are NOT unique (the testdata lineitem carries
+      // duplicate (orderkey, linenumber) pairs by design) — a
+      // groupBy-based merge needs a genuinely keyed table, so dedupe
+      // per vid with a deterministic argmax on the canonical
+      // (nall | geno | phased) serialization (the house determinism
+      // idiom; tied keys are bit-identical rows)
+      val gs = array_join(transform(col("geno"), sa =>
+        array_join(transform(sa, a =>
+          coalesce(a.cast("string"), lit("x"))), "|")), ";")
+      val ps = array_join(transform(col("phased"),
+        p => p.cast("string")), ",")
+      val dedup = SynthGeno.variants(s, dir)
+        .withColumn("k", concat_ws("~",
+          col("nall").cast("string"), gs, ps))
+        .groupBy(col("vid"))
+        .agg(max(struct(col("k"), col("nall"), col("geno"),
+          col("phased"))).as("m"))
+        .select(col("vid"), col("m.nall").as("nall"),
+          col("m.geno").as("geno"), col("m.phased").as("phased"))
+      val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+      val full = transform(sequence(lit(1), col("nall").cast("int")),
+        i => element_at(letters, i))
+      val v = dedup.select(
+        col("vid"), col("geno"), col("phased"), col("nall"),
+        array_join(full, ",").as("stra"),
+        array_join(
+          concat(slice(full, 1, 1), reverse(slice(full, 2, 3))), ",")
+          .as("strb"),
+        array_join(concat(slice(full, 1, 1),
+          array(element_at(full, col("nall").cast("int"))),
+          slice(full, lit(2), col("nall").cast("int") - 2)), ",")
+          .as("strc"))
+      def carve(m: Int, alleles: String) = v.filter(col("vid") % m === 0)
+        .select(col("vid"), col(alleles).as("alleles"), col("geno"),
+          col("phased"))
+      mergeN(Seq(carve(2, "stra"), carve(3, "strb"), carve(5, "strc")))
+        .select(col("vid"), col("file"), col("alleles"),
+          gtStrings(col("geno"), col("phased"), ";").as("gts"))
+    },
+    Some(s"""WITH variants0 AS (${SynthGeno.sqlCte}),
+      variants AS (SELECT vid,
+          max_by(struct_pack(nall := nall, geno := geno,
+            phased := phased),
+            CAST(nall AS VARCHAR) || '~'
+            || array_to_string(list_transform(geno, sa ->
+              array_to_string(list_transform(sa, a ->
+                COALESCE(CAST(a AS VARCHAR), 'x')), '|')), ';')
+            || '~' || array_to_string(list_transform(phased,
+              p -> CAST(p AS VARCHAR)), ',')) AS m
+        FROM variants0 GROUP BY vid),
+      vd AS (SELECT vid, m.nall AS nall, m.geno AS geno,
+          m.phased AS phased FROM variants),
+      ext AS (SELECT vid, geno, phased, nall,
+        array_to_string(list_transform(range(1, nall + 1),
+          i -> (['A','C','G','T'])[i]), ',') AS stra,
+        array_to_string(list_concat(
+          [(['A','C','G','T'])[1]],
+          list_reverse(list_transform(range(2, nall + 1),
+            i -> (['A','C','G','T'])[i]))), ',') AS strb,
+        array_to_string(list_concat(list_concat(
+          [(['A','C','G','T'])[1]], [(['A','C','G','T'])[nall]]),
+          list_transform(range(2, nall),
+            i -> (['A','C','G','T'])[i])), ',') AS strc
+        FROM vd),
+      fa AS (SELECT vid AS va, stra AS sa, geno AS ga, phased AS pa
+        FROM ext WHERE vid % 2 = 0),
+      fb AS (SELECT vid AS vb, strb AS sb, geno AS gb, phased AS pb
+        FROM ext WHERE vid % 3 = 0),
+      fc AS (SELECT vid AS vc, strc AS sc, geno AS gc, phased AS pc
+        FROM ext WHERE vid % 5 = 0),
+      m AS (SELECT COALESCE(va, vb, vc) AS vid,
+          sa, ga, pa, sb, gb, pb, sc, gc, pc
+        FROM fa FULL OUTER JOIN fb ON va = vb
+          FULL OUTER JOIN fc ON COALESCE(va, vb) = vc),
+      m1 AS (SELECT *, CASE WHEN sa IS NULL THEN []
+          ELSE string_split(sa, ',') END AS u1 FROM m),
+      m2 AS (SELECT *, list_concat(u1, list_filter(
+          CASE WHEN sb IS NULL THEN [] ELSE string_split(sb, ',') END,
+          x -> NOT list_contains(u1, x))) AS u2 FROM m1),
+      m3 AS (SELECT *, array_to_string(list_concat(u2, list_filter(
+          CASE WHEN sc IS NULL THEN [] ELSE string_split(sc, ',') END,
+          x -> NOT list_contains(u2, x))), ',') AS alleles FROM m2),
+      rm AS (SELECT vid, alleles, sa, sb, sc, pa, pb, pc,
+        list_transform(ga, s -> list_transform(s, x ->
+          list_position(string_split(alleles, ','),
+            string_split(sa, ',')[x + 1]) - 1)) AS rga,
+        list_transform(gb, s -> list_transform(s, x ->
+          list_position(string_split(alleles, ','),
+            string_split(sb, ',')[x + 1]) - 1)) AS rgb,
+        list_transform(gc, s -> list_transform(s, x ->
+          list_position(string_split(alleles, ','),
+            string_split(sc, ',')[x + 1]) - 1)) AS rgc
+        FROM m3)
+      SELECT vid, CAST(0 AS INTEGER) AS file, alleles,
+        array_to_string(list_transform(range(1, len(rga) + 1), s ->
+          COALESCE(CAST(rga[s][1] AS VARCHAR), '.')
+          || (CASE WHEN pa[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(rga[s][2] AS VARCHAR), '.')), ';') AS gts
+      FROM rm WHERE sa IS NOT NULL
+      UNION ALL
+      SELECT vid, CAST(1 AS INTEGER), alleles,
+        array_to_string(list_transform(range(1, len(rgb) + 1), s ->
+          COALESCE(CAST(rgb[s][1] AS VARCHAR), '.')
+          || (CASE WHEN pb[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(rgb[s][2] AS VARCHAR), '.')), ';')
+      FROM rm WHERE sb IS NOT NULL
+      UNION ALL
+      SELECT vid, CAST(2 AS INTEGER), alleles,
+        array_to_string(list_transform(range(1, len(rgc) + 1), s ->
+          COALESCE(CAST(rgc[s][1] AS VARCHAR), '.')
+          || (CASE WHEN pc[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(rgc[s][2] AS VARCHAR), '.')), ';')
+      FROM rm WHERE sc IS NOT NULL"""))
+
+  override def queries: Seq[Q] = Seq(q29, q46, q298)
 }

@@ -466,7 +466,39 @@ object MultimodalQ extends QueryModule {
         CAST(90000 AS BIGINT) AS timescale
       FROM documents, unnest(range(0, doc_id % 7 + 2)) AS f(i)"""))
 
+  // --- q299: FRAGMENTED-MP4 frame index (ISO 14496-12 §8.8 — the
+  // moof/traf/trun layout streaming-media corpora actually ship; q256
+  // covers the single-moov sample-table path). Fixtures are synthetic
+  // fMP4s with fragments = id%4+1, samples/fragment K = id%3+1, size
+  // base SB = (id%10+1)·64, per-sample trun sizes SB+i — every
+  // resolved (offset, size, pts) is the closed-form formula of
+  // Multimodal.syntheticFmp4's scaladoc (ftyp+moov header = 349 B,
+  // moof = 88+8K B, mdat body = K·SB + K(K−1)/2 B per fragment),
+  // replayed exactly by the oracle. Frame indices and decode times run
+  // CONTINUOUSLY across fragments (tfdt rebase). ---------------------------
+  private val q299 = Q("q299_fmp4_frame_index",
+    (s, dir) => Multimodal.decodeMp4FramesAll(
+        Multimodal.syntheticFmp4Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("handler"), col("frame_idx"),
+        col("offset"), col("size"), col("pts"), col("timescale")),
+    Some("""SELECT doc_id, 'vide' AS handler,
+        CAST(f.f * (doc_id % 3 + 1) + i.i AS INT) AS frame_idx,
+        CAST(349
+          + f.f * (96 + 8 * (doc_id % 3 + 1)
+            + (doc_id % 3 + 1) * ((doc_id % 10 + 1) * 64)
+            + (doc_id % 3 + 1) * (doc_id % 3) / 2)
+          + 96 + 8 * (doc_id % 3 + 1)
+          + i.i * ((doc_id % 10 + 1) * 64)
+          + i.i * (i.i - 1) / 2 AS BIGINT) AS offset,
+        CAST((doc_id % 10 + 1) * 64 + i.i AS BIGINT) AS size,
+        CAST(3000 * (f.f * (doc_id % 3 + 1) + i.i) AS BIGINT) AS pts,
+        CAST(90000 AS BIGINT) AS timescale
+      FROM documents,
+        unnest(range(0, doc_id % 4 + 1)) AS f(f),
+        unnest(range(0, doc_id % 3 + 1)) AS i(i)"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q256, q261, q277)
+      q186, q200, q209, q256, q261, q277, q299)
 }

@@ -2539,19 +2539,28 @@ object Relational extends QueryModule {
   // ingestion gate a 100 TB load runs before anything downstream
   // trusts a join): orphan counts for every FK edge — lineitem→orders,
   // lineitem→part, lineitem→supplier, orders→customer,
-  // customer→nation, supplier→nation — each ONE left-anti join
-  // (broadcast for the small dimensions, shuffle for orders), plus
-  // the referencing row counts so rates are exact. ------------------------
+  // customer→nation, supplier→nation — each ONE left-outer join whose
+  // single aggregate emits n_rows AND n_orphans together (count(*) +
+  // sum(pk IS NULL)), so every fact table is scanned exactly once per
+  // edge and ZERO Spark jobs run at plan-build time (the round-7 shape
+  // embedded fact.count() as a literal: six driver-side actions and a
+  // doubled scan per edge — PlanAudit's eager-action sweep now catches
+  // that class mechanically). A NULL foreign key joins to nothing and
+  // counts as an orphan in BOTH engines (left join + pk IS NULL ==
+  // NOT EXISTS semantics), so the row stays correct on dirty data —
+  // the previous NOT-IN oracle collapsed to zero rows if the dimension
+  // ever held a NULL key. ---------------------------------------------------
   private val q294 = Q("q294_ref_integrity",
     (s, dir) => {
       def orphans(fact: DataFrame, fk: String, dim: DataFrame,
           pk: String, edge: String): DataFrame = {
-        val n = fact.count()
-        fact.join(dim.select(col(pk).as(fk)).distinct(),
-            Seq(fk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .select(lit(edge).as("edge"),
-            lit(n).as("n_rows"), col("n_orphans"))
+        // no broadcast hint: nation/part/supplier qualify but orders
+        // does not at scale — AQE picks broadcast per edge at runtime
+        fact.join(dim.select(col(pk)).distinct(),
+            col(fk) === col(pk), "left_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(edge).as("edge"), col("n_rows"), col("n_orphans"))
       }
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -2574,54 +2583,51 @@ object Relational extends QueryModule {
         .withColumn("orphan_rate", col("n_orphans").cast("double")
           / col("n_rows").cast("double"))
     },
-    Some("""SELECT 'lineitem->orders' AS edge,
-        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-          (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans,
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-          (SELECT o_orderkey FROM orders)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
-          AS orphan_rate
-      UNION ALL
-      SELECT 'lineitem->part',
-        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
-          (SELECT p_partkey FROM part)) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
-          (SELECT p_partkey FROM part)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
-      UNION ALL
-      SELECT 'lineitem->supplier',
-        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier)) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
-      UNION ALL
-      SELECT 'orders->customer',
-        CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-          (SELECT c_custkey FROM customer)) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-          (SELECT c_custkey FROM customer)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
-      UNION ALL
-      SELECT 'customer->nation',
-        CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
-          (SELECT n_nationkey FROM nation)) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
-          (SELECT n_nationkey FROM nation)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
-      UNION ALL
-      SELECT 'supplier->nation',
-        CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
-          (SELECT n_nationkey FROM nation)) AS BIGINT),
-        CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
-          (SELECT n_nationkey FROM nation)) AS DOUBLE)
-          / CAST((SELECT COUNT(*) FROM supplier) AS DOUBLE)"""))
+    Some("""WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+          ON l_orderkey = o_orderkey),
+      e2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part)
+          ON l_partkey = p_partkey),
+      e3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier)
+          ON l_suppkey = s_suppkey),
+      e4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+          ON o_custkey = c_custkey),
+      e5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+          ON c_nationkey = n_nationkey),
+      e6 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+        FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+          ON s_nationkey = n_nationkey),
+      u AS (
+        SELECT 'lineitem->orders' AS edge, n_rows, n_orphans FROM e1
+        UNION ALL
+        SELECT 'lineitem->part', n_rows, n_orphans FROM e2
+        UNION ALL
+        SELECT 'lineitem->supplier', n_rows, n_orphans FROM e3
+        UNION ALL
+        SELECT 'orders->customer', n_rows, n_orphans FROM e4
+        UNION ALL
+        SELECT 'customer->nation', n_rows, n_orphans FROM e5
+        UNION ALL
+        SELECT 'supplier->nation', n_rows, n_orphans FROM e6)
+      SELECT edge, n_rows, n_orphans,
+        CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+      FROM u"""))
 
   // --- q295: ANALYZE-style table profile (the stats collection a
   // cost-based optimizer feeds on — per column: exact NDV, null count,
@@ -2811,11 +2817,90 @@ object Relational extends QueryModule {
               * CAST(MAX(d1) * MAX(d2) AS DOUBLE)) END AS tv
       FROM jd GROUP BY 1"""))
 
+  // --- q300: SKETCHED table profile — the 100 TB twin of q295: per-
+  // column NDV from deterministic 4096-register HyperLogLog sketches
+  // (the q287 house construction: md5-derived 60-bit hashes, exact-
+  // BIGINT harmonic sum, registers mergeable by construction — q291's
+  // proof), ONE scan for ALL columns where q295 deliberately pays one
+  // countDistinct scan per column (its documented Expand trade-off).
+  // Shape: explode to (cname, value) pairs — the fan-out collapses in
+  // the map-side partials of the (cname, bucket) aggregate (≤ 4·4096
+  // groups), so the shuffle ships registers, not rows. Emitted
+  // columns are engine-stable integers plus the raw α·m²·2^49/z
+  // estimate (pure fixed-arity arithmetic); the ln-based small-range
+  // correction stays client-side (TrainingData.hllEstimate — ln is
+  // not correctly rounded, the iHS rule), where SketchProfileSpec
+  // gates it within 5 % of q295's exact NDVs at sf0.01 AND sf0.1. -----------
+  private val q300 = Q("q300_table_profile_sketch",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val cols = Seq(
+        "l_orderkey" -> col("l_orderkey").cast("string"),
+        "l_partkey" -> col("l_partkey").cast("string"),
+        "l_suppkey" -> col("l_suppkey").cast("string"),
+        "l_returnflag" -> col("l_returnflag"))
+      val pairs = li.select(explode(array(cols.map { case (n, c) =>
+          struct(lit(n).as("cname"), c.as("v")) }: _*)).as("p"))
+        .select(col("p.cname").as("cname"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+      val reg = pairs
+        .select(col("cname"),
+          conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")
+            .as("i64"))
+        .select(col("cname"), (col("i64") % 4096).as("bucket"),
+          expr("i64 div 4096").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(49L))
+          .otherwise(lit(49L) - length(bin(col("w"))).cast("long")))
+        .groupBy(col("cname"), col("bucket")).agg(max(col("rho")).as("m"))
+      val spine = s.range(0, 4096).select(col("id").as("bucket"))
+        .crossJoin(broadcast(
+          pairs.select(col("cname")).distinct()))
+      spine.join(reg, Seq("cname", "bucket"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+        .groupBy(col("cname"))
+        .agg(sum(expr("CAST(power(2, 49 - m) AS BIGINT)")).as("z"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+        .withColumn("ndv_raw",
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)))
+            * lit(4096.0) * lit(4096.0) * lit(562949953421312.0)
+            / col("z").cast("double"))
+    },
+    Some("""WITH pairs AS (
+        SELECT 'l_orderkey' AS cname, CAST(l_orderkey AS VARCHAR) AS v
+          FROM lineitem
+        UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+          FROM lineitem
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+          FROM lineitem
+        UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+      h AS (SELECT cname,
+          CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS i64
+        FROM pairs WHERE v IS NOT NULL),
+      r AS (SELECT cname, i64 % 4096 AS bucket, i64 // 4096 AS w FROM h),
+      rr AS (SELECT cname, bucket,
+          max(CASE WHEN w = 0 THEN 49
+              ELSE 49 - length(bin(w)) END) AS m
+        FROM r GROUP BY 1, 2),
+      spine AS (SELECT c.cname, b.bucket
+        FROM (SELECT DISTINCT cname FROM pairs) c,
+          (SELECT unnest(range(0, 4096)) AS bucket) b),
+      regs AS (SELECT spine.cname, spine.bucket, coalesce(rr.m, 0) AS m
+        FROM spine LEFT JOIN rr USING (cname, bucket))
+      SELECT cname,
+        CAST(SUM(CAST(power(2, 49 - m) AS BIGINT)) AS BIGINT) AS z,
+        CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+          * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+          * CAST(562949953421312.0 AS DOUBLE) / CAST(SUM(
+            CAST(power(2, 49 - m) AS BIGINT)) AS DOUBLE) AS ndv_raw
+      FROM regs GROUP BY cname"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296, q297)
+    q294, q295, q296, q297, q300)
 }

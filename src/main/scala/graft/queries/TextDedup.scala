@@ -3220,5 +3220,55 @@ object TextDedup extends QueryModule {
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280, q281, q287, q291, q293)
+      q278, q279, q280, q281, q287, q291, q293, q301)
+
+  // --- q301: the deterministic HLL as a REUSABLE grouped Aggregator
+  // (TrainingData.HllAggregator registered via functions.udaf): per-
+  // SOURCE distinct-token sketches composing with an ordinary groupBy
+  // — the shape a 100 TB mixture/report pass wants (64-register
+  // arrays merge elementwise in the partial aggregates; q291 proves
+  // merge == rebuild for the construction, HllAggregatorSpec pins it
+  // for the class). Emits the exact-BIGINT harmonic sum z and the raw
+  // α·m²·2^55/z estimate per source; the oracle replays the identical
+  // registers in SQL, proving the JVM aggregator and the q287 inline
+  // construction are the same sketch. ------------------------------------
+  private lazy val q301 = Q("q301_source_hll_ndv",
+    (s, dir) => {
+      val hll = udaf(new graft.pipeline.TrainingData.HllAggregator(64))
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as("tok"))
+      toks.groupBy(col("source")).agg(hll(col("tok")).as("regs"))
+        .select(col("source"),
+          aggregate(col("regs"), lit(0L), (acc, r) =>
+            acc + pow(lit(2.0), lit(55.0) - r.cast("double"))
+              .cast("long")).as("z"))
+        .withColumn("ndv_raw",
+          lit(0.709) * lit(4096.0) * lit(36028797018963968.0)
+            / col("z").cast("double"))
+    },
+    Some("""WITH tok AS (SELECT source, unnest(list_filter(
+          string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT source,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS i64
+        FROM tok),
+      r AS (SELECT source, i64 % 64 AS bucket, i64 // 64 AS w FROM h),
+      rr AS (SELECT source, bucket,
+          max(CASE WHEN w = 0 THEN 55
+              ELSE 55 - length(bin(w)) END) AS m
+        FROM r GROUP BY 1, 2),
+      spine AS (SELECT s.source, b.bucket
+        FROM (SELECT DISTINCT source FROM tok) s,
+          (SELECT unnest(range(0, 64)) AS bucket) b),
+      regs AS (SELECT spine.source, coalesce(rr.m, 0) AS m
+        FROM spine LEFT JOIN rr USING (source, bucket))
+      SELECT source,
+        CAST(SUM(CAST(power(2, 55 - m) AS BIGINT)) AS BIGINT) AS z,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+          * CAST(36028797018963968 AS DOUBLE)
+          / CAST(SUM(CAST(power(2, 55 - m) AS BIGINT)) AS DOUBLE)
+          AS ndv_raw
+      FROM regs GROUP BY source"""))
 }

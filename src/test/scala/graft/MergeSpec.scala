@@ -61,4 +61,54 @@ class MergeSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("mergeN(3) == the iterated pairwise fold, bit-for-bit " +
+      "(allele order, remapped indices, per-file presence)") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Seq[Seq[java.lang.Long]],
+        Seq[Boolean])]) =
+      rows.toDF("vid", "alleles", "geno", "phased")
+    def g(a: java.lang.Long, b: java.lang.Long) = Seq(Seq(a, b))
+    // overlapping vids, three different ALT orderings, missing calls
+    val a = mk(Seq(
+      (1L, "A,C,G", g(0L, 2L), Seq(true)),
+      (2L, "A,C,G", g(1L, null), Seq(false)),
+      (3L, "A,C", g(0L, 1L), Seq(true)),
+      (4L, "A,C,G,T", g(3L, 0L), Seq(false))))
+    val b = mk(Seq(
+      (2L, "A,G,C", g(1L, 2L), Seq(true)),
+      (3L, "A,T", g(1L, 1L), Seq(false)),
+      (5L, "A,G", g(0L, 1L), Seq(true))))
+    val c = mk(Seq(
+      (3L, "A,C,T", g(2L, null), Seq(false)),
+      (4L, "A,T,G,C", g(1L, 3L), Seq(true)),
+      (5L, "A,G", g(null, null), Seq(false)),
+      (6L, "A,C", g(1L, 0L), Seq(true))))
+    val got = mergeN(Seq(a, b, c))
+      .orderBy(col("vid"), col("file")).collect().map(_.toString).toSeq
+    // iterated pairwise reference: full-outer join chain, allele fold
+    // in file order, per-file remap into the final merged list
+    def ren(df: org.apache.spark.sql.DataFrame, i: Int) = df.select(
+      col("vid"), col("alleles").as(s"s$i"), col("geno").as(s"g$i"),
+      col("phased").as(s"p$i"))
+    val ab = ren(a, 0).join(ren(b, 1), Seq("vid"), "full_outer")
+      .withColumn("m01",
+        when(col("s0").isNotNull && col("s1").isNotNull,
+          alleleUnion(col("s0"), col("s1")))
+          .otherwise(coalesce(col("s0"), col("s1"))))
+    val abc = ab.join(ren(c, 2), Seq("vid"), "full_outer")
+      .withColumn("m",
+        when(col("m01").isNotNull && col("s2").isNotNull,
+          alleleUnion(col("m01"), col("s2")))
+          .otherwise(coalesce(col("m01"), col("s2"))))
+    val exp = (0 to 2).map { i =>
+      abc.filter(col(s"s$i").isNotNull).select(col("vid"),
+        lit(i).as("file"), col("m").as("alleles"),
+        remapGeno(col(s"g$i"), col(s"s$i"), col("m")).as("geno"),
+        col(s"p$i").as("phased"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("vid"), col("file")).collect().map(_.toString).toSeq
+    assert(got == exp)
+    assert(got.size == 11) // 4 + 3 + 4 per-file rows survive
+  }
 }

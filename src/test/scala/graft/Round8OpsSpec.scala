@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Round-8 gates: the fragmented-MP4 (moof/traf/trun) frame index —
+  * closed-form offsets, defaults resolution through tfhd and trex,
+  * tfdt decode-time rebase, truncated-moof rejection, and the
+  * count-bounds hardening (a corrupt box declaring 2^31 entries must
+  * reject instantly, not allocate). */
+class Round8OpsSpec extends AnyFunSuite {
+
+  private def u32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    (v & 0xff).toByte)
+
+  test("fMP4: per-sample trun sizes/durations resolve to the " +
+      "closed-form offsets, continuous idx/pts across fragments") {
+    for (f <- Seq(1, 3); k <- Seq(1, 3); sb <- Seq(64, 500)) {
+      val b = Multimodal.syntheticFmp4(f, k, sb)
+      val fr = Multimodal.parseMp4Frames(b)
+      assert(fr.length == f * k, s"f=$f k=$k")
+      val moofSize = 88 + 8 * k
+      val mdatBody = k * sb + k * (k - 1) / 2
+      for (r <- fr) {
+        val g = r.idx; val ff = g / k; val i = g % k
+        assert(r.offset == 349L + ff.toLong * (moofSize + 8 + mdatBody)
+          + moofSize + 8 + i.toLong * sb + i.toLong * (i - 1) / 2,
+          s"offset f=$f k=$k sb=$sb idx=$g")
+        assert(r.size == sb + i)
+        assert(r.pts == 3000L * g) // tfdt rebase + per-sample durations
+        assert(r.timescale == 90000L && r.handler == "vide")
+      }
+    }
+  }
+
+  test("fMP4: defaults resolution — tfhd default size/duration, and " +
+      "trex fallback when the tfhd carries none") {
+    for (trexOnly <- Seq(false, true)) {
+      val b = Multimodal.syntheticFmp4(2, 3, 100,
+        tfhdDefaults = !trexOnly, trexOnly = trexOnly)
+      val fr = Multimodal.parseMp4Frames(b)
+      assert(fr.length == 6)
+      assert(fr.forall(_.size == 100L), s"trexOnly=$trexOnly")
+      assert(fr.map(_.pts) == Seq(0L, 3000L, 6000L, 9000L, 12000L,
+        15000L))
+      // uniform sizes → samples are contiguous within each fragment
+      val byFrag = fr.grouped(3).toSeq
+      for (frag <- byFrag; w <- frag.sliding(2) if w.length == 2)
+        assert(w(1).offset == w(0).offset + 100)
+    }
+  }
+
+  test("fMP4: truncated moof REJECTS the whole file; moov-only " +
+      "prefix of the same file still parses as zero frames") {
+    val full = Multimodal.syntheticFmp4(2, 2, 64)
+    // chop into the second moof: remove its whole 137-byte mdat
+    // (8 + 2·64 + 1) plus half the 104-byte moof, so the moof's
+    // declared size overruns EOF
+    val trunc = full.take(full.length - 137 - 52)
+    assert(Multimodal.parseMp4Frames(trunc).isEmpty)
+    // cutting cleanly BEFORE the first moof leaves a valid table-less
+    // moov file: zero frames, no rejection throw
+    val headerOnly = full.take(349)
+    assert(Multimodal.parseMp4Frames(headerOnly).isEmpty)
+  }
+
+  test("fMP4: corrupt trun sample count (2^31−1 in a tiny box) " +
+      "rejects without allocating") {
+    val full = Multimodal.syntheticFmp4(2, 2, 64)
+    val c = full.clone()
+    var o = 0; var patched = false
+    while (o + 8 <= c.length && !patched) {
+      if (new String(c, o + 4, 4, "ISO-8859-1") == "trun") {
+        u32(0x7fffffffL).zipWithIndex.foreach { case (v, j) =>
+          c(o + 12 + j) = v }
+        patched = true
+      }
+      o += 1
+    }
+    assert(patched)
+    val t0 = System.nanoTime()
+    assert(Multimodal.parseMp4Frames(c).isEmpty)
+    assert((System.nanoTime() - t0) / 1e6 < 1000.0, "must fail fast")
+  }
+
+  test("moov-table bounds hardening: stts/stsz/stco declared counts " +
+      "that overrun their boxes reject instead of allocating") {
+    val good = Multimodal.syntheticMp4(durMs = 1000, width = 160,
+      height = 90, mdatLen = 0, frames = 4, frameSizeBase = 100)
+    def patchedCount(typ: String): Array[Byte] = {
+      val c = good.clone()
+      var o = 0; var done = false
+      while (o + 8 <= c.length && !done) {
+        if (new String(c, o + 4, 4, "ISO-8859-1") == typ) {
+          // entry/sample count field: stts at body+4, stsz at body+8,
+          // stco at body+4 (body starts at o+8)
+          val fieldOff = if (typ == "stsz") o + 8 + 8 else o + 8 + 4
+          u32(0x40000000L).zipWithIndex.foreach { case (v, j) =>
+            c(fieldOff + j) = v }
+          done = true
+        }
+        o += 1
+      }
+      assert(done, s"$typ not found")
+      c
+    }
+    for (typ <- Seq("stts", "stsz", "stco")) {
+      val t0 = System.nanoTime()
+      assert(Multimodal.parseMp4Frames(patchedCount(typ)).isEmpty,
+        s"$typ must reject")
+      assert((System.nanoTime() - t0) / 1e6 < 1000.0,
+        s"$typ must fail fast")
+    }
+  }
+
+  test("clumpLite fingerprint width: nSamples = 27 (the exact Long " +
+      "boundary, max fp = 5^27 − 1 < 2^63) works; 28 is refused") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    def vdf(n: Int) = Seq(
+      (1L, "c1", 10L, Seq.tabulate(n)(i =>
+        java.lang.Long.valueOf((i % 3).toLong))),
+      (2L, "c1", 20L, Seq.tabulate(n)(i =>
+        java.lang.Long.valueOf(((i + 1) % 3).toLong)))
+    ).toDF("vid", "chrom", "pos", "d")
+    val ok = graft.operators.PopGen.clumpLite(vdf(27), 100L, 0.5, 27)
+      .collect()
+    assert(ok.length == 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PopGen.clumpLite(vdf(28), 100L, 0.5, 28)
+    }
+    assert(e.getMessage.contains("27"))
+  }
+
+  test("a stub trak (no mdia) is SKIPPED, not a whole-file rejection") {
+    // syntheticMp4 already carries a table-less `soun` trak; add a
+    // fully structure-less stub trak inside moov and assert the vide
+    // frames still resolve
+    def box(t: String, body: Array[Byte]) =
+      u32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    val good = Multimodal.syntheticMp4(durMs = 1000, width = 160,
+      height = 90, mdatLen = 0, frames = 3, frameSizeBase = 100,
+      chunkOffset = 4096L)
+    val nFrames = Multimodal.parseMp4Frames(good).length
+    assert(nFrames == 3)
+    // splice a stub trak at the END of moov's body
+    val moovIdx = good.toSeq.indexOfSlice("moov".getBytes("ISO-8859-1")
+      .toSeq)
+    val moovStart = moovIdx - 4
+    val moovSize = ((good(moovStart) & 0xffL) << 24) |
+      ((good(moovStart + 1) & 0xffL) << 16) |
+      ((good(moovStart + 2) & 0xffL) << 8) | (good(moovStart + 3) & 0xffL)
+    val stub = box("trak", Array[Byte](0, 0, 0, 8) ++
+      "free".getBytes("ISO-8859-1"))
+    val out = good.take(moovStart) ++
+      u32(moovSize + stub.length) ++
+      good.slice(moovStart + 4, (moovStart + moovSize).toInt) ++
+      stub ++ good.drop((moovStart + moovSize).toInt)
+    val fr = Multimodal.parseMp4Frames(out)
+    assert(fr.length == 3, "stub trak must not reject the file")
+  }
+}
