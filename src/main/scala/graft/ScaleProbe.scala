@@ -266,6 +266,27 @@ object ScaleProbe {
           nSamples = 8, coreEvery = 50L, maxExt = 8,
           exts = Seq(1, 2, 4, 8))
       }, Vars),
+      // phasing switch error (q276's shape): explode ×S to per-
+      // (sample, site) orientation rows, then ONE (s, chrom)-
+      // partitioned lag window. The window partition COUNT is fixed
+      // (samples × chroms) while partitions lengthen with the variant
+      // count — exactly what a real cohort does — so the probe prices
+      // the per-partition sort growth
+      ("switch_error", { d =>
+        val sites = genoFromD(d)
+          .select(col("chrom"), col("pos"), col("vid"),
+            posexplode(col("geno")).as(Seq("s", "sa")))
+          .withColumn("a0", element_at(col("sa"), 1))
+          .withColumn("a1", element_at(col("sa"), 2))
+          .filter(col("a0").isNotNull && col("a1").isNotNull
+            && col("a0") =!= col("a1"))
+          .withColumn("o_true", col("a0") > col("a1"))
+          .withColumn("o_test",
+            col("o_true") =!= (col("pos") % 7 === 0))
+          .select(col("s"), col("chrom"), col("pos"), col("vid"),
+            col("o_true"), col("o_test"))
+        graft.operators.PopGen.switchError(sites)
+      }, Vars),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
