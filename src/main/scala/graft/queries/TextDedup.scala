@@ -3220,7 +3220,230 @@ object TextDedup extends QueryModule {
       q100, q102, q125, q127, q128, q142, q144, q145, q146, q147, q149,
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
-      q278, q279, q280, q281, q287, q291, q293, q301)
+      q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
+      q304)
+
+  // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
+  // registers (the dedup-planning question "how much vocabulary do two
+  // crawls share?" answered without a distinct-intersection shuffle):
+  // per-shard registers (doc_id-even vs -odd, the q291 shards), union
+  // registers by elementwise max, and |A∩B| ≈ est(A) + est(B) −
+  // est(A∪B) — all fixed-arity arithmetic over exact-BIGINT harmonic
+  // sums. The row also carries the EXACT shared-token count (one
+  // tok-key aggregate with per-shard presence flags) so the sketch is
+  // judged against truth in the same row. At 100 TB only the exact
+  // column costs a corpus shuffle; the sketch side ships 64 registers
+  // per shard. ----------------------------------------------------------
+  private lazy val q302 = Q("q302_hll_overlap",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("ev"),
+          explode(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as("tok"))
+      val h = toks.select(col("ev"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("i64"))
+      val reg = h
+        .select(col("ev"), (col("i64") % 64).as("bucket"),
+          expr("i64 div 64").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+        .groupBy(col("ev"), col("bucket")).agg(max(col("rho")).as("m"))
+      val spine = s.range(0, 64).select(col("id").as("bucket"))
+      val wide = spine
+        .join(reg.filter(col("ev")).select(col("bucket"),
+          col("m").as("ma")), Seq("bucket"), "left")
+        .join(reg.filter(!col("ev")).select(col("bucket"),
+          col("m").as("mb")), Seq("bucket"), "left")
+        .withColumn("ma", coalesce(col("ma"), lit(0L)))
+        .withColumn("mb", coalesce(col("mb"), lit(0L)))
+        .withColumn("mu", greatest(col("ma"), col("mb")))
+      def z(c: String) = sum(expr(s"CAST(power(2, 55 - $c) AS BIGINT)"))
+      val sk = wide.agg(z("ma").as("z_a"), z("mb").as("z_b"),
+        z("mu").as("z_u"))
+      val exact = toks.groupBy(col("tok"))
+        .agg(max(when(col("ev"), 1L).otherwise(0L)).as("ina"),
+          max(when(!col("ev"), 1L).otherwise(0L)).as("inb"))
+        .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+          .otherwise(0L)).as("shared_exact"))
+      def est(c: org.apache.spark.sql.Column) =
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          c.cast("double")
+      sk.crossJoin(broadcast(exact))
+        .withColumn("est_a", est(col("z_a")))
+        .withColumn("est_b", est(col("z_b")))
+        .withColumn("est_u", est(col("z_u")))
+        .withColumn("shared_sketch",
+          col("est_a") + col("est_b") - col("est_u"))
+    },
+    Some("""WITH tok AS (SELECT doc_id % 2 = 0 AS ev,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT ev,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS i64
+        FROM tok),
+      r AS (SELECT ev, i64 % 64 AS bucket,
+          CASE WHEN i64 // 64 = 0 THEN 55
+            ELSE 55 - length(bin(i64 // 64)) END AS rho
+        FROM h),
+      rr AS (SELECT ev, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+      spine AS (SELECT unnest(range(0, 64)) AS bucket),
+      wide AS (SELECT spine.bucket,
+          coalesce(a.m, 0) AS ma, coalesce(b.m, 0) AS mb,
+          greatest(coalesce(a.m, 0), coalesce(b.m, 0)) AS mu
+        FROM spine
+          LEFT JOIN (SELECT bucket, m FROM rr WHERE ev) a USING (bucket)
+          LEFT JOIN (SELECT bucket, m FROM rr WHERE NOT ev) b
+            USING (bucket)),
+      sk AS (SELECT
+          CAST(SUM(CAST(power(2, 55 - ma) AS BIGINT)) AS BIGINT) AS z_a,
+          CAST(SUM(CAST(power(2, 55 - mb) AS BIGINT)) AS BIGINT) AS z_b,
+          CAST(SUM(CAST(power(2, 55 - mu) AS BIGINT)) AS BIGINT) AS z_u
+        FROM wide),
+      ex AS (SELECT CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1
+            ELSE 0 END) AS BIGINT) AS shared_exact
+        FROM (SELECT tok,
+            max(CASE WHEN ev THEN 1 ELSE 0 END) AS ina,
+            max(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS inb
+          FROM tok GROUP BY tok)),
+      est AS (SELECT z_a, z_b, z_u, shared_exact,
+          CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+            * CAST(36028797018963968 AS DOUBLE)
+            / CAST(z_a AS DOUBLE) AS est_a,
+          CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+            * CAST(36028797018963968 AS DOUBLE)
+            / CAST(z_b AS DOUBLE) AS est_b,
+          CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+            * CAST(36028797018963968 AS DOUBLE)
+            / CAST(z_u AS DOUBLE) AS est_u
+        FROM sk CROSS JOIN ex)
+      SELECT z_a, z_b, z_u, shared_exact, est_a, est_b, est_u,
+        est_a + est_b - est_u AS shared_sketch
+      FROM est"""))
+
+  // --- q303: COUNT-MIN SKETCH heavy hitters (Cormode–Muthukrishnan
+  // 2005 — the mergeable frequency sketch a 100 TB token-frequency
+  // pass ships instead of a vocabulary): depth 4 × width 1024
+  // counters from md5 row-salted hashes (deterministic, so both
+  // engines build the identical sketch), estimate = min over rows —
+  // judged against the EXACT counts of the exact top-20 tokens in the
+  // same row, with the one-sided-error invariant (cms_est ≥ exact,
+  // always) emitted as a column the oracle must agree on. Counters
+  // partial-aggregate to ≤ 4·1024 groups; the top-20 list rides a
+  // tie-free (count, tok) TakeOrdered. -----------------------------------
+  private lazy val q303 = Q("q303_cms_heavy_hitters",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(filter(split(col("text"), "\\s+"),
+          t => t =!= "")).as("tok"))
+      def hashed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("*"), explode(array((0 until 4).map(lit): _*))
+          .as("r"))
+        .withColumn("b",
+          conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
+            lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 1024)
+      val counters = hashed(toks)
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      val est = hashed(top)
+        .join(counters, Seq("r", "b"), "left")
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      est.select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("one_sided"))
+    },
+    Some("""WITH tok AS (SELECT unnest(list_filter(
+          string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      hashed AS (SELECT tok, r.r,
+          CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+            || ':' || tok), 1, 15) AS BIGINT) % 1024 AS b
+        FROM tok, unnest(range(0, 4)) AS r(r)),
+      counters AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+        FROM hashed GROUP BY 1, 2),
+      top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY tok
+        ORDER BY exact_cnt DESC, tok LIMIT 20),
+      th AS (SELECT top.tok, top.exact_cnt, r.r,
+          CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+            || ':' || top.tok), 1, 15) AS BIGINT) % 1024 AS b
+        FROM top, unnest(range(0, 4)) AS r(r)),
+      est AS (SELECT th.tok, th.exact_cnt,
+          min(coalesce(counters.c, 0)) AS cms_est
+        FROM th LEFT JOIN counters USING (r, b)
+        GROUP BY 1, 2)
+      SELECT tok, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+        cms_est >= exact_cnt AS one_sided
+      FROM est"""))
+
+  // --- q304: SKETCHED vocabulary-growth ladder — q247's Heaps'-law
+  // curve rebuilt on mergeable state: per-decile HLL registers
+  // (doc_id % 10 shards), PREFIX-merged by a cumulative elementwise
+  // max over the 10×64-row register table (a summary-sized window,
+  // never data-sized), so "NDV after k more shards" costs no rescan —
+  // the incremental-admission question (is the next crawl shard still
+  // adding vocabulary?) answered from 64 bytes per shard. ----------------
+  private lazy val q304 = Q("q304_vocab_growth_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val reg = Tables(s, dir, "documents")
+        .select((col("doc_id") % 10).as("shard"),
+          explode(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as("tok"))
+        .select(col("shard"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            .as("i64"))
+        .select(col("shard"), (col("i64") % 64).as("bucket"),
+          expr("i64 div 64").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+        .groupBy(col("shard"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+      val spine = s.range(0, 10).select(col("id").as("shard"))
+        .crossJoin(s.range(0, 64).select(col("id").as("bucket")))
+      val wCum = Window.partitionBy(col("bucket")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(reg, Seq("shard", "bucket"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+        .withColumn("cm", max(col("m")).over(wCum))
+        .groupBy(col("shard"))
+        .agg(sum(expr("CAST(power(2, 55 - cm) AS BIGINT)")).as("z"))
+        .withColumn("ndv_raw",
+          lit(0.709) * lit(4096.0) * lit(36028797018963968.0)
+            / col("z").cast("double"))
+    },
+    Some("""WITH tok AS (SELECT doc_id % 10 AS shard,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT shard,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS i64
+        FROM tok),
+      r AS (SELECT shard, i64 % 64 AS bucket,
+          CASE WHEN i64 // 64 = 0 THEN 55
+            ELSE 55 - length(bin(i64 // 64)) END AS rho
+        FROM h),
+      rr AS (SELECT shard, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+      spine AS (SELECT s.shard, b.bucket
+        FROM (SELECT unnest(range(0, 10)) AS shard) s,
+          (SELECT unnest(range(0, 64)) AS bucket) b),
+      regs AS (SELECT spine.shard, spine.bucket,
+          coalesce(rr.m, 0) AS m
+        FROM spine LEFT JOIN rr USING (shard, bucket)),
+      cum AS (SELECT shard, bucket,
+          max(m) OVER (PARTITION BY bucket ORDER BY shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM regs)
+      SELECT shard,
+        CAST(SUM(CAST(power(2, 55 - cm) AS BIGINT)) AS BIGINT) AS z,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+          * CAST(36028797018963968 AS DOUBLE)
+          / CAST(SUM(CAST(power(2, 55 - cm) AS BIGINT)) AS DOUBLE)
+          AS ndv_raw
+      FROM cum GROUP BY shard"""))
 
   // --- q301: the deterministic HLL as a REUSABLE grouped Aggregator
   // (TrainingData.HllAggregator registered via functions.udaf): per-

@@ -137,6 +137,38 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("27"))
   }
 
+  test("streaming fMP4 frame-index == batch on the same fragmented " +
+      "containers (stream==batch parity for the moof/traf resolver)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val rows = (1L to 30L).map { id =>
+      Multimodal.MediaRow(id, "video", Multimodal.syntheticFmp4(
+        fragments = (id % 4 + 1).toInt,
+        samplesPerFrag = (id % 3 + 1).toInt,
+        sizeBase = ((id % 5) + 1).toInt * 64,
+        tfhdDefaults = id % 7 == 0, trexOnly = id % 11 == 0))
+    }
+    val mem = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeMp4FramesAll(mem.toDS())
+      .writeStream.format("memory").queryName("fmp4_frames_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(10))
+      q.processAllAvailable()
+      mem.addData(rows.drop(10))
+      q.processAllAvailable()
+      val streamed = spark.table("fmp4_frames_stream")
+      val batch = Multimodal.decodeMp4FramesAll(rows.toDS()).toDF()
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("a stub trak (no mdia) is SKIPPED, not a whole-file rejection") {
     // syntheticMp4 already carries a table-less `soun` trak; add a
     // fully structure-less stub trak inside moov and assert the vide
