@@ -2852,9 +2852,14 @@ object Relational extends QueryModule {
         .withColumn("rho", when(col("w") === 0, lit(49L))
           .otherwise(lit(49L) - length(bin(col("w"))).cast("long")))
         .groupBy(col("cname"), col("bucket")).agg(max(col("rho")).as("m"))
+      // the column list is a plan constant — a literal spine, never a
+      // second scan of the table
+      val cnameSpine = {
+        import s.implicits._
+        cols.map(_._1).toDF("cname")
+      }
       val spine = s.range(0, 4096).select(col("id").as("bucket"))
-        .crossJoin(broadcast(
-          pairs.select(col("cname")).distinct()))
+        .crossJoin(broadcast(cnameSpine))
       spine.join(reg, Seq("cname", "bucket"), "left")
         .withColumn("m", coalesce(col("m"), lit(0L)))
         .groupBy(col("cname"))

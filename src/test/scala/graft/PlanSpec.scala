@@ -652,6 +652,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q294: referential-integrity audit builds ZERO Spark jobs " +
+      "(round-7's eager fact.count() class) and scans each fact " +
+      "table once per FK edge") {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val setup = js.stageInfos.nonEmpty &&
+          js.stageInfos.forall(_.name.startsWith("parquet at "))
+        if (!setup) { jobs.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("q294_ref_integrity")(spark, dir)
+      Thread.sleep(50)
+      assert(jobs.get() == 0,
+        "plan construction must not run driver-side actions")
+      val p = df.queryExecution.explainString(SimpleMode)
+      // 3 lineitem edges + orders as fact once and as dim once +
+      // customer/supplier once each way + part once + nation twice
+      def scans(t: String) = p.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains(s"/$t.parquet"))
+      assert(scans("lineitem") == 3, p.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n"))
+      assert(scans("orders") == 2 && scans("customer") == 2
+        && scans("supplier") == 2 && scans("part") == 1
+        && scans("nation") == 2)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q300: the sketched profile is ONE scan of lineitem for all " +
+      "columns (q295's per-column-scan trade-off retired at scale)") {
+    val p = plan("q300_table_profile_sketch")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("/lineitem.parquet")) == 1, p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"))
+    // register aggregate partially aggregates before its exchange
+    val firstAgg = p.linesIterator.find(_.contains("HashAggregate"))
+    assert(firstAgg.nonEmpty)
+  }
+
   test("q102: the composed cleaning pipeline stays at two exchanges " +
       "over one pruned scan") {
     val p = plan("q102_clean_pipeline")
