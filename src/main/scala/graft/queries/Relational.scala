@@ -2833,7 +2833,13 @@ object Relational extends QueryModule {
   // gates it within 5 % of q295's exact NDVs at sf0.01 AND sf0.1. -----------
   private val q300 = Q("q300_table_profile_sketch",
     (s, dir) => {
+      // testdata parquet is single-row-group ⇒ the scan is ONE task;
+      // fan the 4 key columns out so the md5/register pipeline uses
+      // every core (SynthGeno's documented pattern — a real multi-file
+      // dataset would not need it)
       val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       val cols = Seq(
         "l_orderkey" -> col("l_orderkey").cast("string"),
         "l_partkey" -> col("l_partkey").cast("string"),
