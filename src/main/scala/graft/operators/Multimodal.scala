@@ -1217,6 +1217,88 @@ object Multimodal {
       })
   }
 
+  // --- SubRip (SRT) caption parsing — the text half of video-text
+  // training pairs: cue index, start/end milliseconds, cue text. ---------
+
+  /** One parsed SRT cue. */
+  final case class SrtCue(idx: Int, startMs: Long, endMs: Long,
+      text: String)
+
+  private val SrtTime =
+    """(\d{2}):(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*(\d{2}):(\d{2}):(\d{2})[,.](\d{3})""".r
+
+  /** Parse a SubRip stream: blank-line-separated cue blocks of
+    * [numeric index, HH:MM:SS,mmm --> HH:MM:SS,mmm, text lines…].
+    * Tolerant of CRLF and blank-line runs; a block whose first two
+    * lines don't parse is SKIPPED (subtitle files in the wild carry
+    * BOM junk and stray blocks — a bad cue must not drop the file's
+    * good cues); cues with end <= start are skipped too. */
+  def parseSrt(s: String): Seq[SrtCue] = {
+    val blocks = s.replace("\r\n", "\n").replace("\r", "\n")
+      .split("\n{2,}").toSeq
+    blocks.flatMap { b =>
+      val lines = b.split("\n").dropWhile(_.trim.isEmpty)
+      if (lines.length < 2) None
+      else {
+        val idx = scala.util.Try(
+          lines(0).trim.stripPrefix("\uFEFF").toInt).toOption
+        val tm = SrtTime.findFirstMatchIn(lines(1))
+        (idx, tm) match {
+          case (Some(i), Some(m)) =>
+            def ms(h: String, mi: String, se: String, mm: String) =
+              h.toLong * 3600000L + mi.toLong * 60000L +
+                se.toLong * 1000L + mm.toLong
+            val st = ms(m.group(1), m.group(2), m.group(3), m.group(4))
+            val en = ms(m.group(5), m.group(6), m.group(7), m.group(8))
+            if (en <= st) None
+            else Some(SrtCue(i, st, en,
+              lines.drop(2).mkString("\n").trim))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic SRT: `k` cues; cue i (0-based) has index
+    * i+1, start 1000·i + phase, duration 500 + 100·(i mod 3) ms, text
+    * "cue<docId>_<i>" — every field a formula, so parsed cues replay
+    * in SQL. */
+  def syntheticSrt(docId: Long, k: Int, phaseMs: Long): String = {
+    def t(ms: Long) = f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+      f"${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    (0 until k).map { i =>
+      val st = 1000L * i + phaseMs
+      val en = st + 500 + 100 * (i % 3)
+      s"${i + 1}\n${t(st)} --> ${t(en)}\ncue${docId}_$i"
+    }.mkString("\n\n") + "\n"
+  }
+
+  /** Typed parsed-cue record. */
+  final case class SrtCueRow(doc_id: Long, cue_idx: Int,
+      start_ms: Long, end_ms: Long, cue_text: String)
+
+  /** Caption fixture table: one synthetic SRT per document — cues =
+    * id%5+2, phase (id%7)·100 ms. */
+  def syntheticSrtTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        id -> syntheticSrt(id, (id % 5 + 2).toInt, (id % 7) * 100L)
+      })
+  }
+
+  /** Partition-batched SRT cue extraction. */
+  def decodeSrtAll(subs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[SrtCueRow] = {
+    import subs.sparkSession.implicits._
+    subs.mapPartitions(_.flatMap { case (id, s) =>
+      parseSrt(s).map(c => SrtCueRow(id, c.idx, c.startMs, c.endMs,
+        c.text))
+    })
+  }
+
   // --- GIF container metadata (pure-JVM block walk; no frame decode —
   // the 87a/89a block grammar is enough for dims / frame count / loop
   // count, the triage metadata an image-dedup pipeline wants before

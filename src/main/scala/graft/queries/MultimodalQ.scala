@@ -498,7 +498,53 @@ object MultimodalQ extends QueryModule {
         unnest(range(0, doc_id % 4 + 1)) AS f(f),
         unnest(range(0, doc_id % 3 + 1)) AS i(i)"""))
 
+  // --- q305: CAPTION ↔ FRAME alignment — the video-text training-pair
+  // builder: SubRip cues parsed from real SRT bytes (Multimodal
+  // .parseSrt over formula fixtures) joined to q299's fragmented-MP4
+  // frame index by time-interval overlap, computed EXACTLY in 90 kHz
+  // ticks (cue ms × 90 vs frame [pts, pts+3000)) so both engines
+  // agree on integers. The join is doc-keyed EQUI with a range
+  // residual — per-doc fan is #frames × #cues (both bounded by the
+  // container, never the corpus), the q84-style pairing discipline;
+  // at 100 TB this shuffles once on doc_id. -------------------------------
+  private val q305 = Q("q305_caption_frame_align",
+    (s, dir) => {
+      val cues = Multimodal.decodeSrtAll(
+        Multimodal.syntheticSrtTable(s, dir)).toDF()
+      val frames = Multimodal.decodeMp4FramesAll(
+          Multimodal.syntheticFmp4Table(s, dir)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("pts"))
+      frames.join(cues, Seq("doc_id"))
+        .filter(col("pts") < col("end_ms") * 90
+          && col("pts") + 3000 > col("start_ms") * 90)
+        .select(col("doc_id"), col("cue_idx"), col("frame_idx"),
+          col("cue_text"),
+          (least(col("end_ms") * 90, col("pts") + 3000)
+            - greatest(col("start_ms") * 90, col("pts")))
+            .as("overlap_ticks"))
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id, CAST(f.f * (doc_id % 3 + 1) + i.i AS INT)
+            AS frame_idx,
+          CAST(3000 * (f.f * (doc_id % 3 + 1) + i.i) AS BIGINT) AS pts
+        FROM documents,
+          unnest(range(0, doc_id % 4 + 1)) AS f(f),
+          unnest(range(0, doc_id % 3 + 1)) AS i(i)),
+      cues AS (
+        SELECT doc_id, CAST(c.i + 1 AS INT) AS cue_idx,
+          CAST(1000 * c.i + (doc_id % 7) * 100 AS BIGINT) AS start_ms,
+          CAST(1000 * c.i + (doc_id % 7) * 100
+            + 500 + 100 * (c.i % 3) AS BIGINT) AS end_ms,
+          'cue' || CAST(doc_id AS VARCHAR) || '_'
+            || CAST(c.i AS VARCHAR) AS cue_text
+        FROM documents, unnest(range(0, doc_id % 5 + 2)) AS c(i))
+      SELECT frames.doc_id, cue_idx, frame_idx, cue_text,
+        CAST(least(end_ms * 90, pts + 3000)
+          - greatest(start_ms * 90, pts) AS BIGINT) AS overlap_ticks
+      FROM frames JOIN cues USING (doc_id)
+      WHERE pts < end_ms * 90 AND pts + 3000 > start_ms * 90"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q256, q261, q277, q299)
+      q186, q200, q209, q256, q261, q277, q299, q305)
 }

@@ -116,6 +116,25 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("parseSrt: round-trips the formula fixture, tolerates CRLF/" +
+      "BOM/blank-line runs, skips bad blocks and inverted cues") {
+    val srt = Multimodal.syntheticSrt(42L, 4, 300L)
+    val cues = Multimodal.parseSrt(srt)
+    assert(cues.map(_.idx) == Seq(1, 2, 3, 4))
+    assert(cues.map(_.startMs) == Seq(300L, 1300L, 2300L, 3300L))
+    assert(cues.map(_.endMs) == Seq(800L, 1900L, 3000L, 3800L))
+    assert(cues.map(_.text) == (0 until 4).map(i => s"cue42_$i"))
+    // CRLF + BOM + triple blank lines + a junk block + inverted cue
+    val messy = "﻿1\r\n00:00:01,000 --> 00:00:02,000\r\nhello\r\n" +
+      "world\r\n\r\n\r\n\r\nnot-a-number\r\ngarbage\r\n\r\n" +
+      "2\r\n00:01:00,500 --> 00:01:00,100\r\ninverted\r\n\r\n" +
+      "3\r\n01:02:03.250 --> 01:02:04,000\r\ndot-millis\r\n"
+    val got = Multimodal.parseSrt(messy)
+    assert(got.map(_.idx) == Seq(1, 3))
+    assert(got.head.text == "hello\nworld")
+    assert(got(1).startMs == 3723250L && got(1).endMs == 3724000L)
+  }
+
   test("clumpLite fingerprint width: nSamples = 27 (the exact Long " +
       "boundary, max fp = 5^27 − 1 < 2^63) works; 28 is refused") {
     val spark = SparkSession.builder().master("local[2]")
