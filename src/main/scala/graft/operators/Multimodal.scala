@@ -264,6 +264,106 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Per-WINDOW integer energy from a real WAV decode: window w =
+    * frames [w·windowFrames, (w+1)·windowFrames), value = Σ s² over
+    * every sample (all channels) in the window — the exact-integer
+    * feature a VAD/segmentation pass thresholds. A trailing partial
+    * window is emitted with the frames it has. None on non-PCM/non-16-
+    * bit payloads (same contract as [[decodeWav]]). */
+  def decodeWavWindows(payload: Array[Byte], windowFrames: Int)
+      : Option[Seq[(Int, Long)]] = {
+    if (payload == null || payload.length < 12) return None
+    def b(i: Int): Int = payload(i) & 0xff
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        return None
+      case _: java.io.IOException => return None
+    }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val ch = fmt.getChannels
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val be = fmt.isBigEndian
+      val perWin = windowFrames * ch
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var i = 0
+      var win = 0
+      var acc = 0L
+      while (i < n) {
+        val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
+        val hi = bytes(2 * i + (if (be) 0 else 1))
+        val s = (hi << 8) | lo
+        acc += s.toLong * s
+        i += 1
+        if (i % perWin == 0) { out += ((win, acc)); win += 1; acc = 0L }
+      }
+      if (n % perWin != 0) out += ((win, acc))
+      Some(out.toSeq)
+    } finally in.close()
+  }
+
+  /** Deterministic segmented-speech WAV fixture: `nWins` windows of
+    * 160 mono frames; window w is "speech" iff (w + docId) mod 4 < 2,
+    * filled with the constant sample (docId mod 7 + 1)·800 (so its
+    * energy is exactly 160·v²), silence windows are all-zero. */
+  def syntheticWavSeg(docId: Long, nWins: Int): Array[Byte] = {
+    val v = ((docId % 7 + 1) * 800).toShort
+    val data = new Array[Byte](nWins * 160 * 2)
+    var w = 0
+    while (w < nWins) {
+      if ((w + docId) % 4 < 2) {
+        var j = 0
+        while (j < 160) {
+          val o = (w * 160 + j) * 2
+          data(o) = (v & 0xff).toByte
+          data(o + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nWins * 160L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Typed per-window energy record. */
+  final case class WavWindowRow(doc_id: Long, win: Int, sum_sq: Long)
+
+  /** Speech-pattern audio fixture table: nWins = id%12+6. */
+  def syntheticWavSegTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio", syntheticWavSeg(id, (id % 12 + 6).toInt))
+      })
+  }
+
+  /** Partition-batched per-window energy extraction (160-frame
+    * windows — 10 ms at 16 kHz, the standard VAD frame). */
+  def decodeWavWindowsAll(media: Dataset[MediaRow])
+      : Dataset[WavWindowRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavWindows(r.payload, 160).toSeq.flatten
+        .map { case (w, e) => WavWindowRow(r.doc_id, w, e) }
+    })
+  }
+
   // --- MPEG-audio (MP3 family) metadata: a real pure-JVM frame-header
   // walk. The JDK has no MP3 payload decoder, but the frame HEADER
   // layout is public (ISO/IEC 11172-3 §2.4.1.3 for MPEG-1, 13818-3 for

@@ -544,7 +544,48 @@ object MultimodalQ extends QueryModule {
       FROM frames JOIN cues USING (doc_id)
       WHERE pts < end_ms * 90 AND pts + 3000 > start_ms * 90"""))
 
+  // --- q306: VOICE-ACTIVITY segmentation (the speech-pipeline chunker
+  // — VAD-lite): REAL WAV PCM decode to per-10ms-window integer
+  // energies (Σ s², exact), threshold at energy > 0, and gaps-and-
+  // islands run-length grouping (win − row_number over active windows,
+  // per doc) into speech segments with start/end window, length and
+  // total energy — all BIGINT. Fixtures alternate 2 speech / 2 silence
+  // windows with a doc-dependent phase and amplitude, so the oracle
+  // regenerates every window energy by formula. The islands window
+  // partitions by doc_id — never global. ----------------------------------
+  private val q306 = Q("q306_vad_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = Multimodal.decodeWavWindowsAll(
+        Multimodal.syntheticWavSegTable(s, dir)).toDF()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("win"))
+      wins.filter(col("sum_sq") > 0)
+        .withColumn("grp", col("win") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("win")).as("start_win"),
+          max(col("win")).as("end_win"),
+          count(lit(1)).as("n_win"),
+          sum(col("sum_sq")).as("energy"))
+        .drop("grp")
+    },
+    Some("""WITH wins AS (
+        SELECT doc_id, CAST(w.w AS INT) AS win,
+          CASE WHEN (w.w + doc_id) % 4 < 2
+            THEN CAST(160 * ((doc_id % 7 + 1) * 800)
+              * ((doc_id % 7 + 1) * 800) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS sum_sq
+        FROM documents, unnest(range(0, doc_id % 12 + 6)) AS w(w)),
+      act AS (SELECT doc_id, win, sum_sq,
+          win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+            AS grp
+        FROM wins WHERE sum_sq > 0)
+      SELECT doc_id, CAST(MIN(win) AS INT) AS start_win,
+        CAST(MAX(win) AS INT) AS end_win,
+        CAST(COUNT(*) AS BIGINT) AS n_win,
+        CAST(SUM(sum_sq) AS BIGINT) AS energy
+      FROM act GROUP BY doc_id, grp"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q256, q261, q277, q299, q305)
+      q186, q200, q209, q256, q261, q277, q299, q305, q306)
 }

@@ -116,6 +116,26 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeWavWindows: per-window Σs² round-trips the segmented " +
+      "fixture exactly; trailing partial window kept; non-WAV None") {
+    for (id <- Seq(0L, 3L, 6L, 13L)) {
+      val nW = (id % 12 + 6).toInt
+      val got = Multimodal.decodeWavWindows(
+        Multimodal.syntheticWavSeg(id, nW), 160).get
+      assert(got.length == nW, s"id=$id")
+      val v = (id % 7 + 1) * 800
+      for ((w, e) <- got)
+        assert(e == (if ((w + id) % 4 < 2) 160L * v * v else 0L),
+          s"id=$id w=$w")
+    }
+    // trailing partial window: 100 extra frames after 2 full windows
+    val tail = Multimodal.decodeWavWindows(
+      Multimodal.syntheticWav(420, 16000, 5), 160).get
+    assert(tail.map(_._1) == Seq(0, 1, 2))
+    assert(tail.map(_._2) == Seq(160L * 25, 160L * 25, 100L * 25))
+    assert(Multimodal.decodeWavWindows("nope".getBytes, 160).isEmpty)
+  }
+
   test("parseSrt: round-trips the formula fixture, tolerates CRLF/" +
       "BOM/blank-line runs, skips bad blocks and inverted cues") {
     val srt = Multimodal.syntheticSrt(42L, 4, 300L)
