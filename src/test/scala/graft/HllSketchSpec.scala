@@ -58,6 +58,34 @@ class HllSketchSpec extends AnyFunSuite {
       s"64-register sketch of 500 distinct: est=$est")
   }
 
+  test("streaming HLL == batch HLL: grouped register state merges " +
+      "correctly across micro-batches (continuous distinct counting)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val hll = udaf(new TrainingData.HllAggregator(64))
+    val rows = (0 until 3000).map(i =>
+      (s"src${i % 4}", s"tok${i % 700}_${i % 11}"))
+    val mem = MemoryStream[(String, String)](spark)
+    val q = mem.toDF().toDF("source", "tok")
+      .groupBy(col("source")).agg(hll(col("tok")).as("regs"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows.take(1000))
+      q.processAllAvailable()
+      mem.addData(rows.drop(1000))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = rows.toDF("source", "tok")
+        .groupBy(col("source")).agg(hll(col("tok")).as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((k, v) <- batch) assert(streamed(k) == v, k)
+    } finally q.stop()
+  }
+
   test("q300 sketched profile: ln-corrected NDV within 5% of exact " +
       "at sf0.01 and sf0.1 — the one-scan ANALYZE twin") {
     val m = 4096
