@@ -683,6 +683,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q298: the N-way merge is JOIN-FREE — union + one groupBy, " +
+      "never the iterated pairwise outer joins") {
+    val p = plan("q298_merge_nway")
+    assert(!p.contains("Join"), "mergeN must not plan any join\n" + p)
+    assert(p.contains("Union"))
+  }
+
   test("q300: the sketched profile is ONE scan of lineitem for all " +
       "columns (q295's per-column-scan trade-off retired at scale)") {
     val p = plan("q300_table_profile_sketch")

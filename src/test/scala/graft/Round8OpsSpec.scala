@@ -53,6 +53,90 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fMP4: one moof with TWO trafs (two tracks) and a second trun " +
+      "WITHOUT a data offset chaining after the first") {
+    // hand-build: moov with vide(id 1)+soun(id 2) header-only traks +
+    // per-track trex defaults, one moof carrying a traf per track; the
+    // vide traf has two truns — the second omits the data offset, so
+    // its samples must start right after the first trun's last byte
+    def box(t: String, body: Array[Byte]) =
+      u32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    def trak(handler: String, ts: Long, id: Long) = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ u32(0) ++
+        u32(0) ++ u32(id) ++ u32(0) ++ u32(1000) ++
+        new Array[Byte](16) ++ new Array[Byte](36) ++ u32(0) ++ u32(0))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
+        u32(0) ++ u32(ts) ++ u32(0) ++
+        Array[Byte](0x55.toByte, 0xc4.toByte, 0, 0))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32(0) ++
+        handler.getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
+        Array[Byte](0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    def trex(id: Long, dur: Long, size: Long) = box("trex",
+      Array[Byte](0, 0, 0, 0) ++ u32(id) ++ u32(1) ++ u32(dur) ++
+        u32(size) ++ u32(0))
+    val moov = box("moov",
+      box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+        u32(1000) ++ u32(1000) ++ new Array[Byte](80)) ++
+      trak("vide", 90000L, 1) ++ trak("soun", 48000L, 2) ++
+      box("mvex", trex(1, 3000, 100) ++ trex(2, 1024, 50)))
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0))
+    // vide traf: trun1 (2 samples, data_offset present) + trun2
+    // (1 sample, NO data offset → chains to offset+200)
+    val tfhd1 = box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ u32(1))
+    val trun1 = box("trun", Array[Byte](0, 0, 0, 1) ++ u32(2) ++
+      u32(0) /* patched */)
+    val trun2 = box("trun", Array[Byte](0, 0, 0, 0) ++ u32(1))
+    // soun traf: 2 samples on trex defaults, own data offset
+    val tfhd2 = box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ u32(2))
+    val trun3 = box("trun", Array[Byte](0, 0, 0, 1) ++ u32(2) ++
+      u32(0) /* patched */)
+    val traf1 = box("traf", tfhd1 ++ trun1 ++ trun2)
+    val traf2 = box("traf", tfhd2 ++ trun3)
+    val mfhd = box("mfhd", u32(0) ++ u32(1))
+    val moof = box("moof", mfhd ++ traf1 ++ traf2)
+    // data layout in mdat: vide s0 s1 s2 (3×100) then soun s0 s1 (2×50)
+    val off1 = moof.length + 8          // vide trun1 start
+    val off2 = moof.length + 8 + 300    // soun trun3 start
+    // patch the two data offsets (4 bytes after flags+count in each
+    // patched trun body)
+    def patchAt(b: Array[Byte], trunOrdinal: Int, v: Long): Unit = {
+      var seen = 0; var o = 0
+      while (o + 8 <= b.length) {
+        if (new String(b, o + 4, 4, "ISO-8859-1") == "trun") {
+          seen += 1
+          if (seen == trunOrdinal) {
+            u32(v).zipWithIndex.foreach { case (x, j) =>
+              b(o + 16 + j) = x }
+            return
+          }
+        }
+        o += 1
+      }
+      fail(s"trun $trunOrdinal not found")
+    }
+    patchAt(moof, 1, off1)
+    patchAt(moof, 3, off2)
+    val mdat = box("mdat", new Array[Byte](400))
+    val file = ftyp ++ moov ++ moof ++ mdat
+    val fr = Multimodal.parseMp4Frames(file)
+    val vide = fr.filter(_.handler == "vide")
+    val soun = fr.filter(_.handler == "soun")
+    val base = (ftyp.length + moov.length).toLong
+    assert(vide.map(_.idx) == Seq(0, 1, 2))
+    // trun1 samples at offset, offset+100; trun2's sample CHAINS to
+    // offset+200 with no data offset of its own
+    assert(vide.map(_.offset) == Seq(base + off1, base + off1 + 100,
+      base + off1 + 200))
+    assert(vide.map(_.size) == Seq(100L, 100L, 100L))
+    assert(vide.map(_.pts) == Seq(0L, 3000L, 6000L))
+    assert(soun.map(_.idx) == Seq(0, 1))
+    assert(soun.map(_.offset) == Seq(base + off2, base + off2 + 50))
+    assert(soun.map(_.pts) == Seq(0L, 1024L))
+    assert(soun.forall(_.timescale == 48000L))
+  }
+
   test("fMP4: truncated moof REJECTS the whole file; moov-only " +
       "prefix of the same file still parses as zero frames") {
     val full = Multimodal.syntheticFmp4(2, 2, 64)
