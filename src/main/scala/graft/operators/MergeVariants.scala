@@ -86,6 +86,49 @@ object MergeVariants {
         col("f.phased").as("phased"))
   }
 
+  /** N-WAY sample-union merge in ONE plan (the reference's other
+    * `seqMerge` mode, `R/UtilsMerge.R:455-571`: same variant space,
+    * DISJOINT sample sets — the merged file concatenates the sample
+    * axis in file order, all-missing fill where a file lacks the
+    * variant). Same single-exchange shape as [[mergeN]]: union + one
+    * groupBy(vid); the per-file slot lookup and the missing-file fill
+    * are statically unrolled over the (plan-constant) file list, so
+    * the concat is a pure projection above the group. `samplesPerFile`
+    * fixes each file's sample count — required to fill a missing
+    * file's slot with the right number of missing calls.
+    *
+    * Inputs carry (vid, geno ARRAY<ARRAY<LONG>>, phased
+    * ARRAY<BOOLEAN>); output one row per vid present in ANY file with
+    * the concatenated `geno`/`phased`. */
+  def mergeNSamples(files: Seq[org.apache.spark.sql.DataFrame],
+      samplesPerFile: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(files.size >= 2 && files.size == samplesPerFile.size,
+      s"need >= 2 files with matching sample counts; got " +
+        s"${files.size} files, ${samplesPerFile.size} counts")
+    val tagged = files.zipWithIndex.map { case (df, i) =>
+      df.select(col("vid"), lit(i).as("file"), col("geno"),
+        col("phased"))
+    }.reduce(_ unionByName _)
+    val grouped = tagged.groupBy(col("vid"))
+      .agg(collect_list(struct(col("file"), col("geno"),
+        col("phased"))).as("fs"))
+    // try_element_at: a vid absent from file i has an EMPTY filter
+    // result, which must read as null (element_at throws under ANSI)
+    def slot(i: Int) =
+      try_element_at(filter(col("fs"), f => f.getField("file") === i),
+        lit(1))
+    def nullCalls(k: Int) = array(Seq.fill(k)(
+      array(lit(null).cast("long"), lit(null).cast("long"))): _*)
+    def noPhase(k: Int) = array(Seq.fill(k)(lit(false)): _*)
+    val geno = concat(files.indices.map(i =>
+      coalesce(slot(i).getField("geno"),
+        nullCalls(samplesPerFile(i)))): _*)
+    val phased = concat(files.indices.map(i =>
+      coalesce(slot(i).getField("phased"),
+        noPhase(samplesPerFile(i)))): _*)
+    grouped.select(col("vid"), geno.as("geno"), phased.as("phased"))
+  }
+
   // ---- declarative reference implementations (differential oracles) ------
 
   def alleleUnionHof(a: Column, b: Column): Column = {

@@ -144,27 +144,47 @@ object Merge extends QueryModule {
   // groupBy(vid), the merged allele list folded in file order inside
   // the group, genotypes remapped after the explode. The oracle
   // rebuilds the identical 3-way merge with a static fold. -----------------
+  // synthetic vids are NOT unique (the testdata lineitem carries
+  // duplicate (orderkey, linenumber) pairs by design) — a groupBy-based
+  // merge needs a genuinely keyed table, so dedupe per vid with a
+  // deterministic argmax on the canonical (nall | geno | phased)
+  // serialization (the house determinism idiom; tied keys are
+  // bit-identical rows). Shared by q298/q307.
+  private def dedupedVariants(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val gs = array_join(transform(col("geno"), sa =>
+      array_join(transform(sa, a =>
+        coalesce(a.cast("string"), lit("x"))), "|")), ";")
+    val ps = array_join(transform(col("phased"),
+      p => p.cast("string")), ",")
+    SynthGeno.variants(s, dir)
+      .withColumn("k", concat_ws("~",
+        col("nall").cast("string"), gs, ps))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("k"), col("nall"), col("geno"),
+        col("phased"))).as("m"))
+      .select(col("vid"), col("m.nall").as("nall"),
+        col("m.geno").as("geno"), col("m.phased").as("phased"))
+  }
+
+  private val dedupSqlCte =
+    s"""variants0 AS (${SynthGeno.sqlCte}),
+      variants AS (SELECT vid,
+          max_by(struct_pack(nall := nall, geno := geno,
+            phased := phased),
+            CAST(nall AS VARCHAR) || '~'
+            || array_to_string(list_transform(geno, sa ->
+              array_to_string(list_transform(sa, a ->
+                COALESCE(CAST(a AS VARCHAR), 'x')), '|')), ';')
+            || '~' || array_to_string(list_transform(phased,
+              p -> CAST(p AS VARCHAR)), ',')) AS m
+        FROM variants0 GROUP BY vid),
+      vd AS (SELECT vid, m.nall AS nall, m.geno AS geno,
+          m.phased AS phased FROM variants)"""
+
   private val q298 = Q("q298_merge_nway",
     (s, dir) => {
-      // synthetic vids are NOT unique (the testdata lineitem carries
-      // duplicate (orderkey, linenumber) pairs by design) — a
-      // groupBy-based merge needs a genuinely keyed table, so dedupe
-      // per vid with a deterministic argmax on the canonical
-      // (nall | geno | phased) serialization (the house determinism
-      // idiom; tied keys are bit-identical rows)
-      val gs = array_join(transform(col("geno"), sa =>
-        array_join(transform(sa, a =>
-          coalesce(a.cast("string"), lit("x"))), "|")), ";")
-      val ps = array_join(transform(col("phased"),
-        p => p.cast("string")), ",")
-      val dedup = SynthGeno.variants(s, dir)
-        .withColumn("k", concat_ws("~",
-          col("nall").cast("string"), gs, ps))
-        .groupBy(col("vid"))
-        .agg(max(struct(col("k"), col("nall"), col("geno"),
-          col("phased"))).as("m"))
-        .select(col("vid"), col("m.nall").as("nall"),
-          col("m.geno").as("geno"), col("m.phased").as("phased"))
+      val dedup = dedupedVariants(s, dir)
       val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
       val full = transform(sequence(lit(1), col("nall").cast("int")),
         i => element_at(letters, i))
@@ -185,19 +205,7 @@ object Merge extends QueryModule {
         .select(col("vid"), col("file"), col("alleles"),
           gtStrings(col("geno"), col("phased"), ";").as("gts"))
     },
-    Some(s"""WITH variants0 AS (${SynthGeno.sqlCte}),
-      variants AS (SELECT vid,
-          max_by(struct_pack(nall := nall, geno := geno,
-            phased := phased),
-            CAST(nall AS VARCHAR) || '~'
-            || array_to_string(list_transform(geno, sa ->
-              array_to_string(list_transform(sa, a ->
-                COALESCE(CAST(a AS VARCHAR), 'x')), '|')), ';')
-            || '~' || array_to_string(list_transform(phased,
-              p -> CAST(p AS VARCHAR)), ',')) AS m
-        FROM variants0 GROUP BY vid),
-      vd AS (SELECT vid, m.nall AS nall, m.geno AS geno,
-          m.phased AS phased FROM variants),
+    Some(s"""WITH $dedupSqlCte,
       ext AS (SELECT vid, geno, phased, nall,
         array_to_string(list_transform(range(1, nall + 1),
           i -> (['A','C','G','T'])[i]), ',') AS stra,
@@ -260,5 +268,59 @@ object Merge extends QueryModule {
           || COALESCE(CAST(rgc[s][2] AS VARCHAR), '.')), ';')
       FROM rm WHERE sc IS NOT NULL"""))
 
-  override def queries: Seq[Q] = Seq(q29, q46, q298)
+  // --- q307: N-WAY seqMerge SAMPLE-UNION mode in one plan (reference
+  // R/UtilsMerge.R:455-571 — same variant space, disjoint sample sets,
+  // missing-variant slots filled all-missing). THREE sample shards —
+  // A = samples 1-3 on vid%2, B = samples 4-5 on vid%3, C = samples
+  // 6-8 on every variant — merged through MergeVariants.mergeNSamples:
+  // union + ONE groupBy(vid), the per-file slot lookup and fill
+  // statically unrolled (q46 is the pairwise twin; iterating it would
+  // re-join per file). ----------------------------------------------------
+  private val q307 = Q("q307_merge_nway_samples",
+    (s, dir) => {
+      val v = dedupedVariants(s, dir)
+      def carve(m: Int, from: Int, n: Int) =
+        v.filter(col("vid") % m === 0)
+          .select(col("vid"), slice(col("geno"), from, n).as("geno"),
+            slice(col("phased"), from, n).as("phased"))
+      val merged = mergeNSamples(
+        Seq(carve(2, 1, 3), carve(3, 4, 2), carve(1, 6, 3)),
+        Seq(3, 2, 3))
+      merged.select(col("vid"),
+        gtStrings(col("geno"), col("phased"), ";").as("gts"),
+        nCalledAlleles(col("geno")).as("n_called"))
+    },
+    Some(s"""WITH $dedupSqlCte,
+      a AS (SELECT vid AS va, geno[1:3] AS ga, phased[1:3] AS pa
+        FROM vd WHERE vid % 2 = 0),
+      b AS (SELECT vid AS vb, geno[4:5] AS gb, phased[4:5] AS pb
+        FROM vd WHERE vid % 3 = 0),
+      c AS (SELECT vid AS vc, geno[6:8] AS gc, phased[6:8] AS pc
+        FROM vd),
+      m AS (SELECT COALESCE(va, vb, vc) AS vid,
+          list_concat(list_concat(
+            COALESCE(ga, [[CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+              [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+              [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]]),
+            COALESCE(gb, [[CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+              [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]])),
+            COALESCE(gc, [[CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+              [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)],
+              [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]])) AS g,
+          list_concat(list_concat(
+            COALESCE(pa, [false, false, false]),
+            COALESCE(pb, [false, false])),
+            COALESCE(pc, [false, false, false])) AS p
+        FROM a FULL OUTER JOIN b ON va = vb
+          FULL OUTER JOIN c ON COALESCE(va, vb) = vc)
+      SELECT vid,
+        array_to_string(list_transform(range(1, 9), s ->
+          COALESCE(CAST(g[s][1] AS VARCHAR), '.')
+          || (CASE WHEN p[s] THEN '|' ELSE '/' END)
+          || COALESCE(CAST(g[s][2] AS VARCHAR), '.')), ';') AS gts,
+        CAST(len(list_filter(flatten(g), a -> a IS NOT NULL))
+          AS BIGINT) AS n_called
+      FROM m"""))
+
+  override def queries: Seq[Q] = Seq(q29, q46, q298, q307)
 }

@@ -111,4 +111,45 @@ class MergeSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.size == 11) // 4 + 3 + 4 per-file rows survive
   }
+
+  test("mergeNSamples(3) == the iterated pairwise sample union " +
+      "(concat in file order, all-missing fill for absent variants)") {
+    import spark.implicits._
+    def g(pairs: (java.lang.Long, java.lang.Long)*) =
+      pairs.map(p => Seq(p._1, p._2))
+    def mk(rows: Seq[(Long, Seq[Seq[java.lang.Long]], Seq[Boolean])]) =
+      rows.toDF("vid", "geno", "phased")
+    val a = mk(Seq( // 2 samples
+      (1L, g((0L, 1L), (1L, 1L)), Seq(true, false)),
+      (2L, g((0L, 0L), (null, null)), Seq(false, false))))
+    val b = mk(Seq( // 1 sample
+      (1L, g((2L, 0L)), Seq(true)),
+      (3L, g((1L, 1L)), Seq(false))))
+    val c = mk(Seq( // 2 samples
+      (2L, g((1L, 0L), (0L, 0L)), Seq(true, true)),
+      (3L, g((null, 0L), (2L, 2L)), Seq(false, true))))
+    val got = mergeNSamples(Seq(a, b, c), Seq(2, 1, 2))
+      .orderBy(col("vid")).collect().map(_.toString).toSeq
+    // pairwise reference: two iterated full-outer joins with fills
+    def ren(df: org.apache.spark.sql.DataFrame, i: Int) = df.select(
+      col("vid"), col("geno").as(s"g$i"), col("phased").as(s"p$i"))
+    def nulls(k: Int) = array(Seq.fill(k)(
+      array(lit(null).cast("long"), lit(null).cast("long"))): _*)
+    def falses(k: Int) = array(Seq.fill(k)(lit(false)): _*)
+    val ab = ren(a, 0).join(ren(b, 1), Seq("vid"), "full_outer")
+      .select(col("vid"),
+        concat(coalesce(col("g0"), nulls(2)),
+          coalesce(col("g1"), nulls(1))).as("gab"),
+        concat(coalesce(col("p0"), falses(2)),
+          coalesce(col("p1"), falses(1))).as("pab"))
+    val abc = ab.join(ren(c, 2), Seq("vid"), "full_outer")
+      .select(col("vid"),
+        concat(coalesce(col("gab"), nulls(3)),
+          coalesce(col("g2"), nulls(2))).as("geno"),
+        concat(coalesce(col("pab"), falses(3)),
+          coalesce(col("p2"), falses(2))).as("phased"))
+    val exp = abc.orderBy(col("vid")).collect().map(_.toString).toSeq
+    assert(got == exp)
+    assert(got.size == 3)
+  }
 }
