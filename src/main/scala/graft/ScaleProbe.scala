@@ -287,6 +287,20 @@ object ScaleProbe {
             col("o_true"), col("o_test"))
         graft.operators.PopGen.switchError(sites)
       }, Vars),
+      // N-way variant-union merge (q298's shape): union + ONE
+      // groupBy(vid) with the in-group allele fold; expansion keeps
+      // vids disjoint across shards so groups (and the one exchange)
+      // grow exactly linearly
+      ("merge_nway", { d =>
+        val v = genoFromD(d).withColumn("phased",
+          array((0 until 8).map(_ => lit(false)): _*))
+        def carve(m: Int, alleles: String) =
+          v.filter(col("vid") % m === 0)
+            .select(col("vid"), lit(alleles).as("alleles"),
+              col("geno"), col("phased"))
+        graft.operators.MergeVariants.mergeN(Seq(
+          carve(2, "A,C,G"), carve(3, "A,G,C"), carve(5, "A,T,C")))
+      }, Vars),
       ("editdist_neardup", { d =>
         import graft.functions.textfns._
         val docs = d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
