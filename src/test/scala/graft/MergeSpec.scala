@@ -112,6 +112,58 @@ class MergeSpec extends AnyFunSuite {
     assert(got.size == 11) // 4 + 3 + 4 per-file rows survive
   }
 
+  test("mergeN(4) fuzz: random allele orders/subsets/missingness == " +
+      "the iterated pairwise fold, three seeds") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val letters = Seq("A", "C", "G", "T")
+      def mkFile(): org.apache.spark.sql.DataFrame = {
+        val rows = (1L to 30L).filter(_ => rnd.nextDouble() < 0.6)
+          .map { vid =>
+            // REF fixed at A; ALTs a random non-empty ordered subset
+            val alts = rnd.shuffle(letters.tail)
+              .take(1 + rnd.nextInt(3))
+            val alleles = ("A" +: alts).mkString(",")
+            val n = alts.length + 1
+            val geno = Seq.fill(2)(Seq.fill(2)(
+              if (rnd.nextDouble() < 0.2) null
+              else java.lang.Long.valueOf(rnd.nextInt(n).toLong)))
+            val phased = Seq.fill(2)(rnd.nextBoolean())
+            (vid, alleles, geno, phased)
+          }
+        rows.toDF("vid", "alleles", "geno", "phased")
+      }
+      val files = Seq.fill(4)(mkFile())
+      val got = mergeN(files)
+        .orderBy(col("vid"), col("file")).collect()
+        .map(_.toString).toSeq
+      // iterated pairwise: fold the merged-allele chain left to right,
+      // then remap each file against the final merged list
+      def ren(df: org.apache.spark.sql.DataFrame, i: Int) = df.select(
+        col("vid"), col("alleles").as(s"s$i"), col("geno").as(s"g$i"),
+        col("phased").as(s"p$i"))
+      val joined = files.zipWithIndex.map((ren _).tupled)
+        .reduceLeft((l, r) => l.join(r, Seq("vid"), "full_outer"))
+      val m = files.indices.tail.foldLeft(col("s0")) { (acc, i) =>
+        when(acc.isNotNull && col(s"s$i").isNotNull,
+          alleleUnion(acc, col(s"s$i")))
+          .otherwise(coalesce(acc, col(s"s$i")))
+      }
+      val withM = joined.withColumn("m", m)
+      val exp = files.indices.map { i =>
+        withM.filter(col(s"s$i").isNotNull).select(col("vid"),
+          lit(i).as("file"), col("m").as("alleles"),
+          remapGeno(col(s"g$i"), col(s"s$i"), col("m")).as("geno"),
+          col(s"p$i").as("phased"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("vid"), col("file")).collect()
+        .map(_.toString).toSeq
+      assert(got == exp, s"seed=$seed")
+      assert(got.nonEmpty, s"seed=$seed produced an empty merge")
+    }
+  }
+
   test("mergeNSamples(3) == the iterated pairwise sample union " +
       "(concat in file order, all-missing fill for absent variants)") {
     import spark.implicits._
