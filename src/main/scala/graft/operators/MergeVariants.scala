@@ -98,8 +98,10 @@ object MergeVariants {
     * file's slot with the right number of missing calls.
     *
     * Inputs carry (vid, geno ARRAY<ARRAY<LONG>>, phased
-    * ARRAY<BOOLEAN>); output one row per vid present in ANY file with
-    * the concatenated `geno`/`phased`. */
+    * ARRAY<BOOLEAN>) and must be vid-UNIQUE per file (the reference's
+    * contract too — duplicate vids within one file would make the
+    * slot lookup pick an arbitrary copy); output one row per vid
+    * present in ANY file with the concatenated `geno`/`phased`. */
   def mergeNSamples(files: Seq[org.apache.spark.sql.DataFrame],
       samplesPerFile: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(files.size >= 2 && files.size == samplesPerFile.size,
