@@ -1213,6 +1213,212 @@ object Multimodal {
       })
   }
 
+  /** Per-stream decode context for SEGMENTED fMP4 ingestion (the
+    * DASH/HLS delivery shape: one INIT segment (ftyp+moov, no
+    * samples), then media segments of moof+mdat each): immutable
+    * track headers + trex defaults from the init segment, plus the
+    * running per-track (next sample index, next decode time) that
+    * samples continue across segments. */
+  final case class Mp4StreamCtx(
+      tracks: Map[Long, (String, Long)],
+      trex: Map[Long, (Long, Long)],
+      nextIdx: Map[Long, Int],
+      nextPts: Map[Long, Long])
+
+  /** Context from an INIT segment (ftyp + moov with mvex/trex, no
+    * sample tables). None when no moov/tracks parse. */
+  def parseMp4Init(b: Array[Byte]): Option[Mp4StreamCtx] = {
+    try {
+      val top = boxChildren(b, 0L, b.length.toLong)
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val mc = boxChildren(b, moov._2, moov._3)
+      val trex: Map[Long, (Long, Long)] = mc.find(_._1 == "mvex")
+        .map(mv => boxChildren(b, mv._2, mv._3).filter(_._1 == "trex")
+          .flatMap { tx =>
+            if (tx._3 - tx._2 < 24) None
+            else {
+              val o = tx._2.toInt
+              Some(be32(b, o + 4) -> (be32(b, o + 12), be32(b, o + 16)))
+            }
+          }.toMap).getOrElse(Map.empty)
+      val tracks = mc.filter(_._1 == "trak").flatMap { t =>
+        val tc = boxChildren(b, t._2, t._3)
+        for {
+          tk <- tc.find(_._1 == "tkhd")
+          mdia <- tc.find(_._1 == "mdia")
+        } yield {
+          val tv = b(tk._2.toInt) & 0xff
+          val trackId =
+            if (tv == 1) be32(b, tk._2.toInt + 20)
+            else be32(b, tk._2.toInt + 12)
+          val mdc = boxChildren(b, mdia._2, mdia._3)
+          val handler = mdc.find(_._1 == "hdlr")
+            .map(hd => fourcc(b, hd._2.toInt + 8)).getOrElse("")
+          val timescale = mdc.find(_._1 == "mdhd").map { md =>
+            val v = b(md._2.toInt) & 0xff
+            if (v == 1) be32(b, md._2.toInt + 20)
+            else be32(b, md._2.toInt + 12)
+          }.getOrElse(0L)
+          trackId -> (handler, timescale)
+        }
+      }.toMap
+      if (tracks.isEmpty) None
+      else Some(Mp4StreamCtx(tracks, trex,
+        tracks.map { case (id, _) => id -> 0 },
+        tracks.map { case (id, _) => id -> 0L }))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Resolve ONE media segment (moof+mdat, possibly several pairs)
+    * against a stream context: emitted offsets are SEGMENT-relative
+    * (default-base-is-moof addressing — the caller adds its byte
+    * position of the segment for stream-global offsets); returns the
+    * advanced context. A malformed/truncated segment returns (Nil,
+    * ctx unchanged) — later segments still decode (their tfdt rebases
+    * time; sample numbering skips what the bad segment carried). */
+  def parseMp4Segment(ctx: Mp4StreamCtx, b: Array[Byte])
+      : (Seq[Mp4Sample], Mp4StreamCtx) = {
+    try {
+      def bad(): Nothing = throw new BadTableWrap
+      val byId = ctx.tracks.map { case (id, (h, ts)) =>
+        id -> TrackCtx(id, h, ts, Nil)
+      }
+      val nextIdx = scala.collection.mutable.Map[Long, Int]() ++
+        ctx.nextIdx
+      val nextPts = scala.collection.mutable.Map[Long, Long]() ++
+        ctx.nextPts
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+      var o = 0L
+      while (o + 8 <= b.length) {
+        val sz0 = be32(b, o.toInt)
+        val typ = fourcc(b, o.toInt + 4)
+        val sz =
+          if (sz0 == 1 && o + 16 <= b.length) be64(b, o.toInt + 8)
+          else if (sz0 == 0) b.length - o
+          else sz0
+        if (sz < 8 || o + sz > b.length) {
+          if (typ == "moof") bad()
+          o = b.length
+        } else {
+          if (typ == "moof") {
+            val bodyOff = if (sz0 == 1) o + 16 else o + 8
+            walkMoof(b, o, bodyOff, o + sz, byId, ctx.trex, nextIdx,
+              nextPts, out, bad _)
+          }
+          o += sz
+        }
+      }
+      (out.toSeq, ctx.copy(nextIdx = nextIdx.toMap,
+        nextPts = nextPts.toMap))
+    } catch {
+      case scala.util.control.NonFatal(_) => (Nil, ctx)
+    }
+  }
+
+  /** One DASH-style segment row: seq 0 = init, seq f+1 = fragment f. */
+  final case class Mp4SegmentRow(doc_id: Long, seq: Int,
+      payload: Array[Byte])
+
+  /** Segment fixture table: the SAME bytes as [[syntheticFmp4Table]]'s
+    * files, carved at the init/fragment boundaries (init = ftyp+moov =
+    * 349 B; fragment f = (88+8K)-byte moof + (8 + K·SB + K(K−1)/2)-
+    * byte mdat), so the reassembled frame index replays q299's
+    * closed-form oracle verbatim. */
+  def syntheticFmp4SegmentTable(spark: SparkSession, dir: String)
+      : Dataset[Mp4SegmentRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val f = (id % 4 + 1).toInt
+        val k = (id % 3 + 1).toInt
+        val sb = ((id % 10) + 1).toInt * 64
+        val whole = syntheticFmp4(f, k, sb, durMs = id % 30000 + 1000)
+        val fragLen = (88 + 8 * k) + 8 + k * sb + k * (k - 1) / 2
+        val init = whole.take(349)
+        Iterator.single(Mp4SegmentRow(id, 0, init)) ++
+          (0 until f).iterator.map { i =>
+            Mp4SegmentRow(id, i + 1,
+              whole.slice(349 + i * fragLen, 349 + (i + 1) * fragLen))
+          }
+      })
+  }
+
+  /** Batch segment-table frame index: per stream, init → context,
+    * media segments in `seq` order through [[parseMp4Segment]], each
+    * segment's relative offsets rebased by the cumulative byte length
+    * of everything before it — so the result equals the whole-file
+    * [[parseMp4Frames]] on the concatenation. Grouped mapGroups: one
+    * doc_id shuffle, per-group state is one context + a byte counter
+    * (segments per stream are container-bounded, never corpus-sized). */
+  def segmentFrameIndex(segs: Dataset[Mp4SegmentRow])
+      : Dataset[Mp4FrameRow] = {
+    import segs.sparkSession.implicits._
+    segs.groupByKey(_.doc_id).flatMapGroups { (id, it) =>
+      val ordered = it.toSeq.sortBy(_.seq)
+      ordered.headOption.filter(_.seq == 0)
+        .flatMap(h => parseMp4Init(h.payload).map(h -> _)) match {
+        case None => Iterator.empty
+        case Some((init, ctx0)) =>
+          var ctx = ctx0
+          var bytes = init.payload.length.toLong
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[Mp4FrameRow]
+          for (seg <- ordered.drop(1)) {
+            val (samples, ctx2) = parseMp4Segment(ctx, seg.payload)
+            out ++= samples.map(s => Mp4FrameRow(id, s.handler, s.idx,
+              bytes + s.offset, s.size, s.pts, s.timescale))
+            ctx = ctx2
+            bytes += seg.payload.length
+          }
+          out.iterator
+      }
+    }
+  }
+
+  /** Per-stream ingestion state for [[segmentFrameIndexStream]]. */
+  final case class Mp4SegState(ctx: Option[Mp4StreamCtx], bytes: Long,
+      nextSeq: Int)
+
+  /** STREAMING segment-table frame index — the continuously-ingesting
+    * twin of [[segmentFrameIndex]] (`flatMapGroupsWithState` keyed by
+    * stream): per-stream state carries the init-segment context, the
+    * cumulative byte position, and the next expected `seq`; segments
+    * are processed in seq order within each micro-batch and must
+    * arrive seq-ordered ACROSS batches (the DASH delivery contract);
+    * a segment that skips ahead, repeats, or precedes its init is
+    * dropped. Emits the same rows the batch index emits on in-order
+    * delivery (`Round8OpsSpec` pins stream == batch). */
+  def segmentFrameIndexStream(segs: Dataset[Mp4SegmentRow])
+      : Dataset[Mp4FrameRow] = {
+    import segs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    segs.groupByKey(_.doc_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (id: Long, it: Iterator[Mp4SegmentRow],
+          state: org.apache.spark.sql.streaming.GroupState[Mp4SegState])
+          =>
+        var st = state.getOption.getOrElse(Mp4SegState(None, 0L, 0))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Mp4FrameRow]
+        for (seg <- it.toSeq.sortBy(_.seq)) {
+          if (seg.seq == 0 && st.nextSeq == 0) {
+            parseMp4Init(seg.payload).foreach { c =>
+              st = Mp4SegState(Some(c), seg.payload.length.toLong, 1)
+            }
+          } else if (st.ctx.nonEmpty && seg.seq == st.nextSeq) {
+            val (samples, ctx2) = parseMp4Segment(st.ctx.get,
+              seg.payload)
+            out ++= samples.map(s => Mp4FrameRow(id, s.handler, s.idx,
+              st.bytes + s.offset, s.size, s.pts, s.timescale))
+            st = Mp4SegState(Some(ctx2),
+              st.bytes + seg.payload.length, st.nextSeq + 1)
+          } // else: gap / duplicate / pre-init media segment → dropped
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   /** Deterministic minimal FRAGMENTED MP4 (ISO 14496-12 §8.8 — the
     * layout streaming-media corpora actually ship): ftyp + moov(mvhd +
     * one `vide` trak with NO sample tables + a `soun` stub trak +

@@ -585,7 +585,39 @@ object MultimodalQ extends QueryModule {
         CAST(SUM(sum_sq) AS BIGINT) AS energy
       FROM act GROUP BY doc_id, grp"""))
 
+  // --- q308: SEGMENTED fMP4 ingestion (the DASH/HLS delivery shape —
+  // one init segment, then moof+mdat media segments as SEPARATE rows,
+  // the form streaming-media corpora actually arrive in): per stream,
+  // the init segment builds a track context (Multimodal.parseMp4Init),
+  // media segments resolve against it IN ORDER with sample numbering
+  // and decode time carried across segments, and segment-relative
+  // offsets rebase by the cumulative byte position — so the index
+  // equals parseMp4Frames on the concatenation and replays q299's
+  // closed-form oracle VERBATIM. One doc_id shuffle (flatMapGroups);
+  // per-group state is one context + a byte counter. ----------------------
+  private val q308 = Q("q308_fmp4_segment_index",
+    (s, dir) => Multimodal.segmentFrameIndex(
+        Multimodal.syntheticFmp4SegmentTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("handler"), col("frame_idx"),
+        col("offset"), col("size"), col("pts"), col("timescale")),
+    Some("""SELECT doc_id, 'vide' AS handler,
+        CAST(f.f * (doc_id % 3 + 1) + i.i AS INT) AS frame_idx,
+        CAST(349
+          + f.f * (96 + 8 * (doc_id % 3 + 1)
+            + (doc_id % 3 + 1) * ((doc_id % 10 + 1) * 64)
+            + (doc_id % 3 + 1) * (doc_id % 3) / 2)
+          + 96 + 8 * (doc_id % 3 + 1)
+          + i.i * ((doc_id % 10 + 1) * 64)
+          + i.i * (i.i - 1) / 2 AS BIGINT) AS offset,
+        CAST((doc_id % 10 + 1) * 64 + i.i AS BIGINT) AS size,
+        CAST(3000 * (f.f * (doc_id % 3 + 1) + i.i) AS BIGINT) AS pts,
+        CAST(90000 AS BIGINT) AS timescale
+      FROM documents,
+        unnest(range(0, doc_id % 4 + 1)) AS f(f),
+        unnest(range(0, doc_id % 3 + 1)) AS i(i)"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q256, q261, q277, q299, q305, q306)
+      q186, q200, q209, q256, q261, q277, q299, q305, q306, q308)
 }

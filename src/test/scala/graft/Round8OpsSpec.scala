@@ -292,6 +292,55 @@ class Round8OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SEGMENTED fMP4 ingestion == batch segment index == " +
+      "whole-file parseMp4Frames (stateful context across batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 3 streams, different fragment/sample geometry
+    val segRows = (1L to 3L).flatMap { id =>
+      val f = (id % 4 + 1).toInt; val k = (id % 3 + 1).toInt
+      val sb = ((id % 5) + 1).toInt * 64
+      val whole = Multimodal.syntheticFmp4(f, k, sb)
+      val fragLen = (88 + 8 * k) + 8 + k * sb + k * (k - 1) / 2
+      val segs = Multimodal.Mp4SegmentRow(id, 0, whole.take(349)) +:
+        (0 until f).map(i => Multimodal.Mp4SegmentRow(id, i + 1,
+          whole.slice(349 + i * fragLen, 349 + (i + 1) * fragLen)))
+      segs.map(s => (s, whole))
+    }
+    val mem = MemoryStream[Multimodal.Mp4SegmentRow](spark)
+    val q = Multimodal.segmentFrameIndexStream(mem.toDS())
+      .writeStream.format("memory").queryName("fmp4_seg_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // init + first fragment in batch 1, the rest in batch 2 — the
+      // per-stream context must survive the batch boundary
+      val (b1, b2) = segRows.map(_._1).partition(_.seq <= 1)
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("fmp4_seg_stream")
+      val batch = Multimodal.segmentFrameIndex(
+        segRows.map(_._1).toDS()).toDF()
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+      // and both equal the whole-file resolver on the concatenation
+      val whole = segRows.groupBy(_._1.doc_id).toSeq.flatMap {
+        case (id, rows) =>
+          Multimodal.parseMp4Frames(rows.head._2).map(s =>
+            Multimodal.Mp4FrameRow(id, s.handler, s.idx, s.offset,
+              s.size, s.pts, s.timescale))
+      }.toDS().toDF()
+      assert(batch.exceptAll(whole).count() == 0 &&
+        whole.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("a stub trak (no mdia) is SKIPPED, not a whole-file rejection") {
     // syntheticMp4 already carries a table-less `soun` trak; add a
     // fully structure-less stub trak inside moov and assert the vide
