@@ -2362,6 +2362,84 @@ object Relational extends QueryModule {
       FROM classes
       GROUP BY 1"""))
 
+  // --- q309: L-DIVERSITY audit (Machanavajjhala 2007 — the privacy
+  // gate k-anonymity alone misses: a class can be large yet carry ONE
+  // sensitive value): the released microdata is customer QIs joined to
+  // their orders' priorities (the sensitive attribute lives OUTSIDE
+  // the quasi-identifiers), classes follow q288's generalization
+  // ladder, and per level the audit reports the release's l (min
+  // distinct sensitive values per class), the classes below l = 3,
+  // and the row mass exposed in them. One join + one (lvl, qi)
+  // aggregate; the ladder explode is a plan-constant ×3. ------------------
+  private val q309 = Q("q309_l_diversity",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      val micro = c.join(o, col("c_custkey") === col("o_custkey"))
+      val leveled = micro.select(col("sens"),
+        explode(array(
+          struct(lit(0L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 100000")).as("qi")),
+          struct(lit(1L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 500000")).as("qi")),
+          struct(lit(2L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg")).as("qi")))).as("e"))
+        .select(col("e.lvl").as("lvl"), col("e.qi").as("qi"),
+          col("sens"))
+      val classes = leveled.groupBy(col("lvl"), col("qi"))
+        .agg(countDistinct(col("sens")).as("l"),
+          count(lit(1)).as("sz"))
+      classes.groupBy(col("lvl"))
+        .agg(min(col("l")).as("min_l"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("l") < 3L, 1L).otherwise(0L))
+            .as("classes_below_l3"),
+          sum(when(col("l") < 3L, col("sz")).otherwise(0L))
+            .as("rows_below_l3"),
+          sum(col("sz")).as("n_rows"))
+        .withColumn("frac_exposed",
+          col("rows_below_l3").cast("double")
+            / col("n_rows").cast("double"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+          CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      micro AS (SELECT c.*, o.o_orderpriority AS sens
+        FROM c JOIN orders o ON c_custkey = o_custkey),
+      leveled AS (
+        SELECT 0 AS lvl, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 100000 AS VARCHAR) AS qi,
+          sens FROM micro
+        UNION ALL
+        SELECT 1, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 500000 AS VARCHAR), sens
+          FROM micro
+        UNION ALL
+        SELECT 2, nat || '|' || seg, sens FROM micro),
+      classes AS (SELECT lvl, qi,
+          CAST(COUNT(DISTINCT sens) AS BIGINT) AS l,
+          CAST(COUNT(*) AS BIGINT) AS sz
+        FROM leveled GROUP BY 1, 2)
+      SELECT CAST(lvl AS BIGINT) AS lvl,
+        CAST(MIN(l) AS BIGINT) AS min_l,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS classes_below_l3,
+        CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+          AS rows_below_l3,
+        CAST(SUM(sz) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(sz) AS DOUBLE) AS frac_exposed
+      FROM classes GROUP BY 1"""))
+
   // --- q289: the ANONYMIZED RELEASE the q288 ladder chooses — apply
   // the MINIMAL generalization level whose k reaches 5, suppress the
   // residual small classes, and emit the released table (generalized
@@ -2913,5 +2991,5 @@ object Relational extends QueryModule {
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296, q297, q300)
+    q294, q295, q296, q297, q300, q309)
 }
