@@ -2440,6 +2440,110 @@ object Relational extends QueryModule {
           / CAST(SUM(sz) AS DOUBLE) AS frac_exposed
       FROM classes GROUP BY 1"""))
 
+  // --- q310: T-CLOSENESS audit (Li et al. 2007, the variational-
+  // distance form — the q297 house metric): per generalization level,
+  // the worst class's total-variation distance between its sensitive-
+  // value distribution and the release-wide one. Exact integer
+  // numerators on the common 2·sz·N grid: Σ_present |cnt_cs·N −
+  // cnt_s·sz| + sz·(N − Σ_present cnt_s) (the second term folds every
+  // sensitive value ABSENT from the class without a value spine); ONE
+  // division per class, max over a classes-sized table. Completes the
+  // k-anonymity (q288) / l-diversity (q309) release-audit triptych. -------
+  private val q310 = Q("q310_t_closeness",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      val micro = c.join(o, col("c_custkey") === col("o_custkey"))
+      val leveled = micro.select(col("sens"),
+        explode(array(
+          struct(lit(0L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 100000")).as("qi")),
+          struct(lit(1L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg"),
+            expr("(cents + 100000000L) div 500000")).as("qi")),
+          struct(lit(2L).as("lvl"), concat_ws("|",
+            col("nat"), col("seg")).as("qi")))).as("e"))
+        .select(col("e.lvl").as("lvl"), col("e.qi").as("qi"),
+          col("sens"))
+      import org.apache.spark.sql.expressions.Window
+      val cell = leveled.groupBy(col("lvl"), col("qi"), col("sens"))
+        .agg(count(lit(1)).as("cnt_cs"))
+      val glob = leveled.groupBy(col("lvl"), col("sens"))
+        .agg(count(lit(1)).as("cnt_s"))
+      val tot = leveled.groupBy(col("lvl"))
+        .agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy(col("lvl"), col("qi"))
+      val en = cell
+        .join(broadcast(glob), Seq("lvl", "sens"))
+        .join(broadcast(tot), Seq("lvl"))
+        .withColumn("sz", sum(col("cnt_cs")).over(w))
+        .withColumn("present", sum(col("cnt_s")).over(w))
+        .withColumn("term", abs(col("cnt_cs") * col("n_total")
+          - col("cnt_s") * col("sz")))
+      val cls = en
+        .groupBy(col("lvl"), col("qi"), col("sz"), col("present"),
+          col("n_total"))
+        .agg(sum(col("term")).as("abs_sum"))
+        .withColumn("tv",
+          (col("abs_sum")
+            + col("sz") * (col("n_total") - col("present")))
+            .cast("double")
+            / (lit(2.0) * col("sz").cast("double")
+              * col("n_total").cast("double")))
+      cls.groupBy(col("lvl"))
+        .agg(max(col("tv")).as("max_tv"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("tv") > 0.25, 1L).otherwise(0L))
+            .as("classes_above_quarter"))
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+          CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      micro AS (SELECT c.*, o.o_orderpriority AS sens
+        FROM c JOIN orders o ON c_custkey = o_custkey),
+      leveled AS (
+        SELECT 0 AS lvl, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 100000 AS VARCHAR) AS qi,
+          sens FROM micro
+        UNION ALL
+        SELECT 1, nat || '|' || seg || '|'
+            || CAST((cents + 100000000) // 500000 AS VARCHAR), sens
+          FROM micro
+        UNION ALL
+        SELECT 2, nat || '|' || seg, sens FROM micro),
+      cell AS (SELECT lvl, qi, sens, CAST(COUNT(*) AS BIGINT)
+          AS cnt_cs FROM leveled GROUP BY 1, 2, 3),
+      gsum AS (SELECT lvl, sens, CAST(COUNT(*) AS BIGINT) AS cnt_s
+        FROM leveled GROUP BY 1, 2),
+      tot AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM leveled GROUP BY 1),
+      en AS (SELECT cell.lvl, cell.qi, cnt_cs, cnt_s, n_total,
+          SUM(cnt_cs) OVER (PARTITION BY cell.lvl, cell.qi) AS sz,
+          SUM(cnt_s) OVER (PARTITION BY cell.lvl, cell.qi) AS present
+        FROM cell JOIN gsum ON cell.lvl = gsum.lvl
+            AND cell.sens = gsum.sens
+          JOIN tot ON cell.lvl = tot.lvl),
+      cls AS (SELECT lvl, qi, sz, present, n_total,
+          SUM(ABS(cnt_cs * n_total - cnt_s * sz)) AS abs_sum
+        FROM en GROUP BY 1, 2, 3, 4, 5),
+      tvc AS (SELECT lvl,
+          CAST(abs_sum + sz * (n_total - present) AS DOUBLE)
+            / (CAST(2.0 AS DOUBLE) * CAST(sz AS DOUBLE)
+              * CAST(n_total AS DOUBLE)) AS tv
+        FROM cls)
+      SELECT CAST(lvl AS BIGINT) AS lvl, MAX(tv) AS max_tv,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(CASE WHEN tv > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+          AS classes_above_quarter
+      FROM tvc GROUP BY 1"""))
+
   // --- q289: the ANONYMIZED RELEASE the q288 ladder chooses — apply
   // the MINIMAL generalization level whose k reaches 5, suppress the
   // residual small classes, and emit the released table (generalized
@@ -2991,5 +3095,5 @@ object Relational extends QueryModule {
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296, q297, q300, q309)
+    q294, q295, q296, q297, q300, q309, q310)
 }
