@@ -617,7 +617,67 @@ object MultimodalQ extends QueryModule {
         unnest(range(0, doc_id % 4 + 1)) AS f(f),
         unnest(range(0, doc_id % 3 + 1)) AS i(i)"""))
 
+  // --- q311: INDEX-DRIVEN frame sampling — q90 samples by timestamp
+  // FORMULA over container metadata; this picks ACTUAL frames from the
+  // real fMP4 frame index (the step that hands byte ranges to a
+  // decoder): per document, 4 representative frames EVENLY across the
+  // decode-time span — slot j targets
+  // t_j = j·maxPts div 3, the chosen frame minimizes |pts − t_j| with
+  // frame_idx as the deterministic tie-break. Exact integer
+  // arithmetic; one (doc, slot)-partitioned row_number over the ×4
+  // slot fan (bounded by the container's frame count, never the
+  // corpus). Short videos legitimately repeat a frame across slots. ------
+  private val q311 = Q("q311_frame_sampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.decodeMp4FramesAll(
+          Multimodal.syntheticFmp4Table(s, dir)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          col("size"), col("pts"))
+      val spanned = frames
+        .withColumn("max_pts",
+          max(col("pts")).over(Window.partitionBy(col("doc_id"))))
+        .select(col("*"), explode(array((0 until 4).map(j =>
+          lit(j.toLong)): _*)).as("slot"))
+        .withColumn("d",
+          abs(col("pts") - expr("(slot * max_pts) div 3")))
+      val w = Window.partitionBy(col("doc_id"), col("slot"))
+        .orderBy(col("d"), col("frame_idx"))
+      spanned.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("slot"), col("frame_idx"),
+          col("pts"), col("offset"), col("size"))
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id, CAST(f.f * (doc_id % 3 + 1) + i.i AS INT)
+            AS frame_idx,
+          CAST(349
+            + f.f * (96 + 8 * (doc_id % 3 + 1)
+              + (doc_id % 3 + 1) * ((doc_id % 10 + 1) * 64)
+              + (doc_id % 3 + 1) * (doc_id % 3) / 2)
+            + 96 + 8 * (doc_id % 3 + 1)
+            + i.i * ((doc_id % 10 + 1) * 64)
+            + i.i * (i.i - 1) / 2 AS BIGINT) AS "offset",
+          CAST((doc_id % 10 + 1) * 64 + i.i AS BIGINT) AS size,
+          CAST(3000 * (f.f * (doc_id % 3 + 1) + i.i) AS BIGINT) AS pts
+        FROM documents,
+          unnest(range(0, doc_id % 4 + 1)) AS f(f),
+          unnest(range(0, doc_id % 3 + 1)) AS i(i)),
+      spanned AS (SELECT doc_id, frame_idx, "offset", size, pts,
+          MAX(pts) OVER (PARTITION BY doc_id) AS max_pts
+        FROM frames),
+      fanned AS (SELECT *, jj.slot,
+          ABS(pts - (jj.slot * max_pts) // 3) AS d
+        FROM spanned, unnest(range(0, 4)) AS jj(slot)),
+      ranked AS (SELECT *, row_number() OVER (
+          PARTITION BY doc_id, slot ORDER BY d, frame_idx) AS rn
+        FROM fanned)
+      SELECT doc_id, CAST(slot AS BIGINT) AS slot, frame_idx, pts,
+        "offset", size
+      FROM ranked WHERE rn = 1"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
-      q186, q200, q209, q256, q261, q277, q299, q305, q306, q308)
+      q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
+      q311)
 }
