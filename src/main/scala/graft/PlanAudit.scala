@@ -54,6 +54,12 @@ object PlanAudit {
     "q274_longest_repeat", "q275_sa_gram_blocks",
     "q280_sa_substring_dedup", "q281_substring_removal_rebuild",
     "q282_pagerank", "q85_decontaminate_bloom",
+    // multiplicative-weights loop: the per-source aggregate is
+    // localCheckpoint'd once before the 5 rounds (q282's discipline)
+    "q316_mixture_reweight",
+    // label propagation: edge set checkpointed once + per-round label
+    // checkpoints (q282's discipline)
+    "q318_label_propagation",
     // shared-stage siblings: whichever of the SA/cluster consumers
     // builds FIRST prices the stage for the rest, so cold-order
     // variants flag these too

@@ -326,7 +326,40 @@ object ScaleProbe {
             .withColumnRenamed("t", "tb"), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("ta"), col("tb")).cast("long").as("ed"))
-      }, Docs))
+      }, Docs),
+      // label propagation over the SAME word-adjacency graph as the
+      // pagerank probe (vocabulary-disjoint shards ⇒ nodes and edges
+      // grow exactly linearly); per round one dst-keyed label join +
+      // two keyed aggregates — the q318 shape
+      ("label_prop", { d =>
+        val toks = d.select(col("doc_id"),
+          posexplode_outer(filter(split(col("text"), "\\s+"),
+            t => t =!= "")).as(Seq("off", "tok")))
+          .filter(col("tok").isNotNull)
+        val nxt = toks.select(col("doc_id"),
+          (col("off") - 1).as("off"), col("tok").as("nx"))
+        val edges = toks.join(nxt, Seq("doc_id", "off"))
+          .select(xxhash64(col("tok")).as("src"),
+            xxhash64(col("nx")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        graft.operators.Graphs.labelPropagation(edges, iters = 3)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      }, Docs),
+      // allele-equality ROH runs (q312's shape): one locus aggregate +
+      // gaps-and-islands over the (s, chrom) sort; like switch_error,
+      // partition COUNT is fixed while partitions lengthen with the
+      // variant count
+      ("roh_runs", { d =>
+        val sites = genoFromD(d)
+          .select(col("chrom"), col("pos"), col("vid"),
+            posexplode(col("geno")).as(Seq("s", "sa")))
+          .withColumn("a0", element_at(col("sa"), 1))
+          .withColumn("a1", element_at(col("sa"), 2))
+          .filter(col("a0").isNotNull && col("a1").isNotNull)
+          .select(col("s"), col("chrom"), col("pos"), col("vid"),
+            (col("a0") === col("a1")).as("hom"))
+        graft.operators.PopGen.rohRuns(sites, minSites = 5)
+      }, Vars))
 
     def time(fn: => DataFrame): Double = {
       // the LD family and the suffix-array span consumers share

@@ -125,4 +125,50 @@ object Graphs {
     }
     mass
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION communities (Raghavan et al. 2007,
+    * made deterministic): labels start as node ids; each round every
+    * node adopts the most frequent label among its neighbors AND
+    * itself (label retention — the self-vote damps the oscillation
+    * synchronous LPA exhibits on near-bipartite structures), ties
+    * broken by the SMALLEST label — the argmax is the lexicographic
+    * max of (count, −label), so the update is an aggregate, not a
+    * window, and replays bit-for-bit in any engine. The graph is
+    * symmetrized (undirected) and deduplicated once up front.
+    *
+    * Scale: per round ONE label join on dst + two keyed aggregates —
+    * linear in edges, the [[pageRankInt]] discipline; lineage truncated
+    * per round (localCheckpoint; swap for a reliable checkpoint dir on
+    * a cluster — SCALE.md). Returns (node, label) after `iters`
+    * rounds. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(edges.columns.toSeq == Seq("src", "dst"),
+      s"labelPropagation expects (src, dst) edges; got " +
+        edges.columns.mkString(","))
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val e = edges
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var lab = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val neigh = e
+        .join(lab.select(col("node").as("dst"), col("label").as("nl")),
+          "dst")
+        .select(col("src").as("node"), col("nl"))
+        .unionByName(lab.select(col("node"), col("label").as("nl")))
+        .groupBy(col("node"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      lab = neigh
+        .groupBy(col("node"))
+        .agg(max(struct(col("c").as("c"), (-col("nl")).as("mn")))
+          .as("b"))
+        .select(col("node"), (-col("b.mn")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

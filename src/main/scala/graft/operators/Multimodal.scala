@@ -1062,8 +1062,8 @@ object Multimodal {
   def syntheticMp4(durMs: Long, width: Int, height: Int,
       mdatLen: Int, mvhdV1: Boolean = false, frames: Int = 0,
       frameSizeBase: Int = 0, co64: Boolean = false,
-      uniformSize: Boolean = false, chunkOffset: Long = 4096L)
-      : Array[Byte] = {
+      uniformSize: Boolean = false, chunkOffset: Long = 4096L,
+      syncEvery: Int = 0): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
       u32bytes(0x200) ++ "isom".getBytes("ISO-8859-1"))
     val mvhdBody: Array[Byte] =
@@ -1114,7 +1114,16 @@ object Multimodal {
             u64bytes(chunkOffset))
           else box("stco", u32bytes(0) ++ u32bytes(1) ++
             u32bytes(chunkOffset))
-        stts ++ stsc ++ stsz ++ co
+        // stss: every syncEvery-th sample is a sync sample (1-based
+        // sample numbers per ISO 14496-12 §8.6.2); absent when 0 —
+        // the spec's "no stss ⇒ every sample is sync" case
+        val stss =
+          if (syncEvery <= 0) Array.emptyByteArray
+          else box("stss", u32bytes(0) ++
+            u32bytes((frames + syncEvery - 1).toLong / syncEvery) ++
+            (0 until frames by syncEvery).flatMap(i =>
+              u32bytes(i + 1L)).toArray)
+        stts ++ stsc ++ stsz ++ co ++ stss
       }
     val moov = box("moov", mvhdBody0(mvhdBody) ++
       trak("vide", 90000L, 1, width, height, videStbl) ++
@@ -1185,6 +1194,78 @@ object Multimodal {
       parseMp4Frames(r.payload).map(s => Mp4FrameRow(r.doc_id,
         s.handler, s.idx, s.offset, s.size, s.pts, s.timescale))
     })
+  }
+
+  /** SYNC-SAMPLE (keyframe) table of the first `vide` trak carrying an
+    * stss box (ISO 14496-12 §8.6.2): 0-based frame indices of the sync
+    * samples. `None` = no stss box, which the spec defines as EVERY
+    * sample being sync; `Some(Nil)` never occurs (an empty stss
+    * declares zero sync samples — returned as Some(empty) faithfully).
+    * The declared entry count is validated against the box's byte
+    * length BEFORE allocation (the untrusted-count rule), and any
+    * non-positive sample number rejects the table as malformed. */
+  def parseMp4SyncIdx(b: Array[Byte]): Option[Seq[Long]] = {
+    try {
+      val top = boxChildren(b, 0L, b.length.toLong)
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val stssBoxes = for {
+        t <- boxChildren(b, moov._2, moov._3).filter(_._1 == "trak")
+        tc = boxChildren(b, t._2, t._3)
+        mdia <- tc.find(_._1 == "mdia").toSeq
+        mdc = boxChildren(b, mdia._2, mdia._3)
+        if mdc.find(_._1 == "hdlr")
+          .exists(hd => fourcc(b, hd._2.toInt + 8) == "vide")
+        mi <- mdc.find(_._1 == "minf").toSeq
+        st <- boxChildren(b, mi._2, mi._3).find(_._1 == "stbl").toSeq
+        ss <- boxChildren(b, st._2, st._3).find(_._1 == "stss").toSeq
+      } yield ss
+      stssBoxes.headOption.map { ss =>
+        val cnt = be32(b, ss._2.toInt + 4)
+        if (8L + 4L * cnt > ss._3 - ss._2) return None // malformed
+        (0L until cnt).map { i =>
+          val n = be32(b, ss._2.toInt + 8 + 4 * i.toInt)
+          if (n < 1) return None
+          n - 1
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One keyframe row: a 0-based sync-sample frame index. */
+  final case class Mp4SyncRow(doc_id: Long, frame_idx: Long)
+
+  /** Partition-batched sync-sample extraction: one row per declared
+    * keyframe; files WITHOUT an stss box contribute nothing here (the
+    * caller treats their every frame as sync, per the spec). */
+  def decodeMp4SyncAll(media: Dataset[MediaRow]): Dataset[Mp4SyncRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp4SyncIdx(r.payload).toSeq.flatten
+        .map(i => Mp4SyncRow(r.doc_id, i))
+    })
+  }
+
+  /** [[syntheticMp4FrameTable]] plus an stss box declaring every
+    * (id%3+1)-th sample a keyframe — the GOP-structure fixture. */
+  def syntheticMp4KeyframeTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video", syntheticMp4(
+          durMs = id % 30000 + 1000,
+          width = ((id % 8) + 1).toInt * 160,
+          height = ((id % 6) + 1).toInt * 90,
+          mdatLen = (id % 50).toInt,
+          mvhdV1 = id % 2 == 0,
+          frames = (id % 7 + 2).toInt,
+          frameSizeBase = ((id % 10) + 1).toInt * 100,
+          co64 = id % 3 == 0,
+          uniformSize = id % 5 == 0,
+          chunkOffset = 4096L + id % 101,
+          syncEvery = (id % 3 + 1).toInt))
+      })
   }
 
   /** Frame-indexed video fixture table: synthetic MP4s whose `vide`

@@ -296,6 +296,69 @@ object PopGen {
         col("n_switches").cast("double") / col("n_pairs").cast("double")))
   }
 
+  /** RUNS OF HOMOZYGOSITY per sample (the PLINK `--homozyg` / Ceballos
+    * et al. 2018 autozygosity screen; the reference exposes the raw
+    * genotype matrix these tools consume via `seqGetData(gdsfile,
+    * "genotype")` — /root/reference/R/GetData.R) from an exploded
+    * per-(sample, site) call table `(s, chrom, pos, vid, hom BOOLEAN)`
+    * with one row per CALLED site (drop missing calls upstream; a
+    * missing site neither extends nor breaks a run). A run is a
+    * maximal stretch of consecutive homozygous sites along a sample's
+    * chromosome in (pos, vid) order; runs shorter than `minSites`
+    * sites are discarded, matching PLINK's `--homozyg-snp` floor.
+    *
+    * Complements the dosage-based scans: q112's per-(s, chrom) run
+    * report and [[frohFromDosage]] segment on dosage ∈ {0, 2} (the
+    * biallelic bcftools-roh shape); this one takes an ALLELE-EQUALITY
+    * hom flag (multiallelic-correct — 1/2 is het even at dosage 2)
+    * and reports the PLINK summary (run count / longest / site mass /
+    * positional span) per sample.
+    *
+    * Duplicate calls at the same (pos, vid) locus (the testdata
+    * carries duplicate vids — [[switchError]]'s hazard) are collapsed
+    * FIRST: a locus counts as homozygous only when ALL its calls are.
+    * This is both the conservative ROH semantics (heterozygous
+    * evidence at a locus breaks autozygosity) and what makes the
+    * gaps-and-islands deterministic — without the collapse, rows tied
+    * on the whole order key would be enumerated independently by the
+    * two row_number sorts, splitting runs differently per engine.
+    *
+    * Shape: ONE (s, chrom) exchange serves everything — the locus
+    * collapse rides the same sort as the islands: with `hom` ascending
+    * in the order key, duplicates of a locus are adjacent and the
+    * FIRST row of each (pos, vid) group carries min(hom) (false sorts
+    * first), so "keep first-of-locus" IS the collapse, detected by one
+    * lag; the two island row_numbers then sort by the (pos, vid)
+    * prefix the partition is already ordered by (no second exchange, a
+    * groupBy collapse would add one). Nothing is ever global:
+    * parallelism is S × #chrom keys at any data size, the discipline
+    * of [[switchError]]. */
+  def rohRuns(sites: DataFrame, minSites: Int): DataFrame = {
+    require(minSites >= 1, s"minSites must be >= 1; got $minSites")
+    val wDup = Window.partitionBy(col("s"), col("chrom"))
+      .orderBy(col("pos"), col("vid"), col("hom"))
+    val lkey = struct(col("pos"), col("vid"))
+    val loci = sites
+      .withColumn("__first",
+        coalesce(lag(lkey, 1).over(wDup) =!= lkey, lit(true)))
+      .filter(col("__first"))
+    val w = Window.partitionBy(col("s"), col("chrom"))
+      .orderBy(col("pos"), col("vid"))
+    val islands = loci
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("hom"))
+      .withColumn("__grp", col("__rn") - row_number().over(w))
+      .groupBy(col("s"), col("chrom"), col("__grp"))
+      .agg(count(lit(1)).as("run_sites"),
+        min(col("pos")).as("__p0"), max(col("pos")).as("__p1"))
+      .filter(col("run_sites") >= minSites)
+    islands.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_sites")).as("max_run_sites"),
+        sum(col("run_sites")).as("roh_sites"),
+        sum(col("__p1") - col("__p0")).as("roh_span"))
+  }
+
   /** Fu & Li constants for n sequences: (a_n, u_D*, v_D*, u_F*, v_F*)
     * — a_n/b_n the harmonic sums, c_n/d_n per Fu & Li 1993, u/v per
     * the Simonsen et al. 1995 corrections (the DnaSP/libsequence

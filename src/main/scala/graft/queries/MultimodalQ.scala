@@ -676,8 +676,118 @@ object MultimodalQ extends QueryModule {
         "offset", size
       FROM ranked WHERE rn = 1"""))
 
+  // --- q317: BITRATE CURVE from the container frame index alone (the
+  // ABR/QoS ladder check run on media corpora before any decode): byte
+  // mass per fixed decode-time window (timescale/10 ticks = 0.1 s) per
+  // document, bits-per-second exact (bytes · 8 / 0.1 s = bytes · 80 —
+  // all BIGINT). One frame-index scan + one (doc, win) aggregate with
+  // map-side combine; windows are bounded by stream duration, never
+  // data-global. The oracle replays the fMP4 trun formulas. --------------
+  private val q317 = Q("q317_bitrate_curve",
+    (s, dir) => {
+      Multimodal.decodeMp4FramesAll(
+          Multimodal.syntheticFmp4Table(s, dir)).toDF()
+        .withColumn("win", expr("pts div (timescale div 10)"))
+        .groupBy(col("doc_id"), col("win"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("size")).as("bytes"))
+        .withColumn("bps", col("bytes") * 80L)
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id,
+          CAST((doc_id % 10 + 1) * 64 + i.i AS BIGINT) AS size,
+          CAST(3000 * (f.f * (doc_id % 3 + 1) + i.i) AS BIGINT) AS pts
+        FROM documents,
+          unnest(range(0, doc_id % 4 + 1)) AS f(f),
+          unnest(range(0, doc_id % 3 + 1)) AS i(i))
+      SELECT doc_id, pts // 9000 AS win,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(size) AS BIGINT) AS bytes,
+        CAST(SUM(size) * 80 AS BIGINT) AS bps
+      FROM frames GROUP BY doc_id, pts // 9000"""))
+
+  // --- q319: GOP STRUCTURE from the stss sync-sample table (ISO
+  // 14496-12 §8.6.2 — the keyframe index every I-frame-only sampling
+  // strategy reads): real stss parse joined to the q256 moov frame
+  // index on (doc, frame) — a doc-keyed equi join, per-doc fan bounded
+  // by the container — then one per-doc rollup: frame/keyframe counts,
+  // keyframe byte mass, and mean GOP length as a single division.
+  // Fixtures declare every (id%3+1)-th sample sync, so the oracle
+  // replays i % k = 0. --------------------------------------------------
+  private val q319 = Q("q319_gop_structure",
+    (s, dir) => {
+      val t = Multimodal.syntheticMp4KeyframeTable(s, dir)
+      val frames = Multimodal.decodeMp4FramesAll(t).toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("size"))
+      val syncs = Multimodal.decodeMp4SyncAll(t).toDF()
+        .withColumn("kf", lit(1L))
+      frames.join(syncs, Seq("doc_id", "frame_idx"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(coalesce(col("kf"), lit(0L))).as("n_keyframes"),
+          sum(when(col("kf").isNotNull, col("size")).otherwise(0L))
+            .as("kf_bytes"))
+        .withColumn("mean_gop", col("n_frames").cast("double")
+          / col("n_keyframes").cast("double"))
+    },
+    Some("""SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN i % k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keyframes,
+        CAST(SUM(CASE WHEN i % k = 0 THEN sz ELSE 0 END) AS BIGINT)
+          AS kf_bytes,
+        CAST(COUNT(*) AS DOUBLE)
+          / CAST(SUM(CASE WHEN i % k = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS mean_gop
+      FROM (SELECT doc_id, f.i AS i, doc_id % 3 + 1 AS k,
+          (doc_id % 10 + 1) * 100
+            + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE f.i END AS sz
+        FROM documents, unnest(range(0, doc_id % 7 + 2)) AS f(i))
+      GROUP BY doc_id"""))
+
+  // --- q323: AUDIO LOUDNESS PROFILE from the windowed energies (the
+  // EBU-R128-style momentary-vs-integrated shape on exact integers):
+  // per document, integrated RMS over all samples, peak short-term
+  // (10 ms window) RMS, and the crest factor — the normalization
+  // decision inputs of any audio-corpus pass. All aggregates are
+  // BIGINT; the only floats are two correctly-rounded sqrts and one
+  // division at the end (the q283 discipline). One per-doc rollup
+  // over the same decode as q306. ----------------------------------------
+  private val q323 = Q("q323_audio_loudness",
+    (s, dir) => {
+      Multimodal.decodeWavWindowsAll(
+          Multimodal.syntheticWavSegTable(s, dir)).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(col("sum_sq")).as("energy"),
+          max(col("sum_sq")).as("max_win_sq"))
+        .withColumn("rms", sqrt(col("energy").cast("double")
+          / (col("n_win") * 160L).cast("double")))
+        .withColumn("peak_rms",
+          sqrt(col("max_win_sq").cast("double") / lit(160.0)))
+        .withColumn("crest", when(col("energy") > 0,
+          col("peak_rms") / col("rms")))
+    },
+    Some("""WITH wins AS (
+        SELECT doc_id, w.w AS win,
+          CASE WHEN (w.w + doc_id) % 4 < 2
+            THEN CAST(160 * ((doc_id % 7 + 1) * 800)
+              * ((doc_id % 7 + 1) * 800) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS sum_sq
+        FROM documents, unnest(range(0, doc_id % 12 + 6)) AS w(w))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win,
+        CAST(SUM(sum_sq) AS BIGINT) AS energy,
+        CAST(MAX(sum_sq) AS BIGINT) AS max_win_sq,
+        sqrt(CAST(SUM(sum_sq) AS DOUBLE)
+          / CAST(COUNT(*) * 160 AS DOUBLE)) AS rms,
+        sqrt(CAST(MAX(sum_sq) AS DOUBLE) / 160.0) AS peak_rms,
+        CASE WHEN SUM(sum_sq) > 0 THEN
+          sqrt(CAST(MAX(sum_sq) AS DOUBLE) / 160.0)
+            / sqrt(CAST(SUM(sum_sq) AS DOUBLE)
+              / CAST(COUNT(*) * 160 AS DOUBLE)) END AS crest
+      FROM wins GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
-      q311)
+      q311, q317, q319, q323)
 }

@@ -1287,6 +1287,118 @@ object PopGenQ extends QueryModule {
       FROM st"""
     }))
 
+  // --- RUNS OF HOMOZYGOSITY per sample, allele-equality flavor (PLINK
+  // --homozyg; Ceballos 2018) — q112/frohFromDosage's multiallelic-
+  // correct sibling: hom = both alleles EQUAL (1/2 stays het even at
+  // dosage 2), duplicate (pos, vid) loci collapsed first (which also
+  // makes the rank-subtraction islands deterministic — see the
+  // operator scaladoc), runs of >= 5 consecutive hom loci rolled up
+  // per sample with positional spans. One locus aggregate + two
+  // row_numbers over ONE (s, chrom) sort + two keyed aggregates —
+  // never global. --------------------------------------------------------
+  private val q312 = Q("q312_roh_runs",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      // outer: geno is never empty, and the non-outer generate's
+      // inferred size(geno)>0 filter would re-run the cube kernel
+      // below the fan-out (the q124 lesson)
+      val sites = v
+        .select(col("chrom"), col("pos"), col("vid"),
+          posexplode_outer(col("geno")).as(Seq("s", "sa")))
+        .withColumn("a0", element_at(col("sa"), 1))
+        .withColumn("a1", element_at(col("sa"), 2))
+        .filter(col("a0").isNotNull && col("a1").isNotNull)
+        .select(col("s"), col("chrom"), col("pos"), col("vid"),
+          (col("a0") === col("a1")).as("hom"))
+      PopGen.rohRuns(sites, minSites = 5)
+    },
+    Some(withCte(s"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        CAST(MAX(run_sites) AS BIGINT) AS max_run_sites,
+        CAST(SUM(run_sites) AS BIGINT) AS roh_sites,
+        CAST(SUM(p1 - p0) AS BIGINT) AS roh_span
+      FROM (SELECT s, chrom, grp, COUNT(*) AS run_sites,
+          MIN(pos) AS p0, MAX(pos) AS p1
+        FROM (SELECT s, chrom, pos,
+            rn_all - ROW_NUMBER() OVER (PARTITION BY s, chrom
+              ORDER BY pos, vid) AS grp
+          FROM (SELECT s, chrom, pos, vid, hom,
+              ROW_NUMBER() OVER (PARTITION BY s, chrom
+                ORDER BY pos, vid) AS rn_all
+            FROM (SELECT s, chrom, pos, vid,
+                MIN(CASE WHEN a0 = a1 THEN 1 ELSE 0 END) = 1 AS hom
+              FROM (SELECT u.s AS s, chrom, pos, vid,
+                  geno[CAST(u.s + 1 AS INT)][1] AS a0,
+                  geno[CAST(u.s + 1 AS INT)][2] AS a1
+                FROM variants, (SELECT unnest(range(0, $N)) AS s) u)
+              WHERE a0 IS NOT NULL AND a1 IS NOT NULL
+              GROUP BY 1, 2, 3, 4))
+          WHERE hom)
+        GROUP BY 1, 2, 3)
+      WHERE run_sites >= 5
+      GROUP BY s""")))
+
+  // --- ALLELE-LEVEL MENDELIAN ERROR CHECK over two synthetic trios
+  // (child 0 of parents 1,2; child 3 of parents 4,5) — q176's
+  // dosage-rule sibling made multiallelic-correct: an unphased
+  // diploid child is consistent iff one ALLELE matches each parent
+  // under either assignment (the dosage rules cannot see, e.g., a
+  // 0/2 child of 0/1 × 0/1 parents — allele 2 transmitted by
+  // neither). Pure projection over the cube + one 2-key aggregate —
+  // zero data-sized shuffles; rates are single divisions. ---------------
+  private val q324 = Q("q324_mendel_errors",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      def a(i: Int, j: Int) =
+        element_at(element_at(col("geno"), i + 1), j)
+      def called(i: Int) = a(i, 1).isNotNull && a(i, 2).isNotNull
+      def inG(c: org.apache.spark.sql.Column, p: Int) =
+        c === a(p, 1) || c === a(p, 2)
+      def consistent(ch: Int, p1: Int, p2: Int) =
+        (inG(a(ch, 1), p1) && inG(a(ch, 2), p2)) ||
+          (inG(a(ch, 2), p1) && inG(a(ch, 1), p2))
+      def trio(t: Int, ch: Int, p1: Int, p2: Int) = {
+        val tested = called(ch) && called(p1) && called(p2)
+        struct(lit(t.toLong).as("trio"), tested.as("tested"),
+          (tested && !consistent(ch, p1, p2)).as("err"))
+      }
+      v.select(explode(array(trio(1, 0, 1, 2), trio(2, 3, 4, 5)))
+          .as("e"))
+        .groupBy(col("e.trio").as("trio"))
+        .agg(sum(when(col("e.tested"), 1L).otherwise(0L)).as("n_tested"),
+          sum(when(col("e.err"), 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("error_rate", when(col("n_tested") > 0,
+          col("n_errors").cast("double") / col("n_tested").cast("double")))
+    },
+    Some(withCte("""SELECT trio,
+        CAST(SUM(CASE WHEN tested THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tested,
+        CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_errors,
+        CASE WHEN SUM(CASE WHEN tested THEN 1 ELSE 0 END) > 0 THEN
+          CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN tested THEN 1 ELSE 0 END) AS DOUBLE)
+          END AS error_rate
+      FROM (SELECT trio,
+          c1 IS NOT NULL AND c2 IS NOT NULL AND p11 IS NOT NULL
+            AND p12 IS NOT NULL AND p21 IS NOT NULL AND p22 IS NOT NULL
+            AS tested,
+          CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+              AND p11 IS NOT NULL AND p12 IS NOT NULL
+              AND p21 IS NOT NULL AND p22 IS NOT NULL
+            THEN NOT (((c1 = p11 OR c1 = p12)
+                AND (c2 = p21 OR c2 = p22))
+              OR ((c2 = p11 OR c2 = p12)
+                AND (c1 = p21 OR c1 = p22)))
+            ELSE FALSE END AS err
+        FROM (SELECT t.trio AS trio,
+            geno[t.ch][1] AS c1, geno[t.ch][2] AS c2,
+            geno[t.p1][1] AS p11, geno[t.p1][2] AS p12,
+            geno[t.p2][1] AS p21, geno[t.p2][2] AS p22
+          FROM variants,
+            (VALUES (1, 1, 2, 3), (2, 4, 5, 6))
+              AS t(trio, ch, p1, p2)))
+      GROUP BY trio""")))
+
   // --- phasing SWITCH-ERROR rate (the phasing-tool benchmark metric —
   // Browning 2011): the truth callset's per-sample haplotype
   // orientations vs a deterministically perturbed re-phasing (flip at
@@ -2079,5 +2191,5 @@ object PopGenQ extends QueryModule {
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285, q286)
+      q284, q285, q286, q312, q324)
 }

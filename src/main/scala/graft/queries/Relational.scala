@@ -3089,11 +3089,229 @@ object Relational extends QueryModule {
             CAST(power(2, 49 - m) AS BIGINT)) AS DOUBLE) AS ndv_raw
       FROM regs GROUP BY cname"""))
 
+  // --- q313: MERGEABLE HISTOGRAM QUANTILES — the profile pass's
+  // quantile twin of q300's sketched NDV: fixed-width bucket counts
+  // (price: 512-unit cells, quantity: unit cells) are additive across
+  // shards/partitions (map-side combine does the merging), so one scan
+  // serves p50/p90/p99 for every metric at any scale; estimate = the
+  // bucket upper edge at the first cumulative count >= ceil(p*n/100),
+  // error bounded by one bucket width by construction (HistQuantileSpec
+  // gates it against the exact percentile). All bucket math is
+  // floor()-of-IEEE-exact-division, never double->int CAST (Spark
+  // truncates, DuckDB rounds — floor agrees everywhere). The probe fan
+  // is a 3-row broadcast crossJoin; the cumsum window partitions by
+  // metric, never global. ------------------------------------------------
+  private val q313 = Q("q313_quantile_hist",
+    (s, dir) => {
+      val h = Tables(s, dir, "lineitem")
+        .select(explode(array(
+          struct(lit("price").as("metric"),
+            floor(col("l_extendedprice") / lit(512.0)).cast("long")
+              .as("bucket")),
+          struct(lit("qty").as("metric"),
+            floor(col("l_quantity")).cast("long").as("bucket")))).as("e"))
+        .select(col("e.metric").as("metric"), col("e.bucket").as("bucket"))
+        .groupBy(col("metric"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("metric"))
+      val cum = h
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+      val probes = {
+        import s.implicits._
+        broadcast(Seq(50L, 90L, 99L).toDF("p"))
+      }
+      cum.crossJoin(probes)
+        .filter(col("cum") >= expr("(p * n + 99) div 100"))
+        .groupBy(col("metric"), col("p"))
+        .agg(max(col("n")).as("n"), min(col("bucket")).as("bucket"))
+        .withColumn("est", (col("bucket") + 1).cast("double")
+          * when(col("metric") === "price", lit(512.0)).otherwise(lit(1.0)))
+        .select(col("metric"), col("p"), col("n"), col("bucket"),
+          col("est"))
+    },
+    Some("""WITH h AS (SELECT e.metric AS metric, e.bucket AS bucket,
+          COUNT(*) AS c
+        FROM (SELECT unnest([
+            {'metric': 'price',
+             'bucket': CAST(floor(l_extendedprice / 512.0) AS BIGINT)},
+            {'metric': 'qty',
+             'bucket': CAST(floor(l_quantity) AS BIGINT)}]) AS e
+          FROM lineitem)
+        GROUP BY 1, 2),
+      c AS (SELECT metric, bucket, c,
+          SUM(c) OVER (PARTITION BY metric ORDER BY bucket) AS cum,
+          SUM(c) OVER (PARTITION BY metric) AS n
+        FROM h)
+      SELECT metric, CAST(p AS BIGINT) AS p, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MIN(bucket) AS BIGINT) AS bucket,
+        CAST(MIN(bucket) + 1 AS DOUBLE)
+          * CASE WHEN metric = 'price' THEN 512.0 ELSE 1.0 END AS est
+      FROM c, (SELECT unnest([50, 90, 99]) AS p) ps
+      WHERE cum >= (p * n + 99) // 100
+      GROUP BY metric, p"""))
+
+  // --- q318: LABEL-PROPAGATION COMMUNITIES over the co-supplier chain
+  // graph (same edge set as q282's PageRank) — the community layer of
+  // the graph-health triptych (q257 census, q283 assortativity, q282
+  // ranking): 4 synchronous rounds, most-frequent label among
+  // neighbors + self (retention damps sync-LPA oscillation) with
+  // smallest-label tie-break (an aggregate argmax via max(struct(c,
+  // −label)), never a data-sized window), community sizes reported.
+  // Per round: one dst-keyed label join + two keyed aggregates — the
+  // q282 per-round-linear discipline, lineage truncated per round. ------
+  private val q318 = Q("q318_label_propagation",
+    (s, dir) => {
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val w = Window.partitionBy(col("p")).orderBy(col("sk"))
+      val edges = ps.withColumn("nx", lead(col("sk"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("sk").as("src"), col("nx").as("dst"))
+        .distinct()
+      graft.operators.Graphs.labelPropagation(edges, iters = 4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""n$i AS (SELECT node, nl, COUNT(*) AS c
+          FROM (SELECT e.src AS node, l.label AS nl
+              FROM e JOIN l${i - 1} l ON l.node = e.dst
+            UNION ALL SELECT node, label FROM l${i - 1})
+          GROUP BY 1, 2),
+        l$i AS (SELECT node, nl AS label
+          FROM (SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY c DESC, nl) AS rn FROM n$i)
+          WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p,
+          CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+      ch AS (SELECT p, sk,
+          lead(sk) OVER (PARTITION BY p ORDER BY sk) AS nx FROM ps),
+      ed AS (SELECT DISTINCT sk AS src, nx AS dst FROM ch
+        WHERE nx IS NOT NULL),
+      e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      $rounds
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM l4 GROUP BY label"""
+    })
+
+  // --- q321: STRICT-SEQUENCE EVENT FUNNEL (view → click → purchase,
+  // each step at-or-after the previous — the product-analytics
+  // conversion table): computed in ONE pass over events with two
+  // chained running-min windows on the SAME (user, ts, event_id) sort
+  // (a click counts once a view precedes it, a purchase once such a
+  // click does), then a per-user any-flag rollup and a 1-row unpivot.
+  // One (user)-keyed exchange; the order key is tie-free (event_id). ----
+  private val q321 = Q("q321_event_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = ev
+        .withColumn("t1r", min(when(col("event_type") === "view",
+          col("ts"))).over(w))
+        .withColumn("t2r", min(when(col("event_type") === "click"
+          && col("t1r").isNotNull, col("ts"))).over(w))
+      val per = flagged.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L)
+            .otherwise(0L)).as("s1"),
+          max(when(col("event_type") === "click"
+            && col("t1r").isNotNull, 1L).otherwise(0L)).as("s2"),
+          max(when(col("event_type") === "purchase"
+            && col("t2r").isNotNull, 1L).otherwise(0L)).as("s3"))
+      per.agg(sum(col("s1")).as("v"), sum(col("s2")).as("vc"),
+          sum(col("s3")).as("vcp"))
+        .select(explode(array(
+          struct(lit(1L).as("step"), col("v").as("n_users")),
+          struct(lit(2L).as("step"), col("vc").as("n_users")),
+          struct(lit(3L).as("step"), col("vcp").as("n_users"))))
+          .as("e"), col("v").as("base"))
+        .select(col("e.step").as("step"), col("e.n_users").as("n_users"),
+          (col("e.n_users").cast("double") / col("base").cast("double"))
+            .as("conv_rate"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+          event_id FROM events),
+      f AS (SELECT user_id, event_type, ts, event_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t1r
+        FROM ev WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      g AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+            AND t1r IS NOT NULL THEN ts END) OVER w AS t2r
+        FROM f WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      per AS (SELECT user_id,
+          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+          MAX(CASE WHEN event_type = 'click' AND t1r IS NOT NULL
+            THEN 1 ELSE 0 END) AS s2,
+          MAX(CASE WHEN event_type = 'purchase' AND t2r IS NOT NULL
+            THEN 1 ELSE 0 END) AS s3
+        FROM g GROUP BY user_id),
+      tot AS (SELECT CAST(SUM(s1) AS BIGINT) AS v,
+          CAST(SUM(s2) AS BIGINT) AS vc,
+          CAST(SUM(s3) AS BIGINT) AS vcp FROM per)
+      SELECT 1 AS step, v AS n_users,
+        CAST(v AS DOUBLE) / CAST(v AS DOUBLE) AS conv_rate FROM tot
+      UNION ALL SELECT 2, vc,
+        CAST(vc AS DOUBLE) / CAST(v AS DOUBLE) FROM tot
+      UNION ALL SELECT 3, vcp,
+        CAST(vcp AS DOUBLE) / CAST(v AS DOUBLE) FROM tot"""))
+
+  // --- q322: WEEKLY RETENTION COHORTS (the other canonical product
+  // table): cohort = week of a user's first event, retention(k) =
+  // users of that cohort active k weeks later over the cohort size.
+  // Distinct (user, week) collapses the event stream first, so every
+  // later stage is user-weeks-sized; the cohort-size join broadcasts
+  // a ≤ #weeks-row aggregate. --------------------------------------------
+  private val q322 = Q("q322_retention_cohorts",
+    (s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 604800000000000").as("wk"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val ret = uw.join(first, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = broadcast(ret.filter(col("week_offset") === 0)
+        .select(col("cw"), col("n_users").as("cohort_size")))
+      ret.join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_users"), col("cohort_size"),
+          (col("n_users").cast("double")
+            / col("cohort_size").cast("double")).as("retention"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      fw AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id),
+      ret AS (SELECT cw, wk - cw AS week_offset,
+          CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN fw USING (user_id) GROUP BY 1, 2),
+      sz AS (SELECT cw, n_users AS cohort_size FROM ret
+        WHERE week_offset = 0)
+      SELECT cw AS cohort_week, week_offset, n_users, cohort_size,
+        CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+          AS retention
+      FROM ret JOIN sz USING (cw)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296, q297, q300, q309, q310)
+    q294, q295, q296, q297, q300, q309, q310, q313, q318, q321, q322)
 }

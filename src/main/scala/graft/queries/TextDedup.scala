@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
 import graft.functions.textfns._
@@ -3221,7 +3222,7 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304)
+      q304, q314, q315, q316, q320)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two
@@ -3494,4 +3495,227 @@ object TextDedup extends QueryModule {
           / CAST(SUM(CAST(power(2, 55 - m) AS BIGINT)) AS DOUBLE)
           AS ndv_raw
       FROM regs GROUP BY source"""))
+
+  // --- q314: TOKENIZER FERTILITY by language (the multilingual-corpus
+  // planning table: subword-per-word fertility and chars-per-subword
+  // compression decide per-language token budgets — Rust et al. 2021's
+  // tokenizer-fairness metric). One scan, one tiny per-lang aggregate
+  // (map-side combine), doubles only as single divisions of exact
+  // BIGINT sums. ----------------------------------------------------------
+  private val q314 = Q("q314_token_fertility",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          tokenCount(col("text")).cast("long").as("w"),
+          regexp_count(col("text"), lit(bpeish)).cast("long").as("b"),
+          length(regexp_replace(col("text"), "\\s+", ""))
+            .cast("long").as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("b")).as("n_bpe_tokens"),
+          sum(col("ch")).as("n_chars_nws"))
+        .withColumn("fertility", when(col("n_words") > 0,
+          col("n_bpe_tokens").cast("double")
+            / col("n_words").cast("double")))
+        .withColumn("chars_per_token", when(col("n_bpe_tokens") > 0,
+          col("n_chars_nws").cast("double")
+            / col("n_bpe_tokens").cast("double")))
+    },
+    Some(s"""WITH t AS (SELECT lang,
+          len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS w,
+          len(regexp_extract_all(text, '$bpeish')) AS b,
+          length(regexp_replace(text, '\\s+', '', 'g')) AS ch
+        FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(w) AS BIGINT) AS n_words,
+        CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+        CAST(SUM(ch) AS BIGINT) AS n_chars_nws,
+        CASE WHEN SUM(w) > 0 THEN
+          CAST(SUM(b) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END AS fertility,
+        CASE WHEN SUM(b) > 0 THEN
+          CAST(SUM(ch) AS DOUBLE) / CAST(SUM(b) AS DOUBLE) END
+          AS chars_per_token
+      FROM t GROUP BY lang"""))
+
+  // --- q315: EPOCH ALLOCATION by largest remainder (Hamilton's
+  // method): split a fixed token budget across sources proportionally
+  // to their token mass with EXACT integers — floor shares first, the
+  // +1 remainders to the largest fractional parts (ties by source).
+  // This is the mixture-planning step after q111/q141 decide the
+  // ratios: budgets must sum EXACTLY to B, which float shares never
+  // do. One doc scan + one per-source aggregate; the rank window runs
+  // over #sources rows (a bucket summary, never data-sized). B * n_i
+  // needs ~log2(B) + log2(N_tok) bits — at a 100 TB corpus move the
+  // product to DECIMAL(38,0) or allocate in millions of tokens. --------
+  private val q315 = Q("q315_epoch_allocation",
+    (s, dir) => {
+      val budget = 1000000L
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), tokenCount(col("text")).cast("long").as("w"))
+        .groupBy(col("source")).agg(sum(col("w")).as("n_tokens"))
+      val tot = broadcast(tok.agg(sum(col("n_tokens")).as("t")))
+      val a = tok.crossJoin(tot)
+        .withColumn("alloc0", expr(s"(${budget}L * n_tokens) div t"))
+        .withColumn("rem", expr(s"(${budget}L * n_tokens) % t"))
+      val leftover = broadcast(a.agg(
+        (lit(budget) - sum(col("alloc0"))).as("lo")))
+      val wR = Window.orderBy(col("rem").desc, col("source"))
+      a.withColumn("rk", row_number().over(wR))
+        .crossJoin(leftover)
+        .withColumn("alloc_tokens", col("alloc0")
+          + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+        .select(col("source"), col("n_tokens"), col("alloc_tokens"))
+    },
+    Some("""WITH tok AS (SELECT source,
+          CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+            x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tok),
+      a AS (SELECT source, n_tokens,
+          (1000000 * n_tokens) // t AS alloc0,
+          (1000000 * n_tokens) % t AS rem
+        FROM tok, tt),
+      lo AS (SELECT 1000000 - CAST(SUM(alloc0) AS BIGINT) AS l FROM a),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+          AS rk FROM a)
+      SELECT source, n_tokens,
+        CAST(alloc0 + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc_tokens
+      FROM r, lo"""))
+
+  // --- q316: MIXTURE REBALANCING by multiplicative weights (the
+  // DoReMi/Xie 2023 loop shape with exact integer state): source
+  // weights start at raw token mass and DOUBLE each round they are
+  // underserved relative to the QUALITY-token share (docs of >= 20
+  // tokens), judged by the cross-multiplied comparison
+  // w_i · M < m_i · W — no float shares, no normalization until the
+  // final report, so five rounds replay bit-for-bit in SQL. The loop
+  // runs over the per-source AGGREGATE (≤ #sources rows,
+  // localCheckpoint'd once like q282's edge set — PlanAudit whitelists
+  // the builder); each round is a 1-row broadcast crossJoin, never a
+  // data-sized pass. -------------------------------------------------------
+  private val q316 = Q("q316_mixture_reweight",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("source"), tokenCount(col("text")).cast("long").as("w"))
+        .groupBy(col("source"))
+        .agg(sum(col("w")).as("n_tokens"),
+          sum(when(col("w") >= 20L, col("w")).otherwise(0L)).as("m"))
+        .localCheckpoint(true)
+      val totM = broadcast(base.agg(sum(col("m")).as("tm")))
+      var cur = base.withColumn("wt", col("n_tokens"))
+      for (_ <- 1 to 5) {
+        val totW = broadcast(cur.agg(sum(col("wt")).as("tw")))
+        cur = cur.crossJoin(totM).crossJoin(totW)
+          .withColumn("wt",
+            when(col("wt") * col("tm") < col("m") * col("tw"),
+              col("wt") * 2).otherwise(col("wt")))
+          .select(col("source"), col("n_tokens"), col("m"), col("wt"))
+      }
+      val finW = broadcast(cur.agg(sum(col("wt")).as("tw")))
+      cur.crossJoin(finW)
+        .withColumn("share",
+          col("wt").cast("double") / col("tw").cast("double"))
+        .select(col("source"), col("n_tokens"), col("m"), col("wt"),
+          col("share"))
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (SELECT source, n_tokens, m,
+            CASE WHEN wt * tm.t < m * tw.t THEN wt * 2 ELSE wt END AS wt
+          FROM r${i - 1},
+            (SELECT SUM(m) AS t FROM r0) tm,
+            (SELECT SUM(wt) AS t FROM r${i - 1}) tw)"""
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT source,
+          CAST(SUM(w) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN w >= 20 THEN w ELSE 0 END) AS BIGINT) AS m
+        FROM (SELECT source,
+            len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY source),
+      r0 AS (SELECT source, n_tokens, m, n_tokens AS wt FROM base),
+      $rounds
+      SELECT source, n_tokens, m, CAST(wt AS BIGINT) AS wt,
+        CAST(wt AS DOUBLE) / CAST((SELECT SUM(wt) FROM r5) AS DOUBLE)
+          AS share
+      FROM r5"""
+    })
+
+  // --- q320: MINHASH ESTIMATOR CALIBRATION — the audit that decides
+  // whether q33's band thresholds can be trusted: for every LSH
+  // candidate pair, the signature-agreement estimate m/K against the
+  // exact shingle Jaccard i/u, absolute error as the EXACT integer
+  // |m·u − i·K|·10⁶ div (K·u) (parts-per-million — summing rationals
+  // as scaled integers keeps the per-decile mean order-independent,
+  // the no-double-sums rule), rolled up by estimated-similarity
+  // decile. Same single band-key join as q33; signatures and shingles
+  // ride the candidate join, exact work is candidates-only. ---------------
+  private val q320 = Q("q320_minhash_calibration",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sigs = d
+        .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"),
+          minhashSignature(col("sh"), MINHASH_K).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+          .as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val pairs = cand
+        .join(sigs.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("m", aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("i",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("u", size(col("sh_a")).cast("long")
+          + size(col("sh_b")).cast("long") - col("i"))
+        .withColumn("errppm", expr(
+          s"abs(m * u - i * $MINHASH_K) * 1000000L div (${MINHASH_K}L * u)"))
+        .withColumn("decile",
+          least(expr(s"(m * 10) div $MINHASH_K"), lit(9L)))
+      pairs.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("errppm")).as("sum_err_ppm"))
+        .withColumn("mean_err_ppm", col("sum_err_ppm").cast("double")
+          / col("n_pairs").cast("double"))
+    },
+    Some(s"""WITH $lshCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      p AS (SELECT doc_a, doc_b,
+          len(list_filter(range(1, $MINHASH_K + 1),
+            i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS m,
+          len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS i,
+          len(sa.sh) + len(sb.sh)
+            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS u
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.doc_a
+        JOIN sig sb ON sb.doc_id = cand.doc_b),
+      e AS (SELECT
+          LEAST((m * 10) // $MINHASH_K, 9) AS decile,
+          abs(m * u - i * $MINHASH_K) * 1000000 // ($MINHASH_K * u)
+            AS errppm
+        FROM p)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(errppm) AS BIGINT) AS sum_err_ppm,
+        CAST(SUM(errppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS mean_err_ppm
+      FROM e GROUP BY decile"""))
 }

@@ -714,4 +714,26 @@ class PlanSpec extends AnyFunSuite {
       && !read.contains("lang") && !read.contains("n_chars"))
     assert(!p.contains("Join"), "the pipeline is join-free")
   }
+
+  test("q312: ROH locus collapse + islands share ONE (s, chrom) " +
+      "exchange beyond the fan-out repartition; join-free") {
+    val p = plan("q312_roh_runs")
+    // exchanges: SynthGeno's documented round-robin fan-out, the
+    // (s, chrom) window exchange, and the final per-sample aggregate —
+    // a groupBy-based locus collapse would add a 4-key hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), "roh is join-free")
+  }
+
+  test("q313: histogram quantiles read ONE scan pruned to the two " +
+      "metric columns; bucket aggregate is partial before its exchange") {
+    val p = plan("q313_quantile_hist")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_extendedprice") && read.contains("l_quantity")
+      && !read.contains("l_orderkey"))
+    val preExchange = p.linesIterator.takeWhile(!_.contains("Exchange"))
+      .mkString("\n")
+    assert(preExchange.contains("HashAggregate"))
+  }
 }
