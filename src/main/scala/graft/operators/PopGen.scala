@@ -1140,6 +1140,59 @@ object PopGen {
     * per-(variant, pair) counter explode as q109 (map-side combined to
     * #pairs rows); call rates ride a posexplode_outer counter pass; the
     * pair table is pairs-sized, so every downstream join broadcasts. */
+  /** SAMPLE-SWAP DETECTION between a cube and its re-called twin
+    * (the cohort-QC gate before any merge of re-genotyped data — does
+    * callset 2's column j actually contain callset 1's sample i?):
+    * full S×S genotype concordance (unordered allele-pair equality
+    * over sites called in both), then per row-sample the argmax
+    * column; a swap is best_j != i. Input rows carry (vid, geno,
+    * geno2); output (i, best_j, n_comp, n_same, concordance,
+    * swapped). The argmax key packs (n_same, S−1−j) into one BIGINT
+    * so ties break to the SMALLER j identically in any engine.
+    *
+    * Shape: one ×S² explode with map-side partial aggregation to S²
+    * counter rows — fine at cohort-QC sample counts; at biobank S,
+    * band candidate pairs by a cheap per-sample sketch first (the
+    * KING-prune discipline), the explode then runs only on candidate
+    * (i, j) pairs. */
+  def sampleSwapScan(v: DataFrame, nSamples: Int): DataFrame = {
+    require(nSamples >= 2 && nSamples <= 1000,
+      s"sampleSwapScan's tie-break packs j into a 1e6 radix; got " +
+        s"$nSamples samples")
+    val pairs = v.select(col("vid"), col("geno"), col("geno2"),
+        explode(array((for (i <- 0 until nSamples;
+            j <- 0 until nSamples) yield
+          struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))): _*))
+          .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("geno"), (col("p.i") + 1).cast("int")).as("ga"),
+        element_at(col("geno2"), (col("p.j") + 1).cast("int")).as("gb"))
+      .withColumn("called",
+        element_at(col("ga"), 1).isNotNull
+          && element_at(col("ga"), 2).isNotNull
+          && element_at(col("gb"), 1).isNotNull
+          && element_at(col("gb"), 2).isNotNull)
+      .withColumn("same", col("called") &&
+        (least(element_at(col("ga"), 1), element_at(col("ga"), 2))
+          === least(element_at(col("gb"), 1), element_at(col("gb"), 2)))
+        && (greatest(element_at(col("ga"), 1), element_at(col("ga"), 2))
+          === greatest(element_at(col("gb"), 1),
+            element_at(col("gb"), 2))))
+    val conc = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(when(col("called"), 1L).otherwise(0L)).as("n_comp"),
+        sum(when(col("same"), 1L).otherwise(0L)).as("n_same"))
+    conc.groupBy(col("i"))
+      .agg(max(struct(
+        (col("n_same") * lit(1000000L)
+          + (lit(999999L) - col("j"))).as("k"),
+        col("j"), col("n_comp"), col("n_same"))).as("b"))
+      .select(col("i"), col("b.j").as("best_j"),
+        col("b.n_comp").as("n_comp"), col("b.n_same").as("n_same"),
+        (col("b.n_same").cast("double")
+          / col("b.n_comp").cast("double")).as("concordance"),
+        (col("b.j") =!= col("i")).as("swapped"))
+  }
+
   /** Mendelian-error check over (father, mother, child) trios — the
     * PLINK `--mendel` family-QC workload, on collapsed biallelic
     * dosages: a trio is inconsistent at a variant when the child's

@@ -279,8 +279,14 @@ object Merge extends QueryModule {
   private val q307 = Q("q307_merge_nway_samples",
     (s, dir) => {
       val v = dedupedVariants(s, dir)
+      // pinnedFilter: a plain filter on vid (the group key) pushes
+      // BELOW the dedup groupBy into the scan, so the three carve
+      // branches would each recompute the full dedup (cube build +
+      // interpreted serialization + exchange); pinning keeps the
+      // filters above it and ReuseExchange collapses the three
+      // branches onto ONE dedup exchange
       def carve(m: Int, from: Int, n: Int) =
-        v.filter(col("vid") % m === 0)
+        graft.operators.PopGen.pinnedFilter(v, col("vid") % m === 0)
           .select(col("vid"), slice(col("geno"), from, n).as("geno"),
             slice(col("phased"), from, n).as("phased"))
       val merged = mergeNSamples(

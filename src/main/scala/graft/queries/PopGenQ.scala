@@ -1399,6 +1399,84 @@ object PopGenQ extends QueryModule {
               AS t(trio, ch, p1, p2)))
       GROUP BY trio""")))
 
+  // --- COMPOUND-HETEROZYGOTE SCREEN (the rare-disease prioritization
+  // step: a sample carrying >= 2 het variants in the same gene-sized
+  // window may have both copies hit): explode ×S, one (s, chrom,
+  // pos-div-10k window) keyed aggregate, report windows with >= 2
+  // hets. The window key is positional, so parallelism is samples ×
+  // windows — never a pair set. ----------------------------------------
+  private val q327 = Q("q327_compound_het",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val sites = v
+        .select(col("chrom"), col("pos"), col("vid"),
+          posexplode_outer(col("geno")).as(Seq("s", "sa")))
+        .withColumn("a0", element_at(col("sa"), 1))
+        .withColumn("a1", element_at(col("sa"), 2))
+        .filter(col("a0").isNotNull && col("a1").isNotNull
+          && col("a0") =!= col("a1"))
+      sites.groupBy(col("s"), col("chrom"),
+          expr("pos div 10000").as("win"))
+        .agg(count(lit(1)).as("n_het"),
+          min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+        .filter(col("n_het") >= 2)
+    },
+    Some(withCte(s"""SELECT s, chrom, pos // 10000 AS win,
+        CAST(COUNT(*) AS BIGINT) AS n_het,
+        MIN(pos) AS first_pos, MAX(pos) AS last_pos
+      FROM (SELECT u.s AS s, chrom, pos,
+          geno[CAST(u.s + 1 AS INT)][1] AS a0,
+          geno[CAST(u.s + 1 AS INT)][2] AS a1
+        FROM variants, (SELECT unnest(range(0, $N)) AS s) u)
+      WHERE a0 IS NOT NULL AND a1 IS NOT NULL AND a0 <> a1
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 2""")))
+
+  // --- SAMPLE-SWAP DETECTION (the cohort-QC step before any merge of
+  // re-called data: does callset 2's sample j actually match callset
+  // 1's sample i?): full 8×8 genotype concordance matrix between the
+  // cube and its re-called twin (SynthGeno.variantsDup), unordered
+  // allele-pair equality over sites called in both, then per-row-
+  // sample the argmax column — a swap is best_j != i. The pair
+  // explode is S², fine at cohort-QC sample counts; at biobank S,
+  // band candidate pairs by a cheap per-sample sketch first (the
+  // KING-prune discipline). All counters exact BIGINT; concordance is
+  // one division. -------------------------------------------------------
+  private val q328 = Q("q328_sample_swap",
+    (s, dir) => PopGen.sampleSwapScan(
+      SynthGeno.variantsDup(s, dir)
+        .select(col("vid"), col("geno"), col("geno2")), N),
+    Some(s"""WITH variants AS (${SynthGeno.sqlCteDup})
+      SELECT i, best_j, n_comp, n_same,
+        CAST(n_same AS DOUBLE) / CAST(n_comp AS DOUBLE) AS concordance,
+        best_j <> i AS swapped
+      FROM (SELECT i,
+          max_by(j, n_same * 1000000 + (999999 - j)) AS best_j,
+          max_by(n_comp, n_same * 1000000 + (999999 - j)) AS n_comp,
+          max_by(n_same, n_same * 1000000 + (999999 - j)) AS n_same
+        FROM (SELECT i, j,
+            CAST(SUM(CASE WHEN called THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_comp,
+            CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_same
+          FROM (SELECT i, j,
+              ga[1] IS NOT NULL AND ga[2] IS NOT NULL
+                AND gb[1] IS NOT NULL AND gb[2] IS NOT NULL AS called,
+              ga[1] IS NOT NULL AND ga[2] IS NOT NULL
+                AND gb[1] IS NOT NULL AND gb[2] IS NOT NULL
+                AND LEAST(ga[1], ga[2]) = LEAST(gb[1], gb[2])
+                AND GREATEST(ga[1], ga[2]) = GREATEST(gb[1], gb[2])
+                AS same
+            FROM (SELECT
+                geno[CAST(p.i + 1 AS INT)] AS ga,
+                geno2[CAST(p.j + 1 AS INT)] AS gb, p.i, p.j
+              FROM variants,
+                (SELECT i.i, j.j
+                 FROM (SELECT unnest(range(0, $N)) AS i) i,
+                      (SELECT unnest(range(0, $N)) AS j) j) p))
+          GROUP BY i, j)
+        GROUP BY i)"""))
+
   // --- phasing SWITCH-ERROR rate (the phasing-tool benchmark metric —
   // Browning 2011): the truth callset's per-sample haplotype
   // orientations vs a deterministically perturbed re-phasing (flip at
@@ -2191,5 +2269,5 @@ object PopGenQ extends QueryModule {
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285, q286, q312, q324)
+      q284, q285, q286, q312, q324, q327, q328)
 }

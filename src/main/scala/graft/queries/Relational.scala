@@ -3307,11 +3307,115 @@ object Relational extends QueryModule {
           AS retention
       FROM ret JOIN sz USING (cw)"""))
 
+  // --- q325: TIME-TO-CONVERSION distribution (q321's funnel, timed):
+  // per user, first view to first view-preceded purchase, bucketed by
+  // whole days — the latency histogram a growth team reads next to
+  // the funnel. Same ONE (user)-sorted window pass as q321; the
+  // histogram key is exact integer nanosecond division. ------------------
+  private val q325 = Q("q325_time_to_conversion",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = ev.withColumn("t1r",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      flagged.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts")))
+            .as("t1"),
+          min(when(col("event_type") === "purchase"
+            && col("t1r").isNotNull, col("ts"))).as("tp"))
+        .filter(col("tp").isNotNull)
+        .groupBy(expr("(tp - t1) div 86400000000000").as("delta_days"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+          event_id FROM events),
+      f AS (SELECT user_id, event_type, ts,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1r
+        FROM ev),
+      per AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+          MIN(CASE WHEN event_type = 'purchase' AND t1r IS NOT NULL
+            THEN ts END) AS tp
+        FROM f GROUP BY user_id)
+      SELECT (tp - t1) // 86400000000000 AS delta_days,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per WHERE tp IS NOT NULL
+      GROUP BY 1"""))
+
+  // --- q326: RFM SEGMENTATION with FIXED exact bands (recency days /
+  // purchase count / integer-cent monetary) — banded, not
+  // quantile-ranked, because an ntile over per-user rows would be a
+  // data-sized global window (users are the high-cardinality axis at
+  // 100 TB); fixed bands are one user-keyed aggregate + a projection.
+  // Money runs on round(value·100) BIGINT cents (the DECIMAL-free
+  // oracle-parity rule). -------------------------------------------------
+  private val q326 = Q("q326_rfm_segments",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val horizon = broadcast(ev.agg(max(col("ts")).as("t_now")))
+      val per = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("t_last"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .crossJoin(horizon)
+        .withColumn("rec_days",
+          expr("(t_now - t_last) div 86400000000000"))
+      val scored = per
+        .withColumn("r", when(col("rec_days") < 7, 4L)
+          .when(col("rec_days") < 30, 3L)
+          .when(col("rec_days") < 90, 2L).otherwise(1L))
+        .withColumn("f", when(col("freq") >= 10, 4L)
+          .when(col("freq") >= 4, 3L)
+          .when(col("freq") >= 2, 2L).otherwise(1L))
+        .withColumn("m", when(col("cents") >= 100000, 4L)
+          .when(col("cents") >= 10000, 3L)
+          .when(col("cents") >= 1000, 2L).otherwise(1L))
+      scored.groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("segment_cents"))
+        .withColumn("segment_value",
+          col("segment_cents").cast("double") / 100.0)
+        .drop("segment_cents")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+          value FROM events),
+      hz AS (SELECT MAX(ts) AS t_now FROM ev),
+      per AS (SELECT user_id, MAX(ts) AS t_last,
+          CAST(COUNT(*) AS BIGINT) AS freq,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+      sc AS (SELECT user_id, freq, cents,
+          (t_now - t_last) // 86400000000000 AS rec_days
+        FROM per, hz),
+      scored AS (SELECT
+          CASE WHEN rec_days < 7 THEN 4 WHEN rec_days < 30 THEN 3
+               WHEN rec_days < 90 THEN 2 ELSE 1 END AS r,
+          CASE WHEN freq >= 10 THEN 4 WHEN freq >= 4 THEN 3
+               WHEN freq >= 2 THEN 2 ELSE 1 END AS f,
+          CASE WHEN cents >= 100000 THEN 4 WHEN cents >= 10000 THEN 3
+               WHEN cents >= 1000 THEN 2 ELSE 1 END AS m,
+          cents
+        FROM sc)
+      SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        CAST(m AS BIGINT) AS m,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(cents) AS DOUBLE) / 100.0 AS segment_value
+      FROM scored GROUP BY r, f, m"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
     q219, q221, q222, q228, q231, q234, q235, q237, q240, q241, q242,
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
-    q294, q295, q296, q297, q300, q309, q310, q313, q318, q321, q322)
+    q294, q295, q296, q297, q300, q309, q310, q313, q318, q321, q322,
+    q325, q326)
 }

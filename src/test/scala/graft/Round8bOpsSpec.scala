@@ -163,4 +163,26 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(out("B") == (true, true))
     assert(out("C") == (false, false))
   }
+
+  test("sampleSwapScan golden: a deliberate column swap is detected, " +
+      "unswapped columns match themselves; pair order is unordered") {
+    import spark.implicits._
+    // 3 samples, geno2 = geno with columns 0 and 1 SWAPPED; sample 2
+    // is recalled with flipped allele ORDER (must still count as same)
+    val g = Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 1L), Seq(0L, 1L)),
+      Seq(Seq(0L, 1L), Seq(0L, 0L), Seq(1L, 1L)),
+      Seq(Seq(1L, 1L), Seq(0L, 1L), Seq(0L, 0L)))
+    val rows = (0 until 3).map { k =>
+      val gg = g(k)
+      (k.toLong, gg, Seq(gg(1), gg(0), gg(2).reverse))
+    }
+    val v = rows.toDF("vid", "geno", "geno2")
+    val r = PopGen.sampleSwapScan(v, 3).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getBoolean(5))).toMap
+    assert(r(0) == (1L, true))  // sample 0 now lives in column 1
+    assert(r(1) == (0L, true))
+    assert(r(2) == (2L, false)) // flipped order is NOT a swap
+  }
 }
