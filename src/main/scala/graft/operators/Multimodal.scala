@@ -1676,6 +1676,31 @@ object Multimodal {
       })
   }
 
+  /** OVERLAPPING-cue SRT: cue i starts at 400·i and runs 300 +
+    * 400·(i mod 3) ms, so every i≡1 cue overlaps its successor and
+    * every i≡2 cue spans TWO successors — the interval-union merge
+    * cases a coverage metric must handle. Every field a formula. */
+  def syntheticSrtOverlap(docId: Long, k: Int): String = {
+    def t(ms: Long) = f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+      f"${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    (0 until k).map { i =>
+      val st = 400L * i
+      val en = st + 300 + 400 * (i % 3)
+      s"${i + 1}\n${t(st)} --> ${t(en)}\ncue${docId}_$i"
+    }.mkString("\n\n") + "\n"
+  }
+
+  /** Overlapping-caption fixture table: cues = id%6+2. */
+  def syntheticSrtOverlapTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        id -> syntheticSrtOverlap(id, (id % 6 + 2).toInt)
+      })
+  }
+
   /** Partition-batched SRT cue extraction. */
   def decodeSrtAll(subs: org.apache.spark.sql.Dataset[(Long, String)])
       : org.apache.spark.sql.Dataset[SrtCueRow] = {

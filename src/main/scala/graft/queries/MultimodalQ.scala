@@ -786,8 +786,75 @@ object MultimodalQ extends QueryModule {
               / CAST(COUNT(*) * 160 AS DOUBLE)) END AS crest
       FROM wins GROUP BY doc_id"""))
 
+  // --- q329: CAPTION COVERAGE — fraction of the caption span covered
+  // by at least one cue, with the interval-union computed by
+  // gaps-and-islands over OVERLAPPING cues (the fixture makes i≡1
+  // cues overlap one successor and i≡2 cues span two — the merge
+  // cases that break naive duration sums): per doc, running max of
+  // cue end over STRICTLY PRECEDING rows in (start, end, idx) order;
+  // a new covered segment starts where start > that max; segments
+  // aggregate to (min start, max end). One doc-partitioned window +
+  // two keyed rollups, never global. -------------------------------------
+  private val q329 = Q("q329_subtitle_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cues = Multimodal.decodeSrtAll(
+        Multimodal.syntheticSrtOverlapTable(s, dir)).toDF()
+      val ord = Window.partitionBy(col("doc_id"))
+        .orderBy(col("start_ms"), col("end_ms"), col("cue_idx"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val seg = cues
+        .withColumn("prev_max", max(col("end_ms")).over(wPrev))
+        .withColumn("flag", when(col("prev_max").isNull
+          || col("start_ms") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("seg", sum(col("flag")).over(wCum))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(count(lit(1)).as("seg_cues"),
+          min(col("start_ms")).as("s0"), max(col("end_ms")).as("e1"))
+      seg.groupBy(col("doc_id"))
+        .agg(sum(col("seg_cues")).as("n_cues"),
+          count(lit(1)).as("n_segments"),
+          sum(col("e1") - col("s0")).as("covered_ms"),
+          max(col("e1")).as("span_ms"))
+        .withColumn("coverage", col("covered_ms").cast("double")
+          / col("span_ms").cast("double"))
+    },
+    Some("""WITH cues AS (
+        SELECT doc_id, CAST(c.i + 1 AS INT) AS cue_idx,
+          CAST(400 * c.i AS BIGINT) AS start_ms,
+          CAST(400 * c.i + 300 + 400 * (c.i % 3) AS BIGINT) AS end_ms
+        FROM documents, unnest(range(0, doc_id % 6 + 2)) AS c(i)),
+      f AS (SELECT doc_id, start_ms, end_ms,
+          CASE WHEN MAX(end_ms) OVER (PARTITION BY doc_id
+              ORDER BY start_ms, end_ms, cue_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            IS NULL THEN 1
+          WHEN start_ms > MAX(end_ms) OVER (PARTITION BY doc_id
+              ORDER BY start_ms, end_ms, cue_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS flag,
+          cue_idx
+        FROM cues),
+      g AS (SELECT doc_id, start_ms, end_ms,
+          SUM(flag) OVER (PARTITION BY doc_id
+            ORDER BY start_ms, end_ms, cue_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        FROM f),
+      segs AS (SELECT doc_id, seg, COUNT(*) AS seg_cues,
+          MIN(start_ms) AS s0, MAX(end_ms) AS e1
+        FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(seg_cues) AS BIGINT) AS n_cues,
+        CAST(COUNT(*) AS BIGINT) AS n_segments,
+        CAST(SUM(e1 - s0) AS BIGINT) AS covered_ms,
+        CAST(MAX(e1) AS BIGINT) AS span_ms,
+        CAST(SUM(e1 - s0) AS DOUBLE) / CAST(MAX(e1) AS DOUBLE)
+          AS coverage
+      FROM segs GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
-      q311, q317, q319, q323)
+      q311, q317, q319, q323, q329)
 }

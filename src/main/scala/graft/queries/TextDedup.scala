@@ -3222,7 +3222,7 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304, q314, q315, q316, q320)
+      q304, q314, q315, q316, q320, q330, q331)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two
@@ -3718,4 +3718,91 @@ object TextDedup extends QueryModule {
         CAST(SUM(errppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
           AS mean_err_ppm
       FROM e GROUP BY decile"""))
+
+  // --- q330: TOKEN BURSTINESS (Church & Gale's document-frequency
+  // dispersion — bursty terms are topical, uniform terms are function
+  // words; the keyword/stopword separator a corpus pass wants before
+  // TF-IDF): per frequent token (df ≥ 50), the exact dispersion
+  // numerator D = N·Σc² − (Σc)² over PER-DOC counts c (zeros
+  // included via the algebra, never materialized) and the
+  // variance-to-mean ratio D/(N·tf) as one division. One token-keyed
+  // shuffle of (doc, token) partial counts; N is a 1-row broadcast. ----
+  private val q330 = Q("q330_token_burstiness",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n")))
+      val dc = d.select(col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      dc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .filter(col("df") >= 50)
+        .crossJoin(nDocs)
+        .withColumn("d_num",
+          col("n") * col("sumsq") - col("tf") * col("tf"))
+        .withColumn("vmr", col("d_num").cast("double")
+          / (col("n") * col("tf")).cast("double"))
+        .select(col("tok"), col("df"), col("tf"), col("d_num"),
+          col("vmr"))
+    },
+    Some(s"""WITH t AS ($tokCte),
+      dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY 1, 2),
+      agg AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(c) AS BIGINT) AS tf,
+          CAST(SUM(c * c) AS BIGINT) AS sumsq
+        FROM dc GROUP BY tok HAVING COUNT(*) >= 50),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      SELECT tok, df, tf, n * sumsq - tf * tf AS d_num,
+        CAST(n * sumsq - tf * tf AS DOUBLE)
+          / CAST(n * tf AS DOUBLE) AS vmr
+      FROM agg, nd"""))
+
+  // --- q331: LANGUAGE-ID CONFUSION MATRIX — the evaluation row for
+  // q31's marker-based classifier against the corpus's labeled `lang`
+  // column (every classifier on the board should carry its own eval):
+  // (actual, predicted) counts + per-actual-language recall as one
+  // division over a ≤ |langs|² table. One doc scan, one tiny keyed
+  // aggregate; the recall join broadcasts per-language totals. ----------
+  private val q331 = Q("q331_lang_confusion",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val scored = array(langMarkers.map { case (lang, ms) =>
+        struct(
+          size(filter(toks, t => t.isin(ms: _*))).as("score"),
+          lit(lang).as("lang"))
+      }: _*)
+      val cm = d.select(col("lang"),
+          array_max(scored).getField("lang").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = broadcast(cm.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("lang_total")))
+      cm.join(tot, "lang")
+        .withColumn("recall", when(col("lang") === col("pred_lang"),
+          col("n_docs").cast("double") / col("lang_total").cast("double")))
+    },
+    Some {
+      val markersSql = langMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"{'score': len(list_filter(toks, t -> t IN ($lst))), 'lang': '$lang'}"
+      }.mkString(",\n          ")
+      s"""WITH t AS ($tokCte),
+      cm AS (SELECT lang, list_max([
+          $markersSql]).lang AS pred_lang
+        FROM t),
+      g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM cm GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+        FROM g GROUP BY lang)
+      SELECT g.lang, pred_lang, n_docs, lang_total,
+        CASE WHEN g.lang = pred_lang THEN
+          CAST(n_docs AS DOUBLE) / CAST(lang_total AS DOUBLE) END
+          AS recall
+      FROM g JOIN tot ON g.lang = tot.lang"""
+    })
 }

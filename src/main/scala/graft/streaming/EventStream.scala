@@ -254,6 +254,42 @@ object EventStream {
       }
   }
 
+  final case class FunnelStep(user_id: Long, step: Int)
+
+  /** Stateful STRICT-SEQUENCE FUNNEL (q321's view → click → purchase
+    * semantics, continuously): per-user state is the highest step
+    * reached (1 = viewed, 2 = clicked after a view, 3 = purchased
+    * after such a click); a row is emitted each time a user ADVANCES,
+    * so the appended output is exactly the set of (user, step) rows
+    * the batch funnel counts — the spec's stream == batch gate.
+    * Within a micro-batch, events replay in (ts, event_type) order —
+    * the q321 order discipline — so a boundary never changes the
+    * result. State is one Int per user, expirable by timeout on a
+    * real deployment. */
+  def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, FunnelStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent],
+            state: GroupState[Int]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val out = Seq.newBuilder[FunnelStep]
+          var step = state.getOption.getOrElse(0)
+          for (e <- evs) {
+            val adv = e.event_type match {
+              case "view" if step < 1 => 1
+              case "click" if step == 1 => 2
+              case "purchase" if step == 2 => 3
+              case _ => step
+            }
+            if (adv > step) { step = adv; out += FunnelStep(uid, step) }
+          }
+          state.update(step)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked STREAM–STREAM interval join — the attribution shape:
     * each purchase joins every view by the same user within the
     * preceding `horizon` (event-time bound on BOTH sides, so Spark can

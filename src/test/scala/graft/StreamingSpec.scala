@@ -481,4 +481,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.subsetOf(snap()), s"closed sessions missing: ${snap()}")
     } finally q.stop()
   }
+
+  test("stateful funnel: appended (user, step) rows == the batch " +
+      "funnel across a micro-batch boundary") {
+    import spark.implicits._
+    def te(u: Long, t: Int, et: String) =
+      EventStream.TypedEvent(u, ts(t), et)
+    // user 1 converts ACROSS the boundary (view+click in b1, purchase
+    // in b2); user 2 clicks before any view (click must not count);
+    // user 3 purchases with no prior click (stops at step 1)
+    val b1 = Seq(te(1, 1, "view"), te(1, 2, "click"),
+      te(2, 1, "click"), te(3, 1, "view"))
+    val b2 = Seq(te(1, 3, "purchase"), te(2, 2, "view"),
+      te(3, 2, "purchase"))
+    val stream = MemoryStream[EventStream.TypedEvent](spark)
+    val q = EventStream.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      // batch twin: per-user max step from the full stream, one row
+      // per step reached (the q321 counting rule)
+      def maxStep(es: Seq[EventStream.TypedEvent]): Int = {
+        var st = 0
+        for (e <- es.sortBy(e => (e.ts.getTime, e.event_type)))
+          st = e.event_type match {
+            case "view" if st < 1 => 1
+            case "click" if st == 1 => 2
+            case "purchase" if st == 2 => 3
+            case _ => st
+          }
+        st
+      }
+      val batch = (b1 ++ b2).groupBy(_.user_id).toSeq.flatMap {
+        case (u, es) => (1 to maxStep(es)).map(st => (u, st))
+      }.sorted
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains((1L, 3)) && !got.contains((2L, 2))
+        && got.filter(_._1 == 3L).map(_._2).max == 1)
+    } finally q.stop()
+  }
 }
