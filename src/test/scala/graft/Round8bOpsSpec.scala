@@ -185,4 +185,83 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(r(1) == (0L, true))
     assert(r(2) == (2L, false)) // flipped order is NOT a swap
   }
+
+  test("rohRuns fuzz: random cubes with duplicate loci match a " +
+      "brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x812L)
+    for (trial <- 1 to 3) {
+      // duplicate (pos, vid) pairs on purpose; hom mixed per locus
+      val sites = (0 until 400).map { k =>
+        val s = rnd.nextInt(3)
+        val chrom = "c" + rnd.nextInt(2)
+        val pos = rnd.nextInt(40).toLong
+        val vid = pos * 10 + rnd.nextInt(3)
+        (s, chrom, pos, vid, rnd.nextBoolean())
+      }
+      val minSites = 1 + rnd.nextInt(3)
+      val got = graft.operators.PopGen.rohRuns(
+          sites.toDF("s", "chrom", "pos", "vid", "hom"), minSites)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      // brute force: collapse loci (all-calls-hom), site-adjacent runs
+      val want = sites.groupBy(t => (t._1, t._2)).toSeq
+        .flatMap { case ((s, _), rows) =>
+          val loci = rows.groupBy(r => (r._3, r._4)).toSeq
+            .map { case ((pos, vid), rs) => (pos, vid, rs.forall(_._5)) }
+            .sortBy(l => (l._1, l._2))
+          val runs = scala.collection.mutable
+            .ArrayBuffer.empty[Seq[(Long, Long)]]
+          var cur = List.empty[(Long, Long)]
+          for ((pos, vid, hom) <- loci) {
+            if (hom) cur = cur :+ ((pos, vid))
+            else { if (cur.nonEmpty) runs += cur; cur = Nil }
+          }
+          if (cur.nonEmpty) runs += cur
+          runs.filter(_.size >= minSites)
+            .map(rn => s -> (rn.size.toLong,
+              rn.map(_._1).max - rn.map(_._1).min))
+        }
+        .groupBy(_._1)
+        .map { case (s, rs) =>
+          val v = rs.map(_._2)
+          s -> (v.size.toLong, v.map(_._1).max, v.map(_._1).sum,
+            v.map(_._2).sum)
+        }
+      assert(got == want, s"trial $trial minSites $minSites")
+    }
+  }
+
+  test("labelPropagation fuzz: random graphs match a brute-force " +
+      "synchronous reference (neighbors + self, min-label ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x318L)
+    for (trial <- 1 to 3) {
+      val n = 6 + rnd.nextInt(6)
+      val edges = (0 until n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        val got = Graphs.labelPropagation(
+            edges.toDF("src", "dst"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force sync LPA with retention
+        val und = (edges ++ edges.map(_.swap)).distinct
+        val nodes = und.map(_._1).distinct.sorted
+        val adj = und.groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._2)
+        }
+        var lab = nodes.map(x => x -> x).toMap
+        for (_ <- 1 to iters)
+          lab = nodes.map { v =>
+            val votes = (adj(v).map(lab) :+ lab(v))
+              .groupBy(identity).map { case (l, c) => (l, c.size) }
+            v -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+          }.toMap
+        assert(got == lab, s"trial $trial iters $iters n $n")
+      }
+    }
+  }
 }
