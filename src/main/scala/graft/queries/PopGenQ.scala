@@ -1477,6 +1477,154 @@ object PopGenQ extends QueryModule {
           GROUP BY i, j)
         GROUP BY i)"""))
 
+  // --- PHASE-BLOCK N50 (the phasing-quality headline number reported
+  // by every phasing tool alongside q276's switch error): per sample,
+  // maximal stretches of consecutive PHASED loci (same locus-collapse
+  // + gaps-and-islands discipline as q312 — a locus counts phased
+  // only if ALL its duplicate calls are), then the N50 over each
+  // sample's block-length list via a per-sample desc-sorted cumsum —
+  // a window over #blocks-sized summaries, never data-global. -----------
+  private val q332 = Q("q332_phase_block_n50",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = SynthGeno.variants(s, dir)
+      val sites = v
+        .select(col("chrom"), col("pos"), col("vid"),
+          posexplode_outer(col("phased")).as(Seq("s", "ph")))
+      val wDup = Window.partitionBy(col("s"), col("chrom"))
+        .orderBy(col("pos"), col("vid"), col("ph"))
+      val lkey = struct(col("pos"), col("vid"))
+      val w = Window.partitionBy(col("s"), col("chrom"))
+        .orderBy(col("pos"), col("vid"))
+      val blocks = sites
+        .withColumn("__first",
+          coalesce(lag(lkey, 1).over(wDup) =!= lkey, lit(true)))
+        .filter(col("__first"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("ph"))
+        .withColumn("__grp", col("__rn") - row_number().over(w))
+        .groupBy(col("s"), col("chrom"), col("__grp"))
+        .agg(count(lit(1)).as("len"))
+      val wCum = Window.partitionBy(col("s"))
+        .orderBy(col("len").desc, col("chrom"), col("__grp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("s"))
+      blocks
+        .withColumn("cum", sum(col("len")).over(wCum))
+        .withColumn("tot", sum(col("len")).over(wTot))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max(col("len")).as("max_block"),
+          max(col("tot")).as("phased_sites"),
+          max(when(col("cum") * 2 >= col("tot"), col("len")))
+            .as("n50"))
+    },
+    Some(withCte(s"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(MAX(len) AS BIGINT) AS max_block,
+        CAST(MAX(tot) AS BIGINT) AS phased_sites,
+        CAST(MAX(CASE WHEN cum * 2 >= tot THEN len END) AS BIGINT)
+          AS n50
+      FROM (SELECT s, len,
+          SUM(len) OVER (PARTITION BY s ORDER BY len DESC, chrom, grp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(len) OVER (PARTITION BY s) AS tot
+        FROM (SELECT s, chrom, grp, COUNT(*) AS len
+          FROM (SELECT s, chrom,
+              rn_all - ROW_NUMBER() OVER (PARTITION BY s, chrom
+                ORDER BY pos, vid) AS grp, ph
+            FROM (SELECT s, chrom, pos, vid, ph,
+                ROW_NUMBER() OVER (PARTITION BY s, chrom
+                  ORDER BY pos, vid) AS rn_all
+              FROM (SELECT s, chrom, pos, vid,
+                  MIN(CASE WHEN ph THEN 1 ELSE 0 END) = 1 AS ph
+                FROM (SELECT u.s AS s, chrom, pos, vid,
+                    phased[CAST(u.s + 1 AS INT)] AS ph
+                  FROM variants,
+                    (SELECT unnest(range(0, $N)) AS s) u)
+                GROUP BY 1, 2, 3, 4))
+            WHERE ph)
+          GROUP BY 1, 2, 3))
+      GROUP BY s""")))
+
+  // --- IMPUTATION QUALITY dosage-r² (the INFO-score analog every
+  // imputation/recall pipeline gates on — squared Pearson between the
+  // cube's ALT dosage and its re-called twin's, per variant, over
+  // samples called in BOTH): statically-unrolled exact BIGINT sums
+  // (n, Σx, Σy, Σxy, Σx², Σy²) as a pure projection, then ONE
+  // variant-keyed exchange merging duplicate-vid calls (the oracle's
+  // GROUP BY vid); r² is one division of integer cross-products. --------
+  private val q333 = Q("q333_imputation_r2",
+    (s, dir) => {
+      val v = SynthGeno.variantsDup(s, dir)
+      def d(g: String, i: Int) = {
+        val a0 = element_at(element_at(col(g), i + 1), 1)
+        val a1 = element_at(element_at(col(g), i + 1), 2)
+        when(a0.isNotNull && a1.isNotNull,
+          when(a0 =!= 0, 1L).otherwise(0L)
+            + when(a1 =!= 0, 1L).otherwise(0L))
+      }
+      def terms(f: Int => org.apache.spark.sql.Column) =
+        (0 until N).map(f).reduce(_ + _)
+      val both = (i: Int) =>
+        d("geno", i).isNotNull && d("geno2", i).isNotNull
+      val x = (i: Int) => when(both(i), d("geno", i)).otherwise(0L)
+      val y = (i: Int) => when(both(i), d("geno2", i)).otherwise(0L)
+      v.select(col("vid"),
+          terms(i => when(both(i), 1L).otherwise(0L)).as("n0"),
+          terms(x).as("sx0"), terms(y).as("sy0"),
+          terms(i => x(i) * y(i)).as("sxy0"),
+          terms(i => x(i) * x(i)).as("sxx0"),
+          terms(i => y(i) * y(i)).as("syy0"))
+        // duplicate vids merge (the oracle's GROUP BY vid): one
+        // variant-keyed exchange with map-side combine
+        .groupBy(col("vid"))
+        .agg(sum(col("n0")).as("n"), sum(col("sx0")).as("sx"),
+          sum(col("sy0")).as("sy"), sum(col("sxy0")).as("sxy"),
+          sum(col("sxx0")).as("sxx"), sum(col("syy0")).as("syy"))
+        .withColumn("r2", when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) =!= 0,
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy")))
+            .cast("double")
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double")))
+    },
+    Some(s"""WITH variants AS (${SynthGeno.sqlCteDup}),
+      t AS (SELECT vid, u.s AS s,
+          geno[CAST(u.s + 1 AS INT)][1] AS xa,
+          geno[CAST(u.s + 1 AS INT)][2] AS xb,
+          geno2[CAST(u.s + 1 AS INT)][1] AS ya,
+          geno2[CAST(u.s + 1 AS INT)][2] AS yb
+        FROM variants, (SELECT unnest(range(0, $N)) AS s) u),
+      d AS (SELECT vid,
+          xa IS NOT NULL AND xb IS NOT NULL
+            AND ya IS NOT NULL AND yb IS NOT NULL AS bc,
+          CASE WHEN xa <> 0 THEN 1 ELSE 0 END
+            + CASE WHEN xb <> 0 THEN 1 ELSE 0 END AS dx,
+          CASE WHEN ya <> 0 THEN 1 ELSE 0 END
+            + CASE WHEN yb <> 0 THEN 1 ELSE 0 END AS dy
+        FROM t),
+      agg AS (SELECT vid,
+          CAST(SUM(CASE WHEN bc THEN 1 ELSE 0 END) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN bc THEN dx ELSE 0 END) AS BIGINT) AS sx,
+          CAST(SUM(CASE WHEN bc THEN dy ELSE 0 END) AS BIGINT) AS sy,
+          CAST(SUM(CASE WHEN bc THEN dx * dy ELSE 0 END) AS BIGINT)
+            AS sxy,
+          CAST(SUM(CASE WHEN bc THEN dx * dx ELSE 0 END) AS BIGINT)
+            AS sxx,
+          CAST(SUM(CASE WHEN bc THEN dy * dy ELSE 0 END) AS BIGINT)
+            AS syy
+        FROM d GROUP BY vid)
+      SELECT vid, n, sx, sy, sxy, sxx, syy,
+        CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+          THEN CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              AS DOUBLE)
+            / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+          END AS r2
+      FROM agg"""))
+
   // --- phasing SWITCH-ERROR rate (the phasing-tool benchmark metric —
   // Browning 2011): the truth callset's per-sample haplotype
   // orientations vs a deterministically perturbed re-phasing (flip at
@@ -2269,5 +2417,5 @@ object PopGenQ extends QueryModule {
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285, q286, q312, q324, q327, q328)
+      q284, q285, q286, q312, q324, q327, q328, q332, q333)
 }

@@ -3222,7 +3222,7 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304, q314, q315, q316, q320, q330, q331)
+      q304, q314, q315, q316, q320, q330, q331, q334)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two
@@ -3805,4 +3805,29 @@ object TextDedup extends QueryModule {
           AS recall
       FROM g JOIN tot ON g.lang = tot.lang"""
     })
+
+  // --- q334: TEMPLATE DETECTION — documents sharing a common prefix
+  // are boilerplate instantiations (form letters, scraped templates,
+  // mirror banners), a spam class exact dedup misses because the
+  // tails differ: fingerprint the first 120 characters, report groups
+  // of >= 3 docs with size, cross-source spread (a template seen from
+  // many sources is scraper boilerplate, not one site's style), and
+  // the smallest member id as the exemplar. One prefix-key shuffle. ----
+  private val q334 = Q("q334_template_detection",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(substring(col("text"), 1, 120)).as("tpl"))
+        .groupBy(col("tpl"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("exemplar_doc"))
+        .filter(col("n_docs") >= 3)
+    },
+    Some("""SELECT md5(substr(text, 1, 120)) AS tpl,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        MIN(doc_id) AS exemplar_doc
+      FROM documents
+      GROUP BY 1 HAVING COUNT(*) >= 3"""))
 }
