@@ -161,4 +161,32 @@ object LdWindow {
             / (col("var_x").cast("double") * col("var_y").cast("double")))
           .as("r2")) ++ carried: _*)
   }
+
+  /** Per-variant LD SCORE (the LDSC regression input — Bulik-Sullivan
+    * et al. 2015): 1 + Σ r² over every window pair the variant joins,
+    * with each pair's r² quantized to EXACT parts-per-million BIGINTs
+    * ((cov²·10⁶) div (var_x·var_y)) so the per-variant sum is
+    * order-independent (the no-double-sums rule; quantization error ≤
+    * #pairs · 1e-6, reported alongside the raw integer). Variants with
+    * no defined window pair are absent — their LD score is exactly 1.
+    * Rides the SHARED banded [[stats]] stage; each pair contributes to
+    * BOTH endpoints (one unionByName, one variant-keyed aggregate).
+    * The cross-multiplied ppm term inherits [[decayProfile]]'s integer
+    * range bound — cohort-scale callers rescale dosage sums first. */
+  def ldScore(variants: DataFrame, window: Long): DataFrame = {
+    val st = stats(variants, window)
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("var_x") > 0 && col("var_y") > 0)
+      .withColumn("r2ppm",
+        expr("(cov_n * cov_n * 1000000L) div (var_x * var_y)"))
+    st.select(col("chrom"), col("vid_a").as("vid"), col("r2ppm"))
+      .unionByName(
+        st.select(col("chrom"), col("vid_b").as("vid"), col("r2ppm")))
+      .groupBy(col("chrom"), col("vid"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("r2ppm")).as("sum_r2_ppm"))
+      .withColumn("ld_score",
+        lit(1.0) + col("sum_r2_ppm").cast("double") / lit(1000000.0))
+  }
 }

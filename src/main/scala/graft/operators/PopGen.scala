@@ -564,6 +564,24 @@ object PopGen {
       .agg(count(lit(1)).as("n_sites"))
   }
 
+  /** FOLDED 1-population SFS (the dadi/moments input when ancestral
+    * alleles are unpolarized — [[jointSfs]]'s single-population twin):
+    * minor-allele-count classes m = min(ac, 2S − ac) over fully-called
+    * sites, any non-REF allele counting as derived (the biallelic
+    * collapse every SFS consumer applies). One aggregate to ≤ S·p/2+1
+    * rows; the complete-case filter is pinned so the group-count
+    * kernel never re-evaluates below the scan. */
+  def foldedSfs(v: DataFrame, g: Seq[Int], ploidy: Int = 2)
+      : DataFrame = {
+    val (n, a) = groupCounts(col("geno"), g, ploidy)
+    val base = v.select(col("geno"))
+      .withColumn("n", n).withColumn("ac", a)
+    pinnedFilter(base, col("n") === g.size * ploidy)
+      .groupBy(least(col("ac"), lit(g.size.toLong * ploidy) - col("ac"))
+        .as("m"))
+      .agg(count(lit(1)).as("n_sites"))
+  }
+
   private def dRatio: Column =
     when(col("abba_num") + col("baba_num") =!= 0,
       (col("abba_num") - col("baba_num")).cast("double")

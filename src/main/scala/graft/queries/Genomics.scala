@@ -558,6 +558,34 @@ object Genomics extends QueryModule {
       FROM $ldVarSql
       GROUP BY 1, 2""")))
 
+  // --- LD SCORES (the LDSC heritability-regression input —
+  // Bulik-Sullivan 2015): 1 + Σ r² over each variant's window pairs,
+  // r² quantized to exact ppm BIGINTs so the sum is order-independent
+  // (summing double ratios would be engine-order-dependent — the
+  // q320 scaled-integer discipline). Rides the SAME shared
+  // LdWindow.stats stage as q108/q168; both pair endpoints
+  // accumulate. Variants without a defined pair are absent (score
+  // exactly 1). -----------------------------------------------------------
+  private val q335 = Q("q335_ld_scores",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .filter(col("vid") % LD_MOD === 0)
+        .select(col("vid"), col("chrom"), col("pos"),
+          dosageAlt(col("geno")).as("d"))
+      graft.operators.LdWindow.ldScore(v, LD_WINDOW)
+    },
+    Some(withCte(s"""SELECT chrom, vid,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(r2ppm) AS BIGINT) AS sum_r2_ppm,
+        1.0 + CAST(SUM(r2ppm) AS DOUBLE) / 1000000.0 AS ld_score
+      FROM (SELECT chrom, vid_a AS vid,
+            (cov_n * cov_n * 1000000) // (var_x * var_y) AS r2ppm
+          FROM $ldVarSql WHERE var_x > 0 AND var_y > 0
+        UNION ALL SELECT chrom, vid_b,
+            (cov_n * cov_n * 1000000) // (var_x * var_y)
+          FROM $ldVarSql WHERE var_x > 0 AND var_y > 0)
+      GROUP BY 1, 2""")))
+
   // --- KING-robust pairwise sample kinship (Manichaikul et al. 2010; the
   // per-sample-PAIR margin — the heaviest by.sample workload the
   // reference's ~data transpose exists for): over variants where both
@@ -1174,5 +1202,5 @@ object Genomics extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
       q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201,
-      q213, q218, q220)
+      q213, q218, q220, q335)
 }

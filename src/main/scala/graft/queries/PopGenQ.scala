@@ -2149,6 +2149,23 @@ object PopGenQ extends QueryModule {
       WHERE n1 = $N AND n2 = $N
       GROUP BY 1, 2""")))
 
+  // --- FOLDED 1-population SFS (q211's single-population twin — the
+  // dadi/moments input when ancestral states are unpolarized): exact
+  // minor-allele-count classes over fully-called sites, one aggregate
+  // to ≤ S+1 rows — PopGen.foldedSfs. -----------------------------------
+  private val q336 = Q("q336_folded_sfs",
+    (s, dir) => PopGen.foldedSfs(
+      SynthGeno.variants(s, dir).select(col("geno")), 0 until N),
+    Some(withCte(s"""SELECT LEAST(ac, ${2 * N} - ac) AS m,
+        CAST(COUNT(*) AS BIGINT) AS n_sites
+      FROM (SELECT
+          CAST(len(list_filter(f, a -> a IS NOT NULL)) AS BIGINT) AS n,
+          CAST(len(list_filter(f, a -> a IS NOT NULL AND a <> 0))
+            AS BIGINT) AS ac
+        FROM (SELECT flatten(geno) AS f FROM variants))
+      WHERE n = ${2 * N}
+      GROUP BY 1""")))
+
   // --- q236: covariate-ADJUSTED linear GWAS — y ~ β₀ + β_g·g + β_z·z
   // per variant, the confounder-controlled upgrade of q129 (age/batch/
   // ancestry-PC adjustment is the default in any real association run).
@@ -2417,5 +2434,5 @@ object PopGenQ extends QueryModule {
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285, q286, q312, q324, q327, q328, q332, q333)
+      q284, q285, q286, q312, q324, q327, q328, q332, q333, q336)
 }
