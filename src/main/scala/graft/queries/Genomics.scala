@@ -586,6 +586,80 @@ object Genomics extends QueryModule {
           FROM $ldVarSql WHERE var_x > 0 AND var_y > 0)
       GROUP BY 1, 2""")))
 
+  // --- KINSHIP DEGREE CLASSES (the decision table downstream of
+  // q109's KING φ — Manichaikul 2010's inference criteria): pairs
+  // classified MZ/dup, 1st, 2nd, 3rd degree or unrelated by the
+  // standard 2^{-(2k+3)/2} cutoffs, evaluated as EXACT cross-
+  // multiplied integer comparisons against ppm-rational thresholds
+  // (φ_num·10⁶ vs thr_ppm·φ_den — no float compare drift at the
+  // boundaries). Same ×pairs explode + pair-keyed aggregate budget as
+  // q109; biobank-scale callers block the pair set first. ---------------
+  private val q337 = Q("q337_kinship_classes",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+      val pairsLit = array((for {
+        i <- 0 until SynthGeno.nSamples
+        j <- (i + 1) until SynthGeno.nSamples
+      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+      val d = dosageAlt(col("geno"))
+      val rows = v.select(d.as("d"), explode(pairsLit).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          element_at(col("d"), col("p.i") + 1).as("di"),
+          element_at(col("d"), col("p.j") + 1).as("dj"))
+        .filter(col("di").isNotNull && col("dj").isNotNull)
+      val agg = rows.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("di") === 1, 1L).otherwise(0L)).as("hi"),
+          sum(when(col("dj") === 1, 1L).otherwise(0L)).as("hj"),
+          sum(when(col("di") === 1 && col("dj") === 1, 1L)
+            .otherwise(0L)).as("hb"),
+          sum(when(abs(col("di") - col("dj")) === 2, 1L).otherwise(0L))
+            .as("opp"))
+        .withColumn("num", (col("hb") - lit(2L) * col("opp")) * 1000000L)
+        .withColumn("den", col("hi") + col("hj"))
+      agg.withColumn("phi", when(col("den") > 0,
+          (col("hb").cast("double") - lit(2.0) * col("opp"))
+            / col("den").cast("double")))
+        .withColumn("degree", when(col("den") === 0, "NA")
+          .when(col("num") > lit(353553L) * col("den"), "MZ")
+          .when(col("num") > lit(176777L) * col("den"), "1st")
+          .when(col("num") > lit(88388L) * col("den"), "2nd")
+          .when(col("num") > lit(44194L) * col("den"), "3rd")
+          .otherwise("UN"))
+        .select(col("i"), col("j"), col("n_both"), col("phi"),
+          col("degree"))
+    },
+    Some(withCte("""SELECT i, j, cnt AS n_both,
+        CASE WHEN hi + hj > 0 THEN
+          (CAST(hb AS DOUBLE) - 2.0 * opp) / CAST(hi + hj AS DOUBLE)
+          END AS phi,
+        CASE WHEN hi + hj = 0 THEN 'NA'
+          WHEN (hb - 2 * opp) * 1000000 > 353553 * (hi + hj) THEN 'MZ'
+          WHEN (hb - 2 * opp) * 1000000 > 176777 * (hi + hj) THEN '1st'
+          WHEN (hb - 2 * opp) * 1000000 > 88388 * (hi + hj) THEN '2nd'
+          WHEN (hb - 2 * opp) * 1000000 > 44194 * (hi + hj) THEN '3rd'
+          ELSE 'UN' END AS degree
+      FROM (SELECT i, j, COUNT(*) AS cnt,
+          CAST(SUM(CASE WHEN di = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN dj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hj,
+          CAST(SUM(CASE WHEN di = 1 AND dj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hb,
+          CAST(SUM(CASE WHEN abs(di - dj) = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS opp
+        FROM (SELECT p.i AS i, p.j AS j, d[p.i + 1] AS di,
+            d[p.j + 1] AS dj
+          FROM (SELECT list_transform(geno, sa ->
+              CASE WHEN len(list_filter(sa, x -> x IS NULL)) > 0
+                   THEN NULL
+                   ELSE len(list_filter(sa, x -> x <> 0)) END) AS d
+            FROM variants),
+            (SELECT i.i, j.j
+             FROM (SELECT unnest(range(0, 8)) AS i) i,
+                  (SELECT unnest(range(0, 8)) AS j) j
+             WHERE j.j > i.i) p)
+        WHERE di IS NOT NULL AND dj IS NOT NULL
+        GROUP BY i, j)""")))
+
   // --- KING-robust pairwise sample kinship (Manichaikul et al. 2010; the
   // per-sample-PAIR margin — the heaviest by.sample workload the
   // reference's ~data transpose exists for): over variants where both
@@ -1202,5 +1276,5 @@ object Genomics extends QueryModule {
   override def queries: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q43, q44, q45, q47, q51, q59, q93,
       q106, q107, q108, q109, q112, q113, q116, q143, q159, q168, q201,
-      q213, q218, q220, q335)
+      q213, q218, q220, q335, q337)
 }

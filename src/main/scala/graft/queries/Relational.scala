@@ -3410,6 +3410,46 @@ object Relational extends QueryModule {
         CAST(SUM(cents) AS DOUBLE) / 100.0 AS segment_value
       FROM scored GROUP BY r, f, m"""))
 
+  // --- q339: DAU/WAU STICKINESS per week (the engagement headline:
+  // how many of a week's actives show up on an average active day):
+  // distinct (user, day) collapses the stream once; DAU and WAU both
+  // aggregate from it (days nest inside weeks, so the weekly distinct
+  // is exact from the daily distinct — no second pass over events);
+  // stickiness = Σdau / (n_days·wau), one division of exact counts. ----
+  private val q339 = Q("q339_dau_stickiness",
+    (s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .withColumn("wk", expr("day div 7"))
+        .groupBy(col("wk"))
+        .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+      val wau = ud.withColumn("wk", expr("day div 7"))
+        .select(col("wk"), col("user_id")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "wk")
+        .withColumn("stickiness", col("sum_dau").cast("double")
+          / (col("n_days") * col("wau")).cast("double"))
+        .select(col("wk"), col("n_days"), col("sum_dau"), col("wau"),
+          col("stickiness"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 86400000000000 AS day FROM events),
+      dau AS (SELECT day // 7 AS wk,
+          CAST(SUM(dau) AS BIGINT) AS sum_dau,
+          CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM ud GROUP BY day)
+        GROUP BY 1),
+      wau AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day // 7 AS wk, user_id FROM ud)
+        GROUP BY wk)
+      SELECT wk, n_days, sum_dau, wau,
+        CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE)
+          AS stickiness
+      FROM dau JOIN wau USING (wk)"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
@@ -3417,5 +3457,5 @@ object Relational extends QueryModule {
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
     q294, q295, q296, q297, q300, q309, q310, q313, q318, q321, q322,
-    q325, q326)
+    q325, q326, q339)
 }

@@ -1297,7 +1297,59 @@ object Similarity extends QueryModule {
       GROUP BY 1"""
     })
 
+  // --- q338: EMBEDDING DRIFT BY LABEL — cosine of each label's sum
+  // vector against the corpus sum vector (equal to centroid cosine:
+  // the counts cancel), the domain-shift monitor a mixture owner
+  // reads before reweighting. Components quantize to floor(x·1000)
+  // BIGINTs (floor, not round — Spark rounds HALF_UP, DuckDB half
+  // away from zero), so all sums/dots are exact integers; the only
+  // floats are two sqrts and one division per label. One explode to
+  // (label, dim) keyed partials, then a broadcast join of the
+  // ≤ #labels·D summary against its own global rollup. ----------------
+  private val q338 = Q("q338_embedding_drift",
+    (s, dir) => {
+      val comp = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("q"))
+      val byLabel = comp.groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+      val global = broadcast(byLabel.groupBy(col("dim"))
+        .agg(sum(col("s")).as("g")))
+      byLabel.join(global, "dim")
+        .groupBy(col("label"))
+        .agg(max(col("c")).as("n_vecs"),
+          sum(col("s") * col("g")).as("dot"),
+          sum(col("s") * col("s")).as("ss"),
+          sum(col("g") * col("g")).as("gg"))
+        .withColumn("cos_to_global", when(col("ss") > 0 && col("gg") > 0,
+          col("dot").cast("double")
+            / (sqrt(col("ss").cast("double"))
+              * sqrt(col("gg").cast("double")))))
+        .select(col("label"), col("n_vecs"), col("dot"),
+          col("cos_to_global"))
+    },
+    Some("""WITH comp AS (SELECT label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+            AS BIGINT) AS q
+        FROM embeddings),
+      byl AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM comp GROUP BY 1, 2),
+      g AS (SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM byl
+        GROUP BY dim)
+      SELECT label, MAX(c) AS n_vecs,
+        CAST(SUM(s * g.g) AS BIGINT) AS dot,
+        CASE WHEN SUM(s * s) > 0 AND SUM(g.g * g.g) > 0 THEN
+          CAST(SUM(s * g.g) AS DOUBLE)
+            / (sqrt(CAST(SUM(s * s) AS DOUBLE))
+              * sqrt(CAST(SUM(g.g * g.g) AS DOUBLE))) END
+          AS cos_to_global
+      FROM byl JOIN g USING (dim) GROUP BY label"""))
+
   override def queries: Seq[Q] =
     Seq(q36, q37, q38, q39, q61, q63, q75, q76, q80, q105, q114, q115,
-      q131, q148, q156, q195, q208, q267)
+      q131, q148, q156, q195, q208, q267, q338)
 }
