@@ -66,6 +66,18 @@ object PlanAudit {
     "q216_dup_source_flow", "q263_dedup_cost_curve",
     "q278_dup_quality_interaction")
 
+  /** Expression-node budget for the ANALYZED plan — the plan-SIZE red
+    * flag (round-8 verdict's sibling to the eager-action rule): a plan
+    * whose expression tree grows with a DATA dimension (the S²-literal
+    * pair-fan class — 10⁶ literal children at the guard bound) blows up
+    * Catalyst analysis/codegen long before the data would. Every fan-out
+    * must be a generator (`sequence()`+explode), never a literal array.
+    * The budget is calibrated ~4× above the board's largest legitimate
+    * plan (the cohort-width balanced-sum trees at the 8-sample fixture
+    * and the BPE/packed-lane expression chains), so growth that scales
+    * with samples² or vocab size trips it immediately. */
+  val PlanNodeBudget = 20000
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -97,6 +109,8 @@ object PlanAudit {
         Thread.sleep(20)
         val eager = jobs.get() - before
         val p = df.queryExecution.explainString(SimpleMode)
+        val exprNodes = df.queryExecution.analyzed.map(n =>
+          n.expressions.map(e => e.collect { case x => x }.size).sum).sum
         // SimpleMode prints SortExec as `Sort [keys], <global>, 0` —
         // a global sort is the line-local `], true, 0` (PlanSpec pins
         // the same format when asserting `false, 0` for local sorts);
@@ -107,7 +121,8 @@ object PlanAudit {
           "global-sort" -> p.linesIterator.exists(l =>
             l.contains("Sort [") && l.contains("], true, 0")),
           s"eager-jobs($eager)" ->
-            (eager > 0 && !eagerBuilders.contains(name))
+            (eager > 0 && !eagerBuilders.contains(name)),
+          s"plan-size($exprNodes)" -> (exprNodes > PlanNodeBudget)
         ).filter(_._2).map(_._1)
         if (flags.nonEmpty) println(s"FLAG $name: ${flags.mkString(",")}")
       } catch { case e: Throwable =>

@@ -827,14 +827,12 @@ object PopGen {
     * aggregate map-side to the S·(S+1)/2 pair rows before the one
     * exchange — the same shuffle contract as [[grm]]/KING. */
   def ibs(v: DataFrame, nSamples: Int): DataFrame = {
-    val pairsLit = array((for {
-      i <- 0 until nSamples
-      j <- i until nSamples
-    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    v.select(col("d"), explode(pairsLit).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        element_at(col("d"), col("p.i") + 1).as("di"),
-        element_at(col("d"), col("p.j") + 1).as("dj"))
+    val rows = graft.functions.pairs.pairFanDiag(
+      v.select(col("d")), nSamples)
+    rows
+      .select(col("i"), col("j"),
+        element_at(col("d"), col("i") + 1).as("di"),
+        element_at(col("d"), col("j") + 1).as("dj"))
       .filter(col("di").isNotNull && col("dj").isNotNull)
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n_sites"),
@@ -880,23 +878,19 @@ object PopGen {
     * shuffle-aggregate exactly; one division at the end. */
   def grm(v: DataFrame, nSamples: Int): DataFrame = {
     val scale = grmScale(nSamples)
-    val pairsLit = array((for {
-      i <- 0 until nSamples
-      j <- i until nSamples
-    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
     val called = balanced((0 until nSamples)
       .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
         .otherwise(0L)))(_ + _)
     val altSum = balanced((0 until nSamples)
       .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
-    val rows = pinnedFilter(
-      v.select(col("d"), called.as("n"), altSum.as("a")),
-      col("a") > 0 && col("a") < lit(2) * col("n"))
-      .select(col("d"), col("n"), col("a"), explode(pairsLit).as("p"))
-      .select(col("n"), col("a"),
-        col("p.i").as("i"), col("p.j").as("j"),
-        element_at(col("d"), col("p.i") + 1).as("di"),
-        element_at(col("d"), col("p.j") + 1).as("dj"))
+    val rows = graft.functions.pairs.pairFanDiag(
+        pinnedFilter(
+          v.select(col("d"), called.as("n"), altSum.as("a")),
+          col("a") > 0 && col("a") < lit(2) * col("n")),
+        nSamples)
+      .select(col("n"), col("a"), col("i"), col("j"),
+        element_at(col("d"), col("i") + 1).as("di"),
+        element_at(col("d"), col("j") + 1).as("dj"))
       .filter(col("di").isNotNull && col("dj").isNotNull)
     // Z_j·Z_k = (n·x_j − a)(n·x_k − a)/n²; 2p(1−p) = a(2n−a)/(2n²).
     rows
@@ -1121,17 +1115,13 @@ object PopGen {
     * grows with pairs × chromosomes. */
   def ibdSegments(v: DataFrame, nSamples: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairsLit = array((for {
-      i <- 0 until nSamples
-      j <- (i + 1) until nSamples
-    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    val rows = v
-      .select(col("chrom"), col("pos"), col("vid"), col("d"),
-        explode(pairsLit).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
+    val rows = graft.functions.pairs.pairFan(
+        v.select(col("chrom"), col("pos"), col("vid"), col("d")),
+        nSamples)
+      .select(col("i"), col("j"),
         col("chrom"), col("pos"), col("vid"),
-        coalesce(element_at(col("d"), col("p.i") + 1), lit(-1L)).as("dik"),
-        coalesce(element_at(col("d"), col("p.j") + 1), lit(-1L)).as("djk"))
+        coalesce(element_at(col("d"), col("i") + 1), lit(-1L)).as("dik"),
+        coalesce(element_at(col("d"), col("j") + 1), lit(-1L)).as("djk"))
       .withColumn("ibs2",
         col("dik") >= 0 && col("djk") >= 0 && col("dik") === col("djk"))
     val w = Window.partitionBy(col("i"), col("j"), col("chrom"))
@@ -1172,19 +1162,21 @@ object PopGen {
     * counter rows — fine at cohort-QC sample counts; at biobank S,
     * band candidate pairs by a cheap per-sample sketch first (the
     * KING-prune discipline), the explode then runs only on candidate
-    * (i, j) pairs. */
+    * (i, j) pairs. The fan is a single `sequence(0, S²−1)` explode with
+    * div/mod index recovery ([[graft.functions.pairs.gridFan]]), so the
+    * PLAN is O(1) expression nodes at any S the guard admits — the
+    * literal-array form held S² struct literals and would have blown up
+    * analysis/codegen at the S = 1000 bound. */
   def sampleSwapScan(v: DataFrame, nSamples: Int): DataFrame = {
     require(nSamples >= 2 && nSamples <= 1000,
       s"sampleSwapScan's tie-break packs j into a 1e6 radix; got " +
         s"$nSamples samples")
-    val pairs = v.select(col("vid"), col("geno"), col("geno2"),
-        explode(array((for (i <- 0 until nSamples;
-            j <- 0 until nSamples) yield
-          struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))): _*))
-          .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        element_at(col("geno"), (col("p.i") + 1).cast("int")).as("ga"),
-        element_at(col("geno2"), (col("p.j") + 1).cast("int")).as("gb"))
+    val pairs = graft.functions.pairs.gridFan(
+        v.select(col("vid"), col("geno"), col("geno2")),
+        nSamples, nSamples)
+      .select(col("i"), col("j"),
+        element_at(col("geno"), (col("i") + 1).cast("int")).as("ga"),
+        element_at(col("geno2"), (col("j") + 1).cast("int")).as("gb"))
       .withColumn("called",
         element_at(col("ga"), 1).isNotNull
           && element_at(col("ga"), 2).isNotNull
@@ -1273,14 +1265,10 @@ object PopGen {
     * [[kinshipPrune]] and [[familySplit]]: per-(variant, pair) counters
     * partial-aggregate map-side to the S·(S−1)/2 pair rows. */
   private def kinshipPairs(v: DataFrame, nSamples: Int): DataFrame = {
-    val pairsLit = array((for {
-      i <- 0 until nSamples
-      j <- (i + 1) until nSamples
-    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    v.select(col("d"), explode(pairsLit).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        element_at(col("d"), col("p.i") + 1).as("di"),
-        element_at(col("d"), col("p.j") + 1).as("dj"))
+    graft.functions.pairs.pairFan(v.select(col("d")), nSamples)
+      .select(col("i"), col("j"),
+        element_at(col("d"), col("i") + 1).as("di"),
+        element_at(col("d"), col("j") + 1).as("dj"))
       .filter(col("di").isNotNull && col("dj").isNotNull)
       .groupBy(col("i"), col("j"))
       .agg(

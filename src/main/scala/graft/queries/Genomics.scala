@@ -597,15 +597,12 @@ object Genomics extends QueryModule {
   private val q337 = Q("q337_kinship_classes",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      val pairsLit = array((for {
-        i <- 0 until SynthGeno.nSamples
-        j <- (i + 1) until SynthGeno.nSamples
-      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
       val d = dosageAlt(col("geno"))
-      val rows = v.select(d.as("d"), explode(pairsLit).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"),
-          element_at(col("d"), col("p.i") + 1).as("di"),
-          element_at(col("d"), col("p.j") + 1).as("dj"))
+      val rows = graft.functions.pairs.pairFan(
+          v.select(d.as("d")), SynthGeno.nSamples)
+        .select(col("i"), col("j"),
+          element_at(col("d"), col("i") + 1).as("di"),
+          element_at(col("d"), col("j") + 1).as("dj"))
         .filter(col("di").isNotNull && col("dj").isNotNull)
       val agg = rows.groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("n_both"),
@@ -673,15 +670,12 @@ object Genomics extends QueryModule {
   private val q109 = Q("q109_king",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      val pairsLit = array((for {
-        i <- 0 until SynthGeno.nSamples
-        j <- (i + 1) until SynthGeno.nSamples
-      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
       val d = dosageAlt(col("geno"))
-      val rows = v.select(d.as("d"), explode(pairsLit).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"),
-          element_at(col("d"), col("p.i") + 1).as("di"),
-          element_at(col("d"), col("p.j") + 1).as("dj"))
+      val rows = graft.functions.pairs.pairFan(
+          v.select(d.as("d")), SynthGeno.nSamples)
+        .select(col("i"), col("j"),
+          element_at(col("d"), col("i") + 1).as("di"),
+          element_at(col("d"), col("j") + 1).as("dj"))
         .filter(col("di").isNotNull && col("dj").isNotNull)
       rows.groupBy(col("i"), col("j"))
         .agg(

@@ -837,20 +837,32 @@ object Similarity extends QueryModule {
         .join(broadcast(ptop.select(col("probe_id"), col("cid"))),
           Seq("cid"))
         .filter(col("vec_id") =!= col("probe_id"))
-        .join(broadcast(pdt), Seq("probe_id"))
+        .join(broadcast(pdt.select(col("probe_id"), col("dtab"))),
+          Seq("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          pqAdc(col("dtab"), col("codes")).as("adc"),
-          l2Long(col("pv"), col("qv")).as("l2x"))
+          pqAdc(col("dtab"), col("codes")).as("adc"))
       val wA = Window.partitionBy(col("probe_id"))
         .orderBy(col("adc").asc, col("vec_id"))
       val wR = Window.partitionBy(col("probe_id"))
         .orderBy(col("l2x").asc, col("vec_id"))
-      val top = cand.withColumn("__ra", row_number().over(wA))
+      // ADC+R refine-from-storage: the exact pass runs ONLY on the
+      // ≤ PQ_RERANK-deep shortlist — original vectors are re-fetched by
+      // id (corpus scan joins the broadcast shortlist), so exact L2 is
+      // never priced on the full candidate stream (at scale candidates
+      // are ~NPROBE/k of the corpus; pricing full-dimension L2 there
+      // would negate PQ's compute win).
+      val shortlist = cand.withColumn("__ra", row_number().over(wA))
         .filter(col("__ra") <= PQ_RERANK)
-        .withColumn("rank", row_number().over(wR))
-        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("adc"))
       val probesF = e.filter(col("vec_id") % PROBE_MOD === 0)
         .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      val top = e.select(col("vec_id"), col("qv"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probesF), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("adc"),
+          l2Long(col("pv"), col("qv")).as("l2x"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 5)
       val wX = Window.partitionBy(col("probe_id"))
         .orderBy(col("l2x").asc, col("vec_id"))
       val truth = e.join(broadcast(probesF),

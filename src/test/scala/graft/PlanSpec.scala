@@ -353,6 +353,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q114: exact L2 evaluates only ABOVE the ADC shortlist filter") {
+    // ADC+R contract: the full candidate stream is ranked by ADC table
+    // lookups alone; exact L2 (L2DistLong) may only run on the
+    // ≤ PQ_RERANK shortlist (refine-from-storage). A plan that prices
+    // full-dimension L2 per candidate negates PQ's compute win at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val opt = SparkEntry.queries("q114_ivf_pq")(spark, dir)
+      .queryExecution.optimizedPlan
+    val raFilters = opt.collect {
+      case f: Filter if f.condition.references.exists(_.name == "__ra") => f
+    }
+    assert(raFilters.nonEmpty, "ADC shortlist (__ra) filter not found")
+    raFilters.foreach { f =>
+      val l2Below = f.child.collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect {
+          case e: graft.functions.expressions.L2DistLong => e
+        })
+      assert(l2Below.isEmpty,
+        "exact L2 computed below the ADC shortlist filter")
+    }
+  }
+
   test("q106: HWE chi-square is a pure projection — no exchange, no join") {
     val p = plan("q106_hwe")
     // one round-robin fan-out of the single-row-group scan is the only
