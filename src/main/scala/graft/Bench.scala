@@ -89,9 +89,21 @@ object Bench {
       graft.operators.SuffixArray.sharedTelemetry
     val (ddHits, ddMisses) =
       graft.pipeline.TrainingData.dedupSharedTelemetry
+    // Per-key breakdowns: a key with misses > 1 in one board pass was
+    // FIFO-evicted mid-board — the direct undersized-cache signal the
+    // aggregate counters can only hint at.
+    def keyJson(rows: Seq[(String, Long, Long)]): String =
+      rows.map { case (k, h, m) =>
+        s""""$k":{"hits":$h,"misses":$m}"""
+      }.mkString("{", ",", "}")
+    val ldKeys = keyJson(graft.operators.LdWindow.sharedTelemetryByKey)
+    val ddKeys = keyJson(
+      graft.pipeline.TrainingData.dedupSharedTelemetryByKey)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
+        s""""ld_shared_keys":$ldKeys,""" +
+        s""""dedup_shared_keys":$ddKeys,""" +
         s""""sa_shared_stage":{"hits":$saHits,"misses":$saMisses},""" +
         s""""ehh_shared_stage":{"hits":$ehHits,"misses":$ehMisses},""" +
         s""""sa_build_stage":{"hits":$sbHits,"misses":$sbMisses},""" +

@@ -359,6 +359,78 @@ object ScaleProbe {
           .select(col("s"), col("chrom"), col("pos"), col("vid"),
             (col("a0") === col("a1")).as("hom"))
         graft.operators.PopGen.rohRuns(sites, minSites = 5)
+      }, Vars),
+      // phase-block N50 (q332's shape): locus collapse + gaps-and-
+      // islands over the (s, chrom) sort, then the per-sample N50
+      // cumsum over BLOCK summaries — partition count fixed at
+      // S × chroms while partitions lengthen with variants (the
+      // switch_error/roh_runs sort-growth profile)
+      ("phase_block_n50", { d =>
+        import org.apache.spark.sql.expressions.Window
+        val sites = genoFromD(d)
+          .select(col("chrom"), col("pos"), col("vid"),
+            posexplode(col("geno")).as(Seq("s", "sa")))
+          .withColumn("ph", (col("pos") + col("s")) % 3 =!= 0)
+          .select(col("s"), col("chrom"), col("pos"), col("vid"),
+            col("ph"))
+        val wDup = Window.partitionBy(col("s"), col("chrom"))
+          .orderBy(col("pos"), col("vid"), col("ph"))
+        val lkey = struct(col("pos"), col("vid"))
+        val w = Window.partitionBy(col("s"), col("chrom"))
+          .orderBy(col("pos"), col("vid"))
+        val blocks = sites
+          .withColumn("__first",
+            coalesce(lag(lkey, 1).over(wDup) =!= lkey, lit(true)))
+          .filter(col("__first"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("ph"))
+          .withColumn("__grp", col("__rn") - row_number().over(w))
+          .groupBy(col("s"), col("chrom"), col("__grp"))
+          .agg(count(lit(1)).as("len"))
+        val wCum = Window.partitionBy(col("s"))
+          .orderBy(col("len").desc, col("chrom"), col("__grp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("s"))
+        blocks
+          .withColumn("cum", sum(col("len")).over(wCum))
+          .withColumn("tot", sum(col("len")).over(wTot))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("n_blocks"), max(col("len")).as("mx"),
+            max(when(col("cum") * 2 >= col("tot"), col("len")))
+              .as("n50"))
+      }, Vars),
+      // imputation dosage-r² (q333's shape): statically-unrolled exact
+      // BIGINT sums as a pure projection + ONE vid-keyed merge
+      // exchange; the re-called twin is a deterministic perturbation
+      ("imputation_r2", { d0 =>
+        val v = d0.withColumn("d2", transform(col("d"),
+          x => when(x.isNull, x).otherwise(pmod(x + 1, lit(3)))))
+        def dd(c: String, i: Int) = element_at(col(c), i + 1)
+        def terms(f: Int => org.apache.spark.sql.Column) =
+          (0 until 8).map(f).reduce(_ + _)
+        val both = (i: Int) =>
+          dd("d", i).isNotNull && dd("d2", i).isNotNull
+        val x = (i: Int) => when(both(i), dd("d", i)).otherwise(0L)
+        val y = (i: Int) => when(both(i), dd("d2", i)).otherwise(0L)
+        v.select(col("vid"),
+            terms(i => when(both(i), 1L).otherwise(0L)).as("n0"),
+            terms(x).as("sx0"), terms(y).as("sy0"),
+            terms(i => x(i) * y(i)).as("sxy0"),
+            terms(i => x(i) * x(i)).as("sxx0"),
+            terms(i => y(i) * y(i)).as("syy0"))
+          .groupBy(col("vid"))
+          .agg(sum(col("n0")).as("n"), sum(col("sx0")).as("sx"),
+            sum(col("sy0")).as("sy"), sum(col("sxy0")).as("sxy"),
+            sum(col("sxx0")).as("sxx"), sum(col("syy0")).as("syy"))
+          .withColumn("r2", when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) =!= 0,
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              * (col("n") * col("sxy") - col("sx") * col("sy")))
+              .cast("double")
+              / ((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy")))
+                .cast("double")))
       }, Vars))
 
     def time(fn: => DataFrame): Double = {

@@ -96,11 +96,11 @@ object Graphs {
     // the edge set is consumed once per round — materialize it ONCE so
     // an expensive upstream derivation (joins, windows, distinct) never
     // replays per iteration (cluster: reliable checkpoint dir, SCALE.md)
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val n = nodes.count()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__od"))
@@ -121,7 +121,7 @@ object Graphs {
         .withColumn("mass", lit(base) +
           expr(s"(85 * (coalesce(__in, 0L) + __dg div ${n}L)) div 100"))
         .select(col("node"), col("mass"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     }
     mass
   }
@@ -132,9 +132,13 @@ object Graphs {
     * itself (label retention — the self-vote damps the oscillation
     * synchronous LPA exhibits on near-bipartite structures), ties
     * broken by the SMALLEST label — the argmax is the lexicographic
-    * max of (count, −label), so the update is an aggregate, not a
-    * window, and replays bit-for-bit in any engine. The graph is
-    * symmetrized (undirected) and deduplicated once up front.
+    * MIN of (−count, label), so the update is an aggregate, not a
+    * window, and replays bit-for-bit in any engine. (Negating the
+    * COUNT is overflow-safe — counts are nonnegative; the previous
+    * max(count, −label) form silently inverted the tie order for a
+    * label equal to Long.MinValue, which raw xxhash64 node ids can
+    * produce.) The graph is symmetrized (undirected) and deduplicated
+    * once up front.
     *
     * Scale: per round ONE label join on dst + two keyed aggregates —
     * linear in edges, the [[pageRankInt]] discipline; lineage truncated
@@ -150,9 +154,9 @@ object Graphs {
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     var lab = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val neigh = e
@@ -164,10 +168,10 @@ object Graphs {
         .agg(count(lit(1)).as("c"))
       lab = neigh
         .groupBy(col("node"))
-        .agg(max(struct(col("c").as("c"), (-col("nl")).as("mn")))
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl")))
           .as("b"))
-        .select(col("node"), (-col("b.mn")).as("label"))
-        .localCheckpoint(true)
+        .select(col("node"), col("b.nl").as("label"))
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     }
     lab
   }

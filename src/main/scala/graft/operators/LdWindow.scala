@@ -48,10 +48,13 @@ object LdWindow {
       carry: Seq[String] = Nil): DataFrame = synchronized {
     val key = (variants.queryExecution.analyzed.canonicalized, window,
       carry.toList)
+    val label = s"w=$window/c=${carry.mkString("+")}/p=" +
+      Integer.toHexString(key._1.hashCode)
     shared.get(key) match {
-      case Some(df) => sharedHits += 1; df
+      case Some(df) =>
+        sharedHits += 1; bump(label, hit = true); df
       case None =>
-        sharedMisses += 1
+        sharedMisses += 1; bump(label, hit = false)
         val df = statsPlan(variants, window, carry)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (shared.size >= MaxShared) {
@@ -64,7 +67,14 @@ object LdWindow {
     }
   }
 
-  private val MaxShared = 8
+  /** Cache capacity, sized ABOVE the bench board's working set: the
+    * round-8 board held 12 distinct (input, window, carry) keys live
+    * (q108/q126/q130/q135/q150/q335…), so the previous cap of 8 FIFO-
+    * evicted between Bench's two passes and stages silently rebuilt
+    * (12 misses vs 11 hits in the r8 artifact — round-8 verdict
+    * "What's missing #3"). 24 = 2× the observed set; per-key telemetry
+    * below makes the next undersizing visible instead of silent. */
+  private val MaxShared = 24
   private val shared = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Long, List[String]), DataFrame]
@@ -74,8 +84,19 @@ object LdWindow {
   // whose minimum rode a warm shared stage says so in the artifact).
   private var sharedHits = 0L
   private var sharedMisses = 0L
+  private val perKey = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Long)]
+  private def bump(label: String, hit: Boolean): Unit = {
+    val (h, m) = perKey.getOrElse(label, (0L, 0L))
+    perKey(label) = if (hit) (h + 1, m) else (h, m + 1)
+  }
   def sharedTelemetry: (Long, Long) = synchronized {
     (sharedHits, sharedMisses)
+  }
+  /** Per-key (label → hits/misses): a key whose misses exceed 1 in one
+    * board pass was FIFO-evicted mid-board — the cache is undersized. */
+  def sharedTelemetryByKey: Seq[(String, Long, Long)] = synchronized {
+    perKey.toSeq.map { case (k, (h, m)) => (k, h, m) }
   }
 
   /** Drop every shared pair-stats materialization. */

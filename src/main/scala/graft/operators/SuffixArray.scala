@@ -65,7 +65,7 @@ object SuffixArray {
     val part = df
       .repartitionByRange(keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     // distinct count over a STRUCT of the keys, not countDistinct(keys):
     // count(distinct a, b) skips tuples with any NULL while dense_rank
     // ranks nulls first, so with null keys the per-partition offsets
@@ -153,7 +153,7 @@ object SuffixArray {
       .withColumn("off", col("off").cast("long"))
     val (r0, n0) = denseRankCounted(pos, Seq("tok"), "rank")
     var cur = r0.select(col("doc_id"), col("off"), col("rank"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     // total positions, for the early-exit test — the row count is
     // invariant across rounds, so one count (off the checkpointed
     // round-0 table) serves every round
@@ -167,7 +167,7 @@ object SuffixArray {
         .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
       val (rk, nk) = denseRankCounted(paired, Seq("rank", "__r2"), "__nr")
       cur = rk.select(col("doc_id"), col("off"), col("__nr").as("rank"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
       k *= 2
       // once every position ranks uniquely, a further doubling round
       // is the identity on both the order AND the dense-rank values

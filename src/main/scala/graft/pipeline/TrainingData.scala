@@ -143,15 +143,15 @@ object TrainingData {
       idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val allNodes = nodes.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val touched = sym.select(col("src").as("id")).distinct()
     val isolated = allNodes.join(touched, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("id").as("cluster"))
     var labels = allNodes.join(touched, Seq("id"), "left_semi")
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -161,12 +161,12 @@ object TrainingData {
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mid"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
       val byId = lp.select(col("id").as("lid"), col("mid").as("llbl"))
       val updated = lp.join(byId, lp("mid") === byId("lid"), "left")
         .select(col("id"), col("lbl"),
           least(col("mid"), coalesce(col("llbl"), col("mid"))).as("nxt"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
       converged = updated.filter(col("nxt") < col("lbl")).isEmpty
       labels = updated.select(col("id"), col("nxt").as("lbl"))
       it += 1
@@ -194,16 +194,22 @@ object TrainingData {
       rowsPerBand: Int, threshold: Double): DataFrame = synchronized {
     val key = (docs.queryExecution.analyzed.canonicalized, idCol,
       textCol, shingleN, minhashK, bands, rowsPerBand, threshold)
+    val label = s"$idCol/$textCol/$shingleN/$minhashK/$bands/" +
+      s"$rowsPerBand/$threshold/p=" + Integer.toHexString(key._1.hashCode)
     dedupShared.get(key) match {
-      case Some(df) => dedupHits += 1; df
+      case Some(df) =>
+        dedupHits += 1; dedupBump(label, hit = true); df
       case None =>
-        dedupMisses += 1
+        dedupMisses += 1; dedupBump(label, hit = false)
         val pairs = nearDupPairs(docs, idCol, textCol, shingleN,
           minhashK, bands, rowsPerBand, threshold)
         val df = connectedComponents(pairs, docs.select(col(idCol)),
           idCol).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (dedupShared.size >= 4) {
+        // capacity sized above the board's working set (was 4 — the
+        // round-8 verdict's undersized-cache note); per-key telemetry
+        // makes the next undersizing visible
+        if (dedupShared.size >= 12) {
           val k0 = dedupShared.head._1
           dedupShared(k0).unpersist(blocking = false)
           dedupShared.remove(k0)
@@ -218,11 +224,24 @@ object TrainingData {
       String, String, Int, Int, Int, Int, Double), DataFrame]
   private var dedupHits = 0L
   private var dedupMisses = 0L
+  private val dedupPerKey = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Long)]
+  private def dedupBump(label: String, hit: Boolean): Unit = {
+    val (h, m) = dedupPerKey.getOrElse(label, (0L, 0L))
+    dedupPerKey(label) = if (hit) (h + 1, m) else (h, m + 1)
+  }
 
   /** (hits, misses) of the shared cluster-label stage. */
   def dedupSharedTelemetry: (Long, Long) = synchronized {
     (dedupHits, dedupMisses)
   }
+
+  /** Per-key hit/miss — a key missing twice in one board pass was
+    * evicted mid-board (cache undersized). */
+  def dedupSharedTelemetryByKey: Seq[(String, Long, Long)] =
+    synchronized {
+      dedupPerKey.toSeq.map { case (k, (h, m)) => (k, h, m) }
+    }
 
   /** Drop the shared cluster-label materializations (scale probes
     * measure cold compute). */
@@ -1211,7 +1230,7 @@ object TrainingData {
     // list, and the final labeling join) and would otherwise re-execute
     // per consumer (a cluster deployment would use a reliable
     // checkpoint dir or a cached table)
-    val assigned = kmeansTrain(vecs, k, iters).localCheckpoint(true)
+    val assigned = kmeansTrain(vecs, k, iters).transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val pairs = semDedupCandidates(assigned, clusterCap)
       .filter(cosineQ(dotLong(col("a.qv"), col("b.qv")),
         col("a.nrm"), col("b.nrm")) >= tau)

@@ -3603,7 +3603,7 @@ object TextDedup extends QueryModule {
         .groupBy(col("source"))
         .agg(sum(col("w")).as("n_tokens"),
           sum(when(col("w") >= 20L, col("w")).otherwise(0L)).as("m"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
       val totM = broadcast(base.agg(sum(col("m")).as("tm")))
       var cur = base.withColumn("wt", col("n_tokens"))
       for (_ <- 1 to 5) {

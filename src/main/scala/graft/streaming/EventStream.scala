@@ -219,7 +219,7 @@ object EventStream {
         col("n_events"))
 
   final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
-      event_type: String)
+      event_type: String, event_id: Long)
   final case class Transition(user_id: Long, prev_type: String,
       next_type: String)
 
@@ -228,12 +228,14 @@ object EventStream {
     * transition matrix: state = the user's last event type, each
     * arriving event emits one (prev, next) record and advances the
     * state, so a user's chain threads CORRECTLY across micro-batch
-    * boundaries. Events inside one batch are sorted by (ts,
-    * event_type) before chaining (the grouped iterator is unordered);
-    * the stream==batch gate (`StreamingSpec`) therefore holds for
-    * per-user in-timestamp-order ARRIVAL across batches — out-of-order
-    * late data would chain in arrival order (documented, as with
-    * [[dedupStream]]'s horizon caveat). */
+    * boundaries. Events inside one batch are sorted by the TIE-FREE
+    * (ts, event_id) key before chaining (the grouped iterator is
+    * unordered; event_id is the batch queries' q214/q321 tie-break, so
+    * same-timestamp events replay in the batch order, not
+    * alphabetically); the stream==batch gate (`StreamingSpec`) holds
+    * for per-user in-EVENT-TIME-order arrival across batches —
+    * out-of-order late data would chain in arrival order (documented,
+    * as with [[dedupStream]]'s horizon caveat). */
   def transitionStream(events: Dataset[TypedEvent])
       : Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -242,7 +244,7 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[TypedEvent],
             state: GroupState[String]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = Seq.newBuilder[Transition]
           var prev = state.getOption
           for (e <- evs) {
@@ -262,10 +264,16 @@ object EventStream {
     * after such a click); a row is emitted each time a user ADVANCES,
     * so the appended output is exactly the set of (user, step) rows
     * the batch funnel counts — the spec's stream == batch gate.
-    * Within a micro-batch, events replay in (ts, event_type) order —
-    * the q321 order discipline — so a boundary never changes the
-    * result. State is one Int per user, expirable by timeout on a
-    * real deployment. */
+    * Within a micro-batch, events replay in q321's exact TIE-FREE
+    * (ts, event_id) order, so a same-timestamp view→click pair counts
+    * step 2 here iff the batch window (ORDER BY ts, event_id) counts
+    * it. Parity holds for per-user in-EVENT-TIME-order arrival across
+    * batches: a view arriving in a LATER micro-batch than an
+    * already-processed same-or-later-ts click cannot retroactively
+    * qualify that click (append-mode state never rewinds — the
+    * [[transitionStream]]/[[dedupStream]] late-data caveat; bound
+    * disorder with a watermark upstream on a real deployment). State
+    * is one Int per user, expirable by timeout. */
   def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelStep] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -273,7 +281,7 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[TypedEvent],
             state: GroupState[Int]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = Seq.newBuilder[FunnelStep]
           var step = state.getOption.getOrElse(0)
           for (e <- evs) {

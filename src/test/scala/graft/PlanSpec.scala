@@ -755,8 +755,17 @@ class PlanSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(read.contains("l_extendedprice") && read.contains("l_quantity")
       && !read.contains("l_orderkey"))
-    val preExchange = p.linesIterator.takeWhile(!_.contains("Exchange"))
-      .mkString("\n")
-    assert(preExchange.contains("HashAggregate"))
+    // map-side combine: explain prints ROOT-FIRST, so the subtree BELOW
+    // the bucket exchange is the text AFTER the first Exchange line —
+    // a partial-mode HashAggregate must sit there, between the exchange
+    // and the FileScan (the takeWhile-before-Exchange form asserted the
+    // FINAL aggregate above the exchange and passed vacuously)
+    val lines = p.linesIterator.toSeq
+    val firstEx = lines.indexWhere(_.contains("Exchange"))
+    assert(firstEx >= 0, p)
+    val below = lines.drop(firstEx + 1).mkString("\n")
+    assert(below.contains("HashAggregate") && below.contains("partial_"),
+      s"no partial map-side aggregate below the bucket exchange:\n$p")
+    assert(below.contains("FileScan"), p)
   }
 }

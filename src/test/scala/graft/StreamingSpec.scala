@@ -348,8 +348,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful transition extraction == batch lag rule across batches") {
     import spark.implicits._
-    def te(u: Long, t: Int, et: String) =
-      EventStream.TypedEvent(u, ts(t), et)
+    var nextId = 0L
+    def te(u: Long, t: Int, et: String) = {
+      nextId += 1
+      EventStream.TypedEvent(u, ts(t), et, nextId)
+    }
     // user 1's chain spans the micro-batch boundary (c follows b);
     // user 3 appears only in batch 2 (no prior state → first event
     // emits nothing)
@@ -368,7 +371,7 @@ class StreamingSpec extends AnyFunSuite {
       // batch twin: the q214 lag rule over the full event set
       val batch = (b1 ++ b2).groupBy(_.user_id).toSeq.flatMap {
         case (u, es) =>
-          val s = es.sortBy(e => (e.ts.getTime, e.event_type))
+          val s = es.sortBy(e => (e.ts.getTime, e.event_id))
           s.zip(s.drop(1)).map(p => (u, p._1.event_type, p._2.event_type))
       }.sorted
       assert(got == batch, s"stream $got vs batch $batch")
@@ -483,17 +486,27 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful funnel: appended (user, step) rows == the batch " +
-      "funnel across a micro-batch boundary") {
+      "funnel across a micro-batch boundary, ties resolved by event_id") {
     import spark.implicits._
-    def te(u: Long, t: Int, et: String) =
-      EventStream.TypedEvent(u, ts(t), et)
+    var nextId = 0L
+    def te(u: Long, t: Int, et: String) = {
+      nextId += 1
+      EventStream.TypedEvent(u, ts(t), et, nextId)
+    }
     // user 1 converts ACROSS the boundary (view+click in b1, purchase
     // in b2); user 2 clicks before any view (click must not count);
-    // user 3 purchases with no prior click (stops at step 1)
+    // user 3 purchases with no prior click (stops at step 1);
+    // user 4 is the ADVICE tie case: view then click at the SAME
+    // timestamp — event_id order says view first, so the click counts
+    // step 2 (the alphabetical sort would replay click first and
+    // never advance); user 5 is the inverse tie (click id-before
+    // view at one ts → no step 2)
     val b1 = Seq(te(1, 1, "view"), te(1, 2, "click"),
-      te(2, 1, "click"), te(3, 1, "view"))
+      te(2, 1, "click"), te(3, 1, "view"),
+      te(4, 7, "view"), te(4, 7, "click"))
     val b2 = Seq(te(1, 3, "purchase"), te(2, 2, "view"),
-      te(3, 2, "purchase"))
+      te(3, 2, "purchase"),
+      te(5, 9, "click"), te(5, 9, "view"))
     val stream = MemoryStream[EventStream.TypedEvent](spark)
     val q = EventStream.funnelStream(stream.toDS())
       .writeStream.format("memory").queryName("funnel_out")
@@ -507,7 +520,7 @@ class StreamingSpec extends AnyFunSuite {
       // per step reached (the q321 counting rule)
       def maxStep(es: Seq[EventStream.TypedEvent]): Int = {
         var st = 0
-        for (e <- es.sortBy(e => (e.ts.getTime, e.event_type)))
+        for (e <- es.sortBy(e => (e.ts.getTime, e.event_id)))
           st = e.event_type match {
             case "view" if st < 1 => 1
             case "click" if st == 1 => 2
@@ -522,6 +535,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch, s"stream $got vs batch $batch")
       assert(got.contains((1L, 3)) && !got.contains((2L, 2))
         && got.filter(_._1 == 3L).map(_._2).max == 1)
+      // the tie pairs: id-order view→click advances, click→view doesn't
+      assert(got.contains((4L, 2)), "same-ts view→click must count")
+      assert(!got.contains((5L, 2)), "same-ts click→view must not count")
     } finally q.stop()
   }
 }
