@@ -95,8 +95,11 @@ object Multimodal {
   /** The per-row codec: real ImageIO decode for image payloads (a decoded
     * still contributes one frame), real WAV decode for audio payloads
     * (width/height carry sample-rate/channels; brightness carries RMS),
-    * deterministic stub for everything else (compressed audio and video
-    * codecs are not in the JDK). */
+    * real pure-JVM FLAC decode for compressed-lossless audio
+    * ([[Flac.decode]] — same feature mapping as WAV), the MP3
+    * frame-header walk for lossy audio (metadata only),
+    * deterministic stub for everything else (lossy audio payloads and
+    * video codecs are not in the JDK). */
   def decode(r: MediaRow): MediaFeature = r.media_type match {
     case "image" =>
       decodeImage(r.payload) match {
@@ -114,16 +117,30 @@ object Multimodal {
             brightness =
               if (frames == 0) 0.0
               else math.sqrt(sumSq.toDouble / (frames.toDouble * ch)))
-        case None => parseMp3(r.payload) match {
-          // compressed-audio lane: real header metadata, no waveform —
-          // brightness carries the mean bitrate (kbps), the only
-          // energy-like scalar a header walk can produce
-          case Some(m) =>
+        case None => Flac.decode(r.payload) match {
+          // compressed-LOSSLESS lane: genuinely decoded PCM, the same
+          // feature mapping as WAV
+          case Some(d) =>
             MediaFeature(r.doc_id, r.media_type, r.payload.length,
-              width = m.sample_rate, height = m.channels,
-              n_frames = math.min(m.n_frames, Int.MaxValue.toLong).toInt,
-              brightness = m.kbps_mean)
-          case None => decodeStub(r)
+              width = d.sampleRate, height = d.channels,
+              n_frames =
+                math.min(d.totalSamples, Int.MaxValue.toLong).toInt,
+              brightness =
+                if (d.totalSamples == 0) 0.0
+                else math.sqrt(d.sumSq.toDouble /
+                  (d.totalSamples.toDouble * d.channels)))
+          case None => parseMp3(r.payload) match {
+            // compressed-LOSSY lane: real header metadata, no
+            // waveform — brightness carries the mean bitrate (kbps),
+            // the only energy-like scalar a header walk can produce
+            case Some(m) =>
+              MediaFeature(r.doc_id, r.media_type, r.payload.length,
+                width = m.sample_rate, height = m.channels,
+                n_frames =
+                  math.min(m.n_frames, Int.MaxValue.toLong).toInt,
+                brightness = m.kbps_mean)
+            case None => decodeStub(r)
+          }
         }
       }
     case _ => decodeStub(r)
@@ -362,6 +379,90 @@ object Multimodal {
       decodeWavWindows(r.payload, 160).toSeq.flatten
         .map { case (w, e) => WavWindowRow(r.doc_id, w, e) }
     })
+  }
+
+  /** Real-FLAC table: one compressed (FIXED-order-2 + Rice) stream per
+    * document over the deterministic triangle waveform
+    * ([[Flac.fixtureSample]]); frame count and rate are formulas of
+    * `doc_id` so a SQL oracle replays the decoded PCM energy exactly —
+    * the lossless-codec twin of [[syntheticWavTable]]. */
+  def syntheticFlacTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 300 + 200).toInt
+        MediaRow(id, "audio",
+          Flac.encode(Flac.fixtureWaveform(id, n),
+            sampleRateHz = (8000 + (id % 3) * 4000).toInt,
+            blockSize = 128))
+      })
+  }
+
+  /** Partition-batched REAL FLAC decode — the [[decodeAudioAll]]
+    * contract over the compressed path: non-FLAC / corrupt payloads
+    * drop (reject-don't-guess). `n_bytes` is the compressed payload
+    * size, so the compression ratio is queryable downstream. */
+  final case class FlacFeature(doc_id: Long, n_frames: Long,
+      sample_rate: Int, channels: Int, sum_sq: Long, rms: Double,
+      n_bytes: Int)
+  def decodeFlacAll(media: Dataset[MediaRow]): Dataset[FlacFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Flac.decode(r.payload).map { d =>
+        FlacFeature(r.doc_id, d.totalSamples, d.sampleRate, d.channels,
+          d.sumSq,
+          if (d.totalSamples == 0) 0.0
+          else math.sqrt(d.sumSq.toDouble /
+            (d.totalSamples.toDouble * d.channels)),
+          r.payload.length)
+      }
+    })
+  }
+
+  /** Per-window energy over DECODED FLAC PCM — the VAD windowing verb
+    * on the compressed lane ([[decodeWavWindows]]'s contract; the last
+    * partial window keeps its frames). */
+  final case class FlacWindowRow(doc_id: Long, win: Int, n_frames: Int,
+      sum_sq: Long)
+  def decodeFlacWindowsAll(media: Dataset[MediaRow],
+      windowFrames: Int = 160): Dataset[FlacWindowRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Flac.decode(r.payload).toSeq.flatMap { d =>
+        d.pcm.grouped(windowFrames).zipWithIndex.map { case (w, i) =>
+          var s = 0L
+          var j = 0
+          while (j < w.length) { s += w(j).toLong * w(j); j += 1 }
+          FlacWindowRow(r.doc_id, i, w.length, s)
+        }
+      }
+    })
+  }
+
+  /** REAL transcode: FLAC → RIFF/PCM WAV bytes (decode through
+    * [[Flac.decode]], re-encode through the JDK's own writer) — the
+    * decode→re-encode verb of a media pipeline. None when the payload
+    * is not valid FLAC. */
+  def transcodeFlacToWav(payload: Array[Byte]): Option[Array[Byte]] = {
+    Flac.decode(payload).filter(_.channels == 1).map { d =>
+      val data = new Array[Byte](d.pcm.length * 2)
+      var i = 0
+      while (i < d.pcm.length) {
+        data(2 * i) = (d.pcm(i) & 0xff).toByte
+        data(2 * i + 1) = ((d.pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        d.sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, d.pcm.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
   }
 
   // --- MPEG-audio (MP3 family) metadata: a real pure-JVM frame-header

@@ -1511,6 +1511,42 @@ object TrainingData {
     * by token). The minCount threshold is what bounds the window work:
     * it drops the df=1 long tail BEFORE ranking, exactly as real vocab
     * builds do, so the largest surviving equal-tf group stays small. */
+  /** RAG / retrieval-style TOKEN CHUNKER: fixed `window`-token chunks
+    * at `stride` tokens (overlap = window − stride), the
+    * fixed-size-with-overlap splitter every retrieval index and many
+    * packing pipelines run before embedding. Chunk k covers tokens
+    * [k·stride, k·stride + window); the last chunk is the first one
+    * whose span reaches the end (it may be short); empty docs emit no
+    * chunks. Emits (doc_id, chunk_id, n_tokens, chunk_md5) — md5 of
+    * the space-joined chunk text is the content fingerprint chunk-level
+    * dedup keys on, replayable in any engine.
+    *
+    * Scale: pure projection + one generator fan (sequence/posexplode —
+    * no literal arrays, the pair-fan discipline); no shuffle at all.
+    * Downstream dedup shuffles once on the fingerprint. */
+  def tokenChunks(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window; got window=$window stride=$stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("kmax", expr(
+        s"(greatest(n - $window, 0) + ${stride - 1}) div $stride"))
+      .select(col(idCol), col("toks"), col("n"),
+        posexplode_outer(sequence(lit(0), col("kmax")))
+          .as(Seq("__p", "k")))
+      .withColumn("start", col("k") * stride)
+      .withColumn("n_tokens",
+        least(lit(window), col("n") - col("start")).cast("long"))
+      .select(col(idCol), col("k").cast("long").as("chunk_id"),
+        col("n_tokens"),
+        md5(array_join(slice(col("toks"), col("start") + 1,
+          col("n_tokens").cast("int")), " ").cast("binary"))
+          .as("chunk_md5"))
+  }
+
   def buildVocab(docs: DataFrame, textCol: String = "text",
       minCount: Long = 2L): DataFrame = {
     val tok = docs.select(explode(tokens(col(textCol))).as("token"))

@@ -3215,6 +3215,59 @@ object TextDedup extends QueryModule {
         src_a, src_b, inter, CAST(uni AS BIGINT) AS uni, jaccard
       FROM j ORDER BY jaccard DESC, src_a, src_b LIMIT 15"""))
 
+  // --- q344: RAG-STYLE TOKEN CHUNKING — fixed 64-token windows at
+  // stride 48 (16-token overlap), the retrieval-index splitter. Pure
+  // projection + one generator fan (no shuffle); the md5 fingerprint
+  // is the downstream dedup key. The oracle replays every chunk bound
+  // and fingerprint from the same tokenisation. ------------------------
+  private val q344 = Q("q344_token_chunks",
+    (s, dir) => graft.pipeline.TrainingData.tokenChunks(
+      Tables(s, dir, "documents"), window = 64, stride = 48),
+    Some(s"""WITH t AS ($tokCte),
+      p AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        WHERE len(toks) > 0),
+      k AS (SELECT doc_id, toks, n, unnest(range(0,
+          (CASE WHEN n - 64 > 0 THEN n - 64 ELSE 0 END + 47) // 48 + 1))
+          AS k
+        FROM p)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        CAST(LEAST(64, n - k * 48) AS BIGINT) AS n_tokens,
+        md5(array_to_string(
+          toks[CAST(k * 48 + 1 AS INT) :
+               CAST(k * 48 + LEAST(64, n - k * 48) AS INT)], ' '))
+          AS chunk_md5
+      FROM k"""))
+
+  // --- q345: CHUNK-LEVEL EXACT DEDUP — shared 64-token chunks across
+  // documents (the retrieval-corpus variant of line dedup: an index
+  // stores each repeated chunk once). ONE shuffle on the content
+  // fingerprint; counters only. -----------------------------------------
+  private val q345 = Q("q345_chunk_dedup",
+    (s, dir) => graft.pipeline.TrainingData.tokenChunks(
+        Tables(s, dir, "documents"), window = 64, stride = 48)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_chunks") > 1),
+    Some(s"""WITH t AS ($tokCte),
+      p AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        WHERE len(toks) > 0),
+      k AS (SELECT doc_id, toks, n, unnest(range(0,
+          (CASE WHEN n - 64 > 0 THEN n - 64 ELSE 0 END + 47) // 48 + 1))
+          AS k
+        FROM p),
+      c AS (SELECT doc_id,
+          md5(array_to_string(
+            toks[CAST(k * 48 + 1 AS INT) :
+                 CAST(k * 48 + LEAST(64, n - k * 48) AS INT)], ' '))
+            AS chunk_md5
+        FROM k)
+      SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS keeper_doc
+      FROM c GROUP BY chunk_md5 HAVING COUNT(*) > 1"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
@@ -3222,7 +3275,7 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304, q314, q315, q316, q320, q330, q331, q334)
+      q304, q314, q315, q316, q320, q330, q331, q334, q344, q345)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two

