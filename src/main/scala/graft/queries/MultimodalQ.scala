@@ -984,8 +984,67 @@ object MultimodalQ extends QueryModule {
         CAST(SUM(x * x) AS BIGINT) AS sum_sq
       FROM v GROUP BY doc_id"""))
 
+  // --- q349: MIXED-MEDIA CENSUS — ONE pass of the router over a
+  // four-lane corpus (PNG images, PCM WAVs, FLAC, MP3 streams split by
+  // doc_id % 4): every lane decodes GENUINELY (ImageIO / javax.sound /
+  // the pure-JVM FLAC codec / the MPEG header walk) and the oracle
+  // replays every per-document feature from the fixture formulas — the
+  // end-to-end proof the audio router's fallback chain (WAV → FLAC →
+  // MP3 → stub) picks the right codec per payload. Shuffle-free. --------
+  private val q349 = Q("q349_media_mix",
+    (s, dir) => {
+      val img = Multimodal.syntheticImageTable(s, dir)
+        .filter(col("doc_id") % 4 === 0)
+      val wav = Multimodal.syntheticWavTable(s, dir)
+        .filter(col("doc_id") % 4 === 1)
+      val flac = Multimodal.syntheticFlacTable(s, dir)
+        .filter(col("doc_id") % 4 === 2)
+      val mp3 = Multimodal.syntheticMp3Table(s, dir)
+        .filter(col("doc_id") % 4 === 3)
+      Multimodal.decodeAll(
+          img.unionByName(wav).unionByName(flac).unionByName(mp3))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames"), col("brightness"))
+    },
+    Some("""WITH fl AS (SELECT doc_id,
+          sqrt(CAST(SUM(x * x) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+            AS rms
+        FROM (SELECT doc_id, n,
+            abs((doc_id * 31 + 13 * i) % 8190 - 4095) - 2048 AS x
+          FROM (SELECT doc_id,
+              CAST(doc_id % 300 + 200 AS BIGINT) AS n,
+              unnest(range(0, doc_id % 300 + 200)) AS i
+            FROM documents WHERE doc_id % 4 = 2))
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 4 = 0 THEN 'image' ELSE 'audio' END
+          AS media_type,
+        CAST(CASE d.doc_id % 4
+          WHEN 0 THEN d.doc_id % 24 + 8
+          WHEN 1 THEN 8000 + (d.doc_id % 3) * 4000
+          WHEN 2 THEN 8000 + (d.doc_id % 3) * 4000
+          ELSE ([44100, 48000, 32000])[CAST(d.doc_id % 3 AS INT) + 1]
+          END AS INT) AS width,
+        CAST(CASE WHEN d.doc_id % 4 = 0 THEN (d.doc_id * 3) % 24 + 8
+          ELSE 1 END AS INT) AS height,
+        CAST(CASE d.doc_id % 4
+          WHEN 0 THEN 1
+          WHEN 1 THEN d.doc_id % 400 + 100
+          WHEN 2 THEN d.doc_id % 300 + 200
+          ELSE d.doc_id % 200 + 40
+          END AS INT) AS n_frames,
+        CASE d.doc_id % 4
+          WHEN 0 THEN CAST((d.doc_id * 37) % 256 AS DOUBLE)
+          WHEN 1 THEN CAST(abs((d.doc_id * 31) % 2048 - 1024) AS DOUBLE)
+          WHEN 2 THEN fl.rms
+          ELSE CAST(([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+            224, 256, 320])[CAST(d.doc_id % 14 AS INT) + 1] AS DOUBLE)
+          END AS brightness
+      FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
-      q311, q317, q319, q323, q329, q340, q341, q342, q343)
+      q311, q317, q319, q323, q329, q340, q341, q342, q343, q349)
 }

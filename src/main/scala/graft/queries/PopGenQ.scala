@@ -1625,6 +1625,57 @@ object PopGenQ extends QueryModule {
           END AS r2
       FROM agg"""))
 
+  // --- q348: PRIVATE ALLELES per population (the classic diversity
+  // partition next to Fst/joint-SFS: how many comparable sites carry
+  // alt mass in ONLY one population) — exact integer classification
+  // per variant over pairwise-callable sites, one chrom-keyed
+  // aggregate, zero joins. -----------------------------------------------
+  private val q348 = Q("q348_private_alleles",
+    (s, dir) => {
+      val v = SynthGeno.variants(s, dir)
+        .select(col("chrom"), dosageAlt(col("geno")).as("d"))
+      def alt(r: Range) = r.map(i =>
+        coalesce(element_at(col("d"), i + 1), lit(0L))).reduce(_ + _)
+      def called(r: Range) = r.map(i =>
+        when(element_at(col("d"), i + 1).isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _)
+      v.withColumn("a0", alt(0 until N / 2))
+        .withColumn("a1", alt(N / 2 until N))
+        .withColumn("c0", called(0 until N / 2))
+        .withColumn("c1", called(N / 2 until N))
+        .filter(col("c0") > 0 && col("c1") > 0)
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when(col("a0") > 0 && col("a1") === 0, 1L).otherwise(0L))
+            .as("private_p0"),
+          sum(when(col("a1") > 0 && col("a0") === 0, 1L).otherwise(0L))
+            .as("private_p1"),
+          sum(when(col("a0") > 0 && col("a1") > 0, 1L).otherwise(0L))
+            .as("shared_poly"),
+          sum(when(col("a0") === 0 && col("a1") === 0, 1L).otherwise(0L))
+            .as("mono"))
+    },
+    Some(withCte(s"""SELECT chrom,
+        CAST(COUNT(*) AS BIGINT) AS n_sites,
+        CAST(SUM(CASE WHEN a0 > 0 AND a1 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS private_p0,
+        CAST(SUM(CASE WHEN a1 > 0 AND a0 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS private_p1,
+        CAST(SUM(CASE WHEN a0 > 0 AND a1 > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS shared_poly,
+        CAST(SUM(CASE WHEN a0 = 0 AND a1 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS mono
+      FROM (SELECT chrom,
+          CAST(COALESCE(list_sum(list_filter(d[1:${N / 2}],
+            x -> x IS NOT NULL)), 0) AS BIGINT) AS a0,
+          CAST(COALESCE(list_sum(list_filter(d[${N / 2 + 1}:$N],
+            x -> x IS NOT NULL)), 0) AS BIGINT) AS a1,
+          len(list_filter(d[1:${N / 2}], x -> x IS NOT NULL)) AS c0,
+          len(list_filter(d[${N / 2 + 1}:$N], x -> x IS NOT NULL)) AS c1
+        FROM (SELECT chrom, $dSql AS d FROM variants))
+      WHERE c0 > 0 AND c1 > 0
+      GROUP BY chrom""")))
+
   // --- phasing SWITCH-ERROR rate (the phasing-tool benchmark metric —
   // Browning 2011): the truth callset's per-sample haplotype
   // orientations vs a deterministically perturbed re-phasing (flip at
@@ -2434,5 +2485,5 @@ object PopGenQ extends QueryModule {
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
-      q284, q285, q286, q312, q324, q327, q328, q332, q333, q336)
+      q284, q285, q286, q312, q324, q327, q328, q332, q333, q336, q348)
 }

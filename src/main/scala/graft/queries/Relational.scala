@@ -3450,6 +3450,92 @@ object Relational extends QueryModule {
           AS stickiness
       FROM dau JOIN wau USING (wk)"""))
 
+  // --- q346: HALF-LIFE ENGAGEMENT DECAY — per user, Σ value·2^(−age)
+  // over all events (age in whole days from the corpus horizon, one-day
+  // half-life, capped at 29). The EXACT form: cents·2^(29−age) are
+  // BIGINTs (powers of two commute with the 2-decimal grid), summed
+  // associatively, ONE double division at the end — the
+  // order-dependent Σ(double·pow) a naive scorer writes can never
+  // hash-match. One user-keyed exchange; horizon is a broadcast 1-row
+  // aggregate. ----------------------------------------------------------
+  private val q346 = Q("q346_decay_engagement",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val horizon = broadcast(ev.agg(
+        expr("max(ts div 86400000000000)").as("d_now")))
+      ev.crossJoin(horizon)
+        .withColumn("age",
+          least(col("d_now") - expr("ts div 86400000000000"), lit(29L)))
+        .withColumn("w", expr(
+          "cast(round(value * 100) as bigint) * " +
+            "shiftleft(cast(1 as bigint), cast(29 - age as int))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w")).as("scaled"))
+        .withColumn("score",
+          col("scaled").cast("double") / lit((1L << 29) * 100.0))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events),
+      h AS (SELECT MAX(t // 86400000000000) AS d_now FROM ev),
+      a AS (SELECT user_id,
+          LEAST(d_now - t // 86400000000000, 29) AS age,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM ev, h)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST(29 - age AS INT)))
+          AS BIGINT) AS scaled,
+        CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST(29 - age AS INT)))
+          AS DOUBLE) / (536870912.0 * 100.0) AS score
+      FROM a GROUP BY user_id"""))
+
+  // --- q347: LAST-TOUCH ATTRIBUTION — each purchase attributes to the
+  // user's LATEST preceding view within a 7-day horizon, the canonical
+  // as-of-join workload on the events surface. Rides the AsOfJoin
+  // operator's union + one running last(ignoreNulls) window per user —
+  // ONE shuffle, no range join, no row explosion (SURVEY §2.4 engine
+  // extra; the (user, ts) pairs are verified tie-free in this corpus,
+  // the operator's uniqueness precondition). ------------------------------
+  private val q347 = Q("q347_last_touch",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+      val j = graft.operators.AsOfJoin.lastPrior(
+        purchases, col("user_id"), col("p_ts"),
+        views, col("user_id"), col("ts"),
+        Seq("view_id" -> col("event_id"), "view_ts" -> col("ts")))
+      val in7d = col("view_ts").isNotNull &&
+        col("p_ts") - col("view_ts") <= lit(7L * 86400000000000L)
+      j.select(col("purchase_id"), col("user_id"),
+        when(in7d, col("view_id")).as("attributed_view"),
+        when(in7d, expr("(p_ts - view_ts) div 1000000")).as("gap_ms"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS t,
+          event_type FROM events),
+      u AS (SELECT user_id, t, 1 AS side, event_id AS pid,
+          CAST(NULL AS BIGINT) AS vid
+        FROM ev WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, t, 0, CAST(NULL AS BIGINT), event_id
+        FROM ev WHERE event_type = 'view'),
+      w AS (SELECT user_id, t, side, pid,
+          last_value(vid IGNORE NULLS) OVER win AS lv,
+          last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+            OVER win AS lvt
+        FROM u WINDOW win AS (PARTITION BY user_id ORDER BY t, side
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT pid AS purchase_id, user_id,
+        CASE WHEN lv IS NOT NULL AND t - lvt <= 604800000000000
+          THEN lv END AS attributed_view,
+        CASE WHEN lv IS NOT NULL AND t - lvt <= 604800000000000
+          THEN (t - lvt) // 1000000 END AS gap_ms
+      FROM w WHERE side = 1"""))
+
   override def queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07,
     q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q138,
     q139, q140, q154, q158, q194, q198, q202, q205, q214, q215, q217,
@@ -3457,5 +3543,5 @@ object Relational extends QueryModule {
     q244, q246, q249, q250, q251, q252, q253, q254, q257, q259, q260,
     q265, q269, q270, q272, q273, q282, q283, q288, q289, q290, q292,
     q294, q295, q296, q297, q300, q309, q310, q313, q318, q321, q322,
-    q325, q326, q339)
+    q325, q326, q339, q346, q347)
 }

@@ -768,4 +768,35 @@ class PlanSpec extends AnyFunSuite {
       s"no partial map-side aggregate below the bucket exchange:\n$p")
     assert(below.contains("FileScan"), p)
   }
+
+  test("q340/q341: FLAC decode lanes are shuffle-free partition maps") {
+    for (q <- Seq("q340_flac_decode", "q341_flac_vad")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
+  test("q344: token chunking is a pure generator fan — no exchange") {
+    val p = plan("q344_token_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), "the chunk fan must be a generator")
+  }
+
+  test("q345: chunk dedup shuffles on the fingerprint only — no join") {
+    val p = plan("q345_chunk_dedup")
+    assert(!p.contains("Join"), p)
+    // distinct-count aggregates plan as two keyed exchanges at most
+    // ((md5, doc) then (md5)); anything more is a regression
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q347: as-of attribution is ONE user-keyed window exchange") {
+    val p = plan("q347_last_touch")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(p).size == 1, p)
+  }
 }

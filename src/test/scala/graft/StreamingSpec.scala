@@ -485,6 +485,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FLAC decode == batch over a binary payload stream") {
+    import spark.implicits._
+    import graft.operators.{Flac, Multimodal}
+    // the compressed-audio lane is a stateless partition map, so it
+    // must run unchanged under structured streaming (the readStream →
+    // decode → writeStream ingestion shape); one corrupt payload is
+    // spliced in and must drop on BOTH paths
+    val rows = (0L until 20L).map { id =>
+      val n = (id % 50 + 30).toInt
+      val payload =
+        if (id == 13L) Array[Byte]('f', 'L', 'a', 'C', 9, 9)
+        else Flac.encode(Flac.fixtureWaveform(id, n), 8000)
+      Multimodal.MediaRow(id, "audio", payload)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeFlacAll(stream.toDS())
+      .writeStream.format("memory").queryName("flac_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(10)); q.processAllAvailable()
+      stream.addData(rows.drop(10)); q.processAllAvailable()
+      val got = spark.table("flac_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .sorted.toSeq
+      val batch = Multimodal.decodeFlacAll(
+          spark.createDataset(rows)).collect()
+        .map(f => (f.doc_id, f.n_frames, f.sum_sq)).sorted.toSeq
+      assert(got == batch)
+      assert(!got.exists(_._1 == 13L), "corrupt payload must drop")
+      assert(got.size == 19)
+    } finally q.stop()
+  }
+
   test("stateful funnel: appended (user, step) rows == the batch " +
       "funnel across a micro-batch boundary, ties resolved by event_id") {
     import spark.implicits._
