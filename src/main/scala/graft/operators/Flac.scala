@@ -183,17 +183,27 @@ object Flac {
   }
 
   // =====================================================================
-  // Encoder (mono, 16-bit, FIXED order-2 + Rice partition order 0)
+  // Encoder (16-bit mono/stereo; FIXED order-2 and LPC order-1
+  // subframes + Rice partition order 0; stereo frames rotate through
+  // independent, left/side, and mid/side decorrelation so every decode
+  // of a stereo fixture exercises all three reconstruction paths)
   // =====================================================================
 
-  /** Encode 16-bit mono PCM as a real FLAC stream. `blockSize` frames
-    * per FLAC frame (any 16 ≤ b ≤ 65535). */
+  /** Encode 16-bit PCM (channel-interleaved for `channels` = 2) as a
+    * real FLAC stream. `blockSize` frames per FLAC frame (16–65535).
+    * Every third frame codes its subframes as order-1 LPC (coefficient
+    * 1, shift 0 — numerically FIXED-1 but through the LPC wire format),
+    * the rest as FIXED order 2; stereo frames additionally rotate the
+    * channel assignment (independent → left/side → mid/side). */
   def encode(samples: Array[Int], sampleRateHz: Int,
-      blockSize: Int = 256): Array[Byte] = {
+      blockSize: Int = 256, channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels $channels")
+    require(samples.length % channels == 0, "ragged interleave")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
     require(sampleRateHz > 0 && sampleRateHz < (1 << 20), "sample rate")
     samples.foreach(s => require(s >= -32768 && s <= 32767,
       s"sample $s out of 16-bit range"))
+    val total = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO (last-metadata flag set, type 0, length 34)
@@ -204,16 +214,16 @@ object Flac {
     si.writeBits(0L, 24) // min frame size unknown
     si.writeBits(0L, 24) // max frame size unknown
     si.writeBits(sampleRateHz.toLong, 20)
-    si.writeBits(0L, 3)  // channels - 1 (mono)
+    si.writeBits((channels - 1).toLong, 3)
     si.writeBits(15L, 5) // bits per sample - 1
-    si.writeBits(samples.length.toLong, 36)
+    si.writeBits(total.toLong, 36)
     (0 until 16).foreach(_ => si.writeBits(0L, 8)) // MD5 unset
     out.write(si.toBytes)
     var frameNo = 0L
     var off = 0
-    while (off < samples.length) {
-      val n = math.min(blockSize, samples.length - off)
-      out.write(encodeFrame(samples, off, n, frameNo))
+    while (off < total) {
+      val n = math.min(blockSize, total - off)
+      out.write(encodeFrame(samples, off, n, frameNo, channels))
       off += n
       frameNo += 1
     }
@@ -221,14 +231,23 @@ object Flac {
   }
 
   private def encodeFrame(samples: Array[Int], off: Int, n: Int,
-      frameNo: Long): Array[Byte] = {
+      frameNo: Long, channels: Int): Array[Byte] = {
+    val useLpc = n > 1 && frameNo % 3 == 2
+    // stereo mode rotation; mono stays assignment 0
+    val chanAsn =
+      if (channels == 1) 0x0
+      else (frameNo % 3) match {
+        case 0 => 0x1 // two independent channels
+        case 1 => 0x8 // left/side
+        case _ => 0xa // mid/side
+      }
     val w = new BitWriter
     w.writeBits(0x3ffeL, 14) // sync
     w.writeBits(0L, 1)       // reserved
     w.writeBits(0L, 1)       // fixed-blocksize strategy
     w.writeBits(0x7L, 4)     // block size: 16-bit (n-1) at header end
     w.writeBits(0x0L, 4)     // sample rate: from STREAMINFO
-    w.writeBits(0x0L, 4)     // channel assignment: mono
+    w.writeBits(chanAsn.toLong, 4)
     w.writeBits(0x4L, 3)     // sample size: 16 bit
     w.writeBits(0L, 1)       // reserved
     writeUtf8Num(w, frameNo)
@@ -238,28 +257,94 @@ object Flac {
     val w2 = new BitWriter
     headNoCrc.foreach(b => w2.writeBits((b & 0xff).toLong, 8))
     w2.writeBits(h8.toLong, 8)
-    // subframe: FIXED order 2 when the block is long enough, else order 0
-    val order = if (n > 2) 2 else 0
-    w2.writeBits(0L, 1)                      // zero pad
-    w2.writeBits((0x08 + order).toLong, 6)   // FIXED subframe type
-    w2.writeBits(0L, 1)                      // no wasted bits
-    var i = 0
-    while (i < order) { // warmup, 16 bits each (signed)
-      w2.writeBits((samples(off + i) & 0xffff).toLong, 16)
-      i += 1
+    // channel data (decorrelated for the stereo assignments)
+    val chans: Seq[(Array[Int], Int)] =
+      if (channels == 1) {
+        val m = new Array[Int](n)
+        var i = 0
+        while (i < n) { m(i) = samples(off + i); i += 1 }
+        Seq((m, 16))
+      } else {
+        val l = new Array[Int](n)
+        val r = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          l(i) = samples(2 * (off + i))
+          r(i) = samples(2 * (off + i) + 1)
+          i += 1
+        }
+        chanAsn match {
+          case 0x1 => Seq((l, 16), (r, 16))
+          case 0x8 => // left/side: side = l - r, 17 bit
+            val s = new Array[Int](n)
+            i = 0; while (i < n) { s(i) = l(i) - r(i); i += 1 }
+            Seq((l, 16), (s, 17))
+          case _ => // mid/side: mid = (l + r) >> 1 (floor), side = l - r
+            val m = new Array[Int](n)
+            val s = new Array[Int](n)
+            i = 0
+            while (i < n) {
+              m(i) = (l(i) + r(i)) >> 1; s(i) = l(i) - r(i); i += 1
+            }
+            Seq((m, 16), (s, 17))
+        }
+      }
+    chans.foreach { case (data, bps) =>
+      writeSubframe(w2, data, bps, useLpc)
     }
-    // residuals r[i] = s[i] - 2 s[i-1] + s[i-2] (order 2) / raw (order 0)
-    val res = new Array[Int](n - order)
-    i = order
-    while (i < n) {
-      res(i - order) =
-        if (order == 2)
-          samples(off + i) - 2 * samples(off + i - 1) + samples(off + i - 2)
-        else samples(off + i)
-      i += 1
+    val body = w2.toBytes // alignByte pads subframe tail to the byte edge
+    val c16 = crc16(body, 0, body.length)
+    val outw = new java.io.ByteArrayOutputStream()
+    outw.write(body, 0, body.length)
+    outw.write((c16 >> 8) & 0xff); outw.write(c16 & 0xff)
+    outw.toByteArray
+  }
+
+  private def writeSubframe(w2: BitWriter, data: Array[Int], bps: Int,
+      useLpc: Boolean): Unit = {
+    val n = data.length
+    val mask = (1L << bps) - 1
+    if (useLpc && n > 1) {
+      // LPC order 1, coefficient 1, shift 0: prediction = previous
+      // sample — numerically FIXED order 1, but through the LPC wire
+      // format (precision/shift/coef fields + the Σcoef·hist >> shift
+      // reconstruction), so fixtures exercise the decoder's LPC path
+      w2.writeBits(0L, 1)        // zero pad
+      w2.writeBits(32L, 6)       // LPC, order (32 | (order-1)) = 32
+      w2.writeBits(0L, 1)        // no wasted bits
+      w2.writeBits(data(0).toLong & mask, bps) // warmup
+      w2.writeBits(3L, 4)        // qlp precision - 1 (= 4 bits)
+      w2.writeBits(0L, 5)        // shift 0
+      w2.writeBits(1L, 4)        // coefficient +1 (4-bit signed)
+      val res = new Array[Int](n - 1)
+      var i = 1
+      while (i < n) { res(i - 1) = data(i) - data(i - 1); i += 1 }
+      writeRice(w2, res)
+    } else {
+      val order = if (n > 2) 2 else 0
+      w2.writeBits(0L, 1)                      // zero pad
+      w2.writeBits((0x08 + order).toLong, 6)   // FIXED subframe type
+      w2.writeBits(0L, 1)                      // no wasted bits
+      var i = 0
+      while (i < order) { // warmup, bps bits each (signed)
+        w2.writeBits(data(i).toLong & mask, bps)
+        i += 1
+      }
+      val res = new Array[Int](n - order)
+      i = order
+      while (i < n) {
+        res(i - order) =
+          if (order == 2) data(i) - 2 * data(i - 1) + data(i - 2)
+          else data(i)
+        i += 1
+      }
+      writeRice(w2, res)
     }
-    // Rice method 00 (4-bit params), partition order 0, one parameter:
-    // smallest k minimizing the coded size (cap 14 — 15 is the escape)
+  }
+
+  /** Rice method 00 (4-bit params), partition order 0, one parameter:
+    * smallest k minimizing the coded size (cap 14 — 15 is escape). */
+  private def writeRice(w2: BitWriter, res: Array[Int]): Unit = {
     var bestK = 0
     var bestBits = Long.MaxValue
     var k = 0
@@ -277,24 +362,17 @@ object Flac {
     w2.writeBits(0L, 2)            // residual method 00
     w2.writeBits(0L, 4)            // partition order 0
     w2.writeBits(bestK.toLong, 4)  // rice parameter
-    i = 0
+    var i = 0
     while (i < res.length) {
       val u = zigzag(res(i))
       val q = (u >>> bestK).toInt
       if (q > (1 << 20)) throw new IllegalStateException("rice blowup")
-      val wtr = w2
       var r = q
-      while (r >= 32) { wtr.writeBits(0L, 32); r -= 32 }
-      wtr.writeBits(1L, r + 1)
-      wtr.writeBits(u & ((1L << bestK) - 1), bestK)
+      while (r >= 32) { w2.writeBits(0L, 32); r -= 32 }
+      w2.writeBits(1L, r + 1)
+      w2.writeBits(u & ((1L << bestK) - 1), bestK)
       i += 1
     }
-    val body = w2.toBytes // alignByte pads subframe tail to the byte edge
-    val c16 = crc16(body, 0, body.length)
-    val outw = new java.io.ByteArrayOutputStream()
-    outw.write(body, 0, body.length)
-    outw.write((c16 >> 8) & 0xff); outw.write(c16 & 0xff)
-    outw.toByteArray
   }
 
   private def zigzag(r: Int): Long = {
@@ -596,6 +674,20 @@ object Flac {
     val a = new Array[Int](n)
     var i = 0
     while (i < n) { a(i) = fixtureSample(id, i.toLong); i += 1 }
+    a
+  }
+
+  /** Stereo fixture: left = waveform(id), right = waveform(id + 7),
+    * interleaved — two phase-shifted triangles, so the side channel
+    * (L − R) is small and the decorrelated modes genuinely help. */
+  def fixtureWaveformStereo(id: Long, n: Int): Array[Int] = {
+    val a = new Array[Int](2 * n)
+    var i = 0
+    while (i < n) {
+      a(2 * i) = fixtureSample(id, i.toLong)
+      a(2 * i + 1) = fixtureSample(id + 7, i.toLong)
+      i += 1
+    }
     a
   }
 }

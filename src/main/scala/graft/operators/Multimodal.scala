@@ -400,6 +400,23 @@ object Multimodal {
       })
   }
 
+  /** Stereo twin of [[syntheticFlacTable]]: interleaved L/R triangle
+    * pair, frames rotating through independent / left-side / mid-side
+    * channel assignments — every decode exercises all three stereo
+    * reconstruction paths against the closed-form oracle. */
+  def syntheticFlacStereoTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 250 + 150).toInt
+        MediaRow(id, "audio",
+          Flac.encode(Flac.fixtureWaveformStereo(id, n),
+            sampleRateHz = 16000, blockSize = 64, channels = 2))
+      })
+  }
+
   /** Partition-batched REAL FLAC decode — the [[decodeAudioAll]]
     * contract over the compressed path: non-FLAC / corrupt payloads
     * drop (reject-don't-guess). `n_bytes` is the compressed payload

@@ -1043,8 +1043,36 @@ object MultimodalQ extends QueryModule {
           END AS brightness
       FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id"""))
 
+  // --- q350: STEREO FLAC — the channel-decorrelation decode paths
+  // (independent, left/side, mid/side — the encoder rotates per
+  // frame, so every document exercises all three) against the exact
+  // two-channel energy oracle. Lossless stereo ⇒ Σ L² + R² replays
+  // from the two closed-form waveforms. ---------------------------------
+  private val q350 = Q("q350_flac_stereo",
+    (s, dir) => Multimodal.decodeFlacAll(
+        Multimodal.syntheticFlacStereoTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("channels"), col("sum_sq"), col("rms")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 250 + 150 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      v AS (SELECT doc_id, n,
+          abs((doc_id * 31 + 13 * i) % 8190 - 4095) - 2048 AS xl,
+          abs(((doc_id + 7) * 31 + 13 * i) % 8190 - 4095) - 2048 AS xr
+        FROM w)
+      SELECT doc_id,
+        CAST(MAX(n) AS BIGINT) AS n_frames,
+        CAST(16000 AS INT) AS sample_rate,
+        CAST(2 AS INT) AS channels,
+        CAST(SUM(xl * xl + xr * xr) AS BIGINT) AS sum_sq,
+        sqrt(CAST(SUM(xl * xl + xr * xr) AS DOUBLE)
+          / CAST(MAX(n) * 2 AS DOUBLE)) AS rms
+      FROM v GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
-      q311, q317, q319, q323, q329, q340, q341, q342, q343, q349)
+      q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
+      q350)
 }

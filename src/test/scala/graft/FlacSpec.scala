@@ -66,6 +66,40 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo round-trip through ALL THREE decorrelation modes " +
+      "(independent, left/side, mid/side rotate per frame)") {
+    for (id <- Seq(0L, 5L, 42L)) {
+      val n = 200 // blockSize 64 → 4 frames → every mode exercised
+      val s = Flac.fixtureWaveformStereo(id, n)
+      val d = Flac.decode(Flac.encode(s, 16000, blockSize = 64,
+        channels = 2))
+      assert(d.isDefined, s"id=$id stereo failed to decode")
+      assert(d.get.channels == 2 && d.get.totalSamples == n)
+      assert(d.get.pcm.toSeq == s.toSeq, s"stereo PCM mismatch id=$id")
+    }
+  }
+
+  test("mid/side reconstruction is exact on odd sums and negatives") {
+    // adjacent samples with odd L+R force the (mid<<1)|(side&1) parity
+    // recovery; blockSize 16 with 48 samples → frame 2 is mid/side
+    val l = Array(-3, 5, -32768, 32767, 0, 1) ++ (0 until 42).map(i =>
+      (i * 7 % 65) - 32)
+    val r = Array(4, -5, 32767, -32768, 1, 0) ++ (0 until 42).map(i =>
+      (i * 11 % 63) - 31)
+    val inter = l.zip(r).flatMap { case (a, b) => Seq(a, b) }.toArray
+    val d = Flac.decode(Flac.encode(inter, 8000, blockSize = 16,
+      channels = 2)).get
+    assert(d.pcm.toSeq == inter.toSeq)
+  }
+
+  test("the LPC subframe path round-trips (every 3rd frame is LPC)") {
+    // 5 frames at blockSize 16: frames 2 (LPC), others FIXED — a
+    // decode defect in the LPC branch breaks sample equality here
+    val s = Flac.fixtureWaveform(33L, 80)
+    val d = Flac.decode(Flac.encode(s, 8000, blockSize = 16)).get
+    assert(d.pcm.toSeq == s.toSeq)
+  }
+
   test("multi-byte UTF-8 frame numbers decode (>=128 frames)") {
     val n = 16 * 150 // 150 frames at the minimum block size
     val s = Flac.fixtureWaveform(5L, n)
@@ -141,6 +175,9 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(flac).get.pcm.toSeq == s.toSeq)
   }
 
+  // repinned round 9 second wave: the encoder gained the LPC frame
+  // rotation (every 3rd frame through the LPC wire format) — a
+  // conscious wire change; the decoded PCM is pinned unchanged above
   private val GOLDEN_SHA =
-    "b3bed59665394d3d04cfbcb207ce703a2f62af5a5527d8da0883879dd3c8e8da"
+    "a65c7d51e350557216c14a3e9b175b323dd06420f1d319d8b63184cefdf55820"
 }
