@@ -1,0 +1,239 @@
+package graft.operators
+
+/** REAL video decode: RIFF/AVI container parse (public Microsoft
+  * VFW format) with genuinely-decoded frame PIXELS — the "video frame
+  * pixels remain the stub" slice of the media gap, closed for the two
+  * codecs a JVM CAN decode:
+  *
+  *  - `DIB ` streams (`00db` chunks, BI_RGB 24-bit bottom-up rows):
+  *    lossless raw pixels → the brightness of every frame replays
+  *    EXACTLY in a SQL oracle;
+  *  - `MJPG` streams (`00dc` chunks, one baseline JPEG per frame):
+  *    decoded through the JDK's own ImageIO — real DCT pixel decode;
+  *    dimensions/frame counts are oracle-exact, pixel values are
+  *    codec-defined and spec-gated (JPEG is lossy).
+  *
+  * Parsing follows the fMP4 discipline: every untrusted chunk size is
+  * bounds-checked against the enclosing container BEFORE any
+  * allocation; truncated containers reject, unknown chunks skip.
+  */
+object Avi {
+
+  final case class AviMeta(width: Int, height: Int, fpsNum: Int,
+      fpsDen: Int, nFrames: Int, handler: String)
+
+  /** Parse an AVI payload: (meta, per-frame chunk bytes in stream
+    * order). None on non-AVI / truncated / oversized-chunk input. */
+  def parse(payload: Array[Byte])
+      : Option[(AviMeta, Vector[Array[Byte]])] = {
+    if (payload == null || payload.length < 12) return None
+    def u8(i: Int) = payload(i) & 0xff
+    def fourcc(i: Int) = new String(payload, i, 4, "ISO-8859-1")
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = 0; var height = 0; var fpsNum = 0; var fpsDen = 0
+    var nFrames = 0; var handler = ""
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk(start, end): chunk sequence inside [start, end)
+    def walk(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourcc(pos)
+        val sz = u32(pos + 4)
+        if (sz < 0 || pos + 8 + sz > end) return false // bounds first
+        val body = pos + 8
+        val bodyEnd = body + sz.toInt
+        id match {
+          case "LIST" =>
+            if (sz < 4) return false
+            // list type occupies the first 4 body bytes
+            if (!walk(body + 4, bodyEnd)) return false
+          case "avih" =>
+            if (sz < 56) return false
+            nFrames = u32(body + 16).toInt
+            width = u32(body + 32).toInt
+            height = u32(body + 36).toInt
+          case "strh" =>
+            if (sz < 48) return false
+            if (fourcc(body) == "vids") {
+              handler = fourcc(body + 4)
+              fpsDen = u32(body + 20).toInt // dwScale
+              fpsNum = u32(body + 24).toInt // dwRate
+            }
+          case _ if id.length == 4 &&
+              id.take(2).forall(_.isDigit) &&
+              (id.substring(2) == "db" || id.substring(2) == "dc") =>
+            val f = new Array[Byte](sz.toInt)
+            System.arraycopy(payload, body, f, 0, sz.toInt)
+            frames += f
+          case _ => () // strf/idx1/JUNK/… skipped
+        }
+        pos = bodyEnd + (sz.toInt & 1) // chunks pad to even
+      }
+      true
+    }
+    if (!walk(12, payload.length)) return None
+    if (width <= 0 || height <= 0 || nFrames < 0) return None
+    val fs = frames.result()
+    if (fs.length != nFrames) return None // header/stream mismatch
+    Some((AviMeta(width, height, fpsNum, fpsDen, nFrames, handler), fs))
+  }
+
+  /** Exact mean brightness of a BI_RGB 24-bit bottom-up DIB frame —
+    * Σ(r+g+b) / (3·w·h), the [[Multimodal.decodeImage]] convention.
+    * None when the frame size does not match the geometry. */
+  def dibBrightness(frame: Array[Byte], w: Int, h: Int)
+      : Option[Double] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    if (frame.length != rowBytes * h) return None
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val row = y * rowBytes
+      while (x < w) {
+        s += (frame(row + 3 * x) & 0xff) +
+          (frame(row + 3 * x + 1) & 0xff) +
+          (frame(row + 3 * x + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(s.toDouble / (3.0 * w * h))
+  }
+
+  /** Decode an MJPG frame's dimensions + mean brightness through
+    * ImageIO (real JPEG DCT decode). None on undecodable bytes. */
+  def mjpegFrame(frame: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some((img.getWidth, img.getHeight,
+      s.toDouble / (3.0 * img.getWidth * img.getHeight)))
+  }
+
+  // ---- container writer (fixtures) ------------------------------------
+
+  /** Assemble a minimal single-video-stream AVI around pre-encoded
+    * frame chunks (`dib = true` → `00db`, else `00dc`). */
+  def write(frames: Seq[Array[Byte]], w: Int, h: Int, fpsNum: Int,
+      fpsDen: Int, handler: String, dib: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      tag(id); w32(body.length.toLong)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    // avih
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(if (fpsNum > 0) (1000000L * fpsDen / fpsNum).toInt
+      else 0)                      // dwMicroSecPerFrame
+    avih.putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames.length)     // dwTotalFrames
+    avih.putInt(0)
+    avih.putInt(1)                 // dwStreams
+    avih.putInt(0)
+    avih.putInt(w).putInt(h)
+    avih.putInt(0).putInt(0).putInt(0).putInt(0)
+    // strh
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    "vids".foreach(c => strh.put(c.toByte))
+    handler.foreach(c => strh.put(c.toByte))
+    strh.putInt(0).putShort(0).putShort(0).putInt(0)
+    strh.putInt(fpsDen)            // dwScale
+    strh.putInt(fpsNum)            // dwRate
+    strh.putInt(0)
+    strh.putInt(frames.length)     // dwLength
+    strh.putInt(0).putInt(-1).putInt(0)
+    strh.putShort(0).putShort(0).putShort(w.toShort)
+      .putShort(h.toShort)
+    // strf (BITMAPINFOHEADER)
+    val rowBytes = (w * 3 + 3) & ~3
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    if (dib) strf.putInt(0) // BI_RGB
+    else "MJPG".foreach(c => strf.put(c.toByte))
+    strf.putInt(rowBytes * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    // assemble: RIFF( hdrl(avih, strl(strh, strf)), movi(frames...) )
+    def listBody(tpe: String, parts: Seq[(String, Array[Byte])])
+        : Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      tpe.foreach(c => b.write(c))
+      parts.foreach { case (id, body) =>
+        id.foreach(c => b.write(c))
+        val sz = body.length
+        b.write(sz & 0xff); b.write((sz >> 8) & 0xff)
+        b.write((sz >> 16) & 0xff); b.write((sz >> 24) & 0xff)
+        b.write(body, 0, sz)
+        if ((sz & 1) == 1) b.write(0)
+      }
+      b.toByteArray
+    }
+    val strl = listBody("strl",
+      Seq("strh" -> strh.array(), "strf" -> strf.array()))
+    val hdrl = listBody("hdrl",
+      Seq("avih" -> avih.array(), "LIST" -> strl))
+    val fid = if (dib) "00db" else "00dc"
+    val movi = listBody("movi", frames.map(f => fid -> f))
+    tag("RIFF")
+    val riffBody = 4 + (8 + hdrl.length + (hdrl.length & 1)) +
+      (8 + movi.length + (movi.length & 1))
+    w32(riffBody.toLong)
+    tag("AVI ")
+    chunk("LIST", hdrl)
+    chunk("LIST", movi)
+    out.toByteArray
+  }
+
+  /** Solid-fill 24-bit bottom-up DIB frame (rows padded to 4 bytes). */
+  def solidDib(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val f = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w * 3) { f(y * rowBytes + x) = gray.toByte; x += 1 }
+      y += 1
+    }
+    f
+  }
+
+  /** Solid-fill JPEG frame via ImageIO (the MJPG fixture). */
+  def solidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+/** REAL lossy-audio decode: ITU-T G.711 µ-law (the PSTN/telephony
+  * codec; public spec, a pure integer expansion) — unlike the DCT
+  * codecs the JDK lacks, µ-law's decode is a closed-form per-byte
+  * formula, so a SQL oracle replays the EXPANDED waveform exactly:
+  *
+  *   x = ~b & 0xff;  e = (x >> 4) & 7;  m = x & 15
+  *   mag = ((m·8 + 132) << e) − 132;   sample = sign(x) ? −mag : mag
+  *
+  * Payloads travel as real RIFF/WAVE containers with wFormatTag = 7
+  * (WAVE_FORMAT_MULAW, 8 bits/sample) and are parsed by a bounds-
+  * checked chunk walk (the fMP4 discipline: untrusted sizes verify
+  * against the enclosing container BEFORE any allocation; truncated
+  * or non-µ-law payloads reject).
+  */
+object G711 {
+
+  /** µ-law byte (0–255) → 16-bit linear sample. */
+  def ulawToLinear(b: Int): Int = {
+    val x = ~b & 0xff
+    val e = (x >> 4) & 7
+    val m = x & 15
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((x & 0x80) != 0) -mag else mag
+  }
+
+  /** Parsed µ-law stream: frame count, rate, channels, exact integer
+    * Σ expanded-sample² (the SQL-replayable energy term). */
+  final case class UlawStream(nFrames: Long, sampleRate: Int,
+      channels: Int, sumSq: Long)
+
+  /** Decode a RIFF/WAVE µ-law (format tag 7, 8-bit) payload. None on
+    * anything else — truncation, non-RIFF, PCM/other codecs. */
+  def decodeUlawWav(payload: Array[Byte]): Option[UlawStream] = {
+    if (payload == null || payload.length < 12) return None
+    def u8(i: Int) = payload(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var ok = false
+    var sumSq = 0L
+    var n = 0L
+    var sawData = false
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "ISO-8859-1")
+      val sz = u32(pos + 4)
+      // untrusted size: bounds-check against the container BEFORE use
+      if (sz < 0 || pos + 8 + sz > payload.length) return None
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val tag = u16(body)
+          channels = u16(body + 2)
+          rate = u32(body + 4).toInt
+          val bits = u16(body + 14)
+          ok = tag == 7 && bits == 8 && channels >= 1
+        case "data" =>
+          if (!ok) return None // fmt must precede data and be µ-law
+          sawData = true
+          var i = 0
+          while (i < sz) {
+            val s = ulawToLinear(u8(body + i))
+            sumSq += s.toLong * s
+            i += 1
+          }
+          n += sz
+        case _ => () // skip LIST/fact/etc.
+      }
+      pos = body + sz.toInt + (sz.toInt & 1) // chunks pad to even
+    }
+    if (ok && sawData && rate > 0) Some(UlawStream(n / channels, rate,
+      channels, sumSq))
+    else None
+  }
+
+  /** Fixture: a real µ-law WAV whose byte stream is the closed form
+    * `(id·13 + i·7) mod 256` — every expanded sample replays in SQL
+    * through the µ-law formula. */
+  def syntheticUlawWav(id: Long, nFrames: Int,
+      sampleRateHz: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      data(i) = ((id * 13 + i.toLong * 7) % 256).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    val dataSz = nFrames + (nFrames & 1)
+    w32(4 + 8 + 18 + 8 + dataSz)
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    w32(18)         // µ-law fmt chunks carry cbSize (= 0)
+    w16(7)          // WAVE_FORMAT_MULAW
+    w16(1)          // mono
+    w32(sampleRateHz.toLong)
+    w32(sampleRateHz.toLong) // byte rate (1 byte/sample)
+    w16(1)          // block align
+    w16(8)          // bits per sample
+    w16(0)          // cbSize
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    w32(nFrames.toLong)
+    out.write(data, 0, nFrames)
+    if ((nFrames & 1) == 1) out.write(0) // even padding
+    out.toByteArray
+  }
+}

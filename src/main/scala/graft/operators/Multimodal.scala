@@ -482,6 +482,117 @@ object Multimodal {
     }
   }
 
+  // ---- G.711 µ-law + AVI lanes (round 9): REAL lossy-audio expansion
+  // and REAL video-frame pixels — see [[G711]] and [[Avi]] -------------
+
+  final case class UlawFeature(doc_id: Long, n_frames: Long,
+      sample_rate: Int, sum_sq: Long, rms: Double)
+
+  /** Real-µ-law table: one RIFF/WAVE format-7 stream per document,
+    * byte stream a closed form of (doc_id, i). */
+  def syntheticUlawTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio",
+          G711.syntheticUlawWav(id, (id % 350 + 150).toInt, 8000))
+      })
+  }
+
+  /** Partition-batched REAL µ-law decode (non-µ-law payloads drop). */
+  def decodeUlawAll(media: Dataset[MediaRow]): Dataset[UlawFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      G711.decodeUlawWav(r.payload).map { u =>
+        UlawFeature(r.doc_id, u.nFrames, u.sampleRate, u.sumSq,
+          if (u.nFrames == 0) 0.0
+          else math.sqrt(u.sumSq.toDouble /
+            (u.nFrames.toDouble * u.channels)))
+      }
+    })
+  }
+
+  /** Uncompressed-DIB AVI table: per document, `id%12+4` solid-fill
+    * frames whose gray, geometry, and fps are doc_id formulas. */
+  def syntheticAviTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = ((id % 6) * 4 + 16).toInt
+        val h = ((id % 5) * 4 + 12).toInt
+        val nf = (id % 12 + 4).toInt
+        val frames = (0 until nf).map(f =>
+          Avi.solidDib(w, h, ((id * 37 + f * 11) % 256).toInt))
+        MediaRow(id, "video", Avi.write(frames, w, h,
+          fpsNum = ((id % 3) + 1).toInt * 10, fpsDen = 1,
+          handler = "DIB ", dib = true))
+      })
+  }
+
+  final case class AviFrameRow(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, fps_num: Int, n_frames: Int,
+      brightness: Double)
+
+  /** REAL per-frame pixel decode over DIB AVI payloads — one row per
+    * frame with its exact mean brightness; undecodable payloads or
+    * geometry-mismatched frames drop. */
+  def decodeAviFramesAll(media: Dataset[MediaRow])
+      : Dataset[AviFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Avi.parse(r.payload).toSeq.flatMap { case (m, frames) =>
+        frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+          Avi.dibBrightness(f, m.width, m.height).map(b =>
+            AviFrameRow(r.doc_id, i, m.width, m.height, m.fpsNum,
+              m.nFrames, b))
+        }
+      }
+    })
+  }
+
+  /** Motion-JPEG AVI table (real ImageIO-encoded JPEG frames). */
+  def syntheticMjpegTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = ((id % 4) * 8 + 16).toInt
+        val h = ((id % 3) * 8 + 16).toInt
+        val nf = (id % 6 + 2).toInt
+        val frames = (0 until nf).map(f =>
+          Avi.solidJpeg(w, h, ((id * 53 + f * 17) % 256).toInt))
+        MediaRow(id, "video", Avi.write(frames, w, h,
+          fpsNum = 24, fpsDen = 1, handler = "MJPG", dib = false))
+      })
+  }
+
+  final case class MjpegMetaRow(doc_id: Long, n_frames: Int,
+      n_decoded: Int, width: Int, height: Int, fps_num: Int)
+
+  /** MJPEG decode census: every frame runs through ImageIO's REAL
+    * JPEG decoder; the row carries the container frame count, how
+    * many frames actually decoded, and the decoded dimensions of the
+    * first frame (JPEG preserves geometry exactly; pixel values are
+    * lossy and spec-gated, so the oracle surface here is the exact
+    * part). */
+  def decodeMjpegAll(media: Dataset[MediaRow]): Dataset[MjpegMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Avi.parse(r.payload).map { case (m, frames) =>
+        val decoded = frames.flatMap(Avi.mjpegFrame)
+        val (w, h) = decoded.headOption.map(d => (d._1, d._2))
+          .getOrElse((0, 0))
+        MjpegMetaRow(r.doc_id, m.nFrames, decoded.length, w, h,
+          m.fpsNum)
+      }
+    })
+  }
+
   // --- MPEG-audio (MP3 family) metadata: a real pure-JVM frame-header
   // walk. The JDK has no MP3 payload decoder, but the frame HEADER
   // layout is public (ISO/IEC 11172-3 §2.4.1.3 for MPEG-1, 13818-3 for

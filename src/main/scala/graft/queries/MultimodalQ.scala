@@ -1070,9 +1070,83 @@ object MultimodalQ extends QueryModule {
           / CAST(MAX(n) * 2 AS DOUBLE)) AS rms
       FROM v GROUP BY doc_id"""))
 
+  // --- q351: REAL LOSSY-audio decode — ITU-T G.711 µ-law expansion
+  // from genuine RIFF format-7 containers. Unlike the DCT codecs the
+  // JDK lacks, µ-law decode is a pure-integer closed form, so the
+  // oracle replays every expanded sample: a wrong complement, exponent
+  // shift, or bias breaks the hash. ------------------------------------
+  private val q351 = Q("q351_ulaw_decode",
+    (s, dir) => Multimodal.decodeUlawAll(
+        Multimodal.syntheticUlawTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("sum_sq"), col("rms")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 350 + 150 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      v AS (SELECT doc_id, n,
+          255 - ((doc_id * 13 + i * 7) % 256) AS x
+        FROM w),
+      e AS (SELECT doc_id, n,
+          CASE WHEN x >= 128 THEN -mag ELSE mag END AS s
+        FROM (SELECT doc_id, n, x,
+            ((x % 16) * 8 + 132)
+              * (CAST(1 AS BIGINT) << CAST((x // 16) % 8 AS INT))
+              - 132 AS mag
+          FROM v))
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        sqrt(CAST(SUM(s * s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+          AS rms
+      FROM e GROUP BY doc_id"""))
+
+  // --- q352: REAL VIDEO-frame PIXEL decode — RIFF/AVI containers with
+  // uncompressed 24-bit DIB frames, parsed by the bounds-checked chunk
+  // walk and decoded pixel-by-pixel: one row per frame with its EXACT
+  // mean brightness (lossless raw video ⇒ the full per-frame pixel
+  // statistic replays in SQL — the slice of "video pixels are stubbed"
+  // a JVM can genuinely close). Shuffle-free. ---------------------------
+  private val q352 = Q("q352_avi_frames",
+    (s, dir) => Multimodal.decodeAviFramesAll(
+        Multimodal.syntheticAviTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"),
+        col("height"), col("fps_num"), col("n_frames"),
+        col("brightness")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST((doc_id % 6) * 4 + 16 AS INT) AS w,
+          CAST((doc_id % 5) * 4 + 12 AS INT) AS h,
+          CAST(doc_id % 12 + 4 AS BIGINT) AS nf,
+          CAST((doc_id % 3 + 1) * 10 AS INT) AS fps
+        FROM documents)
+      SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
+        h AS height, fps AS fps_num, CAST(nf AS INT) AS n_frames,
+        CAST((doc_id * 37 + f * 11) % 256 AS DOUBLE) AS brightness
+      FROM (SELECT doc_id, w, h, nf, fps, unnest(range(0, nf)) AS f
+        FROM p)"""))
+
+  // --- q353: MOTION-JPEG census — every frame of a real MJPG AVI runs
+  // through ImageIO's JPEG decoder (genuine DCT pixel decode; the
+  // lossy pixel VALUES are spec-gated in AviSpec, geometry and decode
+  // counts are exact and oracle-gated here). ----------------------------
+  private val q353 = Q("q353_avi_mjpeg",
+    (s, dir) => Multimodal.decodeMjpegAll(
+        Multimodal.syntheticMjpegTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_decoded"),
+        col("width"), col("height"), col("fps_num")),
+    Some("""SELECT doc_id,
+        CAST(doc_id % 6 + 2 AS INT) AS n_frames,
+        CAST(doc_id % 6 + 2 AS INT) AS n_decoded,
+        CAST((doc_id % 4) * 8 + 16 AS INT) AS width,
+        CAST((doc_id % 3) * 8 + 16 AS INT) AS height,
+        CAST(24 AS INT) AS fps_num
+      FROM documents"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
-      q350)
+      q350, q351, q352, q353)
 }

@@ -777,6 +777,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q351/q352/q353: µ-law and AVI lanes are shuffle-free") {
+    for (q <- Seq("q351_ulaw_decode", "q352_avi_frames",
+        "q353_avi_mjpeg")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
   test("q344: token chunking is a pure generator fan — no exchange") {
     val p = plan("q344_token_chunks")
     assert(!p.contains("Exchange"), p)
