@@ -3268,6 +3268,53 @@ object TextDedup extends QueryModule {
         MIN(doc_id) AS keeper_doc
       FROM c GROUP BY chunk_md5 HAVING COUNT(*) > 1"""))
 
+  // --- q354: SENTENCE-LEVEL cross-document dedup — the CCNet/C4
+  // granularity between per-doc line dedup (q99) and 64-token chunk
+  // dedup (q345): sentences split on [.!?]+ runs (no lookbehind —
+  // RE2-safe), normalized by trim, fingerprinted, counted across the
+  // corpus. ONE shuffle on the sentence fingerprint; boilerplate
+  // sentences surface as high-count rows. -------------------------------
+  private val q354 = Q("q354_sentence_dedup",
+    (s, dir) => {
+      // the corpus has no naturally repeated sentences, so the q99
+      // discipline applies: splice the boilerplate a real crawl
+      // carries (every doc gets the subscribe line; odd docs a legal
+      // footer) and the dedup must surface EXACTLY those
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("Subscribe to our newsletter. "),
+          col("text"),
+          when(col("doc_id") % 2 === 1,
+            lit(". All rights reserved.")).otherwise(lit("")))
+          .as("text"))
+      val sent = d
+        .select(col("doc_id"), explode(filter(
+          transform(split(col("text"), "[.!?]+"), t => trim(t)),
+          t => t =!= "")).as("sentence"))
+      sent.groupBy(md5(col("sentence").cast("binary")).as("sent_md5"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          min(length(col("sentence"))).as("sent_len"))
+        .filter(col("n_occurrences") > 1)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          'Subscribe to our newsletter. ' || text ||
+            CASE WHEN doc_id % 2 = 1 THEN '. All rights reserved.'
+              ELSE '' END AS text
+        FROM documents),
+      s AS (SELECT doc_id, trim(se) AS sentence
+        FROM (SELECT doc_id,
+            unnest(string_split_regex(text, '[.!?]+')) AS se
+          FROM d)
+        WHERE trim(se) <> '')
+      SELECT md5(sentence) AS sent_md5,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS first_doc,
+        CAST(MIN(len(sentence)) AS INT) AS sent_len
+      FROM s GROUP BY md5(sentence) HAVING COUNT(*) > 1"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
@@ -3275,7 +3322,7 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304, q314, q315, q316, q320, q330, q331, q334, q344, q345)
+      q304, q314, q315, q316, q320, q330, q331, q334, q344, q345, q354)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two
