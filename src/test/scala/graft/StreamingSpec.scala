@@ -518,6 +518,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming µ-law + AVI decode == batch (stateless decode lanes)") {
+    import spark.implicits._
+    import graft.operators.{Avi, G711, Multimodal}
+    val ulaw = (0L until 12L).map(id => Multimodal.MediaRow(id, "audio",
+      G711.syntheticUlawWav(id, (id % 40 + 20).toInt, 8000)))
+    val avis = (100L until 110L).map { id =>
+      val frames = (0 until 3).map(f =>
+        Avi.solidDib(16, 12, ((id + f * 11) % 256).toInt))
+      Multimodal.MediaRow(id, "video",
+        Avi.write(frames, 16, 12, 30, 1, "DIB ", dib = true))
+    }
+    val su = MemoryStream[Multimodal.MediaRow](spark)
+    val qu = Multimodal.decodeUlawAll(su.toDS())
+      .writeStream.format("memory").queryName("ulaw_out")
+      .outputMode(OutputMode.Append()).start()
+    val sa = MemoryStream[Multimodal.MediaRow](spark)
+    val qa = Multimodal.decodeAviFramesAll(sa.toDS())
+      .writeStream.format("memory").queryName("avi_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      su.addData(ulaw.take(6)); qu.processAllAvailable()
+      su.addData(ulaw.drop(6)); qu.processAllAvailable()
+      sa.addData(avis); qa.processAllAvailable()
+      val gotU = spark.table("ulaw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sorted.toSeq
+      val batchU = Multimodal.decodeUlawAll(spark.createDataset(ulaw))
+        .collect().map(f => (f.doc_id, f.n_frames, f.sum_sq))
+        .sorted.toSeq
+      assert(gotU == batchU && gotU.size == 12)
+      val gotA = spark.table("avi_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(6)))
+        .sorted.toSeq
+      val batchA = Multimodal.decodeAviFramesAll(
+          spark.createDataset(avis)).collect()
+        .map(f => (f.doc_id, f.frame_idx, f.brightness)).sorted.toSeq
+      assert(gotA == batchA && gotA.size == 30)
+    } finally { qu.stop(); qa.stop() }
+  }
+
   test("stateful funnel: appended (user, step) rows == the batch " +
       "funnel across a micro-batch boundary, ties resolved by event_id") {
     import spark.implicits._
