@@ -514,6 +514,35 @@ object Multimodal {
     })
   }
 
+  final case class AdpcmFeature(doc_id: Long, n_frames: Long,
+      sample_rate: Int, sum_sq: Long, rms: Double)
+
+  /** IMA-ADPCM table: the triangle waveform through the REAL
+    * sequential quantizer ([[ImaAdpcm.encode]], blockAlign 68). */
+  def syntheticAdpcmTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 260 + 120).toInt
+        MediaRow(id, "audio", ImaAdpcm.encode(
+          Flac.fixtureWaveform(id, n), 8000, blockAlign = 68))
+      })
+  }
+
+  /** Partition-batched REAL IMA-ADPCM decode (reject-don't-guess). */
+  def decodeAdpcmAll(media: Dataset[MediaRow]): Dataset[AdpcmFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      ImaAdpcm.decode(r.payload).map { a =>
+        AdpcmFeature(r.doc_id, a.nFrames, a.sampleRate, a.sumSq,
+          if (a.nFrames == 0) 0.0
+          else math.sqrt(a.sumSq.toDouble / a.nFrames.toDouble))
+      }
+    })
+  }
+
   /** Uncompressed-DIB AVI table: per document, `id%12+4` solid-fill
     * frames whose gray, geometry, and fps are doc_id formulas. */
   def syntheticAviTable(spark: SparkSession, dir: String)

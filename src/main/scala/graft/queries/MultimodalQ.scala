@@ -1144,9 +1144,93 @@ object MultimodalQ extends QueryModule {
         CAST(24 AS INT) AS fps_num
       FROM documents"""))
 
+  // --- q355: REAL SEQUENTIAL lossy-audio decode — IMA/DVI ADPCM (WAV
+  // tag 0x11). The codec is a stateful predictive quantizer, yet every
+  // step is integer arithmetic over the published 89-entry step table,
+  // so the oracle replays the ENTIRE encoder/decoder state trajectory
+  // with a RECURSIVE CTE from the closed-form input waveform — an
+  // exact hash gate over a genuinely sequential decode (predictor
+  // clamping, index walk, block-header reseeding and all). -------------
+  private val q355 = Q("q355_adpcm_decode",
+    (s, dir) => Multimodal.decodeAdpcmAll(
+        Multimodal.syntheticAdpcmTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("sum_sq"), col("rms")),
+    Some("""WITH RECURSIVE
+      tabs AS (SELECT
+        [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+         34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+         130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+         408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+         1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+         3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+         8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+         20350, 22385, 24623, 27086, 29794, 32767] AS steps,
+        [-1, -1, -1, -1, 2, 4, 6, 8] AS itab),
+      p AS (SELECT doc_id, CAST(doc_id % 260 + 120 AS BIGINT) AS n
+        FROM documents),
+      st AS (
+        SELECT doc_id, n, CAST(0 AS BIGINT) AS j,
+          CAST(abs((doc_id * 31) % 8190 - 4095) - 2048 AS BIGINT)
+            AS pred,
+          CAST(0 AS BIGINT) AS idx,
+          CAST((abs((doc_id * 31) % 8190 - 4095) - 2048)
+            * (abs((doc_id * 31) % 8190 - 4095) - 2048) AS BIGINT)
+            AS acc
+        FROM p
+        UNION ALL
+        SELECT doc_id, n, j + 1,
+          CASE WHEN blkstart THEN x
+            ELSE GREATEST(-32768, LEAST(32767,
+              pred + CASE WHEN sign THEN -diff ELSE diff END)) END,
+          CASE WHEN blkstart THEN idx
+            ELSE GREATEST(0, LEAST(88, idx
+              + itab[(CASE WHEN b4 THEN 4 ELSE 0 END
+                + CASE WHEN b2 THEN 2 ELSE 0 END
+                + CASE WHEN b1 THEN 1 ELSE 0 END) + 1])) END,
+          acc + (CASE WHEN blkstart THEN x
+            ELSE GREATEST(-32768, LEAST(32767,
+              pred + CASE WHEN sign THEN -diff ELSE diff END)) END)
+            * (CASE WHEN blkstart THEN x
+            ELSE GREATEST(-32768, LEAST(32767,
+              pred + CASE WHEN sign THEN -diff ELSE diff END)) END)
+        FROM (
+          SELECT doc_id, n, j, pred, idx, acc, x, blkstart, sign,
+            s // 8 + CASE WHEN b4 THEN s ELSE 0 END
+              + CASE WHEN b2 THEN s // 2 ELSE 0 END
+              + CASE WHEN b1 THEN s // 4 ELSE 0 END AS diff,
+            b4, b2, b1, itab
+          FROM (
+            SELECT *,
+              d2 - CASE WHEN d2 >= s // 2 THEN s // 2 ELSE 0 END
+                >= s // 4 AS b1,
+              d2 >= s // 2 AS b2
+            FROM (
+              SELECT *,
+                d1 - CASE WHEN d1 >= s THEN s ELSE 0 END AS d2,
+                d1 >= s AS b4
+              FROM (
+                SELECT st.doc_id, st.n, st.j, st.pred, st.idx, st.acc,
+                  x, blkstart, x - st.pred < 0 AS sign,
+                  abs(x - st.pred) AS d1,
+                  steps[CAST(st.idx AS INT) + 1] AS s, itab
+                FROM (
+                  SELECT *,
+                    CAST(abs((doc_id * 31 + 13 * (j + 1)) % 8190
+                      - 4095) - 2048 AS BIGINT) AS x,
+                    (j + 1) % 129 = 0 AS blkstart
+                  FROM st WHERE j + 1 < n) st, tabs))))),
+      fin AS (SELECT doc_id, n, acc FROM st WHERE j = n - 1)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(acc AS BIGINT) AS sum_sq,
+        sqrt(CAST(acc AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+      FROM fin"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
-      q350, q351, q352, q353)
+      q350, q351, q352, q353, q355)
 }

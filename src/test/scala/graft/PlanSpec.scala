@@ -779,7 +779,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q351/q352/q353: µ-law and AVI lanes are shuffle-free") {
     for (q <- Seq("q351_ulaw_decode", "q352_avi_frames",
-        "q353_avi_mjpeg")) {
+        "q353_avi_mjpeg", "q355_adpcm_decode")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       assert(!p.contains("Join"), s"$q joins:\n$p")
