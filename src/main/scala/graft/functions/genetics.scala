@@ -48,6 +48,29 @@ object genetics {
     Bridge.column(graft.functions.expressions.F2Carriers(
       Bridge.expression(d)))
 
+  /** [n, Σx, Σx², Σw, Σwx, Σw²] over called samples of a dosage array
+    * with per-sample BIGINT weights — ONE literal-array child, O(1)
+    * plan nodes at any cohort width (see
+    * [[graft.functions.expressions.DosageWeightedStats]]). */
+  def dosageWeightedStats(d: Column, w: Seq[Long]): Column =
+    Bridge.column(graft.functions.expressions.DosageWeightedStats(
+      Bridge.expression(d), Bridge.expression(lit(w.toArray))))
+
+  /** Two-weight sufficient statistics [n, Σx, Σx², Σw₁, Σw₁x, Σw₁²,
+    * Σw₂, Σw₂x, Σw₂², Σw₁w₂] — the covariate-GWAS normal-equation
+    * inputs ([[graft.functions.expressions.DosageTwoWeightStats]]). */
+  def dosageTwoWeightStats(d: Column, w1: Seq[Long], w2: Seq[Long]): Column =
+    Bridge.column(graft.functions.expressions.DosageTwoWeightStats(
+      Bridge.expression(d), Bridge.expression(lit(w1.toArray)),
+      Bridge.expression(lit(w2.toArray))))
+
+  /** Per-mask Σ w·coalesce(x, 0) — K weighted contrasts in one pass
+    * ([[graft.functions.expressions.DosageMaskedSums]]). */
+  def dosageMaskedSums(d: Column, masks: Seq[Seq[Long]]): Column =
+    Bridge.column(graft.functions.expressions.DosageMaskedSums(
+      Bridge.expression(d),
+      Bridge.expression(typedLit[Seq[Seq[Long]]](masks))))
+
   /** All allele calls of a variant, ploidy-flattened. */
   def flatAlleles(geno: Column): Column = flatten(geno)
 

@@ -957,21 +957,18 @@ object PopGen {
     * zero shuffles. */
   def trendTest(v: DataFrame, isCase: Seq[Boolean],
       carry: Seq[String] = Nil): DataFrame = {
-    val nSamples = isCase.length
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
-    val r = sumOver(s =>
-      when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
-    val sx = sumOver(s => coalesce(d(s), lit(0L)))
-    val sxc = sumOver(s =>
-      when(lit(isCase(s)), coalesce(d(s), lit(0L))).otherwise(0L))
-    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    // ONE fused kernel call — the per-sample loop lives in generated
+    // code, not the plan (the cohort-width unrolled-reduce class is an
+    // analyzer blow-up at biobank width; see DosageWeightedStats)
+    val st = graft.functions.genetics.dosageWeightedStats(col("d"),
+      isCase.map(c => if (c) 1L else 0L))
     v.select(col("vid") +: col("d") +: carry.map(col): _*)
-      .withColumn("n", n).withColumn("r", r)
-      .withColumn("sx", sx).withColumn("sx_case", sxc)
-      .withColumn("sxx", sxx)
+      .withColumn("__st", st)
+      .withColumn("n", element_at(col("__st"), 1))
+      .withColumn("r", element_at(col("__st"), 4))
+      .withColumn("sx", element_at(col("__st"), 2))
+      .withColumn("sx_case", element_at(col("__st"), 5))
+      .withColumn("sxx", element_at(col("__st"), 3))
       .withColumn("u", col("n") * col("sx_case") - col("r") * col("sx"))
       .withColumn("v_i",
         col("r") * (col("n") - col("r"))
@@ -1003,15 +1000,16 @@ object PopGen {
   /** Per-slot haplotype alt indicators: one entry per (sample, ploidy)
     * slot — 1/0 for an alt/ref allele on a PHASED sample, null when the
     * sample is unphased or the allele missing (phase-unknown slots
-    * carry no haplotype information). Statically unrolled, stays in
-    * codegen. */
+    * carry no haplotype information). ONE fused kernel call — O(1)
+    * plan nodes at any cohort width (`nSamples` is retained for
+    * signature compatibility; the loop reads the array's own length). */
   def hapAlt(geno: Column, phased: Column, nSamples: Int,
       ploidy: Int = 2): Column =
-    array((for (s <- 0 until nSamples; p <- 0 until ploidy) yield {
-      val a = element_at(element_at(geno, s + 1), p + 1)
-      when(element_at(phased, s + 1) && a.isNotNull,
-        (a =!= 0).cast("long"))
-    }): _*)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.HapAltExpr(
+        org.apache.spark.sql.graft.Bridge.expression(geno),
+        org.apache.spark.sql.graft.Bridge.expression(phased),
+        org.apache.spark.sql.graft.Bridge.expression(lit(ploidy))))
 
   /** Lewontin D′ over PHASED haplotypes for every in-window variant
     * pair: with haplotype counts n (slots called at both variants),
@@ -1620,18 +1618,13 @@ object PopGen {
   }
 
   def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {
-    val nSamples = y.length
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
-    val sx = sumOver(s => coalesce(d(s), lit(0L)))
-    val sy = sumOver(s => when(d(s).isNotNull, lit(y(s))).otherwise(0L))
-    val sxy = sumOver(s => coalesce(d(s) * y(s), lit(0L)))
-    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
-    val syy = sumOver(s =>
-      when(d(s).isNotNull, lit(y(s) * y(s))).otherwise(0L))
+    // fused kernel (see trendTest): [n, sx, sxx, sy, sxy, syy]
+    def st(i: Int) = element_at(col("__st"), i)
+    val (n, sx, sxx, sy, sxy, syy) =
+      (st(1), st(2), st(3), st(4), st(5), st(6))
     v.select(col("vid"), col("d"))
+      .withColumn("__st",
+        graft.functions.genetics.dosageWeightedStats(col("d"), y))
       .withColumn("n", n)
       .withColumn("num", n * sxy - sx * sy)
       .withColumn("vx", n * sxx - sx * sx)
@@ -1658,27 +1651,18 @@ object PopGen {
     * narrow projection per variant at any cohort width. */
   def linRegCovScore(v: DataFrame, y: Seq[Long], z: Seq[Long]): DataFrame = {
     require(y.length == z.length, "y and z must have one entry per sample")
-    val nSamples = y.length
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
-    val sg = sumOver(s => coalesce(d(s), lit(0L)))
-    val sz = sumOver(s => when(d(s).isNotNull, lit(z(s))).otherwise(0L))
-    val sy = sumOver(s => when(d(s).isNotNull, lit(y(s))).otherwise(0L))
-    val sgg = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
-    val sgz = sumOver(s => coalesce(d(s) * z(s), lit(0L)))
-    val sgy = sumOver(s => coalesce(d(s) * y(s), lit(0L)))
-    val szz = sumOver(s =>
-      when(d(s).isNotNull, lit(z(s) * z(s))).otherwise(0L))
-    val szy = sumOver(s =>
-      when(d(s).isNotNull, lit(z(s) * y(s))).otherwise(0L))
+    // fused two-weight kernel (see trendTest): [n, sg, sgg, sy, sgy,
+    // syy, sz, sgz, szz, szy]
+    def st(i: Int) = element_at(col("__st"), i)
     v.select(col("vid"), col("d"))
-      .withColumn("n", n)
-      .withColumn("sg", sg).withColumn("sz", sz).withColumn("sy", sy)
-      .withColumn("sgg", sgg).withColumn("sgz", sgz)
-      .withColumn("sgy", sgy).withColumn("szz", szz)
-      .withColumn("szy", szy)
+      .withColumn("__st",
+        graft.functions.genetics.dosageTwoWeightStats(col("d"), y, z))
+      .withColumn("n", st(1))
+      .withColumn("sg", st(2)).withColumn("sz", st(7))
+      .withColumn("sy", st(4))
+      .withColumn("sgg", st(3)).withColumn("sgz", st(8))
+      .withColumn("sgy", st(5)).withColumn("szz", st(9))
+      .withColumn("szy", st(10))
       // det of A = X'X with X = [1 g z]; then Cramer column swaps
       .withColumn("det_a",
         col("n") * (col("sgg") * col("szz") - col("sgz") * col("sgz"))

