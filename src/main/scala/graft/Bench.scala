@@ -94,7 +94,10 @@ object Bench {
     // aggregate counters can only hint at.
     def keyJson(rows: Seq[(String, Long, Long)]): String =
       rows.map { case (k, h, m) =>
-        s""""$k":{"hits":$h,"misses":$m}"""
+        // labels embed carry/id/text column names — escape so an
+        // unusual name can't emit invalid JSON in the artifact
+        val esc = k.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$esc":{"hits":$h,"misses":$m}"""
       }.mkString("{", ",", "}")
     val ldKeys = keyJson(graft.operators.LdWindow.sharedTelemetryByKey)
     val ddKeys = keyJson(

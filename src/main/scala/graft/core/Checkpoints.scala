@@ -32,8 +32,11 @@ object Checkpoints {
   /** Truncate `df`'s lineage per the session's checkpoint mode. */
   def truncate[T](df: Dataset[T]): Dataset[T] = {
     val spark = df.sparkSession
-    val reliable =
-      spark.conf.getOption(ReliableKey).exists(_.trim.toBoolean)
+    // case-insensitive compare (not String.toBoolean): a malformed
+    // value falls back to local mode instead of surfacing an opaque
+    // IllegalArgumentException that never names the config key
+    val reliable = spark.conf.getOption(ReliableKey)
+      .exists(_.trim.equalsIgnoreCase("true"))
     if (reliable) {
       require(spark.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true requires sparkContext.setCheckpointDir(…)")

@@ -62,7 +62,11 @@ object Avi {
               fpsNum = u32(body + 24).toInt // dwRate
             }
           case _ if id.length == 4 &&
-              id.take(2).forall(_.isDigit) &&
+              // single-video-stream subset: only stream 00's frame
+              // chunks count (a second stream's 'NN'db/dc would
+              // otherwise mis-attribute toward avih's cross-stream
+              // total and trip the count check)
+              id.take(2) == "00" &&
               (id.substring(2) == "db" || id.substring(2) == "dc") =>
             val f = new Array[Byte](sz.toInt)
             System.arraycopy(payload, body, f, 0, sz.toInt)

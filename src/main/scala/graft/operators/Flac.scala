@@ -434,6 +434,9 @@ object Flac {
         pos = next
       }
       if (total != 0L && got != total) return None
+      // reject-don't-guess both ways: truncation rejects above, and
+      // trailing unconsumed bytes after the last frame reject here
+      if (total != 0L && pos < payload.length) return None
       var size = 0
       pcm.forEach(a => size += a.length)
       val all = new Array[Int](size)

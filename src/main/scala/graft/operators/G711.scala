@@ -81,6 +81,116 @@ object G711 {
     else None
   }
 
+  // ---- A-law (the µ-law sibling: ITU-T G.711 §3, WAVE_FORMAT_ALAW
+  // tag 6) — same per-byte closed form family, sign convention
+  // INVERTED vs µ-law (a set sign bit is POSITIVE) and a 0x55 toggle
+  // instead of full complement:
+  //
+  //   x = b ^ 0x55;  e = (x >> 4) & 7;  m = x & 15
+  //   mag = e == 0 ? m·16 + 8 : (m·16 + 264) << (e − 1)
+  //   sample = (x & 0x80) ? mag : −mag
+  // --------------------------------------------------------------------
+
+  /** A-law byte (0–255) → 13-bit-magnitude linear sample. */
+  def alawToLinear(b: Int): Int = {
+    val x = b ^ 0x55
+    val e = (x >> 4) & 7
+    val m = x & 15
+    val mag =
+      if (e == 0) (m << 4) + 8
+      else ((m << 4) + 0x108) << (e - 1)
+    if ((x & 0x80) != 0) mag else -mag
+  }
+
+  /** Decode a RIFF/WAVE A-law (format tag 6, 8-bit) payload — the
+    * [[decodeUlawWav]] walk with the tag-6 expansion. None on
+    * truncation, non-RIFF, or any other codec. */
+  def decodeAlawWav(payload: Array[Byte]): Option[UlawStream] = {
+    if (payload == null || payload.length < 12) return None
+    def u8(i: Int) = payload(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var pos = 12
+    var rate = 0
+    var channels = 0
+    var ok = false
+    var sumSq = 0L
+    var n = 0L
+    var sawData = false
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "ISO-8859-1")
+      val sz = u32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > payload.length) return None
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val tag = u16(body)
+          channels = u16(body + 2)
+          rate = u32(body + 4).toInt
+          val bits = u16(body + 14)
+          ok = tag == 6 && bits == 8 && channels >= 1
+        case "data" =>
+          if (!ok) return None // fmt must precede data and be A-law
+          sawData = true
+          var i = 0
+          while (i < sz) {
+            val s = alawToLinear(u8(body + i))
+            sumSq += s.toLong * s
+            i += 1
+          }
+          n += sz
+        case _ => ()
+      }
+      pos = body + sz.toInt + (sz.toInt & 1)
+    }
+    if (ok && sawData && rate > 0) Some(UlawStream(n / channels, rate,
+      channels, sumSq))
+    else None
+  }
+
+  /** Fixture: a real A-law WAV, byte stream `(id·17 + i·11) mod 256`. */
+  def syntheticAlawWav(id: Long, nFrames: Int,
+      sampleRateHz: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      data(i) = ((id * 17 + i.toLong * 11) % 256).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    val dataSz = nFrames + (nFrames & 1)
+    w32(4 + 8 + 18 + 8 + dataSz)
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    w32(18)
+    w16(6)          // WAVE_FORMAT_ALAW
+    w16(1)          // mono
+    w32(sampleRateHz.toLong)
+    w32(sampleRateHz.toLong)
+    w16(1)
+    w16(8)
+    w16(0)
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    w32(nFrames.toLong)
+    out.write(data, 0, nFrames)
+    if ((nFrames & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   /** Fixture: a real µ-law WAV whose byte stream is the closed form
     * `(id·13 + i·7) mod 256` — every expanded sample replays in SQL
     * through the µ-law formula. */

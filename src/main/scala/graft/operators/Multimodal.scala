@@ -514,8 +514,62 @@ object Multimodal {
     })
   }
 
+  /** Real-A-law table: RIFF/WAVE format-6 streams, byte stream a
+    * closed form of (doc_id, i) — the µ-law twin (tag 6 vs 7). */
+  def syntheticAlawTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio",
+          G711.syntheticAlawWav(id, (id % 330 + 140).toInt, 8000))
+      })
+  }
+
+  /** Partition-batched REAL A-law decode (non-A-law payloads drop). */
+  def decodeAlawAll(media: Dataset[MediaRow]): Dataset[UlawFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      G711.decodeAlawWav(r.payload).map { u =>
+        UlawFeature(r.doc_id, u.nFrames, u.sampleRate, u.sumSq,
+          if (u.nFrames == 0) 0.0
+          else math.sqrt(u.sumSq.toDouble /
+            (u.nFrames.toDouble * u.channels)))
+      }
+    })
+  }
+
   final case class AdpcmFeature(doc_id: Long, n_frames: Long,
       sample_rate: Int, sum_sq: Long, rms: Double)
+
+  /** MS-ADPCM table: the triangle waveform through the REAL MS
+    * sequential quantizer ([[MsAdpcm.encode]], blockAlign 70,
+    * coefficient set 3 — both prediction taps live). */
+  def syntheticMsAdpcmTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 240 + 130).toInt
+        MediaRow(id, "audio", MsAdpcm.encode(
+          Flac.fixtureWaveform(id, n), 8000, blockAlign = 70,
+          coefIdx = 3))
+      })
+  }
+
+  /** Partition-batched REAL MS-ADPCM decode (reject-don't-guess). */
+  def decodeMsAdpcmAll(media: Dataset[MediaRow]): Dataset[AdpcmFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      MsAdpcm.decode(r.payload).map { a =>
+        AdpcmFeature(r.doc_id, a.nFrames, a.sampleRate, a.sumSq,
+          if (a.nFrames == 0) 0.0
+          else math.sqrt(a.sumSq.toDouble / a.nFrames.toDouble))
+      }
+    })
+  }
 
   /** IMA-ADPCM table: the triangle waveform through the REAL
     * sequential quantizer ([[ImaAdpcm.encode]], blockAlign 68). */

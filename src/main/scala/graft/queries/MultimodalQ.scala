@@ -1228,9 +1228,102 @@ object MultimodalQ extends QueryModule {
         sqrt(CAST(acc AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
       FROM fin"""))
 
+  // --- q356: G.711 A-law decode — µ-law's closed-form sibling (WAV
+  // format tag 6; ITU-T G.711 §3): x = b XOR 0x55, segment/mantissa
+  // expansion, sign bit SET = positive (the µ-law-inverted
+  // convention). The oracle replays every expanded sample; the
+  // 256-point pin against the JDK's own ALAW converter lives in
+  // MediaCodecSpec. ------------------------------------------------------
+  private val q356 = Q("q356_alaw_decode",
+    (s, dir) => Multimodal.decodeAlawAll(
+        Multimodal.syntheticAlawTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("sum_sq"), col("rms")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 330 + 140 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      v AS (SELECT doc_id, n,
+          xor((doc_id * 17 + i * 11) % 256, 85) AS x
+        FROM w),
+      e AS (SELECT doc_id, n,
+          CASE WHEN x >= 128 THEN mag ELSE -mag END AS s
+        FROM (SELECT doc_id, n, x,
+            CASE WHEN (x // 16) % 8 = 0 THEN (x % 16) * 16 + 8
+              ELSE ((x % 16) * 16 + 264)
+                * (CAST(1 AS BIGINT)
+                   << CAST((x // 16) % 8 - 1 AS INT)) END AS mag
+          FROM v))
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        sqrt(CAST(SUM(s * s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+          AS rms
+      FROM e GROUP BY doc_id"""))
+
+  // --- q357: Microsoft ADPCM decode (WAV tag 0x02) — the OTHER
+  // mainstream WAV-ADPCM next to IMA: 7-entry published coefficient
+  // table (set 3 in the fixture, BOTH prediction taps live), 16-entry
+  // delta adaptation. Same contract as q355: the DuckDB recursive CTE
+  // replays the full encoder/decoder state trajectory (s1, s2, delta)
+  // — an exact hash gate on a genuinely sequential two-tap decode. ------
+  private val q357 = Q("q357_ms_adpcm_decode",
+    (s, dir) => Multimodal.decodeMsAdpcmAll(
+        Multimodal.syntheticMsAdpcmTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("sum_sq"), col("rms")),
+    Some("""WITH RECURSIVE
+      adtab AS (SELECT [230, 230, 230, 230, 307, 409, 512, 614,
+        768, 614, 512, 409, 307, 230, 230, 230] AS at),
+      p AS (SELECT doc_id, CAST(doc_id % 240 + 130 AS BIGINT) AS n
+        FROM documents),
+      st AS (
+        SELECT doc_id, n, CAST(0 AS BIGINT) AS j,
+          CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+          CAST(16 AS BIGINT) AS delta,
+          CAST((abs((doc_id * 31) % 8190 - 4095) - 2048)
+            * (abs((doc_id * 31) % 8190 - 4095) - 2048) AS BIGINT)
+            AS acc
+        FROM p
+        UNION ALL
+        SELECT doc_id, n, j + 1,
+          CASE WHEN p1 = 0 THEN s1 WHEN p1 = 1 THEN x ELSE outv END,
+          CASE WHEN p1 = 0 THEN s2 WHEN p1 = 1 THEN xprev ELSE s1 END,
+          CASE WHEN p1 = 0 THEN delta WHEN p1 = 1 THEN 16
+            ELSE GREATEST(16, (at[(CASE WHEN nib < 0 THEN nib + 16
+              ELSE nib END) + 1] * delta) // 256) END,
+          acc + (CASE WHEN p1 <= 1 THEN x ELSE outv END)
+              * (CASE WHEN p1 <= 1 THEN x ELSE outv END)
+        FROM (
+          SELECT doc_id, n, j, s1, s2, delta, acc, p1, x, xprev, nib,
+            GREATEST(-32768, LEAST(32767, pred + nib * delta)) AS outv,
+            at
+          FROM (
+            SELECT *,
+              GREATEST(-8, LEAST(7, CAST(trunc(
+                CAST(x - pred AS DOUBLE) / delta) AS BIGINT))) AS nib
+            FROM (
+              SELECT st.*, at,
+                (j + 1) % 128 AS p1,
+                CAST(abs((doc_id * 31 + 13 * (j + 1)) % 8190 - 4095)
+                  - 2048 AS BIGINT) AS x,
+                CAST(abs((doc_id * 31 + 13 * j) % 8190 - 4095)
+                  - 2048 AS BIGINT) AS xprev,
+                CAST(floor(CAST(s1 * 192 + s2 * 64 AS DOUBLE) / 256)
+                  AS BIGINT) AS pred
+              FROM st, adtab at
+              WHERE j + 1 < n)))),
+      fin AS (SELECT doc_id, n, acc FROM st WHERE j = n - 1)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(acc AS BIGINT) AS sum_sq,
+        sqrt(CAST(acc AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+      FROM fin"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
-      q350, q351, q352, q353, q355)
+      q350, q351, q352, q353, q355, q356, q357)
 }
