@@ -81,6 +81,31 @@ object G711 {
     else None
   }
 
+  /** Decoded µ-law PCM samples (interleaved) — the waveform-consumer
+    * lane ([[decodeUlawWav]] keeps only the Σs² census). Same
+    * container contract: None on truncation/non-µ-law. */
+  def decodeUlawPcm(payload: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+    decodeUlawWav(payload).map { meta =>
+      // second pass extracts samples; container already validated
+      def u8(i: Int) = payload(i) & 0xff
+      def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      val out = Array.newBuilder[Int]
+      var pos = 12
+      while (pos + 8 <= payload.length) {
+        val id = new String(payload, pos, 4, "ISO-8859-1")
+        val sz = u32(pos + 4)
+        val body = pos + 8
+        if (id == "data") {
+          var i = 0
+          while (i < sz) { out += ulawToLinear(u8(body + i)); i += 1 }
+        }
+        pos = body + sz.toInt + (sz.toInt & 1)
+      }
+      (out.result(), meta.sampleRate, meta.channels)
+    }
+  }
+
   // ---- A-law (the µ-law sibling: ITU-T G.711 §3, WAVE_FORMAT_ALAW
   // tag 6) — same per-byte closed form family, sign convention
   // INVERTED vs µ-law (a set sign bit is POSITIVE) and a 0x55 toggle
@@ -151,6 +176,46 @@ object G711 {
     if (ok && sawData && rate > 0) Some(UlawStream(n / channels, rate,
       channels, sumSq))
     else None
+  }
+
+  // ---- the ENCODE direction (16-bit linear → G.711 byte): the
+  // telephony-export surface. Both are the published CCITT quantizers
+  // on 16-bit input (the 13/14-bit reference forms ×8/×4); each is the
+  // exact inverse of its decoder on code levels — encode(decode(b))
+  // == b for every byte (µ-law modulo the two-zeros 0x7F/0xFF alias),
+  // spec-pinned. --------------------------------------------------------
+
+  /** 16-bit linear → µ-law byte (CCITT G.711 §2 encoder; BIAS 0x84,
+    * CLIP 32635). */
+  def linearToUlaw(x0: Int): Int = {
+    var x = x0
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var e = 7
+    var mask = 0x4000
+    while (e > 0 && (x & mask) == 0) { e -= 1; mask >>= 1 }
+    val mant = (x >> (e + 3)) & 0x0f
+    ~(sign | (e << 4) | mant) & 0xff
+  }
+
+  /** 16-bit linear → A-law byte — EXACTLY the ITU reference C
+    * (Sun/CCITT g711.c `linear2alaw`): reduce to 13-bit uniform
+    * (x >> 3), negatives via one's complement (−p − 1, so −16 joins
+    * the LOWER cell — the G.711 sign-magnitude convention), 13-bit
+    * segment table, mantissa shift max(1, seg). Inverts
+    * [[alawToLinear]] on ALL 256 code levels (spec-pinned). NOTE the
+    * JDK's AlawCodec deviates on negatives (it biases −x−8 in 16-bit
+    * arithmetic), so the JDK pin covers positives only. */
+  def linearToAlaw(x0: Int): Int = {
+    var p = x0 >> 3
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    val seg =
+      if (p <= 0x1f) 0 else if (p <= 0x3f) 1 else if (p <= 0x7f) 2
+      else if (p <= 0xff) 3 else if (p <= 0x1ff) 4
+      else if (p <= 0x3ff) 5 else if (p <= 0x7ff) 6 else 7
+    val mant = (p >> (if (seg < 2) 1 else seg)) & 0x0f
+    ((seg << 4) | mant) ^ mask
   }
 
   /** Fixture: a real A-law WAV, byte stream `(id·17 + i·11) mod 256`. */

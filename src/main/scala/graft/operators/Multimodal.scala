@@ -540,6 +540,218 @@ object Multimodal {
     })
   }
 
+  final case class G711EncRow(doc_id: Long, n: Int, sum_sq_q: Long,
+      abs_err: Long)
+
+  /** G.711 ENCODE census — the telephony-export direction: quantize
+    * the fixture waveform through [[G711.linearToUlaw]]/
+    * [[G711.linearToAlaw]], decode back, and report the exact
+    * quantized energy and total quantization error (both BIGINT ⇒
+    * SQL-replayable). Partition-local, zero shuffles. */
+  def g711EncodeCensus(spark: SparkSession, dir: String, alaw: Boolean)
+      : Dataset[G711EncRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 300 + 150).toInt
+        val x = Flac.fixtureWaveform(id, n)
+        var ssq = 0L
+        var err = 0L
+        x.foreach { v =>
+          val b = if (alaw) G711.linearToAlaw(v) else G711.linearToUlaw(v)
+          val xq = if (alaw) G711.alawToLinear(b) else G711.ulawToLinear(b)
+          ssq += xq.toLong * xq
+          err += math.abs(v.toLong - xq)
+        }
+        G711EncRow(id, n, ssq, err)
+      })
+  }
+
+  final case class PcmDepthRow(doc_id: Long, bits: Int, n_frames: Long,
+      sample_rate: Int, sum_sq: Long)
+
+  /** Multi-depth PCM WAV decode (format tag 1 at 8/16/24 bits — the
+    * legacy-audio surface AudioSystem won't cover uniformly): manual
+    * bounds-checked RIFF walk; 8-bit is UNSIGNED (s = b − 128, the WAV
+    * convention), 16/24-bit signed little-endian. Σs² at NATIVE depth
+    * stays BIGINT-exact. None on truncation / non-PCM / other depths. */
+  def decodePcmWav(payload: Array[Byte])
+      : Option[(Long, Int, Int, Long)] = {
+    if (payload == null || payload.length < 12) return None
+    def u8(i: Int) = payload(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var pos = 12
+    var ok = false
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var sumSq = 0L
+    var n = 0L
+    var sawData = false
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "ISO-8859-1")
+      val sz = u32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > payload.length) return None
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          channels = u16(body + 2)
+          rate = u32(body + 4).toInt
+          bits = u16(body + 14)
+          ok = u16(body) == 1 && channels >= 1 &&
+            (bits == 8 || bits == 16 || bits == 24)
+        case "data" =>
+          if (!ok) return None
+          sawData = true
+          val bytesPer = bits / 8
+          if (sz % bytesPer != 0) return None
+          var i = 0
+          while (i < sz) {
+            val s: Long = bits match {
+              case 8 => (u8(body + i) - 128).toLong
+              case 16 => (u8(body + i) | (payload(body + i + 1) << 8)).toLong
+              case _ => (u8(body + i) | (u8(body + i + 1) << 8) |
+                (payload(body + i + 2) << 16)).toLong
+            }
+            sumSq += s * s
+            i += bytesPer
+          }
+          n += sz / bytesPer
+        case _ => ()
+      }
+      pos = body + sz.toInt + (sz.toInt & 1)
+    }
+    if (ok && sawData && rate > 0)
+      Some((n / channels, rate, bits, sumSq))
+    else None
+  }
+
+  /** Fixture: a mono PCM WAV at `bits` ∈ {8, 16, 24} with closed-form
+    * samples (8-bit: (id·7 + i·3) mod 256 unsigned; 16-bit the FLAC
+    * fixture triangle; 24-bit (id·131 + i·977) mod 10⁶ − 5·10⁵). */
+  def syntheticPcmWav(id: Long, nFrames: Int, bits: Int,
+      sampleRateHz: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24, s"bits $bits")
+    val bytesPer = bits / 8
+    val data = new Array[Byte](nFrames * bytesPer)
+    var i = 0
+    while (i < nFrames) {
+      bits match {
+        case 8 =>
+          data(i) = ((id * 7 + i.toLong * 3) % 256).toByte
+        case 16 =>
+          val s = Flac.fixtureSample(id, i.toLong)
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        case _ =>
+          val s = ((id * 131 + i.toLong * 977) % 1000000L - 500000L).toInt
+          data(3 * i) = (s & 0xff).toByte
+          data(3 * i + 1) = ((s >> 8) & 0xff).toByte
+          data(3 * i + 2) = ((s >> 16) & 0xff).toByte
+      }
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    val dataSz = data.length + (data.length & 1)
+    w32(4 + 8 + 16 + 8 + dataSz)
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    w32(16)
+    w16(1)           // PCM
+    w16(1)           // mono
+    w32(sampleRateHz.toLong)
+    w32(sampleRateHz.toLong * bytesPer)
+    w16(bytesPer)
+    w16(bits)
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    w32(data.length.toLong)
+    out.write(data, 0, data.length)
+    if ((data.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Per-document multi-depth PCM table: bits cycle 8/16/24 by
+    * doc_id mod 3. */
+  def syntheticPcmDepthTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = (id % 3) match {
+          case 0 => 8
+          case 1 => 16
+          case _ => 24
+        }
+        MediaRow(id, "audio",
+          syntheticPcmWav(id, (id % 200 + 100).toInt, bits, 16000))
+      })
+  }
+
+  /** Partition-batched multi-depth PCM decode. */
+  def decodePcmDepthAll(media: Dataset[MediaRow]): Dataset[PcmDepthRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodePcmWav(r.payload).map { case (nf, rate, bits, ssq) =>
+        PcmDepthRow(r.doc_id, bits, nf, rate, ssq)
+      }
+    })
+  }
+
+  final case class AudioFpRow(doc_id: Long, n_win: Int, fp: Long)
+
+  /** Acoustic fingerprint over the DECODED µ-law waveform (the audio-
+    * dedup primitive — the chromaprint idea reduced to its exact
+    * core): window the PCM into `win`-sample frames, take each
+    * frame's EXACT energy Σs² (BIGINT), and hash the energy-delta
+    * SIGN sequence (bit k = energy[k+1] > energy[k], k < 63) into one
+    * BIGINT fingerprint. Integer-exact end to end ⇒ SQL-replayable;
+    * robust to global gain in spirit (sign of deltas), deterministic
+    * by construction. Partition-local decode, zero shuffles. */
+  def ulawFingerprintAll(media: Dataset[MediaRow], win: Int)
+      : Dataset[AudioFpRow] = {
+    require(win >= 1, s"window $win")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      G711.decodeUlawPcm(r.payload).map { case (pcm, _, _) =>
+        val nWin = pcm.length / win // trailing partial window dropped
+        val e = new Array[Long](nWin)
+        var k = 0
+        while (k < nWin) {
+          var s = 0L
+          var i = k * win
+          val end = i + win
+          while (i < end) { s += pcm(i).toLong * pcm(i); i += 1 }
+          e(k) = s
+          k += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < nWin - 1 && b < 63) {
+          if (e(b + 1) > e(b)) fp |= 1L << b
+          b += 1
+        }
+        AudioFpRow(r.doc_id, nWin, fp)
+      }
+    })
+  }
+
   final case class AdpcmFeature(doc_id: Long, n_frames: Long,
       sample_rate: Int, sum_sq: Long, rms: Double)
 

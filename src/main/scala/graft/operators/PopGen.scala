@@ -842,6 +842,81 @@ object PopGen {
           / (lit(2.0) * col("n_sites").cast("double")))
   }
 
+  /** Method-of-moments IBD estimation (snpgdsIBDMoM / PLINK --genome;
+    * Purcell et al. 2007 §"IBD estimation"): per sample pair, observed
+    * IBS-class counts over pairwise-complete polymorphic sites plus
+    * the allele-frequency expectation sums, chained into
+    * Z0 = N_IBS0/ΣP(IBS0|IBD0), Z1 = (N_IBS1 − Z0·ΣP(IBS1|IBD0)) /
+    * ΣP(IBS1|IBD1), Z2 = 1 − Z0 − Z1, PI_HAT = Z2 + Z1/2 — the
+    * textbook (uncorrected) expectations
+    *   P(IBS0|IBD0) = 2p²q²,  P(IBS1|IBD0) = 4p³q + 4pq³,
+    *   P(IBS1|IBD1) = 2p²q + 2pq²
+    * with p the full-cohort alt frequency (PLINK's finite-sample
+    * correction is a documented omission — it needs per-site
+    * founder-count bookkeeping the fixture has no pedigree for).
+    *
+    * Exactness: each per-site expectation is quantized
+    * floor(term·10⁹) BIGINT BEFORE the pair sum (the q320 ppm
+    * discipline — per-site doubles are bit-identical across engines
+    * because p = a/2n is one division and the polynomial is fixed
+    * left-assoc order; only the SUM of doubles would be order-
+    * dependent, and we never sum doubles). The Z chain is then
+    * fixed-order arithmetic on exact BIGINTs — one division each.
+    *
+    * Shape: per-variant stats + e-terms are a pure projection BEFORE
+    * the generator pair fan (computed once per variant, carried into
+    * the fan), then ONE (i, j)-keyed aggregate — the [[ibs]]/[[grm]]
+    * pair-explode contract with map-side partial aggregation; at any
+    * variant count the shuffle is O(S²) counter rows, never O(data).
+    * Emits (i, j, n_sites, n0, n1, n2, se0, se10, se11, z0, z1, z2,
+    * pi_hat). */
+  def ibdMoM(v: DataFrame, nSamples: Int): DataFrame = {
+    val SCALE = 1000000000L
+    val st = graft.functions.genetics.dosageWeightedStats(col("d"),
+      Seq.fill(nSamples)(1L))
+    val p = col("a").cast("double") / (col("n") * 2).cast("double")
+    val q = lit(1.0) - col("p")
+    val sites = v
+      .withColumn("__st", st)
+      .withColumn("n", element_at(col("__st"), 1))
+      .withColumn("a", element_at(col("__st"), 2))
+      .filter(col("a") > 0 && col("a") < col("n") * 2) // polymorphic
+      .withColumn("p", p)
+      .withColumn("t0",
+        floor(lit(2.0) * col("p") * col("p") * q * q * SCALE))
+      .withColumn("t10",
+        floor((lit(4.0) * col("p") * col("p") * col("p") * q
+          + lit(4.0) * col("p") * q * q * q) * SCALE))
+      .withColumn("t11",
+        floor((lit(2.0) * col("p") * col("p") * q
+          + lit(2.0) * col("p") * q * q) * SCALE))
+      .select(col("d"), col("t0"), col("t10"), col("t11"))
+    val pairs = graft.functions.pairs.pairFan(sites, nSamples)
+      .select(col("i"), col("j"),
+        element_at(col("d"), col("i") + 1).as("di"),
+        element_at(col("d"), col("j") + 1).as("dj"),
+        col("t0"), col("t10"), col("t11"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+      .withColumn("dist", abs(col("di") - col("dj")))
+    val agg = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(col("t0")).as("se0"),
+        sum(col("t10")).as("se10"),
+        sum(col("t11")).as("se11"))
+    agg
+      .withColumn("z0", when(col("se0") > 0,
+        (col("n0") * SCALE).cast("double") / col("se0").cast("double")))
+      .withColumn("z1", when(col("se11") > 0,
+        ((col("n1") * SCALE).cast("double")
+          - col("z0") * col("se10").cast("double"))
+          / col("se11").cast("double")))
+      .withColumn("z2", lit(1.0) - col("z0") - col("z1"))
+      .withColumn("pi_hat", col("z2") + col("z1") / 2)
+  }
+
   /** Mean-dosage imputation — the missing-data handling snpgdsPCA (and
     * this module's [[pcaProject]]) uses: a missing collapsed dosage
     * becomes the variant's called-sample mean 2p̂ = a/n (0.0 on a fully
@@ -1425,6 +1500,92 @@ object PopGen {
       }
       powerIterate(rawMatVec, nSamples, k, iters)
     } finally entries.unpersist(blocking = false)
+  }
+
+  /** Biobank-scale sample PCA WITHOUT ever forming the S×S matrix
+    * anywhere — driver OR cluster (the round-9 verdict's last
+    * driver-side-bound operator): the mean-imputed VanRaden GRM is
+    * G = Σ_v z_v·z_vᵀ / c (z_v the centered, missing-imputed-to-mean
+    * dosage vector of variant v), so the power-iteration mat-vec
+    * factors through the genotype rows,
+    *
+    *   G·x = Σ_v z_v · (z_v ⋅ x) / c,
+    *
+    * two fused dot products per variant per iteration — no GRM entries
+    * table (O(S²) rows), no pair fan, no S-wide expression tree (each
+    * variant's dosages travel as ONE packed byte array; the loop is
+    * data, not plan). Driver holds k+1 S-vectors plus, transiently,
+    * one S-vector partial per partition, summed in partition order
+    * (deterministic — the [[pcaFromGrmDistributed]] discipline).
+    * c = Σ_v 2·p̂(1−p̂) (the VanRaden denominator over polymorphic
+    * sites) only scales the eigenvalues; eigenvectors are unaffected.
+    *
+    * Input `v` carries `vid` and `d` (collapsed alt dosage, null =
+    * missing). Monomorphic and all-missing sites contribute nothing
+    * and are dropped. Returns the [[pcaFromGrm]] shape. Scale story:
+    * at S = 500k a packed variant row is 0.5 MB and a partition's
+    * partial 4 MB — per-iteration traffic is #partitions × S doubles,
+    * linear in BOTH axes; nothing anywhere is S². */
+  def pcaFromGeno(v: DataFrame, nSamples: Int, k: Int,
+      iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    val sc = v.sparkSession.sparkContext
+    // pack once: (mean, bytes) per variant — byte 3 = missing
+    val rows = v.select(col("d")).rdd.flatMap { r =>
+      val d = r.getSeq[Any](0)
+      var n = 0L; var a = 0L
+      d.foreach { x =>
+        if (x != null) { n += 1; a += x.asInstanceOf[Long] }
+      }
+      if (n == 0L || a == 0L || a == 2L * n) None
+      else {
+        val mean = a.toDouble / n
+        val bytes = new Array[Byte](d.length)
+        var i = 0
+        d.foreach { x =>
+          bytes(i) = if (x == null) 3 else x.asInstanceOf[Long].toByte
+          i += 1
+        }
+        Some((mean, bytes))
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // VanRaden denominator Σ 2p(1−p) with p = mean/2 (a pure scale
+      // on the eigenvalues; summed in partition order for determinism)
+      val c = rows.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0.0
+        it.foreach { case (m, _) => val p = m / 2.0; s += 2.0 * p * (1.0 - p) }
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2).sum
+      def rawMatVec(x: Array[Double]): Array[Double] = {
+        val bx = sc.broadcast(x)
+        val partials = rows.mapPartitionsWithIndex { (pid, it) =>
+          val xv = bx.value
+          val acc = new Array[Double](xv.length)
+          it.foreach { case (mean, bytes) =>
+            var t = 0.0
+            var s = 0
+            while (s < bytes.length) {
+              if (bytes(s) != 3) t += (bytes(s) - mean) * xv(s)
+              s += 1
+            }
+            var s2 = 0
+            while (s2 < bytes.length) {
+              if (bytes(s2) != 3) acc(s2) += (bytes(s2) - mean) * t
+              s2 += 1
+            }
+          }
+          Iterator((pid, acc))
+        }.collect()
+        bx.destroy()
+        val y = new Array[Double](nSamples)
+        partials.sortBy(_._1).foreach { case (_, a) =>
+          var m = 0; while (m < nSamples) { y(m) += a(m); m += 1 }
+        }
+        if (c > 0) { var m = 0; while (m < nSamples) { y(m) /= c; m += 1 } }
+        y
+      }
+      powerIterate(rawMatVec, nSamples, k, iters)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Shared deterministic power iteration with deflation over an opaque

@@ -1321,9 +1321,191 @@ object MultimodalQ extends QueryModule {
         sqrt(CAST(acc AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
       FROM fin"""))
 
+  // --- q359: ACOUSTIC-FINGERPRINT dedup over the REAL µ-law decode —
+  // the audio twin of the image dHash/block-dedup lanes: window the
+  // decoded PCM, hash the energy-delta sign sequence into one BIGINT,
+  // and size the duplicate clusters. Integer-exact end to end (frame
+  // energies are BIGINT Σs²; bits compare BIGINTs), so the whole
+  // dedup key replays in SQL through the µ-law closed form. ------------
+  private val q359 = Q("q359_audio_fingerprint",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = Multimodal.ulawFingerprintAll(
+        Multimodal.syntheticUlawTable(s, dir), win = 32).toDF()
+      fp.withColumn("cluster_size",
+        count(lit(1)).over(
+          Window.partitionBy(col("n_win"), col("fp"))))
+        .select(col("doc_id"), col("n_win"), col("fp"),
+          col("cluster_size"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 350 + 150 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      v AS (SELECT doc_id, n, i // 32 AS k,
+          255 - ((doc_id * 13 + i * 7) % 256) AS x
+        FROM w WHERE i // 32 < n // 32),
+      sm AS (SELECT doc_id, n, k,
+          CASE WHEN x >= 128 THEN -mag ELSE mag END AS smp
+        FROM (SELECT doc_id, n, k, x,
+            ((x % 16) * 8 + 132)
+              * (CAST(1 AS BIGINT) << CAST((x // 16) % 8 AS INT))
+              - 132 AS mag
+          FROM v)),
+      e AS (SELECT doc_id, k, CAST(SUM(smp * smp) AS BIGINT) AS en
+        FROM sm GROUP BY doc_id, k),
+      b AS (SELECT doc_id, k, en,
+          LEAD(en) OVER (PARTITION BY doc_id ORDER BY k) AS nxt
+        FROM e),
+      f AS (SELECT doc_id, CAST(MAX(k) + 1 AS INT) AS n_win,
+          CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL AND k < 63
+                AND nxt > en
+              THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+              ELSE 0 END), 0) AS BIGINT) AS fp
+        FROM b GROUP BY doc_id)
+      SELECT doc_id, n_win, fp,
+        CAST(COUNT(*) OVER (PARTITION BY n_win, fp) AS BIGINT)
+          AS cluster_size
+      FROM f"""))
+
+  // --- q360: SCENE-CUT detection on the REAL AVI DIB pixel decode —
+  // the shot-boundary primitive of a video-curation pipeline: a cut
+  // is a frame whose exact mean brightness jumps ≥ 64 code values
+  // from its predecessor; per-video cut count and first boundary.
+  // Brightnesses are exact integers off the decoded pixels (q352's
+  // lane), so the detector replays in SQL. ------------------------------
+  private val q360 = Q("q360_scene_cuts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fr = Multimodal.decodeAviFramesAll(
+        Multimodal.syntheticAviTable(s, dir)).toDF()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val cut = col("__pb").isNotNull &&
+        abs(col("brightness") - col("__pb")) >= 64
+      fr.withColumn("__pb", lag(col("brightness"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(cut, 1L).otherwise(0L)).as("n_cuts"),
+          min(when(cut, col("frame_idx").cast("long"))).as("first_cut"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 12 + 4 AS BIGINT) AS nf FROM documents),
+      fr AS (SELECT doc_id, f,
+          CAST((doc_id * 37 + f * 11) % 256 AS DOUBLE) AS b
+        FROM (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM p)),
+      l AS (SELECT doc_id, f, b,
+          LAG(b) OVER (PARTITION BY doc_id ORDER BY f) AS pb
+        FROM fr)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN pb IS NOT NULL AND abs(b - pb) >= 64
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        MIN(CASE WHEN pb IS NOT NULL AND abs(b - pb) >= 64 THEN f END)
+          AS first_cut
+      FROM l GROUP BY doc_id"""))
+
+  // --- q361/q362: the G.711 ENCODE direction (linear → µ-law/A-law —
+  // the telephony-export surface; decode-only covered q351/q356). Per
+  // document the fixture waveform is quantized and decoded back; the
+  // exact quantized energy and total quantization error replay in SQL
+  // through the CCITT encoder closed forms (segment CASE + truncating
+  // mantissa). encode∘decode == identity on code levels is
+  // MediaCodecSpec-pinned. ----------------------------------------------
+  private val q361 = Q("q361_ulaw_encode",
+    (s, dir) => Multimodal.g711EncodeCensus(s, dir, alaw = false)
+      .toDF()
+      .select(col("doc_id"), col("n"), col("sum_sq_q"), col("abs_err")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 300 + 150 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      xv AS (SELECT doc_id, n,
+          abs((doc_id * 31 + 13 * i) % 8190 - 4095) - 2048 AS x
+        FROM w),
+      ev AS (SELECT doc_id, n, x,
+          CASE WHEN v < 256 THEN 0 WHEN v < 512 THEN 1
+            WHEN v < 1024 THEN 2 WHEN v < 2048 THEN 3
+            WHEN v < 4096 THEN 4 WHEN v < 8192 THEN 5
+            WHEN v < 16384 THEN 6 ELSE 7 END AS e, v
+        FROM (SELECT doc_id, n, x,
+            LEAST(abs(x), 32635) + 132 AS v FROM xv)),
+      qv AS (SELECT doc_id, n, x,
+          CASE WHEN x < 0 THEN -mag ELSE mag END AS xq
+        FROM (SELECT doc_id, n, x,
+            ((v // (CAST(1 AS BIGINT) << CAST(e + 3 AS INT))) % 16 * 8
+              + 132) * (CAST(1 AS BIGINT) << CAST(e AS INT))
+              - 132 AS mag
+          FROM ev))
+      SELECT doc_id, CAST(MAX(n) AS INT) AS n,
+        CAST(SUM(xq * xq) AS BIGINT) AS sum_sq_q,
+        CAST(SUM(abs(x - xq)) AS BIGINT) AS abs_err
+      FROM qv GROUP BY doc_id"""))
+
+  private val q362 = Q("q362_alaw_encode",
+    (s, dir) => Multimodal.g711EncodeCensus(s, dir, alaw = true)
+      .toDF()
+      .select(col("doc_id"), col("n"), col("sum_sq_q"), col("abs_err")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 300 + 150 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+      xv AS (SELECT doc_id, n,
+          abs((doc_id * 31 + 13 * i) % 8190 - 4095) - 2048 AS x
+        FROM w),
+      pv AS (SELECT doc_id, n, x,
+          CASE WHEN p0 >= 0 THEN p0 ELSE -p0 - 1 END AS p,
+          p0 >= 0 AS pos
+        FROM (SELECT doc_id, n, x,
+            CAST(floor(CAST(x AS DOUBLE) / 8) AS BIGINT) AS p0
+          FROM xv)),
+      sv AS (SELECT doc_id, n, x, p, pos,
+          CASE WHEN p <= 31 THEN 0 WHEN p <= 63 THEN 1
+            WHEN p <= 127 THEN 2 WHEN p <= 255 THEN 3
+            WHEN p <= 511 THEN 4 WHEN p <= 1023 THEN 5
+            WHEN p <= 2047 THEN 6 ELSE 7 END AS seg
+        FROM pv),
+      qv AS (SELECT doc_id, n, x,
+          CASE WHEN pos THEN mag ELSE -mag END AS xq
+        FROM (SELECT doc_id, n, x, pos,
+            CASE WHEN seg = 0 THEN mant * 16 + 8
+              ELSE (mant * 16 + 264)
+                * (CAST(1 AS BIGINT) << CAST(seg - 1 AS INT)) END AS mag
+          FROM (SELECT doc_id, n, x, pos, seg,
+              (p // (CAST(1 AS BIGINT)
+                << CAST(GREATEST(1, seg) AS INT))) % 16 AS mant
+            FROM sv)))
+      SELECT doc_id, CAST(MAX(n) AS INT) AS n,
+        CAST(SUM(xq * xq) AS BIGINT) AS sum_sq_q,
+        CAST(SUM(abs(x - xq)) AS BIGINT) AS abs_err
+      FROM qv GROUP BY doc_id"""))
+
+  // --- q363: multi-depth PCM WAV decode (tag 1 at 8/16/24 bits — the
+  // legacy-audio surface): 8-bit unsigned, 16/24-bit signed LE, native-
+  // depth Σs² exact. ----------------------------------------------------
+  private val q363 = Q("q363_pcm_depths",
+    (s, dir) => Multimodal.decodePcmDepthAll(
+        Multimodal.syntheticPcmDepthTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("bits"), col("n_frames"),
+        col("sample_rate"), col("sum_sq")),
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(doc_id % 200 + 100 AS BIGINT) AS n,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+            ELSE 24 END AS INT) AS bits
+        FROM documents),
+      w AS (SELECT doc_id, n, bits, unnest(range(0, n)) AS i FROM p),
+      s AS (SELECT doc_id, n, bits,
+          CASE doc_id % 3
+            WHEN 0 THEN (doc_id * 7 + i * 3) % 256 - 128
+            WHEN 1 THEN abs((doc_id * 31 + 13 * i) % 8190 - 4095) - 2048
+            ELSE (doc_id * 131 + i * 977) % 1000000 - 500000 END AS smp
+        FROM w)
+      SELECT doc_id, CAST(MAX(bits) AS INT) AS bits,
+        CAST(MAX(n) AS BIGINT) AS n_frames,
+        CAST(16000 AS INT) AS sample_rate,
+        CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
+      FROM s GROUP BY doc_id"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
-      q350, q351, q352, q353, q355, q356, q357)
+      q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
+      q362, q363)
 }

@@ -103,6 +103,98 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MsAdpcm.decode(badDelta).isEmpty, "delta 3 (< 16) must reject")
   }
 
+  test("G.711 encoders invert their decoders on every code level " +
+      "(A-law exactly; mu-law modulo the 0x7F/0xFF zero alias)") {
+    for (b <- 0 until 256) {
+      val xa = G711.alawToLinear(b)
+      assert(G711.linearToAlaw(xa) == b, s"alaw code $b (level $xa)")
+      val xu = G711.ulawToLinear(b)
+      val back = G711.linearToUlaw(xu)
+      if (b == 0x7f) assert(back == 0xff, "the -0 alias folds to +0")
+      else assert(back == b, s"ulaw code $b (level $xu)")
+    }
+  }
+
+  test("G.711 encoders match the JDK's own PCM->ULAW/ALAW converters " +
+      "across a full-range sample sweep") {
+    def jdkEncode(samples: Array[Int],
+        enc: javax.sound.sampled.AudioFormat.Encoding): Array[Int] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val src = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), pcmFmt,
+        samples.length.toLong)
+      val gFmt = new javax.sound.sampled.AudioFormat(enc, 8000f, 8, 1,
+        1, 8000f, false)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(gFmt, src)
+        .readAllBytes().map(_ & 0xff)
+    }
+    // the JDK's mu-law encoder biases in SHORT arithmetic, so
+    // BIAS - sample overflows for sample < -32635 and emits a wrapped
+    // code (a known JDK edge); the CCITT clip is the correct behavior
+    // there, pinned separately below. The JDK's A-LAW encoder deviates
+    // from the ITU reference C on NEGATIVES (it biases -x-8 in 16-bit
+    // arithmetic instead of g711.c's 13-bit one's complement), so the
+    // A-law pin covers the positive half, where the two agree.
+    val sweep = ((-32635 to 32635 by 97) ++ Seq(-32635, -1, 0, 1, 32635))
+      .toArray
+    assert(G711.linearToUlaw(-32768) == 0x00, "CCITT clip at -32768")
+    assert(G711.linearToUlaw(32767) == 0x80, "CCITT clip at +32767")
+    assert(G711.linearToAlaw(-32768) == 0x2a,
+      "A-law clip at -32768 (decodes -32256)")
+    assert(G711.linearToAlaw(32767) == 0xaa,
+      "A-law clip at +32767 (decodes +32256)")
+    val jdkU = jdkEncode(sweep,
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    val posSweep = sweep.filter(_ >= 0)
+    val jdkA = jdkEncode(posSweep,
+      javax.sound.sampled.AudioFormat.Encoding.ALAW)
+    for (i <- sweep.indices)
+      assert(jdkU(i) == G711.linearToUlaw(sweep(i)),
+        s"ulaw(${sweep(i)}): jdk ${jdkU(i)} vs ${G711.linearToUlaw(sweep(i))}")
+    for (i <- posSweep.indices)
+      assert(jdkA(i) == G711.linearToAlaw(posSweep(i)),
+        s"alaw(${posSweep(i)}): jdk ${jdkA(i)} vs " +
+          s"${G711.linearToAlaw(posSweep(i))}")
+    // g711.c hand vectors for the negative half (the ITU convention:
+    // -16 joins the LOWER cell via one's complement)
+    assert(G711.linearToAlaw(-1) == 0x55)   // smallest negative level -8
+    assert(G711.linearToAlaw(-8) == 0x55)
+    assert(G711.linearToAlaw(-16) == 0x55)  // boundary: lower cell
+    assert(G711.linearToAlaw(-17) == 0x54)  // next cell, level -24
+    assert(G711.linearToAlaw(-11780) == 50) // seg 6 mant 7, level -12032
+  }
+
+  test("multi-depth PCM decode: native-depth sums exact at 8/16/24 " +
+      "bits; truncation and non-PCM reject") {
+    import graft.operators.Multimodal
+    for (bits <- Seq(8, 16, 24)) {
+      val wav = Multimodal.syntheticPcmWav(9L, 120, bits, 16000)
+      val (nf, rate, gotBits, ssq) = Multimodal.decodePcmWav(wav).get
+      assert(nf == 120 && rate == 16000 && gotBits == bits)
+      val expect = (0 until 120).map { i =>
+        val s: Long = bits match {
+          case 8 => (9L * 7 + i * 3) % 256 - 128
+          case 16 => Flac.fixtureSample(9L, i.toLong).toLong
+          case _ => (9L * 131 + i * 977) % 1000000L - 500000L
+        }
+        s * s
+      }.sum
+      assert(ssq == expect, s"bits=$bits")
+      for (cut <- Seq(wav.length - 1, wav.length / 2, 11))
+        assert(Multimodal.decodePcmWav(wav.take(cut)).isEmpty,
+          s"bits=$bits cut=$cut")
+    }
+    // mu-law (tag 7) payloads must not PCM-decode
+    assert(Multimodal.decodePcmWav(
+      G711.syntheticUlawWav(3L, 50, 8000)).isEmpty)
+  }
+
   test("FLAC rejects trailing garbage after the last frame (the " +
       "round-9 ADVICE contract gap)") {
     val x = Flac.fixtureWaveform(9L, 400)

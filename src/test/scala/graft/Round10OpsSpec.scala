@@ -110,4 +110,62 @@ class Round10OpsSpec extends AnyFunSuite {
       PopGen.hapAlt(col("geno"), col("phased"), S).as("h")))
     assert(ha < 500, s"hapAlt plan carries $ha expression nodes")
   }
+
+  // ---- gram-free biobank PCA (pcaFromGeno) -------------------------------
+
+  private val pcaS = 8
+  private val pcaD: Seq[Seq[Option[Long]]] = Seq.tabulate(40) { v =>
+    Seq.tabulate(pcaS) { s =>
+      if ((v * 5 + s) % 13 == 0) None
+      else Some(((v * 3 + s * s + (v % 4) * s) % 3).toLong)
+    }
+  }
+
+  test("pcaFromGeno matches the dense mean-imputed GRM eigen (the " +
+      "driver-side reference path) on the fixture") {
+    import spark.implicits._
+    val v = pcaD.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("vid", "d")
+    val (evG, vecG) = PopGen.pcaFromGeno(v, pcaS, k = 2, iters = 300)
+    // dense reference: same matrix, materialized driver-side
+    val used = pcaD.filter { d =>
+      val called = d.flatten
+      called.nonEmpty && called.sum != 0 && called.sum != 2L * called.size
+    }
+    val g = Array.ofDim[Double](pcaS, pcaS)
+    var c = 0.0
+    used.foreach { d =>
+      val called = d.flatten
+      val mean = called.sum.toDouble / called.size
+      val p = mean / 2.0
+      c += 2.0 * p * (1.0 - p)
+      val z = d.map(_.map(_.toDouble - mean).getOrElse(0.0))
+      for (i <- 0 until pcaS; j <- 0 until pcaS) g(i)(j) += z(i) * z(j)
+    }
+    val entries = (for (i <- 0 until pcaS; j <- i until pcaS)
+      yield (i, j, g(i)(j) / c)).toDF("i", "j", "grm")
+    val (evR, vecR) = PopGen.pcaFromGrm(entries, pcaS, k = 2, iters = 300)
+    for (p <- 0 until 2) {
+      assert(math.abs(evG(p) - evR(p)) <= 1e-6 * math.max(1.0, evR(p)),
+        s"eigenvalue $p: ${evG(p)} vs ${evR(p)}")
+      val cos = vecG(p).zip(vecR(p)).map { case (a, b) => a * b }.sum
+      assert(math.abs(cos) > 0.9999, s"PC $p cosine $cos")
+    }
+  }
+
+  test("pcaFromGeno RUNS at 10k samples — S×S never exists, driver " +
+      "holds O(S) vectors only") {
+    val S = 10000
+    val v = spark.range(60).toDF("vid")
+      .withColumn("d", transform(sequence(lit(0), lit(S - 1)),
+        s => when((col("vid") * 7 + s) % 13 === 0,
+            lit(null).cast("long"))
+          .otherwise(pmod(col("vid") * 3 + s * s + s, lit(3))
+            .cast("long"))))
+    val (ev, vecs) = PopGen.pcaFromGeno(v, S, k = 1, iters = 4)
+    assert(vecs(0).length == S)
+    val norm = math.sqrt(vecs(0).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"unit norm, got $norm")
+    assert(ev(0) > 0.0)
+  }
 }

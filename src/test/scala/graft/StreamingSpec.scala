@@ -558,6 +558,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally { qu.stop(); qa.stop() }
   }
 
+  test("streaming A-law + MS-ADPCM decode == batch (stateless decode " +
+      "lanes; one cross-codec payload spliced in must drop on both)") {
+    import spark.implicits._
+    import graft.operators.{Flac, G711, MsAdpcm, Multimodal}
+    val alaw = (0L until 12L).map { id =>
+      val payload =
+        if (id == 7L) G711.syntheticUlawWav(id, 30, 8000) // wrong tag
+        else G711.syntheticAlawWav(id, (id % 40 + 20).toInt, 8000)
+      Multimodal.MediaRow(id, "audio", payload)
+    }
+    val ms = (100L until 110L).map { id =>
+      Multimodal.MediaRow(id, "audio", MsAdpcm.encode(
+        Flac.fixtureWaveform(id, (id % 60 + 40).toInt), 8000))
+    }
+    val sl = MemoryStream[Multimodal.MediaRow](spark)
+    val ql = Multimodal.decodeAlawAll(sl.toDS())
+      .writeStream.format("memory").queryName("alaw_out")
+      .outputMode(OutputMode.Append()).start()
+    val sm = MemoryStream[Multimodal.MediaRow](spark)
+    val qm = Multimodal.decodeMsAdpcmAll(sm.toDS())
+      .writeStream.format("memory").queryName("msadpcm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      sl.addData(alaw.take(6)); ql.processAllAvailable()
+      sl.addData(alaw.drop(6)); ql.processAllAvailable()
+      sm.addData(ms); qm.processAllAvailable()
+      val gotL = spark.table("alaw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sorted.toSeq
+      val batchL = Multimodal.decodeAlawAll(spark.createDataset(alaw))
+        .collect().map(f => (f.doc_id, f.n_frames, f.sum_sq))
+        .sorted.toSeq
+      assert(gotL == batchL && gotL.size == 11)
+      assert(!gotL.exists(_._1 == 7L), "mu-law payload must drop")
+      val gotM = spark.table("msadpcm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sorted.toSeq
+      val batchM = Multimodal.decodeMsAdpcmAll(spark.createDataset(ms))
+        .collect().map(f => (f.doc_id, f.n_frames, f.sum_sq))
+        .sorted.toSeq
+      assert(gotM == batchM && gotM.size == 10)
+    } finally { ql.stop(); qm.stop() }
+  }
+
   test("stateful funnel: appended (user, step) rows == the batch " +
       "funnel across a micro-batch boundary, ties resolved by event_id") {
     import spark.implicits._
