@@ -876,11 +876,14 @@ object PopGen {
       Seq.fill(nSamples)(1L))
     val p = col("a").cast("double") / (col("n") * 2).cast("double")
     val q = lit(1.0) - col("p")
-    val sites = v
-      .withColumn("__st", st)
-      .withColumn("n", element_at(col("__st"), 1))
-      .withColumn("a", element_at(col("__st"), 2))
-      .filter(col("a") > 0 && col("a") < col("n") * 2) // polymorphic
+    // polymorphic filter PINNED: a plain filter on the kernel-derived
+    // aliases re-inlines the cube + kernel below the scan exchange
+    // (the q126 lesson; measured 8× on q348's sibling shape)
+    val sites = pinnedFilter(
+      v.withColumn("__st", st)
+        .withColumn("n", element_at(col("__st"), 1))
+        .withColumn("a", element_at(col("__st"), 2)),
+      col("a") > 0 && col("a") < col("n") * 2)
       .withColumn("p", p)
       .withColumn("t0",
         floor(lit(2.0) * col("p") * col("p") * q * q * SCALE))

@@ -1646,13 +1646,18 @@ object PopGenQ extends QueryModule {
       // plan nodes at any cohort width (the round-9 verdict's
       // unrolled-reduce fix)
       def ind(r: Range) = (0 until N).map(i => if (r.contains(i)) 1L else 0L)
-      v.withColumn("__s0", dosageWeightedStats(col("d"), ind(0 until N / 2)))
-        .withColumn("__s1", dosageWeightedStats(col("d"), ind(N / 2 until N)))
-        .withColumn("a0", element_at(col("__s0"), 5))
-        .withColumn("a1", element_at(col("__s1"), 5))
-        .withColumn("c0", element_at(col("__s0"), 4))
-        .withColumn("c1", element_at(col("__s1"), 4))
-        .filter(col("c0") > 0 && col("c1") > 0)
+      // pinned: a plain filter on these kernel-derived aliases pushes
+      // below the repartition and re-inlines the whole cube + kernel
+      // per predicate term ON THE SINGLE-TASK SCAN (measured 2.6 s →
+      // 22 s at sf0.1) — the q126/windowedFst lesson
+      PopGen.pinnedFilter(
+        v.withColumn("__s0", dosageWeightedStats(col("d"), ind(0 until N / 2)))
+          .withColumn("__s1", dosageWeightedStats(col("d"), ind(N / 2 until N)))
+          .withColumn("a0", element_at(col("__s0"), 5))
+          .withColumn("a1", element_at(col("__s1"), 5))
+          .withColumn("c0", element_at(col("__s0"), 4))
+          .withColumn("c1", element_at(col("__s1"), 4)),
+        col("c0") > 0 && col("c1") > 0)
         .groupBy(col("chrom"))
         .agg(count(lit(1)).as("n_sites"),
           sum(when(col("a0") > 0 && col("a1") === 0, 1L).otherwise(0L))
