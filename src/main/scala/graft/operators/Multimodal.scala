@@ -68,7 +68,11 @@ object Multimodal {
     val isJpg = b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff
     val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
     val isBmp = b(0) == 'B' && b(1) == 'M'
-    if (!(isPng || isJpg || isGif || isBmp)) return None
+    // TIFF: little-endian "II*\0" or big-endian "MM\0*" (the JDK ships
+    // a TIFF plugin since 9; round-10 legacy-image lane)
+    val isTif = (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
+    if (!(isPng || isJpg || isGif || isBmp || isTif)) return None
     // NonFatal, not just IOException: the JDK ImageIO plugins throw
     // unchecked exceptions (IndexOutOfBounds/NegativeArraySize/...) on
     // corrupt headers that pass the magic sniff — one bad payload must
@@ -538,6 +542,123 @@ object Multimodal {
             (u.nFrames.toDouble * u.channels)))
       }
     })
+  }
+
+  final case class LegacyImageRow(doc_id: Long, fmt: String, width: Int,
+      height: Int, brightness: Double)
+
+  /** Solid-fill gray image encoded by the NAMED ImageIO writer (gif /
+    * tiff / bmp / png) — lossless formats round-trip the exact fill. */
+  def solidImageBytes(w: Int, h: Int, v: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** Legacy-image table: GIF / TIFF / BMP by doc_id mod 3 — the
+    * formats a scraped corpus actually carries next to PNG/JPEG. */
+  def syntheticLegacyImageTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val fmt = (id % 3) match {
+          case 0 => "gif"
+          case 1 => "tiff"
+          case _ => "bmp"
+        }
+        val w = ((id % 5) * 8 + 16).toInt
+        val h = ((id % 4) * 8 + 12).toInt
+        val v = ((id * 29) % 256).toInt
+        MediaRow(id, "image", solidImageBytes(w, h, v, fmt))
+      })
+  }
+
+  /** Partition-batched REAL legacy-image decode through the extended
+    * ImageIO sniff (GIF/TIFF/BMP all lossless ⇒ exact brightness). */
+  def decodeLegacyImagesAll(media: Dataset[MediaRow])
+      : Dataset[LegacyImageRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).map { case (w, h, bright) =>
+        val fmt = (r.doc_id % 3) match {
+          case 0 => "gif"
+          case 1 => "tiff"
+          case _ => "bmp"
+        }
+        LegacyImageRow(r.doc_id, fmt, w, h, bright)
+      }
+    })
+  }
+
+  final case class GzipRow(doc_id: Long, n_members: Int, orig_len: Long,
+      text_md5: String)
+
+  /** Gzip round-trip census over the documents table: each text is
+    * compressed as a REAL (multi-member, doc_id-dependent) gzip stream
+    * and decoded back through [[Gzip.decode]]'s verified member walk —
+    * the ".gz corpus shard" ingestion path. Emits the inflated byte
+    * count and md5 (both SQL-replayable from `text`); a decode
+    * defect would hash-mismatch the oracle. Partition-local. */
+  def gzipRoundTripCensus(spark: SparkSession, dir: String)
+      : Dataset[GzipRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val payload =
+          if (id % 3 == 0) Gzip.gzipConcat(Seq(bytes))
+          else Gzip.gzipConcat(
+            Seq(bytes.take(bytes.length / 2), bytes.drop(bytes.length / 2)))
+        Gzip.decode(payload).map { st =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(st.data).map("%02x".format(_)).mkString
+          GzipRow(id, st.nMembers, st.totalBytes, md5)
+        }
+      })
+  }
+
+  final case class ArchiveRow(doc_id: Long, n_members: Int,
+      txt_len: Long, meta_len: Long, txt_md5: String)
+
+  /** TAR / ZIP shard round-trip census: each document becomes a real
+    * two-member archive (`doc.txt` = the text, `meta.json` a doc_id
+    * formula) written by the corresponding REAL writer and read back
+    * through the verified walk ([[Archives.tarRead]] checksum-gated /
+    * [[Archives.zipRead]] central-directory + CRC32-gated). Emitted
+    * lengths and md5 replay from `text`. Partition-local. */
+  def archiveRoundTripCensus(spark: SparkSession, dir: String,
+      zip: Boolean): Dataset[ArchiveRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val members = Seq(
+          "doc.txt" -> text.getBytes("UTF-8"),
+          "meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        val payload =
+          if (zip) Archives.zipWrite(members) else Archives.tarWrite(members)
+        val read =
+          if (zip) Archives.zipRead(payload) else Archives.tarRead(payload)
+        read.map { ms =>
+          val byName = ms.toMap
+          val txt = byName("doc.txt")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(txt).map("%02x".format(_)).mkString
+          ArchiveRow(id, ms.size, txt.length.toLong,
+            byName("meta.json").length.toLong, md5)
+        }
+      })
   }
 
   final case class G711EncRow(doc_id: Long, n: Int, sum_sq_q: Long,

@@ -1502,10 +1502,69 @@ object MultimodalQ extends QueryModule {
         CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
       FROM s GROUP BY doc_id"""))
 
+  // --- q364: LEGACY-image census — GIF / TIFF / BMP decoded through
+  // the REAL ImageIO path (TIFF magic added to the sniff this round);
+  // all three are lossless so the solid-fill brightness is exact. ------
+  private val q364 = Q("q364_legacy_images",
+    (s, dir) => Multimodal.decodeLegacyImagesAll(
+        Multimodal.syntheticLegacyImageTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+        col("brightness")),
+    Some("""SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'tiff'
+          ELSE 'bmp' END AS fmt,
+        CAST((doc_id % 5) * 8 + 16 AS INT) AS width,
+        CAST((doc_id % 4) * 8 + 12 AS INT) AS height,
+        CAST((doc_id * 29) % 256 AS DOUBLE) AS brightness
+      FROM documents"""))
+
+  // --- q365: gzip-shard ingestion — REAL (multi-member) RFC 1952
+  // streams through the verified member walk (CRC32 + ISIZE checked
+  // per member); inflated length and md5 replay from `text`. ----------
+  private val q365 = Q("q365_gzip_members",
+    (s, dir) => Multimodal.gzipRoundTripCensus(s, dir)
+      .toDF()
+      .select(col("doc_id"), col("n_members"), col("orig_len"),
+        col("text_md5")),
+    Some("""SELECT doc_id,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+          AS n_members,
+        CAST(strlen(text) AS BIGINT) AS orig_len,
+        md5(text) AS text_md5
+      FROM documents"""))
+
+  // --- q366/q367: archive-shard ingestion (the WebDataset/.zip bundle
+  // layouts): REAL two-member archives per document, read back through
+  // the checksum-gated ustar walk (q366) and the random-access
+  // central-directory + CRC32 path (q367 — sizes from the central dir,
+  // data-descriptor local headers handled). -----------------------------
+  private def archiveOracle = """SELECT doc_id,
+        CAST(2 AS INT) AS n_members,
+        CAST(strlen(text) AS BIGINT) AS txt_len,
+        CAST(strlen('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+          AS BIGINT) AS meta_len,
+        md5(text) AS txt_md5
+      FROM documents"""
+
+  private val q366 = Q("q366_tar_members",
+    (s, dir) => Multimodal.archiveRoundTripCensus(s, dir, zip = false)
+      .toDF()
+      .select(col("doc_id"), col("n_members"), col("txt_len"),
+        col("meta_len"), col("txt_md5")),
+    Some(archiveOracle))
+
+  private val q367 = Q("q367_zip_central_dir",
+    (s, dir) => Multimodal.archiveRoundTripCensus(s, dir, zip = true)
+      .toDF()
+      .select(col("doc_id"), col("n_members"), col("txt_len"),
+        col("meta_len"), col("txt_md5")),
+    Some(archiveOracle))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
-      q362, q363)
+      q362, q363, q364, q365, q366, q367)
 }

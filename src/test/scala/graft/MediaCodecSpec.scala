@@ -195,6 +195,102 @@ class MediaCodecSpec extends AnyFunSuite {
       G711.syntheticUlawWav(3L, 50, 8000)).isEmpty)
   }
 
+  test("legacy-image lane: GIF/TIFF/BMP decode through ImageIO with " +
+      "exact solid brightness (lossless formats)") {
+    import graft.operators.Multimodal
+    for (fmt <- Seq("gif", "tiff", "bmp")) {
+      val png = Multimodal.solidImageBytes(24, 16, 137, fmt)
+      val (w, h, b) = Multimodal.decodeImage(png).get
+      assert(w == 24 && h == 16, s"$fmt geometry")
+      assert(b == 137.0, s"$fmt brightness $b")
+    }
+    // TIFF big-endian magic also sniffs (MM\0*)
+    val tif = Multimodal.solidImageBytes(8, 8, 20, "tiff")
+    assert(tif(0) == 'I' || tif(0) == 'M') // JDK writes one of the two
+  }
+
+  test("gzip member walk: multi-member round trip, CRC/ISIZE verify, " +
+      "truncation + bit-flip + garbage rejection, FNAME header") {
+    import graft.operators.Gzip
+    val text = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val one = Gzip.gzipConcat(Seq(text))
+    val two = Gzip.gzipConcat(
+      Seq(text.take(text.length / 2), text.drop(text.length / 2)))
+    assert(Gzip.decode(one).get.nMembers == 1)
+    val st = Gzip.decode(two).get
+    assert(st.nMembers == 2 && st.data.toSeq == text.toSeq)
+    // empty member is valid
+    assert(Gzip.decode(Gzip.gzipConcat(
+      Seq(Array.emptyByteArray))).get.totalBytes == 0L)
+    // truncation anywhere STRICTLY INSIDE a member rejects (a cut at
+    // an exact member boundary is a valid shorter file by design)
+    val m1len = Gzip.gzipMember(text.take(text.length / 2)).length
+    for (cut <- Seq(two.length - 1, two.length - 9, m1len + 5, 17))
+      assert(Gzip.decode(two.take(cut)).isEmpty, s"cut=$cut")
+    // trailer CRC bit flip rejects (member 1's trailer sits at the
+    // end; flip a bit in its CRC32 word)
+    val flipped = two.clone()
+    flipped(two.length - 8) = (flipped(two.length - 8) ^ 1).toByte
+    assert(Gzip.decode(flipped).isEmpty, "flipped CRC must reject")
+    // garbage between members rejects
+    val glued = one ++ Array[Byte](1, 2, 3) ++ one
+    assert(Gzip.decode(glued).isEmpty)
+    assert(Gzip.decode("not gzip".getBytes).isEmpty)
+    // FNAME-flagged member: splice FLG bit 3 + a zero-terminated name
+    val named = {
+      val m = Gzip.gzipMember(text)
+      val b = Array.newBuilder[Byte]
+      b ++= m.take(3); b += (m(3) | 0x08).toByte
+      b ++= m.slice(4, 10); b ++= "shard-0.txt".getBytes; b += 0
+      b ++= m.drop(10)
+      b.result()
+    }
+    assert(Gzip.decode(named).get.data.toSeq == text.toSeq)
+  }
+
+  test("tar walk: round trip, checksum gate, truncation + trailing-" +
+      "garbage + missing-terminator rejection") {
+    import graft.operators.Archives
+    val members = Seq("a.txt" -> "hello world".getBytes,
+      "b/c.json" -> """{"k":1}""".getBytes)
+    val tar = Archives.tarWrite(members)
+    val got = Archives.tarRead(tar).get
+    assert(got.map(_._1) == Seq("a.txt", "b/c.json"))
+    assert(got.map(_._2.toSeq) == members.map(_._2.toSeq))
+    // header checksum gate: flip one name byte
+    val bad = tar.clone(); bad(0) = 'X'
+    assert(Archives.tarRead(bad).isEmpty, "bad checksum must reject")
+    // truncation (drop the second zero block) rejects
+    assert(Archives.tarRead(tar.dropRight(512)).isEmpty)
+    assert(Archives.tarRead(tar.dropRight(1)).isEmpty) // ragged length
+    // trailing garbage after the terminator rejects
+    assert(Archives.tarRead(tar ++ new Array[Byte](512)).isEmpty)
+    assert(Archives.tarRead("not a tar".getBytes).isEmpty)
+  }
+
+  test("zip central-directory walk: round trip via the JDK's streaming " +
+      "writer (data-descriptor layout), CRC32 gate, EOCD/truncation " +
+      "rejection, STORED + DEFLATE") {
+    import graft.operators.Archives
+    val members = Seq("x.txt" -> ("abc " * 100).getBytes,
+      "y.bin" -> Array.tabulate[Byte](300)(i => (i * 7).toByte))
+    val zip = Archives.zipWrite(members)
+    val got = Archives.zipRead(zip).get
+    assert(got.map(_._1) == Seq("x.txt", "y.bin"))
+    assert(got.map(_._2.toSeq) == members.map(_._2.toSeq))
+    // CRC gate: flip a bit inside the first member's compressed data
+    // (locate it through the local header — setTime(0) makes the JDK
+    // emit an extended-timestamp extra field, so the offset is dynamic)
+    def u16(i: Int) = (zip(i) & 0xff) | ((zip(i + 1) & 0xff) << 8)
+    val dataOff = 30 + u16(26) + u16(28)
+    val bad = zip.clone(); bad(dataOff + 2) = (bad(dataOff + 2) ^ 0x10).toByte
+    assert(Archives.zipRead(bad).isEmpty, "corrupt data must fail CRC")
+    // truncation kills the EOCD
+    for (cut <- Seq(zip.length - 1, zip.length - 22, zip.length / 2))
+      assert(Archives.zipRead(zip.take(cut)).isEmpty, s"cut=$cut")
+    assert(Archives.zipRead("PK but not a zip".getBytes).isEmpty)
+  }
+
   test("FLAC rejects trailing garbage after the last frame (the " +
       "round-9 ADVICE contract gap)") {
     val x = Flac.fixtureWaveform(9L, 400)
