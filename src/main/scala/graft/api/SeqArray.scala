@@ -284,16 +284,25 @@ final case class SeqVarData(variants: DataFrame,
     graft.operators.PopGen.pcaLoadings(dosed,
       if (n > 0) n else nSamples, vecs)
 
-  /** snpgdsPCA: GRM + deterministic power iteration. Small cohorts
-    * (≤ 8192 samples) collect the S×S GRM to the driver; above that the
-    * mat-vec runs distributed over the GRM entries table
-    * ([[graft.operators.PopGen.pcaFromGrmDistributed]]) so the driver
-    * only ever holds k+1 S-vectors — the biobank regime. */
+  /** snpgdsPCA: deterministic power iteration. Small cohorts
+    * (≤ 8192 samples) collect the S×S pairwise-complete GRM to the
+    * driver; above that the route is the GRAM-FREE path
+    * ([[graft.operators.PopGen.pcaFromGeno]]): the mat-vec factors
+    * through the genotype rows (mean-imputed — SNPRelate's own
+    * missing-data model), so neither the driver NOR the cluster ever
+    * materializes anything S² — the biobank regime (the GRM entries
+    * table would be O(S²) rows and grm()'s exact-lcm plan is
+    * cohort-QC-bounded by design). */
   def pca(k: Int, n: Int = -1): (Array[Double], Array[Array[Double]]) = {
     val nn = if (n > 0) n else nSamples
     if (nn <= 8192) graft.operators.PopGen.pcaFromGrm(grm(nn), nn, k)
-    else graft.operators.PopGen.pcaFromGrmDistributed(grm(nn), nn, k)
+    else graft.operators.PopGen.pcaFromGeno(dosed, nn, k)
   }
+
+  /** snpgdsIBDMoM: PLINK --genome method-of-moments IBD
+    * (Z0/Z1/Z2/PI_HAT) — see [[graft.operators.PopGen.ibdMoM]]. */
+  def ibdMoM(n: Int = -1): DataFrame =
+    graft.operators.PopGen.ibdMoM(dosed, if (n > 0) n else nSamples)
 
   /** snpgdsIndInb-shaped per-sample inbreeding F. */
   def inbreeding(n: Int = -1): DataFrame =

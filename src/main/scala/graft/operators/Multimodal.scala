@@ -661,6 +661,35 @@ object Multimodal {
       })
   }
 
+  /** `.tgz` census — the two verified walks COMPOSED: gzip member
+    * walk ([[Gzip.decode]], CRC32/ISIZE-gated) feeding the ustar walk
+    * ([[Archives.tarRead]], checksum-gated). A defect in either layer
+    * rejects the shard. */
+  def tgzRoundTripCensus(spark: SparkSession, dir: String)
+      : Dataset[ArchiveRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val members = Seq(
+          "doc.txt" -> text.getBytes("UTF-8"),
+          "meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        val payload = Gzip.gzipMember(Archives.tarWrite(members))
+        for {
+          gz <- Gzip.decode(payload)
+          ms <- Archives.tarRead(gz.data)
+        } yield {
+          val byName = ms.toMap
+          val txt = byName("doc.txt")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(txt).map("%02x".format(_)).mkString
+          ArchiveRow(id, ms.size, txt.length.toLong,
+            byName("meta.json").length.toLong, md5)
+        }
+      })
+  }
+
   final case class G711EncRow(doc_id: Long, n: Int, sum_sq_q: Long,
       abs_err: Long)
 

@@ -1561,10 +1561,20 @@ object MultimodalQ extends QueryModule {
         col("meta_len"), col("txt_md5")),
     Some(archiveOracle))
 
+  // --- q368: .tgz shards — the gzip and ustar walks COMPOSED (both
+  // verification layers live: a flipped bit fails the gzip CRC, a bad
+  // header fails the tar checksum). ------------------------------------
+  private val q368 = Q("q368_tgz_shards",
+    (s, dir) => Multimodal.tgzRoundTripCensus(s, dir)
+      .toDF()
+      .select(col("doc_id"), col("n_members"), col("txt_len"),
+        col("meta_len"), col("txt_md5")),
+    Some(archiveOracle))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
-      q362, q363, q364, q365, q366, q367)
+      q362, q363, q364, q365, q366, q367, q368)
 }
