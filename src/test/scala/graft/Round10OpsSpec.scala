@@ -111,6 +111,54 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(ha < 500, s"hapAlt plan carries $ha expression nodes")
   }
 
+  test("dosage-stats kernels: CODEGEN_ONLY == NO_CODEGEN == reference " +
+      "sums on random dosage vectors (differential, seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261016L)
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(12) + 1
+      val d = Seq.fill(n)(
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong))
+      (i.toLong, d)
+    }
+    val w1 = (0 until 12).map(_ => rnd.nextInt(7).toLong - 3)
+    val w2 = (0 until 12).map(_ => rnd.nextInt(9).toLong - 4)
+    val masks = Seq.fill(4)((0 until 12).map(_ => rnd.nextInt(2).toLong))
+    def expect(d: Seq[Option[Long]]): (Seq[Long], Seq[Long], Seq[Long]) = {
+      val c = d.indices.filter(i => d(i).isDefined && i < w1.length)
+      val x = c.map(d(_).get)
+      val a = c.map(w1(_)); val b = c.map(w2(_))
+      val ws = Seq[Long](c.size, x.sum, x.map(v => v * v).sum,
+        a.sum, a.zip(x).map(t => t._1 * t._2).sum, a.map(v => v * v).sum)
+      val tw = Seq[Long](c.size, x.sum, x.map(v => v * v).sum,
+        a.sum, a.zip(x).map(t => t._1 * t._2).sum, a.map(v => v * v).sum,
+        b.sum, b.zip(x).map(t => t._1 * t._2).sum, b.map(v => v * v).sum,
+        a.zip(b).map(t => t._1 * t._2).sum)
+      val ms = masks.map(m => d.indices.collect {
+        case i if d(i).isDefined && i < m.length => d(i).get * m(i)
+      }.sum)
+      (ws, tw, ms)
+    }
+    val df = rows.toDF("vid", "d")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("vid"),
+            dosageWeightedStats(col("d"), w1).as("ws"),
+            dosageTwoWeightStats(col("d"), w1, w2).as("tw"),
+            dosageMaskedSums(col("d"), masks).as("ms"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+            r.getSeq[Long](2), r.getSeq[Long](3))).sortBy(_._1)
+        for ((vid, ws, tw, ms) <- got) {
+          val (ews, etw, ems) = expect(rows(vid.toInt)._2)
+          assert(ws == ews, s"$mode vid=$vid weighted")
+          assert(tw == etw, s"$mode vid=$vid two-weight")
+          assert(ms == ems, s"$mode vid=$vid masked")
+        }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   // ---- gram-free biobank PCA (pcaFromGeno) -------------------------------
 
   private val pcaS = 8
