@@ -1571,10 +1571,38 @@ object MultimodalQ extends QueryModule {
         col("meta_len"), col("txt_md5")),
     Some(archiveOracle))
 
+  // --- q369: JSONL-shard ingestion — the metadata sidecar format of
+  // every web corpus, parsed by Spark's NATIVE schema'd JSON reader
+  // (from_json, codegen'd Jackson path — no UDF): each document's
+  // deterministic JSONL line round-trips through the parser, and a
+  // spliced corrupt line (every 17th) must drop on the null-struct
+  // lane exactly like a real permissive-mode ingest. --------------------
+  private val q369 = Q("q369_jsonl_shards",
+    (s, dir) => {
+      val d = graft.core.Tables(s, dir, "documents")
+      val line = concat(lit("{\"id\":"),
+        col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"src\":\""), col("source"),
+        lit("\",\"n\":"), col("n_chars").cast("string"), lit("}"))
+      val spliced = when(col("doc_id") % 17 === 0,
+        concat(lit("{broken "), line)).otherwise(line)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, lang STRING, src STRING, n BIGINT")
+      d.select(col("doc_id"), from_json(spliced, schema).as("j"))
+        .filter(col("j").isNotNull && col("j.id").isNotNull)
+        .select(col("doc_id"), col("j.id").as("id"),
+          col("j.lang").as("lang2"), col("j.src").as("src"),
+          col("j.n").as("n"))
+    },
+    Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS id,
+        lang AS lang2, source AS src, CAST(n_chars AS BIGINT) AS n
+      FROM documents WHERE doc_id % 17 <> 0"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
-      q362, q363, q364, q365, q366, q367, q368)
+      q362, q363, q364, q365, q366, q367, q368, q369)
 }
