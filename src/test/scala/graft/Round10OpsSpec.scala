@@ -216,4 +216,45 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-9, s"unit norm, got $norm")
     assert(ev(0) > 0.0)
   }
+
+  test("pcaFromGeno at 256 partitions merges partials executor-side — " +
+      "the driver receives O(S) longs per mat-vec, not the P×S fan") {
+    val S = 10000
+    // a task result carrying an S-length Long partial is ≥ 8·S bytes;
+    // task-status overhead is KBs — the threshold separates them cleanly
+    val bigThreshold = 8L * S
+    val big = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null && !e.taskInfo.failed &&
+            e.taskMetrics != null &&
+            e.taskMetrics.resultSize >= bigThreshold) big.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val v = spark.range(60).repartition(256).toDF("vid")
+        .withColumn("d", transform(sequence(lit(0), lit(S - 1)),
+          s => when((col("vid") * 7 + s) % 13 === 0,
+              lit(null).cast("long"))
+            .otherwise(pmod(col("vid") * 3 + s * s + s, lit(3))
+              .cast("long"))))
+      val (ev, vecs) = PopGen.pcaFromGeno(v, S, k = 1, iters = 2)
+      assert(vecs(0).length == S)
+      assert(ev(0) > 0.0)
+      // listener bus is async: poll until the count stabilizes
+      var prev = -1
+      var waited = 0
+      while (big.get() != prev && waited < 5000) {
+        prev = big.get(); Thread.sleep(200); waited += 200
+      }
+      // 3 mat-vec jobs (2 power + 1 Rayleigh); treeDepth(256) = 3 ⇒ the
+      // final driver-side reduce sees ≤ 8 partials per job. The old
+      // collect() path shipped ~60 non-empty partials per job (> 100
+      // total) — this gate fails on it.
+      val got = big.get()
+      assert(got > 0, "threshold never tripped — the gate is not measuring")
+      assert(got <= 24, s"driver received $got S-length partials (> 8/job)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
