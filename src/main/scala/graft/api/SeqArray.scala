@@ -300,9 +300,16 @@ final case class SeqVarData(variants: DataFrame,
   }
 
   /** snpgdsIBDMoM: PLINK --genome method-of-moments IBD
-    * (Z0/Z1/Z2/PI_HAT) — see [[graft.operators.PopGen.ibdMoM]]. */
-  def ibdMoM(n: Int = -1): DataFrame =
-    graft.operators.PopGen.ibdMoM(dosed, if (n > 0) n else nSamples)
+    * (Z0/Z1/Z2/PI_HAT) — see [[graft.operators.PopGen.ibdMoM]].
+    * `corrected = true` applies PLINK's finite-sample allele-count
+    * correction and additionally emits the
+    * snpgdsIBDMoM(kinship=TRUE) column kinship = π̂/2
+    * ([[graft.operators.PopGen.ibdMoMCorrected]]). */
+  def ibdMoM(n: Int = -1, corrected: Boolean = false): DataFrame = {
+    val nn = if (n > 0) n else nSamples
+    if (corrected) graft.operators.PopGen.ibdMoMCorrected(dosed, nn)
+    else graft.operators.PopGen.ibdMoM(dosed, nn)
+  }
 
   /** snpgdsIndInb-shaped per-sample inbreeding F. */
   def inbreeding(n: Int = -1): DataFrame =

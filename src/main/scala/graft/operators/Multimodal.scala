@@ -100,10 +100,12 @@ object Multimodal {
     * still contributes one frame), real WAV decode for audio payloads
     * (width/height carry sample-rate/channels; brightness carries RMS),
     * real pure-JVM FLAC decode for compressed-lossless audio
-    * ([[Flac.decode]] — same feature mapping as WAV), the MP3
-    * frame-header walk for lossy audio (metadata only),
-    * deterministic stub for everything else (lossy audio payloads and
-    * video codecs are not in the JDK). */
+    * ([[Flac.decode]] — same feature mapping as WAV), REAL MPEG-1
+    * Layer I subband decode for lossy audio ([[MpegAudio.decodeMp1]];
+    * brightness carries spectral RMS), the MP3 frame-header walk for
+    * Layer II/III (metadata only), deterministic stub for everything
+    * else (Layer II/III waveforms and video codecs need ISO tables /
+    * codecs not available in the JDK). */
   def decode(r: MediaRow): MediaFeature = r.media_type match {
     case "image" =>
       decodeImage(r.payload) match {
@@ -133,17 +135,39 @@ object Multimodal {
                 if (d.totalSamples == 0) 0.0
                 else math.sqrt(d.sumSq.toDouble /
                   (d.totalSamples.toDouble * d.channels)))
-          case None => parseMp3(r.payload) match {
-            // compressed-LOSSY lane: real header metadata, no
-            // waveform — brightness carries the mean bitrate (kbps),
-            // the only energy-like scalar a header walk can produce
-            case Some(m) =>
+          case None => MpegAudio.decodeMp1(r.payload) match {
+            // compressed-LOSSY lane, REALLY decoded (MPEG-1 Layer I):
+            // brightness carries the subband-domain RMS of the
+            // dequantized spectral samples — genuine signal energy,
+            // not a header statistic (PCM resynthesis needs the
+            // Table 3-B.3 window; see MpegAudio's scaladoc)
+            case Some(d) =>
+              var n = 0L; var ss = 0.0
+              d.frames.foreach(_.samples.foreach(_.foreach { xs =>
+                var i = 0
+                while (i < xs.length) {
+                  ss += xs(i) * xs(i); n += 1; i += 1
+                }
+              }))
               MediaFeature(r.doc_id, r.media_type, r.payload.length,
-                width = m.sample_rate, height = m.channels,
-                n_frames =
-                  math.min(m.n_frames, Int.MaxValue.toLong).toInt,
-                brightness = m.kbps_mean)
-            case None => decodeStub(r)
+                width = d.sampleRate, height = d.channels,
+                n_frames = math.min(d.frames.size.toLong * 384,
+                  Int.MaxValue.toLong).toInt,
+                brightness = if (n == 0) 0.0 else math.sqrt(ss / n))
+            case None => parseMp3(r.payload) match {
+              // Layer II/III: real header metadata, no waveform —
+              // brightness carries the mean bitrate (kbps), the only
+              // energy-like scalar a header walk can produce (Layer
+              // II/III payload decode needs ISO tables 3-B.2/3-B.4 /
+              // Huffman, unavailable offline)
+              case Some(m) =>
+                MediaFeature(r.doc_id, r.media_type, r.payload.length,
+                  width = m.sample_rate, height = m.channels,
+                  n_frames =
+                    math.min(m.n_frames, Int.MaxValue.toLong).toInt,
+                  brightness = m.kbps_mean)
+              case None => decodeStub(r)
+            }
           }
         }
       }

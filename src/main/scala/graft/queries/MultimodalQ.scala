@@ -1599,10 +1599,99 @@ object MultimodalQ extends QueryModule {
         lang AS lang2, source AS src, CAST(n_chars AS BIGINT) AS n
       FROM documents WHERE doc_id % 17 <> 0"""))
 
+  // --- q370: REAL MPEG-1 LAYER I decode — the lossy-DCT-family stub
+  // finally retired for Layer I payloads: a full ISO 11172-3 bitstream
+  // decode (allocation walk, Table 3-B.1 scalefactors, MSB-sign
+  // requantization) to exact dequantized SUBBAND samples, rolled up per
+  // (doc, subband) as quantize-then-sum BIGINTs. Time-domain PCM needs
+  // Table 3-B.3's 512 numerically-designed window coefficients
+  // (unavailable offline, no closed form) — the subband domain IS the
+  // closed-form decode, and the oracle replays every double
+  // bit-exactly (dyadic terms + mirrored rounding order). Decode runs
+  // inside partitions; no shuffle. ---------------------------------------
+  private val mp1DequantCte =
+    """p AS (SELECT doc_id, CAST(doc_id % 8 + 3 AS BIGINT) AS nf
+        FROM documents),
+      fx AS (SELECT doc_id, nf, unnest(range(0, nf)) AS fr FROM p),
+      sbx AS (SELECT doc_id, nf, fr, unnest(range(0, 32)) AS sb FROM fx),
+      ax AS (SELECT doc_id, nf, fr, sb,
+          CAST((doc_id * 7 + fr * 5 + sb) % 7 AS INT) AS al
+        FROM sbx),
+      al2 AS (SELECT doc_id, nf, fr, sb, al + 1 AS nb,
+          CAST((doc_id * 3 + fr * 11 + sb * 5) % 63 AS INT) AS sfi
+        FROM ax WHERE al >= 2),
+      sm AS (SELECT doc_id, nf, fr, sb, nb, sfi,
+          unnest(range(0, 12)) AS s
+        FROM al2),
+      cd AS (SELECT doc_id, nf, fr, sb, nb, sfi,
+          CAST((doc_id * 31 + fr * 17 + sb * 13 + s * 7)
+            % ((1 << nb) - 1) AS BIGINT) AS code
+        FROM sm),
+      sftab AS (SELECT i,
+          (CASE CAST(i % 3 AS INT) WHEN 0 THEN 2.0
+            WHEN 1 THEN 1.5874010519681996
+            ELSE 1.2599210498948732 END)
+            / CAST(1 << CAST(i // 3 AS INT) AS DOUBLE) AS sfv
+        FROM (SELECT unnest(range(0, 63)) AS i)),
+      dq AS (SELECT doc_id, nf, fr, sb,
+          sfv * (((CASE WHEN code // (1 << (nb - 1)) = 1
+                THEN 0.0 ELSE -1.0 END
+              + CAST(code % (1 << (nb - 1)) AS DOUBLE)
+                / CAST(1 << (nb - 1) AS DOUBLE))
+            + 1.0 / CAST(1 << (nb - 1) AS DOUBLE))
+            * (CAST(1 << nb AS DOUBLE)
+              / CAST((1 << nb) - 1 AS DOUBLE))) AS x
+        FROM cd JOIN sftab ON sftab.i = cd.sfi)"""
+
+  private val q370 = Q("q370_mp1_subband_decode",
+    (s, dir) => graft.operators.MpegAudio.decodeMp1Bands(
+        graft.operators.MpegAudio.syntheticMp1Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("sb"), col("n_frames"),
+        col("amp_q9"), col("eng_q12")),
+    Some(s"""WITH $mp1DequantCte
+      SELECT doc_id, CAST(sb AS INT) AS sb,
+        CAST(COUNT(*) // 12 AS INT) AS n_frames,
+        CAST(SUM(CAST(floor(1e9 * x) AS BIGINT)) AS BIGINT) AS amp_q9,
+        CAST(SUM(CAST(floor(1e12 * (x * x)) AS BIGINT)) AS BIGINT)
+          AS eng_q12
+      FROM dq GROUP BY 1, 2"""))
+
+  // --- q371: SPECTRAL PROFILE on the decoded Layer I lane — the
+  // per-document "where does the signal live" summary (allocated
+  // cells, dominant subband by exact quantized energy with a
+  // lowest-subband tie-break, and its share) a spectral dedup or
+  // audio-quality gate keys on. Same one-scan decode; the argmax is
+  // per-doc over ≤ 32 band rows. ----------------------------------------
+  private val q371 = Q("q371_mp1_spectral_profile",
+    (s, dir) => graft.operators.MpegAudio.decodeMp1Profiles(
+        graft.operators.MpegAudio.syntheticMp1Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_alloc_cells"),
+        col("eng_total_q12"), col("top_sb"), col("top_share")),
+    Some(s"""WITH $mp1DequantCte,
+      bands AS (SELECT doc_id, sb, MAX(nf) AS nf,
+          CAST(COUNT(*) // 12 AS BIGINT) AS cells,
+          CAST(SUM(CAST(floor(1e12 * (x * x)) AS BIGINT)) AS BIGINT)
+            AS eng
+        FROM dq GROUP BY 1, 2),
+      ranked AS (SELECT doc_id, nf, sb, eng, cells,
+          SUM(cells) OVER (PARTITION BY doc_id) AS all_cells,
+          SUM(eng) OVER (PARTITION BY doc_id) AS eng_tot,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY eng DESC, sb ASC) AS rk
+        FROM bands)
+      SELECT doc_id, CAST(nf AS INT) AS n_frames,
+        CAST(all_cells AS BIGINT) AS n_alloc_cells,
+        CAST(eng_tot AS BIGINT) AS eng_total_q12,
+        CAST(sb AS INT) AS top_sb,
+        CAST(eng AS DOUBLE) / CAST(eng_tot AS DOUBLE) AS top_share
+      FROM ranked WHERE rk = 1"""))
+
   override def queries: Seq[Q] =
     Seq(q41, q42, q84, q90, q101, q103, q104, q119, q162, q174, q175,
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
-      q362, q363, q364, q365, q366, q367, q368, q369)
+      q362, q363, q364, q365, q366, q367, q368, q369, q370, q371)
 }

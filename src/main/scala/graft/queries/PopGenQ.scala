@@ -2551,11 +2551,76 @@ object PopGenQ extends QueryModule {
                 / CAST(se0 AS DOUBLE) END AS z0
             FROM ag)))""")))
 
+  // --- q372: PLINK-corrected MoM IBD (the q358 chain with PLINK
+  // --genome's finite-sample correction): every p-polynomial in the
+  // IBS-class expectations replaced by its UNBIASED allele-count
+  // estimator — X(X−1)Y(Y−1)/T⁽⁴⁾ for p²q² etc., EXACT BIGINT count
+  // products, ONE double division per term, floor(·10⁹) before the
+  // pair sum. Also emits snpgdsIBDMoM(kinship=TRUE)'s kinship = π̂/2.
+  // Same pre-fan e-terms + one (i,j) exchange as q358. -------------------
+  private val q372 = Q("q372_ibd_mom_plink",
+    (s, dir) => PopGen.ibdMoMCorrected(
+      SynthGeno.variants(s, dir)
+        .select(col("vid"), dosageAlt(col("geno")).as("d")),
+      N),
+    Some(withCte(s""", st AS (SELECT d,
+          CAST(len(list_filter(d, x -> x IS NOT NULL)) AS BIGINT) AS n,
+          CAST(COALESCE(list_sum(list_filter(d, x -> x IS NOT NULL)), 0)
+            AS BIGINT) AS a
+        FROM (SELECT $dSql AS d FROM variants)),
+      cnts AS (SELECT d, a AS x, n * 2 - a AS y, n * 2 AS t
+        FROM st WHERE a > 0 AND a < n * 2 AND n >= 2),
+      e AS (SELECT d,
+          CAST(floor(2.0 * (CAST(x * (x - 1) * y * (y - 1) AS DOUBLE)
+              / CAST(t * (t - 1) * (t - 2) * (t - 3) AS DOUBLE))
+            * 1000000000) AS BIGINT) AS t0,
+          CAST(floor((4.0 * (CAST(x * (x - 1) * (x - 2) * y AS DOUBLE)
+              / CAST(t * (t - 1) * (t - 2) * (t - 3) AS DOUBLE))
+            + 4.0 * (CAST(x * y * (y - 1) * (y - 2) AS DOUBLE)
+              / CAST(t * (t - 1) * (t - 2) * (t - 3) AS DOUBLE)))
+            * 1000000000) AS BIGINT) AS t10,
+          CAST(floor((2.0 * (CAST(x * (x - 1) * y AS DOUBLE)
+              / CAST(t * (t - 1) * (t - 2) AS DOUBLE))
+            + 2.0 * (CAST(x * y * (y - 1) AS DOUBLE)
+              / CAST(t * (t - 1) * (t - 2) AS DOUBLE)))
+            * 1000000000) AS BIGINT) AS t11
+        FROM cnts),
+      ag AS (SELECT pp.i, pp.j, CAST(COUNT(*) AS BIGINT) AS n_sites,
+          CAST(SUM(CASE WHEN abs(d[pp.i + 1] - d[pp.j + 1]) = 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN abs(d[pp.i + 1] - d[pp.j + 1]) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN abs(d[pp.i + 1] - d[pp.j + 1]) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(t0) AS BIGINT) AS se0,
+          CAST(SUM(t10) AS BIGINT) AS se10,
+          CAST(SUM(t11) AS BIGINT) AS se11
+        FROM e,
+          (SELECT ii.i, jj.j
+           FROM (SELECT unnest(range(0, $N)) AS i) ii,
+                (SELECT unnest(range(0, $N)) AS j) jj
+           WHERE jj.j > ii.i) pp
+        WHERE d[pp.i + 1] IS NOT NULL AND d[pp.j + 1] IS NOT NULL
+        GROUP BY pp.i, pp.j)
+      SELECT i, j, n_sites, n0, n1, n2, se0, se10, se11,
+        z0, z1, z2, z2 + z1 / 2 AS pi_hat,
+        0.5 * z2 + 0.25 * z1 AS kinship
+      FROM (SELECT *, 1 - z0 - z1 AS z2
+        FROM (SELECT *,
+            CASE WHEN se11 > 0 THEN
+              (CAST(n1 * 1000000000 AS DOUBLE)
+                - z0 * CAST(se10 AS DOUBLE)) / CAST(se11 AS DOUBLE)
+            END AS z1
+          FROM (SELECT *,
+              CASE WHEN se0 > 0 THEN CAST(n0 * 1000000000 AS DOUBLE)
+                / CAST(se0 AS DOUBLE) END AS z0
+            FROM ag)))""")))
+
   override def queries: Seq[Q] =
     Seq(q120, q121, q122, q123, q124, q126, q129, q130, q132, q133, q134,
       q135, q136, q137, q155, q163, q164, q165, q166, q170, q172, q173,
       q176, q177, q178, q179, q180, q181, q182, q183, q184, q190, q191,
       q192, q196, q197, q203, q204, q206, q211, q236, q255, q266, q276,
       q284, q285, q286, q312, q324, q327, q328, q332, q333, q336, q348,
-      q358)
+      q358, q372)
 }

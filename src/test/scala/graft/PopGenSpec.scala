@@ -734,4 +734,74 @@ class PopGenSpec extends AnyFunSuite {
       && r(1).getAs[Long]("sum_tf") == 3L
       && r(1).getAs[Double]("score") == 1.5)
   }
+
+  test("ibdMoMCorrected golden: PLINK count-corrected expectations " +
+      "replayed by an independent loop; kinship = pi_hat / 2") {
+    import spark.implicits._
+    val cube: Seq[Seq[java.lang.Long]] = Seq(
+      Seq(0L, 1L, 2L, 1L),
+      Seq(1L, 1L, 0L, 2L),
+      Seq(2L, 0L, 1L, null),
+      Seq(0L, 0L, 1L, 1L),
+      Seq(1L, 2L, 2L, 0L))
+    val v = cube.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("vid", "d")
+    val got = PopGen.ibdMoMCorrected(v, 4).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")), r)).toMap
+    assert(got.size == 6)
+    // independent per-pair replay of the corrected expectations
+    for (i <- 0 until 4; j <- (i + 1) until 4) {
+      var n0 = 0L; var n1 = 0L; var n2 = 0L; var ns = 0L
+      var se0 = 0L; var se10 = 0L; var se11 = 0L
+      cube.foreach { d =>
+        val called = d.filter(_ != null).map(_.longValue)
+        val n = called.size.toLong; val a = called.sum
+        if (a > 0 && a < 2 * n && n >= 2 &&
+            d(i) != null && d(j) != null) {
+          ns += 1
+          val dist = math.abs(d(i).longValue - d(j).longValue)
+          if (dist == 2) n0 += 1 else if (dist == 1) n1 += 1 else n2 += 1
+          val x = a; val y = 2 * n - a; val t = 2 * n
+          val d4 = (t * (t - 1) * (t - 2) * (t - 3)).toDouble
+          val d3 = (t * (t - 1) * (t - 2)).toDouble
+          se0 += math.floor(2.0
+            * ((x * (x - 1) * y * (y - 1)).toDouble / d4)
+            * 1000000000L).toLong
+          se10 += math.floor((4.0
+            * ((x * (x - 1) * (x - 2) * y).toDouble / d4)
+            + 4.0 * ((x * y * (y - 1) * (y - 2)).toDouble / d4))
+            * 1000000000L).toLong
+          se11 += math.floor((2.0 * ((x * (x - 1) * y).toDouble / d3)
+            + 2.0 * ((x * y * (y - 1)).toDouble / d3))
+            * 1000000000L).toLong
+        }
+      }
+      val r = got((i, j))
+      assert(r.getAs[Long]("n_sites") == ns && r.getAs[Long]("n0") == n0
+        && r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2,
+        s"counts ($i,$j)")
+      assert(r.getAs[Long]("se0") == se0 && r.getAs[Long]("se10") == se10
+        && r.getAs[Long]("se11") == se11, s"e-sums ($i,$j)")
+      val z0 = if (se0 > 0) (n0 * 1000000000L).toDouble / se0.toDouble
+        else Double.NaN
+      val z1 = if (se11 > 0) ((n1 * 1000000000L).toDouble
+        - z0 * se10.toDouble) / se11.toDouble else Double.NaN
+      val z2 = 1.0 - z0 - z1
+      if (!z2.isNaN) {
+        assert(math.abs(r.getAs[Double]("pi_hat") - (z2 + z1 / 2))
+          < 1e-12, s"pi_hat ($i,$j)")
+        assert(r.getAs[Double]("kinship") ==
+          0.5 * r.getAs[Double]("z2") + 0.25 * r.getAs[Double]("z1"),
+          s"kinship ($i,$j)")
+      }
+    }
+    // the correction must actually change the expectation sums vs the
+    // textbook lane (same cube, same pairs)
+    val plain = PopGen.ibdMoM(v, 4).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+        r.getAs[Long]("se0"))).toMap
+    assert((0 until 4).combinations(2).exists { c =>
+      plain((c(0), c(1))) != got((c(0), c(1))).getAs[Long]("se0")
+    }, "corrected se0 should differ from textbook se0 somewhere")
+  }
 }
