@@ -467,6 +467,42 @@ object ScaleProbe {
                 "MJPG", dib = false))
           })(Encs.product[graft.operators.Multimodal.MediaRow])
         graft.operators.Multimodal.decodeMjpegAll(media).toDF()
+      }, Docs),
+      // MPEG-1 Layer II subband decode (q374's shape): real allocation
+      // -class walk + scfsi + degrouping per doc — stateless
+      // partition-local integer/bit work, must be linear in payloads
+      ("mp2_decode", { d =>
+        import org.apache.spark.sql.{Encoders => Encs}
+        val media = d.select(col("doc_id").cast("long")).as(Encs.scalaLong)
+          .mapPartitions(_.map(id =>
+            graft.operators.Multimodal.MediaRow(id, "audio",
+              graft.operators.MpegAudio.syntheticMp2(
+                id, (id % 6 + 2).toInt))))(
+            Encs.product[graft.operators.Multimodal.MediaRow])
+        graft.operators.MpegAudio.decodeMp2Bands(media).toDF()
+      }, Docs),
+      // mixed archive-shard walk (q373's shape, pricing q365–q368's
+      // lanes): per doc a real tar / zip / tgz two-member shard, read
+      // back through the sniff-routed verified walks (tar checksum,
+      // zip central-directory + CRC32, gzip CRC32+ISIZE). Stateless
+      // partition-local byte walk — must be linear in shard count
+      ("archive_walk", { d =>
+        import org.apache.spark.sql.{Encoders => Encs}
+        val media = d.select(col("doc_id").cast("long"), col("text"))
+          .as(Encs.tuple(Encs.scalaLong, Encs.STRING))
+          .mapPartitions(_.map { case (id, text) =>
+            val members = Seq(
+              "doc.txt" -> text.getBytes("UTF-8"),
+              "meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+            val payload = (id % 3) match {
+              case 0 => graft.operators.Archives.tarWrite(members)
+              case 1 => graft.operators.Archives.zipWrite(members)
+              case _ => graft.operators.Gzip.gzipMember(
+                graft.operators.Archives.tarWrite(members))
+            }
+            graft.operators.Multimodal.MediaRow(id, "archive", payload)
+          })(Encs.product[graft.operators.Multimodal.MediaRow])
+        graft.operators.Multimodal.archiveMembersAll(media).toDF()
       }, Docs))
 
     def time(fn: => DataFrame): Double = {

@@ -28,11 +28,12 @@ import graft.operators.Multimodal.MediaRow
   * available in this offline container, so emitting "PCM" would be
   * unverifiable guesswork, and band features (energy, activity,
   * spectral shape) are computed in the subband domain instead — the
-  * same domain real MPEG analyzers use. Layer II adds the allocation
-  * tables 3-B.2a–d and quantization classes 3-B.4 (also unavailable
-  * here) and stays on the header walk; Layer III additionally needs the
-  * Huffman tables. Joint-stereo (mode 01) frames are rejected — the
-  * intensity bound changes the sample walk.
+  * same domain real MPEG analyzers use. Layer II is decoded for real
+  * too ([[decodeMp2]] below — tables 3-B.2a–d carry a published
+  * structure and 3-B.4's constants are closed forms, see the Layer II
+  * section); Layer III additionally needs the Huffman tables and stays
+  * on the header walk. Joint-stereo (mode 01) frames are rejected —
+  * the intensity bound changes the sample walk.
   *
   * SeqArray analogue: the seqApply per-record decode discipline
   * (reference src/GetData.cpp apply-over-records) — payloads decode
@@ -328,6 +329,480 @@ object MpegAudio {
         }
         (0 until 32).iterator.filter(nf(_) > 0)
           .map(sb => Mp1Band(r.doc_id, sb, nf(sb), amp(sb), eng(sb)))
+      }
+    })
+  }
+
+  // === MPEG-1 Audio LAYER II (ISO/IEC 11172-3 §2.4.1.6/§2.4.2.2) ====
+  //
+  // Layer II refines Layer I with per-subband quantization CLASSES:
+  // the bit-allocation index is now a row lookup into one of the four
+  // published allocation tables 3-B.2a–d (selected by sampling rate ×
+  // bitrate-per-channel), scalefactors are shared across the frame's
+  // three 12-granule parts under a 2-bit scfsi selector, and the
+  // quantizers with 3/5/9 steps pack THREE samples into one grouped
+  // codeword (5/7/10 bits, degrouped by successive division — the
+  // spec's c%n, (c/n)%n, c/n² walk). Requantization is the SAME
+  // closed form as Layer I, generalized: Table 3-B.4's constants are
+  //
+  //   C = 2^nb / nlevels,   D = (2^nb − nlevels + 1) / 2^nb
+  //
+  // (nb = bits of the ungrouped representation) — every published
+  // C/D row (1.33333333/0.5 for 3 levels, 1.6/0.5 for 5,
+  // 1.14285714/0.25 for 7, 1.77777778/0.5 for 9, 1.06666667/0.125
+  // for 15, … 1.00001526/0.000030518 for 65535) is exactly this
+  // rational, so the "table" is derivable in closed form and an SQL
+  // oracle replays the dequantization bit-for-bit: D is dyadic-exact,
+  // ×C and ×sf are each one IEEE rounding of the same expression
+  // tree. Like the Layer I lane, decode stops at the DEQUANTIZED
+  // SUBBAND SAMPLES (see the module scaladoc's honesty note on the
+  // 3-B.3 synthesis window).
+
+  /** One allocation-table row: `nbal` allocation bits and the
+    * quantization classes (steps) indexed by allocation code − 1. */
+  private final case class AllocRow(nbal: Int, steps: Array[Int])
+
+  // the class ladders of tables 3-B.2a/b (high-rate) ...
+  private val StepsWide = Array(3, 7, 15, 31, 63, 127, 255, 511, 1023,
+    2047, 4095, 8191, 16383, 32767, 65535)          // sb 0–2, nbal 4
+  private val StepsMid = Array(3, 5, 7, 9, 15, 31, 63, 127, 255, 511,
+    1023, 2047, 4095, 8191, 65535)                  // sb 3–10, nbal 4
+  private val StepsNarrow = Array(3, 5, 7, 9, 15, 31, 65535) // sb 11–22
+  private val StepsTail = Array(3, 5, 65535)        // sb 23+, nbal 2
+  // ... and of 3-B.2c/d (low-rate; no 7-step class, no 65535 tail)
+  private val StepsLow4 = Array(3, 5, 9, 15, 31, 63, 127, 255, 511,
+    1023, 2047, 4095, 8191, 16383, 32767)
+  private val StepsLow3 = Array(3, 5, 9, 15, 31, 63, 127)
+
+  /** Tables 3-B.2a–d as (sblimit, per-sb rows). */
+  private def allocTable(which: Char): Array[AllocRow] = which match {
+    case 'a' | 'b' =>
+      val lim = if (which == 'a') 27 else 30
+      Array.tabulate(lim) { sb =>
+        if (sb < 3) AllocRow(4, StepsWide)
+        else if (sb < 11) AllocRow(4, StepsMid)
+        else if (sb < 23) AllocRow(3, StepsNarrow)
+        else AllocRow(2, StepsTail)
+      }
+    case 'c' | 'd' =>
+      val lim = if (which == 'c') 8 else 12
+      Array.tabulate(lim) { sb =>
+        if (sb < 2) AllocRow(4, StepsLow4) else AllocRow(3, StepsLow3)
+      }
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  /** Table selection (the spec's annex-3-B applicability notes):
+    * ≤ 48 kbps/ch → the low-rate tables (3-B.2d at 32 kHz, else
+    * 3-B.2c); 56–80 kbps/ch → 3-B.2a everywhere; ≥ 96 kbps/ch →
+    * 3-B.2a at 48 kHz, 3-B.2b at 44.1/32 kHz. */
+  private def tableFor(rate: Int, kbpsPerCh: Int): Char =
+    if (kbpsPerCh <= 48) { if (rate == 32000) 'd' else 'c' }
+    else if (kbpsPerCh <= 80) 'a'
+    else if (rate == 48000) 'a' else 'b'
+
+  private val KbpsL2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 384)
+
+  /** Bits of the ungrouped code for an `nlevels`-step quantizer:
+    * 2/3/4 for the grouped 3/5/9, else log₂(nlevels + 1). */
+  private def bitsFor(nlevels: Int): Int = nlevels match {
+    case 3 => 2
+    case 5 => 3
+    case 9 => 4
+    case n => java.lang.Integer.numberOfTrailingZeros(n + 1)
+  }
+
+  /** Layer II requantization — Table 3-B.4 in closed form (one shared
+    * expression tree; the oracle mirrors it):
+    *
+    *   s''  = v / 2^(nb−1) − 1                      (exact dyadic)
+    *   s''' = (s'' + D) · C                         (one rounding)
+    *   s'   = sf · s'''                             (one rounding) */
+  def dequant2(v: Int, nlevels: Int, sf: Double): Double = {
+    val nb = bitsFor(nlevels)
+    val half = (1L << (nb - 1)).toDouble
+    val c = (1L << nb).toDouble / nlevels.toDouble
+    val d = ((1L << nb) - nlevels + 1).toDouble / (1L << nb).toDouble
+    sf * (((v.toDouble / half - 1.0) + d) * c)
+  }
+
+  /** One decoded Layer II frame: per-channel allocation codes, the
+    * three per-part scalefactor indices (−1 where unallocated), and
+    * `samples(ch)(sb)` — 36 dequantized doubles where allocated. */
+  final case class Mp2Frame(kbps: Int, alloc: Array[Array[Int]],
+      sfIdx: Array[Array[Array[Int]]], scfsi: Array[Array[Int]],
+      samples: Array[Array[Array[Double]]], sfTransmitted: Int,
+      groupedCells: Int)
+
+  final case class Mp2Decoded(sampleRate: Int, channels: Int,
+      sblimit: Int, frames: Vector[Mp2Frame])
+
+  /** Decode an MPEG-1 Layer II stream — the [[decodeMp1]] strictness
+    * contract: ≥ 2 chained complete frames from byte 0, consistent
+    * rate/mode, reject on any forbidden field (allocation above the
+    * row, scalefactor 63, all-ones ungrouped code, grouped codeword
+    * ≥ nlevels³, free-format, joint-stereo) or CRC mismatch. */
+  def decodeMp2(payload: Array[Byte]): Option[Mp2Decoded] = {
+    if (payload == null || payload.length < 8) return None
+    def b(i: Int): Int = payload(i) & 0xff
+    var off = 0
+    var rate = -1; var mode = -1
+    val frames = Vector.newBuilder[Mp2Frame]
+    var n = 0
+    var sblimitOut = 0
+    while (off + 4 <= payload.length &&
+        b(off) == 0xff && (b(off + 1) & 0xe0) == 0xe0) {
+      val h1 = b(off + 1); val h2 = b(off + 2); val h3 = b(off + 3)
+      val v = (h1 >> 3) & 3
+      val l = (h1 >> 1) & 3
+      val prot = h1 & 1
+      val bri = (h2 >> 4) & 15
+      val sri = (h2 >> 2) & 3
+      val pad = (h2 >> 1) & 1
+      val md = (h3 >> 6) & 3
+      if (v != 3 || l != 2 || bri == 0 || bri == 15 || sri == 3 ||
+        md == 1) return None
+      val r = Rates(sri)
+      if (n == 0) { rate = r; mode = md }
+      else if (r != rate || md != mode) return None
+      val kbps = KbpsL2(bri)
+      val frameLen = 144 * kbps * 1000 / r + pad
+      if (off + frameLen > payload.length) return None
+      val nch = if (md == 3) 1 else 2
+      val rows = allocTable(tableFor(r, kbps / nch))
+      val sblimit = rows.length
+      sblimitOut = sblimit
+      val rd = new BitReader(payload, off + 4 + (if (prot == 0) 2 else 0))
+      var crc = crcBits(crcBits(0xffff, h2, 8), h3, 8)
+      val alloc = Array.ofDim[Int](nch, sblimit)
+      var sb = 0
+      while (sb < sblimit) {
+        var ch = 0
+        while (ch < nch) {
+          val a = rd.bits(rows(sb).nbal)
+          if (a > rows(sb).steps.length) return None
+          alloc(ch)(sb) = a
+          crc = crcBits(crc, a, rows(sb).nbal)
+          ch += 1
+        }
+        sb += 1
+      }
+      val scfsi = Array.fill(nch, sblimit)(0)
+      sb = 0
+      while (sb < sblimit) {
+        var ch = 0
+        while (ch < nch) {
+          if (alloc(ch)(sb) != 0) {
+            val s = rd.bits(2)
+            scfsi(ch)(sb) = s
+            crc = crcBits(crc, s, 2)
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      if (prot == 0) {
+        val sent = (b(off + 4) << 8) | b(off + 5)
+        if (crc != sent) return None
+      }
+      // scalefactors: 3/2/1/2 six-bit indices per §2.4.2.2 scfsi
+      val sfIdx = Array.fill(nch, sblimit, 3)(-1)
+      var sfTx = 0
+      sb = 0
+      while (sb < sblimit) {
+        var ch = 0
+        while (ch < nch) {
+          if (alloc(ch)(sb) != 0) {
+            def sf(): Int = {
+              val s = rd.bits(6); sfTx += 1
+              if (s == 63) -1 else s
+            }
+            scfsi(ch)(sb) match {
+              case 0 =>
+                val a = sf(); val bb = sf(); val c = sf()
+                sfIdx(ch)(sb) = Array(a, bb, c)
+              case 1 =>
+                val a = sf(); val c = sf()
+                sfIdx(ch)(sb) = Array(a, a, c)
+              case 2 =>
+                val a = sf()
+                sfIdx(ch)(sb) = Array(a, a, a)
+              case _ =>
+                val a = sf(); val c = sf()
+                sfIdx(ch)(sb) = Array(a, c, c)
+            }
+            if (sfIdx(ch)(sb).exists(_ < 0)) return None
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      val samples = Array.tabulate(nch, sblimit) { (ch, s) =>
+        if (alloc(ch)(s) == 0) Array.empty[Double]
+        else new Array[Double](36)
+      }
+      var grouped = 0
+      var g = 0
+      while (g < 12) {
+        val part = g / 4
+        sb = 0
+        while (sb < sblimit) {
+          var ch = 0
+          while (ch < nch) {
+            val a = alloc(ch)(sb)
+            if (a != 0) {
+              val nlv = rows(sb).steps(a - 1)
+              val sfv = ScaleFactors(sfIdx(ch)(sb)(part))
+              if (nlv == 3 || nlv == 5 || nlv == 9) {
+                grouped += 1
+                val gb = nlv match {
+                  case 3 => 5; case 5 => 7; case _ => 10
+                }
+                var cw = rd.bits(gb)
+                if (cw >= nlv * nlv * nlv) return None
+                var k = 0
+                while (k < 3) {
+                  samples(ch)(sb)(g * 3 + k) = dequant2(cw % nlv, nlv, sfv)
+                  cw /= nlv
+                  k += 1
+                }
+              } else {
+                val nb = bitsFor(nlv)
+                var k = 0
+                while (k < 3) {
+                  val code = rd.bits(nb)
+                  if (code == (1 << nb) - 1) return None
+                  samples(ch)(sb)(g * 3 + k) = dequant2(code, nlv, sfv)
+                  k += 1
+                }
+              }
+            }
+            ch += 1
+          }
+          sb += 1
+        }
+        g += 1
+      }
+      frames += Mp2Frame(kbps, alloc, sfIdx, scfsi, samples, sfTx, grouped)
+      n += 1
+      off = off + frameLen
+    }
+    if (n < 2 || off != payload.length) None
+    else Some(Mp2Decoded(rate, if (mode == 3) 1 else 2, sblimitOut,
+      frames.result()))
+  }
+
+  // --- deterministic Layer II fixture ---------------------------------
+
+  /** Allocation index formula — per-nbal range keeping the frame's
+    * worst-case sample bits inside the slot budget (asserted below):
+    * nbal 4 ⇒ al ∈ {0} ∪ 1..5, nbal 3 ⇒ 1..3, nbal 2 ⇒ 1..2. */
+  private def mp2AllocOf(docId: Long, fr: Int, sb: Int, nbal: Int): Int = {
+    val v = ((docId * 7 + fr * 5 + sb) % (1L << nbal)).toInt
+    val thr = nbal match { case 4 => 11; case 3 => 5; case _ => 2 }
+    if (v < thr) 0 else v - thr + 1
+  }
+
+  private def mp2Scfsi(docId: Long, fr: Int, sb: Int): Int =
+    ((docId + fr * 3 + sb) % 4).toInt
+
+  private def mp2Sf(docId: Long, fr: Int, sb: Int, which: Int): Int =
+    (which match {
+      case 0 => (docId * 3 + fr * 11 + sb * 5) % 63
+      case 1 => (docId * 5 + fr * 7 + sb * 3) % 63
+      case _ => (docId * 11 + fr * 13 + sb * 7) % 63
+    }).toInt
+
+  private def mp2Code(docId: Long, fr: Int, sb: Int, g: Int, k: Int,
+      nlevels: Int): Int =
+    ((docId * 31 + fr * 17 + sb * 13 + g * 7 + k * 19) % nlevels).toInt
+
+  /** Deterministic mono Layer II stream: even docs 48 kHz / 192 kbps
+    * (Table 3-B.2a, 576-byte frames), odd docs 32 kHz / 160 kbps
+    * (Table 3-B.2b, 720 bytes) — both integer slot counts, never
+    * padded; every field a closed form of (docId, frame, subband,
+    * granule, sample) that the oracle replays arithmetically. All
+    * four scfsi modes occur; grouped (3/5/9) and ungrouped classes
+    * both occur on every doc. */
+  def syntheticMp2(docId: Long, nFrames: Int,
+      withCrc: Boolean = false): Array[Byte] = {
+    require(nFrames >= 2)
+    val even = docId % 2 == 0
+    val rate = if (even) 48000 else 32000
+    val kbps = if (even) 192 else 160
+    val bri = if (even) 10 else 9
+    val sri = if (even) 1 else 2
+    val frameLen = 144 * kbps * 1000 / rate
+    val rows = allocTable(tableFor(rate, kbps))
+    val sblimit = rows.length
+    val out = new java.io.ByteArrayOutputStream()
+    var fr = 0
+    while (fr < nFrames) {
+      out.write(0xff)
+      out.write(0xfc | (if (withCrc) 0 else 1)) // MPEG-1, Layer II
+      val h2 = (bri << 4) | (sri << 2)
+      out.write(h2)
+      out.write(0xc0)                           // mono
+      var bitBuf = 0L; var bitCnt = 0
+      val body = new java.io.ByteArrayOutputStream()
+      def put(v: Int, nBits: Int): Unit = {
+        bitBuf = (bitBuf << nBits) | (v & ((1L << nBits) - 1))
+        bitCnt += nBits
+        while (bitCnt >= 8) {
+          body.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+          bitCnt -= 8
+        }
+      }
+      var crc = crcBits(crcBits(0xffff, h2, 8), 0xc0, 8)
+      var sb = 0
+      while (sb < sblimit) {
+        val a = mp2AllocOf(docId, fr, sb, rows(sb).nbal)
+        put(a, rows(sb).nbal)
+        crc = crcBits(crc, a, rows(sb).nbal)
+        sb += 1
+      }
+      sb = 0
+      while (sb < sblimit) {
+        if (mp2AllocOf(docId, fr, sb, rows(sb).nbal) != 0) {
+          val s = mp2Scfsi(docId, fr, sb)
+          put(s, 2)
+          crc = crcBits(crc, s, 2)
+        }
+        sb += 1
+      }
+      sb = 0
+      while (sb < sblimit) {
+        if (mp2AllocOf(docId, fr, sb, rows(sb).nbal) != 0) {
+          mp2Scfsi(docId, fr, sb) match {
+            case 0 =>
+              put(mp2Sf(docId, fr, sb, 0), 6)
+              put(mp2Sf(docId, fr, sb, 1), 6)
+              put(mp2Sf(docId, fr, sb, 2), 6)
+            case 1 =>
+              put(mp2Sf(docId, fr, sb, 0), 6)
+              put(mp2Sf(docId, fr, sb, 2), 6)
+            case 2 =>
+              put(mp2Sf(docId, fr, sb, 0), 6)
+            case _ =>
+              put(mp2Sf(docId, fr, sb, 0), 6)
+              put(mp2Sf(docId, fr, sb, 2), 6)
+          }
+        }
+        sb += 1
+      }
+      var g = 0
+      while (g < 12) {
+        sb = 0
+        while (sb < sblimit) {
+          val a = mp2AllocOf(docId, fr, sb, rows(sb).nbal)
+          if (a != 0) {
+            val nlv = rows(sb).steps(a - 1)
+            if (nlv == 3 || nlv == 5 || nlv == 9) {
+              val gb = nlv match { case 3 => 5; case 5 => 7; case _ => 10 }
+              val cw = mp2Code(docId, fr, sb, g, 0, nlv) +
+                nlv * mp2Code(docId, fr, sb, g, 1, nlv) +
+                nlv * nlv * mp2Code(docId, fr, sb, g, 2, nlv)
+              put(cw, gb)
+            } else {
+              val nb = bitsFor(nlv)
+              var k = 0
+              while (k < 3) {
+                put(mp2Code(docId, fr, sb, g, k, nlv), nb)
+                k += 1
+              }
+            }
+          }
+          sb += 1
+        }
+        g += 1
+      }
+      if (bitCnt > 0) put(0, 8 - bitCnt)
+      val bytes = body.toByteArray
+      val used = 4 + (if (withCrc) 2 else 0) + bytes.length
+      require(used <= frameLen,
+        s"fixture overflow: $used > $frameLen (doc $docId fr $fr)")
+      if (withCrc) { out.write((crc >> 8) & 0xff); out.write(crc & 0xff) }
+      out.write(bytes, 0, bytes.length)
+      var i = used
+      while (i < frameLen) { out.write(0); i += 1 }
+      fr += 1
+    }
+    out.toByteArray
+  }
+
+  /** One synthetic Layer II stream per document; 2–7 frames by id. */
+  def syntheticMp2Table(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", syntheticMp2(id, (id % 6 + 2).toInt)))
+  }
+
+  /** Per-(doc, subband) spectral rollup of the REAL Layer II decode —
+    * the [[decodeMp1Bands]] contract on the Layer II lane. */
+  def decodeMp2Bands(media: Dataset[MediaRow]): Dataset[Mp1Band] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeMp2(r.payload).iterator.flatMap { d =>
+        val nf = new Array[Int](32)
+        val amp = new Array[Long](32)
+        val eng = new Array[Long](32)
+        d.frames.foreach { f =>
+          var sb = 0
+          while (sb < d.sblimit) {
+            var ch = 0
+            while (ch < d.channels) {
+              val xs = f.samples(ch)(sb)
+              if (xs.nonEmpty) {
+                if (ch == 0) nf(sb) += 1
+                var s = 0
+                while (s < 36) {
+                  val x = xs(s)
+                  amp(sb) += math.floor(1e9 * x).toLong
+                  eng(sb) += math.floor(1e12 * (x * x)).toLong
+                  s += 1
+                }
+              }
+              ch += 1
+            }
+            sb += 1
+          }
+        }
+        (0 until 32).iterator.filter(nf(_) > 0)
+          .map(sb => Mp1Band(r.doc_id, sb, nf(sb), amp(sb), eng(sb)))
+      }
+    })
+  }
+
+  /** Per-document Layer II bit-economy census from the REAL parse:
+    * allocated subband-frames, scalefactors actually transmitted vs
+    * the 3·cells a scfsi-free frame would carry (the saving is the
+    * lever Layer II exists for), and grouped sample cells. */
+  final case class Mp2Economy(doc_id: Long, n_frames: Int, cells: Long,
+      sf_tx: Long, sf_saved: Long, grouped_cells: Long)
+
+  def decodeMp2Economy(media: Dataset[MediaRow]): Dataset[Mp2Economy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeMp2(r.payload).iterator.map { d =>
+        var cells = 0L; var sfTx = 0L; var grouped = 0L
+        d.frames.foreach { f =>
+          var sb = 0
+          while (sb < d.sblimit) {
+            var ch = 0
+            while (ch < d.channels) {
+              if (f.alloc(ch)(sb) != 0) cells += 1
+              ch += 1
+            }
+            sb += 1
+          }
+          sfTx += f.sfTransmitted
+          grouped += f.groupedCells
+        }
+        Mp2Economy(r.doc_id, d.frames.size, cells, sfTx,
+          3L * cells - sfTx, grouped / 12)
       }
     })
   }

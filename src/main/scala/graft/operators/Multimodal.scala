@@ -101,11 +101,12 @@ object Multimodal {
     * (width/height carry sample-rate/channels; brightness carries RMS),
     * real pure-JVM FLAC decode for compressed-lossless audio
     * ([[Flac.decode]] — same feature mapping as WAV), REAL MPEG-1
-    * Layer I subband decode for lossy audio ([[MpegAudio.decodeMp1]];
-    * brightness carries spectral RMS), the MP3 frame-header walk for
-    * Layer II/III (metadata only), deterministic stub for everything
-    * else (Layer II/III waveforms and video codecs need ISO tables /
-    * codecs not available in the JDK). */
+    * Layer I AND Layer II subband decode for lossy audio
+    * ([[MpegAudio.decodeMp1]]/[[MpegAudio.decodeMp2]]; brightness
+    * carries spectral RMS), the MP3 frame-header walk for Layer III
+    * (metadata only), deterministic stub for everything else (Layer
+    * III waveforms and video codecs need Huffman tables / codecs not
+    * available in the JDK). */
   def decode(r: MediaRow): MediaFeature = r.media_type match {
     case "image" =>
       decodeImage(r.payload) match {
@@ -154,19 +155,36 @@ object Multimodal {
                 n_frames = math.min(d.frames.size.toLong * 384,
                   Int.MaxValue.toLong).toInt,
                 brightness = if (n == 0) 0.0 else math.sqrt(ss / n))
-            case None => parseMp3(r.payload) match {
-              // Layer II/III: real header metadata, no waveform —
-              // brightness carries the mean bitrate (kbps), the only
-              // energy-like scalar a header walk can produce (Layer
-              // II/III payload decode needs ISO tables 3-B.2/3-B.4 /
-              // Huffman, unavailable offline)
-              case Some(m) =>
+            case None => MpegAudio.decodeMp2(r.payload) match {
+              // Layer II, REALLY decoded too (allocation classes +
+              // scfsi + grouped codewords; 3-B.4 via its closed form)
+              case Some(d) =>
+                var n = 0L; var ss = 0.0
+                d.frames.foreach(_.samples.foreach(_.foreach { xs =>
+                  var i = 0
+                  while (i < xs.length) {
+                    ss += xs(i) * xs(i); n += 1; i += 1
+                  }
+                }))
                 MediaFeature(r.doc_id, r.media_type, r.payload.length,
-                  width = m.sample_rate, height = m.channels,
-                  n_frames =
-                    math.min(m.n_frames, Int.MaxValue.toLong).toInt,
-                  brightness = m.kbps_mean)
-              case None => decodeStub(r)
+                  width = d.sampleRate, height = d.channels,
+                  n_frames = math.min(d.frames.size.toLong * 1152,
+                    Int.MaxValue.toLong).toInt,
+                  brightness = if (n == 0) 0.0 else math.sqrt(ss / n))
+              case None => parseMp3(r.payload) match {
+                // Layer III: real header metadata, no waveform —
+                // brightness carries the mean bitrate (kbps), the only
+                // energy-like scalar a header walk can produce (Layer
+                // III payload decode needs the Huffman tables,
+                // unavailable offline)
+                case Some(m) =>
+                  MediaFeature(r.doc_id, r.media_type, r.payload.length,
+                    width = m.sample_rate, height = m.channels,
+                    n_frames =
+                      math.min(m.n_frames, Int.MaxValue.toLong).toInt,
+                    brightness = m.kbps_mean)
+                case None => decodeStub(r)
+              }
             }
           }
         }
@@ -712,6 +730,60 @@ object Multimodal {
             byName("meta.json").length.toLong, md5)
         }
       })
+  }
+
+  final case class MemberRow(doc_id: Long, name: String, n_bytes: Long,
+      member_md5: String)
+
+  /** Sniff-routed verified archive-member walk over BINARY shards —
+    * the one ingestion verb a mixed-format corpus bucket needs: gzip
+    * magic (1f 8b) routes through the CRC32/ISIZE-verified member walk
+    * and then the ustar walk (`.tgz`), `PK` through the zip
+    * central-directory + CRC32 path, anything else is probed as
+    * checksum-gated ustar. A shard that fails ANY verification layer
+    * emits nothing (the corrupt-shard-drops contract); member bytes
+    * never leave the partition — only (name, length, md5) rows do.
+    * Stateless partition map ⇒ identical under structured streaming
+    * (StreamingSpec-gated). */
+  def archiveMembersAll(media: Dataset[MediaRow]): Dataset[MemberRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      val members: Option[Seq[(String, Array[Byte])]] =
+        if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+          Gzip.decode(p).flatMap(gz => Archives.tarRead(gz.data))
+        else if (p.length >= 2 && p(0) == 'P'.toByte && p(1) == 'K'.toByte)
+          Archives.zipRead(p)
+        else Archives.tarRead(p)
+      members.toSeq.flatten.map { case (nm, bytes) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        MemberRow(r.doc_id, nm, bytes.length.toLong, md5)
+      }
+    })
+  }
+
+  /** Mixed-format shard table: per document a two-member archive
+    * (doc.txt = the text, meta.json a doc_id formula) in the format
+    * doc_id % 3 picks — tar / zip / tgz — so ONE [[archiveMembersAll]]
+    * pass exercises all three verified walks. */
+  def syntheticArchiveShardTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val members = Seq(
+          "doc.txt" -> text.getBytes("UTF-8"),
+          "meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        val payload = (id % 3) match {
+          case 0 => Archives.tarWrite(members)
+          case 1 => Archives.zipWrite(members)
+          case _ => Gzip.gzipMember(Archives.tarWrite(members))
+        }
+        MediaRow(id, "archive", payload)
+      }
   }
 
   final case class G711EncRow(doc_id: Long, n: Int, sum_sq_q: Long,

@@ -1599,6 +1599,132 @@ object MultimodalQ extends QueryModule {
         lang AS lang2, source AS src, CAST(n_chars AS BIGINT) AS n
       FROM documents WHERE doc_id % 17 <> 0"""))
 
+  // --- q373: MIXED-format shard walk — ONE sniff-routed
+  // archiveMembersAll pass over a bucket holding tar, zip AND tgz
+  // shards (doc_id % 3 picks), every layer verified (tar checksum,
+  // zip CRC32, gzip CRC32+ISIZE); per-member (name, length, md5)
+  // replay from text. Stateless partition map, stream==batch gated in
+  // StreamingSpec. --------------------------------------------------------
+  private val q373 = Q("q373_mixed_archive_walk",
+    (s, dir) => Multimodal.archiveMembersAll(
+        Multimodal.syntheticArchiveShardTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("name"), col("n_bytes"),
+        col("member_md5")),
+    Some("""SELECT doc_id, 'doc.txt' AS name,
+        CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS member_md5
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'meta.json' AS name,
+        CAST(strlen(m) AS BIGINT) AS n_bytes, md5(m) AS member_md5
+      FROM (SELECT doc_id,
+          '{"id":' || CAST(doc_id AS VARCHAR) || '}' AS m
+        FROM documents)"""))
+
+  // --- q374/q375: REAL MPEG-1 LAYER II decode — the 3-B.2a/b
+  // allocation-class walk (published table structure), scfsi-shared
+  // scalefactors, grouped 3/5/9 codewords degrouped by successive
+  // division, and Table 3-B.4's requantization via its closed form
+  // C = 2^nb/n, D = (2^nb − n + 1)/2^nb. The oracle replays the
+  // fixture's field formulas arithmetically (grouping is a bitstream
+  // concern only — the decoded VALUES are the same three residues);
+  // the engine must recover them from the real bits. Decode runs
+  // inside partitions; no shuffle. ---------------------------------------
+  private val mp2Cte =
+    """p2 AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS nf,
+        CASE WHEN doc_id % 2 = 0 THEN 27 ELSE 30 END AS sblimit
+      FROM documents),
+    f2 AS (SELECT doc_id, nf, sblimit, unnest(range(0, nf)) AS fr
+      FROM p2),
+    s2 AS (SELECT doc_id, nf, fr, unnest(range(0, sblimit)) AS sb
+      FROM f2),
+    a2 AS (SELECT doc_id, nf, fr, sb,
+        CASE WHEN sb < 11 THEN
+            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 16 < 11 THEN 0
+              ELSE (doc_id * 7 + fr * 5 + sb) % 16 - 10 END
+          WHEN sb < 23 THEN
+            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 8 < 5 THEN 0
+              ELSE (doc_id * 7 + fr * 5 + sb) % 8 - 4 END
+          ELSE
+            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 4 < 2 THEN 0
+              ELSE (doc_id * 7 + fr * 5 + sb) % 4 - 1 END
+        END AS al,
+        (doc_id + fr * 3 + sb) % 4 AS scfsi
+      FROM s2),
+    n2 AS (SELECT doc_id, nf, fr, sb, scfsi, CASE
+          WHEN sb < 3 THEN CASE al WHEN 1 THEN 3 WHEN 2 THEN 7
+            WHEN 3 THEN 15 WHEN 4 THEN 31 ELSE 63 END
+          WHEN sb < 11 THEN CASE al WHEN 1 THEN 3 WHEN 2 THEN 5
+            WHEN 3 THEN 7 WHEN 4 THEN 9 ELSE 15 END
+          WHEN sb < 23 THEN CASE al WHEN 1 THEN 3 WHEN 2 THEN 5
+            ELSE 7 END
+          ELSE CASE al WHEN 1 THEN 3 ELSE 5 END END AS n
+      FROM a2 WHERE al > 0)"""
+
+  private val mp2DequantCte = mp2Cte +
+    """,
+    g2 AS (SELECT *, unnest(range(0, 12)) AS g FROM n2),
+    k2 AS (SELECT *, unnest(range(0, 3)) AS k FROM g2),
+    v2 AS (SELECT doc_id, nf, fr, sb, n,
+        (doc_id * 31 + fr * 17 + sb * 13 + g * 7 + k * 19) % n AS v,
+        CASE CAST(g // 4 AS INT)
+          WHEN 0 THEN (doc_id * 3 + fr * 11 + sb * 5) % 63
+          WHEN 1 THEN CASE WHEN scfsi = 0
+            THEN (doc_id * 5 + fr * 7 + sb * 3) % 63
+            WHEN scfsi = 3 THEN (doc_id * 11 + fr * 13 + sb * 7) % 63
+            ELSE (doc_id * 3 + fr * 11 + sb * 5) % 63 END
+          ELSE CASE WHEN scfsi = 2
+            THEN (doc_id * 3 + fr * 11 + sb * 5) % 63
+            ELSE (doc_id * 11 + fr * 13 + sb * 7) % 63 END
+        END AS sfi,
+        CASE n WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3 WHEN 9 THEN 4
+          WHEN 15 THEN 4 WHEN 31 THEN 5 ELSE 6 END AS nbp
+      FROM k2),
+    sftab2 AS (SELECT i,
+        (CASE CAST(i % 3 AS INT) WHEN 0 THEN 2.0
+          WHEN 1 THEN 1.5874010519681996
+          ELSE 1.2599210498948732 END)
+          / CAST(1 << CAST(i // 3 AS INT) AS DOUBLE) AS sfv
+      FROM (SELECT unnest(range(0, 63)) AS i)),
+    dq2 AS (SELECT doc_id, nf, fr, sb,
+        sfv * (((CAST(v AS DOUBLE) / CAST(1 << (nbp - 1) AS DOUBLE)
+            - 1.0)
+          + CAST((1 << nbp) - n + 1 AS DOUBLE)
+            / CAST(1 << nbp AS DOUBLE))
+          * (CAST(1 << nbp AS DOUBLE) / CAST(n AS DOUBLE))) AS x
+      FROM v2 JOIN sftab2 ON sftab2.i = v2.sfi)"""
+
+  private val q374 = Q("q374_mp2_subband_decode",
+    (s, dir) => graft.operators.MpegAudio.decodeMp2Bands(
+        graft.operators.MpegAudio.syntheticMp2Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("sb"), col("n_frames"),
+        col("amp_q9"), col("eng_q12")),
+    Some(s"""WITH $mp2DequantCte
+      SELECT doc_id, CAST(sb AS INT) AS sb,
+        CAST(COUNT(*) // 36 AS INT) AS n_frames,
+        CAST(SUM(CAST(floor(1e9 * x) AS BIGINT)) AS BIGINT) AS amp_q9,
+        CAST(SUM(CAST(floor(1e12 * (x * x)) AS BIGINT)) AS BIGINT)
+          AS eng_q12
+      FROM dq2 GROUP BY 1, 2"""))
+
+  private val q375 = Q("q375_mp2_sf_economy",
+    (s, dir) => graft.operators.MpegAudio.decodeMp2Economy(
+        graft.operators.MpegAudio.syntheticMp2Table(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("cells"),
+        col("sf_tx"), col("sf_saved"), col("grouped_cells")),
+    Some(s"""WITH $mp2Cte
+      SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+        CAST(COUNT(*) AS BIGINT) AS cells,
+        CAST(SUM(CASE scfsi WHEN 0 THEN 3 WHEN 2 THEN 1 ELSE 2 END)
+          AS BIGINT) AS sf_tx,
+        CAST(SUM(CASE scfsi WHEN 0 THEN 0 WHEN 2 THEN 2 ELSE 1 END)
+          AS BIGINT) AS sf_saved,
+        CAST(SUM(CASE WHEN n IN (3, 5, 9) THEN 1 ELSE 0 END)
+          AS BIGINT) AS grouped_cells
+      FROM n2 GROUP BY 1"""))
+
   // --- q370: REAL MPEG-1 LAYER I decode — the lossy-DCT-family stub
   // finally retired for Layer I payloads: a full ISO 11172-3 bitstream
   // decode (allocation walk, Table 3-B.1 scalefactors, MSB-sign
@@ -1693,5 +1819,6 @@ object MultimodalQ extends QueryModule {
       q186, q200, q209, q256, q261, q277, q299, q305, q306, q308,
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
-      q362, q363, q364, q365, q366, q367, q368, q369, q370, q371)
+      q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
+      q373, q374, q375)
 }

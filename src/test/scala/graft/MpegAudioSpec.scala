@@ -180,6 +180,160 @@ class MpegAudioSpec extends AnyFunSuite {
     }
   }
 
+  test("Layer II: the closed-form C/D reproduce every PUBLISHED " +
+      "Table 3-B.4 row") {
+    // (nlevels, C, D) as printed in ISO/IEC 11172-3 Table 3-B.4
+    val published = Seq(
+      (3, 1.33333333333, 0.50000000000),
+      (5, 1.60000000000, 0.50000000000),
+      (7, 1.14285714286, 0.25000000000),
+      (9, 1.77777777778, 0.50000000000),
+      (15, 1.06666666667, 0.12500000000),
+      (31, 1.03225806452, 0.06250000000),
+      (63, 1.01587301587, 0.03125000000),
+      (127, 1.00787401575, 0.01562500000),
+      (255, 1.00392156863, 0.00781250000),
+      (511, 1.00195694716, 0.00390625000),
+      (1023, 1.00097751711, 0.00195312500),
+      (2047, 1.00048851979, 0.00097656250),
+      (4095, 1.00024420024, 0.00048828125),
+      (8191, 1.00012208522, 0.00024414063),
+      (16383, 1.00006103888, 0.00012207031),
+      (32767, 1.00003051851, 0.00006103516),
+      (65535, 1.00001525902, 0.00003051758))
+    for ((n, cPub, dPub) <- published) {
+      val nb = n match {
+        case 3 => 2; case 5 => 3; case 9 => 4
+        case _ => java.lang.Integer.numberOfTrailingZeros(n + 1)
+      }
+      val c = (1L << nb).toDouble / n.toDouble
+      val d = ((1L << nb) - n + 1).toDouble / (1L << nb).toDouble
+      assert(math.abs(c - cPub) < 5e-12, s"C at $n levels")
+      assert(math.abs(d - dPub) < 5e-12, s"D at $n levels")
+      // dequant2 uses exactly these: pin one sample through it
+      assert(MpegAudio.dequant2(0, n, 1.0) ==
+        1.0 * (((0.0 / (1L << (nb - 1)).toDouble - 1.0) + d) * c))
+    }
+  }
+
+  // hand-placed golden Layer II frame: 192 kbps / 48 kHz mono (Table
+  // 3-B.2a, 576 bytes), ONLY subband 0 allocated with allocation 1
+  // (= the GROUPED 3-step class: one 5-bit codeword per granule),
+  // scfsi 2 (one scalefactor for all three parts), sf index 3 (= 1.0),
+  // granule g's codeword = g — so degrouping must recover
+  // (g%3, (g/3)%3, g/9)
+  private def goldenMp2Frame: Array[Byte] = {
+    val f = new Array[Byte](576)
+    f(0) = 0xff.toByte; f(1) = 0xfd.toByte // MPEG-1, Layer II, no CRC
+    f(2) = ((10 << 4) | (1 << 2)).toByte   // 192 kbps, 48 kHz
+    f(3) = 0xc0.toByte                     // mono
+    var bitPos = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        val idx = 4 + bitPos / 8; val sh = 7 - bitPos % 8
+        if (((v >> k) & 1) == 1) f(idx) = (f(idx) | (1 << sh)).toByte
+        bitPos += 1; k -= 1
+      }
+    }
+    putBits(1, 4)                          // sb0: allocation 1
+    for (_ <- 1 until 11) putBits(0, 4)    // sb1-10
+    for (_ <- 11 until 23) putBits(0, 3)   // sb11-22
+    for (_ <- 23 until 27) putBits(0, 2)   // sb23-26
+    putBits(2, 2)                          // scfsi = 2
+    putBits(3, 6)                          // scalefactor index 3
+    for (g <- 0 until 12) putBits(g, 5)    // grouped codewords
+    f
+  }
+
+  test("Layer II golden frame: allocation-class walk, scfsi sharing, " +
+      "and degrouping recover the closed-form samples") {
+    val d = MpegAudio.decodeMp2(goldenMp2Frame ++ goldenMp2Frame)
+    assert(d.isDefined, "golden Layer II stream must decode")
+    val dec = d.get
+    assert(dec.sampleRate == 48000 && dec.channels == 1 &&
+      dec.sblimit == 27 && dec.frames.size == 2)
+    for (fr <- dec.frames) {
+      assert(fr.alloc(0)(0) == 1)
+      assert((1 until 27).forall(fr.alloc(0)(_) == 0))
+      assert(fr.scfsi(0)(0) == 2)
+      assert(fr.sfIdx(0)(0).toSeq == Seq(3, 3, 3))
+      assert(fr.sfTransmitted == 1)
+      for (g <- 0 until 12; k <- 0 until 3) {
+        val v = Seq(g % 3, (g / 3) % 3, g / 9)(k)
+        assert(fr.samples(0)(0)(g * 3 + k) ==
+          MpegAudio.dequant2(v, 3, MpegAudio.ScaleFactors(3)),
+          s"granule $g sample $k")
+      }
+      assert((1 until 27).forall(fr.samples(0)(_).isEmpty))
+    }
+  }
+
+  test("Layer II fixture: CRC variant decodes identically; a flipped " +
+      "allocation bit breaks the CRC; rejections") {
+    val plain = MpegAudio.decodeMp2(MpegAudio.syntheticMp2(42L, 4))
+    val crcd = MpegAudio.decodeMp2(
+      MpegAudio.syntheticMp2(42L, 4, withCrc = true))
+    assert(plain.isDefined && crcd.isDefined)
+    val (a, b) = (plain.get, crcd.get)
+    assert(a.frames.size == 4 && b.frames.size == 4)
+    for (fr <- 0 until 4; sb <- 0 until a.sblimit) {
+      assert(a.frames(fr).alloc(0)(sb) == b.frames(fr).alloc(0)(sb))
+      assert(a.frames(fr).samples(0)(sb).toSeq ==
+        b.frames(fr).samples(0)(sb).toSeq)
+    }
+    val corrupt = MpegAudio.syntheticMp2(42L, 4, withCrc = true)
+    corrupt(7) = (corrupt(7) ^ 0x10).toByte // an allocation bit
+    assert(MpegAudio.decodeMp2(corrupt).isEmpty,
+      "CRC must catch the allocation bit-flip")
+    val ok = MpegAudio.syntheticMp2(7L, 3)
+    assert(MpegAudio.decodeMp2(ok).isDefined)
+    assert(MpegAudio.decodeMp2(ok.dropRight(1)).isEmpty, "truncated")
+    assert(MpegAudio.decodeMp2(ok :+ 0x00.toByte).isEmpty, "trailing")
+    val joint = ok.clone()
+    joint(3) = 0x40.toByte
+    assert(MpegAudio.decodeMp2(joint).isEmpty, "joint stereo")
+    assert(MpegAudio.decodeMp2(ok.take(576)).isEmpty, "single frame")
+    // cross-layer: Layer I and Layer III payloads must not half-decode
+    assert(MpegAudio.decodeMp2(MpegAudio.syntheticMp1(7L, 3)).isEmpty)
+    assert(MpegAudio.decodeMp2(
+      Multimodal.syntheticMp3(5, 2, 9)).isEmpty)
+    assert(MpegAudio.decodeMp1(ok).isEmpty,
+      "Layer II must not decode on the Layer I path")
+  }
+
+  test("Layer II: both fixture classes hit their allocation table " +
+      "(3-B.2a at 48 kHz/192, 3-B.2b at 32 kHz/160) and all scfsi " +
+      "modes and grouped+ungrouped classes occur") {
+    val even = MpegAudio.decodeMp2(MpegAudio.syntheticMp2(4L, 3)).get
+    val odd = MpegAudio.decodeMp2(MpegAudio.syntheticMp2(5L, 3)).get
+    assert(even.sampleRate == 48000 && even.sblimit == 27)
+    assert(odd.sampleRate == 32000 && odd.sblimit == 30)
+    for (d <- Seq(even, odd)) {
+      val scfsis = d.frames.flatMap(f =>
+        (0 until d.sblimit).filter(f.alloc(0)(_) != 0)
+          .map(f.scfsi(0)(_))).toSet
+      assert(scfsis == Set(0, 1, 2, 3), s"scfsi coverage: $scfsis")
+      assert(d.frames.exists(_.groupedCells > 0), "grouped classes")
+      assert(d.frames.exists(f => f.groupedCells < 12 *
+        (0 until d.sblimit).count(f.alloc(0)(_) != 0)), "ungrouped too")
+    }
+  }
+
+  test("router: a Layer II payload gets REAL spectral features " +
+      "(1152 samples/frame), not the header walk") {
+    val mp2 = Multimodal.MediaRow(3L, "audio", MpegAudio.syntheticMp2(3L, 4))
+    val feat = Multimodal.decode(mp2)
+    assert(feat.width == 32000 && feat.height == 1)
+    assert(feat.n_frames == 4 * 1152)
+    val d = MpegAudio.decodeMp2(mp2.payload).get
+    var n = 0L; var ss = 0.0
+    d.frames.foreach(_.samples.foreach(_.foreach { xs =>
+      xs.foreach { x => ss += x * x; n += 1 }
+    }))
+    assert(feat.brightness == math.sqrt(ss / n))
+  }
+
   test("router: a Layer I payload gets REAL spectral features, not the " +
       "stub; Layer III still routes to the header walk") {
     val mp1 = Multimodal.MediaRow(1L, "audio", MpegAudio.syntheticMp1(1L, 3))

@@ -657,4 +657,70 @@ class StreamingSpec extends AnyFunSuite {
       assert(!got.contains((5L, 2)), "same-ts click→view must not count")
     } finally q.stop()
   }
+
+  test("streaming MPEG-1 Layer II decode == batch (a truncated payload " +
+      "drops on both paths)") {
+    import spark.implicits._
+    import graft.operators.{MpegAudio, Multimodal}
+    val rows = (0L until 12L).map { id =>
+      val payload = MpegAudio.syntheticMp2(id, (id % 4 + 2).toInt)
+      Multimodal.MediaRow(id, "audio",
+        if (id == 7L) payload.dropRight(3) else payload)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = MpegAudio.decodeMp2Bands(stream.toDS())
+      .writeStream.format("memory").queryName("mp2_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(6)); q.processAllAvailable()
+      stream.addData(rows.drop(6)); q.processAllAvailable()
+      val got = spark.table("mp2_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4))).sorted.toSeq
+      val batch = MpegAudio.decodeMp2Bands(spark.createDataset(rows))
+        .collect().map(b => (b.doc_id, b.sb, b.n_frames, b.amp_q9,
+          b.eng_q12)).sorted.toSeq
+      assert(got == batch)
+      assert(!got.exists(_._1 == 7L), "truncated payload must drop")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming archive-shard walk == batch (tar + zip + tgz through " +
+      "one sniff-routed pass; a corrupt shard drops on both paths)") {
+    import spark.implicits._
+    import graft.operators.{Archives, Gzip, Multimodal}
+    val rows = (0L until 18L).map { id =>
+      val members = Seq(
+        "doc.txt" -> s"text of document $id with id-dependent tail ${
+          "x" * (id % 7).toInt}".getBytes("UTF-8"),
+        "meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+      val payload = (id % 3) match {
+        case 0 => Archives.tarWrite(members)
+        case 1 => Archives.zipWrite(members)
+        case _ => Gzip.gzipMember(Archives.tarWrite(members))
+      }
+      if (id == 11L) payload(payload.length / 2) =
+        (payload(payload.length / 2) ^ 0x40).toByte // corrupt ONE shard
+      Multimodal.MediaRow(id, "archive", payload)
+    }
+    val stream = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.archiveMembersAll(stream.toDS())
+      .writeStream.format("memory").queryName("arch_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(9)); q.processAllAvailable()
+      stream.addData(rows.drop(9)); q.processAllAvailable()
+      val got = spark.table("arch_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+      val batch = Multimodal.archiveMembersAll(
+          spark.createDataset(rows)).collect()
+        .map(m => (m.doc_id, m.name, m.n_bytes, m.member_md5))
+        .sorted.toSeq
+      assert(got == batch)
+      assert(!got.exists(_._1 == 11L), "corrupt shard must drop")
+      assert(got.size == 17 * 2, "two members per clean shard")
+    } finally q.stop()
+  }
 }
