@@ -64,6 +64,13 @@ object genetics {
       Bridge.expression(d), Bridge.expression(lit(w1.toArray)),
       Bridge.expression(lit(w2.toArray))))
 
+  /** `[U·uScale, V·vScale]` of the stratified 2×2×K CMH test in one
+    * fused pass, the stratum/phenotype layout packed into ONE literal
+    * array ([[graft.functions.expressions.CmhUvExpr]]). */
+  def cmhUv(d: Column, packed: Seq[Long]): Column =
+    Bridge.column(graft.functions.expressions.CmhUvExpr(
+      Bridge.expression(d), Bridge.expression(lit(packed.toArray))))
+
   /** Per-mask Σ w·coalesce(x, 0) — K weighted contrasts in one pass
     * ([[graft.functions.expressions.DosageMaskedSums]]). */
   def dosageMaskedSums(d: Column, masks: Seq[Seq[Long]]): Column =

@@ -2060,38 +2060,28 @@ object PopGen {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val nMax = strata.map(_.length).max
     val uScale = (1 to nMax).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    require(uScale <= 3037000499L, // floor(sqrt(Long.MaxValue))
+      s"cmhTest's vScale = lcm(1..$nMax)² overflows Long — strata must " +
+        "be ≤ ~29 samples each (split wider strata)")
     val vScale = uScale * uScale
-    def d(s: Int) = element_at(col("d"), s + 1)
-    def cnt(ss: Seq[Int], f: Int => Column) =
-      ss.map(f).reduce(_ + _)
-    // per-stratum scaled contributions, statically unrolled
-    val terms = strata.map { ss =>
-      val n1 = cnt(ss, s => when(d(s).isNotNull && lit(isCase(s)), 1L)
-        .otherwise(0L))
-      val n2 = cnt(ss, s => when(d(s).isNotNull && !lit(isCase(s)), 1L)
-        .otherwise(0L))
-      val m1 = cnt(ss, s => when(d(s) > 0, 1L).otherwise(0L))
-      val m2 = cnt(ss, s => when(d(s) === 0, 1L).otherwise(0L))
-      val a = cnt(ss, s => when(d(s) > 0 && lit(isCase(s)), 1L)
-        .otherwise(0L))
-      val n = n1 + n2
-      // U·uScale: a·uScale − n1·m1·(uScale/n); V·vScale similarly —
-      // uScale/n and vScale/(n²(n−1)) are exact via the static switch
-      val uT = when(n > 0,
-        a * uScale - n1 * m1 * intByN(n, nMax)(k => uScale / k))
-        .otherwise(0L)
-      val vT = when(n > 1,
-        n1 * n2 * m1 * m2
-          * intByN(n, nMax)(k =>
-            if (k < 2) 0L else vScale / (k.toLong * k * (k - 1))))
-        .otherwise(0L)
-      (uT, vT)
+    require(strata.flatten.distinct.length == strata.flatten.length,
+      "cmhTest strata must be disjoint")
+    // stratum/phenotype layout packed into ONE literal array (see
+    // CmhUvExpr) — O(1) plan nodes at any cohort width and stratum
+    // count (replaces the statically-unrolled per-stratum count trees)
+    val code = Array.fill(isCase.length)(0L)
+    strata.zipWithIndex.foreach { case (ss, sid) =>
+      ss.foreach { s =>
+        code(s) = 2L * (sid + 1) + (if (isCase(s)) 1L else 0L)
+      }
     }
-    val u = terms.map(_._1).reduce(_ + _)
-    val vv = terms.map(_._2).reduce(_ + _)
+    val st = graft.functions.genetics.cmhUv(col("d"),
+      uScale +: vScale +: code.toSeq)
     v.select(col("vid"), col("d"))
-      .withColumn("u_scaled", u)
-      .withColumn("v_scaled", vv)
+      .withColumn("__uv", st)
+      .withColumn("u_scaled", element_at(col("__uv"), 1))
+      .withColumn("v_scaled", element_at(col("__uv"), 2))
+      .drop("__uv")
       .withColumn("chi2",
         when(col("v_scaled") > 0,
           (col("u_scaled") * col("u_scaled")).cast("double")

@@ -101,6 +101,11 @@ class CodegenCompileSpec extends AnyFunSuite {
     "pq_adc" -> PqAdcLookup(ref(10, ArrayType(ArrayType(LongType))),
       ref(11, ArrayType(IntegerType))),
     "ld_pair_stats" -> LdPairStats(ref(3, longArrT), ref(4, longArrT)),
+    "cmh_uv" -> CmhUvExpr(ref(3, longArrT),
+      // uScale=lcm(1..3)=6, vScale=36; codes: s0 case@1, s1 ctrl@1,
+      // s2 case@2, s3 ctrl@2 (null dosage), s4 ctrl@1
+      Literal.create(Array(6L, 36L, 3L, 2L, 5L, 4L, 2L),
+        ArrayType(LongType))),
     "allele_union" ->
       AlleleUnionExpr(ref(8, StringType), ref(9, StringType)),
     "remap_geno" -> // src alleles cover geno's max index (2), dst permutes
