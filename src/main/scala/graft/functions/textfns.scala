@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object textfns {
 
+  /** Unicode NFC canonical normalization (fused codegen kernel over
+    * the JDK normalizer; DuckDB's `nfc_normalize` replays it exactly —
+    * [[graft.functions.expressions.NfcNormalizeExpr]]). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.NfcNormalizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Whitespace tokens, empty strings dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")

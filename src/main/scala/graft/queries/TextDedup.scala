@@ -3315,6 +3315,90 @@ object TextDedup extends QueryModule {
         CAST(MIN(len(sentence)) AS INT) AS sent_len
       FROM s GROUP BY md5(sentence) HAVING COUNT(*) > 1"""))
 
+  // --- q376: UNICODE NFC NORMALIZATION census — the canonicalization
+  // pass content-addressed dedup depends on (decomposed e+U+0301 and
+  // composed é are identical text but different bytes; hashing
+  // un-normalized text silently splits duplicate groups). The corpus
+  // is ASCII, so the q99/q354 splice discipline applies: every doc
+  // gets a deterministic decomposed suffix (combining acute / combining
+  // diaeresis / plain ascii by doc_id) and the census must report
+  // exactly the normalization deltas. Engine side runs the fused
+  // NfcNormalizeExpr codegen kernel (JDK Normalizer); DuckDB replays
+  // with utf8proc's nfc_normalize — both Unicode-conformant NFC.
+  // Pure projection, zero shuffles. -------------------------------------
+  private val q376 = Q("q376_nfc_census",
+    (s, dir) => {
+      // the spliced marks are DECOMPOSED (base letter + combining
+      // U+0301 / U+0308) so NFC genuinely composes them; the oracle
+      // splices the same decomposed bytes via chr()
+      val raw = Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          expr("repeat(CASE CAST(doc_id % 3 AS INT) WHEN 0 " +
+            "THEN 'é' WHEN 1 THEN 'ö' ELSE 'x' END, " +
+            "CAST(doc_id % 5 + 1 AS INT))")).as("raw"))
+      raw.select(col("doc_id"),
+        octet_length(col("raw")).cast("long").as("n_bytes_raw"),
+        octet_length(graft.functions.textfns.nfcNormalize(col("raw")))
+          .cast("long").as("n_bytes_nfc"),
+        (graft.functions.textfns.nfcNormalize(col("raw")) =!= col("raw"))
+          .as("changed"),
+        md5(graft.functions.textfns.nfcNormalize(col("raw"))
+          .cast("binary")).as("nfc_md5"))
+    },
+    Some("""WITH r AS (SELECT doc_id,
+          text || repeat(CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'e' || chr(769)
+              WHEN 1 THEN 'o' || chr(776)
+              ELSE 'x' END,
+            CAST(doc_id % 5 + 1 AS INT)) AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(strlen(raw) AS BIGINT) AS n_bytes_raw,
+        CAST(strlen(nfc_normalize(raw)) AS BIGINT) AS n_bytes_nfc,
+        (nfc_normalize(raw) <> raw) AS changed,
+        md5(nfc_normalize(raw)) AS nfc_md5
+      FROM r"""))
+
+  // --- q377: INVISIBLE-CHARACTER audit — zero-width spaces/joiners
+  // and word-joiner/BOM characters hide token boundaries, split
+  // exact-dedup groups, and are the classic prompt-injection carrier;
+  // a corpus release strips and COUNTS them. Spliced deterministically
+  // (the corpus is clean ASCII), stripped with the same 5-char class
+  // on both engines (Java regex / RE2 with the g flag), counted as a
+  // character-length delta. Pure projection, zero shuffles. ------------
+  private val q377 = Q("q377_invisible_census",
+    (s, dir) => {
+      val zw = Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          expr("repeat(CASE CAST(doc_id % 4 AS INT) " +
+            "WHEN 0 THEN '\\u200B' WHEN 1 THEN '\\u200D' " +
+            "WHEN 2 THEN '\\uFEFF' ELSE '' END, " +
+            "CAST(doc_id % 3 AS INT))"),
+          lit("end")).as("raw"))
+      val clean = regexp_replace(col("raw"),
+        "[\\u200B\\u200C\\u200D\\uFEFF\\u2060]", "")
+      zw.select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_chars_raw"),
+        (length(col("raw")) - length(clean)).cast("long")
+          .as("n_invisible"),
+        md5(clean.cast("binary")).as("clean_md5"))
+    },
+    Some("""WITH r AS (SELECT doc_id,
+          text || repeat(CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN chr(8203) WHEN 1 THEN chr(8205)
+              WHEN 2 THEN chr(65279) ELSE '' END,
+            CAST(doc_id % 3 AS INT)) || 'end' AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        CAST(length(raw) - length(regexp_replace(raw,
+          '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{2060}]', '', 'g'))
+          AS BIGINT) AS n_invisible,
+        md5(regexp_replace(raw,
+          '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{2060}]', '', 'g'))
+          AS clean_md5
+      FROM r"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
@@ -3322,7 +3406,8 @@ object TextDedup extends QueryModule {
       q160, q161, q167, q169, q187, q188, q189, q199, q207, q210, q216,
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
-      q304, q314, q315, q316, q320, q330, q331, q334, q344, q345, q354)
+      q304, q314, q315, q316, q320, q330, q331, q334, q344, q345, q354,
+      q376, q377)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two

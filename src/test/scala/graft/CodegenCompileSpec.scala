@@ -81,6 +81,7 @@ class CodegenCompileSpec extends AnyFunSuite {
     "srp_bucket/b30" -> SrpBucket(ref(3, longArrT), 30, 7),
     "minhash_sig" -> MinhashSig(ref(7, strArrT), 8),
     "simhash16" -> Simhash16Expr(ref(5, StringType)),
+    "nfc_normalize" -> NfcNormalizeExpr(ref(5, StringType)),
     "winnow_fps" -> WinnowFpExpr(ref(5, StringType), 4, 3),
     "cdc_chunks" -> CdcChunksExpr(ref(5, StringType), 4, 4),
     "repetition_stats" -> RepetitionStatsExpr(ref(5, StringType)),
