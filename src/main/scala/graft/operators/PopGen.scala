@@ -31,19 +31,35 @@ import org.apache.spark.sql.functions._
   */
 object PopGen {
 
+  /** Overflow-CHECKED lcm fold: `a/gcd(a,b)·b` with `multiplyExact`,
+    * so a cohort wide enough to push the common denominator past Long
+    * fails LOUDLY with the width that did it — the silent-wrap
+    * alternative would quietly poison every downstream "exact" BIGINT
+    * sum (grmScale overflows near nMax ≈ 21, hetScale ≈ 30; the
+    * documented upgrade path for wider cohorts is the two-BIGINT
+    * numerator/denominator form or a BigDecimal scale). */
+  private def lcmExact(terms: Seq[Long], what: String): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    terms.reduce { (a, b) =>
+      try math.multiplyExact(a / gcd(a, b), b)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$what overflows Long at this width — use a narrower cohort " +
+            "or the documented numerator/denominator form")
+      }
+    }
+  }
+
   /** lcm of `4·n²` for n = 1..nMax — the common denominator that makes
     * every VanRaden per-variant term an exact integer. */
-  def grmScale(nMax: Int): Long = {
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    (1 to nMax).map(n => 4L * n * n).reduce((a, b) => a / gcd(a, b) * b)
-  }
+  def grmScale(nMax: Int): Long =
+    lcmExact((1 to nMax).map(n => 4L * n * n), s"grmScale($nMax)")
 
   /** lcm of `n·(2n−1)` for n = 1..nMax — common denominator for the
     * small-sample-corrected expected-heterozygosity terms. */
-  def hetScale(nMax: Int): Long = {
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    (1 to nMax).map(n => n.toLong * (2L * n - 1)).reduce((a, b) => a / gcd(a, b) * b)
-  }
+  def hetScale(nMax: Int): Long =
+    lcmExact((1 to nMax).map(n => n.toLong * (2L * n - 1)),
+      s"hetScale($nMax)")
 
   private def alleleAt(geno: Column, s: Int, p: Int): Column =
     element_at(element_at(geno, s + 1), p + 1)
@@ -689,10 +705,8 @@ object PopGen {
 
   /** lcm of 1..mMax — divisible by every per-site π denominator
     * m(m−1)/2 (m and m−1 are coprime and both ≤ mMax). */
-  def piScale(mMax: Int): Long = {
-    def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
-    (1 to mMax).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
-  }
+  def piScale(mMax: Int): Long =
+    lcmExact((1L to mMax.toLong).toSeq, s"piScale($mMax)")
 
   /** Harmonic number Σ 1/i, i = 1..m — Watterson's a_m, left-assoc. */
   def harmonic(m: Int): Double =
@@ -2057,9 +2071,8 @@ object PopGen {
     * projection — zero shuffles. */
   def cmhTest(v: DataFrame, isCase: Seq[Boolean], strata: Seq[Seq[Int]])
       : DataFrame = {
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val nMax = strata.map(_.length).max
-    val uScale = (1 to nMax).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val uScale = lcmExact((1 to nMax).map(_.toLong), s"cmh uScale($nMax)")
     require(uScale <= 3037000499L, // floor(sqrt(Long.MaxValue))
       s"cmhTest's vScale = lcm(1..$nMax)² overflows Long — strata must " +
         "be ≤ ~29 samples each (split wider strata)")

@@ -3399,6 +3399,68 @@ object TextDedup extends QueryModule {
           AS clean_md5
       FROM r"""))
 
+  // --- q378: URL CANONICALIZATION dedup — the crawl-frontier pass
+  // that collapses scheme/host case, default ports, tracking params
+  // and fragments BEFORE url-keyed dedup (q98's exact-url dedup would
+  // split these variants into distinct groups). URLs are synthesized
+  // deterministically with doc_id-driven variation (upper-cased host
+  // + :443 on evens, a utm_source param on doc_id%3=0, a fragment on
+  // doc_id%4=1) over a shared path key (doc_id%200) so canonical
+  // groups genuinely merge raw variants. The canonicalization is the
+  // SAME four-step rewrite on both engines (fragment strip, lowercase
+  // scheme://host, :443 port strip, utm-param strip — no group refs
+  // in replacements, so Java-regex and RE2 agree byte-for-byte). ONE
+  // canonical-key shuffle, like every exact-dedup lane. ----------------
+  private val q378 = Q("q378_url_canonical_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("HTTPS://WWW.EXAMPLE.COM:443"))
+            .otherwise(lit("https://www.example.com")),
+          lit("/docs/"), (col("doc_id") % 200).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id="))
+            .otherwise(lit("?id=")),
+          ((col("doc_id") % 200) % 7).cast("string"),
+          when(col("doc_id") % 4 === 1, lit("#section"))
+            .otherwise(lit(""))).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val lowered = concat(
+        lower(regexp_extract(noFrag, "^[^/]*//[^/]*", 0)),
+        regexp_extract(noFrag, "^[^/]*//[^/]*(.*)$", 1))
+      val noPort = regexp_replace(lowered, ":443/", "/")
+      val canon = regexp_replace(noPort, "utm_[^&]*&", "")
+      d.select(col("doc_id"), col("url"), canon.as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE.COM:443'
+            ELSE 'https://www.example.com' END
+          || '/docs/' || CAST(doc_id % 200 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id='
+            ELSE '?id=' END
+          || CAST((doc_id % 200) % 7 AS VARCHAR)
+          || CASE WHEN doc_id % 4 = 1 THEN '#section' ELSE '' END
+          AS url
+        FROM documents),
+      c AS (SELECT doc_id, url,
+          regexp_replace(
+            replace(
+              lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                '^[^/]*//[^/]*', 0))
+              || regexp_extract(regexp_replace(url, '#.*$', ''),
+                '^[^/]*//[^/]*(.*)$', 1),
+              ':443/', '/'),
+            'utm_[^&]*&', '') AS canonical
+        FROM u)
+      SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+        MIN(doc_id) AS first_doc
+      FROM c GROUP BY 1"""))
+
   override def queries: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q62, q68, q69, q70, q71, q72, q73,
       q74, q79, q81, q82, q83, q86, q87, q88, q92, q94, q97, q98, q99,
@@ -3407,7 +3469,7 @@ object TextDedup extends QueryModule {
       q223, q230, q232, q238, q239, q245, q247, q258, q263, q274, q275,
       q278, q279, q280, q281, q287, q291, q293, q301, q302, q303,
       q304, q314, q315, q316, q320, q330, q331, q334, q344, q345, q354,
-      q376, q377)
+      q376, q377, q378)
 
   // --- q302: SKETCHED set overlap via inclusion–exclusion on HLL
   // registers (the dedup-planning question "how much vocabulary do two

@@ -106,6 +106,16 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(lp < 2000, s"ldPrune plan carries $lp nodes")
   }
 
+  test("scale lcm helpers fail LOUDLY past Long width instead of " +
+      "silently wrapping into poisoned exact sums") {
+    assert(PopGen.grmScale(22) > 0)
+    intercept[IllegalArgumentException](PopGen.grmScale(23))
+    assert(PopGen.hetScale(20) > 0)
+    intercept[IllegalArgumentException](PopGen.hetScale(60))
+    assert(PopGen.piScale(42) > 0)
+    intercept[IllegalArgumentException](PopGen.piScale(43))
+  }
+
   test("posexplode fan conversions preserve values: compoundHet / " +
       "singletonLoad / dupConcordance against hand-unrolled references") {
     import spark.implicits._
