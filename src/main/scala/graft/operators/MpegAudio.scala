@@ -740,6 +740,20 @@ object MpegAudio {
       .map(id => MediaRow(id, "audio", syntheticMp2(id, (id % 6 + 2).toInt)))
   }
 
+  /** Duplicate-group variant: runs of 3 consecutive doc_ids share ONE
+    * payload (every field derives from gid = doc_id − doc_id % 3) —
+    * the fixture for fingerprint-dedup over the real decode lane. */
+  def syntheticMp2GroupTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .map { id =>
+        val gid = id - id % 3
+        MediaRow(id, "audio", syntheticMp2(gid, (gid % 6 + 2).toInt))
+      }
+  }
+
   /** Per-(doc, subband) spectral rollup of the REAL Layer II decode —
     * the [[decodeMp1Bands]] contract on the Layer II lane. */
   def decodeMp2Bands(media: Dataset[MediaRow]): Dataset[Mp1Band] = {

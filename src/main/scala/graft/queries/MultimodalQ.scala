@@ -1630,28 +1630,38 @@ object MultimodalQ extends QueryModule {
   // concern only — the decoded VALUES are the same three residues);
   // the engine must recover them from the real bits. Decode runs
   // inside partitions; no shuffle. ---------------------------------------
-  private val mp2Cte =
-    """p2 AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS nf,
-        CASE WHEN doc_id % 2 = 0 THEN 27 ELSE 30 END AS sblimit
-      FROM documents),
-    f2 AS (SELECT doc_id, nf, sblimit, unnest(range(0, nf)) AS fr
+  /** The Layer II fixture-replay CTE, parameterized by the id the
+    * FIELD formulas derive from (`doc_id` for the per-doc lanes;
+    * `doc_id - doc_id % 3` for the duplicate-group lane, q379). The
+    * emitted `doc_id` column is always the real one. */
+  private def mp2CteFor(gid: String): String =
+    s"""p2 AS (SELECT doc_id, ($gid) AS gid,
+        CAST(($gid) % 6 + 2 AS BIGINT) AS nf,
+        CASE WHEN ($gid) % 2 = 0 THEN 27 ELSE 30 END AS sblimit
+      FROM documents),""".stripMargin + mp2CteTail
+
+  private lazy val mp2Cte = mp2CteFor("doc_id")
+
+  private lazy val mp2CteTail =
+    """
+    f2 AS (SELECT doc_id, gid, nf, sblimit, unnest(range(0, nf)) AS fr
       FROM p2),
-    s2 AS (SELECT doc_id, nf, fr, unnest(range(0, sblimit)) AS sb
+    s2 AS (SELECT doc_id, gid, nf, fr, unnest(range(0, sblimit)) AS sb
       FROM f2),
-    a2 AS (SELECT doc_id, nf, fr, sb,
+    a2 AS (SELECT doc_id, gid, nf, fr, sb,
         CASE WHEN sb < 11 THEN
-            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 16 < 11 THEN 0
-              ELSE (doc_id * 7 + fr * 5 + sb) % 16 - 10 END
+            CASE WHEN (gid * 7 + fr * 5 + sb) % 16 < 11 THEN 0
+              ELSE (gid * 7 + fr * 5 + sb) % 16 - 10 END
           WHEN sb < 23 THEN
-            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 8 < 5 THEN 0
-              ELSE (doc_id * 7 + fr * 5 + sb) % 8 - 4 END
+            CASE WHEN (gid * 7 + fr * 5 + sb) % 8 < 5 THEN 0
+              ELSE (gid * 7 + fr * 5 + sb) % 8 - 4 END
           ELSE
-            CASE WHEN (doc_id * 7 + fr * 5 + sb) % 4 < 2 THEN 0
-              ELSE (doc_id * 7 + fr * 5 + sb) % 4 - 1 END
+            CASE WHEN (gid * 7 + fr * 5 + sb) % 4 < 2 THEN 0
+              ELSE (gid * 7 + fr * 5 + sb) % 4 - 1 END
         END AS al,
-        (doc_id + fr * 3 + sb) % 4 AS scfsi
+        (gid + fr * 3 + sb) % 4 AS scfsi
       FROM s2),
-    n2 AS (SELECT doc_id, nf, fr, sb, scfsi, CASE
+    n2 AS (SELECT doc_id, gid, nf, fr, sb, scfsi, CASE
           WHEN sb < 3 THEN CASE al WHEN 1 THEN 3 WHEN 2 THEN 7
             WHEN 3 THEN 15 WHEN 4 THEN 31 ELSE 63 END
           WHEN sb < 11 THEN CASE al WHEN 1 THEN 3 WHEN 2 THEN 5
@@ -1661,21 +1671,21 @@ object MultimodalQ extends QueryModule {
           ELSE CASE al WHEN 1 THEN 3 ELSE 5 END END AS n
       FROM a2 WHERE al > 0)"""
 
-  private val mp2DequantCte = mp2Cte +
+  private lazy val mp2DequantTail =
     """,
     g2 AS (SELECT *, unnest(range(0, 12)) AS g FROM n2),
     k2 AS (SELECT *, unnest(range(0, 3)) AS k FROM g2),
-    v2 AS (SELECT doc_id, nf, fr, sb, n,
-        (doc_id * 31 + fr * 17 + sb * 13 + g * 7 + k * 19) % n AS v,
+    v2 AS (SELECT doc_id, gid, nf, fr, sb, n,
+        (gid * 31 + fr * 17 + sb * 13 + g * 7 + k * 19) % n AS v,
         CASE CAST(g // 4 AS INT)
-          WHEN 0 THEN (doc_id * 3 + fr * 11 + sb * 5) % 63
+          WHEN 0 THEN (gid * 3 + fr * 11 + sb * 5) % 63
           WHEN 1 THEN CASE WHEN scfsi = 0
-            THEN (doc_id * 5 + fr * 7 + sb * 3) % 63
-            WHEN scfsi = 3 THEN (doc_id * 11 + fr * 13 + sb * 7) % 63
-            ELSE (doc_id * 3 + fr * 11 + sb * 5) % 63 END
+            THEN (gid * 5 + fr * 7 + sb * 3) % 63
+            WHEN scfsi = 3 THEN (gid * 11 + fr * 13 + sb * 7) % 63
+            ELSE (gid * 3 + fr * 11 + sb * 5) % 63 END
           ELSE CASE WHEN scfsi = 2
-            THEN (doc_id * 3 + fr * 11 + sb * 5) % 63
-            ELSE (doc_id * 11 + fr * 13 + sb * 7) % 63 END
+            THEN (gid * 3 + fr * 11 + sb * 5) % 63
+            ELSE (gid * 11 + fr * 13 + sb * 7) % 63 END
         END AS sfi,
         CASE n WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3 WHEN 9 THEN 4
           WHEN 15 THEN 4 WHEN 31 THEN 5 ELSE 6 END AS nbp
@@ -1686,13 +1696,18 @@ object MultimodalQ extends QueryModule {
           ELSE 1.2599210498948732 END)
           / CAST(1 << CAST(i // 3 AS INT) AS DOUBLE) AS sfv
       FROM (SELECT unnest(range(0, 63)) AS i)),
-    dq2 AS (SELECT doc_id, nf, fr, sb,
+    dq2 AS (SELECT doc_id, gid, nf, fr, sb,
         sfv * (((CAST(v AS DOUBLE) / CAST(1 << (nbp - 1) AS DOUBLE)
             - 1.0)
           + CAST((1 << nbp) - n + 1 AS DOUBLE)
             / CAST(1 << nbp AS DOUBLE))
           * (CAST(1 << nbp AS DOUBLE) / CAST(n AS DOUBLE))) AS x
       FROM v2 JOIN sftab2 ON sftab2.i = v2.sfi)"""
+
+  private def mp2DequantCteFor(gid: String): String =
+    mp2CteFor(gid) + mp2DequantTail
+
+  private lazy val mp2DequantCte = mp2DequantCteFor("doc_id")
 
   private val q374 = Q("q374_mp2_subband_decode",
     (s, dir) => graft.operators.MpegAudio.decodeMp2Bands(
@@ -1724,6 +1739,41 @@ object MultimodalQ extends QueryModule {
         CAST(SUM(CASE WHEN n IN (3, 5, 9) THEN 1 ELSE 0 END)
           AS BIGINT) AS grouped_cells
       FROM n2 GROUP BY 1"""))
+
+  // --- q379: SPECTRAL-FINGERPRINT dedup over the REAL Layer II
+  // decode — the q359 audio-dedup shape moved onto the lossy lane:
+  // per doc a fingerprint = md5 of the (sb, exact quantized energy)
+  // profile of the DECODED subband samples, then one fingerprint-key
+  // dedup shuffle. Runs of 3 consecutive doc_ids share one payload
+  // (every bitstream field derives from gid), so the dedup must
+  // recover exactly the gid groups — from the bits, not the ids. ------
+  private val q379 = Q("q379_mp2_fingerprint_dedup",
+    (s, dir) => {
+      val bands = graft.operators.MpegAudio.decodeMp2Bands(
+        graft.operators.MpegAudio.syntheticMp2GroupTable(s, dir)).toDF()
+      bands.groupBy(col("doc_id"))
+        .agg(md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("sb"), col("eng_q12")))),
+            t => concat(t.getField("sb").cast("string"), lit(":"),
+              t.getField("eng_q12").cast("string"))))
+          .cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some(s"""WITH ${mp2DequantCteFor("doc_id - doc_id % 3")},
+      bands AS (SELECT doc_id, sb,
+          CAST(SUM(CAST(floor(1e12 * (x * x)) AS BIGINT)) AS BIGINT)
+            AS eng
+        FROM dq2 GROUP BY 1, 2),
+      fps AS (SELECT doc_id,
+          md5(string_agg(CAST(sb AS VARCHAR) || ':'
+            || CAST(eng AS VARCHAR), ',' ORDER BY sb)) AS fp
+        FROM bands GROUP BY 1)
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS first_doc
+      FROM fps GROUP BY 1"""))
 
   // --- q370: REAL MPEG-1 LAYER I decode — the lossy-DCT-family stub
   // finally retired for Layer I payloads: a full ISO 11172-3 bitstream
@@ -1820,5 +1870,5 @@ object MultimodalQ extends QueryModule {
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
       q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-      q373, q374, q375)
+      q373, q374, q375, q379)
 }
