@@ -228,6 +228,35 @@ object Multimodal {
       })
   }
 
+  /** MIXED-codec bucket: one payload per document, format by doc_id%5
+    * — PCM WAV / FLAC / MPEG-1 Layer I / Layer II / Layer III — so ONE
+    * [[decodeAll]] pass exercises the whole audio router (real decode
+    * through the first four lanes, header walk on the fifth) with
+    * every metadata field a closed form of doc_id. */
+  def syntheticMixedAudioTable(spark: SparkSession, dir: String)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = (id % 5) match {
+          case 0 => syntheticWav(
+            nFrames = (id % 400 + 100).toInt,
+            sampleRateHz = (8000 + (id % 3) * 4000).toInt,
+            value = (id * 31 % 2048 - 1024).toShort)
+          case 1 =>
+            val n = (id % 300 + 200).toInt
+            Flac.encode(Flac.fixtureWaveform(id, n),
+              sampleRateHz = (8000 + (id % 3) * 4000).toInt,
+              blockSize = 128)
+          case 2 => MpegAudio.syntheticMp1(id, (id % 8 + 3).toInt)
+          case 3 => MpegAudio.syntheticMp2(id, (id % 6 + 2).toInt)
+          case _ => syntheticMp3((id % 7 + 2).toInt, 2, 9)
+        }
+        MediaRow(id, "audio", payload)
+      })
+  }
+
   /** Real image RESIZE via JDK Graphics2D (bilinear): decode, scale to
     * `(outW, outH)`, re-encode as PNG. Returns None for non-image
     * payloads (same magic sniff as [[decodeImage]]). The resize verb of

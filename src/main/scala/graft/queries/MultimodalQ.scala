@@ -1740,6 +1740,33 @@ object MultimodalQ extends QueryModule {
           AS BIGINT) AS grouped_cells
       FROM n2 GROUP BY 1"""))
 
+  // --- q380: CODEC-ROUTER census — ONE decodeAll pass over a mixed
+  // WAV/FLAC/MP1/MP2/MP3 bucket; the ORACLE pins which lane handled
+  // each payload and the metadata that lane must recover from the
+  // bits (sample rate, channels, frame/sample count). This gates the
+  // ROUTING itself — a payload sliding into the wrong lane (or the
+  // stub) changes n_frames/width and fails the hash. --------------------
+  private val q380 = Q("q380_codec_router_census",
+    (s, dir) => Multimodal.decodeAll(
+        Multimodal.syntheticMixedAudioTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_frames")),
+    Some("""SELECT doc_id,
+        CAST(CASE CAST(doc_id % 5 AS INT)
+          WHEN 2 THEN 32000
+          WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 32000 END
+          WHEN 4 THEN 32000
+          ELSE 8000 + (doc_id % 3) * 4000 END AS INT) AS width,
+        CAST(1 AS INT) AS height,
+        CAST(CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN doc_id % 400 + 100
+          WHEN 1 THEN doc_id % 300 + 200
+          WHEN 2 THEN 384 * (doc_id % 8 + 3)
+          WHEN 3 THEN 1152 * (doc_id % 6 + 2)
+          ELSE doc_id % 7 + 2 END AS INT) AS n_frames
+      FROM documents"""))
+
   // --- q379: SPECTRAL-FINGERPRINT dedup over the REAL Layer II
   // decode — the q359 audio-dedup shape moved onto the lossy lane:
   // per doc a fingerprint = md5 of the (sb, exact quantized energy)
@@ -1870,5 +1897,5 @@ object MultimodalQ extends QueryModule {
       q311, q317, q319, q323, q329, q340, q341, q342, q343, q349,
       q350, q351, q352, q353, q355, q356, q357, q359, q360, q361,
       q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-      q373, q374, q375, q379)
+      q373, q374, q375, q379, q380)
 }
