@@ -320,6 +320,56 @@ class MpegAudioSpec extends AnyFunSuite {
     }
   }
 
+  test("Layer II stereo frame: sb-major/channel-minor allocation, " +
+      "per-channel scfsi/scalefactors/samples") {
+    // hand-build one stereo (mode 00) frame at 384 kbps / 48 kHz
+    // (= 1152 bytes, Table 3-B.2a at 192 kbps/ch): ch0 sb0 alloc 1
+    // (grouped 3-step), ch1 sb0 alloc 2 (7-step, 3-bit codes),
+    // everything else silent; scfsi 2 / 0, sf 3 / (0, 6, 12)
+    val f = new Array[Byte](1152)
+    f(0) = 0xff.toByte; f(1) = 0xfd.toByte
+    f(2) = ((14 << 4) | (1 << 2)).toByte // 384 kbps, 48 kHz
+    f(3) = 0x00.toByte                   // stereo
+    var bitPos = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        val idx = 4 + bitPos / 8; val sh = 7 - bitPos % 8
+        if (((v >> k) & 1) == 1) f(idx) = (f(idx) | (1 << sh)).toByte
+        bitPos += 1; k -= 1
+      }
+    }
+    putBits(1, 4); putBits(2, 4)          // sb0: ch0 alloc 1, ch1 alloc 2
+    for (_ <- 1 until 3) { putBits(0, 4); putBits(0, 4) }
+    for (_ <- 3 until 11) { putBits(0, 4); putBits(0, 4) }
+    for (_ <- 11 until 23) { putBits(0, 3); putBits(0, 3) }
+    for (_ <- 23 until 27) { putBits(0, 2); putBits(0, 2) }
+    putBits(2, 2); putBits(0, 2)          // scfsi ch0=2, ch1=0
+    putBits(3, 6)                         // ch0: one sf (idx 3)
+    putBits(0, 6); putBits(6, 6); putBits(12, 6) // ch1: three sfs
+    for (g <- 0 until 12) {
+      putBits(g % 27, 5)                  // ch0 grouped codeword
+      for (k <- 0 until 3) putBits((g + k) % 7, 3) // ch1 codes (≤6)
+    }
+    val d = MpegAudio.decodeMp2(f ++ f)
+    assert(d.isDefined, "stereo Layer II stream must decode")
+    val dec = d.get
+    assert(dec.channels == 2 && dec.sblimit == 27)
+    val fr = dec.frames.head
+    assert(fr.alloc(0)(0) == 1 && fr.alloc(1)(0) == 2)
+    assert(fr.sfIdx(0)(0).toSeq == Seq(3, 3, 3))
+    assert(fr.sfIdx(1)(0).toSeq == Seq(0, 6, 12))
+    for (g <- 0 until 12; k <- 0 until 3) {
+      val cw = g % 27
+      val v0 = Seq(cw % 3, (cw / 3) % 3, cw / 9)(k)
+      assert(fr.samples(0)(0)(g * 3 + k) ==
+        MpegAudio.dequant2(v0, 3, MpegAudio.ScaleFactors(3)))
+      val sfC1 = MpegAudio.ScaleFactors(Seq(0, 6, 12)(g / 4))
+      assert(fr.samples(1)(0)(g * 3 + k) ==
+        MpegAudio.dequant2((g + k) % 7, 7, sfC1))
+    }
+  }
+
   test("router: a Layer II payload gets REAL spectral features " +
       "(1152 samples/frame), not the header walk") {
     val mp2 = Multimodal.MediaRow(3L, "audio", MpegAudio.syntheticMp2(3L, 4))
