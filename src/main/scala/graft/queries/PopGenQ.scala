@@ -1701,9 +1701,14 @@ object PopGenQ extends QueryModule {
   private val q276 = Q("q276_switch_error",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
+      // posexplode_OUTER: the plain generate gets an inferred
+      // size(geno) > 0 filter whose pushed copy re-evaluates the whole
+      // synthetic cube expression below the fan-out (the q124/q312
+      // class); outer semantics are identical here — the null row an
+      // empty geno would emit is dropped by the a0/a1 filter
       val sites = v
         .select(col("chrom"), col("pos"), col("vid"), col("phased"),
-          posexplode(col("geno")).as(Seq("s", "sa")))
+          posexplode_outer(col("geno")).as(Seq("s", "sa")))
         .withColumn("a0", element_at(col("sa"), 1))
         .withColumn("a1", element_at(col("sa"), 2))
         .filter(element_at(col("phased"), (col("s") + 1).cast("int"))

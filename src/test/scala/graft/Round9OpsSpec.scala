@@ -71,15 +71,19 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(s < 500, s"ibdSegments plan carries $s expression nodes")
   }
 
-  test("grm's pair fan contributes O(1): plan grows ~linearly in S, " +
-      "never quadratically") {
+  test("grm's pair fan contributes O(1): plan is now ~FLAT in S " +
+      "(round-11 kernel sweep), never quadratic") {
     import spark.implicits._
     val v = Seq((1L, Seq(0L))).toDF("vid", "d")
-    val n16 = exprNodes(PopGen.grm(v, 16))
-    val n32 = exprNodes(PopGen.grm(v, 32))
-    // the literal pair array grew ~4x per doubling (S² structs); the
-    // remaining growth is the documented O(S) per-sample terms
-    assert(n32 < n16 * 3,
-      s"grm plan grew $n16 -> $n32 on S 16 -> 32 (quadratic fan?)")
+    // widths stay inside grmScale's exact-arithmetic domain (nMax ≤ 22
+    // — wider now throws LOUDLY instead of silently wrapping the lcm,
+    // Round11OpsSpec pins the boundary)
+    val n11 = exprNodes(PopGen.grm(v, 11))
+    val n22 = exprNodes(PopGen.grm(v, 22))
+    // round 9 killed the S² literal pair fan; round 11 killed the O(S)
+    // per-sample unrolls too (calledAltSums kernel + intByN lookup), so
+    // doubling S must not grow the plan materially at all
+    assert(n22 < n11 + 50,
+      s"grm plan grew $n11 -> $n22 on S 11 -> 22 (width-dependent fan?)")
   }
 }
