@@ -220,7 +220,7 @@ object Similarity extends QueryModule {
       // per-label component-wise sums: explode → groupBy (label, i) is the
       // shuffle-light pattern; 64 dims × 10 labels stays tiny.
       val sums = e.select(col("label"),
-          posexplode(col("qv")).as(Seq("i", "x")))
+          posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
@@ -317,7 +317,7 @@ object Similarity extends QueryModule {
           quantize(col("embedding"), SCALE).as("qv"))
         .withColumn("nrm", dotLong(col("qv"), col("qv")))
       val sums = e.select(col("label"),
-          posexplode(col("qv")).as(Seq("i", "x")))
+          posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
@@ -493,7 +493,7 @@ object Similarity extends QueryModule {
         .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
       // current list centroids: integer sums over the final assignment
       val cents = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
@@ -806,7 +806,7 @@ object Similarity extends QueryModule {
       val assigned = graft.pipeline.TrainingData
         .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
       val cents = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
@@ -1154,7 +1154,7 @@ object Similarity extends QueryModule {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         quantize(col("embedding"), SCALE).as("qv"))
       val dims = e.select((col("vec_id") % 8).as("shard"),
-        posexplode(col("qv")).as(Seq("dim", "v")))
+        posexplode_outer(col("qv")).as(Seq("dim", "v")))
       val sh = dims.groupBy(col("shard"), col("dim"))
         .agg(sum(col("v")).as("sx"))
       val g = dims.groupBy(col("dim")).agg(sum(col("v")).as("gx"))
@@ -1251,7 +1251,7 @@ object Similarity extends QueryModule {
       val assigned = graft.pipeline.TrainingData
         .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
       val cents = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("sx"))))
@@ -1322,7 +1322,7 @@ object Similarity extends QueryModule {
     (s, dir) => {
       val comp = Tables(s, dir, "embeddings")
         .select(col("label"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
+          posexplode_outer(col("embedding")).as(Seq("dim", "x")))
         .select(col("label"), col("dim"),
           floor(col("x").cast("double") * 1000).cast("long").as("q"))
       val byLabel = comp.groupBy(col("label"), col("dim"))
