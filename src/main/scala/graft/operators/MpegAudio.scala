@@ -32,8 +32,10 @@ import graft.operators.Multimodal.MediaRow
   * too ([[decodeMp2]] below — tables 3-B.2a–d carry a published
   * structure and 3-B.4's constants are closed forms, see the Layer II
   * section); Layer III additionally needs the Huffman tables and stays
-  * on the header walk. Joint-stereo (mode 01) frames are rejected —
-  * the intensity bound changes the sample walk.
+  * on the header walk. Layer I joint-stereo (mode 01) frames are
+  * rejected (the intensity bound changes the sample walk); Layer II
+  * joint stereo IS decoded ([[decodeMp2]] — shared allocation and
+  * sample codes above the bound, per-channel scalefactors).
   *
   * SeqArray analogue: the seqApply per-record decode discipline
   * (reference src/GetData.cpp apply-over-records) — payloads decode
@@ -438,11 +440,40 @@ object MpegAudio {
   final case class Mp2Decoded(sampleRate: Int, channels: Int,
       sblimit: Int, frames: Vector[Mp2Frame])
 
+  /** One granule's three decoded sub-values for an `nlevels` quantizer
+    * (degrouped or three separate codes); null on an illegal pattern
+    * (grouped codeword ≥ nlevels³, ungrouped all-ones). */
+  private def readMp2Granule(rd: BitReader, nlv: Int): Array[Int] = {
+    if (nlv == 3 || nlv == 5 || nlv == 9) {
+      val gb = nlv match { case 3 => 5; case 5 => 7; case _ => 10 }
+      var cw = rd.bits(gb)
+      if (cw >= nlv * nlv * nlv) return null
+      val out = new Array[Int](3)
+      var k = 0
+      while (k < 3) { out(k) = cw % nlv; cw /= nlv; k += 1 }
+      out
+    } else {
+      val nb = bitsFor(nlv)
+      val out = new Array[Int](3)
+      var k = 0
+      while (k < 3) {
+        val code = rd.bits(nb)
+        if (code == (1 << nb) - 1) return null
+        out(k) = code
+        k += 1
+      }
+      out
+    }
+  }
+
   /** Decode an MPEG-1 Layer II stream — the [[decodeMp1]] strictness
     * contract: ≥ 2 chained complete frames from byte 0, consistent
     * rate/mode, reject on any forbidden field (allocation above the
     * row, scalefactor 63, all-ones ungrouped code, grouped codeword
-    * ≥ nlevels³, free-format, joint-stereo) or CRC mismatch. */
+    * ≥ nlevels³, free-format) or CRC mismatch. JOINT (intensity)
+    * stereo decodes per §2.4.2.2: subbands ≥ bound (= 4·(mode_ext+1))
+    * carry ONE allocation and ONE set of sample codes, requantized
+    * per channel with that channel's own scalefactors. */
   def decodeMp2(payload: Array[Byte]): Option[Mp2Decoded] = {
     if (payload == null || payload.length < 8) return None
     def b(i: Int): Int = payload(i) & 0xff
@@ -461,8 +492,9 @@ object MpegAudio {
       val sri = (h2 >> 2) & 3
       val pad = (h2 >> 1) & 1
       val md = (h3 >> 6) & 3
-      if (v != 3 || l != 2 || bri == 0 || bri == 15 || sri == 3 ||
-        md == 1) return None
+      val mdExt = (h3 >> 4) & 3
+      if (v != 3 || l != 2 || bri == 0 || bri == 15 || sri == 3)
+        return None
       val r = Rates(sri)
       if (n == 0) { rate = r; mode = md }
       else if (r != rate || md != mode) return None
@@ -473,19 +505,25 @@ object MpegAudio {
       val rows = allocTable(tableFor(r, kbps / nch))
       val sblimit = rows.length
       sblimitOut = sblimit
+      // intensity-stereo bound: subbands ≥ bound share allocation and
+      // sample codes across the two channels
+      val bound =
+        if (md == 1) math.min((mdExt + 1) * 4, sblimit) else sblimit
       val rd = new BitReader(payload, off + 4 + (if (prot == 0) 2 else 0))
       var crc = crcBits(crcBits(0xffff, h2, 8), h3, 8)
       val alloc = Array.ofDim[Int](nch, sblimit)
       var sb = 0
       while (sb < sblimit) {
+        val chTx = if (sb < bound) nch else 1
         var ch = 0
-        while (ch < nch) {
+        while (ch < chTx) {
           val a = rd.bits(rows(sb).nbal)
           if (a > rows(sb).steps.length) return None
           alloc(ch)(sb) = a
           crc = crcBits(crc, a, rows(sb).nbal)
           ch += 1
         }
+        if (chTx < nch) alloc(1)(sb) = alloc(0)(sb)
         sb += 1
       }
       val scfsi = Array.fill(nch, sblimit)(0)
@@ -548,37 +586,43 @@ object MpegAudio {
         val part = g / 4
         sb = 0
         while (sb < sblimit) {
-          var ch = 0
-          while (ch < nch) {
-            val a = alloc(ch)(sb)
+          val shared = sb >= bound && nch == 2
+          if (shared) {
+            val a = alloc(0)(sb)
             if (a != 0) {
               val nlv = rows(sb).steps(a - 1)
-              val sfv = ScaleFactors(sfIdx(ch)(sb)(part))
-              if (nlv == 3 || nlv == 5 || nlv == 9) {
-                grouped += 1
-                val gb = nlv match {
-                  case 3 => 5; case 5 => 7; case _ => 10
-                }
-                var cw = rd.bits(gb)
-                if (cw >= nlv * nlv * nlv) return None
+              val vs = readMp2Granule(rd, nlv)
+              if (vs == null) return None
+              if (nlv == 3 || nlv == 5 || nlv == 9) grouped += 2
+              var ch = 0
+              while (ch < 2) {
+                val sfv = ScaleFactors(sfIdx(ch)(sb)(part))
                 var k = 0
                 while (k < 3) {
-                  samples(ch)(sb)(g * 3 + k) = dequant2(cw % nlv, nlv, sfv)
-                  cw /= nlv
+                  samples(ch)(sb)(g * 3 + k) = dequant2(vs(k), nlv, sfv)
                   k += 1
                 }
-              } else {
-                val nb = bitsFor(nlv)
+                ch += 1
+              }
+            }
+          } else {
+            var ch = 0
+            while (ch < nch) {
+              val a = alloc(ch)(sb)
+              if (a != 0) {
+                val nlv = rows(sb).steps(a - 1)
+                val sfv = ScaleFactors(sfIdx(ch)(sb)(part))
+                if (nlv == 3 || nlv == 5 || nlv == 9) grouped += 1
+                val vs = readMp2Granule(rd, nlv)
+                if (vs == null) return None
                 var k = 0
                 while (k < 3) {
-                  val code = rd.bits(nb)
-                  if (code == (1 << nb) - 1) return None
-                  samples(ch)(sb)(g * 3 + k) = dequant2(code, nlv, sfv)
+                  samples(ch)(sb)(g * 3 + k) = dequant2(vs(k), nlv, sfv)
                   k += 1
                 }
               }
+              ch += 1
             }
-            ch += 1
           }
           sb += 1
         }

@@ -290,9 +290,6 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(MpegAudio.decodeMp2(ok).isDefined)
     assert(MpegAudio.decodeMp2(ok.dropRight(1)).isEmpty, "truncated")
     assert(MpegAudio.decodeMp2(ok :+ 0x00.toByte).isEmpty, "trailing")
-    val joint = ok.clone()
-    joint(3) = 0x40.toByte
-    assert(MpegAudio.decodeMp2(joint).isEmpty, "joint stereo")
     assert(MpegAudio.decodeMp2(ok.take(576)).isEmpty, "single frame")
     // cross-layer: Layer I and Layer III payloads must not half-decode
     assert(MpegAudio.decodeMp2(MpegAudio.syntheticMp1(7L, 3)).isEmpty)
@@ -368,6 +365,66 @@ class MpegAudioSpec extends AnyFunSuite {
       assert(fr.samples(1)(0)(g * 3 + k) ==
         MpegAudio.dequant2((g + k) % 7, 7, sfC1))
     }
+  }
+
+  test("Layer II JOINT stereo: shared allocation + sample codes above " +
+      "the intensity bound, per-channel scalefactors") {
+    // 384 kbps / 48 kHz joint stereo, mode_ext 0 ⇒ bound = 4:
+    // sb0 (< bound) ch0 alloc 1 (grouped 3-step), ch1 silent;
+    // sb5 (≥ bound) ONE alloc 2 (grouped 5-step) + ONE codeword per
+    // granule, requantized per channel with that channel's sf
+    val f = new Array[Byte](1152)
+    f(0) = 0xff.toByte; f(1) = 0xfd.toByte
+    f(2) = ((14 << 4) | (1 << 2)).toByte
+    f(3) = 0x40.toByte                   // joint stereo, mode_ext 0
+    var bitPos = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        val idx = 4 + bitPos / 8; val sh = 7 - bitPos % 8
+        if (((v >> k) & 1) == 1) f(idx) = (f(idx) | (1 << sh)).toByte
+        bitPos += 1; k -= 1
+      }
+    }
+    putBits(1, 4); putBits(0, 4)          // sb0: ch0, ch1 (< bound)
+    for (_ <- 1 until 4) { putBits(0, 4); putBits(0, 4) } // sb1-3
+    putBits(0, 4)                         // sb4 (shared, once)
+    putBits(2, 4)                         // sb5 (shared, once)
+    for (_ <- 6 until 11) putBits(0, 4)   // sb6-10
+    for (_ <- 11 until 23) putBits(0, 3)  // sb11-22
+    for (_ <- 23 until 27) putBits(0, 2)  // sb23-26
+    putBits(2, 2)                         // scfsi sb0 ch0
+    putBits(2, 2); putBits(2, 2)          // scfsi sb5 ch0, ch1
+    putBits(3, 6)                         // sf sb0 ch0
+    putBits(10, 6); putBits(20, 6)        // sf sb5 ch0, ch1
+    for (g <- 0 until 12) {
+      putBits(g % 27, 5)                  // sb0 ch0 grouped (3-step)
+      putBits((g * 3) % 125, 7)           // sb5 SHARED grouped (5-step)
+    }
+    val d = MpegAudio.decodeMp2(f ++ f)
+    assert(d.isDefined, "joint-stereo Layer II stream must decode")
+    val dec = d.get
+    assert(dec.channels == 2 && dec.sblimit == 27)
+    val fr = dec.frames.head
+    assert(fr.alloc(0)(0) == 1 && fr.alloc(1)(0) == 0)
+    assert(fr.alloc(0)(5) == 2 && fr.alloc(1)(5) == 2,
+      "shared allocation must copy to both channels")
+    assert(fr.sfIdx(0)(5).toSeq == Seq(10, 10, 10))
+    assert(fr.sfIdx(1)(5).toSeq == Seq(20, 20, 20))
+    for (g <- 0 until 12; k <- 0 until 3) {
+      val cw = (g * 3) % 125
+      val v = Seq(cw % 5, (cw / 5) % 5, cw / 25)(k)
+      assert(fr.samples(0)(5)(g * 3 + k) ==
+        MpegAudio.dequant2(v, 5, MpegAudio.ScaleFactors(10)))
+      assert(fr.samples(1)(5)(g * 3 + k) ==
+        MpegAudio.dequant2(v, 5, MpegAudio.ScaleFactors(20)),
+        "same shared values, channel 1's own scalefactor")
+      val cw0 = g % 27
+      val v0 = Seq(cw0 % 3, (cw0 / 3) % 3, cw0 / 9)(k)
+      assert(fr.samples(0)(0)(g * 3 + k) ==
+        MpegAudio.dequant2(v0, 3, MpegAudio.ScaleFactors(3)))
+    }
+    assert(fr.samples(1)(0).isEmpty, "sb0 ch1 is silent")
   }
 
   test("router: a Layer II payload gets REAL spectral features " +
