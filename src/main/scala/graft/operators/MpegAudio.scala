@@ -32,10 +32,10 @@ import graft.operators.Multimodal.MediaRow
   * too ([[decodeMp2]] below — tables 3-B.2a–d carry a published
   * structure and 3-B.4's constants are closed forms, see the Layer II
   * section); Layer III additionally needs the Huffman tables and stays
-  * on the header walk. Layer I joint-stereo (mode 01) frames are
-  * rejected (the intensity bound changes the sample walk); Layer II
-  * joint stereo IS decoded ([[decodeMp2]] — shared allocation and
-  * sample codes above the bound, per-channel scalefactors).
+  * on the header walk. Joint (intensity) stereo is decoded on BOTH
+  * layers: subbands at or above the bound (4·(mode_ext+1)) carry one
+  * allocation and one sample code, requantized per channel with that
+  * channel's own scalefactors.
   *
   * SeqArray analogue: the seqApply per-record decode discipline
   * (reference src/GetData.cpp apply-over-records) — payloads decode
@@ -117,7 +117,7 @@ object MpegAudio {
     * complete, consistent (rate, mode) Layer I frames start at byte 0
     * — the [[Multimodal.parseMp3]] chaining discipline, so probing
     * arbitrary audio payloads is safe. Any forbidden field (allocation
-    * 15, scalefactor 63, free-format, joint-stereo), truncated frame,
+    * 15, scalefactor 63, free-format), truncated frame,
     * or CRC mismatch rejects the WHOLE payload: a corrupt training
     * shard should surface, not half-decode. */
   def decodeMp1(payload: Array[Byte]): Option[Mp1Decoded] = {
@@ -137,8 +137,9 @@ object MpegAudio {
       val sri = (h2 >> 2) & 3
       val pad = (h2 >> 1) & 1
       val md = (h3 >> 6) & 3
-      if (v != 3 || l != 3 || bri == 0 || bri == 15 || sri == 3 ||
-        md == 1) return None
+      val mdExt = (h3 >> 4) & 3
+      if (v != 3 || l != 3 || bri == 0 || bri == 15 || sri == 3)
+        return None
       val r = Rates(sri)
       if (n == 0) { rate = r; mode = md }
       else if (r != rate || md != mode) return None
@@ -146,20 +147,25 @@ object MpegAudio {
       val frameLen = (12 * kbps * 1000 / r + pad) * 4
       if (off + frameLen > payload.length) return None
       val nch = if (md == 3) 1 else 2
+      // intensity-stereo bound (§2.4.2.1): subbands ≥ bound share ONE
+      // allocation and ONE sample code, per-channel scalefactors
+      val bound = if (md == 1) math.min(4 * (mdExt + 1), 32) else 32
       val rd = new BitReader(payload, off + 4 + (if (prot == 0) 2 else 0))
       // allocation: sb-major, channel-minor (§2.4.1.5)
       val alloc = Array.ofDim[Int](nch, 32)
       var crc = crcBits(crcBits(0xffff, h2, 8), h3, 8)
       var sb = 0
       while (sb < 32) {
+        val chTx = if (sb < bound) nch else 1
         var ch = 0
-        while (ch < nch) {
+        while (ch < chTx) {
           val a = rd.bits(4)
           if (a == 15) return None
           alloc(ch)(sb) = a
           crc = crcBits(crc, a, 4)
           ch += 1
         }
+        if (chTx < nch) alloc(1)(sb) = alloc(0)(sb)
         sb += 1
       }
       if (prot == 0) {
@@ -188,16 +194,30 @@ object MpegAudio {
       while (s < 12) {
         sb = 0
         while (sb < 32) {
-          var ch = 0
-          while (ch < nch) {
-            val a = alloc(ch)(sb)
+          if (sb >= bound && nch == 2) {
+            val a = alloc(0)(sb)
             if (a != 0) {
               val nb = a + 1
-              val code = rd.bits(nb)
-              samples(ch)(sb)(s) =
-                dequant(code, nb, ScaleFactors(sfIdx(ch)(sb)))
+              val code = rd.bits(nb)            // ONE shared code
+              var ch = 0
+              while (ch < 2) {
+                samples(ch)(sb)(s) =
+                  dequant(code, nb, ScaleFactors(sfIdx(ch)(sb)))
+                ch += 1
+              }
             }
-            ch += 1
+          } else {
+            var ch = 0
+            while (ch < nch) {
+              val a = alloc(ch)(sb)
+              if (a != 0) {
+                val nb = a + 1
+                val code = rd.bits(nb)
+                samples(ch)(sb)(s) =
+                  dequant(code, nb, ScaleFactors(sfIdx(ch)(sb)))
+              }
+              ch += 1
+            }
           }
           sb += 1
         }

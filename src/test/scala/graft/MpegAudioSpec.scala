@@ -125,7 +125,7 @@ class MpegAudioSpec extends AnyFunSuite {
   }
 
   test("rejection: truncation, trailing garbage, forbidden fields, " +
-      "joint stereo, Layer III payloads, single frame") {
+      "Layer III payloads, single frame") {
     val ok = MpegAudio.syntheticMp1(7L, 3)
     assert(MpegAudio.decodeMp1(ok).isDefined)
     assert(MpegAudio.decodeMp1(ok.dropRight(1)).isEmpty, "truncated")
@@ -133,9 +133,6 @@ class MpegAudioSpec extends AnyFunSuite {
     val badAlloc = ok.clone()
     badAlloc(4) = 0xff.toByte // alloc nibble 15 (forbidden)
     assert(MpegAudio.decodeMp1(badAlloc).isEmpty, "alloc=15")
-    val joint = ok.clone()
-    joint(3) = 0x40.toByte // mode 01 = joint stereo
-    assert(MpegAudio.decodeMp1(joint).isEmpty, "joint stereo")
     assert(MpegAudio.decodeMp1(
       Multimodal.syntheticMp3(5, 2, 9)).isEmpty, "Layer III")
     assert(MpegAudio.decodeMp1(ok.take(336)).isEmpty, "single frame")
@@ -178,6 +175,56 @@ class MpegAudioSpec extends AnyFunSuite {
       assert(fr.samples(1)(0)(s) ==
         MpegAudio.dequant(s % 3, 3, MpegAudio.ScaleFactors(6)))
     }
+  }
+
+  test("Layer I JOINT stereo: shared allocation + sample code above " +
+      "the intensity bound, per-channel scalefactors") {
+    // 448 kbps / 32 kHz joint stereo, mode_ext 0 ⇒ bound = 4: sb0
+    // (< bound) ch0 alloc 5 (nb 6), ch1 silent; sb5 (≥ bound) ONE
+    // alloc 2 (nb 3) + ONE code per sample, per-channel scalefactors
+    val f = new Array[Byte](672)
+    f(0) = 0xff.toByte; f(1) = 0xff.toByte
+    f(2) = ((14 << 4) | (2 << 2)).toByte
+    f(3) = 0x40.toByte                   // joint stereo, mode_ext 0
+    var bitPos = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        val idx = 4 + bitPos / 8; val sh = 7 - bitPos % 8
+        if (((v >> k) & 1) == 1) f(idx) = (f(idx) | (1 << sh)).toByte
+        bitPos += 1; k -= 1
+      }
+    }
+    putBits(5, 4); putBits(0, 4)          // sb0 ch0, ch1 (< bound)
+    for (_ <- 1 until 4) { putBits(0, 4); putBits(0, 4) } // sb1-3
+    putBits(0, 4)                         // sb4 (shared, once)
+    putBits(2, 4)                         // sb5 (shared, once)
+    for (_ <- 6 until 32) putBits(0, 4)   // sb6-31 (shared, once)
+    putBits(0, 6)                         // sf sb0 ch0
+    putBits(6, 6); putBits(9, 6)          // sf sb5 ch0, ch1
+    for (s <- 0 until 12) {
+      putBits(s + 1, 6)                   // sb0 ch0
+      putBits(s % 6, 3)                   // sb5 SHARED code
+    }
+    val d = MpegAudio.decodeMp1(f ++ f)
+    assert(d.isDefined, "joint-stereo Layer I stream must decode")
+    val dec = d.get
+    assert(dec.channels == 2)
+    val fr = dec.frames.head
+    assert(fr.alloc(0)(0) == 5 && fr.alloc(1)(0) == 0)
+    assert(fr.alloc(0)(5) == 2 && fr.alloc(1)(5) == 2,
+      "shared allocation must copy to both channels")
+    assert(fr.sfIdx(0)(5) == 6 && fr.sfIdx(1)(5) == 9)
+    for (s <- 0 until 12) {
+      assert(fr.samples(0)(0)(s) ==
+        MpegAudio.dequant(s + 1, 6, MpegAudio.ScaleFactors(0)))
+      assert(fr.samples(0)(5)(s) ==
+        MpegAudio.dequant(s % 6, 3, MpegAudio.ScaleFactors(6)))
+      assert(fr.samples(1)(5)(s) ==
+        MpegAudio.dequant(s % 6, 3, MpegAudio.ScaleFactors(9)),
+        "same shared code, channel 1's own scalefactor")
+    }
+    assert(fr.samples(1)(0).isEmpty, "sb0 ch1 is silent")
   }
 
   test("Layer II: the closed-form C/D reproduce every PUBLISHED " +
