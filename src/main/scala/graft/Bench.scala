@@ -57,7 +57,8 @@ object Bench {
     // the cold number it asks for).
     val warmupSec = if (only.isDefined) 0.0 else {
       val owners = Seq("q72_dedup_clusters", "q161_corpus_release",
-        "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay")
+        "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
+        "q63_kmeans_train")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -119,6 +120,8 @@ object Bench {
     val ldKeys = keyJson(graft.operators.LdWindow.sharedTelemetryByKey)
     val ddKeys = keyJson(
       graft.pipeline.TrainingData.dedupSharedTelemetryByKey)
+    val (kmHits, kmMisses) =
+      graft.pipeline.TrainingData.kmeansSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -129,6 +132,7 @@ object Bench {
         s""""ehh_shared_stage":{"hits":$ehHits,"misses":$ehMisses},""" +
         s""""sa_build_stage":{"hits":$sbHits,"misses":$sbMisses},""" +
         s""""dedup_shared_stage":{"hits":$ddHits,"misses":$ddMisses},""" +
+        s""""kmeans_shared_stage":{"hits":$kmHits,"misses":$kmMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

@@ -18,7 +18,8 @@ import org.apache.spark.sql.execution.SimpleMode
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val exec = args.headOption.contains("--exec")
-    val rest = if (exec) args.tail else args
+    val fmt = args.headOption.contains("--fmt")
+    val rest = if (exec || fmt) args.tail else args
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -29,6 +30,11 @@ object PlanDump {
       if (exec) {
         df.collect()
         println(df.queryExecution.executedPlan.toString)
+      } else if (fmt) {
+        // `--fmt`: explain("formatted") — the round-11 plan-artifact
+        // format (plans/r11/<query>_{before,after}.txt)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       } else println(df.queryExecution.explainString(SimpleMode))
     }
     spark.stop()

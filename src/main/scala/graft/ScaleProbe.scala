@@ -515,6 +515,7 @@ object ScaleProbe {
       graft.operators.SuffixArray.clearShared()
       graft.operators.PopGen.clearEhhShared()
       TrainingData.clearDedupShared()
+      TrainingData.clearKmeansShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -1225,12 +1225,12 @@ object TrainingData {
   def semDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double,
       clusterCap: Int = 4096): DataFrame = {
     require(clusterCap > 1, "clusterCap must be > 1")
-    // materialize the iterative k-means chain ONCE: it is consumed four
-    // times below (both sides of the pair self-join, the component node
-    // list, and the final labeling join) and would otherwise re-execute
-    // per consumer (a cluster deployment would use a reliable
-    // checkpoint dir or a cached table)
-    val assigned = kmeansTrain(vecs, k, iters).transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+    // the trained quantizer rides the session-scoped shared stage (it
+    // is consumed four times below — both sides of the pair self-join,
+    // the component node list, the final labeling join — and by the
+    // whole ANN ladder); the persist inside kmeansShared is what keeps
+    // the iterative chain from re-executing per consumer
+    val assigned = kmeansShared(vecs, k, iters)
     val pairs = semDedupCandidates(assigned, clusterCap)
       .filter(cosineQ(dotLong(col("a.qv"), col("b.qv")),
         col("a.nrm"), col("b.nrm")) >= tau)
@@ -1305,6 +1305,69 @@ object TrainingData {
     * (never divided), so the computation replays bit-for-bit in SQL.
     * Per iteration: one k·dims-row shuffle + one broadcast assign; the
     * corpus is scanned iters+1 times and never shuffled. */
+  /** [[kmeansTrain]] behind a session-scoped shared materialization
+    * (the `LdWindow.stats` / [[clusterLabels]] pattern): the trained
+    * coarse quantizer is the substrate of the whole ANN ladder — IVF
+    * search, IVF-PQ, the nprobe curve, SemDeDup — and the iterative
+    * Lloyd chain (one k·dims shuffle + one broadcast assign per round)
+    * is the expensive stage in all of them. A real pipeline trains the
+    * index ONCE and serves every search from it; this is that artifact
+    * as a DataFrame. Keyed on the canonicalized input plan + (k,
+    * iters); telemetry surfaces in `target/bench.json` as
+    * `kmeans_shared_stage`; `ScaleProbe` clears per timed run. */
+  def kmeansShared(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    synchronized {
+      val key = (vecs.queryExecution.analyzed.canonicalized, k, iters)
+      val label = s"k=$k/it=$iters/p=" +
+        Integer.toHexString(key._1.hashCode)
+      kmeansSharedMap.get(key) match {
+        case Some(df) =>
+          kmeansHits += 1; kmeansBump(label, hit = true); df
+        case None =>
+          kmeansMisses += 1; kmeansBump(label, hit = false)
+          val df = kmeansTrain(vecs, k, iters).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (kmeansSharedMap.size >= 4) {
+            val k0 = kmeansSharedMap.head._1
+            kmeansSharedMap(k0).unpersist(blocking = false)
+            kmeansSharedMap.remove(k0)
+          }
+          kmeansSharedMap(key) = df
+          df
+      }
+    }
+
+  private val kmeansSharedMap = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int), DataFrame]
+  private var kmeansHits = 0L
+  private var kmeansMisses = 0L
+  private val kmeansPerKey = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Long)]
+  private def kmeansBump(label: String, hit: Boolean): Unit = {
+    val (h, m) = kmeansPerKey.getOrElse(label, (0L, 0L))
+    kmeansPerKey(label) = if (hit) (h + 1, m) else (h, m + 1)
+  }
+
+  /** (hits, misses) of the shared trained-quantizer stage. */
+  def kmeansSharedTelemetry: (Long, Long) = synchronized {
+    (kmeansHits, kmeansMisses)
+  }
+
+  /** Per-key hit/miss — a key missing twice in one board pass was
+    * evicted mid-board (cache undersized). */
+  def kmeansSharedTelemetryByKey: Seq[(String, Long, Long)] =
+    synchronized {
+      kmeansPerKey.toSeq.map { case (k, (h, m)) => (k, h, m) }
+    }
+
+  /** Drop the shared trained-quantizer materializations (scale probes
+    * measure cold compute). */
+  def clearKmeansShared(): Unit = synchronized {
+    kmeansSharedMap.values.foreach(_.unpersist(blocking = false))
+    kmeansSharedMap.clear()
+  }
+
   def kmeansTrain(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = vecs.select(col("vec_id"), col("qv"))
       .withColumn("nrm", dotLong(col("qv"), col("qv")))

@@ -463,7 +463,7 @@ object Similarity extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
       val assigned = graft.pipeline.TrainingData
-        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+        .kmeansShared(e, KMEANS_K, KMEANS_ITERS)
       assigned.groupBy(col("cid")).agg(
         count(lit(1)).as("n"),
         sum(col("vec_id")).as("sum_vid"),
@@ -490,7 +490,7 @@ object Similarity extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
       val assigned = graft.pipeline.TrainingData
-        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+        .kmeansShared(e, KMEANS_K, KMEANS_ITERS)
       // current list centroids: integer sums over the final assignment
       val cents = assigned
         .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
@@ -804,7 +804,7 @@ object Similarity extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
       val assigned = graft.pipeline.TrainingData
-        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+        .kmeansShared(e, KMEANS_K, KMEANS_ITERS)
       val cents = assigned
         .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
@@ -1249,7 +1249,7 @@ object Similarity extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding"), SCALE).as("qv"))
       val assigned = graft.pipeline.TrainingData
-        .kmeansTrain(e, KMEANS_K, KMEANS_ITERS)
+        .kmeansShared(e, KMEANS_K, KMEANS_ITERS)
       val cents = assigned
         .select(col("cid"), posexplode_outer(col("qv")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))

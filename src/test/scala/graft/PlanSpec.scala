@@ -154,6 +154,10 @@ class PlanSpec extends AnyFunSuite {
     // every join in the IVF search and k-means build must broadcast the
     // SMALL side (centroids: k rows; probe lists: probes×nprobe) — a
     // sort-merge join here would shuffle the corpus once per iteration
+    // clear the shared trained-quantizer stage: this test pins the
+    // BUILD plan's shape, not the cached InMemoryRelation a warm
+    // session would substitute
+    graft.pipeline.TrainingData.clearKmeansShared()
     for (q <- Seq("q61_ivf_search", "q63_kmeans_train")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), q)
@@ -347,6 +351,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q114: IVF-PQ joins ride broadcasts — corpus never shuffled to join") {
+    graft.pipeline.TrainingData.clearKmeansShared()
     val p = plan("q114_ivf_pq")
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)

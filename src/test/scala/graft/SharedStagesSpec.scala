@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TrainingData
+
+/** Round-11 shared-stage specs: the session-scoped materializations the
+  * optimization round added (trained k-means quantizer, BPE merge list,
+  * ROH run substrate, CEU pair stage) must (a) return byte-identical
+  * results to the uncached builders and (b) actually share — second
+  * semantically-identical call is a telemetry hit, different key a miss.
+  */
+class SharedStagesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("kmeansShared == kmeansTrain, and same-key callers share") {
+    import spark.implicits._
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toLong)))
+      .toDF("vec_id", "qv")
+    TrainingData.clearKmeansShared()
+    val (h0, m0) = TrainingData.kmeansSharedTelemetry
+    val direct = TrainingData.kmeansTrain(vecs, 4, 2)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val shared1 = TrainingData.kmeansShared(vecs, 4, 2)
+    val got1 = shared1.orderBy("vec_id").collect()
+      .map(_.toString).toSeq
+    assert(got1 == direct, "shared stage must equal the direct build")
+    // a SEMANTICALLY identical but separately-constructed input plan
+    // must hit (canonicalized-plan keying)
+    val vecs2 = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toLong)))
+      .toDF("vec_id", "qv")
+    val shared2 = TrainingData.kmeansShared(vecs2, 4, 2)
+    assert(shared2 eq shared1, "same key must return the same handle")
+    val (h1, m1) = TrainingData.kmeansSharedTelemetry
+    assert(h1 - h0 == 1 && m1 - m0 == 1,
+      s"expected 1 hit / 1 miss, got ${h1 - h0} / ${m1 - m0}")
+    // different params = different key = a build, not a hit
+    val shared3 = TrainingData.kmeansShared(vecs, 4, 1)
+    assert(!(shared3 eq shared1))
+    val (h2, m2) = TrainingData.kmeansSharedTelemetry
+    assert(h2 == h1 && m2 - m1 == 1)
+    TrainingData.clearKmeansShared()
+  }
+}
