@@ -516,6 +516,7 @@ object ScaleProbe {
       graft.operators.PopGen.clearEhhShared()
       TrainingData.clearDedupShared()
       TrainingData.clearKmeansShared()
+      TrainingData.clearBpeShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -1741,6 +1741,60 @@ object TrainingData {
     * vocabulary-sized (millions, not billions) regardless of corpus
     * size; the driver collects one row per round. This is the standard
     * structure of distributed BPE trainers. */
+  /** The learned [[bpeTrain]] merge trajectory as a driver value,
+    * behind a session-scoped shared cache (the `LdWindow.stats`
+    * discipline, driver-value flavored): the training loop is
+    * driver-paced — one pair-count aggregate + argmax collect per
+    * round — and THREE board queries (train, encode, fertility) need
+    * the identical trajectory; a real pipeline trains its tokenizer
+    * once. Keyed on the canonicalized docs plan + (nMerges, textCol);
+    * telemetry in `target/bench.json` as `bpe_shared_stage`;
+    * `ScaleProbe` clears per timed run. Rows are (round, lhs, rhs,
+    * merged, cnt) in training order. */
+  def bpeMergesShared(docs: DataFrame, nMerges: Int,
+      textCol: String = "text")
+      : Seq[(Int, String, String, String, Long)] = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, nMerges,
+      textCol)
+    val label = s"m=$nMerges/c=$textCol/p=" +
+      Integer.toHexString(key._1.hashCode)
+    bpeShared.get(key) match {
+      case Some(m) =>
+        bpeHits += 1; bpeBump(label, hit = true); m
+      case None =>
+        bpeMisses += 1; bpeBump(label, hit = false)
+        val m = bpeTrain(docs, nMerges, textCol)
+          .orderBy("round").collect()
+          .map(r => (r.getAs[Int]("round"), r.getAs[String]("lhs"),
+            r.getAs[String]("rhs"), r.getAs[String]("merged"),
+            r.getAs[Long]("cnt"))).toSeq
+        if (bpeShared.size >= 4) bpeShared.remove(bpeShared.head._1)
+        bpeShared(key) = m
+        m
+    }
+  }
+
+  private val bpeShared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, String), Seq[(Int, String, String, String, Long)]]
+  private var bpeHits = 0L
+  private var bpeMisses = 0L
+  private val bpePerKey = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Long)]
+  private def bpeBump(label: String, hit: Boolean): Unit = {
+    val (h, m) = bpePerKey.getOrElse(label, (0L, 0L))
+    bpePerKey(label) = if (hit) (h + 1, m) else (h, m + 1)
+  }
+
+  /** (hits, misses) of the shared BPE merge-trajectory stage. */
+  def bpeSharedTelemetry: (Long, Long) = synchronized {
+    (bpeHits, bpeMisses)
+  }
+
+  /** Drop the shared BPE merge trajectories (scale probes measure cold
+    * compute). */
+  def clearBpeShared(): Unit = synchronized { bpeShared.clear() }
+
   def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String = "text")
       : DataFrame = {
     val spark = docs.sparkSession

