@@ -58,7 +58,8 @@ object Bench {
     val warmupSec = if (only.isDefined) 0.0 else {
       val owners = Seq("q72_dedup_clusters", "q161_corpus_release",
         "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
-        "q63_kmeans_train", "q127_bpe_train")
+        "q63_kmeans_train", "q127_bpe_train",
+        "q227_ceu_family_kinship")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -124,6 +125,8 @@ object Bench {
       graft.pipeline.TrainingData.kmeansSharedTelemetry
     val (bpHits, bpMisses) =
       graft.pipeline.TrainingData.bpeSharedTelemetry
+    val (ceuHits, ceuMisses) =
+      graft.queries.VcfQ.ceuSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -136,6 +139,7 @@ object Bench {
         s""""dedup_shared_stage":{"hits":$ddHits,"misses":$ddMisses},""" +
         s""""kmeans_shared_stage":{"hits":$kmHits,"misses":$kmMisses},""" +
         s""""bpe_shared_stage":{"hits":$bpHits,"misses":$bpMisses},""" +
+        s""""ceu_shared_stage":{"hits":$ceuHits,"misses":$ceuMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has
