@@ -517,6 +517,7 @@ object ScaleProbe {
       TrainingData.clearDedupShared()
       TrainingData.clearKmeansShared()
       TrainingData.clearBpeShared()
+      graft.operators.PopGen.clearRohShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -546,7 +546,37 @@ object PopGen {
     * samples report 0). One explode, one partitioned window sort,
     * two sample-keyed rollups — never a global window. Emits
     * (s, n_called, n_roh, n_roh_sites, f_roh). */
-  def frohFromDosage(v: DataFrame, minRun: Long): DataFrame = {
+  /** Per-cell homozygosity-run substrate: the dosage cube exploded to
+    * (s, chrom, pos, vid, dkey, hom) rows with the run id `rid` already
+    * attached by the ONE (s, chrom) window pass — the shared middle of
+    * the ROH family (q112's run-length rollup and q201's F_ROH both
+    * aggregate exactly these rows; q201 consumes them twice more for
+    * its call-rate denominator).
+    *
+    * Session-scoped shared materialization (the `LdWindow.stats`
+    * discipline): keyed on the canonicalized input plan; telemetry in
+    * `target/bench.json` as `roh_shared_stage`; `ScaleProbe` clears per
+    * timed run so probes price cold compute. `v` must carry (chrom,
+    * pos, vid, d ARRAY<BIGINT>). */
+  def homRunRows(v: DataFrame): DataFrame = synchronized {
+    val key = v.queryExecution.analyzed.canonicalized
+    rohShared.get(key) match {
+      case Some(df) => rohHits += 1; df
+      case None =>
+        rohMisses += 1
+        val df = homRunRowsPlan(v).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (rohShared.size >= 4) {
+          val k0 = rohShared.head._1
+          rohShared(k0).unpersist(blocking = false)
+          rohShared.remove(k0)
+        }
+        rohShared(key) = df
+        df
+    }
+  }
+
+  private def homRunRowsPlan(v: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = v.select(col("chrom"), col("pos"), col("vid"),
         posexplode_outer(col("d")).as(Seq("s", "dos")))
@@ -556,11 +586,34 @@ object PopGen {
           (col("dos") === 0 || col("dos") === 2)).as("hom"))
     val w = Window.partitionBy(col("s"), col("chrom"))
       .orderBy(col("pos"), col("vid"), col("dkey"))
-    val runs = rows
+    rows
       .withColumn("strt",
         col("hom") && !lag(col("hom"), 1, false).over(w))
       .withColumn("rid",
         sum(when(col("strt"), 1L).otherwise(0L)).over(w))
+  }
+
+  private val rohShared = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame]
+  private var rohHits = 0L
+  private var rohMisses = 0L
+
+  /** (hits, misses) of the shared homozygosity-run substrate. */
+  def rohSharedTelemetry: (Long, Long) = synchronized {
+    (rohHits, rohMisses)
+  }
+
+  /** Drop the shared ROH substrate (scale probes measure cold
+    * compute). */
+  def clearRohShared(): Unit = synchronized {
+    rohShared.values.foreach(_.unpersist(blocking = false))
+    rohShared.clear()
+  }
+
+  def frohFromDosage(v: DataFrame, minRun: Long): DataFrame = {
+    val rows = homRunRows(v)
+    val runs = rows
       .filter(col("hom"))
       .groupBy(col("s"), col("chrom"), col("rid"))
       .agg(count(lit(1)).as("run_len"))

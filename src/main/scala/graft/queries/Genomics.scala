@@ -749,17 +749,6 @@ object Genomics extends QueryModule {
   // biobank axis), never a global sort. ---------------------------------
   private val q112 = Q("q112_roh",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = SynthGeno.variants(s, dir)
-      val d = dosageAlt(col("geno"))
-      // outer: d is never empty, and the non-outer generate's inferred
-      // size(d)>0 filter would re-run the dosage kernel below the fan-out
-      val rows = v.select(col("chrom"), col("pos"), col("vid"),
-          posexplode_outer(d).as(Seq("s", "dos")))
-        .select(col("s"), col("chrom"), col("pos"), col("vid"),
-          coalesce(col("dos"), lit(-1L)).as("dkey"),
-          (col("dos").isNotNull &&
-            (col("dos") === 0 || col("dos") === 2)).as("hom"))
       // lag-based islands: a run STARTS at a hom row whose predecessor
       // is not hom; the run id is the running count of starts (RANGE
       // frame, so full-key ties share it). vid is NOT unique in the
@@ -769,13 +758,13 @@ object Genomics extends QueryModule {
       // the pre-boundary predecessor — the segmentation is invariant
       // to their internal order (a rank-subtraction islands id is NOT:
       // two independent window sorts may permute ties differently).
-      val wAll = Window.partitionBy(col("s"), col("chrom"))
-        .orderBy(col("pos"), col("vid"), col("dkey"))
-      val runs = rows
-        .withColumn("start",
-          col("hom") && !lag(col("hom"), 1, false).over(wAll))
-        .withColumn("rid",
-          sum(when(col("start"), 1L).otherwise(0L)).over(wAll))
+      // The exploded rows + run ids ride the session-scoped shared ROH
+      // substrate (PopGen.homRunRows — q201's F_ROH aggregates the
+      // identical rows); this query is its run-length rollup.
+      val v = SynthGeno.variants(s, dir)
+        .select(col("chrom"), col("pos"), col("vid"),
+          dosageAlt(col("geno")).as("d"))
+      val runs = graft.operators.PopGen.homRunRows(v)
         .filter(col("hom"))
         .groupBy(col("s"), col("chrom"), col("rid"))
         .agg(count(lit(1)).as("run_len"))

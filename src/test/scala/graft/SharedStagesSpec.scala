@@ -75,4 +75,40 @@ class SharedStagesSpec extends AnyFunSuite {
     assert(h1 - h0 == 1 && m1 == m0, "second caller must be a hit")
     TrainingData.clearBpeShared()
   }
+
+  test("homRunRows shared substrate: run ids match a hand-checked " +
+      "trajectory and same-key callers share") {
+    import graft.operators.PopGen
+    import spark.implicits._
+    // two samples: s0 = hom, hom, het, hom (runs {1,2}, {4});
+    // s1 = missing, hom, hom, hom (one run {2,3,4})
+    val v = Seq(
+      (1L, "c0", 10L, Seq(Some(0L), None)),
+      (2L, "c0", 20L, Seq(Some(2L), Some(0L))),
+      (3L, "c0", 30L, Seq(Some(1L), Some(2L))),
+      (4L, "c0", 40L, Seq(Some(0L), Some(2L))))
+      .toDF("vid", "chrom", "pos", "d")
+    PopGen.clearRohShared()
+    val rows = PopGen.homRunRows(v)
+      .select("s", "pos", "hom", "rid")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getBoolean(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (0, 10L, true, 1L), (0, 20L, true, 1L), (0, 30L, false, 1L),
+      (0, 40L, true, 2L),
+      (1, 10L, false, 0L), (1, 20L, true, 1L), (1, 30L, true, 1L),
+      (1, 40L, true, 1L)), rows.toString)
+    val (h0, m0) = PopGen.rohSharedTelemetry
+    val v2 = Seq(
+      (1L, "c0", 10L, Seq(Some(0L), None)),
+      (2L, "c0", 20L, Seq(Some(2L), Some(0L))),
+      (3L, "c0", 30L, Seq(Some(1L), Some(2L))),
+      (4L, "c0", 40L, Seq(Some(0L), Some(2L))))
+      .toDF("vid", "chrom", "pos", "d")
+    PopGen.homRunRows(v2)
+    val (h1, m1) = PopGen.rohSharedTelemetry
+    assert(h1 - h0 == 1 && m1 == m0,
+      "semantically identical input must be a cache hit")
+    PopGen.clearRohShared()
+  }
 }
