@@ -129,6 +129,13 @@ object genetics {
     Bridge.column(graft.functions.expressions.DosageAlt2Expr(
       Bridge.expression(geno)))
 
+  /** Per-sample packed QC word `(singletons << 2) | (het << 1) |
+    * called` — one generated-code pass over the cube row (see
+    * [[graft.functions.expressions.SampleQcExpr]]). */
+  def sampleQcPacked(geno: Column): Column =
+    Bridge.column(graft.functions.expressions.SampleQcExpr(
+      Bridge.expression(geno)))
+
   /** Per-sample count of REF alleles; null on missing (reference `$dosage`). */
   def dosageRef(geno: Column): Column =
     transform(geno, sa =>

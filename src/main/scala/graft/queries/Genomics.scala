@@ -950,30 +950,24 @@ object Genomics extends QueryModule {
   private val q143 = Q("q143_sample_qc",
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
-      val n = SynthGeno.nSamples
-      // the per-variant SINGLETON-ALLELE SET computes once before the
-      // explode (O(n·#distinct) per variant); the per-cell test is then
-      // an array_contains — never a per-cell rescan of the 2n-allele
-      // list, which would be O(n²) per variant at biobank width
-      val fl = flatten(col("geno"))
-      val singletons = filter(array_distinct(fl), a =>
-        a.isNotNull && a > 0 && size(filter(fl, x => x === a)) === 1)
-      val cell = v.select(col("geno"), singletons.as("ss"),
-          explode(sequence(lit(0), lit(n - 1))).as("smp"))
-        .select(col("smp"), col("ss"),
-          element_at(element_at(col("geno"), col("smp") + 1), 1).as("a1"),
-          element_at(element_at(col("geno"), col("smp") + 1), 2).as("a2"))
-      def sing(a: Column) = when(a.isNotNull &&
-        array_contains(col("ss"), a), 1L).otherwise(0L)
-      val g = cell.select(col("smp"),
-          (col("a1").isNotNull && col("a2").isNotNull).as("called"),
-          (col("a1").isNotNull && col("a2").isNotNull &&
-            col("a1") =!= col("a2")).as("het"),
-          (sing(col("a1")) + sing(col("a2"))).as("sing"))
+      // ONE fused codegen kernel computes (called, het, singletons)
+      // per sample — the previous HOF singleton set
+      // (filter(array_distinct(flatten(geno)), …)) was CodegenFallback,
+      // re-entering the interpreter per variant; the kernel counts
+      // allele occurrences in a hash map (O(samples) per variant at
+      // biobank width) and packs the three QC flags into one BIGINT
+      // per sample, posexploded and unpacked by pure codegen bit ops.
+      // outer: the packed array is never empty, and the non-outer
+      // generate's inferred size()>0 filter would re-run the kernel
+      // below the fan-out (the q124 lesson)
+      val cell = v.select(
+        posexplode_outer(sampleQcPacked(col("geno")))
+          .as(Seq("smp", "p")))
+      val g = cell
         .groupBy(col("smp"))
-        .agg(sum(when(col("called"), 1L).otherwise(0L)).as("n_called"),
-          sum(when(col("het"), 1L).otherwise(0L)).as("n_het"),
-          sum(col("sing")).as("n_singletons"))
+        .agg(sum(col("p").bitwiseAND(lit(1L))).as("n_called"),
+          sum(shiftright(col("p"), 1).bitwiseAND(lit(1L))).as("n_het"),
+          sum(shiftright(col("p"), 2)).as("n_singletons"))
       val tot = g.agg(sum(col("n_called")).as("tc"),
         sum(col("n_het")).as("th"))
       g.crossJoin(broadcast(tot))

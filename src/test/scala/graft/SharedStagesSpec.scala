@@ -111,4 +111,50 @@ class SharedStagesSpec extends AnyFunSuite {
       "semantically identical input must be a cache hit")
     PopGen.clearRohShared()
   }
+
+  test("sampleQcPacked kernel: CODEGEN_ONLY == NO_CODEGEN == the HOF " +
+      "singleton-set original on seeded random cubes (differential)") {
+    import graft.functions.genetics._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261117L)
+    val rows = (0 until 300).map { i =>
+      val geno = Seq.fill(8)(Seq.fill(2)(
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(4).toLong)))
+      (i.toLong, geno)
+    }
+    val df = rows.toDF("vid", "geno")
+    // the q143 original, replayed verbatim as the reference
+    val fl = flatten(col("geno"))
+    val singletons = filter(array_distinct(fl), a =>
+      a.isNotNull && a > 0 && size(filter(fl, x => x === a)) === 1)
+    def sing(a: org.apache.spark.sql.Column) = when(a.isNotNull &&
+      array_contains(col("ss"), a), 1L).otherwise(0L)
+    val ref = df.select(col("vid"), col("geno"), singletons.as("ss"),
+        explode(sequence(lit(0), lit(7))).as("smp"))
+      .select(col("vid"), col("smp"), col("ss"),
+        element_at(element_at(col("geno"), col("smp") + 1), 1).as("a1"),
+        element_at(element_at(col("geno"), col("smp") + 1), 2).as("a2"))
+      .select(col("vid"), col("smp"),
+        (col("a1").isNotNull && col("a2").isNotNull).as("called"),
+        (col("a1").isNotNull && col("a2").isNotNull &&
+          col("a1") =!= col("a2")).as("het"),
+        (sing(col("a1")) + sing(col("a2"))).as("sing"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("vid"),
+            posexplode_outer(sampleQcPacked(col("geno")))
+              .as(Seq("smp", "p")))
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> {
+            val p = r.getLong(2)
+            ((p & 1L) == 1L, ((p >> 1) & 1L) == 1L, p >> 2)
+          }).toMap
+        assert(got == ref, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
