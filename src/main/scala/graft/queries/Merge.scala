@@ -198,9 +198,16 @@ object Merge extends QueryModule {
           array(element_at(full, col("nall").cast("int"))),
           slice(full, lit(2), col("nall").cast("int") - 2)), ",")
           .as("strc"))
-      def carve(m: Int, alleles: String) = v.filter(col("vid") % m === 0)
-        .select(col("vid"), col(alleles).as("alleles"), col("geno"),
-          col("phased"))
+      // pinnedFilter (the q307 discipline): a plain filter on vid
+      // pushes BELOW the dedup groupBy into the scan, so each carve
+      // branch would recompute the full dedup (cube build +
+      // interpreted serialization + exchange) — pinning keeps the
+      // filters above it and ReuseExchange collapses the three
+      // branches onto ONE dedup exchange
+      def carve(m: Int, alleles: String) =
+        graft.operators.PopGen.pinnedFilter(v, col("vid") % m === 0)
+          .select(col("vid"), col(alleles).as("alleles"), col("geno"),
+            col("phased"))
       mergeN(Seq(carve(2, "stra"), carve(3, "strb"), carve(5, "strc")))
         .select(col("vid"), col("file"), col("alleles"),
           gtStrings(col("geno"), col("phased"), ";").as("gts"))
