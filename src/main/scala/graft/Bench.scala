@@ -59,7 +59,7 @@ object Bench {
       val owners = Seq("q72_dedup_clusters", "q161_corpus_release",
         "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
         "q63_kmeans_train", "q127_bpe_train",
-        "q227_ceu_family_kinship", "q112_roh")
+        "q227_ceu_family_kinship", "q112_roh", "q68_ngram_jaccard")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -129,6 +129,8 @@ object Bench {
       graft.queries.VcfQ.ceuSharedTelemetry
     val (rohHits, rohMisses) =
       graft.operators.PopGen.rohSharedTelemetry
+    val (sjHits, sjMisses) =
+      graft.pipeline.TrainingData.simjoinSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -143,6 +145,7 @@ object Bench {
         s""""bpe_shared_stage":{"hits":$bpHits,"misses":$bpMisses},""" +
         s""""ceu_shared_stage":{"hits":$ceuHits,"misses":$ceuMisses},""" +
         s""""roh_shared_stage":{"hits":$rohHits,"misses":$rohMisses},""" +
+        s""""simjoin_shared_stage":{"hits":$sjHits,"misses":$sjMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

@@ -517,6 +517,7 @@ object ScaleProbe {
       TrainingData.clearDedupShared()
       TrainingData.clearKmeansShared()
       TrainingData.clearBpeShared()
+      TrainingData.clearSimjoinShared()
       graft.operators.PopGen.clearRohShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()

@@ -617,11 +617,60 @@ object TrainingData {
     * Scale (100 TB): the exact join IS the expensive operator (priced
     * honestly, prefix-filtered); the report adds one pair-keyed left
     * join and a ≤ 10-row aggregate on top. */
+  /** [[similarityJoin]] behind a session-scoped shared materialization
+    * (the `LdWindow.stats` discipline): the exact prefix-filter join is
+    * the expensive stage of BOTH the n-gram Jaccard report and the LSH
+    * recall audit (which compares the LSH candidates against exactly
+    * this pair set) — a real pipeline computes its ground-truth pairs
+    * once. Keyed on the canonicalized docs plan + every parameter;
+    * telemetry in `target/bench.json` as `simjoin_shared_stage`;
+    * `ScaleProbe` clears per timed run. */
+  def similarityJoinShared(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, idCol,
+      textCol, shingleN, threshold)
+    simjoinShared.get(key) match {
+      case Some(df) => simjoinHits += 1; df
+      case None =>
+        simjoinMisses += 1
+        val df = similarityJoin(docs, idCol, textCol, shingleN,
+          threshold).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (simjoinShared.size >= 4) {
+          val k0 = simjoinShared.head._1
+          simjoinShared(k0).unpersist(blocking = false)
+          simjoinShared.remove(k0)
+        }
+        simjoinShared(key) = df
+        df
+    }
+  }
+
+  private val simjoinShared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int, Double), DataFrame]
+  private var simjoinHits = 0L
+  private var simjoinMisses = 0L
+
+  /** (hits, misses) of the shared exact similarity-join stage. */
+  def simjoinSharedTelemetry: (Long, Long) = synchronized {
+    (simjoinHits, simjoinMisses)
+  }
+
+  /** Drop the shared similarity-join materializations (scale probes
+    * measure cold compute). */
+  def clearSimjoinShared(): Unit = synchronized {
+    simjoinShared.values.foreach(_.unpersist(blocking = false))
+    simjoinShared.clear()
+  }
+
   def lshRecallReport(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3, minhashK: Int = 12,
       bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.6)
       : DataFrame = {
-    val exact = similarityJoin(docs, idCol, textCol, shingleN, threshold)
+    val exact = similarityJoinShared(docs, idCol, textCol, shingleN,
+      threshold)
     val found = nearDupPairs(docs, idCol, textCol, shingleN, minhashK,
       bands, rowsPerBand, threshold).withColumn("__hit", lit(1L))
     exact.join(found, Seq("doc_a", "doc_b"), "left")

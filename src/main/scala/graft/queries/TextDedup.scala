@@ -274,8 +274,10 @@ object TextDedup extends QueryModule {
   private val q68 = Q("q68_ngram_jaccard",
     (s, dir) =>
       // the public pipeline API IS the implementation — delegating keeps
-      // the driver's DuckDB gate continuously proving the API exact
-      graft.pipeline.TrainingData.similarityJoin(
+      // the driver's DuckDB gate continuously proving the API exact;
+      // the exact pair set rides the session-scoped shared stage (q149's
+      // recall audit consumes the identical ground truth)
+      graft.pipeline.TrainingData.similarityJoinShared(
         Tables(s, dir, "documents"),
         shingleN = SHINGLE_N, threshold = JAC_T),
     Some(s"""WITH t AS ($tokCte),
