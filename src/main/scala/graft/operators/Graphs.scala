@@ -95,8 +95,14 @@ object Graphs {
       s"need iters >= 1 and scale >= 100; got $iters, $scale")
     // the edge set is consumed once per round — materialize it ONCE so
     // an expensive upstream derivation (joins, windows, distinct) never
-    // replays per iteration (cluster: reliable checkpoint dir, SCALE.md)
-    val e = edges.transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+    // replays per iteration (cluster: reliable checkpoint dir, SCALE.md).
+    // Pre-partitioned by src BEFORE the checkpoint: the per-round
+    // contribution join keys on src, and a checkpoint preserves its
+    // physical partitioning — so the edge shuffle happens once at build
+    // instead of once per round (guide §2.4, "two operations keyed the
+    // same way can share one exchange").
+    val e = edges.repartition(col("src"))
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -150,10 +156,15 @@ object Graphs {
       s"labelPropagation expects (src, dst) edges; got " +
         edges.columns.mkString(","))
     require(iters >= 1, s"need iters >= 1; got $iters")
+    // symmetrized once; pre-partitioned by dst BEFORE the checkpoint —
+    // the per-round label join keys on dst, and a checkpoint preserves
+    // its physical partitioning, so the edge shuffle happens once at
+    // build instead of once per round (the pageRankInt discipline)
     val e = edges
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val nodes = e.select(col("src").as("node")).distinct()
       .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])

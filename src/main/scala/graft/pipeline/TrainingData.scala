@@ -141,8 +141,13 @@ object TrainingData {
     * Returns (`idCol`, cluster). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 25): DataFrame = {
+    // pre-partitioned by dst BEFORE the checkpoint: every pointer-
+    // doubling round joins sym on dst, and a checkpoint preserves its
+    // physical partitioning — one edge shuffle at build instead of one
+    // per round (the pageRankInt discipline)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val allNodes = nodes.select(col(idCol).as("id")).distinct()
       .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
