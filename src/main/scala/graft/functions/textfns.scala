@@ -21,11 +21,29 @@ object textfns {
       graft.functions.expressions.NfcNormalizeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped — ONE generated loop
+    * (the `filter` in the declarative twin below is a CodegenFallback
+    * HOF, interpreted per row on every text lane). */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.TokensExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Declarative [[tokens]] twin (differential oracle for the codegen
+    * expression). */
+  def tokensHof(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** All ordered `l`-token span grams, " "-joined; empty array below
+    * `l` tokens — the fused form of the transform+slice+array_join
+    * chain (see [[graft.functions.expressions.SpanGramsExpr]]). */
+  def spanGrams(toks: Column, l: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.SpanGramsExpr(
+      Bridge.expression(toks), Bridge.expression(lit(l))))
+  }
 
   /** Distinct word n-gram shingles ("a b" bigrams for n=2) straight from
     * text; empty array when the document has fewer than n tokens. Fused

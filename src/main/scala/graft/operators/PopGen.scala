@@ -2266,18 +2266,17 @@ object PopGen {
     val wins = perVar.groupBy(col("chrom"), col("win"))
       .agg(array_sort(collect_list(struct(col("pos"), col("vid"),
         col("as")))).as("vs"))
-    val hapArr = transform(sequence(lit(0), lit(h - 1)), s =>
-      array_join(transform(col("vs"),
-        x => element_at(x.getField("as"), (s + 1).cast("int"))), ","))
     val hh = lit((h.toLong * h).toDouble)
     wins
-      // materialize the h strings ONCE per window row — a lambda body
-      // referencing the bare expression would rebuild the whole array
-      // on every outer-loop element (interpreted HOFs have no CSE)
-      .withColumn("haps", hapArr)
-      .withColumn("cs", sort_array(transform(array_distinct(col("haps")),
-        x => size(filter(col("haps"), y => y === x)).cast("long")),
-        asc = false))
+      // ONE fused codegen kernel for the haplotype multiplicity
+      // spectrum — the h string-join transforms + O(h²) distinct-count
+      // fold it replaces were interpreted per window row (HOFs are
+      // CodegenFallback); HapCountsExpr is differential-tested against
+      // that original under both execution modes
+      .withColumn("cs", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.HapCountsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("vs")),
+          org.apache.spark.sql.graft.Bridge.expression(lit(h)))))
       .withColumn("ssq", aggregate(col("cs"), lit(0L),
         (acc, c) => acc + c * c))
       .select(col("chrom"), col("win"),

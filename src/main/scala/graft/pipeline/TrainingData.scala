@@ -1526,12 +1526,15 @@ object TrainingData {
       textCol: String = "text", l: Int = 5): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
-    // 0-based span starts, one row per occurrence
-    val occ = base.select(col(idCol), posexplode(when(col("__n") >= l,
-      transform(sequence(lit(1L), col("__n") - lit(l - 1L)),
-        i => array_join(slice(col("__toks"), i, lit(l)), " ")))
-      .otherwise(array().cast("array<string>")))
-      .as(Seq("__i", "__g")))
+    // 0-based span starts, one row per occurrence — the gram fan is a
+    // fused codegen kernel (the transform+slice+array_join chain it
+    // replaces was an interpreted O(n·l) HOF per document); outer so
+    // the inferred size()>0 filter can't re-run the kernel below the
+    // fan (the q124 lesson), with short docs dropping on the null gram
+    val occ = base.select(col(idCol),
+        posexplode_outer(spanGrams(col("__toks"), l))
+          .as(Seq("__i", "__g")))
+      .filter(col("__g").isNotNull)
     val dupG = occ.groupBy(col("__g"))
       .agg(countDistinct(col(idCol)).as("__d"))
       .filter(col("__d") >= 2).select(col("__g"))

@@ -886,7 +886,10 @@ object Genomics extends QueryModule {
     (s, dir) => {
       val v = SynthGeno.variants(s, dir)
       def g(i: Int) = element_at(col("geno"), i + 1)
-      def called(i: Int) = size(filter(g(i), x => x.isNull)) === 0
+      // codegen conjunction, not size(filter(.., isNull)) — the HOF is
+      // CodegenFallback (interpreted per row) and the cube is diploid
+      def called(i: Int) = element_at(g(i), 1).isNotNull &&
+        element_at(g(i), 2).isNotNull
       def inPair(a: org.apache.spark.sql.Column, i: Int) =
         element_at(g(i), 1) === a || element_at(g(i), 2) === a
       def trio(f: Int, m: Int, c: Int) = {
@@ -898,12 +901,15 @@ object Genomics extends QueryModule {
           (called(f) && called(m) && called(c)).as("checked"),
           (called(f) && called(m) && called(c) && !ok).as("violation"))
       }
-      val trios = array(trio(0, 1, 2), trio(3, 4, 5))
+      // direct conditional sums over the two (plan-constant) trios —
+      // filter() over the struct array was two more interpreted HOFs
+      // per row
+      val trios = Seq(trio(0, 1, 2), trio(3, 4, 5))
+      def cnt(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        trios.map(t => when(f(t), 1L).otherwise(0L)).reduce(_ + _)
       v.select(col("vid"),
-          size(filter(trios, t => t.getField("checked")))
-            .cast("long").as("n_checked"),
-          size(filter(trios, t => t.getField("violation")))
-            .cast("long").as("n_violations"))
+          cnt(_.getField("checked")).as("n_checked"),
+          cnt(_.getField("violation")).as("n_violations"))
         .withColumn("error_rate",
           when(col("n_checked") > 0,
             col("n_violations").cast("double") / col("n_checked")))

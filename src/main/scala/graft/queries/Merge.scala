@@ -152,11 +152,15 @@ object Merge extends QueryModule {
   // bit-identical rows). Shared by q298/q307.
   private def dedupedVariants(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val gs = array_join(transform(col("geno"), sa =>
-      array_join(transform(sa, a =>
-        coalesce(a.cast("string"), lit("x"))), "|")), ";")
-    val ps = array_join(transform(col("phased"),
-      p => p.cast("string")), ",")
+    // fused codegen serializations — the nested transform/array_join
+    // HOF chains they replace were interpreted per row on the dedup
+    // key of every merge lane (GenoKeyExpr is differential-tested
+    // against the HOF original); a cast to array<string> is a native
+    // codegen Cast, so the phased key needs no HOF either
+    val gs = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.GenoKeyExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("geno"))))
+    val ps = array_join(col("phased").cast("array<string>"), ",")
     SynthGeno.variants(s, dir)
       .withColumn("k", concat_ws("~",
         col("nall").cast("string"), gs, ps))

@@ -1563,25 +1563,23 @@ object PopGenQ extends QueryModule {
   private val q333 = Q("q333_imputation_r2",
     (s, dir) => {
       val v = SynthGeno.variantsDup(s, dir)
-      def d(g: String, i: Int) = {
-        val a0 = element_at(element_at(col(g), i + 1), 1)
-        val a1 = element_at(element_at(col(g), i + 1), 2)
-        when(a0.isNotNull && a1.isNotNull,
-          when(a0 =!= 0, 1L).otherwise(0L)
-            + when(a1 =!= 0, 1L).otherwise(0L))
-      }
-      def terms(f: Int => org.apache.spark.sql.Column) =
-        (0 until N).map(f).reduce(_ + _)
-      val both = (i: Int) =>
-        d("geno", i).isNotNull && d("geno2", i).isNotNull
-      val x = (i: Int) => when(both(i), d("geno", i)).otherwise(0L)
-      val y = (i: Int) => when(both(i), d("geno2", i)).otherwise(0L)
-      v.select(col("vid"),
-          terms(i => when(both(i), 1L).otherwise(0L)).as("n0"),
-          terms(x).as("sx0"), terms(y).as("sy0"),
-          terms(i => x(i) * y(i)).as("sxy0"),
-          terms(i => x(i) * x(i)).as("sxx0"),
-          terms(i => y(i) * y(i)).as("syy0"))
+      // ONE fused codegen kernel for the six pairwise-complete sums —
+      // the statically-unrolled 6-statistic × S-sample element_at CASE
+      // trees it replaces were O(S) plan nodes and re-walked both cube
+      // rows per statistic (DupPairStatsExpr; differential-tested
+      // against the unrolled original under both execution modes)
+      val st = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.DupPairStatsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("geno")),
+          org.apache.spark.sql.graft.Bridge.expression(col("geno2"))))
+      v.select(col("vid"), st.as("st"))
+        .select(col("vid"),
+          element_at(col("st"), 1).as("n0"),
+          element_at(col("st"), 2).as("sx0"),
+          element_at(col("st"), 3).as("sy0"),
+          element_at(col("st"), 4).as("sxy0"),
+          element_at(col("st"), 5).as("sxx0"),
+          element_at(col("st"), 6).as("syy0"))
         // duplicate vids merge (the oracle's GROUP BY vid): one
         // variant-keyed exchange with map-side combine
         .groupBy(col("vid"))

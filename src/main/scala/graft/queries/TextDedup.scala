@@ -2746,15 +2746,12 @@ object TextDedup extends QueryModule {
           filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
       val grams = t
         .select(col("doc_id"), size(col("toks")).as("n"),
-          // the generator itself is guarded: on a < G-token doc,
-          // sequence(0, size - G) is DESCENDING and slice(toks, 0, G)
-          // throws at runtime — relying on the post-filter (n >= G)
-          // reaching below the Generate is plan-dependent pushdown,
-          // exactly the fragility pinned elsewhere in this file
-          posexplode_outer(expr(
-            s"CASE WHEN size(toks) >= $G THEN " +
-              s"transform(sequence(0, size(toks) - $G), " +
-              s"i -> array_join(slice(toks, i + 1, $G), ' ')) END"))
+          // fused codegen gram kernel (the CASE+transform+slice+join
+          // chain it replaces was an interpreted HOF per document);
+          // emits the empty array below G tokens, whose outer-explode
+          // null row the gram filter drops exactly like the old
+          // null-CASE branch
+          posexplode_outer(spanGrams(col("toks"), G))
             .as(Seq("off", "gram")))
         .filter(col("gram").isNotNull && col("n") >= G)
         .select(col("doc_id"), col("off").cast("long").as("off"),

@@ -112,6 +112,173 @@ class SharedStagesSpec extends AnyFunSuite {
     PopGen.clearRohShared()
   }
 
+  test("TokensExpr == filter(split) twin on adversarial whitespace, " +
+      "both execution modes") {
+    import graft.functions.textfns._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261118L)
+    val seps = " \t\n\f\r"
+    val cases = Seq("", " ", "a", " a", "a ", "  a  b  ", "a\tb\nc",
+      "\r\n\r\n", "héllo wörld", "a b", // NBSP is NOT \s
+      "🎉 emoji  test", "x" * 500) ++
+      (0 until 50).map { _ =>
+        (0 until rnd.nextInt(60)).map(_ =>
+          if (rnd.nextInt(3) == 0) seps(rnd.nextInt(seps.length))
+          else ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("id"), tokens(col("text")).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val ref = df.select(col("id"), tokensHof(col("text")).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(got == ref, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("SpanGramsExpr == transform+slice+array_join twin, both modes") {
+    import graft.functions.textfns._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261119L)
+    val cases = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"),
+      Seq("a", "b", "c", "d", "e")) ++
+      (0 until 40).map(_ => (0 until rnd.nextInt(30)).map(_ =>
+        "w" + rnd.nextInt(9)))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val l = 3
+    val twin = when(size(col("toks")) >= l,
+      transform(sequence(lit(1), size(col("toks")) - (l - 1)),
+        i => array_join(slice(col("toks"), i, lit(l)), " ")))
+      .otherwise(array().cast("array<string>"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("id"), spanGrams(col("toks"), l).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val ref = df.select(col("id"), twin.as("g"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(got == ref, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("HapCountsExpr == distinct-count HOF original on seeded random " +
+      "allele matrices, both modes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261122L)
+    val h = 6
+    val rows = (0 until 60).map { w =>
+      val k = rnd.nextInt(8) + 1
+      (w.toLong, (0 until k).map(i =>
+        (i.toLong, i.toLong * 7, (0 until h).map(_ =>
+          Seq("0", "1", "2", "m")(rnd.nextInt(4))))))
+    }
+    val df = rows.toDF("win", "vs")
+    val kernel = Bridge.column(graft.functions.expressions.HapCountsExpr(
+      Bridge.expression(col("vs")), Bridge.expression(lit(h))))
+    val hapArr = transform(sequence(lit(0), lit(h - 1)), s =>
+      array_join(transform(col("vs"),
+        x => element_at(x.getField("_3"), (s + 1).cast("int"))), ","))
+    val twin = sort_array(transform(array_distinct(col("haps")),
+      x => size(filter(col("haps"), y => y === x)).cast("long")),
+      asc = false)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("win"), kernel.as("cs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val ref = df.withColumn("haps", hapArr)
+          .select(col("win"), twin.as("cs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(got == ref, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("DupPairStatsExpr == unrolled pairwise-complete sums on seeded " +
+      "random twin cubes, both modes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261121L)
+    def cube() = Seq.fill(8)(Seq.fill(2)(
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong)))
+    val rows = (0 until 200).map(i => (i.toLong, cube(), cube()))
+    val df = rows.toDF("vid", "geno", "geno2")
+    def d(g: String, i: Int) = {
+      val a0 = element_at(element_at(col(g), i + 1), 1)
+      val a1 = element_at(element_at(col(g), i + 1), 2)
+      when(a0.isNotNull && a1.isNotNull,
+        when(a0 =!= 0, 1L).otherwise(0L)
+          + when(a1 =!= 0, 1L).otherwise(0L))
+    }
+    def terms(f: Int => org.apache.spark.sql.Column) =
+      (0 until 8).map(f).reduce(_ + _)
+    val both = (i: Int) => d("geno", i).isNotNull && d("geno2", i).isNotNull
+    val x = (i: Int) => when(both(i), d("geno", i)).otherwise(0L)
+    val y = (i: Int) => when(both(i), d("geno2", i)).otherwise(0L)
+    val st = Bridge.column(graft.functions.expressions.DupPairStatsExpr(
+      Bridge.expression(col("geno")), Bridge.expression(col("geno2"))))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("vid"), st.as("st"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val ref = df.select(col("vid"),
+            terms(i => when(both(i), 1L).otherwise(0L)).as("n"),
+            terms(x).as("sx"), terms(y).as("sy"),
+            terms(i => x(i) * y(i)).as("sxy"),
+            terms(i => x(i) * x(i)).as("sxx"),
+            terms(i => y(i) * y(i)).as("syy"))
+          .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong))
+          .toMap
+        got.foreach { case (k, v) => assert(v == ref(k), s"mode=$mode vid=$k") }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("GenoKeyExpr == nested transform/array_join twin, both modes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261120L)
+    val cases: Seq[Seq[Option[Seq[Option[Long]]]]] =
+      Seq(Seq.empty, Seq(None), Seq(Some(Seq(None, None))),
+        Seq(Some(Seq(Some(0L), Some(2L))), None,
+          Some(Seq(Some(1L), None)))) ++
+        (0 until 40).map(_ => (0 until rnd.nextInt(6)).map(_ =>
+          if (rnd.nextInt(8) == 0) None
+          else Some((0 until 2).map(_ =>
+            if (rnd.nextInt(5) == 0) None
+            else Some(rnd.nextInt(4).toLong)))))
+    val df = cases.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "geno")
+    val kernel = Bridge.column(graft.functions.expressions.GenoKeyExpr(
+      Bridge.expression(col("geno"))))
+    val twin = array_join(transform(col("geno"), sa =>
+      array_join(transform(sa, a =>
+        coalesce(a.cast("string"), lit("x"))), "|")), ";")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = df.select(col("id"), kernel.as("k"), twin.as("t"))
+          .collect()
+        rows.foreach(r => assert(r.getString(1) == r.getString(2),
+          s"mode=$mode id=${r.getLong(0)}: " +
+            s"'${r.getString(1)}' vs '${r.getString(2)}'"))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("sampleQcPacked kernel: CODEGEN_ONLY == NO_CODEGEN == the HOF " +
       "singleton-set original on seeded random cubes (differential)") {
     import graft.functions.genetics._
