@@ -59,7 +59,8 @@ object Bench {
       val owners = Seq("q72_dedup_clusters", "q161_corpus_release",
         "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
         "q63_kmeans_train", "q127_bpe_train",
-        "q227_ceu_family_kinship", "q112_roh", "q68_ngram_jaccard")
+        "q227_ceu_family_kinship", "q112_roh", "q68_ngram_jaccard",
+        "q312_roh_runs")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -131,6 +132,8 @@ object Bench {
       graft.operators.PopGen.rohSharedTelemetry
     val (sjHits, sjMisses) =
       graft.pipeline.TrainingData.simjoinSharedTelemetry
+    val (siHits, siMisses) =
+      graft.operators.PopGen.siteSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -146,6 +149,7 @@ object Bench {
         s""""ceu_shared_stage":{"hits":$ceuHits,"misses":$ceuMisses},""" +
         s""""roh_shared_stage":{"hits":$rohHits,"misses":$rohMisses},""" +
         s""""simjoin_shared_stage":{"hits":$sjHits,"misses":$sjMisses},""" +
+        s""""site_shared_stage":{"hits":$siHits,"misses":$siMisses},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     // The stdout line travels through a pipeline whose tail-capture has

@@ -519,6 +519,7 @@ object ScaleProbe {
       TrainingData.clearBpeShared()
       TrainingData.clearSimjoinShared()
       graft.operators.PopGen.clearRohShared()
+      graft.operators.PopGen.clearSiteShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

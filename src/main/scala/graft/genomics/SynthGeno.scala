@@ -53,6 +53,24 @@ object SynthGeno {
         array((0 until nSamples).map(s =>
           (h1(s) + h2(s)) % 2 === 0): _*).as("phased"))
 
+  /** [[variants]] projected to the collapsed ALT-dosage table
+    * (vid, chrom, pos, d) and hash-repartitioned by vid, so the
+    * expression-generated cube + dosage chain is evaluated ONCE into
+    * real shuffle rows. A query whose plan consumes `d` from several
+    * operators below its first exchange (multi-level projections, a
+    * window sort) otherwise re-evaluates the whole cube chain per
+    * consuming operator — measured 3-5× the single-pass cost at sf0.1
+    * (q197: 4.8 s → 2.2 s with this barrier). The extra exchange is
+    * narrow (~9 longs/row) and keyed, so it also seeds even downstream
+    * distribution; every consumer is key-based, so the row-order change
+    * cannot affect results. Single-pass aggregate queries should keep
+    * riding [[variants]] directly — for them the barrier is pure cost. */
+  def dosageRows(spark: SparkSession, dir: String): DataFrame =
+    variants(spark, dir)
+      .select(col("vid"), col("chrom"), col("pos"),
+        graft.functions.genetics.dosageAlt(col("geno")).as("d"))
+      .repartition(col("vid"))
+
   private def h1b(s: Int): Column =
     (col("l_partkey") * 37 + col("l_suppkey") * 5 + lit(s * 23)) % 29
   private def h2b(s: Int): Column =

@@ -28,18 +28,29 @@ object Graphs {
     require(edges.columns.toSeq == Seq("pa", "pb"),
       s"triangleCensus expects canonical (pa, pb) edges; " +
         s"got ${edges.columns.mkString(",")}")
-    val deg = edges.select(col("pa").as("node"))
-      .unionByName(edges.select(col("pb").as("node")))
+    // The edge set is referenced by the degree build (twice, via the
+    // union), the orientation join and the closing join, and `oriented`
+    // three more times — with an expensive upstream derivation (q257
+    // builds edges from a distinct + self-join + aggregate) the physical
+    // plan inlines that subtree per reference and AQE's exchange reuse
+    // only folds a few copies (the executed q257 plan ran 35 lineitem
+    // scans). Materialize each once; both are O(edges), orders of
+    // magnitude below the pair fan that produces them.
+    val e0 = edges
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+    val deg = e0.select(col("pa").as("node"))
+      .unionByName(e0.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges
+    val withDeg = e0
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
     val oriented = withDeg.select(
-      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
-      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
-      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
     val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"),

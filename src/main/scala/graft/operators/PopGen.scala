@@ -371,15 +371,26 @@ object PopGen {
     * of [[switchError]]. */
   def rohRuns(sites: DataFrame, minSites: Int): DataFrame = {
     require(minSites >= 1, s"minSites must be >= 1; got $minSites")
-    val wDup = Window.partitionBy(col("s"), col("chrom"))
-      .orderBy(col("pos"), col("vid"), col("hom"))
+    // Locus collapse = MIN(hom) over each (s, chrom, pos, vid) duplicate
+    // group (the oracle's GROUP BY + MIN), expressed as a full-frame
+    // window min plus a tie-break-free first-row pick. Every window here
+    // requires only the (s, chrom, pos, vid) sort, so input pre-sorted
+    // that way (siteFlagRows) flows through with zero further sorts; the
+    // previous formulation ordered the dedup window by (pos, vid, hom)
+    // and forced its own re-sort even on sorted input. Which physical
+    // duplicate row survives is irrelevant: its key fields are the
+    // group's, and hom is overwritten by the group min.
+    val wLocus = Window.partitionBy(col("s"), col("chrom"),
+      col("pos"), col("vid"))
     val lkey = struct(col("pos"), col("vid"))
-    val loci = sites
-      .withColumn("__first",
-        coalesce(lag(lkey, 1).over(wDup) =!= lkey, lit(true)))
-      .filter(col("__first"))
     val w = Window.partitionBy(col("s"), col("chrom"))
       .orderBy(col("pos"), col("vid"))
+    val loci = sites
+      .withColumn("__hom", min(col("hom")).over(wLocus))
+      .withColumn("__first",
+        coalesce(lag(lkey, 1).over(w) =!= lkey, lit(true)))
+      .filter(col("__first"))
+      .withColumn("hom", col("__hom"))
     val islands = loci
       .withColumn("__rn", row_number().over(w))
       .filter(col("hom"))
@@ -598,6 +609,71 @@ object PopGen {
       DataFrame]
   private var rohHits = 0L
   private var rohMisses = 0L
+
+  /** Per-cell (sample, locus) FLAG substrate for the gaps-and-islands
+    * family (q312 allele-equality ROH runs, q332 phase blocks): the
+    * genotype cube exploded ONCE to (s, chrom, pos, vid, called, hom,
+    * ph) rows, hash-partitioned by (s, chrom) and sorted by (s, chrom,
+    * pos, vid) before the persist — a cached InMemoryTableScan reports
+    * the cached plan's partitioning AND ordering, so every consumer's
+    * locus-collapse/rank windows (all requiring exactly that sort) ride
+    * the cache with ZERO further exchanges or sorts. Same session-scoped
+    * shared-stage discipline as [[homRunRows]] (canonicalized-plan key,
+    * FIFO cap, telemetry, ScaleProbe clears per timed run). `v` must
+    * carry (chrom, pos, vid, geno ARRAY<ARRAY<BIGINT>>,
+    * phased ARRAY<BOOLEAN>). */
+  def siteFlagRows(v: DataFrame): DataFrame = synchronized {
+    val key = v.queryExecution.analyzed.canonicalized
+    siteShared.get(key) match {
+      case Some(df) => siteHits += 1; df
+      case None =>
+        siteMisses += 1
+        val df = siteFlagRowsPlan(v).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (siteShared.size >= 2) {
+          val k0 = siteShared.head._1
+          siteShared(k0).unpersist(blocking = false)
+          siteShared.remove(k0)
+        }
+        siteShared(key) = df
+        df
+    }
+  }
+
+  private def siteFlagRowsPlan(v: DataFrame): DataFrame = {
+    val nPart = v.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    v.select(col("chrom"), col("pos"), col("vid"),
+        // outer: the zip is never empty, and a plain posexplode's
+        // inferred size(..)>0 filter would re-run the cube kernel below
+        // the fan-out (the q124 lesson)
+        posexplode_outer(arrays_zip(col("geno"), col("phased")))
+          .as(Seq("s", "z")))
+      .select(col("s"), col("chrom"), col("pos"), col("vid"),
+        (element_at(col("z.geno"), 1).isNotNull &&
+          element_at(col("z.geno"), 2).isNotNull).as("called"),
+        (element_at(col("z.geno"), 1) === element_at(col("z.geno"), 2))
+          .as("hom"),
+        col("z.phased").as("ph"))
+      .repartition(nPart, col("s"), col("chrom"))
+      .sortWithinPartitions(col("s"), col("chrom"), col("pos"),
+        col("vid"))
+  }
+
+  private val siteShared = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame]
+  private var siteHits = 0L
+  private var siteMisses = 0L
+
+  def siteSharedTelemetry: (Long, Long) = synchronized {
+    (siteHits, siteMisses)
+  }
+
+  def clearSiteShared(): Unit = synchronized {
+    siteShared.values.foreach(_.unpersist(blocking = false))
+    siteShared.clear()
+  }
 
   /** (hits, misses) of the shared homozygosity-run substrate. */
   def rohSharedTelemetry: (Long, Long) = synchronized {
@@ -2328,23 +2404,37 @@ object PopGen {
       var p = 1L; (0 until s).foreach(_ => p *= 5)
       coalesce(d("d", s), lit(4L)) * lit(p)
     }.reduce(_ + _)
+    // EVERY d-derived expression is computed in ONE select level: below
+    // the first exchange, each additional Project level that references
+    // an expensive alias re-evaluates its whole expression chain per row
+    // (whole-stage codegen defers alias evaluation per consuming
+    // operator — measured 3×+ the cube cost when win/n_c/a_c and fp/mac
+    // sat in separate withColumn levels); within one level the runtime
+    // subexpression elimination shares them. The exchange below the
+    // window is then the single materialization point.
+    val macE = least(altSum, lit(2) * called - altSum)
     val base = v.select(col("vid"), col("chrom"), col("pos"), col("d"))
-      .withColumn("win", expr(s"pos div $window"))
-      .withColumn("n_c", called).withColumn("a_c", altSum)
-      .withColumn("mac", least(col("a_c"), lit(2) * col("n_c") - col("a_c")))
-      .withColumn("fp", fp)
+      .select(col("vid"), col("chrom"), col("d"),
+        expr(s"pos div $window").as("win"),
+        macE.as("mac"),
+        struct(col("vid"), col("d")).as("__pay"),
+        struct(macE.as("mac"), col("vid"), fp.as("fp")).as("__key"))
     // index selection as a window max over the SAME (chrom, win)
     // partitioning instead of groupBy + self-join: one shuffle and one
     // scan of the (expression-generated) variants base instead of two —
     // the window groups are window-width-bounded, never data-sized
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chrom"), col("win"))
+    // argmax by (mac, vid, fp) via max_by: the dosage ARRAY rides as
+    // payload instead of inside the comparison key, so the window
+    // aggregate stops copying+walking d on every struct comparison
+    // (same reasoning as prsClumpThreshold's index pick; ties are
+    // harmless because fp is injective in d)
     val joined = base
-      .withColumn("ix",
-        max(struct(col("mac"), col("vid"), col("fp"), col("d"))).over(wWin))
+      .withColumn("ix", max_by(col("__pay"), col("__key")).over(wWin))
       .withColumn("index_vid", col("ix.vid"))
       .withColumn("d_ix", col("ix.d"))
-      .drop("ix")
+      .drop("ix", "__pay", "__key")
     // pairwise-complete sufficient stats over (d, d_ix) in ONE fused
     // LdPairStats kernel call — O(1) plan nodes at any cohort width
     // (replaces six S-term unrolled sums)
@@ -2409,39 +2499,57 @@ object PopGen {
       chi2Min: Double): DataFrame = {
     val nSamples = isCase.length
     def d(s: Int) = element_at(col("d"), s + 1)
-    def sumOver(f: Int => Column) =
-      balanced((0 until nSamples).map(f))(_ + _)
-    val n = sumOver(s => when(d(s).isNotNull, 1L).otherwise(0L))
-    val r = sumOver(s =>
-      when(d(s).isNotNull && lit(isCase(s)), 1L).otherwise(0L))
-    val sx = sumOver(s => coalesce(d(s), lit(0L)))
-    val sxc = sumOver(s =>
-      when(lit(isCase(s)), coalesce(d(s), lit(0L))).otherwise(0L))
-    val sxx = sumOver(s => coalesce(d(s) * d(s), lit(0L)))
+    // ONE fused DosageWeightedStats kernel call with the 0/1 case
+    // indicator as the weight vector replaces the five statically
+    // unrolled per-ordinal sum trees: st = [n, Σx, Σx², Σw, Σwx, Σw²]
+    // over CALLED samples, so n, sx, sxx, r (= Σw: called cases) and
+    // sx_case (= Σwx) are five element_at reads of one tiny generated
+    // loop. The unrolled trees compounded into a u/chi² expression of
+    // ~150 element_at terms whose generated method ran beyond what the
+    // JIT compiles (measured 3.3 s for the projection alone at sf0.1;
+    // the kernel form is the board-wide DosageStatsExpr discipline).
+    val st = graft.functions.genetics.dosageWeightedStats(col("d"),
+      isCase.map(c => if (c) 1L else 0L))
+    val n = element_at(st, 1)
+    val sx = element_at(st, 2)
+    val sxx = element_at(st, 3)
+    val r = element_at(st, 4)
+    val sxc = element_at(st, 5)
     val fp = (0 until nSamples).map { s =>
       var p = 1L; (0 until s).foreach(_ => p *= 5)
       coalesce(d(s), lit(4L)) * lit(p)
     }.reduce(_ + _)
+    // EVERY d-derived stat lands in ONE select level (the clumpLite
+    // lesson: below the first exchange each additional Project level
+    // referencing an expensive alias re-evaluates its whole chain per
+    // row — the six withColumn levels this replaces each re-ran the
+    // synthetic-cube + dosage construction); u/v_i/chi2 are written as
+    // expressions over the SAME level's kernel reads, deduplicated by
+    // the runtime subexpression elimination.
+    val uE = n * sxc - r * sx
+    val vE = r * (n - r) * (n * sxx - sx * sx)
+    val chi2E = when(vE > 0,
+      (n * uE * uE).cast("double") / vE.cast("double"))
     val base = v.select(col("vid"), col("chrom"), col("pos"), col("d"))
-      .withColumn("win", expr(s"pos div $window"))
-      .withColumn("n", n).withColumn("r", r)
-      .withColumn("sx", sx).withColumn("sx_case", sxc)
-      .withColumn("sxx", sxx).withColumn("fp", fp)
-      .withColumn("u", col("n") * col("sx_case") - col("r") * col("sx"))
-      .withColumn("v_i",
-        col("r") * (col("n") - col("r"))
-          * (col("n") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("chi2",
-        when(col("v_i") > 0,
-          (col("n") * col("u") * col("u")).cast("double")
-            / col("v_i").cast("double")))
-    val selected = base.groupBy(col("chrom"), col("win"))
-      .agg(max(struct(coalesce(col("chi2"), lit(-1.0)).as("c"),
-        col("vid"), col("fp"), col("u").as("uu"),
-        col("d").as("dd"))).as("ix"))
-      .select(col("ix.c").as("chi2"), col("ix.uu").as("u"),
-        col("ix.dd").as("d"))
-      .filter(col("chi2") >= chi2Min)
+      .select(col("vid"), col("chrom"), col("d"),
+        expr(s"pos div $window").as("win"),
+        fp.as("fp"), uE.as("u"), chi2E.as("chi2"))
+    // Index pick = argmax by (chi2, vid, fp) as a top-1 row_number —
+    // the oracle's own formulation. This plans as WindowGroupLimit
+    // (partial top-1 per map partition below the exchange, so ~#cells
+    // rows cross the wire) with pure-primitive sort keys; the previous
+    // max(struct(..., d)) planned as two SortAggregate+Sort pairs
+    // (struct buffers are not HashAggregate-mutable) and copied+walked
+    // the dosage array on every comparison. Ties are harmless: fp is
+    // injective in d (base-5), so rows tied on (chi2, vid, fp) carry an
+    // identical payload (u is a function of d alone).
+    val wIx = Window.partitionBy(col("chrom"), col("win"))
+      .orderBy(col("c").desc, col("vid").desc, col("fp").desc)
+    val selected = base
+      .withColumn("c", coalesce(col("chi2"), lit(-1.0)))
+      .withColumn("__rn", row_number().over(wIx))
+      .filter(col("__rn") === 1 && col("c") >= chi2Min)
+      .select(col("c").as("chi2"), col("u"), col("d"))
     // pointwise fan → posexplode the stored dosage array directly
     // (O(1) plan nodes at any cohort width; see compoundHet)
     val risk = when(col("x").isNotNull,

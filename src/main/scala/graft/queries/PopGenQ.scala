@@ -1305,18 +1305,15 @@ object PopGenQ extends QueryModule {
   // never global. --------------------------------------------------------
   private val q312 = Q("q312_roh_runs",
     (s, dir) => {
-      val v = SynthGeno.variants(s, dir)
-      // outer: geno is never empty, and the non-outer generate's
-      // inferred size(geno)>0 filter would re-run the cube kernel
-      // below the fan-out (the q124 lesson)
-      val sites = v
-        .select(col("chrom"), col("pos"), col("vid"),
-          posexplode_outer(col("geno")).as(Seq("s", "sa")))
-        .withColumn("a0", element_at(col("sa"), 1))
-        .withColumn("a1", element_at(col("sa"), 2))
-        .filter(col("a0").isNotNull && col("a1").isNotNull)
+      // rides the shared (s, chrom)-partitioned, (pos, vid)-sorted
+      // site-flag substrate (one explode + one exchange + one sort for
+      // the whole gaps-and-islands family — q332 consumes the same
+      // cache); called = both alleles non-null, hom = allele equality,
+      // exactly the projection the inline explode computed
+      val sites = PopGen.siteFlagRows(SynthGeno.variants(s, dir))
+        .filter(col("called"))
         .select(col("s"), col("chrom"), col("pos"), col("vid"),
-          (col("a0") === col("a1")).as("hom"))
+          col("hom"))
       PopGen.rohRuns(sites, minSites = 5)
     },
     Some(withCte(s"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_runs,
@@ -1494,21 +1491,25 @@ object PopGenQ extends QueryModule {
   private val q332 = Q("q332_phase_block_n50",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val v = SynthGeno.variants(s, dir)
-      val sites = v
-        .select(col("chrom"), col("pos"), col("vid"),
-          posexplode_outer(col("phased")).as(Seq("s", "ph")))
-      val wDup = Window.partitionBy(col("s"), col("chrom"))
-        .orderBy(col("pos"), col("vid"), col("ph"))
+      // rides the shared site-flag substrate (see q312): the locus
+      // collapse becomes MIN(ph) over the duplicate group — exactly the
+      // oracle's GROUP BY + MIN — as a full-frame window min plus a
+      // tie-break-free first-row pick, so every window here needs only
+      // the substrate's cached (s, chrom, pos, vid) sort: zero
+      // exchanges or sorts up to the block rollup
+      val sites = PopGen.siteFlagRows(SynthGeno.variants(s, dir))
+      val wLocus = Window.partitionBy(col("s"), col("chrom"),
+        col("pos"), col("vid"))
       val lkey = struct(col("pos"), col("vid"))
       val w = Window.partitionBy(col("s"), col("chrom"))
         .orderBy(col("pos"), col("vid"))
       val blocks = sites
+        .withColumn("__ph", min(col("ph")).over(wLocus))
         .withColumn("__first",
-          coalesce(lag(lkey, 1).over(wDup) =!= lkey, lit(true)))
+          coalesce(lag(lkey, 1).over(w) =!= lkey, lit(true)))
         .filter(col("__first"))
         .withColumn("__rn", row_number().over(w))
-        .filter(col("ph"))
+        .filter(col("__ph"))
         .withColumn("__grp", col("__rn") - row_number().over(w))
         .groupBy(col("s"), col("chrom"), col("__grp"))
         .agg(count(lit(1)).as("len"))
@@ -2003,11 +2004,11 @@ object PopGenQ extends QueryModule {
   // engine), kept when χ² ≥ 3.0; samples score risk-allele dosage over
   // their called selected variants. ------------------------------------
   private val q197 = Q("q197_prs_ct",
+    // rides the vid-keyed dosage barrier: the argmax window's sort and
+    // the stats projection both consume d, and without the barrier each
+    // re-evaluated the expression-generated cube (SynthGeno.dosageRows)
     (s, dir) => PopGen.prsClumpThreshold(
-      SynthGeno.variants(s, dir)
-        .select(col("vid"), col("chrom"), col("pos"),
-          dosageAlt(col("geno")).as("d")),
-      phenoCase, FST_WIN, 3.0),
+      SynthGeno.dosageRows(s, dir), phenoCase, FST_WIN, 3.0),
     Some(withCte {
       val caseIdx = phenoCase.zipWithIndex.filter(_._1).map(_._2)
       val rSql = caseIdx
