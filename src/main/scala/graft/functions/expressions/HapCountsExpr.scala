@@ -27,29 +27,41 @@ case class HapCountsExpr(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StructType(fs), _), IntegerType)
           if right.foldable && fs.length == 3 &&
-            fs(2).dataType == ArrayType(StringType, true) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(StructType(fs), _), IntegerType)
-          if right.foldable && fs.length == 3 &&
-            fs(2).dataType == ArrayType(StringType, false) =>
+            (fs(2).dataType == ArrayType(StringType, true) ||
+              fs(2).dataType == ArrayType(StringType, false) ||
+              fs(2).dataType == ArrayType(LongType, true) ||
+              fs(2).dataType == ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"hap_counts(ARRAY<STRUCT<_,_,ARRAY<STRING>>>, INT literal h); " +
-          s"got ${left.dataType.simpleString}, " +
+        s"hap_counts(ARRAY<STRUCT<_,_,ARRAY<STRING|BIGINT>>>, " +
+          s"INT literal h); got ${left.dataType.simpleString}, " +
           s"${right.dataType.simpleString}")
     }
+
+  /** True when the allele matrix carries LONG tokens (the cheap
+    * encoding — the string form allocates h UTF8Strings per variant
+    * row just to key haplotype identity; any injective per-slot token
+    * yields the identical multiplicity spectrum). */
+  private def longTokens: Boolean = left.dataType match {
+    case ArrayType(StructType(fs), _) =>
+      fs(2).dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hap_counts"
 
   override protected def nullSafeEval(vs: Any, h: Any): Any =
     HapCountsExpr.counts(vs.asInstanceOf[ArrayData],
-      h.asInstanceOf[Number].intValue())
+      h.asInstanceOf[Number].intValue(), longTokens)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (vs, h) =>
       s"""${ev.value} = graft.functions.expressions.HapCountsExpr$$.MODULE$$
-         |  .counts($vs, (int) $h);
+         |  .counts($vs, (int) $h, $longTokens);
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -57,7 +69,7 @@ case class HapCountsExpr(left: Expression, right: Expression)
 }
 
 object HapCountsExpr {
-  def counts(vs: ArrayData, h: Int): ArrayData = {
+  def counts(vs: ArrayData, h: Int, longTokens: Boolean): ArrayData = {
     val k = vs.numElements()
     val haps = new Array[java.lang.StringBuilder](h)
     var s = 0
@@ -68,11 +80,14 @@ object HapCountsExpr {
       s = 0
       while (s < h) {
         if (i > 0) haps(s).append(',')
-        // allele strings are never null by construction; a defensive
-        // null joins as the empty string (array_join's skip would drop
-        // the separator too — but only the producing cube reaches
-        // here, and it coalesces every cell to "m")
-        if (!as.isNullAt(s)) haps(s).append(as.getUTF8String(s).toString)
+        // tokens are never null by construction; a defensive null
+        // joins as the empty string (array_join's skip would drop the
+        // separator too — but only the producing cube reaches here,
+        // and it coalesces every cell to "m" / -1)
+        if (!as.isNullAt(s)) {
+          if (longTokens) haps(s).append(as.getLong(s))
+          else haps(s).append(as.getUTF8String(s).toString)
+        }
         s += 1
       }
       i += 1

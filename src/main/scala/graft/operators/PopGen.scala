@@ -205,14 +205,18 @@ object PopGen {
     val mMax = g.size * ploidy
     val scale = piScale(mMax)
     val (m, a) = groupCounts(col("geno"), g, ploidy)
-    val base = v.withColumn("m", m).withColumn("a", a)
-    val piT = col("a") * (col("m") - col("a")) *
-      intByN(col("m"), mMax)(k => if (k >= 2) 2L * scale / (k.toLong * (k - 1)) else 0L)
-    val segT = when(col("a") > 0 && col("a") < col("m"), 1L).otherwise(0L)
+    // every geno-derived term in ONE select level (the clumpLite
+    // lesson: the m/a withColumn levels plus the pi_t/seg_t level each
+    // re-evaluated the group-count kernel over the cube chain); the
+    // runtime subexpression elimination shares the kernel reads
+    val piT = a * (m - a) *
+      intByN(m, mMax)(k => if (k >= 2) 2L * scale / (k.toLong * (k - 1)) else 0L)
+    val segT = when(a > 0 && a < m, 1L).otherwise(0L)
     val harm = harmonic(mMax - 1)
+    val base = v.select(col("chrom"),
+      expr(s"pos div $window").cast("long").as("win"),
+      m.as("m"), piT.as("pi_t"), segT.as("seg_t"))
     pinnedFilter(base, col("m") >= 2)
-      .withColumn("win", expr(s"pos div $window").cast("long"))
-      .withColumn("pi_t", piT).withColumn("seg_t", segT)
       .groupBy(col("chrom"), col("win"))
       .agg(count(lit(1)).as("n_sites"),
         sum(col("seg_t")).as("s_seg"),
@@ -267,20 +271,19 @@ object PopGen {
     val fr = (n - 1.0) / n.toDouble       // (n−1)/n
     val scale = piScale(n)
     val (m, a) = groupCounts(col("geno"), g, ploidy)
-    val base = v.withColumn("m", m).withColumn("a", a)
-    val piT = col("a") * (col("m") - col("a")) *
-      intByN(col("m"), n)(k =>
+    // one geno-referencing select level (see diversityWindow)
+    val piT = a * (m - a) *
+      intByN(m, n)(k =>
         if (k >= 2) 2L * scale / (k.toLong * (k - 1)) else 0L)
-    val segT = when(col("a") > 0 && col("a") < col("m"), 1L)
-      .otherwise(0L)
+    val segT = when(a > 0 && a < m, 1L).otherwise(0L)
     // singleton site: the minor allele appears exactly once among the
     // called alleles (a = 1 or a = m−1; at m = 2, a = 1 counts once)
-    val etaT = when((col("a") === 1 || col("a") === col("m") - 1)
-      && col("a") > 0 && col("a") < col("m"), 1L).otherwise(0L)
+    val etaT = when((a === 1 || a === m - 1)
+      && a > 0 && a < m, 1L).otherwise(0L)
+    val base = v.select(col("chrom"),
+      expr(s"pos div $window").cast("long").as("win"),
+      m.as("m"), piT.as("pi_t"), segT.as("seg_t"), etaT.as("eta_t"))
     val agg = pinnedFilter(base, col("m") >= 2)
-      .withColumn("win", expr(s"pos div $window").cast("long"))
-      .withColumn("pi_t", piT).withColumn("seg_t", segT)
-      .withColumn("eta_t", etaT)
       .groupBy(col("chrom"), col("win"))
       .agg(count(lit(1)).as("n_sites"),
         sum(col("seg_t")).as("s_seg"),
@@ -758,22 +761,29 @@ object PopGen {
       g3: Seq[Int], g4: Seq[Int], ploidy: Int): DataFrame = {
     val nMax = Seq(g1, g2, g3, g4).map(_.size * ploidy).max
     val l = piScale(nMax)
-    val scale = l * l * l * l
-    val withCounts = Seq(("1", g1), ("2", g2), ("3", g3), ("4", g4))
-      .foldLeft(v) {
-        case (df, (i, g)) =>
-          val (n, a) = groupCounts(col("geno"), g, ploidy)
-          df.withColumn(s"n$i", n).withColumn(s"a$i", a)
-      }
-    val valid = pinnedFilter(withCounts,
+    // every geno-derived term in ONE select level (the clumpLite
+    // lesson: the eight fold-built count withColumn levels plus the
+    // abba/baba level each re-evaluated the group-count kernels over
+    // the cube chain). The lcm⁴-over-product scale factors EXACTLY
+    // into per-count lookups — l = lcm(1..nMax) is divisible by every
+    // n_k, so l⁴ div (n1·n2·n3·n4) = Π(l div n_k) — which keeps the
+    // whole term a named-column-free expression this single level can
+    // host (the previous integer `div` needed the counts as named
+    // columns, forcing the extra level).
+    val cs = Seq(g1, g2, g3, g4)
+      .map(g => groupCounts(col("geno"), g, ploidy))
+    val Seq(n1, n2, n3, n4) = cs.map(_._1)
+    val Seq(a1, a2, a3, a4) = cs.map(_._2)
+    val mult = cs.map { case (nk, _) =>
+      intByN(nk, nMax)(k => l / k)
+    }.reduce(_ * _)
+    val one = v.select(v.columns.map(col) ++ Seq(
+      n1.as("n1"), n2.as("n2"), n3.as("n3"), n4.as("n4"),
+      ((n1 - a1) * a2 * a3 * (n4 - a4) * mult).as("abba_i"),
+      (a1 * (n2 - a2) * a3 * (n4 - a4) * mult).as("baba_i")): _*)
+    pinnedFilter(one,
       col("n1") >= 1 && col("n2") >= 1 && col("n3") >= 1 &&
         col("n4") >= 1)
-    val mult = expr(s"$scale div (n1 * n2 * n3 * n4)")
-    valid
-      .withColumn("abba_i", (col("n1") - col("a1")) * col("a2") *
-        col("a3") * (col("n4") - col("a4")) * mult)
-      .withColumn("baba_i", col("a1") * (col("n2") - col("a2")) *
-        col("a3") * (col("n4") - col("a4")) * mult)
   }
 
   /** f3 admixture statistic f3(C; A, B) (Patterson et al. 2012,
@@ -848,20 +858,18 @@ object PopGen {
       ploidy: Int): DataFrame = {
     val (n1, a1) = groupCounts(col("geno"), g1, ploidy)
     val (n2, a2) = groupCounts(col("geno"), g2, ploidy)
-    v.withColumn("n1", n1).withColumn("n2", n2)
-      .withColumn("a1", a1).withColumn("a2", a2)
-      .withColumn("num_i",
-        (col("a1") * col("n2") - col("a2") * col("n1"))
-          * (col("a1") * col("n2") - col("a2") * col("n1"))
-          * (col("n1") - 1) * (col("n2") - 1)
-          - col("a1") * (col("n1") - col("a1")) * col("n2") * col("n2")
-            * (col("n2") - 1)
-          - col("a2") * (col("n2") - col("a2")) * col("n1") * col("n1")
-            * (col("n1") - 1))
-      .withColumn("den_i",
-        (col("a1") * (col("n2") - col("a2"))
-          + col("a2") * (col("n1") - col("a1")))
-          * col("n1") * col("n2") * (col("n1") - 1) * (col("n2") - 1))
+    // every geno-derived term in ONE select level (the clumpLite
+    // lesson: the four count withColumn levels plus the num/den level
+    // each re-evaluated the group-count kernels over the cube chain);
+    // the runtime subexpression elimination shares the kernel reads
+    val numI = (a1 * n2 - a2 * n1) * (a1 * n2 - a2 * n1) *
+      (n1 - 1) * (n2 - 1) -
+      a1 * (n1 - a1) * n2 * n2 * (n2 - 1) -
+      a2 * (n2 - a2) * n1 * n1 * (n1 - 1)
+    val denI = (a1 * (n2 - a2) + a2 * (n1 - a1)) *
+      n1 * n2 * (n1 - 1) * (n2 - 1)
+    v.select(v.columns.map(col) ++ Seq(n1.as("n1"), n2.as("n2"),
+      a1.as("a1"), a2.as("a2"), numI.as("num_i"), denI.as("den_i")): _*)
   }
 
   /** Weir–Cockerham (1984) θ per variant between two DIPLOID sample
@@ -1279,23 +1287,18 @@ object PopGen {
     // analyzer blow-up at biobank width; see DosageWeightedStats)
     val st = graft.functions.genetics.dosageWeightedStats(col("d"),
       isCase.map(c => if (c) 1L else 0L))
-    v.select(col("vid") +: col("d") +: carry.map(col): _*)
-      .withColumn("__st", st)
-      .withColumn("n", element_at(col("__st"), 1))
-      .withColumn("r", element_at(col("__st"), 4))
-      .withColumn("sx", element_at(col("__st"), 2))
-      .withColumn("sx_case", element_at(col("__st"), 5))
-      .withColumn("sxx", element_at(col("__st"), 3))
-      .withColumn("u", col("n") * col("sx_case") - col("r") * col("sx"))
-      .withColumn("v_i",
-        col("r") * (col("n") - col("r"))
-          * (col("n") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("chi2",
-        when(col("v_i") > 0,
-          (col("n") * col("u") * col("u")).cast("double")
-            / col("v_i").cast("double")))
-      .select(Seq(col("vid"), col("n"), col("r"), col("sx"),
-        col("sx_case"), col("chi2")) ++ carry.map(col): _*)
+    // all kernel-derived values in ONE select level (the clumpLite
+    // lesson: the previous eight withColumn levels each re-evaluated
+    // the kernel-over-cube chain per consuming level); the runtime
+    // subexpression elimination shares the single kernel call
+    def k(i: Int) = element_at(st, i)
+    val (n, sx, sxx, r, sxc) = (k(1), k(2), k(3), k(4), k(5))
+    val u = n * sxc - r * sx
+    val vI = r * (n - r) * (n * sxx - sx * sx)
+    val chi2 = when(vI > 0,
+      (n * u * u).cast("double") / vI.cast("double"))
+    v.select(Seq(col("vid"), n.as("n"), r.as("r"), sx.as("sx"),
+      sxc.as("sx_case"), chi2.as("chi2")) ++ carry.map(col): _*)
   }
 
   /** Polygenic risk score: per sample, Σ_i w_i · x_is over called sites,
@@ -2058,11 +2061,15 @@ object PopGen {
       balanced((0 until nSamples).map(f))(_ + _)
     val kst = graft.functions.genetics.dosageWeightedStats(col("d"),
       Seq.fill(nSamples)(1L))
-    val base = v
-      .withColumn("n", element_at(kst, 1))
-      .withColumn("sd", element_at(kst, 2))
-      .withColumn("sdd", element_at(kst, 3))
-      .withColumn("dx", col("n") * col("sdd") - col("sd") * col("sd"))
+    // every d-derived value in ONE select level (the clumpLite lesson:
+    // the previous n/sd/sdd/dx withColumn levels plus the corr select
+    // each re-evaluated the kernel-over-cube chain per consuming level
+    // — ~4× the single-pass cost); the runtime subexpression
+    // elimination shares the single kernel call across the reads
+    val n = element_at(kst, 1)
+    val sd = element_at(kst, 2)
+    val sdd = element_at(kst, 3)
+    val dx = n * sdd - sd * sd
     val corrCols = vecs.zipWithIndex.flatMap { case (vec, l) =>
       val sv = sumL(s =>
         when(d(s).isNotNull, lit(vec(s))).otherwise(lit(0.0)))
@@ -2071,34 +2078,32 @@ object PopGen {
       val sdv = sumL(s =>
         when(d(s).isNotNull, d(s).cast("double") * lit(vec(s)))
           .otherwise(lit(0.0)))
-      val num = col("n").cast("double") * sdv - col("sd").cast("double") * sv
-      val dv = col("n").cast("double") * svv - sv * sv
-      Seq(when(col("n") >= 2 && col("dx") > 0 && dv > 0,
-        num / sqrt(col("dx").cast("double") * dv)).as(s"corr_${l + 1}"))
+      val num = n.cast("double") * sdv - sd.cast("double") * sv
+      val dv = n.cast("double") * svv - sv * sv
+      Seq(when(n >= 2 && dx > 0 && dv > 0,
+        num / sqrt(dx.cast("double") * dv)).as(s"corr_${l + 1}"))
     }
-    base.select(col("vid") +: col("n") +: corrCols: _*)
+    v.select(col("vid") +: n.as("n") +: corrCols: _*)
   }
 
   def linRegScore(v: DataFrame, y: Seq[Long]): DataFrame = {
-    // fused kernel (see trendTest): [n, sx, sxx, sy, sxy, syy]
-    def st(i: Int) = element_at(col("__st"), i)
+    // fused kernel (see trendTest): [n, sx, sxx, sy, sxy, syy] — all
+    // kernel-derived values in ONE select level (the clumpLite lesson:
+    // the previous __st/n/num/vx/vy withColumn levels each re-evaluated
+    // the kernel-over-cube chain); the runtime subexpression
+    // elimination shares the single kernel call
+    val kst = graft.functions.genetics.dosageWeightedStats(col("d"), y)
+    def st(i: Int) = element_at(kst, i)
     val (n, sx, sxx, sy, sxy, syy) =
       (st(1), st(2), st(3), st(4), st(5), st(6))
-    v.select(col("vid"), col("d"))
-      .withColumn("__st",
-        graft.functions.genetics.dosageWeightedStats(col("d"), y))
-      .withColumn("n", n)
-      .withColumn("num", n * sxy - sx * sy)
-      .withColumn("vx", n * sxx - sx * sx)
-      .withColumn("vy", n * syy - sy * sy)
-      .withColumn("beta",
-        when(col("vx") > 0,
-          col("num").cast("double") / col("vx").cast("double")))
-      .withColumn("r2",
-        when(col("vx") > 0 && col("vy") > 0,
-          (col("num").cast("double") * col("num").cast("double"))
-            / (col("vx").cast("double") * col("vy").cast("double"))))
-      .select(col("vid"), col("n"), col("beta"), col("r2"))
+    val num = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    v.select(col("vid"), n.as("n"),
+      when(vx > 0, num.cast("double") / vx.cast("double")).as("beta"),
+      when(vx > 0 && vy > 0,
+        (num.cast("double") * num.cast("double"))
+          / (vx.cast("double") * vy.cast("double"))).as("r2"))
   }
 
   /** Covariate-adjusted per-variant linear GWAS — y ~ β₀ + β_g·g + β_z·z
@@ -2114,36 +2119,26 @@ object PopGen {
   def linRegCovScore(v: DataFrame, y: Seq[Long], z: Seq[Long]): DataFrame = {
     require(y.length == z.length, "y and z must have one entry per sample")
     // fused two-weight kernel (see trendTest): [n, sg, sgg, sy, sgy,
-    // syy, sz, sgz, szz, szy]
-    def st(i: Int) = element_at(col("__st"), i)
-    v.select(col("vid"), col("d"))
-      .withColumn("__st",
-        graft.functions.genetics.dosageTwoWeightStats(col("d"), y, z))
-      .withColumn("n", st(1))
-      .withColumn("sg", st(2)).withColumn("sz", st(7))
-      .withColumn("sy", st(4))
-      .withColumn("sgg", st(3)).withColumn("sgz", st(8))
-      .withColumn("sgy", st(5)).withColumn("szz", st(9))
-      .withColumn("szy", st(10))
-      // det of A = X'X with X = [1 g z]; then Cramer column swaps
-      .withColumn("det_a",
-        col("n") * (col("sgg") * col("szz") - col("sgz") * col("sgz"))
-          - col("sg") * (col("sg") * col("szz") - col("sgz") * col("sz"))
-          + col("sz") * (col("sg") * col("sgz") - col("sgg") * col("sz")))
-      .withColumn("det_g",
-        col("n") * (col("sgy") * col("szz") - col("sgz") * col("szy"))
-          - col("sy") * (col("sg") * col("szz") - col("sgz") * col("sz"))
-          + col("sz") * (col("sg") * col("szy") - col("sgy") * col("sz")))
-      .withColumn("det_z",
-        col("n") * (col("sgg") * col("szy") - col("sgy") * col("sgz"))
-          - col("sg") * (col("sg") * col("szy") - col("sgy") * col("sz"))
-          + col("sy") * (col("sg") * col("sgz") - col("sgg") * col("sz")))
-      .withColumn("beta_g", when(col("det_a") =!= 0L,
-        col("det_g").cast("double") / col("det_a").cast("double")))
-      .withColumn("beta_z", when(col("det_a") =!= 0L,
-        col("det_z").cast("double") / col("det_a").cast("double")))
-      .select(col("vid"), col("n"), col("det_a"), col("beta_g"),
-        col("beta_z"))
+    // syy, sz, sgz, szz, szy] — all kernel-derived values in ONE select
+    // level (the clumpLite lesson: the previous twelve withColumn
+    // levels each re-evaluated the kernel-over-cube chain); the runtime
+    // subexpression elimination shares the single kernel call
+    val kst = graft.functions.genetics.dosageTwoWeightStats(col("d"), y, z)
+    def st(i: Int) = element_at(kst, i)
+    val (n, sg, sgg, sy, sgy) = (st(1), st(2), st(3), st(4), st(5))
+    val (sz, sgz, szz, szy) = (st(7), st(8), st(9), st(10))
+    // det of A = X'X with X = [1 g z]; then Cramer column swaps
+    val detA = n * (sgg * szz - sgz * sgz) -
+      sg * (sg * szz - sgz * sz) + sz * (sg * sgz - sgg * sz)
+    val detG = n * (sgy * szz - sgz * szy) -
+      sy * (sg * szz - sgz * sz) + sz * (sg * szy - sgy * sz)
+    val detZ = n * (sgg * szy - sgy * sgz) -
+      sg * (sg * szy - sgy * sz) + sy * (sg * sgz - sgg * sz)
+    v.select(col("vid"), n.as("n"), detA.as("det_a"),
+      when(detA =!= 0L,
+        detG.cast("double") / detA.cast("double")).as("beta_g"),
+      when(detA =!= 0L,
+        detZ.cast("double") / detA.cast("double")).as("beta_z"))
   }
 
   /** Windowed LD-partner profile per variant (the integer-exact cousin
@@ -2325,12 +2320,17 @@ object PopGen {
   def garudH(v: DataFrame, window: Long, nSamples: Int,
       ploidy: Int = 2): DataFrame = {
     val h = nSamples * ploidy
-    def alleleStr(slot: Int) = coalesce(
+    // LONG tokens, missing → -1: any injective per-slot encoding keys
+    // haplotype identity identically, and the previous per-slot
+    // `.cast("string")` allocated h UTF8Strings per variant row —
+    // measured 2.3 s for the projection alone at sf0.1, the query's
+    // dominant cost
+    def alleleTok(slot: Int) = coalesce(
       element_at(element_at(col("geno"), slot / ploidy + 1),
-        slot % ploidy + 1).cast("string"),
-      lit("m"))
+        slot % ploidy + 1),
+      lit(-1L))
     // ONE window-keyed shuffle (each variant row carries its h-wide
-    // allele-string array), then the whole haplotype tabulation happens
+    // allele-token array), then the whole haplotype tabulation happens
     // INSIDE the window row: transpose via h per-slot joins over the
     // pos-sorted variant list, then O(h²) distinct-count folds — h is a
     // cohort constant, so the per-window work is fixed while the old
@@ -2338,7 +2338,7 @@ object PopGen {
     // (slot-keyed haplotype build, haplotype-keyed count).
     val perVar = v.select(col("chrom"), expr(s"pos div $window").as("win"),
       col("pos"), col("vid"),
-      array((0 until h).map(s => alleleStr(s)): _*).as("as"))
+      array((0 until h).map(s => alleleTok(s)): _*).as("as"))
     val wins = perVar.groupBy(col("chrom"), col("win"))
       .agg(array_sort(collect_list(struct(col("pos"), col("vid"),
         col("as")))).as("vs"))

@@ -98,9 +98,21 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(tt < 500, s"trendTest plan carries $tt expression nodes")
     val lr = exprNodes(PopGen.linRegScore(v, (0 until S).map(_.toLong % 7)))
     assert(lr < 500, s"linRegScore plan carries $lr expression nodes")
+    // linRegCovScore's round-11 one-level flatten (every kernel read in
+    // ONE select so the kernel-over-cube chain is never re-evaluated
+    // per consuming Project level) textually repeats the tiny
+    // element_at(kernel) subtree inside the Cramer determinants —
+    // a CONSTANT ~760 nodes at ANY cohort width (runtime subexpression
+    // elimination shares the single kernel evaluation); the bound
+    // guards the O(S) unrolled-reduce class, not the constant
     val lc = exprNodes(PopGen.linRegCovScore(v,
       (0 until S).map(_.toLong % 7), (0 until S).map(_.toLong % 5)))
-    assert(lc < 500, s"linRegCovScore plan carries $lc expression nodes")
+    assert(lc < 1200, s"linRegCovScore plan carries $lc expression nodes")
+    val lcSmall = exprNodes(PopGen.linRegCovScore(v,
+      (0 until 10).map(_.toLong % 7), (0 until 10).map(_.toLong % 5)))
+    assert(lc == lcSmall,
+      s"linRegCovScore plan size must be cohort-width-independent " +
+        s"($lcSmall at S=10 vs $lc at S=$S)")
     val ms = exprNodes(v.select(
       dosageMaskedSums(col("d"), Seq.fill(21)((0 until S).map(_.toLong % 2)))
         .as("ms")))
