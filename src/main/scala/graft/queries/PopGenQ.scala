@@ -538,6 +538,11 @@ object PopGenQ extends QueryModule {
   // surviving samples. ----------------------------------------------------
   private val PHI_MAX = 0.06
   private val q137 = Q("q137_king_prune",
+    // examined for the wave-3 barrier (the pair fan and the call-rate
+    // pass both consume the cube) — the vid-keyed dosageRows barrier
+    // MEASURED SLOWER (2.8 s → 4.7 s: the extra exchange plus the fan
+    // reading shuffled rows outweighs the one saved cube evaluation),
+    // so the direct form stays
     (s, dir) => PopGen.kinshipPrune(
       SynthGeno.variants(s, dir)
         .select(col("vid"), dosageAlt(col("geno")).as("d")),

@@ -1503,6 +1503,11 @@ object Relational extends QueryModule {
   private val q249 = Q("q249_basket_rules",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // examined for the wave-3 materialization (bk is referenced four
+      // times, `half` twice) — checkpointing both MEASURED SLOWER
+      // (2.7 s → 5.4 s: unlike q257's 35-scan plan, AQE's exchange
+      // reuse already folds these copies, so the eager materialization
+      // is pure added cost), so the direct form stays
       val bk = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
