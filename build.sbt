@@ -28,3 +28,50 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ---- Parallel test execution (round-12 verdict item 2) -------------------
+// The driver's round-11 `sbt test` was aborted mid-suite by a shutdown
+// hook (VERIFY_r11 tests_ok=false, no assertion failure in the tail) —
+// the sequential 53-suite run had grown past the harness budget (~17 min
+// on the builder's host). Suites are split into forked JVM groups run
+// CONCURRENTLY: each group gets its own SparkSession (same getOrCreate
+// semantics as before — within a group, suites still run sequentially,
+// so specs that flip session confs like codegen.factoryMode keep their
+// isolation), its own warehouse/derby dirs (BucketedJoinSpec's
+// saveAsTable must not collide across JVMs), and the same JVM options.
+// Known-heavy suites are pinned round-robin so no group inherits two of
+// them; the rest hash. 6 groups × local[4] sessions ≈ the host's 32
+// hardware threads; heap stays the per-fork default (6 × 8g peak fits
+// the 128 GiB sandbox).
+val testGroupCount = 6
+// heaviest suites, pinned one-per-group (slowest first) so the longest
+// pole never shares a group with another heavy suite
+val heavySuites = Seq(
+  "graft.MpegAudioSpec", "graft.SharedStagesSpec",
+  "graft.Round10OpsSpec", "graft.Round11OpsSpec",
+  "graft.PipelineFuzzSpec", "graft.CodegenOnlyQuerySpec",
+  "graft.PopGenFuzzSpec", "graft.Round9OpsSpec",
+  "graft.SeqArraySpec", "graft.Round8OpsSpec",
+  "graft.KernelPropertySpec", "graft.Round8bOpsSpec")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / javaOptions).value.toVector
+  val tgt = (Test / target).value
+  def groupOf(name: String): Int = {
+    val h = heavySuites.indexOf(name)
+    if (h >= 0) h % testGroupCount
+    else math.abs(name.hashCode) % testGroupCount
+  }
+  (0 until testGroupCount).flatMap { i =>
+    val members = tests.filter(t => groupOf(t.name) == i)
+    if (members.isEmpty) None
+    else Some(Tests.Group(
+      s"g$i",
+      members,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(base ++ Vector(
+        s"-Dspark.sql.warehouse.dir=${(tgt / s"test-wh-$i").toURI}",
+        s"-Dderby.system.home=${tgt / s"test-derby-$i"}")))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(testGroupCount + 2))

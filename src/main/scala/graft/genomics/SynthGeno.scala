@@ -96,6 +96,60 @@ object SynthGeno {
         array((0 until nSamples).map(s =>
           array(allele(h1b(s)), allele(h2b(s)))): _*).as("geno2"))
 
+  /** (chrom, a1, a2): the twin callsets' per-variant ALT-allele counts
+    * computed STRAIGHT from the hash expressions — one flat projection
+    * of integer arithmetic. Consuming [[variantsDup]]'s `geno`/`geno2`
+    * columns for this materializes 18 small arrays per row (the two
+    * nested cubes) only to read every element back with element_at —
+    * CollapseProject keeps the construction in its own Project level
+    * because the consumer references the alias 16×, so the extraction
+    * can never simplify away (round-12 q191 plan evidence: two stacked
+    * Projects, 2.7 s; this form 1 Project). Counts are identical by
+    * construction: allele(h) = null when h < 2 else h % nall, and the
+    * count tallies alleles > 0. */
+  def dupAltCounts(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(h: Column): Column =
+      when(h >= 2 && (h % col("nall")) > 0, 1L).otherwise(0L)
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nall", lit(2) + col("l_partkey") % 3)
+      .select(
+        concat(lit("c"), (col("l_partkey") % 5).cast("string")).as("chrom"),
+        (0 until nSamples).flatMap(s => Seq(cnt(h1(s)), cnt(h2(s))))
+          .reduce(_ + _).as("a1"),
+        (0 until nSamples).flatMap(s => Seq(cnt(h1b(s)), cnt(h2b(s))))
+          .reduce(_ + _).as("a2"))
+  }
+
+  /** (vid, ca, cb): the twin callsets' per-sample PACKED genotype codes
+    * — for each sample, −1 when either allele is missing, else
+    * min(alleles)·4 + max(alleles) (alleles are 0‥3, so the code is
+    * injective on the UNORDERED pair). Same direct-from-hash rationale
+    * as [[dupAltCounts]]: the S×S concordance fan only ever compares
+    * unordered pairs, so one flat array<long> per callset replaces the
+    * nested cube (sample-swap scan: 4 nested element_at + 6 null/order
+    * ops per pair row become 2 flat element_at + 2 compares). */
+  def dupPackedCodes(spark: SparkSession, dir: String): DataFrame = {
+    def code(ha: Column, hb: Column): Column =
+      when(ha >= 2 && hb >= 2,
+        least(ha % col("nall"), hb % col("nall")) * 4L
+          + greatest(ha % col("nall"), hb % col("nall")))
+        .otherwise(-1L)
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("nall", lit(2) + col("l_partkey") % 3)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("vid"),
+        array((0 until nSamples).map(s => code(h1(s), h2(s))): _*)
+          .as("ca"),
+        array((0 until nSamples).map(s => code(h1b(s), h2b(s))): _*)
+          .as("cb"))
+  }
+
   /** DuckDB twin of [[variantsDup]]. */
   val sqlCteDup: String =
     """SELECT l_orderkey * 10 + l_linenumber AS vid,

@@ -24,7 +24,8 @@ object Graphs {
     * graph). Shuffles: one degree aggregate, two degree joins, the
     * bounded wedge self-join, and the closing edge join — every one
     * keyed, none enumerating non-adjacent pairs. */
-  def triangleCensus(edges: DataFrame): DataFrame = {
+  def triangleCensus(edges: DataFrame,
+      materialize: Boolean = false): DataFrame = {
     require(edges.columns.toSeq == Seq("pa", "pb"),
       s"triangleCensus expects canonical (pa, pb) edges; " +
         s"got ${edges.columns.mkString(",")}")
@@ -34,10 +35,16 @@ object Graphs {
     // builds edges from a distinct + self-join + aggregate) the physical
     // plan inlines that subtree per reference and AQE's exchange reuse
     // only folds a few copies (the executed q257 plan ran 35 lineitem
-    // scans). Materialize each once; both are O(edges), orders of
-    // magnitude below the pair fan that produces them.
-    val e0 = edges
-      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+    // scans). `materialize` (CALLER OPT-IN — it runs Spark jobs eagerly
+    // at DataFrame-construction time) truncates the edge set and the
+    // oriented edges once each for such callers; cheap-edge callers
+    // must keep the default: the eager checkpoint is pure added cost
+    // where AQE reuse already folds the copies (measured 2.7 s ->
+    // 5.4 s on q249's pattern).
+    def trunc(df: DataFrame): DataFrame = if (materialize)
+      df.transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+    else df
+    val e0 = trunc(edges)
     val deg = e0.select(col("pa").as("node"))
       .unionByName(e0.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -50,7 +57,7 @@ object Graphs {
         when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
         when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-      .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
+      .transform(trunc)
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
     val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"),

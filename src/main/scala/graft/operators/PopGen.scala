@@ -1506,6 +1506,34 @@ object PopGen {
         && (greatest(element_at(col("ga"), 1), element_at(col("ga"), 2))
           === greatest(element_at(col("gb"), 1),
             element_at(col("gb"), 2))))
+    sampleSwapTail(pairs)
+  }
+
+  /** [[sampleSwapScan]] over PRE-PACKED per-sample genotype codes —
+    * `v` carries (vid, ca ARRAY<LONG>, cb ARRAY<LONG>) where each code
+    * is −1 for a missing call and otherwise INJECTIVE on the unordered
+    * allele pair (e.g. min·K + max). The S² fan row then costs two
+    * flat element_at and two long compares instead of four nested
+    * element_at plus null checks and least/greatest on every pair —
+    * the per-task-work lever for callers whose allele alphabet is
+    * small enough to pack (the synthetic twin cubes: alleles 0‥3).
+    * Same output contract as [[sampleSwapScan]]. */
+  def sampleSwapScanCodes(v: DataFrame, nSamples: Int): DataFrame = {
+    require(nSamples >= 2 && nSamples <= 1000,
+      s"sampleSwapScan's tie-break packs j into a 1e6 radix; got " +
+        s"$nSamples samples")
+    val pairs = graft.functions.pairs.gridFan(
+        v.select(col("vid"), col("ca"), col("cb")),
+        nSamples, nSamples)
+      .select(col("i"), col("j"),
+        element_at(col("ca"), (col("i") + 1).cast("int")).as("xa"),
+        element_at(col("cb"), (col("j") + 1).cast("int")).as("xb"))
+      .withColumn("called", col("xa") >= 0 && col("xb") >= 0)
+      .withColumn("same", col("called") && col("xa") === col("xb"))
+    sampleSwapTail(pairs)
+  }
+
+  private def sampleSwapTail(pairs: DataFrame): DataFrame = {
     val conc = pairs.groupBy(col("i"), col("j"))
       .agg(sum(when(col("called"), 1L).otherwise(0L)).as("n_comp"),
         sum(when(col("same"), 1L).otherwise(0L)).as("n_same"))
@@ -2515,6 +2543,12 @@ object PopGen {
     val sxx = element_at(st, 3)
     val r = element_at(st, 4)
     val sxc = element_at(st, 5)
+    // tie-break determinism rests on fp being INJECTIVE in d (the
+    // row_number argmax below drops u/d from the comparison key) —
+    // the same Long-width bound clumpLite guards
+    require(nSamples <= 27, s"prsClumpThreshold's base-5 dosage " +
+      s"fingerprint is exact only for nSamples <= 27 (Long width); " +
+      s"got $nSamples — widen fp (e.g. the md5 idiom) past that")
     val fp = (0 until nSamples).map { s =>
       var p = 1L; (0 until s).foreach(_ => p *= 5)
       coalesce(d(s), lit(4L)) * lit(p)

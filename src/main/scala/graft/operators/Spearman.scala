@@ -26,12 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Spearman {
 
-  /** Append integer column `out` = doubled midrank of `valueCol`. */
-  def midranks2(df: DataFrame, valueCol: String, bucketWidth: Long,
+  /** Doubled midranks over a PRE-AGGREGATED per-value weight table
+    * (`__mrv`, `__cnt`); returns (`__mrv`, `out`). Factored out so
+    * [[corr]] can rank both axes from ONE pair-count table instead of
+    * re-counting (and re-joining) the row-sized input per axis. */
+  private def midranksOfCounts(counts0: DataFrame, bucketWidth: Long,
       out: String): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
-    val v = col(valueCol)
-    val counts = df.groupBy(v.as("__mrv")).agg(count(lit(1)).as("__cnt"))
+    val counts = counts0
       .withColumn("__mrb", expr(s"__mrv div $bucketWidth"))
     // bucket prefix over the tiny bucket summary
     val wB = Window.orderBy(col("__mrb"))
@@ -43,12 +45,20 @@ object Spearman {
     // within-bucket prefix under a BALANCED per-bucket window
     val wIn = Window.partitionBy(col("__mrb")).orderBy(col("__mrv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts
+    counts
       .withColumn("__ipre", sum(col("__cnt")).over(wIn) - col("__cnt"))
       .join(broadcast(bucketPre), "__mrb")
       .withColumn(out,
         lit(2L) * (col("__bpre") + col("__ipre")) + col("__cnt") + 1L)
       .select(col("__mrv"), col(out))
+  }
+
+  /** Append integer column `out` = doubled midrank of `valueCol`. */
+  def midranks2(df: DataFrame, valueCol: String, bucketWidth: Long,
+      out: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol).as("__mrv"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranked = midranksOfCounts(counts, bucketWidth, out)
     df.join(ranked, df(valueCol) === ranked("__mrv")).drop("__mrv")
   }
 
@@ -61,18 +71,44 @@ object Spearman {
     * the documented benign scalar cross-join shape. */
   def corr(df: DataFrame, xCol: String, yCol: String,
       xBucket: Long, yBucket: Long): DataFrame = {
-    val src = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
-    val withRx = midranks2(src, "__x", xBucket, "__rx")
-    val withBoth = midranks2(withRx, "__y", yBucket, "__ry")
-    val tot = src.agg(count(lit(1)).as("__n"))
-    withBoth.crossJoin(broadcast(tot))
-      .select(col("__n"),
+    // ONE data-sized pass: collapse rows to the (x, y) pair-count grid
+    // first, then everything downstream — both per-axis count tables,
+    // both midrank scans, n, and the five product sums (weighted by
+    // the pair multiplicity: Σ over rows of cx·cy = Σ over pairs of
+    // n_xy·cx·cy, exactly) — is grid-sized. The previous shape ranked
+    // each axis with its own row-sized groupBy and joined the ranks
+    // back to the ROWS, and its second midranks2 call re-derived the
+    // whole first join just to count y values: the physical plan held
+    // 10 parquet scans of the input; this one holds 1.
+    // the pair grid is consumed by FOUR subtrees (cx, cy, n, the rank
+    // attach); exchange reuse only folded two of them in the executed
+    // plan, so materialize it once — O(grid) rows, orders below the
+    // row-sized input (cluster: reliable checkpoint dir, SCALE.md)
+    val pairs = graft.core.Checkpoints.truncate(
+      df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+        .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__np")))
+    val cx = pairs.groupBy(col("__x").as("__mrv"))
+      .agg(sum(col("__np")).as("__cnt"))
+    val cy = pairs.groupBy(col("__y").as("__mrv"))
+      .agg(sum(col("__np")).as("__cnt"))
+    val rx = midranksOfCounts(cx, xBucket, "__rx")
+      .select(col("__mrv").as("__x"), col("__rx"))
+    val ry = midranksOfCounts(cy, yBucket, "__ry")
+      .select(col("__mrv").as("__y"), col("__ry"))
+    val tot = pairs.agg(sum(col("__np")).as("__n"))
+    // NOTE (measured, round 12): forcing shuffle_hash on these two rank
+    // attaches re-shuffled the pair table twice and ran 2× SLOWER than
+    // letting the planner broadcast the grid-sized rank tables
+    // (6.9 s vs 3.4 s at sf0.1/32c) — leave the strategy to the planner
+    pairs.join(rx, "__x").join(ry, "__y")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__np"),
         (col("__rx") - (col("__n") + 1L)).as("__cx"),
         (col("__ry") - (col("__n") + 1L)).as("__cy"))
       .groupBy(col("__n"))
-      .agg(sum(col("__cx") * col("__cy")).as("num"),
-        sum(col("__cx") * col("__cx")).as("vx"),
-        sum(col("__cy") * col("__cy")).as("vy"))
+      .agg(sum(col("__np") * col("__cx") * col("__cy")).as("num"),
+        sum(col("__np") * col("__cx") * col("__cx")).as("vx"),
+        sum(col("__np") * col("__cy") * col("__cy")).as("vy"))
       .withColumn("rho", when(col("vx") > 0 && col("vy") > 0,
         col("num").cast("double")
           / (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double")))))

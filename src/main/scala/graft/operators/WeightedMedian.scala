@@ -54,12 +54,22 @@ object WeightedMedian {
       quantiles.forall { case (n, d) => n > 0 && n <= d },
       s"quantile levels must satisfy 0 < num/den <= 1; got $quantiles")
     val g = groupCols.map(col)
-    // 1. grid-bounded value partials
-    val pv = df.groupBy(g :+ col(valueCol).as("__v"): _*)
+    // 1. grid-bounded value partials. The explicit isnotnull matters:
+    // the step-4 join INFERS isnotnull(valueCol) on its pv branch,
+    // which made the two pv subtrees canonically different — the
+    // executed q231 plan ran the data-sized pv exchange TWICE (round-12
+    // plan evidence). With the filter written once here, both branches
+    // are identical and ReuseExchange folds them. (Null values never
+    // reached the quantile scan anyway — the inner join dropped them;
+    // they no longer count toward bucket totals either, which is the
+    // right quantile semantic and a no-op on non-null inputs.)
+    val pv = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
       .agg(sum(col(weightCol)).as("__w"))
+      .withColumn("__b", expr(s"__v div $bucketWidth"))
+      .filter(col("__b").isNotNull)
     // 2. summary-sized bucket totals
-    val pb = pv.withColumn("__b", expr(s"__v div $bucketWidth"))
-      .groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__wb"))
+    val pb = pv.groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__wb"))
     // 3. cumulative scan over the bucket summary (tiny by construction)
     val wPart = Window.partitionBy(g: _*)
     val wCum = wPart.orderBy(col("__b"))
@@ -85,8 +95,7 @@ object WeightedMedian {
     val wQ = Window.partitionBy(g :+ col("q_num") :+ col("q_den"): _*)
       .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pv.withColumn("__b", expr(s"__v div $bucketWidth"))
-      .join(broadcast(targetBuckets), groupCols :+ "__b")
+    pv.join(broadcast(targetBuckets), groupCols :+ "__b")
       .withColumn("__cv", sum(col("__w")).over(wQ))
       .filter((col("__pre") + col("__cv")) * col("q_den")
         >= col("__tot") * col("q_num"))

@@ -151,7 +151,9 @@ object Merge extends QueryModule {
   // serialization (the house determinism idiom; tied keys are
   // bit-identical rows). Shared by q298/q307.
   private def dedupedVariants(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      pre: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
     // fused codegen serializations — the nested transform/array_join
     // HOF chains they replace were interpreted per row on the dedup
     // key of every merge lane (GenoKeyExpr is differential-tested
@@ -161,14 +163,31 @@ object Merge extends QueryModule {
       graft.functions.expressions.GenoKeyExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("geno"))))
     val ps = array_join(col("phased").cast("array<string>"), ",")
-    SynthGeno.variants(s, dir)
-      .withColumn("k", concat_ws("~",
-        col("nall").cast("string"), gs, ps))
+    // The argmax runs on the serialized key ALONE: k is injective over
+    // (nall, geno, phased) — the cube's sample arrays and phased flags
+    // are never null, so every slot serializes to exactly one segment —
+    // and max(STRING) is hash-aggregable with map-side partials, where
+    // the previous max(struct(k, nall, geno, phased)) forced a
+    // SortAggregate pair (two full sorts of the 600 k-row cube per
+    // branch). The winning row's payload is decoded back from k on the
+    // ~34 k deduped rows (same values bit-for-bit: alleles are 0-3
+    // longs, 'x' = missing; phased round-trips via "true"/"false").
+    val base = SynthGeno.variants(s, dir)
+    val kept = pre.map(base.filter).getOrElse(base)
+    val parts = split(col("k"), "~")
+    val genoDec = transform(split(element_at(parts, 2), ";"), sa =>
+      transform(split(sa, "\\|"), a =>
+        when(a === "x", lit(null).cast("long")).otherwise(a.cast("long"))))
+    val phasedDec = transform(split(element_at(parts, 3), ","),
+      p => p === "true")
+    kept
+      .select(col("vid"), concat_ws("~",
+        col("nall").cast("string"), gs, ps).as("k"))
       .groupBy(col("vid"))
-      .agg(max(struct(col("k"), col("nall"), col("geno"),
-        col("phased"))).as("m"))
-      .select(col("vid"), col("m.nall").as("nall"),
-        col("m.geno").as("geno"), col("m.phased").as("phased"))
+      .agg(max(col("k")).as("k"))
+      .select(col("vid"),
+        element_at(parts, 1).cast("long").as("nall"),
+        genoDec.as("geno"), phasedDec.as("phased"))
   }
 
   private val dedupSqlCte =
@@ -188,7 +207,23 @@ object Merge extends QueryModule {
 
   private val q298 = Q("q298_merge_nway",
     (s, dir) => {
-      val dedup = dedupedVariants(s, dir)
+      // The three "files" are deterministic vid-modulus carves of ONE
+      // deduped table, so file membership, the merged allele list, and
+      // the per-file output rows are all PER-ROW functions of
+      // (vid, nall) — no union, no second groupBy, no join: the round-11
+      // shape (3 pinned carve branches -> mergeN's union + collect_list
+      // + interpreted aggregate-HOF fold) still planned 6 Exchanges + 6
+      // SortAggregates before AQE reuse. Here: one vid pre-filter
+      // (pushed to the scan — drops the 4/15 of vids in no file BEFORE
+      // the dedup), ONE dedup exchange, then a projection that folds
+      // the merged alleles with the codegen AlleleUnionExpr in file
+      // order (bit-identical to mergeN's fold; MergeSpec pins the
+      // N-way fold against the iterated pairwise union) and explodes
+      // at most 3 (file, src-alleles) slots per vid.
+      val inA = col("vid") % 2 === 0
+      val inB = col("vid") % 3 === 0
+      val inC = col("vid") % 5 === 0
+      val dedup = dedupedVariants(s, dir, Some(inA || inB || inC))
       val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
       val full = transform(sequence(lit(1), col("nall").cast("int")),
         i => element_at(letters, i))
@@ -202,19 +237,23 @@ object Merge extends QueryModule {
           array(element_at(full, col("nall").cast("int"))),
           slice(full, lit(2), col("nall").cast("int") - 2)), ",")
           .as("strc"))
-      // pinnedFilter (the q307 discipline): a plain filter on vid
-      // pushes BELOW the dedup groupBy into the scan, so each carve
-      // branch would recompute the full dedup (cube build +
-      // interpreted serialization + exchange) — pinning keeps the
-      // filters above it and ReuseExchange collapses the three
-      // branches onto ONE dedup exchange
-      def carve(m: Int, alleles: String) =
-        graft.operators.PopGen.pinnedFilter(v, col("vid") % m === 0)
-          .select(col("vid"), col(alleles).as("alleles"), col("geno"),
-            col("phased"))
-      mergeN(Seq(carve(2, "stra"), carve(3, "strb"), carve(5, "strc")))
-        .select(col("vid"), col("file"), col("alleles"),
-          gtStrings(col("geno"), col("phased"), ";").as("gts"))
+      // merged alleles: left-fold of the PRESENT files' lists in file
+      // order — exactly mergeN's aggregate-HOF fold, as codegen exprs
+      val m1 = when(inA, col("stra"))
+      val m2 = when(inB, when(m1.isNull, col("strb"))
+        .otherwise(alleleUnion(m1, col("strb")))).otherwise(m1)
+      val m3 = when(inC, when(m2.isNull, col("strc"))
+        .otherwise(alleleUnion(m2, col("strc")))).otherwise(m2)
+      val cand = array(
+        when(inA, struct(lit(0).as("file"), col("stra").as("src"))),
+        when(inB, struct(lit(1).as("file"), col("strb").as("src"))),
+        when(inC, struct(lit(2).as("file"), col("strc").as("src"))))
+      v.select(col("vid"), col("geno"), col("phased"),
+          m3.as("alleles"), explode_outer(cand).as("f"))
+        .filter(col("f").isNotNull)
+        .select(col("vid"), col("f.file").as("file"), col("alleles"),
+          gtStrings(remapGeno(col("geno"), col("f.src"), col("alleles")),
+            col("phased"), ";").as("gts"))
     },
     Some(s"""WITH $dedupSqlCte,
       ext AS (SELECT vid, geno, phased, nall,
@@ -289,23 +328,31 @@ object Merge extends QueryModule {
   // re-join per file). ----------------------------------------------------
   private val q307 = Q("q307_merge_nway_samples",
     (s, dir) => {
+      // Same restructure as q298: the three sample shards are
+      // deterministic vid-modulus carves (C covers EVERY vid, so the
+      // merged vid set is the whole deduped table), which makes the
+      // sample-axis concat + missing-file fill a pure per-row
+      // projection over ONE dedup pass — the round-11 shape still paid
+      // mergeNSamples' union + collect_list groupBy + interpreted
+      // slot-lookup HOFs above three pinned carve branches.
       val v = dedupedVariants(s, dir)
-      // pinnedFilter: a plain filter on vid (the group key) pushes
-      // BELOW the dedup groupBy into the scan, so the three carve
-      // branches would each recompute the full dedup (cube build +
-      // interpreted serialization + exchange); pinning keeps the
-      // filters above it and ReuseExchange collapses the three
-      // branches onto ONE dedup exchange
-      def carve(m: Int, from: Int, n: Int) =
-        graft.operators.PopGen.pinnedFilter(v, col("vid") % m === 0)
-          .select(col("vid"), slice(col("geno"), from, n).as("geno"),
-            slice(col("phased"), from, n).as("phased"))
-      val merged = mergeNSamples(
-        Seq(carve(2, 1, 3), carve(3, 4, 2), carve(1, 6, 3)),
-        Seq(3, 2, 3))
-      merged.select(col("vid"),
-        gtStrings(col("geno"), col("phased"), ";").as("gts"),
-        nCalledAlleles(col("geno")).as("n_called"))
+      val inA = col("vid") % 2 === 0
+      val inB = col("vid") % 3 === 0
+      def nullCalls(k: Int) = array(Seq.fill(k)(
+        array(lit(null).cast("long"), lit(null).cast("long"))): _*)
+      def noPhase(k: Int) = array(Seq.fill(k)(lit(false)): _*)
+      val geno = concat(
+        when(inA, slice(col("geno"), 1, 3)).otherwise(nullCalls(3)),
+        when(inB, slice(col("geno"), 4, 2)).otherwise(nullCalls(2)),
+        slice(col("geno"), 6, 3))
+      val phased = concat(
+        when(inA, slice(col("phased"), 1, 3)).otherwise(noPhase(3)),
+        when(inB, slice(col("phased"), 4, 2)).otherwise(noPhase(2)),
+        slice(col("phased"), 6, 3))
+      v.select(col("vid"), geno.as("geno"), phased.as("phased"))
+        .select(col("vid"),
+          gtStrings(col("geno"), col("phased"), ";").as("gts"),
+          nCalledAlleles(col("geno")).as("n_called"))
     },
     Some(s"""WITH $dedupSqlCte,
       a AS (SELECT vid AS va, geno[1:3] AS ga, phased[1:3] AS pa

@@ -1365,16 +1365,27 @@ object PopGenQ extends QueryModule {
       def consistent(ch: Int, p1: Int, p2: Int) =
         (inG(a(ch, 1), p1) && inG(a(ch, 2), p2)) ||
           (inG(a(ch, 2), p1) && inG(a(ch, 1), p2))
-      def trio(t: Int, ch: Int, p1: Int, p2: Int) = {
+      // Both trios aggregate in ONE no-key pass over the cube (4 plain
+      // sums with map-side partials); the 2-output-row fan happens on
+      // the single result row. The previous explode(array(trio1,
+      // trio2)) doubled every cube row through a Generate whose
+      // inferred size>0 filter re-evaluated the computed array below
+      // it, then paid a groupBy exchange for a 2-group aggregate.
+      def trioSums(ch: Int, p1: Int, p2: Int) = {
         val tested = called(ch) && called(p1) && called(p2)
-        struct(lit(t.toLong).as("trio"), tested.as("tested"),
-          (tested && !consistent(ch, p1, p2)).as("err"))
+        (sum(when(tested, 1L).otherwise(0L)),
+          sum(when(tested && !consistent(ch, p1, p2), 1L).otherwise(0L)))
       }
-      v.select(explode(array(trio(1, 0, 1, 2), trio(2, 3, 4, 5)))
-          .as("e"))
-        .groupBy(col("e.trio").as("trio"))
-        .agg(sum(when(col("e.tested"), 1L).otherwise(0L)).as("n_tested"),
-          sum(when(col("e.err"), 1L).otherwise(0L)).as("n_errors"))
+      val (t1n, t1e) = trioSums(0, 1, 2)
+      val (t2n, t2e) = trioSums(3, 4, 5)
+      v.agg(t1n.as("n1"), t1e.as("e1"), t2n.as("n2"), t2e.as("e2"))
+        .select(explode(array(
+          struct(lit(1L).as("trio"), col("n1").as("n_tested"),
+            col("e1").as("n_errors")),
+          struct(lit(2L).as("trio"), col("n2").as("n_tested"),
+            col("e2").as("n_errors")))).as("e"))
+        .select(col("e.trio").as("trio"), col("e.n_tested").as("n_tested"),
+          col("e.n_errors").as("n_errors"))
         .withColumn("error_rate", when(col("n_tested") > 0,
           col("n_errors").cast("double") / col("n_tested").cast("double")))
     },
@@ -1452,9 +1463,13 @@ object PopGenQ extends QueryModule {
   // KING-prune discipline). All counters exact BIGINT; concordance is
   // one division. -------------------------------------------------------
   private val q328 = Q("q328_sample_swap",
-    (s, dir) => PopGen.sampleSwapScan(
-      SynthGeno.variantsDup(s, dir)
-        .select(col("vid"), col("geno"), col("geno2")), N),
+    // packed per-sample codes (min·4+max, −1 missing — injective on the
+    // unordered pair, so concordance compares one long per side): the
+    // S² fan row drops from four nested element_at + least/greatest to
+    // two flat element_at + two compares (SynthGeno.dupPackedCodes /
+    // PopGen.sampleSwapScanCodes; Round12OpsSpec pins codes == cube)
+    (s, dir) => PopGen.sampleSwapScanCodes(
+      SynthGeno.dupPackedCodes(s, dir), N),
     Some(s"""WITH variants AS (${SynthGeno.sqlCteDup})
       SELECT i, best_j, n_comp, n_same,
         CAST(n_same AS DOUBLE) / CAST(n_comp AS DOUBLE) AS concordance,
@@ -1955,14 +1970,11 @@ object PopGenQ extends QueryModule {
   // per-variant alt-allele counts; Pearson r assembled from them in one
   // fixed-order double expression (num / (√dx·√dy)). -------------------
   private val q191 = Q("q191_af_concordance",
-    (s, dir) => {
-      def altCount(c: String) = (0 until N).flatMap(s0 => Seq(0, 1).map(p =>
-        when(element_at(element_at(col(c), s0 + 1), p + 1) > 0, 1L)
-          .otherwise(0L))).reduce(_ + _)
-      PopGen.afConcordance(SynthGeno.variantsDup(s, dir)
-        .select(col("chrom"), altCount("geno").as("a1"),
-          altCount("geno2").as("a2")))
-    },
+    // direct-from-hash alt counts: one flat integer projection instead
+    // of building both nested cubes per row only to element_at every
+    // cell back out (see SynthGeno.dupAltCounts; counts identical by
+    // construction, oracle unchanged)
+    (s, dir) => PopGen.afConcordance(SynthGeno.dupAltCounts(s, dir)),
     Some(s"""WITH variants AS (${SynthGeno.sqlCteDup}),
       ct AS (SELECT chrom,
           CAST(len(list_filter(flatten(geno),

@@ -1804,7 +1804,11 @@ object Relational extends QueryModule {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2L)
         .select(col("pa"), col("pb"))
-      graft.operators.Graphs.triangleCensus(pairs)
+      // materialize = true: THIS caller's edge derivation is the
+      // distinct + self-join + aggregate whose inlined copies ran 35
+      // lineitem scans (round-11 plan evidence); cheap-edge callers
+      // keep the default off
+      graft.operators.Graphs.triangleCensus(pairs, materialize = true)
     },
     Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok,
           l_partkey AS pk FROM lineitem),

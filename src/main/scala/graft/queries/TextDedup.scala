@@ -3587,19 +3587,28 @@ object TextDedup extends QueryModule {
   // tie-free (count, tok) TakeOrdered. -----------------------------------
   private lazy val q303 = Q("q303_cms_heavy_hitters",
     (s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(explode(filter(split(col("text"), "\\s+"),
-          t => t =!= "")).as("tok"))
+      // ONE tokenize + groupBy(tok) feeds every downstream piece (the
+      // round-11 shape tokenized documents twice — once for the
+      // counters, once for the exact top-20 — and ran 4 md5 rounds per
+      // token OCCURRENCE); the CMS counters are occurrence counts, so
+      // hashing the DISTINCT-token count table and summing `cnt` per
+      // bucket is exactly the same counter array at vocab-sized md5
+      // cost. The tokenize itself rides the byte-level TokensExpr
+      // kernel every other text lane uses (the HOF filter(split) twin
+      // is interpreted per row).
+      val tokCounts = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       def hashed(df: org.apache.spark.sql.DataFrame) = df
         .select(col("*"), explode(array((0 until 4).map(lit): _*))
           .as("r"))
         .withColumn("b",
           conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
             lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 1024)
-      val counters = hashed(toks)
-        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
-      val top = toks.groupBy(col("tok"))
-        .agg(count(lit(1)).as("exact_cnt"))
+      val counters = hashed(tokCounts)
+        .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("c"))
+      val top = tokCounts
+        .select(col("tok"), col("cnt").as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
       val est = hashed(top)
         .join(counters, Seq("r", "b"), "left")

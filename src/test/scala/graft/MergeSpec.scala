@@ -204,4 +204,69 @@ class MergeSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.size == 3)
   }
+
+  test("q298/q307 expression-carve restructure == the round-11 " +
+      "mergeN/mergeNSamples shape on sf0.001 (dedup decode included)") {
+    // round-12 optimization twin: both queries replaced the union +
+    // groupBy merge (file membership is a deterministic vid-modulus
+    // function) and the max(struct) dedup (argmax on the injective
+    // serialized key + decode). This rebuilds the OLD pipeline verbatim
+    // and compares row sets.
+    import org.apache.spark.sql.graft.Bridge
+    import graft.genomics.SynthGeno
+    import graft.functions.genetics._
+    val dir = "/root/testdata/sf0.001"
+    val gs = Bridge.column(graft.functions.expressions.GenoKeyExpr(
+      Bridge.expression(col("geno"))))
+    val ps = array_join(col("phased").cast("array<string>"), ",")
+    val dedup = SynthGeno.variants(spark, dir)
+      .withColumn("k", concat_ws("~", col("nall").cast("string"), gs, ps))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("k"), col("nall"), col("geno"),
+        col("phased"))).as("m"))
+      .select(col("vid"), col("m.nall").as("nall"),
+        col("m.geno").as("geno"), col("m.phased").as("phased"))
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val full = transform(sequence(lit(1), col("nall").cast("int")),
+      i => element_at(letters, i))
+    val v = dedup.select(
+      col("vid"), col("geno"), col("phased"), col("nall"),
+      array_join(full, ",").as("stra"),
+      array_join(
+        concat(slice(full, 1, 1), reverse(slice(full, 2, 3))), ",")
+        .as("strb"),
+      array_join(concat(slice(full, 1, 1),
+        array(element_at(full, col("nall").cast("int"))),
+        slice(full, lit(2), col("nall").cast("int") - 2)), ",")
+        .as("strc"))
+    def carve298(m: Int, alleles: String) =
+      v.filter(col("vid") % m === 0)
+        .select(col("vid"), col(alleles).as("alleles"), col("geno"),
+          col("phased"))
+    val old298 = mergeN(
+        Seq(carve298(2, "stra"), carve298(3, "strb"), carve298(5, "strc")))
+      .select(col("vid"), col("file"), col("alleles"),
+        gtStrings(col("geno"), col("phased"), ";").as("gts"))
+      .collect().map(_.toString).sorted.toSeq
+    val new298 = graft.SparkEntry.queries("q298_merge_nway")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(new298 == old298)
+    assert(new298.nonEmpty)
+    def carve307(m: Int, from: Int, n: Int) =
+      v.filter(col("vid") % m === 0)
+        .select(col("vid"), slice(col("geno"), from, n).as("geno"),
+          slice(col("phased"), from, n).as("phased"))
+    val old307 = mergeNSamples(
+        Seq(carve307(2, 1, 3), carve307(3, 4, 2), carve307(1, 6, 3)),
+        Seq(3, 2, 3))
+      .select(col("vid"),
+        gtStrings(col("geno"), col("phased"), ";").as("gts"),
+        nCalledAlleles(col("geno")).as("n_called"))
+      .collect().map(_.toString).sorted.toSeq
+    val new307 =
+      graft.SparkEntry.queries("q307_merge_nway_samples")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    assert(new307 == old307)
+    assert(new307.nonEmpty)
+  }
 }

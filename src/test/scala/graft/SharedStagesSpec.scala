@@ -204,6 +204,47 @@ class SharedStagesSpec extends AnyFunSuite {
     }
   }
 
+  test("HapCountsExpr LONG-token branch == distinct-count HOF original " +
+      "on seeded random matrices with -1 missing codes, both modes") {
+    // the garudH production path feeds ARRAY<BIGINT> token matrices
+    // (missing -> -1); the kernel's getLong/append branch needs the
+    // same differential pin as the string branch above
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261212L)
+    val h = 6
+    val rows = (0 until 60).map { w =>
+      val k = rnd.nextInt(8) + 1
+      (w.toLong, (0 until k).map(i =>
+        (i.toLong, i.toLong * 7, (0 until h).map(_ =>
+          Seq(0L, 1L, 2L, -1L)(rnd.nextInt(4))))))
+    }
+    val df = rows.toDF("win", "vs")
+    val kernel = Bridge.column(graft.functions.expressions.HapCountsExpr(
+      Bridge.expression(col("vs")), Bridge.expression(lit(h))))
+    // per-slot long tokens rendered to strings are an injective
+    // haplotype id, so the string-join HOF twin counts identically
+    val hapArr = transform(sequence(lit(0), lit(h - 1)), s =>
+      array_join(transform(col("vs"),
+        x => element_at(x.getField("_3"), (s + 1).cast("int"))
+          .cast("string")), ","))
+    val twin = sort_array(transform(array_distinct(col("haps")),
+      x => size(filter(col("haps"), y => y === x)).cast("long")),
+      asc = false)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(col("win"), kernel.as("cs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val ref = df.withColumn("haps", hapArr)
+          .select(col("win"), twin.as("cs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(got == ref, s"mode=$mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("DupPairStatsExpr == unrolled pairwise-complete sums on seeded " +
       "random twin cubes, both modes") {
     import org.apache.spark.sql.functions._
