@@ -60,7 +60,7 @@ object Bench {
         "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
         "q63_kmeans_train", "q127_bpe_train",
         "q227_ceu_family_kinship", "q112_roh", "q68_ngram_jaccard",
-        "q312_roh_runs")
+        "q312_roh_runs", "q33_minhash_lsh")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -134,6 +134,8 @@ object Bench {
       graft.pipeline.TrainingData.simjoinSharedTelemetry
     val (siHits, siMisses) =
       graft.operators.PopGen.siteSharedTelemetry
+    val (lshHits, lshMisses) =
+      graft.queries.TextDedup.lshSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -150,6 +152,7 @@ object Bench {
         s""""roh_shared_stage":{"hits":$rohHits,"misses":$rohMisses},""" +
         s""""simjoin_shared_stage":{"hits":$sjHits,"misses":$sjMisses},""" +
         s""""site_shared_stage":{"hits":$siHits,"misses":$siMisses},""" +
+        s""""lsh_shared_stage":{"hits":$lshHits,"misses":$lshMisses},""" +
         s""""sf":"$sfDir"}"""
     // The full artifact (380-query map + shared-stage telemetry, ~14 KB)
     // goes to a file: the driver's stdout tail-capture keeps only the last

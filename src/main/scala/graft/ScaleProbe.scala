@@ -520,6 +520,7 @@ object ScaleProbe {
       TrainingData.clearSimjoinShared()
       graft.operators.PopGen.clearRohShared()
       graft.operators.PopGen.clearSiteShared()
+      graft.queries.TextDedup.clearLshShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -188,29 +188,101 @@ object TextDedup extends QueryModule {
           AS bkey
         FROM sig, (SELECT unnest(range(0, $BANDS)) AS b))"""
 
+  /** Corpus MinHash signatures and LSH candidate pairs under the
+    * module's banding constants — `sigs` is (doc_id, sh, sig), `cand`
+    * the deduplicated (doc_a, doc_b) band-bucket co-occurrences. FOUR
+    * query lanes (q33 Jaccard verify, q230 edit-distance verify, q263
+    * cost curve, q320 calibration) rebuilt this identical chain from
+    * raw text — signature kernel ×2 scans, band explode, band-key
+    * self-join, pair dedup, per lane (round-12 baseline: 9.7 s across
+    * the four at sf0.1/32c).
+    *
+    * Session-scoped shared materialization (the `LdWindow.stats`
+    * pattern, guide §2.4): a real dedup pipeline signs and banks its
+    * corpus ONCE and runs every audit off the candidate set. First
+    * caller prices the build, the rest ride it; keyed on the
+    * canonicalized docs plan; telemetry surfaces in
+    * `target/bench.json` as `lsh_shared_stage` (warm minima are
+    * labeled in the artifact); `ScaleProbe` clears per timed run so
+    * cold ratios stay honest. Both tables persist MEMORY_AND_DISK —
+    * O(corpus) rows each, orders below the band join they replace. */
+  private def lshSigsAndCand(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val key = d.queryExecution.analyzed.canonicalized
+    lshShared.get(key) match {
+      case Some(p) => lshHits += 1; p
+      case None =>
+        lshMisses += 1
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // sigs persists WITHOUT the shingle arrays: (doc_id, 12 hashes)
+        // is corpus-sized-small, where the sh column (every 3-gram
+        // string per doc) dominated the build's serialization cost —
+        // consumers that need exact shingle sets re-derive them from
+        // raw text on CANDIDATE rows only (the q33 discipline)
+        val sigs = d
+          .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            minhashSignature(col("sh"), MINHASH_K).as("sig"))
+          .persist(lvl)
+        // _outer: bands of a k-signature are never empty; a plain
+        // posexplode's inferred size>0 filter would re-run the band
+        // chain below the Generate (the q124/q263 lesson)
+        val bands = sigs.select(col("doc_id"),
+          posexplode_outer(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
+            .as(Seq("band", "bkey")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .persist(lvl)
+        if (lshShared.size >= 4) {
+          val k0 = lshShared.head._1
+          lshShared(k0)._1.unpersist(blocking = false)
+          lshShared(k0)._2.unpersist(blocking = false)
+          lshShared.remove(k0)
+        }
+        lshShared(key) = (sigs, cand)
+        (sigs, cand)
+    }
+  }
+
+  private val lshShared = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (DataFrame, DataFrame)]
+  private var lshHits = 0L
+  private var lshMisses = 0L
+
+  /** (hits, misses) of the shared LSH signature/candidate stage. */
+  def lshSharedTelemetry: (Long, Long) = synchronized {
+    (lshHits, lshMisses)
+  }
+
+  /** Drop the shared LSH materializations (scale probes measure cold
+    * compute). */
+  def clearLshShared(): Unit = synchronized {
+    lshShared.values.foreach { case (a, b) =>
+      a.unpersist(blocking = false); b.unpersist(blocking = false)
+    }
+    lshShared.clear()
+  }
+
   // --- MinHash + LSH near-dup pairs (brief: "MinHash+LSH
   // (shingle→minhash→band→bucket-join)"). The only shuffle that scales with
   // n is the band-key self-join; exact Jaccard runs only on candidates. -----
   private val q33 = Q("q33_minhash_lsh",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      val docs = d.select(col("doc_id"),
-          shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-      // Fused signature kernel: all k minima in one pass per document —
-      // no shingle explode, no signature shuffle (the earlier explode +
-      // md5 projections + min-aggregate shape paid a full shuffle of the
-      // exploded rows; the nested-HOF form is CodegenFallback).
-      val sigs = docs.select(col("doc_id"),
-        minhashSignature(col("sh"), MINHASH_K).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      // shared signature/candidate stage (see lshSigsAndCand) — the
+      // fused-kernel signature build, band explode, band-key self-join
+      // and pair dedup are priced once per session across q33/q230/
+      // q263/q320
+      val (_, cand) = lshSigsAndCand(s, dir)
       // Verification re-derives shingles from raw text AFTER the join, so
       // the (interpreted-HOF) shingle construction runs only on the few
       // candidate rows, not 2× over the whole corpus.
@@ -1989,20 +2061,8 @@ object TextDedup extends QueryModule {
   private val ED_CAP = 600
   private val q230 = Q("q230_editdist_neardup",
     (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val docs = d.select(col("doc_id"),
-          shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sigs = docs.select(col("doc_id"),
-        minhashSignature(col("sh"), MINHASH_K).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      // shared signature/candidate stage (see lshSigsAndCand)
+      val (_, cand) = lshSigsAndCand(s, dir)
       val texts = Tables(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, ED_CAP).as("t"))
       cand
@@ -2395,24 +2455,8 @@ object TextDedup extends QueryModule {
   private val q263 = Q("q263_dedup_cost_curve",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
-      val docs = d.select(col("doc_id"),
-          shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-      // sig materializes as its own projection and the explode is
-      // _outer: a plain posexplode of the fused signature chain gets an
-      // inferred size(...) > 0 filter whose pushed copy re-runs the
-      // whole minhash chain below the Generate (the q124 lesson)
-      val sigs = docs.select(col("doc_id"),
-        minhashSignature(col("sh"), MINHASH_K).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        posexplode_outer(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band")
-            && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      // shared signature/candidate stage (see lshSigsAndCand)
+      val (_, cand) = lshSigsAndCand(s, dir)
       val texts = d.select(col("doc_id"), col("text"))
       val scored = cand
         .join(texts.withColumnRenamed("doc_id", "doc_a")
@@ -3917,26 +3961,25 @@ object TextDedup extends QueryModule {
   // ride the candidate join, exact work is candidates-only. ---------------
   private val q320 = Q("q320_minhash_calibration",
     (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val sigs = d
-        .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"),
-          minhashSignature(col("sh"), MINHASH_K).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(lshBands(col("sig"), BANDS, ROWS_PER_BAND))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band")
-            && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      // shared signature/candidate stage (see lshSigsAndCand) — this
+      // lane also rides the persisted (doc_id, sig) table for its two
+      // signature back-joins; exact shingle sets are re-derived from
+      // raw text on the CANDIDATE rows only (the q33 discipline — the
+      // shared stage deliberately does not persist the heavy sh arrays)
+      val (sigs, cand) = lshSigsAndCand(s, dir)
+      val texts = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
       val pairs = cand
         .join(sigs.select(col("doc_id").as("doc_a"),
-          col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+          col("sig").as("sig_a")), "doc_a")
         .join(sigs.select(col("doc_id").as("doc_b"),
-          col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+          col("sig").as("sig_b")), "doc_b")
+        .join(texts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), "doc_b")
+        .withColumn("sh_a", shingles(col("text_a"), SHINGLE_N))
+        .withColumn("sh_b", shingles(col("text_b"), SHINGLE_N))
         .withColumn("m", aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
