@@ -60,7 +60,7 @@ object Bench {
         "q108_ld_r2", "q280_sa_substring_dedup", "q284_ehh_decay",
         "q63_kmeans_train", "q127_bpe_train",
         "q227_ceu_family_kinship", "q112_roh", "q68_ngram_jaccard",
-        "q312_roh_runs", "q33_minhash_lsh")
+        "q312_roh_runs", "q33_minhash_lsh", "q307_merge_nway_samples")
       owners.flatMap(n => SparkEntry.queries.get(n).map(fn =>
         math.abs(run1(s"warmup:$n", fn)))).sum
     }
@@ -136,6 +136,8 @@ object Bench {
       graft.operators.PopGen.siteSharedTelemetry
     val (lshHits, lshMisses) =
       graft.queries.TextDedup.lshSharedTelemetry
+    val (mgHits, mgMisses) =
+      graft.queries.Merge.mergeSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -153,6 +155,7 @@ object Bench {
         s""""simjoin_shared_stage":{"hits":$sjHits,"misses":$sjMisses},""" +
         s""""site_shared_stage":{"hits":$siHits,"misses":$siMisses},""" +
         s""""lsh_shared_stage":{"hits":$lshHits,"misses":$lshMisses},""" +
+        s""""merge_shared_stage":{"hits":$mgHits,"misses":$mgMisses},""" +
         s""""sf":"$sfDir"}"""
     // The full artifact (380-query map + shared-stage telemetry, ~14 KB)
     // goes to a file: the driver's stdout tail-capture keeps only the last

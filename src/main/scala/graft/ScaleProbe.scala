@@ -521,6 +521,7 @@ object ScaleProbe {
       graft.operators.PopGen.clearRohShared()
       graft.operators.PopGen.clearSiteShared()
       graft.queries.TextDedup.clearLshShared()
+      graft.queries.Merge.clearMergeShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

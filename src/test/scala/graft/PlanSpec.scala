@@ -725,18 +725,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q298: the N-way merge is ONE dedup pass — join-free, union-free, " +
-      "a single vid exchange, carve filter pushed to the scan") {
+      "zero consumer exchanges above the shared dedup table") {
+    // materialize the shared deduped-variants substrate first (the
+    // q112 discipline: the lock pins the WARM consumer shape)
+    SparkEntry.queries("q298_merge_nway")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
     val p = plan("q298_merge_nway")
     assert(!p.contains("Join"), "merge must not plan any join\n" + p)
     // round 12: file membership / merged alleles / per-file rows are
     // per-row functions of (vid, nall), so the union + second groupBy
-    // of the mergeN shape is gone — one dedup exchange total
+    // of the mergeN shape is gone — the consumer is filter + project +
+    // explode over the shared dedup table, zero further exchanges
     assert(!p.contains("Union"), "single-pass merge must not union\n" + p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    // the vid pre-filter (drops vids in no file) must reach the scan
-    val scan = p.linesIterator.find(_.contains("FileScan")).get
-    assert(scan.contains("DataFilters: [(((((("), // the %2/%3/%5 carve
-      "carve filter not pushed into the lineitem scan\n" + p)
+    val consumer = p.split("InMemoryRelation", 2)(0)
+    assert(consumer.contains("InMemoryTableScan"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(consumer).isEmpty, p)
   }
 
   test("q300: the sketched profile is ONE scan of lineitem for all " +
