@@ -138,6 +138,8 @@ object Bench {
       graft.queries.TextDedup.lshSharedTelemetry
     val (mgHits, mgMisses) =
       graft.queries.Merge.mergeSharedTelemetry
+    val (cdHits, cdMisses) =
+      graft.pipeline.TrainingData.candSharedTelemetry
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warmup_sec":$warmupSec,""" +
@@ -156,6 +158,7 @@ object Bench {
         s""""site_shared_stage":{"hits":$siHits,"misses":$siMisses},""" +
         s""""lsh_shared_stage":{"hits":$lshHits,"misses":$lshMisses},""" +
         s""""merge_shared_stage":{"hits":$mgHits,"misses":$mgMisses},""" +
+        s""""cand_shared_stage":{"hits":$cdHits,"misses":$cdMisses},""" +
         s""""sf":"$sfDir"}"""
     // The full artifact (380-query map + shared-stage telemetry, ~14 KB)
     // goes to a file: the driver's stdout tail-capture keeps only the last

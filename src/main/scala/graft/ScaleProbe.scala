@@ -67,9 +67,18 @@ object ScaleProbe {
       .select("vec_id", "embedding")
     val vecsN = expandVecs(vecs1, Factor)
     // materialize the inputs once so expansion cost never pollutes the
-    // operator timings
-    docs1.cache(); docsN.cache(); vecs1.cache(); vecsN.cache()
-    docs1.count(); docsN.count(); vecs1.count(); vecsN.count()
+    // operator timings. Repartitioned BEFORE the cache: the testdata
+    // parquet is single-row-group, so an uncached scan (and therefore
+    // the cached table) would hold ONE partition — every op's first
+    // projection chain would fuse into a single task and the probe
+    // could never show core scaling regardless of SPARK_GRAFT_CPUS
+    // (round-12 fix; a real multi-file corpus scan is already parallel)
+    val probeParts = shufP.toInt
+    def par(df: DataFrame): DataFrame = df.repartition(probeParts)
+    val Seq(d1, dN, v1, vN) =
+      Seq(docs1, docsN, vecs1, vecsN).map(par)
+    d1.cache(); dN.cache(); v1.cache(); vN.cache()
+    d1.count(); dN.count(); v1.count(); vN.count()
 
     def quant(df: DataFrame): DataFrame = df.select(col("vec_id"),
       graft.functions.vectorfns.quantize(col("embedding"), 10000)
@@ -179,7 +188,7 @@ object ScaleProbe {
         d => TrainingData.collocations(d), Docs),
       ("pq_adc",
         d => pqAdcScan(d,
-          if (d eq vecsN) 40 * Factor else 40), Vecs),
+          if (d eq vN) 40 * Factor else 40), Vecs),
       // round-6 families: haplotype-window stats (explode ×H + window-
       // keyed string build), window-indexed clumping (cell-key join),
       // f2 pair rollup, and the three corpus diagnostics
@@ -522,6 +531,7 @@ object ScaleProbe {
       graft.operators.PopGen.clearSiteShared()
       graft.queries.TextDedup.clearLshShared()
       graft.queries.Merge.clearMergeShared()
+      TrainingData.clearCandShared()
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -532,8 +542,8 @@ object ScaleProbe {
     val results = ops.filter(o => opFilter.forall(_.contains(o._1)))
       .map { case (name, fn, input) =>
       val (small, big) = input match {
-        case Docs => (docs1, docsN)
-        case Vecs => (vecs1, vecsN)
+        case Docs => (d1, dN)
+        case Vecs => (v1, vN)
         case Vars => (vars1, varsN)
       }
       // min-of-2: first run pays Janino/JIT compile

@@ -84,20 +84,74 @@ object TrainingData {
   private def candidateTextPairs(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, minhashK: Int, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bnd = bandKeys(docs, idCol, textCol, shingleN, minhashK, bands,
-      rowsPerBand)
-    val cand = bnd.as("a").join(bnd.as("b"),
-        col(s"a.band") === col(s"b.band") &&
-          col(s"a.bkey") === col(s"b.bkey") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = candPairsShared(docs, idCol, textCol, shingleN, minhashK,
+      bands, rowsPerBand)
     val texts = docs.select(col(idCol), col(textCol))
     cand
       .join(texts.withColumnRenamed(idCol, "doc_a")
         .withColumnRenamed(textCol, "text_a"), "doc_a")
       .join(texts.withColumnRenamed(idCol, "doc_b")
         .withColumnRenamed(textCol, "text_b"), "doc_b")
+  }
+
+  /** The deduplicated LSH candidate-pair table (doc_a, doc_b) behind
+    * [[candidateTextPairs]], as a session-scoped shared
+    * materialization (the `LdWindow.stats` pattern): the band-key
+    * self-join + pair dedup is the expensive stage of every direct
+    * near-dup lane that does not already ride the cluster-label cache
+    * — the q149 recall audit's `found` side, the q146 containment
+    * pass, the q67-style drop lists — and the cluster-label build
+    * itself populates it on the way, so one warmup build serves all.
+    * Keyed on the canonicalized docs plan + every banding parameter;
+    * telemetry in `target/bench.json` as `cand_shared_stage`;
+    * `ScaleProbe` clears per timed run. The per-pair TEXT joins stay
+    * in the consumer (row-sized; shingle verification re-derives from
+    * raw text on candidate rows only — the house discipline). */
+  private def candPairsShared(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, minhashK: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, idCol,
+      textCol, shingleN, minhashK, bands, rowsPerBand)
+    candShared.get(key) match {
+      case Some(df) => candHits += 1; df
+      case None =>
+        candMisses += 1
+        val bnd = bandKeys(docs, idCol, textCol, shingleN, minhashK,
+          bands, rowsPerBand)
+        val df = bnd.as("a").join(bnd.as("b"),
+            col(s"a.band") === col(s"b.band") &&
+              col(s"a.bkey") === col(s"b.bkey") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("doc_a"),
+            col(s"b.$idCol").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (candShared.size >= 4) {
+          val k0 = candShared.head._1
+          candShared(k0).unpersist(blocking = false)
+          candShared.remove(k0)
+        }
+        candShared(key) = df
+        df
+    }
+  }
+
+  private val candShared = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int, Int, Int, Int), DataFrame]
+  private var candHits = 0L
+  private var candMisses = 0L
+
+  /** (hits, misses) of the shared LSH candidate-pair stage. */
+  def candSharedTelemetry: (Long, Long) = synchronized {
+    (candHits, candMisses)
+  }
+
+  /** Drop the shared candidate-pair materializations (scale probes
+    * measure cold compute). */
+  def clearCandShared(): Unit = synchronized {
+    candShared.values.foreach(_.unpersist(blocking = false))
+    candShared.clear()
   }
 
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
@@ -408,7 +462,14 @@ object TrainingData {
   private def bandKeys(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, minhashK: Int, bands: Int, rowsPerBand: Int)
       : DataFrame =
-    docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    // repartition first: the testdata parquet is single-row-group
+    // (1-task scan) and the shingle+minhash kernels would fuse into
+    // that one task — the signature pass ran on one core at any
+    // SPARK_GRAFT_CPUS (at cluster scale a multi-file corpus scan is
+    // already parallel and AQE coalescing keeps this exchange cheap)
+    docs.repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col(idCol), minhashSignature(col("sh"), minhashK).as("sig"))
       .select(col(idCol),

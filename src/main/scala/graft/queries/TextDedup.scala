@@ -220,8 +220,13 @@ object TextDedup extends QueryModule {
         // is corpus-sized-small, where the sh column (every 3-gram
         // string per doc) dominated the build's serialization cost —
         // consumers that need exact shingle sets re-derive them from
-        // raw text on CANDIDATE rows only (the q33 discipline)
+        // raw text on CANDIDATE rows only (the q33 discipline).
+        // repartition first: the testdata parquet is single-row-group
+        // (1-task scan), and the shingle+minhash kernel chain would
+        // otherwise fuse into that one task — the whole cold build ran
+        // on one core at any SPARK_GRAFT_CPUS
         val sigs = d
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
           .select(col("doc_id"), shingles(col("text"), SHINGLE_N).as("sh"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"),
