@@ -188,11 +188,19 @@ object Graphs {
       .transform(graft.core.Checkpoints.truncate[org.apache.spark.sql.Row])
     var lab = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // ONE exchange per round: hash(node) SATISFIES the clustering
+      // requirement of BOTH aggregates (partitioning expressions are a
+      // subset of the (node, nl) grouping), so partitioning the raw
+      // contributions by node up front replaces the previous two
+      // exchanges — the (node, nl) count shuffle AND the (node)
+      // argmin shuffle (guide §2.4, "two operations keyed the same
+      // way can share one exchange").
       val neigh = e
         .join(lab.select(col("node").as("dst"), col("label").as("nl")),
           "dst")
         .select(col("src").as("node"), col("nl"))
         .unionByName(lab.select(col("node"), col("label").as("nl")))
+        .repartition(col("node"))
         .groupBy(col("node"), col("nl"))
         .agg(count(lit(1)).as("c"))
       lab = neigh
